@@ -1,0 +1,216 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md F1/F2/F5).
+
+Produces the engine's input shape mandated by ``BASELINE.json:input_hint``::
+
+    documents:   doc_id: string,
+                 spans: list<struct<kind:string, text:string,
+                                    media_ref:string, offset:int32>>
+    media_store: media_ref: string, kind: string, payload: binary, truth: string
+
+Everything is a pure function of ``(seed, index)`` (per-doc ``random.Random``
+streams), so corpora are reproducible at any scale, order-independent, and
+shardable. Duplicate media_refs within and across docs are deliberate -- the
+reference processes duplicates once per occurrence (23 lines / 10 distinct in
+``inputs/short_input.txt``; multiplicity preserved in output,
+LocalApplication.java:182-202). ~``broken_frac`` of media spans point at refs
+absent from the store ("Image download error" path, Worker.java:87) and
+~``corrupt_frac`` of store payloads are mangled ("OCR operation error" path,
+Worker.java:95) -- mirroring the 10 corrupted URL lines in
+``inputs/long_input.txt``.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+
+from .functions import glyph, minipdf
+
+SPAN_STRUCT = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+)
+DOC_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_STRUCT))])
+OUT_SPAN_STRUCT = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("order", pa.int32())]
+)
+OUT_SCHEMA = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(OUT_SPAN_STRUCT))])
+MEDIA_SCHEMA = pa.schema(
+    [("media_ref", pa.string()), ("kind", pa.string()), ("payload", pa.binary()), ("truth", pa.string())]
+)
+
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega stream batch arrow "
+    "shuffle actor block span table extract layout column offset manifest"
+).split()
+
+
+def _sentence(rng: random.Random, lo: int = 4, hi: int = 10) -> str:
+    n = rng.randint(lo, hi)
+    words = [rng.choice(_WORDS) for _ in range(n)]
+    return " ".join(words).capitalize() + "."
+
+
+def media_ref_img(i: int) -> str:
+    return f"mem://img/{i:06d}"
+
+
+def media_ref_pdf(i: int) -> str:
+    return f"mem://pdf/{i:06d}"
+
+
+def html_page(rng: random.Random, content_sentences: list[str]) -> str:
+    """Wrap content sentences in a boilerplate-laden page template. The
+    stripper's expected output is the content paragraphs joined by newlines."""
+    nav = " ".join(f'<a href="#{i}">{rng.choice(_WORDS)}</a>' for i in range(rng.randint(2, 5)))
+    ads = " ".join(f'<a href="#ad{i}">{_sentence(rng, 2, 4)}</a>' for i in range(rng.randint(1, 3)))
+    paras = "".join(f"<p>{s}</p>" for s in content_sentences)
+    return (
+        f"<html><head><title>{rng.choice(_WORDS)}</title>"
+        f"<script>var x = {rng.randint(0, 99)};</script></head><body>"
+        f"<header><a href='/'>Home</a> <a href='/about'>About</a></header>"
+        f"<nav>{nav}</nav>"
+        f"<div class='content'><h1>{_sentence(rng, 2, 4)}</h1>{paras}</div>"
+        f"<div class='ads'>{ads}</div>"
+        f"<footer><a href='/contact'>Contact</a> <a href='/tos'>Terms</a></footer>"
+        f"</body></html>"
+    )
+
+
+def build_media_store(
+    n_img: int = 200, n_pdf: int = 100, seed: int = 42, corrupt_frac: float = 0.02
+) -> pa.Table:
+    """F2: media_ref -> payload side table. Payloads are generated FROM
+    ``truth`` (glyph bitmaps / mini-PDFs), so extraction is exactly invertible."""
+    font = glyph.GlyphFont()
+    refs, kinds, payloads, truths = [], [], [], []
+    for i in range(n_img):
+        rng = random.Random(f"{seed}:img:{i}")
+        truth = _sentence(rng)
+        payload = font.render(truth)
+        if rng.random() < corrupt_frac:
+            payload, truth = glyph.corrupt(payload), "OCR operation error"
+        refs.append(media_ref_img(i)); kinds.append("image")
+        payloads.append(payload); truths.append(truth)
+    for i in range(n_pdf):
+        rng = random.Random(f"{seed}:pdf:{i}")
+        blocks = [
+            {"x": rng.choice([10, 30, 230, 250, 450]), "y": 40 * j + rng.randint(0, 20),
+             "text": _sentence(rng)}
+            for j in range(rng.randint(1, 4))
+        ]
+        payload = minipdf.encode(blocks)
+        if rng.random() < corrupt_frac:
+            payload, truth = minipdf.corrupt(payload), "PDF parse error"
+        else:
+            truth = minipdf.reading_order_text(payload)
+        refs.append(media_ref_pdf(i)); kinds.append("pdf")
+        payloads.append(payload); truths.append(truth)
+    return pa.table(
+        {"media_ref": refs, "kind": kinds, "payload": payloads, "truth": truths},
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def media_dict(store: pa.Table) -> dict[str, bytes]:
+    """ref -> payload lookup (the broadcast small side; SURVEY.md #2.4)."""
+    return dict(zip(store.column("media_ref").to_pylist(), store.column("payload").to_pylist()))
+
+
+def _doc_spans(
+    rng: random.Random, n_img: int, n_pdf: int, broken_frac: float,
+    min_spans: int, max_spans: int,
+) -> list[dict]:
+    spans = []
+    offset = 0
+    for _ in range(rng.randint(min_spans, max_spans)):
+        offset += rng.randint(1, 50)
+        kind = rng.choices(["text", "image", "pdf"], weights=[5, 3, 2])[0]
+        if kind == "text":
+            roll = rng.random()
+            if roll < 0.05:
+                text = rng.choice(["", "   ", "\n"])  # empty-record filter fixture (Manager.java:332-334)
+            else:
+                text = html_page(rng, [_sentence(rng) for _ in range(rng.randint(1, 3))])
+            spans.append({"kind": "text", "text": text, "media_ref": "", "offset": offset})
+        elif kind == "image":
+            if rng.random() < broken_frac:
+                ref = f"mem://img/missing-{rng.randint(0, 10**6):06d}"
+            else:
+                ref = media_ref_img(rng.randrange(n_img))
+            spans.append({"kind": "image", "text": "", "media_ref": ref, "offset": offset})
+        else:
+            if rng.random() < broken_frac:
+                ref = f"mem://pdf/missing-{rng.randint(0, 10**6):06d}"
+            else:
+                ref = media_ref_pdf(rng.randrange(n_pdf))
+            spans.append({"kind": "pdf", "text": "", "media_ref": ref, "offset": offset})
+    return spans
+
+
+def build_documents(
+    n_docs: int = 100, n_img: int = 200, n_pdf: int = 100, seed: int = 42,
+    broken_frac: float = 0.05, min_spans: int = 1, max_spans: int = 8,
+) -> pa.Table:
+    """F1: interleaved documents table (deterministic from seed + doc index)."""
+    doc_ids, spans_col = [], []
+    for i in range(n_docs):
+        rng = random.Random(f"{seed}:doc:{i}")
+        doc_ids.append(f"doc-{i:08d}")
+        spans_col.append(_doc_spans(rng, n_img, n_pdf, broken_frac, min_spans, max_spans))
+    return pa.table({"doc_id": doc_ids, "spans": spans_col}, schema=DOC_SCHEMA)
+
+
+def build_skew_documents(seed: int = 42, n_small: int = 1000, big_spans: int = 10_000) -> pa.Table:
+    """Skew fixture: 1 doc with ``big_spans`` spans + one ~5 MB text span among
+    ``n_small`` ordinary docs (exercises salted reassembly + size-capped batches)."""
+    base = build_documents(n_docs=n_small, seed=seed)
+    rng = random.Random(f"{seed}:skew")
+    spans = []
+    for j in range(big_spans):
+        spans.append({"kind": "image", "text": "",
+                      "media_ref": media_ref_img(rng.randrange(200)), "offset": j * 7 + 1})
+    fat = " ".join(rng.choice(_WORDS) for _ in range(700_000))  # ~5 MB plain text span
+    spans.append({"kind": "text", "text": fat, "media_ref": "", "offset": big_spans * 7 + 1})
+    big = pa.table({"doc_id": ["doc-skew-big"], "spans": [spans]}, schema=DOC_SCHEMA)
+    return pa.concat_tables([base, big]).combine_chunks()
+
+
+def build_reference_shaped_doc(seed: int = 42) -> tuple[pa.Table, pa.Table]:
+    """F5: transliteration of ``inputs/short_input.txt`` semantics -- one doc,
+    23 image spans over 10 distinct refs with multiplicity 3,3,3,3,3,2,2,2,1,1,
+    two of the refs broken. Expected output: exactly 23 spans (the reference
+    golden has 24 from a known SQS-redelivery double-count race,
+    Manager.java:216 + Worker.java:102-104; the engine's contract is
+    exactly-once per input span, so the race artifact is NOT reproduced)."""
+    multiplicity = [3, 3, 3, 3, 3, 2, 2, 2, 1, 1]  # 10 distinct refs, 23 lines
+    refs = [media_ref_img(i) for i in range(8)] + [
+        "mem://img/missing-000001", "mem://img/missing-000002"]
+    lines = [r for r, m in zip(refs, multiplicity) for _ in range(m)]
+    rng = random.Random(f"{seed}:ref-shaped")
+    rng.shuffle(lines)  # input order is arbitrary; offsets define order
+    spans = [{"kind": "image", "text": "", "media_ref": r, "offset": 10 * i} for i, r in enumerate(lines)]
+    docs = pa.table({"doc_id": ["doc-short-input"], "spans": [spans]}, schema=DOC_SCHEMA)
+    store = build_media_store(n_img=8, n_pdf=0, seed=seed, corrupt_frac=0.0)
+    return docs, store
+
+
+def write_corpus(
+    out_dir: str, n_docs: int, seed: int = 42, n_img: int | None = None,
+    n_pdf: int | None = None, rows_per_fragment: int = 2000, **doc_kwargs,
+) -> tuple[str, str]:
+    """Materialize a corpus as two Lance-style tables under ``out_dir``."""
+    import os
+
+    from .sources import lance_like
+
+    n_img = n_img if n_img is not None else max(50, n_docs // 10)
+    n_pdf = n_pdf if n_pdf is not None else max(25, n_docs // 20)
+    docs = build_documents(n_docs=n_docs, n_img=n_img, n_pdf=n_pdf, seed=seed, **doc_kwargs)
+    store = build_media_store(n_img=n_img, n_pdf=n_pdf, seed=seed)
+    docs_dir = os.path.join(out_dir, "documents")
+    media_dir = os.path.join(out_dir, "media_store")
+    lance_like.write_table(docs, docs_dir, rows_per_fragment=rows_per_fragment)
+    lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
+    return docs_dir, media_dir

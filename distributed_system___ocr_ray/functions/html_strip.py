@@ -1,0 +1,123 @@
+"""Main-content extraction for HTML text spans (axis-A generalization).
+
+DOM-heuristic boilerplate stripping a la Readability / trafilatura, mandated
+by the north rule: tag-density / link-ratio / text-block scoring. Built on
+the stdlib ``html.parser`` (bs4/lxml are unavailable in the sandbox). This
+stage is a pure function of the bytes -- stateless, vectorized over batches
+(SURVEY.md #2.3 T3); the reference has no analogue (it only OCRs images), so
+the semantics here ARE the spec and the single-process oracle calls this very
+function.
+
+Heuristics (all deterministic):
+- ``<script>``/``<style>`` content is ignored outright.
+- Blocks inside semantic boilerplate containers (nav, header, footer, aside)
+  are dropped.
+- Blocks whose link-text ratio exceeds ``MAX_LINK_RATIO`` are dropped
+  (tag-density proxy: anchor-heavy blocks are navigation/ads).
+- Remaining blocks are whitespace-normalized and joined with newlines.
+
+Fast path: input with no ``<`` is plain text and returned verbatim (the
+testdata ``documents.text`` column is plain text; this keeps the flagship
+flat-wrap pipeline exactly SQL-checkable).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+MAX_LINK_RATIO = 0.33
+
+_BLOCK_TAGS = {
+    "p", "div", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "td", "tr", "table", "section", "article", "main", "blockquote", "pre",
+    "br", "body", "html",
+}
+_SKIP_TAGS = {"script", "style", "title"}
+_BOILERPLATE_CONTAINERS = {"nav", "header", "footer", "aside"}
+_WS = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("chars", "link_chars", "in_boiler")
+
+    def __init__(self, in_boiler: bool) -> None:
+        self.chars: list[str] = []
+        self.link_chars = 0
+        self.in_boiler = in_boiler
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[_Block] = []
+        self._cur: _Block | None = None
+        self._skip_depth = 0
+        self._boiler_depth = 0
+        self._link_depth = 0
+
+    def _flush(self) -> None:
+        self._cur = None
+
+    def _ensure(self) -> _Block:
+        if self._cur is None:
+            self._cur = _Block(self._boiler_depth > 0)
+            self.blocks.append(self._cur)
+        return self._cur
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        if tag in _BOILERPLATE_CONTAINERS:
+            self._boiler_depth += 1
+        if tag == "a":
+            self._link_depth += 1
+        if tag in _BLOCK_TAGS or tag in _BOILERPLATE_CONTAINERS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+        if tag in _BOILERPLATE_CONTAINERS and self._boiler_depth:
+            self._boiler_depth -= 1
+        if tag == "a" and self._link_depth:
+            self._link_depth -= 1
+        if tag in _BLOCK_TAGS or tag in _BOILERPLATE_CONTAINERS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        if not data.strip():
+            return
+        blk = self._ensure()
+        blk.chars.append(data)
+        n = len(data.strip())
+        if self._link_depth:
+            blk.link_chars += n
+
+
+def strip_boilerplate(text: str) -> str:
+    """HTML -> main-content text. Pure, deterministic; see module docstring."""
+    if "<" not in text:
+        return text  # plain-text fast path (exactly SQL-checkable)
+    parser = _Extractor()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # html.parser is forgiving; treat a hard failure as no extractable
+        # content rather than killing the block (errors-as-data contract).
+        return ""
+    kept: list[str] = []
+    for blk in parser.blocks:
+        raw = _WS.sub(" ", "".join(blk.chars)).strip()
+        if not raw:
+            continue
+        if blk.in_boiler:
+            continue
+        total = sum(len(c.strip()) for c in blk.chars)
+        if total and blk.link_chars / total > MAX_LINK_RATIO:
+            continue
+        kept.append(raw)
+    return "\n".join(kept)

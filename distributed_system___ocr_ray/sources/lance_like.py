@@ -1,0 +1,96 @@
+"""Minimal Lance-style table layout: immutable fragments + versioned manifest.
+
+The north rule targets Lance tables, but the ``lance`` package is not
+installable in the sandbox (SURVEY.md #7.0). This module implements the two
+Lance properties the engine relies on -- (a) a table is a *manifest-listed
+set of immutable columnar fragments*, and (b) versions are monotonic JSON
+manifests so readers pin a consistent snapshot -- over parquet fragments.
+Swapping in real Lance later is mechanical: replace ``read_fragments`` with
+``lance.dataset(uri)``.
+
+Layout::
+
+    <dir>/data/fragment-<version>-<idx>.parquet
+    <dir>/_manifest/v<version>.json   {"version": n, "fragments": [{"path", "rows"}]}
+
+At 100 TB scale, fragments live on shared object storage and the reader hands
+the fragment path list straight to ``ray.data.read_parquet`` so column
+pruning and row-group pushdown still apply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_manifest")
+
+
+def latest_version(table_dir: str) -> int:
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [int(m.group(1)) for f in os.listdir(mdir) if (m := _MANIFEST_RE.match(f))]
+    return max(versions, default=0)
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    version = version or latest_version(table_dir)
+    if version == 0:
+        raise FileNotFoundError(f"no manifest in {table_dir}")
+    with open(os.path.join(_manifest_dir(table_dir), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def fragment_paths(table_dir: str, version: int | None = None) -> list[str]:
+    man = read_manifest(table_dir, version)
+    return [os.path.join(table_dir, frag["path"]) for frag in man["fragments"]]
+
+
+def write_table(
+    table: pa.Table, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite"
+) -> dict:
+    """Write ``table`` as a new version of a Lance-style table.
+
+    ``mode='overwrite'`` starts a fresh fragment list; ``mode='append'``
+    extends the previous version's list. Fragment files are immutable
+    (never rewritten); the manifest commit is an atomic rename.
+    """
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    version = latest_version(table_dir) + 1
+    fragments = []
+    if mode == "append" and version > 1:
+        fragments = list(read_manifest(table_dir, version - 1)["fragments"])
+    for idx, start in enumerate(range(0, max(table.num_rows, 1), rows_per_fragment)):
+        chunk = table.slice(start, rows_per_fragment)
+        rel = f"data/fragment-{version}-{idx:05d}.parquet"
+        pq.write_table(chunk, os.path.join(table_dir, rel))
+        fragments.append({"path": rel, "rows": chunk.num_rows})
+    manifest = {"version": version, "fragments": fragments}
+    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
+    return manifest
+
+
+def read_dataset(table_dir: str, version: int | None = None, **read_parquet_kwargs):
+    """Open a Lance-style table as a ``ray.data.Dataset`` (manifest-pinned)."""
+    import ray.data as rd
+
+    return rd.read_parquet(fragment_paths(table_dir, version), **read_parquet_kwargs)
+
+
+def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
+    """Driver-side read of a small Lance-style table into one Arrow table."""
+    paths = fragment_paths(table_dir, version)
+    return pa.concat_tables([pq.read_table(p) for p in paths])

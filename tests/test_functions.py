@@ -1,0 +1,112 @@
+"""Unit tests for the pure extraction functions (no Ray)."""
+
+import random
+
+import pytest
+
+from distributed_system___ocr_ray import corpus, oracle
+from distributed_system___ocr_ray.functions import glyph, minipdf
+from distributed_system___ocr_ray.functions.html_strip import strip_boilerplate
+
+
+class TestGlyph:
+    def test_roundtrip(self):
+        f = glyph.GlyphFont()
+        for t in ["Hello world, 123 ok.", "", "A", "a b c", "Punct: ;-'!?()"]:
+            assert f.decode(f.render(t)) == t
+
+    def test_corrupt_raises(self):
+        f = glyph.GlyphFont()
+        with pytest.raises(glyph.GlyphDecodeError):
+            f.decode(glyph.corrupt(f.render("Some text here")))
+
+    def test_garbage_raises(self):
+        f = glyph.GlyphFont()
+        for junk in [b"", b"nope", b"GLY1\x00\x00\x00\x00", b"GLY1" + b"\xff" * 100]:
+            with pytest.raises(glyph.GlyphDecodeError):
+                f.decode(junk)
+
+    def test_dims(self):
+        f = glyph.GlyphFont()
+        h, w = f.dims(f.render("abcd"))
+        assert h == glyph.GLYPH_H and w == 4 * glyph.CELL_W
+
+
+class TestMiniPdf:
+    def test_reading_order_columns(self):
+        # two columns: left column read fully before right column
+        p = minipdf.encode(
+            [
+                {"x": 300, "y": 5, "text": "R1"},
+                {"x": 10, "y": 50, "text": "L2"},
+                {"x": 10, "y": 10, "text": "L1"},
+                {"x": 320, "y": 40, "text": "R2"},
+            ]
+        )
+        assert minipdf.reading_order_text(p) == "L1\nL2\nR1\nR2"
+
+    def test_corrupt_raises(self):
+        p = minipdf.encode([{"x": 1, "y": 1, "text": "hi"}])
+        with pytest.raises(minipdf.PdfParseError):
+            minipdf.reading_order_text(minipdf.corrupt(p))
+        with pytest.raises(minipdf.PdfParseError):
+            minipdf.reading_order_text(b"not a pdf")
+
+
+class TestHtmlStrip:
+    def test_plain_text_identity(self):
+        assert strip_boilerplate("no tags at all") == "no tags at all"
+        assert strip_boilerplate("") == ""
+
+    def test_boilerplate_dropped(self):
+        rng = random.Random("x")
+        page = corpus.html_page(rng, ["One two three.", "Four five six."])
+        out = strip_boilerplate(page)
+        assert "One two three." in out
+        assert "Four five six." in out
+        for boiler in ["Home", "About", "Contact", "Terms", "var x"]:
+            assert boiler not in out
+
+    def test_link_heavy_block_dropped(self):
+        html = (
+            "<body><p>Real content paragraph here.</p>"
+            "<div><a href='#'>link one</a> <a href='#'>link two</a> x</div></body>"
+        )
+        assert strip_boilerplate(html) == "Real content paragraph here."
+
+    def test_whitespace_normalized(self):
+        assert strip_boilerplate("<p>a   b\n c</p>") == "a b c"
+
+
+class TestOracle:
+    def test_sentinels_and_order(self):
+        store = corpus.build_media_store(n_img=4, n_pdf=2, seed=7, corrupt_frac=0.0)
+        med = corpus.media_dict(store)
+        spans = [
+            {"kind": "image", "text": "", "media_ref": "mem://img/nope", "offset": 30},
+            {"kind": "text", "text": "  ", "media_ref": "", "offset": 20},  # filtered
+            {"kind": "text", "text": "hello", "media_ref": "", "offset": 10},
+            {"kind": "pdf", "text": "", "media_ref": "mem://pdf/nope", "offset": 40},
+            {"kind": "image", "text": "", "media_ref": corpus.media_ref_img(0), "offset": 5},
+        ]
+        out = oracle.extract_document(spans, med)
+        assert [s["order"] for s in out] == [0, 1, 2, 3]
+        assert out[0]["kind"] == "image" and out[0]["text"] not in ("", None)
+        assert out[1]["text"] == "hello"
+        assert out[2]["text"] == "Image download error"
+        assert out[3]["text"] == "PDF download error"
+
+    def test_reference_shaped_cardinality(self):
+        docs, store = corpus.build_reference_shaped_doc()
+        spans = oracle.extract_document(docs.column("spans")[0].as_py(), corpus.media_dict(store))
+        # exactly one output span per input span (NOT the reference's 24-block
+        # race artifact; Manager.java:216 + Worker.java:102-104)
+        assert len(spans) == 23
+        assert sum(1 for s in spans if s["text"] == "Image download error") == 2
+
+    def test_corpus_determinism(self):
+        a = corpus.build_documents(n_docs=10, seed=42)
+        b = corpus.build_documents(n_docs=10, seed=42)
+        assert a.equals(b)
+        c = corpus.build_documents(n_docs=10, seed=43)
+        assert not a.equals(c)
