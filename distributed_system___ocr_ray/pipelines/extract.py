@@ -1,0 +1,184 @@
+"""Flagship extraction pipeline wiring (SURVEY.md #3 "Engine lifecycle").
+
+Logical plan (one lazy Dataset; the streaming executor pipelines all stages
+with backpressure -- nothing materializes the full input):
+
+    read (Lance-style manifest -> read_parquet)
+    -> map_batches(explode + partition-assign [+ resume-prune])   narrow
+    -> map_batches(ExtractDispatch actor pool)                    narrow
+    -> groupby(part).map_groups(vectorized reassemble)            THE shuffle
+    -> per-partition atomic commit + lineage manifest             sink
+
+The reference's three processes (LocalApplication / Manager / Worker) and its
+SQS hops collapse into this single plan; queue transport disappears into the
+object store (SURVEY.md S9).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+
+def _media_handle(media: Any):
+    """Broadcast the media store once (ray.put) and wrap the ref so Ray does
+    not auto-deref it in fn_constructor_kwargs; actors ray.get it in __init__."""
+    import ray
+
+    if isinstance(media, str):  # path to a Lance-style media table: let each
+        return media  # actor read it (shared storage at scale)
+    if isinstance(media, pa.Table):
+        from ..corpus import media_dict
+
+        media = media_dict(media)
+    return [ray.put(media)]
+
+
+def _as_dataset(docs: Any):
+    import ray.data as rd
+
+    if isinstance(docs, str):
+        from ..sources import lance_like
+
+        return lance_like.read_dataset(docs)
+    if isinstance(docs, pa.Table):
+        return rd.from_arrow(docs)
+    return docs  # already a Dataset
+
+
+def exploded_dataset(
+    docs: Any,
+    *,
+    num_partitions: int = 64,
+    skip_parts: frozenset[int] | None = None,
+    batch_size: int = 1024,
+):
+    from ..stages.explode import make_explode_fn
+
+    ds = _as_dataset(docs)
+    return ds.map_batches(
+        make_explode_fn(num_partitions, skip_parts),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def extracted_dataset(
+    docs: Any,
+    media: Any,
+    *,
+    num_partitions: int = 64,
+    skip_parts: frozenset[int] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    mode: str = "fused",
+):
+    """Exploded + extracted span dataset (out_text/status columns added)."""
+    ds = exploded_dataset(docs, num_partitions=num_partitions, skip_parts=skip_parts)
+    handle = _media_handle(media)
+    from ..stages.extractors import ExtractDispatch, OcrActor, PdfActor, extract_text_batch
+
+    if mode == "fused":
+        return ds.map_batches(
+            ExtractDispatch,
+            fn_constructor_kwargs={"media_handle": handle},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 8),
+            num_cpus=1,
+        )
+    if mode == "split":
+        # literal kind-per-pool routing (Manager.java:96 analogue). The three
+        # filters re-execute the upstream explode, so pin it first; documented
+        # trade-off vs the single-pass fused default.
+        ds = ds.materialize()
+        import pyarrow.compute as pc
+
+        text_ds = ds.filter(expr="kind == 'text'").map_batches(
+            extract_text_batch, batch_format="pyarrow", batch_size=batch_size
+        )
+        img_ds = ds.filter(expr="kind == 'image'").map_batches(
+            OcrActor,
+            fn_constructor_kwargs={"media_handle": handle},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 4),
+        )
+        pdf_ds = ds.filter(expr="kind == 'pdf'").map_batches(
+            PdfActor,
+            fn_constructor_kwargs={"media_handle": handle},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or (1, 4),
+        )
+        return text_ds.union(img_ds).union(pdf_ds)
+    raise ValueError(f"unknown mode: {mode!r}")
+
+
+def extract_dataset(docs: Any, media: Any, *, num_partitions: int = 64, **kwargs):
+    """Full pipeline -> reassembled (doc_id, spans) Dataset (no checkpoint)."""
+    from ..stages.reassemble import reassemble
+
+    ds = extracted_dataset(docs, media, num_partitions=num_partitions, **kwargs)
+    return reassemble(ds)
+
+
+def run_extraction(
+    docs: Any,
+    media: Any,
+    out_dir: str,
+    *,
+    num_partitions: int = 64,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 256,
+    mode: str = "fused",
+) -> dict:
+    """Checkpointed run: extract -> reassemble -> atomic per-partition commit.
+
+    Returns the lineage summary. On resume, committed partitions are pruned
+    at the explode stage, before any extraction compute is spent on them.
+    """
+    from ..state.checkpoint import CheckpointManifest, CommittingReassembler
+
+    manifest = CheckpointManifest(out_dir)
+    skip = frozenset(manifest.committed()) if resume else frozenset()
+    ds = extracted_dataset(
+        docs, media, num_partitions=num_partitions, skip_parts=skip,
+        concurrency=concurrency, batch_size=batch_size, mode=mode,
+    )
+    committer = CommittingReassembler(out_dir)
+
+    def commit_partition(group):
+        return committer(group)
+
+    metrics = ds.groupby("part").map_groups(commit_partition, batch_format="pyarrow")
+    rows = metrics.take_all()  # P small lineage rows, not data
+    committed = manifest.committed()
+    return {
+        "partitions_total": len(committed),
+        "partitions_run": len(rows),
+        "partitions_skipped_prior": len(skip),
+        "rows_in": sum(e["rows_in"] for e in committed.values()),
+        "docs_out": sum(e["rows_out"] for e in committed.values()),
+        "status_counts": _merge_counts(e.get("status_counts", {}) for e in committed.values()),
+    }
+
+
+def _merge_counts(dicts) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for d in dicts:
+        for k, v in d.items():
+            out[k] = out.get(k, 0) + v
+    return out
+
+
+def load_output(out_dir: str):
+    """Open the committed output partitions as a Dataset."""
+    import ray.data as rd
+
+    from ..state.checkpoint import CheckpointManifest
+
+    return rd.read_parquet(CheckpointManifest(out_dir).data_paths())

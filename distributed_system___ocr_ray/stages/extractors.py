@@ -1,0 +1,169 @@
+"""Extraction stages: kind-routed span -> text, errors-as-data.
+
+The heart of the engine -- the analogue of the reference's worker loop
+(Worker.handleOcrTask, Worker.java:79-121): stateful setup once per worker
+(Tesseract init, Worker.java:47-48 -> ``__init__`` here), one result per
+record, failures recorded as sentinel *data* (Worker.java:87,95), never a
+dropped row (completion invariant, Manager.java:223-226).
+
+Two physical routings are provided (SURVEY.md #2.3):
+
+- **Fused dispatch** (default): ONE actor-pool ``map_batches`` stage holding
+  all three extractors; each batch is split by kind masks internally. Single
+  pass over the exploded table, no union, streams end-to-end. Preferred at
+  scale because filter x3 + union would re-execute the upstream explode three
+  times (or force a mid-pipeline materialize).
+- **Split/union**: ``filter(kind)`` x3 -> per-kind stages -> ``union``. The
+  literal mapping of the reference's queue-per-worker-pool routing
+  (Manager.java:96); kept for parity and used in tests to cross-check the
+  fused path.
+
+The media store is the broadcast small side (SURVEY.md #2.4): ``ray.put``
+once on the driver, ``ray.get`` once per actor in ``__init__`` -- never
+re-shipped per batch. At 100 TB the store would be sharded object storage
+keyed by media_ref; the lookup contract (ref -> payload | miss) is identical.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .. import (
+    KIND_IMAGE,
+    KIND_PDF,
+    KIND_TEXT,
+    SENTINEL_IMAGE_DOWNLOAD,
+    SENTINEL_OCR,
+    SENTINEL_PDF_DOWNLOAD,
+    SENTINEL_PDF_PARSE,
+    STATUS_DOWNLOAD_ERROR,
+    STATUS_OCR_ERROR,
+    STATUS_OK,
+    STATUS_PARSE_ERROR,
+)
+from ..functions import glyph, minipdf
+from ..functions.html_strip import strip_boilerplate
+
+# columns that flow out of extraction (input `text` is dropped -- it can be
+# megabytes of raw HTML per span; only the extracted text crosses the shuffle)
+OUT_COLUMNS = ["doc_id", "part", "kind", "media_ref", "offset", "out_text", "status"]
+
+
+def _resolve_media(media_handle) -> dict[str, bytes]:
+    """media_handle is [ObjectRef] (broadcast), a dict, or a Lance-table path."""
+    import ray
+
+    if isinstance(media_handle, dict):
+        return media_handle
+    if isinstance(media_handle, str):
+        from ..corpus import media_dict
+        from ..sources import lance_like
+
+        return media_dict(lance_like.read_arrow(media_handle))
+    obj = media_handle[0]
+    return ray.get(obj) if isinstance(obj, ray.ObjectRef) else obj
+
+
+class _Extractors:
+    """Per-worker extractor state, built once (Worker.java:47-48 analogue)."""
+
+    def __init__(self, media_handle) -> None:
+        self.media = _resolve_media(media_handle)
+        self.font = glyph.GlyphFont()
+
+    def text(self, text: str) -> tuple[str, str]:
+        return strip_boilerplate(text), STATUS_OK
+
+    def image(self, ref: str) -> tuple[str, str]:
+        payload = self.media.get(ref)
+        if payload is None:
+            return SENTINEL_IMAGE_DOWNLOAD, STATUS_DOWNLOAD_ERROR
+        try:
+            return self.font.decode(payload), STATUS_OK
+        except Exception:
+            return SENTINEL_OCR, STATUS_OCR_ERROR
+
+    def pdf(self, ref: str) -> tuple[str, str]:
+        payload = self.media.get(ref)
+        if payload is None:
+            return SENTINEL_PDF_DOWNLOAD, STATUS_DOWNLOAD_ERROR
+        try:
+            return minipdf.reading_order_text(payload), STATUS_OK
+        except Exception:
+            return SENTINEL_PDF_PARSE, STATUS_PARSE_ERROR
+
+
+class ExtractDispatch:
+    """Fused kind-routing extraction stage (callable class -> actor pool).
+
+    Use: ``ds.map_batches(ExtractDispatch, fn_constructor_kwargs=
+    {"media_handle": [ray.put(media)]}, batch_format="pyarrow",
+    concurrency=N, batch_size=B)``.
+    """
+
+    def __init__(self, media_handle) -> None:
+        self.ex = _Extractors(media_handle)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        texts = batch.column("text").to_pylist()
+        refs = batch.column("media_ref").to_pylist()
+        n = len(kinds)
+        out_text: list[str] = [""] * n
+        status: list[str] = [""] * n
+        ex = self.ex
+        for i in range(n):
+            k = kinds[i]
+            if k == KIND_TEXT:
+                out_text[i], status[i] = ex.text(texts[i])
+            elif k == KIND_IMAGE:
+                out_text[i], status[i] = ex.image(refs[i])
+            elif k == KIND_PDF:
+                out_text[i], status[i] = ex.pdf(refs[i])
+            else:  # unknown kind: schema violation -> parse error as data
+                out_text[i], status[i] = "", STATUS_PARSE_ERROR
+        cols = {name: batch.column(name) for name in batch.column_names if name != "text"}
+        cols["out_text"] = pa.array(out_text, pa.string())
+        cols["status"] = pa.array(status, pa.string())
+        return pa.table(cols)
+
+
+def extract_text_batch(batch: pa.Table) -> pa.Table:
+    """Stateless text-branch transform (SURVEY.md T3): pure function of the
+    bytes, runs as Ray tasks -- no actor state needed."""
+    texts = batch.column("text").to_pylist()
+    out = [strip_boilerplate(t) for t in texts]
+    cols = {name: batch.column(name) for name in batch.column_names if name != "text"}
+    cols["out_text"] = pa.array(out, pa.string())
+    cols["status"] = pa.array([STATUS_OK] * len(out), pa.string())
+    return pa.table(cols)
+
+
+class OcrActor:
+    """Image branch actor (SURVEY.md T1): glyph table built once per actor."""
+
+    def __init__(self, media_handle) -> None:
+        self.ex = _Extractors(media_handle)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        pairs = [self.ex.image(r) for r in refs]
+        cols = {name: batch.column(name) for name in batch.column_names if name != "text"}
+        cols["out_text"] = pa.array([p[0] for p in pairs], pa.string())
+        cols["status"] = pa.array([p[1] for p in pairs], pa.string())
+        return pa.table(cols)
+
+
+class PdfActor:
+    """PDF branch actor (SURVEY.md T2): layout rules loaded once per actor."""
+
+    def __init__(self, media_handle) -> None:
+        self.ex = _Extractors(media_handle)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        pairs = [self.ex.pdf(r) for r in refs]
+        cols = {name: batch.column(name) for name in batch.column_names if name != "text"}
+        cols["out_text"] = pa.array([p[0] for p in pairs], pa.string())
+        cols["status"] = pa.array([p[1] for p in pairs], pa.string())
+        return pa.table(cols)

@@ -1,0 +1,106 @@
+"""Per-partition checkpoint manifest: lineage + metrics + atomic commit.
+
+The reference keeps all completion bookkeeping in manager RAM
+(ConcurrentHashMaps, Manager.java:49-60); a manager crash loses the job
+(SURVEY.md #4). The engine makes the ledger durable and partition-granular,
+as the north rule requires: every output partition commits atomically
+(write temp file -> rename, then write manifest entry temp -> rename), and a
+restarted job diffs the manifest against the partition list and re-runs only
+uncommitted partitions. The manifest entry is the engine's analogue of the
+reference's completion check ``completedCount == inputSize``
+(Manager.java:223-226): it records ``rows_in`` (exploded spans seen) and
+``rows_out`` (docs written) plus per-status extraction metrics.
+
+Layout::
+
+    <out_dir>/part=<k>/data.parquet          # committed output partition
+    <out_dir>/_checkpoint/part-<k>.json      # lineage + metrics entry
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class CheckpointManifest:
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.dir = os.path.join(out_dir, "_checkpoint")
+
+    def ensure(self) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+
+    def committed(self) -> dict[int, dict]:
+        if not os.path.isdir(self.dir):
+            return {}
+        out: dict[int, dict] = {}
+        for f in os.listdir(self.dir):
+            if f.startswith("part-") and f.endswith(".json"):
+                with open(os.path.join(self.dir, f)) as fh:
+                    entry = json.load(fh)
+                out[int(entry["part"])] = entry
+        return out
+
+    def commit(self, part: int, entry: dict) -> None:
+        self.ensure()
+        entry = {"part": int(part), **entry}
+        tmp = os.path.join(self.dir, f".part-{part}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        os.replace(tmp, os.path.join(self.dir, f"part-{part}.json"))
+
+    def partition_path(self, part: int) -> str:
+        return os.path.join(self.out_dir, f"part={part}", "data.parquet")
+
+    def data_paths(self) -> list[str]:
+        return [self.partition_path(p) for p in sorted(self.committed())]
+
+
+class CommittingReassembler:
+    """map_groups UDF over ``part`` groups: reassemble, write the partition
+    atomically, commit the manifest entry, and emit ONE small metrics row
+    (the dataset that reaches the driver is P rows of lineage, not data)."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.manifest = CheckpointManifest(out_dir)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from ..stages.reassemble import reassemble_partition
+
+        t0 = time.monotonic()
+        part = int(group.column("part")[0].as_py())
+        path = self.manifest.partition_path(part)
+        already = os.path.exists(path) and part in self.manifest.committed()
+        if not already:
+            out = reassemble_partition(group)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + ".tmp"
+            pq.write_table(out, tmp)
+            os.replace(tmp, path)
+            statuses = group.column("status").to_pylist()
+            status_counts: dict[str, int] = {}
+            for s in statuses:
+                status_counts[s] = status_counts.get(s, 0) + 1
+            self.manifest.commit(
+                part,
+                {
+                    "rows_in": group.num_rows,
+                    "rows_out": out.num_rows,
+                    "status_counts": status_counts,
+                    "wall_sec": round(time.monotonic() - t0, 4),
+                },
+            )
+        entry = self.manifest.committed()[part]
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "rows_in": pa.array([entry["rows_in"]], pa.int64()),
+                "rows_out": pa.array([entry["rows_out"]], pa.int64()),
+                "skipped": pa.array([already]),
+            }
+        )

@@ -1,0 +1,147 @@
+"""End-to-end pipeline tests: Ray output == single-process oracle, per row.
+
+The north-rule invariant is span-sequence equality on
+``(kind, text, media_ref, order)`` per document.
+"""
+
+import pyarrow as pa
+import pytest
+
+from distributed_system___ocr_ray import corpus, oracle
+from distributed_system___ocr_ray.pipelines import extract as pipeline
+
+
+def _sorted_output(ds) -> pa.Table:
+    tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    order = pa.compute.sort_indices(tbl.column("doc_id"))
+    return tbl.take(order).select(["doc_id", "spans"])
+
+
+def _assert_span_equality(got: pa.Table, expected: pa.Table):
+    assert got.num_rows == expected.num_rows
+    g_ids = got.column("doc_id").to_pylist()
+    e_ids = expected.column("doc_id").to_pylist()
+    assert g_ids == e_ids
+    g_spans = got.column("spans").to_pylist()
+    e_spans = expected.column("spans").to_pylist()
+    for did, g, e in zip(g_ids, g_spans, e_spans):
+        g_norm = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in g]
+        e_norm = [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in e]
+        assert g_norm == e_norm, f"span mismatch in {did}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestExtractionPipeline:
+    def test_fused_matches_oracle(self, small_corpus):
+        docs, store = small_corpus
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        out = pipeline.extract_dataset(docs, store, num_partitions=8)
+        _assert_span_equality(_sorted_output(out), expected)
+
+    def test_split_union_matches_oracle(self, small_corpus):
+        docs, store = small_corpus
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        out = pipeline.extract_dataset(docs, store, num_partitions=8, mode="split")
+        _assert_span_equality(_sorted_output(out), expected)
+
+    def test_partitioning_invariance(self, small_corpus):
+        """Output is identical at different partition counts (determinism
+        across parallelism levels -- SURVEY.md #7.3)."""
+        docs, store = small_corpus
+        a = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=3))
+        b = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=16))
+        _assert_span_equality(a, b)
+
+    def test_reference_shaped_doc(self):
+        docs, store = corpus.build_reference_shaped_doc()
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        out = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=2))
+        _assert_span_equality(out, expected)
+        # exactly-once per input span: 23 spans, not the reference's 24-race
+        assert len(out.column("spans")[0].as_py()) == 23
+
+    def test_explode_cardinality(self, small_corpus):
+        docs, _ = small_corpus
+        ds = pipeline.exploded_dataset(docs, num_partitions=4)
+        n_in = sum(len(r) for r in docs.column("spans").to_pylist())
+        n_empty = sum(
+            1
+            for r in docs.column("spans").to_pylist()
+            for s in r
+            if s["kind"] == "text" and not s["text"].strip()
+        )
+        assert ds.count() == n_in - n_empty
+
+    def test_lance_source(self, small_corpus, tmp_path):
+        """Same result when reading from the Lance-style on-disk table."""
+        docs, store = small_corpus
+        from distributed_system___ocr_ray.sources import lance_like
+
+        lance_like.write_table(docs, str(tmp_path / "docs"), rows_per_fragment=17)
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        out = pipeline.extract_dataset(str(tmp_path / "docs"), store, num_partitions=8)
+        _assert_span_equality(_sorted_output(out), expected)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckpoint:
+    def test_run_commit_and_resume(self, small_corpus, tmp_path):
+        docs, store = small_corpus
+        out_dir = str(tmp_path / "out")
+        m1 = pipeline.run_extraction(docs, store, out_dir, num_partitions=8)
+        assert m1["partitions_skipped_prior"] == 0
+        assert m1["docs_out"] == docs.num_rows
+        # full resume: nothing recomputed
+        m2 = pipeline.run_extraction(docs, store, out_dir, num_partitions=8)
+        assert m2["partitions_run"] == 0
+        assert m2["docs_out"] == docs.num_rows
+
+    def test_partial_resume_identical_output(self, small_corpus, tmp_path):
+        """Kill-after-K-partitions simulation: commit a subset, resume, and
+        the final output equals an uninterrupted run byte-for-byte."""
+        from distributed_system___ocr_ray.state.checkpoint import CheckpointManifest
+
+        docs, store = small_corpus
+        full_dir = str(tmp_path / "full")
+        pipeline.run_extraction(docs, store, full_dir, num_partitions=8)
+
+        part_dir = str(tmp_path / "partial")
+        pipeline.run_extraction(docs, store, part_dir, num_partitions=8)
+        # simulate a crash that lost half the partitions
+        import os
+        import shutil
+
+        man = CheckpointManifest(part_dir)
+        for p in list(man.committed())[::2]:
+            os.remove(os.path.join(man.dir, f"part-{p}.json"))
+            shutil.rmtree(os.path.join(part_dir, f"part={p}"))
+        m = pipeline.run_extraction(docs, store, part_dir, num_partitions=8)
+        assert m["partitions_skipped_prior"] == 4
+        a = _sorted_output(pipeline.load_output(full_dir))
+        b = _sorted_output(pipeline.load_output(part_dir))
+        _assert_span_equality(a, b)
+
+    def test_lineage_counts(self, small_corpus, tmp_path):
+        docs, store = small_corpus
+        out_dir = str(tmp_path / "out")
+        m = pipeline.run_extraction(docs, store, out_dir, num_partitions=8)
+        n_in = sum(len(r) for r in docs.column("spans").to_pylist())
+        n_empty = sum(
+            1
+            for r in docs.column("spans").to_pylist()
+            for s in r
+            if s["kind"] == "text" and not s["text"].strip()
+        )
+        assert m["rows_in"] == n_in - n_empty
+        assert sum(m["status_counts"].values()) == m["rows_in"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkew:
+    def test_skewed_doc(self):
+        """One 10k-span doc + a ~5 MB text span among 200 small docs."""
+        docs = corpus.build_skew_documents(n_small=200, big_spans=2000)
+        store = corpus.build_media_store(n_img=200, n_pdf=100, seed=42)
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        out = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=8))
+        _assert_span_equality(out, expected)
