@@ -1,0 +1,155 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding near-dup.
+
+Driver-mandated training-data extras, built Ray-Data-first:
+
+- **exact**: content-hash in a vectorized ``map_batches``, then ONE small
+  ``groupby(hash)`` aggregate (Min keeper id + Count) -- the hash column is
+  64 hex chars regardless of document size, so the shuffle moves hashes, not
+  documents.
+- **MinHash+LSH**: shingle -> 64-perm minhash signature per batch (numpy,
+  no per-shingle Python hashing of permutations) -> explode to
+  ``(band, band_hash, doc_id, sig)`` rows -> ``groupby(band, band_hash)``
+  -> candidate pairs verified by signature-estimated Jaccard. The only
+  all-to-all moves (band rows + 512-byte signatures), never the text.
+- **SimHash**: 64-bit weighted token hash per batch -> 16-bit band buckets
+  -> groupby -> pairs with Hamming distance <= ``max_hamming``.
+- **embedding near-dup**: random-hyperplane LSH bucket (seeded, deterministic)
+  -> groupby(bucket) -> within-bucket pairwise cosine >= threshold.
+
+Group-size capping: a pathological bucket (e.g. the empty-document cluster)
+would produce O(n^2) pairs; every pair emitter caps a group at
+``max_group_size`` rows, emitting pairs against the group's representative
+(min id) beyond the cap -- documented skew guard, same spirit as the
+salted reassembly key (SURVEY.md #4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+_MAX_GROUP_SIZE = 64
+
+
+def sha256_hex(texts: list[str]) -> list[str]:
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles -> uint64 hashes (crc32 pairs for speed; the universe
+    only needs to be collision-sparse, not cryptographic)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.uint64)
+    for i, s in enumerate(shingles):
+        b = s.encode("utf-8")
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+    return out
+
+
+class MinHasher:
+    """k-permutation MinHash; permutation params fixed by seed (build once
+    per worker -- actor state or module cache)."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 7) -> None:
+        rng = np.random.RandomState(seed)
+        self.num_perm = num_perm
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def signature(self, text: str, k: int = 3) -> np.ndarray:
+        h = shingle_hashes(text, k)
+        # (num_perm, n_shingles) permuted values, min over shingles; python
+        # ints avoid uint64 overflow UB, numpy does the heavy lifting
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1).astype(np.uint64)
+
+    def band_hashes(self, sig: np.ndarray, bands: int) -> list[int]:
+        r = self.num_perm // bands
+        return [
+            zlib.crc32(sig[i * r : (i + 1) * r].tobytes()) for i in range(bands)
+        ]
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.mean(sig_a == sig_b))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens weighted by count."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        b = tok.encode("utf-8")
+        h = (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x01")
+        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+        acc += bits.astype(np.int64) * 2 - 1
+    out = np.packbits((acc > 0).astype(np.uint8))
+    return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    return np.bitwise_count(x.view(np.uint64)).astype(np.int64) if hasattr(np, "bitwise_count") else np.array(
+        [bin(int(v)).count("1") for v in x], dtype=np.int64
+    )
+
+
+def group_pairs(ids: list, cap: int = _MAX_GROUP_SIZE):
+    """All (a<b) pairs within a group, capped: beyond ``cap`` members, pair
+    each member with the representative only (keeps output near-linear)."""
+    ids = sorted(ids)
+    if len(ids) <= 1:
+        return
+    if len(ids) <= cap:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                yield ids[i], ids[j]
+    else:
+        rep = ids[0]
+        for other in ids[1:]:
+            yield rep, other
+
+
+def hyperplane_bucket(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit LSH bucket ids for row vectors (planes: (n_planes, dim))."""
+    bits = (vecs @ planes.T) > 0
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+    return bits.astype(np.int64) @ weights
+
+
+def make_planes(dim: int, n_planes: int = 10, seed: int = 7) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def pairwise_cosine_pairs(
+    ids: list, vecs: np.ndarray, threshold: float, cap: int = 256
+) -> list[tuple]:
+    """Exact cosine over one (small) bucket; emits (a, b, sim) with a<b."""
+    n = len(ids)
+    if n < 2:
+        return []
+    if n > cap:  # skew guard: truncate pathological buckets deterministically
+        order = np.argsort(np.asarray(ids))[:cap]
+        ids = [ids[i] for i in order]
+        vecs = vecs[order]
+        n = cap
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    unit = vecs / np.clip(norms, 1e-12, None)
+    sims = unit @ unit.T
+    out = []
+    iu, ju = np.triu_indices(n, k=1)
+    keep = sims[iu, ju] >= threshold
+    for i, j, s in zip(iu[keep], ju[keep], sims[iu, ju][keep]):
+        a, b = ids[i], ids[j]
+        if a > b:
+            a, b = b, a
+        out.append((a, b, float(s)))
+    return out

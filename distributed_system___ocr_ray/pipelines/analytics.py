@@ -1,0 +1,372 @@
+"""Dataset-level analytics pipelines: dedup, similarity search, text stats.
+
+Each function takes/returns ``ray.data.Dataset`` and composes the vectorized
+kernels in ``functions/`` with the minimal set of wide operations -- partial
+work inside ``map_batches`` first, small ``groupby`` after (SURVEY.md
+"Aggregation at scale"). Nothing materializes the input; shuffled payloads
+are hashes/signatures/ids, never document text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import dedup as dk
+from ..functions import similarity as sk
+from ..functions import textstats as ts
+
+# ---------------------------------------------------------------- text stats
+
+
+def token_count_by_key(ds, key: str = "lang", text_col: str = "text"):
+    """Partial token counts per batch -> tiny groupby. SQL-checkable."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = ts.token_counts(batch[text_col])
+        counts[key] = batch[key].values
+        return counts.groupby(key, as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Sum("n_ws_tokens", alias_name="n_ws_tokens"), Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+    )
+
+
+def quality_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = ts.quality_features(batch[text_col])
+        out.insert(0, id_col, batch[id_col].values)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def language_id(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col].values, "pred_lang": ts.lang_id(batch[text_col]).values})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: batch[id_col].values, "fingerprint": ts.fingerprint64(batch[text_col]).values}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# -------------------------------------------------------------------- dedup
+
+
+def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact duplicate groups: (keeper id, copy count) per distinct content.
+
+    Shuffle payload is the 64-char hash + id -- the text never moves.
+    """
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = dk.sha256_hex(batch.column(text_col).to_pylist())
+        return pa.table({"text_hash": pa.array(hashes), id_col: batch.column(id_col)})
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min(id_col, alias_name="keeper_doc_id"), Count(alias_name="n_copies"))
+    )
+    return out.select_columns(["keeper_doc_id", "n_copies"])
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Keep exactly one row (min id) per distinct content; returns full rows.
+    hash-partition + per-group first (groupby moves full rows here -- use
+    ``exact_dedup_groups`` + a semi-join when rows are wide)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_hash", pa.array(dk.sha256_hex(batch.column(text_col).to_pylist()))
+        )
+
+    def first_by_id(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(id_col).head(1)
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(first_by_id, batch_format="pandas")
+        .drop_columns(["text_hash"])
+    )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+):
+    """Near-duplicate pairs via MinHash+LSH (shingle -> minhash -> band ->
+    bucket groupby -> signature-verified pairs). Returns (doc_a, doc_b,
+    est_jaccard) with est_jaccard >= threshold."""
+    hasher_seed = 7
+
+    class Signatures:
+        def __init__(self) -> None:
+            self.mh = dk.MinHasher(num_perm=num_perm, seed=hasher_seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column(text_col).to_pylist()
+            ids = batch.column(id_col).to_pylist()
+            out_id, out_band, out_bh, out_sig = [], [], [], []
+            for i, t in enumerate(texts):
+                sig = self.mh.signature(t, k=shingle_k)
+                sig_bytes = sig.tobytes()
+                for band, bh in enumerate(self.mh.band_hashes(sig, bands)):
+                    out_id.append(ids[i])
+                    out_band.append(band)
+                    out_bh.append(bh)
+                    out_sig.append(sig_bytes)
+            return pa.table(
+                {
+                    id_col: pa.array(out_id),
+                    "band": pa.array(out_band, pa.int32()),
+                    "band_hash": pa.array(out_bh, pa.int64()),
+                    "sig": pa.array(out_sig, pa.binary()),
+                }
+            )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].tolist()
+        sigs = {i: np.frombuffer(s, dtype=np.uint64) for i, s in zip(ids, group["sig"])}
+        rows = []
+        for a, b in dk.group_pairs(ids):
+            ej = dk.est_jaccard(sigs[a], sigs[b])
+            if ej >= threshold:
+                rows.append((a, b, round(ej, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+
+    pairs = (
+        ds.map_batches(Signatures, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # a pair can match in several bands: reduce to one row per pair
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    )
+
+
+def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+    """Near-dup pairs via 64-bit SimHash, 16-bit band blocking."""
+
+    def sims(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_band, out_key, out_sh = [], [], [], []
+        for i, t in enumerate(texts):
+            sh = dk.simhash64(t)
+            for band in range(4):
+                out_id.append(ids[i])
+                out_band.append(band)
+                out_key.append((sh >> (band * 16)) & 0xFFFF)
+                out_sh.append(sh - (1 << 63))  # store as signed int64
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+                "simhash": pa.array(out_sh, pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].tolist()
+        sh = {i: np.uint64(v + (1 << 63)) for i, v in zip(ids, group["simhash"])}
+        rows = []
+        for a, b in dk.group_pairs(ids):
+            d = int(dk.hamming64(np.array([sh[a]]), np.array([sh[b]]))[0])
+            if d <= max_hamming:
+                rows.append((a, b, d))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+
+    pairs = (
+        ds.map_batches(sims, batch_format="pyarrow")
+        .groupby(["band", "band_key"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def embedding_neardup_pairs(
+    ds, id_col: str = "vec_id", emb_col: str = "embedding", threshold: float = 0.95,
+    n_planes: int = 10, n_tables: int = 4, seed: int = 7, dim: int | None = None,
+):
+    """Embedding-cosine near-dup via seeded hyperplane LSH.
+
+    ``n_tables`` independent hash tables (each ``n_planes`` sign bits): a pair
+    at cosine c collides in >=1 table with prob 1-(1-(1-acos(c)/pi)^p)^T --
+    ~0.999 for c=0.998 at p=10, T=4. Each vector emits T (table, bucket)
+    rows; candidate pairs are cosine-verified in the bucket group and
+    deduped across tables with a final tiny groupby.
+    """
+    if dim is None:
+        dim = len(ds.take(1)[0][emb_col])
+    all_planes = [dk.make_planes(dim, n_planes=n_planes, seed=seed + 101 * t) for t in range(n_tables)]
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        x = sk.normalize(sk.to_matrix(batch.column(emb_col)))
+        ids = batch.column(id_col)
+        tables, buckets, out_ids, vec_bytes = [], [], [], []
+        raw = sk.to_matrix(batch.column(emb_col))
+        for t, planes in enumerate(all_planes):
+            b = dk.hyperplane_bucket(x, planes)
+            tables.extend([t] * len(b))
+            buckets.extend(b.tolist())
+            out_ids.extend(ids.to_pylist())
+            vec_bytes.extend([v.astype(np.float32).tobytes() for v in raw])
+        return pa.table(
+            {
+                id_col: pa.array(out_ids),
+                "table": pa.array(tables, pa.int32()),
+                "bucket": pa.array(buckets, pa.int64()),
+                "vec": pa.array(vec_bytes, pa.binary()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].tolist()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float32).astype(np.float64) for v in group["vec"]])
+        rows = dk.pairwise_cosine_pairs(ids, vecs, threshold)
+        return pd.DataFrame(
+            [(a, b, round(s, 6)) for a, b, s in rows], columns=["vec_a", "vec_b", "cos_sim"]
+        )
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["table", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cos_sim", alias_name="cos_sim"))
+
+
+def ngram_jaccard_pairs(
+    ds, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5, shingle_k: int = 3,
+):
+    """Exact n-gram Jaccard near-dup: bottom-k sketch blocking (each doc emits
+    its ``block_k`` smallest shingle hashes as block keys; docs with Jaccard
+    >= t share a bottom hash with prob ~1-(1-t)^k), then exact shingle-set
+    Jaccard verification inside the block group (shingle sets are co-located
+    by the groupby, so verification needs no extra join)."""
+    block_k = 4
+
+    def add_shingle_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_set, out_block = [], [], []
+        for i, t in zip(ids, texts):
+            sh = np.unique(dk.shingle_hashes(t, k=shingle_k))
+            blocks = np.sort(sh)[:block_k]
+            b = sh.tobytes()
+            for blk in blocks:
+                out_id.append(i)
+                out_set.append(b)
+                out_block.append(int(blk) - (1 << 63))
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "shingles": pa.array(out_set, pa.binary()),
+                "block": pa.array(out_block, pa.int64()),
+            }
+        )
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].tolist()
+        sets = {i: np.frombuffer(s, dtype=np.uint64) for i, s in zip(ids, group["shingles"])}
+        rows = []
+        for a, b in dk.group_pairs(ids, cap=128):
+            sa, sb = sets[a], sets[b]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                rows.append((a, b, round(j, 6)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    from ray.data.aggregate import Max
+
+    pairs = (
+        ds.map_batches(add_shingle_sets, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+
+
+# --------------------------------------------------------------- similarity
+
+
+def ann_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Brute-force cosine top-k: per-batch partial top-k (numpy matmul vs
+    broadcast query matrix) -> exact merge over tiny partials."""
+    import ray
+
+    handle = [ray.put(np.asarray(queries, dtype=np.float64))]
+    partials = ds.map_batches(
+        sk.BatchTopK,
+        fn_constructor_kwargs={"queries_handle": handle, "k": k, "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sk.final_topk_group(g, k, id_col), batch_format="pandas"
+    )
+
+
+def ivf_topk(
+    ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", emb_col: str = "embedding", sample_size: int = 2048, seed: int = 7,
+):
+    """IVF-style ANN: probe only the n_probe nearest centroid lists."""
+    import ray
+
+    sample = np.stack([r[emb_col] for r in ds.take(sample_size)])
+    cents = sk.seeded_centroids(sample, n_centroids, seed=seed)
+    q = sk.normalize(np.asarray(queries, dtype=np.float64))
+    probed = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probe_set = sorted({int(c) for row in probed for c in row})
+    handle = [ray.put(np.asarray(queries, dtype=np.float64))]
+    assigned = ds.map_batches(
+        sk.CentroidAssign,
+        fn_constructor_kwargs={"centroids_handle": [ray.put(cents)], "emb_col": emb_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    candidates = assigned.filter(expr=f"centroid in {probe_set}")
+    partials = candidates.map_batches(
+        sk.BatchTopK,
+        fn_constructor_kwargs={"queries_handle": handle, "k": k, "id_col": id_col, "emb_col": emb_col},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+    return partials.groupby("query_id").map_groups(
+        lambda g: sk.final_topk_group(g, k, id_col), batch_format="pandas"
+    )

@@ -1,0 +1,283 @@
+"""Tests for dedup / similarity / textstats / relational operators at sf0.001,
+cross-checked against DuckDB or numpy brute force."""
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(ds):
+    return ds.to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelational:
+    def test_pricing_summary_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.pricing_summary(SF))
+            .sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qty_cents,
+                   SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS sum_base_cents,
+                   COUNT(*) AS n_rows
+            FROM '{SF}/lineitem.parquet'
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).df()
+        assert got["sum_qty_cents"].tolist() == exp["sum_qty_cents"].tolist()
+        assert got["sum_base_cents"].tolist() == exp["sum_base_cents"].tolist()
+        assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+
+    def test_revenue_by_nation_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = _pdf(relational.revenue_by_nation(SF)).sort_values("n_name").reset_index(drop=True)
+        exp = duckdb.sql(
+            f"""
+            SELECT n.n_name,
+                   SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        assert got["n_name"].tolist() == exp["n_name"].tolist()
+        assert got["revenue_cents"].tolist() == exp["revenue_cents"].tolist()
+        assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+
+    def test_events_daily_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.events_daily(SF)).sort_values(["event_type", "day"]).reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS value_cents,
+                   COUNT(*) AS n_events
+            FROM '{SF}/events.parquet' GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).df()
+        assert got["day"].tolist() == exp["day"].tolist()
+        assert got["value_cents"].tolist() == exp["value_cents"].tolist()
+
+    def test_top_users_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = _pdf(relational.top_users_by_value(SF, k=10))
+        exp = duckdb.sql(
+            f"""
+            SELECT user_id, SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS total_value_cents
+            FROM '{SF}/events.parquet' GROUP BY 1
+            ORDER BY total_value_cents DESC, user_id LIMIT 10
+            """
+        ).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["total_value_cents"].tolist() == exp["total_value_cents"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedup:
+    def test_exact_dedup_groups_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            _pdf(analytics.exact_dedup_groups(ds))
+            .sort_values(["keeper_doc_id"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies "
+            f"FROM '{SF}/documents.parquet' GROUP BY text ORDER BY 1"
+        ).df()
+        assert got["keeper_doc_id"].tolist() == exp["keeper_doc_id"].tolist()
+        assert got["n_copies"].tolist() == exp["n_copies"].tolist()
+
+    def test_exact_dedup_rows(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = _pdf(analytics.exact_dedup(ds))
+        n_distinct = duckdb.sql(
+            f"SELECT COUNT(DISTINCT text) FROM '{SF}/documents.parquet'"
+        ).fetchone()[0]
+        assert len(got) == n_distinct
+
+    def test_minhash_finds_planted_neardups(self, planted_dups):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds, expected_pairs = planted_dups
+        got = _pdf(analytics.minhash_lsh_pairs(ds, threshold=0.6))
+        found = {tuple(sorted((a, b))) for a, b in zip(got["doc_a"], got["doc_b"])}
+        for pair in expected_pairs:
+            assert pair in found, f"missed planted near-dup {pair}"
+
+    def test_simhash_finds_planted_neardups(self, planted_dups):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds, expected_pairs = planted_dups
+        got = _pdf(analytics.simhash_pairs(ds, max_hamming=6))
+        found = {tuple(sorted((a, b))) for a, b in zip(got["doc_a"], got["doc_b"])}
+        for pair in expected_pairs:
+            assert pair in found
+
+    def test_ngram_jaccard_finds_planted_neardups(self, planted_dups):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds, expected_pairs = planted_dups
+        got = _pdf(analytics.ngram_jaccard_pairs(ds, threshold=0.5))
+        found = {tuple(sorted((a, b))) for a, b in zip(got["doc_a"], got["doc_b"])}
+        for pair in expected_pairs:
+            assert pair in found
+
+    def test_embedding_neardup_planted(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # testdata embeddings have no true near-dups (max pairwise cos 0.48),
+        # so plant 5: vec_id 1000+j is vec j plus tiny noise
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        vecs = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        ids = list(tbl.column("vec_id").to_pylist())
+        rng = np.random.RandomState(5)
+        planted = []
+        rows_v, rows_i = list(vecs), list(ids)
+        for j in range(5):
+            rows_v.append(vecs[j] + rng.randn(vecs.shape[1]) * 0.01)
+            rows_i.append(1000 + j)
+            planted.append((ids[j], 1000 + j))
+        df = pd.DataFrame({"vec_id": rows_i, "embedding": [np.asarray(v, np.float32) for v in rows_v]})
+        ds = rd.from_pandas(df)
+        got = _pdf(analytics.embedding_neardup_pairs(ds, threshold=0.95))
+        found = {tuple(sorted((a, b))) for a, b in zip(got["vec_a"], got["vec_b"])}
+        for pair in planted:
+            assert tuple(sorted(pair)) in found, f"missed planted near-dup {pair}"
+        # reported sims are real: verify against brute force
+        idx = {v: i for i, v in enumerate(rows_i)}
+        unit = np.stack(rows_v)
+        unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+        for a, b, s in zip(got["vec_a"], got["vec_b"], got["cos_sim"]):
+            assert abs(float(unit[idx[a]] @ unit[idx[b]]) - s) < 1e-4
+
+
+@pytest.fixture(scope="session")
+def planted_dups(ray_session):
+    """60 distinct docs + 3 planted near-duplicate pairs (small edits)."""
+    import ray.data as rd
+
+    import pandas as pd
+    import random
+
+    rng = random.Random(99)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(60):
+        text = " ".join(rng.choice(words) for _ in range(80))
+        rows.append({"doc_id": i, "text": text})
+    expected = set()
+    for j, base in enumerate([3, 17, 42]):
+        t = rows[base]["text"].split()
+        t[5] = "CHANGED"
+        rows.append({"doc_id": 100 + j, "text": " ".join(t)})
+        expected.add((base, 100 + j))
+    return rd.from_pandas(pd.DataFrame(rows)), expected
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimilarity:
+    def _brute(self, q, k=10):
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        vecs = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        ids = np.array(tbl.column("vec_id").to_pylist())
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ unit.T
+        out = []
+        for row in sims:
+            order = np.lexsort((ids, -row))[:k]
+            out.append(ids[order].tolist())
+        return out
+
+    def test_ann_topk_exact(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        q = np.stack(tbl.column("embedding").to_pylist()[:3]).astype(np.float64)
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = _pdf(analytics.ann_topk(ds, q, k=10))
+        exp = self._brute(q, k=10)
+        for qi in range(3):
+            g = got[got["query_id"] == qi]["vec_id"].tolist()
+            assert g == exp[qi], f"query {qi}: {g} != {exp[qi]}"
+
+    def test_ivf_topk_recall(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        q = np.stack(tbl.column("embedding").to_pylist()[:3]).astype(np.float64)
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = _pdf(analytics.ivf_topk(ds, q, k=10, n_centroids=8, n_probe=4))
+        exp = self._brute(q, k=10)
+        for qi in range(3):
+            g = set(got[got["query_id"] == qi]["vec_id"].tolist())
+            recall = len(g & set(exp[qi])) / 10
+            assert recall >= 0.6, f"query {qi} recall {recall}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTextStats:
+    def test_token_count_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = _pdf(analytics.token_count_by_key(ds, key="lang")).sort_values("lang").reset_index(drop=True)
+        exp = duckdb.sql(
+            f"""
+            SELECT lang, SUM(length(regexp_extract_all(text, '\\S+'))) AS n_ws_tokens
+            FROM '{SF}/documents.parquet' GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        assert got["lang"].tolist() == exp["lang"].tolist()
+        assert got["n_ws_tokens"].tolist() == [int(x) for x in exp["n_ws_tokens"]]
+
+    def test_quality_and_langid_and_fingerprint(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        q = _pdf(analytics.quality_scores(ds))
+        assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+        li = _pdf(analytics.language_id(ds))
+        assert set(li["pred_lang"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
+        fp = _pdf(analytics.fingerprints(ds))
+        assert fp["fingerprint"].str.len().eq(16).all()
+        # fingerprint is deterministic: same text -> same fingerprint
+        fp2 = _pdf(analytics.fingerprints(ds))
+        assert fp.sort_values("doc_id")["fingerprint"].tolist() == fp2.sort_values("doc_id")["fingerprint"].tolist()
