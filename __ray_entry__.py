@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md #2 + the training-data extras); ``oracle_sql()`` provides DuckDB
+oracles for every SQL-expressible one (extraction itself is checked by the
+pytest oracle in tests/, and the SQL-expressible shadow of it --
+``extract_flat_identity`` / ``span_kind_counts`` -- is checked here).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,351 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+def _flagship(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, store = wrap.interleaved_from_documents(sf_dir)
+    return pipeline.extract_dataset(ds, store, num_partitions=32)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 -> (doc_id, spans) Dataset."""
+    return _flagship("/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------------
+# queries: each callable takes sf_dir and returns Dataset / DataFrame / Table
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _q_extract_interleaved(sf_dir: str):
+    return _flagship(sf_dir)
+
+
+def _q_extract_flat_identity(sf_dir: str):
+    """Full explode->extract->reassemble over flat-wrapped docs; on plain text
+    extraction is the identity, so DuckDB can check the whole round trip."""
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    out = pipeline.extract_dataset(wrap.flat_as_spans(sf_dir), {}, num_partitions=32)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ids = [int(d.split("-")[1]) for d in batch.column("doc_id").to_pylist()]
+        texts = [s[0]["text"] for s in batch.column("spans").to_pylist()]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "extracted_text": pa.array(texts, pa.string())}
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_span_kind_counts(sf_dir: str):
+    """Exploded span cardinality per kind over the interleaved corpus; the
+    wrap is deterministic arithmetic on doc_id, so DuckDB can predict it."""
+    from ray.data.aggregate import Count
+
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, _ = wrap.interleaved_from_documents(sf_dir)
+    exploded = pipeline.exploded_dataset(ds, num_partitions=32)
+    out = exploded.groupby("kind").aggregate(Count(alias_name="n_spans"))
+    return out.select_columns(["kind", "n_spans"])
+
+
+def _q_extract_status_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, store = wrap.interleaved_from_documents(sf_dir)
+    extracted = pipeline.extracted_dataset(ds, store, num_partitions=32)
+    return extracted.groupby("status").aggregate(Count(alias_name="n_spans"))
+
+
+def _q_docs_by_lang(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.docs_by_lang(sf_dir)
+
+
+def _q_doc_stats_by_source(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.doc_stats_by_source(sf_dir)
+
+
+def _q_filter_project(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.filter_project_documents(sf_dir)
+
+
+def _q_pricing_summary(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.pricing_summary(sf_dir)
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.revenue_by_nation(sf_dir)
+
+
+def _q_events_daily(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.events_daily(sf_dir)
+
+
+def _q_top_users(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.top_users_by_value(sf_dir, k=10)
+
+
+def _q_token_count_by_lang(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    return analytics.token_count_by_key(ds, key="lang").select_columns(["lang", "n_ws_tokens"])
+
+
+def _q_exact_dedup_groups(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_dedup_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    groups = analytics.exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array([1] * batch.num_rows, pa.int64()))
+
+    return (
+        groups.map_batches(tag, batch_format="pyarrow")
+        .groupby("one")
+        .aggregate(Sum("n_copies", alias_name="n_docs"), Count(alias_name="n_distinct"))
+        .select_columns(["n_docs", "n_distinct"])
+    )
+
+
+def _pairs_df(ds, columns: dict[str, str]):
+    """Small pair results -> pandas with a guaranteed schema (an all-empty
+    map_groups output otherwise loses its column names)."""
+    import pandas as pd
+
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        df = pd.DataFrame({c: pd.Series(dtype=t) for c, t in columns.items()})
+    return df[list(columns)]
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6)
+    return _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+    return _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+
+
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    return _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = analytics.embedding_neardup_pairs(ds, threshold=0.95)
+    return _pairs_df(out, {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+
+
+def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(tbl.column("vec_id").to_numpy())[:n]
+    return np.stack([tbl.column("embedding")[int(i)].as_py() for i in order]).astype(np.float64)
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = analytics.ann_topk(ds, _query_matrix(sf_dir), k=10)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def _q_ivf_topk(sf_dir: str):
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = analytics.ivf_topk(ds, _query_matrix(sf_dir), k=10, n_centroids=16, n_probe=4)
+    return out.select_columns(["query_id", "vec_id", "sim"])
+
+
+def _q_language_id(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.language_id(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_quality_scores(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.quality_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_fingerprints(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_media_metadata(sf_dir: str):
+    import ray.data as rd
+
+    from distributed_system___ocr_ray import corpus
+    from distributed_system___ocr_ray.sources import wrap
+    from distributed_system___ocr_ray.stages import multimodal
+
+    store = corpus.build_media_store(n_img=wrap.DEFAULT_N_IMG, n_pdf=wrap.DEFAULT_N_PDF, seed=42)
+    return multimodal.media_metadata(rd.from_arrow(store))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # extraction engine (flagship + SQL-checkable shadows)
+        "extract_interleaved": _q_extract_interleaved,
+        "extract_flat_identity": _q_extract_flat_identity,
+        "span_kind_counts": _q_span_kind_counts,
+        "extract_status_counts": _q_extract_status_counts,
+        # relational toolbox
+        "docs_by_lang": _q_docs_by_lang,
+        "doc_stats_by_source": _q_doc_stats_by_source,
+        "filter_project_documents": _q_filter_project,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_daily": _q_events_daily,
+        "top_users_by_value": _q_top_users,
+        # text analysis
+        "token_count_by_lang": _q_token_count_by_lang,
+        "language_id": _q_language_id,
+        "quality_scores": _q_quality_scores,
+        "fingerprints": _q_fingerprints,
+        # dedup family
+        "exact_dedup_groups": _q_exact_dedup_groups,
+        "dedup_stats": _q_dedup_stats,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
+        # multimodal
+        "media_metadata": _q_media_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_flat_identity": (
+            "SELECT doc_id, text AS extracted_text FROM documents WHERE trim(text) <> ''"
+        ),
+        "span_kind_counts": (
+            "SELECT * FROM ("
+            "SELECT 'text' AS kind, CAST(COUNT(*) AS BIGINT) AS n_spans FROM documents "
+            "UNION ALL "
+            "SELECT 'image' AS kind, CAST(SUM(1 + doc_id % 2) AS BIGINT) AS n_spans FROM documents "
+            "UNION ALL "
+            "SELECT 'pdf' AS kind, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_spans FROM documents)"
+        ),
+        "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "doc_stats_by_source": (
+            "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "filter_project_documents": (
+            "SELECT doc_id, lang FROM documents WHERE n_chars >= 100 AND n_chars <= 20000"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "COUNT(*) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name, "
+            "CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "COUNT(*) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "events_daily": (
+            "SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+            "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, "
+            "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "top_users_by_value": (
+            "SELECT user_id, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS total_value_cents FROM events GROUP BY user_id "
+            "ORDER BY total_value_cents DESC, user_id LIMIT 10"
+        ),
+        "token_count_by_lang": (
+            "SELECT lang, CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) "
+            "AS n_ws_tokens FROM documents GROUP BY lang"
+        ),
+        "exact_dedup_groups": (
+            "SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "dedup_stats": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+            "ORDER BY vec_id LIMIT 3) "
+            "SELECT q.query_id AS query_id, e.vec_id AS vec_id FROM q CROSS JOIN embeddings e "
+            "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
+        ),
+    }

@@ -1,0 +1,92 @@
+"""Mini-driver conformance: replicate the driver's queries()-vs-oracle_sql()
+comparison (row count + schema + order-insensitive values) at sf0.001."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="session")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_sql_checked_queries_match_oracle(con):
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle_sql keys must be a subset of queries"
+    failures = []
+    for name, sql in oracles.items():
+        got = _canon(_to_pandas(qs[name](SF)))
+        exp = _canon(con.sql(sql).df())
+        if list(got.columns) != list(exp.columns):
+            failures.append(f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
+            continue
+        if len(got) != len(exp):
+            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
+            continue
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if np.issubdtype(g.dtype, np.floating) or np.issubdtype(np.asarray(e).dtype, np.floating):
+                ok = np.allclose(g.astype(float), e.astype(float), rtol=1e-9, atol=1e-9)
+            else:
+                ok = (g.astype(str).tolist() == e.astype(str).tolist())
+            if not ok:
+                failures.append(f"{name}: column {c} values differ")
+                break
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_only_queries_run(con):
+    """Every non-SQL query at least executes and yields a well-formed frame."""
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name in set(qs) - set(oracles):
+        df = _to_pandas(qs[name](SF))
+        assert df is not None, name
+        assert len(df.columns) > 0, name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entry_smoke():
+    import __ray_entry__ as entry_mod
+
+    ds = entry_mod.entry()
+    df = _to_pandas(ds)
+    assert len(df) == 500
+    assert set(df.columns) == {"doc_id", "spans"}
