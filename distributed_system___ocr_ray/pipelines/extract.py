@@ -35,13 +35,19 @@ def _media_handle(media: Any):
     return [ray.put(media)]
 
 
-def _as_dataset(docs: Any):
+def _as_dataset(docs: Any, read_blocks: int | None = None):
     import ray.data as rd
 
     if isinstance(docs, str):
         from ..sources import lance_like
 
-        return lance_like.read_dataset(docs)
+        # split the read so downstream fused map stages get enough blocks to
+        # parallelize (a fused actor stage inherits read-block granularity)
+        if read_blocks is None:
+            import ray
+
+            read_blocks = max(64, int(ray.cluster_resources().get("CPU", 8)) * 4)
+        return lance_like.read_dataset(docs, override_num_blocks=read_blocks)
     if isinstance(docs, pa.Table):
         return rd.from_arrow(docs)
     return docs  # already a Dataset
@@ -53,10 +59,11 @@ def exploded_dataset(
     num_partitions: int = 64,
     skip_parts: frozenset[int] | None = None,
     batch_size: int = 1024,
+    read_blocks: int | None = None,
 ):
     from ..stages.explode import make_explode_fn
 
-    ds = _as_dataset(docs)
+    ds = _as_dataset(docs, read_blocks)
     return ds.map_batches(
         make_explode_fn(num_partitions, skip_parts),
         batch_format="pyarrow",
@@ -74,9 +81,12 @@ def extracted_dataset(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     mode: str = "fused",
+    read_blocks: int | None = None,
 ):
     """Exploded + extracted span dataset (out_text/status columns added)."""
-    ds = exploded_dataset(docs, num_partitions=num_partitions, skip_parts=skip_parts)
+    ds = exploded_dataset(
+        docs, num_partitions=num_partitions, skip_parts=skip_parts, read_blocks=read_blocks
+    )
     handle = _media_handle(media)
     from ..stages.extractors import ExtractDispatch, OcrActor, PdfActor, extract_text_batch
 
@@ -135,6 +145,8 @@ def run_extraction(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 256,
     mode: str = "fused",
+    read_blocks: int | None = None,
+    coalesce_blocks: int | None = 64,
 ) -> dict:
     """Checkpointed run: extract -> reassemble -> atomic per-partition commit.
 
@@ -148,12 +160,18 @@ def run_extraction(
     ds = extracted_dataset(
         docs, media, num_partitions=num_partitions, skip_parts=skip,
         concurrency=concurrency, batch_size=batch_size, mode=mode,
+        read_blocks=read_blocks,
     )
     committer = CommittingReassembler(out_dir)
 
     def commit_partition(group):
         return committer(group)
 
+    # coalesce before the sort-based groupby: extraction emits many small
+    # blocks (good for the actor pool), but sort cost grows superlinearly
+    # with block count (see stages/reassemble.py)
+    if coalesce_blocks:
+        ds = ds.repartition(coalesce_blocks)
     metrics = ds.groupby("part").map_groups(commit_partition, batch_format="pyarrow")
     rows = metrics.take_all()  # P small lineage rows, not data
     committed = manifest.committed()

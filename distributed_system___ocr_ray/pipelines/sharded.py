@@ -1,0 +1,167 @@
+"""Shard-local extraction: the zero-shuffle physical plan for the flagship.
+
+A document is ONE ROW of the input table, so every Lance-style fragment
+contains only whole documents -- explode, extract and offset-ordered
+reassembly are all *local to a fragment*. That turns the pipeline into an
+embarrassingly-parallel map over fragments with NO all-to-all exchange:
+
+    Dataset[fragment descriptors]
+      -> map_batches(ShardWorker actor pool)    # read -> explode -> extract
+                                                # -> sort-aggregate -> commit
+      -> tiny lineage metrics rows to the driver
+
+Output partition id == fragment index, i.e. exactly the "one output
+directory per input shard" resumable layout: resume prunes committed
+fragments from the work list BEFORE anything is read -- a killed job
+re-reads only unfinished shards.
+
+The semantic spec (groupby(doc_id) + offset-ordered sort-aggregate, north
+rule) is unchanged -- ``reassemble_partition`` performs precisely that
+sort-aggregate; the shuffle-based path (``pipelines.extract``) remains for
+inputs whose spans arrive pre-exploded/scattered. Both paths are
+oracle-equality-tested against each other.
+
+Scale notes: one fragment must fit a worker's heap (fragments are written
+row-capped; at 100 TB keep fragments ~256-512 MB). Skew across fragments is
+bounded by the row cap; stragglers are limited to one fragment's work. Media
+store is broadcast once (ray.put), fetched per actor in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..sources import lance_like
+from ..stages.explode import explode_spans
+from ..stages.extractors import ExtractDispatch
+from ..stages.reassemble import reassemble_partition
+from ..state.checkpoint import CheckpointManifest
+
+
+class ShardWorker:
+    """Actor: processes whole fragments; extractor state built once."""
+
+    def __init__(self, media_handle, out_dir: str, batch_size: int = 1024) -> None:
+        self.extract = ExtractDispatch(media_handle)
+        self.manifest = CheckpointManifest(out_dir)
+        self.batch_size = batch_size
+
+    def _process_table(self, docs: pa.Table) -> tuple[pa.Table, dict]:
+        exploded = explode_spans(docs)
+        pieces = []
+        for start in range(0, exploded.num_rows, self.batch_size):
+            pieces.append(self.extract(exploded.slice(start, self.batch_size)))
+        extracted = pa.concat_tables(pieces) if pieces else None
+        status_counts: dict[str, int] = {}
+        if extracted is not None:
+            for s in extracted.column("status").to_pylist():
+                status_counts[s] = status_counts.get(s, 0) + 1
+            out = reassemble_partition(extracted)
+        else:
+            from ..corpus import OUT_SCHEMA
+
+            out = OUT_SCHEMA.empty_table()
+        return out, {
+            "rows_in": exploded.num_rows,
+            "rows_out": out.num_rows,
+            "status_counts": status_counts,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts, rows_in, rows_out, wall = [], [], [], []
+        for item in batch.to_pylist():
+            part, path = int(item["part"]), item["path"]
+            t0 = time.monotonic()
+            docs = pq.read_table(path, columns=["doc_id", "spans"])
+            out, meta = self._process_table(docs)
+            dest = self.manifest.partition_path(part)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            tmp = dest + ".tmp"
+            pq.write_table(out, tmp)
+            os.replace(tmp, dest)
+            meta["wall_sec"] = round(time.monotonic() - t0, 4)
+            meta["fragment"] = os.path.basename(path)
+            self.manifest.commit(part, meta)
+            parts.append(part)
+            rows_in.append(meta["rows_in"])
+            rows_out.append(meta["rows_out"])
+            wall.append(meta["wall_sec"])
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int32()),
+                "rows_in": pa.array(rows_in, pa.int64()),
+                "rows_out": pa.array(rows_out, pa.int64()),
+                "wall_sec": pa.array(wall, pa.float64()),
+            }
+        )
+
+
+def run_extraction_sharded(
+    docs_dir: str,
+    media: Any,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 1024,
+) -> dict:
+    """Checkpointed shard-local extraction over a Lance-style table."""
+    import ray
+    import ray.data as rd
+
+    from .extract import _media_handle
+
+    manifest = CheckpointManifest(out_dir)
+    committed = set(manifest.committed()) if resume else set()
+    man = lance_like.read_manifest(docs_dir)
+    items = [
+        {"part": i, "path": os.path.join(docs_dir, frag["path"])}
+        for i, frag in enumerate(man["fragments"])
+        if i not in committed
+    ]
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    if items:
+        pool = concurrency if isinstance(concurrency, int) else concurrency[1]
+        # task count ~8x pool: Ray Data's driver dispatch costs ~10 ms per
+        # task (serial), so 1 task per fragment at 10^5 fragments would be
+        # driver-bound; several fragments per task keeps dispatch negligible
+        # while commit/resume granularity stays per-fragment (the worker
+        # commits each fragment inside the task loop)
+        n_tasks = max(1, min(len(items), pool * 8))
+        work = rd.from_items(items, override_num_blocks=n_tasks)
+        metrics = work.map_batches(
+            ShardWorker,
+            fn_constructor_kwargs={
+                "media_handle": _media_handle(media),
+                "out_dir": out_dir,
+                "batch_size": batch_size,
+            },
+            batch_format="pyarrow",
+            batch_size=None,  # whole work-item block per call
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+        metrics.take_all()  # lineage rows only
+    entries = manifest.committed()
+    return {
+        "partitions_total": len(entries),
+        "partitions_run": len(items),
+        "partitions_skipped_prior": len(committed),
+        "rows_in": sum(e["rows_in"] for e in entries.values()),
+        "docs_out": sum(e["rows_out"] for e in entries.values()),
+        "status_counts": _merge(e.get("status_counts", {}) for e in entries.values()),
+    }
+
+
+def _merge(dicts) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for d in dicts:
+        for k, v in d.items():
+            out[k] = out.get(k, 0) + v
+    return out

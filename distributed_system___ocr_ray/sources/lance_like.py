@@ -56,7 +56,8 @@ def fragment_paths(table_dir: str, version: int | None = None) -> list[str]:
 
 
 def write_table(
-    table: pa.Table, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite"
+    table: pa.Table, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite",
+    row_group_size: int | None = None,
 ) -> dict:
     """Write ``table`` as a new version of a Lance-style table.
 
@@ -70,10 +71,14 @@ def write_table(
     fragments = []
     if mode == "append" and version > 1:
         fragments = list(read_manifest(table_dir, version - 1)["fragments"])
+    # small row groups keep the read splittable: Ray's parquet reader can
+    # only repartition (override_num_blocks) down to row-group granularity,
+    # and downstream fused map stages inherit read-block parallelism
+    rg = row_group_size or min(rows_per_fragment, 512)
     for idx, start in enumerate(range(0, max(table.num_rows, 1), rows_per_fragment)):
         chunk = table.slice(start, rows_per_fragment)
         rel = f"data/fragment-{version}-{idx:05d}.parquet"
-        pq.write_table(chunk, os.path.join(table_dir, rel))
+        pq.write_table(chunk, os.path.join(table_dir, rel), row_group_size=rg)
         fragments.append({"path": rel, "rows": chunk.num_rows})
     manifest = {"version": version, "fragments": fragments}
     tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")

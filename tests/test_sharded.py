@@ -1,0 +1,70 @@
+"""Tests for the shard-local (zero-shuffle) extraction path: equality with
+the oracle AND with the shuffle-based path, plus resume semantics."""
+
+import os
+import shutil
+
+import pytest
+
+from distributed_system___ocr_ray import corpus, oracle
+from distributed_system___ocr_ray.pipelines import extract as shuffle_pipeline
+from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+from distributed_system___ocr_ray.sources import lance_like
+from distributed_system___ocr_ray.state.checkpoint import CheckpointManifest
+
+from test_pipeline import _assert_span_equality, _sorted_output
+
+
+@pytest.fixture(scope="module")
+def corpus_dirs(tmp_path_factory, small_corpus):
+    docs, store = small_corpus
+    root = tmp_path_factory.mktemp("sharded")
+    docs_dir = str(root / "docs")
+    media_dir = str(root / "media")
+    lance_like.write_table(docs, docs_dir, rows_per_fragment=7)  # 9 fragments
+    lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
+    return docs_dir, media_dir
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSharded:
+    def test_matches_oracle_and_shuffle_path(self, corpus_dirs, small_corpus, tmp_path):
+        docs, store = small_corpus
+        docs_dir, media_dir = corpus_dirs
+        out_dir = str(tmp_path / "out")
+        m = run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        assert m["docs_out"] == docs.num_rows
+        assert m["partitions_total"] == 9
+        got = _sorted_output(shuffle_pipeline.load_output(out_dir))
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        _assert_span_equality(got, expected)
+        # cross-check the two physical plans against each other
+        shuffled = _sorted_output(shuffle_pipeline.extract_dataset(docs, store, num_partitions=8))
+        _assert_span_equality(got, shuffled)
+
+    def test_resume_skips_committed_fragments(self, corpus_dirs, small_corpus, tmp_path):
+        docs, store = small_corpus
+        docs_dir, media_dir = corpus_dirs
+        out_dir = str(tmp_path / "out2")
+        run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        man = CheckpointManifest(out_dir)
+        # crash simulation: lose 3 fragments
+        for p in list(man.committed())[:3]:
+            os.remove(os.path.join(man.dir, f"part-{p}.json"))
+            shutil.rmtree(os.path.join(out_dir, f"part={p}"))
+        m = run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        assert m["partitions_run"] == 3
+        assert m["partitions_skipped_prior"] == 6
+        assert m["docs_out"] == docs.num_rows
+        got = _sorted_output(shuffle_pipeline.load_output(out_dir))
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        _assert_span_equality(got, expected)
+
+    def test_noop_resume(self, corpus_dirs, small_corpus, tmp_path):
+        docs, store = small_corpus
+        docs_dir, media_dir = corpus_dirs
+        out_dir = str(tmp_path / "out3")
+        run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        m = run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        assert m["partitions_run"] == 0
+        assert m["docs_out"] == docs.num_rows
