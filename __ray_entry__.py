@@ -91,6 +91,66 @@ def _q_extract_status_counts(sf_dir: str):
     return extracted.groupby("status").aggregate(Count(alias_name="n_spans"))
 
 
+def _q_media_ref_counts(sf_dir: str):
+    """Per-media_ref multiplicity over the exploded interleaved corpus -- the
+    engine analogue of the reference's urlCounters (Manager.java:50,216);
+    SQL-checkable because the wrap's ref assignment is doc_id arithmetic."""
+    from ray.data.aggregate import Count
+
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, _ = wrap.interleaved_from_documents(sf_dir)
+    exploded = pipeline.exploded_dataset(ds, num_partitions=32)
+
+    def image_refs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pa.compute.and_(
+            pc.equal(batch.column("kind"), "image"),
+            pc.invert(pc.match_substring(batch.column("media_ref"), "missing")),
+        )
+        return pa.table({"media_ref": batch.column("media_ref").filter(mask)})
+
+    return (
+        exploded.map_batches(image_refs, batch_format="pyarrow")
+        .groupby("media_ref")
+        .aggregate(Count(alias_name="n_refs"))
+    )
+
+
+def _q_render_html(sf_dir: str):
+    """Reference-style HTML render sink over extracted docs (demo sink S7)."""
+    from distributed_system___ocr_ray.stages.render_html import render_html
+
+    return render_html(_flagship(sf_dir))
+
+
+def _q_extract_sharded(sf_dir: str):
+    """Shard-local zero-shuffle plan via the checkpointed runner; returns the
+    committed output (cross-checked vs the shuffle plan in tests)."""
+    import shutil
+    import tempfile
+
+    import pyarrow as _pa
+    import ray
+
+    from distributed_system___ocr_ray.pipelines.extract import load_output
+    from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+    from distributed_system___ocr_ray.sources import lance_like, wrap
+
+    work = tempfile.mkdtemp(prefix="graft_sharded_q_")
+    try:
+        ds, store = wrap.interleaved_from_documents(sf_dir)
+        tbl = _pa.concat_tables(ray.get(ds.to_arrow_refs()))
+        docs_dir = f"{work}/docs"
+        lance_like.write_table(tbl, docs_dir, rows_per_fragment=500)
+        run_extraction_sharded(docs_dir, store, f"{work}/out")
+        return load_output(f"{work}/out").to_pandas()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_docs_by_lang(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import relational
 
@@ -270,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flat_identity": _q_extract_flat_identity,
         "span_kind_counts": _q_span_kind_counts,
         "extract_status_counts": _q_extract_status_counts,
+        "media_ref_counts": _q_media_ref_counts,
+        "render_html": _q_render_html,
+        "extract_sharded": _q_extract_sharded,
         # relational toolbox
         "docs_by_lang": _q_docs_by_lang,
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -311,6 +374,15 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'pdf' AS kind, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_spans FROM documents)"
+        ),
+        "media_ref_counts": (
+            "SELECT media_ref, COUNT(*) AS n_refs FROM ("
+            "SELECT printf('mem://img/%06d', (doc_id*7) % 500) AS media_ref "
+            "FROM documents WHERE doc_id % 20 <> 0 "
+            "UNION ALL "
+            "SELECT printf('mem://img/%06d', (doc_id*7+3) % 500) AS media_ref "
+            "FROM documents WHERE doc_id % 2 = 1 AND (doc_id+1) % 20 <> 0"
+            ") GROUP BY media_ref"
         ),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (
