@@ -73,3 +73,39 @@ def reassemble(ds, *, batch_format: str = "pyarrow", coalesce_blocks: int | None
     return ds.groupby("part").map_groups(
         lambda g: reassemble_partition(g), batch_format=batch_format
     )
+
+
+def reassemble_salted(ds, *, num_salts: int = 4, coalesce_blocks: int | None = 64):
+    """Two-level salted reassembly for pathological span-count documents
+    (north rule: "salted keys"). Use when single docs carry so many spans
+    that one reducer's sort dominates:
+
+    1. salt = hash(offset) % S is appended; ``groupby(part, salt)`` sorts
+       each doc's spans *within a salt* and emits one partial row per
+       (doc, salt) -- the heavy sort work is spread over S reducers per
+       partition;
+    2. ``groupby(part)`` merges each doc's pre-sorted runs (concat + one
+       final sort over S runs) and assigns the global offset order.
+
+    The final row must still hold the whole document (one output row = one
+    doc), so salting relieves sort/CPU skew, not the output-row size itself.
+    Output is byte-identical to ``reassemble`` (equality-tested).
+    """
+    def add_salt(batch: pa.Table) -> pa.Table:
+        off = batch.column("offset").to_numpy(zero_copy_only=False)
+        salt = (off.astype(np.int64) * 2654435761 % num_salts).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+    def partial_sort(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
+        return g
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby(["part", "salt"]).map_groups(partial_sort, batch_format="pyarrow")
+    # runs arrive pre-sorted per (part, salt); the final per-partition sort
+    # over S merged runs is what reassemble_partition already does
+    if coalesce_blocks:
+        partials = partials.repartition(coalesce_blocks)
+    return partials.groupby("part").map_groups(
+        lambda g: reassemble_partition(g), batch_format="pyarrow"
+    )

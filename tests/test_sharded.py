@@ -68,3 +68,21 @@ class TestSharded:
         m = run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
         assert m["partitions_run"] == 0
         assert m["docs_out"] == docs.num_rows
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSaltedReassembly:
+    def test_salted_equals_plain_on_skew(self):
+        """Salted two-level reassembly == plain reassembly on the skew fixture
+        (one 2000-span doc among 100 small docs)."""
+        from distributed_system___ocr_ray.pipelines import extract as pipeline
+        from distributed_system___ocr_ray.stages.reassemble import reassemble, reassemble_salted
+        from test_pipeline import _assert_span_equality, _sorted_output
+
+        docs = corpus.build_skew_documents(n_small=100, big_spans=2000)
+        store = corpus.build_media_store(n_img=200, n_pdf=100, seed=42)
+        extracted = pipeline.extracted_dataset(docs, store, num_partitions=8)
+        plain = _sorted_output(reassemble(extracted, coalesce_blocks=8))
+        extracted2 = pipeline.extracted_dataset(docs, store, num_partitions=8)
+        salted = _sorted_output(reassemble_salted(extracted2, num_salts=4, coalesce_blocks=8))
+        _assert_span_equality(salted, plain)
