@@ -84,14 +84,22 @@ def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens weighted by count."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        b = tok.encode("utf-8")
-        h = (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x01")
-        bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-        acc += bits.astype(np.int64) * 2 - 1
-    out = np.packbits((acc > 0).astype(np.uint8))
+    """64-bit SimHash over whitespace tokens weighted by count (vectorized:
+    one crc pass per token, then a single unpackbits/sum over the batch)."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (
+            (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x01")
+            for b in (t.encode("utf-8") for t in toks)
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1)  # (n, 64)
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(toks)
+    out = np.packbits((votes > 0).astype(np.uint8))
     return int(np.frombuffer(out.tobytes(), dtype=np.uint64)[0])
 
 

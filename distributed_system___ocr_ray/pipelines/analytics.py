@@ -127,7 +127,7 @@ def minhash_lsh_pairs(
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_pylist()
-            out_id, out_band, out_bh, out_sig = [], [], [], []
+            out_id, out_band, out_bh, out_sig, out_bucket = [], [], [], [], []
             for i, t in enumerate(texts):
                 sig = self.mh.signature(t, k=shingle_k)
                 sig_bytes = sig.tobytes()
@@ -136,29 +136,56 @@ def minhash_lsh_pairs(
                     out_band.append(band)
                     out_bh.append(bh)
                     out_sig.append(sig_bytes)
+                    # coarse shuffle key: complete (band, band_hash) buckets
+                    # land together, but one group holds many buckets
+                    out_bucket.append((bh * 1315423911 + band) % 128)
             return pa.table(
                 {
                     id_col: pa.array(out_id),
                     "band": pa.array(out_band, pa.int32()),
                     "band_hash": pa.array(out_bh, pa.int64()),
                     "sig": pa.array(out_sig, pa.binary()),
+                    "bucket": pa.array(out_bucket, pa.int32()),
                 }
             )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        sigs = {i: np.frombuffer(s, dtype=np.uint64) for i, s in zip(ids, group["sig"])}
-        rows = []
-        for a, b in dk.group_pairs(ids):
-            ej = dk.est_jaccard(sigs[a], sigs[b])
-            if ej >= threshold:
-                rows.append((a, b, round(ej, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "est_jaccard"])
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        # one group = one coarse bucket holding MANY complete (band,
+        # band_hash) buckets; vectorized run detection finds the rare
+        # multi-member buckets so Python touches only actual candidates
+        # (a per-(band,band_hash) map_groups would make ~n_docs x bands
+        # near-singleton UDF calls -- measured 14 s vs 2 s on 5k docs)
+        group = group.sort_by([("band", "ascending"), ("band_hash", "ascending")])
+        band = group.column("band").to_numpy()
+        bh = group.column("band_hash").to_numpy()
+        change = np.concatenate(([True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])))
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [len(band)]))
+        ids = group.column(id_col).to_pylist()
+        sig_col = group.column("sig").to_pylist()
+        rows_a, rows_b, rows_j = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            members = sorted(range(s, e), key=lambda i: ids[i])
+            sigs = {i: np.frombuffer(sig_col[i], dtype=np.uint64) for i in members}
+            for a, b in dk.group_pairs(members):
+                ej = dk.est_jaccard(sigs[a], sigs[b])
+                if ej >= threshold:
+                    x, y = sorted((ids[a], ids[b]))
+                    rows_a.append(x); rows_b.append(y); rows_j.append(round(ej, 6))
+        return pa.table(
+            {"doc_a": pa.array(rows_a), "doc_b": pa.array(rows_b),
+             "est_jaccard": pa.array(rows_j, pa.float64())}
+        )
 
     pairs = (
+        # autoscaling pool: a FIXED pool of size >= cluster CPUs deadlocks the
+        # downstream sort stage (observed: 4 pinned actors on a 4-CPU test
+        # cluster starve the groupby; pool must be able to scale down)
         ds.map_batches(Signatures, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     # a pair can match in several bands: reduce to one row per pair
     from ray.data.aggregate import Max
