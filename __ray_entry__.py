@@ -193,6 +193,30 @@ def _q_top_users(sf_dir: str):
     return relational.top_users_by_value(sf_dir, k=10)
 
 
+def _q_order_lineitem_join(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.order_lineitem_join_stats(sf_dir)
+
+
+def _q_last_order_before_event(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.last_order_before_event(sf_dir)
+
+
+def _q_session_windows(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.session_windows(sf_dir)
+
+
+def _q_top_orders_per_segment(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.top_orders_per_segment(sf_dir)
+
+
 def _q_token_count_by_lang(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import analytics
 
@@ -341,6 +365,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "events_daily": _q_events_daily,
         "top_users_by_value": _q_top_users,
+        "order_lineitem_join": _q_order_lineitem_join,
+        "last_order_before_event": _q_last_order_before_event,
+        "session_windows": _q_session_windows,
+        "top_orders_per_segment": _q_top_orders_per_segment,
         # text analysis
         "token_count_by_lang": _q_token_count_by_lang,
         "language_id": _q_language_id,
@@ -416,6 +444,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS total_value_cents FROM events GROUP BY user_id "
             "ORDER BY total_value_cents DESC, user_id LIMIT 10"
+        ),
+        "order_lineitem_join": (
+            "SELECT o.o_orderpriority, "
+            "CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents, COUNT(*) AS n_items "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey GROUP BY 1"
+        ),
+        "last_order_before_event": (
+            "SELECT e.event_id, strftime(o.o_orderdate, '%Y-%m-%d') AS last_order_day "
+            "FROM events e ASOF JOIN orders o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "session_windows": (
+            "WITH d AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS brk FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS session_value_cents "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "top_orders_per_segment": (
+            "SELECT c.c_mktsegment, o.o_orderkey, "
+            "CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment "
+            "ORDER BY price_cents DESC, o.o_orderkey) <= 3"
         ),
         "token_count_by_lang": (
             "SELECT lang, CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) "

@@ -188,3 +188,239 @@ def doc_stats_by_source(sf_dir: str):
     return ds.groupby("source").aggregate(
         Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# large-large joins, as-of joins, session windows, grouped top-k
+# ---------------------------------------------------------------------------
+
+
+def bucketed_hash_join(
+    left, right, left_key: str, right_key: str, *, buckets: int = 32, how: str = "inner"
+):
+    """Explicit partitioned hash join for two LARGE sides (ray_guide pattern:
+    bucket = hash(key) % B on both sides -> union -> per-bucket pandas merge).
+
+    Ray 2.49 also ships a native ``Dataset.join`` (hash-partitioned) built on
+    the alpha hash-shuffle backend; this bucketed formulation is the portable
+    fallback and makes the partitioning explicit (B is the knob: size so one
+    bucket's rows from both sides fit a worker heap; salt hot keys by
+    raising B). Column names must not collide across sides (checked).
+    """
+    import pandas as pd
+
+    l_cols = left.schema().names
+    r_cols = right.schema().names
+    overlap = (set(l_cols) & set(r_cols)) - ({left_key} if left_key == right_key else set())
+    if overlap:
+        raise ValueError(f"column collision across join sides: {overlap}")
+
+    def tag(side: str, key: str, other_cols: list[str]):
+        def _fn(batch: pa.Table) -> pa.Table:
+            import pandas as _pd
+
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            bucket = _pd.util.hash_array(np.ascontiguousarray(keys)) % np.uint64(buckets)
+            batch = batch.append_column("__bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+            batch = batch.append_column("__side", pa.array([side] * batch.num_rows, pa.string()))
+            # pad the other side's columns with nulls so the union schemas align
+            for c, typ in other_cols:
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
+            return batch
+
+        return _fn
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_types = list(zip(l_schema.names, l_schema.types))
+    r_types = list(zip(r_schema.names, r_schema.types))
+    l_tagged = left.map_batches(
+        tag("l", left_key, [(n, t) for n, t in r_types if n not in l_schema.names]),
+        batch_format="pyarrow",
+    )
+    r_tagged = right.map_batches(
+        tag("r", right_key, [(n, t) for n, t in l_types if n not in r_schema.names]),
+        batch_format="pyarrow",
+    )
+    both = l_tagged.union(r_tagged)
+
+    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][[n for n, _ in l_types]]
+        rg = group[group["__side"] == "r"][[n for n, _ in r_types]]
+        out = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
+        return out
+
+    return both.repartition(buckets).groupby("__bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+
+def asof_join(
+    left, right, key: str, right_key: str, left_ts: str, right_ts: str, *, buckets: int = 16
+):
+    """As-of join (most recent ``right_ts`` <= ``left_ts`` per key): bucket
+    both sides by key hash, sort within bucket, ``pd.merge_asof`` per bucket
+    (ray_guide as-of pattern). Inner semantics: unmatched left rows drop.
+    """
+    import pandas as pd
+
+    def tag(side: str, k: str, pad: list):
+        def _fn(batch: pa.Table) -> pa.Table:
+            import pandas as _pd
+
+            keys = batch.column(k).to_numpy(zero_copy_only=False)
+            bucket = _pd.util.hash_array(np.ascontiguousarray(keys)) % np.uint64(buckets)
+            batch = batch.append_column("__bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+            batch = batch.append_column("__side", pa.array([side] * batch.num_rows, pa.string()))
+            for c, typ in pad:
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
+            return batch
+
+        return _fn
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_types = list(zip(l_schema.names, l_schema.types))
+    r_types = list(zip(r_schema.names, r_schema.types))
+    l_tagged = left.map_batches(
+        tag("l", key, [(n, t) for n, t in r_types if n not in l_schema.names]), batch_format="pyarrow"
+    )
+    r_tagged = right.map_batches(
+        tag("r", right_key, [(n, t) for n, t in l_types if n not in r_schema.names]),
+        batch_format="pyarrow",
+    )
+
+    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lg = group[group["__side"] == "l"][[n for n, _ in l_types]].sort_values(left_ts)
+        rg = group[group["__side"] == "r"][[n for n, _ in r_types]].sort_values(right_ts)
+        if lg.empty or rg.empty:
+            cols = [n for n, _ in l_types] + [n for n, _ in r_types]
+            return pd.DataFrame(columns=list(dict.fromkeys(cols)))
+        out = pd.merge_asof(
+            lg, rg, left_on=left_ts, right_on=right_ts, left_by=key, right_by=right_key,
+            direction="backward", allow_exact_matches=True,
+        )
+        return out.dropna(subset=[right_ts])  # inner semantics
+
+    return (
+        l_tagged.union(r_tagged)
+        .repartition(buckets)
+        .groupby("__bucket")
+        .map_groups(asof_bucket, batch_format="pandas")
+    )
+
+
+def last_order_before_event(sf_dir: str):
+    """Per event: the most recent order date of that user at event time
+    (as-of join events x orders on user_id = o_custkey)."""
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    joined = asof_join(events, orders, key="user_id", right_key="o_custkey",
+                       left_ts="ts", right_ts="o_orderdate")
+
+    def project(batch: pa.Table) -> pa.Table:
+        # date-only format: pyarrow's %S appends fractional seconds, DuckDB's
+        # does not; o_orderdate is midnight-aligned so the date is lossless
+        day = pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d")
+        eid = pc.cast(pc.round(batch.column("event_id")), pa.int64())
+        return pa.table({"event_id": eid, "last_order_day": day})
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+def order_lineitem_join_stats(sf_dir: str):
+    """Large-large bucketed hash join: orders |><| lineitem, then revenue per
+    o_orderpriority (integer cents; fully SQL-checkable)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    joined = bucketed_hash_join(orders, lineitem, "o_orderkey", "l_orderkey", buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"o_orderpriority": batch.column("o_orderpriority"), "rev_cents": pa.array(rev, pa.int64())}
+        )
+        return t.group_by(["o_orderpriority"]).aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("rev_cents_sum", alias_name="revenue_cents"),
+            Sum("rev_cents_count", alias_name="n_items"),
+        )
+    )
+
+
+def session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap > ``gap_minutes`` starts a new session):
+    the streaming-shaped operator Ray Data has no runtime for, computed as
+    groupby(user).map_groups over ts-sorted groups (ray_guide pattern).
+    Sessions are numbered 1..k per user in ts order (matches the SQL
+    lag/sum-over formulation, so DuckDB checks it exactly)."""
+    import pandas as pd
+    import ray.data as rd
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        brk = (g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)) | g["ts"].diff().isna()
+        g["session_id"] = brk.cumsum().astype("int64")
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        g["value_cents"] = cents
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("ts", "size"),
+            session_value_cents=("value_cents", "sum"),
+        )
+        return out[["user_id", "session_id", "n_events", "session_value_cents"]]
+
+    return events.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def top_orders_per_segment(sf_dir: str, k: int = 3):
+    """Grouped top-k (window-function analogue): top-k orders by totalprice
+    per customer mktsegment; broadcast customer dim, groupby(segment) top-k."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    handle = ray.put(seg)
+
+    class Tag:
+        def __init__(self) -> None:
+            self.seg = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segs = [self.seg[c] for c in batch.column("o_custkey").to_pylist()]
+            cents = _cents(batch.column("o_totalprice"))
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(segs, pa.string()),
+                    "o_orderkey": batch.column("o_orderkey"),
+                    "price_cents": cents,
+                }
+            )
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(k)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return (
+        orders.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pandas")
+    )
