@@ -290,6 +290,29 @@ def _q_embedding_neardup(sf_dir: str):
     return _pairs_df(out, {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
 
 
+def _q_minhash_dup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components via
+    iterative min-label propagation (rows-only; iterative, not SQL)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    pairs = analytics.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6)
+    out = analytics.dedup_clusters(pairs)
+    return _pairs_df(out, {"doc_id": "int64", "cluster_id": "int64"})
+
+
+def _q_clean_corpus_keepers(sf_dir: str):
+    """Composed cleaning pipeline: length filter -> exact dedup keep-first.
+    SQL-checkable end-to-end."""
+    from distributed_system___ocr_ray.pipelines import analytics, relational
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
+    filtered = ds.filter(expr="n_chars >= 100 and n_chars <= 20000")
+    groups = analytics.exact_dedup_groups(filtered)
+    return groups.select_columns(["keeper_doc_id"])
+
+
 def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -381,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "minhash_dup_clusters": _q_minhash_dup_clusters,
+        "clean_corpus_keepers": _q_clean_corpus_keepers,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -483,6 +508,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
+        ),
+        "clean_corpus_keepers": (
+            "SELECT MIN(doc_id) AS keeper_doc_id FROM documents "
+            "WHERE n_chars >= 100 AND n_chars <= 20000 GROUP BY text"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

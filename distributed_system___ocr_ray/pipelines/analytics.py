@@ -397,3 +397,93 @@ def ivf_topk(
     return partials.groupby("query_id").map_groups(
         lambda g: sk.final_topk_group(g, k, id_col), batch_format="pandas"
     )
+
+
+# ------------------------------------------------------- duplicate clusters
+
+
+def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 6):
+    """Connected components over a near-duplicate pair graph via iterative
+    min-label propagation (ray_guide dedup pattern): every node's label
+    becomes the min label among itself and its neighbors, repeated until a
+    fixed point (or ``max_iters``). All steps are Dataset ops -- edges and
+    labels shuffle by node id; nothing materializes on the driver except the
+    scalar change-count per round. Near-dup clusters are short chains, so a
+    handful of rounds converges; the iteration cap bounds worst-case cost.
+
+    Returns (doc_id, cluster_id) with cluster_id = min doc id in the
+    component (for the iterations run; convergence is checked in tests).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a)
+        b = batch.column(id_b)
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    # labels: node -> current component label (init: itself)
+    labels = (
+        edges.groupby("node").aggregate(Min("nbr", alias_name="_"))
+        .map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    for _ in range(max_iters):
+        # neighbor labels: edges joined with labels on nbr
+        from .relational import bucketed_hash_join
+
+        nbr_labels = bucketed_hash_join(
+            edges,
+            labels.map_batches(
+                lambda t: pa.table({"nbr": t.column("node"), "nbr_label": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            "nbr", "nbr", buckets=16,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("node"), "cand": t.column("nbr_label")}),
+            batch_format="pyarrow",
+        )
+        own = labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "cand": t.column("label")}),
+            batch_format="pyarrow",
+        )
+        new_labels = (
+            own.union(nbr_labels)
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        # convergence: did any label shrink this round?
+        joined = bucketed_hash_join(
+            labels.map_batches(
+                lambda t: pa.table({"node": t.column("node"), "old": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            new_labels.map_batches(
+                lambda t: pa.table({"n2": t.column("node"), "new": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            "node", "n2", buckets=16,
+        )
+        changed = joined.map_batches(
+            lambda t: pa.table(
+                {"c": pa.array([int((np.asarray(t.column("old")) != np.asarray(t.column("new"))).sum())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"), "cluster_id": t.column("label")}),
+        batch_format="pyarrow",
+    )

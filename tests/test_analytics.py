@@ -281,3 +281,30 @@ class TestTextStats:
         # fingerprint is deterministic: same text -> same fingerprint
         fp2 = _pdf(analytics.fingerprints(ds))
         assert fp.sort_values("doc_id")["fingerprint"].tolist() == fp2.sort_values("doc_id")["fingerprint"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupClusters:
+    def test_min_label_propagation_chain(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components
+        pairs = rd.from_pandas(
+            pd.DataFrame({"doc_a": [1, 2, 3, 10], "doc_b": [2, 3, 4, 11]})
+        )
+        out = analytics.dedup_clusters(pairs).to_pandas().set_index("doc_id")["cluster_id"]
+        assert out.loc[[1, 2, 3, 4]].tolist() == [1, 1, 1, 1]
+        assert out.loc[[10, 11]].tolist() == [10, 10]
+
+    def test_clusters_from_planted_minhash(self, planted_dups):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds, expected_pairs = planted_dups
+        pairs = analytics.minhash_lsh_pairs(ds, threshold=0.6)
+        out = analytics.dedup_clusters(pairs).to_pandas()
+        labels = dict(zip(out["doc_id"], out["cluster_id"]))
+        for a, b in expected_pairs:
+            assert labels[a] == labels[b]
