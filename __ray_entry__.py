@@ -211,6 +211,25 @@ def _q_session_windows(sf_dir: str):
     return relational.session_windows(sf_dir)
 
 
+def _q_sliding_windows(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.sliding_windows(sf_dir)
+
+
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approximate distinct users (mergeable sketch partial/final;
+    rows-only -- approximate by design, tolerance-tested vs exact in tests)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est, 2)]})
+
+
 def _q_top_orders_per_segment(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import relational
 
@@ -391,6 +410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_join": _q_order_lineitem_join,
         "last_order_before_event": _q_last_order_before_event,
         "session_windows": _q_session_windows,
+        "sliding_windows": _q_sliding_windows,
+        "approx_distinct_users": _q_approx_distinct_users,
         "top_orders_per_segment": _q_top_orders_per_segment,
         # text analysis
         "token_count_by_lang": _q_token_count_by_lang,
@@ -490,6 +511,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events, "
             "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS session_value_cents "
             "FROM s GROUP BY 1, 2"
+        ),
+        "sliding_windows": (
+            # every event is in exactly width/hop = 4 windows, so a constant
+            # series works (DuckDB's generate_series rejects lateral column args)
+            "SELECT event_type, "
+            "CAST(900 * (floor(epoch(e.ts) / 900) - j.j) AS BIGINT) AS window_start, "
+            "COUNT(*) AS n_events FROM events e "
+            "CROSS JOIN generate_series(0, 3) AS j(j) GROUP BY 1, 2"
         ),
         "top_orders_per_segment": (
             "SELECT c.c_mktsegment, o.o_orderkey, "

@@ -1,0 +1,91 @@
+"""Mergeable sketches for approximate aggregates at scale.
+
+The reference has no sketches (SURVEY.md #2.5); these are training-data-engine
+extras built for the Ray partial/merge pattern (ray_guide "Aggregation at
+scale"): one serialized sketch per batch inside ``map_batches``, merged in a
+tiny second stage -- the shuffle moves KB-sized register arrays, never rows.
+
+HyperLogLog: dense, ``2^p`` uint8 registers, 64-bit hashes (sha1-derived,
+deterministic -- no randomness in the data path). Standard bias-corrected
+estimator with linear counting for the small range.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12) -> None:
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    @staticmethod
+    def _hash64(values) -> np.ndarray:
+        out = np.empty(len(values), dtype=np.uint64)
+        for i, v in enumerate(values):
+            b = v if isinstance(v, bytes) else str(v).encode("utf-8")
+            out[i] = struct.unpack("<Q", hashlib.sha1(b).digest()[:8])[0]
+        return out
+
+    def add_many(self, values) -> "HyperLogLog":
+        if len(values) == 0:
+            return self
+        h = self._hash64(values)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1 (vectorized via bit length)
+        # bit_length of rest: 64 - clz; leading zeros = 64 - bit_length
+        bl = np.zeros(len(rest), dtype=np.int64)
+        r = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r >= (np.uint64(1) << np.uint64(shift))
+            bl[mask] += shift
+            r[mask] >>= np.uint64(shift)
+        bl += 1  # bit_length
+        rank = (64 - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert other.p == self.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<B", self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = struct.unpack("<B", b[:1])[0]
+        hll = cls(p)
+        hll.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
+        return hll
+
+
+def approx_distinct(ds, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col): per-batch HLL -> merge (the sketch
+    partial/final split; ~(1.04/sqrt(2^p)) relative error, ~1.6% at p=12)."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p).add_many(batch.column(col).to_pylist())
+        return pa.table({"sketch": pa.array([hll.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        merged.merge(HyperLogLog.from_bytes(row["sketch"]))
+    return merged.estimate()

@@ -293,8 +293,12 @@ def asof_join(
         lg = group[group["__side"] == "l"][[n for n, _ in l_types]].sort_values(left_ts)
         rg = group[group["__side"] == "r"][[n for n, _ in r_types]].sort_values(right_ts)
         if lg.empty or rg.empty:
-            cols = [n for n, _ in l_types] + [n for n, _ in r_types]
-            return pd.DataFrame(columns=list(dict.fromkeys(cols)))
+            # typed empty (object-dtype empties trip Ray's size estimation)
+            out = lg.iloc[0:0].copy()
+            for c in rg.columns:
+                if c not in out.columns:
+                    out[c] = pd.Series(dtype=rg.dtypes[c])
+            return out
         out = pd.merge_asof(
             lg, rg, left_on=left_ts, right_on=right_ts, left_by=key, right_by=right_key,
             direction="backward", allow_exact_matches=True,
@@ -423,4 +427,36 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
         orders.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 4))
         .groupby("c_mktsegment")
         .map_groups(topk, batch_format="pandas")
+    )
+
+
+def sliding_windows(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
+    """Sliding (hopping) event-time windows per event_type: each event lands
+    in width/hop consecutive windows. Vectorized window explode inside
+    ``map_batches`` (np.repeat over per-row window ranges) -> partial count
+    -> small groupby. Window start is emitted as epoch seconds (BIGINT) so
+    the DuckDB lateral-generate_series oracle compares exactly."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy() // 1_000_000  # epoch sec
+        first = (ts - width_s) // hop_s + 1  # smallest window index containing ts
+        last = ts // hop_s  # largest
+        counts = (last - first + 1).astype(np.int64)
+        etypes = np.repeat(batch.column("event_type").to_numpy(zero_copy_only=False), counts)
+        base = np.repeat(first, counts)
+        offsets = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        ws = (base + offsets) * hop_s
+        t = pa.table({"event_type": etypes.tolist(), "window_start": pa.array(ws, pa.int64())})
+        return t.group_by(["event_type", "window_start"]).aggregate([("window_start", "count")])
+
+    return (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("window_start_count", alias_name="n_events"))
     )

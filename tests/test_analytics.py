@@ -308,3 +308,35 @@ class TestDedupClusters:
         labels = dict(zip(out["doc_id"], out["cluster_id"]))
         for a, b in expected_pairs:
             assert labels[a] == labels[b]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSketches:
+    def test_hll_accuracy_vs_exact(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.sketches import approx_distinct
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+        est = approx_distinct(ds, "user_id")
+        exact = duckdb.sql(f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'").fetchone()[0]
+        assert abs(est - exact) / max(exact, 1) < 0.10, (est, exact)
+
+    def test_hll_merge_equals_single(self):
+        from distributed_system___ocr_ray.functions.sketches import HyperLogLog
+
+        vals = [f"v{i}" for i in range(10_000)]
+        one = HyperLogLog().add_many(vals)
+        a = HyperLogLog().add_many(vals[:5000])
+        b = HyperLogLog().add_many(vals[5000:])
+        merged = a.merge(b)
+        assert (merged.registers == one.registers).all()
+        est = merged.estimate()
+        assert abs(est - 10_000) / 10_000 < 0.05, est
+
+    def test_hll_roundtrip_bytes(self):
+        from distributed_system___ocr_ray.functions.sketches import HyperLogLog
+
+        h = HyperLogLog().add_many([b"a", b"b", 42, "c"])
+        h2 = HyperLogLog.from_bytes(h.to_bytes())
+        assert (h2.registers == h.registers).all()
