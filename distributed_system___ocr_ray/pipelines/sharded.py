@@ -51,11 +51,27 @@ class ShardWorker:
         self.manifest = CheckpointManifest(out_dir)
         self.batch_size = batch_size
 
+    MAX_BATCH_BYTES = 32 * 1024 * 1024  # size-capped batch splitting: a batch
+    # of fat spans (e.g. one 5 MB text payload x 1024 rows) must not blow the
+    # worker heap; row slices halve until under the byte cap (north rule:
+    # "size-capped Arrow batch splitting")
+
+    def _iter_slices(self, tbl: pa.Table):
+        start = 0
+        while start < tbl.num_rows:
+            n = min(self.batch_size, tbl.num_rows - start)
+            sl = tbl.slice(start, n)
+            while n > 1 and sl.nbytes > self.MAX_BATCH_BYTES:
+                n = max(1, n // 2)
+                sl = tbl.slice(start, n)
+            yield sl
+            start += n
+
     def _process_table(self, docs: pa.Table) -> tuple[pa.Table, dict]:
         exploded = explode_spans(docs)
         pieces = []
-        for start in range(0, exploded.num_rows, self.batch_size):
-            pieces.append(self.extract(exploded.slice(start, self.batch_size)))
+        for sl in self._iter_slices(exploded):
+            pieces.append(self.extract(sl))
         extracted = pa.concat_tables(pieces) if pieces else None
         status_counts: dict[str, int] = {}
         if extracted is not None:

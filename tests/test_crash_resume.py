@@ -1,0 +1,116 @@
+"""Hard fault injection: SIGKILL a running extraction subprocess mid-flight,
+resume, and require byte-identical output vs an uninterrupted run -- the
+checkpoint contract the reference cannot honor (manager RAM-only state,
+Manager.java:49-60). Also: incremental ingest via Lance-style append."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+from distributed_system___ocr_ray import corpus
+from distributed_system___ocr_ray.sources import lance_like
+
+from test_pipeline import _assert_span_equality, _sorted_output
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(args, **kw):
+    return subprocess.run(
+        [sys.executable, "-m", "distributed_system___ocr_ray", *args],
+        cwd=REPO, capture_output=True, text=True, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def crash_corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crash"))
+    docs = corpus.build_documents(n_docs=1200, n_img=100, n_pdf=50, seed=11)
+    store = corpus.build_media_store(n_img=100, n_pdf=50, seed=11)
+    lance_like.write_table(docs, f"{root}/docs", rows_per_fragment=100)  # 12 fragments
+    lance_like.write_table(store, f"{root}/media", rows_per_fragment=10**6)
+    return root
+
+
+class TestCrashResume:
+    def test_sigkill_mid_run_then_resume(self, crash_corpus, ray_session):
+        root = crash_corpus
+        # uninterrupted run (in-process, shares the session fixture)
+        from distributed_system___ocr_ray.pipelines.extract import load_output
+        from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+
+        store = lance_like.read_arrow(f"{root}/media")
+        m0 = run_extraction_sharded(f"{root}/docs", store, f"{root}/clean", concurrency=2)
+
+        # crashed run: separate process, SIGKILL while extracting
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "distributed_system___ocr_ray", "extract",
+             "--input", f"{root}/docs", "--media", f"{root}/media",
+             "--output", f"{root}/crashed", "--num-cpus", "2"],
+            cwd=REPO, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        deadline = time.time() + 120
+        committed_at_kill = 0
+        while time.time() < deadline:
+            committed = len(
+                [f for f in os.listdir(f"{root}/crashed/_checkpoint")]
+                if os.path.isdir(f"{root}/crashed/_checkpoint") else []
+            )
+            if committed >= 2:  # mid-flight: some but (likely) not all committed
+                committed_at_kill = committed
+                proc.send_signal(signal.SIGKILL)
+                break
+            if proc.poll() is not None:  # finished before we could kill: still fine
+                committed_at_kill = 12
+                break
+            time.sleep(0.2)
+        proc.wait(timeout=60)
+
+        # resume via CLI and require completion + equality with the clean run
+        out = _cli(["extract", "--input", f"{root}/docs", "--media", f"{root}/media",
+                    "--output", f"{root}/crashed", "--num-cpus", "2"], timeout=300)
+        assert out.returncode == 0, out.stderr[-2000:]
+        metrics = json.loads(out.stdout.strip().splitlines()[-1])
+        assert metrics["partitions_total"] == 12
+        # docs whose spans are ALL empty text vanish at the explode filter
+        # (Manager.java:332-334 semantics) -- compare to the clean run
+        assert metrics["docs_out"] == m0["docs_out"]
+        if committed_at_kill < 12:
+            assert metrics["partitions_skipped_prior"] >= 1
+        a = _sorted_output(load_output(f"{root}/clean"))
+        b = _sorted_output(load_output(f"{root}/crashed"))
+        _assert_span_equality(b, a)
+
+
+class TestIncrementalAppend:
+    def test_append_processes_only_new_fragments(self, tmp_path, ray_session):
+        from distributed_system___ocr_ray.pipelines.extract import load_output
+        from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+
+        root = str(tmp_path)
+        docs_v1 = corpus.build_documents(n_docs=60, seed=3)
+        store = corpus.build_media_store(seed=3)
+        lance_like.write_table(docs_v1, f"{root}/docs", rows_per_fragment=20)  # 3 frags
+        m1 = run_extraction_sharded(f"{root}/docs", store, f"{root}/out", concurrency=2)
+        assert m1["partitions_total"] == 3
+
+        # incremental ingest: append 2 more fragments (new docs), re-run
+        import pyarrow as pa
+
+        extra = corpus.build_documents(n_docs=40, seed=4)
+        extra = extra.set_column(
+            0, "doc_id",
+            pa.array([f"docB-{i:06d}" for i in range(extra.num_rows)]),
+        )
+        lance_like.write_table(extra, f"{root}/docs", rows_per_fragment=20, mode="append")
+        m2 = run_extraction_sharded(f"{root}/docs", store, f"{root}/out", concurrency=2)
+        assert m2["partitions_skipped_prior"] == 3  # v1 fragments untouched
+        assert m2["partitions_run"] == 2
+        assert m2["docs_out"] > m1["docs_out"]
+        out = load_output(f"{root}/out")
+        assert out.count() == m2["docs_out"]
