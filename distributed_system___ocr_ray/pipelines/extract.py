@@ -104,8 +104,6 @@ def extracted_dataset(
         # filters re-execute the upstream explode, so pin it first; documented
         # trade-off vs the single-pass fused default.
         ds = ds.materialize()
-        import pyarrow.compute as pc
-
         text_ds = ds.filter(expr="kind == 'text'").map_batches(
             extract_text_batch, batch_format="pyarrow", batch_size=batch_size
         )
