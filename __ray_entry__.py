@@ -309,6 +309,17 @@ def _q_embedding_neardup(sf_dir: str):
     return _pairs_df(out, {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
 
 
+def _q_extract_embed_neardup(sf_dir: str):
+    """Composed flow: extraction -> hash-embedding -> cosine near-dup, one
+    streaming plan over the interleaved corpus (rows-only)."""
+    from distributed_system___ocr_ray.pipelines.compose import extract_embed_neardup
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, store = wrap.interleaved_from_documents(sf_dir)
+    out = extract_embed_neardup(ds, store, threshold=0.999)
+    return _pairs_df(out, {"vec_a": "object", "vec_b": "object", "cos_sim": "float64"})
+
+
 def _q_minhash_dup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH pairs -> connected components via
     iterative min-label propagation (rows-only; iterative, not SQL)."""
@@ -425,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "extract_embed_neardup": _q_extract_embed_neardup,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
         "clean_corpus_keepers": _q_clean_corpus_keepers,
         # similarity search

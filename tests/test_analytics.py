@@ -340,3 +340,26 @@ class TestSketches:
         h = HyperLogLog().add_many([b"a", b"b", 42, "c"])
         h2 = HyperLogLog.from_bytes(h.to_bytes())
         assert (h2.registers == h.registers).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestComposedPipeline:
+    def test_extract_embed_neardup_finds_duplicated_docs(self, small_corpus):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray import corpus as cg
+        from distributed_system___ocr_ray.pipelines.compose import extract_embed_neardup
+
+        docs, store = small_corpus
+        # plant 4 duplicate documents (same spans, new ids)
+        dup_ids = [f"dup-{i}" for i in range(4)]
+        dups = pa.table(
+            {"doc_id": dup_ids, "spans": [docs.column("spans")[i].as_py() for i in range(4)]},
+            schema=cg.DOC_SCHEMA,
+        )
+        all_docs = pa.concat_tables([docs, dups]).combine_chunks()
+        pairs = extract_embed_neardup(all_docs, store, threshold=0.999).to_pandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+        for i, d in enumerate(dup_ids):
+            orig = docs.column("doc_id")[i].as_py()
+            assert tuple(sorted((orig, d))) in found, f"missed planted duplicate {orig}~{d}"
