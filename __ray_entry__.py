@@ -333,9 +333,9 @@ def _q_minhash_dup_clusters(sf_dir: str):
 def _q_clean_corpus_keepers(sf_dir: str):
     """Composed cleaning pipeline: length filter -> exact dedup keep-first.
     SQL-checkable end-to-end."""
-    from distributed_system___ocr_ray.pipelines import analytics, relational
-
     import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"])
     filtered = ds.filter(expr="n_chars >= 100 and n_chars <= 20000")

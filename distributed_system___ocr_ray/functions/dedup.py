@@ -67,8 +67,11 @@ class MinHasher:
 
     def signature(self, text: str, k: int = 3) -> np.ndarray:
         h = shingle_hashes(text, k)
-        # (num_perm, n_shingles) permuted values, min over shingles; python
-        # ints avoid uint64 overflow UB, numpy does the heavy lifting
+        # (num_perm, n_shingles) permuted values, min over shingles. NOTE:
+        # a*h wraps mod 2^64 (numpy uint64) BEFORE the Mersenne mod, so this
+        # is a deterministic well-mixed map, not a strict universal
+        # (a*x+b) mod p family -- fine for near-dup estimation (validated on
+        # planted dups), but est_jaccard carries mixing bias at the margin.
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1).astype(np.uint64)
 

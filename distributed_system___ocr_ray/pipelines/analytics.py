@@ -255,16 +255,17 @@ def embedding_neardup_pairs(
     all_planes = [dk.make_planes(dim, n_planes=n_planes, seed=seed + 101 * t) for t in range(n_tables)]
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        x = sk.normalize(sk.to_matrix(batch.column(emb_col)))
-        ids = batch.column(id_col)
+        raw = sk.to_matrix(batch.column(emb_col))  # one conversion per batch
+        x = sk.normalize(raw)
+        id_list = batch.column(id_col).to_pylist()
+        bytes_once = [v.tobytes() for v in raw.astype(np.float32)]
         tables, buckets, out_ids, vec_bytes = [], [], [], []
-        raw = sk.to_matrix(batch.column(emb_col))
         for t, planes in enumerate(all_planes):
             b = dk.hyperplane_bucket(x, planes)
             tables.extend([t] * len(b))
             buckets.extend(b.tolist())
-            out_ids.extend(ids.to_pylist())
-            vec_bytes.extend([v.astype(np.float32).tobytes() for v in raw])
+            out_ids.extend(id_list)
+            vec_bytes.extend(bytes_once)
         return pa.table(
             {
                 id_col: pa.array(out_ids),
@@ -402,19 +403,20 @@ def ivf_topk(
 # ------------------------------------------------------- duplicate clusters
 
 
-def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 6):
+def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 50):
     """Connected components over a near-duplicate pair graph via iterative
-    min-label propagation (ray_guide dedup pattern): every node's label
-    becomes the min label among itself and its neighbors, repeated until a
-    fixed point (or ``max_iters``). All steps are Dataset ops -- edges and
-    labels shuffle by node id; nothing materializes on the driver except the
-    scalar change-count per round. Near-dup clusters are short chains, so a
-    handful of rounds converges; the iteration cap bounds worst-case cost.
+    min-label propagation with pointer jumping: each round a node's label
+    becomes the min of {its label, neighbors' labels, its label's label}.
+    The label-of-label hop halves path lengths each round, so convergence is
+    O(log diameter), not O(diameter). The loop runs to a FIXED POINT (zero
+    label changes); ``max_iters`` is a safety valve that raises rather than
+    silently returning split components. All steps are Dataset ops -- edges
+    and labels shuffle by node id; only the scalar change-count per round
+    reaches the driver.
 
     Returns (doc_id, cluster_id) with cluster_id = min doc id in the
-    component (for the iterations run; convergence is checked in tests).
+    component.
     """
-    import ray.data as rd
     from ray.data.aggregate import Min
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -437,10 +439,11 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
         )
         .materialize()
     )
+    converged = False
     for _ in range(max_iters):
-        # neighbor labels: edges joined with labels on nbr
         from .relational import bucketed_hash_join
 
+        # neighbor labels: edges joined with labels on nbr
         nbr_labels = bucketed_hash_join(
             edges,
             labels.map_batches(
@@ -452,12 +455,27 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
             lambda t: pa.table({"node": t.column("node"), "cand": t.column("nbr_label")}),
             batch_format="pyarrow",
         )
+        # pointer jumping: label-of-label (labels joined with itself)
+        jump = bucketed_hash_join(
+            labels.map_batches(
+                lambda t: pa.table({"node": t.column("node"), "lbl": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            labels.map_batches(
+                lambda t: pa.table({"lbl2": t.column("node"), "parent": t.column("label")}),
+                batch_format="pyarrow",
+            ),
+            "lbl", "lbl2", buckets=16,
+        ).map_batches(
+            lambda t: pa.table({"node": t.column("node"), "cand": t.column("parent")}),
+            batch_format="pyarrow",
+        )
         own = labels.map_batches(
             lambda t: pa.table({"node": t.column("node"), "cand": t.column("label")}),
             batch_format="pyarrow",
         )
         new_labels = (
-            own.union(nbr_labels)
+            own.union(nbr_labels).union(jump)
             .groupby("node")
             .aggregate(Min("cand", alias_name="label"))
             .materialize()
@@ -482,7 +500,13 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
         ).sum("c")
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iters} rounds; "
+            "raise max_iters (components deeper than 2^max_iters hops)"
+        )
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t.column("node"), "cluster_id": t.column("label")}),
         batch_format="pyarrow",

@@ -97,9 +97,17 @@ def revenue_by_nation(sf_dir: str):
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch.column("o_custkey").to_numpy()
             pos = np.searchsorted(self.lk["keys"], keys)
-            names = self.lk["names"][pos]
+            # inner-join semantics: a custkey absent from customer must DROP,
+            # not silently take a neighbor's nation (searchsorted returns the
+            # insertion point for misses, and len(keys) past the end)
+            pos_safe = np.clip(pos, 0, len(self.lk["keys"]) - 1)
+            hit = self.lk["keys"][pos_safe] == keys
+            names = self.lk["names"][pos_safe[hit]]
             t = pa.table(
-                {"n_name": pa.array(names.tolist(), pa.string()), "rev_cents": _cents(batch.column("o_totalprice"))}
+                {
+                    "n_name": pa.array(names.tolist(), pa.string()),
+                    "rev_cents": _cents(batch.column("o_totalprice").filter(pa.array(hit))),
+                }
             )
             return t.group_by(["n_name"]).aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
 
@@ -244,14 +252,20 @@ def bucketed_hash_join(
     )
     both = l_tagged.union(r_tagged)
 
-    def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["__side"] == "l"][[n for n, _ in l_types]]
-        rg = group[group["__side"] == "r"][[n for n, _ in r_types]]
-        out = lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
-        return out
+    def join_bucket(group: pa.Table) -> pd.DataFrame:
+        # split sides in Arrow BEFORE any pandas conversion: converting the
+        # unioned block (which carries null padding in the other side's
+        # columns) would silently upcast int64 -> float64 for every row
+        lg = group.filter(pc.equal(group.column("__side"), "l")).select(
+            [n for n, _ in l_types]
+        ).to_pandas()
+        rg = group.filter(pc.equal(group.column("__side"), "r")).select(
+            [n for n, _ in r_types]
+        ).to_pandas()
+        return lg.merge(rg, left_on=left_key, right_on=right_key, how=how)
 
     return both.repartition(buckets).groupby("__bucket").map_groups(
-        join_bucket, batch_format="pandas"
+        join_bucket, batch_format="pyarrow"
     )
 
 
@@ -289,9 +303,14 @@ def asof_join(
         batch_format="pyarrow",
     )
 
-    def asof_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lg = group[group["__side"] == "l"][[n for n, _ in l_types]].sort_values(left_ts)
-        rg = group[group["__side"] == "r"][[n for n, _ in r_types]].sort_values(right_ts)
+    def asof_bucket(group: pa.Table) -> pd.DataFrame:
+        # Arrow-side split first (see join_bucket: avoids int->float upcast)
+        lg = group.filter(pc.equal(group.column("__side"), "l")).select(
+            [n for n, _ in l_types]
+        ).to_pandas().sort_values(left_ts)
+        rg = group.filter(pc.equal(group.column("__side"), "r")).select(
+            [n for n, _ in r_types]
+        ).to_pandas().sort_values(right_ts)
         if lg.empty or rg.empty:
             # typed empty (object-dtype empties trip Ray's size estimation)
             out = lg.iloc[0:0].copy()
@@ -309,7 +328,7 @@ def asof_join(
         l_tagged.union(r_tagged)
         .repartition(buckets)
         .groupby("__bucket")
-        .map_groups(asof_bucket, batch_format="pandas")
+        .map_groups(asof_bucket, batch_format="pyarrow")
     )
 
 

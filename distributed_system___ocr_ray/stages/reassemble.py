@@ -77,19 +77,19 @@ def reassemble(ds, *, batch_format: str = "pyarrow", coalesce_blocks: int | None
 
 def reassemble_salted(ds, *, num_salts: int = 4, coalesce_blocks: int | None = 64):
     """Two-level salted reassembly for pathological span-count documents
-    (north rule: "salted keys"). Use when single docs carry so many spans
-    that one reducer's sort dominates:
+    (north rule: "salted keys"): spans are spread over ``(part, salt)``
+    sub-keys for a first-stage groupby, then merged per ``part``.
 
-    1. salt = hash(offset) % S is appended; ``groupby(part, salt)`` sorts
-       each doc's spans *within a salt* and emits one partial row per
-       (doc, salt) -- the heavy sort work is spread over S reducers per
-       partition;
-    2. ``groupby(part)`` merges each doc's pre-sorted runs (concat + one
-       final sort over S runs) and assigns the global offset order.
-
-    The final row must still hold the whole document (one output row = one
-    doc), so salting relieves sort/CPU skew, not the output-row size itself.
-    Output is byte-identical to ``reassemble`` (equality-tested).
+    What this buys (and does not): stage 1 bounds the ROW COUNT each
+    first-stage reducer receives to ~1/S of a hot partition -- spreading the
+    shuffle receive + stage-1 sort memory across S reducers. The final
+    ``part`` reducer still holds the whole partition and re-sorts it (a true
+    k-way merge of the pre-sorted runs would save that sort but the rows
+    must be co-resident anyway, because one output row = one whole doc). So
+    salting relieves first-stage skew pressure, not the final reducer's
+    memory; for fragment-resident inputs prefer ``pipelines/sharded.py``
+    which avoids the shuffle entirely. Output is byte-identical to
+    ``reassemble`` (equality-tested).
     """
     def add_salt(batch: pa.Table) -> pa.Table:
         off = batch.column("offset").to_numpy(zero_copy_only=False)

@@ -54,6 +54,15 @@ class CheckpointManifest:
             json.dump(entry, f)
         os.replace(tmp, os.path.join(self.dir, f"part-{part}.json"))
 
+    def committed_one(self, part: int) -> dict | None:
+        """Single-entry lookup (the commit hot path must not scan all P
+        manifest files -- that would be O(P^2) across a run)."""
+        path = os.path.join(self.dir, f"part-{part}.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
+
     def partition_path(self, part: int) -> str:
         return os.path.join(self.out_dir, f"part={part}", "data.parquet")
 
@@ -75,7 +84,7 @@ class CommittingReassembler:
         t0 = time.monotonic()
         part = int(group.column("part")[0].as_py())
         path = self.manifest.partition_path(part)
-        already = os.path.exists(path) and part in self.manifest.committed()
+        already = os.path.exists(path) and self.manifest.committed_one(part) is not None
         if not already:
             out = reassemble_partition(group)
             os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -95,7 +104,7 @@ class CommittingReassembler:
                     "wall_sec": round(time.monotonic() - t0, 4),
                 },
             )
-        entry = self.manifest.committed()[part]
+        entry = self.manifest.committed_one(part)
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),

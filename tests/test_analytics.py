@@ -299,6 +299,21 @@ class TestDedupClusters:
         assert out.loc[[1, 2, 3, 4]].tolist() == [1, 1, 1, 1]
         assert out.loc[[10, 11]].tolist() == [10, 10]
 
+    def test_long_chain_converges_with_int_labels(self):
+        """Regression (code-review finding): a 10-node chain is ONE component
+        and labels stay int64 (no float upcast through the join padding)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        pairs = rd.from_pandas(
+            pd.DataFrame({"doc_a": list(range(1, 10)), "doc_b": list(range(2, 11))})
+        )
+        out = analytics.dedup_clusters(pairs).to_pandas()
+        assert out["cluster_id"].dtype.kind == "i", out.dtypes
+        assert set(out["cluster_id"]) == {1}, out
+
     def test_clusters_from_planted_minhash(self, planted_dups):
         from distributed_system___ocr_ray.pipelines import analytics
 
