@@ -179,12 +179,13 @@ def build_skew_documents(seed: int = 42, n_small: int = 1000, big_spans: int = 1
 
 def build_reference_shaped_doc(seed: int = 42) -> tuple[pa.Table, pa.Table]:
     """F5: transliteration of ``inputs/short_input.txt`` semantics -- one doc,
-    23 image spans over 10 distinct refs with multiplicity 3,3,3,3,3,2,2,2,1,1,
-    two of the refs broken. Expected output: exactly 23 spans (the reference
-    golden has 24 from a known SQS-redelivery double-count race,
-    Manager.java:216 + Worker.java:102-104; the engine's contract is
-    exactly-once per input span, so the race artifact is NOT reproduced)."""
-    multiplicity = [3, 3, 3, 3, 3, 2, 2, 2, 1, 1]  # 10 distinct refs, 23 lines
+    24 image spans over 10 distinct refs with the file's actual multiplicity
+    3,3,3,3,3,3,2,2,1,1 (verified: the input has 24 non-empty lines -- the
+    last line has no trailing newline, so ``wc -l`` undercounts to 23 -- and
+    the golden ``outputs/short_output.html`` has exactly 24 <p> blocks;
+    cardinality is conserved 1:1, matching the engine's exactly-once
+    contract). Two of the refs are broken (errors-as-data path)."""
+    multiplicity = [3, 3, 3, 3, 3, 3, 2, 2, 1, 1]  # 10 distinct refs, 24 lines
     refs = [media_ref_img(i) for i in range(8)] + [
         "mem://img/missing-000001", "mem://img/missing-000002"]
     lines = [r for r, m in zip(refs, multiplicity) for _ in range(m)]

@@ -99,9 +99,9 @@ class TestOracle:
     def test_reference_shaped_cardinality(self):
         docs, store = corpus.build_reference_shaped_doc()
         spans = oracle.extract_document(docs.column("spans")[0].as_py(), corpus.media_dict(store))
-        # exactly one output span per input span (NOT the reference's 24-block
-        # race artifact; Manager.java:216 + Worker.java:102-104)
-        assert len(spans) == 23
+        # exactly one output span per input span; matches the golden's 24
+        # <p> blocks 1:1 (inputs/short_input.txt has 24 non-empty lines)
+        assert len(spans) == 24
         assert sum(1 for s in spans if s["text"] == "Image download error") == 2
 
     def test_corpus_determinism(self):

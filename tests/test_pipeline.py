@@ -57,8 +57,8 @@ class TestExtractionPipeline:
         expected = oracle.extract_table(docs, corpus.media_dict(store))
         out = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=2))
         _assert_span_equality(out, expected)
-        # exactly-once per input span: 23 spans, not the reference's 24-race
-        assert len(out.column("spans")[0].as_py()) == 23
+        # exactly-once per input span: 24 spans, 1:1 with the golden's blocks
+        assert len(out.column("spans")[0].as_py()) == 24
 
     def test_explode_cardinality(self, small_corpus):
         docs, _ = small_corpus

@@ -16,10 +16,10 @@ from distributed_system___ocr_ray.stages.render_html import render_doc, write_ht
 class TestPoolSize:
     def test_reference_formula_parity(self):
         # Manager.java:376-377 with MAX_INSTANCES=17 (Manager.java:34):
-        # 23 urls, n=4 -> ceil(23/4)=6 workers (the reference's short run)
-        assert pool_size(23, 4, 17) == 6
-        # 999 urls, n=167 -> 6 workers (the reference's long run)
-        assert pool_size(999, 167, 17) == 6
+        # 24 urls, n=4 -> ceil(24/4)=6 workers (the reference's short run)
+        assert pool_size(24, 4, 17) == 6
+        # 1000 urls, n=167 -> 6 workers (the reference's long run)
+        assert pool_size(1000, 167, 17) == 6
         # cap binds: 999 urls, n=10 -> 100 needed -> 17
         assert pool_size(999, 10, 17) == 17
         # exact division has no +1: 20/4 = 5
@@ -52,8 +52,8 @@ class TestRenderHtml:
         assert content.startswith("<html>") and content.rstrip().endswith("</html>")
 
     def test_reference_shaped_block_count(self):
-        """23 input spans -> exactly 23 <p> blocks (NOT the reference golden's
-        24 -- the race artifact is deliberately not reproduced; FIXTURES F5)."""
+        """24 input spans -> exactly 24 <p> blocks, matching the reference
+        golden short_output.html block count 1:1 (FIXTURES F5)."""
         from distributed_system___ocr_ray import oracle
 
         docs, store = corpus.build_reference_shaped_doc()
@@ -61,7 +61,7 @@ class TestRenderHtml:
             docs.column("spans")[0].as_py(), corpus.media_dict(store)
         )
         html = render_doc("doc-short-input", spans)
-        assert html.count("<p>") == 23
+        assert html.count("<p>") == 24
 
 
 # hypothesis strategy: documents with random spans (kinds/offsets/dups)
