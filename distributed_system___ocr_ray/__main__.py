@@ -70,6 +70,45 @@ def cmd_extract(args) -> int:
         ray.shutdown()
 
 
+def cmd_status(args) -> int:
+    """Summarize a checkpointed output: the reference's summary-file analogue
+    (Manager.createSendSummaryFile, Manager.java:250-293) read from the
+    durable manifest instead of manager RAM."""
+    from .state.checkpoint import CheckpointManifest
+
+    man = CheckpointManifest(args.output)
+    entries = man.committed()
+    statuses: dict[str, int] = {}
+    for e in entries.values():
+        for k, v in e.get("status_counts", {}).items():
+            statuses[k] = statuses.get(k, 0) + v
+    print(
+        json.dumps(
+            {
+                "partitions_committed": len(entries),
+                "rows_in": sum(e["rows_in"] for e in entries.values()),
+                "docs_out": sum(e["rows_out"] for e in entries.values()),
+                "status_counts": statuses,
+                "wall_sec_sum": round(sum(e.get("wall_sec", 0) for e in entries.values()), 2),
+            }
+        )
+    )
+    return 0
+
+
+def cmd_publish(args) -> int:
+    """Publish a checkpointed output's committed partitions as a versioned
+    Lance-style table (manifest only; fragments referenced in place)."""
+    from .sources import lance_like
+    from .state.checkpoint import CheckpointManifest
+
+    man = CheckpointManifest(args.output)
+    manifest = lance_like.manifest_over_files(man.data_paths(), args.output)
+    print(json.dumps({"table": args.output, "version": manifest["version"],
+                      "fragments": len(manifest["fragments"])}))
+    return 0
+
+
 def cmd_render(args) -> int:
     _ray_session(args.num_cpus)
     import ray
@@ -106,6 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--num-cpus", type=int, default=None)
     e.set_defaults(fn=cmd_extract)
+
+    s = sub.add_parser("status", help="summarize a checkpointed output's manifest")
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_status)
+
+    pub = sub.add_parser("publish", help="publish committed output as a Lance-style table")
+    pub.add_argument("--output", required=True)
+    pub.set_defaults(fn=cmd_publish)
 
     r = sub.add_parser("render", help="render committed output to one HTML file")
     r.add_argument("--input", required=True, help="extraction output dir")

@@ -95,6 +95,26 @@ def read_dataset(table_dir: str, version: int | None = None, **read_parquet_kwar
     return rd.read_parquet(fragment_paths(table_dir, version), **read_parquet_kwargs)
 
 
+def manifest_over_files(paths: list[str], table_dir: str) -> dict:
+    """Publish EXISTING parquet files (e.g. a checkpointed extraction
+    output's committed partitions) as a Lance-style table: fragments are
+    referenced in place via relative paths, only the manifest is written --
+    so a pipeline stage's output is immediately a versioned table the next
+    stage can read with the same reader (symmetry of inputs and outputs)."""
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    version = latest_version(table_dir) + 1
+    fragments = []
+    for p in paths:
+        rel = os.path.relpath(p, table_dir)
+        fragments.append({"path": rel, "rows": pq.read_metadata(p).num_rows})
+    manifest = {"version": version, "fragments": fragments}
+    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
+    return manifest
+
+
 def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
     """Driver-side read of a small Lance-style table into one Arrow table."""
     paths = fragment_paths(table_dir, version)
