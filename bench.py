@@ -122,7 +122,8 @@ def run_bench() -> dict:
     for name in [
         "pricing_summary", "revenue_by_nation", "events_daily",
         "token_count_by_lang", "exact_dedup_groups", "minhash_pairs",
-        "ann_topk", "extract_flat_identity",
+        "ann_topk", "extract_flat_identity", "order_lineitem_join",
+        "session_windows", "sliding_windows", "embedding_neardup",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
