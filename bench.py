@@ -149,9 +149,17 @@ def run_scaling() -> dict:
 
     n_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", str(n_lo * 4)))
+    # the scaling corpus is 2x the plain-bench corpus: per-doc compute must
+    # dominate the fixed per-execution costs (actor-pool spin-up ~2 s,
+    # driver dispatch) for the N-vs-4N ratio to reflect the compute's
+    # scaling rather than the constants'
+    scale_rep = os.environ.get("GRAFT_SCALE_REPLICATE", str(REPLICATE * 2))
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1",
+            RAY_GRAFT_REPLICATE=scale_rep,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

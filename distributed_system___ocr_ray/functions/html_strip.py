@@ -19,6 +19,19 @@ Heuristics (all deterministic):
 Fast path: input with no ``<`` is plain text and returned verbatim (the
 testdata ``documents.text`` column is plain text; this keeps the flagship
 flat-wrap pipeline exactly SQL-checkable).
+
+Two implementations share the block state machine:
+
+- ``strip_boilerplate`` (default, the hot path): a compiled-regex tokenizer
+  -- ~4x faster than stdlib ``html.parser``, which spends most of its time
+  parsing attributes we never read (profiled: 192 us -> ~50 us per page).
+  ``<script>``/``<style>`` bodies are skipped by scanning for the closing
+  tag directly (their bodies may contain bare ``<``).
+- ``strip_boilerplate_reference``: the original ``html.parser``-based
+  implementation, kept as the readable executable spec; equality between the
+  two is pinned by tests on the corpus template and common HTML shapes.
+  (Known divergence: a quoted ``>`` inside an attribute value ends the tag
+  early in the tokenizer -- acceptable for boilerplate heuristics.)
 """
 
 from __future__ import annotations
@@ -97,20 +110,9 @@ class _Extractor(HTMLParser):
             blk.link_chars += n
 
 
-def strip_boilerplate(text: str) -> str:
-    """HTML -> main-content text. Pure, deterministic; see module docstring."""
-    if "<" not in text:
-        return text  # plain-text fast path (exactly SQL-checkable)
-    parser = _Extractor()
-    try:
-        parser.feed(text)
-        parser.close()
-    except Exception:
-        # html.parser is forgiving; treat a hard failure as no extractable
-        # content rather than killing the block (errors-as-data contract).
-        return ""
+def _render_blocks(blocks: list[_Block]) -> str:
     kept: list[str] = []
-    for blk in parser.blocks:
+    for blk in blocks:
         raw = _WS.sub(" ", "".join(blk.chars)).strip()
         if not raw:
             continue
@@ -121,3 +123,78 @@ def strip_boilerplate(text: str) -> str:
             continue
         kept.append(raw)
     return "\n".join(kept)
+
+
+def strip_boilerplate_reference(text: str) -> str:
+    """html.parser-based implementation (the readable spec)."""
+    if "<" not in text:
+        return text  # plain-text fast path (exactly SQL-checkable)
+    parser = _Extractor()
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # html.parser is forgiving; treat a hard failure as no extractable
+        # content rather than killing the block (errors-as-data contract).
+        return ""
+    return _render_blocks(parser.blocks)
+
+
+_TOKEN = re.compile(r"<!(?:--.*?--\s*)?>|<!--.*?-->|<[^>]*>|[^<]+", re.S)
+_TAGNAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_HAS_ENTITY = re.compile(r"&[#a-zA-Z]")
+
+
+def strip_boilerplate(text: str) -> str:
+    """HTML -> main-content text (regex-tokenizer hot path; same block state
+    machine and scoring as ``strip_boilerplate_reference``)."""
+    if "<" not in text:
+        return text  # plain-text fast path (exactly SQL-checkable)
+    from html import unescape
+
+    blocks: list[_Block] = []
+    cur: _Block | None = None
+    boiler_depth = 0
+    link_depth = 0
+    lower = None  # lazily lowered copy for script/style body skipping
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN.match(text, pos)
+        if m is None:  # trailing lone '<'
+            break
+        tok = m.group(0)
+        pos = m.end()
+        if tok[0] != "<":
+            if not tok.isspace():
+                if cur is None:
+                    cur = _Block(boiler_depth > 0)
+                    blocks.append(cur)
+                data = unescape(tok) if "&" in tok else tok
+                cur.chars.append(data)
+                if link_depth:
+                    cur.link_chars += len(data.strip())
+            continue
+        if tok[1:2] == "!":
+            continue  # comment / doctype
+        nm = _TAGNAME.match(tok)
+        if nm is None:
+            continue  # stray '<...>' with no tag name
+        tag = nm.group(1).lower()
+        closing = tok[1:2] == "/"
+        if not closing and tag in _SKIP_TAGS:
+            # jump past the raw body (script bodies may contain bare '<')
+            if lower is None:
+                lower = text.lower()
+            end = lower.find(f"</{tag}", pos)
+            pos = n if end < 0 else lower.find(">", end) + 1 or n
+            continue
+        if tag in _BOILERPLATE_CONTAINERS:
+            boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+            cur = None
+            continue
+        if tag == "a":
+            link_depth = max(0, link_depth - 1) if closing else link_depth + 1
+        if tag in _BLOCK_TAGS:
+            cur = None
+    return _render_blocks(blocks)

@@ -110,3 +110,23 @@ class TestOracle:
         assert a.equals(b)
         c = corpus.build_documents(n_docs=10, seed=43)
         assert not a.equals(c)
+
+
+class TestStripImplementations:
+    def test_fast_equals_reference_on_corpus_pages(self):
+        rng = random.Random(17)
+        from distributed_system___ocr_ray.functions.html_strip import (
+            strip_boilerplate,
+            strip_boilerplate_reference,
+        )
+
+        for i in range(300):
+            page = corpus.html_page(rng, [f"Sentence {j} alpha." for j in range(rng.randint(1, 4))])
+            assert strip_boilerplate(page) == strip_boilerplate_reference(page), i
+        for t in [
+            "plain", "", "<p>a   b\n c</p>", "<p>ent &amp; ities &#65;</p>",
+            "<script>if (a<b) { x; }</script><p>after</p>", "<!-- c --><p>hi</p>",
+            "<br/><p>x</p>y<div>z</div>", "<nav><a href='#'>n</a></nav><p>keep</p>",
+            "<P>UPPER</P><DIV>case</DIV>", "<p>unclosed",
+        ]:
+            assert strip_boilerplate(t) == strip_boilerplate_reference(t), repr(t)
