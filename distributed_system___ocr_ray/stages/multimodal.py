@@ -111,6 +111,41 @@ class ImageResize:
         return pa.table(cols)
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video/audio payloads (STUB).
+
+    Real decode needs ffmpeg/PIL (absent in this container); the Ray-side
+    plumbing is real: opaque binary in, one row per sampled frame out
+    (``media_ref, frame_idx, frame`` schema), small batches for fat payloads.
+    With ``fake=True`` frames are deterministic byte slices of the payload
+    (so pipelines and tests exercise the fan-out shape); with ``fake=False``
+    it raises NotImplementedError at the decode point.
+    """
+
+    def __init__(self, n_frames: int = 4, fake: bool = True) -> None:
+        self.n_frames = n_frames
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs, idxs, frames = [], [], []
+        for ref, p in zip(batch.column("media_ref").to_pylist(), batch.column("payload").to_pylist()):
+            p = p or b""
+            if not self.fake:
+                raise NotImplementedError("real video/audio decode unavailable in this container")
+            step = max(1, len(p) // self.n_frames)
+            for i in range(self.n_frames):
+                refs.append(ref)
+                idxs.append(i)
+                frames.append(b"FRAME0" + p[i * step : i * step + min(step, 64)])
+        return pa.table(
+            {
+                "media_ref": pa.array(refs, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
 def media_metadata(store_ds, batch_size: int = 64, concurrency=(1, 4)):
     """media store Dataset -> metadata Dataset (actor pool, small batches)."""
     return store_ds.map_batches(

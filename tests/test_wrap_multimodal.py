@@ -91,3 +91,25 @@ class TestMultimodal:
         batch = pa.table({"media_ref": ["b"], "payload": [b"JPEGnotreally"]})
         with pytest.raises(NotImplementedError):
             ImageResize(fake=False)(batch)
+
+    def test_frame_sampler_fanout(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.stages.multimodal import FrameSampler
+
+        store = corpus.build_media_store(n_img=6, n_pdf=0, seed=42, corrupt_frac=0.0)
+        ds = rd.from_arrow(store.select(["media_ref", "payload"]))
+        out = ds.map_batches(
+            FrameSampler, fn_constructor_kwargs={"n_frames": 4},
+            batch_format="pyarrow", batch_size=4, concurrency=2,
+        ).to_pandas()
+        assert len(out) == 6 * 4
+        assert set(out["frame_idx"]) == {0, 1, 2, 3}
+        assert out["frame"].map(lambda b: b.startswith(b"FRAME0")).all()
+
+    def test_frame_sampler_strict_raises(self):
+        from distributed_system___ocr_ray.stages.multimodal import FrameSampler
+
+        batch = pa.table({"media_ref": ["a"], "payload": [b"xxxx"]})
+        with pytest.raises(NotImplementedError):
+            FrameSampler(fake=False)(batch)
