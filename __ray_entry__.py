@@ -343,6 +343,28 @@ def _q_clean_corpus_keepers(sf_dir: str):
     return groups.select_columns(["keeper_doc_id"])
 
 
+def _q_sample_docs(sf_dir: str):
+    """Deterministic md5-threshold sampling (reproducible across cluster
+    sizes; DuckDB md5 matches byte-for-byte)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return analytics.deterministic_sample(ds, rate=0.25)
+
+
+def _q_dataset_split_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id"])
+    return (
+        analytics.train_val_test_split(ds)
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -439,6 +461,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_embed_neardup": _q_extract_embed_neardup,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
         "clean_corpus_keepers": _q_clean_corpus_keepers,
+        "sample_docs": _q_sample_docs,
+        "dataset_split_counts": _q_dataset_split_counts,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -553,6 +577,18 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_keepers": (
             "SELECT MIN(doc_id) AS keeper_doc_id FROM documents "
             "WHERE n_chars >= 100 AND n_chars <= 20000 GROUP BY text"
+        ),
+        "sample_docs": (
+            # threshold = format(int(0.25 * 0xFFFFFFFF), '08x') = '3fffffff'
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '3fffffff'"
+        ),
+        "dataset_split_counts": (
+            "SELECT CASE WHEN h < '19999999' THEN 'val' "
+            "WHEN h < '33333333' THEN 'test' ELSE 'train' END AS split, "
+            "COUNT(*) AS n_docs FROM "
+            "(SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents) "
+            "GROUP BY 1"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "

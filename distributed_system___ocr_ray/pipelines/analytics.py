@@ -511,3 +511,43 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
         lambda t: pa.table({"doc_id": t.column("node"), "cluster_id": t.column("label")}),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def _md5_hex8(values) -> list[str]:
+    import hashlib
+
+    return [hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8] for v in values]
+
+
+def deterministic_sample(ds, id_col: str = "doc_id", rate: float = 0.25):
+    """Deterministic content-addressed sampling: keep rows whose
+    ``md5(str(id))`` 8-hex prefix falls below the rate threshold. Unlike
+    ``ds.random_sample`` this is reproducible across runs/cluster sizes and
+    SQL-checkable (DuckDB's md5 of the same string matches byte-for-byte);
+    randomness never enters the data path (SURVEY.md #7.3)."""
+    threshold = format(int(rate * 0xFFFFFFFF), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hx = _md5_hex8(batch.column(id_col).to_pylist())
+        mask = pa.array([h < threshold for h in hx])
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def train_val_test_split(ds, id_col: str = "doc_id", val: float = 0.1, test: float = 0.1):
+    """Deterministic dataset split column ('train'|'val'|'test') from the
+    same md5 prefix: stable under resharding, repeatable, leakage-free
+    (a document's split never depends on which worker saw it)."""
+    t_val = format(int(val * 0xFFFFFFFF), "08x")
+    t_test = format(int((val + test) * 0xFFFFFFFF), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hx = _md5_hex8(batch.column(id_col).to_pylist())
+        split = ["val" if h < t_val else ("test" if h < t_test else "train") for h in hx]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
