@@ -471,6 +471,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+# --------------------------------------------------------------------------
+# programmatic oracle SQL builders (shared pattern strings with the kernels
+# in functions/textstats.py so Python and RE2 stay character-for-character
+# identical; ratios compare as integer ppm so nothing is float-fuzzy)
+# --------------------------------------------------------------------------
+
+
+def _sql_stop_hits(words) -> str:
+    from distributed_system___ocr_ray.functions import textstats as ts  # noqa: F401
+
+    lst = ", ".join(f"'{w}'" for w in sorted(words))
+    return (
+        "len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+        f"x -> list_contains([{lst}], x)))"
+    )
+
+
+def _lang_id_sql() -> str:
+    from distributed_system___ocr_ray.functions.textstats import LANG_ORDER, STOPWORDS
+
+    hits = {lang: f"h_{lang}" for lang in LANG_ORDER}
+    sub = ", ".join(f"{_sql_stop_hits(STOPWORDS[lang])} AS {hits[lang]}" for lang in LANG_ORDER)
+    cjk = "len(regexp_extract_all(text, '[一-鿿぀-ヿ]'))"
+    # cascaded CASE = numpy argmax-first (ties keep the earlier language)
+    e, d, f, s = (hits[lang] for lang in LANG_ORDER)
+    return (
+        f"WITH f AS (SELECT doc_id, text, {sub} FROM documents) "
+        "SELECT doc_id, CASE "
+        f"WHEN {cjk} > 0 AND CAST({cjk} AS DOUBLE) / greatest(length(text), 1) > 0.05 THEN 'zh' "
+        f"WHEN {e} = 0 AND {d} = 0 AND {f} = 0 AND {s} = 0 THEN 'unknown' "
+        f"WHEN {e} >= {d} AND {e} >= {f} AND {e} >= {s} THEN 'en' "
+        f"WHEN {d} >= {f} AND {d} >= {s} THEN 'de' "
+        f"WHEN {f} >= {s} THEN 'fr' ELSE 'es' END AS pred_lang FROM f"
+    )
+
+
+def _quality_sql() -> str:
+    from distributed_system___ocr_ray.functions.textstats import PUNCT_PATTERN, STOPWORDS
+
+    all_stop = set().union(*STOPWORDS.values())
+    return (
+        "WITH f AS (SELECT doc_id, length(text) AS n_chars, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens, "
+        f"len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct, "
+        "len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words, "
+        f"{_sql_stop_hits(all_stop)} AS stop_hits FROM documents), "
+        "r AS (SELECT doc_id, n_chars, n_ws_tokens, "
+        "CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio, "
+        "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio, "
+        "least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS len_score FROM f) "
+        "SELECT doc_id, n_chars, n_ws_tokens, "
+        "CAST(FLOOR(punct_ratio * 1000000.0 + 0.5) AS BIGINT) AS punct_ppm, "
+        "CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ppm, "
+        "CAST(FLOOR(((len_score * (1.0 - least(greatest(punct_ratio, 0.0), 1.0))) * "
+        "(0.5 + 0.5 * least(greatest(stop_ratio * 5, 0.0), 1.0))) * 1000000.0 + 0.5) AS BIGINT) "
+        "AS quality_ppm FROM r"
+    )
+
+
+def _fingerprint_sql() -> str:
+    from distributed_system___ocr_ray.functions.textstats import WS_PATTERN
+
+    return (
+        "SELECT doc_id, substr(md5(trim(regexp_replace(text, "
+        f"'{WS_PATTERN}', ' ', 'g'), ' ')), 1, 16) AS fingerprint FROM documents"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_flat_identity": (
@@ -563,6 +631,9 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment "
             "ORDER BY price_cents DESC, o.o_orderkey) <= 3"
         ),
+        "language_id": _lang_id_sql(),
+        "quality_scores": _quality_sql(),
+        "fingerprints": _fingerprint_sql(),
         "token_count_by_lang": (
             "SELECT lang, CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) "
             "AS n_ws_tokens FROM documents GROUP BY lang"

@@ -273,11 +273,18 @@ class TestTextStats:
 
         ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
         q = _pdf(analytics.quality_scores(ds))
-        assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
+        assert ((q["quality_ppm"] >= 0) & (q["quality_ppm"] <= 1_000_000)).all()
         li = _pdf(analytics.language_id(ds))
         assert set(li["pred_lang"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
         fp = _pdf(analytics.fingerprints(ds))
         assert fp["fingerprint"].str.len().eq(16).all()
+        # md5-prefix kernel: spot-check one row against hashlib directly
+        import hashlib
+
+        doc0 = duckdb.sql(f"SELECT text FROM '{SF}/documents.parquet' WHERE doc_id = 0").fetchone()[0]
+        norm = " ".join(doc0.split())
+        expected0 = hashlib.md5(norm.encode()).hexdigest()[:16]
+        assert fp.set_index("doc_id").loc[0, "fingerprint"] == expected0
         # fingerprint is deterministic: same text -> same fingerprint
         fp2 = _pdf(analytics.fingerprints(ds))
         assert fp.sort_values("doc_id")["fingerprint"].tolist() == fp2.sort_values("doc_id")["fingerprint"].tolist()
