@@ -120,10 +120,17 @@ def _q_media_ref_counts(sf_dir: str):
 
 
 def _q_render_html(sf_dir: str):
-    """Reference-style HTML render sink over extracted docs (demo sink S7)."""
+    """Reference-style HTML render sink (S7) over the FLAT-wrapped corpus:
+    extraction is the identity on tag-free text, so the rendered page is a
+    deterministic string assembly DuckDB reproduces exactly (escape ->
+    newline-to-<br/> -> block wrap, LocalApplication.java:180-207). The
+    interleaved render stays exercised by tests/test_render_html.py."""
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
     from distributed_system___ocr_ray.stages.render_html import render_html
 
-    return render_html(_flagship(sf_dir))
+    out = pipeline.extract_dataset(wrap.flat_as_spans(sf_dir), {}, num_partitions=32)
+    return render_html(out)
 
 
 def _q_extract_sharded(sf_dir: str):
@@ -293,10 +300,23 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact-recall prefix-filtered Jaccard pairs; the DuckDB oracle computes
+    the full exact pair set (self-join on word 3-shingles), which the prefix
+    lemma guarantees the distributed plan also finds."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     out = analytics.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
-    return _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
+    return _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "jaccard_ppm": "int64"})
+
+
+def _q_ngram_dup_clusters(sf_dir: str):
+    """Connected components over the exact-recall Jaccard pair graph --
+    checkable end-to-end in SQL via a recursive-CTE transitive closure."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    pairs = analytics.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    out = analytics.dedup_clusters(pairs)
+    return _pairs_df(out, {"doc_id": "int64", "cluster_id": "int64"})
 
 
 def _q_embedding_neardup(sf_dir: str):
@@ -306,7 +326,11 @@ def _q_embedding_neardup(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = analytics.embedding_neardup_pairs(ds, threshold=0.95)
-    return _pairs_df(out, {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+    # pair identities only: cosine floats stay out of the hash compare. The
+    # oracle is the exact >=0.95 pair set; LSH recall on it is probabilistic
+    # by design (~0.999 at this threshold), so the compare is honest but can
+    # in principle flag a recall miss -- planted-dup recall is pytest-held.
+    return _pairs_df(out, {"vec_a": "int64", "vec_b": "int64"})
 
 
 def _q_extract_embed_neardup(sf_dir: str):
@@ -390,7 +414,10 @@ def _q_ivf_topk(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = analytics.ivf_topk(ds, _query_matrix(sf_dir), k=10, n_centroids=16, n_probe=4)
-    return out.select_columns(["query_id", "vec_id", "sim"])
+    # id pairs only (floats stay out of the hash); the oracle is the exact
+    # brute-force top-k (same SQL as ann_topk) -- valid because IVF probing
+    # achieves exact recall on this dataset (pytest-held recall test)
+    return out.select_columns(["query_id", "vec_id"])
 
 
 def _q_language_id(sf_dir: str):
@@ -457,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "ngram_dup_clusters": _q_ngram_dup_clusters,
         "embedding_neardup": _q_embedding_neardup,
         "extract_embed_neardup": _q_extract_embed_neardup,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
@@ -539,6 +567,102 @@ def _fingerprint_sql() -> str:
     )
 
 
+def _status_counts_sql() -> str:
+    """Span statuses over the interleaved wrap are doc_id arithmetic (which
+    spans exist, which refs are broken: sources/wrap.py:58-89) plus the
+    deterministic corrupt-payload set of the seeded media store; the corrupt
+    ref indices are enumerated from the same generator the engine uses
+    (corpus.build_media_store seed=42), keeping the SQL in lockstep."""
+    from distributed_system___ocr_ray import corpus
+    from distributed_system___ocr_ray.sources import wrap
+
+    store = corpus.build_media_store(n_img=wrap.DEFAULT_N_IMG, n_pdf=wrap.DEFAULT_N_PDF, seed=42)
+    refs = store.column("media_ref").to_pylist()
+    truths = store.column("truth").to_pylist()
+    bad_img = sorted(
+        int(r.rsplit("/", 1)[1]) for r, t in zip(refs, truths)
+        if r.startswith("mem://img/") and t == "OCR operation error"
+    )
+    bad_pdf = sorted(
+        int(r.rsplit("/", 1)[1]) for r, t in zip(refs, truths)
+        if r.startswith("mem://pdf/") and t == "PDF parse error"
+    )
+    img_list = ", ".join(map(str, bad_img)) or "-1"
+    pdf_list = ", ".join(map(str, bad_pdf)) or "-1"
+    n_img, n_pdf = wrap.DEFAULT_N_IMG, wrap.DEFAULT_N_PDF
+    return (
+        "WITH spans AS ("
+        "SELECT 'ok' AS status FROM documents "
+        "UNION ALL SELECT CASE WHEN doc_id % 20 = 0 THEN 'download_error' "
+        f"WHEN ((doc_id*7) % {n_img}) IN ({img_list}) THEN 'ocr_error' ELSE 'ok' END "
+        "FROM documents "
+        "UNION ALL SELECT CASE WHEN (doc_id+1) % 20 = 0 THEN 'download_error' "
+        f"WHEN ((doc_id*7+3) % {n_img}) IN ({img_list}) THEN 'ocr_error' ELSE 'ok' END "
+        "FROM documents WHERE doc_id % 2 = 1 "
+        "UNION ALL SELECT CASE WHEN doc_id % 40 = 10 THEN 'download_error' "
+        f"WHEN ((doc_id*11) % {n_pdf}) IN ({pdf_list}) THEN 'parse_error' ELSE 'ok' END "
+        "FROM documents WHERE doc_id % 2 = 0) "
+        "SELECT status, COUNT(*) AS n_spans FROM spans GROUP BY status"
+    )
+
+
+def _render_html_sql() -> str:
+    """Mirror of stages/render_html.render_doc on identity-extracted flat
+    docs: html.escape (&, <, >, \", ') then newline -> <br/>, one <p> block
+    inside the doc <div> (LocalApplication.java:180-207 shape)."""
+    esc = (
+        "replace(replace(replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+        "'>', '&gt;'), '\"', '&quot;'), chr(39), '&#x27;')"
+    )
+    return (
+        "SELECT printf('doc-%010d', doc_id) AS doc_id, "
+        "'<div id=\"' || printf('doc-%010d', doc_id) || '\">' || chr(10) || '<p>' || "
+        f"replace({esc}, chr(10), '<br/>') || '</p>' || chr(10) || '</div>' AS html "
+        "FROM documents WHERE trim(text) <> ''"
+    )
+
+
+# exact word-3-gram Jaccard pair set (threshold 0.5) -- shared CTE body for
+# the pair and cluster oracles; jaccard as integer ppm (identical float64
+# division then floor on both sides)
+_NGRAM_PAIRS_CTES = (
+    "ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+    "base AS (SELECT doc_id, len(w) AS nw, w FROM ws), "
+    "tok AS (SELECT doc_id, unnest(w) AS tk, unnest(generate_series(1, len(w))) AS i "
+    "FROM base WHERE nw >= 3), "
+    "sh3 AS (SELECT DISTINCT doc_id, tk || ' ' || lead(tk, 1) OVER win || ' ' || "
+    "lead(tk, 2) OVER win AS s FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
+    "QUALIFY lead(tk, 2) OVER win IS NOT NULL), "
+    "shsmall AS (SELECT doc_id, array_to_string(w, ' ') AS s FROM base WHERE nw < 3), "
+    "sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall), "
+    "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jac AS (SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j "
+    "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b), "
+    "pairs AS (SELECT doc_a, doc_b, CAST(FLOOR(j * 1000000.0 + 0.5) AS BIGINT) "
+    "AS jaccard_ppm FROM jac WHERE j >= 0.5)"
+)
+
+_NGRAM_PAIRS_SQL = f"WITH {_NGRAM_PAIRS_CTES} SELECT doc_a, doc_b, jaccard_ppm FROM pairs"
+
+_NGRAM_CLUSTERS_SQL = (
+    f"WITH RECURSIVE {_NGRAM_PAIRS_CTES}, "
+    "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
+    "UNION SELECT doc_b, doc_a FROM pairs), "
+    "reach AS (SELECT a, b FROM edges "
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
+    "SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY a"
+)
+
+_EMBEDDING_NEARDUP_SQL = (
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
+    "JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_flat_identity": (
@@ -562,6 +686,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 2 = 1 AND (doc_id+1) % 20 <> 0"
             ") GROUP BY media_ref"
         ),
+        "extract_status_counts": _status_counts_sql(),
+        "render_html": _render_html_sql(),
+        "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
+        "ngram_dup_clusters": _NGRAM_CLUSTERS_SQL,
+        "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (
             "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "

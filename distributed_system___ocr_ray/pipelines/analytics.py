@@ -114,11 +114,24 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     shingle_k: int = 3,
+    coarse_buckets: int | None = None,
 ):
     """Near-duplicate pairs via MinHash+LSH (shingle -> minhash -> band ->
     bucket groupby -> signature-verified pairs). Returns (doc_a, doc_b,
-    est_jaccard) with est_jaccard >= threshold."""
+    est_jaccard) with est_jaccard >= threshold.
+
+    ``coarse_buckets`` is the pair-stage fan-out: each group holds ~1/B of
+    all band rows (one row = id + 8B band key + ``num_perm*8`` B signature).
+    When None it is derived from the input row count so per-group memory
+    stays ~25 MB flat as the corpus grows (a fixed B would make group size
+    linear in corpus size); pass an explicit value when the input Dataset is
+    expensive to count."""
     hasher_seed = 7
+    if coarse_buckets is None:
+        # ds.count() is metadata-cheap for parquet reads; target ~50k band
+        # rows (~27 MB at 512 B signatures) per coarse group
+        n_rows = ds.count()
+        coarse_buckets = max(128, (n_rows * bands) // 50_000 + 1)
 
     class Signatures:
         def __init__(self) -> None:
@@ -138,7 +151,7 @@ def minhash_lsh_pairs(
                     out_sig.append(sig_bytes)
                     # coarse shuffle key: complete (band, band_hash) buckets
                     # land together, but one group holds many buckets
-                    out_bucket.append((bh * 1315423911 + band) % 128)
+                    out_bucket.append((bh * 1315423911 + band) % coarse_buckets)
             return pa.table(
                 {
                     id_col: pa.array(out_id),
@@ -163,6 +176,7 @@ def minhash_lsh_pairs(
         ends = np.concatenate((starts[1:], [len(band)]))
         ids = group.column(id_col).to_pylist()
         sig_col = group.column("sig").to_pylist()
+        id_type = group.schema.field(id_col).type
         rows_a, rows_b, rows_j = [], [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
@@ -174,8 +188,10 @@ def minhash_lsh_pairs(
                 if ej >= threshold:
                     x, y = sorted((ids[a], ids[b]))
                     rows_a.append(x); rows_b.append(y); rows_j.append(round(ej, 6))
+        # explicitly typed (an empty untyped pa.array is null-typed, which
+        # breaks Ray's block-size estimation and downstream schema union)
         return pa.table(
-            {"doc_a": pa.array(rows_a), "doc_b": pa.array(rows_b),
+            {"doc_a": pa.array(rows_a, id_type), "doc_b": pa.array(rows_b, id_type),
              "est_jaccard": pa.array(rows_j, pa.float64())}
         )
 
@@ -219,14 +235,24 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         )
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        sh = {i: np.uint64(v + (1 << 63)) for i, v in zip(ids, group["simhash"])}
-        rows = []
-        for a, b in dk.group_pairs(ids):
-            d = int(dk.hamming64(np.array([sh[a]]), np.array([sh[b]]))[0])
-            if d <= max_hamming:
-                rows.append((a, b, d))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "hamming"])
+        # vectorized all-pairs hamming within the bucket (one XOR + popcount
+        # over the upper triangle, not per-pair 1-element numpy calls)
+        ids = group[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        sh = group["simhash"].to_numpy()[order].astype(np.int64).view(np.uint64) ^ np.uint64(1 << 63)
+        n = len(ids)
+        cap = dk._MAX_GROUP_SIZE
+        if n <= cap:
+            iu, ju = np.triu_indices(n, k=1)
+        else:  # skew guard: pair against the representative (min id) only
+            iu = np.zeros(n - 1, dtype=np.int64)
+            ju = np.arange(1, n, dtype=np.int64)
+        d = dk.hamming64(sh[iu], sh[ju])
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[iu[keep]], "doc_b": ids[ju[keep]], "hamming": d[keep]}
+        ).astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
 
     pairs = (
         ds.map_batches(sims, batch_format="pyarrow")
@@ -279,8 +305,13 @@ def embedding_neardup_pairs(
         ids = group[id_col].tolist()
         vecs = np.stack([np.frombuffer(v, dtype=np.float32).astype(np.float64) for v in group["vec"]])
         rows = dk.pairwise_cosine_pairs(ids, vecs, threshold)
+        id_dtype = group[id_col].dtype  # int64 or object(str): keep it typed
         return pd.DataFrame(
-            [(a, b, round(s, 6)) for a, b, s in rows], columns=["vec_a", "vec_b", "cos_sim"]
+            {
+                "vec_a": pd.Series([r[0] for r in rows], dtype=id_dtype),
+                "vec_b": pd.Series([r[1] for r in rows], dtype=id_dtype),
+                "cos_sim": pd.Series([round(r[2], 6) for r in rows], dtype="float64"),
+            }
         )
 
     from ray.data.aggregate import Max
@@ -294,56 +325,123 @@ def embedding_neardup_pairs(
 
 
 def ngram_jaccard_pairs(
-    ds, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.5, shingle_k: int = 3,
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_block_docs: int = 1024,
+    join_buckets: int = 16,
 ):
-    """Exact n-gram Jaccard near-dup: bottom-k sketch blocking (each doc emits
-    its ``block_k`` smallest shingle hashes as block keys; docs with Jaccard
-    >= t share a bottom hash with prob ~1-(1-t)^k), then exact shingle-set
-    Jaccard verification inside the block group (shingle sets are co-located
-    by the groupby, so verification needs no extra join)."""
-    block_k = 4
+    """Exact n-gram Jaccard near-dup pairs with GUARANTEED recall via prefix
+    filtering (the AllPairs/PPJoin lemma, Bayardo et al. WWW'07): under any
+    global canonical order of shingles (here: ascending hash value), two sets
+    with J(a,b) >= t must share at least one shingle among each set's first
+    ``n - ceil(t*n) + 1`` shingles. So each doc emits only its PREFIX hashes
+    as 16-byte (block, doc_id) rows -- not its full shingle set -- candidate
+    pairs come from a groupby(block), and exact Jaccard verification joins
+    the (small) candidate pair list back to the shingle sets. The shuffle
+    payload is prefix rows + one set copy per candidate side, instead of the
+    full set replicated per block key.
 
-    def add_shingle_sets(batch: pa.Table) -> pa.Table:
+    At larger scale, ordering shingles by ascending document frequency
+    (instead of hash) shrinks prefixes further -- documented knob, not
+    needed for correctness. ``max_block_docs`` is the skew guard: a block
+    larger than this pairs members against the representative only (recall
+    guarantee holds only below the cap; at sf0.01 blocks are <10 docs).
+
+    Returns (doc_a, doc_b, jaccard_ppm) -- the ratio as integer ppm so the
+    DuckDB oracle (same float64 division, then floor) compares exactly."""
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        out_id, out_set, out_block = [], [], []
-        for i, t in zip(ids, texts):
-            sh = np.unique(dk.shingle_hashes(t, k=shingle_k))
-            blocks = np.sort(sh)[:block_k]
-            b = sh.tobytes()
-            for blk in blocks:
-                out_id.append(i)
-                out_set.append(b)
-                out_block.append(int(blk) - (1 << 63))
+        sets = [np.sort(np.unique(dk.shingle_hashes(t, k=shingle_k))) for t in texts]
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "shingles": pa.array(out_set, pa.binary()),
-                "block": pa.array(out_block, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "shingles": pa.array([s.tobytes() for s in sets], pa.binary()),
             }
         )
 
-    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        sets = {i: np.frombuffer(s, dtype=np.uint64) for i, s in zip(ids, group["shingles"])}
-        rows = []
-        for a, b in dk.group_pairs(ids, cap=128):
-            sa, sb = sets[a], sets[b]
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_block = [], []
+        for i, raw in zip(ids, batch.column("shingles").to_pylist()):
+            s = np.frombuffer(raw, dtype=np.uint64)
+            p = s.size - int(np.ceil(threshold * s.size)) + 1
+            for blk in s[:p]:
+                out_id.append(i)
+                out_block.append(int(blk) - (1 << 63))
+        return pa.table(
+            {id_col: pa.array(out_id, pa.int64()), "block": pa.array(out_block, pa.int64())}
+        )
+
+    def block_cands(group: pd.DataFrame) -> pd.DataFrame:
+        rows = list(dk.group_pairs(group[id_col].tolist(), cap=max_block_docs))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
+
+    _VERIFY_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return _VERIFY_SCHEMA.empty_table()
+        out_a, out_b, out_ppm = [], [], []
+        for a, b, ra, rb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            batch.column("a_sh").to_pylist(),
+            batch.column("b_sh").to_pylist(),
+        ):
+            sa = np.frombuffer(ra, dtype=np.uint64)
+            sb = np.frombuffer(rb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
             union = sa.size + sb.size - inter
             j = inter / union if union else 1.0
             if j >= threshold:
-                rows.append((a, b, round(j, 6)))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+                out_a.append(a)
+                out_b.append(b)
+                out_ppm.append(int(np.floor(j * 1e6 + 0.5)))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_ppm": pa.array(out_ppm, pa.int64()),
+            }
+        )
 
-    from ray.data.aggregate import Max
+    from ray.data.aggregate import Count, Max
 
-    pairs = (
-        ds.map_batches(add_shingle_sets, batch_format="pyarrow")
+    from .relational import bucketed_hash_join
+
+    sets = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+    cands = (
+        sets.map_batches(prefix_rows, batch_format="pyarrow")
         .groupby("block")
-        .map_groups(block_pairs, batch_format="pandas")
+        .map_groups(block_cands, batch_format="pandas")
+        # a pair can share many prefix blocks: dedupe to one row per pair
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    sets_a = sets.map_batches(
+        lambda t: pa.table({"a_id": t.column(id_col), "a_sh": t.column("shingles")}),
+        batch_format="pyarrow",
+    )
+    sets_b = sets.map_batches(
+        lambda t: pa.table({"b_id": t.column(id_col), "b_sh": t.column("shingles")}),
+        batch_format="pyarrow",
+    )
+    with_a = bucketed_hash_join(cands, sets_a, "doc_a", "a_id", buckets=join_buckets).drop_columns(
+        ["a_id"]
+    )
+    with_ab = bucketed_hash_join(with_a, sets_b, "doc_b", "b_id", buckets=join_buckets).drop_columns(
+        ["b_id"]
+    )
+    pairs = with_ab.map_batches(verify, batch_format="pyarrow")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard_ppm", alias_name="jaccard_ppm"))
 
 
 # --------------------------------------------------------------- similarity
@@ -403,7 +501,10 @@ def ivf_topk(
 # ------------------------------------------------------- duplicate clusters
 
 
-def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 50):
+def dedup_clusters(
+    pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 50,
+    buckets: int | None = None,
+):
     """Connected components over a near-duplicate pair graph via iterative
     min-label propagation with pointer jumping: each round a node's label
     becomes the min of {its label, neighbors' labels, its label's label}.
@@ -419,7 +520,15 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
     """
     from ray.data.aggregate import Min
 
+    _EMPTY = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+    _EDGE = pa.schema([("node", pa.int64()), ("nbr", pa.int64())])
+
     def to_edges(batch: pa.Table) -> pa.Table:
+        # schema-less empty blocks (all pair groups empty) have no columns;
+        # the int64 fallback type never mixes with real edges because a
+        # schema-less pairs dataset is empty overall (early return below)
+        if id_a not in batch.column_names:
+            return _EDGE.empty_table()
         a = batch.column(id_a)
         b = batch.column(id_b)
         return pa.table(
@@ -430,6 +539,15 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
         )
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        # empty graph: typed empty result, no join/groupby machinery touched
+        import ray.data as rd
+
+        return rd.from_arrow(_EMPTY.empty_table())
+    if buckets is None:
+        # size the join fan-out so one bucket's edges stay ~100k rows
+        buckets = max(4, min(512, n_edges // 100_000 + 4))
     # labels: node -> current component label (init: itself)
     labels = (
         edges.groupby("node").aggregate(Min("nbr", alias_name="_"))
@@ -450,7 +568,7 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
                 lambda t: pa.table({"nbr": t.column("node"), "nbr_label": t.column("label")}),
                 batch_format="pyarrow",
             ),
-            "nbr", "nbr", buckets=16,
+            "nbr", "nbr", buckets=buckets,
         ).map_batches(
             lambda t: pa.table({"node": t.column("node"), "cand": t.column("nbr_label")}),
             batch_format="pyarrow",
@@ -465,7 +583,7 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
                 lambda t: pa.table({"lbl2": t.column("node"), "parent": t.column("label")}),
                 batch_format="pyarrow",
             ),
-            "lbl", "lbl2", buckets=16,
+            "lbl", "lbl2", buckets=buckets,
         ).map_batches(
             lambda t: pa.table({"node": t.column("node"), "cand": t.column("parent")}),
             batch_format="pyarrow",
@@ -490,7 +608,7 @@ def dedup_clusters(pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters
                 lambda t: pa.table({"n2": t.column("node"), "new": t.column("label")}),
                 batch_format="pyarrow",
             ),
-            "node", "n2", buckets=16,
+            "node", "n2", buckets=buckets,
         )
         changed = joined.map_batches(
             lambda t: pa.table(
