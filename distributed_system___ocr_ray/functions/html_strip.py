@@ -182,18 +182,28 @@ def strip_boilerplate(text: str) -> str:
             continue  # stray '<...>' with no tag name
         tag = nm.group(1).lower()
         closing = tok[1:2] == "/"
+        # html.parser parity: '<script/>' fires startendtag (start+end, NO
+        # cdata mode), so a self-closing skip tag has no raw body to jump --
+        # entering the skip scan here would discard the rest of the document
+        selfclose = not closing and tok.endswith("/>")
         if not closing and tag in _SKIP_TAGS:
-            # jump past the raw body (script bodies may contain bare '<')
+            if selfclose:
+                continue
+            # jump past the raw body (script bodies may contain bare '<').
+            # An UNCLOSED skip tag jumps to EOF -- this matches html.parser,
+            # which stays in cdata mode and never emits the trailing data.
             if lower is None:
                 lower = text.lower()
             end = lower.find(f"</{tag}", pos)
             pos = n if end < 0 else lower.find(">", end) + 1 or n
             continue
         if tag in _BOILERPLATE_CONTAINERS:
-            boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
+            # self-closing container = +1 then -1: depth unchanged, block cut
+            if not selfclose:
+                boiler_depth = max(0, boiler_depth - 1) if closing else boiler_depth + 1
             cur = None
             continue
-        if tag == "a":
+        if tag == "a" and not selfclose:  # '<a/>' nets link_depth +1-1 = 0
             link_depth = max(0, link_depth - 1) if closing else link_depth + 1
         if tag in _BLOCK_TAGS:
             cur = None

@@ -154,6 +154,11 @@ def run_extraction(
     from ..state.checkpoint import CheckpointManifest, CommittingReassembler
 
     manifest = CheckpointManifest(out_dir)
+    # refuse to resume under different partitioning/plan: committed part ids
+    # were assigned by hash%P -- pruning by a different P drops documents
+    manifest.check_job(
+        {"plan": "shuffle", "num_partitions": int(num_partitions)}, enforce=resume
+    )
     skip = frozenset(manifest.committed()) if resume else frozenset()
     ds = extracted_dataset(
         docs, media, num_partitions=num_partitions, skip_parts=skip,

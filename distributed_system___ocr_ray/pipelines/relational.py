@@ -203,6 +203,14 @@ def doc_stats_by_source(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def derive_buckets(n_rows: int, rows_per_bucket: int = 500_000, lo: int = 8, hi: int = 4096) -> int:
+    """Size a join/as-of fan-out from the larger side's row count so one
+    bucket's rows fit a worker heap regardless of input scale (a fixed B
+    makes per-bucket memory linear in corpus size). ``Dataset.count()`` on a
+    fresh parquet read is metadata-cheap, so callers derive B at plan time."""
+    return max(lo, min(hi, n_rows // rows_per_bucket + 1))
+
+
 def bucketed_hash_join(
     left, right, left_key: str, right_key: str, *, buckets: int = 32, how: str = "inner"
 ):
@@ -339,8 +347,9 @@ def last_order_before_event(sf_dir: str):
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    buckets = derive_buckets(max(events.count(), orders.count()))
     joined = asof_join(events, orders, key="user_id", right_key="o_custkey",
-                       left_ts="ts", right_ts="o_orderdate")
+                       left_ts="ts", right_ts="o_orderdate", buckets=buckets)
 
     def project(batch: pa.Table) -> pa.Table:
         # date-only format: pyarrow's %S appends fractional seconds, DuckDB's
@@ -362,7 +371,8 @@ def order_lineitem_join_stats(sf_dir: str):
     lineitem = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
-    joined = bucketed_hash_join(orders, lineitem, "o_orderkey", "l_orderkey", buckets=32)
+    buckets = derive_buckets(max(orders.count(), lineitem.count()))
+    joined = bucketed_hash_join(orders, lineitem, "o_orderkey", "l_orderkey", buckets=buckets)
 
     def partial(batch: pa.Table) -> pa.Table:
         price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
@@ -383,36 +393,68 @@ def order_lineitem_join_stats(sf_dir: str):
     )
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30):
+def session_windows(sf_dir: str, gap_minutes: int = 30, partitions: int | None = None):
     """Session windows per user (gap > ``gap_minutes`` starts a new session):
-    the streaming-shaped operator Ray Data has no runtime for, computed as
-    groupby(user).map_groups over ts-sorted groups (ray_guide pattern).
-    Sessions are numbered 1..k per user in ts order (matches the SQL
-    lag/sum-over formulation, so DuckDB checks it exactly)."""
+    the streaming-shaped operator Ray Data has no runtime for.
+
+    Partition-bucketed: users are grouped by ``hash(user_id) % P`` and each
+    PARTITION is sessionized in ONE vectorized pass (sort by (user, ts),
+    numpy diff/cumsum with per-user restarts) -- P Python calls total, not
+    one per user (same discipline as stages/reassemble.py:12). Sessions are
+    numbered 1..k per user in ts order, matching the SQL lag/sum-over
+    formulation, so DuckDB checks it exactly."""
     import pandas as pd
     import ray.data as rd
 
     events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    if partitions is None:
+        # parquet count is metadata-cheap; ~500k events per partition
+        partitions = max(16, events.count() // 500_000 + 1)
+    gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        brk = (g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)) | g["ts"].diff().isna()
-        g["session_id"] = brk.cumsum().astype("int64")
-        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        g["value_cents"] = cents
-        out = g.groupby("session_id", as_index=False).agg(
-            user_id=("user_id", "first"),
-            n_events=("ts", "size"),
-            session_value_cents=("value_cents", "sum"),
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        bucket = pd.util.hash_array(np.ascontiguousarray(uid)) % np.uint64(partitions)
+        return batch.append_column("__bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+
+    def sessionize_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap_brk = np.concatenate(([False], (ts[1:] - ts[:-1]) > gap))
+        brk = new_user | gap_brk
+        csum = np.cumsum(brk)
+        starts = np.flatnonzero(new_user)
+        counts = np.diff(np.append(starts, len(uid)))
+        base = np.repeat(csum[starts] - 1, counts)  # session ids restart per user
+        out = pd.DataFrame(
+            {
+                "user_id": uid,
+                "session_id": (csum - base).astype("int64"),
+                "value_cents": np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64),
+            }
         )
-        return out[["user_id", "session_id", "n_events", "session_value_cents"]]
+        agg = out.groupby(["user_id", "session_id"], as_index=False, sort=False).agg(
+            n_events=("value_cents", "size"), session_value_cents=("value_cents", "sum")
+        )
+        return agg[["user_id", "session_id", "n_events", "session_value_cents"]]
 
-    return events.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sessionize_partition, batch_format="pandas")
+    )
 
 
 def top_orders_per_segment(sf_dir: str, k: int = 3):
     """Grouped top-k (window-function analogue): top-k orders by totalprice
-    per customer mktsegment; broadcast customer dim, groupby(segment) top-k."""
+    per customer mktsegment. Scale-safe shape: the broadcast-tagging stage
+    also takes a PARTIAL top-k per segment within each batch (the ann_topk
+    pattern), so the final groupby(segment) merges <= k rows per segment per
+    batch instead of materializing a whole segment (~1/5 of all orders) in
+    one reducer. Custkeys absent from customer DROP (inner-join semantics,
+    same as revenue_by_nation)."""
     import pandas as pd
     import ray
     import ray.data as rd
@@ -423,27 +465,30 @@ def top_orders_per_segment(sf_dir: str, k: int = 3):
     seg = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
     handle = ray.put(seg)
 
-    class Tag:
+    class TagPartialTopK:
         def __init__(self) -> None:
             self.seg = ray.get(handle)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            segs = [self.seg[c] for c in batch.column("o_custkey").to_pylist()]
-            cents = _cents(batch.column("o_totalprice"))
-            return pa.table(
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
                 {
-                    "c_mktsegment": pa.array(segs, pa.string()),
-                    "o_orderkey": batch.column("o_orderkey"),
-                    "price_cents": cents,
+                    "c_mktsegment": pd.Series(
+                        batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                    ).map(self.seg),
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                    "price_cents": _cents(batch.column("o_totalprice")).to_numpy(),
                 }
             )
+            df = df.dropna(subset=["c_mktsegment"])  # inner-join: misses drop
+            df = df.sort_values(["price_cents", "o_orderkey"], ascending=[False, True])
+            return df.groupby("c_mktsegment", sort=False).head(k)
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(["price_cents", "o_orderkey"], ascending=[False, True]).head(k)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
     return (
-        orders.map_batches(Tag, batch_format="pyarrow", concurrency=(1, 4))
+        orders.map_batches(TagPartialTopK, batch_format="pyarrow", concurrency=(1, 4))
         .groupby("c_mktsegment")
         .map_groups(topk, batch_format="pandas")
     )

@@ -40,7 +40,7 @@ from ..sources import lance_like
 from ..stages.explode import explode_spans
 from ..stages.extractors import ExtractDispatch
 from ..stages.reassemble import reassemble_partition
-from ..state.checkpoint import CheckpointManifest
+from ..state.checkpoint import CheckpointManifest, durable_replace
 
 
 class ShardWorker:
@@ -99,7 +99,7 @@ class ShardWorker:
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             tmp = dest + ".tmp"
             pq.write_table(out, tmp)
-            os.replace(tmp, dest)
+            durable_replace(tmp, dest)
             meta["wall_sec"] = round(time.monotonic() - t0, 4)
             meta["fragment"] = os.path.basename(path)
             self.manifest.commit(part, meta)
@@ -133,13 +133,24 @@ def run_extraction_sharded(
     from .extract import _media_handle
 
     manifest = CheckpointManifest(out_dir)
-    committed = set(manifest.committed()) if resume else set()
     man = lance_like.read_manifest(docs_dir)
+    # refuse to resume against a different input table (plan/path identity);
+    # the table VERSION may move -- appends keep committed fragment files in
+    # place, and the per-fragment identity check below distinguishes an
+    # append (same file -> pruned) from an overwrite rewrite that reuses
+    # fragment indices (new file -> reprocessed, not skipped-as-done)
+    manifest.check_job(
+        {"plan": "sharded", "input_table": os.path.abspath(docs_dir)}, enforce=resume
+    )
+    committed = manifest.committed() if resume else {}
     items = [
         {"part": i, "path": os.path.join(docs_dir, frag["path"])}
         for i, frag in enumerate(man["fragments"])
-        if i not in committed
+        # prune only when BOTH the index is committed AND the committed entry
+        # recorded this very fragment file
+        if not (i in committed and committed[i].get("fragment") == os.path.basename(frag["path"]))
     ]
+    committed = set(committed)
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
     if items:

@@ -4,7 +4,8 @@ The reference keeps all completion bookkeeping in manager RAM
 (ConcurrentHashMaps, Manager.java:49-60); a manager crash loses the job
 (SURVEY.md #4). The engine makes the ledger durable and partition-granular,
 as the north rule requires: every output partition commits atomically
-(write temp file -> rename, then write manifest entry temp -> rename), and a
+(write temp -> fsync -> rename -> fsync(dir), then the manifest entry the
+same way -- durable against host crash, not just process kill), and a
 restarted job diffs the manifest against the partition list and re-runs only
 uncommitted partitions. The manifest entry is the engine's analogue of the
 reference's completion check ``completedCount == inputSize``
@@ -27,13 +28,69 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def fsync_file(path: str) -> None:
+    """Flush a written file's data to stable storage (durability across host
+    crash, not just process kill -- a renamed manifest entry must never
+    outlive a torn data file)."""
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def fsync_dir(dirname: str) -> None:
+    """Persist a rename by fsyncing the containing directory."""
+    fd = os.open(dirname, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def durable_replace(tmp: str, dest: str) -> None:
+    """fsync(tmp) -> rename -> fsync(dir): the atomic-commit triple."""
+    fsync_file(tmp)
+    os.replace(tmp, dest)
+    fsync_dir(os.path.dirname(dest))
+
+
 class CheckpointManifest:
+    JOB_FILE = "job.json"
+
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
         self.dir = os.path.join(out_dir, "_checkpoint")
 
     def ensure(self) -> None:
         os.makedirs(self.dir, exist_ok=True)
+
+    def check_job(self, params: dict, enforce: bool = True) -> None:
+        """Persist job-level parameters on first run; on resume, raise if the
+        caller's parameters disagree with the committed ones. Without this, a
+        resume with e.g. a different ``num_partitions`` would prune spans by
+        the NEW hash%P against part ids committed under the OLD P and
+        silently drop documents (ADVICE r1). ``enforce=False`` (fresh run,
+        resume disabled) rewrites the entry instead of comparing."""
+        self.ensure()
+        path = os.path.join(self.dir, self.JOB_FILE)
+        if os.path.exists(path) and enforce:
+            with open(path) as f:
+                committed = json.load(f)
+            if committed != params:
+                raise ValueError(
+                    f"resume parameter mismatch: checkpoint was created with "
+                    f"{committed}, this run passed {params}; use a fresh "
+                    f"out_dir (or identical parameters) to resume"
+                )
+            return
+        tmp = os.path.join(self.dir, f".{self.JOB_FILE}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(params, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        fsync_dir(self.dir)
 
     def committed(self) -> dict[int, dict]:
         if not os.path.isdir(self.dir):
@@ -52,7 +109,10 @@ class CheckpointManifest:
         tmp = os.path.join(self.dir, f".part-{part}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.dir, f"part-{part}.json"))
+        fsync_dir(self.dir)
 
     def committed_one(self, part: int) -> dict | None:
         """Single-entry lookup (the commit hot path must not scan all P
@@ -90,7 +150,7 @@ class CommittingReassembler:
             os.makedirs(os.path.dirname(path), exist_ok=True)
             tmp = path + ".tmp"
             pq.write_table(out, tmp)
-            os.replace(tmp, path)
+            durable_replace(tmp, path)
             statuses = group.column("status").to_pylist()
             status_counts: dict[str, int] = {}
             for s in statuses:

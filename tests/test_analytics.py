@@ -266,6 +266,52 @@ class TestTextStats:
         assert got["lang"].tolist() == exp["lang"].tolist()
         assert got["n_ws_tokens"].tolist() == [int(x) for x in exp["n_ws_tokens"]]
 
+    def test_top_orders_skewed_segments_and_misses(self, tmp_path):
+        """10x-skewed segment + custkeys absent from customer: the partial
+        top-k path must stay exact (vs DuckDB) and misses must DROP
+        (inner-join semantics), not crash the task."""
+        import pandas as pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        rng = np.random.RandomState(9)
+        cust = pd.DataFrame(
+            {"c_custkey": np.arange(1, 301),
+             "c_mktsegment": ["BIG"] * 100 + ["MID"] * 100 + ["SML"] * 100}
+        )
+        n_big, n_other = 20000, 2000  # 10x skew into BIG
+        custkeys = np.concatenate(
+            [rng.randint(1, 101, n_big), rng.randint(101, 301, n_other),
+             np.full(50, 9999)]  # 50 orders with custkey absent from customer
+        )
+        orders = pd.DataFrame(
+            {"o_orderkey": np.arange(len(custkeys)), "o_custkey": custkeys,
+             "o_totalprice": rng.uniform(10, 1e6, len(custkeys)).round(2)}
+        )
+        sf = str(tmp_path)
+        _pq.write_table(_pa.Table.from_pandas(cust), f"{sf}/customer.parquet")
+        _pq.write_table(_pa.Table.from_pandas(orders), f"{sf}/orders.parquet", row_group_size=512)
+        got = (
+            _pdf(relational.top_orders_per_segment(sf, k=3))
+            .sort_values(["c_mktsegment", "o_orderkey"]).reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            SELECT c.c_mktsegment, o.o_orderkey,
+                   CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+            FROM '{sf}/orders.parquet' o JOIN '{sf}/customer.parquet' c
+              ON o.o_custkey = c.c_custkey
+            QUALIFY row_number() OVER (PARTITION BY c.c_mktsegment
+              ORDER BY price_cents DESC, o.o_orderkey) <= 3
+            ORDER BY 1, 2
+            """
+        ).df()
+        assert got["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
+        assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+        assert got["price_cents"].tolist() == exp["price_cents"].tolist()
+
     def test_quality_and_langid_and_fingerprint(self):
         import ray.data as rd
 

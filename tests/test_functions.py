@@ -128,5 +128,14 @@ class TestStripImplementations:
             "<script>if (a<b) { x; }</script><p>after</p>", "<!-- c --><p>hi</p>",
             "<br/><p>x</p>y<div>z</div>", "<nav><a href='#'>n</a></nav><p>keep</p>",
             "<P>UPPER</P><DIV>case</DIV>", "<p>unclosed",
+            # self-closing skip tags: start+end in html.parser, NOT a raw
+            # body -- the rest of the document must survive
+            "<script/><p>must survive</p>",
+            "<style/><p>also survives</p>",
+            "before<script />mid<p>after</p>",
+            "<a/>no link depth<p>kept text here</p>",
+            "<nav/>flush only<p>kept</p>",
+            # unclosed skip tag: cdata to EOF on both implementations
+            "<p>head</p><script>var x = 1;",
         ]:
             assert strip_boilerplate(t) == strip_boilerplate_reference(t), repr(t)
