@@ -139,9 +139,6 @@ def _q_extract_sharded(sf_dir: str):
     import shutil
     import tempfile
 
-    import pyarrow as _pa
-    import ray
-
     from distributed_system___ocr_ray.pipelines.extract import load_output
     from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
     from distributed_system___ocr_ray.sources import lance_like, wrap
@@ -149,9 +146,9 @@ def _q_extract_sharded(sf_dir: str):
     work = tempfile.mkdtemp(prefix="graft_sharded_q_")
     try:
         ds, store = wrap.interleaved_from_documents(sf_dir)
-        tbl = _pa.concat_tables(ray.get(ds.to_arrow_refs()))
         docs_dir = f"{work}/docs"
-        lance_like.write_table(tbl, docs_dir, rows_per_fragment=500)
+        # streaming fragment writer: no driver-side corpus materialization
+        lance_like.write_dataset(ds, docs_dir, rows_per_fragment=500)
         run_extraction_sharded(docs_dir, store, f"{work}/out")
         return load_output(f"{work}/out").to_pandas()
     finally:

@@ -38,11 +38,10 @@ BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/graft_bench")
 
 
 def _prepare_corpus() -> tuple[str, str, int]:
-    """Materialize the interleaved corpus as a Lance-style table (cached)."""
-    import pyarrow as pa
-    import ray
+    """Materialize the interleaved corpus as a Lance-style table (cached).
 
-    from distributed_system___ocr_ray import corpus
+    Streams wrapped batches straight to fragments (lance_like.write_dataset):
+    driver RSS stays flat however large REPLICATE grows."""
     from distributed_system___ocr_ray.sources import lance_like, wrap
 
     tag = f"{os.path.basename(os.path.normpath(SF_DIR))}_r{REPLICATE}_f1000"
@@ -52,10 +51,9 @@ def _prepare_corpus() -> tuple[str, str, int]:
         man = lance_like.read_manifest(docs_dir)
         return docs_dir, media_dir, sum(f["rows"] for f in man["fragments"])
     ds, store = wrap.interleaved_from_documents(SF_DIR, replicate=REPLICATE)
-    tbl = pa.concat_tables(ray.get(ds.to_arrow_refs()))
-    lance_like.write_table(tbl, docs_dir, rows_per_fragment=1000)
+    man = lance_like.write_dataset(ds, docs_dir, rows_per_fragment=1000)
     lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
-    return docs_dir, media_dir, tbl.num_rows
+    return docs_dir, media_dir, sum(f["rows"] for f in man["fragments"])
 
 
 def _timed(fn) -> float:

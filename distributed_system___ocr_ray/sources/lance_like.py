@@ -88,6 +88,53 @@ def write_table(
     return manifest
 
 
+def write_dataset(
+    ds, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite",
+    row_group_size: int | None = None,
+) -> dict:
+    """Streaming writer: materialization-free ``Dataset`` -> Lance-style table.
+
+    Each ``map_batches`` task writes ONE immutable fragment directly from its
+    batch (the driver never holds the data -- only the per-fragment
+    ``(path, rows)`` manifest rows come back), then the manifest commits with
+    a single atomic rename. This is the scale path that replaces
+    ``pa.concat_tables(ray.get(ds.to_arrow_refs()))`` + ``write_table``:
+    driver RSS stays flat regardless of dataset size. Fragment names carry a
+    uuid (names are identity, not order); the manifest list is sorted by
+    name for a stable listing.
+    """
+    import uuid
+
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    version = latest_version(table_dir) + 1
+    rg = row_group_size or min(rows_per_fragment, 512)
+
+    def write_fragment(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+        rel = f"data/fragment-{version}-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(batch, os.path.join(table_dir, rel), row_group_size=rg)
+        return pa.table({"path": pa.array([rel]), "rows": pa.array([batch.num_rows], pa.int64())})
+
+    frag_rows = ds.map_batches(
+        write_fragment, batch_format="pyarrow", batch_size=rows_per_fragment
+    ).take_all()  # tiny manifest rows only
+    fragments = []
+    if mode == "append" and version > 1:
+        fragments = list(read_manifest(table_dir, version - 1)["fragments"])
+    fragments += sorted(
+        ({"path": r["path"], "rows": int(r["rows"])} for r in frag_rows),
+        key=lambda f: f["path"],
+    )
+    manifest = {"version": version, "fragments": fragments}
+    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
+    return manifest
+
+
 def read_dataset(table_dir: str, version: int | None = None, **read_parquet_kwargs):
     """Open a Lance-style table as a ``ray.data.Dataset`` (manifest-pinned)."""
     import ray.data as rd

@@ -46,6 +46,40 @@ class TestReferenceInputs:
         assert content.count("<p") == golden_blocks == 24
         assert "Image download error" in content
 
+    def test_golden_structure_modulo_ocr_text(self, tmp_path):
+        """Structural comparison against the reference's OWN golden
+        (outputs/short_output.html, LocalApplication.java:180-207): same
+        <p>-block count, every block is the <img src=...><br/>text shape,
+        and the per-URL multiplicity profile matches -- modulo the OCR text
+        and URL namespace (no network in the sandbox)."""
+        import re
+
+        from distributed_system___ocr_ray.pipelines import extract as pipeline
+        from distributed_system___ocr_ray.sources.urls_txt import read_url_files
+        from distributed_system___ocr_ray.stages.render_html import write_html_file
+
+        golden = open("/root/reference/outputs/short_output.html").read()
+        g_blocks = re.findall(r"<p>(.*?)</p>", golden, re.S)
+        g_srcs = re.findall(r'<img src="([^"]+)"', golden)
+        # every golden block contains exactly one <img ...><br/> head
+        assert all(re.search(r'<img src="[^"]+"><br/>', b) for b in g_blocks)
+
+        ds = read_url_files([REF_SHORT])
+        out = pipeline.extract_dataset(ds, {}, num_partitions=2)
+        html_path = str(tmp_path / "render.html")
+        write_html_file(out, html_path)
+        mine = open(html_path).read()
+        m_blocks = re.findall(r"<p>(.*?)</p>", mine, re.S)
+        m_srcs = re.findall(r'<img src="([^"]+)"', mine)
+
+        assert len(m_blocks) == len(g_blocks) == 24
+        assert all(re.search(r'<img src="[^"]+"><br/>', b) for b in m_blocks)
+        # duplicate URLs render once PER OCCURRENCE (M5): multiplicity
+        # profile identical to the golden's
+        from collections import Counter
+
+        assert sorted(Counter(m_srcs).values()) == sorted(Counter(g_srcs).values())
+
     def test_long_input_cardinality(self):
         from distributed_system___ocr_ray.pipelines import extract as pipeline
         from distributed_system___ocr_ray.sources.urls_txt import read_url_files

@@ -79,6 +79,31 @@ class TestPublishAndStatus:
         assert sum(info["status_counts"].values()) == info["rows_in"]
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestStreamingWriter:
+    def test_write_dataset_roundtrip_and_append(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        docs = corpus.build_documents(n_docs=90, seed=13)
+        tdir = str(tmp_path / "tbl")
+        man = lance_like.write_dataset(rd.from_arrow(docs), tdir, rows_per_fragment=25)
+        assert sum(f["rows"] for f in man["fragments"]) == 90
+        back = lance_like.read_arrow(tdir)
+        assert back.num_rows == 90
+        assert sorted(back.column("doc_id").to_pylist()) == sorted(
+            docs.column("doc_id").to_pylist()
+        )
+        # append a second dataset: prior fragments stay listed
+        more = corpus.build_documents(n_docs=30, seed=14)
+        man2 = lance_like.write_dataset(
+            rd.from_arrow(more), tdir, rows_per_fragment=25, mode="append"
+        )
+        assert sum(f["rows"] for f in man2["fragments"]) == 120
+        assert lance_like.read_arrow(tdir).num_rows == 120
+
+
 class TestStripFuzz:
     @settings(max_examples=200, deadline=None)
     @given(st.text(max_size=300))
