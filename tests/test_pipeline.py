@@ -60,6 +60,42 @@ class TestExtractionPipeline:
         # exactly-once per input span: 24 spans, 1:1 with the golden's blocks
         assert len(out.column("spans")[0].as_py()) == 24
 
+    def test_kind_imbalanced_corpus_both_modes(self):
+        """Bursty / kind-imbalanced load (SURVEY #4 skew row, the reference's
+        30 s load-balance daemon analogue, Manager.java:169-201): a corpus
+        that is ~90% image spans must not starve the text branch in either
+        routing. Split mode uses per-kind AUTOSCALING pools -- an idle branch
+        scales to its floor while the hot branch takes the CPUs (resource-
+        based rebalancing replaces the daemon); fused mode rebalances by
+        construction. Both must equal the oracle exactly."""
+        import random
+
+        rng = random.Random(99)
+        spans_col, ids = [], []
+        for i in range(120):
+            spans = []
+            offset = 1
+            # 10 image spans per doc, 1 text span on every 10th doc
+            for k in range(10):
+                spans.append({"kind": "image", "text": "",
+                              "media_ref": corpus.media_ref_img(rng.randrange(50)),
+                              "offset": offset})
+                offset += rng.randint(1, 9)
+            if i % 10 == 0:
+                spans.append({"kind": "text", "text": f"tiny text {i}",
+                              "media_ref": "", "offset": offset})
+            ids.append(f"doc-imb-{i:05d}")
+            spans_col.append(spans)
+        docs = pa.table({"doc_id": ids, "spans": spans_col}, schema=corpus.DOC_SCHEMA)
+        store = corpus.build_media_store(n_img=50, n_pdf=0, seed=99)
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        fused = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=8))
+        split = _sorted_output(
+            pipeline.extract_dataset(docs, store, num_partitions=8, mode="split")
+        )
+        _assert_span_equality(fused, expected)
+        _assert_span_equality(split, expected)
+
     def test_explode_cardinality(self, small_corpus):
         docs, _ = small_corpus
         ds = pipeline.exploded_dataset(docs, num_partitions=4)
