@@ -28,12 +28,13 @@ def token_count_by_key(ds, key: str = "lang", text_col: str = "text"):
         counts[key] = batch[key].values
         return counts.groupby(key, as_index=False).sum()
 
-    from ray.data.aggregate import Sum
+    from .relational import tiny_final_groupby
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .aggregate(Sum("n_ws_tokens", alias_name="n_ws_tokens"), Sum("n_bpe_tokens", alias_name="n_bpe_tokens"))
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [key],
+        [("n_ws_tokens", "sum"), ("n_bpe_tokens", "sum")],
+        [key, "n_ws_tokens", "n_bpe_tokens"],
     )
 
 

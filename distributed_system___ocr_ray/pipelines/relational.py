@@ -32,6 +32,31 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pa.array(v, pa.int64())
 
 
+def tiny_final_groupby(partials, keys, aggs, out_names):
+    """Final merge for partial-aggregate plans whose key cardinality is tiny
+    and bounded (flags, priorities, nations, days): coalesce the per-batch
+    partial rows (a handful per block) into ONE block and finish with a
+    single Arrow ``group_by`` task. This skips Ray's sort-based Aggregate,
+    whose barrier + per-block boundary machinery costs ~3.5 s at ANY input
+    size (measured on 384 partial rows, 64 blocks, 32 cpus) -- the shuffle
+    would move kilobytes. NOT for unbounded keys: one block must hold
+    ``n_keys x n_partial_blocks`` rows; use ``groupby().aggregate()`` there.
+
+    ``aggs``: list of (column, fn) for ``pa.Table.group_by().aggregate``;
+    ``out_names``: final column names for [*keys, *agg outputs].
+    """
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate(aggs)
+        # arrow emits '<col>_<fn>' aggregate names with keys LAST; restore
+        # [keys..., aggs...] order, then apply the caller's names
+        agg_cols = [f"{c}_{fn}" for c, fn in aggs]
+        out = out.select([*keys, *agg_cols])
+        return out.rename_columns(out_names)
+
+    return partials.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary (grouped aggregate with partial agg)."""
     import ray.data as rd
@@ -57,14 +82,11 @@ def pricing_summary(sf_dir: str):
             [("qty_cents", "sum"), ("base_cents", "sum"), ("qty_cents", "count")]
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty_cents_sum", alias_name="sum_qty_cents"),
-            Sum("base_cents_sum", alias_name="sum_base_cents"),
-            Sum("qty_cents_count", alias_name="n_rows"),
-        )
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty_cents_sum", "sum"), ("base_cents_sum", "sum"), ("qty_cents_count", "sum")],
+        ["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_base_cents", "n_rows"],
     )
 
 
@@ -112,13 +134,11 @@ def revenue_by_nation(sf_dir: str):
             return t.group_by(["n_name"]).aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
 
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-    return (
-        ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("n_name")
-        .aggregate(
-            Sum("rev_cents_sum", alias_name="revenue_cents"),
-            Sum("rev_cents_count", alias_name="n_orders"),
-        )
+    return tiny_final_groupby(
+        ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4)),
+        ["n_name"],
+        [("rev_cents_sum", "sum"), ("rev_cents_count", "sum")],
+        ["n_name", "revenue_cents", "n_orders"],
     )
 
 
@@ -138,13 +158,12 @@ def events_daily(sf_dir: str):
             [("value_cents", "sum"), ("value_cents", "count")]
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "day"])
-        .aggregate(
-            Sum("value_cents_sum", alias_name="value_cents"),
-            Sum("value_cents_count", alias_name="n_events"),
-        )
+    # day x event_type cardinality is bounded (~150 at any sf): single-block final
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "day"],
+        [("value_cents_sum", "sum"), ("value_cents_count", "sum")],
+        ["event_type", "day", "value_cents", "n_events"],
     )
 
 
@@ -383,13 +402,11 @@ def order_lineitem_join_stats(sf_dir: str):
         )
         return t.group_by(["o_orderpriority"]).aggregate([("rev_cents", "sum"), ("rev_cents", "count")])
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(
-            Sum("rev_cents_sum", alias_name="revenue_cents"),
-            Sum("rev_cents_count", alias_name="n_items"),
-        )
+    return tiny_final_groupby(
+        joined.map_batches(partial, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("rev_cents_sum", "sum"), ("rev_cents_count", "sum")],
+        ["o_orderpriority", "revenue_cents", "n_items"],
     )
 
 
