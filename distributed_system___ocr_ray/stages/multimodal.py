@@ -20,7 +20,16 @@ import pyarrow as pa
 
 from ..functions import glyph, minipdf
 
-HAVE_PIL = False  # real image libs absent in this container (import-gated)
+# import-gated real-decode upgrade: when Pillow is installed (not in this
+# container), the real paths below activate with NO code changes -- the
+# stubs are the fallback, not permanent residents.
+try:  # pragma: no cover - exercised only where Pillow exists
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
 
 
 class MediaMetadata:
@@ -54,6 +63,17 @@ class MediaMetadata:
                     continue
                 except minipdf.PdfParseError:
                     pass
+            if HAVE_PIL:  # pragma: no cover - real-format path, lib-gated
+                try:
+                    import io
+
+                    with _PILImage.open(io.BytesIO(p)) as im:
+                        kind.append(im.format.lower() if im.format else "image")
+                        width.append(im.width); height.append(im.height)
+                        nblocks.append(None)
+                        continue
+                except Exception:
+                    pass
             kind.append("unknown"); width.append(None); height.append(None); nblocks.append(None)
         return pa.table(
             {
@@ -71,9 +91,11 @@ class ImageResize:
     """Actor-pool resize stage (STUB for real image formats).
 
     For GLY1 bitmaps the resize is real (nearest-neighbor on the unpacked
-    array, re-packed); for real image formats it raises NotImplementedError
-    unless ``fake=True``, in which case it emits a deterministic fake payload
-    (format-tagged empty bitmap) so pipelines can be wired and tested.
+    array, re-packed). For real image formats the path is import-gated on
+    Pillow: present -> actual decode/resize/re-encode; absent (this
+    container) -> raises NotImplementedError unless ``fake=True``, in which
+    case it emits a deterministic fake payload (format-tagged empty bitmap)
+    so pipelines can be wired and tested.
     """
 
     def __init__(self, target: tuple[int, int] = (7, 42), fake: bool = True) -> None:
@@ -101,6 +123,18 @@ class ImageResize:
                 try:
                     out.append(self._resize_gly1(p))
                     continue
+                except Exception:
+                    pass
+            if HAVE_PIL:  # pragma: no cover - real-format path, lib-gated
+                try:
+                    import io
+
+                    with _PILImage.open(io.BytesIO(p)) as im:
+                        th, tw = self.target
+                        buf = io.BytesIO()
+                        im.resize((tw, th)).save(buf, format=im.format or "PNG")
+                        out.append(buf.getvalue())
+                        continue
                 except Exception:
                     pass
             if not self.fake:
