@@ -122,6 +122,7 @@ def run_bench() -> dict:
         "token_count_by_lang", "exact_dedup_groups", "minhash_pairs",
         "ann_topk", "extract_flat_identity", "order_lineitem_join",
         "session_windows", "sliding_windows", "embedding_neardup",
+        "ngram_jaccard_pairs", "top_orders_per_segment", "fingerprints",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

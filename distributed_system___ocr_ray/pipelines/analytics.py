@@ -336,20 +336,27 @@ def ngram_jaccard_pairs(
 ):
     """Exact n-gram Jaccard near-dup pairs with GUARANTEED recall via prefix
     filtering (the AllPairs/PPJoin lemma, Bayardo et al. WWW'07): under any
-    global canonical order of shingles (here: ascending hash value), two sets
-    with J(a,b) >= t must share at least one shingle among each set's first
-    ``n - ceil(t*n) + 1`` shingles. So each doc emits only its PREFIX hashes
-    as 16-byte (block, doc_id) rows -- not its full shingle set -- candidate
-    pairs come from a groupby(block), and exact Jaccard verification joins
-    the (small) candidate pair list back to the shingle sets. The shuffle
-    payload is prefix rows + one set copy per candidate side, instead of the
-    full set replicated per block key.
+    global canonical order of shingles, two sets with J(a,b) >= t must share
+    at least one shingle among each set's first ``n - ceil(t*n) + 1``
+    shingles. The canonical order here is **ascending document frequency**
+    (ties by hash) -- the lemma holds for any total order, but DF-ascending
+    puts each doc's RAREST shingles in its prefix, which is what makes
+    AllPairs practical: a common shingle (huge df) almost never appears in a
+    prefix, so the candidate mass collapses to docs sharing rare shingles.
+    (Measured on sf0.1's small-vocabulary corpus: hash-ordered prefixes
+    produced ~600k spurious candidates and 281 s; DF-ordered runs in
+    seconds.)
 
-    At larger scale, ordering shingles by ascending document frequency
-    (instead of hash) shrinks prefixes further -- documented knob, not
-    needed for correctness. ``max_block_docs`` is the skew guard: a block
-    larger than this pairs members against the representative only (recall
-    guarantee holds only below the cap; at sf0.01 blocks are <10 docs).
+    Plan: shingle sets (hashes) -> explode (hash, doc) -> distributed df
+    count -> join df back -> per-doc-partition vectorized prefix selection
+    -> coarse-bucketed candidate pairing (run detection inside a bounded
+    number of groups, no per-block UDF calls) -> dedupe -> join candidates
+    back to sets -> exact verification. Shuffle payloads are 16-byte rows
+    plus one set copy per candidate side; the text never moves.
+
+    ``max_block_docs`` is the skew guard: a block larger than this pairs
+    members against the representative only (recall guarantee holds only
+    below the cap).
 
     Returns (doc_a, doc_b, jaccard_ppm) -- the ratio as integer ppm so the
     DuckDB oracle (same float64 division, then floor) compares exactly."""
@@ -365,22 +372,65 @@ def ngram_jaccard_pairs(
             }
         )
 
-    def prefix_rows(batch: pa.Table) -> pa.Table:
+    def explode_hashes(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        out_id, out_block = [], []
+        hs, ds_ = [], []
         for i, raw in zip(ids, batch.column("shingles").to_pylist()):
-            s = np.frombuffer(raw, dtype=np.uint64)
-            p = s.size - int(np.ceil(threshold * s.size)) + 1
-            for blk in s[:p]:
-                out_id.append(i)
-                out_block.append(int(blk) - (1 << 63))
-        return pa.table(
-            {id_col: pa.array(out_id, pa.int64()), "block": pa.array(out_block, pa.int64())}
-        )
+            s = np.frombuffer(raw, dtype=np.uint64).view(np.int64)  # bit reinterpret
+            hs.append(s)
+            ds_.append(np.full(s.size, i, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.array([], dtype=np.int64)
+        d = np.concatenate(ds_) if ds_ else np.array([], dtype=np.int64)
+        return pa.table({"h": pa.array(h, pa.int64()), id_col: pa.array(d, pa.int64())})
 
-    def block_cands(group: pd.DataFrame) -> pd.DataFrame:
-        rows = list(dk.group_pairs(group[id_col].tolist(), cap=max_block_docs))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"]).astype("int64")
+    def prefix_partition(group: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per doc-partition: sort by (doc, df, h) -- the
+        # global DF-ascending canonical order -- and keep each doc's first
+        # n - ceil(t*n) + 1 rows (its prefix)
+        g = group.sort_values([id_col, "df", "h"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        new = np.concatenate(([True], ids[1:] != ids[:-1]))
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(ids)))
+        p = counts - np.ceil(threshold * counts).astype(np.int64) + 1
+        rank = np.arange(len(ids)) - np.repeat(starts, counts)
+        keep = rank < np.repeat(p, counts)
+        return pd.DataFrame({"block": g["h"].to_numpy()[keep], id_col: ids[keep]})
+
+    def bucket_cands(group: pa.Table) -> pa.Table:
+        # one coarse bucket = many complete blocks; vectorized run detection
+        # + per-run numpy pair emission (no per-block UDF calls -- a
+        # map_groups per distinct shingle would make ~n_distinct tiny calls)
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]).empty_table()
+        if group.num_rows == 0 or "block" not in group.column_names:
+            return empty
+        g = group.sort_by([("block", "ascending")])
+        blk = g.column("block").to_numpy()
+        ids = g.column(id_col).to_numpy()
+        change = np.concatenate(([True], blk[1:] != blk[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [len(blk)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            members = np.sort(ids[s:e])
+            if n > max_block_docs:  # skew guard: representative pairing
+                a, b = np.full(n - 1, members[0]), members[1:]
+            else:
+                iu, ju = np.triu_indices(n, k=1)
+                a, b = members[iu], members[ju]
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
 
     _VERIFY_SCHEMA = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_ppm", pa.int64())]
@@ -418,10 +468,39 @@ def ngram_jaccard_pairs(
     from .relational import bucketed_hash_join
 
     sets = ds.map_batches(shingle_sets, batch_format="pyarrow").materialize()
+    n_docs = sets.count()
+    doc_parts = max(16, n_docs // 250_000 + 1)
+    coarse = max(64, n_docs // 500 + 1)
+
+    exploded = sets.map_batches(explode_hashes, batch_format="pyarrow")
+    # distributed document-frequency count (8-byte hash rows shuffle)
+    df_tbl = exploded.groupby("h").aggregate(Count(alias_name="df")).map_batches(
+        lambda t: pa.table({"h2": t.column("h"), "df": t.column("df")}),
+        batch_format="pyarrow",
+    )
+    with_df = bucketed_hash_join(exploded, df_tbl, "h", "h2", buckets=join_buckets).drop_columns(
+        ["h2"]
+    )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch.column(id_col).to_numpy() % doc_parts).astype(np.int32)
+        return batch.append_column("__dbk", pa.array(b, pa.int32()))
+
+    prefix = (
+        with_df.map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__dbk")
+        .map_groups(prefix_partition, batch_format="pandas")
+    )
+
+    def add_block_bucket(batch: pa.Table) -> pa.Table:
+        blk = batch.column("block").to_numpy()
+        cb = ((blk * np.int64(1315423911)) % np.int64(coarse)).astype(np.int32)
+        return batch.append_column("__cbk", pa.array(cb, pa.int32()))
+
     cands = (
-        sets.map_batches(prefix_rows, batch_format="pyarrow")
-        .groupby("block")
-        .map_groups(block_cands, batch_format="pandas")
+        prefix.map_batches(add_block_bucket, batch_format="pyarrow")
+        .groupby("__cbk")
+        .map_groups(bucket_cands, batch_format="pyarrow")
         # a pair can share many prefix blocks: dedupe to one row per pair
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
