@@ -148,11 +148,14 @@ def run_scaling() -> dict:
 
     n_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", str(n_lo * 4)))
-    # the scaling corpus is 2x the plain-bench corpus: per-doc compute must
+    # the scaling corpus is 4x the plain-bench corpus: per-doc compute must
     # dominate the fixed per-execution costs (actor-pool spin-up ~2 s,
     # driver dispatch) for the N-vs-4N ratio to reflect the compute's
-    # scaling rather than the constants'
-    scale_rep = os.environ.get("GRAFT_SCALE_REPLICATE", str(REPLICATE * 2))
+    # scaling rather than the constants' -- at 100 TB per-node work dwarfs
+    # spin-up by construction; the bigger corpus models that regime (the
+    # round-2 media-decode memo cut per-doc cost ~30%, which at 2x left the
+    # 16-cpu run at ~16 s where the ~2 s constants depressed the ratio)
+    scale_rep = os.environ.get("GRAFT_SCALE_REPLICATE", str(REPLICATE * 4))
 
     def one(ncpu: int) -> dict:
         env = dict(

@@ -65,32 +65,59 @@ def _resolve_media(media_handle) -> dict[str, bytes]:
 
 
 class _Extractors:
-    """Per-worker extractor state, built once (Worker.java:47-48 analogue)."""
+    """Per-worker extractor state, built once (Worker.java:47-48 analogue).
+
+    OCR / layout parse are pure functions of the payload bytes, and web
+    corpora repeat media refs heavily (logos, icons, shared figures -- the
+    reference's own inputs have 24 lines over 10 distinct URLs), so decode
+    results are memoized per actor in a bounded FIFO map. Output
+    multiplicity is untouched (one row per occurrence, M5); only the
+    redundant decode work disappears. This is the worker-side analogue of
+    the manager's per-URL bookkeeping (Manager.java:50,216)."""
+
+    CACHE_CAP = 4096  # ~MBs of text at most; bound is per actor
 
     def __init__(self, media_handle) -> None:
         self.media = _resolve_media(media_handle)
         self.font = glyph.GlyphFont()
+        self._memo: dict[str, tuple[str, str]] = {}
 
     def text(self, text: str) -> tuple[str, str]:
         return strip_boilerplate(text), STATUS_OK
 
+    def _memo_put(self, ref: str, res: tuple[str, str]) -> tuple[str, str]:
+        if len(self._memo) >= self.CACHE_CAP:
+            self._memo.pop(next(iter(self._memo)))  # FIFO eviction
+        self._memo[ref] = res
+        return res
+
     def image(self, ref: str) -> tuple[str, str]:
+        hit = self._memo.get(ref)
+        if hit is not None:
+            return hit
         payload = self.media.get(ref)
         if payload is None:
-            return SENTINEL_IMAGE_DOWNLOAD, STATUS_DOWNLOAD_ERROR
-        try:
-            return self.font.decode(payload), STATUS_OK
-        except Exception:
-            return SENTINEL_OCR, STATUS_OCR_ERROR
+            res = (SENTINEL_IMAGE_DOWNLOAD, STATUS_DOWNLOAD_ERROR)
+        else:
+            try:
+                res = (self.font.decode(payload), STATUS_OK)
+            except Exception:
+                res = (SENTINEL_OCR, STATUS_OCR_ERROR)
+        return self._memo_put(ref, res)
 
     def pdf(self, ref: str) -> tuple[str, str]:
+        hit = self._memo.get(ref)
+        if hit is not None:
+            return hit
         payload = self.media.get(ref)
         if payload is None:
-            return SENTINEL_PDF_DOWNLOAD, STATUS_DOWNLOAD_ERROR
-        try:
-            return minipdf.reading_order_text(payload), STATUS_OK
-        except Exception:
-            return SENTINEL_PDF_PARSE, STATUS_PARSE_ERROR
+            res = (SENTINEL_PDF_DOWNLOAD, STATUS_DOWNLOAD_ERROR)
+        else:
+            try:
+                res = (minipdf.reading_order_text(payload), STATUS_OK)
+            except Exception:
+                res = (SENTINEL_PDF_PARSE, STATUS_PARSE_ERROR)
+        return self._memo_put(ref, res)
 
 
 class ExtractDispatch:
