@@ -435,6 +435,54 @@ def _q_fingerprints(sf_dir: str):
     return analytics.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_quality_by_lang(sf_dir: str):
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.quality_by_lang(_docs(sf_dir, ["lang", "text"]))
+
+
+def _q_median_order_value(sf_dir: str):
+    """Exact distributed median via iterative histogram bisection (no global
+    sort; pull_limit forces at least one distributed histogram round)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    v = analytics.exact_quantile(ds, "o_totalprice", q=0.5, pull_limit=1000)
+    return pd.DataFrame({"median_cents": [int(np.floor(v * 100 + 0.5))]})
+
+
+def _q_ngram_dedup_keepers(sf_dir: str):
+    """Composed near-dup cleaning: exact-recall Jaccard pairs -> connected
+    components -> keep the min doc per cluster plus all unclustered docs
+    (left anti-join semantics via the bucketed join, scale-safe -- the
+    non-keeper set is never collected to the driver)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+    from distributed_system___ocr_ray.pipelines.relational import bucketed_hash_join
+
+    pairs = analytics.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    clusters = analytics.dedup_clusters(pairs)
+    cl = clusters.map_batches(
+        lambda t: pa.table({"cdoc": t.column("doc_id"), "cluster_id": t.column("cluster_id")}),
+        batch_format="pyarrow",
+    )
+    docs = _docs(sf_dir, ["doc_id"])
+    joined = bucketed_hash_join(docs, cl, "doc_id", "cdoc", how="left")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = batch.column("doc_id")
+        # left-join null padding floats cluster_id: compare in float64
+        cid = pc.cast(batch.column("cluster_id"), pa.float64())
+        mask = pc.or_kleene(pc.is_null(cid), pc.equal(cid, pc.cast(did, pa.float64())))
+        return pa.table({"keeper_doc_id": did.filter(mask)})
+
+    return joined.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_media_metadata(sf_dir: str):
     import ray.data as rd
 
@@ -472,6 +520,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": _q_top_orders_per_segment,
         # text analysis
         "token_count_by_lang": _q_token_count_by_lang,
+        "quality_by_lang": _q_quality_by_lang,
+        "median_order_value": _q_median_order_value,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
@@ -482,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "ngram_dup_clusters": _q_ngram_dup_clusters,
+        "ngram_dedup_keepers": _q_ngram_dedup_keepers,
         "embedding_neardup": _q_embedding_neardup,
         "extract_embed_neardup": _q_extract_embed_neardup,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
@@ -532,26 +583,47 @@ def _lang_id_sql() -> str:
     )
 
 
-def _quality_sql() -> str:
+# quality_ppm expression over the r-CTE's ratio columns (shared between the
+# per-doc and the per-lang oracle)
+_QPPM_EXPR = (
+    "CAST(FLOOR(((len_score * (1.0 - least(greatest(punct_ratio, 0.0), 1.0))) * "
+    "(0.5 + 0.5 * least(greatest(stop_ratio * 5, 0.0), 1.0))) * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+
+def _quality_ctes(extra: str = "") -> str:
     from distributed_system___ocr_ray.functions.textstats import PUNCT_PATTERN, STOPWORDS
 
     all_stop = set().union(*STOPWORDS.values())
+    e = f", {extra}" if extra else ""
     return (
-        "WITH f AS (SELECT doc_id, length(text) AS n_chars, "
+        f"f AS (SELECT doc_id{e}, length(text) AS n_chars, "
         "len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens, "
         f"len(regexp_extract_all(text, '{PUNCT_PATTERN}')) AS n_punct, "
         "len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words, "
         f"{_sql_stop_hits(all_stop)} AS stop_hits FROM documents), "
-        "r AS (SELECT doc_id, n_chars, n_ws_tokens, "
+        f"r AS (SELECT doc_id{e}, n_chars, n_ws_tokens, "
         "CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio, "
         "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio, "
-        "least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS len_score FROM f) "
+        "least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS len_score FROM f)"
+    )
+
+
+def _quality_sql() -> str:
+    return (
+        f"WITH {_quality_ctes()} "
         "SELECT doc_id, n_chars, n_ws_tokens, "
         "CAST(FLOOR(punct_ratio * 1000000.0 + 0.5) AS BIGINT) AS punct_ppm, "
         "CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ppm, "
-        "CAST(FLOOR(((len_score * (1.0 - least(greatest(punct_ratio, 0.0), 1.0))) * "
-        "(0.5 + 0.5 * least(greatest(stop_ratio * 5, 0.0), 1.0))) * 1000000.0 + 0.5) AS BIGINT) "
-        "AS quality_ppm FROM r"
+        f"{_QPPM_EXPR} AS quality_ppm FROM r"
+    )
+
+
+def _quality_by_lang_sql() -> str:
+    return (
+        f"WITH {_quality_ctes('lang')} "
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM({_QPPM_EXPR}) AS BIGINT) AS sum_quality_ppm FROM r GROUP BY lang"
     )
 
 
@@ -643,14 +715,32 @@ _NGRAM_PAIRS_CTES = (
 
 _NGRAM_PAIRS_SQL = f"WITH {_NGRAM_PAIRS_CTES} SELECT doc_a, doc_b, jaccard_ppm FROM pairs"
 
-_NGRAM_CLUSTERS_SQL = (
-    f"WITH RECURSIVE {_NGRAM_PAIRS_CTES}, "
+_NGRAM_CC_CTES = (
+    f"{_NGRAM_PAIRS_CTES}, "
     "edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs "
     "UNION SELECT doc_b, doc_a FROM pairs), "
     "reach AS (SELECT a, b FROM edges "
-    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a) "
-    "SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
-    "FROM reach GROUP BY a"
+    "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+    "cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+    "FROM reach GROUP BY a)"
+)
+
+_NGRAM_CLUSTERS_SQL = (
+    f"WITH RECURSIVE {_NGRAM_CC_CTES} SELECT doc_id, cluster_id FROM cl"
+)
+
+_NGRAM_KEEPERS_SQL = (
+    f"WITH RECURSIVE {_NGRAM_CC_CTES} "
+    "SELECT d.doc_id AS keeper_doc_id FROM documents d "
+    "LEFT JOIN cl ON d.doc_id = cl.doc_id "
+    "WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id"
+)
+
+_MEDIAN_ORDER_SQL = (
+    "WITH s AS (SELECT o_totalprice AS v, "
+    "row_number() OVER (ORDER BY o_totalprice) AS rn, COUNT(*) OVER () AS n FROM orders) "
+    "SELECT CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS median_cents FROM s "
+    "WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)"
 )
 
 _EMBEDDING_NEARDUP_SQL = (
@@ -687,6 +777,9 @@ def oracle_sql() -> dict[str, str]:
         "render_html": _render_html_sql(),
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "ngram_dup_clusters": _NGRAM_CLUSTERS_SQL,
+        "ngram_dedup_keepers": _NGRAM_KEEPERS_SQL,
+        "quality_by_lang": _quality_by_lang_sql(),
+        "median_order_value": _MEDIAN_ORDER_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (

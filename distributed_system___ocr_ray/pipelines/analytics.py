@@ -47,6 +47,28 @@ def quality_scores(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def quality_by_lang(ds, lang_col: str = "lang", text_col: str = "text"):
+    """Per-language quality aggregate over COMPUTED features: each batch
+    derives quality ppm (functions/textstats) and pre-aggregates per lang,
+    the bounded-key final merges in one block (SQL-checkable end-to-end)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        f = ts.quality_features(batch[text_col])
+        f[lang_col] = batch[lang_col].values
+        return f.groupby(lang_col, as_index=False).agg(
+            n_docs=("quality_ppm", "size"), sum_quality_ppm=("quality_ppm", "sum")
+        )
+
+    from .relational import tiny_final_groupby
+
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [lang_col],
+        [("n_docs", "sum"), ("sum_quality_ppm", "sum")],
+        [lang_col, "n_docs", "sum_quality_ppm"],
+    )
+
+
 def language_id(ds, id_col: str = "doc_id", text_col: str = "text"):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({id_col: batch[id_col].values, "pred_lang": ts.lang_id(batch[text_col]).values})
@@ -709,6 +731,89 @@ def dedup_clusters(
         lambda t: pa.table({"doc_id": t.column("node"), "cluster_id": t.column("label")}),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------------------- quantiles
+
+
+def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: int = 100_000):
+    """EXACT distributed quantile without a global sort: iterative histogram
+    bisection. Each round is one bounded pass -- a fixed-width ``bins``-bucket
+    histogram over the current value range, computed as per-batch numpy
+    bincounts summed through a tiny aggregate -- after which the target rank
+    lands in ONE bucket whose population shrinks ~``bins``x per round
+    (log_bins(n) rounds: 3 passes reach 10^11 rows). When the candidate
+    range holds <= ``pull_limit`` values, they are collected and the k-th
+    smallest is read off directly. Only histogram vectors (bins * 8 B) and
+    the final small bucket ever reach the driver.
+
+    Rank convention: k = ceil(q * n) among ascending values (matches the
+    ``row_number() = CEIL(q*n)`` SQL oracle). Returns the value as float.
+    """
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo, hi, n = float(stats[f"min({col})"]), float(stats[f"max({col})"]), int(stats["count()"])
+    if n == 0:
+        raise ValueError("exact_quantile on empty dataset")
+    if hi == lo:
+        return lo  # constant column
+    k = max(1, math.ceil(q * n))  # 1-indexed rank among ascending
+    cur = ds
+
+    def in_range(lo_: float, hi_: float):
+        def _fn(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((v >= lo_) & (v <= hi_)))
+
+        return _fn
+
+    n_within = n
+    while n_within > pull_limit and hi > lo:
+        width = (hi - lo) / bins
+
+        def partial_hist(batch: pa.Table, lo_=lo, width_=width) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            b = np.clip(((v - lo_) / width_).astype(np.int64), 0, bins - 1)
+            counts = np.bincount(b, minlength=bins)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {"bin": pa.array(nz, pa.int64()), "cnt": pa.array(counts[nz], pa.int64())}
+            )
+
+        from .relational import tiny_final_groupby
+
+        hist = tiny_final_groupby(
+            cur.map_batches(partial_hist, batch_format="pyarrow"),
+            ["bin"], [("cnt", "sum")], ["bin", "cnt"],
+        ).to_pandas().sort_values("bin")
+        cum = hist["cnt"].cumsum().to_numpy()
+        idx = int(np.searchsorted(cum, k))
+        b = int(hist["bin"].iloc[idx])
+        k -= int(cum[idx - 1]) if idx > 0 else 0
+        n_within = int(hist["cnt"].iloc[idx])
+        new_lo, new_hi = lo + b * width, lo + (b + 1) * width
+        # re-filter with the SAME bin formula the histogram used (float
+        # boundary consistency); clip keeps the top edge in the last bin
+        def in_bin(batch: pa.Table, lo_=lo, width_=width, b_=b) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            vb = np.clip(((v - lo_) / width_).astype(np.int64), 0, bins - 1)
+            return batch.filter(pa.array(vb == b_))
+
+        cur = cur.map_batches(in_range(lo, hi), batch_format="pyarrow").map_batches(
+            in_bin, batch_format="pyarrow"
+        )
+        lo, hi = new_lo, min(new_hi, hi)
+
+    vals = np.concatenate(
+        [b.column(col).to_numpy(zero_copy_only=False)
+         for b in cur.map_batches(in_range(lo, hi), batch_format="pyarrow")
+                     .select_columns([col]).iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.float64)]
+    )
+    return float(np.partition(vals, k - 1)[k - 1])
 
 
 # ---------------------------------------------------------------- sampling

@@ -312,6 +312,30 @@ class TestTextStats:
         assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
         assert got["price_cents"].tolist() == exp["price_cents"].tolist()
 
+    def test_exact_quantile_vs_duckdb(self):
+        """Histogram-bisection quantile == the rank-k element (several q
+        values; tiny pull_limit forces multiple distributed rounds)."""
+        import math
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+        n = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/events.parquet'").fetchone()[0]
+        for q in (0.1, 0.5, 0.9, 0.99):
+            got = analytics.exact_quantile(ds, "value", q=q, bins=64, pull_limit=50)
+            k = max(1, math.ceil(q * n))
+            exp = duckdb.sql(
+                f"SELECT value FROM '{SF}/events.parquet' ORDER BY value LIMIT 1 OFFSET {k - 1}"
+            ).fetchone()[0]
+            assert got == exp, (q, got, exp)
+        # constant column edge
+        import pandas as pd
+
+        const = rd.from_pandas(pd.DataFrame({"v": [7.5] * 100}))
+        assert analytics.exact_quantile(const, "v", q=0.5) == 7.5
+
     def test_quality_and_langid_and_fingerprint(self):
         import ray.data as rd
 
