@@ -123,6 +123,7 @@ def run_bench() -> dict:
         "ann_topk", "extract_flat_identity", "order_lineitem_join",
         "session_windows", "sliding_windows", "embedding_neardup",
         "ngram_jaccard_pairs", "top_orders_per_segment", "fingerprints",
+        "median_order_value", "quality_by_lang",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -42,8 +42,12 @@ def sha256_hex(texts: list[str]) -> list[str]:
 
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     """Word k-shingles -> uint64 hashes (crc32 pairs for speed; the universe
-    only needs to be collision-sparse, not cryptographic)."""
-    words = text.split()
+    only needs to be collision-sparse, not cryptographic). Tokenization uses
+    the RE2-\\S-equivalent ASCII class (textstats._WS_TOKEN) so the ngram
+    Jaccard DuckDB oracle splits words identically on non-ASCII whitespace."""
+    from .textstats import _WS_TOKEN
+
+    words = _WS_TOKEN.findall(text)
     if len(words) < k:
         shingles = [" ".join(words)] if words else [""]
     else:

@@ -184,8 +184,19 @@ def strip_boilerplate(text: str) -> str:
         closing = tok[1:2] == "/"
         # html.parser parity: '<script/>' fires startendtag (start+end, NO
         # cdata mode), so a self-closing skip tag has no raw body to jump --
-        # entering the skip scan here would discard the rest of the document
-        selfclose = not closing and tok.endswith("/>")
+        # entering the skip scan here would discard the rest of the document.
+        # BUT the trailing '/' of an UNQUOTED attribute value is consumed by
+        # html.parser's attrfind ('<script src=foo/>' is a normal start tag),
+        # so '/>' only self-closes when the '/' follows whitespace, a quote,
+        # or nothing but whitespace/'/' since the tag name.
+        selfclose = False
+        if not closing and tok.endswith("/>"):
+            rest = tok[nm.end() : -2]  # between tag name and the trailing '/>'
+            selfclose = (
+                not rest
+                or rest[-1] in " \t\n\r\f\v\"'"
+                or all(c in " \t\n\r\f\v/" for c in rest)
+            )
         if not closing and tag in _SKIP_TAGS:
             if selfclose:
                 continue

@@ -28,8 +28,11 @@ import zlib
 import numpy as np
 import pandas as pd
 
-# whitespace tokens: SQL-checkable via duckdb regexp_extract_all(text, '\S+')
-_WS_TOKEN = re.compile(r"\S+")
+# whitespace tokens: SQL-checkable via duckdb regexp_extract_all(text, '\S+').
+# RE2's \S means exactly [^ \t\n\f\r] (ASCII, no \v, no unicode spaces) while
+# Python's \S is unicode-aware -- spell the RE2 class out so a document
+# containing U+00A0 / U+000B tokenizes identically on both sides.
+_WS_TOKEN = re.compile(r"[^ \t\n\f\r]+")
 # BPE-ish tokens: word pieces + standalone punctuation
 _BPE_TOKEN = re.compile(r"\w+|[^\w\s]")
 _WORD = re.compile(r"[a-zA-Z]+")

@@ -20,18 +20,32 @@ from ..functions import textstats as ts
 # ---------------------------------------------------------------- text stats
 
 
-def token_count_by_key(ds, key: str = "lang", text_col: str = "text"):
-    """Partial token counts per batch -> tiny groupby. SQL-checkable."""
+def token_count_by_key(ds, key: str = "lang", text_col: str = "text", bounded_key: bool = True):
+    """Partial token counts per batch -> final merge. SQL-checkable.
+
+    ``bounded_key=True`` (default, right for enum-like keys such as lang)
+    finishes with a single-block Arrow merge (skips the sort-shuffle
+    barrier); pass ``bounded_key=False`` for high-cardinality keys (e.g.
+    per-doc counts) to keep the distributed groupby -- the single-block
+    final must hold n_keys x n_partial_blocks rows."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         counts = ts.token_counts(batch[text_col])
         counts[key] = batch[key].values
         return counts.groupby(key, as_index=False).sum()
 
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if not bounded_key:
+        from ray.data.aggregate import Sum
+
+        return partials.groupby(key).aggregate(
+            Sum("n_ws_tokens", alias_name="n_ws_tokens"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
     from .relational import tiny_final_groupby
 
     return tiny_final_groupby(
-        ds.map_batches(partial, batch_format="pandas"),
+        partials,
         [key],
         [("n_ws_tokens", "sum"), ("n_bpe_tokens", "sum")],
         [key, "n_ws_tokens", "n_bpe_tokens"],
@@ -494,7 +508,9 @@ def ngram_jaccard_pairs(
     doc_parts = max(16, n_docs // 250_000 + 1)
     coarse = max(64, n_docs // 500 + 1)
 
-    exploded = sets.map_batches(explode_hashes, batch_format="pyarrow")
+    # materialized: consumed twice (df count + join left side) -- lazy would
+    # re-run the explode pass over every shingle row for each consumer
+    exploded = sets.map_batches(explode_hashes, batch_format="pyarrow").materialize()
     # distributed document-frequency count (8-byte hash rows shuffle)
     df_tbl = exploded.groupby("h").aggregate(Count(alias_name="df")).map_batches(
         lambda t: pa.table({"h2": t.column("h"), "df": t.column("df")}),

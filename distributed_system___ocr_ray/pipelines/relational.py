@@ -222,6 +222,19 @@ def doc_stats_by_source(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def hash_bucket_column(batch: pa.Table, key: str, buckets: int, name: str = "__bucket") -> pa.Table:
+    """Append the engine's ONE hash-partition column:
+    ``pd.util.hash_array(key) % buckets`` as int32. Shared by the bucketed
+    join, the as-of join and session windows so their plans partition
+    identically -- and so a future change (salting hot keys, swapping the
+    hash) happens in exactly one place."""
+    import pandas as _pd
+
+    keys = batch.column(key).to_numpy(zero_copy_only=False)
+    bucket = _pd.util.hash_array(np.ascontiguousarray(keys)) % np.uint64(buckets)
+    return batch.append_column(name, pa.array(bucket.astype(np.int32), pa.int32()))
+
+
 def derive_buckets(n_rows: int, rows_per_bucket: int = 500_000, lo: int = 8, hi: int = 4096) -> int:
     """Size a join/as-of fan-out from the larger side's row count so one
     bucket's rows fit a worker heap regardless of input scale (a fixed B
@@ -252,11 +265,7 @@ def bucketed_hash_join(
 
     def tag(side: str, key: str, other_cols: list[str]):
         def _fn(batch: pa.Table) -> pa.Table:
-            import pandas as _pd
-
-            keys = batch.column(key).to_numpy(zero_copy_only=False)
-            bucket = _pd.util.hash_array(np.ascontiguousarray(keys)) % np.uint64(buckets)
-            batch = batch.append_column("__bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+            batch = hash_bucket_column(batch, key, buckets)
             batch = batch.append_column("__side", pa.array([side] * batch.num_rows, pa.string()))
             # pad the other side's columns with nulls so the union schemas align
             for c, typ in other_cols:
@@ -307,11 +316,7 @@ def asof_join(
 
     def tag(side: str, k: str, pad: list):
         def _fn(batch: pa.Table) -> pa.Table:
-            import pandas as _pd
-
-            keys = batch.column(k).to_numpy(zero_copy_only=False)
-            bucket = _pd.util.hash_array(np.ascontiguousarray(keys)) % np.uint64(buckets)
-            batch = batch.append_column("__bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+            batch = hash_bucket_column(batch, k, buckets)
             batch = batch.append_column("__side", pa.array([side] * batch.num_rows, pa.string()))
             for c, typ in pad:
                 batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
@@ -430,9 +435,7 @@ def session_windows(sf_dir: str, gap_minutes: int = 30, partitions: int | None =
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        bucket = pd.util.hash_array(np.ascontiguousarray(uid)) % np.uint64(partitions)
-        return batch.append_column("__bucket", pa.array(bucket.astype(np.int32), pa.int32()))
+        return hash_bucket_column(batch, "user_id", partitions)
 
     def sessionize_partition(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts"], kind="mergesort")

@@ -150,7 +150,9 @@ def run_extraction_sharded(
         # recorded this very fragment file
         if not (i in committed and committed[i].get("fragment") == os.path.basename(frag["path"]))
     ]
-    committed = set(committed)
+    # skipped = fragments actually pruned (a committed entry that failed the
+    # fragment-identity check is RE-RUN, not skipped)
+    n_skipped = len(man["fragments"]) - len(items)
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
     if items:
@@ -179,7 +181,7 @@ def run_extraction_sharded(
     return {
         "partitions_total": len(entries),
         "partitions_run": len(items),
-        "partitions_skipped_prior": len(committed),
+        "partitions_skipped_prior": n_skipped,
         "rows_in": sum(e["rows_in"] for e in entries.values()),
         "docs_out": sum(e["rows_out"] for e in entries.values()),
         "status_counts": _merge(e.get("status_counts", {}) for e in entries.values()),

@@ -75,20 +75,32 @@ class _Extractors:
     redundant decode work disappears. This is the worker-side analogue of
     the manager's per-URL bookkeeping (Manager.java:50,216)."""
 
-    CACHE_CAP = 4096  # ~MBs of text at most; bound is per actor
+    CACHE_CAP = 4096  # max entries per actor
+    CACHE_MAX_BYTES = 64 * 1024 * 1024  # byte bound: MB-scale decoded texts
+    # (large PDFs) must not accumulate 4096 x MBs per actor
 
     def __init__(self, media_handle) -> None:
         self.media = _resolve_media(media_handle)
         self.font = glyph.GlyphFont()
         self._memo: dict[str, tuple[str, str]] = {}
+        self._memo_bytes = 0
 
     def text(self, text: str) -> tuple[str, str]:
         return strip_boilerplate(text), STATUS_OK
 
     def _memo_put(self, ref: str, res: tuple[str, str]) -> tuple[str, str]:
-        if len(self._memo) >= self.CACHE_CAP:
-            self._memo.pop(next(iter(self._memo)))  # FIFO eviction
-        self._memo[ref] = res
+        cost = len(res[0]) + len(ref) + 64
+        while self._memo and (
+            len(self._memo) >= self.CACHE_CAP
+            or self._memo_bytes + cost > self.CACHE_MAX_BYTES
+        ):
+            # FIFO eviction: oldest insertion first
+            old_ref = next(iter(self._memo))
+            old_res = self._memo.pop(old_ref)
+            self._memo_bytes -= len(old_res[0]) + len(old_ref) + 64
+        if cost <= self.CACHE_MAX_BYTES:
+            self._memo[ref] = res
+            self._memo_bytes += cost
         return res
 
     def image(self, ref: str) -> tuple[str, str]:

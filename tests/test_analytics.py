@@ -312,6 +312,25 @@ class TestTextStats:
         assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
         assert got["price_cents"].tolist() == exp["price_cents"].tolist()
 
+    def test_ws_tokenization_matches_re2_on_unicode_whitespace(self):
+        """The kernels tokenize with the RE2-\\S-equivalent ASCII class, so a
+        doc with NBSP / vertical tab splits identically to DuckDB's '\\S+'
+        (latent-parity guard: shipped corpora are pure ASCII)."""
+        import pandas as pd
+
+        from distributed_system___ocr_ray.functions import dedup as dk
+        from distributed_system___ocr_ray.functions import textstats as ts
+
+        tricky = "a\xa0b c\x0bd e"  # NBSP and \v are TOKEN chars in RE2
+        exp = duckdb.sql("SELECT len(regexp_extract_all(?, '\\S+'))", params=[tricky]).fetchone()[0]
+        got = ts.token_counts(pd.Series([tricky]))["n_ws_tokens"].iloc[0]
+        assert got == exp == 3
+        # shingle tokenization uses the same class
+        exp_words = duckdb.sql(
+            "SELECT regexp_extract_all(?, '\\S+')", params=[tricky]
+        ).fetchone()[0]
+        assert len(dk.shingle_hashes(tricky, k=3)) == max(1, len(exp_words) - 2)
+
     def test_exact_quantile_vs_duckdb(self):
         """Histogram-bisection quantile == the rank-k element (several q
         values; tiny pull_limit forces multiple distributed rounds)."""

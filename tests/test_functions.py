@@ -137,5 +137,14 @@ class TestStripImplementations:
             "<nav/>flush only<p>kept</p>",
             # unclosed skip tag: cdata to EOF on both implementations
             "<p>head</p><script>var x = 1;",
+            # UNQUOTED attribute value ending in '/': html.parser consumes
+            # the '/' into the value, so these are normal START tags (cdata
+            # for script; link depth for a) -- not self-closing
+            "<script src=foo/>mid<p>after</p>",
+            "<a href=http://x.com/>link text</a><p>body</p>",
+            "<nav data-x=1/>flush<p>kept</p>",
+            # quoted value + '/>' IS self-closing
+            "<script src='foo'/><p>survives</p>",
+            "<a href='http://x.com/'/>no link<p>plain</p>",
         ]:
             assert strip_boilerplate(t) == strip_boilerplate_reference(t), repr(t)
