@@ -435,6 +435,13 @@ def _q_fingerprints(sf_dir: str):
     return analytics.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_top_tokens(sf_dir: str):
+    """Exact corpus heavy hitters (top-20 whitespace tokens)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.top_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
 def _q_quality_by_lang(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import analytics
 
@@ -464,21 +471,24 @@ def _q_ngram_dedup_keepers(sf_dir: str):
 
     pairs = analytics.ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
     clusters = analytics.dedup_clusters(pairs)
-    cl = clusters.map_batches(
-        lambda t: pa.table({"cdoc": t.column("doc_id"), "cluster_id": t.column("cluster_id")}),
-        batch_format="pyarrow",
-    )
+
+    def non_keepers(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.not_equal(batch.column("doc_id"), batch.column("cluster_id"))
+        return pa.table({"cdoc": batch.column("doc_id").filter(mask)})
+
+    non = clusters.map_batches(non_keepers, batch_format="pyarrow")
     docs = _docs(sf_dir, ["doc_id"])
-    joined = bucketed_hash_join(docs, cl, "doc_id", "cdoc", how="left")
+    # anti-join by NULL test only -- the left-join's float padding of cdoc
+    # never has its VALUE compared, so 64-bit ids stay precision-safe
+    joined = bucketed_hash_join(docs, non, "doc_id", "cdoc", how="left")
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        did = batch.column("doc_id")
-        # left-join null padding floats cluster_id: compare in float64
-        cid = pc.cast(batch.column("cluster_id"), pa.float64())
-        mask = pc.or_kleene(pc.is_null(cid), pc.equal(cid, pc.cast(did, pa.float64())))
-        return pa.table({"keeper_doc_id": did.filter(mask)})
+        mask = pc.is_null(batch.column("cdoc"))
+        return pa.table({"keeper_doc_id": batch.column("doc_id").filter(mask)})
 
     return joined.map_batches(keep, batch_format="pyarrow")
 
@@ -522,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": _q_token_count_by_lang,
         "quality_by_lang": _q_quality_by_lang,
         "median_order_value": _q_median_order_value,
+        "top_tokens": _q_top_tokens,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
@@ -736,6 +747,12 @@ _NGRAM_KEEPERS_SQL = (
     "WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id"
 )
 
+_TOP_TOKENS_SQL = (
+    "SELECT tk AS token, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT unnest(regexp_extract_all(text, '\\S+')) AS tk FROM documents) "
+    "GROUP BY tk ORDER BY n DESC, tk LIMIT 20"
+)
+
 _MEDIAN_ORDER_SQL = (
     "WITH s AS (SELECT o_totalprice AS v, "
     "row_number() OVER (ORDER BY o_totalprice) AS rn, COUNT(*) OVER () AS n FROM orders) "
@@ -780,6 +797,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup_keepers": _NGRAM_KEEPERS_SQL,
         "quality_by_lang": _quality_by_lang_sql(),
         "median_order_value": _MEDIAN_ORDER_SQL,
+        "top_tokens": _TOP_TOKENS_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (

@@ -143,6 +143,50 @@ def strip_boilerplate_reference(text: str) -> str:
 _TOKEN = re.compile(r"<!(?:--.*?--\s*)?>|<!--.*?-->|<[^>]*>|[^<]+", re.S)
 _TAGNAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _HAS_ENTITY = re.compile(r"&[#a-zA-Z]")
+_WS_CHARS = " \t\n\r\f\v"
+
+
+def _ends_selfclosing(rest: str) -> bool:
+    """Does the '/' before the final '>' self-close the tag, html.parser
+    style? ``rest`` is everything between the tag name and the closing '>'.
+    Mirrors tagfind/attrfind tolerant consumption: whitespace and stray '/'
+    between attributes are separators; an UNQUOTED attribute value runs to
+    the next whitespace and swallows any '/' inside it (so '<a href=x/>' is
+    a normal start tag); a quoted value runs to its matching quote. The tag
+    self-closes iff, after all attributes, only whitespace/'/' remain."""
+    i, n = 0, len(rest)
+    while True:
+        while i < n and rest[i] in _WS_CHARS:
+            i += 1
+        if i >= n:
+            return False  # ended without a trailing '/'
+        if rest[i] == "/":
+            j = i
+            while j < n and (rest[j] in _WS_CHARS or rest[j] == "/"):
+                j += 1
+            if j >= n:
+                return True  # only '/'s and whitespace remain
+            i = j  # stray '/' between attributes: separator, keep walking
+            continue
+        # attribute name (stops at ws, '=', '/')
+        while i < n and rest[i] not in _WS_CHARS and rest[i] not in "=/":
+            i += 1
+        while i < n and rest[i] in _WS_CHARS:
+            i += 1
+        if i < n and rest[i] == "=":
+            i += 1
+            while i < n and rest[i] in _WS_CHARS:
+                i += 1
+            if i < n and rest[i] in "\"'":
+                q = rest[i]
+                i += 1
+                while i < n and rest[i] != q:
+                    i += 1
+                i += 1  # past the closing quote (or end)
+            else:
+                # unquoted value: runs to whitespace, '/' included
+                while i < n and rest[i] not in _WS_CHARS:
+                    i += 1
 
 
 def strip_boilerplate(text: str) -> str:
@@ -185,18 +229,12 @@ def strip_boilerplate(text: str) -> str:
         # html.parser parity: '<script/>' fires startendtag (start+end, NO
         # cdata mode), so a self-closing skip tag has no raw body to jump --
         # entering the skip scan here would discard the rest of the document.
-        # BUT the trailing '/' of an UNQUOTED attribute value is consumed by
-        # html.parser's attrfind ('<script src=foo/>' is a normal start tag),
-        # so '/>' only self-closes when the '/' follows whitespace, a quote,
-        # or nothing but whitespace/'/' since the tag name.
-        selfclose = False
-        if not closing and tok.endswith("/>"):
-            rest = tok[nm.end() : -2]  # between tag name and the trailing '/>'
-            selfclose = (
-                not rest
-                or rest[-1] in " \t\n\r\f\v\"'"
-                or all(c in " \t\n\r\f\v/" for c in rest)
-            )
+        # BUT a '/' can also be the tail of an UNQUOTED attribute value
+        # ('<script src=foo/>' is a normal start tag): decide by walking the
+        # attributes the way html.parser's tolerant attrfind consumes them.
+        selfclose = (
+            not closing and tok.endswith("/>") and _ends_selfclosing(tok[nm.end() : -1])
+        )
         if not closing and tag in _SKIP_TAGS:
             if selfclose:
                 continue

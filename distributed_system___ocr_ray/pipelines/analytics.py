@@ -368,7 +368,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_block_docs: int = 1024,
-    join_buckets: int = 16,
+    join_buckets: int | None = None,
 ):
     """Exact n-gram Jaccard near-dup pairs with GUARANTEED recall via prefix
     filtering (the AllPairs/PPJoin lemma, Bayardo et al. WWW'07): under any
@@ -511,12 +511,23 @@ def ngram_jaccard_pairs(
     # materialized: consumed twice (df count + join left side) -- lazy would
     # re-run the explode pass over every shingle row for each consumer
     exploded = sets.map_batches(explode_hashes, batch_format="pyarrow").materialize()
+    if join_buckets is None:
+        # the exploded (hash, doc) table is the largest join side (one row
+        # per shingle instance, 16 B): size its fan-out from its row count;
+        # the candidate-verification joins carry whole shingle SETS (KB per
+        # row), so they bucket by doc count at a smaller rows-per-bucket
+        from .relational import derive_buckets
+
+        jb_explode = derive_buckets(exploded.count())
+        jb_sets = derive_buckets(n_docs, rows_per_bucket=50_000)
+    else:
+        jb_explode = jb_sets = join_buckets
     # distributed document-frequency count (8-byte hash rows shuffle)
     df_tbl = exploded.groupby("h").aggregate(Count(alias_name="df")).map_batches(
         lambda t: pa.table({"h2": t.column("h"), "df": t.column("df")}),
         batch_format="pyarrow",
     )
-    with_df = bucketed_hash_join(exploded, df_tbl, "h", "h2", buckets=join_buckets).drop_columns(
+    with_df = bucketed_hash_join(exploded, df_tbl, "h", "h2", buckets=jb_explode).drop_columns(
         ["h2"]
     )
 
@@ -552,10 +563,10 @@ def ngram_jaccard_pairs(
         lambda t: pa.table({"b_id": t.column(id_col), "b_sh": t.column("shingles")}),
         batch_format="pyarrow",
     )
-    with_a = bucketed_hash_join(cands, sets_a, "doc_a", "a_id", buckets=join_buckets).drop_columns(
+    with_a = bucketed_hash_join(cands, sets_a, "doc_a", "a_id", buckets=jb_sets).drop_columns(
         ["a_id"]
     )
-    with_ab = bucketed_hash_join(with_a, sets_b, "doc_b", "b_id", buckets=join_buckets).drop_columns(
+    with_ab = bucketed_hash_join(with_a, sets_b, "doc_b", "b_id", buckets=jb_sets).drop_columns(
         ["b_id"]
     )
     pairs = with_ab.map_batches(verify, batch_format="pyarrow")
@@ -749,6 +760,39 @@ def dedup_clusters(
     )
 
 
+def top_tokens(ds, text_col: str = "text", k: int = 20):
+    """Exact corpus-wide heavy hitters: top-k whitespace tokens by total
+    count (ties broken by token asc). Per-batch vectorized token counting
+    (one pandas value_counts per batch -> one row per distinct token per
+    batch) -> distributed groupby(token) sum (token cardinality is
+    unbounded: the shuffle moves (token, count) partials, never text) ->
+    global top-k via sort + limit on the count table."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(ts._WS_TOKEN).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    # per-block partial top-k then a single tiny merge: the global sort
+    # would shuffle EVERY distinct token to produce 20 rows
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "token"], ascending=[False, True]).head(k)
+
+    return (
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+    )
+
+
 # --------------------------------------------------------------- quantiles
 
 
@@ -778,14 +822,6 @@ def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: i
         return lo  # constant column
     k = max(1, math.ceil(q * n))  # 1-indexed rank among ascending
     cur = ds
-
-    def in_range(lo_: float, hi_: float):
-        def _fn(batch: pa.Table) -> pa.Table:
-            v = batch.column(col).to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array((v >= lo_) & (v <= hi_)))
-
-        return _fn
-
     n_within = n
     while n_within > pull_limit and hi > lo:
         width = (hi - lo) / bins
@@ -810,23 +846,22 @@ def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: i
         b = int(hist["bin"].iloc[idx])
         k -= int(cum[idx - 1]) if idx > 0 else 0
         n_within = int(hist["cnt"].iloc[idx])
-        new_lo, new_hi = lo + b * width, lo + (b + 1) * width
-        # re-filter with the SAME bin formula the histogram used (float
-        # boundary consistency); clip keeps the top edge in the last bin
+        # narrow EXCLUSIVELY with the same bin formula the histogram used --
+        # a separate >=/<= range filter can disagree with floor((v-lo)/width)
+        # in the last float ulp at a bucket boundary and drop a counted value
         def in_bin(batch: pa.Table, lo_=lo, width_=width, b_=b) -> pa.Table:
             v = batch.column(col).to_numpy(zero_copy_only=False)
             vb = np.clip(((v - lo_) / width_).astype(np.int64), 0, bins - 1)
             return batch.filter(pa.array(vb == b_))
 
-        cur = cur.map_batches(in_range(lo, hi), batch_format="pyarrow").map_batches(
-            in_bin, batch_format="pyarrow"
-        )
-        lo, hi = new_lo, min(new_hi, hi)
+        cur = cur.map_batches(in_bin, batch_format="pyarrow")
+        # the next round's histogram spans the selected bucket (approximate
+        # float bounds are fine: its bin formula re-clips into [0, bins))
+        lo, hi = lo + b * width, min(lo + (b + 1) * width, hi)
 
     vals = np.concatenate(
         [b.column(col).to_numpy(zero_copy_only=False)
-         for b in cur.map_batches(in_range(lo, hi), batch_format="pyarrow")
-                     .select_columns([col]).iter_batches(batch_format="pyarrow")]
+         for b in cur.select_columns([col]).iter_batches(batch_format="pyarrow")]
         or [np.array([], dtype=np.float64)]
     )
     return float(np.partition(vals, k - 1)[k - 1])

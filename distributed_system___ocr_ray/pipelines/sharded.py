@@ -142,6 +142,12 @@ def run_extraction_sharded(
     manifest.check_job(
         {"plan": "sharded", "input_table": os.path.abspath(docs_dir)}, enforce=resume
     )
+    # an overwrite rewrite that SHRANK the table leaves committed indices
+    # beyond the new fragment list: retire them (entry + data file) so the
+    # published output never mixes old-version partitions with new ones
+    n_frags = len(man["fragments"])
+    for stale in [i for i in manifest.committed() if i >= n_frags]:
+        manifest.retire(stale)
     committed = manifest.committed() if resume else {}
     items = [
         {"part": i, "path": os.path.join(docs_dir, frag["path"])}

@@ -71,9 +71,13 @@ class CheckpointManifest:
         resume with e.g. a different ``num_partitions`` would prune spans by
         the NEW hash%P against part ids committed under the OLD P and
         silently drop documents (ADVICE r1). ``enforce=False`` (fresh run,
-        resume disabled) rewrites the entry instead of comparing."""
+        resume disabled) PURGES any previously committed partitions and
+        rewrites the entry -- stale parts from an old partitioning must not
+        survive into the new output (they would double documents)."""
         self.ensure()
         path = os.path.join(self.dir, self.JOB_FILE)
+        if not enforce:
+            self.purge()
         if os.path.exists(path) and enforce:
             with open(path) as f:
                 committed = json.load(f)
@@ -113,6 +117,21 @@ class CheckpointManifest:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.dir, f"part-{part}.json"))
         fsync_dir(self.dir)
+
+    def retire(self, part: int) -> None:
+        """Invalidate a committed partition (manifest entry + data file) --
+        used when the input table shrank (stale fragment indices) or a fresh
+        run rewrites the job parameters."""
+        for p in (os.path.join(self.dir, f"part-{part}.json"), self.partition_path(part)):
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
+
+    def purge(self) -> None:
+        """Retire every committed partition (fresh-run semantics)."""
+        for part in list(self.committed()):
+            self.retire(part)
 
     def committed_one(self, part: int) -> dict | None:
         """Single-entry lookup (the commit hot path must not scan all P

@@ -138,6 +138,49 @@ class TestResumeValidation:
         _assert_span_equality(a, b)
 
 
+class TestStalePartitionRetirement:
+    def test_sharded_shrinking_overwrite_retires_stale(self, tmp_path, ray_session):
+        """Overwrite rewrite with FEWER fragments: committed indices beyond
+        the new fragment list must be retired, not mixed into the output."""
+        from distributed_system___ocr_ray.pipelines.extract import load_output
+        from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+
+        store = corpus.build_media_store(seed=15)
+        docs_dir = str(tmp_path / "docs")
+        lance_like.write_table(corpus.build_documents(n_docs=60, seed=15), docs_dir,
+                               rows_per_fragment=20)  # 3 frags
+        out = str(tmp_path / "out")
+        run_extraction_sharded(docs_dir, store, out, concurrency=2)
+
+        v2 = corpus.build_documents(n_docs=40, seed=16)  # 2 frags only
+        lance_like.write_table(v2, docs_dir, rows_per_fragment=20, mode="overwrite")
+        m = run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        assert m["partitions_total"] == 2
+
+        clean = str(tmp_path / "clean")
+        run_extraction_sharded(docs_dir, store, clean, concurrency=2)
+        a = _sorted_output(load_output(out))
+        b = _sorted_output(load_output(clean))
+        _assert_span_equality(a, b)
+
+    def test_shuffle_fresh_run_purges_stale_parts(self, tmp_path, ray_session):
+        """resume=False into an out_dir committed under a different P must
+        purge the old parts -- otherwise documents double in the output."""
+        from distributed_system___ocr_ray.pipelines.extract import load_output, run_extraction
+
+        docs = corpus.build_documents(n_docs=40, seed=17)
+        store = corpus.build_media_store(seed=17)
+        out = str(tmp_path / "out")
+        run_extraction(docs, store, out, num_partitions=8, concurrency=2)
+        m = run_extraction(docs, store, out, num_partitions=4, resume=False, concurrency=2)
+        got = load_output(out)
+        assert got.count() == m["docs_out"]  # no doubled documents
+
+        clean = str(tmp_path / "clean")
+        run_extraction(docs, store, clean, num_partitions=4, concurrency=2)
+        _assert_span_equality(_sorted_output(got), _sorted_output(load_output(clean)))
+
+
 class TestConcurrentJobs:
     def test_two_jobs_kill_then_resume(self, tmp_path, ray_session):
         """Two extraction jobs (distinct output roots) share one Ray session

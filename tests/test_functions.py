@@ -146,5 +146,12 @@ class TestStripImplementations:
             # quoted value + '/>' IS self-closing
             "<script src='foo'/><p>survives</p>",
             "<a href='http://x.com/'/>no link<p>plain</p>",
+            # a QUOTE inside an unquoted value is part of the value: these
+            # are normal start tags, not self-closing
+            '<script title=foo"/>rest of doc<p>paragraph text here</p>',
+            '<a href=x"/>link text</a><p>body here</p>',
+            # stray '/' between attributes is a separator
+            "<script / src='x'/><p>kept</p>",
+            "<script //>cdata-or-selfclose<p>x</p>",
         ]:
             assert strip_boilerplate(t) == strip_boilerplate_reference(t), repr(t)
