@@ -493,6 +493,48 @@ def _q_ngram_dedup_keepers(sf_dir: str):
     return joined.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_training_corpus_counts(sf_dir: str):
+    """The COMPOSED training-data prep pipeline end-to-end through the
+    engine: extract (flat wrap: identity on tag-free text) -> quality filter
+    (quality_ppm >= 400000) -> exact dedup keep-first -> deterministic
+    md5 train/val/test split -> per-split counts. Every stage is the real
+    operator other queries use individually; the flat wrap keeps the whole
+    composition exactly SQL-checkable."""
+    import pandas as pd
+
+    from distributed_system___ocr_ray.functions import textstats as ts
+    from distributed_system___ocr_ray.pipelines import analytics
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import wrap
+
+    out = pipeline.extract_dataset(wrap.flat_as_spans(sf_dir), {}, num_partitions=32)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ids = [int(d.split("-")[1]) for d in batch.column("doc_id").to_pylist()]
+        texts = [s[0]["text"] for s in batch.column("spans").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())})
+
+    def quality_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        ppm = ts.quality_features(batch["text"])["quality_ppm"]
+        return batch[ppm.to_numpy() >= 400_000]
+
+    filt = out.map_batches(flatten, batch_format="pyarrow").map_batches(
+        quality_filter, batch_format="pandas"
+    )
+    keepers = analytics.exact_dedup(filt, id_col="doc_id", text_col="text")
+    split = analytics.train_val_test_split(keepers.select_columns(["doc_id"]))
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["split"].value_counts()
+        return pd.DataFrame({"split": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    return tiny_final_groupby(
+        split.map_batches(partial_counts, batch_format="pandas"),
+        ["split"], [("n", "sum")], ["split", "n_docs"],
+    )
+
+
 def _q_media_metadata(sf_dir: str):
     import ray.data as rd
 
@@ -550,6 +592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_keepers": _q_clean_corpus_keepers,
         "sample_docs": _q_sample_docs,
         "dataset_split_counts": _q_dataset_split_counts,
+        "training_corpus_counts": _q_training_corpus_counts,
         # similarity search
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -627,6 +670,22 @@ def _quality_sql() -> str:
         "CAST(FLOOR(punct_ratio * 1000000.0 + 0.5) AS BIGINT) AS punct_ppm, "
         "CAST(FLOOR(stop_ratio * 1000000.0 + 0.5) AS BIGINT) AS stop_ppm, "
         f"{_QPPM_EXPR} AS quality_ppm FROM r"
+    )
+
+
+def _training_corpus_sql() -> str:
+    """End-to-end composed-pipeline oracle: quality CTE (same expressions as
+    the per-doc oracle) -> ppm filter -> keep-first dedup -> md5 split ->
+    counts."""
+    return (
+        f"WITH {_quality_ctes('text')}, "
+        "filt AS (SELECT doc_id, text FROM r "
+        f"WHERE trim(text) <> '' AND {_QPPM_EXPR} >= 400000), "
+        "ded AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY text), "
+        "s AS (SELECT CASE WHEN h < '19999999' THEN 'val' "
+        "WHEN h < '33333333' THEN 'test' ELSE 'train' END AS split FROM "
+        "(SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM ded)) "
+        "SELECT split, COUNT(*) AS n_docs FROM s GROUP BY split"
     )
 
 
@@ -798,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_lang": _quality_by_lang_sql(),
         "median_order_value": _MEDIAN_ORDER_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
+        "training_corpus_counts": _training_corpus_sql(),
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (
