@@ -222,8 +222,13 @@ def _q_sliding_windows(sf_dir: str):
 
 
 def _q_approx_distinct_users(sf_dir: str):
-    """HyperLogLog approximate distinct users (mergeable sketch partial/final;
-    rows-only -- approximate by design, tolerance-tested vs exact in tests)."""
+    """HyperLogLog approximate distinct users (mergeable sketch partial/final).
+
+    Approximate vs the TRUE cardinality, but a deterministic function of the
+    data: the md5-prefix hash, register maxima, bias-corrected estimator and
+    linear-counting branch are all replayed exactly by the DuckDB oracle, so
+    the estimate itself is hash-compared (rounded to integer -- the only
+    float ops are the final estimator arithmetic, identical on both sides)."""
     import pandas as pd
     import ray.data as rd
 
@@ -231,7 +236,7 @@ def _q_approx_distinct_users(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pd.DataFrame({"approx_distinct_users": [round(est, 2)]})
+    return pd.DataFrame({"approx_distinct_users": [int(np.floor(est + 0.5))]})
 
 
 def _q_top_orders_per_segment(sf_dir: str):
@@ -283,13 +288,24 @@ def _pairs_df(ds, columns: dict[str, str]):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs. est_jaccard is k/64 (k = matching
+    signature positions), reported as the integer k so the DuckDB oracle --
+    which replays shingling, the md5 shingle hash, all 64 seeded
+    permutations, banding, the bucket skew cap and the candidate join in
+    SQL -- compares exactly. Oracle caveat: band buckets keyed by value
+    equality in SQL vs crc32 of the band slice in the engine (a 2^-32
+    collision would only ADD an engine candidate)."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     out = analytics.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6)
-    return _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})
+    df = _pairs_df(out, {"doc_a": "int64", "doc_b": "int64", "est_jaccard": "float64"})
+    df["n_match"] = (df.pop("est_jaccard") * 64).round().astype("int64")
+    return df
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs; the DuckDB oracle replays the md5 token hash,
+    per-bit majority vote, band blocking and Hamming filter in SQL."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     out = analytics.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
@@ -343,7 +359,8 @@ def _q_extract_embed_neardup(sf_dir: str):
 
 def _q_minhash_dup_clusters(sf_dir: str):
     """Near-dup clusters: MinHash-LSH pairs -> connected components via
-    iterative min-label propagation (rows-only; iterative, not SQL)."""
+    iterative min-label propagation. The DuckDB oracle replays the full
+    MinHash pair SQL plus a recursive-CTE transitive closure."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     pairs = analytics.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6)
@@ -761,10 +778,10 @@ def _render_html_sql() -> str:
     )
 
 
-# exact word-3-gram Jaccard pair set (threshold 0.5) -- shared CTE body for
-# the pair and cluster oracles; jaccard as integer ppm (identical float64
-# division then floor on both sides)
-_NGRAM_PAIRS_CTES = (
+# distinct word-3-gram shingle strings per document (with the <3-words
+# fallback matching dedup.shingle_hashes) -- shared by the ngram-Jaccard AND
+# MinHash oracles, so both families tokenize/shingle identically in SQL
+_SHINGLE_CTES = (
     "ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
     "base AS (SELECT doc_id, len(w) AS nw, w FROM ws), "
     "tok AS (SELECT doc_id, unnest(w) AS tk, unnest(generate_series(1, len(w))) AS i "
@@ -773,7 +790,14 @@ _NGRAM_PAIRS_CTES = (
     "lead(tk, 2) OVER win AS s FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
     "QUALIFY lead(tk, 2) OVER win IS NOT NULL), "
     "shsmall AS (SELECT doc_id, array_to_string(w, ' ') AS s FROM base WHERE nw < 3), "
-    "sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall), "
+    "sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall)"
+)
+
+# exact word-3-gram Jaccard pair set (threshold 0.5) -- shared CTE body for
+# the pair and cluster oracles; jaccard as integer ppm (identical float64
+# division then floor on both sides)
+_NGRAM_PAIRS_CTES = (
+    f"{_SHINGLE_CTES}, "
     "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i "
     "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
@@ -825,6 +849,152 @@ _EMBEDDING_NEARDUP_SQL = (
     "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
 )
 
+# uint64 from the first 8 md5 digest bytes -- the exact value
+# functions/dedup.md5_u64 computes (big-endian prefix)
+_MD5U64 = "CAST(('0x' || substr(md5({v}), 1, 16)) AS UBIGINT)"
+
+
+def _minhash_ctes(threshold: float = 0.6, num_perm: int = 64, bands: int = 16,
+                  seed: int = 7) -> str:
+    """Replay of pipelines/analytics.minhash_lsh_pairs in SQL: the same
+    md5-prefix shingle hash, the same 64 seeded permutation constants
+    (embedded as literals from the very MinHasher the engine builds), the
+    same uint64-wrap-then-Mersenne arithmetic via HUGEINT, LSH banding by
+    value equality, the engine's bucket skew cap (representative-only
+    pairing past _MAX_GROUP_SIZE, the bkc CTE), and the est >= threshold
+    filter on candidate pairs. One documented deviation: the engine keys
+    band buckets by crc32 of the slice, so a 2^-32 crc collision could ADD
+    an engine candidate (which still must pass the est filter)."""
+    from distributed_system___ocr_ray.functions import dedup as dk
+
+    mh = dk.MinHasher(num_perm=num_perm, seed=seed)
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    r = num_perm // bands
+    hsh = _MD5U64.format(v="s")
+    return (
+        f"{_SHINGLE_CTES}, "
+        f"hsh AS (SELECT doc_id, {hsh} AS h FROM sh), "
+        f"perm(i, pa, pb) AS (VALUES {perms}), "
+        "sigv AS (SELECT h.doc_id, p.i AS i, "
+        "MIN(((CAST(p.pa AS HUGEINT) * h.h + p.pb) % 18446744073709551616) "
+        "% 2305843009213693951) AS v "
+        "FROM hsh h CROSS JOIN perm p GROUP BY h.doc_id, p.i), "
+        f"bk AS (SELECT doc_id, i // {r} AS band, "
+        "string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS bkey "
+        "FROM sigv GROUP BY doc_id, band), "
+        # group_pairs' skew cap: a bucket over _MAX_GROUP_SIZE members pairs
+        # each member with the bucket's min id (the representative) only
+        "bkc AS (SELECT band, bkey, COUNT(*) AS n, MIN(doc_id) AS rep "
+        "FROM bk GROUP BY band, bkey), "
+        "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bk a "
+        "JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
+        "JOIN bkc c ON c.band = a.band AND c.bkey = a.bkey "
+        f"WHERE c.n <= {dk._MAX_GROUP_SIZE} OR a.doc_id = c.rep), "
+        "nm AS (SELECT c.doc_a, c.doc_b, "
+        "CAST(SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS BIGINT) AS n_match "
+        "FROM cand c JOIN sigv sa ON sa.doc_id = c.doc_a "
+        "JOIN sigv sb ON sb.doc_id = c.doc_b AND sb.i = sa.i "
+        "GROUP BY c.doc_a, c.doc_b), "
+        "mpairs AS (SELECT doc_a, doc_b, n_match FROM nm "
+        f"WHERE CAST(n_match AS DOUBLE) / {num_perm}.0 >= {threshold})"
+    )
+
+
+def _minhash_pairs_sql() -> str:
+    return f"WITH {_minhash_ctes()} SELECT doc_a, doc_b, n_match FROM mpairs"
+
+
+def _minhash_clusters_sql() -> str:
+    """Connected components (min doc_id per component) over the SQL-replayed
+    MinHash pair graph -- same recursive-closure pattern as the ngram
+    cluster oracle."""
+    return (
+        f"WITH RECURSIVE {_minhash_ctes()}, "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM mpairs "
+        "UNION SELECT doc_b, doc_a FROM mpairs), "
+        "reach AS (SELECT a, b FROM edges "
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+        "cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY a) "
+        "SELECT doc_id, cluster_id FROM cl"
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Replay of pipelines/analytics.simhash_pairs: per-token-occurrence
+    md5-prefix hash, per-bit majority vote (bit p of the simhash is
+    sum(2*((h>>p)&1)-1) > 0 -- the identity dedup.simhash64's
+    unpackbits/packbits round trip computes), 16-bit band blocking, and
+    Hamming <= max_hamming via bit_count(xor). The engine's bucket skew cap
+    (over _MAX_GROUP_SIZE members -> representative-only pairing) is modeled
+    exactly by the sbc CTE."""
+    from distributed_system___ocr_ray.functions import dedup as dk
+
+    _SIMHASH_CAP = dk._MAX_GROUP_SIZE
+    th = _MD5U64.format(v="tk")
+    return (
+        "WITH tw AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tk "
+        "FROM documents), "
+        f"th AS (SELECT doc_id, {th} AS h FROM tw), "
+        "bitv AS (SELECT doc_id, g.p AS p, "
+        "SUM(CASE WHEN (h >> CAST(g.p AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v "
+        "FROM th CROSS JOIN generate_series(0, 63) g(p) GROUP BY doc_id, g.p), "
+        "shv AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN "
+        "(CAST(1 AS UBIGINT) << CAST(p AS INTEGER)) ELSE 0 END) AS UBIGINT) AS sh "
+        "FROM bitv GROUP BY doc_id), "
+        "shall AS (SELECT d.doc_id, CAST(COALESCE(s.sh, 0) AS UBIGINT) AS sh "
+        "FROM documents d LEFT JOIN shv s ON d.doc_id = s.doc_id), "
+        "sb AS (SELECT doc_id, gb.b AS band, "
+        "CAST((sh >> CAST(16 * gb.b AS INTEGER)) & 65535 AS BIGINT) AS bkey, sh "
+        "FROM shall CROSS JOIN generate_series(0, 3) gb(b)), "
+        # the engine's bucket cap: over _MAX_GROUP_SIZE members, pair each
+        # member with the bucket's min id (representative) only
+        "sbc AS (SELECT band, bkey, COUNT(*) AS n, MIN(doc_id) AS rep "
+        "FROM sb GROUP BY band, bkey), "
+        "scand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.sh AS sha, b.sh AS shb FROM sb a "
+        "JOIN sb b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
+        "JOIN sbc c ON c.band = a.band AND c.bkey = a.bkey "
+        f"WHERE c.n <= {_SIMHASH_CAP} OR a.doc_id = c.rep) "
+        "SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming "
+        f"FROM scand WHERE bit_count(xor(sha, shb)) <= {max_hamming}"
+    )
+
+
+def _approx_distinct_sql(p: int = 12) -> str:
+    """Replay of functions/sketches.HyperLogLog: md5-prefix 64-bit hash,
+    idx = top p bits, rest = (h << p) | ones (the wrap emulated via
+    HUGEINT mod), rank = leading zeros + 1 (MIN set-bit position),
+    register maxima over 2^p registers (absent = 0), then the exact
+    estimator: alpha*m^2/sum(2^-reg) with the linear-counting branch.
+    The only float arithmetic is the final estimator, computed by the same
+    double ops on both sides; the estimate is compared as a rounded
+    integer."""
+    m = 1 << p
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    h = _MD5U64.format(v="CAST(user_id AS VARCHAR)")
+    return (
+        "WITH v AS (SELECT DISTINCT user_id FROM events), "
+        f"h AS (SELECT {h} AS h FROM v), "
+        f"rr AS (SELECT CAST(h >> {64 - p} AS BIGINT) AS idx, "
+        f"CAST((CAST(h AS HUGEINT) % CAST({1 << (64 - p)} AS HUGEINT)) "
+        f"* {1 << p} + {(1 << p) - 1} AS UBIGINT) AS rest FROM h), "
+        "rk AS (SELECT idx, MIN(g.k) AS rank FROM rr "
+        "CROSS JOIN generate_series(1, 64) g(k) "
+        "WHERE (rest >> CAST(64 - g.k AS INTEGER)) & 1 = 1 GROUP BY idx), "
+        "reg AS (SELECT idx, MAX(rank) AS r FROM rk GROUP BY idx), "
+        f"allr AS (SELECT gs.i AS idx, COALESCE(reg.r, 0) AS r "
+        f"FROM generate_series(0, {m - 1}) gs(i) LEFT JOIN reg ON reg.idx = gs.i), "
+        f"e AS (SELECT CAST({alpha} AS DOUBLE) * CAST({m * m} AS DOUBLE) "
+        "/ SUM(power(2.0, -r)) AS est0, "
+        "SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros FROM allr) "
+        f"SELECT CAST(FLOOR((CASE WHEN est0 <= CAST({m} AS DOUBLE) * 2.5 AND zeros > 0 "
+        f"THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros) ELSE est0 END) "
+        "+ 0.5) AS BIGINT) AS approx_distinct_users FROM e"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -859,6 +1029,10 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "minhash_pairs": _minhash_pairs_sql(),
+        "minhash_dup_clusters": _minhash_clusters_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "approx_distinct_users": _approx_distinct_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (
             "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -40,10 +40,20 @@ def sha256_hex(texts: list[str]) -> list[str]:
     return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
 
 
+def md5_u64(data: bytes) -> int:
+    """First 8 md5 digest bytes, big-endian -> uint64.
+
+    The one shingle/token hash used by the MinHash and SimHash kernels:
+    md5 is in C (hashlib) AND in DuckDB, and the big-endian prefix equals
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` exactly, which is what lets
+    the pair-family oracles replay the whole signature computation in SQL."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
 def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles -> uint64 hashes (crc32 pairs for speed; the universe
-    only needs to be collision-sparse, not cryptographic). Tokenization uses
-    the RE2-\\S-equivalent ASCII class (textstats._WS_TOKEN) so the ngram
+    """Word k-shingles -> uint64 hashes (md5 prefix: C-speed and
+    DuckDB-replayable -- see ``md5_u64``). Tokenization uses the
+    RE2-\\S-equivalent ASCII class (textstats._WS_TOKEN) so the ngram
     Jaccard DuckDB oracle splits words identically on non-ASCII whitespace."""
     from .textstats import _WS_TOKEN
 
@@ -54,8 +64,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
         shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
-        b = s.encode("utf-8")
-        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+        out[i] = md5_u64(s.encode("utf-8"))
     return out
 
 
@@ -91,16 +100,20 @@ def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens weighted by count (vectorized:
-    one crc pass per token, then a single unpackbits/sum over the batch)."""
-    toks = text.split()
+    """64-bit SimHash over whitespace tokens weighted by count (one md5 pass
+    per token occurrence, then a single unpackbits/sum over the batch).
+
+    Tokenization is textstats._WS_TOKEN (same class every text oracle uses)
+    and the token hash is ``md5_u64``, so bit ``p`` of the result is exactly
+    ``sum_tokens(2*((h >> p) & 1) - 1) > 0`` -- the identity the DuckDB
+    ``simhash_pairs`` oracle replays with a generate_series(0,63) vote."""
+    from .textstats import _WS_TOKEN
+
+    toks = _WS_TOKEN.findall(text)
     if not toks:
         return 0
     hs = np.fromiter(
-        (
-            (zlib.crc32(b) << 32) | zlib.crc32(b + b"\x01")
-            for b in (t.encode("utf-8") for t in toks)
-        ),
+        (md5_u64(t.encode("utf-8")) for t in toks),
         dtype=np.uint64,
         count=len(toks),
     )

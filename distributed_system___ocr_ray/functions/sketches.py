@@ -5,8 +5,11 @@ extras built for the Ray partial/merge pattern (ray_guide "Aggregation at
 scale"): one serialized sketch per batch inside ``map_batches``, merged in a
 tiny second stage -- the shuffle moves KB-sized register arrays, never rows.
 
-HyperLogLog: dense, ``2^p`` uint8 registers, 64-bit hashes (sha1-derived,
-deterministic -- no randomness in the data path). Standard bias-corrected
+HyperLogLog: dense, ``2^p`` uint8 registers, 64-bit hashes (md5-prefix,
+deterministic -- no randomness in the data path; the same value DuckDB
+computes as ``('0x' || substr(md5(v), 1, 16))::UBIGINT``, which is what lets
+the ``approx_distinct_users`` oracle replay the whole sketch -- registers,
+estimator, linear-counting branch -- in SQL). Standard bias-corrected
 estimator with linear counting for the small range.
 """
 
@@ -29,7 +32,8 @@ class HyperLogLog:
         out = np.empty(len(values), dtype=np.uint64)
         for i, v in enumerate(values):
             b = v if isinstance(v, bytes) else str(v).encode("utf-8")
-            out[i] = struct.unpack("<Q", hashlib.sha1(b).digest()[:8])[0]
+            # big-endian md5 prefix == DuckDB ('0x'||substr(md5(v),1,16))
+            out[i] = int.from_bytes(hashlib.md5(b).digest()[:8], "big")
         return out
 
     def add_many(self, values) -> "HyperLogLog":

@@ -90,3 +90,46 @@ def test_entry_smoke():
     df = _to_pandas(ds)
     assert len(df) == 500
     assert set(df.columns) == {"doc_id", "spans"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pair_oracle_models_group_cap():
+    """The pair-family oracles replay the engine's bucket skew cap: past
+    _MAX_GROUP_SIZE members a bucket pairs each member with its min-id
+    representative only (dedup.group_pairs / simhash bucket_pairs). 70
+    identical documents force one 70-member bucket in both families; engine
+    output and oracle SQL must agree exactly -- 69 representative pairs from
+    that cluster, not C(70,2)."""
+    import ray.data as rd
+
+    import __ray_entry__ as entry_mod
+    from distributed_system___ocr_ray.functions import dedup as dk
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    n_dup = dk._MAX_GROUP_SIZE + 6
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    texts = [base] * n_dup + [
+        f"unique filler document number {i} carrying distinct words w{i * 7} w{i * 11}"
+        for i in range(10)
+    ]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    con2 = duckdb.connect()
+    con2.register("documents", docs)
+    ds = rd.from_pandas(docs)
+
+    def canon_pairs(df, val):
+        df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return list(zip(df.doc_a.astype(int), df.doc_b.astype(int), df[val].astype(int)))
+
+    sim = analytics.simhash_pairs(ds, max_hamming=3).to_pandas()
+    sim_sql = con2.execute(entry_mod._simhash_pairs_sql()).df()
+    assert canon_pairs(sim, "hamming") == canon_pairs(sim_sql, "hamming")
+    dup_pairs = sim[(sim.doc_a < n_dup) & (sim.doc_b < n_dup)]
+    assert len(dup_pairs) == n_dup - 1 and (dup_pairs.doc_a == 0).all()
+
+    mh = analytics.minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    mh["n_match"] = (mh.pop("est_jaccard") * 64).round().astype("int64")
+    mh_sql = con2.execute(entry_mod._minhash_pairs_sql()).df()
+    assert canon_pairs(mh, "n_match") == canon_pairs(mh_sql, "n_match")
+    mdup = mh[(mh.doc_a < n_dup) & (mh.doc_b < n_dup)]
+    assert len(mdup) == n_dup - 1 and (mdup.doc_a == 0).all()
