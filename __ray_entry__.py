@@ -452,6 +452,23 @@ def _q_fingerprints(sf_dir: str):
     return analytics.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
 
 
+# canonical BM25 query set (terms drawn from the corpus vocabulary); shared
+# verbatim by the engine query and the SQL oracle so idf/tf constants align
+_BM25_QUERIES = ["hash join table", "window agg stream", "fast merge sort scan"]
+_BM25_K = 10
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25 top-k docs per query (broadcast query set, one corpus pass,
+    integer-ppm scores -- see analytics.bm25_topk). The DuckDB oracle
+    replays tokenization, df/idf, the per-term ppm floor and the ranked
+    QUALIFY top-k exactly."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.bm25_topk(_docs(sf_dir, ["doc_id", "text"]), _BM25_QUERIES, k=_BM25_K)
+    return _pairs_df(out, {"query_id": "int64", "doc_id": "int64", "score_ppm": "int64"})
+
+
 def _q_top_tokens(sf_dir: str):
     """Exact corpus heavy hitters (top-20 whitespace tokens)."""
     from distributed_system___ocr_ray.pipelines import analytics
@@ -610,9 +627,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "dataset_split_counts": _q_dataset_split_counts,
         "training_corpus_counts": _q_training_corpus_counts,
-        # similarity search
+        # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "bm25_topk": _q_bm25_topk,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -963,6 +981,56 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     )
 
 
+def _bm25_sql(queries: list[str] | None = None, k: int | None = None,
+              k1: float = 1.2, b: float = 0.75) -> str:
+    """Replay of pipelines/analytics.bm25_topk: same [a-z0-9]+ lowercase
+    tokenization, same Lucene idf ln(1 + (N-df+0.5)/(df+0.5)), the same
+    double arithmetic written with the engine's evaluation order and
+    repr()-exact constant literals, per-TERM ppm floor then INTEGER sum
+    (order-independent on both sides), ranked top-k with the (score desc,
+    doc_id asc) tie-break."""
+    import re
+
+    queries = _BM25_QUERIES if queries is None else queries
+    k = _BM25_K if k is None else k
+    qt = sorted(
+        {(qi, w) for qi, q in enumerate(queries) for w in re.findall(r"[a-z0-9]+", q.lower())}
+    )
+    qvals = ", ".join(f"({qi}, '{w}')" for qi, w in qt)
+    k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(k1), repr(b)
+    ts_expr = (
+        f"(idf * (tf * CAST({k1p1} AS DOUBLE))) / "
+        f"(tf + CAST({k1r} AS DOUBLE) * (CAST({omb} AS DOUBLE) "
+        f"+ CAST({br} AS DOUBLE) * (dl / avgdl)))"
+    )
+    return (
+        "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w "
+        "FROM documents), "
+        "d AS (SELECT doc_id, len(w) AS dl FROM w), "
+        "g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl, "
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM d), "
+        "tok AS (SELECT doc_id, unnest(w) AS tk FROM w), "
+        f"q(query_id, term) AS (VALUES {qvals}), "
+        "tf AS (SELECT q.query_id, q.term, t.doc_id, "
+        "CAST(COUNT(*) AS DOUBLE) AS tf FROM tok t JOIN q ON t.tk = q.term "
+        "GROUP BY q.query_id, q.term, t.doc_id), "
+        "df AS (SELECT tk AS term, COUNT(DISTINCT doc_id) AS df FROM tok "
+        "WHERE tk IN (SELECT term FROM q) GROUP BY tk), "
+        "idf AS (SELECT term, ln(1.0 + (CAST((SELECT n FROM g) - df AS DOUBLE) + 0.5) "
+        "/ (df + 0.5)) AS idf FROM df), "
+        "ts AS (SELECT tf.query_id, tf.doc_id, "
+        f"CAST(FLOOR({ts_expr} * 1000000.0 + 0.5) AS BIGINT) AS ppm "
+        "FROM tf JOIN idf ON idf.term = tf.term JOIN d ON d.doc_id = tf.doc_id "
+        "CROSS JOIN g), "
+        "sc AS (SELECT query_id, doc_id, CAST(SUM(ppm) AS BIGINT) AS score_ppm "
+        "FROM ts GROUP BY query_id, doc_id) "
+        "SELECT query_id, doc_id, score_ppm FROM sc "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY score_ppm DESC, doc_id) <= {k}"
+    )
+
+
 def _approx_distinct_sql(p: int = 12) -> str:
     """Replay of functions/sketches.HyperLogLog: md5-prefix 64-bit hash,
     idx = top p bits, rest = (h << p) | ones (the wrap emulated via
@@ -1033,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "approx_distinct_users": _approx_distinct_sql(),
+        "bm25_topk": _bm25_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (
             "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -793,6 +793,133 @@ def top_tokens(ds, text_col: str = "text", k: int = 20):
     )
 
 
+def bm25_topk(
+    ds,
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 full-text retrieval: top-k documents per query over a fixed
+    (broadcast) query set -- the batch-friendly framing of search scoring,
+    same shape as ``ann_topk``'s broadcast query matrix.
+
+    Plan (ONE pass over the corpus text -- the 100 TB shape):
+
+    1. ``map_batches`` projects each document to a COMPACT stats row
+       (doc_id, dl, one count per distinct query term): ~(m+2) ints per
+       doc; the text never leaves the first stage. The projection is
+       materialized because two consumers need it (corpus stats + scoring)
+       and re-deriving it would re-read the corpus.
+    2. A partial/final aggregate over the projection yields N, sum(dl) and
+       df per term -- one tiny row per block reaches the driver.
+    3. idf/avgdl constants are closure-broadcast; a second pass over the
+       small projection computes integer-ppm BM25 (per-TERM ppm floor,
+       then integer sum -- order-independent, hence exactly replayable by
+       the DuckDB oracle, where a float SUM() would be order-sensitive in
+       the last ulp) and keeps a per-batch partial top-k per query.
+    4. Tiny final merge per query (score desc, doc_id asc tie-break).
+
+    Uses the Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))`` (always positive).
+    Tokens are ``[a-z0-9]+`` runs of the lowercased text on both sides.
+    Returns (query_id, doc_id, score_ppm), only docs matching >=1 term.
+    """
+    import re
+
+    terms = sorted({w for q in queries for w in re.findall(r"[a-z0-9]+", q.lower())})
+    term_sets = [
+        {terms.index(w) for w in re.findall(r"[a-z0-9]+", q.lower())} for q in queries
+    ]
+    m = len(terms)
+    cnt_cols = [f"c{j}" for j in range(m)]
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+
+    def stats(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        word = _re.compile(r"[a-z0-9]+")
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        dl = np.empty(len(ids), np.int64)
+        cnt = np.zeros((len(ids), m), np.int64)
+        term_ix = {t: j for j, t in enumerate(terms)}
+        for r, t in enumerate(texts):
+            words = word.findall(t.lower())
+            dl[r] = len(words)
+            if not words:
+                continue
+            from collections import Counter
+
+            c = Counter(words)
+            for tm, j in term_ix.items():
+                v = c.get(tm)
+                if v:
+                    cnt[r, j] = v
+        cols = {id_col: batch.column(id_col), "dl": pa.array(dl)}
+        for j, c_ in enumerate(cnt_cols):
+            cols[c_] = pa.array(cnt[:, j])
+        return pa.table(cols)
+
+    proj = ds.map_batches(stats, batch_format="pyarrow").materialize()
+
+    # corpus stats: one partial row per block, merged on the driver
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        row = {"n": [batch.num_rows], "sdl": [int(np.sum(batch.column("dl").to_numpy()))]}
+        for c_ in cnt_cols:
+            row[f"df_{c_}"] = [int(np.count_nonzero(batch.column(c_).to_numpy()))]
+        return pa.table(row)
+
+    agg = proj.map_batches(partial_stats, batch_format="pyarrow").to_pandas()
+    n_docs = int(agg["n"].sum())
+    sum_dl = int(agg["sdl"].sum())
+    df = np.array([int(agg[f"df_{c_}"].sum()) for c_ in cnt_cols], dtype=np.int64)
+    avgdl = sum_dl / n_docs
+    idf = np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy().astype(np.float64)
+        ids = batch.column(id_col).to_numpy()
+        tf = np.stack([batch.column(c_).to_numpy() for c_ in cnt_cols], axis=1).astype(
+            np.float64
+        )
+        denom = tf + k1 * (one_minus_b + b * (dl / avgdl))[:, None]
+        ts_ = idf[None, :] * (tf * k1p1) / denom
+        ppm = np.floor(ts_ * 1000000.0 + 0.5).astype(np.int64)
+        ppm[tf == 0] = 0
+        out_q, out_id, out_s = [], [], []
+        for qi, jset in enumerate(term_sets):
+            js = sorted(jset)
+            score = ppm[:, js].sum(axis=1)
+            hit = (tf[:, js] > 0).any(axis=1)
+            # partial top-k inside the batch: score desc, doc_id asc
+            hi = np.flatnonzero(hit)
+            order = hi[np.lexsort((ids[hi], -score[hi]))][:k]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(score[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q) if out_q else []),
+                id_col: pa.array(
+                    np.concatenate(out_id) if out_id else [], batch.schema.field(id_col).type
+                ),
+                "score_ppm": pa.array(np.concatenate(out_s) if out_s else []),
+            }
+        )
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["score_ppm", id_col], ascending=[False, True]).head(k)
+
+    return (
+        proj.map_batches(score_batch, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 # --------------------------------------------------------------- quantiles
 
 

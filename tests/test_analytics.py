@@ -474,3 +474,50 @@ class TestComposedPipeline:
         for i, d in enumerate(dup_ids):
             orig = docs.column("doc_id")[i].as_py()
             assert tuple(sorted((orig, d))) in found, f"missed planted duplicate {orig}~{d}"
+
+
+class TestBM25:
+    def test_bm25_ranking_and_oracle_parity(self, ray_session):
+        """Hand-checkable corpus: the rare term ranks its one holder first;
+        docs missing every query term are excluded; k caps the result; and
+        the DuckDB oracle (same tokenization/idf/ppm arithmetic) agrees
+        exactly."""
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        import __ray_entry__ as entry_mod
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            "zebra apple apple apple",       # doc 0: only holder of 'zebra'
+            "apple apple apple apple",       # doc 1: high tf of common term
+            "apple banana",                  # doc 2
+            "banana banana cherry",          # doc 3: no query term -> excluded
+            "apple",                         # doc 4: short doc, low tf
+        ]
+        docs = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
+        queries = ["zebra apple", "cherry"]
+        out = (
+            analytics.bm25_topk(rd.from_pandas(docs), queries, k=3)
+            .to_pandas()
+            .sort_values(["query_id", "score_ppm", "doc_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        q0 = out[out.query_id == 0]
+        assert list(q0.doc_id)[0] == 0, "the only zebra holder must rank first"
+        assert 3 not in set(q0.doc_id), "doc without any query term must be excluded"
+        assert len(q0) == 3, "k must cap the per-query result"
+        q1 = out[out.query_id == 1]
+        assert list(q1.doc_id) == [3], "'cherry' matches exactly doc 3"
+
+        con = duckdb.connect()
+        con.register("documents", docs)
+        sql = entry_mod._bm25_sql(queries, k=3)
+        odf = (
+            con.execute(sql).df()
+            .sort_values(["query_id", "score_ppm", "doc_id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        assert out[["query_id", "doc_id", "score_ppm"]].astype(int).values.tolist() == \
+            odf[["query_id", "doc_id", "score_ppm"]].astype(int).values.tolist()
