@@ -123,7 +123,8 @@ def run_bench() -> dict:
         "ann_topk", "extract_flat_identity", "order_lineitem_join",
         "session_windows", "sliding_windows", "embedding_neardup",
         "ngram_jaccard_pairs", "top_orders_per_segment", "fingerprints",
-        "median_order_value", "quality_by_lang",
+        "median_order_value", "quality_by_lang", "bm25_topk",
+        "simhash_pairs", "approx_distinct_users",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
