@@ -907,6 +907,7 @@ def bm25_topk(
 
     def stats(batch: pa.Table) -> pa.Table:
         import re as _re
+        from collections import Counter
 
         word = _re.compile(r"[a-z0-9]+")
         ids = batch.column(id_col).to_pylist()
@@ -919,8 +920,6 @@ def bm25_topk(
             dl[r] = len(words)
             if not words:
                 continue
-            from collections import Counter
-
             c = Counter(words)
             for tm, j in term_ix.items():
                 v = c.get(tm)
