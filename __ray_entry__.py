@@ -293,8 +293,8 @@ def _q_minhash_pairs(sf_dir: str):
     which replays shingling, the md5 shingle hash, all 64 seeded
     permutations, banding, the bucket skew cap and the candidate join in
     SQL -- compares exactly. Oracle caveat: band buckets keyed by value
-    equality in SQL vs crc32 of the band slice in the engine (a 2^-32
-    collision would only ADD an engine candidate)."""
+    equality in SQL vs a 63-bit md5 of the band slice in the engine (a
+    2^-63 collision could perturb candidates either way -- negligible)."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     out = analytics.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6)
@@ -881,8 +881,10 @@ def _minhash_ctes(threshold: float = 0.6, num_perm: int = 64, bands: int = 16,
     value equality, the engine's bucket skew cap (representative-only
     pairing past _MAX_GROUP_SIZE, the bkc CTE), and the est >= threshold
     filter on candidate pairs. One documented deviation: the engine keys
-    band buckets by crc32 of the slice, so a 2^-32 crc collision could ADD
-    an engine candidate (which still must pass the est filter)."""
+    band buckets by a 63-bit md5 of the slice, so a 2^-63 collision could
+    merge two value-buckets -- adding candidates, or (if the merged group
+    tops the cap) dropping pairs the oracle keeps. Negligible by
+    construction and unobserved at any tested scale."""
     from distributed_system___ocr_ray.functions import dedup as dk
 
     mh = dk.MinHasher(num_perm=num_perm, seed=seed)
@@ -996,6 +998,11 @@ def _bm25_sql(queries: list[str] | None = None, k: int | None = None,
     qt = sorted(
         {(qi, w) for qi, q in enumerate(queries) for w in re.findall(r"[a-z0-9]+", q.lower())}
     )
+    if not qt:  # no query yields a token: typed-empty result, not VALUES ()
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS BIGINT) AS score_ppm WHERE 1 = 0"
+        )
     qvals = ", ".join(f"({qi}, '{w}')" for qi, w in qt)
     k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
     k1r, br = repr(k1), repr(b)
@@ -1055,8 +1062,16 @@ def _approx_distinct_sql(p: int = 12) -> str:
         "reg AS (SELECT idx, MAX(rank) AS r FROM rk GROUP BY idx), "
         f"allr AS (SELECT gs.i AS idx, COALESCE(reg.r, 0) AS r "
         f"FROM generate_series(0, {m - 1}) gs(i) LEFT JOIN reg ON reg.idx = gs.i), "
-        f"e AS (SELECT CAST({alpha} AS DOUBLE) * CAST({m * m} AS DOUBLE) "
-        "/ SUM(power(2.0, -r)) AS est0, "
+        # the register sum is an exact HUGEINT (sum of 2^(64-r), r <= 64) so
+        # the only rounding is the final cast to DOUBLE -- a float SUM()
+        # here would be accumulation-order-sensitive in the last ulp and
+        # could diverge from the engine's numpy sum (then flip the rounded
+        # integer estimate); power(2.0, 64-r) is an exact power-of-two
+        # double, and its HUGEINT cast is exact
+        f"e AS (SELECT CAST({alpha} AS DOUBLE) * CAST({m} AS DOUBLE) "
+        f"* CAST({m} AS DOUBLE) * 18446744073709551616.0 "
+        "/ CAST(SUM(CAST(power(2.0, CAST(64 - r AS DOUBLE)) AS HUGEINT)) AS DOUBLE) "
+        "AS est0, "
         "SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros FROM allr) "
         f"SELECT CAST(FLOOR((CASE WHEN est0 <= CAST({m} AS DOUBLE) * 2.5 AND zeros > 0 "
         f"THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros) ELSE est0 END) "

@@ -26,7 +26,6 @@ salted reassembly key (SURVEY.md #4).
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -89,9 +88,14 @@ class MinHasher:
         return vals.min(axis=1).astype(np.uint64)
 
     def band_hashes(self, sig: np.ndarray, bands: int) -> list[int]:
+        """63-bit md5 prefix of each band slice (int64-safe). A band-key
+        collision merges two value-buckets, which can both ADD candidates
+        and -- via the group cap -- DROP pairs, so keep the probability
+        negligible: 2^-63 per bucket pair (the earlier crc32 key's 2^-32
+        was already unobserved at test scales, but the margin is free)."""
         r = self.num_perm // bands
         return [
-            zlib.crc32(sig[i * r : (i + 1) * r].tobytes()) for i in range(bands)
+            md5_u64(sig[i * r : (i + 1) * r].tobytes()) >> 1 for i in range(bands)
         ]
 
 

@@ -63,7 +63,15 @@ class HyperLogLog:
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        # sum(2^-r) computed as an EXACT integer numerator / 2^64
+        # (ranks are <= 64-p+1 <= 64): a float accumulation here would be
+        # order-sensitive in the last ulp, so numpy's pairwise sum and the
+        # DuckDB oracle's SUM() could disagree; the integer sum is
+        # order-free and both sides round exactly once, at the final
+        # HUGEINT/int -> double conversion
+        counts = np.bincount(self.registers, minlength=65)
+        numerator = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+        est = alpha * m * m * 18446744073709551616.0 / float(numerator)
         zeros = int(np.count_nonzero(self.registers == 0))
         if est <= 2.5 * m and zeros:
             est = m * np.log(m / zeros)  # linear counting

@@ -218,9 +218,14 @@ def minhash_lsh_pairs(
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            members = sorted(range(s, e), key=lambda i: ids[i])
-            sigs = {i: np.frombuffer(sig_col[i], dtype=np.uint64) for i in members}
-            for a, b in dk.group_pairs(members):
+            # group_pairs sorts its input, so hand it (doc_id, row_pos)
+            # tuples: the cap's representative is then the MIN DOC ID
+            # regardless of within-group row order (sorting bare row
+            # positions would silently make the capped output depend on
+            # block arrival order -- and diverge from the SQL oracle)
+            members = [(ids[i], i) for i in range(s, e)]
+            sigs = {i: np.frombuffer(sig_col[i], dtype=np.uint64) for i in range(s, e)}
+            for (_, a), (_, b) in dk.group_pairs(members):
                 ej = dk.est_jaccard(sigs[a], sigs[b])
                 if ej >= threshold:
                     x, y = sorted((ids[a], ids[b]))
@@ -493,16 +498,12 @@ def ngram_jaccard_pairs(
         j = inter / union if union else 1.0
         return int(np.floor(j * 1e6 + 0.5)) if j >= threshold else None
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
-            return _VERIFY_SCHEMA.empty_table()
+    def _verify_rows(pairs_iter) -> pa.Table:
+        """(doc_a, doc_b, blob_a, blob_b) stream -> typed verified-pair
+        table; the ONE verify implementation both the join path and the
+        broadcast path call, so they cannot drift."""
         out_a, out_b, out_ppm = [], [], []
-        for a, b, ra, rb in zip(
-            batch.column("doc_a").to_pylist(),
-            batch.column("doc_b").to_pylist(),
-            batch.column("a_sh").to_pylist(),
-            batch.column("b_sh").to_pylist(),
-        ):
+        for a, b, ra, rb in pairs_iter:
             ppm = _pair_ppm(ra, rb)
             if ppm is not None:
                 out_a.append(a)
@@ -514,6 +515,18 @@ def ngram_jaccard_pairs(
                 "doc_b": pa.array(out_b, pa.int64()),
                 "jaccard_ppm": pa.array(out_ppm, pa.int64()),
             }
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return _VERIFY_SCHEMA.empty_table()
+        return _verify_rows(
+            zip(
+                batch.column("doc_a").to_pylist(),
+                batch.column("doc_b").to_pylist(),
+                batch.column("a_sh").to_pylist(),
+                batch.column("b_sh").to_pylist(),
+            )
         )
 
     from ray.data.aggregate import Count, Max
@@ -528,13 +541,13 @@ def ngram_jaccard_pairs(
     # materialized: consumed twice (df count + join left side) -- lazy would
     # re-run the explode pass over every shingle row for each consumer
     exploded = sets.map_batches(explode_hashes, batch_format="pyarrow").materialize()
+    from .relational import derive_buckets
+
     if join_buckets is None:
         # the exploded (hash, doc) table is the largest join side (one row
         # per shingle instance, 16 B): size its fan-out from its row count;
         # the candidate-verification joins carry whole shingle SETS (KB per
         # row), so they bucket by doc count at a smaller rows-per-bucket
-        from .relational import derive_buckets
-
         jb_explode = derive_buckets(exploded.count())
         jb_sets = derive_buckets(n_docs, rows_per_bucket=50_000)
     else:
@@ -605,28 +618,25 @@ def ngram_jaccard_pairs(
             def __call__(self, batch: pa.Table) -> pa.Table:
                 if batch.num_rows == 0 or "doc_a" not in batch.column_names:
                     return _VERIFY_SCHEMA.empty_table()
-                out_a, out_b, out_ppm = [], [], []
-                for a, b in zip(
-                    batch.column("doc_a").to_pylist(), batch.column("doc_b").to_pylist()
-                ):
-                    ppm = _pair_ppm(self.sets[a], self.sets[b])
-                    if ppm is not None:
-                        out_a.append(a)
-                        out_b.append(b)
-                        out_ppm.append(ppm)
-                return pa.table(
-                    {
-                        "doc_a": pa.array(out_a, pa.int64()),
-                        "doc_b": pa.array(out_b, pa.int64()),
-                        "jaccard_ppm": pa.array(out_ppm, pa.int64()),
-                    }
+                return _verify_rows(
+                    (a, b, self.sets[a], self.sets[b])
+                    for a, b in zip(
+                        batch.column("doc_a").to_pylist(),
+                        batch.column("doc_b").to_pylist(),
+                    )
                 )
 
         # cands is already pair-deduped; one verified row per pair
         return cands.map_batches(VerifyBroadcast, batch_format="pyarrow", concurrency=(1, 8))
 
     cands = cands.materialize()
-    jb_cands = max(jb_sets, derive_buckets(cands.count(), rows_per_bucket=20_000))
+    # an explicit join_buckets is honored verbatim; otherwise derive the
+    # verify fan-out from the candidate count
+    jb_cands = (
+        join_buckets
+        if join_buckets is not None
+        else max(jb_sets, derive_buckets(cands.count(), rows_per_bucket=20_000))
+    )
     with_a = bucketed_hash_join(cands, sets_a, "doc_a", "a_id", buckets=jb_cands).drop_columns(
         ["a_id"]
     )
@@ -901,6 +911,14 @@ def bm25_topk(
         {terms.index(w) for w in re.findall(r"[a-z0-9]+", q.lower())} for q in queries
     ]
     m = len(terms)
+    if m == 0:  # no query yields a token: typed empty, not a stack() crash
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("query_id", pa.int64()), (id_col, pa.int64()), ("score_ppm", pa.int64())]
+            ).empty_table()
+        )
     cnt_cols = [f"c{j}" for j in range(m)]
     k1p1 = k1 + 1.0
     one_minus_b = 1.0 - b

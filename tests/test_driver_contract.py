@@ -112,7 +112,12 @@ def test_pair_oracle_models_group_cap():
         f"unique filler document number {i} carrying distinct words w{i * 7} w{i * 11}"
         for i in range(10)
     ]
-    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    # DESCENDING row order: a capped bucket's representative must be the
+    # min DOC ID, not whichever row arrives first (regression: sorting bare
+    # row positions made capped output depend on block arrival order)
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}
+    ).iloc[::-1].reset_index(drop=True)
     con2 = duckdb.connect()
     con2.register("documents", docs)
     ds = rd.from_pandas(docs)
