@@ -497,7 +497,9 @@ class TestBM25:
             "apple",                         # doc 4: short doc, low tf
         ]
         docs = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64), "text": texts})
-        queries = ["zebra apple", "cherry"]
+        # query 2's term never occurs: it must vanish from BOTH outputs
+        # (df=0 only reaches idf through matched rows, of which there are none)
+        queries = ["zebra apple", "cherry", "zzzqqq"]
         out = (
             analytics.bm25_topk(rd.from_pandas(docs), queries, k=3)
             .to_pandas()
@@ -510,6 +512,7 @@ class TestBM25:
         assert len(q0) == 3, "k must cap the per-query result"
         q1 = out[out.query_id == 1]
         assert list(q1.doc_id) == [3], "'cherry' matches exactly doc 3"
+        assert 2 not in set(out.query_id), "a query matching nothing emits no rows"
 
         con = duckdb.connect()
         con.register("documents", docs)
