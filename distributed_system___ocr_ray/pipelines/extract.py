@@ -16,9 +16,37 @@ object store (SURVEY.md S9).
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import pyarrow as pa
+
+
+def media_fingerprint(media: Any) -> str:
+    """Stable identity of the media store for resume validation (part of the
+    job-level checkpoint entry): resuming a checkpointed run against a
+    DIFFERENT media table must raise, not silently mix partitions extracted
+    against different payloads. Path-form stores identify as path@version;
+    in-memory stores hash refs + payload bytes (the media store is the
+    broadcast SMALL side by design, so the one-time md5 at job setup is
+    cheap)."""
+    import hashlib
+
+    if isinstance(media, str):
+        from ..sources import lance_like
+
+        return f"table:{os.path.abspath(media)}@{lance_like.latest_version(media)}"
+    if isinstance(media, pa.Table):
+        from ..corpus import media_dict
+
+        media = media_dict(media)
+    h = hashlib.md5()
+    for ref in sorted(media):
+        payload = media[ref]
+        h.update(ref.encode("utf-8"))
+        h.update(len(payload).to_bytes(8, "big"))
+        h.update(payload)
+    return "md5:" + h.hexdigest()[:16]
 
 
 def _media_handle(media: Any):
@@ -154,11 +182,20 @@ def run_extraction(
     from ..state.checkpoint import CheckpointManifest, CommittingReassembler
 
     manifest = CheckpointManifest(out_dir)
-    # refuse to resume under different partitioning/plan: committed part ids
-    # were assigned by hash%P -- pruning by a different P drops documents
+    # refuse to resume under different partitioning/plan (committed part ids
+    # were assigned by hash%P -- pruning by a different P drops documents)
+    # or a different media store (silent mixed-extraction output otherwise)
     manifest.check_job(
-        {"plan": "shuffle", "num_partitions": int(num_partitions)}, enforce=resume
+        {
+            "plan": "shuffle",
+            "num_partitions": int(num_partitions),
+            "media": media_fingerprint(media),
+        },
+        enforce=resume,
     )
+    from ..state.checkpoint import clean_tmp
+
+    clean_tmp(out_dir)  # stale writer temp files from a crashed prior run
     skip = frozenset(manifest.committed()) if resume else frozenset()
     ds = extracted_dataset(
         docs, media, num_partitions=num_partitions, skip_parts=skip,

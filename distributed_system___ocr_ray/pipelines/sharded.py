@@ -40,13 +40,15 @@ from ..sources import lance_like
 from ..stages.explode import explode_spans
 from ..stages.extractors import ExtractDispatch
 from ..stages.reassemble import reassemble_partition
-from ..state.checkpoint import CheckpointManifest, durable_replace
+from ..state.checkpoint import CheckpointManifest, clean_tmp, durable_replace, tmp_name
 
 
 class ShardWorker:
     """Actor: processes whole fragments; extractor state built once."""
 
     def __init__(self, media_handle, out_dir: str, batch_size: int = 1024) -> None:
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.extract = ExtractDispatch(media_handle)
         self.manifest = CheckpointManifest(out_dir)
         self.batch_size = batch_size
@@ -91,17 +93,31 @@ class ShardWorker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         parts, rows_in, rows_out, wall = [], [], [], []
         for item in batch.to_pylist():
-            part, path = int(item["part"]), item["path"]
+            part, path, frag = int(item["part"]), item["path"], item["frag"]
+            # in-run retry skip: a block packs many fragments (n_tasks ~
+            # pool*8), so a task retried after a mid-block failure must not
+            # redo the fragments it already durably committed
+            prior = self.manifest.committed_one(part)
+            if prior is not None and prior.get("fragment") == frag:
+                parts.append(part)
+                rows_in.append(prior["rows_in"])
+                rows_out.append(prior["rows_out"])
+                wall.append(0.0)
+                continue
             t0 = time.monotonic()
             docs = pq.read_table(path, columns=["doc_id", "spans"])
             out, meta = self._process_table(docs)
             dest = self.manifest.partition_path(part)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
-            tmp = dest + ".tmp"
+            tmp = tmp_name(dest)
             pq.write_table(out, tmp)
-            durable_replace(tmp, dest)
+            # extra fsync of out_dir: the freshly created part=<k> directory
+            # entry must be durable before the manifest entry is
+            durable_replace(tmp, dest, extra_dirs=(self.manifest.out_dir,))
             meta["wall_sec"] = round(time.monotonic() - t0, 4)
-            meta["fragment"] = os.path.basename(path)
+            # identity = manifest-RELATIVE path: basenames degenerate for
+            # tables whose fragments share file names (e.g. part=K/data.parquet)
+            meta["fragment"] = frag
             self.manifest.commit(part, meta)
             parts.append(part)
             rows_in.append(meta["rows_in"])
@@ -130,38 +146,49 @@ def run_extraction_sharded(
     import ray
     import ray.data as rd
 
-    from .extract import _media_handle
+    from .extract import _media_handle, media_fingerprint
 
     manifest = CheckpointManifest(out_dir)
     man = lance_like.read_manifest(docs_dir)
-    # refuse to resume against a different input table (plan/path identity);
+    # refuse to resume against a different input table (plan/path identity)
+    # OR a different MEDIA STORE -- a resumed run against changed media
+    # would silently mix partitions extracted against different payloads;
     # the table VERSION may move -- appends keep committed fragment files in
     # place, and the per-fragment identity check below distinguishes an
     # append (same file -> pruned) from an overwrite rewrite that reuses
     # fragment indices (new file -> reprocessed, not skipped-as-done)
     manifest.check_job(
-        {"plan": "sharded", "input_table": os.path.abspath(docs_dir)}, enforce=resume
+        {
+            "plan": "sharded",
+            "input_table": os.path.abspath(docs_dir),
+            "media": media_fingerprint(media),
+        },
+        enforce=resume,
     )
-    # an overwrite rewrite that SHRANK the table leaves committed indices
-    # beyond the new fragment list: retire them (entry + data file) so the
-    # published output never mixes old-version partitions with new ones
-    n_frags = len(man["fragments"])
-    for stale in [i for i in manifest.committed() if i >= n_frags]:
-        manifest.retire(stale)
+    clean_tmp(out_dir)  # stale writer temp files from a crashed prior run
+    # ONE manifest scan at setup: retire stale indices (an overwrite rewrite
+    # that SHRANK the table leaves committed indices beyond the new fragment
+    # list -- the published output must never mix old-version partitions
+    # with new ones), then prune from the same in-memory dict
     committed = manifest.committed() if resume else {}
+    n_frags = len(man["fragments"])
+    for stale in [i for i in committed if i >= n_frags]:
+        manifest.retire(stale)
+        del committed[stale]
     items = [
-        {"part": i, "path": os.path.join(docs_dir, frag["path"])}
+        {"part": i, "path": os.path.join(docs_dir, frag["path"]), "frag": frag["path"]}
         for i, frag in enumerate(man["fragments"])
         # prune only when BOTH the index is committed AND the committed entry
-        # recorded this very fragment file
-        if not (i in committed and committed[i].get("fragment") == os.path.basename(frag["path"]))
+        # recorded this very fragment (manifest-relative path, not basename:
+        # basenames degenerate when fragments share file names)
+        if not (i in committed and committed[i].get("fragment") == frag["path"])
     ]
     # skipped = fragments actually pruned (a committed entry that failed the
     # fragment-identity check is RE-RUN, not skipped)
     n_skipped = len(man["fragments"]) - len(items)
-    if concurrency is None:
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
     if items:
+        if concurrency is None:
+            concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
         pool = concurrency if isinstance(concurrency, int) else concurrency[1]
         # task count ~8x pool: Ray Data's driver dispatch costs ~10 ms per
         # task (serial), so 1 task per fragment at 10^5 fragments would be

@@ -48,11 +48,43 @@ def fsync_dir(dirname: str) -> None:
         os.close(fd)
 
 
-def durable_replace(tmp: str, dest: str) -> None:
-    """fsync(tmp) -> rename -> fsync(dir): the atomic-commit triple."""
+def tmp_name(dest: str) -> str:
+    """Writer-unique temp path. A DETERMINISTIC shared name (``dest +
+    '.tmp'``) lets a task retry that overlaps a not-actually-dead original
+    writer interleave writes into one file and publish a torn partition;
+    host+pid makes concurrent writers (including across nodes on a shared
+    filesystem) target distinct temp files, and os.replace stays atomic."""
+    import socket
+
+    return f"{dest}.tmp-{socket.gethostname()}-{os.getpid()}"
+
+
+def clean_tmp(root: str) -> None:
+    """Remove stale temp files left by crashed writers (called once at job
+    setup, before any worker starts)."""
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if ".tmp-" in f or f.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(dirpath, f))
+                except FileNotFoundError:
+                    pass
+
+
+def durable_replace(tmp: str, dest: str, extra_dirs: tuple = ()) -> None:
+    """fsync(tmp) -> rename -> fsync(dir): the atomic-commit triple.
+
+    ``extra_dirs``: additionally fsync these directories -- a caller that
+    just CREATED dest's parent (makedirs of a new ``part=<k>``) must also
+    persist the parent's directory entry in ITS parent, or a host crash can
+    keep the (long-durable) manifest entry while losing the data file's
+    whole directory. Durability of ``out_dir``'s own existence is the
+    caller's responsibility -- the chain ends there."""
     fsync_file(tmp)
     os.replace(tmp, dest)
     fsync_dir(os.path.dirname(dest))
+    for d in extra_dirs:
+        fsync_dir(d)
 
 
 class CheckpointManifest:
@@ -63,7 +95,10 @@ class CheckpointManifest:
         self.dir = os.path.join(out_dir, "_checkpoint")
 
     def ensure(self) -> None:
+        created = not os.path.isdir(self.dir)
         os.makedirs(self.dir, exist_ok=True)
+        if created:  # persist the _checkpoint directory entry itself
+            fsync_dir(self.out_dir)
 
     def check_job(self, params: dict, enforce: bool = True) -> None:
         """Persist job-level parameters on first run; on resume, raise if the
@@ -88,13 +123,7 @@ class CheckpointManifest:
                     f"out_dir (or identical parameters) to resume"
                 )
             return
-        tmp = os.path.join(self.dir, f".{self.JOB_FILE}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(params, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
-        fsync_dir(self.dir)
+        self._write_entry(path, params)
 
     def committed(self) -> dict[int, dict]:
         if not os.path.isdir(self.dir):
@@ -107,16 +136,18 @@ class CheckpointManifest:
                 out[int(entry["part"])] = entry
         return out
 
+    def _write_entry(self, path: str, obj: dict) -> None:
+        """One implementation of the durable JSON write (writer-unique tmp +
+        the fsync/rename/fsync triple) for every manifest-entry writer."""
+        tmp = tmp_name(path)
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        durable_replace(tmp, path)
+
     def commit(self, part: int, entry: dict) -> None:
         self.ensure()
         entry = {"part": int(part), **entry}
-        tmp = os.path.join(self.dir, f".part-{part}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.dir, f"part-{part}.json"))
-        fsync_dir(self.dir)
+        self._write_entry(os.path.join(self.dir, f"part-{part}.json"), entry)
 
     def retire(self, part: int) -> None:
         """Invalidate a committed partition (manifest entry + data file) --
@@ -163,27 +194,27 @@ class CommittingReassembler:
         t0 = time.monotonic()
         part = int(group.column("part")[0].as_py())
         path = self.manifest.partition_path(part)
-        already = os.path.exists(path) and self.manifest.committed_one(part) is not None
+        entry = self.manifest.committed_one(part) if os.path.exists(path) else None
+        already = entry is not None
         if not already:
             out = reassemble_partition(group)
             os.makedirs(os.path.dirname(path), exist_ok=True)
-            tmp = path + ".tmp"
+            tmp = tmp_name(path)
             pq.write_table(out, tmp)
-            durable_replace(tmp, path)
+            # extra fsync of out_dir: the part=<k> directory entry we just
+            # created must be durable before the manifest entry is
+            durable_replace(tmp, path, extra_dirs=(self.manifest.out_dir,))
             statuses = group.column("status").to_pylist()
             status_counts: dict[str, int] = {}
             for s in statuses:
                 status_counts[s] = status_counts.get(s, 0) + 1
-            self.manifest.commit(
-                part,
-                {
-                    "rows_in": group.num_rows,
-                    "rows_out": out.num_rows,
-                    "status_counts": status_counts,
-                    "wall_sec": round(time.monotonic() - t0, 4),
-                },
-            )
-        entry = self.manifest.committed_one(part)
+            entry = {
+                "rows_in": group.num_rows,
+                "rows_out": out.num_rows,
+                "status_counts": status_counts,
+                "wall_sec": round(time.monotonic() - t0, 4),
+            }
+            self.manifest.commit(part, entry)
         return pa.table(
             {
                 "part": pa.array([part], pa.int32()),

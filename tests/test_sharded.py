@@ -86,3 +86,59 @@ class TestSaltedReassembly:
         extracted2 = pipeline.extracted_dataset(docs, store, num_partitions=8)
         salted = _sorted_output(reassemble_salted(extracted2, num_salts=4, coalesce_blocks=8))
         _assert_span_equality(salted, plain)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestResumeIdentity:
+    def test_media_mismatch_raises_on_resume(self, corpus_dirs, small_corpus, tmp_path):
+        """Resuming against a CHANGED media store must raise, not silently
+        mix partitions extracted against different payloads (review r2)."""
+        import pyarrow as pa
+
+        docs, store = corpus_dirs[0], small_corpus[1]
+        out_dir = str(tmp_path / "out")
+        run_extraction_sharded(docs, store, out_dir, concurrency=2)
+        # perturb one payload byte -> different fingerprint
+        payloads = store.column("payload").to_pylist()
+        payloads[0] = payloads[0] + b"\x00"
+        changed = store.set_column(
+            store.schema.get_field_index("payload"), "payload",
+            pa.array(payloads, pa.binary()),
+        )
+        with pytest.raises(ValueError, match="resume parameter mismatch"):
+            run_extraction_sharded(docs, changed, out_dir, concurrency=2)
+        # identical media resumes cleanly (no-op)
+        m = run_extraction_sharded(docs, store, out_dir, concurrency=2)
+        assert m["partitions_run"] == 0
+
+    def test_worker_skips_committed_fragment_in_run(self, corpus_dirs, small_corpus, tmp_path):
+        """A retried worker block must not redo fragments it already durably
+        committed: the in-run skip returns the prior entry untouched."""
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.pipelines.extract import _media_handle
+        from distributed_system___ocr_ray.pipelines.sharded import ShardWorker
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        docs_dir, _ = corpus_dirs
+        store = small_corpus[1]
+        out_dir = str(tmp_path / "out")
+        run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        man = ll.read_manifest(docs_dir)
+        frag = man["fragments"][0]["path"]
+        part_file = CheckpointManifest(out_dir).partition_path(0)
+        mtime = os.path.getmtime(part_file)
+        worker = ShardWorker(_media_handle(store), out_dir)
+        batch = pa.table(
+            {"part": [0], "path": [os.path.join(docs_dir, frag)], "frag": [frag]}
+        )
+        out = worker(batch)
+        assert out.column("wall_sec").to_pylist() == [0.0], "must skip, not redo"
+        assert os.path.getmtime(part_file) == mtime, "data file must be untouched"
+
+    def test_batch_size_must_be_positive(self, small_corpus):
+        from distributed_system___ocr_ray.pipelines.extract import _media_handle
+        from distributed_system___ocr_ray.pipelines.sharded import ShardWorker
+
+        with pytest.raises(ValueError, match="batch_size"):
+            ShardWorker(_media_handle(small_corpus[1]), "/tmp/x", batch_size=0)
