@@ -25,17 +25,29 @@ import pyarrow as pa
 def media_fingerprint(media: Any) -> str:
     """Stable identity of the media store for resume validation (part of the
     job-level checkpoint entry): resuming a checkpointed run against a
-    DIFFERENT media table must raise, not silently mix partitions extracted
-    against different payloads. Path-form stores identify as path@version;
-    in-memory stores hash refs + payload bytes (the media store is the
-    broadcast SMALL side by design, so the one-time md5 at job setup is
-    cheap)."""
+    DIFFERENT media store must raise, not silently mix partitions extracted
+    against different payloads.
+
+    Path-form stores identify as their ordered fragment relpath list
+    (fragment files are immutable and version-prefixed in the Lance-style
+    contract, so the list pins the payload bytes without reading them);
+    combined with :func:`media_compatible` this makes APPENDS resumable --
+    the incremental-ingest workflow appends new docs AND the new media they
+    reference -- while overwrite rewrites (fresh fragment names) still
+    mismatch. A missing/empty table raises FileNotFoundError here, at job
+    setup, rather than committing a bogus identity and failing later inside
+    actors. In-memory stores hash refs + payload bytes (the media store is
+    the broadcast SMALL side by design, so the one-time md5 at job setup is
+    cheap) and only resume on exact equality: use a path-backed table for
+    incremental workflows."""
     import hashlib
 
     if isinstance(media, str):
         from ..sources import lance_like
 
-        return f"table:{os.path.abspath(media)}@{lance_like.latest_version(media)}"
+        man = lance_like.read_manifest(media)  # raises if table absent
+        frags = ",".join(f["path"] for f in man["fragments"])
+        return f"table:{os.path.abspath(media)}:{frags}"
     if isinstance(media, pa.Table):
         from ..corpus import media_dict
 
@@ -47,6 +59,42 @@ def media_fingerprint(media: Any) -> str:
         h.update(len(payload).to_bytes(8, "big"))
         h.update(payload)
     return "md5:" + h.hexdigest()[:16]
+
+
+def media_compatible(committed: str, current: str) -> bool:
+    """check_job comparator for the media fingerprint: exact match, or the
+    committed path-form fragment list is a strict PREFIX of the current one
+    (append-only growth -- committed partitions referenced only refs that
+    existed at commit time, all still present byte-identical)."""
+    if committed == current:
+        return True
+    return committed.startswith("table:") and current.startswith(committed + ",")
+
+
+def docs_fingerprint(docs: Any) -> str:
+    """Identity of the documents input for SHUFFLE-plan resume validation.
+    Unlike the sharded plan (per-fragment identity, appends resumable), the
+    shuffle plan prunes by hash(doc_id)%P, so ANY membership change breaks
+    resume -- an appended doc hashing into a committed part would be
+    silently dropped. Path-form inputs pin the exact table version;
+    in-memory tables hash the doc_id membership. A pre-built Dataset cannot
+    be fingerprinted without executing it: identified as
+    ``dataset:unverified`` (no protection -- callers resuming Dataset-input
+    jobs own input stability; pass the table path to get the guard)."""
+    import hashlib
+
+    if isinstance(docs, str):
+        from ..sources import lance_like
+
+        man = lance_like.read_manifest(docs)  # raises if table absent
+        return f"table:{os.path.abspath(docs)}@{man['version']}"
+    if isinstance(docs, pa.Table):
+        h = hashlib.md5()
+        for d in docs.column("doc_id").to_pylist():
+            h.update(str(d).encode("utf-8"))
+            h.update(b"\x00")
+        return f"docids-md5:{h.hexdigest()[:16]}:{docs.num_rows}"
+    return "dataset:unverified"
 
 
 def _media_handle(media: Any):
@@ -182,16 +230,25 @@ def run_extraction(
     from ..state.checkpoint import CheckpointManifest, CommittingReassembler
 
     manifest = CheckpointManifest(out_dir)
+    if isinstance(media, pa.Table):  # convert ONCE: fingerprint + broadcast
+        from ..corpus import media_dict
+
+        media = media_dict(media)
     # refuse to resume under different partitioning/plan (committed part ids
-    # were assigned by hash%P -- pruning by a different P drops documents)
-    # or a different media store (silent mixed-extraction output otherwise)
+    # were assigned by hash%P -- pruning by a different P drops documents),
+    # a different media store (silent mixed-extraction output otherwise),
+    # or a changed docs input (appends are NOT resumable under hash%P
+    # pruning: new docs landing in committed parts would be dropped)
     manifest.check_job(
         {
+            "format": 2,
             "plan": "shuffle",
             "num_partitions": int(num_partitions),
+            "docs": docs_fingerprint(docs),
             "media": media_fingerprint(media),
         },
         enforce=resume,
+        compat={"media": media_compatible},
     )
     from ..state.checkpoint import clean_tmp
 

@@ -146,24 +146,32 @@ def run_extraction_sharded(
     import ray
     import ray.data as rd
 
-    from .extract import _media_handle, media_fingerprint
+    from .extract import _media_handle, media_compatible, media_fingerprint
 
     manifest = CheckpointManifest(out_dir)
     man = lance_like.read_manifest(docs_dir)
+    if isinstance(media, pa.Table):  # convert ONCE: fingerprint + broadcast
+        from ..corpus import media_dict
+
+        media = media_dict(media)
     # refuse to resume against a different input table (plan/path identity)
-    # OR a different MEDIA STORE -- a resumed run against changed media
-    # would silently mix partitions extracted against different payloads;
-    # the table VERSION may move -- appends keep committed fragment files in
-    # place, and the per-fragment identity check below distinguishes an
-    # append (same file -> pruned) from an overwrite rewrite that reuses
-    # fragment indices (new file -> reprocessed, not skipped-as-done)
+    # OR a changed MEDIA STORE -- a resumed run against changed media would
+    # silently mix partitions extracted against different payloads. Media
+    # APPENDS are compatible (media_compatible: committed fragment list is a
+    # prefix of the current one), matching the docs side: the docs table
+    # VERSION may move -- appends keep committed fragment files in place,
+    # and the per-fragment identity check below distinguishes an append
+    # (same file -> pruned) from an overwrite rewrite that reuses fragment
+    # indices (new file -> reprocessed, not skipped-as-done)
     manifest.check_job(
         {
+            "format": 2,
             "plan": "sharded",
             "input_table": os.path.abspath(docs_dir),
             "media": media_fingerprint(media),
         },
         enforce=resume,
+        compat={"media": media_compatible},
     )
     clean_tmp(out_dir)  # stale writer temp files from a crashed prior run
     # ONE manifest scan at setup: retire stale indices (an overwrite rewrite

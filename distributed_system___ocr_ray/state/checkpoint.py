@@ -100,7 +100,7 @@ class CheckpointManifest:
         if created:  # persist the _checkpoint directory entry itself
             fsync_dir(self.out_dir)
 
-    def check_job(self, params: dict, enforce: bool = True) -> None:
+    def check_job(self, params: dict, enforce: bool = True, compat: dict | None = None) -> None:
         """Persist job-level parameters on first run; on resume, raise if the
         caller's parameters disagree with the committed ones. Without this, a
         resume with e.g. a different ``num_partitions`` would prune spans by
@@ -108,7 +108,19 @@ class CheckpointManifest:
         silently drop documents (ADVICE r1). ``enforce=False`` (fresh run,
         resume disabled) PURGES any previously committed partitions and
         rewrites the entry -- stale parts from an old partitioning must not
-        survive into the new output (they would double documents)."""
+        survive into the new output (they would double documents).
+
+        ``compat``: per-key ``callable(committed, current) -> bool`` widening
+        plain equality where a parameter may legitimately EVOLVE between the
+        first run and a resume (e.g. an append-only media table growing).
+        On a compatible-but-unequal match the committed entry is kept as-is:
+        it records the state the finished partitions were actually built
+        against, and compatibility is always judged from that origin.
+
+        Job entries carry a ``format`` field; bumping it (new identity keys,
+        changed fragment-identity scheme) deliberately invalidates
+        checkpoints written by older code -- a loud mismatch at resume, never
+        a silent misread of old entries under new semantics."""
         self.ensure()
         path = os.path.join(self.dir, self.JOB_FILE)
         if not enforce:
@@ -116,11 +128,21 @@ class CheckpointManifest:
         if os.path.exists(path) and enforce:
             with open(path) as f:
                 committed = json.load(f)
-            if committed != params:
+            compat = compat or {}
+            mismatched = [
+                k for k in set(committed) | set(params)
+                if committed.get(k) != params.get(k)
+                and not (
+                    k in compat and k in committed and k in params
+                    and compat[k](committed[k], params[k])
+                )
+            ]
+            if mismatched:
                 raise ValueError(
-                    f"resume parameter mismatch: checkpoint was created with "
-                    f"{committed}, this run passed {params}; use a fresh "
-                    f"out_dir (or identical parameters) to resume"
+                    f"resume parameter mismatch ({sorted(mismatched)}): "
+                    f"checkpoint was created with {committed}, this run "
+                    f"passed {params}; use a fresh out_dir (or compatible "
+                    f"parameters) to resume"
                 )
             return
         self._write_entry(path, params)

@@ -136,6 +136,62 @@ class TestResumeIdentity:
         assert out.column("wall_sec").to_pylist() == [0.0], "must skip, not redo"
         assert os.path.getmtime(part_file) == mtime, "data file must be untouched"
 
+    def test_media_append_resumes(self, small_corpus, tmp_path):
+        """Incremental ingest appends new docs AND the new media they
+        reference: a path-backed media table that GREW (append-only) must
+        resume -- committed partitions referenced only refs that existed at
+        commit time, all still present byte-identical (review r2)."""
+        import pyarrow as pa
+
+        docs, store = small_corpus
+        docs_dir, media_dir = str(tmp_path / "docs"), str(tmp_path / "media")
+        lance_like.write_table(docs, docs_dir, rows_per_fragment=20)  # 3 frags
+        lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
+        out_dir = str(tmp_path / "out")
+        m1 = run_extraction_sharded(docs_dir, media_dir, out_dir, concurrency=2)
+
+        extra_media = store.slice(0, 1).set_column(
+            store.schema.get_field_index("media_ref"), "media_ref",
+            pa.array(["img-extra-00001"]),
+        )
+        lance_like.write_table(extra_media, media_dir, mode="append", rows_per_fragment=10**6)
+        extra_docs = corpus.build_documents(n_docs=20, seed=9)
+        extra_docs = extra_docs.set_column(
+            0, "doc_id", pa.array([f"docC-{i:06d}" for i in range(extra_docs.num_rows)])
+        )
+        lance_like.write_table(extra_docs, docs_dir, mode="append", rows_per_fragment=20)
+        m2 = run_extraction_sharded(docs_dir, media_dir, out_dir, concurrency=2)
+        assert m2["partitions_skipped_prior"] == m1["partitions_total"]
+        assert m2["partitions_run"] == 1  # only the appended docs fragment
+
+    def test_media_overwrite_rejected_on_resume(self, small_corpus, tmp_path):
+        """An overwrite REWRITE of the media table (fresh fragment list, even
+        with identical contents) must refuse to resume: fragment identity is
+        the payload-bytes pin, and a rewrite voids it."""
+        docs, store = small_corpus
+        docs_dir, media_dir = str(tmp_path / "docs"), str(tmp_path / "media")
+        lance_like.write_table(docs, docs_dir, rows_per_fragment=30)
+        lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
+        out_dir = str(tmp_path / "out")
+        run_extraction_sharded(docs_dir, media_dir, out_dir, concurrency=2)
+        lance_like.write_table(store, media_dir, mode="overwrite", rows_per_fragment=10**6)
+        with pytest.raises(ValueError, match="resume parameter mismatch"):
+            run_extraction_sharded(docs_dir, media_dir, out_dir, concurrency=2)
+
+    def test_shuffle_plan_docs_change_rejected_on_resume(self, small_corpus, tmp_path):
+        """The shuffle plan prunes by hash(doc_id)%P, so ANY docs membership
+        change (even an append) breaks resume: new docs hashing into
+        committed parts would silently drop (review r2)."""
+        docs, store = small_corpus
+        out_dir = str(tmp_path / "out")
+        shuffle_pipeline.run_extraction(docs, store, out_dir, num_partitions=4)
+        changed = docs.slice(0, docs.num_rows - 1)  # one doc fewer
+        with pytest.raises(ValueError, match="resume parameter mismatch"):
+            shuffle_pipeline.run_extraction(changed, store, out_dir, num_partitions=4, resume=True)
+        # identical docs resume cleanly as a no-op
+        m = shuffle_pipeline.run_extraction(docs, store, out_dir, num_partitions=4)
+        assert m["partitions_run"] == 0
+
     def test_batch_size_must_be_positive(self, small_corpus):
         from distributed_system___ocr_ray.pipelines.extract import _media_handle
         from distributed_system___ocr_ray.pipelines.sharded import ShardWorker
