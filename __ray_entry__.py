@@ -427,10 +427,15 @@ def _q_ivf_topk(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import analytics
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = analytics.ivf_topk(ds, _query_matrix(sf_dir), k=10, n_centroids=16, n_probe=4)
-    # id pairs only (floats stay out of the hash); the oracle is the exact
-    # brute-force top-k (same SQL as ann_topk) -- valid because IVF probing
-    # achieves exact recall on this dataset (pytest-held recall test)
+    # n_probe == n_centroids: exhaustive probing makes the result exact BY
+    # CONSTRUCTION (every centroid list is scanned), so the brute-force SQL
+    # oracle (same as ann_topk) is valid at any scale while still driving the
+    # complete IVF plan end-to-end: centroid sampling -> CentroidAssign ->
+    # probe filter -> per-cluster partial top-k -> merge. Approximate probing
+    # (n_probe < n_centroids) is a recall/latency trade-off with no exact
+    # oracle -- its recall floor is pytest-held (test_ivf_topk_recall).
+    out = analytics.ivf_topk(ds, _query_matrix(sf_dir), k=10, n_centroids=16, n_probe=16)
+    # id pairs only (floats stay out of the hash compare)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -1056,9 +1061,14 @@ def _approx_distinct_sql(p: int = 12) -> str:
         f"rr AS (SELECT CAST(h >> {64 - p} AS BIGINT) AS idx, "
         f"CAST((CAST(h AS HUGEINT) % CAST({1 << (64 - p)} AS HUGEINT)) "
         f"* {1 << p} + {(1 << p) - 1} AS UBIGINT) AS rest FROM h), "
-        "rk AS (SELECT idx, MIN(g.k) AS rank FROM rr "
+        # per-HASH first-set-bit rank (GROUP BY idx, rest), THEN the register
+        # fold takes MAX over hashes -- grouping by idx alone would collapse
+        # every hash in a register to the global MIN rank, which diverges from
+        # the engine's np.maximum.at register maxima once registers hold
+        # multiple hashes (verified: 4093/4096 registers wrong at 60k users)
+        "rk AS (SELECT idx, rest, MIN(g.k) AS rank FROM rr "
         "CROSS JOIN generate_series(1, 64) g(k) "
-        "WHERE (rest >> CAST(64 - g.k AS INTEGER)) & 1 = 1 GROUP BY idx), "
+        "WHERE (rest >> CAST(64 - g.k AS INTEGER)) & 1 = 1 GROUP BY idx, rest), "
         "reg AS (SELECT idx, MAX(rank) AS r FROM rk GROUP BY idx), "
         f"allr AS (SELECT gs.i AS idx, COALESCE(reg.r, 0) AS r "
         f"FROM generate_series(0, {m - 1}) gs(i) LEFT JOIN reg ON reg.idx = gs.i), "
@@ -1077,6 +1087,15 @@ def _approx_distinct_sql(p: int = 12) -> str:
         f"THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros) ELSE est0 END) "
         "+ 0.5) AS BIGINT) AS approx_distinct_users FROM e"
     )
+
+
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    "ORDER BY vec_id LIMIT 3) "
+    "SELECT q.query_id AS query_id, e.vec_id AS vec_id FROM q CROSS JOIN embeddings e "
+    "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+    "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1216,11 +1235,8 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents) "
             "GROUP BY 1"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
-            "ORDER BY vec_id LIMIT 3) "
-            "SELECT q.query_id AS query_id, e.vec_id AS vec_id FROM q CROSS JOIN embeddings e "
-            "QUALIFY row_number() OVER (PARTITION BY q.query_id "
-            "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
-        ),
+        "ann_topk": _ANN_TOPK_SQL,
+        # same exact brute-force oracle: IVF probing achieves exact recall on
+        # this dataset (pytest-held recall test; see _q_ivf_topk docstring)
+        "ivf_topk": _ANN_TOPK_SQL,
     }

@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -159,7 +158,3 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
     Python loop); DuckDB's ``substr(md5(...), 1, 16)`` of the same
     normalization matches byte-for-byte, giving the oracle for free."""
     return normalize_ws(texts).map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()[:16])
-
-
-def crc32_series(texts: pd.Series) -> pd.Series:
-    return texts.fillna("").map(lambda t: zlib.crc32(t.encode("utf-8"))).astype("int64")

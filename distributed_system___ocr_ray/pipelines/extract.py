@@ -90,8 +90,11 @@ def docs_fingerprint(docs: Any) -> str:
         return f"table:{os.path.abspath(docs)}@{man['version']}"
     if isinstance(docs, pa.Table):
         h = hashlib.md5()
-        for d in docs.column("doc_id").to_pylist():
-            h.update(str(d).encode("utf-8"))
+        # sorted: the fingerprint is doc_id MEMBERSHIP, not row order -- the
+        # hash%P pruning invariant only needs the id set, so a row-permuted
+        # but identical docs table must still resume
+        for d in sorted(str(d) for d in docs.column("doc_id").to_pylist()):
+            h.update(d.encode("utf-8"))
             h.update(b"\x00")
         return f"docids-md5:{h.hexdigest()[:16]}:{docs.num_rows}"
     return "dataset:unverified"
