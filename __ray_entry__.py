@@ -44,8 +44,37 @@ def _docs(sf_dir: str, columns):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _encode_spans_column(doc_ids, spans_rows):
+    """Canonical per-doc span serialization: ``order US kind US media_ref US
+    text`` joined by RS (0x1e). The nested ``list<struct>`` flagship output
+    hash-compares as ONE deterministic string per document -- covering span
+    order, kinds, refs and extracted text byte-for-byte -- without relying
+    on how the driver's compare stringifies nested Arrow values."""
+    enc = [
+        "\x1e".join(
+            f"{s['order']}\x1f{s['kind']}\x1f{s['media_ref']}\x1f{s['text']}" for s in row
+        )
+        for row in spans_rows
+    ]
+    return pa.table({"doc_id": pa.array(list(doc_ids), pa.string()),
+                     "spans_enc": pa.array(enc, pa.string())})
+
+
 def _q_extract_interleaved(sf_dir: str):
-    return _flagship(sf_dir)
+    """Flagship interleaved extraction, serialized per-doc for the exact
+    DuckDB oracle (_interleaved_sql): the wrap and media store are md5
+    arithmetic on doc_id/ref-index (sources/wrap.py, corpus.py), so the SQL
+    recomputes boilerplate stripping, glyph-OCR truths, pdf reading order
+    and the error sentinels independently from documents.parquet alone.
+    entry() still returns the raw nested (doc_id, spans) Dataset."""
+    out = _flagship(sf_dir)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return _encode_spans_column(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        )
+
+    return out.map_batches(encode, batch_format="pyarrow")
 
 
 def _q_extract_flat_identity(sf_dir: str):
@@ -150,7 +179,10 @@ def _q_extract_sharded(sf_dir: str):
         # streaming fragment writer: no driver-side corpus materialization
         lance_like.write_dataset(ds, docs_dir, rows_per_fragment=500)
         run_extraction_sharded(docs_dir, store, f"{work}/out")
-        return load_output(f"{work}/out").to_pandas()
+        out = load_output(f"{work}/out").to_pandas()
+        # same canonical serialization as extract_interleaved: both plans
+        # must reproduce the same closed-form span table (_interleaved_sql)
+        return _encode_spans_column(out["doc_id"], out["spans"]).to_pandas()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -348,13 +380,20 @@ def _q_embedding_neardup(sf_dir: str):
 
 def _q_extract_embed_neardup(sf_dir: str):
     """Composed flow: extraction -> hash-embedding -> cosine near-dup, one
-    streaming plan over the interleaved corpus (rows-only)."""
+    streaming plan over the interleaved corpus. Pair ids only (floats stay
+    out of the hash compare); the oracle replays extraction + the md5
+    feature-hash embedding + the exact >= threshold cosine pair set in SQL
+    (_extract_embed_neardup_sql). replicate=2 stamps an exact twin of every
+    doc so the pair set is NON-EMPTY and deterministic: identical vectors
+    hash to identical LSH buckets in every table (recall exactly 1), while
+    the closest non-twin pair sits at cosine ~0.97 -- far from the 0.999
+    threshold, so no float-margin pair can flip the compare."""
     from distributed_system___ocr_ray.pipelines.compose import extract_embed_neardup
     from distributed_system___ocr_ray.sources import wrap
 
-    ds, store = wrap.interleaved_from_documents(sf_dir)
+    ds, store = wrap.interleaved_from_documents(sf_dir, replicate=2)
     out = extract_embed_neardup(ds, store, threshold=0.999)
-    return _pairs_df(out, {"vec_a": "object", "vec_b": "object", "cos_sim": "float64"})
+    return _pairs_df(out, {"vec_a": "object", "vec_b": "object"})
 
 
 def _q_minhash_dup_clusters(sf_dir: str):
@@ -575,6 +614,14 @@ def _q_training_corpus_counts(sf_dir: str):
 
 
 def _q_media_metadata(sf_dir: str):
+    """Typed metadata over the flagship media store. The store is md5
+    arithmetic (corpus.build_media_store), so the DuckDB oracle recomputes
+    every payload's size/dims/blocks independently: GLY1 width = 6 * len
+    (truth sentence), byte size = 8 + ceil(42n/8) (minus the 3-byte corrupt
+    truncation), MPDF1 byte size = 5 + len of the sorted-keys JSON body,
+    corrupt pdfs parse as 'unknown'. Nullable metadata is canonicalized to
+    -1 so the string compare is representation-stable."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from distributed_system___ocr_ray import corpus
@@ -582,7 +629,16 @@ def _q_media_metadata(sf_dir: str):
     from distributed_system___ocr_ray.stages import multimodal
 
     store = corpus.build_media_store(n_img=wrap.DEFAULT_N_IMG, n_pdf=wrap.DEFAULT_N_PDF, seed=42)
-    return multimodal.media_metadata(rd.from_arrow(store))
+    out = multimodal.media_metadata(rd.from_arrow(store))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        cols = {"media_ref": batch.column("media_ref"), "media_kind": batch.column("media_kind"),
+                "n_bytes": batch.column("n_bytes")}
+        for c in ("width", "height", "n_blocks"):
+            cols[c] = pc.fill_null(pc.cast(batch.column(c), pa.int64()), -1)
+        return pa.table(cols)
+
+    return out.map_batches(canon, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1089,6 +1145,196 @@ def _approx_distinct_sql(p: int = 12) -> str:
     )
 
 
+# python str.strip() / \s whitespace set (ASCII subset; the corpus is ASCII)
+_WS_SQL = "(' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
+
+
+def _sent_sql(tag_sql: str, lo: int = 4, hi: int = 10) -> str:
+    """SQL expression replaying corpus.det_sentence(tag): word count and word
+    indices are div/mod slices of the 64-bit md5 prefix of the tag, with the
+    word list and exact integer divisors (span * N_WORDS^j) as literals."""
+    from distributed_system___ocr_ray.corpus import _WORDS, N_WORDS
+
+    span = hi - lo + 1
+    hu = _MD5U64.format(v=tag_sql)
+    words = ", ".join(f"'{w}'" for w in _WORDS)
+    divs = ", ".join(str(span * N_WORDS**j) for j in range(hi))
+    body = (
+        f"array_to_string(list_transform("
+        f"generate_series(0, CAST({hu} % {span} AS INT) + {lo - 1}), "
+        f"j -> ([{words}])[CAST(({hu} // (CAST([{divs}] AS UBIGINT[]))[j + 1]) "
+        f"% {N_WORDS} AS INT) + 1]), ' ')"
+    )
+    return f"(upper(substr({body}, 1, 1)) || substr({body}, 2) || '.')"
+
+
+def _interleaved_ctes(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """CTE body producing ``allspans(doc_id, ord, kind, ref, out)`` -- the
+    closed-form replay of the ENTIRE flagship pipeline (wrap -> explode ->
+    kind-routed extraction -> offset-ordered reassembly) from the documents
+    table alone. Per doc_id: span structure/refs are doc_id arithmetic
+    (sources/wrap.py), the stripped text span is h1 + the doc's normalized
+    sentences (functions/html_strip semantics on the det page template), the
+    image span replays the glyph-OCR truth sentence (corpus.det_sentence md5
+    arithmetic) or its corruption/missing sentinels, and the pdf span
+    replays mini-PDF block layout + pdfminer-style reading order
+    (sort by x//200 column, then y, then x) in SQL. Shared by the flagship
+    pair of oracles and the composed extract->embed->neardup oracle."""
+    from distributed_system___ocr_ray.sources import wrap as _wrap
+
+    n_img, n_pdf = _wrap.DEFAULT_N_IMG, _wrap.DEFAULT_N_PDF
+    th = int(corrupt_frac * 2**64)
+    img_tag = f"'{seed}:img:' || g.i"
+    img_c_tag = img_tag + " || ':c'"
+    pdfj_tag = f"'{seed}:pdf:' || g.i || ':' || gj.j"
+    pdfj_s_tag = pdfj_tag + " || ':s'"
+    pdf_nb_tag = f"'{seed}:pdf:' || g.i || ':nb'"
+    pdf_c_tag = f"'{seed}:pdf:' || a.i || ':c'"
+    h1_tag = f"'{seed}:wrap:' || doc_id || ':h1'"
+    ws = _WS_SQL
+    return (
+        "imgt AS ("
+        "SELECT g.i AS i, "
+        f"CASE WHEN {_MD5U64.format(v=img_c_tag)} < {th} "
+        "THEN 'OCR operation error' "
+        f"ELSE {_sent_sql(img_tag)} END AS t "
+        f"FROM generate_series(0, {n_img - 1}) g(i)), "
+        "pdfb AS ("
+        "SELECT g.i AS i, gj.j AS j, "
+        f"CAST(([10,30,230,250,450])[CAST({_MD5U64.format(v=pdfj_tag)} % 5 AS INT) + 1] AS INT) AS x, "
+        f"CAST(40 * gj.j + CAST(({_MD5U64.format(v=pdfj_tag)} // 5) % 21 AS INT) AS INT) AS y, "
+        f"{_sent_sql(pdfj_s_tag)} AS s "
+        f"FROM generate_series(0, {n_pdf - 1}) g(i) "
+        "CROSS JOIN generate_series(0, 3) gj(j) "
+        f"WHERE gj.j <= CAST({_MD5U64.format(v=pdf_nb_tag)} % 4 AS INT)), "
+        "pdfagg AS ("
+        "SELECT i, string_agg(s, chr(10) ORDER BY x // 200, y, x) AS t FROM pdfb GROUP BY i), "
+        "pdft AS ("
+        "SELECT a.i AS i, "
+        f"CASE WHEN {_MD5U64.format(v=pdf_c_tag)} < {th} "
+        "THEN 'PDF parse error' ELSE a.t END AS t FROM pdfagg a), "
+        "txt AS ("
+        f"SELECT doc_id, {_sent_sql(h1_tag, 2, 4)} AS h1, "
+        "list_transform("
+        f"list_filter(string_split(text, '.'), p -> trim(p, {ws}) <> ''), "
+        f"p -> regexp_replace(trim(p, {ws}), '\\s+', ' ', 'g') || '.')[1:3] AS sents, "
+        "text FROM documents), "
+        "txt2 AS ("
+        "SELECT doc_id, array_to_string(list_filter(list_prepend(h1, "
+        "CASE WHEN len(sents) = 0 "
+        f"THEN [trim(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g'), {ws})] "
+        "ELSE sents END), x -> x <> ''), chr(10)) AS stripped FROM txt), "
+        "allspans AS ("
+        "SELECT doc_id, 0 AS ord, 'text' AS kind, '' AS ref, stripped AS out FROM txt2 "
+        "UNION ALL "
+        "SELECT d.doc_id, 1 + gk.k AS ord, 'image' AS kind, "
+        "CASE WHEN (d.doc_id + gk.k) % 20 = 0 THEN printf('mem://img/missing-%06d', d.doc_id) "
+        f"ELSE printf('mem://img/%06d', (d.doc_id*7 + gk.k*3) % {n_img}) END AS ref, "
+        "CASE WHEN (d.doc_id + gk.k) % 20 = 0 THEN 'Image download error' ELSE it.t END AS out "
+        "FROM documents d CROSS JOIN generate_series(0, 1) gk(k) "
+        f"LEFT JOIN imgt it ON it.i = (d.doc_id*7 + gk.k*3) % {n_img} "
+        "WHERE gk.k <= d.doc_id % 2 "
+        "UNION ALL "
+        "SELECT d.doc_id, 2 AS ord, 'pdf' AS kind, "
+        "CASE WHEN d.doc_id % 40 = 10 THEN printf('mem://pdf/missing-%06d', d.doc_id) "
+        f"ELSE printf('mem://pdf/%06d', (d.doc_id*11) % {n_pdf}) END AS ref, "
+        "CASE WHEN d.doc_id % 40 = 10 THEN 'PDF download error' ELSE pt.t END AS out "
+        f"FROM documents d LEFT JOIN pdft pt ON pt.i = (d.doc_id*11) % {n_pdf} "
+        "WHERE d.doc_id % 2 = 0)"
+    )
+
+
+def _interleaved_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """Flagship oracle: canonical per-doc serialization (matching
+    _encode_spans_column) of the closed-form span table."""
+    return (
+        f"WITH {_interleaved_ctes(seed, corrupt_frac)} "
+        "SELECT printf('doc-%010d', doc_id) AS doc_id, "
+        "string_agg(CAST(ord AS VARCHAR) || chr(31) || kind || chr(31) || ref || chr(31) || out, "
+        "chr(30) ORDER BY ord) AS spans_enc "
+        "FROM allspans GROUP BY doc_id"
+    )
+
+
+def _extract_embed_neardup_sql(threshold: float = 0.999, dim: int = 64) -> str:
+    """Composed-pipeline oracle: the closed-form extracted span table ->
+    HashEmbedder replay (lowercased whitespace tokens -> md5-prefix % dim
+    bucket counts, cosine on the count vectors -- normalization cancels in
+    the cosine ratio) -> the EXACT >= threshold pair set. As with
+    embedding_neardup, LSH recall on it is probabilistic by design (~0.999
+    at this threshold; planted-dup recall is pytest-held), so the compare is
+    honest but strict."""
+    bucket = _MD5U64.format(v="tok")
+    return (
+        f"WITH {_interleaved_ctes()}, "
+        "doctext AS (SELECT printf('doc-%010d', doc_id) AS doc, "
+        "string_agg(out, chr(10) ORDER BY ord) AS text FROM allspans GROUP BY doc_id), "
+        # the query's replicate=2 twin: same spans under the '-r001' id
+        "doctext2 AS (SELECT doc, text FROM doctext "
+        "UNION ALL SELECT doc || '-r001', text FROM doctext), "
+        "toks AS (SELECT doc, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok FROM doctext2), "
+        f"vec AS (SELECT doc, CAST({bucket} % {dim} AS INT) AS bucket, "
+        "CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY 1, 2), "
+        "nrm AS (SELECT doc, sqrt(SUM(c * c)) AS n FROM vec GROUP BY doc) "
+        "SELECT a.doc AS vec_a, b.doc AS vec_b "
+        "FROM vec a JOIN vec b ON a.bucket = b.bucket AND a.doc < b.doc "
+        "JOIN nrm na ON na.doc = a.doc JOIN nrm nb ON nb.doc = b.doc "
+        "GROUP BY a.doc, b.doc, na.n, nb.n "
+        f"HAVING SUM(a.c * b.c) / (na.n * nb.n) >= {threshold}"
+    )
+
+
+def _media_metadata_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """Independent replay of MediaMetadata over the md5-deterministic store:
+    payload sizes are recomputed from the wire formats themselves -- GLY1 =
+    4B magic + 4B dims + packbits(7 rows x 6n cols), minus 3 truncated bytes
+    when corrupt; MPDF1 = 5B magic + the exact ``json.dumps(sort_keys=True)``
+    body length (rebuilt character-for-character via string_agg). Needs no
+    driver view: everything derives from generate_series + md5."""
+    from distributed_system___ocr_ray.sources import wrap as _wrap
+
+    n_img, n_pdf = _wrap.DEFAULT_N_IMG, _wrap.DEFAULT_N_PDF
+    th = int(corrupt_frac * 2**64)
+    img_tag = f"'{seed}:img:' || g.i"
+    img_c_tag = img_tag + " || ':c'"
+    pdfj_tag = f"'{seed}:pdf:' || g.i || ':' || gj.j"
+    pdfj_s_tag = pdfj_tag + " || ':s'"
+    pdf_nb_tag = f"'{seed}:pdf:' || g.i || ':nb'"
+    pdf_c_tag = f"'{seed}:pdf:' || p.i || ':c'"
+    return (
+        "WITH imgs AS ("
+        f"SELECT g.i AS i, length({_sent_sql(img_tag)}) AS n, "
+        f"{_MD5U64.format(v=img_c_tag)} < {th} AS corrupt "
+        f"FROM generate_series(0, {n_img - 1}) g(i)), "
+        "imgm AS ("
+        "SELECT printf('mem://img/%06d', i) AS media_ref, 'gly1' AS media_kind, "
+        "CAST(8 + (42 * n + 7) // 8 - CASE WHEN corrupt THEN 3 ELSE 0 END AS BIGINT) AS n_bytes, "
+        "CAST(6 * n AS BIGINT) AS width, CAST(7 AS BIGINT) AS height, "
+        "CAST(-1 AS BIGINT) AS n_blocks FROM imgs), "
+        "pdfb AS ("
+        "SELECT g.i AS i, gj.j AS j, "
+        f"CAST(([10,30,230,250,450])[CAST({_MD5U64.format(v=pdfj_tag)} % 5 AS INT) + 1] AS INT) AS x, "
+        f"CAST(40 * gj.j + CAST(({_MD5U64.format(v=pdfj_tag)} // 5) % 21 AS INT) AS INT) AS y, "
+        f"{_sent_sql(pdfj_s_tag)} AS s "
+        f"FROM generate_series(0, {n_pdf - 1}) g(i) "
+        "CROSS JOIN generate_series(0, 3) gj(j) "
+        f"WHERE gj.j <= CAST({_MD5U64.format(v=pdf_nb_tag)} % 4 AS INT)), "
+        "pdfj AS ("
+        "SELECT i, CAST(COUNT(*) AS BIGINT) AS nb, "
+        "CAST(5 + length('{\"blocks\": [' || "
+        "string_agg('{\"text\": \"' || s || '\", \"x\": ' || x || ', \"y\": ' || y || '}', "
+        "', ' ORDER BY j) || ']}') AS BIGINT) AS n_bytes "
+        "FROM pdfb GROUP BY i), "
+        "pdfm AS ("
+        "SELECT printf('mem://pdf/%06d', p.i) AS media_ref, "
+        f"CASE WHEN {_MD5U64.format(v=pdf_c_tag)} < {th} THEN 'unknown' ELSE 'mpdf1' END AS media_kind, "
+        "p.n_bytes AS n_bytes, CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height, "
+        f"CASE WHEN {_MD5U64.format(v=pdf_c_tag)} < {th} THEN CAST(-1 AS BIGINT) ELSE p.nb END AS n_blocks "
+        "FROM pdfj p) "
+        "SELECT * FROM imgm UNION ALL SELECT * FROM pdfm"
+    )
+
+
 _ANN_TOPK_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
     "ORDER BY vec_id LIMIT 3) "
@@ -1100,6 +1346,10 @@ _ANN_TOPK_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_interleaved": _interleaved_sql(),
+        # the sharded zero-shuffle plan must produce the SAME closed-form
+        # span table as the shuffle plan
+        "extract_sharded": _interleaved_sql(),
         "extract_flat_identity": (
             "SELECT doc_id, text AS extracted_text FROM documents WHERE trim(text) <> ''"
         ),
@@ -1122,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
             ") GROUP BY media_ref"
         ),
         "extract_status_counts": _status_counts_sql(),
+        "media_metadata": _media_metadata_sql(),
         "render_html": _render_html_sql(),
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "ngram_dup_clusters": _NGRAM_CLUSTERS_SQL,
@@ -1131,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
+        "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "minhash_dup_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),

@@ -52,6 +52,40 @@ def _sentence(rng: random.Random, lo: int = 4, hi: int = 10) -> str:
     return " ".join(words).capitalize() + "."
 
 
+# ---- md5-arithmetic randomness (SQL-replayable; no random.Random) ----------
+#
+# Everything the EXTRACTION OUTPUT of the flagship corpus depends on is
+# derived from the big-endian 8-byte md5 prefix of a tag string
+# (functions/dedup.md5_u64), which DuckDB replays exactly as
+# ``('0x' || substr(md5(tag), 1, 16))::UBIGINT`` -- making the whole
+# interleaved wrap + media store a closed-form function of the testdata
+# ``documents`` table, and therefore oracle-checkable end-to-end
+# (see __ray_entry__._interleaved_sql). random.Random remains only in the
+# pytest-only fixtures below (build_documents etc.), never in the
+# driver-checked corpus.
+
+N_WORDS = len(_WORDS)
+X_CHOICES = (10, 30, 230, 250, 450)  # pdf block x positions (3 columns)
+
+
+def det_u64(tag: str) -> int:
+    from .functions.dedup import md5_u64
+
+    return md5_u64(tag.encode("utf-8"))
+
+
+def det_sentence(tag: str, lo: int = 4, hi: int = 10) -> str:
+    """One md5 per sentence: word count and every word index are div/mod
+    slices of the same 64-bit md5 prefix (capacity: 7 * 37^10 < 2^64), so a
+    single SQL expression replays it (``__ray_entry__._sent_sql``)."""
+    hu = det_u64(tag)
+    span = hi - lo + 1
+    n = lo + hu % span
+    r = hu // span
+    words = [_WORDS[(r // (N_WORDS**j)) % N_WORDS] for j in range(n)]
+    return " ".join(words).capitalize() + "."
+
+
 def media_ref_img(i: int) -> str:
     return f"mem://img/{i:06d}"
 
@@ -60,21 +94,63 @@ def media_ref_pdf(i: int) -> str:
     return f"mem://pdf/{i:06d}"
 
 
-def html_page(rng: random.Random, content_sentences: list[str]) -> str:
-    """Wrap content sentences in a boilerplate-laden page template. The
-    stripper's expected output is the content paragraphs joined by newlines."""
-    nav = " ".join(f'<a href="#{i}">{rng.choice(_WORDS)}</a>' for i in range(rng.randint(2, 5)))
-    ads = " ".join(f'<a href="#ad{i}">{_sentence(rng, 2, 4)}</a>' for i in range(rng.randint(1, 3)))
+def _render_page(
+    title: str, script_x: int, nav_words: list[str], h1: str,
+    ad_sentences: list[str], content_sentences: list[str],
+) -> str:
+    nav = " ".join(f'<a href="#{i}">{w}</a>' for i, w in enumerate(nav_words))
+    ads = " ".join(f'<a href="#ad{i}">{s}</a>' for i, s in enumerate(ad_sentences))
     paras = "".join(f"<p>{s}</p>" for s in content_sentences)
     return (
-        f"<html><head><title>{rng.choice(_WORDS)}</title>"
-        f"<script>var x = {rng.randint(0, 99)};</script></head><body>"
+        f"<html><head><title>{title}</title>"
+        f"<script>var x = {script_x};</script></head><body>"
         f"<header><a href='/'>Home</a> <a href='/about'>About</a></header>"
         f"<nav>{nav}</nav>"
-        f"<div class='content'><h1>{_sentence(rng, 2, 4)}</h1>{paras}</div>"
+        f"<div class='content'><h1>{h1}</h1>{paras}</div>"
         f"<div class='ads'>{ads}</div>"
         f"<footer><a href='/contact'>Contact</a> <a href='/tos'>Terms</a></footer>"
         f"</body></html>"
+    )
+
+
+def html_page(rng: random.Random, content_sentences: list[str]) -> str:
+    """Wrap content sentences in a boilerplate-laden page template. The
+    stripper's expected output is the content paragraphs joined by newlines
+    (plus the h1 heading, which is a kept content block)."""
+    return _render_page(
+        rng.choice(_WORDS),
+        rng.randint(0, 99),
+        [rng.choice(_WORDS) for _ in range(rng.randint(2, 5))],
+        _sentence(rng, 2, 4),
+        [_sentence(rng, 2, 4) for _ in range(rng.randint(1, 3))],
+        content_sentences,
+    )
+
+
+def html_page_det(tag: str, content_sentences: list[str]) -> str:
+    """md5-arithmetic page template (the flagship wrap's variant). Only the
+    h1 heading survives boilerplate stripping, so only it needs SQL replay
+    (``det_sentence(f"{tag}:h1", 2, 4)``); the nav/title/script/ads filler
+    varies per doc purely as stripper workload."""
+    hb = det_u64(f"{tag}:bp")
+    n_nav = 2 + hb % 4
+    hb //= 4
+    nav_words = []
+    for _ in range(n_nav):
+        nav_words.append(_WORDS[hb % N_WORDS])
+        hb //= N_WORDS
+    title = _WORDS[hb % N_WORDS]
+    hb //= N_WORDS
+    script_x = hb % 100
+    hb //= 100
+    n_ads = 1 + hb % 3
+    return _render_page(
+        title,
+        script_x,
+        nav_words,
+        det_sentence(f"{tag}:h1", 2, 4),
+        [det_sentence(f"{tag}:ad:{k}", 2, 4) for k in range(n_ads)],
+        content_sentences,
     )
 
 
@@ -82,26 +158,36 @@ def build_media_store(
     n_img: int = 200, n_pdf: int = 100, seed: int = 42, corrupt_frac: float = 0.02
 ) -> pa.Table:
     """F2: media_ref -> payload side table. Payloads are generated FROM
-    ``truth`` (glyph bitmaps / mini-PDFs), so extraction is exactly invertible."""
+    ``truth`` (glyph bitmaps / mini-PDFs), so extraction is exactly invertible.
+
+    Every truth/layout/corruption decision is md5 arithmetic on the
+    ``{seed}:{kind}:{i}`` tag (see det_sentence), which makes the extraction
+    output over this store -- and its metadata (payload sizes, glyph widths,
+    block counts) -- exactly replayable in DuckDB SQL: the flagship oracle
+    (__ray_entry__._interleaved_sql) and the media_metadata oracle both
+    recompute the truths independently from the same tags."""
     font = glyph.GlyphFont()
+    corrupt_threshold = int(corrupt_frac * 2**64)
     refs, kinds, payloads, truths = [], [], [], []
     for i in range(n_img):
-        rng = random.Random(f"{seed}:img:{i}")
-        truth = _sentence(rng)
+        tag = f"{seed}:img:{i}"
+        truth = det_sentence(tag)
         payload = font.render(truth)
-        if rng.random() < corrupt_frac:
+        if det_u64(f"{tag}:c") < corrupt_threshold:
             payload, truth = glyph.corrupt(payload), "OCR operation error"
         refs.append(media_ref_img(i)); kinds.append("image")
         payloads.append(payload); truths.append(truth)
     for i in range(n_pdf):
-        rng = random.Random(f"{seed}:pdf:{i}")
+        tag = f"{seed}:pdf:{i}"
+        nb = 1 + det_u64(f"{tag}:nb") % 4
         blocks = [
-            {"x": rng.choice([10, 30, 230, 250, 450]), "y": 40 * j + rng.randint(0, 20),
-             "text": _sentence(rng)}
-            for j in range(rng.randint(1, 4))
+            {"x": X_CHOICES[det_u64(f"{tag}:{j}") % 5],
+             "y": 40 * j + (det_u64(f"{tag}:{j}") // 5) % 21,
+             "text": det_sentence(f"{tag}:{j}:s")}
+            for j in range(nb)
         ]
         payload = minipdf.encode(blocks)
-        if rng.random() < corrupt_frac:
+        if det_u64(f"{tag}:c") < corrupt_threshold:
             payload, truth = minipdf.corrupt(payload), "PDF parse error"
         else:
             truth = minipdf.reading_order_text(payload)

@@ -6,18 +6,20 @@ embedding, then embedding-cosine near-dup -- wired as ONE streaming Dataset
 plan (no stage materializes the corpus; only the tiny pair result reaches
 the driver).
 
-The embedder is deterministic feature hashing (token -> crc32 bucket ->
+The embedder is deterministic feature hashing (token -> md5-prefix bucket ->
 l2-normalized counts) -- model-shaped plumbing (vectorized batch kernel,
 fixed dim) without a model dependency; swap ``HashEmbedder`` for a real
-encoder actor at will (same signature).
+encoder actor at will (same signature). The md5-prefix bucket (same kernel
+as functions/dedup.md5_u64) keeps the whole composed pipeline SQL-replayable
+(__ray_entry__._extract_embed_neardup_sql).
 """
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
+
+from ..functions.dedup import md5_u64
 
 EMBED_DIM = 64
 
@@ -35,7 +37,7 @@ class HashEmbedder:
     def _embed_one(self, text: str) -> np.ndarray:
         v = np.zeros(self.dim, dtype=np.float64)
         for tok in text.lower().split():
-            v[zlib.crc32(tok.encode("utf-8")) % self.dim] += 1.0
+            v[md5_u64(tok.encode("utf-8")) % self.dim] += 1.0
         n = np.linalg.norm(v)
         return v / n if n else v
 

@@ -17,8 +17,6 @@ source, n_chars) -- not span-shaped (FIXTURES.md F6). Two adapters:
 
 from __future__ import annotations
 
-import random
-
 import pyarrow as pa
 
 from .. import corpus
@@ -51,6 +49,15 @@ def make_interleave_fn(seed: int = 42, n_img: int = DEFAULT_N_IMG, n_pdf: int = 
                        replicate: int = 1):
     """Batch fn: flat docs -> interleaved span docs, deterministic per doc_id.
 
+    No random.Random anywhere: the span structure and refs are plain doc_id
+    arithmetic, the page boilerplate is md5 arithmetic (corpus.html_page_det)
+    and the offsets cheap modular arithmetic -- so the whole wrapped corpus,
+    and hence the flagship extraction OUTPUT over it, is a closed-form
+    function of the testdata documents table that DuckDB replays exactly
+    (__ray_entry__._interleaved_sql). Offsets only define within-doc order
+    (generation order: text, images, pdf -- increments are strictly
+    positive), so they need determinism, not SQL replay.
+
     ``replicate`` stamps R copies of each doc under distinct doc_ids (same
     spans) to scale the bench corpus without external data.
     """
@@ -60,15 +67,16 @@ def make_interleave_fn(seed: int = 42, n_img: int = DEFAULT_N_IMG, n_pdf: int = 
         texts = batch.column("text").to_pylist()
         out_ids, out_spans = [], []
         for i, text in zip(ids, texts):
-            rng = random.Random(f"{seed}:wrap:{i}")
+            tag = f"{seed}:wrap:{i}"
             sentences = [s.strip() + "." for s in text.split(".") if s.strip()][:3] or [text[:200]]
             spans = []
             offset = 1
             spans.append(
-                {"kind": "text", "text": corpus.html_page(rng, sentences), "media_ref": "", "offset": offset}
+                {"kind": "text", "text": corpus.html_page_det(tag, sentences),
+                 "media_ref": "", "offset": offset}
             )
             for k in range(1 + i % 2):
-                offset += rng.randint(1, 40)
+                offset += 1 + (i * 13 + k * 7) % 40
                 broken = (i + k) % 20 == 0  # ~5% broken refs
                 ref = (
                     f"mem://img/missing-{i:06d}"
@@ -77,7 +85,7 @@ def make_interleave_fn(seed: int = 42, n_img: int = DEFAULT_N_IMG, n_pdf: int = 
                 )
                 spans.append({"kind": "image", "text": "", "media_ref": ref, "offset": offset})
             if i % 2 == 0:
-                offset += rng.randint(1, 40)
+                offset += 1 + (i * 17 + 5) % 40
                 broken = i % 40 == 10
                 ref = (
                     f"mem://pdf/missing-{i:06d}" if broken else corpus.media_ref_pdf((i * 11) % n_pdf)
