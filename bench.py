@@ -124,6 +124,12 @@ def run_bench() -> dict:
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # best-of-N per query (default 2): single cold runs on this
+    # cache-reclaiming VM carry +-20-30% noise -- the r01->r02 sweep flagged
+    # phantom regressions on UNCHANGED code (exact_dedup_groups 1.7->3.6 s).
+    # min over N runs is the same steady-state estimator the headline's
+    # untimed warm pass implements.
+    query_runs = int(os.environ.get("GRAFT_QUERY_RUNS", "2"))
     for name in [
         "pricing_summary", "revenue_by_nation", "events_daily",
         "token_count_by_lang", "exact_dedup_groups", "minhash_pairs",
@@ -138,7 +144,7 @@ def run_bench() -> dict:
             if hasattr(res, "to_pandas"):
                 res.to_pandas()
 
-        query_times[name] = _timed(_run)
+        query_times[name] = min(_timed(_run) for _ in range(query_runs))
 
     return {
         "metric": "extraction_headline_sec",

@@ -104,6 +104,8 @@ def cmd_publish(args) -> int:
 
     man = CheckpointManifest(args.output)
     manifest = lance_like.manifest_over_files(man.data_paths(), args.output)
+    if args.compact:
+        manifest = lance_like.compact(args.output, target_rows_per_fragment=args.target_rows)
     print(json.dumps({"table": args.output, "version": manifest["version"],
                       "fragments": len(manifest["fragments"])}))
     return 0
@@ -152,6 +154,10 @@ def main(argv: list[str] | None = None) -> int:
 
     pub = sub.add_parser("publish", help="publish committed output as a Lance-style table")
     pub.add_argument("--output", required=True)
+    pub.add_argument("--compact", action="store_true",
+                     help="follow up with a compaction version (merge small fragments)")
+    pub.add_argument("--target-rows", type=int, default=100_000,
+                     help="compaction target rows per fragment")
     pub.set_defaults(fn=cmd_publish)
 
     r = sub.add_parser("render", help="render committed output to one HTML file")

@@ -178,8 +178,9 @@ def minhash_lsh_pairs(
             texts = batch.column(text_col).to_pylist()
             ids = batch.column(id_col).to_pylist()
             out_id, out_band, out_bh, out_sig, out_bucket = [], [], [], [], []
+            memo: dict[str, int] = {}  # per-batch distinct-shingle digests
             for i, t in enumerate(texts):
-                sig = self.mh.signature(t, k=shingle_k)
+                sig = self.mh.signature(t, k=shingle_k, memo=memo)
                 sig_bytes = sig.tobytes()
                 for band, bh in enumerate(self.mh.band_hashes(sig, bands)):
                     out_id.append(ids[i])
@@ -260,8 +261,9 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hammin
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
         out_id, out_band, out_key, out_sh = [], [], [], []
+        memo: dict[str, int] = {}  # per-batch distinct-token digests
         for i, t in enumerate(texts):
-            sh = dk.simhash64(t)
+            sh = dk.simhash64(t, memo=memo)
             for band in range(4):
                 out_id.append(ids[i])
                 out_band.append(band)
@@ -411,7 +413,8 @@ def ngram_jaccard_pairs(
     def shingle_sets(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        sets = [np.sort(np.unique(dk.shingle_hashes(t, k=shingle_k))) for t in texts]
+        memo: dict[str, int] = {}  # per-batch distinct-shingle digests
+        sets = [np.sort(np.unique(dk.shingle_hashes(t, k=shingle_k, memo=memo))) for t in texts]
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),

@@ -162,6 +162,100 @@ def manifest_over_files(paths: list[str], table_dir: str) -> dict:
     return manifest
 
 
+def compact(
+    table_dir: str, target_rows_per_fragment: int = 100_000,
+    row_group_size: int | None = None,
+) -> dict:
+    """Rewrite runs of small fragments into ~target-size ones as a NEW
+    manifest version (the maintenance op incremental append needs: 50
+    appends = 50+ small fragments, each a separate read task and manifest
+    entry, growing without bound -- the reference's cleanup analogue,
+    Manager.java:406-460).
+
+    Contract:
+    - Row order is preserved: only CONSECUTIVE small fragments merge, and
+      fragments >= target/2 rows are carried over untouched (no rewrite
+      amplification on already-healthy data).
+    - Old fragments are immutable and stay on disk, still referenced by
+      prior manifest versions -- readers pinning an older version are
+      unaffected; garbage collection of unreferenced versions is a separate
+      concern.
+    - Resume identities that pin the fragment list -- the media store's
+      path-form fingerprint (pipelines/extract.media_fingerprint) and the
+      sharded plan's per-fragment partitioning -- intentionally MISMATCH
+      after compaction and raise loudly on resume: fragment boundaries ARE
+      partitioning identity, so a half-finished checkpointed run must
+      finish before its inputs are compacted (append-only growth remains
+      resumable; compaction is a barrier, not silent corruption).
+
+    Merge groups are rewritten in parallel as Ray tasks when a Ray session
+    exists (each group is independent and ~target-size bounded); serially
+    otherwise. Returns the new manifest.
+    """
+    man = read_manifest(table_dir)
+    version = man["version"] + 1
+    rg = row_group_size or min(target_rows_per_fragment, 512)
+    # published-in-place tables (manifest_over_files) have no data/ dir yet
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    # plan: split the ordered fragment list into carry-overs and merge groups
+    plan: list[tuple[str, list[dict]]] = []  # ("keep"|"merge", frags)
+    pending: list[dict] = []
+
+    def flush_pending():
+        if not pending:
+            return
+        if len(pending) == 1:
+            plan.append(("keep", list(pending)))
+        else:
+            plan.append(("merge", list(pending)))
+        pending.clear()
+
+    for frag in man["fragments"]:
+        if frag["rows"] >= target_rows_per_fragment // 2:
+            flush_pending()
+            plan.append(("keep", [frag]))
+            continue
+        pending.append(frag)
+        if sum(f["rows"] for f in pending) >= target_rows_per_fragment:
+            flush_pending()
+    flush_pending()
+
+    def merge_one(group: list[dict], idx: int) -> dict:
+        tbl = pa.concat_tables(
+            [pq.read_table(os.path.join(table_dir, f["path"])) for f in group]
+        )
+        rel = f"data/fragment-{version}-c{idx:05d}.parquet"
+        pq.write_table(tbl, os.path.join(table_dir, rel), row_group_size=rg)
+        return {"path": rel, "rows": tbl.num_rows}
+
+    merges = [(i, frags) for i, (op, frags) in enumerate(plan) if op == "merge"]
+    merged: dict[int, dict] = {}
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover - ray is a hard dep in practice
+        have_ray = False
+    if have_ray and len(merges) > 1:
+        import ray
+
+        remote_merge = ray.remote(merge_one)
+        refs = {i: remote_merge.remote(frags, i) for i, frags in merges}
+        merged = {i: ray.get(r) for i, r in refs.items()}
+    else:
+        merged = {i: merge_one(frags, i) for i, frags in merges}
+
+    fragments = []
+    for i, (op, frags) in enumerate(plan):
+        fragments.append(merged[i] if op == "merge" else frags[0])
+    manifest = {"version": version, "fragments": fragments, "compacted_from": man["version"]}
+    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
+    return manifest
+
+
 def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
     """Driver-side read of a small Lance-style table into one Arrow table."""
     paths = fragment_paths(table_dir, version)

@@ -104,6 +104,115 @@ class TestStreamingWriter:
         assert lance_like.read_arrow(tdir).num_rows == 120
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestCompaction:
+    def test_compact_merges_preserving_rows_and_versions(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        tdir = str(tmp_path / "tbl")
+        # incremental-ingest shape: 50 small appends -> 50 fragments
+        for i in range(50):
+            t = pa.table({"doc_id": [f"d{i:03d}-{j}" for j in range(10)],
+                          "v": list(range(10))})
+            lance_like.write_table(t, tdir, rows_per_fragment=10, mode="append")
+        man0 = lance_like.read_manifest(tdir)
+        assert len(man0["fragments"]) == 50
+        before = lance_like.read_arrow(tdir)
+
+        man1 = lance_like.compact(tdir, target_rows_per_fragment=100)
+        assert man1["version"] == man0["version"] + 1
+        assert man1["compacted_from"] == man0["version"]
+        assert len(man1["fragments"]) == 5  # 500 rows / 100-target
+        # content and ROW ORDER identical through compaction
+        assert lance_like.read_arrow(tdir).equals(before)
+        # prior version still pinned and readable (immutable fragments)
+        assert lance_like.read_arrow(tdir, version=man0["version"]).equals(before)
+
+    def test_compact_carries_large_fragments_untouched(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        tdir = str(tmp_path / "tbl")
+        big = pa.table({"doc_id": [f"big-{j}" for j in range(200)]})
+        lance_like.write_table(big, tdir, rows_per_fragment=200)
+        for i in range(4):
+            small = pa.table({"doc_id": [f"s{i}-{j}" for j in range(5)]})
+            lance_like.write_table(small, tdir, rows_per_fragment=5, mode="append")
+        before = lance_like.read_arrow(tdir)
+        big_path = lance_like.read_manifest(tdir)["fragments"][0]["path"]
+        man = lance_like.compact(tdir, target_rows_per_fragment=100)
+        # the healthy fragment is referenced in place, not rewritten
+        assert man["fragments"][0]["path"] == big_path
+        assert len(man["fragments"]) == 2  # big + one merged run of smalls
+        assert lance_like.read_arrow(tdir).equals(before)
+
+    def test_media_compaction_blocks_resume_loudly(self, tmp_path):
+        """Fragment-list fingerprints are partitioning identity: compacting
+        the media store between runs must raise, never silently mix."""
+        from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path)
+        docs = corpus.build_documents(n_docs=30, seed=23)
+        store = corpus.build_media_store(n_img=20, n_pdf=10, seed=23)
+        lance_like.write_table(docs, f"{root}/docs", rows_per_fragment=10)
+        # media as a path-backed table with several small fragments
+        lance_like.write_table(store.slice(0, 15), f"{root}/media", rows_per_fragment=5)
+        lance_like.write_table(store.slice(15), f"{root}/media", rows_per_fragment=5,
+                               mode="append")
+        run_extraction_sharded(f"{root}/docs", f"{root}/media", f"{root}/out", concurrency=2)
+        lance_like.compact(f"{root}/media", target_rows_per_fragment=100)
+        with pytest.raises(ValueError, match="media"):
+            run_extraction_sharded(f"{root}/docs", f"{root}/media", f"{root}/out",
+                                   concurrency=2)
+
+    def test_docs_compaction_triggers_full_safe_rerun(self, tmp_path):
+        """Compacting the DOCS table rewrites fragment paths, so committed
+        partitions fail the per-fragment identity check and re-run -- a
+        correct full reprocess, never a silent skip of renamed inputs."""
+        from distributed_system___ocr_ray.pipelines.extract import load_output
+        from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path)
+        docs = corpus.build_documents(n_docs=40, seed=29)
+        store = corpus.build_media_store(seed=29)
+        for s in range(0, 40, 10):
+            lance_like.write_table(
+                docs.slice(s, 10), f"{root}/docs", rows_per_fragment=10, mode="append"
+            )
+        m1 = run_extraction_sharded(f"{root}/docs", store, f"{root}/out", concurrency=2)
+        assert m1["partitions_total"] == 4
+        lance_like.compact(f"{root}/docs", target_rows_per_fragment=40)
+        m2 = run_extraction_sharded(f"{root}/docs", store, f"{root}/out", concurrency=2)
+        assert m2["partitions_skipped_prior"] == 0  # identity miss -> re-run
+        assert m2["docs_out"] == m1["docs_out"]
+        out = load_output(f"{root}/out")
+        assert out.count() == m1["docs_out"]
+
+    def test_publish_compact_cli(self, small_corpus, tmp_path):
+        from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+        from distributed_system___ocr_ray.sources import lance_like
+
+        docs, store = small_corpus
+        docs_dir = str(tmp_path / "docs")
+        lance_like.write_table(docs, docs_dir, rows_per_fragment=10)
+        out_dir = str(tmp_path / "out")
+        m = run_extraction_sharded(docs_dir, store, out_dir, concurrency=2)
+        pub = subprocess.run(
+            [sys.executable, "-m", "distributed_system___ocr_ray", "publish",
+             "--output", out_dir, "--compact", "--target-rows", "1000"],
+            cwd="/root/repo", capture_output=True, text=True,
+        )
+        assert pub.returncode == 0, pub.stderr
+        info = json.loads(pub.stdout.strip().splitlines()[-1])
+        assert info["fragments"] == 1  # all small partitions merged
+        assert lance_like.read_arrow(out_dir).num_rows == m["docs_out"]
+
+
 class TestStripFuzz:
     @settings(max_examples=200, deadline=None)
     @given(st.text(max_size=300))
