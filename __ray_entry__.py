@@ -802,40 +802,37 @@ def _fingerprint_sql() -> str:
     )
 
 
-def _status_counts_sql() -> str:
-    """Span statuses over the interleaved wrap are doc_id arithmetic (which
-    spans exist, which refs are broken: sources/wrap.py:58-89) plus the
-    deterministic corrupt-payload set of the seeded media store; the corrupt
-    ref indices are enumerated from the same generator the engine uses
-    (corpus.build_media_store seed=42), keeping the SQL in lockstep."""
-    from distributed_system___ocr_ray import corpus
+def _status_counts_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """Span statuses over the interleaved wrap: which spans exist and which
+    refs are broken are doc_id arithmetic (sources/wrap.py), and since round
+    3 the media store's corruption roll is md5 arithmetic too
+    (``md5(tag || ':c') < corrupt_frac * 2^64``), so the whole status table
+    is recomputed INDEPENDENTLY in SQL -- no constants enumerated from the
+    engine's own generator."""
     from distributed_system___ocr_ray.sources import wrap
 
-    store = corpus.build_media_store(n_img=wrap.DEFAULT_N_IMG, n_pdf=wrap.DEFAULT_N_PDF, seed=42)
-    refs = store.column("media_ref").to_pylist()
-    truths = store.column("truth").to_pylist()
-    bad_img = sorted(
-        int(r.rsplit("/", 1)[1]) for r, t in zip(refs, truths)
-        if r.startswith("mem://img/") and t == "OCR operation error"
-    )
-    bad_pdf = sorted(
-        int(r.rsplit("/", 1)[1]) for r, t in zip(refs, truths)
-        if r.startswith("mem://pdf/") and t == "PDF parse error"
-    )
-    img_list = ", ".join(map(str, bad_img)) or "-1"
-    pdf_list = ", ".join(map(str, bad_pdf)) or "-1"
     n_img, n_pdf = wrap.DEFAULT_N_IMG, wrap.DEFAULT_N_PDF
+    th = int(corrupt_frac * 2**64)
+
+    def bad_img(idx_expr: str) -> str:
+        tag = f"'{seed}:img:' || ({idx_expr}) || ':c'"
+        return f"{_MD5U64.format(v=tag)} < {th}"
+
+    def bad_pdf(idx_expr: str) -> str:
+        tag = f"'{seed}:pdf:' || ({idx_expr}) || ':c'"
+        return f"{_MD5U64.format(v=tag)} < {th}"
+
     return (
         "WITH spans AS ("
         "SELECT 'ok' AS status FROM documents "
         "UNION ALL SELECT CASE WHEN doc_id % 20 = 0 THEN 'download_error' "
-        f"WHEN ((doc_id*7) % {n_img}) IN ({img_list}) THEN 'ocr_error' ELSE 'ok' END "
+        f"WHEN {bad_img(f'(doc_id*7) % {n_img}')} THEN 'ocr_error' ELSE 'ok' END "
         "FROM documents "
         "UNION ALL SELECT CASE WHEN (doc_id+1) % 20 = 0 THEN 'download_error' "
-        f"WHEN ((doc_id*7+3) % {n_img}) IN ({img_list}) THEN 'ocr_error' ELSE 'ok' END "
+        f"WHEN {bad_img(f'(doc_id*7+3) % {n_img}')} THEN 'ocr_error' ELSE 'ok' END "
         "FROM documents WHERE doc_id % 2 = 1 "
         "UNION ALL SELECT CASE WHEN doc_id % 40 = 10 THEN 'download_error' "
-        f"WHEN ((doc_id*11) % {n_pdf}) IN ({pdf_list}) THEN 'parse_error' ELSE 'ok' END "
+        f"WHEN {bad_pdf(f'(doc_id*11) % {n_pdf}')} THEN 'parse_error' ELSE 'ok' END "
         "FROM documents WHERE doc_id % 2 = 0) "
         "SELECT status, COUNT(*) AS n_spans FROM spans GROUP BY status"
     )

@@ -37,14 +37,41 @@ REPLICATE = int(os.environ.get("RAY_GRAFT_REPLICATE", "200"))
 BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/graft_bench")
 
 
+def _corpus_content_id() -> str:
+    """8-hex id of the wrap + media-store GENERATOR content: wraps one probe
+    doc and fingerprints it together with a tiny media store, so any change
+    to the corpus generators automatically invalidates the /tmp cache (a
+    name-only tag silently re-benches a stale corpus -- bit us in round 3
+    when the md5-arithmetic wrap landed)."""
+    import hashlib
+    import json
+
+    import pyarrow as pa
+
+    from distributed_system___ocr_ray import corpus as _corpus
+    from distributed_system___ocr_ray.sources import wrap
+
+    probe = pa.table({"doc_id": [123], "text": ["alpha beta. gamma delta. epsilon."]})
+    wrapped = wrap.make_interleave_fn()(probe).to_pylist()
+    store = _corpus.build_media_store(n_img=2, n_pdf=1, seed=42)
+    h = hashlib.md5(json.dumps(wrapped, sort_keys=True, default=str).encode("utf-8"))
+    for row in store.to_pylist():
+        h.update(row["media_ref"].encode()); h.update(row["payload"])
+    return h.hexdigest()[:8]
+
+
 def _prepare_corpus() -> tuple[str, str, int]:
-    """Materialize the interleaved corpus as a Lance-style table (cached).
+    """Materialize the interleaved corpus as a Lance-style table (cached,
+    content-keyed via _corpus_content_id).
 
     Streams wrapped batches straight to fragments (lance_like.write_dataset):
     driver RSS stays flat however large REPLICATE grows."""
     from distributed_system___ocr_ray.sources import lance_like, wrap
 
-    tag = f"{os.path.basename(os.path.normpath(SF_DIR))}_r{REPLICATE}_f1000"
+    tag = (
+        f"{os.path.basename(os.path.normpath(SF_DIR))}_r{REPLICATE}"
+        f"_f1000_{_corpus_content_id()}"
+    )
     docs_dir = os.path.join(BENCH_ROOT, tag, "documents")
     media_dir = os.path.join(BENCH_ROOT, tag, "media_store")
     if lance_like.latest_version(docs_dir) and lance_like.latest_version(media_dir):
