@@ -290,6 +290,21 @@ def _q_exact_dedup_groups(sf_dir: str):
     return analytics.exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_exact_dedup_rows(sf_dir: str):
+    """Full keeper ROWS via the semi-filter scale shape: keepers from the
+    hash-only shuffle, then a map-side broadcast ``pc.is_in`` filter -- full
+    rows never enter a shuffle (analytics.exact_dedup_semifilter; the
+    bucketed-join past-the-cap path is pytest-held equal). Text is omitted
+    from the output only to keep the driver compare payload small; the
+    engine filters complete rows."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.exact_dedup_semifilter(
+        _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    )
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
 def _q_dedup_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -675,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         # dedup family
         "exact_dedup_groups": _q_exact_dedup_groups,
+        "exact_dedup_rows": _q_exact_dedup_rows,
         "dedup_stats": _q_dedup_stats,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1463,6 +1479,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "exact_dedup_groups": (
             "SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text"
+        ),
+        "exact_dedup_rows": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
         ),
         "dedup_stats": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -121,6 +121,31 @@ class TestDedup:
         ).fetchone()[0]
         assert len(got) == n_distinct
 
+    def test_exact_dedup_semifilter_both_paths(self):
+        """Semi-filter variant == single-pass exact_dedup, on both the
+        broadcast fast path and the forced bucketed-join scale path."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        def read():
+            return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+        exp = (
+            _pdf(analytics.exact_dedup(read()))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for cap in (256 << 20, 0):  # broadcast path, then forced join path
+            got = (
+                _pdf(analytics.exact_dedup_semifilter(read(), broadcast_keepers_bytes=cap))
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            assert got["doc_id"].tolist() == exp["doc_id"].tolist(), f"cap={cap}"
+            assert got["lang"].tolist() == exp["lang"].tolist(), f"cap={cap}"
+            assert got["text"].tolist() == exp["text"].tolist(), f"cap={cap}"
+
     def test_minhash_finds_planted_neardups(self, planted_dups):
         from distributed_system___ocr_ray.pipelines import analytics
 

@@ -1,0 +1,178 @@
+"""Pool-elasticity evidence: do the autoscaling actor pools actually track load?
+
+The reference manager runs a 30 s balance daemon that adds/removes EC2
+workers from queue depth (reference ``Manager.java:169-201``). In this
+engine the analogue is Ray Data's autoscaling actor pool: every stateful
+stage is ``map_batches(Cls, concurrency=(min, max))`` and the streaming
+executor grows the pool while input backlog exists and retires actors as
+the stream drains. That behavior is provided by Ray, but the round-2
+verdict asked for a MEASUREMENT, not an appeal to the docs -- this tool is
+that measurement.
+
+Protocol (single box, fresh ``ray.init``):
+
+1. **Heavy phase** -- run the flagship extraction over a replicated corpus
+   with ``concurrency=(1, max)`` while a sampler thread polls
+   the GCS actor table every ``INTERVAL`` seconds and records how many
+   actor-pool workers (``MapWorker(...)`` class names) are ALIVE. Expected:
+   ramp from ~min toward max while backlog exists, then decay back as the
+   stream drains and the job ends.
+2. **Light phase** -- same pipeline, same ``(1, max)`` bounds, but a corpus
+   ~1/16 the size. Expected: the pool peaks well BELOW max -- pool size is
+   driven by offered load, not by the configured ceiling. This is the
+   scale-down half of the balance-daemon analogue: idle capacity is never
+   held.
+
+Prints one JSON line with both timelines and the summary statistics quoted
+in BASELINE.md.
+
+Usage::
+
+    PYTHONPATH=/root/repo python tools/measure_elasticity.py
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.01), ``ELASTIC_CPUS``
+(default 16), ``ELASTIC_MAX_POOL`` (default 12), ``ELASTIC_REPLICATE``
+(default 48 heavy / 3 light), ``ELASTIC_INTERVAL`` (default 0.2 s).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+NUM_CPUS = int(os.environ.get("ELASTIC_CPUS", "16"))
+MAX_POOL = int(os.environ.get("ELASTIC_MAX_POOL", "12"))
+REPLICATE = int(os.environ.get("ELASTIC_REPLICATE", "48"))
+INTERVAL = float(os.environ.get("ELASTIC_INTERVAL", "0.2"))
+ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/graft_elastic")
+
+
+class ActorSampler:
+    """Polls list_actors in a thread; records (t, n_alive_extractors)."""
+
+    def __init__(self, needle: str = "MapWorker(") -> None:
+        self.needle = needle
+        self.samples: list[tuple[float, int]] = []
+        self._stop = threading.Event()
+        self._t0 = time.perf_counter()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _count(self) -> int:
+        # The public observability API (ray.util.state.list_actors) needs the
+        # dashboard API server, which this sandbox runs without
+        # (include_dashboard=False -> ServerUnavailable, verified). The
+        # GCS-backed actor table is the same data source the dashboard
+        # serves; measurement-tool-only usage, never imported by the engine.
+        import ray
+
+        try:
+            table = ray._private.state.state.actor_table(None)
+        except Exception:
+            return -1  # transient GCS hiccup; drop the sample
+        return sum(
+            1
+            for v in table.values()
+            if v.get("State") == "ALIVE" and self.needle in v.get("ActorClassName", "")
+        )
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            n = self._count()
+            if n >= 0:
+                self.samples.append((round(time.perf_counter() - self._t0, 2), n))
+            self._stop.wait(INTERVAL)
+
+    def __enter__(self) -> "ActorSampler":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join()
+
+
+def _phase(tag: str, replicate: int) -> dict:
+    import shutil
+
+    from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
+    from distributed_system___ocr_ray.sources import lance_like, wrap
+
+    docs_dir = os.path.join(ROOT, f"{tag}_r{replicate}_docs")
+    media_dir = os.path.join(ROOT, f"{tag}_r{replicate}_media")
+    if not (lance_like.latest_version(docs_dir) and lance_like.latest_version(media_dir)):
+        ds, store = wrap.interleaved_from_documents(SF_DIR, replicate=replicate)
+        lance_like.write_dataset(ds, docs_dir, rows_per_fragment=500)
+        lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
+    store = lance_like.read_arrow(media_dir)
+    n_docs = sum(f["rows"] for f in lance_like.read_manifest(docs_dir)["fragments"])
+
+    out_dir = os.path.join(ROOT, f"{tag}_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    with ActorSampler() as sampler:
+        t0 = time.perf_counter()
+        run_extraction_sharded(
+            docs_dir, store, out_dir,
+            concurrency=(1, MAX_POOL), batch_size=256,
+        )
+        wall = round(time.perf_counter() - t0, 2)
+        # keep sampling after completion to catch the teardown tail (pool
+        # actors are retired asynchronously once the stream drains)
+        for _ in range(int(8 / INTERVAL)):
+            time.sleep(INTERVAL)
+            if sampler.samples and sampler.samples[-1][1] == 0:
+                break
+    counts = [n for _, n in sampler.samples]
+    return {
+        "phase": tag,
+        "docs": n_docs,
+        "wall_sec": wall,
+        "pool_bounds": [1, MAX_POOL],
+        "peak_actors": max(counts, default=0),
+        "final_actors": counts[-1] if counts else 0,
+        "mean_actors": round(sum(counts) / len(counts), 2) if counts else 0,
+        "timeline": sampler.samples,
+    }
+
+
+def main() -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS,
+            include_dashboard=False, logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    heavy = _phase("heavy", REPLICATE)
+    light = _phase("light", max(1, REPLICATE // 16))
+
+    verdict = {
+        # the pool grew well past its min=1 while backlog existed
+        "scales_up_under_load": heavy["peak_actors"] >= 3,
+        # and was fully retired once the stream drained (no idle capacity held)
+        "drains_to_zero": heavy["final_actors"] == 0 and light["final_actors"] == 0,
+        # pool size tracks OFFERED LOAD, not the configured ceiling
+        "light_load_stays_small": light["peak_actors"] <= max(1, heavy["peak_actors"] // 3),
+    }
+    print(json.dumps({
+        "metric": "pool_elasticity",
+        "num_cpus": NUM_CPUS,
+        "heavy": {k: v for k, v in heavy.items() if k != "timeline"},
+        "light": {k: v for k, v in light.items() if k != "timeline"},
+        "heavy_timeline": heavy["timeline"],
+        "light_timeline": light["timeline"],
+        "verdict": verdict,
+    }))
+    ray.shutdown()
+    return 0 if all(verdict.values()) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
