@@ -457,6 +457,71 @@ def _q_dataset_split_counts(sf_dir: str):
     )
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling: 50% of 'en', 25% of 'de', 10%
+    elsewhere -- entirely map-side (per-key md5 thresholds), no shuffle."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    return analytics.stratified_sample(ds, key="lang", fractions={"en": 0.5, "de": 0.25}, default=0.1)
+
+
+def _q_redact_pii(sf_dir: str):
+    """PII scrub over a corpus with deterministically PLANTED pii (the
+    synthetic documents carry none): each doc gets a URL, an email and a
+    phone derived from its doc_id via string arithmetic the SQL oracle
+    reproduces, then functions.scrub.redact_pii replaces them with
+    placeholder tokens. Pattern strings and replace order are shared
+    verbatim with the oracle's nested regexp_replace chain."""
+    import pandas as pd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text"] = (
+            b["text"]
+            + " visit https://ex.org/p" + b["doc_id"].astype(str)
+            + " mail user" + b["doc_id"].astype(str) + "@mail.example.com call +1-555-"
+            + (b["doc_id"] % 10000).map(lambda d: f"{d:04d}")
+        )
+        return b
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(plant, batch_format="pandas")
+    return analytics.redact_pii_docs(planted)
+
+
+# eval set for the decontamination query: a 4% md5-threshold sample of the
+# corpus itself (self-contained; a real pipeline would pass the benchmark
+# dataset). Shared between the engine query and the SQL oracle.
+_CONTAM_EVAL_RATE = 0.04
+_CONTAM_K = 8
+
+
+def _q_contamination_flags(sf_dir: str):
+    """Benchmark decontamination: n_hits = how many distinct eval-set
+    first-8-token probes each doc contains (GPT-3-style n-gram overlap).
+    Eval probes are collected once (bounded) and broadcast; the corpus pass
+    is map-side substring scans, zero shuffle."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    eval_ds = analytics.deterministic_sample(
+        _docs(sf_dir, ["doc_id", "text"]), rate=_CONTAM_EVAL_RATE
+    )
+    return analytics.contamination_flags(docs, eval_ds, k=_CONTAM_K)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Streaming greedy sequence packing (seq_len=512) in global doc_id
+    order via the distributed prefix-sum pattern (range partition ->
+    per-range sums -> driver exclusive scan -> per-range ordered cumsum).
+    The oracle replays it with one SQL window function."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.pack_sequences(_docs(sf_dir, ["doc_id", "text"]), seq_len=512)
+
+
 def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -702,8 +767,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_clusters": _q_minhash_dup_clusters,
         "clean_corpus_keepers": _q_clean_corpus_keepers,
         "sample_docs": _q_sample_docs,
+        "stratified_sample": _q_stratified_sample,
         "dataset_split_counts": _q_dataset_split_counts,
         "training_corpus_counts": _q_training_corpus_counts,
+        # corpus hygiene (round 3)
+        "redact_pii": _q_redact_pii,
+        "contamination_flags": _q_contamination_flags,
+        "pack_sequences": _q_pack_sequences,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -815,6 +885,68 @@ def _fingerprint_sql() -> str:
     return (
         "SELECT doc_id, substr(md5(trim(regexp_replace(text, "
         f"'{WS_PATTERN}', ' ', 'g'), ' ')), 1, 16) AS fingerprint FROM documents"
+    )
+
+
+def _redact_pii_sql() -> str:
+    """Replays _q_redact_pii exactly: identical planted-PII string
+    arithmetic, then the same three regexp_replace patterns in the same
+    order (pattern strings imported from functions.scrub, so engine and
+    oracle can never drift)."""
+    from distributed_system___ocr_ray.functions.scrub import (
+        EMAIL_PATTERN,
+        EMAIL_TOKEN,
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+        URL_PATTERN,
+        URL_TOKEN,
+    )
+
+    planted = (
+        "text || ' visit https://ex.org/p' || doc_id || ' mail user' || doc_id || "
+        "'@mail.example.com call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    )
+    return (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        f"{planted}, '{URL_PATTERN}', '{URL_TOKEN}', 'g'), "
+        f"'{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'), "
+        f"'{PHONE_PATTERN}', '{PHONE_TOKEN}', 'g') AS clean_text FROM documents"
+    )
+
+
+def _contamination_sql(rate: float, k: int) -> str:
+    """Replays _q_contamination_flags: same normalization (scrub
+    NORM_WS_PATTERN + lower), same md5-threshold eval pick, same
+    first-k-token probe, same distinct-probe substring count."""
+    from distributed_system___ocr_ray.functions.scrub import (
+        NORM_TOKEN_PATTERN,
+        NORM_WS_PATTERN,
+    )
+
+    threshold = format(int(rate * 0xFFFFFFFF), "08x")
+    return (
+        "WITH norm AS (SELECT doc_id, lower(regexp_replace(text, "
+        f"'{NORM_WS_PATTERN}', ' ', 'g')) AS ntext FROM documents), "
+        "ev AS (SELECT array_to_string(list_slice(regexp_extract_all(ntext, "
+        f"'{NORM_TOKEN_PATTERN}'), 1, {k}), ' ') AS sh FROM norm "
+        f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{threshold}' "
+        f"AND len(regexp_extract_all(ntext, '{NORM_TOKEN_PATTERN}')) >= {k}), "
+        "sh AS (SELECT DISTINCT sh FROM ev) "
+        "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
+        "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
+        "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _pack_sequences_sql(seq_len: int) -> str:
+    """Replays _q_pack_sequences with one window function: pack_id =
+    floor(cum_tokens_before / seq_len) over global doc_id order (RE2 \\S ==
+    the textstats whitespace-token class)."""
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens, "
+        "CAST(FLOOR((SUM(len(regexp_extract_all(text, '\\S+'))) OVER (ORDER BY doc_id) "
+        f"- len(regexp_extract_all(text, '\\S+'))) / {seq_len}) AS BIGINT) AS pack_id "
+        "FROM documents"
     )
 
 
@@ -1504,6 +1636,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h FROM documents) "
             "GROUP BY 1"
         ),
+        "stratified_sample": (
+            # thresholds = format(int(f * 0xFFFFFFFF), '08x') for 0.5/0.25/0.1
+            "SELECT doc_id, lang FROM documents "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE lang WHEN 'en' THEN '7fffffff' WHEN 'de' THEN '3fffffff' "
+            "ELSE '19999999' END"
+        ),
+        "redact_pii": _redact_pii_sql(),
+        "contamination_flags": _contamination_sql(_CONTAM_EVAL_RATE, _CONTAM_K),
+        "pack_sequences": _pack_sequences_sql(512),
         "ann_topk": _ANN_TOPK_SQL,
         # same exact brute-force oracle: IVF probing achieves exact recall on
         # this dataset (pytest-held recall test; see _q_ivf_topk docstring)

@@ -165,6 +165,7 @@ def run_bench() -> dict:
         "ngram_jaccard_pairs", "top_orders_per_segment", "fingerprints",
         "median_order_value", "quality_by_lang", "bm25_topk",
         "simhash_pairs", "approx_distinct_users",
+        "contamination_flags", "pack_sequences", "redact_pii",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -1177,6 +1177,31 @@ def deterministic_sample(ds, id_col: str = "doc_id", rate: float = 0.25):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds,
+    key: str = "lang",
+    fractions: dict[str, float] | None = None,
+    default: float = 0.0,
+    id_col: str = "doc_id",
+):
+    """Per-stratum deterministic sampling: each ``key`` value gets its own
+    md5-threshold rate (e.g. keep 50% of 'en', 10% of everything else).
+    Entirely map-side -- the fractions dict is a per-task constant, no
+    shuffle, no broadcast needed -- and SQL-checkable via the same CASE'd
+    threshold compare."""
+    fractions = fractions or {}
+    thresholds = {k: format(int(v * 0xFFFFFFFF), "08x") for k, v in fractions.items()}
+    t_default = format(int(default * 0xFFFFFFFF), "08x")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        hx = _md5_hex8(batch.column(id_col).to_pylist())
+        keys = batch.column(key).to_pylist()
+        mask = pa.array([h < thresholds.get(k, t_default) for h, k in zip(hx, keys)])
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def train_val_test_split(ds, id_col: str = "doc_id", val: float = 0.1, test: float = 0.1):
     """Deterministic dataset split column ('train'|'val'|'test') from the
     same md5 prefix: stable under resharding, repeatable, leakage-free
@@ -1190,3 +1215,165 @@ def train_val_test_split(ds, id_col: str = "doc_id", val: float = 0.1, test: flo
         return batch.append_column("split", pa.array(split, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- corpus hygiene (r3)
+
+
+def redact_pii_docs(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """PII-scrubbed corpus: URLs, emails, phone numbers replaced with
+    placeholder tokens (``functions.scrub.redact_pii``). Pure map-side --
+    one vectorized regex replace per pattern, no shuffle -- and byte-exact
+    SQL-replayable (pattern strings + replace order shared with the
+    oracle)."""
+    from ..functions import scrub
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: batch[id_col].values, "clean_text": scrub.redact_pii(batch[text_col]).values}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def contamination_flags(
+    ds,
+    eval_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_eval_shingles: int = 100_000,
+):
+    """Benchmark decontamination: for every corpus doc, count how many
+    eval-set probes it contains.
+
+    Each eval document contributes ONE probe: the first-``k``-token shingle
+    of its whitespace-normalized lowercased text (docs with < k tokens
+    contribute none). A corpus doc's ``n_hits`` is the number of DISTINCT
+    probes appearing in its normalized text as a plain substring -- the
+    standard n-gram-overlap contamination test (GPT-3 appendix C style) with
+    the probe set deliberately small and explicit.
+
+    Scale shape: the eval side is collected driver-side (BOUNDED by
+    ``max_eval_shingles`` -- raises loudly past it; eval sets are small by
+    definition) and broadcast via ``ray.put`` ONCE; the corpus side is a
+    single map-side pass, one vectorized substring scan per probe. No
+    shuffle anywhere."""
+    import ray
+
+    from ..functions import scrub
+
+    def eval_probe(batch: pd.DataFrame) -> pd.DataFrame:
+        norm = scrub.normalize_for_contamination(batch[text_col])
+        sh = scrub.leading_shingle(norm, k=k)
+        return pd.DataFrame({"shingle": sh.dropna().values})
+
+    probe_tables = ray.get(
+        eval_ds.map_batches(eval_probe, batch_format="pandas").to_arrow_refs()
+    )
+    shingles = sorted(
+        {
+            s
+            for t in probe_tables
+            if "shingle" in t.column_names  # all-filtered blocks come back schema-less
+            for s in t.column("shingle").to_pylist()
+        }
+    )
+    if len(shingles) > max_eval_shingles:
+        raise ValueError(
+            f"eval probe set has {len(shingles)} shingles > cap {max_eval_shingles}; "
+            "raise max_eval_shingles explicitly if the eval set is really this big"
+        )
+    handle = [ray.put(shingles)]
+
+    class Contam:
+        def __init__(self) -> None:
+            self.shingles = ray.get(handle[0])
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            norm = scrub.normalize_for_contamination(batch[text_col])
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].values,
+                    "n_hits": scrub.contamination_hits(norm, self.shingles).values,
+                }
+            )
+
+    return ds.map_batches(Contam, batch_format="pandas", concurrency=(1, 8))
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def pack_sequences(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 1024,
+    ranges: int | None = None,
+):
+    """Assign each document to a training-sequence pack: streaming greedy
+    packing in global ``id_col`` order, where a doc joins the pack its
+    starting token offset falls in (``pack_id = cum_tokens_before //
+    seq_len``). Deterministic, order-stable, and exactly SQL-replayable
+    with one window function.
+
+    This is the distributed PREFIX-SUM pattern (two passes, no global
+    sort):
+
+    1. slim projection ``(id, n_tokens)`` -- whitespace token counts, the
+       ``textstats`` kernel;
+    2. range-partition by ``id`` (boundaries = linspace over [min, max];
+       fan-out derived from row count). Per-range token SUMS come back to
+       the driver -- R tiny rows -- and an exclusive scan turns them into
+       per-range starting offsets, broadcast back;
+    3. ``groupby(range).map_groups``: each range sorts its own rows by id
+       (bounded by the range size -- that is the documented partitioning
+       assumption) and emits ``offset[range] + local running sum``.
+
+    Ids denser than linspace assumes (heavy skew) only imbalance the ranges,
+    never break correctness -- the in-range sort and the offsets are exact
+    regardless."""
+    from ..functions import textstats as ts
+    from .relational import derive_buckets
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        n = ts.token_counts(batch[text_col])["n_ws_tokens"]
+        return pd.DataFrame({id_col: batch[id_col].values, "n_tokens": n.values})
+
+    s = ds.map_batches(slim, batch_format="pandas").materialize()  # slim: 2 ints/row
+
+    from ray.data.aggregate import Max, Min
+
+    stats = s.aggregate(Min(id_col), Max(id_col))
+    lo, hi = stats[f"min({id_col})"], stats[f"max({id_col})"]
+    n_ranges = ranges if ranges is not None else derive_buckets(s.count())
+    width = max(1, (int(hi) - int(lo) + n_ranges) // n_ranges)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rng = ((ids - int(lo)) // width).astype(np.int32)
+        return batch.append_column("__range", pa.array(rng, pa.int32()))
+
+    tagged = s.map_batches(tag, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Sum
+
+    range_sums = tagged.groupby("__range").aggregate(Sum("n_tokens")).to_pandas()
+    range_sums = range_sums.sort_values("__range").reset_index(drop=True)
+    cums = range_sums["sum(n_tokens)"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(range_sums["__range"].astype(int), cums.astype(int)))
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        start = offsets[int(g["__range"].iloc[0])]
+        cum_before = start + g["n_tokens"].cumsum() - g["n_tokens"]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].values,
+                "n_tokens": g["n_tokens"].values,
+                "pack_id": (cum_before // seq_len).astype(np.int64).values,
+            }
+        )
+
+    return tagged.groupby("__range").map_groups(scan, batch_format="pandas")

@@ -549,3 +549,101 @@ class TestBM25:
         )
         assert out[["query_id", "doc_id", "score_ppm"]].astype(int).values.tolist() == \
             odf[["query_id", "doc_id", "score_ppm"]].astype(int).values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorpusHygiene:
+    """Round-3 hygiene ops: PII redaction, decontamination, stratified
+    sampling, sequence packing."""
+
+    def test_redact_pii_kernel_edges(self):
+        import pandas as pd
+
+        from distributed_system___ocr_ray.functions import scrub
+
+        s = pd.Series(
+            [
+                "mail me at a.b-c%d@ex-ample.co.uk now",
+                "see https://x.y/z?a=1&u=someone@example.com trailing",
+                "call +1-555-0042 or (030)123456 done",
+                "no pii here",
+                None,
+            ]
+        )
+        got = scrub.redact_pii(s).tolist()
+        assert got[0] == "mail me at <EMAIL> now"
+        # the URL (including its embedded @) is consumed by the URL pass
+        assert got[1] == "see <URL> trailing"
+        assert got[2] == "call <PHONE> or <PHONE> done"
+        assert got[3] == "no pii here"
+        assert got[4] == ""
+
+    def test_contamination_planted(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        eval_texts = ["alpha beta gamma delta epsilon zeta eta theta tail words"]
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # contains the eval probe (first 8 tokens), extra WS + case
+                    "prefix ALPHA  beta\tgamma delta epsilon zeta eta THETA suffix",
+                    "completely unrelated text with many words in it",
+                    "alpha beta gamma delta epsilon zeta eta",  # only 7 tokens of it
+                ],
+            }
+        )
+        out = (
+            analytics.contamination_flags(
+                rd.from_pandas(corpus),
+                rd.from_pandas(pd.DataFrame({"doc_id": [9], "text": eval_texts})),
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_hits"].tolist() == [1, 0, 0]
+
+    def test_stratified_sample_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        got = (
+            analytics.stratified_sample(ds, key="lang", fractions={"en": 0.5}, default=0.1)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"SELECT doc_id, lang FROM '{SF}/documents.parquet' "
+            "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            "CASE lang WHEN 'en' THEN '7fffffff' ELSE '19999999' END ORDER BY doc_id"
+        ).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+
+    def test_pack_sequences_vs_duckdb_window(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        # small ranges force multi-range prefix-sum composition
+        got = (
+            analytics.pack_sequences(ds, seq_len=256, ranges=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            "SELECT doc_id, CAST(FLOOR((SUM(len(regexp_extract_all(text, '\\S+'))) "
+            "OVER (ORDER BY doc_id) - len(regexp_extract_all(text, '\\S+'))) / 256) AS BIGINT) "
+            f"AS pack_id FROM '{SF}/documents.parquet' ORDER BY doc_id"
+        ).df()
+        assert got["pack_id"].tolist() == exp["pack_id"].tolist()
+        # packs are contiguous in doc order and start at 0
+        assert got["pack_id"].iloc[0] == 0
+        assert (got["pack_id"].diff().dropna() >= 0).all()
