@@ -522,6 +522,33 @@ def _q_pack_sequences(sf_dir: str):
     return analytics.pack_sequences(_docs(sf_dir, ["doc_id", "text"]), seq_len=512)
 
 
+def _q_quantize_embeddings(sf_dir: str):
+    """int8 embedding quantization, compared via per-vector integer
+    checksums (sum / L1 / max of the quantized values) -- exact compare
+    without list-column stringification differences; the list itself is
+    pytest-held (dtype, dequantization error bound)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = analytics.quantize_embeddings(ds)
+
+    def checksums(batch: pa.Table) -> pa.Table:
+        q = [np.asarray(v, dtype=np.int64) for v in batch.column("q_embedding").to_pylist()]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "q_sum": pa.array([int(v.sum()) for v in q], pa.int64()),
+                "q_l1": pa.array([int(np.abs(v).sum()) for v in q], pa.int64()),
+                "q_max": pa.array([int(v.max()) for v in q], pa.int64()),
+            }
+        )
+
+    return out.map_batches(checksums, batch_format="pyarrow")
+
+
 def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -574,6 +601,15 @@ def _q_fingerprints(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (top-token / dup-bigram ppm);
+    map-side explode + C groupby, replayed in SQL with unnest +
+    generate_subscripts + a self-join on adjacent ordinals."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.repetition_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
 # canonical BM25 query set (terms drawn from the corpus vocabulary); shared
@@ -753,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
         "fingerprints": _q_fingerprints,
+        "repetition_stats": _q_repetition_stats,
         # dedup family
         "exact_dedup_groups": _q_exact_dedup_groups,
         "exact_dedup_rows": _q_exact_dedup_rows,
@@ -777,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
         "media_metadata": _q_media_metadata,
@@ -1643,9 +1681,36 @@ def oracle_sql() -> dict[str, str]:
             "CASE lang WHEN 'en' THEN '7fffffff' WHEN 'de' THEN '3fffffff' "
             "ELSE '19999999' END"
         ),
+        "repetition_stats": (
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[^ \t\n\f\r]+') AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS tok, "
+            "generate_subscripts(toks, 1) AS i FROM t), "
+            "cnt AS (SELECT doc_id, tok, COUNT(*) c FROM tok GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, CAST(FLOOR(MAX(c) * 1e6 / SUM(c) + 0.5) AS BIGINT) "
+            "top_token_ppm FROM cnt GROUP BY 1), "
+            "bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram FROM tok a "
+            "JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "dup AS (SELECT doc_id, CAST(FLOOR((COUNT(*) - COUNT(DISTINCT bigram)) "
+            "* 1e6 / COUNT(*) + 0.5) AS BIGINT) dup_2gram_ppm FROM bg GROUP BY 1) "
+            "SELECT t.doc_id, COALESCE(top.top_token_ppm, 0) AS top_token_ppm, "
+            "COALESCE(dup.dup_2gram_ppm, 0) AS dup_2gram_ppm "
+            "FROM t LEFT JOIN top USING(doc_id) LEFT JOIN dup USING(doc_id)"
+        ),
         "redact_pii": _redact_pii_sql(),
         "contamination_flags": _contamination_sql(_CONTAM_EVAL_RATE, _CONTAM_K),
         "pack_sequences": _pack_sequences_sql(512),
+        "quantize_embeddings": (
+            "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
+            "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "
+            "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 "
+            "ELSE 1.0 END AS scale FROM embeddings), "
+            "q AS (SELECT vec_id, list_transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS qv FROM s) "
+            "SELECT vec_id, CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+            "CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1, "
+            "CAST(list_max(qv) AS BIGINT) AS q_max FROM q"
+        ),
         "ann_topk": _ANN_TOPK_SQL,
         # same exact brute-force oracle: IVF probing achieves exact recall on
         # this dataset (pytest-held recall test; see _q_ivf_topk docstring)

@@ -158,3 +158,48 @@ def fingerprint64(texts: pd.Series) -> pd.Series:
     Python loop); DuckDB's ``substr(md5(...), 1, 16)`` of the same
     normalization matches byte-for-byte, giving the oracle for free."""
     return normalize_ws(texts).map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest()[:16])
+
+
+def repetition_features(ids: np.ndarray, texts: pd.Series) -> pd.DataFrame:
+    """Gopher-style repetition signals per document (quality-filter inputs):
+
+    - ``top_token_ppm``  -- most-frequent-token share of all tokens;
+    - ``dup_2gram_ppm`` -- share of bigram OCCURRENCES that are repeats
+      (``1 - distinct/total``), 0 when a doc has < 2 tokens.
+
+    Fully vectorized despite being per-doc set statistics: tokens explode to
+    one flat (doc, token) frame (``np.repeat`` carries row indices), bigrams
+    are the flat series + its shift(-1) masked at doc boundaries, and every
+    count/nunique/max is a pandas C groupby. Ratios are integer ppm with the
+    house floor(x*1e6+0.5) so the DuckDB unnest/generate_subscripts replay
+    compares exactly. Zero-token docs report 0 for both signals."""
+    toks = texts.fillna("").str.lower().str.findall(_WS_TOKEN)
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    top_ppm = np.zeros(len(ids), dtype=np.int64)
+    dup_ppm = np.zeros(len(ids), dtype=np.int64)
+    if lens.sum() > 0:
+        d = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        flat = pd.Series(
+            np.concatenate([np.asarray(t, dtype=object) for t in toks if t]),
+            dtype=object,
+        )
+        fr = pd.DataFrame({"d": d, "tok": flat.values})
+        cnt = fr.groupby(["d", "tok"], sort=False).size().rename("c").reset_index()
+        top = cnt.groupby("d", sort=False)["c"].agg(["max", "sum"])
+        top_ppm[top.index.to_numpy()] = np.floor(
+            top["max"] * 1e6 / top["sum"] + 0.5
+        ).astype("int64")
+
+        same = np.roll(d, -1) == d
+        if len(same):
+            same[-1] = False
+        if same.any():
+            bigrams = (fr["tok"] + " " + fr["tok"].shift(-1))[same]
+            b = pd.DataFrame({"d": d[same], "bg": bigrams.values})
+            agg = b.groupby("d", sort=False)["bg"].agg(["count", "nunique"])
+            dup_ppm[agg.index.to_numpy()] = np.floor(
+                (agg["count"] - agg["nunique"]) * 1e6 / agg["count"] + 0.5
+            ).astype("int64")
+    return pd.DataFrame(
+        {"doc_id": ids, "top_token_ppm": top_ppm, "dup_2gram_ppm": dup_ppm}
+    )

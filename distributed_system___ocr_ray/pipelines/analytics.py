@@ -99,6 +99,19 @@ def fingerprints(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc Gopher-style repetition signals (top-token share, duplicate-
+    bigram share) -- the standard repetitive-boilerplate quality filter.
+    Pure map-side (``textstats.repetition_features`` explodes each batch to
+    flat token/bigram frames and C-groupbys them); no shuffle."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        out = ts.repetition_features(batch[id_col].to_numpy(), batch[text_col])
+        return out.rename(columns={"doc_id": id_col})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 # -------------------------------------------------------------------- dedup
 
 
@@ -1213,6 +1226,30 @@ def train_val_test_split(ds, id_col: str = "doc_id", val: float = 0.1, test: flo
         hx = _md5_hex8(batch.column(id_col).to_pylist())
         split = ["val" if h < t_val else ("test" if h < t_test else "train") for h in hx]
         return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quantize_embeddings(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Symmetric per-vector int8 quantization: ``scale = max|v| / 127``,
+    ``q = floor(v/scale + 0.5)`` -- the standard 4x shrink for ANN index
+    storage (dequantize as ``q * scale``). Map-side numpy over the stacked
+    batch matrix; output is ``(id, q_embedding list<int8>, scale float64)``.
+    floor(x+0.5) rather than round() on BOTH sides (numpy and the SQL
+    replay) because banker's rounding differs between the two."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        V = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        maxabs = np.abs(V).max(axis=1)
+        scale = np.where(maxabs > 0, maxabs / 127.0, 1.0)
+        q = np.floor(V / scale[:, None] + 0.5).astype(np.int8)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "q_embedding": pa.array(list(q), pa.list_(pa.int8())),
+                "scale": pa.array(scale, pa.float64()),
+            }
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

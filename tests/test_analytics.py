@@ -647,3 +647,81 @@ class TestCorpusHygiene:
         # packs are contiguous in doc order and start at 0
         assert got["pack_id"].iloc[0] == 0
         assert (got["pack_id"].diff().dropna() >= 0).all()
+
+    def test_repetition_stats_edges_and_parity(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        planted = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "spam spam spam spam spam",  # one token 100%, all bigrams dup
+                    "all distinct tokens in here",
+                    "one",  # no bigrams
+                    "",  # no tokens at all
+                ],
+            }
+        )
+        got = (
+            analytics.repetition_stats(rd.from_pandas(planted))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["top_token_ppm"].tolist() == [1000000, 200000, 1000000, 0]
+        # 4 bigram occurrences, 1 distinct -> 750000 ppm
+        assert got["dup_2gram_ppm"].tolist() == [750000, 0, 0, 0]
+
+        # corpus parity vs the SQL replay
+        got2 = (
+            analytics.repetition_stats(
+                rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\f\r]+') AS toks
+                       FROM '{SF}/documents.parquet'),
+            tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i FROM t),
+            cnt AS (SELECT doc_id, tok, COUNT(*) c FROM tok GROUP BY 1, 2),
+            top AS (SELECT doc_id, CAST(FLOOR(MAX(c) * 1e6 / SUM(c) + 0.5) AS BIGINT) top_token_ppm
+                    FROM cnt GROUP BY 1),
+            bg AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram FROM tok a
+                   JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            dup AS (SELECT doc_id, CAST(FLOOR((COUNT(*) - COUNT(DISTINCT bigram)) * 1e6
+                    / COUNT(*) + 0.5) AS BIGINT) dup_2gram_ppm FROM bg GROUP BY 1)
+            SELECT t.doc_id, COALESCE(top.top_token_ppm, 0) top_token_ppm,
+                   COALESCE(dup.dup_2gram_ppm, 0) dup_2gram_ppm
+            FROM t LEFT JOIN top USING(doc_id) LEFT JOIN dup USING(doc_id) ORDER BY doc_id
+            """
+        ).df()
+        assert got2["top_token_ppm"].tolist() == exp["top_token_ppm"].tolist()
+        assert got2["dup_2gram_ppm"].tolist() == exp["dup_2gram_ppm"].tolist()
+
+    def test_quantize_embeddings_roundtrip(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        out = analytics.quantize_embeddings(ds).to_pandas().sort_values("vec_id")
+        orig = (
+            pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        Q = np.stack(out["q_embedding"].to_numpy())
+        V = np.stack(orig["embedding"].to_numpy()).astype(np.float64)
+        assert Q.dtype == np.int8
+        # dequantization error is bounded by half a quantization step
+        scale = out["scale"].to_numpy()
+        err = np.abs(Q.astype(np.float64) * scale[:, None] - V)
+        assert (err <= scale[:, None] / 2 + 1e-12).all()
+        # scale really is max|v|/127 (non-degenerate vectors)
+        assert np.allclose(scale, np.abs(V).max(axis=1) / 127.0)
