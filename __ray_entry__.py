@@ -305,6 +305,31 @@ def _q_exact_dedup_rows(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _q_novel_docs(sf_dir: str):
+    """Incremental-ingest novelty filter: 'new batch' = every 5th doc,
+    'committed corpus' = the rest; keep new docs whose text is absent from
+    the corpus (exact content match). Corpus side reduces to distinct
+    hashes then broadcasts; new side filters map-side."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def mod5(want_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if want_zero else (ids % 5 != 0)
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    new_ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        mod5(True), batch_format="pyarrow"
+    )
+    corpus_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mod5(False), batch_format="pyarrow"
+    )
+    out = analytics.novel_docs(new_ds, corpus_ds)
+    return out.select_columns(["doc_id", "lang"])
+
+
 def _q_dedup_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -793,6 +818,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup_groups": _q_exact_dedup_groups,
         "exact_dedup_rows": _q_exact_dedup_rows,
+        "novel_docs": _q_novel_docs,
         "dedup_stats": _q_dedup_stats,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -1653,6 +1679,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_rows": (
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
+        ),
+        "novel_docs": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0 "
+            "AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 != 0)"
         ),
         "dedup_stats": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -217,6 +217,87 @@ def exact_dedup_semifilter(
     return joined.drop_columns(["keeper_doc_id"])
 
 
+def novel_docs(
+    new_ds,
+    corpus_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    broadcast_hashes_bytes: int = 256 << 20,
+    join_buckets: int | None = None,
+):
+    """Incremental-ingest dedup: keep the rows of ``new_ds`` whose content
+    does NOT already exist in ``corpus_ds`` (exact text match via sha256).
+    This is the daily-batch operator of a continuously-growing corpus: the
+    committed corpus is the reference side, the fresh crawl is filtered
+    against it.
+
+    Scale shape mirrors ``exact_dedup_semifilter``: the corpus side reduces
+    to DISTINCT hashes (hash-only shuffle; text never moves). Under
+    ``broadcast_hashes_bytes`` the hash set is ``ray.put`` once and new rows
+    are filtered map-side (zero shuffle on the new side); past the cap it
+    falls back to a bucketed LEFT join on the hash with a null-test
+    anti-filter (both sides move hash+id once, full new rows move once)."""
+    from ray.data.aggregate import Count
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"corpus_hash": pa.array(dk.sha256_hex(batch.column(text_col).to_pylist()))}
+        )
+
+    corpus_hashes = (
+        corpus_ds.map_batches(hash_only, batch_format="pyarrow")
+        .groupby("corpus_hash")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["corpus_hash"])
+        .materialize()  # distinct hashes only: 64 chars per distinct content
+    )
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__hash", pa.array(dk.sha256_hex(batch.column(text_col).to_pylist()))
+        )
+
+    if corpus_hashes.size_bytes() <= broadcast_hashes_bytes:
+        import ray
+
+        hs = pa.concat_tables(ray.get(corpus_hashes.to_arrow_refs())).column(
+            "corpus_hash"
+        ).combine_chunks()
+        handle = [ray.put(hs)]
+
+        class NoveltyFilter:
+            def __init__(self) -> None:
+                self.hashes = ray.get(handle[0])
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                batch = with_hash(batch)
+                mask = pc.invert(pc.is_in(batch.column("__hash"), value_set=self.hashes))
+                return batch.filter(mask).drop_columns(["__hash"])
+
+        return new_ds.map_batches(NoveltyFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+    from .relational import bucketed_hash_join, derive_buckets
+
+    hashed_new = new_ds.map_batches(with_hash, batch_format="pyarrow")
+    buckets = (
+        join_buckets if join_buckets is not None else derive_buckets(corpus_hashes.count())
+    )
+    joined = bucketed_hash_join(
+        hashed_new, corpus_hashes, "__hash", "corpus_hash", buckets=buckets, how="left"
+    )
+
+    def keep_novel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_null(batch.column("corpus_hash"))
+        return batch.filter(mask).drop_columns(["corpus_hash", "__hash"])
+
+    return joined.map_batches(keep_novel, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     id_col: str = "doc_id",

@@ -725,3 +725,41 @@ class TestCorpusHygiene:
         assert (err <= scale[:, None] / 2 + 1e-12).all()
         # scale really is max|v|/127 (non-degenerate vectors)
         assert np.allclose(scale, np.abs(V).max(axis=1) / 127.0)
+
+    def test_novel_docs_both_paths(self):
+        """Novelty filter drops planted overlap and keeps the rest, on the
+        broadcast path and the forced bucketed-anti-join path."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        corpus = pd.DataFrame(
+            {
+                "doc_id": list(range(100, 110)),
+                "text": [f"committed corpus document number {i}" for i in range(10)],
+            }
+        )
+        new = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "committed corpus document number 0",  # dup of corpus
+                    "a genuinely fresh crawl document",
+                    "committed corpus document number 7",  # dup of corpus
+                    "another fresh one entirely",
+                    "committed corpus document number 9",  # dup of corpus
+                    "third novel document text",
+                ],
+            }
+        )
+        for cap in (256 << 20, 0):
+            got = (
+                analytics.novel_docs(
+                    rd.from_pandas(new), rd.from_pandas(corpus), broadcast_hashes_bytes=cap
+                )
+                .to_pandas()
+                .sort_values("doc_id")["doc_id"]
+                .tolist()
+            )
+            assert got == [2, 4, 6], f"cap={cap}"
