@@ -754,6 +754,80 @@ def _q_training_corpus_counts(sf_dir: str):
     )
 
 
+def _q_ingest_increment_counts(sf_dir: str):
+    """The daily-ingest COMPOSITION end-to-end through the engine
+    (compose.ingest_increment): two increments (doc_id % 3 == 1, then == 2)
+    flow through hygiene (quality + repetition gates) -> in-batch exact
+    dedup -> novelty vs the corpus grown by day 1 -> versioned append.
+    Returns the per-day stage counts; the oracle replays every gate and the
+    cross-day NOT IN with the shared SQL builders."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import compose
+
+    corpus_dir = tempfile.mkdtemp(prefix="graft_ingest_") + "/corpus"
+    try:
+        rows = []
+        for day in (1, 2):
+            def pick(batch: pa.Table, d=day) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                return batch.filter(pa.array(ids % 3 == d))
+
+            inc = _docs(sf_dir, ["doc_id", "text"]).map_batches(pick, batch_format="pyarrow")
+            s = compose.ingest_increment(inc, corpus_dir)
+            rows.append(
+                {
+                    "day": day,
+                    "rows_in": s["rows_in"],
+                    "after_hygiene": s["after_hygiene"],
+                    "after_dedup": s["after_dedup"],
+                    "after_novelty": s["after_novelty"],
+                    "corpus_rows": s["corpus_rows"],
+                }
+            )
+        return pd.DataFrame(rows).astype("int64")
+    finally:
+        shutil.rmtree(corpus_dir.rsplit("/", 1)[0], ignore_errors=True)
+
+
+def _ingest_increment_sql(min_q: int = 400_000, max_top: int = 600_000) -> str:
+    """SQL replay of _q_ingest_increment_counts: the hygiene gates reuse the
+    quality CTE builder + the repetition top-token CTE, dedup is COUNT
+    (DISTINCT text), and day-2 novelty is NOT IN day-1's kept texts."""
+    return (
+        f"WITH {_quality_ctes()}, "
+        "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^ \t\n\f\r]+')) "
+        "AS tok FROM documents), "
+        "cnt AS (SELECT doc_id, tok, COUNT(*) c FROM tok GROUP BY 1, 2), "
+        "top AS (SELECT doc_id, CAST(FLOOR(MAX(c) * 1e6 / SUM(c) + 0.5) AS BIGINT) "
+        "top_token_ppm FROM cnt GROUP BY 1), "
+        "hyg AS (SELECT r.doc_id, d.text FROM r JOIN documents d USING(doc_id) "
+        f"LEFT JOIN top USING(doc_id) WHERE {_QPPM_EXPR} >= {min_q} "
+        f"AND COALESCE(top.top_token_ppm, 0) <= {max_top}), "
+        "d1 AS (SELECT * FROM hyg WHERE doc_id % 3 = 1), "
+        "d2 AS (SELECT * FROM hyg WHERE doc_id % 3 = 2), "
+        "n1 AS (SELECT COUNT(DISTINCT text) AS novel FROM d1), "
+        "n2 AS (SELECT COUNT(DISTINCT text) AS novel FROM d2 "
+        "WHERE text NOT IN (SELECT text FROM d1)) "
+        "SELECT 1 AS day, "
+        "(SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 1) AS rows_in, "
+        "(SELECT COUNT(*) FROM d1) AS after_hygiene, "
+        "(SELECT COUNT(DISTINCT text) FROM d1) AS after_dedup, "
+        "(SELECT novel FROM n1) AS after_novelty, "
+        "(SELECT novel FROM n1) AS corpus_rows "
+        "UNION ALL SELECT 2, "
+        "(SELECT COUNT(*) FROM documents WHERE doc_id % 3 = 2), "
+        "(SELECT COUNT(*) FROM d2), "
+        "(SELECT COUNT(DISTINCT text) FROM d2), "
+        "(SELECT novel FROM n2), "
+        "(SELECT novel FROM n1) + (SELECT novel FROM n2)"
+    )
+
+
 def _q_media_metadata(sf_dir: str):
     """Typed metadata over the flagship media store. The store is md5
     arithmetic (corpus.build_media_store), so the DuckDB oracle recomputes
@@ -833,6 +907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "dataset_split_counts": _q_dataset_split_counts,
         "training_corpus_counts": _q_training_corpus_counts,
+        "ingest_increment_counts": _q_ingest_increment_counts,
         # corpus hygiene (round 3)
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
@@ -1590,6 +1665,7 @@ def oracle_sql() -> dict[str, str]:
         "median_order_value": _MEDIAN_ORDER_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
+        "ingest_increment_counts": _ingest_increment_sql(),
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),

@@ -156,6 +156,16 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _concat_column(tables: list[pa.Table], col: str) -> pa.Array:
+    """Column across collected blocks, skipping the schema-less empties an
+    all-filtered block produces (a bare empty table has no columns at all,
+    so a naive concat_tables raises on 'different schemas')."""
+    good = [t for t in tables if col in t.column_names]
+    if not good:
+        return pa.array([], pa.string())
+    return pa.concat_tables(good).column(col).combine_chunks()
+
+
 def exact_dedup_semifilter(
     ds,
     id_col: str = "doc_id",
@@ -194,8 +204,8 @@ def exact_dedup_semifilter(
     if keepers.size_bytes() <= broadcast_keepers_bytes:
         import ray
 
-        ids = pa.concat_tables(ray.get(keepers.to_arrow_refs())).column("keeper_doc_id")
-        handle = [ray.put(ids.combine_chunks())]
+        ids = _concat_column(ray.get(keepers.to_arrow_refs()), "keeper_doc_id")
+        handle = [ray.put(ids)]
 
         class SemiFilter:
             def __init__(self) -> None:
@@ -261,9 +271,7 @@ def novel_docs(
     if corpus_hashes.size_bytes() <= broadcast_hashes_bytes:
         import ray
 
-        hs = pa.concat_tables(ray.get(corpus_hashes.to_arrow_refs())).column(
-            "corpus_hash"
-        ).combine_chunks()
+        hs = _concat_column(ray.get(corpus_hashes.to_arrow_refs()), "corpus_hash")
         handle = [ray.put(hs)]
 
         class NoveltyFilter:

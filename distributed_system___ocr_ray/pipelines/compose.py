@@ -77,3 +77,82 @@ def extract_embed_neardup(
     return analytics.embedding_neardup_pairs(
         embedded, id_col="doc_id", emb_col="embedding", threshold=threshold, dim=dim
     )
+
+
+def ingest_increment(
+    new_ds,
+    corpus_dir: str,
+    *,
+    min_quality_ppm: int = 400_000,
+    max_top_token_ppm: int = 600_000,
+    rows_per_fragment: int = 100_000,
+    compact_over_fragments: int | None = 64,
+):
+    """The daily-batch corpus-growth composition: hygiene-filter a fresh
+    crawl, drop within-batch duplicates, drop docs the committed corpus
+    already holds, append the survivors as a new manifest version, and
+    compact when small fragments accumulate.
+
+    Every stage is the standalone operator other queries use individually
+    (quality_features + repetition_features -> exact_dedup -> novel_docs ->
+    lance_like append/compact), wired the way a continuously-ingesting
+    100 TB corpus runs them:
+
+    - the INCREMENT is materialized once after the hygiene filter (an
+      increment is bounded by definition -- it is the day's crawl, not the
+      corpus) so the dedup/novelty/write stages don't re-execute the
+      upstream and the per-stage counts in the returned stats are free;
+    - the CORPUS side is never materialized: novelty reduces it to distinct
+      hashes (novel_docs), the append writes only new fragments, and
+      compaction rewrites only runs of small fragments.
+
+    Returns a stats dict: rows_in / after_hygiene / after_dedup /
+    after_novelty / corpus_version / corpus_rows / compacted.
+    """
+    import pandas as pd
+
+    from ..functions import textstats as ts
+    from ..pipelines import analytics
+    from ..sources import lance_like
+
+    rows_in = new_ds.count()
+
+    def hygiene(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ts.quality_features(batch["text"])["quality_ppm"].to_numpy()
+        rep = ts.repetition_features(batch["doc_id"].to_numpy(), batch["text"])
+        keep = (q >= min_quality_ppm) & (
+            rep["top_token_ppm"].to_numpy() <= max_top_token_ppm
+        )
+        return batch[keep]
+
+    filt = new_ds.map_batches(hygiene, batch_format="pandas").materialize()
+    after_hygiene = filt.count()
+
+    deduped = analytics.exact_dedup(filt).materialize()
+    after_dedup = deduped.count()
+
+    has_corpus = lance_like.latest_version(corpus_dir) > 0
+    if has_corpus:
+        corpus = lance_like.read_dataset(corpus_dir, columns=["text"])
+        survivors = analytics.novel_docs(deduped, corpus).materialize()
+    else:
+        survivors = deduped
+    after_novelty = survivors.count()
+
+    manifest = lance_like.write_dataset(
+        survivors, corpus_dir, rows_per_fragment=rows_per_fragment, mode="append"
+    )
+    compacted = False
+    if compact_over_fragments and len(manifest["fragments"]) > compact_over_fragments:
+        manifest = lance_like.compact(corpus_dir, target_rows_per_fragment=rows_per_fragment)
+        compacted = True
+
+    return {
+        "rows_in": rows_in,
+        "after_hygiene": after_hygiene,
+        "after_dedup": after_dedup,
+        "after_novelty": after_novelty,
+        "corpus_version": manifest["version"],
+        "corpus_rows": sum(f["rows"] for f in manifest["fragments"]),
+        "compacted": compacted,
+    }

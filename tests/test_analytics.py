@@ -763,3 +763,78 @@ class TestCorpusHygiene:
                 .tolist()
             )
             assert got == [2, 4, 6], f"cap={cap}"
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIngestIncrement:
+    def test_two_increments_grow_corpus_once(self, tmp_path):
+        """Daily-ingest composition: hygiene drop, in-batch dedup, novelty
+        vs the growing corpus, append versioning."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus_dir = str(tmp_path / "corpus")
+        good = "the and of to in is a good long document " * 8  # passes quality
+        day1 = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    good + "alpha",
+                    good + "alpha",  # in-batch duplicate
+                    good + "beta",
+                    "x",  # fails the length/quality gate
+                ],
+            }
+        )
+        s1 = compose.ingest_increment(rd.from_pandas(day1), corpus_dir)
+        assert s1["rows_in"] == 4
+        assert s1["after_hygiene"] == 3  # 'x' dropped
+        assert s1["after_dedup"] == 2  # alpha-dup collapsed
+        assert s1["after_novelty"] == 2  # empty corpus: all novel
+        assert s1["corpus_version"] == 1 and s1["corpus_rows"] == 2
+
+        day2 = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    good + "alpha",  # already committed on day 1
+                    good + "gamma",  # genuinely new
+                    "spam " * 50,  # fails the repetition gate
+                ],
+            }
+        )
+        s2 = compose.ingest_increment(rd.from_pandas(day2), corpus_dir)
+        assert s2["after_hygiene"] == 2
+        assert s2["after_novelty"] == 1  # alpha rejected by the corpus
+        assert s2["corpus_version"] == 2 and s2["corpus_rows"] == 3
+
+        texts = sorted(lance_like.read_arrow(corpus_dir).column("text").to_pylist())
+        assert texts == sorted([good + "alpha", good + "beta", good + "gamma"])
+
+    def test_compaction_trigger(self, tmp_path):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus_dir = str(tmp_path / "corpus")
+        good = "the and of to in is a good long document " * 8
+        last = {}
+        for day in range(4):
+            inc = pd.DataFrame(
+                {
+                    "doc_id": [day * 10 + j for j in range(3)],
+                    "text": [good + f"day{day} doc{j}" for j in range(3)],
+                }
+            )
+            last = compose.ingest_increment(
+                rd.from_pandas(inc), corpus_dir, compact_over_fragments=3
+            )
+        assert last["compacted"]
+        man = lance_like.read_manifest(corpus_dir)
+        assert len(man["fragments"]) <= 3  # small fragments merged
+        assert sum(f["rows"] for f in man["fragments"]) == 12
