@@ -106,8 +106,14 @@ def cmd_publish(args) -> int:
     manifest = lance_like.manifest_over_files(man.data_paths(), args.output)
     if args.compact:
         manifest = lance_like.compact(args.output, target_rows_per_fragment=args.target_rows)
-    print(json.dumps({"table": args.output, "version": manifest["version"],
-                      "fragments": len(manifest["fragments"])}))
+    gc_stats = None
+    if args.gc_keep:
+        gc_stats = lance_like.gc(args.output, keep_versions=args.gc_keep)
+    out = {"table": args.output, "version": manifest["version"],
+           "fragments": len(manifest["fragments"])}
+    if gc_stats:
+        out["gc"] = gc_stats
+    print(json.dumps(out))
     return 0
 
 
@@ -158,6 +164,9 @@ def main(argv: list[str] | None = None) -> int:
                      help="follow up with a compaction version (merge small fragments)")
     pub.add_argument("--target-rows", type=int, default=100_000,
                      help="compaction target rows per fragment")
+    pub.add_argument("--gc-keep", type=int, default=0,
+                     help="after publishing, keep only the newest N manifest "
+                          "versions and reclaim fragments only they reference")
     pub.set_defaults(fn=cmd_publish)
 
     r = sub.add_parser("render", help="render committed output to one HTML file")

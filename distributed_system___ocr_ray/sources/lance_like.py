@@ -55,6 +55,28 @@ def fragment_paths(table_dir: str, version: int | None = None) -> list[str]:
     return [os.path.join(table_dir, frag["path"]) for frag in man["fragments"]]
 
 
+def _check_append_schema(table_dir: str, prior_version: int, new_names) -> None:
+    """Loud append-time schema guard: appending columns that don't match the
+    committed fragments would poison every future full-table read (parquet
+    fragments are immutable -- there is no fixing it after the manifest
+    commit). Compares column-name SETS against the first committed fragment;
+    a missing fragment file (externally published paths) skips the check."""
+    prior = read_manifest(table_dir, prior_version)["fragments"]
+    if not prior:
+        return
+    path = prior[0]["path"]
+    full = path if os.path.isabs(path) else os.path.join(table_dir, path)
+    try:
+        old_names = set(pq.read_schema(full).names)
+    except (FileNotFoundError, OSError):
+        return
+    if set(new_names) != old_names:
+        raise ValueError(
+            f"append schema mismatch for {table_dir}: committed columns "
+            f"{sorted(old_names)} vs appended {sorted(new_names)}"
+        )
+
+
 def write_table(
     table: pa.Table, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite",
     row_group_size: int | None = None,
@@ -70,6 +92,7 @@ def write_table(
     version = latest_version(table_dir) + 1
     fragments = []
     if mode == "append" and version > 1:
+        _check_append_schema(table_dir, version - 1, table.schema.names)
         fragments = list(read_manifest(table_dir, version - 1)["fragments"])
     # small row groups keep the read splittable: Ray's parquet reader can
     # only repartition (override_num_blocks) down to row-group granularity,
@@ -108,6 +131,10 @@ def write_dataset(
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     version = latest_version(table_dir) + 1
+    if mode == "append" and version > 1:
+        # schema().names is metadata-cheap for reads and a bounded partial
+        # execution otherwise; the write below executes the plan regardless
+        _check_append_schema(table_dir, version - 1, ds.schema().names)
     rg = row_group_size or min(rows_per_fragment, 512)
 
     def write_fragment(batch: pa.Table) -> pa.Table:
@@ -260,3 +287,58 @@ def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
     """Driver-side read of a small Lance-style table into one Arrow table."""
     paths = fragment_paths(table_dir, version)
     return pa.concat_tables([pq.read_table(p) for p in paths])
+
+
+def gc(table_dir: str, keep_versions: int = 2) -> dict:
+    """Garbage-collect manifest versions and the fragments only they
+    reference (the reference manager's cleanup sequence analogue,
+    Manager.java:406-460 -- compact() deliberately leaves old fragments on
+    disk so version-pinned readers keep working; gc() is the separate,
+    explicit reclaim step).
+
+    Keeps the newest ``keep_versions`` manifests (>= 1 enforced); deletes
+    older manifest files, then deletes every data fragment not referenced
+    by any KEPT manifest. Published-in-place tables (manifest_over_files,
+    absolute paths outside data/) are never deleted -- gc only reclaims
+    fragments this table owns.
+
+    Returns {"kept_versions", "deleted_manifests", "deleted_fragments",
+    "kept_fragments"}. Safe to re-run (idempotent); concurrent readers
+    pinned to a deleted version will fail loudly on their next fragment
+    open, which is the documented contract of reclaiming history.
+    """
+    keep_versions = max(1, keep_versions)
+    latest = latest_version(table_dir)
+    if latest == 0:
+        raise FileNotFoundError(f"no manifest in {table_dir}")
+    all_versions = sorted(
+        int(m.group(1))
+        for f in os.listdir(_manifest_dir(table_dir))
+        if (m := _MANIFEST_RE.match(f))
+    )
+    keep = set(all_versions[-keep_versions:])
+    referenced: set[str] = set()
+    for v in keep:
+        for frag in read_manifest(table_dir, v)["fragments"]:
+            referenced.add(frag["path"])
+
+    deleted_manifests = []
+    for v in all_versions:
+        if v not in keep:
+            os.remove(os.path.join(_manifest_dir(table_dir), f"v{v}.json"))
+            deleted_manifests.append(v)
+
+    deleted_fragments = 0
+    data_dir = os.path.join(table_dir, "data")
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = f"data/{name}"
+            if rel not in referenced:
+                os.remove(os.path.join(data_dir, name))
+                deleted_fragments += 1
+    return {
+        "kept_versions": sorted(keep),
+        "deleted_manifests": deleted_manifests,
+        "deleted_fragments": deleted_fragments,
+        "kept_fragments": len(referenced),
+    }

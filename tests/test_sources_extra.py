@@ -224,3 +224,58 @@ class TestStripFuzz:
     @given(st.text(alphabet="<>/abp di&;#'\"=\n ", max_size=200))
     def test_strip_taggy_soup_never_raises(self, text):
         assert isinstance(strip_boilerplate(text), str)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGcAndSchemaGuard:
+    def test_gc_reclaims_old_versions(self, tmp_path):
+        import os
+
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "t")
+        t = pa.table({"x": list(range(10))})
+        lance_like.write_table(t, d, rows_per_fragment=2)  # v1: 5 fragments
+        lance_like.write_table(t, d, rows_per_fragment=2, mode="append")  # v2
+        lance_like.compact(d, target_rows_per_fragment=100)  # v3: 1 big fragment
+        n_files_before = len(os.listdir(os.path.join(d, "data")))
+
+        stats = lance_like.gc(d, keep_versions=1)
+        assert stats["kept_versions"] == [3]
+        assert stats["deleted_manifests"] == [1, 2]
+        # v3 references only the compacted fragment; the 10 small ones go
+        assert stats["deleted_fragments"] == n_files_before - stats["kept_fragments"]
+        assert lance_like.read_arrow(d).num_rows == 20  # latest still reads
+        # old version is gone — pinning it now raises
+        with pytest.raises(FileNotFoundError):
+            lance_like.read_manifest(d, 1)
+        # idempotent
+        again = lance_like.gc(d, keep_versions=1)
+        assert again["deleted_fragments"] == 0 and again["deleted_manifests"] == []
+
+    def test_append_schema_mismatch_raises(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "t")
+        lance_like.write_table(pa.table({"a": [1], "b": ["x"]}), d)
+        with pytest.raises(ValueError, match="append schema mismatch"):
+            lance_like.write_table(pa.table({"a": [2], "c": ["y"]}), d, mode="append")
+        # matching schema still appends fine
+        man = lance_like.write_table(pa.table({"a": [2], "b": ["y"]}), d, mode="append")
+        assert man["version"] == 2
+
+    def test_append_schema_mismatch_raises_streaming(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "t")
+        lance_like.write_table(pa.table({"a": [1], "b": ["x"]}), d)
+        bad = rd.from_arrow(pa.table({"a": [2], "zzz": ["y"]}))
+        with pytest.raises(ValueError, match="append schema mismatch"):
+            lance_like.write_dataset(bad, d, mode="append")
