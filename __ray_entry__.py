@@ -754,6 +754,77 @@ def _q_training_corpus_counts(sf_dir: str):
     )
 
 
+def _q_corpus_report(sf_dir: str):
+    """Dataset-card summary in one row: doc/distinct counts, exact dup rate,
+    whitespace-token quantiles (p50/p90/p99 via the histogram-bisection
+    exact_quantile -- no global sort), and mean quality ppm. Ratio math is
+    pure integer (``(2s+n)//(2n)`` == floor(s/n+0.5)) so the compare stays
+    exact at any corpus size (a float64 mean would lose integer exactness
+    past 2^53 total ppm)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    from distributed_system___ocr_ray.functions import textstats as ts
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_ws_tokens": ts.token_counts(batch["text"])["n_ws_tokens"].values,
+                "quality_ppm": ts.quality_features(batch["text"])["quality_ppm"].values,
+            }
+        )
+
+    # slim 2-int-column projection, materialized once and reused by the
+    # three quantile runs + the aggregate (at true scale you would skip the
+    # materialize and pay re-reads; at report scale this is the cheaper and
+    # still bounded choice -- 16 B/row, object-store spillable)
+    s = (
+        _docs(sf_dir, ["text"])
+        .map_batches(slim, batch_format="pandas")
+        .materialize()
+    )
+    agg = s.aggregate(Count(alias_name="n"), Sum("quality_ppm", alias_name="sq"))
+    n, sq = int(agg["n"]), int(agg["sq"])
+    quantiles = {
+        f"tok_p{int(q * 100)}": int(analytics.exact_quantile(s, "n_ws_tokens", q=q))
+        for q in (0.5, 0.9, 0.99)
+    }
+
+    groups = analytics.exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
+    n_distinct = groups.count()
+
+    return pd.DataFrame(
+        [
+            {
+                "n_docs": n,
+                "n_distinct": n_distinct,
+                "dup_ppm": (2 * (n - n_distinct) * 1_000_000 + n) // (2 * n),
+                **quantiles,
+                "mean_quality_ppm": (2 * sq + n) // (2 * n),
+            }
+        ]
+    ).astype("int64")
+
+
+def _corpus_report_sql() -> str:
+    return (
+        f"WITH {_quality_ctes()}, "
+        f"base AS (SELECT n_ws_tokens, {_QPPM_EXPR} AS qppm FROM r), "
+        "tq AS (SELECT n_ws_tokens AS v, row_number() OVER (ORDER BY n_ws_tokens) rn, "
+        "COUNT(*) OVER () n FROM base), "
+        "c AS (SELECT COUNT(*) AS n, COUNT(DISTINCT text) AS d FROM documents), "
+        "qa AS (SELECT SUM(qppm) AS sq, COUNT(*) AS n FROM base) "
+        "SELECT c.n AS n_docs, c.d AS n_distinct, "
+        "CAST((2 * (c.n - c.d) * 1000000 + c.n) // (2 * c.n) AS BIGINT) AS dup_ppm, "
+        "(SELECT v FROM tq WHERE rn = CAST(CEIL(0.50 * n) AS BIGINT)) AS tok_p50, "
+        "(SELECT v FROM tq WHERE rn = CAST(CEIL(0.90 * n) AS BIGINT)) AS tok_p90, "
+        "(SELECT v FROM tq WHERE rn = CAST(CEIL(0.99 * n) AS BIGINT)) AS tok_p99, "
+        "CAST((2 * qa.sq + qa.n) // (2 * qa.n) AS BIGINT) AS mean_quality_ppm "
+        "FROM c, qa"
+    )
+
+
 def _q_ingest_increment_counts(sf_dir: str):
     """The daily-ingest COMPOSITION end-to-end through the engine
     (compose.ingest_increment): two increments (doc_id % 3 == 1, then == 2)
@@ -908,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split_counts": _q_dataset_split_counts,
         "training_corpus_counts": _q_training_corpus_counts,
         "ingest_increment_counts": _q_ingest_increment_counts,
+        "corpus_report": _q_corpus_report,
         # corpus hygiene (round 3)
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
@@ -1666,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
         "ingest_increment_counts": _ingest_increment_sql(),
+        "corpus_report": _corpus_report_sql(),
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
