@@ -754,6 +754,37 @@ def _q_training_corpus_counts(sf_dir: str):
     )
 
 
+def _q_median_value_by_event_type(sf_dir: str):
+    """Exact per-event-type median of event value (grouped quantile over a
+    bounded key set: one histogram-bisection run per type, no sort)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.grouped_quantile(
+        lambda: rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"]),
+        key="event_type",
+        col="value",
+        q=0.5,
+    )
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "median_cents": np.floor(out["q_value"] * 100 + 0.5).astype("int64"),
+        }
+    )
+
+
+_MEDIAN_BY_TYPE_SQL = (
+    "WITH s AS (SELECT event_type, value AS v, "
+    "row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, "
+    "COUNT(*) OVER (PARTITION BY event_type) AS n FROM events) "
+    "SELECT event_type, CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS median_cents "
+    "FROM s WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)"
+)
+
+
 def _q_corpus_report(sf_dir: str):
     """Dataset-card summary in one row: doc/distinct counts, exact dup rate,
     whitespace-token quantiles (p50/p90/p99 via the histogram-bisection
@@ -980,6 +1011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_corpus_counts": _q_training_corpus_counts,
         "ingest_increment_counts": _q_ingest_increment_counts,
         "corpus_report": _q_corpus_report,
+        "median_value_by_event_type": _q_median_value_by_event_type,
         # corpus hygiene (round 3)
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
@@ -1739,6 +1771,7 @@ def oracle_sql() -> dict[str, str]:
         "training_corpus_counts": _training_corpus_sql(),
         "ingest_increment_counts": _ingest_increment_sql(),
         "corpus_report": _corpus_report_sql(),
+        "median_value_by_event_type": _MEDIAN_BY_TYPE_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),

@@ -1254,6 +1254,37 @@ def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: i
     return float(np.partition(vals, k - 1)[k - 1])
 
 
+def grouped_quantile(ds_factory, key: str, col: str, q: float = 0.5, keys=None):
+    """Exact per-group quantile for a BOUNDED key set (enum-like keys:
+    event types, languages, segments): one ``exact_quantile`` run -- the
+    histogram-bisection kernel, no global sort -- per key over the
+    key-filtered dataset.
+
+    ``ds_factory`` is a zero-arg callable returning a fresh Dataset (each
+    key's run re-reads; with k keys that is k bounded passes -- the right
+    trade for k <= ~20. An unbounded-key grouped quantile needs per-key
+    sketches instead; that variant is deliberately not hidden behind the
+    same name). ``keys`` defaults to the distinct key values (small
+    aggregate). Returns a pandas DataFrame (key, q_value) -- tiny by
+    construction."""
+    import pyarrow.compute as pc
+
+    if keys is None:
+        from ray.data.aggregate import Count
+
+        kt = ds_factory().groupby(key).aggregate(Count(alias_name="__n")).to_pandas()
+        keys = sorted(kt[key].tolist())
+
+    rows = []
+    for k in keys:
+        def only_k(batch: pa.Table, k=k) -> pa.Table:
+            return batch.filter(pc.equal(batch.column(key), k))
+
+        filtered = ds_factory().map_batches(only_k, batch_format="pyarrow")
+        rows.append({key: k, "q_value": exact_quantile(filtered, col, q=q)})
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------- sampling
 
 

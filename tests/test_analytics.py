@@ -838,3 +838,28 @@ class TestIngestIncrement:
         man = lance_like.read_manifest(corpus_dir)
         assert len(man["fragments"]) <= 3  # small fragments merged
         assert sum(f["rows"] for f in man["fragments"]) == 12
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedQuantile:
+    def test_matches_partitioned_rank_sql(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        for q in (0.5, 0.9):
+            got = analytics.grouped_quantile(
+                lambda: rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"]),
+                key="event_type", col="value", q=q,
+            ).sort_values("event_type").reset_index(drop=True)
+            exp = duckdb.sql(
+                f"""
+                WITH s AS (SELECT event_type, value AS v,
+                  row_number() OVER (PARTITION BY event_type ORDER BY value) rn,
+                  COUNT(*) OVER (PARTITION BY event_type) n FROM '{SF}/events.parquet')
+                SELECT event_type, v FROM s WHERE rn = CAST(CEIL({q} * n) AS BIGINT)
+                ORDER BY event_type
+                """
+            ).df()
+            assert got["event_type"].tolist() == exp["event_type"].tolist()
+            assert np.allclose(got["q_value"].to_numpy(), exp["v"].to_numpy())
