@@ -785,6 +785,42 @@ _MEDIAN_BY_TYPE_SQL = (
 )
 
 
+def _q_user_median_value_sketch(sf_dir: str):
+    """Per-user approximate median event value via the unbounded-key
+    grouped histogram sketch (256 bins; estimate = first-bin lower edge,
+    deterministic, replayed bit-for-bit in SQL)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    out = analytics.grouped_quantile_sketch(ds, key="user_id", col="value", q=0.5).to_pandas()
+    return pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype("int64"),
+            "approx_median_cents": np.floor(out["q_value"] * 100 + 0.5).astype("int64"),
+        }
+    )
+
+
+_USER_MEDIAN_SKETCH_SQL = (
+    # same float64 arithmetic as the engine: w = (hi-lo)/256, bin =
+    # clip(floor((v-lo)/w)), estimate = lo + first_bin(cum >= ceil(q*n)) * w
+    "WITH m AS (SELECT CAST(MIN(value) AS DOUBLE) lo, CAST(MAX(value) AS DOUBLE) hi FROM events), "
+    "b AS (SELECT user_id, LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - m.lo) / "
+    "(CASE WHEN m.hi > m.lo THEN (m.hi - m.lo) / 256.0 ELSE 1.0 END)) AS BIGINT), 0), 255) AS bin "
+    "FROM events, m), "
+    "c AS (SELECT user_id, bin, COUNT(*) cnt FROM b GROUP BY 1, 2), "
+    "cum AS (SELECT user_id, bin, SUM(cnt) OVER (PARTITION BY user_id ORDER BY bin) AS cum, "
+    "SUM(cnt) OVER (PARTITION BY user_id) AS n FROM c), "
+    "pick AS (SELECT user_id, MIN(bin) AS bin FROM cum WHERE cum >= CEIL(0.5 * n) GROUP BY 1) "
+    "SELECT p.user_id, CAST(FLOOR((m.lo + p.bin * "
+    "(CASE WHEN m.hi > m.lo THEN (m.hi - m.lo) / 256.0 ELSE 1.0 END)) * 100 + 0.5) AS BIGINT) "
+    "AS approx_median_cents FROM pick p, m"
+)
+
+
 def _q_corpus_report(sf_dir: str):
     """Dataset-card summary in one row: doc/distinct counts, exact dup rate,
     whitespace-token quantiles (p50/p90/p99 via the histogram-bisection
@@ -1012,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ingest_increment_counts": _q_ingest_increment_counts,
         "corpus_report": _q_corpus_report,
         "median_value_by_event_type": _q_median_value_by_event_type,
+        "user_median_value_sketch": _q_user_median_value_sketch,
         # corpus hygiene (round 3)
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
@@ -1772,6 +1809,7 @@ def oracle_sql() -> dict[str, str]:
         "ingest_increment_counts": _ingest_increment_sql(),
         "corpus_report": _corpus_report_sql(),
         "median_value_by_event_type": _MEDIAN_BY_TYPE_SQL,
+        "user_median_value_sketch": _USER_MEDIAN_SKETCH_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),

@@ -1285,6 +1285,54 @@ def grouped_quantile(ds_factory, key: str, col: str, q: float = 0.5, keys=None):
     return pd.DataFrame(rows)
 
 
+def grouped_quantile_sketch(
+    ds, key: str, col: str, q: float = 0.5, bins: int = 256,
+    lo: float | None = None, hi: float | None = None,
+):
+    """Approximate grouped quantile for UNBOUNDED key sets (per-user, per-
+    domain): one fixed-width histogram per key, built from per-batch
+    pre-aggregated (key, bin, count) partials -- the shuffle moves tiny
+    count rows, never values, and works for any key cardinality (the
+    bounded-key ``grouped_quantile`` is exact but runs one pass per key).
+
+    The estimate is the LOWER EDGE of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` -- deliberately interpolation-free so the
+    estimator is a deterministic function of (lo, hi, bins, counts) and a
+    SQL oracle replays it bit-for-bit (same float64 ops). Error is bounded
+    by one bin width ((hi-lo)/bins).
+
+    ``lo``/``hi`` default to a global min/max pass; pass them explicitly to
+    skip it (and to keep a stable binning across incremental runs)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if lo is None or hi is None:
+        g = ds.aggregate(Min(col), Max(col))
+        lo = float(g[f"min({col})"]) if lo is None else lo
+        hi = float(g[f"max({col})"]) if hi is None else hi
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.clip(
+            np.floor((batch[col].to_numpy(dtype=np.float64) - lo) / width).astype(np.int64),
+            0, bins - 1,
+        )
+        out = pd.DataFrame({key: batch[key].values, "bin": b})
+        return out.groupby([key, "bin"], sort=False).size().rename("cnt").reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        # one group = ALL partials of one key (<= bins rows after merge)
+        g = group.groupby("bin", as_index=False)["cnt"].sum().sort_values("bin")
+        n = int(g["cnt"].sum())
+        target = int(np.ceil(q * n))
+        cum = g["cnt"].cumsum().to_numpy()
+        b = int(g["bin"].to_numpy()[np.searchsorted(cum, target)])
+        return pd.DataFrame({key: [group[key].iloc[0]], "q_value": [lo + b * width]})
+
+    return partials.groupby(key).map_groups(pick, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- sampling
 
 

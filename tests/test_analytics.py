@@ -863,3 +863,32 @@ class TestGroupedQuantile:
             ).df()
             assert got["event_type"].tolist() == exp["event_type"].tolist()
             assert np.allclose(got["q_value"].to_numpy(), exp["v"].to_numpy())
+
+    def test_sketch_error_bounded_by_bin_width(self):
+        """Unbounded-key sketch: estimate within one bin width of the exact
+        per-key median, and exact when a key's values are constant."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "k": np.repeat(np.arange(20), 50),
+                "v": np.concatenate(
+                    [rng.uniform(i, i + 10, 50) for i in range(20)]
+                ),
+            }
+        )
+        df.loc[df["k"] == 0, "v"] = 42.0  # constant-value key
+        got = (
+            analytics.grouped_quantile_sketch(rd.from_pandas(df), key="k", col="v", q=0.5)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exact = df.groupby("k")["v"].quantile(0.5, interpolation="lower").to_numpy()
+        width = (df["v"].max() - df["v"].min()) / 256
+        assert (np.abs(got["q_value"].to_numpy() - exact) <= width + 1e-9).all()
+        assert got.loc[got["k"] == 0, "q_value"].iloc[0] <= 42.0 + width
