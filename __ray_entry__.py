@@ -821,6 +821,30 @@ _USER_MEDIAN_SKETCH_SQL = (
 )
 
 
+def _q_debounce_events(sf_dir: str):
+    """Stream debounce: per (user_id, event_type), ordered by (ts,
+    event_id), drop events within 24 h of their predecessor (pure-LAG
+    semantics so the SQL window replays it exactly; 24 h drops ~36% of the
+    synthetic events, so the filter is meaningfully exercised)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    return relational.debounce_events(ds, min_gap_seconds=86_400)
+
+
+_DEBOUNCE_SQL = (
+    "WITH s AS (SELECT event_id, user_id, event_type, ts, "
+    "LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pts "
+    "FROM events) "
+    "SELECT event_id, user_id, event_type FROM s "
+    "WHERE pts IS NULL OR ts - pts >= INTERVAL 86400 SECOND"
+)
+
+
 def _q_corpus_report(sf_dir: str):
     """Dataset-card summary in one row: doc/distinct counts, exact dup rate,
     whitespace-token quantiles (p50/p90/p99 via the histogram-bisection
@@ -1049,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": _q_corpus_report,
         "median_value_by_event_type": _q_median_value_by_event_type,
         "user_median_value_sketch": _q_user_median_value_sketch,
+        "debounce_events": _q_debounce_events,
         # corpus hygiene (round 3)
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
@@ -1810,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_report": _corpus_report_sql(),
         "median_value_by_event_type": _MEDIAN_BY_TYPE_SQL,
         "user_median_value_sketch": _USER_MEDIAN_SKETCH_SQL,
+        "debounce_events": _DEBOUNCE_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),

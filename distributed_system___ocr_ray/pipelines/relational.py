@@ -544,3 +544,51 @@ def sliding_windows(sf_dir: str, width_s: int = 3600, hop_s: int = 900):
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("window_start_count", alias_name="n_events"))
     )
+
+
+def debounce_events(
+    ds,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    min_gap_seconds: int = 60,
+    partitions: int = 32,
+):
+    """Windowed stream dedup ("debounce"): within each key, ordered by
+    (ts, id), drop an event that follows its predecessor by less than
+    ``min_gap_seconds`` -- the standard telemetry/clickstream noise filter.
+
+    Semantics are the pure LAG formulation (gap measured to the previous
+    EVENT, kept or not), so one SQL window replays it exactly; the stateful
+    previous-KEPT variant would be sequential per key and is a different
+    operator. Partition-bucketed like session_windows: keys are grouped by
+    ``hash(key) % P`` and each partition is debounced in ONE vectorized
+    pass (sort + shifted-compare masks), P Python calls total."""
+    import pandas as pd
+
+    key_cols = key_cols or ["user_id", "event_type"]
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_cols[0], partitions)
+
+    gap = np.timedelta64(min_gap_seconds, "s")
+
+    def debounce_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([*key_cols, ts_col, id_col], kind="mergesort")
+        same_key = np.ones(len(g), dtype=bool)
+        for c in key_cols:
+            v = g[c].to_numpy()
+            same_key[1:] &= v[1:] == v[:-1]
+        same_key[0] = False
+        ts = g[ts_col].to_numpy()
+        close = np.zeros(len(g), dtype=bool)
+        close[1:] = (ts[1:] - ts[:-1]) < gap
+        keep = ~(same_key & close)
+        out = g.loc[keep, [id_col, *key_cols]]
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(debounce_partition, batch_format="pandas")
+    )

@@ -892,3 +892,53 @@ class TestGroupedQuantile:
         width = (df["v"].max() - df["v"].min()) / 256
         assert (np.abs(got["q_value"].to_numpy() - exact) <= width + 1e-9).all()
         assert got.loc[got["k"] == 0, "q_value"].iloc[0] <= 42.0 + width
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDebounce:
+    def test_planted_bursts(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = np.datetime64("2024-01-01T00:00:00")
+        rows = []
+        # user 1 / click: burst of 4 events 10 s apart -> only the first kept
+        for j in range(4):
+            rows.append((j, 1, "click", base + np.timedelta64(10 * j, "s")))
+        # user 1 / view: events 120 s apart -> all kept
+        for j in range(3):
+            rows.append((10 + j, 1, "view", base + np.timedelta64(120 * j, "s")))
+        # user 2 / click: same times as user 1's burst -> independent key
+        rows.append((20, 2, "click", base))
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+        got = (
+            relational.debounce_events(rd.from_pandas(df), min_gap_seconds=60)
+            .to_pandas()
+            .sort_values("event_id")["event_id"]
+            .tolist()
+        )
+        assert got == [0, 10, 11, 12, 20]
+
+    def test_matches_lag_sql(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+        )
+        got = sorted(
+            relational.debounce_events(ds, min_gap_seconds=86_400).to_pandas()["event_id"]
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH s AS (SELECT event_id, ts,
+              LAG(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) pts
+              FROM '{SF}/events.parquet')
+            SELECT event_id FROM s WHERE pts IS NULL OR ts - pts >= INTERVAL 86400 SECOND
+            ORDER BY event_id
+            """
+        ).df()["event_id"].tolist()
+        assert got == exp
