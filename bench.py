@@ -38,26 +38,12 @@ BENCH_ROOT = os.environ.get("GRAFT_BENCH_ROOT", "/tmp/graft_bench")
 
 
 def _corpus_content_id() -> str:
-    """8-hex id of the wrap + media-store GENERATOR content: wraps one probe
-    doc and fingerprints it together with a tiny media store, so any change
-    to the corpus generators automatically invalidates the /tmp cache (a
-    name-only tag silently re-benches a stale corpus -- bit us in round 3
-    when the md5-arithmetic wrap landed)."""
-    import hashlib
-    import json
+    """Content key for the /tmp corpus cache -- shared with every tool that
+    caches a generated corpus (corpus.generator_content_id probes one even
+    and one odd doc so both parities' span plans are fingerprinted)."""
+    from distributed_system___ocr_ray.corpus import generator_content_id
 
-    import pyarrow as pa
-
-    from distributed_system___ocr_ray import corpus as _corpus
-    from distributed_system___ocr_ray.sources import wrap
-
-    probe = pa.table({"doc_id": [123], "text": ["alpha beta. gamma delta. epsilon."]})
-    wrapped = wrap.make_interleave_fn()(probe).to_pylist()
-    store = _corpus.build_media_store(n_img=2, n_pdf=1, seed=42)
-    h = hashlib.md5(json.dumps(wrapped, sort_keys=True, default=str).encode("utf-8"))
-    for row in store.to_pylist():
-        h.update(row["media_ref"].encode()); h.update(row["payload"])
-    return h.hexdigest()[:8]
+    return generator_content_id()
 
 
 def _prepare_corpus() -> tuple[str, str, int]:

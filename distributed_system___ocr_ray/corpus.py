@@ -301,3 +301,35 @@ def write_corpus(
     lance_like.write_table(docs, docs_dir, rows_per_fragment=rows_per_fragment)
     lance_like.write_table(store, media_dir, rows_per_fragment=10**6)
     return docs_dir, media_dir
+
+
+def generator_content_id() -> str:
+    """8-hex fingerprint of the wrap + media-store GENERATOR content, for
+    content-keying /tmp corpus caches (bench.py, tools/) -- a name-only
+    cache tag silently re-benches a stale corpus after a generator change.
+
+    Probes one EVEN and one ODD doc id: the interleaved wrap emits pdf
+    spans only for even ids and its broken-ref/corruption branches key off
+    id arithmetic, so a single-parity probe would miss changes to the other
+    parity's span plan (review finding, round 3)."""
+    import hashlib
+    import json
+
+    from .sources import wrap
+
+    probe = pa.table(
+        {
+            "doc_id": [120, 123],
+            "text": [
+                "alpha beta. gamma delta. epsilon zeta eta.",
+                "alpha beta. gamma delta. epsilon.",
+            ],
+        }
+    )
+    wrapped = wrap.make_interleave_fn()(probe).to_pylist()
+    store = build_media_store(n_img=2, n_pdf=1, seed=42)
+    h = hashlib.md5(json.dumps(wrapped, sort_keys=True, default=str).encode("utf-8"))
+    for row in store.to_pylist():
+        h.update(row["media_ref"].encode())
+        h.update(row["payload"])
+    return h.hexdigest()[:8]

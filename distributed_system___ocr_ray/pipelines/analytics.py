@@ -1476,14 +1476,7 @@ def contamination_flags(
     probe_tables = ray.get(
         eval_ds.map_batches(eval_probe, batch_format="pandas").to_arrow_refs()
     )
-    shingles = sorted(
-        {
-            s
-            for t in probe_tables
-            if "shingle" in t.column_names  # all-filtered blocks come back schema-less
-            for s in t.column("shingle").to_pylist()
-        }
-    )
+    shingles = sorted(set(_concat_column(probe_tables, "shingle").to_pylist()))
     if len(shingles) > max_eval_shingles:
         raise ValueError(
             f"eval probe set has {len(shingles)} shingles > cap {max_eval_shingles}; "

@@ -115,6 +115,11 @@ def ingest_increment(
     from ..pipelines import analytics
     from ..sources import lance_like
 
+    # materialize the increment up front: count() would otherwise execute
+    # the upstream once for the number and the hygiene pass would execute it
+    # again -- for a computed increment (crawl parse) that doubles the most
+    # expensive read. Boundedness is the premise of the whole function.
+    new_ds = new_ds.materialize()
     rows_in = new_ds.count()
 
     def hygiene(batch: pd.DataFrame) -> pd.DataFrame:

@@ -55,25 +55,33 @@ def fragment_paths(table_dir: str, version: int | None = None) -> list[str]:
     return [os.path.join(table_dir, frag["path"]) for frag in man["fragments"]]
 
 
-def _check_append_schema(table_dir: str, prior_version: int, new_names) -> None:
-    """Loud append-time schema guard: appending columns that don't match the
-    committed fragments would poison every future full-table read (parquet
+def _check_append_schema(table_dir: str, prior_version: int, new_schema) -> None:
+    """Loud append-time schema guard: appending fragments that don't match
+    the committed ones would poison every future full-table read (parquet
     fragments are immutable -- there is no fixing it after the manifest
-    commit). Compares column-name SETS against the first committed fragment;
-    a missing fragment file (externally published paths) skips the check."""
+    commit). Compares the name -> type MAPPING (order-insensitive, but
+    same-name-different-dtype is exactly the silent poison case) against
+    the first committed fragment; a missing fragment file (externally
+    published paths) or an empty/schema-less append skips the check -- a
+    zero-fragment append is harmless."""
+    if new_schema is None or not new_schema.names:
+        return
     prior = read_manifest(table_dir, prior_version)["fragments"]
     if not prior:
         return
     path = prior[0]["path"]
     full = path if os.path.isabs(path) else os.path.join(table_dir, path)
     try:
-        old_names = set(pq.read_schema(full).names)
+        old_schema = pq.read_schema(full)
     except (FileNotFoundError, OSError):
         return
-    if set(new_names) != old_names:
+    old = {f.name: f.type for f in old_schema}
+    new = {f.name: f.type for f in new_schema}
+    if old != new:
         raise ValueError(
-            f"append schema mismatch for {table_dir}: committed columns "
-            f"{sorted(old_names)} vs appended {sorted(new_names)}"
+            f"append schema mismatch for {table_dir}: committed "
+            f"{sorted((n, str(t)) for n, t in old.items())} vs appended "
+            f"{sorted((n, str(t)) for n, t in new.items())}"
         )
 
 
@@ -92,7 +100,7 @@ def write_table(
     version = latest_version(table_dir) + 1
     fragments = []
     if mode == "append" and version > 1:
-        _check_append_schema(table_dir, version - 1, table.schema.names)
+        _check_append_schema(table_dir, version - 1, table.schema)
         fragments = list(read_manifest(table_dir, version - 1)["fragments"])
     # small row groups keep the read splittable: Ray's parquet reader can
     # only repartition (override_num_blocks) down to row-group granularity,
@@ -132,9 +140,16 @@ def write_dataset(
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     version = latest_version(table_dir) + 1
     if mode == "append" and version > 1:
-        # schema().names is metadata-cheap for reads and a bounded partial
-        # execution otherwise; the write below executes the plan regardless
-        _check_append_schema(table_dir, version - 1, ds.schema().names)
+        # schema() is metadata-cheap for reads and a bounded partial
+        # execution otherwise; the write below executes the plan regardless.
+        # An all-filtered dataset can come back schema-less -- the guard
+        # treats that as the harmless zero-fragment append it is.
+        try:
+            sch = ds.schema()
+        except Exception:
+            sch = None
+        sch = sch.base_schema if hasattr(sch, "base_schema") else sch
+        _check_append_schema(table_dir, version - 1, sch)
     rg = row_group_size or min(rows_per_fragment, 512)
 
     def write_fragment(batch: pa.Table) -> pa.Table:
@@ -330,12 +345,23 @@ def gc(table_dir: str, keep_versions: int = 2) -> dict:
 
     deleted_fragments = 0
     data_dir = os.path.join(table_dir, "data")
+    frag_version = re.compile(r"^fragment-(\d+)-")
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
             rel = f"data/{name}"
-            if rel not in referenced:
-                os.remove(os.path.join(data_dir, name))
-                deleted_fragments += 1
+            if rel in referenced:
+                continue
+            # in-flight-append guard: a racing writer lays fragment files
+            # down BEFORE committing its manifest, and those carry a version
+            # number above the latest committed one -- deleting them would
+            # let the racer commit a manifest over missing files. Only
+            # fragments at or below the latest committed version are
+            # provably abandoned.
+            m = frag_version.match(name)
+            if m and int(m.group(1)) > latest:
+                continue
+            os.remove(os.path.join(data_dir, name))
+            deleted_fragments += 1
     return {
         "kept_versions": sorted(keep),
         "deleted_manifests": deleted_manifests,

@@ -279,3 +279,51 @@ class TestGcAndSchemaGuard:
         bad = rd.from_arrow(pa.table({"a": [2], "zzz": ["y"]}))
         with pytest.raises(ValueError, match="append schema mismatch"):
             lance_like.write_dataset(bad, d, mode="append")
+
+    def test_append_dtype_mismatch_raises(self, tmp_path):
+        """Same column names but different dtypes is the silent-poison case
+        the guard exists for (review finding, round 3)."""
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "t")
+        lance_like.write_table(pa.table({"a": [1], "b": [2]}), d)
+        with pytest.raises(ValueError, match="append schema mismatch"):
+            lance_like.write_table(pa.table({"a": ["x"], "b": ["y"]}), d, mode="append")
+
+    def test_empty_append_skips_schema_guard(self, tmp_path):
+        """An all-filtered (schema-less) streaming append is a harmless
+        zero-fragment version, not a mismatch error."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "t")
+        lance_like.write_table(pa.table({"a": [1], "b": [2]}), d)
+        empty = rd.from_arrow(pa.table({"a": [1], "b": [2]})).filter(lambda r: False)
+        man = lance_like.write_dataset(empty, d, mode="append")
+        assert man["version"] == 2
+        assert lance_like.read_arrow(d).num_rows == 1
+
+    def test_gc_spares_inflight_append_fragments(self, tmp_path):
+        """Fragments with a version above the latest committed manifest are
+        a racing writer's in-flight files — gc must not reclaim them."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_mod
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "t")
+        lance_like.write_table(pa.table({"x": [1, 2]}), d)  # v1
+        lance_like.write_table(pa.table({"x": [3]}), d, mode="append")  # v2
+        # simulate an in-flight v3 append: fragment written, manifest not yet
+        inflight = os.path.join(d, "data", "fragment-3-00000.parquet")
+        pq_mod.write_table(pa.table({"x": [9]}), inflight)
+
+        stats = lance_like.gc(d, keep_versions=1)
+        assert os.path.exists(inflight), "gc reclaimed a racing writer's fragment"
+        assert stats["deleted_manifests"] == [1]

@@ -101,8 +101,13 @@ def _phase(tag: str, replicate: int) -> dict:
     from distributed_system___ocr_ray.pipelines.sharded import run_extraction_sharded
     from distributed_system___ocr_ray.sources import lance_like, wrap
 
-    docs_dir = os.path.join(ROOT, f"{tag}_r{replicate}_docs")
-    media_dir = os.path.join(ROOT, f"{tag}_r{replicate}_media")
+    from distributed_system___ocr_ray.corpus import generator_content_id
+
+    # content-keyed like bench.py's cache: a name-only tag silently
+    # re-measures a stale corpus after a generator change
+    cid = generator_content_id()
+    docs_dir = os.path.join(ROOT, f"{tag}_r{replicate}_{cid}_docs")
+    media_dir = os.path.join(ROOT, f"{tag}_r{replicate}_{cid}_media")
     if not (lance_like.latest_version(docs_dir) and lance_like.latest_version(media_dir)):
         ds, store = wrap.interleaved_from_documents(SF_DIR, replicate=replicate)
         lance_like.write_dataset(ds, docs_dir, rows_per_fragment=500)
