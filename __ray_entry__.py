@@ -821,6 +821,27 @@ _USER_MEDIAN_SKETCH_SQL = (
 )
 
 
+def _q_tfidf_keywords(sf_dir: str):
+    """Top-3 tf-idf keywords per document (integer ppm, term-ascending tie
+    break); df pass + broadcast idf + batch-local per-doc top-k."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.tfidf_keywords(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+_TFIDF_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+    "AS term FROM documents), "
+    "tf AS (SELECT doc_id, term, COUNT(*) tf FROM tok GROUP BY 1, 2), "
+    "df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM tok GROUP BY 1), "
+    "n AS (SELECT COUNT(*) n FROM documents), "
+    "sc AS (SELECT tf.doc_id, tf.term, CAST(FLOOR(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) "
+    "* 1000000.0 + 0.5) AS BIGINT) AS score_ppm FROM tf JOIN df USING(term), n) "
+    "SELECT doc_id, term, score_ppm FROM sc "
+    "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) <= 3"
+)
+
+
 def _q_debounce_events(sf_dir: str):
     """Stream debounce: per (user_id, event_type), ordered by (ts,
     event_id), drop events within 24 h of their predecessor (pure-LAG
@@ -1074,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_value_by_event_type": _q_median_value_by_event_type,
         "user_median_value_sketch": _q_user_median_value_sketch,
         "debounce_events": _q_debounce_events,
+        "tfidf_keywords": _q_tfidf_keywords,
         # corpus hygiene (round 3)
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
@@ -1836,6 +1858,7 @@ def oracle_sql() -> dict[str, str]:
         "median_value_by_event_type": _MEDIAN_BY_TYPE_SQL,
         "user_median_value_sketch": _USER_MEDIAN_SKETCH_SQL,
         "debounce_events": _DEBOUNCE_SQL,
+        "tfidf_keywords": _TFIDF_SQL,
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),

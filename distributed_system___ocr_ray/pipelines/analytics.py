@@ -1183,6 +1183,103 @@ def bm25_topk(
 # --------------------------------------------------------------- quantiles
 
 
+def tfidf_keywords(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    broadcast_idf_bytes: int = 256 << 20,
+):
+    """Per-document keyword extraction: top-``k`` terms by tf-idf
+    (``tf * ln((N+1)/(df+1))``, integer ppm; ties broken term-ascending).
+
+    Two passes, both explode-vectorized (flat (doc, term) frames + C
+    groupbys, the ``repetition_features`` discipline):
+
+    1. document frequencies -- per-batch (term, n_docs_in_batch) partials
+       (documents never span batches, so batch partials sum to exact df)
+       -> ``groupby(term)`` -> the vocab-sized df table, collected and
+       broadcast as an idf dict. The dict is Zipf-bounded in practice;
+       ``broadcast_idf_bytes`` guards the collect and raises loudly past
+       it (the past-the-cap shape is a bucketed term join of the flat tf
+       frame against the df table -- deliberately a separate build, not a
+       silent fallback, because it changes the shuffle profile).
+    2. per-batch (doc, term, tf) -> idf gather -> per-doc top-k entirely
+       batch-local (a doc's terms live in its batch): sort + groupby head.
+
+    Returns (id, term, score_ppm), <= k rows per document."""
+    import math
+    import re
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        ids = np.repeat(batch[id_col].to_numpy(), lens)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t] or [np.array([], object)]
+        )
+        return pd.DataFrame({id_col: ids, "term": flat})
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        flat = explode(batch)
+        per_doc = flat.drop_duplicates([id_col, "term"])
+        out = per_doc.groupby("term", sort=False).size().rename("df").reset_index()
+        return out
+
+    df_table = (
+        ds.map_batches(df_partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .materialize()
+    )
+    if df_table.size_bytes() > broadcast_idf_bytes:
+        raise ValueError(
+            f"idf table is {df_table.size_bytes()} B > broadcast cap "
+            f"{broadcast_idf_bytes}; use the bucketed term-join variant for "
+            "vocabularies this large"
+        )
+    n_docs = ds.count()
+    dft = df_table.to_pandas()
+    idf = {
+        t: math.log((n_docs + 1.0) / (d + 1.0))
+        for t, d in zip(dft["term"], dft["df"])
+    }
+    handle = [ray.put(idf)]
+
+    class Score:
+        def __init__(self) -> None:
+            self.idf = ray.get(handle[0])
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            flat = explode(batch)
+            if not len(flat):
+                return pd.DataFrame(
+                    {id_col: pd.Series([], dtype="int64"), "term": [], "score_ppm": pd.Series([], dtype="int64")}
+                )
+            tf = (
+                flat.groupby([id_col, "term"], sort=False).size().rename("tf").reset_index()
+            )
+            iv = tf["term"].map(self.idf).to_numpy(dtype=np.float64)
+            tf["score_ppm"] = np.floor(
+                tf["tf"].to_numpy(dtype=np.float64) * iv * 1e6 + 0.5
+            ).astype("int64")
+            top = (
+                tf.sort_values(
+                    [id_col, "score_ppm", "term"], ascending=[True, False, True]
+                )
+                .groupby(id_col, sort=False)
+                .head(k)
+            )
+            return top[[id_col, "term", "score_ppm"]].reset_index(drop=True)
+
+    return ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+
+
 def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: int = 100_000):
     """EXACT distributed quantile without a global sort: iterative histogram
     bisection. Each round is one bounded pass -- a fixed-width ``bins``-bucket

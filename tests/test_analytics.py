@@ -942,3 +942,58 @@ class TestDebounce:
             """
         ).df()["event_id"].tolist()
         assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTfidfKeywords:
+    def test_planted_salient_term(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        common = "the quick brown fox jumps over the lazy dog"
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    common + " zyzzyva zyzzyva zyzzyva",  # rare term, high tf
+                    common,
+                    common,
+                ],
+            }
+        )
+        got = analytics.tfidf_keywords(rd.from_pandas(docs), k=1).to_pandas()
+        top1 = got[got["doc_id"] == 1].iloc[0]
+        assert top1["term"] == "zyzzyva"
+
+    def test_matches_sql_replay(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = (
+            analytics.tfidf_keywords(
+                rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]), k=3
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "score_ppm", "term"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) term
+                         FROM '{SF}/documents.parquet'),
+            tf AS (SELECT doc_id, term, COUNT(*) tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(DISTINCT doc_id) df FROM tok GROUP BY 1),
+            n AS (SELECT COUNT(*) n FROM '{SF}/documents.parquet'),
+            sc AS (SELECT tf.doc_id, tf.term, CAST(FLOOR(tf.tf * ln((n.n + 1.0)/(df.df + 1.0))
+                   * 1000000.0 + 0.5) AS BIGINT) score_ppm FROM tf JOIN df USING(term), n)
+            SELECT doc_id, term, score_ppm FROM sc
+            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, term) <= 3
+            ORDER BY doc_id, score_ppm DESC, term
+            """
+        ).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["term"].tolist() == exp["term"].tolist()
+        assert got["score_ppm"].tolist() == exp["score_ppm"].tolist()
