@@ -574,21 +574,32 @@ def debounce_events(
     gap = np.timedelta64(min_gap_seconds, "s")
 
     def debounce_partition(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([*key_cols, ts_col, id_col], kind="mergesort")
-        same_key = np.ones(len(g), dtype=bool)
-        for c in key_cols:
-            v = g[c].to_numpy()
-            same_key[1:] &= v[1:] == v[:-1]
-        same_key[0] = False
-        ts = g[ts_col].to_numpy()
-        close = np.zeros(len(g), dtype=bool)
-        close[1:] = (ts[1:] - ts[:-1]) < gap
-        keep = ~(same_key & close)
-        out = g.loc[keep, [id_col, *key_cols]]
-        return out.reset_index(drop=True)
+        return debounce_frame(group, key_cols, ts_col, id_col, gap)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(debounce_partition, batch_format="pandas")
     )
+
+
+def debounce_frame(
+    group: "pd.DataFrame", key_cols: list[str], ts_col: str, id_col: str, gap
+) -> "pd.DataFrame":
+    """One partition's debounce pass (module-level so the property tests
+    exercise the exact production kernel): sort by (keys, ts, id), then one
+    shifted-compare mask keeps rows that start a key or follow their
+    predecessor by >= gap."""
+    import pandas as pd  # noqa: F401  (callers pass pandas frames)
+
+    g = group.sort_values([*key_cols, ts_col, id_col], kind="mergesort")
+    same_key = np.ones(len(g), dtype=bool)
+    for c in key_cols:
+        v = g[c].to_numpy()
+        same_key[1:] &= v[1:] == v[:-1]
+    same_key[0] = False
+    ts = g[ts_col].to_numpy()
+    close = np.zeros(len(g), dtype=bool)
+    close[1:] = (ts[1:] - ts[:-1]) < gap
+    keep = ~(same_key & close)
+    return g.loc[keep, [id_col, *key_cols]].reset_index(drop=True)

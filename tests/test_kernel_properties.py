@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) for the round-3 pure kernels.
+
+These run without Ray: every property is about a vectorized kernel's
+algebra, so shrinking works and the suite stays fast."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from distributed_system___ocr_ray.functions import scrub
+from distributed_system___ocr_ray.functions import textstats as ts
+
+# text without NUL (parquet/pandas-safe) and of bounded size
+_texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00"),
+    max_size=200,
+)
+
+
+class TestScrubProperties:
+    @given(st.lists(_texts, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_redact_idempotent(self, texts):
+        """Redacting twice == redacting once: no placeholder token contains
+        matchable PII syntax, so a second pass is a no-op."""
+        s = pd.Series(texts, dtype=object)
+        once = scrub.redact_pii(s)
+        twice = scrub.redact_pii(once)
+        assert once.tolist() == twice.tolist()
+
+    @given(st.lists(_texts, max_size=20))
+    @settings(max_examples=100, deadline=None)
+    def test_redact_removes_all_pii(self, texts):
+        """After redaction no email/url/phone pattern matches anywhere."""
+        import re
+
+        out = scrub.redact_pii(pd.Series(texts, dtype=object))
+        for pat in (scrub.URL_PATTERN, scrub.EMAIL_PATTERN, scrub.PHONE_PATTERN):
+            rx = re.compile(pat)
+            for t in out:
+                assert not rx.search(t), (pat, t)
+
+    @given(_texts, st.integers(min_value=1, max_value=12))
+    @settings(max_examples=100, deadline=None)
+    def test_leading_shingle_contained_in_normalized_text(self, text, k):
+        """A produced probe is always a substring of its own normalized
+        text (the invariant contamination counting relies on)."""
+        norm = scrub.normalize_for_contamination(pd.Series([text], dtype=object))
+        sh = scrub.leading_shingle(norm, k=k).iloc[0]
+        if sh is not None:
+            assert sh in norm.iloc[0]
+
+
+class TestRepetitionProperties:
+    @given(st.lists(_texts, min_size=1, max_size=15))
+    @settings(max_examples=100, deadline=None)
+    def test_ppm_ranges_and_zero_token_docs(self, texts):
+        ids = np.arange(len(texts), dtype=np.int64)
+        out = ts.repetition_features(ids, pd.Series(texts, dtype=object))
+        assert (out["top_token_ppm"].between(0, 1_000_000)).all()
+        assert (out["dup_2gram_ppm"].between(0, 1_000_000)).all()
+        # a doc made of one repeated token maxes the top-token share
+        one = ts.repetition_features(np.array([0]), pd.Series(["x x x x"], dtype=object))
+        assert one["top_token_ppm"].iloc[0] == 1_000_000
+
+    @given(st.lists(st.sampled_from("ab"), min_size=2, max_size=40))
+    @settings(max_examples=100, deadline=None)
+    def test_matches_bruteforce_counter(self, toks):
+        """Vectorized explode/groupby == per-doc brute force on tiny
+        two-token vocabularies (worst case for the dedup masks)."""
+        from collections import Counter
+
+        text = " ".join(toks)
+        out = ts.repetition_features(np.array([7]), pd.Series([text], dtype=object))
+        c = Counter(toks)
+        exp_top = int(np.floor(max(c.values()) * 1e6 / len(toks) + 0.5))
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        exp_dup = (
+            int(np.floor((len(bigrams) - len(set(bigrams))) * 1e6 / len(bigrams) + 0.5))
+            if bigrams
+            else 0
+        )
+        assert out["top_token_ppm"].iloc[0] == exp_top
+        assert out["dup_2gram_ppm"].iloc[0] == exp_dup
+
+
+class TestDebounceMaskProperties:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # key
+                st.integers(min_value=0, max_value=500),  # ts seconds
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def test_matches_per_key_lag_bruteforce(self, rows):
+        """The vectorized sort+shift mask == the obvious per-key LAG loop."""
+        base = np.datetime64("2024-01-01T00:00:00")
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(len(rows), dtype=np.int64),
+                "user_id": [k for k, _ in rows],
+                "event_type": "e",
+                "ts": [base + np.timedelta64(s, "s") for _, s in rows],
+            }
+        )
+        # reuse the partition function body via a single-partition call path:
+        # sort + shifted-compare, gap 60 s
+        g = df.sort_values(["user_id", "event_type", "ts", "event_id"], kind="mergesort")
+        keep_expected = []
+        prev: dict = {}
+        for _, r in g.iterrows():
+            key = (r["user_id"], r["event_type"])
+            p = prev.get(key)
+            if p is None or (r["ts"] - p) >= pd.Timedelta(seconds=60):
+                keep_expected.append(r["event_id"])
+            prev[key] = r["ts"]  # pure-LAG: previous EVENT, kept or not
+
+        from distributed_system___ocr_ray.pipelines.relational import debounce_frame
+
+        got = debounce_frame(
+            df, ["user_id", "event_type"], "ts", "event_id", np.timedelta64(60, "s")
+        )["event_id"].tolist()
+        assert sorted(got) == sorted(keep_expected)
