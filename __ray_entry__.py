@@ -537,6 +537,22 @@ def _q_contamination_flags(sf_dir: str):
     return analytics.contamination_flags(docs, eval_ds, k=_CONTAM_K)
 
 
+_BUDGET_TOKENS = 10_000
+
+
+def _q_budget_select(sf_dir: str):
+    """Token-budget corpus selection: the highest-quality documents whose
+    running token sum fits a 10k-token budget — greedy prefix of
+    (quality_ppm DESC, doc_id ASC). Engine: two bounded histogram passes
+    over the integer ppm domain find the exact quality threshold, the
+    above-threshold set is a map-side filter, and the tie group resolves
+    via the distributed prefix-sum (no global sort anywhere). The oracle
+    replays it with one SQL window function."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.budget_select(_docs(sf_dir, ["doc_id", "text"]), _BUDGET_TOKENS)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Streaming greedy sequence packing (seq_len=512) in global doc_id
     order via the distributed prefix-sum pattern (range partition ->
@@ -1100,6 +1116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "contamination_flags": _q_contamination_flags,
         "pack_sequences": _q_pack_sequences,
+        "budget_select": _q_budget_select,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1262,6 +1279,21 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _budget_select_sql(budget: int) -> str:
+    """Replays _q_budget_select with one window function: keep rows while
+    the running token sum over (quality_ppm DESC, doc_id ASC) stays within
+    the budget (monotone running sum => WHERE cum <= budget IS the greedy
+    prefix). quality_ppm reuses the shared _QPPM_EXPR expression tree."""
+    return (
+        f"WITH {_quality_ctes()}, "
+        f"q AS (SELECT doc_id, n_ws_tokens, {_QPPM_EXPR} AS quality_ppm FROM r), "
+        "o AS (SELECT *, SUM(n_ws_tokens) OVER (ORDER BY quality_ppm DESC, doc_id ASC "
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM q) "
+        "SELECT doc_id, CAST(n_ws_tokens AS BIGINT) AS n_tokens, quality_ppm FROM o "
+        f"WHERE cum <= {budget}"
     )
 
 
@@ -1999,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "contamination_flags": _contamination_sql(_CONTAM_EVAL_RATE, _CONTAM_K),
         "pack_sequences": _pack_sequences_sql(512),
+        "budget_select": _budget_select_sql(_BUDGET_TOKENS),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -152,7 +152,7 @@ def run_bench() -> dict:
         "median_order_value", "quality_by_lang", "bm25_topk",
         "simhash_pairs", "approx_distinct_users",
         "contamination_flags", "pack_sequences", "redact_pii",
-        "repetition_stats",
+        "repetition_stats", "budget_select",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -1672,3 +1672,151 @@ def pack_sequences(
         )
 
     return tagged.groupby("__range").map_groups(scan, batch_format="pandas")
+
+
+def _prefix_take(s, budget: int, id_col: str, weight_col: str, ranges: int | None = None):
+    """Greedy prefix under a weight budget in ascending ``id_col`` order:
+    keep each row whose running ``weight_col`` sum (including the row
+    itself) stays <= ``budget``. Weights are nonnegative, so the running
+    sum is monotone and ``cum <= budget`` IS prefix-stop semantics — the
+    SQL ``WHERE SUM(w) OVER (ORDER BY id) <= budget``.
+
+    Distributed prefix-sum (the ``pack_sequences`` pattern): range-partition
+    by id -> per-range sums -> driver exclusive scan -> per-range ordered
+    cumsum filter. Only R tiny rows reach the driver; each range sorts only
+    its own rows (the documented partitioning assumption)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .relational import derive_buckets
+
+    n = s.count()
+    if n == 0:
+        return s
+    stats = s.aggregate(Min(id_col), Max(id_col))
+    lo, hi = int(stats[f"min({id_col})"]), int(stats[f"max({id_col})"])
+    n_ranges = ranges if ranges is not None else derive_buckets(n)
+    width = max(1, (hi - lo + n_ranges) // n_ranges)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rng = ((ids - lo) // width).astype(np.int32)
+        return batch.append_column("__range", pa.array(rng, pa.int32()))
+
+    tagged = s.map_batches(tag, batch_format="pyarrow").materialize()
+    range_sums = tagged.groupby("__range").aggregate(Sum(weight_col)).to_pandas()
+    range_sums = range_sums.sort_values("__range").reset_index(drop=True)
+    cums = range_sums[f"sum({weight_col})"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(range_sums["__range"].astype(int), cums.astype(int)))
+
+    def scan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(id_col)
+        cum = offsets[int(g["__range"].iloc[0])] + g[weight_col].cumsum()
+        return g[cum <= budget].drop(columns="__range")
+
+    return tagged.groupby("__range").map_groups(scan, batch_format="pandas")
+
+
+def budget_select(
+    ds,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bins: int = 4096,
+):
+    """Token-budget corpus selection: keep the BEST documents by quality
+    score until a global token budget fills — the greedy prefix of
+    ``(quality_ppm DESC, doc_id ASC)`` order whose running whitespace-token
+    sum stays <= ``token_budget``. The LLM-data "data selection under a
+    token budget" op (choose the highest-quality N-token subcorpus).
+
+    No global sort. ``quality_ppm`` is an INTEGER in [0, 1e6], so the
+    threshold quality level falls out of two bounded passes (the weighted
+    variant of ``exact_quantile``'s histogram bisection over a finite
+    integer domain):
+
+    1. 4096-bin token-weighted histogram over quality_ppm (per-batch
+       bincount partials -> tiny merge) -> the one bin where the
+       descending cumulative token sum crosses the budget;
+    2. exact per-value token sums INSIDE that bin (<= ceil(1e6/4096) = 245
+       distinct values — bounded, safe for the single-block final) -> the
+       exact threshold value t and the budget remainder R for its ties.
+
+    Docs with quality_ppm > t are a pure map-side filter (nothing moves);
+    the tie group at t is resolved exactly with the distributed prefix-sum
+    (``_prefix_take``, doc_id order, budget R). Zero-token docs follow the
+    same prefix semantics as the SQL window oracle: kept above/at the
+    threshold crossing, dropped after it (the running sum is monotone).
+    Only histogram vectors and per-range sums ever reach the driver.
+    """
+    DOM = 1_000_001  # quality_ppm domain size: integer ppm in [0, 1e6]
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        f = ts.quality_features(batch[text_col])
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].values,
+                "n_tokens": f["n_ws_tokens"].values,
+                "quality_ppm": f["quality_ppm"].values,
+            }
+        )
+
+    s = ds.map_batches(slim, batch_format="pandas").materialize()  # slim: 3 ints/row
+
+    from .relational import tiny_final_groupby
+
+    def hist1(batch: pa.Table) -> pa.Table:
+        q = batch.column("quality_ppm").to_numpy(zero_copy_only=False)
+        w = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        b = (q * bins // DOM).astype(np.int64)
+        # float64 bincount sums are exact far past any per-batch token count
+        tok = np.bincount(b, weights=w, minlength=bins).astype(np.int64)
+        nz = np.flatnonzero(tok)
+        return pa.table({"bin": pa.array(nz, pa.int64()), "tok": pa.array(tok[nz], pa.int64())})
+
+    hist = (
+        tiny_final_groupby(
+            s.map_batches(hist1, batch_format="pyarrow"), ["bin"], [("tok", "sum")], ["bin", "tok"]
+        )
+        .to_pandas()
+        .sort_values("bin", ascending=False)  # descending quality
+    )
+    if int(hist["tok"].sum()) <= token_budget:
+        return s  # whole corpus fits the budget
+    cum = hist["tok"].cumsum().to_numpy()
+    idx = int(np.searchsorted(cum, token_budget, side="right"))  # first bin where cum > budget
+    bstar = int(hist["bin"].iloc[idx])
+    spent_above_bin = int(cum[idx - 1]) if idx > 0 else 0
+
+    def hist2(batch: pa.Table, b_=bstar) -> pa.Table:
+        q = batch.column("quality_ppm").to_numpy(zero_copy_only=False)
+        w = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        m = (q * bins // DOM) == b_
+        if not m.any():
+            return pa.table({"q": pa.array([], pa.int64()), "tok": pa.array([], pa.int64())})
+        qt = pa.table({"q": pa.array(q[m], pa.int64()), "tok": pa.array(w[m], pa.int64())})
+        g = qt.group_by(["q"]).aggregate([("tok", "sum")])
+        return g.select(["q", "tok_sum"]).rename_columns(["q", "tok"])
+
+    vals = (
+        tiny_final_groupby(
+            s.map_batches(hist2, batch_format="pyarrow"), ["q"], [("tok", "sum")], ["q", "tok"]
+        )
+        .to_pandas()
+        .sort_values("q", ascending=False)
+    )
+    vcum = spent_above_bin + vals["tok"].cumsum().to_numpy()
+    vidx = int(np.searchsorted(vcum, token_budget, side="right"))  # value where cum > budget
+    t = int(vals["q"].iloc[vidx])
+    remainder = token_budget - (int(vcum[vidx - 1]) if vidx > 0 else spent_above_bin)
+
+    def above(batch: pa.Table, t_=t) -> pa.Table:
+        q = batch.column("quality_ppm").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(q > t_))
+
+    def at(batch: pa.Table, t_=t) -> pa.Table:
+        q = batch.column("quality_ppm").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(q == t_))
+
+    high = s.map_batches(above, batch_format="pyarrow")
+    tie_kept = _prefix_take(s.map_batches(at, batch_format="pyarrow"), remainder, id_col, "n_tokens")
+    return high.union(tie_kept)

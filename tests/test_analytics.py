@@ -997,3 +997,82 @@ class TestTfidfKeywords:
         assert got["doc_id"].tolist() == exp["doc_id"].tolist()
         assert got["term"].tolist() == exp["term"].tolist()
         assert got["score_ppm"].tolist() == exp["score_ppm"].tolist()
+
+
+class TestBudgetSelect:
+    """Token-budget corpus selection (quality-DESC greedy prefix)."""
+
+    def _oracle(self, src: str, budget: int) -> "pd.DataFrame":
+        import __ray_entry__ as entry
+
+        sql = entry._budget_select_sql(budget).replace("FROM documents", f"FROM {src}")
+        return duckdb.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+
+    def test_vs_duckdb_window(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = (
+            analytics.budget_select(ds, 10_000)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = self._oracle(f"'{SF}/documents.parquet'", 10_000)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+        assert int(got["n_tokens"].sum()) <= 10_000
+
+    def test_whole_corpus_fits(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = analytics.budget_select(ds, 10**9)
+        assert got.count() == 500  # budget above total: everything selected
+
+    def test_tie_group_and_zero_token_edges(self):
+        """Planted corpus: identical texts force one big quality tie group
+        (resolved in doc_id order by the prefix sum) and empty docs carry
+        zero tokens (kept at the crossing, dropped after it — same monotone
+        prefix semantics as the SQL window)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        same = "the quick brown fox jumps over the lazy dog and runs away fast"
+        docs = pd.DataFrame(
+            {
+                "doc_id": list(range(1, 41)),
+                # 30 identical docs (one tie group), 10 empty (zero tokens)
+                "text": [same] * 30 + [""] * 10,
+            }
+        )
+        n_tok = len(same.split())
+        budget = n_tok * 7 + 3  # mid-tie-group crossing: 7 tie docs fit
+        got = (
+            analytics.budget_select(rd.from_pandas(docs), budget)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        duckdb.register("planted_budget_docs", docs)
+        exp = self._oracle("planted_budget_docs", budget)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        # the 7 lowest-doc_id tie members fit; empty docs rank below the
+        # tie quality and sit after the overflow point, so none are kept
+        assert got["doc_id"].tolist() == list(range(1, 8))
+
+    def test_zero_budget(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "d e"]})
+        got = analytics.budget_select(rd.from_pandas(docs), 0).to_pandas()
+        assert len(got) == 0
