@@ -538,6 +538,21 @@ def _q_contamination_flags(sf_dir: str):
 
 
 _BUDGET_TOKENS = 10_000
+_MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+_MIX_TARGET = 40
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Data mixing to target proportions (50/30/20 across three sources,
+    ~40 docs): per-source counts calibrate integer keep-rates, then a pure
+    map-side deterministic md5 filter samples — reproducible across runs
+    and cluster sizes, rates self-adjusting to observed source sizes. The
+    oracle recomputes counts, rates and the md5 roll in SQL."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.mixture_sample(
+        _docs(sf_dir, ["doc_id", "source"]), _MIX_SHARES, _MIX_TARGET
+    )
 
 
 def _q_budget_select(sf_dir: str):
@@ -1117,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": _q_contamination_flags,
         "pack_sequences": _q_pack_sequences,
         "budget_select": _q_budget_select,
+        "mixture_sample": _q_mixture_sample,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1279,6 +1295,24 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _mixture_sample_sql(shares: dict[str, int], target: int) -> str:
+    """Replays _q_mixture_sample: per-source counts CTE -> the same integer
+    rate arithmetic (want = target*share//1e6; rate = min(1e6, 1e6*want//n))
+    -> the same md5_u64(doc_id) % 1e6 roll (dedup.md5_u64 == big-endian
+    16-hex md5 prefix, the _MD5U64 macro)."""
+    share_case = (
+        "CASE source " + " ".join(f"WHEN '{s}' THEN {p}" for s, p in shares.items()) + " ELSE 0 END"
+    )
+    h = _MD5U64.format(v="CAST(d.doc_id AS VARCHAR)")
+    return (
+        "WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source), "
+        f"r AS (SELECT source, LEAST(1000000, 1000000 * (({target} * {share_case}) // 1000000) // n) "
+        "AS rate FROM c) "
+        "SELECT d.doc_id, d.source FROM documents d JOIN r USING(source) "
+        f"WHERE {h} % 1000000 < CAST(r.rate AS UBIGINT)"
     )
 
 
@@ -2032,6 +2066,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": _contamination_sql(_CONTAM_EVAL_RATE, _CONTAM_K),
         "pack_sequences": _pack_sequences_sql(512),
         "budget_select": _budget_select_sql(_BUDGET_TOKENS),
+        "mixture_sample": _mixture_sample_sql(_MIX_SHARES, _MIX_TARGET),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

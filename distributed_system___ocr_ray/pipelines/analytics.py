@@ -1820,3 +1820,57 @@ def budget_select(
     high = s.map_batches(above, batch_format="pyarrow")
     tie_kept = _prefix_take(s.map_batches(at, batch_format="pyarrow"), remainder, id_col, "n_tokens")
     return high.union(tie_kept)
+
+
+def mixture_sample(
+    ds,
+    shares: dict[str, int],
+    target_docs: int,
+    key: str = "source",
+    id_col: str = "doc_id",
+):
+    """Data mixing to TARGET proportions: sample each source so the output
+    approximates ``target_docs`` documents distributed per the ``shares``
+    map (integer ppm, e.g. {'web': 500000, 'code': 300000, 'books':
+    200000}). The standard LLM-pretraining "data mixture" op — unlike
+    ``stratified_sample`` (fixed per-stratum rates), the keep-rates here
+    are SELF-CALIBRATING: derived from the observed per-source counts so
+    the realized mix tracks the target even as source sizes drift.
+
+    Two passes, both cheap: (1) per-source counts — bounded key domain,
+    per-batch Arrow partials through the tiny merge; (2) pure map-side
+    deterministic filter ``md5_u64(str(id)) % 1e6 < rate_ppm[source]``
+    with integer rates ``min(1e6, 1e6 * (target*share//1e6) // count)``
+    (a source cannot over-sample past its population; unlisted sources get
+    rate 0). No shuffle of data rows; reproducible across runs and cluster
+    sizes; exactly SQL-replayable with a counts CTE and the same md5
+    arithmetic."""
+    from .relational import tiny_final_groupby
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.select([key]).group_by([key]).aggregate([(key, "count")])
+        return g.select([key, f"{key}_count"]).rename_columns([key, "n"])
+
+    counts = (
+        tiny_final_groupby(
+            ds.map_batches(cnt, batch_format="pyarrow"), [key], [("n", "sum")], [key, "n"]
+        )
+        .to_pandas()
+        .set_index(key)["n"]
+        .to_dict()
+    )
+    rates = {}
+    for src, n in counts.items():
+        want = target_docs * shares.get(src, 0) // 1_000_000
+        rates[src] = min(1_000_000, 1_000_000 * want // int(n)) if n else 0
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        ks = batch.column(key).to_pylist()
+        mask = [
+            dk.md5_u64(str(i).encode("utf-8")) % 1_000_000 < rates.get(k, 0)
+            for i, k in zip(ids, ks)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1076,3 +1076,53 @@ class TestBudgetSelect:
         docs = pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "d e"]})
         got = analytics.budget_select(rd.from_pandas(docs), 0).to_pandas()
         assert len(got) == 0
+
+
+class TestMixtureSample:
+    """Two-pass self-calibrating data mixing."""
+
+    def test_vs_duckdb_and_calibration(self):
+        import ray.data as rd
+
+        import __ray_entry__ as entry
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        shares = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "source"])
+        got = (
+            analytics.mixture_sample(ds, shares, 40)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        sql = entry._mixture_sample_sql(shares, 40).replace(
+            "FROM documents", f"FROM '{SF}/documents.parquet'"
+        ).replace("documents d", f"'{SF}/documents.parquet' d")
+        exp = duckdb.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        # only listed sources appear; no unlisted source leaks through
+        assert set(got["source"]) <= set(shares)
+
+    def test_self_calibrating_rates(self):
+        """Skewed planted sources: rates adapt to observed counts — a source
+        with exactly 'want' docs gets rate 1e6 (all kept), an over-supplied
+        source is thinned toward its target, an unlisted source is dropped."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": list(range(1000)),
+                "source": ["tiny"] * 10 + ["big"] * 900 + ["other"] * 90,
+            }
+        )
+        # target 100 docs: tiny wants 10 (has 10 -> keep all), big wants 90
+        shares = {"tiny": 100_000, "big": 900_000}
+        got = analytics.mixture_sample(rd.from_pandas(docs), shares, 100).to_pandas()
+        by_src = got["source"].value_counts().to_dict()
+        assert by_src.get("tiny", 0) == 10  # rate saturates at 100%
+        assert "other" not in by_src  # unlisted source dropped
+        # md5 sampling is approximate: realized 'big' count near its want
+        assert 60 <= by_src.get("big", 0) <= 120
