@@ -542,6 +542,19 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_cms_top_tokens(sf_dir: str):
+    """Count-Min-sketch frequency estimates for the exact top-20 tokens:
+    the sketch (4x8192 md5-bucketed counters, per-batch partials, tree
+    merge) is point-queried at a deterministic candidate set — the exact
+    heavy hitters — so the whole query is SQL-replayable counter-for-
+    counter. Estimates are >= truth by construction; the oracle recomputes
+    every bucket count and min-over-rows estimate independently."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    cands = analytics.top_tokens(_docs(sf_dir, ["text"]), k=20).to_pandas()["token"].tolist()
+    return analytics.cms_token_counts(_docs(sf_dir, ["text"]), candidates=cands, k=20)
+
+
 def _q_mixture_sample(sf_dir: str):
     """Data mixing to target proportions (50/30/20 across three sources,
     ~40 docs): per-source counts calibrate integer keep-rates, then a pure
@@ -1133,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "budget_select": _q_budget_select,
         "mixture_sample": _q_mixture_sample,
+        "cms_top_tokens": _q_cms_top_tokens,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1295,6 +1309,26 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _cms_top_tokens_sql(k: int = 20, depth: int = 4, width: int = 8192) -> str:
+    """Replays _q_cms_top_tokens: every CMS bucket counter is
+    COUNT(*) of tokens hashing to (row, md5_u64('cms{r}:'||tok) % width),
+    and each candidate's estimate is the MIN over rows of its bucket's
+    counter — identical md5-prefix arithmetic to sketches.CountMinSketch."""
+    h_tok = _MD5U64.format(v="'cms' || CAST(r AS VARCHAR) || ':' || tk")
+    h_cand = _MD5U64.format(v="'cms' || CAST(r2.r AS VARCHAR) || ':' || cand.tk")
+    return (
+        "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tk FROM documents), "
+        f"cand AS (SELECT tk, COUNT(*) AS n FROM tok GROUP BY tk ORDER BY n DESC, tk LIMIT {k}), "
+        f"rows_ AS (SELECT CAST(r AS INTEGER) AS r FROM range({depth}) t(r)), "
+        f"sk AS (SELECT r, {h_tok} % {width} AS b, COUNT(*) AS c "
+        "FROM tok CROSS JOIN rows_ GROUP BY 1, 2), "
+        "est AS (SELECT cand.tk, MIN(sk.c) AS n_cms FROM cand CROSS JOIN rows_ r2 "
+        f"JOIN sk ON sk.r = r2.r AND sk.b = {h_cand} % {width} GROUP BY cand.tk) "
+        "SELECT cand.tk AS token, CAST(est.n_cms AS BIGINT) AS n_cms "
+        "FROM cand JOIN est ON cand.tk = est.tk"
     )
 
 
@@ -2067,6 +2101,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _pack_sequences_sql(512),
         "budget_select": _budget_select_sql(_BUDGET_TOKENS),
         "mixture_sample": _mixture_sample_sql(_MIX_SHARES, _MIX_TARGET),
+        "cms_top_tokens": _cms_top_tokens_sql(20),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -1874,3 +1874,80 @@ def mixture_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cms_token_counts(
+    ds,
+    candidates: list[str] | None = None,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 8192,
+    text_col: str = "text",
+    merge_group: int = 64,
+):
+    """Approximate token frequencies from a Count-Min sketch — the
+    UNBOUNDED-vocabulary complement to the exact ``top_tokens`` path.
+    Exact heavy hitters shuffle one (token, count) partial per distinct
+    token (billions of keys at corpus scale); the sketch is a constant
+    depth x width x 8 B (256 KB) per batch no matter the vocabulary, merged
+    by addition.
+
+    Build: per-batch token ``value_counts`` -> per-batch CMS -> TREE merge
+    (repartition into ~``merge_group``-sketch blocks, merge each block to
+    one sketch, repeat — log_group(batches) bounded rounds, so no task ever
+    holds more than ``merge_group`` sketches) -> driver point-queries.
+
+    ``candidates``: tokens to estimate (deterministic, SQL-replayable —
+    every counter and every min-over-rows estimate is md5 arithmetic).
+    ``candidates=None`` mines per-batch partial top-4k heavy-hitter
+    candidates instead (approximate discovery: a global heavy hitter is in
+    some batch's local top list unless pathologically uniform — the
+    standard CMS + candidate-set construction; pytest-held, not oracled,
+    because batch boundaries are not SQL-expressible). Returns a pyarrow
+    Table (token, n_cms) — estimates are always >= true counts."""
+    from ..functions.sketches import CountMinSketch
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(ts._WS_TOKEN).explode().dropna()
+        vc = toks.value_counts()
+        cms = CountMinSketch(depth, width).add_counts(
+            vc.index.astype(str).tolist(), vc.to_numpy(np.int64)
+        )
+        return pd.DataFrame({"sketch": [cms.to_bytes()]})
+
+    def merge_block(batch: pd.DataFrame) -> pd.DataFrame:
+        m = CountMinSketch.from_bytes(batch["sketch"].iloc[0])
+        for b in batch["sketch"].iloc[1:]:
+            m.merge(CountMinSketch.from_bytes(b))
+        return pd.DataFrame({"sketch": [m.to_bytes()]})
+
+    merged = ds.map_batches(partial, batch_format="pandas").materialize()
+    while merged.count() > 1:
+        blocks = max(1, merged.count() // merge_group)
+        merged = (
+            merged.repartition(blocks)
+            .map_batches(merge_block, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    cms = CountMinSketch.from_bytes(merged.take_all()[0]["sketch"])
+
+    if candidates is None:
+        # discovery mode: per-batch local top-(4k) candidate mining
+        def mine(batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].fillna("").str.findall(ts._WS_TOKEN).explode().dropna()
+            vc = toks.value_counts().head(4 * k)
+            return pd.DataFrame({"token": vc.index.astype(str)})
+
+        cand_rows = ds.map_batches(mine, batch_format="pandas").take_all()
+        candidates = sorted({r["token"] for r in cand_rows})
+
+    import pyarrow.compute as pc
+
+    est = cms.estimate(list(candidates))
+    out = pa.table(
+        {"token": pa.array(list(candidates), pa.string()), "n_cms": pa.array(est, pa.int64())}
+    )
+    out = out.take(
+        pc.sort_indices(out, sort_keys=[("n_cms", "descending"), ("token", "ascending")])
+    )
+    return out.slice(0, k) if len(candidates) > k else out

@@ -1126,3 +1126,68 @@ class TestMixtureSample:
         assert "other" not in by_src  # unlisted source dropped
         # md5 sampling is approximate: realized 'big' count near its want
         assert 60 <= by_src.get("big", 0) <= 120
+
+
+class TestCmsTopTokens:
+    """Count-Min sketch frequency estimates."""
+
+    def test_overestimate_and_sql_parity(self):
+        import ray.data as rd
+
+        import __ray_entry__ as entry
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = f"'{SF}/documents.parquet'"
+        cands_tbl = analytics.top_tokens(
+            rd.read_parquet(f"{SF}/documents.parquet", columns=["text"]), k=20
+        ).to_pandas()
+        got = analytics.cms_token_counts(
+            rd.read_parquet(f"{SF}/documents.parquet", columns=["text"]),
+            candidates=cands_tbl["token"].tolist(),
+        ).to_pandas()
+        exp = duckdb.sql(
+            entry._cms_top_tokens_sql(20).replace("FROM documents", f"FROM {docs}")
+        ).df()
+        m = got.merge(exp, on="token", suffixes=("_got", "_exp")).merge(
+            cands_tbl.rename(columns={"n": "n_exact"}), on="token"
+        )
+        assert len(m) == 20
+        assert (m["n_cms_got"] == m["n_cms_exp"]).all()
+        assert (m["n_cms_got"] >= m["n_exact"]).all()  # CMS never undercounts
+
+    def test_discovery_mode_finds_planted_heavy_hitter(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(200),
+                "text": ["zzzheavy common" + str(i % 7) for i in range(200)],
+            }
+        )
+        got = analytics.cms_token_counts(rd.from_pandas(docs), k=3).to_pandas()
+        assert got["token"].iloc[0] == "zzzheavy"
+        assert int(got["n_cms"].iloc[0]) >= 200
+
+    def test_tree_merge_multi_round(self):
+        """Many tiny blocks force >1 merge round; totals must still match a
+        single-sketch build exactly (merge is pure counter addition)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.sketches import CountMinSketch
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [f"tok{i % 11} filler" for i in range(300)]
+        ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(50)
+        got = analytics.cms_token_counts(
+            ds, candidates=["filler", "tok0"], merge_group=4
+        ).to_pandas()
+        ref = CountMinSketch().add_counts(["filler"], [300])
+        # 'filler' appears exactly 300x; estimate >= 300 and equals the
+        # single-sketch bucket values (same md5 buckets, pure addition)
+        row = got.set_index("token")["n_cms"]
+        assert int(row["filler"]) >= 300
+        assert int(row["tok0"]) >= 300 // 11
