@@ -542,6 +542,17 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-3 training shuffle: dense positions 0..n-1 in
+    md5('epoch3:' || doc_id) order — the same permutation at any cluster
+    size / block layout (what random_shuffle cannot guarantee), resumable
+    mid-epoch. Engine: uniform-key fixed-width range partition + prefix-sum
+    ranks, no global sort barrier. Oracle: one ROW_NUMBER window."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.epoch_shuffle(_docs(sf_dir, ["doc_id"]), epoch=3)
+
+
 def _q_cms_top_tokens(sf_dir: str):
     """Count-Min-sketch frequency estimates for the exact top-20 tokens:
     the sketch (4x8192 md5-bucketed counters, per-batch partials, tree
@@ -1147,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "budget_select": _q_budget_select,
         "mixture_sample": _q_mixture_sample,
         "cms_top_tokens": _q_cms_top_tokens,
+        "epoch_shuffle": _q_epoch_shuffle,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1309,6 +1321,16 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _epoch_shuffle_sql(epoch: int) -> str:
+    """Replays _q_epoch_shuffle with one window function over the same
+    md5-prefix sort key (dedup.md5_u64 == the _MD5U64 macro)."""
+    h = _MD5U64.format(v=f"'epoch{epoch}:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY {h}, doc_id) - 1 AS BIGINT) AS pos "
+        "FROM documents"
     )
 
 
@@ -2102,6 +2124,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _budget_select_sql(_BUDGET_TOKENS),
         "mixture_sample": _mixture_sample_sql(_MIX_SHARES, _MIX_TARGET),
         "cms_top_tokens": _cms_top_tokens_sql(20),
+        "epoch_shuffle": _epoch_shuffle_sql(3),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -1951,3 +1951,63 @@ def cms_token_counts(
         pc.sort_indices(out, sort_keys=[("n_cms", "descending"), ("token", "ascending")])
     )
     return out.slice(0, k) if len(candidates) > k else out
+
+
+def epoch_shuffle(ds, epoch: int = 0, id_col: str = "doc_id", ranges: int | None = None):
+    """Deterministic global shuffle for training epochs: every row gets a
+    dense position 0..n-1 in ascending ``md5_u64('epoch{e}:' || id)`` order
+    (ties by id). Each ``epoch`` value yields an independent permutation;
+    the same (epoch, corpus) always yields the SAME permutation regardless
+    of cluster size, block layout or retry history — the property
+    ``Dataset.random_shuffle`` cannot give (its output depends on seed AND
+    physical block structure), and the one a resumable multi-epoch
+    training-data pipeline needs (re-running epoch 3 after a crash must
+    reproduce epoch 3's order exactly).
+
+    No global sort barrier: md5 keys are UNIFORM over [0, 2^64), so
+    FIXED-WIDTH key ranges are balanced by construction (no histogram /
+    boundary-sampling pass, unlike sorting arbitrary columns) -> per-range
+    counts to the driver (R tiny rows) -> exclusive scan -> each range
+    sorts only its own rows and emits ``offset + local index`` (the
+    prefix-sum pattern). Returns (id, pos)."""
+    from ray.data.aggregate import Count
+
+    from .relational import derive_buckets
+
+    prefix = f"epoch{epoch}:"
+
+    def key_of(batch: pa.Table, n_ranges: int) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = np.array(
+            [dk.md5_u64(f"{prefix}{i}".encode("utf-8")) for i in ids], dtype=np.uint64
+        )
+        width = (1 << 64) // n_ranges
+        rng = np.minimum(keys // width, n_ranges - 1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__key": pa.array(keys, pa.uint64()),
+                "__range": pa.array(rng, pa.int32()),
+            }
+        )
+
+    n_ranges = ranges if ranges is not None else derive_buckets(ds.count())
+    keyed = ds.map_batches(
+        lambda b, n=n_ranges: key_of(b, n), batch_format="pyarrow"
+    ).materialize()
+    counts = keyed.groupby("__range").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("__range").reset_index(drop=True)
+    cums = counts["n"].cumsum().shift(1, fill_value=0)
+    offsets = dict(zip(counts["__range"].astype(int), cums.astype(int)))
+
+    def rank(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["__key", id_col])
+        start = offsets[int(g["__range"].iloc[0])]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].values,
+                "pos": start + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("__range").map_groups(rank, batch_format="pandas")

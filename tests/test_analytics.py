@@ -1191,3 +1191,55 @@ class TestCmsTopTokens:
         row = got.set_index("token")["n_cms"]
         assert int(row["filler"]) >= 300
         assert int(row["tok0"]) >= 300 // 11
+
+
+class TestEpochShuffle:
+    """Deterministic epoch shuffle (md5-order dense ranks)."""
+
+    def test_vs_duckdb_rownumber(self):
+        import ray.data as rd
+
+        import __ray_entry__ as entry
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        # tiny ranges force multi-range offset composition
+        got = (
+            analytics.epoch_shuffle(ds, epoch=1, ranges=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            entry._epoch_shuffle_sql(1).replace(
+                "FROM documents", f"FROM '{SF}/documents.parquet'"
+            )
+            + " ORDER BY doc_id"
+        ).df()
+        assert got["pos"].tolist() == exp["pos"].tolist()
+        # dense permutation 0..n-1
+        assert sorted(got["pos"]) == list(range(len(got)))
+
+    def test_layout_invariance_and_epoch_independence(self):
+        """The permutation must not depend on block layout (1 block vs 32),
+        and different epochs give different permutations."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame({"doc_id": list(range(400))})
+        one = (
+            analytics.epoch_shuffle(rd.from_pandas(docs), epoch=5)
+            .to_pandas().sort_values("doc_id")["pos"].tolist()
+        )
+        many = (
+            analytics.epoch_shuffle(rd.from_pandas(docs).repartition(32), epoch=5, ranges=7)
+            .to_pandas().sort_values("doc_id")["pos"].tolist()
+        )
+        other_epoch = (
+            analytics.epoch_shuffle(rd.from_pandas(docs), epoch=6)
+            .to_pandas().sort_values("doc_id")["pos"].tolist()
+        )
+        assert one == many  # layout- and fan-out-invariant
+        assert one != other_epoch  # epochs decorrelated
