@@ -542,6 +542,16 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_sample_exact_n(sf_dir: str):
+    """Exact-size deterministic sample (the 60 docs with the smallest
+    md5('samplen:'||doc_id) keys): per-batch partial top-n + one tiny
+    merge, stable across runs/cluster sizes/appends. Oracle: QUALIFY
+    ROW_NUMBER over the same md5 order."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.sample_n(_docs(sf_dir, ["doc_id", "lang"]), 60)
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-3 training shuffle: dense positions 0..n-1 in
     md5('epoch3:' || doc_id) order — the same permutation at any cluster
@@ -1159,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "cms_top_tokens": _q_cms_top_tokens,
         "epoch_shuffle": _q_epoch_shuffle,
+        "sample_exact_n": _q_sample_exact_n,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1321,6 +1332,16 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _sample_exact_n_sql(n: int) -> str:
+    """Replays _q_sample_exact_n: the n smallest md5_u64('samplen:'||id)
+    keys, ties by id."""
+    h = _MD5U64.format(v="'samplen:' || CAST(doc_id AS VARCHAR)")
+    return (
+        "SELECT doc_id, lang FROM documents "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY {h}, doc_id) <= {n}"
     )
 
 
@@ -2125,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql(_MIX_SHARES, _MIX_TARGET),
         "cms_top_tokens": _cms_top_tokens_sql(20),
         "epoch_shuffle": _epoch_shuffle_sql(3),
+        "sample_exact_n": _sample_exact_n_sql(60),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -2011,3 +2011,41 @@ def epoch_shuffle(ds, epoch: int = 0, id_col: str = "doc_id", ranges: int | None
         )
 
     return keyed.groupby("__range").map_groups(rank, batch_format="pandas")
+
+
+def sample_n(ds, n: int, id_col: str = "doc_id"):
+    """Deterministic EXACT-size sample: the ``min(n, count)`` rows with the
+    smallest ``md5_u64('samplen:' || id)`` (ties broken by id). Rate-based
+    sampling (``deterministic_sample``) yields a binomial-sized result;
+    eval/calibration subsets usually need an exact row count that is stable
+    across runs, cluster sizes and block layouts — this is that op, and it
+    composes with appends (a grown corpus keeps a stable prefix bias-free:
+    each row's key never changes, only the global cutoff moves).
+
+    Per-batch partial top-n over the md5 key -> single tiny merge (at most
+    n x blocks candidate rows, the grouped-top-k pattern) — never a global
+    sort."""
+
+    def keyed_topn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        keys = np.array(
+            [dk.md5_u64(f"samplen:{i}".encode("utf-8")) for i in ids], dtype=np.uint64
+        )
+        if len(keys) > n:
+            take = np.argpartition(keys, n - 1)[:n]
+            batch, keys = batch.take(pa.array(take)), keys[take]
+        return batch.append_column("__key", pa.array(keys, pa.uint64()))
+
+    def final_topn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            batch, sort_keys=[("__key", "ascending"), (id_col, "ascending")]
+        )
+        return batch.take(order.slice(0, n)).drop_columns(["__key"])
+
+    return (
+        ds.map_batches(keyed_topn, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_topn, batch_format="pyarrow", batch_size=None)
+    )

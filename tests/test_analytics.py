@@ -1243,3 +1243,27 @@ class TestEpochShuffle:
         )
         assert one == many  # layout- and fan-out-invariant
         assert one != other_epoch  # epochs decorrelated
+
+
+class TestSampleN:
+    def test_exact_size_layout_invariant_and_stable_under_append(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame({"doc_id": list(range(500)), "lang": ["en"] * 500})
+        a = analytics.sample_n(rd.from_pandas(docs), 50).to_pandas()
+        b = analytics.sample_n(rd.from_pandas(docs).repartition(32), 50).to_pandas()
+        assert len(a) == 50 and sorted(a.doc_id) == sorted(b.doc_id)
+        # sample larger than the corpus: everything, once
+        full = analytics.sample_n(rd.from_pandas(docs.head(10)), 50).to_pandas()
+        assert sorted(full.doc_id) == list(range(10))
+        # append-stability: growing the corpus only re-cuts the global
+        # cutoff; rows sampled from the old corpus that survive keep their
+        # membership decided by the same per-row key
+        grown = pd.concat(
+            [docs, pd.DataFrame({"doc_id": range(500, 1000), "lang": ["de"] * 500})]
+        )
+        g = analytics.sample_n(rd.from_pandas(grown), 50).to_pandas()
+        assert set(g.doc_id) & set(a.doc_id) == set(g.doc_id[g.doc_id < 500])

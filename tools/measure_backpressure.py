@@ -25,9 +25,17 @@ Runs BOTH execution plans:
   exploded data this MUST spill, and completing correctly anyway is the
   backpressure+spill evidence.
 
-Env: ``BP_STORE_MB`` (default 256), ``BP_REPLICATE`` (default 200 over
+Env: ``BP_STORE_MB`` (default 2048), ``BP_REPLICATE`` (default 200 over
 sf0.1 -- the 1M-doc bench corpus, exploded spans well past the store),
 ``BP_CPUS`` (default 16).
+
+Store-size floor (measured): at 256 MB the shuffle plan LIVELOCKS -- one
+ReadParquet task is granted the whole store budget, its queued blocks
+never drain into the actor stage, and the executor sits at 0 blocks
+output indefinitely (observed 28 min, zero progress). Ray Data's
+backpressure needs the store to hold at least a few operator output
+budgets; 2 GB against the ~10x larger all-to-all payload still forces
+heavy spill, which is the evidence this tool is after.
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ import shutil
 import sys
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-STORE_MB = int(os.environ.get("BP_STORE_MB", "256"))
+STORE_MB = int(os.environ.get("BP_STORE_MB", "2048"))
 REPLICATE = int(os.environ.get("BP_REPLICATE", "200"))
 NUM_CPUS = int(os.environ.get("BP_CPUS", "16"))
 ROOT = "/tmp/graft_backpressure"
