@@ -542,6 +542,39 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+_BOILER1 = "promo: subscribe to our newsletter today!"
+_BOILER2 = "follow us on social media for updates"
+
+
+def _q_line_dedup(sf_dir: str):
+    """C4-style corpus line dedup over a deterministically boilerplated
+    corpus: every doc gains a newsletter line (all docs), a social line
+    (doc_id%3==0) and a short 'ad' line (exempt, < 8 chars). After dedup
+    only the globally-first occurrence of each boilerplate line survives;
+    each doc's own unique line and the exempt short line stay everywhere.
+    Engine: hash-only line-stats shuffle -> broadcast {hash: first-pack}
+    -> map-side rewrite. Oracle replays split/count/min-pack/rejoin."""
+    import pyarrow as pa
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def boiler(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out = [
+            t
+            + "\n"
+            + _BOILER1
+            + ("\n" + _BOILER2 if d % 3 == 0 else "")
+            + "\nad"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())})
+
+    src = _docs(sf_dir, ["doc_id", "text"]).map_batches(boiler, batch_format="pyarrow")
+    return analytics.line_dedup(src, min_line_chars=8)
+
+
 def _q_sample_exact_n(sf_dir: str):
     """Exact-size deterministic sample (the 60 docs with the smallest
     md5('samplen:'||doc_id) keys): per-batch partial top-n + one tiny
@@ -1170,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_top_tokens": _q_cms_top_tokens,
         "epoch_shuffle": _q_epoch_shuffle,
         "sample_exact_n": _q_sample_exact_n,
+        "line_dedup": _q_line_dedup,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1332,6 +1366,28 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _line_dedup_sql(min_chars: int = 8) -> str:
+    """Replays _q_line_dedup end-to-end: the boilerplate construction, the
+    per-line (count, min(doc_id*2^32 + idx)) stats over lines >=
+    min_chars, the keep-first filter, and the ordered chr(10) rejoin.
+    Docs whose every line was a non-first duplicate come back as ''."""
+    return (
+        "WITH src AS (SELECT doc_id, text || chr(10) || "
+        f"'{_BOILER1}' || "
+        f"CASE WHEN doc_id % 3 = 0 THEN chr(10) || '{_BOILER2}' ELSE '' END || "
+        "chr(10) || 'ad' AS text FROM documents), "
+        "t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src), "
+        "l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS i FROM t), "
+        "d AS (SELECT line, COUNT(*) AS n, MIN(doc_id * 4294967296 + (i - 1)) AS mp "
+        f"FROM l WHERE length(line) >= {min_chars} GROUP BY line), "
+        "k AS (SELECT l.doc_id, l.i, l.line FROM l LEFT JOIN d "
+        f"ON length(l.line) >= {min_chars} AND l.line = d.line "
+        "WHERE d.n IS NULL OR d.n = 1 OR (l.doc_id * 4294967296 + (l.i - 1)) = d.mp), "
+        "o AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text FROM k GROUP BY doc_id) "
+        "SELECT s.doc_id, COALESCE(o.text, '') AS text FROM src s LEFT JOIN o USING (doc_id)"
     )
 
 
@@ -2147,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_top_tokens": _cms_top_tokens_sql(20),
         "epoch_shuffle": _epoch_shuffle_sql(3),
         "sample_exact_n": _sample_exact_n_sql(60),
+        "line_dedup": _line_dedup_sql(8),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

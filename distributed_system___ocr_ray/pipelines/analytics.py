@@ -2049,3 +2049,172 @@ def sample_n(ds, n: int, id_col: str = "doc_id"):
         .repartition(1)
         .map_batches(final_topn, batch_format="pyarrow", batch_size=None)
     )
+
+
+def line_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 8,
+    *,
+    broadcast_dups_bytes: int = 256 << 20,
+    join_buckets: int | None = None,
+):
+    """C4-style corpus-level line dedup: a line occurring more than once in
+    the WHOLE corpus is kept only at its globally first occurrence
+    (smallest ``(doc_id, line_index)``); every other occurrence is removed
+    from its document's text. Lines shorter than ``min_line_chars`` are
+    exempt (kept verbatim — the C4 boilerplate rule targets repeated
+    sentences/menus, not whitespace or bullets). Returns (id, text) with
+    rewritten text for EVERY input doc — a doc whose every line was a
+    non-first duplicate comes back with text ''.
+
+    Scale shape (two passes over ``ds``; pass a re-readable source):
+
+    1. line stats: explode lines inside ``map_batches`` -> (md5_u64(line),
+       pack = doc_id * 2^32 + idx) — 16 B per line is ALL that shuffles,
+       never text -> ``groupby(hash)``: count + min(pack) -> the dup table
+       (hash, min_pack) holds only lines seen twice+.
+    2. rewrite map-side: dup table under ``broadcast_dups_bytes`` is
+       ``ray.put`` once and each actor keeps {hash: min_pack}; a line
+       survives iff it is short, unseen in the dup table, or IS the global
+       first occurrence. Past the cap: explode -> bucketed left join on
+       the line hash -> filter -> per-doc reassembly (sort by idx,
+       join '\\n') — full lines move once, same volume class as
+       ``exact_dedup``'s row shuffle.
+
+    A short line's content can never collide with a dup-table entry (the
+    dup table only holds lines >= ``min_line_chars``, and equal content
+    implies equal length), so eligibility needs no flag in the lookups.
+    Packing assumes doc_id < 2^31 and < 2^32 lines/doc (asserted).
+    Per-batch line hashing memoizes distinct lines (duplicate-heavy
+    corpora hash each repeated line once per batch)."""
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    P = 1 << 32
+
+    def _i64(h: int) -> int:
+        # signed-int64 bit view of the md5 uint64: Ray's sort shuffle keys
+        # stay a native Arrow int64 (uint64 keys fall back to a pickled
+        # extension type on some block shapes); equality is preserved
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def line_partials(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        memo: dict[str, int] = {}
+        hs, packs = [], []
+        for d, t in zip(ids, texts):
+            assert 0 <= d < P // 2, "line_dedup packing assumes doc_id < 2^31"
+            for j, ln in enumerate((t or "").split("\n")):
+                if len(ln) >= min_line_chars:
+                    hs.append(_i64(dk.md5_u64_hashed(ln, memo)))
+                    packs.append(d * P + j)
+        return pa.table({"h": pa.array(hs, pa.int64()), "pack": pa.array(packs, pa.int64())})
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch.column("n"), 1)).select(["h", "mp"])
+
+    dups = (
+        ds.map_batches(line_partials, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="n"), Min("pack", alias_name="mp"))
+        .map_batches(only_dups, batch_format="pyarrow")
+        .materialize()  # (hash, first-occurrence pack): 16 B per DUPLICATED line
+    )
+
+    if dups.size_bytes() <= broadcast_dups_bytes:
+        tabs = ray.get(dups.to_arrow_refs())
+        hs = _concat_column(tabs, "h").to_numpy(zero_copy_only=False)
+        mps = _concat_column(tabs, "mp").to_numpy(zero_copy_only=False)
+        handle = [ray.put((hs, mps))]
+
+        class LineRewrite:
+            def __init__(self) -> None:
+                h, m = ray.get(handle[0])
+                self.first = dict(zip(h.tolist(), m.tolist()))
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                ids = batch.column(id_col).to_pylist()
+                texts = batch.column(text_col).to_pylist()
+                memo: dict[str, int] = {}
+                out = []
+                for d, t in zip(ids, texts):
+                    kept = []
+                    for j, ln in enumerate((t or "").split("\n")):
+                        if len(ln) < min_line_chars:
+                            kept.append(ln)
+                            continue
+                        mp = self.first.get(_i64(dk.md5_u64_hashed(ln, memo)))
+                        if mp is None or mp == d * P + j:
+                            kept.append(ln)
+                    out.append("\n".join(kept))
+                return pa.table(
+                    {id_col: batch.column(id_col), text_col: pa.array(out, pa.string())}
+                )
+
+        return ds.map_batches(LineRewrite, batch_format="pyarrow", concurrency=(1, 8))
+
+    # scale path: explode every line (plus one always-kept sentinel per doc
+    # so fully-deduped docs still come back, as text='') -> bucketed left
+    # join on the line hash -> keep first occurrences -> per-doc reassembly
+    from .relational import bucketed_hash_join, derive_buckets
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        memo: dict[str, int] = {}
+        od, oi, ol, oh, oreal = [], [], [], [], []
+        for d, t in zip(ids, texts):
+            assert 0 <= d < P // 2, "line_dedup packing assumes doc_id < 2^31"
+            for j, ln in enumerate((t or "").split("\n")):
+                od.append(d)
+                oi.append(j)
+                ol.append(ln)
+                oh.append(
+                    _i64(dk.md5_u64_hashed(ln, memo)) if len(ln) >= min_line_chars else 0
+                )
+                oreal.append(True)
+            od.append(d)  # sentinel: sorts last, never joined, never rendered
+            oi.append(P // 2)
+            ol.append("")
+            oh.append(0)
+            oreal.append(False)
+        return pa.table(
+            {
+                id_col: pa.array(od, pa.int64()),
+                "i": pa.array(oi, pa.int64()),
+                "line": pa.array(ol, pa.string()),
+                "h": pa.array(oh, pa.int64()),
+                "real": pa.array(oreal, pa.bool_()),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    buckets = join_buckets if join_buckets is not None else derive_buckets(dups.count())
+    dups2 = dups.map_batches(
+        lambda b: b.rename_columns(["h2", "mp"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(exploded, dups2, "h", "h2", buckets=buckets, how="left")
+
+    def reassemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("i")
+        real = g[g["real"]]
+        # nullable Int64 (never float64): packs reach 2^63 and would lose
+        # exactness through a NaN-bearing float column
+        mp = real["mp"].astype("Int64")
+        pack = real[id_col].astype("Int64") * P + real["i"].astype("Int64")
+        keep = (mp.isna() | (mp == pack).fillna(False)).to_numpy(dtype=bool)
+        # short lines carry h=0 which is never in the dup table (its lines
+        # are all >= min_line_chars), so mp is NaN for them: kept
+        return pd.DataFrame(
+            {
+                id_col: [int(g[id_col].iloc[0])],
+                text_col: ["\n".join(real.loc[keep, "line"])],
+            }
+        )
+
+    return joined.groupby(id_col).map_groups(reassemble, batch_format="pandas")

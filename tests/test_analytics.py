@@ -1267,3 +1267,80 @@ class TestSampleN:
         )
         g = analytics.sample_n(rd.from_pandas(grown), 50).to_pandas()
         assert set(g.doc_id) & set(a.doc_id) == set(g.doc_id[g.doc_id < 500])
+
+
+class TestLineDedup:
+    """C4-style corpus-level keep-first line dedup."""
+
+    def _planted(self):
+        import pandas as pd
+
+        boiler = "subscribe to our newsletter"
+        return pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    f"unique alpha line one\n{boiler}\nad",
+                    f"{boiler}\nunique beta line two\n{boiler}",
+                    boiler,  # fully-deduped doc -> ''
+                    "short\nrepeat me exactly\nrepeat me exactly",  # in-doc dup
+                ],
+            }
+        )
+
+    def _expected(self):
+        # keep-first global order: doc1 keeps the boiler (pack (1,1) is the
+        # global min); every later occurrence (2,0), (2,2), (3,0) drops;
+        # in-doc duplicate keeps only its first occurrence; short lines stay
+        return {
+            1: "unique alpha line one\nsubscribe to our newsletter\nad",
+            2: "unique beta line two",
+            3: "",
+            4: "short\nrepeat me exactly",
+        }
+
+    def test_broadcast_path(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = (
+            analytics.line_dedup(rd.from_pandas(self._planted()), min_line_chars=6)
+            .to_pandas()
+            .set_index("doc_id")["text"]
+            .to_dict()
+        )
+        assert got == self._expected()
+
+    def test_bucketed_join_path_equal(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = (
+            analytics.line_dedup(
+                rd.from_pandas(self._planted()).repartition(3),
+                min_line_chars=6,
+                broadcast_dups_bytes=0,  # force the scale path
+                join_buckets=4,
+            )
+            .to_pandas()
+            .set_index("doc_id")["text"]
+            .to_dict()
+        )
+        assert got == self._expected()
+
+    def test_no_dups_identity(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {"doc_id": [7, 8], "text": ["totally unique first", "another unique text"]}
+        )
+        got = analytics.line_dedup(rd.from_pandas(docs)).to_pandas()
+        assert got.set_index("doc_id")["text"].to_dict() == {
+            7: "totally unique first",
+            8: "another unique text",
+        }
