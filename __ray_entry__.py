@@ -542,6 +542,34 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_novel_docs_bloom(sf_dir: str):
+    """Same novelty semantics as novel_docs (every-5th-doc new batch vs
+    the rest as corpus) through the Bloom-prefilter path: misses pass
+    map-side as definitely-novel, hits re-verify exactly against the real
+    hash table — the 35x-smaller broadcast with unchanged output, which is
+    why it shares novel_docs' NOT IN oracle verbatim."""
+    import pyarrow as pa
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def mod5(want_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if want_zero else (ids % 5 != 0)
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    new_ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        mod5(True), batch_format="pyarrow"
+    )
+    corpus_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mod5(False), batch_format="pyarrow"
+    )
+    out = analytics.novel_docs_bloom(new_ds, corpus_ds)
+    return out.select_columns(["doc_id", "lang"])
+
+
 _BOILER1 = "promo: subscribe to our newsletter today!"
 _BOILER2 = "follow us on social media for updates"
 
@@ -1204,6 +1232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _q_epoch_shuffle,
         "sample_exact_n": _q_sample_exact_n,
         "line_dedup": _q_line_dedup,
+        "novel_docs_bloom": _q_novel_docs_bloom,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2149,6 +2178,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"
         ),
         "novel_docs": (
+            "SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0 "
+            "AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 != 0)"
+        ),
+        # identical semantics through the Bloom-prefilter path: exactness
+        # comes from hit re-verification, so the oracle is shared verbatim
+        "novel_docs_bloom": (
             "SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0 "
             "AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 != 0)"
         ),

@@ -248,20 +248,7 @@ def novel_docs(
     are filtered map-side (zero shuffle on the new side); past the cap it
     falls back to a bucketed LEFT join on the hash with a null-test
     anti-filter (both sides move hash+id once, full new rows move once)."""
-    from ray.data.aggregate import Count
-
-    def hash_only(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"corpus_hash": pa.array(dk.sha256_hex(batch.column(text_col).to_pylist()))}
-        )
-
-    corpus_hashes = (
-        corpus_ds.map_batches(hash_only, batch_format="pyarrow")
-        .groupby("corpus_hash")
-        .aggregate(Count(alias_name="__n"))
-        .select_columns(["corpus_hash"])
-        .materialize()  # distinct hashes only: 64 chars per distinct content
-    )
+    corpus_hashes = _distinct_content_hashes(corpus_ds, text_col)
 
     def with_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -2218,3 +2205,120 @@ def line_dedup(
         )
 
     return joined.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+
+
+def _distinct_content_hashes(corpus_ds, text_col: str, out_col: str = "corpus_hash"):
+    """Corpus side of the novelty filters: DISTINCT sha256 content hashes.
+    Hash-only shuffle — 64 chars per distinct content, text never moves."""
+    from ray.data.aggregate import Count
+
+    def hash_only(batch: pa.Table) -> pa.Table:
+        return pa.table({out_col: pa.array(dk.sha256_hex(batch.column(text_col).to_pylist()))})
+
+    return (
+        corpus_ds.map_batches(hash_only, batch_format="pyarrow")
+        .groupby(out_col)
+        .aggregate(Count(alias_name="__n"))
+        .select_columns([out_col])
+        .materialize()
+    )
+
+
+def novel_docs_bloom(
+    new_ds,
+    corpus_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    bits_per_key: int = 16,
+    merge_group: int = 64,
+    join_buckets: int | None = None,
+):
+    """EXACT novelty filter (same output as ``novel_docs``) whose broadcast
+    is a Bloom filter instead of the raw hash set — ~35x smaller (16 bits
+    vs ~70 B per distinct content), which moves the broadcast ceiling from
+    ~3.5M to ~128M corpus keys per GB.
+
+    Bloom misses are DEFINITELY novel and pass map-side with zero further
+    work (the common case for a fresh crawl against a clean corpus). Bloom
+    hits are duplicate-OR-false-positive candidates — a small set (true
+    dups + ~0.05% FP at 16 bits/key) that re-verifies exactly via the
+    bucketed left join against the real hash table. Correctness never
+    depends on the FP rate; only the re-verification volume does.
+
+    Build: per-block partial Bloom over the distinct corpus hashes (fixed
+    m from the corpus count) -> bitwise-OR tree merge (bounded
+    ``merge_group`` rounds, same shape as the CMS merge) -> one broadcast.
+    Past ~1e9 distinct keys, shard the corpus by hash prefix and run this
+    per shard (the bloom itself stays a single ray.put here)."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+    from .relational import bucketed_hash_join, derive_buckets
+
+    corpus_hashes = _distinct_content_hashes(corpus_ds, text_col)
+    n_keys = corpus_hashes.count()
+    m_bits = BloomFilter.for_keys(max(n_keys, 1), bits_per_key).m
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        f = BloomFilter(m_bits).add_many(batch.column("corpus_hash").to_pylist())
+        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+
+    def merge_blooms(batch: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter.from_bytes(batch["bloom"].iloc[0])
+        for b in batch["bloom"].iloc[1:]:
+            f.merge(BloomFilter.from_bytes(b))
+        return pd.DataFrame({"bloom": [f.to_bytes()]})
+
+    blooms = corpus_hashes.map_batches(partial_bloom, batch_format="pyarrow").materialize()
+    while blooms.count() > 1:
+        blooms = (
+            blooms.repartition(max(1, blooms.count() // merge_group))
+            .map_batches(merge_blooms, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    handle = [ray.put(blooms.take_all()[0]["bloom"])]
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__hash", pa.array(dk.sha256_hex(batch.column(text_col).to_pylist()))
+        )
+
+    class BloomSplit:
+        def __init__(self) -> None:
+            self.bloom = BloomFilter.from_bytes(ray.get(handle[0]))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = with_hash(batch)
+            hit = self.bloom.contains_many(batch.column("__hash").to_pylist())
+            return batch.append_column("__hit", pa.array(hit, pa.bool_()))
+
+    tagged = new_ds.map_batches(
+        BloomSplit, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()  # split once, consume twice (definite + candidates)
+
+    def keep_misses(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.invert(batch.column("__hit"))).drop_columns(
+            ["__hash", "__hit"]
+        )
+
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__hit")).drop_columns(["__hit"])
+
+    definite = tagged.map_batches(keep_misses, batch_format="pyarrow")
+    candidates = tagged.map_batches(keep_hits, batch_format="pyarrow")
+
+    buckets = join_buckets if join_buckets is not None else derive_buckets(n_keys)
+    joined = bucketed_hash_join(
+        candidates, corpus_hashes, "__hash", "corpus_hash", buckets=buckets, how="left"
+    )
+
+    def keep_verified_novel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_null(batch.column("corpus_hash"))
+        return batch.filter(mask).drop_columns(["corpus_hash", "__hash"])
+
+    return definite.union(joined.map_batches(keep_verified_novel, batch_format="pyarrow"))

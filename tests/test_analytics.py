@@ -1344,3 +1344,47 @@ class TestLineDedup:
             7: "totally unique first",
             8: "another unique text",
         }
+
+
+class TestNovelDocsBloom:
+    """Bloom-prefiltered novelty: exact output, FP-proof via verification."""
+
+    def test_equals_novel_docs_even_with_forced_fps(self):
+        """A deliberately TINY bloom (2 bits/key, k=1) floods the hit path
+        with false positives; output must still equal novel_docs exactly —
+        correctness may never depend on the FP rate."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        corpus = pd.DataFrame(
+            {"doc_id": range(100), "text": [f"corpus text {i}" for i in range(100)]}
+        )
+        new = pd.DataFrame(
+            {
+                "doc_id": range(100, 160),
+                # 20 dups of corpus content, 40 novel
+                "text": [f"corpus text {i}" for i in range(20)]
+                + [f"fresh text {i}" for i in range(40)],
+            }
+        )
+        exact = sorted(
+            analytics.novel_docs(rd.from_pandas(new), rd.from_pandas(corpus))
+            .to_pandas()["doc_id"]
+        )
+        bloomy = sorted(
+            analytics.novel_docs_bloom(
+                rd.from_pandas(new), rd.from_pandas(corpus), bits_per_key=2
+            )
+            .to_pandas()["doc_id"]
+        )
+        assert bloomy == exact == list(range(120, 160))
+
+    def test_bloom_broadcast_is_smaller(self):
+        from distributed_system___ocr_ray.functions.bloom import BloomFilter
+
+        n = 100_000
+        bloom_bytes = len(BloomFilter.for_keys(n, 16).to_bytes())
+        hex_bytes = n * 64  # the raw sha256-hex broadcast
+        assert bloom_bytes * 20 < hex_bytes

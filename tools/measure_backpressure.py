@@ -25,17 +25,17 @@ Runs BOTH execution plans:
   exploded data this MUST spill, and completing correctly anyway is the
   backpressure+spill evidence.
 
-Env: ``BP_STORE_MB`` (default 2048), ``BP_REPLICATE`` (default 200 over
-sf0.1 -- the 1M-doc bench corpus, exploded spans well past the store),
-``BP_CPUS`` (default 16).
+Env: ``BP_STORE_MB`` (default 512), ``BP_REPLICATE`` (default 800 over
+sf0.1 -- the 4M-doc scaling corpus, whose exploded spans are well past the
+store), ``BP_CPUS`` (default 16).
 
-Store-size floor (measured): at 256 MB the shuffle plan LIVELOCKS -- one
-ReadParquet task is granted the whole store budget, its queued blocks
-never drain into the actor stage, and the executor sits at 0 blocks
-output indefinitely (observed 28 min, zero progress). Ray Data's
-backpressure needs the store to hold at least a few operator output
-budgets; 2 GB against the ~10x larger all-to-all payload still forces
-heavy spill, which is the evidence this tool is after.
+Deadlock found while building this (kept as a warning): handing the
+shuffle plan's extract stage a FIXED actor pool of size == num_cpus
+starves ReadParquet of its 1 CPU and the executor sits at 0 blocks
+forever (observed twice, 10+ min each, at 256 MB and 2 GB stores alike --
+the stall was CPU-shaped, not store-shaped). Stage pools must leave
+headroom for the read/shuffle tasks; the tool autoscales the extract pool
+to cpus-2.
 """
 
 from __future__ import annotations
@@ -46,8 +46,8 @@ import shutil
 import sys
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-STORE_MB = int(os.environ.get("BP_STORE_MB", "2048"))
-REPLICATE = int(os.environ.get("BP_REPLICATE", "200"))
+STORE_MB = int(os.environ.get("BP_STORE_MB", "512"))
+REPLICATE = int(os.environ.get("BP_REPLICATE", "800"))
 NUM_CPUS = int(os.environ.get("BP_CPUS", "16"))
 ROOT = "/tmp/graft_backpressure"
 
@@ -106,11 +106,16 @@ def main() -> int:
         return None
 
     results = {}
+    # the shuffle plan's extract stage must NOT pin every CPU: a fixed
+    # actor pool of size == num_cpus starves ReadParquet of its 1 CPU and
+    # the executor deadlocks at 0 blocks (observed; the sharded plan's
+    # per-shard tasks don't have this failure mode). Autoscale to cpus-2.
+    pool = (1, max(2, NUM_CPUS - 2))
     for plan, runner in (
         ("sharded", lambda out: run_extraction_sharded(
             docs_dir, store, out, concurrency=NUM_CPUS, batch_size=512)),
         ("shuffle", lambda out: run_extraction(
-            docs_dir, store, out, concurrency=NUM_CPUS, batch_size=512)),
+            docs_dir, store, out, concurrency=pool, batch_size=512)),
     ):
         out_dir = os.path.join(ROOT, f"out_{plan}_{STORE_MB}mb")
         shutil.rmtree(out_dir, ignore_errors=True)
