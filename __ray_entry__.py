@@ -542,6 +542,15 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking (64-token chunks, 16-token overlap) — the
+    embedding/RAG indexing fan-out. Pure map-side; the oracle replays
+    tokenization, stride windows and the space-join via list_slice."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.chunk_documents(_docs(sf_dir, ["doc_id", "text"]), 64, 16)
+
+
 def _q_novel_docs_bloom(sf_dir: str):
     """Same novelty semantics as novel_docs (every-5th-doc new batch vs
     the rest as corpus) through the Bloom-prefilter path: misses pass
@@ -1233,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_n": _q_sample_exact_n,
         "line_dedup": _q_line_dedup,
         "novel_docs_bloom": _q_novel_docs_bloom,
+        "chunk_documents": _q_chunk_documents,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1395,6 +1405,23 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _chunk_documents_sql(chunk: int, overlap: int) -> str:
+    """Replays _q_chunk_documents: k in [0, ceil(n/stride)) windows of the
+    whitespace-token array, 1-based inclusive list_slice."""
+    stride = chunk - overlap
+    return (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents), "
+        "n AS (SELECT doc_id, toks, len(toks) AS n FROM t), "
+        "c AS (SELECT doc_id, toks, n, CAST(unnest(range(0, "
+        f"CAST(CEIL(CAST(n AS DOUBLE) / {stride}) AS BIGINT))) AS BIGINT) AS chunk_id FROM n) "
+        "SELECT doc_id, chunk_id, "
+        f"array_to_string(list_slice(toks, chunk_id * {stride} + 1, "
+        f"LEAST(chunk_id * {stride} + {chunk}, n)), ' ') AS text, "
+        f"CAST(LEAST(chunk_id * {stride} + {chunk}, n) - chunk_id * {stride} AS BIGINT) "
+        "AS n_tokens FROM c"
     )
 
 
@@ -2239,6 +2266,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _epoch_shuffle_sql(3),
         "sample_exact_n": _sample_exact_n_sql(60),
         "line_dedup": _line_dedup_sql(8),
+        "chunk_documents": _chunk_documents_sql(64, 16),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -152,7 +152,9 @@ def run_bench() -> dict:
         "median_order_value", "quality_by_lang", "bm25_topk",
         "simhash_pairs", "approx_distinct_users",
         "contamination_flags", "pack_sequences", "redact_pii",
-        "repetition_stats", "budget_select",
+        "repetition_stats", "budget_select", "mixture_sample",
+        "cms_top_tokens", "epoch_shuffle", "sample_exact_n",
+        "line_dedup", "novel_docs_bloom",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -2322,3 +2322,43 @@ def novel_docs_bloom(
         return batch.filter(mask).drop_columns(["corpus_hash", "__hash"])
 
     return definite.union(joined.map_batches(keep_verified_novel, batch_format="pyarrow"))
+
+
+def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 16, id_col: str = "doc_id", text_col: str = "text"):
+    """Sliding-window document chunking for embedding / retrieval indexing:
+    each doc becomes ceil(n_tokens / stride) chunks of ``chunk_tokens``
+    whitespace tokens starting every ``stride = chunk_tokens - overlap``
+    tokens (the final chunk may be shorter; zero-token docs produce zero
+    chunks). Chunk text is the space-join of its tokens — deterministic
+    and identical to the SQL list_slice replay.
+
+    Pure map-side fan-out (one batch in, ~n/stride rows out); no state, no
+    shuffle — the embed/index stages downstream are where actor pools
+    attach. chunk_id is per-doc dense, so (doc_id, chunk_id) is a stable
+    global key for incremental re-embedding."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(ts._WS_TOKEN)
+        od, oc, ot, on = [], [], [], []
+        for d, tk in zip(batch[id_col].values, toks.values):
+            n = len(tk)
+            for k in range(0, (n + stride - 1) // stride):
+                s = k * stride
+                e = min(s + chunk_tokens, n)
+                od.append(d)
+                oc.append(k)
+                ot.append(" ".join(tk[s:e]))
+                on.append(e - s)
+        return pd.DataFrame(
+            {
+                id_col: np.array(od, dtype=np.int64),
+                "chunk_id": np.array(oc, dtype=np.int64),
+                text_col: ot,
+                "n_tokens": np.array(on, dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pandas")

@@ -1388,3 +1388,52 @@ class TestNovelDocsBloom:
         bloom_bytes = len(BloomFilter.for_keys(n, 16).to_bytes())
         hex_bytes = n * 64  # the raw sha256-hex broadcast
         assert bloom_bytes * 20 < hex_bytes
+
+
+class TestChunkDocuments:
+    def test_windows_overlap_and_edges(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    " ".join(f"t{i}" for i in range(10)),  # 10 toks: 3 chunks
+                    "a b c",  # shorter than one chunk
+                    "",  # zero tokens -> zero chunks
+                ],
+            }
+        )
+        got = (
+            analytics.chunk_documents(rd.from_pandas(docs), chunk_tokens=4, overlap=1)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        d1 = got[got.doc_id == 1]
+        assert d1["text"].tolist() == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+        ]
+        assert d1["n_tokens"].tolist() == [4, 4, 4, 1]
+        # consecutive chunks share exactly `overlap` tokens
+        assert d1["text"].iloc[0].split()[-1] == d1["text"].iloc[1].split()[0]
+        assert got[got.doc_id == 2]["text"].tolist() == ["a b c"]
+        assert (got.doc_id == 3).sum() == 0
+
+    def test_rejects_bad_overlap(self):
+        import pandas as pd
+        import ray.data as rd
+
+        import pytest as _pytest
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        with _pytest.raises(ValueError):
+            analytics.chunk_documents(
+                rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+                chunk_tokens=4,
+                overlap=4,
+            )
