@@ -126,3 +126,50 @@ class TestDebounceMaskProperties:
             df, ["user_id", "event_type"], "ts", "event_id", np.timedelta64(60, "s")
         )["event_id"].tolist()
         assert sorted(got) == sorted(keep_expected)
+
+
+class TestSketchProperties:
+    """CMS / Bloom kernel invariants (no Ray: pure kernels)."""
+
+    @given(
+        st.lists(st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=5),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_cms_never_undercounts_and_merge_is_sum(self, tokens, split):
+        from collections import Counter
+
+        from distributed_system___ocr_ray.functions.sketches import CountMinSketch
+
+        truth = Counter(tokens)
+        whole = CountMinSketch(depth=3, width=64).add_counts(
+            list(truth), [truth[t] for t in truth]
+        )
+        # split-and-merge must equal the single-shot sketch exactly
+        parts = [tokens[i::split] for i in range(split)]
+        merged = CountMinSketch(depth=3, width=64)
+        for p in parts:
+            c = Counter(p)
+            merged.merge(
+                CountMinSketch(depth=3, width=64).add_counts(list(c), [c[t] for t in c])
+            )
+        assert (merged.table == whole.table).all()
+        est = whole.estimate(list(truth))
+        assert all(e >= truth[t] for e, t in zip(est, truth))
+
+    @given(
+        st.sets(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=100)
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_bloom_no_false_negatives_and_merge_is_or(self, keys):
+        from distributed_system___ocr_ray.functions.bloom import BloomFilter
+
+        keys = sorted(keys)
+        whole = BloomFilter.for_keys(len(keys)).add_many(keys)
+        assert whole.contains_many(keys).all()  # no false negatives, ever
+        half = len(keys) // 2
+        a = BloomFilter(whole.m, whole.k).add_many(keys[:half])
+        b = BloomFilter(whole.m, whole.k).add_many(keys[half:])
+        assert (a.merge(b).words == whole.words).all()
+        rt = BloomFilter.from_bytes(whole.to_bytes())
+        assert (rt.words == whole.words).all() and (rt.m, rt.k) == (whole.m, whole.k)
