@@ -542,6 +542,40 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+_FUZZY_NOVEL_THRESHOLD = 0.6
+
+
+def _q_novel_docs_minhash(sf_dir: str):
+    """Fuzzy novelty gate: every-5th doc is the new batch, the rest the
+    committed corpus; new docs near-duplicating (MinHash est-Jaccard >=
+    0.6) any corpus doc are dropped. The unchanged minhash_lsh_pairs plan
+    runs over a side-encoded union; the oracle replays it (permutation
+    literals, banding, skew cap) over the same union and anti-joins the
+    cross-side matches."""
+    import pyarrow as pa
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def mod5(want_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 5 == 0) if want_zero else (ids % 5 != 0)
+            return batch.filter(pa.array(mask))
+
+        return fn
+
+    new_ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        mod5(True), batch_format="pyarrow"
+    )
+    corpus_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        mod5(False), batch_format="pyarrow"
+    )
+    out = analytics.novel_docs_minhash(
+        new_ds, corpus_ds, threshold=_FUZZY_NOVEL_THRESHOLD
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def _q_chunk_documents(sf_dir: str):
     """Sliding-window chunking (64-token chunks, 16-token overlap) — the
     embedding/RAG indexing fan-out. Pure map-side; the oracle replays
@@ -1243,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": _q_line_dedup,
         "novel_docs_bloom": _q_novel_docs_bloom,
         "chunk_documents": _q_chunk_documents,
+        "novel_docs_minhash": _q_novel_docs_minhash,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1405,6 +1440,24 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _novel_docs_minhash_sql(threshold: float) -> str:
+    """Replays _q_novel_docs_minhash: the full minhash replay over the
+    side-encoded union (sid = 2*id for corpus, 2*id+1 for the every-5th
+    new batch), then new docs with a cross-side pair are anti-joined out.
+    In minhash_lsh_pairs doc_a < doc_b, so the odd (new) sid can sit on
+    either side of a pair."""
+    ctes = _minhash_ctes(threshold=threshold, src="uni")
+    return (
+        "WITH uni AS (SELECT doc_id * 2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END "
+        "AS doc_id, text FROM documents), "
+        f"{ctes[len('WITH '):] if ctes.startswith('WITH ') else ctes}, "
+        "matched AS (SELECT (CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END) // 2 "
+        "AS doc_id FROM mpairs WHERE doc_a % 2 != doc_b % 2) "
+        "SELECT d.doc_id, d.lang FROM documents d WHERE d.doc_id % 5 = 0 "
+        "AND d.doc_id NOT IN (SELECT doc_id FROM matched)"
     )
 
 
@@ -1587,6 +1640,12 @@ def _render_html_sql() -> str:
 # distinct word-3-gram shingle strings per document (with the <3-words
 # fallback matching dedup.shingle_hashes) -- shared by the ngram-Jaccard AND
 # MinHash oracles, so both families tokenize/shingle identically in SQL
+def _shingle_ctes(src: str = "documents") -> str:
+    """Word-3-gram shingle CTE body, parameterized by the source relation
+    (novel_docs_minhash replays over a side-encoded union, not documents)."""
+    return _SHINGLE_CTES.replace("FROM documents", f"FROM {src}", 1)
+
+
 _SHINGLE_CTES = (
     "ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
     "base AS (SELECT doc_id, len(w) AS nw, w FROM ws), "
@@ -1661,7 +1720,7 @@ _MD5U64 = "CAST(('0x' || substr(md5({v}), 1, 16)) AS UBIGINT)"
 
 
 def _minhash_ctes(threshold: float = 0.6, num_perm: int = 64, bands: int = 16,
-                  seed: int = 7) -> str:
+                  seed: int = 7, src: str = "documents") -> str:
     """Replay of pipelines/analytics.minhash_lsh_pairs in SQL: the same
     md5-prefix shingle hash, the same 64 seeded permutation constants
     (embedded as literals from the very MinHasher the engine builds), the
@@ -1682,7 +1741,7 @@ def _minhash_ctes(threshold: float = 0.6, num_perm: int = 64, bands: int = 16,
     r = num_perm // bands
     hsh = _MD5U64.format(v="s")
     return (
-        f"{_SHINGLE_CTES}, "
+        f"{_shingle_ctes(src)}, "
         f"hsh AS (SELECT doc_id, {hsh} AS h FROM sh), "
         f"perm(i, pa, pb) AS (VALUES {perms}), "
         "sigv AS (SELECT h.doc_id, p.i AS i, "
@@ -2267,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_n": _sample_exact_n_sql(60),
         "line_dedup": _line_dedup_sql(8),
         "chunk_documents": _chunk_documents_sql(64, 16),
+        "novel_docs_minhash": _novel_docs_minhash_sql(_FUZZY_NOVEL_THRESHOLD),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -2362,3 +2362,86 @@ def chunk_documents(ds, chunk_tokens: int = 64, overlap: int = 16, id_col: str =
         )
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def novel_docs_minhash(
+    new_ds,
+    corpus_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    coarse_buckets: int | None = None,
+):
+    """FUZZY incremental-ingest dedup: keep the rows of ``new_ds`` that do
+    not NEAR-duplicate any committed document (MinHash-LSH estimated
+    Jaccard >= ``threshold``). ``novel_docs`` drops only byte-identical
+    re-crawls; this drops the boilerplate-reflowed / trivially-edited
+    re-crawls that survive exact hashing — the other half of a real
+    ingest gate.
+
+    Plan: encode the side into the id (sid = 2*id for corpus, 2*id+1 for
+    new — similarity is text-only, so the encoding is free), union, and
+    run the UNCHANGED ``minhash_lsh_pairs`` plan over the union. Cross-side
+    pairs (odd+even sid) mark matched new docs; the matched-id set (at most
+    |new|, usually the small dup fraction) broadcasts for a map-side
+    anti-filter — swap in the bucketed anti-join (``ngram_dedup_keepers``
+    shape) if a pathological corpus ever makes it large. New-vs-new
+    near-dups are deliberately NOT dropped here: in-batch dedup is
+    ``minhash_dup_clusters``'s job.
+
+    Exactly SQL-replayable: the oracle reruns the full minhash replay over
+    the side-encoded union (same permutation literals, banding, skew cap)
+    and anti-joins the cross-side matches."""
+    import pyarrow.compute as pc
+    import ray
+
+    def enc(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "__sid": pa.array(ids * 2 + side, pa.int64()),
+                    text_col: batch.column(text_col),
+                }
+            )
+
+        return fn
+
+    uni = corpus_ds.map_batches(enc(0), batch_format="pyarrow").union(
+        new_ds.map_batches(enc(1), batch_format="pyarrow")
+    )
+    pairs = minhash_lsh_pairs(
+        uni,
+        id_col="__sid",
+        text_col=text_col,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        coarse_buckets=coarse_buckets,
+    )
+
+    def matched_new(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        cross = (a % 2) != (b % 2)
+        sid = np.where(a % 2 == 1, a, b)[cross]
+        return pa.table({"matched_id": pa.array(sid // 2, pa.int64())})
+
+    matched = pairs.map_batches(matched_new, batch_format="pyarrow").materialize()
+    ids = _concat_column(ray.get(matched.to_arrow_refs()), "matched_id")
+    handle = [ray.put(ids)]
+
+    class AntiFilter:
+        def __init__(self) -> None:
+            self.ids = ray.get(handle[0])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.invert(pc.is_in(batch.column(id_col), value_set=self.ids))
+            )
+
+    return new_ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))

@@ -1437,3 +1437,62 @@ class TestChunkDocuments:
                 chunk_tokens=4,
                 overlap=4,
             )
+
+
+class TestNovelDocsMinhash:
+    def test_planted_neardup_dropped_exact_and_fresh_handled(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while the rain "
+            "falls gently on the quiet old town square near the river bank"
+        )
+        corpus = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [base, "completely different corpus content about engines"],
+            }
+        )
+        new = pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],
+                "text": [
+                    base.replace("lazy", "sleepy"),  # near-dup -> dropped
+                    base,  # exact dup -> dropped
+                    "entirely fresh text with nothing shared at all here "
+                    "and plenty of novel words to stay under threshold",
+                ],
+            }
+        )
+        kept = sorted(
+            analytics.novel_docs_minhash(
+                rd.from_pandas(new), rd.from_pandas(corpus), threshold=0.5
+            )
+            .to_pandas()["doc_id"]
+        )
+        assert kept == [12]
+
+    def test_new_vs_new_neardups_not_dropped(self):
+        """In-batch duplicates are minhash_dup_clusters' job — the novelty
+        gate only compares against the committed corpus."""
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        corpus = pd.DataFrame({"doc_id": [1], "text": ["unrelated corpus doc text"]})
+        twin = (
+            "twin texts that duplicate each other inside the new batch "
+            "should both survive the corpus novelty gate"
+        )
+        new = pd.DataFrame({"doc_id": [10, 11], "text": [twin, twin]})
+        kept = sorted(
+            analytics.novel_docs_minhash(
+                rd.from_pandas(new), rd.from_pandas(corpus), threshold=0.5
+            )
+            .to_pandas()["doc_id"]
+        )
+        assert kept == [10, 11]
