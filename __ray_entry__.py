@@ -542,6 +542,15 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_sample_n_per_group(sf_dir: str):
+    """Balanced eval subset: the 15 smallest-md5-key docs per language —
+    exact per-group sizes, deterministic, append-stable. Oracle: QUALIFY
+    ROW_NUMBER over PARTITION BY lang in the same md5 order."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.sample_n_per_group(_docs(sf_dir, ["doc_id", "lang"]), 15)
+
+
 _FUZZY_NOVEL_THRESHOLD = 0.6
 
 
@@ -1278,6 +1287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_docs_bloom": _q_novel_docs_bloom,
         "chunk_documents": _q_chunk_documents,
         "novel_docs_minhash": _q_novel_docs_minhash,
+        "sample_n_per_group": _q_sample_n_per_group,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1440,6 +1450,14 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _sample_n_per_group_sql(n: int, group_col: str = "lang") -> str:
+    h = _MD5U64.format(v="'samplen:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"SELECT doc_id, {group_col} FROM documents "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY {h}, doc_id) <= {n}"
     )
 
 
@@ -2327,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql(8),
         "chunk_documents": _chunk_documents_sql(64, 16),
         "novel_docs_minhash": _novel_docs_minhash_sql(_FUZZY_NOVEL_THRESHOLD),
+        "sample_n_per_group": _sample_n_per_group_sql(15),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

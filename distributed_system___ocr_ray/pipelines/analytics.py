@@ -2445,3 +2445,36 @@ def novel_docs_minhash(
             )
 
     return new_ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def sample_n_per_group(ds, n: int, group_col: str = "lang", id_col: str = "doc_id"):
+    """Balanced exact-size sampling: the min(n, group size) rows with the
+    smallest ``md5_u64('samplen:' || id)`` keys WITHIN each group — the
+    'n eval docs per language/source' op, deterministic and append-stable
+    like ``sample_n``. For BOUNDED group domains (langs, sources): the
+    per-batch partial keeps at most n x groups candidate rows, and the
+    single-block final merge holds n x groups x blocks rows — use a
+    per-group ``sample_n`` loop for unbounded domains."""
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        keys = [
+            dk.md5_u64(f"samplen:{i}".encode("utf-8")) for i in batch[id_col].tolist()
+        ]
+        out = batch.assign(__key=np.array(keys, dtype=np.uint64))
+        return (
+            out.sort_values(["__key", id_col]).groupby(group_col, sort=False).head(n)
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["__key", id_col])
+            .groupby(group_col, sort=False)
+            .head(n)
+            .drop(columns="__key")
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -1496,3 +1496,25 @@ class TestNovelDocsMinhash:
             .to_pandas()["doc_id"]
         )
         assert kept == [10, 11]
+
+
+class TestSampleNPerGroup:
+    def test_exact_group_sizes_and_layout_invariance(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(300),
+                "lang": ["en"] * 200 + ["de"] * 95 + ["fr"] * 5,
+            }
+        )
+        a = analytics.sample_n_per_group(rd.from_pandas(docs), 10).to_pandas()
+        sizes = a["lang"].value_counts().to_dict()
+        assert sizes == {"en": 10, "de": 10, "fr": 5}  # min(n, group size)
+        b = analytics.sample_n_per_group(
+            rd.from_pandas(docs).repartition(16), 10
+        ).to_pandas()
+        assert sorted(a.doc_id) == sorted(b.doc_id)
