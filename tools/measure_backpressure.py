@@ -103,7 +103,21 @@ def main() -> int:
                     return line.strip()
         except Exception:
             pass
-        return None
+        # fallback: the raylet's own spill counter (the memory_summary API
+        # returned nothing for a run that raylet.out showed spilling 11.5
+        # GiB -- trust the raylet)
+        try:
+            import glob
+
+            out = None
+            for path in sorted(glob.glob("/tmp/ray/ray/session_*/logs/raylet.out")):
+                with open(path, errors="ignore") as fh:
+                    for line in fh:
+                        if "Spilled" in line:
+                            out = line.rsplit(":info_message:", 1)[-1].strip()
+            return out
+        except Exception:
+            return None
 
     results = {}
     # the shuffle plan's extract stage must NOT pin every CPU: a fixed
