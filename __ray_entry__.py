@@ -542,6 +542,15 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_zscore_by_lang(sf_dir: str):
+    """Per-language z-scored quality (integer ppm): exact int sums ->
+    float64 mean/std -> the same IEEE floor both sides — the feature
+    normalization before cross-language thresholding."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.zscore_by_group(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+
 def _q_sample_n_per_group(sf_dir: str):
     """Balanced eval subset: the 15 smallest-md5-key docs per language —
     exact per-group sizes, deterministic, append-stable. Oracle: QUALIFY
@@ -1288,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "novel_docs_minhash": _q_novel_docs_minhash,
         "sample_n_per_group": _q_sample_n_per_group,
+        "zscore_by_lang": _q_zscore_by_lang,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1450,6 +1460,25 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _zscore_by_lang_sql() -> str:
+    """Replays _q_zscore_by_lang: per-lang exact integer (n, sum, sum2)
+    over the shared quality expression, then the identical float64
+    mean/var/sqrt/floor chain (integer sums first, so no float-summation-
+    order divergence); std == 0 groups get z_ppm = 0."""
+    return (
+        f"WITH {_quality_ctes(extra='lang')}, "
+        f"q AS (SELECT doc_id, lang, {_QPPM_EXPR} AS qp FROM r), "
+        "s AS (SELECT lang, COUNT(*) AS n, SUM(qp) AS sm, SUM(qp * qp) AS s2 "
+        "FROM q GROUP BY lang) "
+        "SELECT q.doc_id, q.lang, CASE WHEN "
+        "(CAST(s.s2 AS DOUBLE) / s.n - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n)) > 0 "
+        "THEN CAST(FLOOR((CAST(q.qp AS DOUBLE) - CAST(s.sm AS DOUBLE) / s.n) / "
+        "sqrt(CAST(s.s2 AS DOUBLE) / s.n - (CAST(s.sm AS DOUBLE) / s.n) * (CAST(s.sm AS DOUBLE) / s.n)) "
+        "* 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS z_ppm "
+        "FROM q JOIN s USING (lang)"
     )
 
 
@@ -2346,6 +2375,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _chunk_documents_sql(64, 16),
         "novel_docs_minhash": _novel_docs_minhash_sql(_FUZZY_NOVEL_THRESHOLD),
         "sample_n_per_group": _sample_n_per_group_sql(15),
+        "zscore_by_lang": _zscore_by_lang_sql(),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -2478,3 +2478,78 @@ def sample_n_per_group(ds, n: int, group_col: str = "lang", id_col: str = "doc_i
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def zscore_by_group(ds, key: str = "lang", id_col: str = "doc_id", text_col: str = "text"):
+    """Per-group z-score normalization of the quality signal — the feature
+    scaling step before mixing quality scores ACROSS languages (a raw
+    quality_ppm threshold keeps different fractions of different
+    languages; normalizing per group makes one threshold comparable).
+
+    Two passes over a slim projection: (1) per-group (n, sum, sum-of-
+    squares) of the INTEGER ppm scores — exact int64 partial sums through
+    the tiny merge (bounded key domain; sum-of-squares headroom: 1e12 per
+    row, overflow only past ~9e6 rows PER BATCH partial, far above any
+    block size) — broadcast as a per-task constant; (2) map-side
+    ``z_ppm = floor((q - mean)/std * 1e6 + 0.5)`` in float64, the SAME
+    IEEE ops the SQL oracle runs (mean/var from exact integer sums, so no
+    float-summation-order divergence). Degenerate groups (std == 0) get
+    z_ppm = 0."""
+    import math
+
+    from .relational import tiny_final_groupby
+
+    def slim(batch: pd.DataFrame) -> pd.DataFrame:
+        f = ts.quality_features(batch[text_col])
+        q = f["quality_ppm"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].values,
+                key: batch[key].values,
+                "q": q,
+            }
+        )
+
+    s = ds.map_batches(slim, batch_format="pandas").materialize()
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(key)["q"]
+        agg = pd.DataFrame(
+            {"n": g.size(), "sm": g.sum(), "s2": g.apply(lambda v: int((v.to_numpy(np.int64) ** 2).sum()))}
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    stats = (
+        tiny_final_groupby(
+            s.map_batches(partial_stats, batch_format="pyarrow"),
+            [key],
+            [("n", "sum"), ("sm", "sum"), ("s2", "sum")],
+            [key, "n", "sm", "s2"],
+        )
+        .to_pandas()
+        .set_index(key)
+    )
+    consts = {
+        k: (int(r["n"]), int(r["sm"]), int(r["s2"])) for k, r in stats.iterrows()
+    }
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key).to_pylist()
+        q = batch.column("q").to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.zeros(len(ks), dtype=np.int64)
+        for i, k in enumerate(ks):
+            n, sm, s2 = consts[k]
+            mean = sm / n
+            var = s2 / n - mean * mean
+            if var > 0:
+                z[i] = math.floor((q[i] - mean) / math.sqrt(var) * 1e6 + 0.5)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key: batch.column(key),
+                "z_ppm": pa.array(z, pa.int64()),
+            }
+        )
+
+    return s.map_batches(zmap, batch_format="pyarrow")

@@ -1518,3 +1518,39 @@ class TestSampleNPerGroup:
             rd.from_pandas(docs).repartition(16), 10
         ).to_pandas()
         assert sorted(a.doc_id) == sorted(b.doc_id)
+
+
+class TestZscoreByGroup:
+    def test_group_stats_and_degenerate_group(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "lang": ["en", "en", "en", "de", "de", "fr"],
+                "text": [
+                    "a short one",
+                    "a much longer document with many common the and of words " * 4,
+                    "medium text with the usual words in it",
+                    "identical de text here",
+                    "identical de text here",  # de: two identical -> std 0
+                    "solo fr document",  # singleton group -> std 0
+                ],
+            }
+        )
+        got = (
+            analytics.zscore_by_group(rd.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # degenerate groups (zero variance) pin z to 0
+        assert got[got.lang == "de"]["z_ppm"].tolist() == [0, 0]
+        assert got[got.lang == "fr"]["z_ppm"].tolist() == [0]
+        en = got[got.lang == "en"]["z_ppm"]
+        # per-group z-scores of 3 values sum to ~0 (floor rounding only)
+        assert abs(int(en.sum())) <= 2
+        assert en.abs().max() > 100_000  # spread is actually normalized
