@@ -542,6 +542,24 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def _q_funnel_counts(sf_dir: str):
+    """view -> click -> purchase funnel with first-touch anchors: users
+    completing each stage strictly after their previous anchor. Hash-
+    bucketed per-user vectorized stages, tiny count merge. Oracle: chained
+    MIN-anchor CTEs."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return analytics.funnel_counts(ev, _FUNNEL_STEPS)
+
+
 def _q_zscore_by_lang(sf_dir: str):
     """Per-language z-scored quality (integer ppm): exact int sums ->
     float64 mean/std -> the same IEEE floor both sides — the feature
@@ -1298,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "novel_docs_minhash": _q_novel_docs_minhash,
         "sample_n_per_group": _q_sample_n_per_group,
         "zscore_by_lang": _q_zscore_by_lang,
+        "funnel_counts": _q_funnel_counts,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1461,6 +1480,31 @@ def _contamination_sql(rate: float, k: int) -> str:
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
     )
+
+
+def _funnel_counts_sql(steps: list[str]) -> str:
+    """Replays _q_funnel_counts: stage k's anchor is the per-user MIN ts of
+    step-k events strictly after the stage k-1 anchor."""
+    ctes, prev = [], None
+    for i, s in enumerate(steps, start=1):
+        if prev is None:
+            ctes.append(
+                f"t{i} AS (SELECT user_id, MIN(ts) AS a{i} FROM events "
+                f"WHERE event_type = '{s}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"t{i} AS (SELECT e.user_id, MIN(e.ts) AS a{i} FROM events e "
+                f"JOIN t{i-1} p ON e.user_id = p.user_id "
+                f"WHERE e.event_type = '{s}' AND e.ts > p.a{i-1} GROUP BY e.user_id)"
+            )
+        prev = s
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS users FROM t{i}"
+        for i, s in enumerate(steps, start=1)
+    )
+    return f"WITH {', '.join(ctes)} {selects}"
 
 
 def _zscore_by_lang_sql() -> str:
@@ -2376,6 +2420,7 @@ def oracle_sql() -> dict[str, str]:
         "novel_docs_minhash": _novel_docs_minhash_sql(_FUZZY_NOVEL_THRESHOLD),
         "sample_n_per_group": _sample_n_per_group_sql(15),
         "zscore_by_lang": _zscore_by_lang_sql(),
+        "funnel_counts": _funnel_counts_sql(_FUNNEL_STEPS),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -2553,3 +2553,58 @@ def zscore_by_group(ds, key: str = "lang", id_col: str = "doc_id", text_col: str
         )
 
     return s.map_batches(zmap, batch_format="pyarrow")
+
+
+def funnel_counts(events_ds, steps: list[str], user_col: str = "user_id", ts_col: str = "ts", type_col: str = "event_type", buckets: int | None = None):
+    """Event-funnel analysis: how many users complete step 1, then step 2
+    STRICTLY AFTER their first step-1 event, then step 3 after that, ...
+    (first-touch semantics: each stage anchors at the MIN qualifying
+    timestamp). Returns one row per stage: (step, event_type, users).
+
+    Scale shape (the sessionize pattern): events are pre-filtered to the
+    funnel's types and hash-bucketed by user — each bucket computes every
+    stage for its own users with VECTORIZED pandas merges (per-user min,
+    join previous anchor, filter ts > anchor, min again; no per-user
+    Python loop) — then per-bucket stage counts merge in one tiny
+    aggregate. Only (user, ts, type) triples of matching events ever
+    shuffle, once."""
+    import pyarrow.compute as pc
+
+    from .relational import derive_buckets, tiny_final_groupby
+
+    nb = buckets if buckets is not None else derive_buckets(events_ds.count())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch.column(type_col), value_set=pa.array(steps))
+        b = batch.filter(m).select([user_col, ts_col, type_col])
+        u = b.column(user_col).to_numpy(zero_copy_only=False)
+        return b.append_column("__b", pa.array((u % nb).astype(np.int32), pa.int32()))
+
+    def bucket_stages(group: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        anchor = None  # per-user DataFrame (user, __t)
+        for step in steps:
+            ev = group[group[type_col] == step][[user_col, ts_col]]
+            if anchor is not None:
+                ev = ev.merge(anchor, on=user_col)
+                ev = ev[ev[ts_col] > ev["__t"]][[user_col, ts_col]]
+            anchor = (
+                ev.groupby(user_col, sort=False)[ts_col].min().rename("__t").reset_index()
+            )
+            counts.append(len(anchor))
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "event_type": steps,
+                "users": np.array(counts, dtype=np.int64),
+            }
+        )
+
+    partials = (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_stages, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        partials, ["step", "event_type"], [("users", "sum")], ["step", "event_type", "users"]
+    )

@@ -1554,3 +1554,34 @@ class TestZscoreByGroup:
         # per-group z-scores of 3 values sum to ~0 (floor rounding only)
         assert abs(int(en.sum())) <= 2
         assert en.abs().max() > 100_000  # spread is actually normalized
+
+
+class TestFunnelCounts:
+    def test_planted_funnel_strict_ordering(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ts = pd.to_datetime(
+            ["2026-01-01 10:00", "2026-01-01 11:00", "2026-01-01 12:00"]
+        )
+        rows = []
+        # user 1: full funnel in order
+        rows += [(1, ts[0], "view"), (1, ts[1], "click"), (1, ts[2], "purchase")]
+        # user 2: click BEFORE first view -> stops at view
+        rows += [(2, ts[1], "view"), (2, ts[0], "click")]
+        # user 3: view+click, purchase at SAME ts as click (not strictly
+        # after) -> stops at click
+        rows += [(3, ts[0], "view"), (3, ts[1], "click"), (3, ts[1], "purchase")]
+        # user 4: never views
+        rows += [(4, ts[0], "click"), (4, ts[1], "purchase")]
+        ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        got = (
+            analytics.funnel_counts(
+                rd.from_pandas(ev), ["view", "click", "purchase"], buckets=3
+            )
+            .to_pandas()
+            .sort_values("step")
+        )
+        assert got["users"].tolist() == [3, 2, 1]
