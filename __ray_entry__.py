@@ -542,6 +542,33 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_domain_counts(sf_dir: str):
+    """Per-domain URL counts over a deterministically URL-planted corpus
+    (every doc links d{doc_id%7}.example.org; doc_id%3==0 docs add a
+    second link on d0) — the crawl-curation domain ranking. Unbounded-key
+    partial counts + distributed sum + partial top-k merge; the oracle
+    replays planting, extraction, hostname reduction and ranking."""
+    import pandas as pd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        extra = (" see https://d0.example.org/x" + b["doc_id"].astype(str)).where(
+            b["doc_id"] % 3 == 0, ""
+        )
+        b["text"] = (
+            b["text"]
+            + " via https://d" + (b["doc_id"] % 7).astype(str)
+            + ".example.org:8080/page" + b["doc_id"].astype(str)
+            + extra
+        )
+        return b
+
+    planted = _docs(sf_dir, ["doc_id", "text"]).map_batches(plant, batch_format="pandas")
+    return analytics.domain_counts(planted, k=10)
+
+
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -1317,6 +1344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_n_per_group": _q_sample_n_per_group,
         "zscore_by_lang": _q_zscore_by_lang,
         "funnel_counts": _q_funnel_counts,
+        "domain_counts": _q_domain_counts,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1479,6 +1507,26 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _domain_counts_sql(k: int = 10) -> str:
+    """Replays _q_domain_counts: same planting expressions, the shared
+    URL_PATTERN extraction, hostname = lowercase(first ':'-segment of the
+    first '/'-segment after the scheme), count, top-k by (n DESC, domain)."""
+    from distributed_system___ocr_ray.functions.scrub import URL_PATTERN
+
+    return (
+        "WITH src AS (SELECT doc_id, text || ' via https://d' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '.example.org:8080/page' || "
+        "CAST(doc_id AS VARCHAR) || CASE WHEN doc_id % 3 = 0 THEN "
+        "' see https://d0.example.org/x' || CAST(doc_id AS VARCHAR) ELSE '' END "
+        "AS text FROM documents), "
+        f"u AS (SELECT unnest(regexp_extract_all(text, '{URL_PATTERN}')) AS url FROM src), "
+        "d AS (SELECT lower(string_split(string_split("
+        "regexp_replace(url, '^https?://', ''), '/')[1], ':')[1]) AS domain FROM u) "
+        "SELECT domain, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY domain "
+        f"ORDER BY n DESC, domain LIMIT {k}"
     )
 
 
@@ -2421,6 +2469,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_n_per_group": _sample_n_per_group_sql(15),
         "zscore_by_lang": _zscore_by_lang_sql(),
         "funnel_counts": _funnel_counts_sql(_FUNNEL_STEPS),
+        "domain_counts": _domain_counts_sql(10),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -2608,3 +2608,52 @@ def funnel_counts(events_ds, steps: list[str], user_col: str = "user_id", ts_col
     return tiny_final_groupby(
         partials, ["step", "event_type"], [("users", "sum")], ["step", "event_type", "users"]
     )
+
+
+def domain_counts(ds, text_col: str = "text", k: int = 20):
+    """Provenance stats: extract http(s) URLs from document text
+    (``scrub.URL_PATTERN`` — the exact pattern the PII redactor and its
+    oracle share), reduce each to its lowercase hostname (scheme stripped,
+    path and port cut), and count per domain. The crawl-curation step that
+    decides per-domain keep/block lists.
+
+    Unbounded key domain: per-batch (domain, n) partials shuffle (never
+    text), distributed groupby sum, then global top-k via per-block
+    partial top-k + one tiny merge (the ``top_tokens`` plan)."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import scrub
+
+    rx = _re.compile(scrub.URL_PATTERN)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        urls = batch[text_col].fillna("").str.findall(rx).explode().dropna()
+        if not len(urls):
+            return pd.DataFrame(
+                {"domain": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
+            )
+        host = (
+            urls.str.replace(r"^https?://", "", regex=True)
+            .str.split("/").str[0]
+            .str.split(":").str[0]
+            .str.lower()
+        )
+        vc = host.value_counts()
+        return pd.DataFrame({"domain": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "domain"], ascending=[False, True]).head(k)
+
+    return (
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+    )

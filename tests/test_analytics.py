@@ -1585,3 +1585,26 @@ class TestFunnelCounts:
             .sort_values("step")
         )
         assert got["users"].tolist() == [3, 2, 1]
+
+
+class TestDomainCounts:
+    def test_hostname_reduction_and_ranking(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "see https://A.EX.org/path and http://a.ex.org:443/other",
+                    "plain doc without links",
+                    "ref https://b.ex.org https://a.ex.org/z?q=1",
+                ],
+            }
+        )
+        got = analytics.domain_counts(rd.from_pandas(docs), k=5).to_pandas()
+        top = dict(zip(got["domain"], got["n"]))
+        # case-folded, port and path stripped, counted per occurrence
+        assert top == {"a.ex.org": 3, "b.ex.org": 1}
