@@ -542,6 +542,19 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention triangle over the events stream: first
+    active week cohorts x week offsets, distinct users per cell. One
+    user-bucketed shuffle of deduped (user, week) pairs; tiny merge.
+    Oracle: epoch-week arithmetic + per-user MIN + COUNT DISTINCT."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return analytics.retention_cohorts(ev)
+
+
 def _q_domain_counts(sf_dir: str):
     """Per-domain URL counts over a deterministically URL-planted corpus
     (every doc links d{doc_id%7}.example.org; doc_id%3==0 docs add a
@@ -1345,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_by_lang": _q_zscore_by_lang,
         "funnel_counts": _q_funnel_counts,
         "domain_counts": _q_domain_counts,
+        "retention_cohorts": _q_retention_cohorts,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1507,6 +1521,19 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _retention_cohorts_sql(week_secs: int = 604800) -> str:
+    """Replays _q_retention_cohorts: week = epoch-seconds // week_secs,
+    cohort = per-user MIN week, one count per distinct (user, week)."""
+    return (
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        f"CAST(epoch(ts) AS BIGINT) // {week_secs} AS week FROM events), "
+        "c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id) "
+        "SELECT c.cohort AS cohort_week, uw.week - c.cohort AS week_offset, "
+        "CAST(COUNT(*) AS BIGINT) AS users FROM uw JOIN c USING (user_id) "
+        "GROUP BY 1, 2"
     )
 
 
@@ -2470,6 +2497,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_by_lang": _zscore_by_lang_sql(),
         "funnel_counts": _funnel_counts_sql(_FUNNEL_STEPS),
         "domain_counts": _domain_counts_sql(10),
+        "retention_cohorts": _retention_cohorts_sql(),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

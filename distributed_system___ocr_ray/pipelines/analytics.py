@@ -2657,3 +2657,61 @@ def domain_counts(ds, text_col: str = "text", k: int = 20):
         .repartition(1)
         .map_batches(block_topk, batch_format="pandas", batch_size=None)
     )
+
+
+def retention_cohorts(
+    events_ds,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_secs: int = 604800,
+    buckets: int | None = None,
+):
+    """Cohort retention matrix: users are cohorted by their FIRST active
+    week (epoch // week_secs) and counted once per (cohort_week,
+    week_offset) they were active in — the standard retention triangle.
+
+    One shuffle total: slim (user, week) pairs (batch-deduped) hash-bucket
+    by user, so each user's full history lands in exactly one group; the
+    group computes cohorts and offsets vectorized (per-user min via
+    groupby, merge, dedupe) and emits partial (cohort, offset, users)
+    counts that sum in the tiny merge (the week x offset domain is
+    calendar-bounded). Timestamps reduce to integer week indexes
+    map-side — exact parity with the SQL epoch arithmetic."""
+    from .relational import derive_buckets, tiny_final_groupby
+
+    nb = buckets if buckets is not None else derive_buckets(events_ds.count())
+
+    def prep(batch: pa.Table) -> pa.Table:
+        df = batch.select([user_col, ts_col]).to_pandas()
+        week = (df[ts_col].astype("datetime64[us]").astype(np.int64) // 10**6) // week_secs
+        slim = pd.DataFrame({user_col: df[user_col].values, "week": week.values})
+        slim = slim.drop_duplicates()
+        slim["__b"] = (slim[user_col] % nb).astype(np.int32)
+        return pa.Table.from_pandas(slim, preserve_index=False)
+
+    def bucket_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([user_col, "week"])
+        cohort = g.groupby(user_col, sort=False)["week"].min().rename("cohort")
+        m = g.merge(cohort, left_on=user_col, right_index=True)
+        m["week_offset"] = m["week"] - m["cohort"]
+        out = (
+            m.groupby(["cohort", "week_offset"], sort=False)
+            .size()
+            .rename("users")
+            .reset_index()
+            .rename(columns={"cohort": "cohort_week"})
+        )
+        out["users"] = out["users"].astype(np.int64)
+        return out
+
+    partials = (
+        events_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_counts, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        partials,
+        ["cohort_week", "week_offset"],
+        [("users", "sum")],
+        ["cohort_week", "week_offset", "users"],
+    )

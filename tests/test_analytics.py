@@ -1608,3 +1608,29 @@ class TestDomainCounts:
         top = dict(zip(got["domain"], got["n"]))
         # case-folded, port and path stripped, counted per occurrence
         assert top == {"a.ex.org": 3, "b.ex.org": 1}
+
+
+class TestRetentionCohorts:
+    def test_planted_triangle(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        W = 604800
+        base = pd.Timestamp("2026-01-05")  # week boundary-agnostic
+        rows = []
+        # user 1: weeks 0, 1, 2 ; user 2: weeks 0, 2 ; user 3: week 1 only
+        for u, wks in [(1, [0, 1, 2]), (2, [0, 2]), (3, [1])]:
+            for w in wks:
+                rows.append((u, base + pd.Timedelta(seconds=w * W + u)))
+                rows.append((u, base + pd.Timedelta(seconds=w * W + u + 5)))  # dup week
+        ev = pd.DataFrame(rows, columns=["user_id", "ts"])
+        got = analytics.retention_cohorts(rd.from_pandas(ev), buckets=2).to_pandas()
+        cw0 = int(got["cohort_week"].min())
+        m = {
+            (int(r.cohort_week) - cw0, int(r.week_offset)): int(r.users)
+            for r in got.itertuples()
+        }
+        # cohort 0 = users 1,2 ; cohort 1 = user 3
+        assert m == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
