@@ -368,3 +368,32 @@ def gc(table_dir: str, keep_versions: int = 2) -> dict:
         "deleted_fragments": deleted_fragments,
         "kept_fragments": len(referenced),
     }
+
+
+def diff(table_dir: str, v_old: int, v_new: int | None = None) -> dict:
+    """Version diff: which fragments (and how many rows) an append /
+    compact / publish changed between two manifest versions — the audit
+    step of an incremental-ingest loop ("what exactly did today's
+    increment add?") and the input to targeted downstream refresh (only
+    re-embed/re-index ADDED fragments).
+
+    Returns {"v_old", "v_new", "added": [fragment dicts], "removed":
+    [fragment dicts], "rows_added", "rows_removed", "row_delta"}.
+    Compaction shows up as simultaneous adds+removes with row_delta == 0;
+    a pure append as adds only."""
+    v_new = v_new if v_new is not None else latest_version(table_dir)
+    old_frags = {f["path"]: f for f in read_manifest(table_dir, v_old)["fragments"]}
+    new_frags = {f["path"]: f for f in read_manifest(table_dir, v_new)["fragments"]}
+    added = [new_frags[p] for p in sorted(set(new_frags) - set(old_frags))]
+    removed = [old_frags[p] for p in sorted(set(old_frags) - set(new_frags))]
+    rows_added = sum(f["rows"] for f in added)
+    rows_removed = sum(f["rows"] for f in removed)
+    return {
+        "v_old": v_old,
+        "v_new": v_new,
+        "added": added,
+        "removed": removed,
+        "rows_added": rows_added,
+        "rows_removed": rows_removed,
+        "row_delta": rows_added - rows_removed,
+    }

@@ -327,3 +327,28 @@ class TestGcAndSchemaGuard:
         stats = lance_like.gc(d, keep_versions=1)
         assert os.path.exists(inflight), "gc reclaimed a racing writer's fragment"
         assert stats["deleted_manifests"] == [1]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVersionDiff:
+    def test_append_and_compact_diffs(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        tdir = str(tmp_path / "tbl")
+        for i in range(4):
+            t = pa.table({"doc_id": [f"d{i}-{j}" for j in range(10)], "v": list(range(10))})
+            lance_like.write_table(t, tdir, rows_per_fragment=10, mode="append")
+        # pure append: v1 -> v4 added 30 rows, removed none
+        d = lance_like.diff(tdir, 1, 4)
+        assert (d["rows_added"], d["rows_removed"], d["row_delta"]) == (30, 0, 30)
+        assert not d["removed"] and len(d["added"]) == 3
+
+        v_before = lance_like.latest_version(tdir)
+        lance_like.compact(tdir, target_rows_per_fragment=40)
+        d2 = lance_like.diff(tdir, v_before)  # v_new defaults to latest
+        # compaction rewrites: adds + removes balance to zero row delta
+        assert d2["row_delta"] == 0
+        assert d2["rows_removed"] == 40 and d2["rows_added"] == 40
+        assert len(d2["removed"]) == 4 and len(d2["added"]) == 1
