@@ -542,6 +542,39 @@ _MIX_SHARES = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 _MIX_TARGET = 40
 
 
+def _q_sample_by_quality(sf_dir: str):
+    """Importance sampling proportional to the quality score: each doc
+    keeps with probability quality_ppm/1e6 via a deterministic md5 roll —
+    soft curation instead of a hard threshold. Map-side only; the oracle
+    recomputes the quality expression and the same roll."""
+    import pandas as pd
+
+    from distributed_system___ocr_ray.functions import textstats as ts
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def wq(batch: pd.DataFrame) -> pd.DataFrame:
+        f = ts.quality_features(batch["text"])
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].values, "quality_ppm": f["quality_ppm"].values}
+        )
+
+    slim = _docs(sf_dir, ["doc_id", "text"]).map_batches(wq, batch_format="pandas")
+    return analytics.sample_by_weight(slim, "quality_ppm")
+
+
+def _q_value_histogram(sf_dir: str):
+    """32-bin exact order-value histogram (bin edges in integer cents):
+    one (min, max, count) aggregate then bincount partials through the
+    tiny merge. Oracle replays the identical float64 width/bin/edge
+    arithmetic."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return analytics.value_histogram(ds, "o_totalprice", bins=32)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention triangle over the events stream: first
     active week cohorts x week offsets, distinct users per cell. One
@@ -1359,6 +1392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": _q_funnel_counts,
         "domain_counts": _q_domain_counts,
         "retention_cohorts": _q_retention_cohorts,
+        "sample_by_quality": _q_sample_by_quality,
+        "value_histogram": _q_value_histogram,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1521,6 +1556,34 @@ def _contamination_sql(rate: float, k: int) -> str:
         "SELECT n.doc_id, CAST(COALESCE(SUM(CASE WHEN strpos(n.ntext, s.sh) > 0 "
         "THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits "
         "FROM norm n LEFT JOIN sh s ON strpos(n.ntext, s.sh) > 0 GROUP BY n.doc_id"
+    )
+
+
+def _sample_by_quality_sql() -> str:
+    h = _MD5U64.format(v="'samplew:' || CAST(doc_id AS VARCHAR)")
+    return (
+        f"WITH {_quality_ctes()}, "
+        f"q AS (SELECT doc_id, {_QPPM_EXPR} AS quality_ppm FROM r) "
+        "SELECT doc_id, quality_ppm FROM q "
+        f"WHERE {h} % 1000000 < CAST(quality_ppm AS UBIGINT)"
+    )
+
+
+def _value_histogram_sql(bins: int = 32) -> str:
+    """Replays _q_value_histogram with the identical float64 arithmetic:
+    width = (max-min)/bins, bin = clip(floor((v-min)/width)), edges
+    floored to cents. numpy's astype(int64) truncates, but (v-lo)/width
+    is nonnegative so trunc == floor."""
+    return (
+        "WITH s AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders), "
+        f"w AS (SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / {bins} ELSE 1.0 END "
+        "AS width FROM s), "
+        "b AS (SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - w.lo) / w.width) AS BIGINT), 0), "
+        f"{bins - 1}) AS bin FROM orders, w) "
+        "SELECT b.bin, "
+        "CAST(FLOOR((w.lo + b.bin * w.width) * 100 + 0.5) AS BIGINT) AS lo_cents, "
+        "CAST(FLOOR((w.lo + (b.bin + 1) * w.width) * 100 + 0.5) AS BIGINT) AS hi_cents, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM b, w GROUP BY 1, 2, 3"
     )
 
 
@@ -2498,6 +2561,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": _funnel_counts_sql(_FUNNEL_STEPS),
         "domain_counts": _domain_counts_sql(10),
         "retention_cohorts": _retention_cohorts_sql(),
+        "sample_by_quality": _sample_by_quality_sql(),
+        "value_histogram": _value_histogram_sql(32),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -2715,3 +2715,73 @@ def retention_cohorts(
         [("users", "sum")],
         ["cohort_week", "week_offset", "users"],
     )
+
+
+def sample_by_weight(ds, weight_ppm_col: str, id_col: str = "doc_id"):
+    """Importance sampling with PER-ROW keep probabilities: keep a row iff
+    ``md5_u64('samplew:' || id) % 1e6 < weight_ppm`` — e.g. sample
+    proportionally to a quality score so curation keeps more of the good
+    tail without a hard threshold. Deterministic (same corpus -> same
+    sample at any cluster size), map-side only, and SQL-checkable with the
+    same md5 roll; unlike ``deterministic_sample``/``stratified_sample``
+    the rate comes from DATA, not config."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_ppm_col).to_numpy(zero_copy_only=False)
+        rolls = np.array(
+            [dk.md5_u64(f"samplew:{i}".encode("utf-8")) % 1_000_000 for i in ids],
+            dtype=np.int64,
+        )
+        return batch.filter(pa.array(rolls < w))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def value_histogram(ds, col: str, bins: int = 32):
+    """Exact fixed-width value histogram: (bin, lo, hi, n) over the global
+    [min, max] range — the distribution table behind data-quality
+    dashboards and bin-width choices for the quantile/selection kernels.
+    Two bounded passes: a (min, max, count) aggregate, then per-batch
+    numpy bincount partials through the tiny merge (bin domain = ``bins``).
+    Bin edges are float64 computed identically in the SQL replay; the top
+    edge clips into the last bin (same clip both sides)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .relational import tiny_final_groupby
+
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo, hi, n = float(stats[f"min({col})"]), float(stats[f"max({col})"]), int(stats["count()"])
+    if n == 0:
+        raise ValueError("value_histogram on empty dataset")
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        counts = np.bincount(b, minlength=bins)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz, pa.int64()), "n": pa.array(counts[nz], pa.int64())}
+        )
+
+    hist = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"), ["bin"], [("n", "sum")], ["bin", "n"]
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        b = batch.column("bin").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": batch.column("bin"),
+                "lo_cents": pa.array(
+                    np.floor((lo + b * width) * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "hi_cents": pa.array(
+                    np.floor((lo + (b + 1) * width) * 100 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "n": batch.column("n"),
+            }
+        )
+
+    return hist.map_batches(edges, batch_format="pyarrow")

@@ -1634,3 +1634,40 @@ class TestRetentionCohorts:
         }
         # cohort 0 = users 1,2 ; cohort 1 = user 3
         assert m == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
+
+
+class TestSampleByWeightAndHistogram:
+    def test_weight_extremes(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        rows = pd.DataFrame(
+            {
+                "doc_id": range(400),
+                "quality_ppm": [0] * 100 + [1_000_000] * 100 + [500_000] * 200,
+            }
+        )
+        got = analytics.sample_by_weight(rd.from_pandas(rows), "quality_ppm").to_pandas()
+        kept = set(got.doc_id)
+        assert not kept & set(range(100))  # weight 0: never kept
+        assert set(range(100, 200)) <= kept  # weight 1e6: always kept
+        mid = len(kept & set(range(200, 400)))
+        assert 60 <= mid <= 140  # ~50% of the mid-weight rows
+
+    def test_histogram_counts_sum_and_edges(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        vals = pd.DataFrame({"v": [float(x) for x in range(100)]})
+        got = (
+            analytics.value_histogram(rd.from_pandas(vals), "v", bins=10)
+            .to_pandas()
+            .sort_values("bin")
+        )
+        assert int(got["n"].sum()) == 100
+        assert got["n"].tolist() == [10] * 9 + [10]  # max clips into last bin
+        assert got["lo_cents"].iloc[0] == 0 and got["hi_cents"].iloc[-1] == 9900
