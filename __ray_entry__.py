@@ -305,12 +305,12 @@ def _q_exact_dedup_rows(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "n_chars"])
 
 
-def _q_novel_docs(sf_dir: str):
-    """Incremental-ingest novelty filter: 'new batch' = every 5th doc,
-    'committed corpus' = the rest; keep new docs whose text is absent from
-    the corpus (exact content match). Corpus side reduces to distinct
-    hashes then broadcasts; new side filters map-side."""
-    from distributed_system___ocr_ray.pipelines import analytics
+def _novelty_split(sf_dir: str):
+    """(new_ds, corpus_ds) for the three novelty queries: 'new batch' =
+    every 5th doc, 'committed corpus' = the rest. ONE definition — the
+    three queries and their three oracle SQL strings all assume this exact
+    split rule, so a drift between copies would silently break the
+    'shares the oracle verbatim' contract (review finding, round 3)."""
 
     def mod5(want_zero: bool):
         def fn(batch: pa.Table) -> pa.Table:
@@ -326,6 +326,17 @@ def _q_novel_docs(sf_dir: str):
     corpus_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         mod5(False), batch_format="pyarrow"
     )
+    return new_ds, corpus_ds
+
+
+def _q_novel_docs(sf_dir: str):
+    """Incremental-ingest novelty filter: 'new batch' = every 5th doc,
+    'committed corpus' = the rest; keep new docs whose text is absent from
+    the corpus (exact content match). Corpus side reduces to distinct
+    hashes then broadcasts; new side filters map-side."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    new_ds, corpus_ds = _novelty_split(sf_dir)
     out = analytics.novel_docs(new_ds, corpus_ds)
     return out.select_columns(["doc_id", "lang"])
 
@@ -661,24 +672,9 @@ def _q_novel_docs_minhash(sf_dir: str):
     runs over a side-encoded union; the oracle replays it (permutation
     literals, banding, skew cap) over the same union and anti-joins the
     cross-side matches."""
-    import pyarrow as pa
-
     from distributed_system___ocr_ray.pipelines import analytics
 
-    def mod5(want_zero: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            mask = (ids % 5 == 0) if want_zero else (ids % 5 != 0)
-            return batch.filter(pa.array(mask))
-
-        return fn
-
-    new_ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        mod5(True), batch_format="pyarrow"
-    )
-    corpus_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        mod5(False), batch_format="pyarrow"
-    )
+    new_ds, corpus_ds = _novelty_split(sf_dir)
     out = analytics.novel_docs_minhash(
         new_ds, corpus_ds, threshold=_FUZZY_NOVEL_THRESHOLD
     )
@@ -700,24 +696,9 @@ def _q_novel_docs_bloom(sf_dir: str):
     map-side as definitely-novel, hits re-verify exactly against the real
     hash table — the 35x-smaller broadcast with unchanged output, which is
     why it shares novel_docs' NOT IN oracle verbatim."""
-    import pyarrow as pa
-
     from distributed_system___ocr_ray.pipelines import analytics
 
-    def mod5(want_zero: bool):
-        def fn(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            mask = (ids % 5 == 0) if want_zero else (ids % 5 != 0)
-            return batch.filter(pa.array(mask))
-
-        return fn
-
-    new_ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        mod5(True), batch_format="pyarrow"
-    )
-    corpus_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        mod5(False), batch_format="pyarrow"
-    )
+    new_ds, corpus_ds = _novelty_split(sf_dir)
     out = analytics.novel_docs_bloom(new_ds, corpus_ds)
     return out.select_columns(["doc_id", "lang"])
 
@@ -1589,10 +1570,16 @@ def _value_histogram_sql(bins: int = 32) -> str:
 
 def _retention_cohorts_sql(week_secs: int = 604800) -> str:
     """Replays _q_retention_cohorts: week = epoch-seconds // week_secs,
-    cohort = per-user MIN week, one count per distinct (user, week)."""
+    cohort = per-user MIN week, one count per distinct (user, week).
+
+    FLOOR before the BIGINT cast: DuckDB's epoch() is DOUBLE and a bare
+    CAST ROUNDS fractional seconds (604799.7 -> 604800), while the engine
+    floors integer microseconds (us // 1e6) — an event in the last <1 s of
+    a week would otherwise land in week w+1 in SQL but week w in the
+    engine (review finding, round 3)."""
     return (
         "WITH uw AS (SELECT DISTINCT user_id, "
-        f"CAST(epoch(ts) AS BIGINT) // {week_secs} AS week FROM events), "
+        f"CAST(FLOOR(epoch(ts)) AS BIGINT) // {week_secs} AS week FROM events), "
         "c AS (SELECT user_id, MIN(week) AS cohort FROM uw GROUP BY user_id) "
         "SELECT c.cohort AS cohort_week, uw.week - c.cohort AS week_offset, "
         "CAST(COUNT(*) AS BIGINT) AS users FROM uw JOIN c USING (user_id) "

@@ -311,7 +311,11 @@ def generator_content_id() -> str:
     Probes one EVEN and one ODD doc id: the interleaved wrap emits pdf
     spans only for even ids and its broken-ref/corruption branches key off
     id arithmetic, so a single-parity probe would miss changes to the other
-    parity's span plan (review finding, round 3)."""
+    parity's span plan (review finding, round 3). Also probes a
+    corrupt_frac=1.0 store so changes to glyph.corrupt / minipdf.corrupt /
+    the corruption-threshold arithmetic invalidate caches too — at the
+    real 2% rate a 3-payload probe would near-certainly never take the
+    corruption branch (second review finding, round 3)."""
     import hashlib
     import json
 
@@ -328,8 +332,11 @@ def generator_content_id() -> str:
     )
     wrapped = wrap.make_interleave_fn()(probe).to_pylist()
     store = build_media_store(n_img=2, n_pdf=1, seed=42)
+    corrupted = build_media_store(n_img=1, n_pdf=1, seed=42, corrupt_frac=1.0)
     h = hashlib.md5(json.dumps(wrapped, sort_keys=True, default=str).encode("utf-8"))
-    for row in store.to_pylist():
-        h.update(row["media_ref"].encode())
-        h.update(row["payload"])
+    for tbl in (store, corrupted):
+        for row in tbl.to_pylist():
+            h.update(row["media_ref"].encode())
+            h.update(row["payload"])
+            h.update(row["truth"].encode())
     return h.hexdigest()[:8]

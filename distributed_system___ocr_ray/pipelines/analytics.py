@@ -1186,7 +1186,10 @@ def tfidf_keywords(
     1. document frequencies -- per-batch (term, n_docs_in_batch) partials
        (documents never span batches, so batch partials sum to exact df)
        -> ``groupby(term)`` -> the vocab-sized df table, collected and
-       broadcast as an idf dict. The dict is Zipf-bounded in practice;
+       broadcast as an idf dict. N (total docs) rides the same pass as a
+       sentinel term ``""`` (unmatched by the ``[a-z0-9]+`` tokenizer, so
+       collision-free) -- a separate ``ds.count()`` would execute the
+       whole upstream a third time (review finding, round 3). The dict is Zipf-bounded in practice;
        ``broadcast_idf_bytes`` guards the collect and raises loudly past
        it (the past-the-cap shape is a bucketed term join of the flat tf
        frame against the df table -- deliberately a separate build, not a
@@ -1216,7 +1219,11 @@ def tfidf_keywords(
         flat = explode(batch)
         per_doc = flat.drop_duplicates([id_col, "term"])
         out = per_doc.groupby("term", sort=False).size().rename("df").reset_index()
-        return out
+        # sentinel row: term "" carries this batch's doc count, so N sums
+        # through the same shuffle instead of a third pass over ds
+        return pd.concat(
+            [out, pd.DataFrame({"term": [""], "df": [len(batch)]})], ignore_index=True
+        )
 
     df_table = (
         ds.map_batches(df_partial, batch_format="pandas")
@@ -1230,11 +1237,12 @@ def tfidf_keywords(
             f"{broadcast_idf_bytes}; use the bucketed term-join variant for "
             "vocabularies this large"
         )
-    n_docs = ds.count()
     dft = df_table.to_pandas()
+    n_docs = int(dft.loc[dft["term"] == "", "df"].sum())
     idf = {
         t: math.log((n_docs + 1.0) / (d + 1.0))
         for t, d in zip(dft["term"], dft["df"])
+        if t != ""
     }
     handle = [ray.put(idf)]
 
@@ -1910,7 +1918,10 @@ def cms_token_counts(
 
     merged = ds.map_batches(partial, batch_format="pandas").materialize()
     while merged.count() > 1:
-        blocks = max(1, merged.count() // merge_group)
+        # ceil division: floor would pack up to 2*merge_group-1 sketches
+        # into one task (127//64 == 1), breaking the documented per-task
+        # memory bound (review finding, round 3)
+        blocks = (merged.count() + merge_group - 1) // merge_group
         merged = (
             merged.repartition(blocks)
             .map_batches(merge_block, batch_format="pandas", batch_size=None)
@@ -2273,7 +2284,8 @@ def novel_docs_bloom(
     blooms = corpus_hashes.map_batches(partial_bloom, batch_format="pyarrow").materialize()
     while blooms.count() > 1:
         blooms = (
-            blooms.repartition(max(1, blooms.count() // merge_group))
+            # ceil division keeps the per-task bound at merge_group sketches
+            blooms.repartition((blooms.count() + merge_group - 1) // merge_group)
             .map_batches(merge_blooms, batch_format="pandas", batch_size=None)
             .materialize()
         )
@@ -2487,10 +2499,13 @@ def zscore_by_group(ds, key: str = "lang", id_col: str = "doc_id", text_col: str
     languages; normalizing per group makes one threshold comparable).
 
     Two passes over a slim projection: (1) per-group (n, sum, sum-of-
-    squares) of the INTEGER ppm scores — exact int64 partial sums through
-    the tiny merge (bounded key domain; sum-of-squares headroom: 1e12 per
-    row, overflow only past ~9e6 rows PER BATCH partial, far above any
-    block size) — broadcast as a per-task constant; (2) map-side
+    squares) of the INTEGER ppm scores — exact at ANY scale: the per-batch
+    sum-of-squares (≤ rows × 1e12, safe for any block size) is split into
+    base-1e9 limbs (s2_hi, s2_lo) before the distributed merge, because a
+    single int64 total would wrap past ~9.2e6 max-quality rows PER GROUP
+    (trivially exceeded at corpus scale); the limbs are recombined as a
+    Python arbitrary-precision int on the tiny bounded-keys driver table —
+    broadcast as a per-task constant; (2) map-side
     ``z_ppm = floor((q - mean)/std * 1e6 + 0.5)`` in float64, the SAME
     IEEE ops the SQL oracle runs (mean/var from exact integer sums, so no
     float-summation-order divergence). Degenerate groups (std == 0) get
@@ -2512,11 +2527,19 @@ def zscore_by_group(ds, key: str = "lang", id_col: str = "doc_id", text_col: str
 
     s = ds.map_batches(slim, batch_format="pandas").materialize()
 
+    _LIMB = 10**9
+
     def partial_stats(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby(key)["q"]
+        s2 = g.apply(lambda v: int((v.to_numpy(np.int64) ** 2).sum()))
         agg = pd.DataFrame(
-            {"n": g.size(), "sm": g.sum(), "s2": g.apply(lambda v: int((v.to_numpy(np.int64) ** 2).sum()))}
+            {
+                "n": g.size(),
+                "sm": g.sum(),
+                "s2_hi": s2 // _LIMB,
+                "s2_lo": s2 % _LIMB,
+            }
         ).reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
@@ -2524,14 +2547,15 @@ def zscore_by_group(ds, key: str = "lang", id_col: str = "doc_id", text_col: str
         tiny_final_groupby(
             s.map_batches(partial_stats, batch_format="pyarrow"),
             [key],
-            [("n", "sum"), ("sm", "sum"), ("s2", "sum")],
-            [key, "n", "sm", "s2"],
+            [("n", "sum"), ("sm", "sum"), ("s2_hi", "sum"), ("s2_lo", "sum")],
+            [key, "n", "sm", "s2_hi", "s2_lo"],
         )
         .to_pandas()
         .set_index(key)
     )
     consts = {
-        k: (int(r["n"]), int(r["sm"]), int(r["s2"])) for k, r in stats.iterrows()
+        k: (int(r["n"]), int(r["sm"]), int(r["s2_hi"]) * _LIMB + int(r["s2_lo"]))
+        for k, r in stats.iterrows()
     }
 
     def zmap(batch: pa.Table) -> pa.Table:

@@ -34,6 +34,20 @@ def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifest")
 
 
+def _commit_manifest(table_dir: str, manifest: dict) -> dict:
+    """Atomic manifest commit: write to a dot-tmp then os.replace, so a
+    reader never observes a torn v{N}.json. The single place the commit
+    protocol lives (write_table/write_dataset/manifest_over_files/compact
+    all funnel here — review finding, round 3: four verbatim copies meant
+    a protocol change, e.g. adding an fsync, had to land in four places)."""
+    version = manifest["version"]
+    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
+    return manifest
+
+
 def latest_version(table_dir: str) -> int:
     mdir = _manifest_dir(table_dir)
     if not os.path.isdir(mdir):
@@ -112,11 +126,7 @@ def write_table(
         pq.write_table(chunk, os.path.join(table_dir, rel), row_group_size=rg)
         fragments.append({"path": rel, "rows": chunk.num_rows})
     manifest = {"version": version, "fragments": fragments}
-    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
-    return manifest
+    return _commit_manifest(table_dir, manifest)
 
 
 def write_dataset(
@@ -170,11 +180,7 @@ def write_dataset(
         key=lambda f: f["path"],
     )
     manifest = {"version": version, "fragments": fragments}
-    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
-    return manifest
+    return _commit_manifest(table_dir, manifest)
 
 
 def read_dataset(table_dir: str, version: int | None = None, **read_parquet_kwargs):
@@ -197,11 +203,7 @@ def manifest_over_files(paths: list[str], table_dir: str) -> dict:
         rel = os.path.relpath(p, table_dir)
         fragments.append({"path": rel, "rows": pq.read_metadata(p).num_rows})
     manifest = {"version": version, "fragments": fragments}
-    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
-    return manifest
+    return _commit_manifest(table_dir, manifest)
 
 
 def compact(
@@ -291,11 +293,7 @@ def compact(
     for i, (op, frags) in enumerate(plan):
         fragments.append(merged[i] if op == "merge" else frags[0])
     manifest = {"version": version, "fragments": fragments, "compacted_from": man["version"]}
-    tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
-    return manifest
+    return _commit_manifest(table_dir, manifest)
 
 
 def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
