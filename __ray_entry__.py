@@ -586,6 +586,72 @@ def _q_value_histogram(sf_dir: str):
     return analytics.value_histogram(ds, "o_totalprice", bins=32)
 
 
+def _q_pruned_range_read(sf_dir: str):
+    """Zone-map pruned range read end-to-end: stream documents into a
+    Lance-style table (~10 contiguous fragments, per-fragment min/max
+    recorded in the manifest), then answer a doc_id range query
+    [3N/10, 11N/20) by pruning fragments from the MANIFEST ALONE before the
+    read is planned, exact-filtering the survivors, and aggregating per
+    lang. Raises unless pruning actually skipped fragments, so the green
+    CORRECTNESS row certifies both the zone maps' correctness (vs the
+    full-scan SQL) and their effectiveness. At 100 TB this is the
+    O(matching-fragments) range-scan path (Lance/Iceberg zone-map
+    semantics); the exact row filter after the prune is mandatory —
+    pruning changes cost, never results."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import lance_like
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lo, hi = 3 * n // 10, 11 * n // 20
+    tdir = tempfile.mkdtemp(prefix="graft_prune_") + "/docs"
+    try:
+        lance_like.write_dataset(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+            tdir,
+            rows_per_fragment=max(50, n // 10),
+        )
+        paths, total = lance_like.pruned_fragment_paths(
+            tdir, [("doc_id", ">=", lo), ("doc_id", "<", hi)]
+        )
+        if not (0 < len(paths) < total):
+            raise AssertionError(
+                f"zone-map pruning ineffective: {len(paths)}/{total} fragments kept"
+            )
+        ds = lance_like.read_dataset(
+            tdir, predicates=[("doc_id", ">=", lo), ("doc_id", "<", hi)]
+        )
+
+        def exact_filter(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id")
+            mask = pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
+            b = batch.filter(mask)
+            return pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "n_docs": pa.array([1] * b.num_rows, pa.int64()),
+                    "sum_chars": b.column("n_chars").cast(pa.int64()),
+                }
+            )
+
+        out = tiny_final_groupby(
+            ds.map_batches(exact_filter, batch_format="pyarrow"),
+            ["lang"],
+            [("n_docs", "sum"), ("sum_chars", "sum")],
+            ["lang", "n_docs", "sum_chars"],
+        )
+        return out.to_pandas()
+    finally:
+        import os
+
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention triangle over the events stream: first
     active week cohorts x week offsets, distinct users per cell. One
@@ -1375,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "sample_by_quality": _q_sample_by_quality,
         "value_histogram": _q_value_histogram,
+        "pruned_range_read": _q_pruned_range_read,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2550,6 +2617,16 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _retention_cohorts_sql(),
         "sample_by_quality": _sample_by_quality_sql(),
         "value_histogram": _value_histogram_sql(32),
+        # replays _q_pruned_range_read's [3N/10, 11N/20) doc_id range with the
+        # same integer arithmetic; the engine's zone-map pruning must be
+        # invisible in the result (pruning changes cost, never rows)
+        "pruned_range_read": (
+            "WITH b AS (SELECT 3 * COUNT(*) // 10 AS lo, 11 * COUNT(*) // 20 AS hi "
+            "FROM documents) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents, b WHERE doc_id >= b.lo AND doc_id < b.hi GROUP BY lang"
+        ),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "
             "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0 THEN "

@@ -48,6 +48,65 @@ def _commit_manifest(table_dir: str, manifest: dict) -> dict:
     return manifest
 
 
+def _fragment_stats(tbl: pa.Table) -> dict:
+    """Zone map for one fragment: {col: [min, max]} for primitive
+    (int/float/string) columns, skipping all-null ones. Stored in the
+    manifest so a predicate read can skip whole fragments without opening
+    them — at 100 TB the manifest is the only thing the planner reads, and
+    a range query over a sorted/clustered table touches O(matching)
+    fragments instead of all of them (Lance/Iceberg zone-map semantics)."""
+    import pyarrow.compute as pc
+
+    stats: dict = {}
+    for name in tbl.schema.names:
+        t = tbl.schema.field(name).type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_string(t)):
+            continue
+        mm = pc.min_max(tbl.column(name))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if lo is None:
+            continue
+        stats[name] = [lo, hi]
+    return stats
+
+
+_PRED_OPS = ("==", "<", "<=", ">", ">=", "between")
+
+
+def _fragment_may_match(frag: dict, predicates: list[tuple]) -> bool:
+    """Conservative zone-map test: False only when the fragment's [min, max]
+    PROVES no row can satisfy every predicate. Fragments without stats for
+    a predicate column (old manifests, published-in-place files, nested
+    columns) are always kept — pruning is an optimization, never a filter."""
+    stats = frag.get("stats") or {}
+    for col, op, val in predicates:
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if op == "==":
+            if val < lo or val > hi:
+                return False
+        elif op == "<":
+            if lo >= val:
+                return False
+        elif op == "<=":
+            if lo > val:
+                return False
+        elif op == ">":
+            if hi <= val:
+                return False
+        elif op == ">=":
+            if hi < val:
+                return False
+        elif op == "between":
+            a, b = val
+            if b < lo or a > hi:
+                return False
+        else:
+            raise ValueError(f"unknown predicate op {op!r}; use one of {_PRED_OPS}")
+    return True
+
+
 def latest_version(table_dir: str) -> int:
     mdir = _manifest_dir(table_dir)
     if not os.path.isdir(mdir):
@@ -124,7 +183,9 @@ def write_table(
         chunk = table.slice(start, rows_per_fragment)
         rel = f"data/fragment-{version}-{idx:05d}.parquet"
         pq.write_table(chunk, os.path.join(table_dir, rel), row_group_size=rg)
-        fragments.append({"path": rel, "rows": chunk.num_rows})
+        fragments.append(
+            {"path": rel, "rows": chunk.num_rows, "stats": _fragment_stats(chunk)}
+        )
     manifest = {"version": version, "fragments": fragments}
     return _commit_manifest(table_dir, manifest)
 
@@ -164,10 +225,24 @@ def write_dataset(
 
     def write_fragment(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "path": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "stats": pa.array([], pa.string()),
+                }
+            )
         rel = f"data/fragment-{version}-{uuid.uuid4().hex[:12]}.parquet"
         pq.write_table(batch, os.path.join(table_dir, rel), row_group_size=rg)
-        return pa.table({"path": pa.array([rel]), "rows": pa.array([batch.num_rows], pa.int64())})
+        # stats ride back as a JSON string cell (tiny); the driver only ever
+        # holds manifest rows, never data
+        return pa.table(
+            {
+                "path": pa.array([rel]),
+                "rows": pa.array([batch.num_rows], pa.int64()),
+                "stats": pa.array([json.dumps(_fragment_stats(batch))]),
+            }
+        )
 
     frag_rows = ds.map_batches(
         write_fragment, batch_format="pyarrow", batch_size=rows_per_fragment
@@ -176,18 +251,58 @@ def write_dataset(
     if mode == "append" and version > 1:
         fragments = list(read_manifest(table_dir, version - 1)["fragments"])
     fragments += sorted(
-        ({"path": r["path"], "rows": int(r["rows"])} for r in frag_rows),
+        (
+            {"path": r["path"], "rows": int(r["rows"]), "stats": json.loads(r["stats"])}
+            for r in frag_rows
+        ),
         key=lambda f: f["path"],
     )
     manifest = {"version": version, "fragments": fragments}
     return _commit_manifest(table_dir, manifest)
 
 
-def read_dataset(table_dir: str, version: int | None = None, **read_parquet_kwargs):
-    """Open a Lance-style table as a ``ray.data.Dataset`` (manifest-pinned)."""
+def pruned_fragment_paths(
+    table_dir: str, predicates: list[tuple], version: int | None = None
+) -> tuple[list[str], int]:
+    """(paths that may contain matches, total fragment count) for ANDed
+    ``(col, op, value)`` predicates, ops in ``_PRED_OPS``. Driver-side and
+    manifest-only: no fragment file is opened. Conservative — a returned
+    path may still contain zero matching rows, so callers MUST apply the
+    exact row filter after the read (pruning changes cost, never results)."""
+    man = read_manifest(table_dir, version)
+    keep = [f for f in man["fragments"] if _fragment_may_match(f, predicates)]
+    return [os.path.join(table_dir, f["path"]) for f in keep], len(man["fragments"])
+
+
+def read_dataset(
+    table_dir: str,
+    version: int | None = None,
+    predicates: list[tuple] | None = None,
+    **read_parquet_kwargs,
+):
+    """Open a Lance-style table as a ``ray.data.Dataset`` (manifest-pinned).
+
+    ``predicates`` (ANDed ``(col, op, value)``) prune fragments via the
+    manifest zone maps BEFORE the read is planned — the storage-layer
+    analogue of passing a row filter to read_parquet, and the piece that
+    makes range queries over sorted/clustered tables O(matching fragments)
+    at 100 TB. Fragment-level only: the caller still applies the exact row
+    filter downstream. An all-pruned read returns an empty Dataset with the
+    table's schema (read of one fragment sliced to zero rows would be
+    wasteful; we read the schema from the first fragment's footer)."""
     import ray.data as rd
 
-    return rd.read_parquet(fragment_paths(table_dir, version), **read_parquet_kwargs)
+    if not predicates:
+        return rd.read_parquet(fragment_paths(table_dir, version), **read_parquet_kwargs)
+    paths, _total = pruned_fragment_paths(table_dir, predicates, version)
+    if not paths:
+        all_paths = fragment_paths(table_dir, version)
+        schema = pq.read_schema(all_paths[0])
+        cols = read_parquet_kwargs.get("columns")
+        if cols:
+            schema = pa.schema([schema.field(c) for c in cols])
+        return rd.from_arrow(schema.empty_table())
+    return rd.read_parquet(paths, **read_parquet_kwargs)
 
 
 def manifest_over_files(paths: list[str], table_dir: str) -> dict:
@@ -270,7 +385,7 @@ def compact(
         )
         rel = f"data/fragment-{version}-c{idx:05d}.parquet"
         pq.write_table(tbl, os.path.join(table_dir, rel), row_group_size=rg)
-        return {"path": rel, "rows": tbl.num_rows}
+        return {"path": rel, "rows": tbl.num_rows, "stats": _fragment_stats(tbl)}
 
     merges = [(i, frags) for i, (op, frags) in enumerate(plan) if op == "merge"]
     merged: dict[int, dict] = {}

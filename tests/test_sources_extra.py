@@ -352,3 +352,103 @@ class TestVersionDiff:
         assert d2["row_delta"] == 0
         assert d2["rows_removed"] == 40 and d2["rows_added"] == 40
         assert len(d2["removed"]) == 4 and len(d2["added"]) == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZoneMapPruning:
+    def _sorted_table(self, n=100):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": list(range(n)),
+                "lang": [f"l{i % 3}" for i in range(n)],
+                "score": [i / 10 for i in range(n)],
+            }
+        )
+
+    def test_stats_recorded_and_range_pruned(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        lance_like.write_table(self._sorted_table(), d, rows_per_fragment=10)
+        man = lance_like.read_manifest(d)
+        assert all("stats" in f for f in man["fragments"])
+        assert man["fragments"][0]["stats"]["doc_id"] == [0, 9]
+        assert man["fragments"][0]["stats"]["lang"] == ["l0", "l2"]
+
+        # range over doc_id: only 3 of 10 fragments may match 25..47
+        paths, total = lance_like.pruned_fragment_paths(d, [("doc_id", "between", (25, 47))])
+        assert total == 10 and len(paths) == 3
+
+        ds = lance_like.read_dataset(d, predicates=[("doc_id", "between", (25, 47))])
+        rows = [r for r in ds.take_all() if 25 <= r["doc_id"] <= 47]  # exact filter after prune
+        assert sorted(r["doc_id"] for r in rows) == list(range(25, 48))
+
+    def test_prune_ops_and_conservatism(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        lance_like.write_table(self._sorted_table(), d, rows_per_fragment=10)
+        cases = [
+            ([("doc_id", "==", 55)], 1),
+            ([("doc_id", "<", 10)], 1),
+            ([("doc_id", "<=", 10)], 2),
+            ([("doc_id", ">", 89)], 1),
+            ([("doc_id", ">=", 89)], 2),
+            ([("score", ">=", 9.5)], 1),  # float stats
+            ([("doc_id", ">=", 60), ("doc_id", "<", 70)], 1),  # ANDed
+            ([("lang", "==", "l1")], 10),  # every fragment spans l0..l2: no pruning
+        ]
+        for preds, expect in cases:
+            paths, total = lance_like.pruned_fragment_paths(d, preds)
+            assert (len(paths), total) == (expect, 10), preds
+
+    def test_all_pruned_returns_empty_with_schema(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        lance_like.write_table(self._sorted_table(), d, rows_per_fragment=10)
+        ds = lance_like.read_dataset(d, predicates=[("doc_id", ">", 10**6)])
+        assert ds.count() == 0
+        assert set(ds.schema().names) == {"doc_id", "lang", "score"}
+        ds2 = lance_like.read_dataset(
+            d, predicates=[("doc_id", ">", 10**6)], columns=["doc_id", "lang"]
+        )
+        assert ds2.schema().names == ["doc_id", "lang"]
+
+    def test_statless_manifest_never_prunes(self, tmp_path):
+        import pyarrow.parquet as pq_mod
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        # manifest_over_files publishes external parquet without stats
+        p = str(tmp_path / "ext.parquet")
+        pq_mod.write_table(self._sorted_table(), p)
+        d = str(tmp_path / "tbl")
+        lance_like.manifest_over_files([p], d)
+        paths, total = lance_like.pruned_fragment_paths(d, [("doc_id", "==", -1)])
+        assert (len(paths), total) == (1, 1)  # kept: no stats, prune must not filter
+
+    def test_streaming_writer_and_compact_carry_stats(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        lance_like.write_dataset(
+            rd.from_arrow(self._sorted_table()).repartition(10), d, rows_per_fragment=10
+        )
+        man = lance_like.read_manifest(d)
+        assert all("stats" in f and "doc_id" in f["stats"] for f in man["fragments"])
+        lo = min(f["stats"]["doc_id"][0] for f in man["fragments"])
+        hi = max(f["stats"]["doc_id"][1] for f in man["fragments"])
+        assert (lo, hi) == (0, 99)
+
+        lance_like.compact(d, target_rows_per_fragment=50)
+        man2 = lance_like.read_manifest(d)
+        assert all("stats" in f for f in man2["fragments"])
+        # compacted zone maps still cover the full domain
+        lo2 = min(f["stats"]["doc_id"][0] for f in man2["fragments"])
+        hi2 = max(f["stats"]["doc_id"][1] for f in man2["fragments"])
+        assert (lo2, hi2) == (0, 99)
