@@ -586,6 +586,38 @@ def _q_value_histogram(sf_dir: str):
     return analytics.value_histogram(ds, "o_totalprice", bins=32)
 
 
+def _q_running_totals(sf_dir: str):
+    """Per-customer running order spend (cumulative window over
+    (o_orderdate, o_orderkey)); partition-bucketed vectorized cumsum,
+    integer cents. Oracle: SUM OVER (PARTITION BY ... ORDER BY ...)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.running_totals(sf_dir)
+
+
+def _q_robust_outliers(sf_dir: str):
+    """Per-lang median/MAD outlier flags on n_chars (dev > 2 * MAD), both
+    medians exact via histogram bisection — no global sort. All-integer
+    compare; the oracle replays the ceil-rank median convention with
+    row_number windows. k_mad=2 (not the textbook 3) because the synthetic
+    n_chars distribution is tight enough that 3*MAD flags nothing at the
+    driver's sf0.01 — an empty result would gate nothing."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.robust_outliers(
+        lambda: _docs(sf_dir, ["doc_id", "lang", "n_chars"]), k_mad=2
+    )
+
+
+def _q_collocations(sf_dir: str):
+    """Top-50 bigram collocations by integer-exact PMI ordering
+    (floor(1e6 * n_xy * N / (n_x * n_y)), min_count 5). One shuffle for
+    unigram+bigram+total counts; HUGEINT division in the oracle."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.collocations(_docs(sf_dir, ["text"]), k=50, min_count=5)
+
+
 def _q_pruned_range_read(sf_dir: str):
     """Zone-map pruned range read end-to-end: stream documents into a
     Lance-style table (~10 contiguous fragments, per-fragment min/max
@@ -1442,6 +1474,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_quality": _q_sample_by_quality,
         "value_histogram": _q_value_histogram,
         "pruned_range_read": _q_pruned_range_read,
+        "running_totals": _q_running_totals,
+        "robust_outliers": _q_robust_outliers,
+        "collocations": _q_collocations,
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2626,6 +2661,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents, b WHERE doc_id >= b.lo AND doc_id < b.hi GROUP BY lang"
+        ),
+        # replays _q_running_totals: deterministic total order via the
+        # orderkey tie-break; integer cents
+        "running_totals": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) "
+            "AS cum_cents FROM orders"
+        ),
+        # replays _q_robust_outliers: ceil-rank median (the engine's
+        # exact_quantile convention), then ceil-rank median of |dev|, then
+        # the all-integer dev > 2*MAD flag
+        "robust_outliers": (
+            "WITH s AS (SELECT lang, n_chars, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents), "
+            "med AS (SELECT lang, n_chars AS med FROM s "
+            "WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)), "
+            "d AS (SELECT doc_id, d0.lang, ABS(d0.n_chars - med.med) AS dev "
+            "FROM documents d0 JOIN med ON d0.lang = med.lang), "
+            "s2 AS (SELECT lang, dev, "
+            "row_number() OVER (PARTITION BY lang ORDER BY dev) AS rn, "
+            "COUNT(*) OVER (PARTITION BY lang) AS n FROM d), "
+            "mad AS (SELECT lang, dev AS mad FROM s2 "
+            "WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)) "
+            "SELECT d.doc_id, d.lang, CAST(d.dev AS BIGINT) AS dev, "
+            "CAST(2 * mad.mad AS BIGINT) AS cutoff "
+            "FROM d JOIN mad ON d.lang = mad.lang WHERE d.dev > 2 * mad.mad"
+        ),
+        # replays _q_collocations: shared [a-z0-9]+ tokenizer, consecutive
+        # in-doc pairs, HUGEINT-exact score, (score DESC, bigram) top-50
+        "collocations": (
+            "WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t "
+            "FROM documents), "
+            "uni AS (SELECT unnest(t) AS w FROM toks), "
+            "nx AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w), "
+            "nn AS (SELECT COUNT(*) AS n FROM uni), "
+            "big AS (SELECT t[i] AS x, t[i+1] AS y FROM toks, "
+            "UNNEST(generate_series(1, len(t) - 1)) AS u(i)), "
+            "nxy AS (SELECT x, y, COUNT(*) AS n_xy FROM big GROUP BY x, y "
+            "HAVING COUNT(*) >= 5), "
+            "sc AS (SELECT x || ' ' || y AS bigram, n_xy, "
+            "CAST((1000000::HUGEINT * n_xy * nn.n) // (a.n * b.n) AS BIGINT) AS score_ppm "
+            "FROM nxy JOIN nx a ON a.w = x JOIN nx b ON b.w = y, nn) "
+            "SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy, score_ppm FROM sc "
+            "ORDER BY score_ppm DESC, bigram LIMIT 50"
         ),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "

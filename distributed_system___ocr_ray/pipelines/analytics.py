@@ -1377,6 +1377,55 @@ def grouped_quantile(ds_factory, key: str, col: str, q: float = 0.5, keys=None):
     return pd.DataFrame(rows)
 
 
+def robust_outliers(
+    ds_factory, key: str = "lang", col: str = "n_chars", id_col: str = "doc_id",
+    k_mad: int = 3,
+):
+    """Per-group robust outlier flags via median/MAD — the quality-filter
+    primitive that survives heavy-tailed length/score distributions where
+    mean/std thresholds don't (one 10 MB doc drags a z-score cutoff; it
+    cannot drag a median).
+
+    Exact and sort-free: median per group and then MAD (median of absolute
+    deviations) per group both run through the ``grouped_quantile``
+    histogram-bisection kernel — 2k bounded passes for k enum-like groups,
+    only histogram vectors on the driver. All-integer compare
+    (``dev > k_mad * mad``; med/mad are actual data values of the integer
+    column by the ceil-rank convention), so the SQL window replay is
+    exact. Returns only flagged rows: (id, key, dev, cutoff)."""
+    import pyarrow.compute as pc
+
+    med_df = grouped_quantile(ds_factory, key, col, q=0.5)
+    med = {k: int(v) for k, v in zip(med_df[key], med_df["q_value"])}
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key).to_pylist()
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        m = np.fromiter((med[k] for k in ks), dtype=np.int64, count=len(ks))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key: batch.column(key),
+                "dev": pa.array(np.abs(x - m), pa.int64()),
+            }
+        )
+
+    def dev_factory():
+        return ds_factory().map_batches(absdev, batch_format="pyarrow")
+
+    mad_df = grouped_quantile(dev_factory, key, "dev", q=0.5, keys=sorted(med))
+    mad = {k: int(v) for k, v in zip(mad_df[key], mad_df["q_value"])}
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ks = batch.column(key).to_pylist()
+        cutoff = np.fromiter((k_mad * mad[k] for k in ks), dtype=np.int64, count=len(ks))
+        dev = batch.column("dev").to_numpy(zero_copy_only=False)
+        t = batch.append_column("cutoff", pa.array(cutoff, pa.int64()))
+        return t.filter(pc.greater(pa.array(dev), pa.array(cutoff)))
+
+    return dev_factory().map_batches(flag, batch_format="pyarrow")
+
+
 def grouped_quantile_sketch(
     ds, key: str, col: str, q: float = 0.5, bins: int = 256,
     lo: float | None = None, hi: float | None = None,
@@ -2678,6 +2727,123 @@ def domain_counts(ds, text_col: str = "text", k: int = 20):
 
     return (
         counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+    )
+
+
+def collocations(
+    ds,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    broadcast_unigram_bytes: int = 256 << 20,
+):
+    """Top-``k`` bigram collocations by PMI — the corpus-analytics step
+    behind phrase mining / tokenizer-merge candidates. Scored as
+    ``score_ppm = floor(1e6 * n_xy * N / (n_x * n_y))`` (same ordering as
+    PMI for fixed N, log-free so the integer arithmetic is EXACT and the
+    SQL oracle replays it with HUGEINT division, no float divergence).
+
+    One shuffle for all three count families: per-batch partials emit
+    unigrams (no space), bigrams (``"x y"``), and an ``""`` sentinel row
+    carrying the token total N through the same ``groupby(term)`` — the
+    tfidf discipline. The merged vocab-sized table is materialized once:
+    unigram counts broadcast (Zipf-bounded, byte-capped with a loud error
+    past ``broadcast_unigram_bytes`` — the at-scale alternative is a
+    bucketed join of bigrams against unigrams on both x and y), bigram
+    rows score map-side with Python arbitrary-precision ints
+    (1e6 * n_xy * N overflows int64 at corpus scale; the min_count filter
+    shrinks the scored set first), then global top-k via per-block partial
+    top-k + one tiny merge."""
+    import re as _re
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    word = _re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t] or [np.array([], object)]
+        )
+        frames = [pd.DataFrame({"term": [""], "n": [int(lens.sum())]})]
+        if len(flat):
+            uni = pd.Series(flat).value_counts()
+            frames.append(
+                pd.DataFrame({"term": uni.index.astype(str), "n": uni.to_numpy(np.int64)})
+            )
+        if len(flat) > 1:
+            # bigram = consecutive tokens within one doc: mask out the
+            # boundary positions (last token of each doc)
+            ends = np.cumsum(lens[lens > 0]) - 1
+            valid = np.ones(len(flat) - 1, dtype=bool)
+            valid[ends[ends < len(flat) - 1]] = False
+            if valid.any():
+                x = pd.Series(flat[:-1][valid])
+                y = pd.Series(flat[1:][valid])
+                bg = (x + " " + y).value_counts()
+                frames.append(
+                    pd.DataFrame({"term": bg.index.astype(str), "n": bg.to_numpy(np.int64)})
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    def is_unigram(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pandas()
+        return batch.filter(pa.array(~terms.str.contains(" ").to_numpy()))
+
+    uni_ds = counts.map_batches(is_unigram, batch_format="pyarrow").materialize()
+    if uni_ds.size_bytes() > broadcast_unigram_bytes:
+        raise ValueError(
+            f"unigram table is {uni_ds.size_bytes()} B > broadcast cap "
+            f"{broadcast_unigram_bytes}; use a bucketed bigram-unigram join "
+            "for vocabularies this large"
+        )
+    uni_df = uni_ds.to_pandas()
+    n_total = int(uni_df.loc[uni_df["term"] == "", "n"].sum())
+    n_x = dict(zip(uni_df["term"], uni_df["n"].astype(int)))
+    handle = [ray.put(n_x)]
+
+    class ScoreBigrams:
+        def __init__(self) -> None:
+            self.n_x = ray.get(handle[0])
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch["term"].str.contains(" ") & (batch["n"] >= min_count)
+            b = batch[m]
+            scores = []
+            for term, nxy in zip(b["term"], b["n"]):
+                xw, yw = term.split(" ")
+                # Python ints: 1e6 * n_xy * N exceeds int64 at corpus scale
+                scores.append(
+                    (10**6 * int(nxy) * n_total) // (self.n_x[xw] * self.n_x[yw])
+                )
+            return pd.DataFrame(
+                {
+                    "bigram": b["term"].to_numpy(),
+                    "n_xy": b["n"].to_numpy(np.int64),
+                    "score_ppm": pd.Series(scores, dtype="int64").to_numpy(),
+                }
+            )
+
+    scored = counts.map_batches(ScoreBigrams, concurrency=(1, 8), batch_format="pandas")
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(
+            ["score_ppm", "bigram"], ascending=[False, True]
+        ).head(k)
+
+    return (
+        scored.map_batches(block_topk, batch_format="pandas", batch_size=None)
         .repartition(1)
         .map_batches(block_topk, batch_format="pandas", batch_size=None)
     )

@@ -467,6 +467,56 @@ def session_windows(sf_dir: str, gap_minutes: int = 30, partitions: int | None =
     )
 
 
+def running_totals(sf_dir: str, partitions: int | None = None):
+    """Per-customer running order spend (the cumulative-window op:
+    ``SUM(cents) OVER (PARTITION BY custkey ORDER BY date, orderkey)``).
+
+    Same partition-bucketed discipline as session_windows: customers are
+    hash-bucketed, each bucket cumsum'd in ONE vectorized pass (mergesort
+    by (cust, date, orderkey) for a deterministic total order -- the
+    orderkey tie-break is what makes the running value exact, not
+    order-dependent -- then per-customer cumsum via offset subtraction).
+    Integer cents end-to-end, so the SQL window replay is exact."""
+    import pandas as pd
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    if partitions is None:
+        partitions = max(16, orders.count() // 500_000 + 1)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "o_custkey", partitions)
+
+    def cumsum_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+        )
+        cust = g["o_custkey"].to_numpy()
+        cents = np.floor(g["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        csum = np.cumsum(cents)
+        new_cust = np.concatenate(([True], cust[1:] != cust[:-1]))
+        starts = np.flatnonzero(new_cust)
+        counts = np.diff(np.append(starts, len(cust)))
+        # value of csum just BEFORE each customer's first row, repeated
+        base = np.repeat(csum[starts] - cents[starts], counts)
+        return pd.DataFrame(
+            {
+                "o_custkey": cust,
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "cum_cents": csum - base,
+            }
+        )
+
+    return (
+        orders.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cumsum_partition, batch_format="pandas")
+    )
+
+
 def top_orders_per_segment(sf_dir: str, k: int = 3):
     """Grouped top-k (window-function analogue): top-k orders by totalprice
     per customer mktsegment. Scale-safe shape: the broadcast-tagging stage

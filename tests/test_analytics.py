@@ -1671,3 +1671,90 @@ class TestSampleByWeightAndHistogram:
         assert int(got["n"].sum()) == 100
         assert got["n"].tolist() == [10] * 9 + [10]  # max clips into last bin
         assert got["lo_cents"].iloc[0] == 0 and got["hi_cents"].iloc[-1] == 9900
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRunningTotals:
+    def test_cumsum_with_date_ties(self, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # cust 1: two orders on the SAME date -- orderkey breaks the tie;
+        # cust 2: out-of-date-order rows in the file
+        t = pa.table(
+            {
+                "o_orderkey": [10, 11, 12, 20, 21],
+                "o_custkey": [1, 1, 1, 2, 2],
+                "o_orderdate": pa.array(
+                    pd.to_datetime(
+                        ["2024-01-02", "2024-01-01", "2024-01-01", "2024-03-01", "2024-02-01"]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": [5.0, 1.0, 2.0, 10.0, 0.5],
+            }
+        )
+        pq.write_table(t, str(tmp_path / "orders.parquet"))
+        got = (
+            relational.running_totals(str(tmp_path))
+            .to_pandas()
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        # cust 1 order: key 11 (1.00) -> 12 (2.00) -> 10 (5.00)
+        assert dict(zip(got["o_orderkey"], got["cum_cents"])) == {
+            11: 100, 12: 300, 10: 800, 21: 50, 20: 1050,
+        }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRobustOutliers:
+    def test_planted_outlier_and_tight_group(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # group a: values 100..108 plus one wild 10000 -> med 104, MAD 2
+        # (devs 0..4 + wild; ceil-rank median of [0,1,1,2,2,3,3,4,4,9896] = 2),
+        # cutoff 3*2=6 flags only the wild row.
+        # group b: constant -> MAD 0, everything equals the median, no flags.
+        a_vals = list(range(100, 109)) + [10000]
+        rows = {
+            "doc_id": list(range(len(a_vals))) + [100, 101, 102],
+            "lang": ["a"] * len(a_vals) + ["b"] * 3,
+            "n_chars": a_vals + [7, 7, 7],
+        }
+        t = pa.table(rows)
+        out = analytics.robust_outliers(
+            lambda: rd.from_arrow(t), key="lang", col="n_chars", k_mad=3
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [9]
+        assert out["dev"].tolist() == [10000 - 104]
+        assert out["cutoff"].tolist() == [6]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCollocations:
+    def test_planted_phrase_scores_exactly(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 6 docs of "alpha beta", 6 fillers; doc boundaries must NOT form
+        # bigrams ("beta gamma" across docs would be a bug)
+        docs = ["alpha beta"] * 6 + ["gamma delta epsilon"] * 6
+        t = pa.table({"text": docs})
+        out = analytics.collocations(
+            rd.from_arrow(t), k=3, min_count=5
+        ).to_pandas()
+        # N = 6*2 + 6*3 = 30 tokens; n(alpha)=n(beta)=6, n_xy(alpha beta)=6
+        # score = 1e6 * 6 * 30 // 36 = 5_000_000
+        top = dict(zip(out["bigram"], out["score_ppm"]))
+        assert top["alpha beta"] == 5_000_000
+        # gamma delta: 1e6 * 6 * 30 // (6*6) = same; delta epsilon same
+        assert sorted(out["bigram"]) == ["alpha beta", "delta epsilon", "gamma delta"]
+        assert "beta gamma" not in top and "epsilon alpha" not in top
