@@ -618,6 +618,82 @@ def _q_collocations(sf_dir: str):
     return analytics.collocations(_docs(sf_dir, ["text"]), k=50, min_count=5)
 
 
+_POSTINGS_TERMS = ["batch", "data", "stream"]
+
+
+def _q_postings_lookup(sf_dir: str):
+    """Inverted-index build + zone-map-pruned term lookup end-to-end:
+    documents -> distinct (term, doc_id) postings -> sort by term (the one
+    all-to-all, the index's build cost) -> Lance-style commit -> per-term
+    manifest-only fragment pruning -> exact IN filter -> per-term doc
+    counts. require_pruning=True makes the green row certify the string
+    zone maps actually skipped fragments."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.pipelines import index as idx
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tdir = tempfile.mkdtemp(prefix="graft_postings_") + "/postings"
+    try:
+        idx.build_postings(
+            _docs(sf_dir, ["doc_id", "text"]), tdir,
+            rows_per_fragment=max(2000, n_docs * 10),
+        )
+        out = idx.lookup_terms(tdir, _POSTINGS_TERMS, require_pruning=True)
+        return out.to_pandas()
+    finally:
+        import os
+
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+
+
+def _q_percent_rank_by_lang(sf_dir: str):
+    """Per-lang percentile rank of n_chars in integer ppm (RANK tie-min,
+    (rank-1)*1e6 // (n-1), single-row groups 0); hash-bucketed one-pass
+    vectorized ranking. Oracle: the same integer window arithmetic."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.percent_rank_by_group(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    )
+
+
+def _q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join through the bucketed hash join: customers keep a row
+    even with zero orders (the reference's completion ledger must list
+    inputs that produced nothing — same semantics). Orders pre-aggregate to
+    per-customer counts BEFORE the join (the wide side never ships raw
+    rows), then the null side fills 0."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    customers = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    counts = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="cnt"))
+    )
+    joined = relational.bucketed_hash_join(
+        customers, counts, "c_custkey", "o_custkey", how="left"
+    )
+
+    def clean(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].astype("int64"),
+                "n_orders": batch["cnt"].fillna(0).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(clean, batch_format="pandas")
+
+
 def _q_pruned_range_read(sf_dir: str):
     """Zone-map pruned range read end-to-end: stream documents into a
     Lance-style table (~10 contiguous fragments, per-fragment min/max
@@ -1474,6 +1550,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_quality": _q_sample_by_quality,
         "value_histogram": _q_value_histogram,
         "pruned_range_read": _q_pruned_range_read,
+        "postings_lookup": _q_postings_lookup,
+        "percent_rank_by_lang": _q_percent_rank_by_lang,
+        "customer_order_counts": _q_customer_order_counts,
         "running_totals": _q_running_totals,
         "robust_outliers": _q_robust_outliers,
         "collocations": _q_collocations,
@@ -2707,6 +2786,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM nxy JOIN nx a ON a.w = x JOIN nx b ON b.w = y, nn) "
             "SELECT bigram, CAST(n_xy AS BIGINT) AS n_xy, score_ppm FROM sc "
             "ORDER BY score_ppm DESC, bigram LIMIT 50"
+        ),
+        # replays _q_postings_lookup: the shared [a-z0-9]+ tokenizer,
+        # per-doc distinct terms, counts for the fixed query terms — the
+        # engine's sort/commit/prune path must be invisible in the result
+        "postings_lookup": (
+            "WITH toks AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term "
+            "FROM documents) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs FROM toks "
+            f"WHERE term IN ({', '.join(repr(t) for t in _POSTINGS_TERMS)}) "
+            "GROUP BY term"
+        ),
+        # replays _q_customer_order_counts: LEFT JOIN + zero fill
+        "customer_order_counts": (
+            "SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders "
+            "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
+            "FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey"
+        ),
+        # replays _q_percent_rank_by_lang: RANK tie-min + integer ppm scale
+        "percent_rank_by_lang": (
+            "WITH s AS (SELECT doc_id, lang, "
+            "RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "COUNT(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT doc_id, lang, CAST(CASE WHEN n = 1 THEN 0 "
+            "ELSE (rn - 1) * 1000000 // (n - 1) END AS BIGINT) AS rank_ppm FROM s"
         ),
         "quantize_embeddings": (
             "WITH s AS (SELECT vec_id, embedding, CASE WHEN "

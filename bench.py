@@ -154,7 +154,8 @@ def run_bench() -> dict:
         "contamination_flags", "pack_sequences", "redact_pii",
         "repetition_stats", "budget_select", "mixture_sample",
         "cms_top_tokens", "epoch_shuffle", "sample_exact_n",
-        "line_dedup", "novel_docs_bloom",
+        "line_dedup", "novel_docs_bloom", "running_totals",
+        "robust_outliers", "collocations", "pruned_range_read",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

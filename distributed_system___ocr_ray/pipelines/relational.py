@@ -243,6 +243,29 @@ def derive_buckets(n_rows: int, rows_per_bucket: int = 500_000, lo: int = 8, hi:
     return max(lo, min(hi, n_rows // rows_per_bucket + 1))
 
 
+def bucketed_grouped_sum(ds, key: str, sum_col: str, buckets: int = 64):
+    """Grouped sum for UNBOUNDED (typically string) key domains:
+    hash-bucket the key, shuffle on the int32 bucket, and pandas-sum each
+    bucket in one vectorized call. Ray's native ``groupby(str_col)`` runs a
+    sort-based shuffle ON THE STRINGS — measured 11.2 s vs 2.1 s for this
+    formulation on the same 59k-row partial table (round-3 bench finding);
+    the values are identical, only the exchange key changes. Callers
+    pre-aggregate per batch first so the shuffle is key-domain-sized."""
+    import pandas as pd
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key, buckets)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(key, sort=False)[sum_col].sum().reset_index()
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_sum, batch_format="pandas")
+    )
+
+
 def bucketed_hash_join(
     left, right, left_key: str, right_key: str, *, buckets: int = 32, how: str = "inner"
 ):
@@ -514,6 +537,55 @@ def running_totals(sf_dir: str, partitions: int | None = None):
         orders.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(cumsum_partition, batch_format="pandas")
+    )
+
+
+def percent_rank_by_group(
+    ds, key: str = "lang", col: str = "n_chars", id_col: str = "doc_id",
+    partitions: int = 16,
+):
+    """Per-group percentile rank in integer ppm — the rank-window op
+    (``RANK() OVER (PARTITION BY key ORDER BY col)``, scaled to
+    ``(rank-1) * 1e6 // (n-1)``; single-row groups pin to 0). The
+    curation use: "keep the top X% by quality WITHIN each language"
+    without per-language thresholds.
+
+    Hash-bucketing by key puts every row of a group in one partition
+    (same discipline as session_windows); each partition ranks ALL its
+    groups in one vectorized pass — mergesort by (key, col), tie-min
+    ranks via first-occurrence propagation, no Python per-group loop.
+    Integer arithmetic end-to-end, so the SQL window replay is exact."""
+    import pandas as pd
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key, partitions)
+
+    def rank_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, col], kind="mergesort")
+        k_arr = g[key].to_numpy()
+        v = g[col].to_numpy()
+        n_rows = len(g)
+        new_key = np.concatenate(([True], k_arr[1:] != k_arr[:-1]))
+        starts = np.flatnonzero(new_key)
+        counts = np.diff(np.append(starts, n_rows))
+        pos = np.arange(n_rows) - np.repeat(starts, counts)  # 0-based within key
+        # RANK() tie-min: a row's rank is the 0-based position of the FIRST
+        # row sharing its (key, value) -- forward-fill the index of the last
+        # boundary (key change or value change), then take ITS position
+        new_val = new_key | np.concatenate(([True], v[1:] != v[:-1]))
+        idx_of_first = np.maximum.accumulate(np.where(new_val, np.arange(n_rows), -1))
+        rank = pos[idx_of_first]
+        n_in_key = np.repeat(counts, counts)
+        denom = np.maximum(n_in_key - 1, 1)  # single-row groups: rank is 0 anyway
+        rank_ppm = (rank.astype(np.int64) * 1_000_000) // denom
+        return pd.DataFrame(
+            {id_col: g[id_col].to_numpy(), key: k_arr, "rank_ppm": rank_ppm}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_partition, batch_format="pandas")
     )
 
 

@@ -1758,3 +1758,27 @@ class TestCollocations:
         # gamma delta: 1e6 * 6 * 30 // (6*6) = same; delta epsilon same
         assert sorted(out["bigram"]) == ["alpha beta", "delta epsilon", "gamma delta"]
         assert "beta gamma" not in top and "epsilon alpha" not in top
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPercentRank:
+    def test_ties_and_single_row_group(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6, 7],
+                "lang": ["a", "a", "a", "a", "b", "b", "c"],
+                "n_chars": [5, 5, 7, 9, 1, 1, 3],
+            }
+        )
+        got = dict(
+            (r["doc_id"], r["rank_ppm"])
+            for r in relational.percent_rank_by_group(rd.from_arrow(t)).take_all()
+        )
+        # lang a: ties 5,5 share rank 0; 7 -> 2/3; 9 -> 3/3
+        # lang b: both tied at 0; lang c: single row pins to 0
+        assert got == {1: 0, 2: 0, 3: 666666, 4: 1000000, 5: 0, 6: 0, 7: 0}

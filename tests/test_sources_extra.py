@@ -452,3 +452,49 @@ class TestZoneMapPruning:
         lo2 = min(f["stats"]["doc_id"][0] for f in man2["fragments"])
         hi2 = max(f["stats"]["doc_id"][1] for f in man2["fragments"])
         assert (lo2, hi2) == (0, 99)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInvertedIndex:
+    def test_build_lookup_counts_and_pruning(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import index as idx
+        from distributed_system___ocr_ray.sources import lance_like
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "alpha beta alpha",   # 'alpha' twice in one doc: 1 posting
+                    "beta gamma",
+                    "alpha zulu",
+                    "zulu zulu zulu",
+                ],
+            }
+        )
+        d = str(tmp_path / "postings")
+        idx.build_postings(rd.from_arrow(docs), d, rows_per_fragment=2)
+        man = lance_like.read_manifest(d)
+        assert len(man["fragments"]) >= 3  # small fragments -> prunable
+        assert all("stats" in f and "term" in f["stats"] for f in man["fragments"])
+
+        got = dict(
+            (r["term"], r["n_docs"])
+            for r in idx.lookup_terms(d, ["alpha", "zulu", "absent"]).take_all()
+        )
+        assert got == {"alpha": 2, "zulu": 2}
+
+    def test_require_pruning_guard(self, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import index as idx
+
+        docs = pa.table({"doc_id": [1], "text": ["only one tiny doc"]})
+        d = str(tmp_path / "postings")
+        idx.build_postings(rd.from_arrow(docs), d, rows_per_fragment=10**6)
+        # one fragment: nothing can be pruned -> the guard must trip
+        with pytest.raises(AssertionError, match="pruning ineffective"):
+            idx.lookup_terms(d, ["one"], require_pruning=True).take_all()
