@@ -694,6 +694,62 @@ def _q_customer_order_counts(sf_dir: str):
     return joined.map_batches(clean, batch_format="pandas")
 
 
+def _q_cow_delete_counts(sf_dir: str):
+    """Copy-on-write delete end-to-end: stream documents into a Lance-style
+    table (contiguous fragments + zone maps), DELETE the doc_id range
+    [3N/10, 11N/20) — write amplification bounded by the zone maps
+    (untouched fragments carry over by reference; the guard raises unless
+    some fragments were carried AND some rows were deleted) — then
+    aggregate the surviving rows per lang. The oracle is the complement
+    WHERE clause over the source table."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import lance_like
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lo, hi = 3 * n // 10, 11 * n // 20
+    tdir = tempfile.mkdtemp(prefix="graft_cow_") + "/docs"
+    try:
+        lance_like.write_dataset(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+            tdir,
+            rows_per_fragment=max(50, n // 10),
+        )
+        man = lance_like.delete_where(
+            tdir, [("doc_id", ">=", lo), ("doc_id", "<", hi)]
+        )
+        if not (man["rows_deleted"] > 0 and man["fragments_carried"] > 0):
+            raise AssertionError(
+                f"copy-on-write delete shape wrong: {man['rows_deleted']} rows, "
+                f"{man['fragments_carried']} carried"
+            )
+
+        def agg(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
+                    "sum_chars": batch.column("n_chars").cast(pa.int64()),
+                }
+            )
+
+        out = tiny_final_groupby(
+            lance_like.read_dataset(tdir).map_batches(agg, batch_format="pyarrow"),
+            ["lang"],
+            [("n_docs", "sum"), ("sum_chars", "sum")],
+            ["lang", "n_docs", "sum_chars"],
+        )
+        return out.to_pandas()
+    finally:
+        import os
+
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+
+
 def _q_pruned_range_read(sf_dir: str):
     """Zone-map pruned range read end-to-end: stream documents into a
     Lance-style table (~10 contiguous fragments, per-fragment min/max
@@ -1553,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings_lookup": _q_postings_lookup,
         "percent_rank_by_lang": _q_percent_rank_by_lang,
         "customer_order_counts": _q_customer_order_counts,
+        "cow_delete_counts": _q_cow_delete_counts,
         "running_totals": _q_running_totals,
         "robust_outliers": _q_robust_outliers,
         "collocations": _q_collocations,
@@ -2803,6 +2860,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders "
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             "FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey"
+        ),
+        # replays _q_cow_delete_counts: the complement of the deleted range
+        "cow_delete_counts": (
+            "WITH b AS (SELECT 3 * COUNT(*) // 10 AS lo, 11 * COUNT(*) // 20 AS hi "
+            "FROM documents) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents, b WHERE doc_id < b.lo OR doc_id >= b.hi GROUP BY lang"
         ),
         # replays _q_percent_rank_by_lang: RANK tie-min + integer ppm scale
         "percent_rank_by_lang": (

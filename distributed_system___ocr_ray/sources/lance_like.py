@@ -411,6 +411,133 @@ def compact(
     return _commit_manifest(table_dir, manifest)
 
 
+def _predicate_mask(tbl: pa.Table, predicates: list[tuple]) -> pa.Array:
+    """Row mask of rows MATCHING all predicates (same ops/semantics as
+    ``_fragment_may_match``, evaluated exactly)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mask = pa.array(np.ones(tbl.num_rows, dtype=bool))
+    for col, op, val in predicates:
+        c = tbl.column(col)
+        if op == "==":
+            m = pc.equal(c, val)
+        elif op == "<":
+            m = pc.less(c, val)
+        elif op == "<=":
+            m = pc.less_equal(c, val)
+        elif op == ">":
+            m = pc.greater(c, val)
+        elif op == ">=":
+            m = pc.greater_equal(c, val)
+        elif op == "between":
+            m = pc.and_(pc.greater_equal(c, val[0]), pc.less_equal(c, val[1]))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}; use one of {_PRED_OPS}")
+        mask = pc.and_(mask, pc.fill_null(m, False))
+    return mask
+
+
+def delete_where(
+    table_dir: str, predicates: list[tuple], row_group_size: int | None = None
+) -> dict:
+    """Copy-on-write row delete: commit a NEW manifest version in which rows
+    matching the ANDed ``(col, op, value)`` predicates are gone.
+
+    Write amplification is zone-map-bounded: fragments whose [min, max]
+    stats PROVE no match carry over untouched (no read, no rewrite — at
+    100 TB a keyed delete touches O(matching fragments), the same pruning
+    the read path uses); only fragments that may match are read, and only
+    those with actual matches are rewritten (all-deleted fragments drop
+    from the manifest). Old fragments stay on disk for version-pinned
+    readers — ``gc()`` reclaims them, same contract as ``compact()``.
+
+    Returns the new manifest plus ``rows_deleted`` / ``fragments_rewritten``
+    / ``fragments_carried``."""
+    import pyarrow.compute as pc
+
+    man = read_manifest(table_dir)
+    version = man["version"] + 1
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    new_frags: list[dict] = []
+    rows_deleted = 0
+    rewritten = carried = 0
+    for idx, frag in enumerate(man["fragments"]):
+        if not _fragment_may_match(frag, predicates):
+            new_frags.append(frag)
+            carried += 1
+            continue
+        p = frag["path"]
+        full = p if os.path.isabs(p) else os.path.join(table_dir, p)
+        tbl = pq.read_table(full)
+        mask = _predicate_mask(tbl, predicates)
+        n_match = pc.sum(mask).as_py() or 0
+        if n_match == 0:  # zone maps are conservative: may-match != match
+            new_frags.append(frag)
+            carried += 1
+            continue
+        rows_deleted += n_match
+        kept = tbl.filter(pc.invert(mask))
+        if kept.num_rows == 0:
+            continue  # fully-deleted fragment drops from the manifest
+        rel = f"data/fragment-{version}-d{idx:05d}.parquet"
+        rg = row_group_size or min(max(kept.num_rows, 1), 512)
+        pq.write_table(kept, os.path.join(table_dir, rel), row_group_size=rg)
+        new_frags.append(
+            {"path": rel, "rows": kept.num_rows, "stats": _fragment_stats(kept)}
+        )
+        rewritten += 1
+    manifest = {
+        "version": version,
+        "fragments": new_frags,
+        "deleted_from": man["version"],
+        "rows_deleted": rows_deleted,
+        "fragments_rewritten": rewritten,
+        "fragments_carried": carried,
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
+def verify(table_dir: str, version: int | None = None, check_stats: bool = True) -> dict:
+    """Table fsck: validate a manifest version against the fragments on
+    disk — the audit a 100 TB ingest pipeline runs before promoting a
+    version (the reference manager's post-upload verification analogue).
+
+    Checks, per fragment: the file exists; the parquet FOOTER row count
+    matches the manifest (metadata-only, no data read); and, with
+    ``check_stats``, the recorded zone map equals the actual column
+    min/max (this one reads the fragment — skip it for footer-only audits
+    of very large tables). Returns {"ok", "fragments", "rows", "errors"}
+    with one error string per violation; never raises on findings, so a
+    caller can report all of them at once."""
+    man = read_manifest(table_dir, version)
+    errors: list[str] = []
+    total_rows = 0
+    for frag in man["fragments"]:
+        p = frag["path"]
+        full = p if os.path.isabs(p) else os.path.join(table_dir, p)
+        if not os.path.exists(full):
+            errors.append(f"missing fragment: {p}")
+            continue
+        meta_rows = pq.read_metadata(full).num_rows
+        total_rows += meta_rows
+        if meta_rows != frag["rows"]:
+            errors.append(f"row-count mismatch {p}: manifest {frag['rows']} vs footer {meta_rows}")
+        if check_stats and frag.get("stats"):
+            actual = _fragment_stats(pq.read_table(full))
+            for col, lohi in frag["stats"].items():
+                if col in actual and list(actual[col]) != list(lohi):
+                    errors.append(
+                        f"stats mismatch {p}.{col}: manifest {lohi} vs actual {actual[col]}"
+                    )
+    return {
+        "ok": not errors,
+        "fragments": len(man["fragments"]),
+        "rows": total_rows,
+        "errors": errors,
+    }
+
+
 def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
     """Driver-side read of a small Lance-style table into one Arrow table."""
     paths = fragment_paths(table_dir, version)

@@ -498,3 +498,90 @@ class TestInvertedIndex:
         # one fragment: nothing can be pruned -> the guard must trip
         with pytest.raises(AssertionError, match="pruning ineffective"):
             idx.lookup_terms(d, ["one"], require_pruning=True).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDeleteWhere:
+    def _tbl(self, tmp_path, n=100, frag=10):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        t = pa.table(
+            {"doc_id": list(range(n)), "lang": [f"l{i % 3}" for i in range(n)]}
+        )
+        lance_like.write_table(t, d, rows_per_fragment=frag)
+        return d
+
+    def test_range_delete_prunes_rewrites(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        man = lance_like.delete_where(d, [("doc_id", "between", (25, 44))])
+        # 25..44 spans fragments [20,30) partially, [30,40) fully, [40,50) partially
+        assert man["rows_deleted"] == 20
+        assert man["fragments_rewritten"] == 2  # the two partial fragments
+        assert man["fragments_carried"] == 7    # untouched, zone-map skipped
+        assert len(man["fragments"]) == 9       # the fully-deleted one dropped
+        ids = sorted(lance_like.read_arrow(d).column("doc_id").to_pylist())
+        assert ids == [i for i in range(100) if not (25 <= i <= 44)]
+        # version pinning: the PREVIOUS version still reads all 100 rows
+        assert lance_like.read_arrow(d, version=man["version"] - 1).num_rows == 100
+        # carried fragments kept their original paths (no rewrite amplification)
+        carried = [f["path"] for f in man["fragments"] if "-d" not in f["path"]]
+        assert len(carried) == 7
+
+    def test_no_match_delete_is_metadata_only(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        before = lance_like.read_manifest(d)["fragments"]
+        man = lance_like.delete_where(d, [("doc_id", ">", 10**6)])
+        assert man["rows_deleted"] == 0 and man["fragments_rewritten"] == 0
+        assert man["fragments"] == before
+
+    def test_stats_refresh_on_rewrite(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        lance_like.delete_where(d, [("doc_id", "==", 5)])
+        man = lance_like.read_manifest(d)
+        frag0 = [f for f in man["fragments"] if f["stats"]["doc_id"][0] in (0, 4)][0]
+        # rewritten first fragment: min/max still 0..9 minus nothing at the
+        # edges, but row 5 gone -> rows == 9 and stats present
+        assert frag0["rows"] == 9 and "stats" in frag0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVerifyAudit:
+    def test_clean_and_corrupted_table(self, tmp_path):
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq_mod
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        t = pa.table({"doc_id": list(range(50)), "lang": ["x"] * 50})
+        lance_like.write_table(t, d, rows_per_fragment=10)
+        rep = lance_like.verify(d)
+        assert rep["ok"] and rep["fragments"] == 5 and rep["rows"] == 50
+
+        # corrupt: delete one fragment, lie about another's stats
+        man = lance_like.read_manifest(d)
+        os.remove(os.path.join(d, man["fragments"][0]["path"]))
+        man["fragments"][1]["stats"]["doc_id"] = [0, 999]
+        mpath = os.path.join(d, "_manifest", f"v{man['version']}.json")
+        with open(mpath, "w") as f:
+            json.dump(man, f)
+        rep = lance_like.verify(d)
+        assert not rep["ok"]
+        assert any("missing fragment" in e for e in rep["errors"])
+        assert any("stats mismatch" in e for e in rep["errors"])
+
+        # footer-only audit skips the stats read but still catches missing
+        rep2 = lance_like.verify(d, check_stats=False)
+        assert not rep2["ok"] and all("stats" not in e for e in rep2["errors"])
