@@ -694,6 +694,26 @@ def _q_customer_order_counts(sf_dir: str):
     return joined.map_batches(clean, batch_format="pandas")
 
 
+def _q_shipments_within_7d(sf_dir: str):
+    """Band/range join (no equality key): per order, count ALL lineitem
+    shipments corpus-wide with l_shipdate in [o_orderdate, +7 days).
+    Window-width time buckets, 2x replication of the small side only,
+    per-bucket sort + two searchsorted calls; zero counts survive.
+    Oracle: LEFT JOIN on the range predicate."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_shipdate"])
+    return relational.range_join_counts(
+        orders, lineitem, "o_orderdate", "l_shipdate", "o_orderkey",
+        window_us=7 * 86400 * 10**6, out_col="n_shipped",
+    )
+
+
 def _q_cow_delete_counts(sf_dir: str):
     """Copy-on-write delete end-to-end: stream documents into a Lance-style
     table (contiguous fragments + zone maps), DELETE the doc_id range
@@ -1610,6 +1630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_by_lang": _q_percent_rank_by_lang,
         "customer_order_counts": _q_customer_order_counts,
         "cow_delete_counts": _q_cow_delete_counts,
+        "shipments_within_7d": _q_shipments_within_7d,
         "running_totals": _q_running_totals,
         "robust_outliers": _q_robust_outliers,
         "collocations": _q_collocations,
@@ -2860,6 +2881,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders "
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             "FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey"
+        ),
+        # replays _q_shipments_within_7d: LEFT range join, exact us bounds
+        "shipments_within_7d": (
+            "SELECT o_orderkey, CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_shipped "
+            "FROM orders o LEFT JOIN lineitem l "
+            "ON l.l_shipdate >= o.o_orderdate "
+            "AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+            "GROUP BY o_orderkey"
         ),
         # replays _q_cow_delete_counts: the complement of the deleted range
         "cow_delete_counts": (

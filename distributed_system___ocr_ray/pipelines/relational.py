@@ -540,6 +540,75 @@ def running_totals(sf_dir: str, partitions: int | None = None):
     )
 
 
+def range_join_counts(
+    left, right, left_ts: str, right_ts: str, left_id: str,
+    window_us: int, out_col: str = "n_in_window",
+):
+    """Band/range join without an equality key: for each LEFT row, count
+    RIGHT rows whose timestamp falls in ``[l_ts, l_ts + window_us)`` —
+    the non-equi join Ray Data has no native operator for.
+
+    Scale shape (never all-pairs): both sides bucket by
+    ``ts // window_us``; a left row's window spans AT MOST two buckets, so
+    only the SMALL left side replicates 2×, the big right side ships once.
+    Each bucket sorts its right timestamps once and answers every left row
+    in it with two vectorized ``searchsorted`` calls; per-replica partial
+    counts then sum per left id (zero counts survive: both replicas emit a
+    row, so unmatched ids appear with 0). One shuffle per side + the
+    id-bucketed count merge — at 100 TB the bucket width IS the window, so
+    skew only arises if one window holds a corpus-scale burst; re-bucket by
+    ``(bucket, salt)`` on the right side in that case."""
+    import pandas as pd
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        ts = batch.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = batch.column(left_id).to_numpy(zero_copy_only=False)
+        b0 = ts // window_us
+        out_ids = np.concatenate([ids, ids])
+        out_ts = np.concatenate([ts, ts])
+        out_b = np.concatenate([b0, b0 + 1])
+        return pa.table(
+            {
+                "__rbucket": pa.array(out_b, pa.int64()),
+                left_id: pa.array(out_ids),
+                "__lts": pa.array(out_ts, pa.int64()),
+                "__rts": pa.nulls(2 * batch.num_rows, pa.int64()),
+            }
+        )
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        ts = batch.column(right_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "__rbucket": pa.array(ts // window_us, pa.int64()),
+                left_id: pa.nulls(batch.num_rows, pa.int64()),
+                "__lts": pa.nulls(batch.num_rows, pa.int64()),
+                "__rts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def count_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lmask = group["__lts"].notna()
+        lrows = group[lmask]
+        rts = np.sort(group.loc[~lmask, "__rts"].to_numpy(np.int64))
+        lts = lrows["__lts"].to_numpy(np.int64)
+        # right rows in THIS bucket that fall in [l, l+W): the two-bucket
+        # replication guarantees every (l, r) pair co-locates exactly once
+        n = np.searchsorted(rts, lts + window_us, side="left") - np.searchsorted(
+            rts, lts, side="left"
+        )
+        return pd.DataFrame(
+            {left_id: lrows[left_id].to_numpy(np.int64), out_col: n.astype(np.int64)}
+        )
+
+    partials = both.groupby("__rbucket").map_groups(count_bucket, batch_format="pandas")
+    return bucketed_grouped_sum(partials, left_id, out_col)
+
+
 def percent_rank_by_group(
     ds, key: str = "lang", col: str = "n_chars", id_col: str = "doc_id",
     partitions: int = 16,

@@ -1782,3 +1782,35 @@ class TestPercentRank:
         # lang a: ties 5,5 share rank 0; 7 -> 2/3; 9 -> 3/3
         # lang b: both tied at 0; lang c: single row pins to 0
         assert got == {1: 0, 2: 0, 3: 666666, 4: 1000000, 5: 0, 6: 0, 7: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRangeJoin:
+    def test_boundaries_and_zero_counts(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        W = 100  # window in fake "us"
+        left = pa.table(
+            {
+                "id": [1, 2, 3],
+                "lts": pa.array([1000, 1050, 5000], pa.int64()),
+            }
+        )
+        # right rows: at lo (counted), at hi (excluded), straddling the
+        # bucket boundary of id 2's window [1050, 1150) -> bucket 10 and 11
+        right = pa.table(
+            {"rts": pa.array([1000, 1100, 1149, 1150, 999, 2000], pa.int64())}
+        )
+        got = dict(
+            (r["id"], r["n_in_window"])
+            for r in relational.range_join_counts(
+                rd.from_arrow(left), rd.from_arrow(right), "lts", "rts", "id", W
+            ).take_all()
+        )
+        # id1 [1000,1100): 1000 yes, 1100 no (hi-exclusive), 999 no -> 1
+        # id2 [1050,1150): 1100, 1149 yes (1149 is in bucket 11: cross-bucket), 1150 no -> 2
+        # id3 [5000,5100): nothing -> 0 survives
+        assert got == {1: 1, 2: 2, 3: 0}
