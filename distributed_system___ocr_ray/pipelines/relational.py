@@ -540,6 +540,15 @@ def running_totals(sf_dir: str, partitions: int | None = None):
     )
 
 
+def count_in_window(lts: np.ndarray, sorted_rts: np.ndarray, window_us: int) -> np.ndarray:
+    """Per left timestamp, how many of the SORTED right timestamps fall in
+    ``[l, l + window_us)`` — the range join's per-bucket kernel (two
+    vectorized searchsorted calls; property-tested against brute force)."""
+    return np.searchsorted(sorted_rts, lts + window_us, side="left") - np.searchsorted(
+        sorted_rts, lts, side="left"
+    )
+
+
 def range_join_counts(
     left, right, left_ts: str, right_ts: str, left_id: str,
     window_us: int, out_col: str = "n_in_window",
@@ -598,9 +607,7 @@ def range_join_counts(
         lts = lrows["__lts"].to_numpy(np.int64)
         # right rows in THIS bucket that fall in [l, l+W): the two-bucket
         # replication guarantees every (l, r) pair co-locates exactly once
-        n = np.searchsorted(rts, lts + window_us, side="left") - np.searchsorted(
-            rts, lts, side="left"
-        )
+        n = count_in_window(lts, rts, window_us)
         return pd.DataFrame(
             {left_id: lrows[left_id].to_numpy(np.int64), out_col: n.astype(np.int64)}
         )
@@ -630,31 +637,40 @@ def percent_rank_by_group(
         return hash_bucket_column(batch, key, partitions)
 
     def rank_partition(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key, col], kind="mergesort")
-        k_arr = g[key].to_numpy()
-        v = g[col].to_numpy()
-        n_rows = len(g)
-        new_key = np.concatenate(([True], k_arr[1:] != k_arr[:-1]))
-        starts = np.flatnonzero(new_key)
-        counts = np.diff(np.append(starts, n_rows))
-        pos = np.arange(n_rows) - np.repeat(starts, counts)  # 0-based within key
-        # RANK() tie-min: a row's rank is the 0-based position of the FIRST
-        # row sharing its (key, value) -- forward-fill the index of the last
-        # boundary (key change or value change), then take ITS position
-        new_val = new_key | np.concatenate(([True], v[1:] != v[:-1]))
-        idx_of_first = np.maximum.accumulate(np.where(new_val, np.arange(n_rows), -1))
-        rank = pos[idx_of_first]
-        n_in_key = np.repeat(counts, counts)
-        denom = np.maximum(n_in_key - 1, 1)  # single-row groups: rank is 0 anyway
-        rank_ppm = (rank.astype(np.int64) * 1_000_000) // denom
-        return pd.DataFrame(
-            {id_col: g[id_col].to_numpy(), key: k_arr, "rank_ppm": rank_ppm}
-        )
+        return rank_partition_frame(group, key, col, id_col)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(rank_partition, batch_format="pandas")
+    )
+
+
+def rank_partition_frame(group, key: str, col: str, id_col: str):
+    """percent_rank_by_group's per-partition kernel (module-level so it is
+    property-testable without Ray): sort by (key, col), RANK tie-min via
+    boundary forward-fill, scale to ``(rank-1)*1e6 // (n-1)`` per key."""
+    import pandas as pd
+
+    g = group.sort_values([key, col], kind="mergesort")
+    k_arr = g[key].to_numpy()
+    v = g[col].to_numpy()
+    n_rows = len(g)
+    new_key = np.concatenate(([True], k_arr[1:] != k_arr[:-1]))
+    starts = np.flatnonzero(new_key)
+    counts = np.diff(np.append(starts, n_rows))
+    pos = np.arange(n_rows) - np.repeat(starts, counts)  # 0-based within key
+    # RANK() tie-min: a row's rank is the 0-based position of the FIRST
+    # row sharing its (key, value) -- forward-fill the index of the last
+    # boundary (key change or value change), then take ITS position
+    new_val = new_key | np.concatenate(([True], v[1:] != v[:-1]))
+    idx_of_first = np.maximum.accumulate(np.where(new_val, np.arange(n_rows), -1))
+    rank = pos[idx_of_first]
+    n_in_key = np.repeat(counts, counts)
+    denom = np.maximum(n_in_key - 1, 1)  # single-row groups: rank is 0 anyway
+    rank_ppm = (rank.astype(np.int64) * 1_000_000) // denom
+    return pd.DataFrame(
+        {id_col: g[id_col].to_numpy(), key: k_arr, "rank_ppm": rank_ppm}
     )
 
 

@@ -173,3 +173,50 @@ class TestSketchProperties:
         assert (a.merge(b).words == whole.words).all()
         rt = BloomFilter.from_bytes(whole.to_bytes())
         assert (rt.words == whole.words).all() and (rt.m, rt.k) == (whole.m, whole.k)
+
+
+class TestRangeJoinKernel:
+    @given(
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=40),
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=60),
+        st.integers(min_value=1, max_value=700),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_bucket_replication_equals_brute_force(self, lts, rts, w):
+        """The operator's math: a left row replicated into buckets b(l) and
+        b(l)+1, each counting only ITS bucket's right rows, must total the
+        brute-force window count — for any timestamps and window width."""
+        from distributed_system___ocr_ray.pipelines.relational import count_in_window
+
+        lts_a = np.array(lts, dtype=np.int64)
+        rts_a = np.array(rts, dtype=np.int64)
+        rb = rts_a // w
+        total = np.zeros(len(lts), dtype=np.int64)
+        for l_idx, l in enumerate(lts_a):
+            for b in (l // w, l // w + 1):
+                in_b = np.sort(rts_a[rb == b])
+                total[l_idx] += count_in_window(np.array([l]), in_b, w)[0]
+        brute = np.array([((lts_a[i] <= rts_a) & (rts_a < lts_a[i] + w)).sum() for i in range(len(lts))])
+        assert total.tolist() == brute.tolist()
+
+
+class TestPercentRankKernel:
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("abc"), st.integers(min_value=-50, max_value=50)),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_matches_pandas_rank(self, rows):
+        """rank_ppm == (pandas groupby rank(method='min') - 1) * 1e6 // (n-1),
+        the exact SQL RANK()/percent_rank relationship, for any key/value mix."""
+        from distributed_system___ocr_ray.pipelines.relational import rank_partition_frame
+
+        df = pd.DataFrame(rows, columns=["key", "col"]).reset_index(names="id")
+        got = rank_partition_frame(df, "key", "col", "id").set_index("id")["rank_ppm"]
+        rk = df.groupby("key")["col"].rank(method="min").astype(np.int64) - 1
+        n = df.groupby("key")["col"].transform("size").astype(np.int64)
+        exp = (rk * 1_000_000) // np.maximum(n - 1, 1)
+        assert got.sort_index().tolist() == exp.sort_index().tolist()
