@@ -694,6 +694,27 @@ def _q_customer_order_counts(sf_dir: str):
     return joined.map_batches(clean, batch_format="pandas")
 
 
+def _q_docs_rollup(sf_dir: str):
+    """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
+    levels fold from the finest inside the single final block; rolled
+    columns carry 'ALL'. Oracle: GROUP BY ROLLUP + COALESCE."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.rollup_counts(
+        _docs(sf_dir, ["lang", "source"]), ["lang", "source"]
+    )
+
+
+def _q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the best-quality representative per content
+    group (max quality_ppm, tie min doc_id) — quality computed map-side,
+    per-batch partial argmax, group-domain-sized shuffle. Oracle: the
+    shared quality CTE + a row_number window."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.dedup_keep_best(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_shipments_within_7d(sf_dir: str):
     """Band/range join (no equality key): per order, count ALL lineitem
     shipments corpus-wide with l_shipdate in [o_orderdate, +7 days).
@@ -1631,6 +1652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_customer_order_counts,
         "cow_delete_counts": _q_cow_delete_counts,
         "shipments_within_7d": _q_shipments_within_7d,
+        "docs_rollup": _q_docs_rollup,
+        "dedup_keep_best": _q_dedup_keep_best,
         "running_totals": _q_running_totals,
         "robust_outliers": _q_robust_outliers,
         "collocations": _q_collocations,
@@ -2881,6 +2904,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders "
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             "FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey"
+        ),
+        # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
+        "docs_rollup": (
+            "SELECT COALESCE(lang, 'ALL') AS lang, "
+            "COALESCE(source, 'ALL') AS source, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY ROLLUP(lang, source)"
+        ),
+        # replays _q_dedup_keep_best: shared quality CTE, then per-content
+        # argmax via the (quality DESC, doc_id ASC) window
+        "dedup_keep_best": (
+            f"WITH {_quality_ctes()}, "
+            "q AS (SELECT r.doc_id, d.text, "
+            f"{_QPPM_EXPR} AS quality_ppm "
+            "FROM r JOIN documents d USING (doc_id)), "
+            "w AS (SELECT doc_id, text, quality_ppm, "
+            "row_number() OVER (PARTITION BY text "
+            "ORDER BY quality_ppm DESC, doc_id) AS rn, "
+            "COUNT(*) OVER (PARTITION BY text) AS n_copies FROM q) "
+            "SELECT doc_id AS keeper_doc_id, quality_ppm, "
+            "CAST(n_copies AS BIGINT) AS n_copies FROM w WHERE rn = 1"
         ),
         # replays _q_shipments_within_7d: LEFT range join, exact us bounds
         "shipments_within_7d": (

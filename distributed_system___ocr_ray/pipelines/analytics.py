@@ -156,6 +156,61 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def dedup_keep_best(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Exact dedup that keeps the BEST-quality representative per content
+    group (max quality_ppm, then min id — not first-by-id): the curation
+    policy that matters when duplicates differ in upstream cleaning.
+
+    Shuffle payload is (hash, id, quality) — quality is computed MAP-SIDE
+    before the exchange and the text never moves. Per-batch partial argmax
+    first (each batch contributes at most one candidate per group), so the
+    shuffle is group-domain-sized, then the same argmax merges per group.
+    Returns (keeper id, its quality, copy count) per distinct content."""
+    from ray.data.aggregate import Count
+
+    def hash_quality(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col]).to_pandas()
+        df["text_hash"] = dk.sha256_hex(batch.column(text_col).to_pylist())
+        df["quality_ppm"] = (
+            ts.quality_features(batch.column(text_col).to_pandas())["quality_ppm"]
+            .to_numpy(np.int64)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def argmax_frame(df: pd.DataFrame) -> pd.DataFrame:
+        # max quality, tie -> min id: sort then first per group
+        g = df.sort_values(
+            ["text_hash", "quality_ppm", id_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return g.groupby("text_hash", sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cand = argmax_frame(df[["text_hash", id_col, "quality_ppm"]])
+        n = df.groupby("text_hash", sort=False).size().rename("n_copies").reset_index()
+        return pa.Table.from_pandas(cand.merge(n, on="text_hash"), preserve_index=False)
+
+    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+        best = argmax_frame(group)[["text_hash", id_col, "quality_ppm"]]
+        tot = group.groupby("text_hash", sort=False)["n_copies"].sum().reset_index()
+        out = best.merge(tot, on="text_hash")
+        return pd.DataFrame(
+            {
+                "keeper_doc_id": out[id_col].astype("int64"),
+                "quality_ppm": out["quality_ppm"].astype("int64"),
+                "n_copies": out["n_copies"].astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(hash_quality, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(merge_group, batch_format="pandas")
+    )
+
+
 def _concat_column(tables: list[pa.Table], col: str) -> pa.Array:
     """Column across collected blocks, skipping the schema-less empties an
     all-filtered block produces (a bare empty table has no columns at all,
@@ -2762,6 +2817,44 @@ def domain_counts(ds, text_col: str = "text", k: int = 20):
         .repartition(1)
         .map_batches(block_topk, batch_format="pandas", batch_size=None)
     )
+
+
+def rollup_counts(ds, keys: list[str], sentinel: str = "ALL"):
+    """OLAP ROLLUP over bounded-domain keys: counts at every prefix level
+    ((k1, k2), (k1), ()) in ONE pass — the finest-level counts shuffle once
+    (pre-aggregated per batch, key-domain-sized), and every coarser level
+    is a driver-free fold of the finest level inside the single final
+    block (coarse counts are sums of fine counts; no second pass over
+    data). Rolled-up columns carry ``sentinel``, matching the SQL
+    ``COALESCE(col, 'ALL') ... GROUP BY ROLLUP`` replay."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        g = df.groupby(keys, sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys, [("n", "sum")], [*keys, "n"],
+    )
+
+    def add_levels(batch: pd.DataFrame) -> pd.DataFrame:
+        levels = [batch]
+        for i in range(len(keys) - 1, -1, -1):
+            lvl = (
+                batch.groupby(keys[:i], sort=False)["n"].sum().reset_index()
+                if i
+                else pd.DataFrame({"n": [batch["n"].sum()]})
+            )
+            for k in keys[i:]:
+                lvl[k] = sentinel
+            levels.append(lvl[[*keys, "n"]])
+        out = pd.concat(levels, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return fine.map_batches(add_levels, batch_format="pandas", batch_size=None)
 
 
 def collocations(

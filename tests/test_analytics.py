@@ -1814,3 +1814,46 @@ class TestRangeJoin:
         # id2 [1050,1150): 1100, 1149 yes (1149 is in bucket 11: cross-bucket), 1150 no -> 2
         # id3 [5000,5100): nothing -> 0 survives
         assert got == {1: 1, 2: 2, 3: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollupAndKeepBest:
+    def test_rollup_levels_sum(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pa.table(
+            {
+                "lang": ["en", "en", "en", "fr"],
+                "source": ["a", "a", "b", "a"],
+            }
+        )
+        rows = analytics.rollup_counts(rd.from_arrow(t), ["lang", "source"]).take_all()
+        got = {(r["lang"], r["source"]): r["n"] for r in rows}
+        assert got == {
+            ("en", "a"): 2, ("en", "b"): 1, ("fr", "a"): 1,
+            ("en", "ALL"): 3, ("fr", "ALL"): 1, ("ALL", "ALL"): 4,
+        }
+
+    def test_keep_best_prefers_quality_then_min_id(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # same text twice -> one group with n_copies 2; distinct texts keep
+        # their own rows. doc 2 and 5 share content; equal quality (same
+        # text) so min id 2 wins.
+        t = pa.table(
+            {
+                "doc_id": [5, 2, 9],
+                "text": ["the same clean text here.", "the same clean text here.", "x"],
+            }
+        )
+        rows = sorted(
+            analytics.dedup_keep_best(rd.from_arrow(t)).take_all(),
+            key=lambda r: r["keeper_doc_id"],
+        )
+        assert [(r["keeper_doc_id"], r["n_copies"]) for r in rows] == [(2, 2), (9, 1)]
