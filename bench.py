@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "cms_top_tokens", "epoch_shuffle", "sample_exact_n",
         "line_dedup", "novel_docs_bloom", "running_totals",
         "robust_outliers", "collocations", "pruned_range_read",
+        "shipments_within_7d", "dedup_keep_best",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
