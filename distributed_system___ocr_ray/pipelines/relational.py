@@ -250,7 +250,10 @@ def bucketed_grouped_sum(ds, key: str, sum_col: str, buckets: int = 64):
     sort-based shuffle ON THE STRINGS — measured 11.2 s vs 2.1 s for this
     formulation on the same 59k-row partial table (round-3 bench finding);
     the values are identical, only the exchange key changes. Callers
-    pre-aggregate per batch first so the shuffle is key-domain-sized."""
+    pre-aggregate per batch first so the shuffle is key-domain-sized.
+    ``buckets`` is the per-task memory knob: one bucket holds
+    ~(batches x per-batch distinct keys) / buckets partial rows — raise it
+    for corpus-scale vocabularies (same sizing rule as derive_buckets)."""
     import pandas as pd
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -567,21 +570,22 @@ def range_join_counts(
     id-bucketed count merge — at 100 TB the bucket width IS the window, so
     skew only arises if one window holds a corpus-scale burst; re-bucket by
     ``(bucket, salt)`` on the right side in that case."""
-    import pandas as pd
+    _ls = left.schema()
+    lid_type = dict(zip(_ls.names, _ls.types))[left_id]
 
     def tag_left(batch: pa.Table) -> pa.Table:
         ts = batch.column(left_ts).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ids = batch.column(left_id).to_numpy(zero_copy_only=False)
+        n_rows = batch.num_rows
+        dup = pa.array(np.tile(np.arange(n_rows, dtype=np.int64), 2))
         b0 = ts // window_us
-        out_ids = np.concatenate([ids, ids])
         out_ts = np.concatenate([ts, ts])
         out_b = np.concatenate([b0, b0 + 1])
         return pa.table(
             {
                 "__rbucket": pa.array(out_b, pa.int64()),
-                left_id: pa.array(out_ids),
+                left_id: batch.column(left_id).take(dup),
                 "__lts": pa.array(out_ts, pa.int64()),
-                "__rts": pa.nulls(2 * batch.num_rows, pa.int64()),
+                "__rts": pa.nulls(2 * n_rows, pa.int64()),
             }
         )
 
@@ -590,7 +594,7 @@ def range_join_counts(
         return pa.table(
             {
                 "__rbucket": pa.array(ts // window_us, pa.int64()),
-                left_id: pa.nulls(batch.num_rows, pa.int64()),
+                left_id: pa.nulls(batch.num_rows, lid_type),
                 "__lts": pa.nulls(batch.num_rows, pa.int64()),
                 "__rts": pa.array(ts, pa.int64()),
             }
@@ -600,19 +604,27 @@ def range_join_counts(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def count_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lmask = group["__lts"].notna()
-        lrows = group[lmask]
-        rts = np.sort(group.loc[~lmask, "__rts"].to_numpy(np.int64))
-        lts = lrows["__lts"].to_numpy(np.int64)
+    def count_bucket(group: pa.Table) -> pa.Table:
+        # stay in Arrow: a pandas conversion would upcast the null-padded
+        # int64 columns to float64, which corrupts microsecond timestamps
+        # past 2^53 and silently shifts window boundaries
+        lmask = pc.is_valid(group.column("__lts"))
+        lrows = group.filter(lmask)
+        rts = np.sort(
+            group.filter(pc.invert(lmask)).column("__rts").to_numpy(zero_copy_only=False)
+        )
+        lts = lrows.column("__lts").to_numpy(zero_copy_only=False)
         # right rows in THIS bucket that fall in [l, l+W): the two-bucket
         # replication guarantees every (l, r) pair co-locates exactly once
         n = count_in_window(lts, rts, window_us)
-        return pd.DataFrame(
-            {left_id: lrows[left_id].to_numpy(np.int64), out_col: n.astype(np.int64)}
+        return pa.table(
+            {
+                left_id: lrows.column(left_id),
+                out_col: pa.array(n.astype(np.int64), pa.int64()),
+            }
         )
 
-    partials = both.groupby("__rbucket").map_groups(count_bucket, batch_format="pandas")
+    partials = both.groupby("__rbucket").map_groups(count_bucket, batch_format="pyarrow")
     return bucketed_grouped_sum(partials, left_id, out_col)
 
 
