@@ -585,3 +585,43 @@ class TestVerifyAudit:
         # footer-only audit skips the stats read but still catches missing
         rep2 = lance_like.verify(d, check_stats=False)
         assert not rep2["ok"] and all("stats" not in e for e in rep2["errors"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableLifecycle:
+    def test_write_append_delete_compact_gc_verify(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        # 5 small appends of 20 rows each
+        for i in range(5):
+            t = pa.table(
+                {
+                    "doc_id": list(range(i * 20, i * 20 + 20)),
+                    "lang": [f"l{j % 2}" for j in range(20)],
+                }
+            )
+            lance_like.write_table(t, d, rows_per_fragment=10, mode="append")
+        assert lance_like.verify(d)["ok"]
+
+        # delete a range spanning append boundaries
+        man = lance_like.delete_where(d, [("doc_id", "between", (15, 34))])
+        assert man["rows_deleted"] == 20
+
+        # compact the accumulated small fragments
+        lance_like.compact(d, target_rows_per_fragment=40)
+        assert lance_like.verify(d)["ok"]
+
+        # gc old versions; the surviving table still reads correctly
+        stats = lance_like.gc(d, keep_versions=1)
+        assert stats["deleted_manifests"]
+        rep = lance_like.verify(d)
+        assert rep["ok"], rep["errors"]
+        ids = sorted(lance_like.read_arrow(d).column("doc_id").to_pylist())
+        assert ids == [i for i in range(100) if not (15 <= i <= 34)]
+
+        # zone maps survive the whole lifecycle: a range read still prunes
+        paths, total = lance_like.pruned_fragment_paths(d, [("doc_id", ">=", 90)])
+        assert 0 < len(paths) < total
