@@ -694,6 +694,51 @@ def _q_customer_order_counts(sf_dir: str):
     return joined.map_batches(clean, batch_format="pandas")
 
 
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type — the exact twin of the
+    HLL approx path. Distinct pairs shuffle on a val-hash bucket (hot keys
+    spread); per-bucket counts are disjoint and sum exactly."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return analytics.grouped_distinct_count(ev, "event_type", "user_id")
+
+
+def _q_last_event_per_user(sf_dir: str):
+    """Per-user latest event (argmax record): per-batch partial argmax,
+    key-bucketed merge; value in integer cents. Oracle: row_number DESC
+    window."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": t,
+                "event_type": batch.column("event_type"),
+                "value_cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = analytics.latest_record_per_key(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id", "ts_us", ["event_type", "value_cents"],
+    )
+    return out
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -1653,6 +1698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cow_delete_counts": _q_cow_delete_counts,
         "shipments_within_7d": _q_shipments_within_7d,
         "docs_rollup": _q_docs_rollup,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
         "running_totals": _q_running_totals,
         "robust_outliers": _q_robust_outliers,
@@ -2904,6 +2951,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders "
             "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt "
             "FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey"
+        ),
+        # replays _q_distinct_users_by_type
+        "distinct_users_by_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_distinct FROM events GROUP BY event_type"
+        ),
+        # replays _q_last_event_per_user: argmax by (ts, type, cents) DESC
+        "last_event_per_user": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS value_cents, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, "
+            "event_type DESC, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC) AS rn "
+            "FROM events) "
+            "SELECT user_id, ts_us, event_type, value_cents FROM s WHERE rn = 1"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

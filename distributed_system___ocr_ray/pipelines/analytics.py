@@ -2819,6 +2819,73 @@ def domain_counts(ds, text_col: str = "text", k: int = 20):
     )
 
 
+def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT val) per group (the exact twin of the HLL
+    approx path): per-batch (key, val) dedup first — the shuffle moves
+    distinct PAIRS, never rows — then one more per-group dedup+count after
+    the exchange. Bounded-key output merges through the tiny final."""
+    from .relational import tiny_final_groupby
+
+    def pair_dedup(batch: pa.Table) -> pa.Table:
+        df = batch.select([key, val]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(pair_dedup, batch_format="pyarrow")
+
+    # pair-dedup per batch is NOT globally distinct yet: bucket by VAL so
+    # identical pairs always co-locate (and a hot key's distinct values
+    # spread across buckets instead of melting one task), dedup per bucket,
+    # then per-key bucket counts are disjoint and sum exactly
+    from .relational import hash_bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, val, 64)
+
+    def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
+        df = group[[key, val]].drop_duplicates()
+        return df.groupby(key, sort=False)[val].nunique().rename(out_col).reset_index()
+
+    partials = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_count, batch_format="pandas")
+    )
+    return tiny_final_groupby(partials, [key], [(out_col, "sum")], [key, out_col])
+
+
+def latest_record_per_key(ds, key: str, ts_col: str, payload_cols: list[str]):
+    """Per-key argmax record (e.g. each user's LATEST event): per-batch
+    partial argmax — each batch forwards at most one row per key — then a
+    key-bucketed exchange where the same argmax merges. Ties on the
+    timestamp break to the largest payload tuple (deterministic, matching
+    the SQL row_number ORDER BY ... DESC replay). The shuffle moves one
+    slim row per (batch, key), never the corpus."""
+    from .relational import hash_bucket_column
+
+    cols = [key, ts_col, *payload_cols]
+
+    def argmax_frame(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values([key, ts_col, *payload_cols], ascending=False, kind="mergesort")
+        return g.groupby(key, sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        return pa.Table.from_pandas(argmax_frame(df), preserve_index=False)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key, 64)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return argmax_frame(group[cols])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
+
+
 def rollup_counts(ds, keys: list[str], sentinel: str = "ALL"):
     """OLAP ROLLUP over bounded-domain keys: counts at every prefix level
     ((k1, k2), (k1), ()) in ONE pass — the finest-level counts shuffle once

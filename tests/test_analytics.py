@@ -1857,3 +1857,38 @@ class TestRollupAndKeepBest:
             key=lambda r: r["keeper_doc_id"],
         )
         assert [(r["keeper_doc_id"], r["n_copies"]) for r in rows] == [(2, 2), (9, 1)]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDistinctAndArgmax:
+    def test_grouped_distinct_cross_batch(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # the same (a, 1) pair in two different blocks must count ONCE
+        t1 = pa.table({"k": ["a", "a", "b"], "v": [1, 2, 1]})
+        t2 = pa.table({"k": ["a", "b", "b"], "v": [1, 1, 3]})
+        ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+        got = {
+            r["k"]: r["n_distinct"]
+            for r in analytics.grouped_distinct_count(ds, "k", "v").take_all()
+        }
+        assert got == {"a": 2, "b": 2}
+
+    def test_latest_record_ties_and_cross_batch(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t1 = pa.table({"u": [1, 1], "t": [10, 20], "p": ["x", "y"]})
+        t2 = pa.table({"u": [1, 2], "t": [20, 5], "p": ["z", "q"]})
+        ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+        rows = sorted(
+            analytics.latest_record_per_key(ds, "u", "t", ["p"]).take_all(),
+            key=lambda r: r["u"],
+        )
+        # user 1: two rows tie at t=20 across batches -> max payload "z" wins
+        assert [(r["u"], r["t"], r["p"]) for r in rows] == [(1, 20, "z"), (2, 5, "q")]
