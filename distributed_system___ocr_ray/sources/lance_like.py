@@ -274,6 +274,32 @@ def pruned_fragment_paths(
     return [os.path.join(table_dir, f["path"]) for f in keep], len(man["fragments"])
 
 
+def _predicates_expr(predicates: list[tuple]):
+    """ANDed pyarrow dataset expression for ``(col, op, value)`` predicates
+    — the row-level pushdown twin of ``_fragment_may_match``."""
+    import pyarrow.compute as pc
+
+    expr = None
+    for col, op, val in predicates:
+        f = pc.field(col)
+        if op == "==":
+            e = f == val
+        elif op == "<":
+            e = f < val
+        elif op == "<=":
+            e = f <= val
+        elif op == ">":
+            e = f > val
+        elif op == ">=":
+            e = f >= val
+        elif op == "between":
+            e = (f >= val[0]) & (f <= val[1])
+        else:
+            raise ValueError(f"unknown predicate op {op!r}; use one of {_PRED_OPS}")
+        expr = e if expr is None else expr & e
+    return expr
+
+
 def read_dataset(
     table_dir: str,
     version: int | None = None,
@@ -282,14 +308,16 @@ def read_dataset(
 ):
     """Open a Lance-style table as a ``ray.data.Dataset`` (manifest-pinned).
 
-    ``predicates`` (ANDed ``(col, op, value)``) prune fragments via the
-    manifest zone maps BEFORE the read is planned — the storage-layer
-    analogue of passing a row filter to read_parquet, and the piece that
-    makes range queries over sorted/clustered tables O(matching fragments)
-    at 100 TB. Fragment-level only: the caller still applies the exact row
-    filter downstream. An all-pruned read returns an empty Dataset with the
-    table's schema (read of one fragment sliced to zero rows would be
-    wasteful; we read the schema from the first fragment's footer)."""
+    ``predicates`` (ANDed ``(col, op, value)``) prune at TWO levels:
+    fragments via the manifest zone maps BEFORE the read is planned (range
+    queries over sorted/clustered tables touch O(matching fragments) at
+    100 TB), then the same predicates push down into ``read_parquet`` as a
+    pyarrow expression, so parquet row-group stats skip row groups inside
+    the survivors and the rows that come back match EXACTLY. Callers may
+    still re-apply the filter defensively (it is a no-op). An all-pruned
+    read returns an empty Dataset with the table's schema (read of one
+    fragment sliced to zero rows would be wasteful; we read the schema from
+    the first fragment's footer)."""
     import ray.data as rd
 
     if not predicates:
@@ -302,7 +330,7 @@ def read_dataset(
         if cols:
             schema = pa.schema([schema.field(c) for c in cols])
         return rd.from_arrow(schema.empty_table())
-    return rd.read_parquet(paths, **read_parquet_kwargs)
+    return rd.read_parquet(paths, filter=_predicates_expr(predicates), **read_parquet_kwargs)
 
 
 def manifest_over_files(paths: list[str], table_dir: str) -> dict:

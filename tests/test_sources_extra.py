@@ -625,3 +625,21 @@ class TestTableLifecycle:
         # zone maps survive the whole lifecycle: a range read still prunes
         paths, total = lance_like.pruned_fragment_paths(d, [("doc_id", ">=", 90)])
         assert 0 < len(paths) < total
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPredicatePushdown:
+    def test_predicate_read_returns_exact_rows(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        t = pa.table({"doc_id": list(range(100)), "lang": [f"l{i % 3}" for i in range(100)]})
+        lance_like.write_table(t, d, rows_per_fragment=10)
+        # rows come back exactly matching (pushdown), not just fragment-level
+        rows = lance_like.read_dataset(
+            d, predicates=[("doc_id", "between", (25, 47)), ("lang", "==", "l0")]
+        ).take_all()
+        ids = sorted(r["doc_id"] for r in rows)
+        assert ids == [i for i in range(25, 48) if i % 3 == 0]
