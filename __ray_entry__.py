@@ -739,6 +739,31 @@ def _q_last_event_per_user(sf_dir: str):
     return out
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot_daily(sf_dir: str):
+    """Long-to-wide pivot: one row per day, one count column per event
+    type (fixed vocabulary). One key-domain-sized shuffle; the single
+    final block reshapes. Oracle: conditional aggregation with the same
+    n_{type} column names."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False) // (86400 * 10**6)
+        return pa.table(
+            {"day": pa.array(d, pa.int64()), "event_type": batch.column("event_type")}
+        )
+
+    return analytics.pivot_counts(
+        ev.map_batches(day, batch_format="pyarrow"), "day", "event_type", _EVENT_TYPES
+    )
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -1698,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cow_delete_counts": _q_cow_delete_counts,
         "shipments_within_7d": _q_shipments_within_7d,
         "docs_rollup": _q_docs_rollup,
+        "events_pivot_daily": _q_events_pivot_daily,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2965,6 +2991,11 @@ def oracle_sql() -> dict[str, str]:
             "event_type DESC, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) DESC) AS rn "
             "FROM events) "
             "SELECT user_id, ts_us, event_type, value_cents FROM s WHERE rn = 1"
+        ),
+        # replays _q_events_pivot_daily: same day floor + n_{type} names
+        "events_pivot_daily": (
+            "SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

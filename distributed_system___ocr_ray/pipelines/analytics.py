@@ -2886,6 +2886,41 @@ def latest_record_per_key(ds, key: str, ts_col: str, payload_cols: list[str]):
     )
 
 
+def pivot_counts(ds, row_key: str, col_key: str, col_values: list[str]):
+    """Long-to-wide pivot with a FIXED column vocabulary (``col_values`` —
+    pivots with unbounded column sets are a schema smell at scale): counts
+    per (row_key, col_value) shuffle once (pre-aggregated, key-domain-
+    sized), then the single final block reshapes to one row per row_key
+    with one int64 column per value (absent combinations are 0). Column
+    names are ``n_{value}``, shared verbatim with the SQL conditional-
+    aggregation oracle."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([row_key, col_key]).to_pandas()
+        g = df.groupby([row_key, col_key], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [row_key, col_key], [("n", "sum")], [row_key, col_key, "n"],
+    )
+
+    def reshape(batch: pd.DataFrame) -> pd.DataFrame:
+        wide = (
+            batch.pivot_table(
+                index=row_key, columns=col_key, values="n",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=col_values, fill_value=0)
+            .astype("int64")
+        )
+        wide.columns = [f"n_{c}" for c in wide.columns]
+        return wide.reset_index()
+
+    return fine.map_batches(reshape, batch_format="pandas", batch_size=None)
+
+
 def rollup_counts(ds, keys: list[str], sentinel: str = "ALL"):
     """OLAP ROLLUP over bounded-domain keys: counts at every prefix level
     ((k1, k2), (k1), ()) in ONE pass — the finest-level counts shuffle once

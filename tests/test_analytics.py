@@ -1892,3 +1892,20 @@ class TestDistinctAndArgmax:
         )
         # user 1: two rows tie at t=20 across batches -> max payload "z" wins
         assert [(r["u"], r["t"], r["p"]) for r in rows] == [(1, 20, "z"), (2, 5, "q")]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPivot:
+    def test_pivot_fills_absent_combinations(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pa.table({"k": [1, 1, 2], "c": ["a", "a", "b"]})
+        rows = sorted(
+            analytics.pivot_counts(rd.from_arrow(t), "k", "c", ["a", "b", "z"]).take_all(),
+            key=lambda r: r["k"],
+        )
+        assert rows[0] == {"k": 1, "n_a": 2, "n_b": 0, "n_z": 0}
+        assert rows[1] == {"k": 2, "n_a": 0, "n_b": 1, "n_z": 0}
