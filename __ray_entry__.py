@@ -805,24 +805,64 @@ def _q_shipments_within_7d(sf_dir: str):
     )
 
 
+def _range_bounds(sf_dir: str) -> tuple[int, int]:
+    """[3N/10, 11N/20) — the ONE definition of the doc_id range the two
+    storage-layer range queries and their oracle SQL share (the _RANGE_CTE
+    twin; a drift between copies would silently break the
+    shares-the-oracle-verbatim contract — review finding, round 3)."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return 3 * n // 10, 11 * n // 20
+
+
+# SQL twin of _range_bounds: same integer arithmetic, computed by DuckDB
+_RANGE_CTE = (
+    "b AS (SELECT 3 * COUNT(*) // 10 AS lo, 11 * COUNT(*) // 20 AS hi "
+    "FROM documents)"
+)
+
+
+def _lang_agg(ds):
+    """(lang, n_docs, sum_chars) over a (doc_id, lang, n_chars) Dataset —
+    the shared aggregation tail of the two range queries."""
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+
+    def agg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
+                "sum_chars": batch.column("n_chars").cast(pa.int64()),
+            }
+        )
+
+    return tiny_final_groupby(
+        ds.map_batches(agg, batch_format="pyarrow"),
+        ["lang"],
+        [("n_docs", "sum"), ("sum_chars", "sum")],
+        ["lang", "n_docs", "sum_chars"],
+    )
+
+
 def _q_cow_delete_counts(sf_dir: str):
     """Copy-on-write delete end-to-end: stream documents into a Lance-style
-    table (contiguous fragments + zone maps), DELETE the doc_id range
-    [3N/10, 11N/20) — write amplification bounded by the zone maps
-    (untouched fragments carry over by reference; the guard raises unless
-    some fragments were carried AND some rows were deleted) — then
-    aggregate the surviving rows per lang. The oracle is the complement
-    WHERE clause over the source table."""
+    table (contiguous fragments + zone maps), DELETE the shared doc_id
+    range — write amplification bounded by the zone maps (untouched
+    fragments carry over by reference; the guard raises unless some
+    fragments were carried AND some rows were deleted) — then aggregate
+    the surviving rows per lang. The oracle is the complement WHERE clause
+    over the source table."""
+    import os
     import shutil
     import tempfile
 
     import pyarrow.parquet as pq
 
-    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
     from distributed_system___ocr_ray.sources import lance_like
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    lo, hi = 3 * n // 10, 11 * n // 20
+    lo, hi = _range_bounds(sf_dir)
     tdir = tempfile.mkdtemp(prefix="graft_cow_") + "/docs"
     try:
         lance_like.write_dataset(
@@ -838,52 +878,32 @@ def _q_cow_delete_counts(sf_dir: str):
                 f"copy-on-write delete shape wrong: {man['rows_deleted']} rows, "
                 f"{man['fragments_carried']} carried"
             )
-
-        def agg(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "lang": batch.column("lang"),
-                    "n_docs": pa.array([1] * batch.num_rows, pa.int64()),
-                    "sum_chars": batch.column("n_chars").cast(pa.int64()),
-                }
-            )
-
-        out = tiny_final_groupby(
-            lance_like.read_dataset(tdir).map_batches(agg, batch_format="pyarrow"),
-            ["lang"],
-            [("n_docs", "sum"), ("sum_chars", "sum")],
-            ["lang", "n_docs", "sum_chars"],
-        )
-        return out.to_pandas()
+        return _lang_agg(lance_like.read_dataset(tdir)).to_pandas()
     finally:
-        import os
-
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
 
 
 def _q_pruned_range_read(sf_dir: str):
     """Zone-map pruned range read end-to-end: stream documents into a
     Lance-style table (~10 contiguous fragments, per-fragment min/max
-    recorded in the manifest), then answer a doc_id range query
-    [3N/10, 11N/20) by pruning fragments from the MANIFEST ALONE before the
-    read is planned, exact-filtering the survivors, and aggregating per
-    lang. Raises unless pruning actually skipped fragments, so the green
-    CORRECTNESS row certifies both the zone maps' correctness (vs the
-    full-scan SQL) and their effectiveness. At 100 TB this is the
-    O(matching-fragments) range-scan path (Lance/Iceberg zone-map
-    semantics); the exact row filter after the prune is mandatory —
-    pruning changes cost, never results."""
+    recorded in the manifest), then answer the shared doc_id range query
+    by pruning fragments from the MANIFEST ALONE before the read is
+    planned (exact filter pushed down into the surviving fragments'
+    read), and aggregating per lang. Raises unless pruning actually
+    skipped fragments, so the green CORRECTNESS row certifies both the
+    zone maps' correctness (vs the full-scan SQL) and their
+    effectiveness. At 100 TB this is the O(matching-fragments) range-scan
+    path (Lance/Iceberg zone-map semantics)."""
+    import os
     import shutil
     import tempfile
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
     from distributed_system___ocr_ray.sources import lance_like
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    lo, hi = 3 * n // 10, 11 * n // 20
+    lo, hi = _range_bounds(sf_dir)
     tdir = tempfile.mkdtemp(prefix="graft_prune_") + "/docs"
     try:
         lance_like.write_dataset(
@@ -891,39 +911,14 @@ def _q_pruned_range_read(sf_dir: str):
             tdir,
             rows_per_fragment=max(50, n // 10),
         )
-        paths, total = lance_like.pruned_fragment_paths(
-            tdir, [("doc_id", ">=", lo), ("doc_id", "<", hi)]
-        )
+        preds = [("doc_id", ">=", lo), ("doc_id", "<", hi)]
+        paths, total = lance_like.pruned_fragment_paths(tdir, preds)
         if not (0 < len(paths) < total):
             raise AssertionError(
                 f"zone-map pruning ineffective: {len(paths)}/{total} fragments kept"
             )
-        ds = lance_like.read_dataset(
-            tdir, predicates=[("doc_id", ">=", lo), ("doc_id", "<", hi)]
-        )
-
-        def exact_filter(batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id")
-            mask = pc.and_(pc.greater_equal(ids, lo), pc.less(ids, hi))
-            b = batch.filter(mask)
-            return pa.table(
-                {
-                    "lang": b.column("lang"),
-                    "n_docs": pa.array([1] * b.num_rows, pa.int64()),
-                    "sum_chars": b.column("n_chars").cast(pa.int64()),
-                }
-            )
-
-        out = tiny_final_groupby(
-            ds.map_batches(exact_filter, batch_format="pyarrow"),
-            ["lang"],
-            [("n_docs", "sum"), ("sum_chars", "sum")],
-            ["lang", "n_docs", "sum_chars"],
-        )
-        return out.to_pandas()
+        return _lang_agg(lance_like.read_dataset(tdir, predicates=preds)).to_pandas()
     finally:
-        import os
-
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
 
 
@@ -2909,8 +2904,7 @@ def oracle_sql() -> dict[str, str]:
         # same integer arithmetic; the engine's zone-map pruning must be
         # invisible in the result (pruning changes cost, never rows)
         "pruned_range_read": (
-            "WITH b AS (SELECT 3 * COUNT(*) // 10 AS lo, 11 * COUNT(*) // 20 AS hi "
-            "FROM documents) "
+            f"WITH {_RANGE_CTE} "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents, b WHERE doc_id >= b.lo AND doc_id < b.hi GROUP BY lang"
@@ -3028,8 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # replays _q_cow_delete_counts: the complement of the deleted range
         "cow_delete_counts": (
-            "WITH b AS (SELECT 3 * COUNT(*) // 10 AS lo, 11 * COUNT(*) // 20 AS hi "
-            "FROM documents) "
+            f"WITH {_RANGE_CTE} "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents, b WHERE doc_id < b.lo OR doc_id >= b.hi GROUP BY lang"

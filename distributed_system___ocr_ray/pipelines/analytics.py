@@ -164,9 +164,13 @@ def dedup_keep_best(ds, id_col: str = "doc_id", text_col: str = "text"):
     Shuffle payload is (hash, id, quality) — quality is computed MAP-SIDE
     before the exchange and the text never moves. Per-batch partial argmax
     first (each batch contributes at most one candidate per group), so the
-    shuffle is group-domain-sized, then the same argmax merges per group.
-    Returns (keeper id, its quality, copy count) per distinct content."""
-    from ray.data.aggregate import Count
+    shuffle is group-domain-sized — and it exchanges on an int32 hash
+    bucket of the 64-char hex hash, not the string itself (the native
+    string sort-shuffle is the 5x-slower exchange bucketed_grouped_sum
+    measured; review finding, round 3) — then the same argmax merges per
+    group inside each bucket. Returns (keeper id, its quality, copy count)
+    per distinct content."""
+    from .relational import hash_bucket_column
 
     def hash_quality(batch: pa.Table) -> pa.Table:
         df = batch.select([id_col]).to_pandas()
@@ -191,7 +195,7 @@ def dedup_keep_best(ds, id_col: str = "doc_id", text_col: str = "text"):
         n = df.groupby("text_hash", sort=False).size().rename("n_copies").reset_index()
         return pa.Table.from_pandas(cand.merge(n, on="text_hash"), preserve_index=False)
 
-    def merge_group(group: pd.DataFrame) -> pd.DataFrame:
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         best = argmax_frame(group)[["text_hash", id_col, "quality_ppm"]]
         tot = group.groupby("text_hash", sort=False)["n_copies"].sum().reset_index()
         out = best.merge(tot, on="text_hash")
@@ -203,11 +207,15 @@ def dedup_keep_best(ds, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "text_hash", 64)
+
     return (
         ds.map_batches(hash_quality, batch_format="pyarrow")
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("text_hash")
-        .map_groups(merge_group, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
     )
 
 
@@ -2819,7 +2827,9 @@ def domain_counts(ds, text_col: str = "text", k: int = 20):
     )
 
 
-def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct"):
+def grouped_distinct_count(
+    ds, key: str, val: str, out_col: str = "n_distinct", partitions: int | None = None
+):
     """Exact COUNT(DISTINCT val) per group (the exact twin of the HLL
     approx path): per-batch (key, val) dedup first — the shuffle moves
     distinct PAIRS, never rows — then one more per-group dedup+count after
@@ -2836,10 +2846,15 @@ def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct"):
     # identical pairs always co-locate (and a hot key's distinct values
     # spread across buckets instead of melting one task), dedup per bucket,
     # then per-key bucket counts are disjoint and sum exactly
-    from .relational import hash_bucket_column
+    from .relational import derive_buckets, hash_bucket_column
+
+    if partitions is None:
+        # sized from the input row count (upper bound on distinct pairs);
+        # pass explicitly when ds is a computed upstream (count re-executes)
+        partitions = derive_buckets(ds.count())
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return hash_bucket_column(batch, val, 64)
+        return hash_bucket_column(batch, val, partitions)
 
     def bucket_count(group: pd.DataFrame) -> pd.DataFrame:
         df = group[[key, val]].drop_duplicates()
@@ -2853,14 +2868,21 @@ def grouped_distinct_count(ds, key: str, val: str, out_col: str = "n_distinct"):
     return tiny_final_groupby(partials, [key], [(out_col, "sum")], [key, out_col])
 
 
-def latest_record_per_key(ds, key: str, ts_col: str, payload_cols: list[str]):
+def latest_record_per_key(
+    ds, key: str, ts_col: str, payload_cols: list[str], partitions: int | None = None
+):
     """Per-key argmax record (e.g. each user's LATEST event): per-batch
     partial argmax — each batch forwards at most one row per key — then a
     key-bucketed exchange where the same argmax merges. Ties on the
     timestamp break to the largest payload tuple (deterministic, matching
     the SQL row_number ORDER BY ... DESC replay). The shuffle moves one
-    slim row per (batch, key), never the corpus."""
-    from .relational import hash_bucket_column
+    slim row per (batch, key), never the corpus. ``partitions`` defaults
+    to ``derive_buckets(ds.count())``; pass explicitly on computed
+    upstreams (count re-executes the plan)."""
+    from .relational import derive_buckets, hash_bucket_column
+
+    if partitions is None:
+        partitions = derive_buckets(ds.count())
 
     cols = [key, ts_col, *payload_cols]
 
@@ -2873,7 +2895,7 @@ def latest_record_per_key(ds, key: str, ts_col: str, payload_cols: list[str]):
         return pa.Table.from_pandas(argmax_frame(df), preserve_index=False)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return hash_bucket_column(batch, key, 64)
+        return hash_bucket_column(batch, key, partitions)
 
     def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         return argmax_frame(group[cols])

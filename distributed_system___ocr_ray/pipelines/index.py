@@ -70,12 +70,19 @@ def lookup_terms(
     from ..sources import lance_like
     from .relational import tiny_final_groupby
 
+    import os
+
+    # read the manifest ONCE and prune per term against that snapshot —
+    # per-term pruned_fragment_paths calls would re-parse the manifest K
+    # times and could even pin different versions across terms if a commit
+    # races the lookup (review finding, round 3)
+    man = lance_like.read_manifest(table_dir)
+    total = len(man["fragments"])
     kept: dict[str, None] = {}  # ordered de-dup of survivor paths
-    total = 0
     for t in terms:
-        paths, total = lance_like.pruned_fragment_paths(table_dir, [("term", "==", t)])
-        for p in paths:
-            kept[p] = None
+        for frag in man["fragments"]:
+            if lance_like._fragment_may_match(frag, [("term", "==", t)]):
+                kept[os.path.join(table_dir, frag["path"])] = None
     if require_pruning and not (0 < len(kept) < total):
         raise AssertionError(
             f"zone-map pruning ineffective: {len(kept)}/{total} index fragments kept"

@@ -511,7 +511,7 @@ def running_totals(sf_dir: str, partitions: int | None = None):
         columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
     )
     if partitions is None:
-        partitions = max(16, orders.count() // 500_000 + 1)
+        partitions = derive_buckets(orders.count())  # the module's one sizing rule
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return hash_bucket_column(batch, "o_custkey", partitions)
@@ -630,7 +630,7 @@ def range_join_counts(
 
 def percent_rank_by_group(
     ds, key: str = "lang", col: str = "n_chars", id_col: str = "doc_id",
-    partitions: int = 16,
+    partitions: int | None = None,
 ):
     """Per-group percentile rank in integer ppm — the rank-window op
     (``RANK() OVER (PARTITION BY key ORDER BY col)``, scaled to
@@ -642,8 +642,15 @@ def percent_rank_by_group(
     (same discipline as session_windows); each partition ranks ALL its
     groups in one vectorized pass — mergesort by (key, col), tie-min
     ranks via first-occurrence propagation, no Python per-group loop.
-    Integer arithmetic end-to-end, so the SQL window replay is exact."""
+    Integer arithmetic end-to-end, so the SQL window replay is exact.
+
+    ``partitions`` defaults to ``derive_buckets(ds.count())`` so per-bucket
+    frames stay worker-heap-sized at any scale; on a COMPUTED upstream that
+    count re-executes the plan — pass partitions explicitly there."""
     import pandas as pd
+
+    if partitions is None:
+        partitions = derive_buckets(ds.count())
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return hash_bucket_column(batch, key, partitions)

@@ -320,16 +320,30 @@ def read_dataset(
     the first fragment's footer)."""
     import ray.data as rd
 
+    def empty(cols):
+        # schema source for an empty read: any fragment of any version
+        # (a manifest can legitimately have zero fragments — delete_where
+        # with an all-matching predicate drops every one)
+        for v in range(latest_version(table_dir), 0, -1):
+            frags = read_manifest(table_dir, v)["fragments"]
+            if frags:
+                p = frags[0]["path"]
+                full = p if os.path.isabs(p) else os.path.join(table_dir, p)
+                schema = pq.read_schema(full)
+                if cols:
+                    schema = pa.schema([schema.field(c) for c in cols])
+                return rd.from_arrow(schema.empty_table())
+        return rd.from_items([])  # truly nothing ever written: schema-less
+
+    cols = read_parquet_kwargs.get("columns")
     if not predicates:
-        return rd.read_parquet(fragment_paths(table_dir, version), **read_parquet_kwargs)
+        paths = fragment_paths(table_dir, version)
+        if not paths:
+            return empty(cols)
+        return rd.read_parquet(paths, **read_parquet_kwargs)
     paths, _total = pruned_fragment_paths(table_dir, predicates, version)
     if not paths:
-        all_paths = fragment_paths(table_dir, version)
-        schema = pq.read_schema(all_paths[0])
-        cols = read_parquet_kwargs.get("columns")
-        if cols:
-            schema = pa.schema([schema.field(c) for c in cols])
-        return rd.from_arrow(schema.empty_table())
+        return empty(cols)
     return rd.read_parquet(paths, filter=_predicates_expr(predicates), **read_parquet_kwargs)
 
 

@@ -643,3 +643,24 @@ class TestPredicatePushdown:
         ).take_all()
         ids = sorted(r["doc_id"] for r in rows)
         assert ids == [i for i in range(25, 48) if i % 3 == 0]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmptyManifestRead:
+    def test_delete_all_then_read(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        lance_like.write_table(
+            pa.table({"doc_id": [1, 2], "lang": ["a", "b"]}), d, rows_per_fragment=1
+        )
+        man = lance_like.delete_where(d, [("doc_id", ">=", 0)])
+        assert man["fragments"] == [] and man["rows_deleted"] == 2
+        # zero-fragment manifest must read as an empty Dataset, not crash —
+        # schema recovered from the prior version's fragments
+        ds = lance_like.read_dataset(d, predicates=[("doc_id", "==", 1)])
+        assert ds.count() == 0 and set(ds.schema().names) == {"doc_id", "lang"}
+        ds2 = lance_like.read_dataset(d)
+        assert ds2.count() == 0
