@@ -1205,6 +1205,19 @@ def _q_ivf_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means (integer arithmetic end-to-end); the oracle
+    unrolls the identical quantize -> md5-seed -> assign -> floor-mean loop
+    as CTEs (_kmeans_sql). Output is the float-free cluster fingerprint
+    (cluster_id, n_vecs, sum_vec_id)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.kmeans_clusters(ds, k=8, iters=3, scale=1000)
+
+
 def _q_language_id(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import analytics
 
@@ -1728,6 +1741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "kmeans_clusters": _q_kmeans_clusters,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -2696,6 +2710,49 @@ _ANN_TOPK_SQL = (
 )
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Unrolled-CTE replay of ``analytics.kmeans_clusters``: long-form
+    integer-quantized vectors, md5-key seeding, then per iteration the
+    (exact-int distance -> argmin assign with (d, cid) tie-break ->
+    floor-rounded integer mean with empty-cluster carry) CTE triple.
+    Integer and identically-rounded float64 ops only -- bit-exact vs the
+    numpy engine (quantization parity verified on the testdata)."""
+    hkey = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,16))::UBIGINT"
+    parts = [
+        "WITH vlong AS (SELECT vec_id, "
+        "unnest(range(len(embedding))) AS dim, "
+        f"CAST(floor(CAST(unnest(embedding) AS DOUBLE)*{scale} + 0.5) AS BIGINT) AS val "
+        "FROM embeddings), ",
+        "seeds AS (SELECT vec_id, "
+        f"CAST(row_number() OVER (ORDER BY {hkey}, vec_id) - 1 AS BIGINT) AS cid "
+        f"FROM embeddings QUALIFY row_number() OVER (ORDER BY {hkey}, vec_id) <= {k}), ",
+        "c0 AS (SELECT s.cid, v.dim, v.val FROM seeds s JOIN vlong v USING (vec_id)), ",
+    ]
+    for t in range(iters):
+        parts += [
+            f"d{t} AS (SELECT v.vec_id, c.cid, SUM((v.val - c.val)*(v.val - c.val)) AS d "
+            f"FROM vlong v JOIN c{t} c USING (dim) GROUP BY v.vec_id, c.cid), ",
+            f"a{t} AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d{t}) "
+            "WHERE rn = 1), ",
+            f"n{t} AS (SELECT a.cid, v.dim, "
+            "CAST(floor(CAST(SUM(v.val) AS DOUBLE)/COUNT(*) + 0.5) AS BIGINT) AS val "
+            f"FROM a{t} a JOIN vlong v USING (vec_id) GROUP BY a.cid, v.dim), ",
+            f"c{t + 1} AS (SELECT c.cid, c.dim, COALESCE(n.val, c.val) AS val "
+            f"FROM c{t} c LEFT JOIN n{t} n ON n.cid = c.cid AND n.dim = c.dim), ",
+        ]
+    parts += [
+        f"dF AS (SELECT v.vec_id, c.cid, SUM((v.val - c.val)*(v.val - c.val)) AS d "
+        f"FROM vlong v JOIN c{iters} c USING (dim) GROUP BY v.vec_id, c.cid), ",
+        "aF AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dF) "
+        "WHERE rn = 1) ",
+        "SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM aF GROUP BY cid ORDER BY cluster_id",
+    ]
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_interleaved": _interleaved_sql(),
@@ -3050,4 +3107,5 @@ def oracle_sql() -> dict[str, str]:
         # same exact brute-force oracle: IVF probing achieves exact recall on
         # this dataset (pytest-held recall test; see _q_ivf_topk docstring)
         "ivf_topk": _ANN_TOPK_SQL,
+        "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
     }

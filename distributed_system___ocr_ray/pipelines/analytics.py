@@ -3223,3 +3223,156 @@ def value_histogram(ds, col: str, bins: int = 32):
         )
 
     return hist.map_batches(edges, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- k-means
+
+
+class _KMeansPartial:
+    """Per-batch Lloyd step: assign each quantized vector to its nearest
+    centroid (exact int64 squared distance, ties to the lowest centroid
+    index -- numpy argmin's first hit == the oracle's ORDER BY d, cid) and
+    emit <= k partial rows. Centroids arrive once per actor via ray.put
+    handle, never re-shipped per batch."""
+
+    def __init__(self, centroids_handle, id_col: str, final: bool):
+        import ray
+
+        self.C = ray.get(centroids_handle[0])  # (k, D) int64
+        self.c2 = (self.C * self.C).sum(axis=1)  # (k,)
+        self.id_col = id_col
+        self.final = final
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.C.shape[0]
+        Q = np.stack(batch.column("q").to_pylist()).astype(np.int64)
+        # exact integer decomposition of sum((q-c)^2): no float rounding
+        d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ self.C.T) + self.c2[None, :]
+        lab = np.argmin(d, axis=1)
+        counts = np.bincount(lab, minlength=k).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        if self.final:
+            ids = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            sums = np.zeros(k, np.int64)
+            np.add.at(sums, lab, ids)
+            return pa.table(
+                {
+                    "cluster_id": pa.array(nz.astype(np.int64), pa.int64()),
+                    "n_vecs": pa.array(counts[nz], pa.int64()),
+                    "sum_vec_id": pa.array(sums[nz], pa.int64()),
+                }
+            )
+        S = np.zeros_like(self.C)
+        np.add.at(S, lab, Q)
+        return pa.table(
+            {
+                "cluster": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+                "sums": pa.array(list(S[nz]), pa.list_(pa.int64())),
+            }
+        )
+
+
+def kmeans_clusters(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    scale: int = 1000,
+):
+    """Distributed Lloyd k-means over an embedding column with INTEGER
+    arithmetic end-to-end, so every step is exactly SQL-replayable:
+
+    - quantize ``q_d = floor(float64(v_d) * scale + 0.5)`` (int64
+      milli-units; float32->float64 is exact, and the float64
+      multiply/add/floor rounds identically in numpy and DuckDB -- verified
+      bit-exact on the testdata),
+    - init: the k vectors with the smallest ``md5_u64(str(id))`` keys,
+      centroid index assigned in (key, id) order -- the md5-prefix
+      pseudo-random seeding shared with the sampling family,
+    - assign: ``argmin_c sum_d (q_d - c_d)^2`` in int64, ties to the lowest
+      centroid index,
+    - update: ``c'_d = floor(sum_d / count + 0.5)`` with the division in
+      float64 (exact: |sum| << 2^53 on both sides); empty clusters keep
+      their previous center.
+
+    Plan shape: the quantized (id, q) projection is materialized ONCE and
+    re-scanned per round (the standard iterative-ML trade; at corpus scale
+    the projection is orders of magnitude smaller than its source). Each
+    round is one map_batches pass emitting <= k partial rows per batch
+    (count + per-dim sums); that k x n_blocks partial table is the only
+    driver collect (bounded: k*(D+2) ints per block) -- the new k x D
+    centroid matrix must reach the driver anyway to be re-broadcast via
+    ray.put. No shuffle at all: k-means is map + tiny reduce per round.
+
+    Returns (cluster_id, n_vecs, sum_vec_id) for non-empty final clusters,
+    sorted by cluster_id -- an exact, float-free cluster fingerprint.
+
+    Reference analogue: none (the reference has no ML ops); this is part of
+    the mandated LLM-data-pipeline family (embedding-space clustering for
+    corpus mixing / IVF index training).
+    """
+    import ray
+
+    from ..functions.dedup import md5_u64
+    from .relational import tiny_final_groupby
+
+    def quant(batch: pa.Table) -> pa.Table:
+        V = np.stack(batch.column(emb_col).to_pylist()).astype(np.float64)
+        Q = np.floor(V * float(scale) + 0.5).astype(np.int64)
+        return pa.table(
+            {id_col: batch.column(id_col), "q": pa.array(list(Q), pa.list_(pa.int64()))}
+        )
+
+    qds = ds.map_batches(quant, batch_format="pyarrow").materialize()
+
+    def init_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.array([md5_u64(str(int(i)).encode()) for i in ids], dtype=np.uint64)
+        order = np.lexsort((ids, keys))[:k]
+        qcol = batch.column("q").combine_chunks().take(pa.array(order))
+        return pa.table(
+            {
+                "hkey": pa.array(keys[order], pa.uint64()),
+                id_col: pa.array(ids[order], pa.int64()),
+                "q": qcol,
+            }
+        )
+
+    seed_rows = qds.map_batches(init_partial, batch_format="pyarrow").take_all()
+    seed_rows.sort(key=lambda r: (int(r["hkey"]), int(r[id_col])))
+    C = np.stack([np.asarray(r["q"], dtype=np.int64) for r in seed_rows[:k]])
+
+    for _ in range(iters):
+        handle = [ray.put(C)]
+        parts = qds.map_batches(
+            _KMeansPartial,
+            fn_constructor_kwargs={"centroids_handle": handle, "id_col": id_col, "final": False},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=(1, 8),
+        ).take_all()
+        counts = np.zeros(C.shape[0], np.int64)
+        S = np.zeros_like(C)
+        for r in parts:
+            counts[int(r["cluster"])] += int(r["n"])
+            S[int(r["cluster"])] += np.asarray(r["sums"], dtype=np.int64)
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = np.floor(S[nz].astype(np.float64) / counts[nz][:, None] + 0.5).astype(np.int64)
+
+    handle = [ray.put(C)]
+    final_parts = qds.map_batches(
+        _KMeansPartial,
+        fn_constructor_kwargs={"centroids_handle": handle, "id_col": id_col, "final": True},
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+    )
+    return tiny_final_groupby(
+        final_parts,
+        ["cluster_id"],
+        [("n_vecs", "sum"), ("sum_vec_id", "sum")],
+        ["cluster_id", "n_vecs", "sum_vec_id"],
+    )

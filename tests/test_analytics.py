@@ -1909,3 +1909,63 @@ class TestPivot:
         )
         assert rows[0] == {"k": 1, "n_a": 2, "n_b": 0, "n_z": 0}
         assert rows[1] == {"k": 2, "n_a": 0, "n_b": 1, "n_z": 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMeans:
+    def test_kmeans_matches_numpy_reference(self):
+        """Single-process numpy replay of the exact integer Lloyd rules."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        k, iters, scale = 8, 3, 1000
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy()
+        Q = np.floor(
+            np.stack(t.column("embedding").to_pylist()).astype(np.float64) * scale + 0.5
+        ).astype(np.int64)
+
+        keys = np.array([md5_u64(str(int(i)).encode()) for i in ids], dtype=np.uint64)
+        seed_idx = np.lexsort((ids, keys))[:k]
+        C = Q[seed_idx].copy()
+        for _ in range(iters):
+            d = (Q * Q).sum(1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(1)[None, :]
+            lab = np.argmin(d, axis=1)
+            counts = np.bincount(lab, minlength=k)
+            S = np.zeros_like(C)
+            np.add.at(S, lab, Q)
+            nz = counts > 0
+            C[nz] = np.floor(S[nz].astype(np.float64) / counts[nz][:, None] + 0.5).astype(
+                np.int64
+            )
+        d = (Q * Q).sum(1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        lab = np.argmin(d, axis=1)
+        exp = {
+            c: (int((lab == c).sum()), int(ids[lab == c].sum()))
+            for c in range(k)
+            if (lab == c).any()
+        }
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = _pdf(analytics.kmeans_clusters(ds, k=k, iters=iters, scale=scale))
+        got = got.sort_values("cluster_id").reset_index(drop=True)
+        assert {
+            int(r.cluster_id): (int(r.n_vecs), int(r.sum_vec_id)) for r in got.itertuples()
+        } == exp
+
+    def test_kmeans_partition_invariant(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        a = _pdf(
+            analytics.kmeans_clusters(rd.read_parquet(f"{SF}/embeddings.parquet"), k=5, iters=2)
+        ).sort_values("cluster_id").reset_index(drop=True)
+        b = _pdf(
+            analytics.kmeans_clusters(
+                rd.read_parquet(f"{SF}/embeddings.parquet").repartition(13), k=5, iters=2
+            )
+        ).sort_values("cluster_id").reset_index(drop=True)
+        assert a.equals(b)
