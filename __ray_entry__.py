@@ -1205,6 +1205,18 @@ def _q_ivf_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_pagerank_top(sf_dir: str):
+    """Distributed integer PageRank over the md5-derived citation graph;
+    the oracle unrolls the identical edge derivation + rank recurrence as
+    CTEs (_pagerank_sql). Top-20 by (rank desc, id asc)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.pagerank_top(ds, iters=4, damping_pct=85, topn=20)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means (integer arithmetic end-to-end); the oracle
     unrolls the identical quantize -> md5-seed -> assign -> floor-mean loop
@@ -1742,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
+        "pagerank_top": _q_pagerank_top,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -2710,6 +2723,40 @@ _ANN_TOPK_SQL = (
 )
 
 
+def _pagerank_sql(iters: int = 4, damping_pct: int = 85, topn: int = 20) -> str:
+    """Unrolled-CTE replay of ``analytics.pagerank_top``: md5-derived edges
+    (deg fixed BEFORE self-loop drop), integer rank recurrence
+    ``r' = BASE + (damping * SUM(r//deg)) // 100``. Every quantity is a
+    non-negative integer, so DuckDB's truncating ``//`` == Python floor
+    division throughout."""
+    deg_h = _MD5U64.format(v="CAST(doc_id AS VARCHAR) || ':deg'")
+    lnk_h = _MD5U64.format(v="CAST(src AS VARCHAR) || ':link:' || CAST(j AS VARCHAR)")
+    parts = [
+        "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), ",
+        f"degs AS (SELECT doc_id AS src, CAST(1 + {deg_h} % 3 AS BIGINT) AS deg FROM documents), ",
+        "lnk AS (SELECT src, deg, unnest(range(deg)) AS j FROM degs), ",
+        f"edges AS (SELECT src, deg, dst FROM (SELECT src, deg, CAST({lnk_h} % nn.n AS BIGINT) "
+        "AS dst FROM lnk, nn) WHERE dst <> src), ",
+        "consts AS (SELECT n, 1000000000000 // n AS r0, "
+        f"((100 - {damping_pct}) * (1000000000000 // n)) // 100 AS base FROM nn), ",
+        "r0 AS (SELECT doc_id AS node, (SELECT r0 FROM consts) AS rank FROM documents), ",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"r{t + 1} AS (SELECT d.doc_id AS node, CAST((SELECT base FROM consts) + "
+            f"({damping_pct} * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank "
+            "FROM documents d LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r.rank // e.deg) AS inc "
+            f"FROM edges e JOIN r{t} r ON r.node = e.src GROUP BY e.dst"
+            ") i ON i.node = d.doc_id), "
+        )
+    body = "".join(parts).rstrip().rstrip(",")
+    return (
+        f"{body} SELECT node AS doc_id, rank AS rank_scaled FROM r{iters} "
+        f"ORDER BY rank DESC, node LIMIT {topn}"
+    )
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     """Unrolled-CTE replay of ``analytics.kmeans_clusters``: long-form
     integer-quantized vectors, md5-key seeding, then per iteration the
@@ -3108,4 +3155,5 @@ def oracle_sql() -> dict[str, str]:
         # this dataset (pytest-held recall test; see _q_ivf_topk docstring)
         "ivf_topk": _ANN_TOPK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
+        "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
     }

@@ -3376,3 +3376,143 @@ def kmeans_clusters(
         [("n_vecs", "sum"), ("sum_vec_id", "sum")],
         ["cluster_id", "n_vecs", "sum_vec_id"],
     )
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def pagerank_top(
+    ds,
+    iters: int = 4,
+    damping_pct: int = 85,
+    topn: int = 20,
+    id_col: str = "doc_id",
+    scale_total: int = 10**12,
+):
+    """Distributed PageRank over a deterministic citation graph derived
+    closed-form from the id column, with INTEGER rank arithmetic so every
+    round replays exactly in SQL (no float convergence fuzz):
+
+    - graph: node u emits ``deg(u) = 1 + md5_u64(f"{u}:deg") % 3`` links,
+      link j targeting ``md5_u64(f"{u}:link:{j}") % N``; self-loops are
+      dropped AFTER deg is fixed, so self-loop mass evaporates (a documented,
+      SQL-identical simplification of dangling-mass handling). Ids must be
+      dense 0..N-1 (guaranteed by the corpus contract; the modulus needs a
+      dense target space).
+    - rank: ``r0 = SCALE // N``; each round
+      ``r'(v) = BASE + (damping_pct * inc(v)) // 100`` with
+      ``inc(v) = sum over edges (u,v) of r(u) // deg(u)`` and
+      ``BASE = ((100 - damping_pct) * (SCALE // N)) // 100``. All values
+      non-negative int64, so Python/numpy floor division == DuckDB ``//``.
+
+    Plan shape: edges (~2N rows) are derived once and materialized; each
+    round is one bucketed hash join (edges x ranks on src -- both sides
+    large, so a broadcast is NOT valid at scale) followed by a grouped sum
+    on the int64 dst and a left join back onto the node list for BASE fill.
+    That is the canonical distributed-PageRank exchange pattern; nothing
+    touches the driver but scalars. Top-n extraction is per-batch partial
+    top-n -> single tiny merge (never a global sort).
+
+    Returns the topn (doc_id, rank_scaled) rows, rank descending, id
+    ascending on ties.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import md5_u64
+    from .relational import bucketed_hash_join, derive_buckets
+
+    n_nodes = ds.count()
+    if n_nodes == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": pa.array([], pa.int64()), "rank_scaled": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    r0 = scale_total // n_nodes
+    base = ((100 - damping_pct) * r0) // 100
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, deg = [], [], []
+        for u in ids:
+            u = int(u)
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % n_nodes
+                if t != u:
+                    src.append(u)
+                    dst.append(int(t))
+                    deg.append(d)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    edges = ds.map_batches(mkedges, batch_format="pyarrow").materialize()
+    buckets = derive_buckets(edges.count(), rows_per_bucket=1_000_000)
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({"node": ids, "rank": pa.array([r0] * len(ids), pa.int64())})
+
+    nodes = ds.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    ranks = nodes
+
+    def share(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"dst": batch.column("dst"), "c": pa.array(r // d, pa.int64())}
+        )
+
+    for _ in range(iters):
+        joined = bucketed_hash_join(
+            edges, ranks.rename_columns(["src", "rank"]), "src", "src", buckets=buckets
+        )
+        inc = (
+            joined.map_batches(share, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="inc"))
+        )
+
+        def apply(batch: pa.Table) -> pa.Table:
+            # left-join misses arrive as Arrow nulls or pandas NaN (block
+            # format dependent); both round-trip exactly through float64
+            # (|inc| << 2^53) before the int64 rank update
+            node = batch.column("node").combine_chunks().cast(pa.int64())
+            iv = batch.column("inc").to_numpy(zero_copy_only=False).astype(np.float64)
+            iv = np.nan_to_num(iv, nan=0.0).astype(np.int64)
+            return pa.table(
+                {"node": node, "rank": pa.array(base + (damping_pct * iv) // 100, pa.int64())}
+            )
+
+        ranks = bucketed_hash_join(
+            nodes.drop_columns(["rank"]),
+            inc.rename_columns(["node", "inc"]),
+            "node",
+            "node",
+            buckets=buckets,
+            how="left",
+        ).map_batches(apply, batch_format="pyarrow")
+
+    def _top(batch: pa.Table, node_col: str, rank_col: str) -> pa.Table:
+        r = batch.column(rank_col).to_numpy(zero_copy_only=False)
+        node = batch.column(node_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, -r))[:topn]
+        return pa.table(
+            {
+                "doc_id": pa.array(node[order], pa.int64()),
+                "rank_scaled": pa.array(r[order], pa.int64()),
+            }
+        )
+
+    partials = ranks.map_batches(
+        lambda b: _top(b, "node", "rank"), batch_format="pyarrow"
+    )
+    return partials.repartition(1).map_batches(
+        lambda b: _top(b, "doc_id", "rank_scaled"), batch_format="pyarrow", batch_size=None
+    )

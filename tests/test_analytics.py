@@ -1969,3 +1969,54 @@ class TestKMeans:
             )
         ).sort_values("cluster_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPageRank:
+    def _reference(self, ids, iters, damping=85, topn=10):
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+
+        N = len(ids)
+        r0 = 10**12 // N
+        base = ((100 - damping) * r0) // 100
+        edges = []
+        for u in ids:
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % N
+                if t != u:
+                    edges.append((u, t, d))
+        r = {u: r0 for u in ids}
+        for _ in range(iters):
+            inc = {u: 0 for u in ids}
+            for u, t, d in edges:
+                inc[t] += r[u] // d
+            r = {u: base + (damping * inc[u]) // 100 for u in ids}
+        return sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:topn]
+
+    def test_pagerank_matches_reference(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = _pdf(analytics.pagerank_top(ds, iters=3, topn=10))
+        ids = sorted(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        exp = self._reference(ids, iters=3)
+        assert [(int(a), int(b)) for a, b in zip(got["doc_id"], got["rank_scaled"])] == [
+            (int(a), int(b)) for a, b in exp
+        ]
+
+    def test_pagerank_partition_invariant(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        a = _pdf(analytics.pagerank_top(base, iters=2, topn=15))
+        b = _pdf(analytics.pagerank_top(base.repartition(11), iters=2, topn=15))
+        assert a.values.tolist() == b.values.tolist()
