@@ -1205,6 +1205,26 @@ def _q_ivf_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_hybrid_topk(sf_dir: str):
+    """Dense+sparse hybrid retrieval fused by integer reciprocal-rank
+    fusion; the oracle composes the BM25 replay and the brute-force cosine
+    ranking as CTEs and applies the identical ``1e6 // (60 + rank)`` sum
+    (_hybrid_sql). Only each system's ordering feeds the fused score."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = analytics.hybrid_topk(
+        _docs(sf_dir, ["doc_id", "text"]),
+        emb,
+        _BM25_QUERIES,
+        _query_matrix(sf_dir),
+        k=10,
+    )
+    return _pairs_df(out, {"query_id": "int64", "doc_id": "int64", "rrf_score": "int64"})
+
+
 def _q_pagerank_top(sf_dir: str):
     """Distributed integer PageRank over the md5-derived citation graph;
     the oracle unrolls the identical edge derivation + rank recurrence as
@@ -1755,6 +1775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "pagerank_top": _q_pagerank_top,
+        "hybrid_topk": _q_hybrid_topk,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -2723,6 +2744,30 @@ _ANN_TOPK_SQL = (
 )
 
 
+def _hybrid_sql(k: int = 10, rrf_k: int = 60) -> str:
+    """Replay of ``analytics.hybrid_topk``: the BM25 oracle and the
+    brute-force cosine ranking as CTEs, per-system 1-based ranks with the
+    engine's tie-breaks, integer ``1_000_000 // (rrf_k + rank)`` points,
+    union + grouped sum, per-query top-k on (rrf_score desc, doc_id asc)."""
+    return (
+        f"WITH sparse AS ({_bm25_sql()}), "
+        "spts AS (SELECT query_id, doc_id, 1000000 // (" + str(rrf_k) + " + "
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) "
+        "AS BIGINT)) AS pts FROM sparse), "
+        "dq AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        "ORDER BY vec_id LIMIT 3), "
+        "dense AS (SELECT dq.query_id AS query_id, e.vec_id AS doc_id, "
+        "CAST(row_number() OVER (PARTITION BY dq.query_id "
+        "ORDER BY list_cosine_similarity(dq.qe, e.embedding) DESC, e.vec_id) AS BIGINT) AS rnk "
+        f"FROM dq CROSS JOIN embeddings e QUALIFY rnk <= {k}), "
+        f"dpts AS (SELECT query_id, doc_id, 1000000 // ({rrf_k} + rnk) AS pts FROM dense), "
+        "fused AS (SELECT query_id, doc_id, CAST(SUM(pts) AS BIGINT) AS rrf_score FROM "
+        "(SELECT * FROM spts UNION ALL SELECT * FROM dpts) GROUP BY query_id, doc_id) "
+        "SELECT query_id, doc_id, rrf_score FROM fused "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) <= {k}"
+    )
+
+
 def _pagerank_sql(iters: int = 4, damping_pct: int = 85, topn: int = 20) -> str:
     """Unrolled-CTE replay of ``analytics.pagerank_top``: md5-derived edges
     (deg fixed BEFORE self-loop drop), integer rank recurrence
@@ -3156,4 +3201,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ANN_TOPK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
+        "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
     }

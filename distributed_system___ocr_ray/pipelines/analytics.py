@@ -3516,3 +3516,97 @@ def pagerank_top(
     return partials.repartition(1).map_batches(
         lambda b: _top(b, "doc_id", "rank_scaled"), batch_format="pyarrow", batch_size=None
     )
+
+
+# ------------------------------------------------------- hybrid retrieval
+
+
+def hybrid_topk(
+    docs_ds,
+    emb_ds,
+    text_queries: list[str],
+    query_vectors: np.ndarray,
+    k: int = 10,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text_col: str = "text",
+):
+    """Hybrid dense+sparse retrieval with reciprocal-rank fusion: BM25 over
+    the text corpus and brute-force cosine over the embedding table, fused
+    per query as ``rrf = sum_systems 1_000_000 // (rrf_k + rank)`` (1-based
+    rank within each system, integer division -- so the fusion is exactly
+    SQL-replayable; only each system's internal ORDERING feeds the score,
+    never its float values). ``text_queries[i]`` and ``query_vectors[i]``
+    are the sparse/dense views of the same logical query i; doc and vec ids
+    share one id space (the corpus contract).
+
+    Scale shape: both retrievers are single-pass broadcast-query pipelines
+    (see ``bm25_topk`` / ``ann_topk``); their outputs are inherently tiny
+    (n_queries x k rows each), so the fusion stages -- per-query rank
+    assignment, union, grouped sum, per-query top-k -- shuffle only those
+    candidate rows. Returns (query_id, doc_id, rrf_score), score desc,
+    doc_id asc per query.
+    """
+    if len(text_queries) != len(query_vectors):
+        raise ValueError("text_queries and query_vectors must align by index")
+
+    sparse = bm25_topk(docs_ds, text_queries, k=k, id_col=doc_id_col, text_col=text_col)
+    dense = ann_topk(emb_ds, query_vectors, k=k, id_col=vec_id_col)
+
+    # normalize both candidate lists to (query_id, doc_id, sort key desc)
+    def sparse_norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": batch["query_id"].astype("int64"),
+                "doc_id": batch[doc_id_col].astype("int64"),
+                "key": batch["score_ppm"].astype("float64"),
+                "system": np.zeros(len(batch), dtype="int8"),
+            }
+        )
+
+    def dense_norm(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "query_id": batch["query_id"].astype("int64"),
+                "doc_id": batch[vec_id_col].astype("int64"),
+                "key": batch["sim"].astype("float64"),
+                "system": np.ones(len(batch), dtype="int8"),
+            }
+        )
+
+    candidates = sparse.map_batches(sparse_norm, batch_format="pandas").union(
+        dense.map_batches(dense_norm, batch_format="pandas")
+    )
+
+    # each system already emits <= n_queries x k rows TOTAL, so ranking +
+    # fusion + final top-k runs in ONE single-block stage (the bounded
+    # tiny-final pattern) instead of three sort-shuffle barriers on rows
+    # that would fit in a page
+    def fuse(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(
+            ["system", "query_id", "key", "doc_id"],
+            ascending=[True, True, False, True],
+        )
+        rank = batch.groupby(["system", "query_id"], sort=False).cumcount() + 1
+        batch["pts"] = (1_000_000 // (rrf_k + rank)).astype("int64")
+        summed = (
+            batch.groupby(["query_id", "doc_id"], as_index=False, sort=False)["pts"]
+            .sum()
+            .rename(columns={"pts": "rrf_score"})
+        )
+        summed = summed.sort_values(
+            ["query_id", "rrf_score", "doc_id"], ascending=[True, False, True]
+        )
+        out = summed.groupby("query_id", sort=False).head(k)
+        return pd.DataFrame(
+            {
+                "query_id": out["query_id"].astype("int64"),
+                "doc_id": out["doc_id"].astype("int64"),
+                "rrf_score": out["rrf_score"].astype("int64"),
+            }
+        )
+
+    return candidates.repartition(1).map_batches(
+        fuse, batch_format="pandas", batch_size=None
+    )

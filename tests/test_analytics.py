@@ -2020,3 +2020,49 @@ class TestPageRank:
         a = _pdf(analytics.pagerank_top(base, iters=2, topn=15))
         b = _pdf(analytics.pagerank_top(base.repartition(11), iters=2, topn=15))
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHybridTopK:
+    def test_hybrid_matches_manual_fusion(self):
+        """RRF-fuse the two retrievers' own outputs by hand and compare."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        queries = ["hash join table", "window agg stream"]
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        order = np.argsort(t.column("vec_id").to_numpy())[:2]
+        qv = np.stack([t.column("embedding")[int(i)].as_py() for i in order]).astype(np.float64)
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+        k = 5
+        sparse = _pdf(analytics.bm25_topk(docs, queries, k=k))
+        dense = _pdf(analytics.ann_topk(emb, qv, k=k))
+
+        pts = {}
+        for qid, grp in sparse.groupby("query_id"):
+            grp = grp.sort_values(["score_ppm", "doc_id"], ascending=[False, True])
+            for r, did in enumerate(grp["doc_id"], start=1):
+                pts[(int(qid), int(did))] = pts.get((int(qid), int(did)), 0) + 1_000_000 // (60 + r)
+        for qid, grp in dense.groupby("query_id"):
+            grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True])
+            for r, did in enumerate(grp["vec_id"], start=1):
+                pts[(int(qid), int(did))] = pts.get((int(qid), int(did)), 0) + 1_000_000 // (60 + r)
+        exp = {}
+        for qid in {q for q, _ in pts}:
+            rows = sorted(
+                ((d, s) for (q, d), s in pts.items() if q == qid),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:k]
+            exp[qid] = rows
+
+        got = _pdf(
+            analytics.hybrid_topk(docs, emb, queries, qv, k=k)
+        )
+        got_by_q = {
+            int(qid): [(int(r.doc_id), int(r.rrf_score)) for r in grp.itertuples()]
+            for qid, grp in got.groupby("query_id")
+        }
+        assert got_by_q == exp
