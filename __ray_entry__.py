@@ -1205,6 +1205,30 @@ def _q_ivf_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_triangle_count(sf_dir: str):
+    """Exact triangle count of the derived link graph (wedge-check with two
+    bucketed joins); the oracle replays the edge CTEs plus the classic
+    three-way self-join."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.triangle_count(ds)
+
+
+def _q_decayed_user_value(sf_dir: str):
+    """Recency-weighted per-user value: integer cents halved per elapsed
+    week (bit shift) relative to the newest event -- exactly replayed by
+    the oracle with DuckDB's ``>>`` on the same whole-day age."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return analytics.decayed_user_value(ds, halflife_days=7)
+
+
 def _q_hybrid_topk(sf_dir: str):
     """Dense+sparse hybrid retrieval fused by integer reciprocal-rank
     fusion; the oracle composes the BM25 replay and the brute-force cosine
@@ -1776,6 +1800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "pagerank_top": _q_pagerank_top,
         "hybrid_topk": _q_hybrid_topk,
+        "decayed_user_value": _q_decayed_user_value,
+        "triangle_count": _q_triangle_count,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -2768,20 +2794,40 @@ def _hybrid_sql(k: int = 10, rrf_k: int = 60) -> str:
     )
 
 
+def _edges_ctes() -> str:
+    """Shared CTE prefix replaying ``analytics.derived_link_edges`` (the
+    md5-derived citation graph; deg fixed BEFORE the self-loop drop)."""
+    deg_h = _MD5U64.format(v="CAST(doc_id AS VARCHAR) || ':deg'")
+    lnk_h = _MD5U64.format(v="CAST(src AS VARCHAR) || ':link:' || CAST(j AS VARCHAR)")
+    return (
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        f"degs AS (SELECT doc_id AS src, CAST(1 + {deg_h} % 3 AS BIGINT) AS deg FROM documents), "
+        "lnk AS (SELECT src, deg, unnest(range(deg)) AS j FROM degs), "
+        f"edges AS (SELECT src, deg, dst FROM (SELECT src, deg, CAST({lnk_h} % nn.n AS BIGINT) "
+        "AS dst FROM lnk, nn) WHERE dst <> src)"
+    )
+
+
+def _triangle_sql() -> str:
+    """Replay of ``analytics.triangle_count``: canonical a<b distinct edges,
+    wedge at the smallest vertex, closing-edge probe."""
+    return (
+        f"WITH {_edges_ctes()}, "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM edges) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM und e1 "
+        "JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b "
+        "JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b"
+    )
+
+
 def _pagerank_sql(iters: int = 4, damping_pct: int = 85, topn: int = 20) -> str:
     """Unrolled-CTE replay of ``analytics.pagerank_top``: md5-derived edges
     (deg fixed BEFORE self-loop drop), integer rank recurrence
     ``r' = BASE + (damping * SUM(r//deg)) // 100``. Every quantity is a
     non-negative integer, so DuckDB's truncating ``//`` == Python floor
     division throughout."""
-    deg_h = _MD5U64.format(v="CAST(doc_id AS VARCHAR) || ':deg'")
-    lnk_h = _MD5U64.format(v="CAST(src AS VARCHAR) || ':link:' || CAST(j AS VARCHAR)")
     parts = [
-        "WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), ",
-        f"degs AS (SELECT doc_id AS src, CAST(1 + {deg_h} % 3 AS BIGINT) AS deg FROM documents), ",
-        "lnk AS (SELECT src, deg, unnest(range(deg)) AS j FROM degs), ",
-        f"edges AS (SELECT src, deg, dst FROM (SELECT src, deg, CAST({lnk_h} % nn.n AS BIGINT) "
-        "AS dst FROM lnk, nn) WHERE dst <> src), ",
+        f"WITH {_edges_ctes()}, ",
         "consts AS (SELECT n, 1000000000000 // n AS r0, "
         f"((100 - {damping_pct}) * (1000000000000 // n)) // 100 AS base FROM nn), ",
         "r0 AS (SELECT doc_id AS node, (SELECT r0 FROM consts) AS rank FROM documents), ",
@@ -3202,4 +3248,14 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
+        "triangle_count": _triangle_sql(),
+        "decayed_user_value": (
+            "WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events), "
+            "e AS (SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, "
+            "((SELECT m FROM mx) - epoch_us(ts)) // 86400000000 AS age_days FROM events) "
+            "SELECT user_id, "
+            "CAST(SUM(cents >> CAST(LEAST(age_days // 7, 62) AS INTEGER)) AS BIGINT) "
+            "AS decayed_cents, CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM e GROUP BY user_id"
+        ),
     }

@@ -157,6 +157,7 @@ def run_bench() -> dict:
         "line_dedup", "novel_docs_bloom", "running_totals",
         "robust_outliers", "collocations", "pruned_range_read",
         "shipments_within_7d", "dedup_keep_best",
+        "kmeans_clusters", "pagerank_top", "hybrid_topk",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -3381,6 +3381,38 @@ def kmeans_clusters(
 # --------------------------------------------------------------- pagerank
 
 
+def derived_link_edges(ds, n_nodes: int, id_col: str = "doc_id"):
+    """Deterministic citation graph, closed-form from the id column: node u
+    emits ``deg(u) = 1 + md5_u64(f"{u}:deg") % 3`` links, link j targeting
+    ``md5_u64(f"{u}:link:{j}") % n_nodes``; self-loops are dropped AFTER deg
+    is fixed. Ids must be dense 0..N-1 (the modulus needs a dense target
+    space). Shared by ``pagerank_top`` and ``triangle_count`` and replayed
+    verbatim by their oracles' edge CTEs."""
+    from ..functions.dedup import md5_u64
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        src, dst, deg = [], [], []
+        for u in ids:
+            u = int(u)
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % n_nodes
+                if t != u:
+                    src.append(u)
+                    dst.append(int(t))
+                    deg.append(d)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "deg": pa.array(deg, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(mkedges, batch_format="pyarrow")
+
+
 def pagerank_top(
     ds,
     iters: int = 4,
@@ -3418,7 +3450,6 @@ def pagerank_top(
     """
     from ray.data.aggregate import Sum
 
-    from ..functions.dedup import md5_u64
     from .relational import bucketed_hash_join, derive_buckets
 
     n_nodes = ds.count()
@@ -3432,27 +3463,7 @@ def pagerank_top(
     r0 = scale_total // n_nodes
     base = ((100 - damping_pct) * r0) // 100
 
-    def mkedges(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        src, dst, deg = [], [], []
-        for u in ids:
-            u = int(u)
-            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
-            for j in range(d):
-                t = md5_u64(f"{u}:link:{j}".encode()) % n_nodes
-                if t != u:
-                    src.append(u)
-                    dst.append(int(t))
-                    deg.append(d)
-        return pa.table(
-            {
-                "src": pa.array(src, pa.int64()),
-                "dst": pa.array(dst, pa.int64()),
-                "deg": pa.array(deg, pa.int64()),
-            }
-        )
-
-    edges = ds.map_batches(mkedges, batch_format="pyarrow").materialize()
+    edges = derived_link_edges(ds, n_nodes, id_col=id_col).materialize()
     buckets = derive_buckets(edges.count(), rows_per_bucket=1_000_000)
 
     def init_ranks(batch: pa.Table) -> pa.Table:
@@ -3610,3 +3621,130 @@ def hybrid_topk(
     return candidates.repartition(1).map_batches(
         fuse, batch_format="pandas", batch_size=None
     )
+
+
+# ------------------------------------------------------ time-decay scoring
+
+
+def decayed_user_value(ds, halflife_days: int = 7, user_col: str = "user_id"):
+    """Recency-weighted per-user value: each event's integer cents are
+    halved once per elapsed ``halflife_days`` (relative to the newest event
+    in the table) via an arithmetic right shift, then summed per user --
+    the freshness weighting a crawl/source scorer applies before mixing.
+    Bit-shift halving keeps the whole computation in int64 (numpy ``>>`` ==
+    DuckDB ``>>``; shift capped at 62), so the oracle replays it exactly --
+    no float pow/exp drift.
+
+    Plan: one tiny aggregate for the global max timestamp (a scalar to the
+    driver), then a single map pass computing per-batch partial per-user
+    sums, finished with a grouped sum on the bounded user domain. Age is
+    whole days: ``(max_us - ts_us) // 86_400_000_000``.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    mx = ds.aggregate(Max("ts"))["max(ts)"]
+    m_us = int(pd.Timestamp(mx).value // 1000)  # ns -> us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        age_days = (m_us - ts.view(np.int64)) // 86_400_000_000
+        shift = np.minimum(age_days // halflife_days, 62)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        decayed = cents >> shift
+        t = pa.table(
+            {
+                user_col: batch.column(user_col),
+                "decayed_cents": pa.array(decayed, pa.int64()),
+                "n_events": pa.array(np.ones(len(decayed), np.int64), pa.int64()),
+            }
+        )
+        out = t.group_by([user_col]).aggregate(
+            [("decayed_cents", "sum"), ("n_events", "sum")]
+        )
+        # arrow emits '<col>_<fn>' names with the keys last; restore order
+        out = out.select([user_col, "decayed_cents_sum", "n_events_sum"])
+        return out.rename_columns([user_col, "decayed_cents", "n_events"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(user_col).aggregate(
+        Sum("decayed_cents", alias_name="decayed_cents"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+def triangle_count(ds, id_col: str = "doc_id"):
+    """Exact triangle count of the (undirected view of the) derived link
+    graph -- the classic wedge-check formulation: canonicalize edges to
+    ``a < b`` and dedup, build wedges by self-joining on the shared LOW
+    vertex, then probe each wedge's closing pair against the edge set.
+    Every triangle {a < b1 < b2} is counted exactly once, at its smallest
+    vertex.
+
+    Plan: two bucketed hash joins (edges x edges on ``a``, then wedges x
+    edges on the packed closing key) and a count -- no driver-side data,
+    only the final scalar. The closing key packs (b1, b2) as
+    ``b1 * n_nodes + b2``, exact while n_nodes^2 < 2^63 (raises above;
+    a 3e9-node graph needs a 128-bit or two-column exchange key instead).
+
+    Returns a 1-row table (n_triangles int64).
+    """
+    from .relational import bucketed_hash_join, derive_buckets
+
+    n_nodes = ds.count()
+    if n_nodes == 0 or n_nodes * n_nodes >= 2**63:
+        if n_nodes:
+            raise ValueError("packed closing key would overflow int64")
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({"n_triangles": pa.array([0], pa.int64())}))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    und = (
+        derived_link_edges(ds, n_nodes, id_col=id_col)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    buckets = derive_buckets(und.count(), rows_per_bucket=1_000_000)
+
+    def key_ab(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(a * n_nodes + b, pa.int64())})
+
+    wedges = bucketed_hash_join(
+        und.rename_columns(["a", "b1"]),
+        und.rename_columns(["a", "b2"]),
+        "a",
+        "a",
+        buckets=buckets,
+    ).filter(expr="b1 < b2")
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        b1 = batch.column("b1").to_numpy(zero_copy_only=False)
+        b2 = batch.column("b2").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(b1 * n_nodes + b2, pa.int64())})
+
+    closed = bucketed_hash_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        und.map_batches(key_ab, batch_format="pyarrow").rename_columns(["k2"]),
+        "k",
+        "k2",
+        buckets=buckets,
+    )
+    n = closed.count()
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))

@@ -2066,3 +2066,71 @@ class TestHybridTopK:
             for qid, grp in got.groupby("query_id")
         }
         assert got_by_q == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraphAndDecay:
+    def test_triangle_count_matches_bruteforce(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ids = sorted(
+            pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+        N = len(ids)
+        und = set()
+        for u in ids:
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % N
+                if t != u:
+                    und.add((min(u, t), max(u, t)))
+        adj = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        exp = sum(
+            1
+            for a, b in und
+            for c in adj[a]
+            if c > b and (b, c) in und
+        )
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = _pdf(analytics.triangle_count(ds))
+        assert int(got["n_triangles"].iloc[0]) == exp
+
+    def test_decayed_user_value_matches_pandas(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+        df = t.to_pandas()
+        m_us = df["ts"].max().value // 1000
+        ts_us = df["ts"].astype("datetime64[us]").astype("int64")
+        age = (m_us - ts_us) // 86_400_000_000
+        shift = np.minimum(age // 7, 62).astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        df["dec"] = cents >> shift
+        exp = (
+            df.groupby("user_id")
+            .agg(decayed_cents=("dec", "sum"), n_events=("dec", "size"))
+            .reset_index()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+        got = (
+            _pdf(analytics.decayed_user_value(ds))
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["decayed_cents"].tolist() == exp["decayed_cents"].tolist()
+        assert got["n_events"].astype(int).tolist() == exp["n_events"].astype(int).tolist()
