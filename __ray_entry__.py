@@ -1703,6 +1703,35 @@ def _q_media_metadata(sf_dir: str):
     return out.map_batches(canon, batch_format="pyarrow")
 
 
+def _q_skyline_orders(sf_dir: str):
+    """Pareto frontier of orders on (price higher-better, date later-better).
+    Engine: per-batch local skyline (vectorized price-desc sweep) then one
+    tiny single-block merge — the skyline-of-union == skyline-of-local-
+    skylines property means the shuffle moves only frontier rows. Money as
+    integer cents, dates as epoch days, exact on both sides."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return analytics.skyline_orders(ds)
+
+
+_SKYLINE_ORDERS_SQL = (
+    "WITH o AS (SELECT o_orderkey, "
+    "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents, "
+    "CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS date_day FROM orders) "
+    "SELECT o_orderkey, price_cents, date_day FROM o a "
+    "WHERE NOT EXISTS (SELECT 1 FROM o b "
+    "WHERE b.price_cents >= a.price_cents AND b.date_day >= a.date_day "
+    "AND (b.price_cents > a.price_cents OR b.date_day > a.date_day)) "
+    "ORDER BY o_orderkey"
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -1802,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
+        "skyline_orders": _q_skyline_orders,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3258,4 +3288,5 @@ def oracle_sql() -> dict[str, str]:
             "AS decayed_cents, CAST(COUNT(*) AS BIGINT) AS n_events "
             "FROM e GROUP BY user_id"
         ),
+        "skyline_orders": _SKYLINE_ORDERS_SQL,
     }

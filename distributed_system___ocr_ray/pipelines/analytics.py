@@ -3754,3 +3754,75 @@ def triangle_count(ds, id_col: str = "doc_id"):
     import ray.data as rd
 
     return rd.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
+# ----------------------------------------------------- skyline / mode / fk
+
+
+def skyline_orders(ds, price_col: str = "o_totalprice", date_col: str = "o_orderdate",
+                   id_col: str = "o_orderkey"):
+    """Pareto frontier (skyline) of orders on (price higher-better, date
+    later-better): a row survives iff no other row is >= on both axes and
+    > on at least one. Exploits the skyline merge property -- the skyline
+    of a union equals the skyline of the union of per-part skylines -- so
+    each batch reduces to its local frontier (typically a handful of rows)
+    and ONE tiny single-block pass finishes the merge: no shuffle of the
+    input, no quadratic work at scale.
+
+    Ties kept: two rows with identical (price, date) don't dominate each
+    other (strict-on-one-axis rule), matching the SQL NOT EXISTS replay.
+    Money as integer cents, dates as epoch days -- exact compare both
+    sides. Returns (id, price_cents, date_day) sorted by id.
+    """
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        price = np.floor(
+            batch.column(price_col).to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        # timestamp[us] -> epoch days (floor); TPC-H-style dates are post-1970
+        # so numpy's truncation IS floor division, matching the SQL replay's
+        # floor(epoch(ts)) // 86400
+        d = batch.column(date_col).to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "price_cents": pa.array(price, pa.int64()),
+                "date_day": pa.array(d.view(np.int64), pa.int64()),
+            }
+        )
+
+    def local_skyline(batch: pa.Table) -> pa.Table:
+        p = batch.column("price_cents").to_numpy(zero_copy_only=False)
+        t = batch.column("date_day").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(p) == 0:
+            return batch
+        # Row i survives iff (a) no strictly-greater price has date >= t[i]:
+        # t[i] > M(p[i]) where M is the running max date over higher prices,
+        # and (b) no equal price has a strictly later date: t[i] == the max
+        # date within its own price group. Both-axis ties survive by (a)+(b).
+        order = np.argsort(-p, kind="stable")
+        ps, ts = p[order], t[order]
+        run_break = np.r_[True, ps[1:] != ps[:-1]]
+        starts = np.flatnonzero(run_break)          # one run per distinct price
+        run_id = np.cumsum(run_break) - 1
+        gmax = np.maximum.reduceat(ts, starts)      # max date per price group
+        m = np.r_[np.iinfo(np.int64).min, np.maximum.accumulate(gmax)[:-1]]
+        keep_sorted = (ts == gmax[run_id]) & (ts > m[run_id])
+        keep = np.zeros(len(p), dtype=bool)
+        keep[order] = keep_sorted
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "price_cents": pa.array(p[keep], pa.int64()),
+                "date_day": pa.array(t[keep], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(to_ints, batch_format="pyarrow").map_batches(
+        local_skyline, batch_format="pyarrow"
+    )
+    final = partials.repartition(1).map_batches(
+        local_skyline, batch_format="pyarrow", batch_size=None
+    )
+    return final.sort(id_col)

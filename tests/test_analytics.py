@@ -3,6 +3,7 @@ cross-checked against DuckDB or numpy brute force."""
 
 import duckdb
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -2134,3 +2135,69 @@ class TestGraphAndDecay:
         assert got["user_id"].tolist() == exp["user_id"].tolist()
         assert got["decayed_cents"].tolist() == exp["decayed_cents"].tolist()
         assert got["n_events"].astype(int).tolist() == exp["n_events"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSkylineOrders:
+    def _brute(self, pts):
+        """O(n^2) dominance check: survive iff nobody is >= on both, > on one."""
+        out = []
+        for i, (p, t) in enumerate(pts):
+            dominated = any(
+                (q >= p and u >= t and (q > p or u > t)) for j, (q, u) in enumerate(pts) if j != i
+            )
+            if not dominated:
+                out.append(i)
+        return out
+
+    def test_skyline_matches_bruteforce(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderdate"]
+        )
+        got = _pdf(analytics.skyline_orders(ds))
+
+        t = pq.read_table(f"{SF}/orders.parquet")
+        price = np.floor(np.asarray(t.column("o_totalprice")) * 100.0 + 0.5).astype(np.int64)
+        day = (
+            t.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        ).view(np.int64)
+        keys = np.asarray(t.column("o_orderkey"))
+        keep = self._brute(list(zip(price.tolist(), day.tolist())))
+        exp = sorted(int(keys[i]) for i in keep)
+        assert got["o_orderkey"].astype(int).tolist() == exp
+        # frontier rows carry the exact integer coords they were judged on
+        by_key = {int(k): (int(p), int(d)) for k, p, d in zip(keys, price, day)}
+        for k, p, d in zip(got["o_orderkey"], got["price_cents"], got["date_day"]):
+            assert by_key[int(k)] == (int(p), int(d))
+
+    def test_skyline_partition_invariant_and_ties(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # hand-built table with both-axis ties (must ALL survive), equal-price
+        # dominance and equal-date dominance
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "o_totalprice": pa.array([10.0, 10.0, 10.0, 9.0, 11.0, 11.0]),
+                "o_orderdate": pa.array(
+                    np.array(
+                        ["2024-01-05", "2024-01-05", "2024-01-02", "2024-01-05", "2024-01-01", "2024-01-01"],
+                        dtype="datetime64[us]",
+                    )
+                ),
+            }
+        )
+        ds = rd.from_arrow(t)
+        got = _pdf(analytics.skyline_orders(ds))
+        # 1,2 tie on both axes at the frontier; 3 dominated by 1 (same price,
+        # earlier date); 4 dominated by 1 (lower price, same date); 5,6 tie at
+        # the max-price corner
+        assert got["o_orderkey"].astype(int).tolist() == [1, 2, 5, 6]
+        a = _pdf(analytics.skyline_orders(ds.repartition(5)))
+        assert a.values.tolist() == got.values.tolist()
