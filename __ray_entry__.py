@@ -1732,6 +1732,80 @@ _SKYLINE_ORDERS_SQL = (
 )
 
 
+def _q_mode_event_type(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (ties -> smallest
+    type string). Engine: per-batch partial counts -> one key-domain hash
+    exchange -> vectorized per-bucket argmax (relational.mode_by_key)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return relational.mode_by_key(ds, "user_id", "event_type")
+
+
+_MODE_EVENT_TYPE_SQL = (
+    "WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1, 2), "
+    "r AS (SELECT user_id, event_type, n, ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk FROM c) "
+    "SELECT user_id, event_type AS mode_value, n AS n_rows FROM r WHERE rk = 1"
+)
+
+
+def _q_fk_orphan_audit(sf_dir: str):
+    """Referential-integrity audit after simulated parent purges: orphaned
+    lineitems when only finished orders survive, orphaned orders/events when
+    only BUILDING-segment customers survive. Parent filters are pushed into
+    the parquet read (row-group stats); each relation's anti-join is the
+    bucketed key-domain exchange in relational.orphan_audit — no broadcast,
+    no row shuffle."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    orders_f = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"],
+        filter=(pds.field("o_orderstatus") == "F"),
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cust_b = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"],
+        filter=(pds.field("c_mktsegment") == "BUILDING"),
+    )
+    a1 = relational.orphan_audit(lineitem, "l_orderkey", orders_f, "o_orderkey",
+                                 "lineitem->orders[F]")
+    a2 = relational.orphan_audit(orders, "o_custkey", cust_b, "c_custkey",
+                                 "orders->customer[BUILDING]")
+    a3 = relational.orphan_audit(events, "user_id", cust_b, "c_custkey",
+                                 "events->customer[BUILDING]")
+    return a1.union(a2).union(a3)
+
+
+_FK_ORPHAN_AUDIT_SQL = (
+    "SELECT 'lineitem->orders[F]' AS relation, "
+    "CAST(COUNT(*) AS BIGINT) AS n_child_rows, "
+    "CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_rows, "
+    "CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END) AS BIGINT) "
+    "AS n_orphan_keys "
+    "FROM lineitem l LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') o "
+    "ON l.l_orderkey = o.o_orderkey "
+    "UNION ALL SELECT 'orders->customer[BUILDING]', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END) AS BIGINT) "
+    "FROM orders o LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c "
+    "ON o.o_custkey = c.c_custkey "
+    "UNION ALL SELECT 'events->customer[BUILDING]', CAST(COUNT(*) AS BIGINT), "
+    "CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+    "CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN e.user_id END) AS BIGINT) "
+    "FROM events e LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c "
+    "ON e.user_id = c.c_custkey"
+)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -1832,6 +1906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
         "skyline_orders": _q_skyline_orders,
+        "mode_event_type": _q_mode_event_type,
+        "fk_orphan_audit": _q_fk_orphan_audit,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3289,4 +3365,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM e GROUP BY user_id"
         ),
         "skyline_orders": _SKYLINE_ORDERS_SQL,
+        "mode_event_type": _MODE_EVENT_TYPE_SQL,
+        "fk_orphan_audit": _FK_ORPHAN_AUDIT_SQL,
     }

@@ -829,3 +829,120 @@ def debounce_frame(
     close[1:] = (ts[1:] - ts[:-1]) < gap
     keep = ~(same_key & close)
     return g.loc[keep, [id_col, *key_cols]].reset_index(drop=True)
+
+
+# ------------------------------------------------------------- mode / audit
+
+
+def mode_by_key(ds, key_col: str, value_col: str, buckets: int = 64):
+    """Grouped mode: the most frequent ``value_col`` per ``key_col``, ties
+    broken by the smallest value (deterministic at any partitioning).
+
+    Scale shape: per-batch partial counts collapse each block to at most one
+    row per (key, value) it saw, so the ONE hash exchange moves the
+    (key, value)-domain, never input rows; the per-bucket merge is a
+    vectorized sort + head(1), not a per-group Python loop. Returns
+    (key, mode_value, n_rows) where n_rows counts the winning value's rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, value_col]).to_pandas()
+        c = df.groupby([key_col, value_col], sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            group.groupby([key_col, value_col], sort=False)["n"].sum().reset_index()
+        )
+        g = tot.sort_values(
+            [key_col, "n", value_col], ascending=[True, False, True], kind="mergesort"
+        )
+        best = g.groupby(key_col, sort=False).head(1)
+        return pd.DataFrame(
+            {
+                key_col: best[key_col].to_numpy(),
+                "mode_value": best[value_col].to_numpy(),
+                "n_rows": best["n"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def orphan_audit(child_ds, child_key: str, parent_ds, parent_key: str,
+                 relation: str, buckets: int = 64):
+    """Referential-integrity audit: counts child rows whose key has no match
+    in the (possibly filtered) parent table -- the post-purge / post-delete
+    data-ops check (did a retention sweep on the parent orphan live child
+    rows?). Reference analogue: the manager's completion-ledger consistency
+    sweep (Manager.java:406-460 cleans result rows whose parent job row was
+    retired).
+
+    Scale shape: the child collapses map-side to per-batch (key, n) partial
+    counts and the parent to per-batch distinct keys, so the ONE hash
+    exchange is key-domain-sized on both sides regardless of row count; each
+    bucket then anti-joins vectorized (np.isin) and emits a 3-number
+    partial, and a single tiny task sums the buckets. Never broadcasts the
+    parent -- works when both sides are too big for any worker's heap.
+
+    Returns one row: (relation, n_child_rows, n_orphan_rows, n_orphan_keys).
+    """
+
+    def child_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([child_key]).to_pandas()
+        c = df.groupby(child_key, sort=False).size().rename("n").reset_index()
+        return pa.table(
+            {
+                "key": pa.array(c[child_key].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+                "is_parent": pa.array(np.zeros(len(c), dtype=bool)),
+            }
+        )
+
+    def parent_partial(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column(parent_key).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "key": pa.array(k.astype(np.int64), pa.int64()),
+                "n": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "is_parent": pa.array(np.ones(len(k), dtype=bool)),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "key", buckets)
+
+    def audit_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        parents = group.loc[group["is_parent"], "key"].unique()
+        child = group.loc[~group["is_parent"]]
+        orphan = child.loc[~child["key"].isin(parents)]
+        return pd.DataFrame(
+            {
+                "relation": [relation],
+                "n_child_rows": [int(child["n"].sum())],
+                "n_orphan_rows": [int(orphan["n"].sum())],
+                "n_orphan_keys": [int(orphan["key"].nunique())],
+            }
+        )
+
+    partials = (
+        child_ds.map_batches(child_partial, batch_format="pyarrow")
+        .union(parent_ds.map_batches(parent_partial, batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(audit_bucket, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        partials,
+        keys=["relation"],
+        aggs=[("n_child_rows", "sum"), ("n_orphan_rows", "sum"), ("n_orphan_keys", "sum")],
+        out_names=["relation", "n_child_rows", "n_orphan_rows", "n_orphan_keys"],
+    )

@@ -2201,3 +2201,79 @@ class TestSkylineOrders:
         assert got["o_orderkey"].astype(int).tolist() == [1, 2, 5, 6]
         a = _pdf(analytics.skyline_orders(ds.repartition(5)))
         assert a.values.tolist() == got.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestModeAndOrphanAudit:
+    def test_mode_by_key_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+        got = (
+            _pdf(relational.mode_by_key(ds, "user_id", "event_type"))
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+                       FROM '{SF}/events.parquet' GROUP BY 1, 2),
+            r AS (SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk FROM c)
+            SELECT user_id, event_type AS mode_value, CAST(n AS BIGINT) AS n_rows
+            FROM r WHERE rk = 1 ORDER BY user_id
+            """
+        ).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["mode_value"].tolist() == exp["mode_value"].tolist()
+        assert got["n_rows"].astype(int).tolist() == exp["n_rows"].astype(int).tolist()
+
+    def test_mode_partition_invariant(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+        a = _pdf(relational.mode_by_key(base, "user_id", "event_type")).sort_values(
+            "user_id").reset_index(drop=True)
+        b = _pdf(relational.mode_by_key(base.repartition(13), "user_id", "event_type")
+                 ).sort_values("user_id").reset_index(drop=True)
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_orphan_audit_counts_planted_orphans(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        child = pa.table(
+            {"fk": pa.array([1, 1, 2, 3, 3, 3, 9, 9, 42], pa.int64())}
+        )
+        parent = pa.table({"pk": pa.array([1, 2, 5], pa.int64())})
+        got = _pdf(
+            relational.orphan_audit(
+                rd.from_arrow(child).repartition(4), "fk",
+                rd.from_arrow(parent).repartition(2), "pk", "child->parent",
+            )
+        )
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert r["relation"] == "child->parent"
+        assert int(r["n_child_rows"]) == 9
+        # orphans: 3 (x3), 9 (x2), 42 (x1) = 6 rows over 3 distinct keys
+        assert int(r["n_orphan_rows"]) == 6
+        assert int(r["n_orphan_keys"]) == 3
+
+    def test_orphan_audit_clean_relation(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        lineitem = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+        orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+        got = _pdf(relational.orphan_audit(lineitem, "l_orderkey", orders, "o_orderkey", "li->o"))
+        n = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/lineitem.parquet'").fetchone()[0]
+        assert int(got.iloc[0]["n_child_rows"]) == int(n)
+        assert int(got.iloc[0]["n_orphan_rows"]) == 0
+        assert int(got.iloc[0]["n_orphan_keys"]) == 0
