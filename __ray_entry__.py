@@ -1806,6 +1806,19 @@ _FK_ORPHAN_AUDIT_SQL = (
 )
 
 
+def _q_semdedup_keepers(sf_dir: str):
+    """SemDeDup: kmeans the embedding space (the integer-exact Lloyd fit
+    kmeans_clusters uses), then within each cluster drop vectors that have
+    a smaller-id near-dup at cosine >= 0.4 (the testdata is near-orthogonal;
+    see analytics.semdedup_keepers for the threshold rationale)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return analytics.semdedup_keepers(ds, k=8, iters=3, threshold=0.4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -1901,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semdedup_keepers": _q_semdedup_keepers,
         "pagerank_top": _q_pagerank_top,
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
@@ -2954,13 +2968,15 @@ def _pagerank_sql(iters: int = 4, damping_pct: int = 85, topn: int = 20) -> str:
     )
 
 
-def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
-    """Unrolled-CTE replay of ``analytics.kmeans_clusters``: long-form
-    integer-quantized vectors, md5-key seeding, then per iteration the
-    (exact-int distance -> argmin assign with (d, cid) tie-break ->
-    floor-rounded integer mean with empty-cluster carry) CTE triple.
-    Integer and identically-rounded float64 ops only -- bit-exact vs the
-    numpy engine (quantization parity verified on the testdata)."""
+def _kmeans_assign_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Unrolled-CTE replay of the shared Lloyd fit (``analytics._kmeans_fit``
+    + final assignment): long-form integer-quantized vectors, md5-key
+    seeding, then per iteration the (exact-int distance -> argmin assign
+    with (d, cid) tie-break -> floor-rounded integer mean with
+    empty-cluster carry) CTE triple, ending at the per-vector ``aF``
+    assignment CTE. Integer and identically-rounded float64 ops only --
+    bit-exact vs the numpy engine (quantization parity verified on the
+    testdata). Consumed by _kmeans_sql and _semdedup_sql."""
     hkey = "('0x' || substr(md5(CAST(vec_id AS VARCHAR)),1,16))::UBIGINT"
     parts = [
         "WITH vlong AS (SELECT vec_id, "
@@ -2991,10 +3007,35 @@ def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
         "aF AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, "
         "row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM dF) "
         "WHERE rn = 1) ",
-        "SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
-        "CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM aF GROUP BY cid ORDER BY cluster_id",
     ]
     return "".join(parts)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Cluster fingerprint on top of the shared assignment CTEs."""
+    return _kmeans_assign_ctes(k=k, iters=iters, scale=scale) + (
+        "SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id FROM aF GROUP BY cid ORDER BY cluster_id"
+    )
+
+
+def _semdedup_sql(k: int = 8, iters: int = 3, scale: int = 1000,
+                  threshold: float = 0.4) -> str:
+    """Replay of analytics.semdedup_keepers: the shared kmeans assignment
+    CTEs, then the dominance rule — a vector survives iff NO smaller-id
+    vector in its cluster has cosine >= threshold. The engine computes
+    cosine on float64 copies of the float32 lists; DuckDB's
+    list_cosine_similarity agrees far inside the 1.3e-4 pair-to-threshold
+    margin measured on the testdata."""
+    return _kmeans_assign_ctes(k=k, iters=iters, scale=scale) + (
+        "SELECT a.vec_id, a.cid AS cluster_id FROM aF a "
+        "WHERE NOT EXISTS (SELECT 1 FROM aF b "
+        "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+        "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+        "WHERE b.cid = a.cid AND b.vec_id < a.vec_id "
+        f"AND list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}) "
+        "ORDER BY vec_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3352,6 +3393,7 @@ def oracle_sql() -> dict[str, str]:
         # this dataset (pytest-held recall test; see _q_ivf_topk docstring)
         "ivf_topk": _ANN_TOPK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
+        "semdedup_keepers": _semdedup_sql(k=8, iters=3, scale=1000, threshold=0.4),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),

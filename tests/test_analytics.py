@@ -2277,3 +2277,69 @@ class TestModeAndOrphanAudit:
         assert int(got.iloc[0]["n_child_rows"]) == int(n)
         assert int(got.iloc[0]["n_orphan_rows"]) == 0
         assert int(got.iloc[0]["n_orphan_keys"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemDeDup:
+    def test_semdedup_matches_bruteforce(self):
+        """Reference: assign via the engine's own integer kmeans (fit is
+        tested against SQL elsewhere), then brute-force the dominance rule."""
+        import ray
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tau = 0.4
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        got = (
+            _pdf(analytics.semdedup_keepers(ds, k=8, iters=3, threshold=tau))
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = np.asarray(t.column("vec_id")).astype(np.int64)
+        V = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        qds = analytics._kmeans_quantize(
+            rd.from_arrow(t), "vec_id", "embedding", 1000
+        ).materialize()
+        C = analytics._kmeans_fit(qds, k=8, iters=3, id_col="vec_id")
+        Q = np.floor(V * 1000.0 + 0.5).astype(np.int64)
+        d = (Q * Q).sum(1)[:, None] - 2 * (Q @ C.T) + (C * C).sum(1)[None, :]
+        lab = np.argmin(d, axis=1)
+        U = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = U @ U.T
+        exp = []
+        order = np.argsort(ids)
+        for i in order:
+            dominated = any(
+                lab[j] == lab[i] and ids[j] < ids[i] and S[i, j] >= tau
+                for j in range(len(ids))
+                if j != i
+            )
+            if not dominated:
+                exp.append((int(ids[i]), int(lab[i])))
+        assert list(zip(got["vec_id"].astype(int), got["cluster_id"].astype(int))) == exp
+        assert len(exp) < len(ids)  # the removal path actually fired
+
+    def test_semdedup_partition_invariant(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        a = _pdf(analytics.semdedup_keepers(base, k=4, iters=2, threshold=0.4)).sort_values(
+            "vec_id").reset_index(drop=True)
+        b = _pdf(
+            analytics.semdedup_keepers(base.repartition(9), k=4, iters=2, threshold=0.4)
+        ).sort_values("vec_id").reset_index(drop=True)
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_semdedup_max_cluster_guard(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        with pytest.raises(Exception, match="max_cluster"):
+            _pdf(analytics.semdedup_keepers(base, k=2, iters=1, threshold=0.4, max_cluster=10))
