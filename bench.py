@@ -158,6 +158,8 @@ def run_bench() -> dict:
         "robust_outliers", "collocations", "pruned_range_read",
         "shipments_within_7d", "dedup_keep_best",
         "kmeans_clusters", "pagerank_top", "hybrid_topk",
+        "semdedup_keepers", "skyline_orders", "mode_event_type",
+        "fk_orphan_audit",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
