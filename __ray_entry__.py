@@ -1819,6 +1819,27 @@ _FK_ORPHAN_AUDIT_SQL = (
 )
 
 
+def _q_longest_streak(sf_dir: str):
+    """Per-user longest consecutive-active-days streak (gaps-and-islands)
+    over the event stream; one activity-domain exchange, vectorized
+    run-length kernel (relational.longest_streak)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts"])
+    return relational.longest_streak(ds, "user_id", "ts")
+
+
+_LONGEST_STREAK_SQL = (
+    "WITH d AS (SELECT DISTINCT user_id, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events), "
+    "r AS (SELECT user_id, day, day - ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY day) AS grp FROM d), "
+    "s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2) "
+    "SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak_days, "
+    "CAST(SUM(len) AS BIGINT) AS n_active_days FROM s GROUP BY user_id"
+)
+
+
 def _q_semdedup_keepers(sf_dir: str):
     """SemDeDup: kmeans the embedding space (the integer-exact Lloyd fit
     kmeans_clusters uses), then within each cluster drop vectors that have
@@ -1935,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
+        "longest_streak": _q_longest_streak,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3422,4 +3444,5 @@ def oracle_sql() -> dict[str, str]:
         "skyline_orders": _SKYLINE_ORDERS_SQL,
         "mode_event_type": _MODE_EVENT_TYPE_SQL,
         "fk_orphan_audit": _FK_ORPHAN_AUDIT_SQL,
+        "longest_streak": _LONGEST_STREAK_SQL,
     }

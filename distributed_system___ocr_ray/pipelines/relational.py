@@ -981,3 +981,65 @@ def orphan_audit_multi(specs, buckets: int = 64):
         aggs=[("n_child_rows", "sum"), ("n_orphan_rows", "sum"), ("n_orphan_keys", "sum")],
         out_names=["relation", "n_child_rows", "n_orphan_rows", "n_orphan_keys"],
     )
+
+
+def longest_streak(ds, key_col: str = "user_id", ts_col: str = "ts",
+                   buckets: int = 64):
+    """Gaps-and-islands: per key, the longest run of CONSECUTIVE active days
+    (and the total distinct active days) from an event stream -- the
+    engagement-streak query every activity dashboard runs.
+
+    Scale shape: each batch collapses map-side to its distinct (key, day)
+    pairs, so the ONE hash exchange is activity-domain sized (<= keys x
+    days), never event-row sized; the per-bucket kernel is fully
+    vectorized (sort once, then one run-length pass over day-diff breaks
+    shared by ALL keys in the bucket -- no per-key loop). Day = floor
+    epoch seconds // 86400, matching the SQL replay exactly.
+
+    Returns (key, longest_streak_days, n_active_days).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").view(np.int64)
+        pairs = np.unique(np.stack([keys, day], axis=1), axis=0)
+        return pa.table(
+            {
+                key_col: pa.array(pairs[:, 0], pa.int64()),
+                "day": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def streaks(group: pd.DataFrame) -> pd.DataFrame:
+        d = group[[key_col, "day"]].drop_duplicates()
+        arr = np.unique(
+            np.stack([d[key_col].to_numpy(np.int64), d["day"].to_numpy(np.int64)], axis=1),
+            axis=0,
+        )
+        k, day = arr[:, 0], arr[:, 1]
+        # a new island starts at a key change or a day jump != 1
+        brk = np.r_[True, (k[1:] != k[:-1]) | (day[1:] != day[:-1] + 1)]
+        island = np.cumsum(brk) - 1
+        lengths = np.bincount(island)
+        island_key = k[brk]
+        out = pd.DataFrame({key_col: island_key, "len": lengths})
+        g = out.groupby(key_col, sort=True)["len"]
+        res = pd.DataFrame(
+            {
+                key_col: g.max().index.to_numpy(np.int64),
+                "longest_streak_days": g.max().to_numpy(np.int64),
+                "n_active_days": g.sum().to_numpy(np.int64),
+            }
+        )
+        return res
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(streaks, batch_format="pandas")
+    )

@@ -2343,3 +2343,66 @@ class TestSemDeDup:
         base = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
         with pytest.raises(Exception, match="max_cluster"):
             _pdf(analytics.semdedup_keepers(base, k=2, iters=1, threshold=0.4, max_cluster=10))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLongestStreak:
+    def test_hand_built_streaks(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        days = {
+            # user 1: days 0,1,2, 5,6 -> longest 3, active 5
+            1: [0, 0, 1, 2, 5, 6],
+            # user 2: single day (twice) -> longest 1, active 1
+            2: [10, 10],
+            # user 3: 7,8,9,10 -> longest 4, active 4
+            3: [7, 8, 9, 10],
+        }
+        users, ts = [], []
+        for u, ds_ in days.items():
+            for d in ds_:
+                users.append(u)
+                ts.append(np.datetime64("2024-01-01", "us") + np.timedelta64(d, "D")
+                          + np.timedelta64(u * 3600, "s"))
+        t = pa.table({"user_id": pa.array(users, pa.int64()),
+                      "ts": pa.array(np.array(ts, dtype="datetime64[us]"))})
+        got = (
+            relational.longest_streak(rd.from_arrow(t).repartition(4), "user_id", "ts")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == [1, 2, 3]
+        assert got["longest_streak_days"].tolist() == [3, 1, 4]
+        assert got["n_active_days"].tolist() == [5, 1, 4]
+
+    def test_streak_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        got = (
+            relational.longest_streak(ds, "user_id", "ts")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT DISTINCT user_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+                       FROM '{SF}/events.parquet'),
+            r AS (SELECT user_id, day, day - ROW_NUMBER() OVER
+                  (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+            s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2)
+            SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest,
+                   CAST(SUM(len) AS BIGINT) AS active
+            FROM s GROUP BY user_id ORDER BY user_id
+            """
+        ).df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["longest_streak_days"].tolist() == exp["longest"].astype(int).tolist()
+        assert got["n_active_days"].tolist() == exp["active"].astype(int).tolist()
