@@ -1819,6 +1819,27 @@ _FK_ORPHAN_AUDIT_SQL = (
 )
 
 
+def _q_basket_pairs(sf_dir: str):
+    """Market-basket affinity: top-20 part pairs co-occurring in orders,
+    A-Priori-pruned at item support 20 (analytics.basket_pairs_topk)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"])
+    return analytics.basket_pairs_topk(ds, min_support=20, topk=20)
+
+
+_BASKET_PAIRS_SQL = (
+    "WITH f AS (SELECT l_partkey FROM (SELECT l_partkey, COUNT(*) AS c "
+    "FROM lineitem GROUP BY 1) WHERE c >= 20), "
+    "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "WHERE l_partkey IN (SELECT l_partkey FROM f)), "
+    "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders FROM li a JOIN li b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+    "SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+)
+
+
 def _q_longest_streak(sf_dir: str):
     """Per-user longest consecutive-active-days streak (gaps-and-islands)
     over the event stream; one activity-domain exchange, vectorized
@@ -1957,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
         "longest_streak": _q_longest_streak,
+        "basket_pairs": _q_basket_pairs,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3445,4 +3467,5 @@ def oracle_sql() -> dict[str, str]:
         "mode_event_type": _MODE_EVENT_TYPE_SQL,
         "fk_orphan_audit": _FK_ORPHAN_AUDIT_SQL,
         "longest_streak": _LONGEST_STREAK_SQL,
+        "basket_pairs": _BASKET_PAIRS_SQL,
     }

@@ -159,7 +159,7 @@ def run_bench() -> dict:
         "shipments_within_7d", "dedup_keep_best",
         "kmeans_clusters", "pagerank_top", "hybrid_topk",
         "semdedup_keepers", "skyline_orders", "mode_event_type",
-        "fk_orphan_audit",
+        "fk_orphan_audit", "longest_streak", "basket_pairs",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

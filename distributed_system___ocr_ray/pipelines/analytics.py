@@ -3937,3 +3937,169 @@ def skyline_orders(ds, price_col: str = "o_totalprice", date_col: str = "o_order
         local_skyline, batch_format="pyarrow", batch_size=None
     )
     return final.sort(id_col)
+
+
+# ------------------------------------------------------- market basket
+
+
+def basket_pairs_topk(
+    ds,
+    order_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 20,
+    topk: int = 20,
+    buckets: int = 64,
+    max_basket: int = 4096,
+):
+    """Top-k co-occurring item pairs (market-basket affinity) with A-Priori
+    item pruning: only items whose ROW frequency >= ``min_support`` enter
+    the pair stage (a pair can never be frequent if either member isn't --
+    Agrawal & Srikant '94), which is what keeps the pair fan-out bounded at
+    scale. Pair count = number of distinct orders containing both items.
+
+    Scale shape: (1) item counts are a partial-agg + one key-domain
+    exchange; the surviving frequent set is ray.put ONCE (its size is the
+    min_support knob's job -- the classic A-Priori memory assumption) and
+    probed map-side. (2) baskets co-locate with ONE order-domain exchange;
+    pair generation is vectorized across all baskets of equal size (one
+    triu gather per (size class), no per-order Python loop). (3) pair
+    counts merge in ONE pair-domain exchange whose per-bucket top-k means
+    only k x buckets candidate rows reach the single final-merge task.
+    ``max_basket`` caps pathological baskets (m^2 pairs) loudly.
+
+    Returns (part_a, part_b, n_orders), the top-k by (n_orders desc,
+    part_a, part_b) -- fully ordered, deterministic at any partitioning.
+    """
+    import ray
+
+    from .relational import hash_bucket_column
+
+    # ---- pass 1: frequent items (A-Priori prune)
+    def item_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([item_col]).to_pandas()
+        c = df.groupby(item_col, sort=False).size().rename("n").reset_index()
+        return pa.table(
+            {
+                item_col: pa.array(c[item_col].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(c["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def add_item_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, item_col, buckets)
+
+    def merge_items(group: pd.DataFrame) -> pd.DataFrame:
+        tot = group.groupby(item_col, sort=False)["n"].sum()
+        keep = tot[tot >= min_support]
+        return pd.DataFrame({item_col: keep.index.to_numpy(np.int64)})
+
+    freq = (
+        ds.map_batches(item_partial, batch_format="pyarrow")
+        .map_batches(add_item_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_items, batch_format="pandas")
+        .to_pandas()[item_col]
+        .to_numpy(np.int64)
+    )
+    handle = ray.put(np.sort(freq))
+
+    # ---- pass 2: baskets -> pairs -> counts -> top-k
+    class FilterFrequent:
+        def __init__(self):
+            self.freq = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            items = batch.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(self.freq) == 0:
+                hit = np.zeros(len(items), dtype=bool)
+            else:
+                pos_safe = np.clip(np.searchsorted(self.freq, items), 0, len(self.freq) - 1)
+                hit = self.freq[pos_safe] == items
+            orders = batch.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    order_col: pa.array(orders[hit], pa.int64()),
+                    item_col: pa.array(items[hit], pa.int64()),
+                }
+            )
+
+    def add_order_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, order_col, buckets)
+
+    def gen_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # distinct (order, item), sorted -> per-basket sizes -> for each size
+        # class, one (G, m) reshape + triu gather emits all pairs at once
+        arr = np.unique(
+            np.stack(
+                [group[order_col].to_numpy(np.int64), group[item_col].to_numpy(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        o, it = arr[:, 0], arr[:, 1]
+        brk = np.r_[True, o[1:] != o[:-1]]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, len(o)])
+        if sizes.size and sizes.max() > max_basket:
+            raise ValueError(
+                f"basket of {sizes.max()} items exceeds max_basket={max_basket}; "
+                "raise min_support"
+            )
+        pas, pbs = [], []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            sel = starts[sizes == m]
+            M = it[(sel[:, None] + np.arange(m)[None, :])]  # (G, m) baskets
+            iu, ju = np.triu_indices(int(m), k=1)
+            pas.append(M[:, iu].ravel())
+            pbs.append(M[:, ju].ravel())
+        if not pas:
+            return pd.DataFrame({"part_a": pd.Series([], dtype=np.int64),
+                                 "part_b": pd.Series([], dtype=np.int64),
+                                 "n_orders": pd.Series([], dtype=np.int64)})
+        pa_ = np.concatenate(pas)
+        pb_ = np.concatenate(pbs)
+        c = (
+            pd.DataFrame({"part_a": pa_, "part_b": pb_})
+            .groupby(["part_a", "part_b"], sort=False)
+            .size()
+            .rename("n_orders")
+            .reset_index()
+        )
+        return c
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        key = (
+            batch.column("part_a").to_numpy(zero_copy_only=False) * 1_000_003
+            + batch.column("part_b").to_numpy(zero_copy_only=False)
+        )
+        b = pd.util.hash_array(key.astype(np.int64)) % buckets
+        return batch.append_column("__bucket", pa.array(b.astype(np.int32), pa.int32()))
+
+    def merge_pairs_topk(group: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            group.groupby(["part_a", "part_b"], sort=False)["n_orders"].sum().reset_index()
+        )
+        tot = tot.sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(topk)
+        return tot.astype({"part_a": np.int64, "part_b": np.int64, "n_orders": np.int64})
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n_orders", "part_a", "part_b"], ascending=[False, True, True], kind="mergesort"
+        ).head(topk)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(FilterFrequent, batch_format="pyarrow", concurrency=(1, 8))
+        .map_batches(add_order_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(gen_pairs, batch_format="pandas")
+        .map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(merge_pairs_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )

@@ -2406,3 +2406,70 @@ class TestLongestStreak:
         assert got["user_id"].tolist() == exp["user_id"].tolist()
         assert got["longest_streak_days"].tolist() == exp["longest"].astype(int).tolist()
         assert got["n_active_days"].tolist() == exp["active"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBasketPairs:
+    def test_hand_built_baskets(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # orders: 1:{A,B,C} 2:{A,B} 3:{A,B} 4:{B,C} 5:{A,D} (+ dup row A in 1)
+        A, B, C, D = 10, 20, 30, 40
+        rows = [(1, A), (1, A), (1, B), (1, C), (2, A), (2, B),
+                (3, A), (3, B), (4, B), (4, C), (5, A), (5, D)]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        # min_support=2 prunes D (freq 1); A row-freq 5, B 4, C 2
+        got = analytics.basket_pairs_topk(
+            rd.from_arrow(t).repartition(5), min_support=2, topk=10
+        ).to_pandas()
+        # pair counts: (A,B)=3, (A,C)=1, (B,C)=2
+        assert list(map(tuple, got.values.tolist())) == [
+            (A, B, 3), (B, C, 2), (A, C, 1),
+        ]
+
+    def test_topk_truncation_and_tiebreak(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # three pairs all with count 1 -> tie broken by (part_a, part_b)
+        rows = [(1, 1), (1, 2), (2, 1), (2, 3), (3, 2), (3, 3),
+                (4, 1), (5, 2), (6, 3)]
+        t = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+        got = analytics.basket_pairs_topk(
+            rd.from_arrow(t).repartition(3), min_support=1, topk=2
+        ).to_pandas()
+        assert list(map(tuple, got.values.tolist())) == [(1, 2, 1), (1, 3, 1)]
+
+    def test_matches_duckdb_on_lineitem(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+        got = analytics.basket_pairs_topk(ds, min_support=5, topk=15).to_pandas()
+        exp = duckdb.sql(
+            f"""
+            WITH f AS (SELECT l_partkey FROM (SELECT l_partkey, COUNT(*) AS c
+                       FROM '{SF}/lineitem.parquet' GROUP BY 1) WHERE c >= 5),
+            li AS (SELECT DISTINCT l_orderkey, l_partkey FROM '{SF}/lineitem.parquet'
+                   WHERE l_partkey IN (SELECT l_partkey FROM f)),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2)
+            SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 15
+            """
+        ).df()
+        assert got.values.tolist() == exp.values.tolist()
