@@ -1819,6 +1819,33 @@ _FK_ORPHAN_AUDIT_SQL = (
 )
 
 
+def _q_corr_qty_price(sf_dir: str):
+    """Pearson correlation between lineitem quantity and extended price —
+    a 6-number exact-integer reduction with zero shuffle
+    (analytics.corr_stats); ONE shared float64 expression finishes it."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_quantity", "l_extendedprice"])
+    return analytics.corr_stats(ds, "l_quantity", "l_extendedprice")
+
+
+_CORR_QTY_PRICE_SQL = (
+    "WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS HUGEINT)) AS sx, "
+    "SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS HUGEINT)) AS sy, "
+    "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS HUGEINT) * "
+    "CAST(FLOOR(l_extendedprice*100 + 0.5) AS HUGEINT)) AS sxy, "
+    "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS HUGEINT) * "
+    "CAST(FLOOR(l_quantity*100 + 0.5) AS HUGEINT)) AS sx2, "
+    "SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS HUGEINT) * "
+    "CAST(FLOOR(l_extendedprice*100 + 0.5) AS HUGEINT)) AS sy2 FROM lineitem) "
+    "SELECT n, CAST(sx AS BIGINT) AS sum_x_cents, CAST(sy AS BIGINT) AS sum_y_cents, "
+    "CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE) / "
+    "(sqrt(CAST(n*sx2 - sx*sx AS DOUBLE)) * sqrt(CAST(n*sy2 - sy*sy AS DOUBLE))) "
+    "* 1e6 + 0.5) AS BIGINT) AS corr_ppm FROM s"
+)
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket affinity: top-20 part pairs co-occurring in orders,
     A-Priori-pruned at item support 20 (analytics.basket_pairs_topk)."""
@@ -1979,6 +2006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_audit": _q_fk_orphan_audit,
         "longest_streak": _q_longest_streak,
         "basket_pairs": _q_basket_pairs,
+        "corr_qty_price": _q_corr_qty_price,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3468,4 +3496,5 @@ def oracle_sql() -> dict[str, str]:
         "fk_orphan_audit": _FK_ORPHAN_AUDIT_SQL,
         "longest_streak": _LONGEST_STREAK_SQL,
         "basket_pairs": _BASKET_PAIRS_SQL,
+        "corr_qty_price": _CORR_QTY_PRICE_SQL,
     }

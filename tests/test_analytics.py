@@ -2473,3 +2473,35 @@ class TestBasketPairs:
             """
         ).df()
         assert got.values.tolist() == exp.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCorrStats:
+    def test_corr_matches_numpy(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+        got = analytics.corr_stats(ds, "l_quantity", "l_extendedprice").to_pandas()
+        t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+        x = np.floor(np.asarray(t.column("l_quantity")) * 100.0 + 0.5)
+        y = np.floor(np.asarray(t.column("l_extendedprice")) * 100.0 + 0.5)
+        ref = np.corrcoef(x, y)[0, 1]
+        assert int(got["n"].iloc[0]) == len(x)
+        assert int(got["sum_x_cents"].iloc[0]) == int(x.sum())
+        # ppm value within 1 ulp-of-ppm of numpy's (different summation order)
+        assert abs(int(got["corr_ppm"].iloc[0]) - round(ref * 1e6)) <= 1
+
+    def test_corr_partition_invariant_and_exact_bigint(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"])
+        a = analytics.corr_stats(base, "l_quantity", "l_extendedprice").to_pandas()
+        b = analytics.corr_stats(
+            base.repartition(17), "l_quantity", "l_extendedprice"
+        ).to_pandas()
+        # sufficient statistics are exact integers: bit-identical at any layout
+        assert a.values.tolist() == b.values.tolist()
