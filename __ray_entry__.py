@@ -1846,6 +1846,34 @@ _CORR_QTY_PRICE_SQL = (
 )
 
 
+def _q_forward_fill_daily(sf_dir: str):
+    """Calendar densification + forward fill: per user, the last observed
+    event value of each day carried forward across the user's own day span
+    (relational.forward_fill_daily); one activity-domain exchange, one
+    vectorized searchsorted fill per bucket."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "value", "event_id"])
+    return relational.forward_fill_daily(ds, "user_id", "ts", "value", "event_id")
+
+
+_FORWARD_FILL_DAILY_SQL = (
+    "WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents, ts, event_id FROM events), "
+    "o AS (SELECT user_id, day, cents FROM (SELECT user_id, day, cents, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) "
+    "AS rn FROM e) WHERE rn = 1), "
+    "s AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM o GROUP BY 1), "
+    "g AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM s), "
+    "j AS (SELECT g.user_id, g.day, o.cents FROM g LEFT JOIN o "
+    "ON g.user_id = o.user_id AND g.day = o.day) "
+    "SELECT user_id, day, CAST(last_value(cents IGNORE NULLS) OVER "
+    "(PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS BIGINT) AS value_cents, "
+    "CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed FROM j"
+)
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket affinity: top-20 part pairs co-occurring in orders,
     A-Priori-pruned at item support 20 (analytics.basket_pairs_topk)."""
@@ -2007,6 +2035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "longest_streak": _q_longest_streak,
         "basket_pairs": _q_basket_pairs,
         "corr_qty_price": _q_corr_qty_price,
+        "forward_fill_daily": _q_forward_fill_daily,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3497,4 +3526,5 @@ def oracle_sql() -> dict[str, str]:
         "longest_streak": _LONGEST_STREAK_SQL,
         "basket_pairs": _BASKET_PAIRS_SQL,
         "corr_qty_price": _CORR_QTY_PRICE_SQL,
+        "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,
     }

@@ -1043,3 +1043,104 @@ def longest_streak(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("__bucket")
         .map_groups(streaks, batch_format="pandas")
     )
+
+
+def forward_fill_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
+                       val_col: str = "value", id_col: str = "event_id",
+                       buckets: int = 64):
+    """Calendar densification + forward fill: per key, the last observed
+    value of each day (ties broken by event id), densified over the key's
+    own [first_day, last_day] span with missing days carried forward --
+    the state-reconstruction query behind every "daily balance" /
+    "last-known-status per day" dashboard (reference analogue: the
+    manager's per-URL counters are exactly last-write-wins state,
+    Manager.java:49-60, rebuilt here as a calendar series).
+
+    Scale shape: each batch collapses map-side to ONE candidate row per
+    (key, day) -- argmax by (ts, id) inside the batch -- so the single
+    hash exchange is activity-domain sized, never event-row sized. The
+    per-bucket kernel is fully vectorized and shared by all keys in the
+    bucket: resolve cross-batch argmax with one lexsort + keep-last, build
+    every key's day grid with np.repeat/arange (the sliding_windows
+    explode pattern), and fill via ONE np.searchsorted over an ordinal
+    (key, day) composite -- no per-key loop. Output is bounded by
+    sum(per-key day spans), the operator's contract; values are integer
+    cents so the DuckDB IGNORE NULLS window oracle compares exactly.
+
+    Returns (key, day, value_cents, observed) -- observed=1 where the day
+    had a real event, 0 where the value was carried forward.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column(val_col).to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = ts_us // 86_400_000_000
+        # keep the last (ts, id) row per (key, day): lexsort ascending, a
+        # (key, day) group's winner is its final row
+        order = np.lexsort((ids, ts_us, day, keys))
+        k, d, t, i, c = keys[order], day[order], ts_us[order], ids[order], cents[order]
+        last = np.r_[(k[1:] != k[:-1]) | (d[1:] != d[:-1]), True]
+        return pa.table(
+            {
+                key_col: pa.array(k[last], pa.int64()),
+                "day": pa.array(d[last], pa.int64()),
+                "ts_us": pa.array(t[last], pa.int64()),
+                id_col: pa.array(i[last], pa.int64()),
+                "cents": pa.array(c[last], pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def fill(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key_col].to_numpy(np.int64)
+        d = group["day"].to_numpy(np.int64)
+        t = group["ts_us"].to_numpy(np.int64)
+        i = group[id_col].to_numpy(np.int64)
+        c = group["cents"].to_numpy(np.int64)
+        # resolve the cross-batch argmax per (key, day)
+        order = np.lexsort((i, t, d, k))
+        k, d, c = k[order], d[order], c[order]
+        last = np.r_[(k[1:] != k[:-1]) | (d[1:] != d[:-1]), True]
+        k, d, c = k[last], d[last], c[last]
+        # per-key spans -> dense grid (keys arrive sorted within the bucket)
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_key)
+        ends = np.r_[starts[1:], k.size] - 1
+        d0, d1 = d[starts], d[ends]
+        span = d1 - d0 + 1
+        grid_key = np.repeat(k[starts], span)
+        base = np.repeat(d0, span)
+        off = np.arange(span.sum(), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(span)[:-1])), span
+        )
+        grid_day = base + off
+        # ordinal composite: both sides sorted by (key, day), every grid day
+        # >= its key's first observed day, so searchsorted-right-1 lands on
+        # the last observation at-or-before each grid day
+        u_ord = np.cumsum(new_key) - 1
+        lo, hi = d.min(), d.max()
+        width = hi - lo + 2
+        obs_comp = u_ord * width + (d - lo)
+        grid_comp = np.repeat(u_ord[starts], span) * width + (grid_day - lo)
+        idx = np.searchsorted(obs_comp, grid_comp, side="right") - 1
+        return pd.DataFrame(
+            {
+                key_col: grid_key,
+                "day": grid_day,
+                "value_cents": c[idx],
+                "observed": (obs_comp[idx] == grid_comp).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fill, batch_format="pandas")
+    )

@@ -2505,3 +2505,94 @@ class TestCorrStats:
         ).to_pandas()
         # sufficient statistics are exact integers: bit-identical at any layout
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestForwardFillDaily:
+    def test_hand_built_fill(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # user 1: day 0 (two events, later wins), day 3 -> span 0..3, fill 1,2
+        # user 2: single day -> span of 1, no fill
+        rows = [
+            # (user, day, sec_in_day, event_id, value)
+            (1, 0, 10, 100, 5.00),
+            (1, 0, 10, 101, 7.00),   # same ts, higher id wins -> 700 cents
+            (1, 3, 0, 102, 9.00),
+            (2, 8, 5, 200, 1.25),
+        ]
+        ts = [np.datetime64("2024-01-01", "us") + np.timedelta64(d, "D")
+              + np.timedelta64(s, "s") for (_, d, s, _, _) in rows]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "event_id": pa.array([r[3] for r in rows], pa.int64()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        })
+        got = (
+            relational.forward_fill_daily(rd.from_arrow(t).repartition(3))
+            .to_pandas()
+            .sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == [1, 1, 1, 1, 2]
+        assert got["value_cents"].tolist() == [700, 700, 700, 900, 125]
+        assert got["observed"].tolist() == [1, 0, 0, 1, 1]
+
+    def test_fill_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+        )
+        got = (
+            relational.forward_fill_daily(ds)
+            .to_pandas()
+            .sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents, ts, event_id
+                       FROM '{SF}/events.parquet'),
+            o AS (SELECT user_id, day, cents FROM (SELECT user_id, day, cents,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                     ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+                  WHERE rn = 1),
+            s AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM o GROUP BY 1),
+            g AS (SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM s),
+            j AS (SELECT g.user_id, g.day, o.cents FROM g LEFT JOIN o
+                  ON g.user_id = o.user_id AND g.day = o.day)
+            SELECT user_id, day, CAST(last_value(cents IGNORE NULLS) OVER
+                   (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS value_cents,
+                   CAST(CASE WHEN cents IS NULL THEN 0 ELSE 1 END AS BIGINT) AS observed
+            FROM j ORDER BY user_id, day
+            """
+        ).df()
+        assert got["value_cents"].tolist() == exp["value_cents"].astype(int).tolist()
+        assert got["observed"].tolist() == exp["observed"].astype(int).tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+        )
+        a = (
+            relational.forward_fill_daily(base.repartition(1), buckets=3)
+            .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+        )
+        b = (
+            relational.forward_fill_daily(base.repartition(13), buckets=64)
+            .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+        )
+        assert a.values.tolist() == b.values.tolist()
