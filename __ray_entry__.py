@@ -1874,6 +1874,25 @@ _FORWARD_FILL_DAILY_SQL = (
 )
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition matrix: per-user consecutive event-type bigram
+    counts ordered by (ts, event_id) (relational.event_transitions); one
+    key-domain exchange, vectorized bigram bincount per bucket, tiny
+    vocabulary-sized final merge."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_id", "event_type"])
+    return relational.event_transitions(ds)
+
+
+_EVENT_TRANSITIONS_SQL = (
+    "WITH t AS (SELECT user_id, event_type, LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+    "SELECT prev AS prev_type, event_type AS next_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM t WHERE prev IS NOT NULL GROUP BY 1, 2"
+)
+
+
 def _q_basket_pairs(sf_dir: str):
     """Market-basket affinity: top-20 part pairs co-occurring in orders,
     A-Priori-pruned at item support 20 (analytics.basket_pairs_topk)."""
@@ -2036,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs": _q_basket_pairs,
         "corr_qty_price": _q_corr_qty_price,
         "forward_fill_daily": _q_forward_fill_daily,
+        "event_transitions": _q_event_transitions,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3527,4 +3547,5 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": _BASKET_PAIRS_SQL,
         "corr_qty_price": _CORR_QTY_PRICE_SQL,
         "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,
+        "event_transitions": _EVENT_TRANSITIONS_SQL,
     }

@@ -1144,3 +1144,62 @@ def forward_fill_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("__bucket")
         .map_groups(fill, batch_format="pandas")
     )
+
+
+def event_transitions(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", id_col: str = "event_id",
+                      buckets: int = 64):
+    """Markov transition counts: for each key's event stream ordered by
+    (ts, id), count every consecutive (prev_type -> next_type) pair -- the
+    clickstream LAG query behind next-action models and funnel diagnostics.
+
+    Scale shape: LAG needs per-key order, so the narrow (key, ts, id, type)
+    projection takes ONE key-domain exchange (the sessionize/debounce
+    shape -- no map-side collapse exists for an ordering operator). Each
+    bucket then runs one vectorized pass shared by all its keys (sort +
+    shifted-compare mask + factorized bincount), emitting per-bucket
+    partial counts; the final groupby merges <= |types|^2 rows per bucket,
+    so the second exchange is vocabulary-sized, not event-sized.
+
+    Returns (prev_type, next_type, n) over pairs within the same key.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(
+            batch.select([key_col, ts_col, id_col, type_col]), key_col, buckets
+        )
+
+    def transitions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        t = g[type_col].to_numpy()
+        same = k[1:] == k[:-1]
+        prev, nxt = t[:-1][same], t[1:][same]
+        if prev.size == 0:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "next_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        cats, codes_p = np.unique(prev, return_inverse=True)
+        cats2, codes_n = np.unique(nxt, return_inverse=True)
+        pair = codes_p.astype(np.int64) * len(cats2) + codes_n
+        counts = np.bincount(pair, minlength=len(cats) * len(cats2))
+        hit = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "prev_type": cats[hit // len(cats2)],
+                "next_type": cats2[hit % len(cats2)],
+                "n": counts[hit].astype(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        partials,
+        keys=["prev_type", "next_type"],
+        aggs=[("n", "sum")],
+        out_names=["prev_type", "next_type", "n"],
+    )

@@ -2596,3 +2596,69 @@ class TestForwardFillDaily:
             .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
         )
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventTransitions:
+    def test_hand_built_bigrams(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # user 1: A -> B -> A ; user 2: B (no pair). Ties on ts break by id.
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                np.array(["2024-01-01T00:00:00", "2024-01-01T00:00:01",
+                          "2024-01-01T00:00:01", "2024-01-01T00:00:05"],
+                         dtype="datetime64[us]")),
+            "event_id": pa.array([1, 3, 2, 4], pa.int64()),  # id 2 before 3 at same ts
+            "event_type": pa.array(["A", "B", "A", "B"]),
+        })
+        got = (
+            relational.event_transitions(rd.from_arrow(t).repartition(2))
+            .to_pandas().sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+        )
+        # order by (ts, id): A(id1) -> A(id2) -> B(id3)
+        assert got[["prev_type", "next_type"]].values.tolist() == [["A", "A"], ["A", "B"]]
+        assert got["n"].tolist() == [1, 1]
+
+    def test_transitions_match_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        got = (
+            relational.event_transitions(ds)
+            .to_pandas().sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH t AS (SELECT user_id, event_type, LAG(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM '{SF}/events.parquet')
+            SELECT prev AS prev_type, event_type AS next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM t WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).df()
+        assert got["prev_type"].tolist() == exp["prev_type"].tolist()
+        assert got["next_type"].tolist() == exp["next_type"].tolist()
+        assert got["n"].tolist() == exp["n"].astype(int).tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        a = (relational.event_transitions(base.repartition(1), buckets=3)
+             .to_pandas().sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+        b = (relational.event_transitions(base.repartition(17), buckets=64)
+             .to_pandas().sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
