@@ -1874,6 +1874,33 @@ _FORWARD_FILL_DAILY_SQL = (
 )
 
 
+def _q_scd2_history(sf_dir: str):
+    """SCD type-2 compaction: per user, the daily last-observed value
+    stream collapsed into change intervals (valid_from_day, valid_to_day,
+    value_cents), open interval marked -1 (relational.scd2_history);
+    shares forward_fill_daily's map-side daily-argmax collapse."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "value", "event_id"])
+    return relational.scd2_history(ds, "user_id", "ts", "value", "event_id")
+
+
+_SCD2_HISTORY_SQL = (
+    "WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents, ts, event_id FROM events), "
+    "o AS (SELECT user_id, day, cents FROM (SELECT user_id, day, cents, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) "
+    "AS rn FROM e) WHERE rn = 1), "
+    "c AS (SELECT user_id, day, cents, LAG(cents) OVER "
+    "(PARTITION BY user_id ORDER BY day) AS prev FROM o), "
+    "k AS (SELECT user_id, day AS valid_from_day, cents FROM c "
+    "WHERE prev IS NULL OR cents != prev) "
+    "SELECT user_id, valid_from_day, COALESCE(LEAD(valid_from_day) OVER "
+    "(PARTITION BY user_id ORDER BY valid_from_day), CAST(-1 AS BIGINT)) "
+    "AS valid_to_day, cents AS value_cents FROM k"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2056,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": _q_corr_qty_price,
         "forward_fill_daily": _q_forward_fill_daily,
         "event_transitions": _q_event_transitions,
+        "scd2_history": _q_scd2_history,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3548,4 +3576,5 @@ def oracle_sql() -> dict[str, str]:
         "corr_qty_price": _CORR_QTY_PRICE_SQL,
         "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
+        "scd2_history": _SCD2_HISTORY_SQL,
     }

@@ -160,7 +160,7 @@ def run_bench() -> dict:
         "kmeans_clusters", "pagerank_top", "hybrid_topk",
         "semdedup_keepers", "skyline_orders", "mode_event_type",
         "fk_orphan_audit", "longest_streak", "basket_pairs",
-        "forward_fill_daily", "event_transitions",
+        "forward_fill_daily", "event_transitions", "scd2_history",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

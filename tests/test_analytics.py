@@ -2662,3 +2662,76 @@ class TestEventTransitions:
         b = (relational.event_transitions(base.repartition(17), buckets=64)
              .to_pandas().sort_values(["prev_type", "next_type"]).reset_index(drop=True))
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestScd2History:
+    def test_hand_built_intervals(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # user 1: day0=500, day1=500 (no change), day3=700 -> two intervals
+        rows = [
+            (1, 0, 100, 5.00),
+            (1, 1, 101, 5.00),
+            (1, 3, 102, 7.00),
+            (2, 8, 200, 1.25),
+        ]
+        ts = [np.datetime64("2024-01-01", "us") + np.timedelta64(d, "D")
+              for (_, d, _, _) in rows]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "event_id": pa.array([r[2] for r in rows], pa.int64()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        })
+        got = (
+            relational.scd2_history(rd.from_arrow(t).repartition(2))
+            .to_pandas().sort_values(["user_id", "valid_from_day"]).reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == [1, 1, 2]
+        assert got["value_cents"].tolist() == [500, 700, 125]
+        assert got["valid_to_day"].tolist()[1:] == [-1, -1]
+        # first interval closes at the change day
+        assert got["valid_to_day"].tolist()[0] == got["valid_from_day"].tolist()[1]
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+        )
+        a = (relational.scd2_history(base.repartition(1), buckets=3)
+             .to_pandas().sort_values(["user_id", "valid_from_day"]).reset_index(drop=True))
+        b = (relational.scd2_history(base.repartition(11), buckets=64)
+             .to_pandas().sort_values(["user_id", "valid_from_day"]).reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_scd2_consistent_with_forward_fill(self):
+        """Densified reconstruction from the SCD2 intervals must equal
+        forward_fill_daily on the same input (the two operators are duals)."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+        )
+        ff = (relational.forward_fill_daily(base)
+              .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True))
+        scd = relational.scd2_history(base).to_pandas()
+        # reconstruct: for each (user, day) in ff, the covering interval's value
+        scd = scd.sort_values(["user_id", "valid_from_day"])
+        import numpy as _np
+        users = scd["user_id"].to_numpy(_np.int64)
+        froms = scd["valid_from_day"].to_numpy(_np.int64)
+        vals = scd["value_cents"].to_numpy(_np.int64)
+        width = max(ff["day"].max(), froms.max()) + 2
+        comp = users * width + froms
+        q = ff["user_id"].to_numpy(_np.int64) * width + ff["day"].to_numpy(_np.int64)
+        idx = _np.searchsorted(comp, q, side="right") - 1
+        assert (users[idx] == ff["user_id"].to_numpy(_np.int64)).all()
+        assert vals[idx].tolist() == ff["value_cents"].tolist()
