@@ -1901,6 +1901,24 @@ _SCD2_HISTORY_SQL = (
 )
 
 
+def _q_order_part_list(sf_dir: str):
+    """Grouped ordered collect: per order, the sorted distinct part keys
+    joined with ',' (relational.collect_sorted_list); map-side distinct
+    collapse, one pair-domain exchange, one vectorized join per bucket."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"])
+    return relational.collect_sorted_list(ds, "l_orderkey", "l_partkey", "parts_csv")
+
+
+_ORDER_PART_LIST_SQL = (
+    "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+    "SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_values, "
+    "STRING_AGG(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS parts_csv "
+    "FROM d GROUP BY l_orderkey"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2084,6 +2102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_fill_daily": _q_forward_fill_daily,
         "event_transitions": _q_event_transitions,
         "scd2_history": _q_scd2_history,
+        "order_part_list": _q_order_part_list,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3577,4 +3596,5 @@ def oracle_sql() -> dict[str, str]:
         "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "scd2_history": _SCD2_HISTORY_SQL,
+        "order_part_list": _ORDER_PART_LIST_SQL,
     }

@@ -1277,3 +1277,64 @@ def scd2_history(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("__bucket")
         .map_groups(compact, batch_format="pandas")
     )
+
+
+def collect_sorted_list(ds, key_col: str, val_col: str, out_col: str,
+                        buckets: int = 64):
+    """Grouped ordered collect: per key, the DISTINCT values sorted
+    ascending and joined with ',' -- the string_agg / collect_list surface
+    (training-data analogue: concatenating a document's chunk ids in order;
+    reference analogue: the manager's per-app result assembly,
+    Manager.java:250-293, which concatenates per-URL blobs into one
+    summary). Distinct-sorted semantics make the result deterministic at
+    any partitioning even when the raw rows carry duplicates.
+
+    Scale shape: each batch collapses map-side to its DISTINCT (key, value)
+    pairs (np.unique on the pair matrix), so the ONE hash exchange is
+    pair-domain sized; the per-bucket kernel re-uniques across batches in
+    one vectorized pass and builds all keys' strings with a single
+    pandas str-join per bucket (strings are Python objects -- the join is
+    the operator's output payload, not avoidable compute).
+
+    Returns (key, n_values, values_csv).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pairs = np.unique(np.stack([k, v], axis=1), axis=0)
+        return pa.table(
+            {
+                key_col: pa.array(pairs[:, 0], pa.int64()),
+                val_col: pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        arr = np.unique(
+            np.stack(
+                [group[key_col].to_numpy(np.int64), group[val_col].to_numpy(np.int64)],
+                axis=1,
+            ),
+            axis=0,
+        )
+        k, v = arr[:, 0], arr[:, 1]
+        df = pd.DataFrame({key_col: k, "v": v.astype(str)})
+        g = df.groupby(key_col, sort=True)["v"]
+        return pd.DataFrame(
+            {
+                key_col: g.count().index.to_numpy(np.int64),
+                "n_values": g.count().to_numpy(np.int64),
+                out_col: g.agg(",".join).to_numpy(object),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(collect, batch_format="pandas")
+    )

@@ -2735,3 +2735,58 @@ class TestScd2History:
         idx = _np.searchsorted(comp, q, side="right") - 1
         assert (users[idx] == ff["user_id"].to_numpy(_np.int64)).all()
         assert vals[idx].tolist() == ff["value_cents"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCollectSortedList:
+    def test_hand_built_collect(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table({
+            "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "v": pa.array([30, 10, 10, 7, 5], pa.int64()),  # dup 10 collapses
+        })
+        got = (
+            relational.collect_sorted_list(rd.from_arrow(t).repartition(3), "k", "v", "csv")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 2]
+        assert got["n_values"].tolist() == [2, 2]
+        assert got["csv"].tolist() == ["10,30", "5,7"]
+
+    def test_collect_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+        got = (
+            relational.collect_sorted_list(ds, "l_orderkey", "l_partkey", "parts_csv")
+            .to_pandas().sort_values("l_orderkey").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM '{SF}/lineitem.parquet')
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_values,
+                   STRING_AGG(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey)
+                   AS parts_csv
+            FROM d GROUP BY l_orderkey ORDER BY l_orderkey
+            """
+        ).df()
+        assert got["n_values"].tolist() == exp["n_values"].astype(int).tolist()
+        assert got["parts_csv"].tolist() == exp["parts_csv"].tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+        a = (relational.collect_sorted_list(base.repartition(1), "l_orderkey", "l_partkey", "c", buckets=3)
+             .to_pandas().sort_values("l_orderkey").reset_index(drop=True))
+        b = (relational.collect_sorted_list(base.repartition(9), "l_orderkey", "l_partkey", "c", buckets=64)
+             .to_pandas().sort_values("l_orderkey").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
