@@ -1919,6 +1919,28 @@ _ORDER_PART_LIST_SQL = (
 )
 
 
+def _q_rolling_7d_sum(sf_dir: str):
+    """Trailing 7-day range-window spend per user and active day
+    (relational.rolling_range_sum); map-side daily-sum collapse, one
+    key-domain exchange, prefix-sum + searchsorted windows per bucket --
+    no calendar densify."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "value"])
+    return relational.rolling_range_sum(ds, "user_id", "ts", "value", window_days=7)
+
+
+_ROLLING_7D_SUM_SQL = (
+    "WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events), "
+    "d AS (SELECT user_id, day, SUM(cents) AS c FROM e GROUP BY 1, 2) "
+    "SELECT user_id, day, CAST(c AS BIGINT) AS day_cents, "
+    "CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY day "
+    "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum_window_cents "
+    "FROM d"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2103,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
+        "rolling_7d_sum": _q_rolling_7d_sum,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3597,4 +3620,5 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": _EVENT_TRANSITIONS_SQL,
         "scd2_history": _SCD2_HISTORY_SQL,
         "order_part_list": _ORDER_PART_LIST_SQL,
+        "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
     }

@@ -1338,3 +1338,84 @@ def collect_sorted_list(ds, key_col: str, val_col: str, out_col: str,
         .groupby("__bucket")
         .map_groups(collect, batch_format="pandas")
     )
+
+
+def rolling_range_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      val_col: str = "value", window_days: int = 7,
+                      buckets: int = 64):
+    """Trailing range-window aggregate: per key and active day, the sum of
+    the key's daily totals over the last ``window_days`` calendar days
+    (RANGE BETWEEN n-1 PRECEDING AND CURRENT ROW on the day axis) -- the
+    rolling-7-day-spend query, computed WITHOUT densifying the calendar.
+
+    Scale shape: each batch collapses map-side to per-(key, day) partial
+    sums (activity-domain, integer cents), ONE key-domain exchange, then a
+    per-bucket kernel shared by every key in the bucket: resolve daily
+    sums with one np.add.reduceat pass, then answer all windows at once
+    with a prefix-sum + ONE np.searchsorted over an ordinal (key, day)
+    composite padded so a window can never cross a key boundary. No
+    per-key loop, no calendar explode -- cost is O(active days), not
+    O(span).
+
+    Returns (key, day, day_cents, sum_window_cents).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = batch.column(ts_col).cast(pa.int64()).to_numpy()
+        c = np.floor(
+            batch.column(val_col).to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = ts_us // 86_400_000_000
+        order = np.lexsort((day, k))
+        k, day, c = k[order], day[order], c[order]
+        first = np.r_[True, (k[1:] != k[:-1]) | (day[1:] != day[:-1])]
+        sums = np.add.reduceat(c, np.flatnonzero(first))
+        return pa.table(
+            {
+                key_col: pa.array(k[first], pa.int64()),
+                "day": pa.array(day[first], pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key_col].to_numpy(np.int64)
+        d = group["day"].to_numpy(np.int64)
+        c = group["cents"].to_numpy(np.int64)
+        order = np.lexsort((d, k))
+        k, d, c = k[order], d[order], c[order]
+        first = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        k, d = k[first], d[first]
+        c = np.add.reduceat(c, np.flatnonzero(first))
+        # ordinal composite padded by the window width: a window's lower
+        # bound can reach day - (w-1), which must still map inside the SAME
+        # key's ordinal range
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        u_ord = np.cumsum(new_key) - 1
+        lo, hi = d.min(), d.max()
+        width = (hi - lo + 1) + window_days + 1
+        comp = u_ord * width + (d - lo) + window_days  # shift keeps lows positive
+        start = np.searchsorted(comp, comp - (window_days - 1), side="left")
+        prefix = np.cumsum(c)
+        win = prefix - np.where(start > 0, prefix[start - 1], 0)
+        # rows where start == 0 include everything from index 0 -- correct,
+        # prefix[i] is already the inclusive sum from the bucket's first row
+        return pd.DataFrame(
+            {
+                key_col: k,
+                "day": d,
+                "day_cents": c,
+                "sum_window_cents": win,
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(roll, batch_format="pandas")
+    )

@@ -2790,3 +2790,65 @@ class TestCollectSortedList:
         b = (relational.collect_sorted_list(base.repartition(9), "l_orderkey", "l_partkey", "c", buckets=64)
              .to_pandas().sort_values("l_orderkey").reset_index(drop=True))
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRollingRangeSum:
+    def test_hand_built_windows(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # user 1: days 0,1,8 -> window(8) excludes 0 and 1 (8-6=2 > 1)
+        rows = [(1, 0, 1.00), (1, 0, 2.00), (1, 1, 4.00), (1, 8, 8.00), (2, 3, 0.50)]
+        ts = [np.datetime64("2024-01-01", "us") + np.timedelta64(d, "D")
+              for (_, d, _) in rows]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        })
+        got = (
+            relational.rolling_range_sum(rd.from_arrow(t).repartition(3), window_days=7)
+            .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+        )
+        assert got["day_cents"].tolist() == [300, 400, 800, 50]
+        assert got["sum_window_cents"].tolist() == [300, 700, 800, 50]
+
+    def test_rolling_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+        got = (
+            relational.rolling_range_sum(ds, window_days=7)
+            .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                       CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents
+                       FROM '{SF}/events.parquet'),
+            d AS (SELECT user_id, day, SUM(cents) AS c FROM e GROUP BY 1, 2)
+            SELECT user_id, day, CAST(c AS BIGINT) AS day_cents,
+                   CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY day
+                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS sum_window_cents
+            FROM d ORDER BY user_id, day
+            """
+        ).df()
+        assert got["day_cents"].tolist() == exp["day_cents"].astype(int).tolist()
+        assert got["sum_window_cents"].tolist() == exp["sum_window_cents"].astype(int).tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+        a = (relational.rolling_range_sum(base.repartition(1), window_days=3, buckets=3)
+             .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True))
+        b = (relational.rolling_range_sum(base.repartition(15), window_days=3, buckets=64)
+             .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
