@@ -1941,6 +1941,24 @@ _ROLLING_7D_SUM_SQL = (
 )
 
 
+def _q_order_rank_global(sf_dir: str):
+    """Global 0-based RANK() of every order by total price
+    (relational.global_rank): two narrow passes derive range bins and
+    their prefix-sum offsets, then ONE range exchange ranks each bin
+    locally -- the total-order window with no all-to-all sort."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"])
+    return relational.global_rank(ds, "o_totalprice", "o_orderkey")
+
+
+_ORDER_RANK_GLOBAL_SQL = (
+    "SELECT o_orderkey, CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS value_cents, "
+    "CAST(RANK() OVER (ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) - 1 "
+    "AS BIGINT) AS rank0 FROM orders"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2126,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
+        "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
         # multimodal
@@ -3621,4 +3640,5 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_HISTORY_SQL,
         "order_part_list": _ORDER_PART_LIST_SQL,
         "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
+        "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
     }

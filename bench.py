@@ -161,7 +161,7 @@ def run_bench() -> dict:
         "semdedup_keepers", "skyline_orders", "mode_event_type",
         "fk_orphan_audit", "longest_streak", "basket_pairs",
         "forward_fill_daily", "event_transitions", "scd2_history",
-        "order_part_list", "rolling_7d_sum",
+        "order_part_list", "rolling_7d_sum", "order_rank_global",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -1419,3 +1419,88 @@ def rolling_range_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
         .groupby("__bucket")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
+    """Global RANK() over the WHOLE table ordered by ``val_col`` (integer
+    cents), 0-based, tie-min -- the total-order window no per-group
+    bucketing can express (percent_rank_by_group co-locates a GROUP per
+    bucket; here the single group IS the table).
+
+    The distributed shape is two passes + range partitioning:
+
+    1. pass 1 (narrow, cheap): per-batch (min, max, count) partials -> one
+       tiny reduce gives the value range and row count;
+    2. rows are range-partitioned into fixed-width value bins (ties share a
+       value, hence a bin, so tie-min never crosses a partition); a
+       per-batch bincount partial -> tiny reduce gives each bin's row
+       count, whose exclusive prefix sum is each bin's global rank offset,
+       broadcast once via ``ray.put``;
+    3. pass 2: ONE range exchange, then each bin sorts locally and emits
+       offset + local tie-min rank -- vectorized, no per-key loop.
+
+    Fixed-width bins assume rough value uniformity; under heavy value skew
+    the scale path re-splits hot bins from the same histogram (the
+    derive_buckets discipline) -- documented, not needed on this data.
+    ``ds`` is consumed twice; pass a cheap re-executable read (a parquet
+    scan), not a computed pipeline.
+
+    Returns (id_col, value_cents, rank0).
+    """
+    import ray
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col)).to_numpy()
+        return pa.table({"lo": [int(c.min())], "hi": [int(c.max())], "n": [len(c)]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi, n = int(mm["lo"].min()), int(mm["hi"].max()), int(mm["n"].sum())
+    if buckets is None:
+        buckets = derive_buckets(n)
+    width = max(1, (hi - lo + buckets) // buckets)  # ceil; last bin holds hi
+
+    def bin_counts(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col)).to_numpy()
+        b = (c - lo) // width
+        cnt = np.bincount(b, minlength=buckets)
+        hit = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(hit, pa.int64()),
+                         "n": pa.array(cnt[hit], pa.int64())})
+
+    hist = (
+        ds.map_batches(bin_counts, batch_format="pyarrow")
+        .to_pandas().groupby("bin")["n"].sum()
+    )
+    offsets = np.zeros(buckets, dtype=np.int64)
+    offsets[hist.index.to_numpy()] = hist.to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    handle = ray.put(offsets)
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col))
+        b = (c.to_numpy() - lo) // width
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "value_cents": c,
+                "__bucket": pa.array(b.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def rank_bin(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(handle)  # local object-store hit, zero-copy numpy
+        v = group["value_cents"].to_numpy(np.int64)
+        ids = group[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, v))
+        v, ids = v[order], ids[order]
+        # tie-min local rank: position of the first row sharing the value
+        new_val = np.r_[True, v[1:] != v[:-1]]
+        local = np.maximum.accumulate(np.where(new_val, np.arange(len(v)), -1))
+        base = offs[int((v[0] - lo) // width)]
+        return pd.DataFrame({id_col: ids, "value_cents": v, "rank0": base + local})
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(rank_bin, batch_format="pandas")
+    )

@@ -2852,3 +2852,54 @@ class TestRollingRangeSum:
         b = (relational.rolling_range_sum(base.repartition(15), window_days=3, buckets=64)
              .to_pandas().sort_values(["user_id", "day"]).reset_index(drop=True))
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRank:
+    def test_hand_built_ranks_with_ties(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "v": pa.array([3.00, 1.00, 3.00, 2.00, 0.50], pa.float64()),
+        })
+        got = (
+            relational.global_rank(rd.from_arrow(t).repartition(3), "v", "id", buckets=4)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        # sorted values: 50,100,200,300,300 -> ranks 0,1,2,3,3 (tie-min)
+        assert dict(zip(got["id"], got["rank0"])) == {5: 0, 2: 1, 4: 2, 1: 3, 3: 3}
+
+    def test_rank_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        got = (
+            relational.global_rank(ds, "o_totalprice", "o_orderkey")
+            .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            SELECT o_orderkey,
+                   CAST(RANK() OVER (ORDER BY CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) - 1
+                        AS BIGINT) AS rank0
+            FROM '{SF}/orders.parquet' ORDER BY o_orderkey
+            """
+        ).df()
+        assert got["rank0"].tolist() == exp["rank0"].astype(int).tolist()
+
+    def test_bucket_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        a = (relational.global_rank(base, "o_totalprice", "o_orderkey", buckets=2)
+             .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+        b = (relational.global_rank(base, "o_totalprice", "o_orderkey", buckets=97)
+             .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
