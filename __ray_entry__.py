@@ -1959,6 +1959,17 @@ _ORDER_RANK_GLOBAL_SQL = (
 )
 
 
+def _q_approx_users_by_type(sf_dir: str):
+    """Grouped HLL: approximate distinct users per event_type
+    (sketches.approx_distinct_by_key, p=10) -- one mergeable register
+    array per (batch, type), KB-sized exchange, estimator replayed
+    bit-exactly by the DuckDB oracle."""
+    from distributed_system___ocr_ray.functions.sketches import approx_distinct_by_key
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["event_type", "user_id"])
+    return approx_distinct_by_key(ds, "event_type", "user_id", p=10)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2141,6 +2152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": _q_corr_qty_price,
         "forward_fill_daily": _q_forward_fill_daily,
         "event_transitions": _q_event_transitions,
+        "approx_users_by_type": _q_approx_users_by_type,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -2914,6 +2926,39 @@ def _approx_distinct_sql(p: int = 12) -> str:
     )
 
 
+def _approx_distinct_by_type_sql(p: int = 10) -> str:
+    """Grouped replay of _approx_distinct_sql: the identical HLL pipeline
+    (md5-prefix hash, per-hash MIN set-bit rank, per-register MAX, exact
+    HUGEINT register sum, linear-counting branch) with event_type threaded
+    through every CTE -- one register table and one estimate per type."""
+    m = 1 << p
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    h = _MD5U64.format(v="CAST(user_id AS VARCHAR)")
+    return (
+        "WITH v AS (SELECT DISTINCT event_type, user_id FROM events), "
+        f"h AS (SELECT event_type, {h} AS h FROM v), "
+        f"rr AS (SELECT event_type, CAST(h >> {64 - p} AS BIGINT) AS idx, "
+        f"CAST((CAST(h AS HUGEINT) % CAST({1 << (64 - p)} AS HUGEINT)) "
+        f"* {1 << p} + {(1 << p) - 1} AS UBIGINT) AS rest FROM h), "
+        "rk AS (SELECT event_type, idx, rest, MIN(g.k) AS rank FROM rr "
+        "CROSS JOIN generate_series(1, 64) g(k) "
+        "WHERE (rest >> CAST(64 - g.k AS INTEGER)) & 1 = 1 GROUP BY 1, 2, 3), "
+        "reg AS (SELECT event_type, idx, MAX(rank) AS r FROM rk GROUP BY 1, 2), "
+        "types AS (SELECT DISTINCT event_type FROM events), "
+        f"allr AS (SELECT t.event_type, gs.i AS idx, COALESCE(reg.r, 0) AS r "
+        f"FROM types t CROSS JOIN generate_series(0, {m - 1}) gs(i) "
+        "LEFT JOIN reg ON reg.event_type = t.event_type AND reg.idx = gs.i), "
+        f"e AS (SELECT event_type, CAST({alpha} AS DOUBLE) * CAST({m} AS DOUBLE) "
+        f"* CAST({m} AS DOUBLE) * 18446744073709551616.0 "
+        "/ CAST(SUM(CAST(power(2.0, CAST(64 - r AS DOUBLE)) AS HUGEINT)) AS DOUBLE) "
+        "AS est0, SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros "
+        "FROM allr GROUP BY event_type) "
+        f"SELECT event_type, CAST(FLOOR((CASE WHEN est0 <= CAST({m} AS DOUBLE) * 2.5 "
+        f"AND zeros > 0 THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros) "
+        "ELSE est0 END) + 0.5) AS BIGINT) AS approx_distinct FROM e"
+    )
+
+
 # python str.strip() / \s whitespace set (ASCII subset; the corpus is ASCII)
 _WS_SQL = "(' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))"
 
@@ -3310,6 +3355,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "approx_distinct_users": _approx_distinct_sql(),
+        "approx_users_by_type": _approx_distinct_by_type_sql(),
         "bm25_topk": _bm25_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (

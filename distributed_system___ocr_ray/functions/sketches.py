@@ -152,3 +152,53 @@ class CountMinSketch:
         s = cls(depth, width)
         s.table = np.frombuffer(b[8:], dtype=np.int64).reshape(depth, width).copy()
         return s
+
+
+def approx_distinct_by_key(ds, key_col: str, col: str, p: int = 10):
+    """Grouped approximate COUNT(DISTINCT col) per ``key_col``: one HLL per
+    (batch, key) inside ``map_batches``, register-max merged per key, then
+    the exact estimator -- the mergeable-sketch-per-group pattern. The
+    exchange moves ``n_batches x n_keys`` register arrays (KB each), never
+    rows, so cost is independent of per-key cardinality.
+
+    BOUNDED key domains only (event types, languages, shards): the final
+    merge collects every per-batch sketch on the driver (the same contract
+    as ``approx_distinct``/``tiny_final_groupby``); an unbounded key domain
+    needs a keyed shuffle of sketches instead (groupby(key) over the
+    sketch rows -- same partials, bigger final).
+
+    Returns a pandas DataFrame (key, approx_distinct) with the estimate
+    rounded to integer (replayable exactly by the DuckDB oracle).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_pylist()
+        order = np.argsort(keys, kind="stable")
+        keys, vals = keys[order], [vals[i] for i in order]
+        out_k, out_s = [], []
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], len(keys)]
+        for s, e in zip(starts, ends):
+            out_k.append(keys[s])
+            out_s.append(HyperLogLog(p).add_many(vals[s:e]).to_bytes())
+        return pa.table({key_col: pa.array(out_k), "sketch": pa.array(out_s, pa.binary())})
+
+    merged: dict = {}
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        k = row[key_col]
+        hll = HyperLogLog.from_bytes(row["sketch"])
+        if k in merged:
+            merged[k].merge(hll)
+        else:
+            merged[k] = hll
+    keys = sorted(merged)
+    return pd.DataFrame(
+        {
+            key_col: keys,
+            "approx_distinct": [int(np.floor(merged[k].estimate() + 0.5)) for k in keys],
+        }
+    )

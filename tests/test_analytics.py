@@ -2903,3 +2903,31 @@ class TestGlobalRank:
         b = (relational.global_rank(base, "o_totalprice", "o_orderkey", buckets=97)
              .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApproxDistinctByKey:
+    def test_grouped_estimates_near_exact(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.sketches import approx_distinct_by_key
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+        got = approx_distinct_by_key(ds, "event_type", "user_id", p=10)
+        exp = duckdb.sql(
+            f"""SELECT event_type, COUNT(DISTINCT user_id) AS n
+                FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1"""
+        ).df()
+        assert got["event_type"].tolist() == exp["event_type"].tolist()
+        for a, e in zip(got["approx_distinct"], exp["n"]):
+            assert abs(a - e) <= max(5, 0.1 * e), (a, e)
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.sketches import approx_distinct_by_key
+
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+        a = approx_distinct_by_key(base.repartition(1), "event_type", "user_id", p=10)
+        b = approx_distinct_by_key(base.repartition(13), "event_type", "user_id", p=10)
+        assert a.values.tolist() == b.values.tolist()
