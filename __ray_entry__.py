@@ -1970,6 +1970,25 @@ def _q_approx_users_by_type(sf_dir: str):
     return approx_distinct_by_key(ds, "event_type", "user_id", p=10)
 
 
+def _q_new_users_daily(sf_dir: str):
+    """First-touch growth curve: new users per day + cumulative distinct
+    users (relational.new_users_daily); per-key MIN collapse, one
+    key-domain exchange, bounded-day-domain final cumsum."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts"])
+    return relational.new_users_daily(ds)
+
+
+_NEW_USERS_DAILY_SQL = (
+    "WITH f AS (SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) "
+    "AS day FROM events GROUP BY 1), "
+    "d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1) "
+    "SELECT day, new_users, CAST(SUM(new_users) OVER (ORDER BY day "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users FROM d"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2153,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forward_fill_daily": _q_forward_fill_daily,
         "event_transitions": _q_event_transitions,
         "approx_users_by_type": _q_approx_users_by_type,
+        "new_users_daily": _q_new_users_daily,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3687,4 +3707,5 @@ def oracle_sql() -> dict[str, str]:
         "order_part_list": _ORDER_PART_LIST_SQL,
         "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
+        "new_users_daily": _NEW_USERS_DAILY_SQL,
     }

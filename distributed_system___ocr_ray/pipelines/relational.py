@@ -1504,3 +1504,65 @@ def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
         .groupby("__bucket")
         .map_groups(rank_bin, batch_format="pandas")
     )
+
+
+def new_users_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
+                    buckets: int = 64):
+    """Daily new-user counts + running cumulative distinct users -- the
+    "new vs returning" growth curve. A naive COUNT(DISTINCT) per day
+    re-scans every prior day; the distributed shape is first-touch: each
+    key's FIRST-ever day is a per-key MIN (map-side collapsible), new
+    users per day is then a count over first days, and the cumulative
+    curve is a prefix sum over the bounded day domain.
+
+    Scale shape: per-batch (key, min day) collapse -> ONE key-domain
+    exchange -> per-bucket min resolve + day bincount partial (day-domain
+    rows per bucket) -> single-block final merge + cumsum (day domain is
+    bounded: ~365 rows/year at ANY corpus size).
+
+    Returns (day, new_users, cum_users).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(ts_col).cast(pa.int64()).to_numpy() // 86_400_000_000
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        first = np.r_[True, k[1:] != k[:-1]]  # sorted: first row per key is min day
+        return pa.table(
+            {
+                key_col: pa.array(k[first], pa.int64()),
+                "day": pa.array(d[first], pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def day_counts(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key_col].to_numpy(np.int64)
+        d = group["day"].to_numpy(np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        first = np.r_[True, k[1:] != k[:-1]]
+        days, counts = np.unique(d[first], return_counts=True)
+        return pd.DataFrame({"day": days, "new_users": counts.astype(np.int64)})
+
+    def cumulate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("day", sort=True)["new_users"].sum()
+        return pa.table(
+            {
+                "day": pa.array(df.index.to_numpy(np.int64), pa.int64()),
+                "new_users": pa.array(df.to_numpy(np.int64), pa.int64()),
+                "cum_users": pa.array(df.cumsum().to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(day_counts, batch_format="pandas")
+        .repartition(1)
+        .map_batches(cumulate, batch_format="pyarrow", batch_size=None)
+    )

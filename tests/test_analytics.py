@@ -2931,3 +2931,49 @@ class TestApproxDistinctByKey:
         a = approx_distinct_by_key(base.repartition(1), "event_type", "user_id", p=10)
         b = approx_distinct_by_key(base.repartition(13), "event_type", "user_id", p=10)
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNewUsersDaily:
+    def test_hand_built_curve(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # first days: u1->0, u2->0, u3->2, u4->5
+        rows = [(1, 0), (1, 3), (2, 0), (3, 2), (3, 2), (4, 5)]
+        ts = [np.datetime64("2024-01-01", "us") + np.timedelta64(d, "D")
+              for (_, d) in rows]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+        })
+        got = (
+            relational.new_users_daily(rd.from_arrow(t).repartition(3))
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        )
+        assert got["new_users"].tolist() == [2, 1, 1]
+        assert got["cum_users"].tolist() == [2, 3, 4]
+
+    def test_matches_duckdb_and_partition_invariant(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        a = (relational.new_users_daily(base.repartition(1), buckets=3)
+             .to_pandas().sort_values("day").reset_index(drop=True))
+        b = (relational.new_users_daily(base.repartition(9), buckets=64)
+             .to_pandas().sort_values("day").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+        exp = duckdb.sql(
+            f"""
+            WITH f AS (SELECT user_id,
+                       MIN(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400) AS day
+                       FROM '{SF}/events.parquet' GROUP BY 1)
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f
+            GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        assert a["new_users"].tolist() == exp["new_users"].astype(int).tolist()
+        assert a["cum_users"].tolist() == exp["new_users"].astype(int).cumsum().tolist()
