@@ -1989,6 +1989,76 @@ _NEW_USERS_DAILY_SQL = (
 )
 
 
+def _q_bucketed_join_revenue(sf_dir: str):
+    """Storage co-partitioned join end-to-end: write orders and lineitem
+    hash-BUCKETED on the order key (lance_like.write_bucketed -- the one
+    ingest-time exchange), then join them bucket-by-bucket with ZERO
+    query-time shuffle (relational.zip_join_bucketed) and aggregate
+    quantity per order priority. The green row certifies the bucketed
+    writer, the spec validation and the zip join against a plain SQL
+    join."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+    from distributed_system___ocr_ray.sources import lance_like
+
+    root = tempfile.mkdtemp(prefix="graft_bucketed_")
+    try:
+        lance_like.write_bucketed(
+            _read_narrow(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"]),
+            f"{root}/orders", "o_orderkey", 16,
+        )
+        lance_like.write_bucketed(
+            _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_quantity"]),
+            f"{root}/lineitem", "l_orderkey", 16,
+        )
+        joined = relational.zip_join_bucketed(
+            f"{root}/orders", f"{root}/lineitem", "o_orderkey", "l_orderkey"
+        )
+
+        def partial(batch: "pa.Table") -> "pa.Table":
+            import pyarrow as pa
+
+            t = pa.table(
+                {
+                    "o_orderpriority": batch.column("o_orderpriority"),
+                    "qty_cents": pa.array(
+                        np.floor(
+                            batch.column("l_quantity").to_numpy(zero_copy_only=False)
+                            * 100.0 + 0.5
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+            return t.group_by(["o_orderpriority"]).aggregate(
+                [("qty_cents", "sum"), ("qty_cents", "count")]
+            )
+
+        from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+
+        out = tiny_final_groupby(
+            joined.map_batches(partial, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            [("qty_cents_sum", "sum"), ("qty_cents_count", "sum")],
+            ["o_orderpriority", "sum_qty_cents", "n_rows"],
+        )
+        return out.to_pandas()  # materialize before the scratch dir is removed
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_BUCKETED_JOIN_REVENUE_SQL = (
+    "SELECT o_orderpriority, "
+    "CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows "
+    "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2173,6 +2243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "approx_users_by_type": _q_approx_users_by_type,
         "new_users_daily": _q_new_users_daily,
+        "bucketed_join_revenue": _q_bucketed_join_revenue,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3708,4 +3779,5 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
+        "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
     }

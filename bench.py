@@ -162,7 +162,7 @@ def run_bench() -> dict:
         "fk_orphan_audit", "longest_streak", "basket_pairs",
         "forward_fill_daily", "event_transitions", "scd2_history",
         "order_part_list", "rolling_7d_sum", "order_rank_global",
-        "approx_users_by_type",
+        "approx_users_by_type", "new_users_daily", "bucketed_join_revenue",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

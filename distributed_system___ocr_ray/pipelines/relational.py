@@ -20,6 +20,8 @@ DuckDB oracle comparison is exact, not float-fuzzy.
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1565,4 +1567,58 @@ def new_users_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
         .map_groups(day_counts, batch_format="pandas")
         .repartition(1)
         .map_batches(cumulate, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def zip_join_bucketed(dir_a: str, dir_b: str, key_a: str, key_b: str):
+    """Zero-shuffle equi-join of two CO-PARTITIONED Lance-style tables
+    (written by ``lance_like.write_bucketed`` with the same hash and
+    ``n_buckets``): bucket i of A can only match bucket i of B, so the
+    join is an embarrassingly parallel per-bucket-pair task -- NO exchange
+    at query time; the one exchange was paid once at ingest and is
+    amortized over every co-keyed join after it.
+
+    Validates both bucketing specs (same hash fn, same n_buckets, keys as
+    declared) and raises on mismatch rather than silently producing a
+    wrong join. Buckets missing from either side inner-join to nothing
+    and are skipped at plan time from the MANIFESTS alone.
+
+    Returns a Dataset of A's columns + B's non-key columns (inner join);
+    per-task memory is one bucket pair -- n_buckets at write time is the
+    memory knob.
+    """
+    import ray.data as rd
+
+    import pyarrow.parquet as _pq
+
+    from ..sources import lance_like
+
+    spec_a = lance_like.read_manifest(dir_a)["bucketing"]
+    spec_b = lance_like.read_manifest(dir_b)["bucketing"]
+    if spec_a["hash"] != spec_b["hash"] or spec_a["n_buckets"] != spec_b["n_buckets"]:
+        raise ValueError(f"bucketing specs differ: {spec_a} vs {spec_b}")
+    if spec_a["key"] != key_a or spec_b["key"] != key_b:
+        raise ValueError("declared join keys do not match the tables' bucketing keys")
+    paths_a = lance_like.bucket_paths(dir_a)
+    paths_b = lance_like.bucket_paths(dir_b)
+    shared = sorted(set(paths_a) & set(paths_b))
+    items = [
+        {"a": json.dumps(paths_a[b]), "b": json.dumps(paths_b[b])} for b in shared
+    ]
+
+    def join_bucket(batch: pd.DataFrame) -> pa.Table:
+        out = []
+        for _, row in batch.iterrows():  # batch_size=1: one bucket pair per task
+            ta = pa.concat_tables([_pq.read_table(p) for p in json.loads(row["a"])])
+            tb = pa.concat_tables([_pq.read_table(p) for p in json.loads(row["b"])])
+            a = ta.to_pandas()
+            b = tb.to_pandas()
+            out.append(a.merge(b, left_on=key_a, right_on=key_b, how="inner"))
+        df = pd.concat(out) if out else pd.DataFrame()
+        if key_b != key_a and key_b in df.columns:
+            df = df.drop(columns=[key_b])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return rd.from_items(items).map_batches(
+        join_bucket, batch_format="pandas", batch_size=1
     )

@@ -679,3 +679,101 @@ def diff(table_dir: str, v_old: int, v_new: int | None = None) -> dict:
         "rows_removed": rows_removed,
         "row_delta": rows_added - rows_removed,
     }
+
+
+def write_bucketed(
+    ds, table_dir: str, key_col: str, n_buckets: int,
+    rows_per_fragment: int = 100_000, row_group_size: int | None = None,
+) -> dict:
+    """Hash-bucketed streaming writer: co-partition a table on ``key_col``
+    at WRITE time so later joins on that key need ZERO exchange (Hive
+    bucketed-table / Spark bucketBy semantics; the prompt's "pick ONE
+    partitioning key and reuse it across stages" made durable). Every
+    fragment holds exactly one bucket's rows (bucket = the engine's shared
+    ``hash_bucket_column`` hash mod ``n_buckets``) and the manifest
+    records the bucketing spec; ``relational.zip_join_bucketed`` validates
+    two tables' specs match, then joins bucket-by-bucket with no shuffle.
+
+    The ONE exchange this costs happens here, once, at ingest -- every
+    subsequent co-keyed join, groupby or dedup over the table reads
+    co-located rows for free. At 100 TB: n_buckets sizes the unit of join
+    parallelism AND the per-task memory (bucket pairs must fit a worker
+    heap) -- derive it from expected table size, not cluster size, and
+    use the same spec for every table sharing the key domain.
+
+    NOTE: ``compact()``/``delete_where()`` do not preserve bucket tags;
+    a bucketed table that goes through them loses its spec (the manifest
+    keeps ``bucketing`` only for manifests whose fragments all carry a
+    ``bucket`` tag -- zip_join re-checks this and raises).
+    """
+    import uuid
+
+    from ..pipelines.relational import hash_bucket_column
+
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    version = latest_version(table_dir) + 1
+    rg = row_group_size or min(rows_per_fragment, 512)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, n_buckets)
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        b = group.column("__bucket")[0].as_py()
+        tbl = group.drop_columns(["__bucket"])
+        paths, rows, stats, bs = [], [], [], []
+        for start in range(0, max(tbl.num_rows, 1), rows_per_fragment):
+            chunk = tbl.slice(start, rows_per_fragment)
+            rel = f"data/bucket-{version}-{b:05d}-{uuid.uuid4().hex[:12]}.parquet"
+            pq.write_table(chunk, os.path.join(table_dir, rel), row_group_size=rg)
+            paths.append(rel)
+            rows.append(chunk.num_rows)
+            stats.append(json.dumps(_fragment_stats(chunk)))
+            bs.append(b)
+        return pa.table(
+            {
+                "path": pa.array(paths),
+                "rows": pa.array(rows, pa.int64()),
+                "stats": pa.array(stats),
+                "bucket": pa.array(bs, pa.int64()),
+            }
+        )
+
+    frag_rows = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )  # tiny manifest rows only
+    fragments = sorted(
+        (
+            {
+                "path": r["path"],
+                "rows": int(r["rows"]),
+                "stats": json.loads(r["stats"]),
+                "bucket": int(r["bucket"]),
+            }
+            for r in frag_rows
+        ),
+        key=lambda f: f["path"],
+    )
+    manifest = {
+        "version": version,
+        "fragments": fragments,
+        "bucketing": {"key": key_col, "n_buckets": int(n_buckets),
+                      "hash": "pd_hash_array_mod"},
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
+def bucket_paths(table_dir: str, version: int | None = None) -> dict[int, list[str]]:
+    """Per-bucket absolute fragment paths for a bucketed table; raises if
+    the manifest has no (intact) bucketing spec."""
+    man = read_manifest(table_dir, version)
+    spec = man.get("bucketing")
+    if not spec or any("bucket" not in f for f in man["fragments"]):
+        raise ValueError(f"{table_dir} is not a bucketed table (or lost its tags)")
+    out: dict[int, list[str]] = {}
+    for f in man["fragments"]:
+        out.setdefault(int(f["bucket"]), []).append(os.path.join(table_dir, f["path"]))
+    return out

@@ -2977,3 +2977,61 @@ class TestNewUsersDaily:
         ).df()
         assert a["new_users"].tolist() == exp["new_users"].astype(int).tolist()
         assert a["cum_users"].tolist() == exp["new_users"].astype(int).cumsum().tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBucketedZipJoin:
+    def _write_pair(self, root, n_buckets_a=8, n_buckets_b=8):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        orders = rd.read_parquet(f"{SF}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderpriority"])
+        items = rd.read_parquet(f"{SF}/lineitem.parquet",
+                                columns=["l_orderkey", "l_quantity"])
+        lance_like.write_bucketed(orders, f"{root}/orders", "o_orderkey", n_buckets_a)
+        lance_like.write_bucketed(items, f"{root}/lineitem", "l_orderkey", n_buckets_b)
+
+    def test_zip_join_matches_sql_join(self, tmp_path):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        self._write_pair(str(tmp_path))
+        got = (
+            relational.zip_join_bucketed(
+                f"{tmp_path}/orders", f"{tmp_path}/lineitem",
+                "o_orderkey", "l_orderkey")
+            .to_pandas()
+            .sort_values(["o_orderkey", "l_quantity"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            SELECT o_orderkey, o_orderpriority, l_quantity
+            FROM '{SF}/orders.parquet' o JOIN '{SF}/lineitem.parquet' l
+            ON o_orderkey = l_orderkey
+            ORDER BY o_orderkey, l_quantity
+            """
+        ).df()
+        assert len(got) == len(exp)
+        assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+        assert got["l_quantity"].tolist() == exp["l_quantity"].tolist()
+
+    def test_spec_mismatch_raises(self, tmp_path):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        self._write_pair(str(tmp_path), n_buckets_a=8, n_buckets_b=4)
+        with pytest.raises(ValueError, match="specs differ"):
+            relational.zip_join_bucketed(
+                f"{tmp_path}/orders", f"{tmp_path}/lineitem",
+                "o_orderkey", "l_orderkey")
+
+    def test_non_bucketed_table_raises(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+        lance_like.write_dataset(ds, f"{tmp_path}/plain")
+        with pytest.raises(ValueError, match="not a bucketed"):
+            lance_like.bucket_paths(f"{tmp_path}/plain")
