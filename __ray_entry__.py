@@ -2059,6 +2059,27 @@ _BUCKETED_JOIN_REVENUE_SQL = (
 )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Grouped vector aggregation: per label, exact integer component sums
+    (micros) of the embedding column in long (label, dim) format
+    (analytics.label_centroid_sums) -- the distributed-centroid partial as
+    a standalone, SQL-replayable operator."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _read_narrow(f"{sf_dir}/embeddings.parquet", ["label", "embedding"])
+    return analytics.label_centroid_sums(ds)
+
+
+_LABEL_CENTROIDS_SQL = (
+    "WITH u AS (SELECT label, g.k AS k1, "
+    "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS v "
+    "FROM embeddings CROSS JOIN generate_series(1, 64) g(k)) "
+    "SELECT CAST(label AS BIGINT) AS label, CAST(k1 - 1 AS BIGINT) AS dim, "
+    "CAST(SUM(v) AS BIGINT) AS sum_micros, CAST(COUNT(*) AS BIGINT) AS n_vecs "
+    "FROM u GROUP BY 1, 2"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2244,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_users_by_type": _q_approx_users_by_type,
         "new_users_daily": _q_new_users_daily,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
+        "label_centroids": _q_label_centroids,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3780,4 +3802,5 @@ def oracle_sql() -> dict[str, str]:
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
+        "label_centroids": _LABEL_CENTROIDS_SQL,
     }

@@ -4177,3 +4177,48 @@ def corr_stats(ds, x_col: str, y_col: str):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def label_centroid_sums(ds, label_col: str = "label", emb_col: str = "embedding"):
+    """Grouped vector aggregation: per label, the EXACT integer component
+    sums of the embedding column (micros: floor(x*1e6 + 0.5) after an
+    exact float32->float64 widening) plus the vector count -- the partial
+    every distributed centroid/mean update reduces to (the kmeans fit uses
+    the same shape internally; this exposes it as a standalone operator
+    with a long-format (label, dim) output so the DuckDB UNNEST oracle
+    compares exactly, no float means).
+
+    Scale shape: per batch, ONE zero-copy flatten to an (n, d) matrix and
+    one np.add.at scatter onto a (labels-in-batch, d) accumulator -- rows
+    never leave the batch; the exchange is (labels x d) long-format
+    partials, merged in a single bounded-domain block (labels and d are
+    both bounded; an unbounded label domain would keep the distributed
+    groupby instead, same partials).
+    """
+    from ..functions.similarity import to_matrix
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = to_matrix(batch.column(emb_col))  # float64, exact widening
+        v = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        labels = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), v.shape[1]), dtype=np.int64)
+        np.add.at(acc, inv, v)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        d = v.shape[1]
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uniq)), pa.int64()),
+                "sum_micros": pa.array(acc.ravel(), pa.int64()),
+                "n_vecs": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[label_col, "dim"],
+        aggs=[("sum_micros", "sum"), ("n_vecs", "sum")],
+        out_names=[label_col, "dim", "sum_micros", "n_vecs"],
+    )

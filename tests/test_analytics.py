@@ -3035,3 +3035,36 @@ class TestBucketedZipJoin:
         lance_like.write_dataset(ds, f"{tmp_path}/plain")
         with pytest.raises(ValueError, match="not a bucketed"):
             lance_like.bucket_paths(f"{tmp_path}/plain")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLabelCentroidSums:
+    def test_matches_numpy_reference(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+        got = (analytics.label_centroid_sums(ds)
+               .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+        import pyarrow.parquet as pq
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+        m = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        v = np.floor(m * 1_000_000.0 + 0.5).astype(np.int64)
+        labels = t.column("label").to_numpy().astype(np.int64)
+        for lab in np.unique(labels):
+            sel = got[got["label"] == lab]
+            assert sel["sum_micros"].tolist() == v[labels == lab].sum(axis=0).tolist()
+            assert (sel["n_vecs"] == (labels == lab).sum()).all()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+        a = (analytics.label_centroid_sums(base.repartition(1))
+             .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+        b = (analytics.label_centroid_sums(base.repartition(7))
+             .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
