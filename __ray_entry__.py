@@ -2080,6 +2080,59 @@ _LABEL_CENTROIDS_SQL = (
 )
 
 
+def _q_incremental_daily_totals(sf_dir: str):
+    """Incremental view maintenance end-to-end: build a Lance-style event
+    table (~75% of rows), materialize the daily aggregate, append the
+    remaining ~25%, then refresh the aggregate from the DIFF fragments
+    alone (compose.refresh_daily_agg) -- raising unless the refresh
+    actually read fewer fragments than a full rebuild. The green row
+    certifies O(increment) refresh == full recompute."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from distributed_system___ocr_ray.pipelines import compose
+    from distributed_system___ocr_ray.sources import lance_like
+
+    root = tempfile.mkdtemp(prefix="graft_ivm_") + "/events"
+    try:
+        base = _read_narrow(f"{sf_dir}/events.parquet", ["event_id", "ts", "value"])
+
+        def split(keep_mod: bool):
+            def f(batch: "pa.Table") -> "pa.Table":
+                m = pc.equal(pc.bit_wise_and(batch.column("event_id"), 3), 0)
+                mask = m if keep_mod else pc.invert(m)
+                return batch.filter(mask).select(["ts", "value"])
+            return f
+
+        lance_like.write_dataset(
+            base.map_batches(split(False), batch_format="pyarrow"), root,
+            rows_per_fragment=2048,
+        )
+        agg1, v1 = compose.refresh_daily_agg(root)
+        lance_like.write_dataset(
+            base.map_batches(split(True), batch_format="pyarrow"), root,
+            mode="append", rows_per_fragment=2048,
+        )
+        n_total = len(lance_like.fragment_paths(root))
+        d = lance_like.diff(root, v1)
+        if not d["added"] or len(d["added"]) >= n_total:
+            raise RuntimeError("incremental refresh did not prune fragments")
+        agg2, _ = compose.refresh_daily_agg(root, agg1, v1)
+        return agg2
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+_INCREMENTAL_DAILY_TOTALS_SQL = (
+    "SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2266,6 +2319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": _q_new_users_daily,
         "bucketed_join_revenue": _q_bucketed_join_revenue,
         "label_centroids": _q_label_centroids,
+        "incremental_daily_totals": _q_incremental_daily_totals,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3803,4 +3857,5 @@ def oracle_sql() -> dict[str, str]:
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
+        "incremental_daily_totals": _INCREMENTAL_DAILY_TOTALS_SQL,
     }

@@ -163,7 +163,7 @@ def run_bench() -> dict:
         "forward_fill_daily", "event_transitions", "scd2_history",
         "order_part_list", "rolling_7d_sum", "order_rank_global",
         "approx_users_by_type", "new_users_daily", "bucketed_join_revenue",
-        "label_centroids",
+        "label_centroids", "incremental_daily_totals",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -3068,3 +3068,60 @@ class TestLabelCentroidSums:
         b = (analytics.label_centroid_sums(base.repartition(7))
              .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
         assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRefreshDailyAgg:
+    def test_incremental_equals_full(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path / "events")
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "value"])
+        import pyarrow.compute as pc
+
+        def part(keep: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), 0)
+                return b.filter(m if keep else pc.invert(m)).select(["ts", "value"])
+            return f
+
+        lance_like.write_dataset(base.map_batches(part(False), batch_format="pyarrow"),
+                                 root, rows_per_fragment=512)
+        agg1, v1 = compose.refresh_daily_agg(root)
+        lance_like.write_dataset(base.map_batches(part(True), batch_format="pyarrow"),
+                                 root, mode="append", rows_per_fragment=512)
+        inc, v2 = compose.refresh_daily_agg(root, agg1, v1)
+        full, v2b = compose.refresh_daily_agg(root)
+        assert v2 == v2b
+        assert inc.values.tolist() == full.values.tolist()
+
+    def test_removed_fragments_raise(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path / "events")
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+        lance_like.write_dataset(base, root, rows_per_fragment=256)
+        agg1, v1 = compose.refresh_daily_agg(root)
+        lance_like.compact(root, target_rows_per_fragment=4096)
+        with pytest.raises(ValueError, match="removed fragments"):
+            compose.refresh_daily_agg(root, agg1, v1)
+
+    def test_empty_increment_returns_prior(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path / "events")
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+        lance_like.write_dataset(base, root)
+        agg1, v1 = compose.refresh_daily_agg(root)
+        again, v2 = compose.refresh_daily_agg(root, agg1, v1)
+        assert v2 == v1
+        assert again.values.tolist() == agg1.values.tolist()
