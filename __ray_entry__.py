@@ -2133,6 +2133,109 @@ _INCREMENTAL_DAILY_TOTALS_SQL = (
 )
 
 
+def _q_late_orders_by_priority(sf_dir: str):
+    """TPC-H Q4-shape EXISTS semi-join: orders with at least one lineitem
+    shipped on/after 2000-06-01, counted per priority
+    (relational.semi_join_agg); the probe side collapses to distinct keys
+    map-side and broadcasts once -- the fact table streams, no shuffle."""
+    import pyarrow.compute as pc
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    cutoff = pa.scalar(np.datetime64("2000-06-01", "us"), pa.timestamp("us"))
+
+    def late_only(batch: "pa.Table") -> "pa.Table":
+        mask = pc.greater_equal(batch.column("l_shipdate"), cutoff)
+        return batch.filter(mask).select(["l_orderkey"])
+
+    probe = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_shipdate"]).map_batches(
+        late_only, batch_format="pyarrow"
+    )
+    fact = _read_narrow(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_orderpriority"])
+    return relational.semi_join_agg(fact, probe, "o_orderkey", "l_orderkey", "o_orderpriority")
+
+
+_LATE_ORDERS_BY_PRIORITY_SQL = (
+    "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_matching FROM orders "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_shipdate >= TIMESTAMP '2000-06-01') GROUP BY 1"
+)
+
+
+def _q_time_travel_counts(sf_dir: str):
+    """Snapshot-isolation read (time travel): write odd-event rows as
+    table version 1, append the evens as version 2, then aggregate AT
+    VERSION 1 -- the versioned manifest guarantees the snapshot is
+    unaffected by later appends (Lance/Iceberg time-travel semantics;
+    every fragment is immutable, so an old manifest IS the old table).
+    The oracle replays the v1 membership rule (odd event_id) in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import lance_like
+
+    root = tempfile.mkdtemp(prefix="graft_tt_") + "/events"
+    try:
+        base = _read_narrow(f"{sf_dir}/events.parquet", ["event_id", "event_type", "value"])
+
+        def half(odd: bool):
+            def f(batch: "pa.Table") -> "pa.Table":
+                m = pc.equal(pc.bit_wise_and(batch.column("event_id"), 1), 1)
+                return batch.filter(m if odd else pc.invert(m)).select(
+                    ["event_type", "value"]
+                )
+            return f
+
+        lance_like.write_dataset(base.map_batches(half(True), batch_format="pyarrow"), root)
+        lance_like.write_dataset(
+            base.map_batches(half(False), batch_format="pyarrow"), root, mode="append"
+        )
+        if lance_like.latest_version(root) != 2:
+            raise RuntimeError("expected two manifest versions")
+        v1_paths = lance_like.fragment_paths(root, version=1)
+
+        def partial(batch: "pa.Table") -> "pa.Table":
+            t = pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "value_cents": pa.array(
+                        np.floor(
+                            batch.column("value").to_numpy(zero_copy_only=False)
+                            * 100.0 + 0.5
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+            return t.group_by(["event_type"]).aggregate(
+                [("value_cents", "sum"), ("value_cents", "count")]
+            )
+
+        out = tiny_final_groupby(
+            rd.read_parquet(v1_paths).map_batches(partial, batch_format="pyarrow"),
+            keys=["event_type"],
+            aggs=[("value_cents_sum", "sum"), ("value_cents_count", "sum")],
+            out_names=["event_type", "value_cents", "n_events"],
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+_TIME_TRAVEL_COUNTS_SQL = (
+    "SELECT event_type, "
+    "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+    "WHERE event_id % 2 = 1 GROUP BY 1"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2320,6 +2423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_revenue": _q_bucketed_join_revenue,
         "label_centroids": _q_label_centroids,
         "incremental_daily_totals": _q_incremental_daily_totals,
+        "late_orders_by_priority": _q_late_orders_by_priority,
+        "time_travel_counts": _q_time_travel_counts,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3858,4 +3963,6 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,
         "label_centroids": _LABEL_CENTROIDS_SQL,
         "incremental_daily_totals": _INCREMENTAL_DAILY_TOTALS_SQL,
+        "late_orders_by_priority": _LATE_ORDERS_BY_PRIORITY_SQL,
+        "time_travel_counts": _TIME_TRAVEL_COUNTS_SQL,
     }

@@ -1622,3 +1622,56 @@ def zip_join_bucketed(dir_a: str, dir_b: str, key_a: str, key_b: str):
     return rd.from_items(items).map_batches(
         join_bucket, batch_format="pandas", batch_size=1
     )
+
+
+def semi_join_agg(fact_ds, probe_ds, fact_key: str, probe_key: str,
+                  group_col: str, broadcast_cap_bytes: int = 256 << 20):
+    """EXISTS semi-join + grouped count (TPC-H Q4 shape): count fact rows
+    per ``group_col`` that have AT LEAST ONE match in the probe side.
+    The probe side never joins -- it collapses to its DISTINCT keys
+    map-side (per-batch np.unique), is re-deduped in one driver fold, and
+    ships ONCE via ``ray.put`` as a sorted int64 array probed with
+    np.searchsorted per fact batch; the fact table streams.
+
+    The distinct-key broadcast is capped (``broadcast_cap_bytes``, 8 B/key
+    -- the same adaptive-cap discipline as the ngram verify path); past
+    the cap the right shape is the bucketed anti/semi join
+    (orphan_audit_multi's exchange) -- this raises loudly rather than
+    silently OOMing the driver.
+
+    Returns (group_col, n_matching).
+    """
+    import ray
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(probe_key).to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(u, pa.int64())})
+
+    parts = probe_ds.map_batches(distinct_keys, batch_format="pyarrow").to_pandas()
+    keys = np.unique(parts["k"].to_numpy(np.int64))
+    if keys.nbytes > broadcast_cap_bytes:
+        raise ValueError(
+            f"distinct probe keys {keys.nbytes >> 20} MB exceed the broadcast cap; "
+            "use a bucketed semi-join (orphan_audit_multi shape) at this scale"
+        )
+    handle = ray.put(keys)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.keys = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fk = batch.column(fact_key).to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.keys, fk)
+            pos_safe = np.clip(pos, 0, len(self.keys) - 1)
+            hit = self.keys[pos_safe] == fk
+            t = pa.table({group_col: batch.column(group_col).filter(pa.array(hit))})
+            return t.group_by([group_col]).aggregate([([], "count_all")])
+
+    partials = fact_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return tiny_final_groupby(
+        partials,
+        keys=[group_col],
+        aggs=[("count_all", "sum")],
+        out_names=[group_col, "n_matching"],
+    )

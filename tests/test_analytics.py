@@ -3125,3 +3125,37 @@ class TestRefreshDailyAgg:
         again, v2 = compose.refresh_daily_agg(root, agg1, v1)
         assert v2 == v1
         assert again.values.tolist() == agg1.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSemiJoinAgg:
+    def test_hand_built_semi_join(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        fact = pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "g": pa.array(["a", "a", "b", "b"]),
+        })
+        probe = pa.table({"pk": pa.array([2, 2, 4, 9], pa.int64())})
+        got = (
+            relational.semi_join_agg(
+                rd.from_arrow(fact).repartition(2),
+                rd.from_arrow(probe).repartition(2), "k", "pk", "g")
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        )
+        assert got["g"].tolist() == ["a", "b"]
+        assert got["n_matching"].tolist() == [1, 1]
+
+    def test_broadcast_cap_raises(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        fact = pa.table({"k": pa.array([1], pa.int64()), "g": pa.array(["a"])})
+        probe = pa.table({"pk": pa.array(list(range(100)), pa.int64())})
+        with pytest.raises(ValueError, match="broadcast cap"):
+            relational.semi_join_agg(
+                rd.from_arrow(fact), rd.from_arrow(probe), "k", "pk", "g",
+                broadcast_cap_bytes=8)
