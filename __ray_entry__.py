@@ -2236,6 +2236,26 @@ _TIME_TRAVEL_COUNTS_SQL = (
 )
 
 
+def _q_star_join_revenue(sf_dir: str):
+    """Star-schema revenue cube: lineitem enriched by part (brand) AND
+    supplier->nation (snowflake hop folded into the broadcast) in ONE
+    fact pass (relational.star_join_revenue); two searchsorted probes per
+    batch, zero join shuffles."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.star_join_revenue(sf_dir)
+
+
+_STAR_JOIN_REVENUE_SQL = (
+    "SELECT p_brand, n_name, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_rows "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2425,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_daily_totals": _q_incremental_daily_totals,
         "late_orders_by_priority": _q_late_orders_by_priority,
         "time_travel_counts": _q_time_travel_counts,
+        "star_join_revenue": _q_star_join_revenue,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3965,4 +3986,5 @@ def oracle_sql() -> dict[str, str]:
         "incremental_daily_totals": _INCREMENTAL_DAILY_TOTALS_SQL,
         "late_orders_by_priority": _LATE_ORDERS_BY_PRIORITY_SQL,
         "time_travel_counts": _TIME_TRAVEL_COUNTS_SQL,
+        "star_join_revenue": _STAR_JOIN_REVENUE_SQL,
     }

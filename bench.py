@@ -164,7 +164,7 @@ def run_bench() -> dict:
         "order_part_list", "rolling_7d_sum", "order_rank_global",
         "approx_users_by_type", "new_users_daily", "bucketed_join_revenue",
         "label_centroids", "incremental_daily_totals",
-        "late_orders_by_priority", "time_travel_counts",
+        "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

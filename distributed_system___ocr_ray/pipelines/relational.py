@@ -1675,3 +1675,75 @@ def semi_join_agg(fact_ds, probe_ds, fact_key: str, probe_key: str,
         aggs=[("count_all", "sum")],
         out_names=[group_col, "n_matching"],
     )
+
+
+def star_join_revenue(sf_dir: str):
+    """Star-schema enrichment in ONE fact pass: lineitem joined to BOTH
+    dimension tables (part -> brand, supplier -> nation name via the
+    supplier->nation snowflake hop) inside a single ``map_batches`` stage
+    -- two broadcast lookups per batch, zero shuffles for the joins, one
+    bounded-domain exchange for the (brand, nation) aggregate. The
+    snowflake hop is folded INTO the broadcast at build time (supplier
+    rows carry the nation NAME), so the fact probe is exactly two
+    searchsorted gathers regardless of dimension depth.
+
+    Inner-join semantics on both dims: a fact row missing either key
+    drops (consistent with revenue_by_nation). Returns
+    (p_brand, n_name, revenue_cents, n_rows).
+    """
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_names = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    pk = part.column("p_partkey").to_numpy()
+    po = np.argsort(pk)
+    sk = supp.column("s_suppkey").to_numpy()
+    so = np.argsort(sk)
+    lookup = {
+        "p_keys": pk[po],
+        "p_brand": np.array(part.column("p_brand").to_pylist(), dtype=object)[po],
+        "s_keys": sk[so],
+        # snowflake fold: supplier -> nation name resolved once at build
+        "s_nation": np.array(
+            [n_names[k] for k in supp.column("s_nationkey").to_numpy()[so]], dtype=object
+        ),
+    }
+    handle = ray.put(lookup)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lk = self.lk
+            pkeys = batch.column("l_partkey").to_numpy()
+            skeys = batch.column("l_suppkey").to_numpy()
+            ppos = np.clip(np.searchsorted(lk["p_keys"], pkeys), 0, len(lk["p_keys"]) - 1)
+            spos = np.clip(np.searchsorted(lk["s_keys"], skeys), 0, len(lk["s_keys"]) - 1)
+            hit = (lk["p_keys"][ppos] == pkeys) & (lk["s_keys"][spos] == skeys)
+            t = pa.table(
+                {
+                    "p_brand": pa.array(lk["p_brand"][ppos[hit]].tolist(), pa.string()),
+                    "n_name": pa.array(lk["s_nation"][spos[hit]].tolist(), pa.string()),
+                    "rev_cents": _cents(batch.column("l_extendedprice").filter(pa.array(hit))),
+                }
+            )
+            return t.group_by(["p_brand", "n_name"]).aggregate(
+                [("rev_cents", "sum"), ("rev_cents", "count")]
+            )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    return tiny_final_groupby(
+        ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8)),
+        ["p_brand", "n_name"],
+        [("rev_cents_sum", "sum"), ("rev_cents_count", "sum")],
+        ["p_brand", "n_name", "revenue_cents", "n_rows"],
+    )

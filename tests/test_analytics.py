@@ -3159,3 +3159,29 @@ class TestSemiJoinAgg:
             relational.semi_join_agg(
                 rd.from_arrow(fact), rd.from_arrow(probe), "k", "pk", "g",
                 broadcast_cap_bytes=8)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStarJoinRevenue:
+    def test_matches_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (relational.star_join_revenue(SF)
+               .to_pandas().sort_values(["p_brand", "n_name"]).reset_index(drop=True))
+        exp = duckdb.sql(
+            f"""
+            SELECT p_brand, n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM '{SF}/lineitem.parquet'
+            JOIN '{SF}/part.parquet' ON l_partkey = p_partkey
+            JOIN '{SF}/supplier.parquet' ON l_suppkey = s_suppkey
+            JOIN '{SF}/nation.parquet' ON s_nationkey = n_nationkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).df()
+        assert got["p_brand"].tolist() == exp["p_brand"].tolist()
+        assert got["n_name"].tolist() == exp["n_name"].tolist()
+        assert got["revenue_cents"].tolist() == exp["revenue_cents"].astype(int).tolist()
+        assert got["n_rows"].tolist() == exp["n_rows"].astype(int).tolist()
