@@ -2256,6 +2256,96 @@ _STAR_JOIN_REVENUE_SQL = (
 )
 
 
+def _q_zorder_2d_prune(sf_dir: str):
+    """Z-order layout end-to-end: cluster events by the Morton interleave
+    of (user_id, day) (lance_like.write_zordered -- one ingest-time sort),
+    then answer a 2-D range query (middle-quartile windows on BOTH dims)
+    from the zone maps, raising unless fragments were actually pruned.
+    The green row certifies the Morton kernel, the clustered layout and
+    the 2-level pruned read against a plain WHERE oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import lance_like
+
+    root = tempfile.mkdtemp(prefix="graft_zorder_") + "/events"
+    try:
+        base = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type", "value"])
+
+        def derive_day(batch: "pa.Table") -> "pa.Table":
+            day = batch.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "day": pa.array(day, pa.int64()),
+                    "event_type": batch.column("event_type"),
+                    "value": batch.column("value"),
+                }
+            )
+
+        n = base.count()
+        res = lance_like.write_zordered(
+            base.map_batches(derive_day, batch_format="pyarrow"),
+            root, "user_id", "day", rows_per_fragment=max(256, n // 32),
+        )
+        (ulo, uhi) = res["bounds"]["user_id"]
+        (dlo, dhi) = res["bounds"]["day"]
+        # middle-quartile windows, integer arithmetic the SQL replays
+        u1, u2 = ulo + (uhi - ulo) // 4, ulo + (uhi - ulo) // 2
+        d1, d2 = dlo + (dhi - dlo) // 4, dlo + (dhi - dlo) // 2
+        preds = [("user_id", "between", (u1, u2)), ("day", "between", (d1, d2))]
+        paths, total = lance_like.pruned_fragment_paths(root, preds)
+        if not paths or len(paths) >= total:
+            raise RuntimeError(
+                f"z-order pruning ineffective: {len(paths)}/{total} fragments kept"
+            )
+        ds = lance_like.read_dataset(root, predicates=preds)
+
+        def partial(batch: "pa.Table") -> "pa.Table":
+            t = pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "value_cents": pa.array(
+                        np.floor(
+                            batch.column("value").to_numpy(zero_copy_only=False)
+                            * 100.0 + 0.5
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+            return t.group_by(["event_type"]).aggregate(
+                [("value_cents", "sum"), ("value_cents", "count")]
+            )
+
+        out = tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["event_type"],
+            aggs=[("value_cents_sum", "sum"), ("value_cents_count", "sum")],
+            out_names=["event_type", "value_cents", "n_events"],
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+_ZORDER_2D_PRUNE_SQL = (
+    "WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "event_type, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents FROM events), "
+    "b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi, "
+    "MIN(day) AS dlo, MAX(day) AS dhi FROM e) "
+    "SELECT event_type, CAST(SUM(cents) AS BIGINT) AS value_cents, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events FROM e, b "
+    "WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2 "
+    "AND day BETWEEN dlo + (dhi - dlo) // 4 AND dlo + (dhi - dlo) // 2 "
+    "GROUP BY 1"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2446,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_orders_by_priority": _q_late_orders_by_priority,
         "time_travel_counts": _q_time_travel_counts,
         "star_join_revenue": _q_star_join_revenue,
+        "zorder_2d_prune": _q_zorder_2d_prune,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -3987,4 +4078,5 @@ def oracle_sql() -> dict[str, str]:
         "late_orders_by_priority": _LATE_ORDERS_BY_PRIORITY_SQL,
         "time_travel_counts": _TIME_TRAVEL_COUNTS_SQL,
         "star_join_revenue": _STAR_JOIN_REVENUE_SQL,
+        "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
     }

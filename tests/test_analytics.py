@@ -3185,3 +3185,68 @@ class TestStarJoinRevenue:
         assert got["n_name"].tolist() == exp["n_name"].tolist()
         assert got["revenue_cents"].tolist() == exp["revenue_cents"].astype(int).tolist()
         assert got["n_rows"].tolist() == exp["n_rows"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestZOrder:
+    def test_morton_kernel_reference(self):
+        from distributed_system___ocr_ray.sources.lance_like import _morton2
+
+        a = np.array([0, 1, 0, 3], dtype=np.uint64)
+        b = np.array([0, 0, 1, 3], dtype=np.uint64)
+        # bit-interleave reference: a odd positions, b even
+        def ref(x, y):
+            out = 0
+            for i in range(16):
+                out |= ((x >> i) & 1) << (2 * i + 1)
+                out |= ((y >> i) & 1) << (2 * i)
+            return out
+        got = _morton2(a, b)
+        assert got.tolist() == [ref(x, y) for x, y in zip(a.tolist(), b.tolist())]
+
+    def test_zorder_prunes_both_dims(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path / "ev")
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+
+        def derive(batch: pa.Table) -> pa.Table:
+            day = batch.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+            return pa.table({
+                "user_id": batch.column("user_id"),
+                "day": pa.array(day, pa.int64()),
+                "value": batch.column("value"),
+            })
+
+        res = lance_like.write_zordered(
+            base.map_batches(derive, batch_format="pyarrow"),
+            root, "user_id", "day", rows_per_fragment=256,
+        )
+        (ulo, uhi) = res["bounds"]["user_id"]
+        (dlo, dhi) = res["bounds"]["day"]
+        u1, u2 = ulo + (uhi - ulo) // 4, ulo + (uhi - ulo) // 2
+        d1, d2 = dlo + (dhi - dlo) // 4, dlo + (dhi - dlo) // 2
+        # pruning on EITHER dim alone must skip fragments (z-order clusters both)
+        for preds in (
+            [("user_id", "between", (u1, u2))],
+            [("day", "between", (d1, d2))],
+            [("user_id", "between", (u1, u2)), ("day", "between", (d1, d2))],
+        ):
+            paths, total = lance_like.pruned_fragment_paths(root, preds)
+            assert 0 < len(paths) < total, (preds, len(paths), total)
+        # and the pruned read returns exactly the WHERE rows
+        got = lance_like.read_dataset(
+            root, predicates=[("user_id", "between", (u1, u2)),
+                              ("day", "between", (d1, d2))]
+        ).to_pandas()
+        exp = duckdb.sql(
+            f"""
+            WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+                       FROM '{SF}/events.parquet')
+            SELECT COUNT(*) AS n FROM e
+            WHERE user_id BETWEEN {u1} AND {u2} AND day BETWEEN {d1} AND {d2}
+            """
+        ).df()
+        assert len(got) == int(exp["n"].iloc[0])
