@@ -2346,6 +2346,69 @@ _ZORDER_2D_PRUNE_SQL = (
 )
 
 
+def _q_evolved_schema_counts(sf_dir: str):
+    """Schema evolution end-to-end: write docs (doc_id % 4 != 0) without a
+    quality_tier column, ADD COLUMN quality_tier default 0 (metadata-only,
+    lance_like.evolve_add_column), append the doc_id % 4 == 0 cohort WITH
+    quality_tier = 1, then read the evolved table (old fragments filled
+    with the default, new read physically) and count per (lang, tier).
+    The oracle replays the cohort rule in SQL."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import lance_like
+
+    root = tempfile.mkdtemp(prefix="graft_evo_") + "/docs"
+    try:
+        base = _read_narrow(f"{sf_dir}/documents.parquet", ["doc_id", "lang"])
+
+        def cohort(new: bool):
+            def f(batch: "pa.Table") -> "pa.Table":
+                m = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 3), 0)
+                out = batch.filter(m if new else pc.invert(m))
+                if new:
+                    out = out.append_column(
+                        "quality_tier", pa.array([1] * out.num_rows, pa.int64())
+                    )
+                return out
+            return f
+
+        lance_like.write_dataset(base.map_batches(cohort(False), batch_format="pyarrow"), root)
+        lance_like.evolve_add_column(root, "quality_tier", "int64", 0)
+        lance_like.write_dataset(
+            base.map_batches(cohort(True), batch_format="pyarrow"), root, mode="append"
+        )
+        ds = lance_like.read_evolved(root)
+
+        def partial(batch: "pa.Table") -> "pa.Table":
+            return batch.select(["lang", "quality_tier"]).group_by(
+                ["lang", "quality_tier"]
+            ).aggregate([([], "count_all")])
+
+        out = tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            keys=["lang", "quality_tier"],
+            aggs=[("count_all", "sum")],
+            out_names=["lang", "quality_tier", "n_docs"],
+        )
+        return out.to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(root), ignore_errors=True)
+
+
+_EVOLVED_SCHEMA_COUNTS_SQL = (
+    "SELECT lang, CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) "
+    "AS quality_tier, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents GROUP BY 1, 2"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2537,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_travel_counts": _q_time_travel_counts,
         "star_join_revenue": _q_star_join_revenue,
         "zorder_2d_prune": _q_zorder_2d_prune,
+        "evolved_schema_counts": _q_evolved_schema_counts,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -4079,4 +4143,5 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_counts": _TIME_TRAVEL_COUNTS_SQL,
         "star_join_revenue": _STAR_JOIN_REVENUE_SQL,
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
+        "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
     }

@@ -150,6 +150,16 @@ def _check_append_schema(table_dir: str, prior_version: int, new_schema) -> None
         return
     old = {f.name: f.type for f in old_schema}
     new = {f.name: f.type for f in new_schema}
+    # an evolved table accepts appends in EITHER shape: the original
+    # physical schema (readers fill the default) or physical + evolved
+    # columns (new data carries real values)
+    evo = read_manifest(table_dir, prior_version).get("evolution", [])
+    if evo and new != old:
+        evolved = dict(old)
+        for e in evo:
+            evolved[e["add"]] = _EVO_TYPES[e["type"]]
+        if new == evolved:
+            return
     if old != new:
         raise ValueError(
             f"append schema mismatch for {table_dir}: committed "
@@ -187,6 +197,10 @@ def write_table(
             {"path": rel, "rows": chunk.num_rows, "stats": _fragment_stats(chunk)}
         )
     manifest = {"version": version, "fragments": fragments}
+    if mode == "append" and version > 1:
+        prior_man = read_manifest(table_dir, version - 1)
+        if "evolution" in prior_man:  # ADD COLUMN survives appends
+            manifest["evolution"] = prior_man["evolution"]
     return _commit_manifest(table_dir, manifest)
 
 
@@ -258,6 +272,10 @@ def write_dataset(
         key=lambda f: f["path"],
     )
     manifest = {"version": version, "fragments": fragments}
+    if mode == "append" and version > 1:
+        prior_man = read_manifest(table_dir, version - 1)
+        if "evolution" in prior_man:  # ADD COLUMN survives appends
+            manifest["evolution"] = prior_man["evolution"]
     return _commit_manifest(table_dir, manifest)
 
 
@@ -852,3 +870,82 @@ def write_zordered(
         rows_per_fragment=rows_per_fragment, row_group_size=row_group_size,
     )
     return {"manifest": man, "bounds": {col_a: [alo, ahi], col_b: [blo, bhi]}}
+
+
+def evolve_add_column(table_dir: str, col: str, type_name: str, default) -> dict:
+    """Schema evolution (metadata-only ADD COLUMN): commit a new manifest
+    version with the same fragments plus an ``evolution`` record
+    ``{add, type, default}`` -- no data file is touched (Iceberg/Delta
+    ADD COLUMN semantics: old fragments simply lack the column and readers
+    fill the default). Fragments appended AFTER the evolution carry the
+    column physically; ``read_evolved`` reconciles both cohorts.
+
+    ``type_name``: 'int64' | 'float64' | 'string' (the scalar-default
+    types a metadata fill can represent)."""
+    if type_name not in ("int64", "float64", "string"):
+        raise ValueError(f"unsupported evolved type {type_name!r}")
+    man = read_manifest(table_dir)
+    evo = list(man.get("evolution", []))
+    if any(e["add"] == col for e in evo):
+        raise ValueError(f"column {col!r} already evolved")
+    evo.append({"add": col, "type": type_name, "default": default})
+    new_man = {
+        "version": man["version"] + 1,
+        "fragments": man["fragments"],
+        "evolution": evo,
+    }
+    if "bucketing" in man:
+        new_man["bucketing"] = man["bucketing"]
+    return _commit_manifest(table_dir, new_man)
+
+
+_EVO_TYPES = {"int64": pa.int64(), "float64": pa.float64(), "string": pa.string()}
+
+
+def read_evolved(table_dir: str, version: int | None = None, columns=None):
+    """Open an evolved table as a ``ray.data.Dataset``: fragments are
+    grouped into schema cohorts by their parquet footers (driver-side
+    metadata reads -- at scale the physical column list would ride in the
+    manifest; the footer read keeps old manifests compatible), each cohort
+    is read separately, evolved columns missing from a cohort are filled
+    with their recorded defaults inside ``map_batches``, and the cohorts
+    union into one schema-stable Dataset. Zone-map predicates are not
+    supported here -- evolve-then-filter callers should filter on the
+    result (the evolved column has no stats in old fragments anyway)."""
+    import ray.data as rd
+
+    man = read_manifest(table_dir, version)
+    evo = man.get("evolution", [])
+    if not evo:
+        return read_dataset(table_dir, version=version, columns=columns)
+    cohorts: dict[tuple, list[str]] = {}
+    for f in man["fragments"]:
+        full = os.path.join(table_dir, f["path"])
+        names = tuple(pq.read_schema(full).names)
+        cohorts.setdefault(names, []).append(full)
+    parts = []
+    for names, paths in sorted(cohorts.items()):
+        missing = [e for e in evo if e["add"] not in names]
+        cols = None
+        if columns is not None:
+            cols = [c for c in columns if c in names]
+
+        def fill(batch: pa.Table, missing=tuple(
+            (e["add"], e["type"], e["default"]) for e in missing
+        )) -> pa.Table:
+            for name, tname, dflt in missing:
+                batch = batch.append_column(
+                    name, pa.array([dflt] * batch.num_rows, _EVO_TYPES[tname])
+                )
+            return batch
+
+        ds = rd.read_parquet(paths, columns=cols)
+        parts.append(ds.map_batches(fill, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    if columns is not None:
+        out = out.map_batches(
+            lambda b: b.select(list(columns)), batch_format="pyarrow"
+        )
+    return out

@@ -3250,3 +3250,64 @@ class TestZOrder:
             """
         ).df()
         assert len(got) == int(exp["n"].iloc[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSchemaEvolution:
+    def _build(self, root):
+        import ray.data as rd
+
+        import pyarrow.compute as pc
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        base = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+
+        def cohort(new: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0)
+                out = b.filter(m if new else pc.invert(m))
+                if new:
+                    out = out.append_column("tier", pa.array([7] * out.num_rows, pa.int64()))
+                return out
+            return f
+
+        lance_like.write_dataset(base.map_batches(cohort(False), batch_format="pyarrow"), root)
+        lance_like.evolve_add_column(root, "tier", "int64", 0)
+        lance_like.write_dataset(base.map_batches(cohort(True), batch_format="pyarrow"),
+                                 root, mode="append")
+        return lance_like
+
+    def test_default_fill_and_physical_cohorts(self, tmp_path):
+        root = str(tmp_path / "docs")
+        lance_like = self._build(root)
+        df = lance_like.read_evolved(root).to_pandas()
+        odd = df[df["doc_id"] % 2 == 1]
+        even = df[df["doc_id"] % 2 == 0]
+        assert (odd["tier"] == 0).all()      # metadata default
+        assert (even["tier"] == 7).all()     # physical values
+        import duckdb as dk
+        n = dk.sql(f"SELECT COUNT(*) n FROM '{SF}/documents.parquet'").df()["n"][0]
+        assert len(df) == int(n)
+
+    def test_double_evolve_raises(self, tmp_path):
+        root = str(tmp_path / "docs")
+        lance_like = self._build(root)
+        with pytest.raises(ValueError, match="already evolved"):
+            lance_like.evolve_add_column(root, "tier", "int64", 0)
+
+    def test_old_shape_append_still_allowed(self, tmp_path):
+        import ray.data as rd
+
+        root = str(tmp_path / "docs")
+        lance_like = self._build(root)
+        base = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang"])
+        lance_like.write_dataset(base.limit(10), root, mode="append")
+        df = lance_like.read_evolved(root).to_pandas()
+        assert (df[df.duplicated("doc_id", keep=False)].groupby("doc_id").size() >= 1).all()
+
+    def test_column_projection(self, tmp_path):
+        root = str(tmp_path / "docs")
+        lance_like = self._build(root)
+        df = lance_like.read_evolved(root, columns=["lang", "tier"]).to_pandas()
+        assert sorted(df.columns) == ["lang", "tier"]
