@@ -2409,6 +2409,45 @@ _EVOLVED_SCHEMA_COUNTS_SQL = (
 )
 
 
+def _q_typo_pairs(sf_dir: str):
+    """Edit-distance-1 fuzzy self-join over customer names
+    (analytics.typo_pairs, FastSS deletion neighborhoods): exact
+    Levenshtein<=1 pairs with NO verification stage -- substitution and
+    indel key spaces are constructed to admit only true pairs."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _read_narrow(f"{sf_dir}/customer.parquet", ["c_name"])
+    return analytics.typo_pairs(ds, "c_name")
+
+
+_TYPO_PAIRS_SQL = (
+    "WITH v AS (SELECT DISTINCT c_name AS tk FROM customer) "
+    "SELECT a.tk AS tok_a, b.tk AS tok_b FROM v a "
+    "JOIN v b ON a.tk < b.tk AND levenshtein(a.tk, b.tk) = 1"
+)
+
+
+def _q_json_field_stats(sf_dir: str):
+    """Semi-structured extraction: integer field k pulled from the JSON
+    props column with one compiled vectorized regex per batch
+    (relational.json_field_stats), aggregated per event_type; the regex
+    is shared char-for-char with the oracle's regexp_extract."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["props", "event_type"])
+    return relational.json_field_stats(ds, "props", "k", "event_type")
+
+
+_JSON_FIELD_STATS_SQL = (
+    "WITH x AS (SELECT event_type, "
+    "CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT) AS k "
+    "FROM events WHERE regexp_extract(props, '\"k\":\\s*(\\d+)', 1) <> '') "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k, "
+    "CAST(MAX(k) AS BIGINT) AS max_k FROM x GROUP BY 1"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2601,6 +2640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_join_revenue": _q_star_join_revenue,
         "zorder_2d_prune": _q_zorder_2d_prune,
         "evolved_schema_counts": _q_evolved_schema_counts,
+        "typo_pairs": _q_typo_pairs,
+        "json_field_stats": _q_json_field_stats,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -4144,4 +4185,6 @@ def oracle_sql() -> dict[str, str]:
         "star_join_revenue": _STAR_JOIN_REVENUE_SQL,
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
+        "typo_pairs": _TYPO_PAIRS_SQL,
+        "json_field_stats": _JSON_FIELD_STATS_SQL,
     }

@@ -165,7 +165,8 @@ def run_bench() -> dict:
         "approx_users_by_type", "new_users_daily", "bucketed_join_revenue",
         "label_centroids", "incremental_daily_totals",
         "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
-        "zorder_2d_prune", "evolved_schema_counts",
+        "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
+        "json_field_stats",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

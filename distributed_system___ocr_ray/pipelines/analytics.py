@@ -4222,3 +4222,114 @@ def label_centroid_sums(ds, label_col: str = "label", emb_col: str = "embedding"
         aggs=[("sum_micros", "sum"), ("n_vecs", "sum")],
         out_names=[label_col, "dim", "sum_micros", "n_vecs"],
     )
+
+
+def typo_pairs(ds, col: str, buckets: int = 64):
+    """Edit-distance-1 string self-join via FastSS deletion neighborhoods
+    -- the fuzzy-join family's EXACT member (MinHash/SimHash/ngram are
+    set-similarity; this is true Levenshtein<=1, the vocabulary-typo /
+    near-identical-id matcher). No verification stage is needed because
+    the keys are constructed to be exact:
+
+    - substitution space: key ``(i, s with position i deleted)`` -- two
+      distinct strings share it iff they differ ONLY at position i;
+    - indel space: key ``deletion variant`` matched against key ``the
+      string itself`` -- a hit means one string IS the other minus a char.
+
+    The two spaces are disjoint (same length vs length+-1), and a pair
+    arises under exactly one key, so within-group dedup is global dedup.
+
+    Scale shape: pass 1 collapses to the distinct vocabulary (per-batch
+    np.unique -> ONE value exchange -> per-bucket unique; Zipfian text
+    makes the vocab domain << row domain); pass 2 explodes each DISTINCT
+    value to its ~2L keys (the only per-string loop, over vocab not rows)
+    and exchanges on the key hash; the per-bucket pair kernel is
+    vectorized group arithmetic (size-class triu for substitutions, a
+    first-row gather for indels). Returns (tok_a, tok_b) with tok_a <
+    tok_b.
+    """
+    from .relational import hash_bucket_column
+
+    def distinct_vals(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({col: pa.array(u.tolist(), pa.string())})
+
+    def add_val_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, col, buckets)
+
+    def uniq_vals(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({col: np.unique(group[col].to_numpy(object))})
+
+    vocab = (
+        ds.map_batches(distinct_vals, batch_format="pyarrow")
+        .map_batches(add_val_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(uniq_vals, batch_format="pandas")
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keys, kinds, toks = [], [], []
+        for t in batch.column(col).to_pylist():  # distinct vocab only
+            keys.append("d:" + t); kinds.append(0); toks.append(t)  # indel target
+            for i in range(len(t)):
+                v = t[:i] + t[i + 1:]
+                keys.append(f"s:{i}:{v}"); kinds.append(1); toks.append(t)
+                keys.append("d:" + v); kinds.append(2); toks.append(t)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "kind": pa.array(kinds, pa.int8()),
+                "tok": pa.array(toks, pa.string()),
+            }
+        )
+
+    def add_key_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "key", buckets)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["key", "kind", "tok"], kind="mergesort")
+        key = g["key"].to_numpy(object)
+        kind = g["kind"].to_numpy(np.int8)
+        tok = g["tok"].to_numpy(object)
+        brk = np.r_[True, key[1:] != key[:-1]]
+        grp = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        a_list, b_list = [], []
+        # indel family: group's first row is the self (kind 0 sorts first);
+        # every kind-2 row in such a group pairs with it
+        has_self = kind[starts] == 0
+        m = (kind == 2) & has_self[grp]
+        if m.any():
+            a_list.append(tok[starts[grp[m]]])
+            b_list.append(tok[m])
+        # substitution family: all-pairs within kind-1 groups, size-classed
+        s_mask = kind == 1
+        if s_mask.any():
+            sk, st = key[s_mask], tok[s_mask]
+            sb = np.r_[True, sk[1:] != sk[:-1]]
+            sstarts = np.flatnonzero(sb)
+            sizes = np.diff(np.r_[sstarts, len(sk)])
+            for msize in np.unique(sizes):
+                if msize < 2:
+                    continue
+                sel = sstarts[sizes == msize]
+                M = st[(sel[:, None] + np.arange(msize)[None, :])]
+                iu, ju = np.triu_indices(int(msize), k=1)
+                a_list.append(M[:, iu].ravel())
+                b_list.append(M[:, ju].ravel())
+        if not a_list:
+            return pd.DataFrame({"tok_a": pd.Series([], dtype=str),
+                                 "tok_b": pd.Series([], dtype=str)})
+        a = np.concatenate(a_list)
+        b = np.concatenate(b_list)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        out = pd.DataFrame({"tok_a": lo, "tok_b": hi}).drop_duplicates()
+        return out.reset_index(drop=True)
+
+    return (
+        vocab.map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_key_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -1747,3 +1747,49 @@ def star_join_revenue(sf_dir: str):
         [("rev_cents_sum", "sum"), ("rev_cents_count", "sum")],
         ["p_brand", "n_name", "revenue_cents", "n_rows"],
     )
+
+
+def json_field_stats(ds, json_col: str = "props", key: str = "k",
+                     group_col: str = "event_type"):
+    """Semi-structured extraction + grouped stats: pull integer field
+    ``key`` out of a JSON-string column with ONE compiled vectorized regex
+    per batch (pandas .str.extract -- C-speed, no per-row json.loads,
+    the redact_pii discipline) and aggregate per group. The regex is
+    shared character-for-character with the DuckDB regexp_extract oracle,
+    so extraction semantics are pinned, not approximated. Rows where the
+    field is absent drop (SQL NULL-group semantics would differ per
+    engine; absence is data, not an error).
+
+    Returns (group_col, n_rows, sum_k, min_k, max_k).
+    """
+    pattern = r'"' + key + r'":\s*(\d+)'
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[json_col].str.extract(pattern, expand=False)
+        ok = v.notna()
+        df = pd.DataFrame(
+            {group_col: batch[group_col][ok], "k": v[ok].astype(np.int64)}
+        )
+        g = df.groupby(group_col, sort=False)["k"]
+        return pd.DataFrame(
+            {
+                group_col: g.count().index,
+                "n_rows": g.count().to_numpy(np.int64),
+                "sum_k": g.sum().to_numpy(np.int64),
+                "min_k": g.min().to_numpy(np.int64),
+                "max_k": g.max().to_numpy(np.int64),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by([group_col]).aggregate(
+            [("n_rows", "sum"), ("sum_k", "sum"), ("min_k", "min"), ("max_k", "max")]
+        )
+        out = out.select([group_col, "n_rows_sum", "sum_k_sum", "min_k_min", "max_k_max"])
+        return out.rename_columns([group_col, "n_rows", "sum_k", "min_k", "max_k"])
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -3311,3 +3311,90 @@ class TestSchemaEvolution:
         lance_like = self._build(root)
         df = lance_like.read_evolved(root, columns=["lang", "tier"]).to_pandas()
         assert sorted(df.columns) == ["lang", "tier"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTypoPairs:
+    def test_hand_built_families(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # cat~bat (substitution), cat~cats and ba~bat (insertion), dog
+        # isolated, ab~ba must NOT pair (distance 2, the transposition trap)
+        t = pa.table({"s": pa.array(["cat", "bat", "cats", "dog", "ab", "ba",
+                                     "cat", "bat"])})  # dups collapse
+        got = (
+            analytics.typo_pairs(rd.from_arrow(t).repartition(3), "s")
+            .to_pandas().sort_values(["tok_a", "tok_b"]).values.tolist()
+        )
+        assert got == [["ba", "bat"], ["bat", "cat"], ["cat", "cats"]]
+
+    def test_matches_levenshtein_oracle(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_name"])
+        got = (analytics.typo_pairs(ds, "c_name")
+               .to_pandas().sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+        exp = duckdb.sql(
+            f"""
+            WITH v AS (SELECT DISTINCT c_name AS tk FROM '{SF}/customer.parquet')
+            SELECT a.tk AS tok_a, b.tk AS tok_b FROM v a
+            JOIN v b ON a.tk < b.tk AND levenshtein(a.tk, b.tk) = 1 ORDER BY 1, 2
+            """
+        ).df()
+        assert got["tok_a"].tolist() == exp["tok_a"].tolist()
+        assert got["tok_b"].tolist() == exp["tok_b"].tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_name"])
+        a = (analytics.typo_pairs(base.repartition(1), "c_name", buckets=3)
+             .to_pandas().sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+        b = (analytics.typo_pairs(base.repartition(7), "c_name", buckets=64)
+             .to_pandas().sort_values(["tok_a", "tok_b"]).reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJsonFieldStats:
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["props", "event_type"])
+        got = (relational.json_field_stats(ds)
+               .to_pandas().sort_values("event_type").reset_index(drop=True))
+        exp = duckdb.sql(
+            f"""
+            WITH x AS (SELECT event_type,
+                       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+                       FROM '{SF}/events.parquet'
+                       WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> '')
+            SELECT event_type, COUNT(*) AS n_rows, SUM(k) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM x GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        assert got["event_type"].tolist() == exp["event_type"].tolist()
+        for c in ("n_rows", "sum_k", "min_k", "max_k"):
+            assert got[c].tolist() == exp[c].astype(int).tolist(), c
+
+    def test_missing_field_rows_drop(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table({
+            "props": pa.array(['{"k": 3}', '{"other": 1}', '{"k": 7}']),
+            "event_type": pa.array(["a", "a", "a"]),
+        })
+        got = relational.json_field_stats(rd.from_arrow(t)).to_pandas()
+        assert got["n_rows"].tolist() == [2]
+        assert got["sum_k"].tolist() == [10]
