@@ -181,3 +181,50 @@ class TestSkew:
         expected = oracle.extract_table(docs, corpus.media_dict(store))
         out = _sorted_output(pipeline.extract_dataset(docs, store, num_partitions=8))
         _assert_span_equality(out, expected)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardedMediaStore:
+    def test_bucketed_media_path_matches_broadcast(self, small_corpus, tmp_path):
+        """Extraction against a hash-bucketed media table (the 100 TB media
+        routing: per-actor lazy bucket fetch + LRU) must be row-identical
+        to the broadcast-dict run."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        docs, store = small_corpus
+        media_dir = str(tmp_path / "media")
+        lance_like.write_bucketed(rd.from_arrow(store), media_dir, "media_ref", 4)
+        expected = oracle.extract_table(docs, corpus.media_dict(store))
+        out = pipeline.extract_dataset(docs, media_dir, num_partitions=8)
+        _assert_span_equality(_sorted_output(out), expected)
+
+    def test_lru_bound_and_misses(self, small_corpus, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+        from distributed_system___ocr_ray.stages.extractors import ShardedMediaStore
+
+        _, store = small_corpus
+        media_dir = str(tmp_path / "media")
+        lance_like.write_bucketed(rd.from_arrow(store), media_dir, "media_ref", 8)
+        s = ShardedMediaStore(media_dir, max_buckets=2)
+        refs = store.column("media_ref").to_pylist()
+        payloads = store.column("payload").to_pylist()
+        for r, p in zip(refs, payloads):
+            assert s.get(r) == p
+        assert len(s._cache) <= 2  # LRU bound held across all buckets
+        assert s.get("no-such-ref") is None
+        assert s.get("no-such-ref", b"dflt") == b"dflt"
+
+    def test_non_media_bucketed_table_raises(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+        from distributed_system___ocr_ray.stages.extractors import ShardedMediaStore
+
+        t = pa.table({"other": pa.array([1, 2], pa.int64())})
+        lance_like.write_bucketed(rd.from_arrow(t), str(tmp_path / "x"), "other", 2)
+        with pytest.raises(ValueError, match="bucketed by media_ref"):
+            ShardedMediaStore(str(tmp_path / "x"))
