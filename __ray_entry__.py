@@ -2448,6 +2448,24 @@ _JSON_FIELD_STATS_SQL = (
 )
 
 
+def _q_audience_overlap(sf_dir: str):
+    """Set-intersection matrix: users appearing under BOTH event types, for
+    every unordered type pair (relational.cooccurrence_counts); distinct
+    collapse, one id-domain exchange, size-class triu pair kernel."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "event_type"])
+    return relational.cooccurrence_counts(ds)
+
+
+_AUDIENCE_OVERLAP_SQL = (
+    "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+    "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_ids FROM d a "
+    "JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2"
+)
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix: per-user consecutive event-type bigram
     counts ordered by (ts, event_id) (relational.event_transitions); one
@@ -2642,6 +2660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_schema_counts": _q_evolved_schema_counts,
         "typo_pairs": _q_typo_pairs,
         "json_field_stats": _q_json_field_stats,
+        "audience_overlap": _q_audience_overlap,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -4187,4 +4206,5 @@ def oracle_sql() -> dict[str, str]:
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
         "json_field_stats": _JSON_FIELD_STATS_SQL,
+        "audience_overlap": _AUDIENCE_OVERLAP_SQL,
     }

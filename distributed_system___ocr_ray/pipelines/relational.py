@@ -1793,3 +1793,68 @@ def json_field_stats(ds, json_col: str = "props", key: str = "k",
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def cooccurrence_counts(ds, id_col: str = "user_id", cat_col: str = "event_type",
+                        buckets: int = 64):
+    """Audience overlap: for every unordered pair of categories, the count
+    of ids that appear under BOTH (users who click AND purchase) -- the
+    set-intersection matrix marketing/funnel analysis runs, computed
+    without materializing any per-category id set.
+
+    Scale shape: per-batch distinct (id, cat) collapse -> ONE id-domain
+    exchange -> per-bucket vectorized pair generation over each id's
+    category set (the basket_pairs size-class triu kernel on factorized
+    category codes -- set sizes are bounded by |categories|, so fan-out is
+    at most |cats| choose 2 per id) -> final merge of <= |cats|^2 rows per
+    bucket. Returns (type_a, type_b, n_ids) with type_a < type_b.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = batch.column(cat_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({id_col: ids, cat_col: cats}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, id_col, buckets)
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[[id_col, cat_col]].drop_duplicates()
+        cats, codes = np.unique(g[cat_col].to_numpy(object), return_inverse=True)
+        ids = g[id_col].to_numpy(np.int64)
+        order = np.lexsort((codes, ids))
+        ids, codes = ids[order], codes[order]
+        brk = np.r_[True, ids[1:] != ids[:-1]]
+        starts = np.flatnonzero(brk)
+        sizes = np.diff(np.r_[starts, len(ids)])
+        acc = np.zeros(len(cats) * len(cats), dtype=np.int64)
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            sel = starts[sizes == m]
+            M = codes[(sel[:, None] + np.arange(m)[None, :])]  # (G, m) sorted sets
+            iu, ju = np.triu_indices(int(m), k=1)
+            pair_code = M[:, iu].ravel() * len(cats) + M[:, ju].ravel()
+            acc += np.bincount(pair_code, minlength=acc.size)
+        hit = np.flatnonzero(acc)
+        return pd.DataFrame(
+            {
+                "type_a": cats[hit // len(cats)],
+                "type_b": cats[hit % len(cats)],
+                "n_ids": acc[hit],
+            }
+        )
+
+    partials = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        partials,
+        keys=["type_a", "type_b"],
+        aggs=[("n_ids", "sum")],
+        out_names=["type_a", "type_b", "n_ids"],
+    )

@@ -3398,3 +3398,41 @@ class TestJsonFieldStats:
         got = relational.json_field_stats(rd.from_arrow(t)).to_pandas()
         assert got["n_rows"].tolist() == [2]
         assert got["sum_k"].tolist() == [10]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCooccurrenceCounts:
+    def test_hand_built_overlap(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "event_type": pa.array(["a", "b", "b", "a", "c", "a"]),
+        })
+        got = (relational.cooccurrence_counts(rd.from_arrow(t).repartition(3))
+               .to_pandas().sort_values(["type_a", "type_b"]).values.tolist())
+        assert got == [["a", "b", 1], ["a", "c", 1]]
+
+    def test_matches_duckdb_and_partition_invariant(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type"])
+        a = (relational.cooccurrence_counts(base.repartition(1), buckets=3)
+             .to_pandas().sort_values(["type_a", "type_b"]).reset_index(drop=True))
+        b = (relational.cooccurrence_counts(base.repartition(9), buckets=64)
+             .to_pandas().sort_values(["type_a", "type_b"]).reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM '{SF}/events.parquet')
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_ids FROM d a
+            JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2 ORDER BY 1, 2
+            """
+        ).df()
+        assert a["n_ids"].tolist() == exp["n_ids"].astype(int).tolist()
