@@ -2448,6 +2448,36 @@ _JSON_FIELD_STATS_SQL = (
 )
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """NOT EXISTS anti-join: customers with no URGENT order, counted per
+    market segment (relational.semi_join_agg with anti=True) -- the
+    post-purge audit complement of the Q4 semi-join, same one-broadcast
+    streaming shape (probe side filtered map-side before the distinct
+    collapse)."""
+    import pyarrow.compute as pc
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    def urgent_only(batch: "pa.Table") -> "pa.Table":
+        mask = pc.equal(batch.column("o_orderpriority"), "1-URGENT")
+        return batch.filter(mask).select(["o_custkey"])
+
+    probe = _read_narrow(
+        f"{sf_dir}/orders.parquet", ["o_custkey", "o_orderpriority"]
+    ).map_batches(urgent_only, batch_format="pyarrow")
+    fact = _read_narrow(f"{sf_dir}/customer.parquet", ["c_custkey", "c_mktsegment"])
+    return relational.semi_join_agg(
+        fact, probe, "c_custkey", "o_custkey", "c_mktsegment", anti=True
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_SQL = (
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_matching FROM customer "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+    "AND o_orderpriority = '1-URGENT') GROUP BY 1"
+)
+
+
 def _q_audience_overlap(sf_dir: str):
     """Set-intersection matrix: users appearing under BOTH event types, for
     every unordered type pair (relational.cooccurrence_counts); distinct
@@ -2661,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": _q_typo_pairs,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
+        "customers_without_orders": _q_customers_without_orders,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -4207,4 +4238,5 @@ def oracle_sql() -> dict[str, str]:
         "typo_pairs": _TYPO_PAIRS_SQL,
         "json_field_stats": _JSON_FIELD_STATS_SQL,
         "audience_overlap": _AUDIENCE_OVERLAP_SQL,
+        "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_SQL,
     }

@@ -166,7 +166,7 @@ def run_bench() -> dict:
         "label_centroids", "incremental_daily_totals",
         "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
         "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
-        "json_field_stats", "audience_overlap",
+        "json_field_stats", "audience_overlap", "customers_without_orders",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

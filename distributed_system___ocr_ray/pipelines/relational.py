@@ -1625,9 +1625,12 @@ def zip_join_bucketed(dir_a: str, dir_b: str, key_a: str, key_b: str):
 
 
 def semi_join_agg(fact_ds, probe_ds, fact_key: str, probe_key: str,
-                  group_col: str, broadcast_cap_bytes: int = 256 << 20):
+                  group_col: str, broadcast_cap_bytes: int = 256 << 20,
+                  anti: bool = False):
     """EXISTS semi-join + grouped count (TPC-H Q4 shape): count fact rows
-    per ``group_col`` that have AT LEAST ONE match in the probe side.
+    per ``group_col`` that have AT LEAST ONE match in the probe side;
+    ``anti=True`` flips the mask to NOT EXISTS (rows with NO match --
+    the "customers without orders" audit).
     The probe side never joins -- it collapses to its DISTINCT keys
     map-side (per-batch np.unique), is re-deduped in one driver fold, and
     ships ONCE via ``ray.put`` as a sorted int64 array probed with
@@ -1665,6 +1668,8 @@ def semi_join_agg(fact_ds, probe_ds, fact_key: str, probe_key: str,
             pos = np.searchsorted(self.keys, fk)
             pos_safe = np.clip(pos, 0, len(self.keys) - 1)
             hit = self.keys[pos_safe] == fk
+            if anti:
+                hit = ~hit
             t = pa.table({group_col: batch.column(group_col).filter(pa.array(hit))})
             return t.group_by([group_col]).aggregate([([], "count_all")])
 

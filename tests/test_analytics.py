@@ -3436,3 +3436,27 @@ class TestCooccurrenceCounts:
             """
         ).df()
         assert a["n_ids"].tolist() == exp["n_ids"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAntiJoinAgg:
+    def test_anti_flips_the_mask(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        fact = pa.table({
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "g": pa.array(["a", "a", "b", "b"]),
+        })
+        probe = pa.table({"pk": pa.array([2, 4], pa.int64())})
+        semi = (relational.semi_join_agg(rd.from_arrow(fact), rd.from_arrow(probe),
+                                         "k", "pk", "g")
+                .to_pandas().sort_values("g"))
+        anti = (relational.semi_join_agg(rd.from_arrow(fact), rd.from_arrow(probe),
+                                         "k", "pk", "g", anti=True)
+                .to_pandas().sort_values("g"))
+        assert semi["n_matching"].tolist() == [1, 1]
+        assert anti["n_matching"].tolist() == [1, 1]
+        # semi + anti partition the fact table
+        assert semi["n_matching"].sum() + anti["n_matching"].sum() == 4
