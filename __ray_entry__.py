@@ -2478,6 +2478,44 @@ _CUSTOMERS_WITHOUT_ORDERS_SQL = (
 )
 
 
+def _q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape: the DISTRIBUTION of orders-per-customer -- a
+    two-level aggregate (per-customer counts via one key-domain exchange of
+    map-side partials, then a bounded-domain count-of-counts). Customers
+    with zero orders are out of scope by construction (the left-join
+    variant is customer_order_counts)."""
+    from distributed_system___ocr_ray.pipelines.relational import (
+        bucketed_grouped_sum, tiny_final_groupby)
+
+    ds = _read_narrow(f"{sf_dir}/orders.parquet", ["o_custkey"])
+
+    def partial(batch: "pa.Table") -> "pa.Table":
+        t = batch.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return t.rename_columns(["o_custkey", "n"])
+
+    per_cust = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow"), "o_custkey", "n"
+    )
+
+    def to_counts(batch: "pa.Table") -> "pa.Table":
+        t = batch.select(["n"]).group_by(["n"]).aggregate([([], "count_all")])
+        return t.rename_columns(["n_orders", "n_customers"])
+
+    return tiny_final_groupby(
+        per_cust.map_batches(to_counts, batch_format="pyarrow"),
+        keys=["n_orders"],
+        aggs=[("n_customers", "sum")],
+        out_names=["n_orders", "n_customers"],
+    )
+
+
+_ORDER_COUNT_DISTRIBUTION_SQL = (
+    "WITH c AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders "
+    "FROM orders GROUP BY 1) "
+    "SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM c GROUP BY 1"
+)
+
+
 def _q_audience_overlap(sf_dir: str):
     """Set-intersection matrix: users appearing under BOTH event types, for
     every unordered type pair (relational.cooccurrence_counts); distinct
@@ -2692,6 +2730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
+        "order_count_distribution": _q_order_count_distribution,
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
@@ -4239,4 +4278,5 @@ def oracle_sql() -> dict[str, str]:
         "json_field_stats": _JSON_FIELD_STATS_SQL,
         "audience_overlap": _AUDIENCE_OVERLAP_SQL,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "order_count_distribution": _ORDER_COUNT_DISTRIBUTION_SQL,
     }

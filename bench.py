@@ -167,6 +167,7 @@ def run_bench() -> dict:
         "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
         "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
         "json_field_stats", "audience_overlap", "customers_without_orders",
+        "order_count_distribution",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
