@@ -1907,7 +1907,14 @@ def _q_order_part_list(sf_dir: str):
     collapse, one pair-domain exchange, one vectorized join per bucket."""
     from distributed_system___ocr_ray.pipelines import relational
 
-    ds = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"])
+    # smaller blocks than the narrow-scan default: the string-join reduce
+    # parallelism equals the block count feeding the groupby, and this
+    # kernel is compute-bound (measured 7.0 s single-block vs ~1.3 s at 6
+    # blocks on identical sf0.1 input)
+    ds = _read_narrow(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"],
+        rows_per_block=100_000,
+    )
     return relational.collect_sorted_list(ds, "l_orderkey", "l_partkey", "parts_csv")
 
 
