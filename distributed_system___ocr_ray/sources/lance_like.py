@@ -881,7 +881,12 @@ def evolve_add_column(table_dir: str, col: str, type_name: str, default) -> dict
     column physically; ``read_evolved`` reconciles both cohorts.
 
     ``type_name``: 'int64' | 'float64' | 'string' (the scalar-default
-    types a metadata fill can represent)."""
+    types a metadata fill can represent).
+
+    NOTE: like bucketing specs, the evolution record is carried by appends
+    but NOT by compact()/delete_where() (they commit fresh manifests); run
+    those maintenance ops before evolving, or rewrite the table through
+    ``read_evolved`` -> ``write_dataset`` to materialize the column first."""
     if type_name not in ("int64", "float64", "string"):
         raise ValueError(f"unsupported evolved type {type_name!r}")
     man = read_manifest(table_dir)
