@@ -883,6 +883,76 @@ def _q_cow_delete_counts(sf_dir: str):
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
 
 
+def _q_merge_upsert_counts(sf_dir: str):
+    """Keyed MERGE (upsert) end-to-end: stream documents into a Lance-style
+    table (contiguous fragments + zone maps), MERGE a deterministic updates
+    batch — every 5th doc_id inside the shared range becomes lang='xx' with
+    n_chars+1000 (UPDATE), every 97th doc_id re-keyed past the table's max
+    id arrives as lang='new' (INSERT) — then aggregate the merged table per
+    lang. Write amplification is zone-map-bounded (the guard raises unless
+    fragments were carried untouched AND both update and insert rows
+    landed). The oracle replays the merge as target-minus-matched UNION ALL
+    updates in SQL. Delta/Iceberg MERGE INTO semantics
+    (sources/lance_like.merge_upsert)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.sources import lance_like
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lo, hi = _range_bounds(sf_dir)
+    tdir = tempfile.mkdtemp(prefix="graft_merge_") + "/docs"
+    try:
+        lance_like.write_dataset(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+            tdir,
+            rows_per_fragment=max(50, n // 10),
+        )
+        # the updates batch is the SMALL side of a MERGE by construction --
+        # building it driver-side is the operator's contract, not a scale
+        # compromise (the target streams through lance_like fragments)
+        src = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+        )
+        import numpy as np
+
+        ids = src.column("doc_id").to_numpy()
+        upd = src.filter(pa.array((ids >= lo) & (ids < hi) & (ids % 5 == 0)))
+        upd = pa.table(
+            {
+                "doc_id": upd.column("doc_id"),
+                "lang": pa.array(["xx"] * upd.num_rows, pa.string()),
+                "n_chars": pc.add(upd.column("n_chars"), 1000),
+            }
+        )
+        ins = src.filter(pa.array(ids % 97 == 0))
+        ins = pa.table(
+            {
+                "doc_id": pc.add(ins.column("doc_id"), n),
+                "lang": pa.array(["new"] * ins.num_rows, pa.string()),
+                "n_chars": ins.column("n_chars"),
+            }
+        )
+        man = lance_like.merge_upsert(tdir, pa.concat_tables([upd, ins]), "doc_id")
+        if not (
+            man["rows_updated"] > 0
+            and man["rows_inserted"] > 0
+            and man["fragments_carried"] > 0
+        ):
+            raise AssertionError(
+                f"merge shape wrong: {man['rows_updated']} updated, "
+                f"{man['rows_inserted']} inserted, "
+                f"{man['fragments_carried']} carried"
+            )
+        return _lang_agg(lance_like.read_dataset(tdir)).to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+
+
 def _q_pruned_range_read(sf_dir: str):
     """Zone-map pruned range read end-to-end: stream documents into a
     Lance-style table (~10 contiguous fragments, per-fragment min/max
@@ -2697,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percent_rank_by_lang": _q_percent_rank_by_lang,
         "customer_order_counts": _q_customer_order_counts,
         "cow_delete_counts": _q_cow_delete_counts,
+        "merge_upsert_counts": _q_merge_upsert_counts,
         "shipments_within_7d": _q_shipments_within_7d,
         "docs_rollup": _q_docs_rollup,
         "events_pivot_daily": _q_events_pivot_daily,
@@ -4222,6 +4293,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents, b WHERE doc_id < b.lo OR doc_id >= b.hi GROUP BY lang"
+        ),
+        # replays _q_merge_upsert_counts: MERGE == target-minus-matched
+        # UNION ALL updated UNION ALL inserted, then the lang aggregate
+        "merge_upsert_counts": (
+            f"WITH {_RANGE_CTE}, nn AS (SELECT COUNT(*) AS n FROM documents), "
+            "upd AS (SELECT doc_id, 'xx' AS lang, n_chars + 1000 AS n_chars "
+            "FROM documents, b WHERE doc_id >= b.lo AND doc_id < b.hi "
+            "AND doc_id % 5 = 0), "
+            "merged AS ("
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM upd) "
+            "UNION ALL SELECT doc_id, lang, n_chars FROM upd "
+            "UNION ALL SELECT doc_id + nn.n AS doc_id, 'new' AS lang, n_chars "
+            "FROM documents, nn WHERE doc_id % 97 = 0) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM merged GROUP BY lang"
         ),
         # replays _q_percent_rank_by_lang: RANK tie-min + integer ppm scale
         "percent_rank_by_lang": (

@@ -558,6 +558,115 @@ def delete_where(
     return _commit_manifest(table_dir, manifest)
 
 
+def merge_upsert(
+    table_dir: str, updates: pa.Table, key: str, row_group_size: int | None = None
+) -> dict:
+    """Keyed MERGE (Delta/Iceberg ``MERGE INTO`` semantics): commit a NEW
+    manifest version where every target row whose ``key`` appears in
+    ``updates`` is REPLACED by the update row, and update keys absent from
+    the target are INSERTED — completing the table's CRUD surface next to
+    ``delete_where`` (COW delete), ``evolve_add_column`` and ``compact``.
+
+    Write amplification is zone-map-bounded like ``delete_where``: a
+    fragment whose [min, max] ``key`` range provably contains NO update key
+    carries over by reference (no read, no rewrite — a keyed upsert against
+    a key-clustered 100 TB table touches O(matching fragments)); only
+    fragments with actual key hits are rewritten minus the replaced rows.
+    All update rows land as ONE new fragment at the tail, so the version's
+    row multiset is exactly ``(target ⧹ matched-by-key) ∪ updates``. The
+    per-fragment rewrites are independent — at scale they parallelize as
+    Ray tasks exactly like ``compact``'s merge groups; the loop here is the
+    same driver-side shape ``delete_where`` uses.
+
+    Raises on duplicate or null update keys (one source row per target key,
+    the MERGE precondition — duplicates would make the result
+    order-dependent) and on schema drift (same loud guard as ``append``).
+    Old fragments stay on disk for version-pinned readers; ``gc()``
+    reclaims them. Returns the new manifest plus ``rows_updated`` (target
+    rows replaced) / ``rows_inserted`` (update keys not present in the
+    target) / ``fragments_rewritten`` / ``fragments_carried``."""
+    import bisect
+
+    import pyarrow.compute as pc
+
+    man = read_manifest(table_dir)
+    version = man["version"] + 1
+    _check_append_schema(table_dir, man["version"], updates.schema)
+    kcol = updates.column(key)
+    if kcol.null_count:
+        raise ValueError(f"merge_upsert: {kcol.null_count} null {key!r} update keys")
+    if pc.count_distinct(kcol).as_py() != updates.num_rows:
+        raise ValueError(
+            f"merge_upsert: duplicate {key!r} keys in updates — MERGE needs "
+            "exactly one source row per target key (dedupe upstream, e.g. "
+            "dedup_keep_best)"
+        )
+    # align column order to the committed physical schema so mixed-version
+    # reads concat cleanly (the guard already proved the name->type mapping
+    # matches)
+    prior_frags = man["fragments"]
+    if prior_frags:
+        p0 = prior_frags[0]["path"]
+        full0 = p0 if os.path.isabs(p0) else os.path.join(table_dir, p0)
+        try:
+            updates = updates.select(pq.read_schema(full0).names)
+        except (FileNotFoundError, OSError):
+            pass
+    sorted_keys = sorted(kcol.to_pylist())
+    key_set = pa.array(sorted_keys, type=updates.schema.field(key).type)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    new_frags: list[dict] = []
+    rows_updated = 0
+    rewritten = carried = 0
+    matched: set = set()
+    for idx, frag in enumerate(man["fragments"]):
+        lohi = (frag.get("stats") or {}).get(key)
+        if lohi is not None:
+            lo_i = bisect.bisect_left(sorted_keys, lohi[0])
+            # no update key falls inside this fragment's key range
+            if lo_i >= len(sorted_keys) or sorted_keys[lo_i] > lohi[1]:
+                new_frags.append(frag)
+                carried += 1
+                continue
+        p = frag["path"]
+        full = p if os.path.isabs(p) else os.path.join(table_dir, p)
+        tbl = pq.read_table(full)
+        mask = pc.fill_null(pc.is_in(tbl.column(key), value_set=key_set), False)
+        n_match = pc.sum(mask).as_py() or 0
+        if n_match == 0:  # zone maps are conservative: may-match != match
+            new_frags.append(frag)
+            carried += 1
+            continue
+        rows_updated += n_match
+        matched.update(pc.unique(tbl.column(key).filter(mask)).to_pylist())
+        kept = tbl.filter(pc.invert(mask))
+        if kept.num_rows:
+            rel = f"data/fragment-{version}-m{idx:05d}.parquet"
+            rg = row_group_size or min(max(kept.num_rows, 1), 512)
+            pq.write_table(kept, os.path.join(table_dir, rel), row_group_size=rg)
+            new_frags.append(
+                {"path": rel, "rows": kept.num_rows, "stats": _fragment_stats(kept)}
+            )
+            rewritten += 1
+    if updates.num_rows:
+        rel = f"data/fragment-{version}-u00000.parquet"
+        rg = row_group_size or min(max(updates.num_rows, 1), 512)
+        pq.write_table(updates, os.path.join(table_dir, rel), row_group_size=rg)
+        new_frags.append(
+            {"path": rel, "rows": updates.num_rows, "stats": _fragment_stats(updates)}
+        )
+    manifest = {
+        "version": version,
+        "fragments": new_frags,
+        "merged_from": man["version"],
+        "rows_updated": rows_updated,
+        "rows_inserted": updates.num_rows - len(matched),
+        "fragments_rewritten": rewritten,
+        "fragments_carried": carried,
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
 def verify(table_dir: str, version: int | None = None, check_stats: bool = True) -> dict:
     """Table fsck: validate a manifest version against the fragments on
     disk — the audit a 100 TB ingest pipeline runs before promoting a

@@ -553,6 +553,124 @@ class TestDeleteWhere:
         assert frag0["rows"] == 9 and "stats" in frag0
 
 
+class TestMergeUpsert:
+    def _tbl(self, tmp_path, n=100, frag=10):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        t = pa.table(
+            {"doc_id": list(range(n)), "lang": [f"l{i % 3}" for i in range(n)]}
+        )
+        lance_like.write_table(t, d, rows_per_fragment=frag)
+        return d
+
+    def test_update_and_insert(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        upd = pa.table(
+            {
+                "doc_id": [25, 26, 27, 28, 29, 100, 101, 102],
+                "lang": ["up"] * 5 + ["new"] * 3,
+            }
+        )
+        man = lance_like.merge_upsert(d, upd, "doc_id")
+        assert man["rows_updated"] == 5 and man["rows_inserted"] == 3
+        # keys 25-29 live only in fragment [20,30): one rewrite, nine carried
+        assert man["fragments_rewritten"] == 1 and man["fragments_carried"] == 9
+        t = lance_like.read_arrow(d)
+        assert sorted(t.column("doc_id").to_pylist()) == list(range(103))
+        langs = dict(
+            zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist())
+        )
+        assert all(langs[i] == "up" for i in range(25, 30))
+        assert all(langs[i] == "new" for i in (100, 101, 102))
+        assert langs[24] == f"l{24 % 3}"  # untouched neighbor
+        # version pinning: the previous version is the pre-merge table
+        old = lance_like.read_arrow(d, version=man["version"] - 1)
+        assert old.num_rows == 100
+        old_langs = dict(
+            zip(old.column("doc_id").to_pylist(), old.column("lang").to_pylist())
+        )
+        assert old_langs[25] == f"l{25 % 3}"
+
+    def test_insert_only_is_append_shaped(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        man = lance_like.merge_upsert(
+            d, pa.table({"doc_id": [500, 501], "lang": ["x", "x"]}), "doc_id"
+        )
+        assert man["rows_updated"] == 0 and man["rows_inserted"] == 2
+        assert man["fragments_rewritten"] == 0 and man["fragments_carried"] == 10
+        assert lance_like.read_arrow(d).num_rows == 102
+
+    def test_duplicate_or_null_keys_raise(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        with pytest.raises(ValueError, match="duplicate"):
+            lance_like.merge_upsert(
+                d, pa.table({"doc_id": [1, 1], "lang": ["a", "b"]}), "doc_id"
+            )
+        with pytest.raises(ValueError, match="null"):
+            lance_like.merge_upsert(
+                d,
+                pa.table(
+                    {
+                        "doc_id": pa.array([1, None], pa.int64()),
+                        "lang": ["a", "b"],
+                    }
+                ),
+                "doc_id",
+            )
+
+    def test_schema_drift_raises(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        with pytest.raises(ValueError, match="schema mismatch"):
+            lance_like.merge_upsert(
+                d,
+                pa.table(
+                    {
+                        "doc_id": pa.array(["1"], pa.string()),  # dtype drift
+                        "lang": ["a"],
+                    }
+                ),
+                "doc_id",
+            )
+
+    def test_column_order_normalized(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        # updates arrive (lang, doc_id): merge must reorder to the committed
+        # physical schema so mixed-version reads concat cleanly
+        man = lance_like.merge_upsert(
+            d, pa.table({"lang": ["z"], "doc_id": [7]}), "doc_id"
+        )
+        assert man["rows_updated"] == 1
+        t = lance_like.read_arrow(d)
+        assert t.schema.names == ["doc_id", "lang"]
+        langs = dict(
+            zip(t.column("doc_id").to_pylist(), t.column("lang").to_pylist())
+        )
+        assert langs[7] == "z" and t.num_rows == 100
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestVerifyAudit:
     def test_clean_and_corrupted_table(self, tmp_path):
