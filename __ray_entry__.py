@@ -2661,6 +2661,54 @@ def _q_longest_streak(sf_dir: str):
     return relational.longest_streak(ds, "user_id", "ts")
 
 
+def _q_user_active_coverage(sf_dir: str):
+    """Per-user total covered time of the UNION of activity intervals
+    (overlaps merged) + disjoint-island count -- the SLA-uptime /
+    ad-exposure sweep. Each event opens a half-open interval [ts, ts +
+    (cents % 60000) * 10ms); map-side island merge makes the one exchange
+    islands-domain sized (relational.interval_coverage)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = batch.column("ts").cast(pa.int64()).to_numpy()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "s_us": pa.array(s, pa.int64()),
+                "e_us": pa.array(s + (cents % 60000) * 10_000, pa.int64()),
+            }
+        )
+
+    return relational.interval_coverage(
+        ds.map_batches(project, batch_format="pyarrow"), "user_id", "s_us", "e_us"
+    )
+
+
+# islands via MAX-OVER-preceding: a new island opens where start exceeds
+# the key's running max end; covered = per-island MAX(e) - MIN(s)
+_USER_ACTIVE_COVERAGE_SQL = (
+    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
+    "(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 60000) * 10000 AS e "
+    "FROM events), "
+    "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+    "AS prev_max FROM iv), "
+    "g AS (SELECT user_id, s, e, SUM(CASE WHEN prev_max IS NULL OR "
+    "s > prev_max THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+    "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS isl FROM m), "
+    "a AS (SELECT user_id, isl, MAX(e) - MIN(s) AS len FROM g "
+    "GROUP BY user_id, isl) "
+    "SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us, "
+    "CAST(COUNT(*) AS BIGINT) AS n_islands FROM a GROUP BY user_id"
+)
+
+
 _LONGEST_STREAK_SQL = (
     "WITH d AS (SELECT DISTINCT user_id, "
     "CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events), "
@@ -2790,6 +2838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
         "longest_streak": _q_longest_streak,
+        "user_active_coverage": _q_user_active_coverage,
         "basket_pairs": _q_basket_pairs,
         "corr_qty_price": _q_corr_qty_price,
         "forward_fill_daily": _q_forward_fill_daily,
@@ -4351,6 +4400,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_event_type": _MODE_EVENT_TYPE_SQL,
         "fk_orphan_audit": _FK_ORPHAN_AUDIT_SQL,
         "longest_streak": _LONGEST_STREAK_SQL,
+        "user_active_coverage": _USER_ACTIVE_COVERAGE_SQL,
         "basket_pairs": _BASKET_PAIRS_SQL,
         "corr_qty_price": _CORR_QTY_PRICE_SQL,
         "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,

@@ -1047,6 +1047,84 @@ def longest_streak(ds, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def _union_islands(k: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Merge overlapping/adjacent half-open intervals per key: sort by
+    (key, start, end), break where the key changes or start exceeds the
+    key's running max end, return one (key, start, end) row per merged
+    island. Requires e >= s. Island max-end == the grouped cummax at the
+    island's last row: an island opens only when its first start exceeds
+    every prior end in the key, so its own ends dominate the cummax from
+    its first row on."""
+    import pandas as _pd
+
+    order = np.lexsort((e, s, k))
+    k, s, e = k[order], s[order], e[order]
+    cm = _pd.Series(e).groupby(_pd.Series(k)).cummax().to_numpy(np.int64)
+    brk = np.r_[True, (k[1:] != k[:-1]) | (s[1:] > cm[:-1])]
+    last = np.r_[brk[1:], True]
+    return k[brk], s[brk], cm[last]
+
+
+def interval_coverage(ds, key_col: str = "user_id", start_col: str = "s_us",
+                      end_col: str = "e_us", buckets: int = 64):
+    """Per key, the total length of the UNION of its half-open [start, end)
+    intervals (overlaps merged, containments collapsed) and the number of
+    disjoint merged islands -- total-active-time / coverage, the sweep
+    query behind SLA uptime, ad-exposure and session-overlap reports.
+
+    Scale shape: interval union is associative, so each batch collapses
+    map-side to its MERGED islands first (_union_islands) -- the ONE hash
+    exchange ships islands, never raw intervals (a key with 10k
+    overlapping events exchanges a handful of rows); the per-bucket final
+    pass re-merges across batches and aggregates with one vectorized
+    sweep shared by all keys in the bucket (no per-key loop). Matches the
+    SQL MAX-OVER-preceding islands replay exactly (integer microseconds).
+
+    Returns (key, covered_us, n_islands).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if e.size and (e < s).any():
+            raise ValueError("interval_coverage: end < start interval")
+        k, s, e = _union_islands(k, s, e)
+        return pa.table(
+            {
+                key_col: pa.array(k, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(e, pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        k, s, e = _union_islands(
+            group[key_col].to_numpy(np.int64),
+            group["s"].to_numpy(np.int64),
+            group["e"].to_numpy(np.int64),
+        )
+        first = np.r_[True, k[1:] != k[:-1]]
+        seg = np.cumsum(first) - 1
+        return pd.DataFrame(
+            {
+                key_col: k[first],
+                "covered_us": np.bincount(seg, weights=e - s).astype(np.int64),
+                "n_islands": np.bincount(seg).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
 def _daily_last_partial(batch: pa.Table, key_col: str, ts_col: str,
                         val_col: str, id_col: str) -> pa.Table:
     """Map-side collapse shared by the daily-state operators

@@ -2409,6 +2409,82 @@ class TestLongestStreak:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestIntervalCoverage:
+    def _run(self, rows, parts=1):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "s_us": pa.array([r[1] for r in rows], pa.int64()),
+                "e_us": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return (
+            relational.interval_coverage(ds, "user_id", "s_us", "e_us")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    def test_hand_built_islands(self):
+        rows = [
+            # user 1: [0,10) + [5,20) overlap -> [0,20); [30,40) disjoint;
+            # [32,35) contained -> covered 30, 2 islands
+            (1, 0, 10), (1, 5, 20), (1, 30, 40), (1, 32, 35),
+            # user 2: touching intervals [0,10)+[10,20) merge (half-open
+            # adjacency: start == running max end) -> covered 20, 1 island
+            (2, 0, 10), (2, 10, 20),
+            # user 3: isolated zero-length interval -> covered 0, 1 island
+            (3, 7, 7),
+        ]
+        got = self._run(rows)
+        assert got["user_id"].tolist() == [1, 2, 3]
+        assert got["covered_us"].tolist() == [30, 20, 0]
+        assert got["n_islands"].tolist() == [2, 1, 1]
+
+    def test_partition_invariant(self):
+        rng = np.random.RandomState(7)
+        rows = []
+        for _ in range(500):
+            u = int(rng.randint(0, 12))
+            s = int(rng.randint(0, 1000))
+            rows.append((u, s, s + int(rng.randint(0, 80))))
+        a = self._run(rows, parts=1)
+        b = self._run(rows, parts=13)
+        assert a.equals(b)
+
+    def test_matches_brute_force(self):
+        rng = np.random.RandomState(11)
+        rows = []
+        for _ in range(300):
+            u = int(rng.randint(0, 8))
+            s = int(rng.randint(0, 400))
+            rows.append((u, s, s + int(rng.randint(0, 50))))
+        got = self._run(rows, parts=5)
+        # brute force: per user, mark covered integer points in [s, e)
+        exp = {}
+        for u in sorted({r[0] for r in rows}):
+            cov = np.zeros(500, dtype=bool)
+            for uu, s, e in rows:
+                if uu == u:
+                    cov[s:e] = True
+            # islands = runs of covered points, but zero-length intervals
+            # also form islands -- count via the operator's own merge rule
+            exp[u] = int(cov.sum())
+        assert dict(zip(got["user_id"], got["covered_us"])) == exp
+
+    def test_end_before_start_raises(self):
+        with pytest.raises(Exception, match="end < start"):
+            self._run([(1, 10, 5)])
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestBasketPairs:
     def test_hand_built_baskets(self):
         import ray.data as rd
