@@ -2661,14 +2661,11 @@ def _q_longest_streak(sf_dir: str):
     return relational.longest_streak(ds, "user_id", "ts")
 
 
-def _q_user_active_coverage(sf_dir: str):
-    """Per-user total covered time of the UNION of activity intervals
-    (overlaps merged) + disjoint-island count -- the SLA-uptime /
-    ad-exposure sweep. Each event opens a half-open interval [ts, ts +
-    (cents % 60000) * 10ms); map-side island merge makes the one exchange
-    islands-domain sized (relational.interval_coverage)."""
-    from distributed_system___ocr_ray.pipelines import relational
-
+def _activity_intervals(sf_dir: str):
+    """Shared interval derivation for the sweep-line queries: each event
+    opens a half-open interval [ts, ts + (cents % 60000) * 10ms) -- the
+    md5-free deterministic duration rule both SQL replays restate in the
+    ``iv`` CTE (_ACTIVITY_IV_CTE, char-for-char twin)."""
     ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "value"])
 
     def project(batch: pa.Table) -> pa.Table:
@@ -2685,17 +2682,47 @@ def _q_user_active_coverage(sf_dir: str):
             }
         )
 
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# SQL twin of _activity_intervals' duration rule
+_ACTIVITY_IV_CTE = (
+    "iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
+    "(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 60000) * 10000 AS e "
+    "FROM events)"
+)
+
+
+def _q_user_active_coverage(sf_dir: str):
+    """Per-user total covered time of the UNION of activity intervals
+    (overlaps merged) + disjoint-island count -- the SLA-uptime /
+    ad-exposure sweep over _activity_intervals; map-side island merge
+    makes the one exchange islands-domain sized
+    (relational.interval_coverage)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
     return relational.interval_coverage(
-        ds.map_batches(project, batch_format="pyarrow"), "user_id", "s_us", "e_us"
+        _activity_intervals(sf_dir), "user_id", "s_us", "e_us"
+    )
+
+
+def _q_peak_concurrent_sessions(sf_dir: str):
+    """Per-user PEAK concurrent activity intervals + the first instant the
+    peak is reached -- the sweep-line dual of user_active_coverage over
+    the same _activity_intervals; START/END deltas net to one row per
+    (user, t) map-side so the exchange is timestamp-domain sized
+    (relational.peak_concurrency)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.peak_concurrency(
+        _activity_intervals(sf_dir), "user_id", "s_us", "e_us"
     )
 
 
 # islands via MAX-OVER-preceding: a new island opens where start exceeds
 # the key's running max end; covered = per-island MAX(e) - MIN(s)
 _USER_ACTIVE_COVERAGE_SQL = (
-    "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + "
-    "(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 60000) * 10000 AS e "
-    "FROM events), "
+    f"WITH {_ACTIVITY_IV_CTE}, "
     "m AS (SELECT user_id, s, e, MAX(e) OVER (PARTITION BY user_id "
     "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
     "AS prev_max FROM iv), "
@@ -2706,6 +2733,25 @@ _USER_ACTIVE_COVERAGE_SQL = (
     "GROUP BY user_id, isl) "
     "SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_us, "
     "CAST(COUNT(*) AS BIGINT) AS n_islands FROM a GROUP BY user_id"
+)
+
+
+# sweep line: +1/-1 deltas, ends-before-starts at equal t (ORDER BY t, d);
+# the running sum's max is the peak, MIN(t) at the peak is when it is
+# first reached (within a timestamp the dip-then-rise never exceeds
+# max(before, after), so netting per t -- what the engine ships -- and
+# row-wise SQL agree; see relational.peak_concurrency)
+_PEAK_CONCURRENT_SQL = (
+    f"WITH {_ACTIVITY_IV_CTE}, "
+    "ev AS (SELECT user_id, s AS t, 1 AS d FROM iv "
+    "UNION ALL SELECT user_id, e AS t, -1 AS d FROM iv), "
+    "r AS (SELECT user_id, t, SUM(d) OVER (PARTITION BY user_id "
+    "ORDER BY t, d ROWS UNBOUNDED PRECEDING) AS run FROM ev), "
+    "p AS (SELECT user_id, MAX(run) AS peak FROM r GROUP BY user_id) "
+    "SELECT r.user_id, CAST(p.peak AS BIGINT) AS peak, "
+    "CAST(MIN(r.t) AS BIGINT) AS peak_at_us "
+    "FROM r JOIN p ON r.user_id = p.user_id AND r.run = p.peak "
+    "GROUP BY r.user_id, p.peak"
 )
 
 
@@ -2839,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_orphan_audit": _q_fk_orphan_audit,
         "longest_streak": _q_longest_streak,
         "user_active_coverage": _q_user_active_coverage,
+        "peak_concurrent_sessions": _q_peak_concurrent_sessions,
         "basket_pairs": _q_basket_pairs,
         "corr_qty_price": _q_corr_qty_price,
         "forward_fill_daily": _q_forward_fill_daily,
@@ -4401,6 +4448,7 @@ def oracle_sql() -> dict[str, str]:
         "fk_orphan_audit": _FK_ORPHAN_AUDIT_SQL,
         "longest_streak": _LONGEST_STREAK_SQL,
         "user_active_coverage": _USER_ACTIVE_COVERAGE_SQL,
+        "peak_concurrent_sessions": _PEAK_CONCURRENT_SQL,
         "basket_pairs": _BASKET_PAIRS_SQL,
         "corr_qty_price": _CORR_QTY_PRICE_SQL,
         "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,

@@ -167,7 +167,8 @@ def run_bench() -> dict:
         "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
         "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
         "json_field_stats", "audience_overlap", "customers_without_orders",
-        "order_count_distribution",
+        "order_count_distribution", "user_active_coverage",
+        "peak_concurrent_sessions",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -1125,6 +1125,93 @@ def interval_coverage(ds, key_col: str = "user_id", start_col: str = "s_us",
     )
 
 
+def peak_concurrency(ds, key_col: str = "user_id", start_col: str = "s_us",
+                     end_col: str = "e_us", buckets: int = 64):
+    """Per key, the MAXIMUM number of simultaneously-open half-open
+    [start, end) intervals and the first instant it is reached -- peak
+    concurrent sessions / max parallel requests, the sweep-line dual of
+    ``interval_coverage``.
+
+    Half-open semantics: an interval ending at t does not overlap one
+    starting at t, so at equal timestamps ends settle before starts --
+    encoded by summing START(+1)/END(-1) deltas to ONE NET ROW per
+    (key, t) map-side (the dip-then-rise within a timestamp never exceeds
+    max(before, after), so the net-collapsed running max equals the
+    uncollapsed one; net-0 rows are KEPT because they can still be where
+    the peak time is first attained). The ONE hash exchange is therefore
+    distinct-(key, t)-domain sized, never event-row sized; the per-bucket
+    final pass re-nets across batches and runs one vectorized
+    segment-cumsum sweep shared by all keys (no per-key loop).
+
+    Returns (key, peak, peak_at_us) -- peak_at_us is the earliest t whose
+    running count equals the peak, deterministic by construction.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if e.size and (e < s).any():
+            raise ValueError("peak_concurrency: end < start interval")
+        kk = np.concatenate([k, k])
+        tt = np.concatenate([s, e])
+        dd = np.concatenate(
+            [np.ones(len(s), np.int64), -np.ones(len(e), np.int64)]
+        )
+        order = np.lexsort((tt, kk))
+        kk, tt, dd = kk[order], tt[order], dd[order]
+        first = np.r_[True, (kk[1:] != kk[:-1]) | (tt[1:] != tt[:-1])]
+        idx = np.flatnonzero(first)
+        net = np.add.reduceat(dd, idx)
+        return pa.table(
+            {
+                key_col: pa.array(kk[first], pa.int64()),
+                "t": pa.array(tt[first], pa.int64()),
+                "d": pa.array(net, pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def sweep(group: pd.DataFrame) -> pd.DataFrame:
+        kk = group[key_col].to_numpy(np.int64)
+        tt = group["t"].to_numpy(np.int64)
+        dd = group["d"].to_numpy(np.int64)
+        order = np.lexsort((tt, kk))
+        kk, tt, dd = kk[order], tt[order], dd[order]
+        # re-net duplicate (key, t) rows arriving from different batches
+        first = np.r_[True, (kk[1:] != kk[:-1]) | (tt[1:] != tt[:-1])]
+        idx = np.flatnonzero(first)
+        kk, tt = kk[first], tt[first]
+        dd = np.add.reduceat(dd, idx)
+        total = np.cumsum(dd)
+        seg_first = np.r_[True, kk[1:] != kk[:-1]]
+        seg_idx = np.flatnonzero(seg_first)
+        counts = np.diff(np.r_[seg_idx, len(kk)])
+        run = total - np.repeat(total[seg_idx] - dd[seg_idx], counts)
+        peak = np.maximum.reduceat(run, seg_idx)
+        at_peak = run == np.repeat(peak, counts)
+        hit = np.flatnonzero(at_peak)
+        seg_of_hit = np.repeat(np.arange(len(seg_idx)), counts)[hit]
+        # t ascends within a key, so the first hit per segment is min t
+        first_hit = np.unique(seg_of_hit, return_index=True)[1]
+        return pd.DataFrame(
+            {
+                key_col: kk[seg_idx],
+                "peak": peak,
+                "peak_at_us": tt[hit[first_hit]],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(sweep, batch_format="pandas")
+    )
+
+
 def _daily_last_partial(batch: pa.Table, key_col: str, ts_col: str,
                         val_col: str, id_col: str) -> pa.Table:
     """Map-side collapse shared by the daily-state operators

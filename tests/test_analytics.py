@@ -2485,6 +2485,66 @@ class TestIntervalCoverage:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPeakConcurrency:
+    def _run(self, rows, parts=1):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "s_us": pa.array([r[1] for r in rows], pa.int64()),
+                "e_us": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        if parts > 1:
+            ds = ds.repartition(parts)
+        return (
+            relational.peak_concurrency(ds, "user_id", "s_us", "e_us")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    def test_hand_built_peaks(self):
+        rows = [
+            # user 1: [0,10) [5,20) [8,12) -> 3 concurrent from t=8
+            (1, 0, 10), (1, 5, 20), (1, 8, 12),
+            # user 2: half-open back-to-back [0,10) [10,20): end settles
+            # before start at t=10 -> peak 1 first reached at t=0
+            (2, 0, 10), (2, 10, 20),
+            # user 3: two disjoint singles -> peak 1 at the first start
+            (3, 100, 110), (3, 200, 210),
+        ]
+        got = self._run(rows)
+        assert got["user_id"].tolist() == [1, 2, 3]
+        assert got["peak"].tolist() == [3, 1, 1]
+        assert got["peak_at_us"].tolist() == [8, 0, 100]
+
+    def test_partition_invariant_and_brute_force(self):
+        rng = np.random.RandomState(3)
+        rows = []
+        for _ in range(400):
+            u = int(rng.randint(0, 10))
+            s = int(rng.randint(0, 300))
+            rows.append((u, s, s + int(rng.randint(1, 60))))
+        a = self._run(rows, parts=1)
+        b = self._run(rows, parts=11)
+        assert a.equals(b)
+        # brute force: count open intervals at every integer instant
+        for u in a["user_id"]:
+            depth = np.zeros(400, dtype=np.int64)
+            for uu, s, e in rows:
+                if uu == u:
+                    depth[s:e] += 1
+            row = a[a["user_id"] == u].iloc[0]
+            assert row["peak"] == depth.max()
+            assert row["peak_at_us"] == int(np.argmax(depth))
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestBasketPairs:
     def test_hand_built_baskets(self):
         import ray.data as rd
