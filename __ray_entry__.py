@@ -883,6 +883,42 @@ def _q_cow_delete_counts(sf_dir: str):
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
 
 
+def _merge_updates(sf_dir: str) -> "pa.Table":
+    """The deterministic MERGE updates batch the two lakehouse-mutation
+    queries share: every 5th doc_id inside the shared range becomes
+    lang='xx' with n_chars+1000 (UPDATE); every 97th doc_id re-keyed past
+    the table's max id arrives as lang='new' (INSERT). The updates batch
+    is the SMALL side of a MERGE by construction -- building it
+    driver-side is the operator's contract, not a scale compromise."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lo, hi = _range_bounds(sf_dir)
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ids = src.column("doc_id").to_numpy()
+    upd = src.filter(pa.array((ids >= lo) & (ids < hi) & (ids % 5 == 0)))
+    upd = pa.table(
+        {
+            "doc_id": upd.column("doc_id"),
+            "lang": pa.array(["xx"] * upd.num_rows, pa.string()),
+            "n_chars": pc.add(upd.column("n_chars"), 1000),
+        }
+    )
+    ins = src.filter(pa.array(ids % 97 == 0))
+    ins = pa.table(
+        {
+            "doc_id": pc.add(ins.column("doc_id"), n),
+            "lang": pa.array(["new"] * ins.num_rows, pa.string()),
+            "n_chars": ins.column("n_chars"),
+        }
+    )
+    return pa.concat_tables([upd, ins])
+
+
 def _q_merge_upsert_counts(sf_dir: str):
     """Keyed MERGE (upsert) end-to-end: stream documents into a Lance-style
     table (contiguous fragments + zone maps), MERGE a deterministic updates
@@ -898,13 +934,11 @@ def _q_merge_upsert_counts(sf_dir: str):
     import shutil
     import tempfile
 
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     from distributed_system___ocr_ray.sources import lance_like
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    lo, hi = _range_bounds(sf_dir)
     tdir = tempfile.mkdtemp(prefix="graft_merge_") + "/docs"
     try:
         lance_like.write_dataset(
@@ -912,32 +946,7 @@ def _q_merge_upsert_counts(sf_dir: str):
             tdir,
             rows_per_fragment=max(50, n // 10),
         )
-        # the updates batch is the SMALL side of a MERGE by construction --
-        # building it driver-side is the operator's contract, not a scale
-        # compromise (the target streams through lance_like fragments)
-        src = pq.read_table(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
-        )
-        import numpy as np
-
-        ids = src.column("doc_id").to_numpy()
-        upd = src.filter(pa.array((ids >= lo) & (ids < hi) & (ids % 5 == 0)))
-        upd = pa.table(
-            {
-                "doc_id": upd.column("doc_id"),
-                "lang": pa.array(["xx"] * upd.num_rows, pa.string()),
-                "n_chars": pc.add(upd.column("n_chars"), 1000),
-            }
-        )
-        ins = src.filter(pa.array(ids % 97 == 0))
-        ins = pa.table(
-            {
-                "doc_id": pc.add(ins.column("doc_id"), n),
-                "lang": pa.array(["new"] * ins.num_rows, pa.string()),
-                "n_chars": ins.column("n_chars"),
-            }
-        )
-        man = lance_like.merge_upsert(tdir, pa.concat_tables([upd, ins]), "doc_id")
+        man = lance_like.merge_upsert(tdir, _merge_updates(sf_dir), "doc_id")
         if not (
             man["rows_updated"] > 0
             and man["rows_inserted"] > 0
@@ -949,6 +958,64 @@ def _q_merge_upsert_counts(sf_dir: str):
                 f"{man['fragments_carried']} carried"
             )
         return _lang_agg(lance_like.read_dataset(tdir)).to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+
+
+def _q_change_feed_counts(sf_dir: str):
+    """Row-level change data feed (Delta CDF / Iceberg changelog): build a
+    Lance-style docs table (v1), MERGE the shared deterministic updates
+    batch (v2), COW-DELETE the half-range just above the merge window
+    (v3), then COMPACT (v4). ``changed_rows(v3, v4)`` must be EMPTY
+    (compaction carries every row -- asserted), and the returned
+    per-change key counts of ``changed_rows(v1, v3)`` must equal the three
+    mutation rules replayed in SQL. Only rewritten fragments are ever
+    read; carried rows (the untouched neighbors inside rewritten
+    fragments) cancel by content hash (pipelines/compose.changed_rows)."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.pipelines import compose
+    from distributed_system___ocr_ray.pipelines.relational import tiny_final_groupby
+    from distributed_system___ocr_ray.sources import lance_like
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lo, hi = _range_bounds(sf_dir)
+    tdir = tempfile.mkdtemp(prefix="graft_cdf_") + "/docs"
+    try:
+        lance_like.write_dataset(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+            tdir,
+            rows_per_fragment=max(50, n // 10),
+        )
+        v1 = lance_like.latest_version(tdir)
+        lance_like.merge_upsert(tdir, _merge_updates(sf_dir), "doc_id")
+        man3 = lance_like.delete_where(
+            tdir, [("doc_id", ">=", hi), ("doc_id", "<", hi + (hi - lo) // 2)]
+        )
+        v3 = man3["version"]
+        lance_like.compact(tdir, target_rows_per_fragment=n)
+        if compose.changed_rows(tdir, v3).count() != 0:
+            raise AssertionError("compaction must produce an empty change feed")
+        feed = compose.changed_rows(tdir, v1, v3)
+
+        def one(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "change": batch.column("change"),
+                    "n_keys": pa.array([1] * batch.num_rows, pa.int64()),
+                }
+            )
+
+        return tiny_final_groupby(
+            feed.map_batches(one, batch_format="pyarrow"),
+            ["change"],
+            [("n_keys", "sum")],
+            ["change", "n_keys"],
+        ).to_pandas()
     finally:
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
 
@@ -2862,6 +2929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_customer_order_counts,
         "cow_delete_counts": _q_cow_delete_counts,
         "merge_upsert_counts": _q_merge_upsert_counts,
+        "change_feed_counts": _q_change_feed_counts,
         "shipments_within_7d": _q_shipments_within_7d,
         "docs_rollup": _q_docs_rollup,
         "events_pivot_daily": _q_events_pivot_daily,
@@ -4405,6 +4473,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents, nn WHERE doc_id % 97 = 0) "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM merged GROUP BY lang"
+        ),
+        # replays _q_change_feed_counts: the three mutation rules' key sets
+        "change_feed_counts": (
+            f"WITH {_RANGE_CTE} "
+            "SELECT 'deleted' AS change, CAST(COUNT(*) AS BIGINT) AS n_keys "
+            "FROM documents, b "
+            "WHERE doc_id >= b.hi AND doc_id < b.hi + (b.hi - b.lo) // 2 "
+            "UNION ALL SELECT 'inserted', CAST(COUNT(*) AS BIGINT) "
+            "FROM documents WHERE doc_id % 97 = 0 "
+            "UNION ALL SELECT 'updated', CAST(COUNT(*) AS BIGINT) "
+            "FROM documents, b "
+            "WHERE doc_id >= b.lo AND doc_id < b.hi AND doc_id % 5 = 0"
         ),
         # replays _q_percent_rank_by_lang: RANK tie-min + integer ppm scale
         "percent_rank_by_lang": (

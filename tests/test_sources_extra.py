@@ -672,6 +672,85 @@ class TestMergeUpsert:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestChangedRows:
+    def _tbl(self, tmp_path, n=100, frag=10):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = str(tmp_path / "tbl")
+        t = pa.table(
+            {"doc_id": list(range(n)), "lang": [f"l{i % 3}" for i in range(n)]}
+        )
+        lance_like.write_table(t, d, rows_per_fragment=frag)
+        return d
+
+    def _feed(self, d, v_old, v_new=None):
+        from distributed_system___ocr_ray.pipelines import compose
+
+        df = compose.changed_rows(d, v_old, v_new).to_pandas()
+        if df.empty:  # all-groups-empty output loses its column names
+            return {}
+        return dict(zip(df["doc_id"], df["change"]))
+
+    def test_merge_delete_feed(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        v1 = lance_like.latest_version(d)
+        lance_like.merge_upsert(
+            d,
+            pa.table({"doc_id": [25, 26, 200], "lang": ["up", "up", "new"]}),
+            "doc_id",
+        )
+        man = lance_like.delete_where(d, [("doc_id", "between", (40, 44))])
+        got = self._feed(d, v1, man["version"])
+        exp = {25: "updated", 26: "updated", 200: "inserted"}
+        exp.update({i: "deleted" for i in range(40, 45)})
+        # carried neighbors inside the rewritten fragments (20-24, 27-29,
+        # 45-49) must NOT appear
+        assert got == exp
+
+    def test_compaction_is_silent(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        v1 = lance_like.latest_version(d)
+        man = lance_like.compact(d, target_rows_per_fragment=100)
+        assert self._feed(d, v1, man["version"]) == {}
+
+    def test_same_version_empty_with_schema(self, tmp_path):
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        v1 = lance_like.latest_version(d)
+        ds = compose.changed_rows(d, v1, v1)
+        assert ds.count() == 0
+        assert set(ds.schema().names) == {"doc_id", "change"}
+
+    def test_value_revert_is_carried(self, tmp_path):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        d = self._tbl(tmp_path)
+        v1 = lance_like.latest_version(d)
+        orig = f"l{7 % 3}"
+        lance_like.merge_upsert(
+            d, pa.table({"doc_id": [7], "lang": ["tmp"]}), "doc_id"
+        )
+        # second merge restores the original value: net content identical,
+        # so the v1 -> v3 feed reports NOTHING for key 7
+        lance_like.merge_upsert(
+            d, pa.table({"doc_id": [7], "lang": [orig]}), "doc_id"
+        )
+        assert self._feed(d, v1) == {}
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestVerifyAudit:
     def test_clean_and_corrupted_table(self, tmp_path):
         import json
