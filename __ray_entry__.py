@@ -2702,7 +2702,14 @@ def _q_basket_pairs(sf_dir: str):
     A-Priori-pruned at item support 20 (analytics.basket_pairs_topk)."""
     from distributed_system___ocr_ray.pipelines import analytics
 
-    ds = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"])
+    # smaller blocks than the narrow-scan default: BOTH sort-groupby
+    # exchanges (basket co-location, pair merge) parallelize by the block
+    # count feeding them, and the pair stage doubles the row count
+    # (measured 8.1 s single-block vs ~3 s at 7 blocks on sf0.1 input)
+    ds = _read_narrow(
+        f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"],
+        rows_per_block=100_000,
+    )
     return analytics.basket_pairs_topk(ds, min_support=20, topk=20)
 
 
