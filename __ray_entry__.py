@@ -2085,6 +2085,35 @@ _ROLLING_7D_SUM_SQL = (
 )
 
 
+def _q_conversion_within(sf_dir: str):
+    """Click->purchase-within-7-days conversion attribution per user
+    (relational.conversion_within): map-side projection keeps only the
+    two event types, one key-domain exchange, then two searchsorted
+    calls over a window-padded ordinal composite answer every click at
+    once -- no per-key loop, no pair materialization."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts", "event_type"])
+    return relational.conversion_within(
+        ds, "user_id", "ts", "event_type", "click", "purchase",
+        window_us=7 * 86_400_000_000,
+    )
+
+
+_CONVERSION_WITHIN_SQL = (
+    "WITH c AS (SELECT user_id, epoch_us(ts) AS t, ROW_NUMBER() OVER () AS rid "
+    "FROM events WHERE event_type = 'click'), "
+    "p AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+    "WHERE event_type = 'purchase'), "
+    "per AS (SELECT c.user_id, c.rid, COUNT(p.t) AS m FROM c LEFT JOIN p "
+    "ON p.user_id = c.user_id AND p.t > c.t AND p.t <= c.t + 604800000000 "
+    "GROUP BY c.user_id, c.rid) "
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_from, "
+    "CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted, "
+    "CAST(SUM(m) AS BIGINT) AS n_pairs FROM per GROUP BY user_id"
+)
+
+
 def _q_order_rank_global(sf_dir: str):
     """Global 0-based RANK() of every order by total price
     (relational.global_rank): two narrow passes derive range bins and
@@ -2983,6 +3012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": _q_scd2_history,
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
+        "conversion_within": _q_conversion_within,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4543,6 +4573,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _SCD2_HISTORY_SQL,
         "order_part_list": _ORDER_PART_LIST_SQL,
         "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
+        "conversion_within": _CONVERSION_WITHIN_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

@@ -1588,6 +1588,100 @@ def rolling_range_sum(ds, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def conversion_within(ds, key_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", from_type: str = "click",
+                      to_type: str = "purchase",
+                      window_us: int = 7 * 86_400_000_000, buckets: int = 64):
+    """Time-constrained conversion attribution: per key, how many
+    ``from_type`` events were FOLLOWED by a ``to_type`` event strictly
+    later but within ``window_us`` -- the click->purchase-within-7-days
+    query behind every attribution / conversion-rate report. Counts each
+    from-event once toward ``n_converted`` (any qualifying to-event) and
+    every qualifying (from, to) pair toward ``n_pairs``.
+
+    Scale shape: only the two event types survive the map-side projection
+    (everything else never leaves the scan); ONE key-domain hash exchange
+    co-locates a key's events; the per-bucket kernel answers ALL
+    from-events at once with two np.searchsorted calls over a
+    window-padded (key, t) ordinal composite (the rolling_range_sum
+    discipline: padding keeps a window from crossing a key boundary; a
+    loud guard raises if keys x time-span would overflow the composite --
+    the buckets knob is the fix). No per-key loop, no pair materialization.
+
+    Returns (key, n_from, n_converted, n_pairs) for keys with >= 1
+    from-event.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        types = batch.column(type_col)
+        keep = pc.or_(pc.equal(types, from_type), pc.equal(types, to_type))
+        b = batch.filter(keep)
+        side = pc.equal(b.column(type_col), to_type)  # False=from, True=to
+        return pa.table(
+            {
+                key_col: b.column(key_col).cast(pa.int64()),
+                "t": b.column(ts_col).cast(pa.int64()),
+                "side": side.combine_chunks().cast(pa.int8()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def kern(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key_col].to_numpy(np.int64)
+        t = group["t"].to_numpy(np.int64)
+        side = group["side"].to_numpy(np.int8)
+        uk, inv = np.unique(k, return_inverse=True)
+        lo = t.min()
+        width = (t.max() - lo + 1) + window_us + 1
+        if len(uk) and width > (2**62) // len(uk):
+            raise ValueError(
+                "conversion_within: key-count x time-span overflows the "
+                "ordinal composite; raise `buckets`"
+            )
+        comp = inv.astype(np.int64) * width + (t - lo)
+        is_from = side == 0
+        to_comp = np.sort(comp[~is_from])
+        fc = comp[is_from]
+        # to-events strictly after t, at most window_us later
+        m = (
+            np.searchsorted(to_comp, fc + window_us, side="right")
+            - np.searchsorted(to_comp, fc, side="right")
+        )
+        fk = inv[is_from]
+        if not fk.size:  # bucket held only to-events: no keys to report
+            return pd.DataFrame(
+                {
+                    key_col: pd.Series([], dtype=np.int64),
+                    "n_from": pd.Series([], dtype=np.int64),
+                    "n_converted": pd.Series([], dtype=np.int64),
+                    "n_pairs": pd.Series([], dtype=np.int64),
+                }
+            )
+        order = np.argsort(fk, kind="stable")
+        fk, m = fk[order], m[order]
+        first = np.r_[True, fk[1:] != fk[:-1]]
+        idx = np.flatnonzero(first)
+        return pd.DataFrame(
+            {
+                key_col: uk[fk[first]],
+                "n_from": np.diff(np.r_[idx, len(fk)]).astype(np.int64),
+                "n_converted": np.add.reduceat((m > 0).astype(np.int64), idx),
+                "n_pairs": np.add.reduceat(m, idx),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kern, batch_format="pandas")
+    )
+
+
 def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
     """Global RANK() over the WHOLE table ordered by ``val_col`` (integer
     cents), 0-based, tie-min -- the total-order window no per-group

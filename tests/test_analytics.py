@@ -2991,6 +2991,85 @@ class TestRollingRangeSum:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestConversionWithin:
+    def test_hand_built_attribution(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # user 1: clicks at h0 and h1; purchases at h2 and h200 (outside a
+        # 24h window of the h1 click only for h200). user 2: click, no buy.
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        h = np.timedelta64(3600, "s").astype("timedelta64[us]")
+        rows = [
+            (1, 0, "click"), (1, 1, "click"), (1, 2, "purchase"),
+            (1, 200, "purchase"), (2, 0, "click"), (3, 0, "purchase"),
+        ]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(np.array([base + r[1] * h for r in rows],
+                                    dtype="datetime64[us]")),
+            "event_type": pa.array([r[2] for r in rows]),
+        })
+        got = (
+            relational.conversion_within(
+                rd.from_arrow(t).repartition(3), window_us=86_400_000_000)
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        # user 3 has no click -> absent; user 1: both clicks convert via the
+        # h2 purchase (h200 is > 24h after both); 2 qualifying pairs total.
+        assert got["user_id"].tolist() == [1, 2]
+        assert got["n_from"].tolist() == [2, 1]
+        assert got["n_converted"].tolist() == [2, 0]
+        assert got["n_pairs"].tolist() == [2, 0]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["user_id", "ts", "event_type"])
+        got = (
+            relational.conversion_within(ds, window_us=7 * 86_400_000_000)
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH c AS (SELECT user_id, epoch_us(ts) AS t,
+                       ROW_NUMBER() OVER () AS rid
+                       FROM '{SF}/events.parquet' WHERE event_type = 'click'),
+            p AS (SELECT user_id, epoch_us(ts) AS t
+                  FROM '{SF}/events.parquet' WHERE event_type = 'purchase'),
+            per AS (SELECT c.user_id, c.rid, COUNT(p.t) AS m FROM c
+                    LEFT JOIN p ON p.user_id = c.user_id
+                    AND p.t > c.t AND p.t <= c.t + 604800000000
+                    GROUP BY c.user_id, c.rid)
+            SELECT user_id, COUNT(*) AS n_from,
+                   SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS n_converted,
+                   SUM(m) AS n_pairs
+            FROM per GROUP BY user_id ORDER BY user_id
+            """
+        ).df()
+        assert got["n_from"].tolist() == exp["n_from"].astype(int).tolist()
+        assert got["n_converted"].tolist() == exp["n_converted"].astype(int).tolist()
+        assert got["n_pairs"].tolist() == exp["n_pairs"].astype(int).tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+        a = (relational.conversion_within(base.repartition(1), buckets=3)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+        b = (relational.conversion_within(base.repartition(15), buckets=64)
+             .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestGlobalRank:
     def test_hand_built_ranks_with_ties(self):
         import ray.data as rd
