@@ -2162,6 +2162,29 @@ _NEW_USERS_DAILY_SQL = (
 )
 
 
+def _q_rolling_active_users(sf_dir: str):
+    """Trailing-30-day distinct active users per calendar day
+    (relational.rolling_active_users): per-batch distinct-(user, day)
+    collapse, one key-domain exchange, per-bucket coverage-island +1/-1
+    deltas, then a single bounded-day-domain cumsum + calendar expansion
+    -- never a per-day COUNT(DISTINCT) rescan."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["user_id", "ts"])
+    return relational.rolling_active_users(ds, window_days=30)
+
+
+_ROLLING_ACTIVE_USERS_SQL = (
+    "WITH ud AS (SELECT DISTINCT user_id, "
+    "CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d FROM events), "
+    "b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud), "
+    "cal AS (SELECT UNNEST(range(lo, hi + 1)) AS day FROM b) "
+    "SELECT cal.day AS day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) "
+    "AS active_users FROM cal LEFT JOIN ud "
+    "ON ud.d BETWEEN cal.day - 29 AND cal.day GROUP BY cal.day"
+)
+
+
 def _q_bucketed_join_revenue(sf_dir: str):
     """Storage co-partitioned join end-to-end: write orders and lineitem
     hash-BUCKETED on the order key (lance_like.write_bucketed -- the one
@@ -3013,6 +3036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_part_list": _q_order_part_list,
         "rolling_7d_sum": _q_rolling_7d_sum,
         "conversion_within": _q_conversion_within,
+        "rolling_active_users": _q_rolling_active_users,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4574,6 +4598,7 @@ def oracle_sql() -> dict[str, str]:
         "order_part_list": _ORDER_PART_LIST_SQL,
         "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
         "conversion_within": _CONVERSION_WITHIN_SQL,
+        "rolling_active_users": _ROLLING_ACTIVE_USERS_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

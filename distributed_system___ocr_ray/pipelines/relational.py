@@ -1829,6 +1829,108 @@ def new_users_daily(ds, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def rolling_active_users(ds, key_col: str = "user_id", ts_col: str = "ts",
+                         window_days: int = 30, buckets: int = 64):
+    """Trailing-window distinct-key count per calendar day -- the
+    "30-day active users" (MAU) curve: for every day d between the first
+    and last event day, how many distinct keys had >= 1 event in
+    [d - window_days + 1, d]. A naive COUNT(DISTINCT) per day re-scans a
+    30-day slice of the corpus 365 times a year; the distributed shape is
+    per-key coverage: an event on day a makes the key "active" for days
+    [a, a + W - 1], so a key's contribution is a union of coverage
+    islands (consecutive active days whose covers touch merge), and each
+    island is just a +1/-1 delta pair on the day axis.
+
+    Scale shape: per-batch distinct-(key, day) collapse (the exchange is
+    activity-domain sized, never event-row sized) -> ONE key-domain hash
+    exchange -> per-bucket island merge emitting netted (day, delta) rows
+    (day-domain sized per bucket) -> single-block final cumsum + calendar
+    expansion over the bounded day domain (~365 rows/year at ANY corpus
+    size; a loud guard raises past 200k days). Zero-active gap days get
+    explicit 0 rows, matching the calendar LEFT JOIN a warehouse writes.
+
+    Returns (day, active_users) with day as epoch-days int64.
+    """
+    W = int(window_days)
+    if W < 1:
+        raise ValueError("rolling_active_users: window_days must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(ts_col).cast(pa.int64()).to_numpy() // 86_400_000_000
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        return pa.table(
+            {
+                key_col: pa.array(k[keep], pa.int64()),
+                "day": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def deltas(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key_col].to_numpy(np.int64)
+        d = group["day"].to_numpy(np.int64)
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        keep = np.r_[True, (k[1:] != k[:-1]) | (d[1:] != d[:-1])]
+        k, d = k[keep], d[keep]
+        # covers [a, a+W-1] and [b, b+W-1] merge iff b <= a + W
+        new_island = np.r_[True, (k[1:] != k[:-1]) | (d[1:] > d[:-1] + W)]
+        isl_idx = np.flatnonzero(new_island)
+        starts = d[isl_idx]
+        last = np.r_[isl_idx[1:] - 1, len(d) - 1] if isl_idx.size else isl_idx
+        ends = d[last] + W  # exclusive: first day no longer covered
+        days = np.concatenate([starts, ends])
+        dd = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        ud, inv = np.unique(days, return_inverse=True)
+        net = np.bincount(inv, weights=dd).astype(np.int64)
+        return pd.DataFrame({"day": ud, "delta": net})
+
+    def cumulate(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "day": pa.array([], pa.int64()),
+                "active_users": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        df = batch.to_pandas().groupby("day", sort=True)["delta"].sum()
+        cd = df.index.to_numpy(np.int64)
+        cum = df.to_numpy(np.int64).cumsum()
+        # min delta day is the first active day; max is always a pure
+        # exclusive end (= last active day + W), so the calendar is:
+        lo, hi = cd[0], cd[-1] - W
+        if hi - lo > 200_000:
+            raise ValueError(
+                "rolling_active_users: day span > 200k days -- check that "
+                f"{ts_col} is a timestamp, not a raw integer"
+            )
+        days = np.arange(lo, hi + 1, dtype=np.int64)
+        idx = np.searchsorted(cd, days, side="right") - 1
+        return pa.table(
+            {
+                "day": pa.array(days, pa.int64()),
+                "active_users": pa.array(cum[idx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(deltas, batch_format="pandas")
+        .repartition(1)
+        .map_batches(cumulate, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def zip_join_bucketed(dir_a: str, dir_b: str, key_a: str, key_b: str):
     """Zero-shuffle equi-join of two CO-PARTITIONED Lance-style tables
     (written by ``lance_like.write_bucketed`` with the same hash and

@@ -3070,6 +3070,70 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRollingActiveUsers:
+    def test_hand_built_gap_days(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # W=3: user 1 active day 0 and day 10 (two islands, gap days 3-7
+        # have ZERO active users); user 2 active days 1 and 2 (one island).
+        day_us = 86_400_000_000
+        rows = [(1, 0), (1, 10), (2, 1), (2, 2)]
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] * day_us + 5 for r in rows], pa.int64()),
+        })
+        got = (
+            relational.rolling_active_users(
+                rd.from_arrow(t).repartition(3), window_days=3, buckets=4)
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        )
+        assert got["day"].tolist() == list(range(0, 11))
+        #        day: 0  1  2  3  4  5  6  7  8  9 10
+        assert got["active_users"].tolist() == [1, 2, 2, 1, 1, 0, 0, 0, 0, 0, 1]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        got = (
+            relational.rolling_active_users(ds, window_days=30)
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH ud AS (SELECT DISTINCT user_id,
+                        CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS d
+                        FROM '{SF}/events.parquet'),
+            b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+            cal AS (SELECT UNNEST(range(lo, hi + 1)) AS day FROM b)
+            SELECT cal.day AS day, COUNT(DISTINCT ud.user_id) AS active_users
+            FROM cal LEFT JOIN ud ON ud.d BETWEEN cal.day - 29 AND cal.day
+            GROUP BY cal.day ORDER BY day
+            """
+        ).df()
+        assert got["day"].tolist() == exp["day"].astype(int).tolist()
+        assert got["active_users"].tolist() == exp["active_users"].astype(int).tolist()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        a = (relational.rolling_active_users(base.repartition(1), window_days=7,
+                                             buckets=3)
+             .to_pandas().sort_values("day").reset_index(drop=True))
+        b = (relational.rolling_active_users(base.repartition(15), window_days=7,
+                                             buckets=64)
+             .to_pandas().sort_values("day").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestGlobalRank:
     def test_hand_built_ranks_with_ties(self):
         import ray.data as rd
