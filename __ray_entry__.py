@@ -2038,6 +2038,37 @@ _SCD2_HISTORY_SQL = (
 )
 
 
+def _q_pit_value_join(sf_dir: str):
+    """Point-in-time join: each purchase event picks the SCD2 dimension
+    version valid at event time (relational.pit_value_join) -- the
+    leakage-safe feature-store join, composed from the scd2_history build
+    plus the bucketed as-of join."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.pit_value_join(sf_dir, event_type="purchase")
+
+
+_PIT_VALUE_JOIN_SQL = (
+    "WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents, ts, event_id FROM events), "
+    "o AS (SELECT user_id, day, cents FROM (SELECT user_id, day, cents, "
+    "ROW_NUMBER() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) "
+    "AS rn FROM e) WHERE rn = 1), "
+    "c AS (SELECT user_id, day, cents, LAG(cents) OVER "
+    "(PARTITION BY user_id ORDER BY day) AS prev FROM o), "
+    "k AS (SELECT user_id, day AS valid_from_day, cents FROM c "
+    "WHERE prev IS NULL OR cents != prev), "
+    "v AS (SELECT user_id, valid_from_day, COALESCE(LEAD(valid_from_day) OVER "
+    "(PARTITION BY user_id ORDER BY valid_from_day), CAST(-1 AS BIGINT)) "
+    "AS valid_to_day, cents AS value_cents FROM k), "
+    "p AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 "
+    "AS day FROM events WHERE event_type = 'purchase') "
+    "SELECT p.event_id, p.user_id, p.day, v.value_cents FROM p JOIN v "
+    "ON v.user_id = p.user_id AND v.valid_from_day <= p.day "
+    "AND (v.valid_to_day = -1 OR p.day < v.valid_to_day)"
+)
+
+
 def _q_order_part_list(sf_dir: str):
     """Grouped ordered collect: per order, the sorted distinct part keys
     joined with ',' (relational.collect_sorted_list); map-side distinct
@@ -3037,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_7d_sum": _q_rolling_7d_sum,
         "conversion_within": _q_conversion_within,
         "rolling_active_users": _q_rolling_active_users,
+        "pit_value_join": _q_pit_value_join,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4599,6 +4631,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7d_sum": _ROLLING_7D_SUM_SQL,
         "conversion_within": _CONVERSION_WITHIN_SQL,
         "rolling_active_users": _ROLLING_ACTIVE_USERS_SQL,
+        "pit_value_join": _PIT_VALUE_JOIN_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

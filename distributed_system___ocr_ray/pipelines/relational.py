@@ -413,6 +413,51 @@ def last_order_before_event(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def pit_value_join(sf_dir: str, event_type: str = "purchase"):
+    """Point-in-time (PIT) join against a DERIVED SCD2 dimension -- the
+    feature-store staple: each event joins the dimension VERSION that was
+    valid at event time, never a later one (no feature leakage). Composes
+    ``scd2_history`` (daily-last value stream -> change intervals) with
+    the bucketed as-of join: versions are contiguous per key, so
+    "greatest valid_from_day <= event day" IS the containing interval,
+    and every event is covered (a key's first version starts at its first
+    event day). Returns (event_id, user_id, day, value_cents).
+
+    Scale shape: the dimension build is scd2_history's one activity-domain
+    exchange; the join is the as-of bucket pattern (hash both sides on
+    key, merge_asof per bucket) -- no range-join blowup, no per-key loop.
+    """
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value", "event_id"]
+    )
+    versions = scd2_history(ev, "user_id", "ts", "value", "event_id")
+
+    raw = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("event_type"), event_type))
+        day = b.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        return pa.table(
+            {
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "day": pa.array(day, pa.int64()),
+            }
+        )
+
+    probes = raw.map_batches(project, batch_format="pyarrow")
+    joined = asof_join(
+        probes, versions, key="user_id", right_key="user_id",
+        left_ts="day", right_ts="valid_from_day", buckets=16,
+    )
+    return joined.select_columns(["event_id", "user_id", "day", "value_cents"])
+
+
 def order_lineitem_join_stats(sf_dir: str):
     """Large-large bucketed hash join: orders |><| lineitem, then revenue per
     o_orderpriority (integer cents; fully SQL-checkable)."""

@@ -3070,6 +3070,50 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPitValueJoin:
+    def test_matches_duckdb_and_covers_every_purchase(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            relational.pit_value_join(SF, event_type="purchase")
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+                       AS day, CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS cents,
+                       ts, event_id FROM '{SF}/events.parquet'),
+            o AS (SELECT user_id, day, cents FROM (SELECT user_id, day, cents,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, day
+                  ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+            c AS (SELECT user_id, day, cents, LAG(cents) OVER
+                  (PARTITION BY user_id ORDER BY day) AS prev FROM o),
+            k AS (SELECT user_id, day AS valid_from_day, cents FROM c
+                  WHERE prev IS NULL OR cents != prev),
+            v AS (SELECT user_id, valid_from_day, COALESCE(LEAD(valid_from_day)
+                  OVER (PARTITION BY user_id ORDER BY valid_from_day),
+                  CAST(-1 AS BIGINT)) AS valid_to_day, cents AS value_cents FROM k),
+            p AS (SELECT event_id, user_id,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day
+                  FROM '{SF}/events.parquet' WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, p.day, v.value_cents FROM p JOIN v
+            ON v.user_id = p.user_id AND v.valid_from_day <= p.day
+            AND (v.valid_to_day = -1 OR p.day < v.valid_to_day)
+            ORDER BY event_id
+            """
+        ).df()
+        # every purchase is covered exactly once (first version starts at
+        # the user's first event day, versions are contiguous)
+        n_purchases = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{SF}/events.parquet' "
+            "WHERE event_type = 'purchase'"
+        ).fetchone()[0]
+        assert len(got) == n_purchases == len(exp)
+        assert got["event_id"].tolist() == exp["event_id"].astype(int).tolist()
+        assert got["value_cents"].tolist() == exp["value_cents"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestRollingActiveUsers:
     def test_hand_built_gap_days(self):
         import ray.data as rd
