@@ -2163,6 +2163,28 @@ _ORDER_RANK_GLOBAL_SQL = (
 )
 
 
+def _q_order_decile_stats(sf_dir: str):
+    """Equi-depth deciles of order totals (relational.global_ntile):
+    NTILE(10) over (price, orderkey) without a global sort -- the shared
+    range-histogram prefix sum makes every row's global row number
+    computable inside its value bin; per-tile partials merge in one tiny
+    final block."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/orders.parquet", ["o_orderkey", "o_totalprice"])
+    return relational.global_ntile(ds, "o_totalprice", "o_orderkey", n_tiles=10)
+
+
+_ORDER_DECILE_STATS_SQL = (
+    "WITH r AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS cents, "
+    "NTILE(10) OVER (ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT), "
+    "o_orderkey) AS tile FROM orders) "
+    "SELECT CAST(tile AS BIGINT) AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "MIN(cents) AS min_cents, MAX(cents) AS max_cents, "
+    "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM r GROUP BY tile"
+)
+
+
 def _q_approx_users_by_type(sf_dir: str):
     """Grouped HLL: approximate distinct users per event_type
     (sketches.approx_distinct_by_key, p=10) -- one mergeable register
@@ -3069,6 +3091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_within": _q_conversion_within,
         "rolling_active_users": _q_rolling_active_users,
         "pit_value_join": _q_pit_value_join,
+        "order_decile_stats": _q_order_decile_stats,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4632,6 +4655,7 @@ def oracle_sql() -> dict[str, str]:
         "conversion_within": _CONVERSION_WITHIN_SQL,
         "rolling_active_users": _ROLLING_ACTIVE_USERS_SQL,
         "pit_value_join": _PIT_VALUE_JOIN_SQL,
+        "order_decile_stats": _ORDER_DECILE_STATS_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

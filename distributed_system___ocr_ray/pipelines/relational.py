@@ -1727,31 +1727,13 @@ def conversion_within(ds, key_col: str = "user_id", ts_col: str = "ts",
     )
 
 
-def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
-    """Global RANK() over the WHOLE table ordered by ``val_col`` (integer
-    cents), 0-based, tie-min -- the total-order window no per-group
-    bucketing can express (percent_rank_by_group co-locates a GROUP per
-    bucket; here the single group IS the table).
-
-    The distributed shape is two passes + range partitioning:
-
-    1. pass 1 (narrow, cheap): per-batch (min, max, count) partials -> one
-       tiny reduce gives the value range and row count;
-    2. rows are range-partitioned into fixed-width value bins (ties share a
-       value, hence a bin, so tie-min never crosses a partition); a
-       per-batch bincount partial -> tiny reduce gives each bin's row
-       count, whose exclusive prefix sum is each bin's global rank offset,
-       broadcast once via ``ray.put``;
-    3. pass 2: ONE range exchange, then each bin sorts locally and emits
-       offset + local tie-min rank -- vectorized, no per-key loop.
-
-    Fixed-width bins assume rough value uniformity; under heavy value skew
-    the scale path re-splits hot bins from the same histogram (the
-    derive_buckets discipline) -- documented, not needed on this data.
-    ``ds`` is consumed twice; pass a cheap re-executable read (a parquet
-    scan), not a computed pipeline.
-
-    Returns (id_col, value_cents, rank0).
+def _range_offsets(ds, val_col: str, buckets: int | None):
+    """Shared pass 1 of the global total-order operators (``global_rank``,
+    ``global_ntile``): per-batch (min, max, count) partials give the value
+    range; a fixed-width value-bin histogram's exclusive prefix sum is
+    each bin's global row offset, broadcast ONCE via ``ray.put``. Ties
+    share a value, hence a bin, so no ordered quantity ever crosses a
+    partition. Returns (lo, width, n_rows, buckets, offsets ObjectRef).
     """
     import ray
 
@@ -1780,7 +1762,38 @@ def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
     offsets = np.zeros(buckets, dtype=np.int64)
     offsets[hist.index.to_numpy()] = hist.to_numpy()
     offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
-    handle = ray.put(offsets)
+    return lo, width, n, buckets, ray.put(offsets)
+
+
+def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
+    """Global RANK() over the WHOLE table ordered by ``val_col`` (integer
+    cents), 0-based, tie-min -- the total-order window no per-group
+    bucketing can express (percent_rank_by_group co-locates a GROUP per
+    bucket; here the single group IS the table).
+
+    The distributed shape is two passes + range partitioning:
+
+    1. pass 1 (narrow, cheap): per-batch (min, max, count) partials -> one
+       tiny reduce gives the value range and row count;
+    2. rows are range-partitioned into fixed-width value bins (ties share a
+       value, hence a bin, so tie-min never crosses a partition); a
+       per-batch bincount partial -> tiny reduce gives each bin's row
+       count, whose exclusive prefix sum is each bin's global rank offset,
+       broadcast once via ``ray.put``;
+    3. pass 2: ONE range exchange, then each bin sorts locally and emits
+       offset + local tie-min rank -- vectorized, no per-key loop.
+
+    Fixed-width bins assume rough value uniformity; under heavy value skew
+    the scale path re-splits hot bins from the same histogram (the
+    derive_buckets discipline) -- documented, not needed on this data.
+    ``ds`` is consumed twice; pass a cheap re-executable read (a parquet
+    scan), not a computed pipeline.
+
+    Returns (id_col, value_cents, rank0).
+    """
+    import ray
+
+    lo, width, n, buckets, handle = _range_offsets(ds, val_col, buckets)
 
     def add_bin(batch: pa.Table) -> pa.Table:
         c = _cents(batch.column(val_col))
@@ -1809,6 +1822,82 @@ def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
         ds.map_batches(add_bin, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(rank_bin, batch_format="pandas")
+    )
+
+
+def global_ntile(ds, val_col: str, id_col: str, n_tiles: int = 10,
+                 buckets: int | None = None):
+    """Equi-depth global binning -- NTILE(n) OVER (ORDER BY value, id) --
+    the decile/percentile bucketing behind feature quantization and
+    monotone binning. A naive NTILE needs one global sort; the distributed
+    shape reuses ``_range_offsets``: the histogram prefix sum makes every
+    row's global ROW_NUMBER computable inside its value bin (ties break by
+    id WITHIN a bin -- equal values never cross bins), and the NTILE tile
+    is closed-form arithmetic on that row number (first ``n % n_tiles``
+    tiles get the extra row, SQL semantics). Emits a per-bin per-tile
+    partial (min/max/sum/count via one reduceat each -- tile ids ascend
+    with the sorted values, so segments are contiguous) and merges in a
+    single tiny final block: the exchange is ~buckets x n_tiles rows.
+
+    Returns (tile 1-based, n_rows, min_cents, max_cents, sum_cents).
+    """
+    import ray
+
+    if n_tiles < 1:
+        raise ValueError("global_ntile: n_tiles must be >= 1")
+    lo, width, n, buckets, handle = _range_offsets(ds, val_col, buckets)
+    q, r = divmod(n, n_tiles)
+    boundary = r * (q + 1)
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col))
+        b = (c.to_numpy() - lo) // width
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "value_cents": c,
+                "__bucket": pa.array(b.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def tile_bin(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(handle)
+        v = group["value_cents"].to_numpy(np.int64)
+        ids = group[id_col].to_numpy(np.int64)
+        order = np.lexsort((ids, v))
+        v = v[order]
+        base = offs[int((v[0] - lo) // width)]
+        rn = base + np.arange(len(v), dtype=np.int64)  # global ROW_NUMBER, 0-based
+        tile = np.where(
+            rn < boundary,
+            rn // (q + 1),
+            r + (rn - boundary) // max(q, 1),  # q=0 => rn < boundary always
+        )
+        idx = np.flatnonzero(np.r_[True, tile[1:] != tile[:-1]])
+        last = np.r_[idx[1:] - 1, len(v) - 1]
+        return pd.DataFrame(
+            {
+                "tile": tile[idx] + 1,
+                "n_rows": np.diff(np.r_[idx, len(v)]).astype(np.int64),
+                "min_cents": v[idx],
+                "max_cents": v[last],
+                "sum_cents": np.add.reduceat(v, idx),
+            }
+        )
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("tile", sort=True).agg(
+            n_rows=("n_rows", "sum"), min_cents=("min_cents", "min"),
+            max_cents=("max_cents", "max"), sum_cents=("sum_cents", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(tile_bin, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -3070,6 +3070,71 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestGlobalNtile:
+    def test_hand_built_remainder_distribution(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # 7 rows, 3 tiles: SQL NTILE gives sizes 3, 2, 2; ties (30.0) break
+        # by id so the duplicate value straddles tiles deterministically.
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 30.0, 50.0, 60.0, 70.0]),
+        })
+        got = (
+            relational.global_ntile(rd.from_arrow(t).repartition(3), "v", "id",
+                                    n_tiles=3, buckets=4)
+            .to_pandas().sort_values("tile").reset_index(drop=True)
+        )
+        assert got["tile"].tolist() == [1, 2, 3]
+        assert got["n_rows"].tolist() == [3, 2, 2]
+        assert got["min_cents"].tolist() == [1000, 3000, 6000]
+        assert got["max_cents"].tolist() == [3000, 5000, 7000]
+        assert got["sum_cents"].tolist() == [6000, 8000, 13000]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+        got = (
+            relational.global_ntile(ds, "o_totalprice", "o_orderkey", n_tiles=10)
+            .to_pandas().sort_values("tile").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH r AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                       AS cents, NTILE(10) OVER (ORDER BY
+                       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
+                       o_orderkey) AS tile FROM '{SF}/orders.parquet')
+            SELECT tile, COUNT(*) AS n_rows, MIN(cents) AS min_cents,
+                   MAX(cents) AS max_cents, SUM(cents) AS sum_cents
+            FROM r GROUP BY tile ORDER BY tile
+            """
+        ).df()
+        for c in ["tile", "n_rows", "min_cents", "max_cents", "sum_cents"]:
+            assert got[c].tolist() == exp[c].astype(int).tolist(), c
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+        a = (relational.global_ntile(base.repartition(1), "o_totalprice",
+                                     "o_orderkey", n_tiles=7, buckets=5)
+             .to_pandas().sort_values("tile").reset_index(drop=True))
+        b = (relational.global_ntile(base.repartition(13), "o_totalprice",
+                                     "o_orderkey", n_tiles=7, buckets=64)
+             .to_pandas().sort_values("tile").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestPitValueJoin:
     def test_matches_duckdb_and_covers_every_purchase(self):
         from distributed_system___ocr_ray.pipelines import relational
