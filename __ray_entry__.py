@@ -1481,6 +1481,33 @@ def _q_median_order_value(sf_dir: str):
     return pd.DataFrame({"median_cents": [int(np.floor(v * 100 + 0.5))]})
 
 
+def _q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted exact median of lineitem price
+    (analytics.weighted_quantile_cents): histogram bisection on WEIGHT
+    rank -- integer-cents bins, exact int64 weight sums, a width-1 bin is
+    the answer under any skew; pull_limit=1000 forces distributed rounds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_quantity"])
+    v = analytics.weighted_quantile_cents(
+        ds, "l_extendedprice", "l_quantity", q=0.5, pull_limit=1000)
+    return pd.DataFrame({"wmedian_cents": [int(v)]})
+
+
+_WEIGHTED_MEDIAN_PRICE_SQL = (
+    "WITH t AS (SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT) AS cents, "
+    "CAST(l_quantity AS BIGINT) AS w FROM lineitem), "
+    "tot AS (SELECT SUM(w) AS tw FROM t), "
+    "c AS (SELECT cents, SUM(w) OVER (ORDER BY cents) AS cw FROM t) "
+    "SELECT CAST(MIN(cents) AS BIGINT) AS wmedian_cents FROM c, tot "
+    "WHERE cw >= CEIL(0.5 * tw)"
+)
+
+
 def _q_ngram_dedup_keepers(sf_dir: str):
     """Composed near-dup cleaning: exact-recall Jaccard pairs -> connected
     components -> keep the min doc per cluster plus all unclustered docs
@@ -2986,6 +3013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": _q_token_count_by_lang,
         "quality_by_lang": _q_quality_by_lang,
         "median_order_value": _q_median_order_value,
+        "weighted_median_price": _q_weighted_median_price,
         "top_tokens": _q_top_tokens,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
@@ -4277,6 +4305,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup_keepers": _NGRAM_KEEPERS_SQL,
         "quality_by_lang": _quality_by_lang_sql(),
         "median_order_value": _MEDIAN_ORDER_SQL,
+        "weighted_median_price": _WEIGHTED_MEDIAN_PRICE_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
         "ingest_increment_counts": _ingest_increment_sql(),

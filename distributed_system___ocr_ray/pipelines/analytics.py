@@ -1414,6 +1414,101 @@ def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: i
     return float(np.partition(vals, k - 1)[k - 1])
 
 
+def weighted_quantile_cents(ds, col: str, weight_col: str, q: float = 0.5,
+                            bins: int = 4096, pull_limit: int = 100_000):
+    """EXACT weighted quantile (no global sort): the smallest value whose
+    cumulative weight -- ascending by value, ties inclusive -- reaches
+    ``ceil(q * total_weight)``; e.g. the quantity-weighted median price,
+    where a row counting 50 units pulls the median 50x harder than a
+    single-unit row. Same iterative histogram bisection as
+    ``exact_quantile``, but bucket populations are WEIGHT sums (exact
+    int64 via np.add.at, never float bincount) and the target rank is a
+    weight rank.
+
+    Values are floored to integer cents first, so bin assignment is pure
+    integer arithmetic -- the histogram and the narrowing filter share one
+    exact formula (no float-ulp boundary risk), and a width-1 bin IS the
+    answer regardless of its population: convergence never depends on
+    ``pull_limit`` even under extreme value skew. Returns integer cents.
+    """
+    import math
+
+    from .relational import tiny_final_groupby
+
+    def _cents_np(batch: pa.Table) -> np.ndarray:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        c = _cents_np(batch)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (w < 0).any():
+            raise ValueError("weighted_quantile_cents: negative weight")
+        return pa.table({"lo": [int(c.min())], "hi": [int(c.max())],
+                         "w": [int(w.sum())]})
+
+    mm = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    total_w = int(mm["w"].sum())
+    if total_w <= 0:
+        raise ValueError("weighted_quantile_cents: zero total weight")
+    k = max(1, math.ceil(q * total_w))
+    cur = ds
+    while True:
+        width = max(1, (hi - lo + bins) // bins)
+
+        def part(batch: pa.Table, lo_=lo, width_=width) -> pa.Table:
+            c = _cents_np(batch)
+            w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = np.clip((c - lo_) // width_, 0, bins - 1)
+            cnt = np.bincount(b, minlength=bins)
+            ws = np.zeros(bins, np.int64)
+            np.add.at(ws, b, w)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"bin": pa.array(nz, pa.int64()),
+                             "cnt": pa.array(cnt[nz], pa.int64()),
+                             "wsum": pa.array(ws[nz], pa.int64())})
+
+        hist = tiny_final_groupby(
+            cur.map_batches(part, batch_format="pyarrow"),
+            ["bin"], [("cnt", "sum"), ("wsum", "sum")], ["bin", "cnt", "wsum"],
+        ).to_pandas().sort_values("bin")
+        cumw = hist["wsum"].cumsum().to_numpy()
+        idx = int(np.searchsorted(cumw, k))
+        b = int(hist["bin"].iloc[idx])
+        k -= int(cumw[idx - 1]) if idx > 0 else 0
+        rows_in = int(hist["cnt"].iloc[idx])
+        new_lo = lo + b * width
+        if width == 1:
+            return new_lo  # single-value bin: its value is the answer
+        if rows_in <= pull_limit:
+            def in_bin(batch: pa.Table, lo_=lo, width_=width, b_=b) -> pa.Table:
+                c = _cents_np(batch)
+                vb = np.clip((c - lo_) // width_, 0, bins - 1)
+                return batch.filter(pa.array(vb == b_))
+
+            small = cur.map_batches(in_bin, batch_format="pyarrow")
+            cs, wsl = [], []
+            for t in small.select_columns([col, weight_col]).iter_batches(
+                    batch_format="pyarrow"):
+                cs.append(_cents_np(t))
+                wsl.append(t.column(weight_col).to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+            c = np.concatenate(cs)
+            w = np.concatenate(wsl)
+            order = np.argsort(c, kind="stable")
+            c, w = c[order], w[order]
+            return int(c[int(np.searchsorted(np.cumsum(w), k))])
+
+        def in_bin2(batch: pa.Table, lo_=lo, width_=width, b_=b) -> pa.Table:
+            c = _cents_np(batch)
+            vb = np.clip((c - lo_) // width_, 0, bins - 1)
+            return batch.filter(pa.array(vb == b_))
+
+        cur = cur.map_batches(in_bin2, batch_format="pyarrow")
+        lo, hi = new_lo, min(new_lo + width - 1, hi)
+
+
 def grouped_quantile(ds_factory, key: str, col: str, q: float = 0.5, keys=None):
     """Exact per-group quantile for a BOUNDED key set (enum-like keys:
     event types, languages, segments): one ``exact_quantile`` run -- the

@@ -3070,6 +3070,61 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestWeightedQuantile:
+    def test_hand_built_heavy_weight_pulls_median(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # unweighted median of [1, 2, 3] is 2; weight 10 on the 3.00 row
+        # drags the weighted median to 3.00 (total W=12, k=6 lands in 3's
+        # cumulative weight range 3..12).
+        t = pa.table({
+            "v": pa.array([1.0, 2.0, 3.0]),
+            "w": pa.array([1.0, 1.0, 10.0]),
+        })
+        got = analytics.weighted_quantile_cents(
+            rd.from_arrow(t).repartition(2), "v", "w", q=0.5)
+        assert got == 300
+
+    def test_matches_duckdb_multiple_q(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_extendedprice", "l_quantity"])
+        for q in (0.25, 0.5, 0.9):
+            got = analytics.weighted_quantile_cents(
+                ds, "l_extendedprice", "l_quantity", q=q, pull_limit=500)
+            exp = duckdb.sql(
+                f"""
+                WITH t AS (SELECT CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)
+                           AS cents, CAST(l_quantity AS BIGINT) AS w
+                           FROM '{SF}/lineitem.parquet'),
+                tot AS (SELECT SUM(w) AS tw FROM t),
+                c AS (SELECT cents, SUM(w) OVER (ORDER BY cents) AS cw FROM t)
+                SELECT MIN(cents) FROM c, tot WHERE cw >= CEIL({q} * tw)
+                """
+            ).fetchone()[0]
+            assert got == int(exp), q
+
+    def test_pull_limit_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet",
+                             columns=["l_extendedprice", "l_quantity"])
+        a = analytics.weighted_quantile_cents(
+            ds, "l_extendedprice", "l_quantity", q=0.5, pull_limit=100_000)
+        b = analytics.weighted_quantile_cents(
+            ds, "l_extendedprice", "l_quantity", q=0.5, pull_limit=1,
+            bins=16)
+        assert a == b
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestGlobalNtile:
     def test_hand_built_remainder_distribution(self):
         import ray.data as rd
