@@ -1481,6 +1481,30 @@ def _q_median_order_value(sf_dir: str):
     return pd.DataFrame({"median_cents": [int(np.floor(v * 100 + 0.5))]})
 
 
+def _q_pps_sample(sf_dir: str):
+    """Systematic PPS sample: exactly 500 documents drawn with probability
+    proportional to n_chars (analytics.pps_systematic_sample) -- a
+    distributed integer prefix sum over the id domain; the draw is pure
+    integer arithmetic, replayed verbatim by the SQL window below."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return analytics.pps_systematic_sample(ds, "doc_id", "n_chars", k=500)
+
+
+_PPS_SAMPLE_SQL = (
+    "WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+    "SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cw FROM documents), "
+    "tot AS (SELECT SUM(CAST(n_chars AS BIGINT)) AS w FROM documents), "
+    "h AS (SELECT doc_id, n_chars, CAST((cw * 500) // w - "
+    "((cw - n_chars) * 500) // w AS BIGINT) AS n_hits FROM c, tot) "
+    "SELECT doc_id, n_chars, n_hits FROM h WHERE n_hits > 0"
+)
+
+
 def _q_weighted_median_price(sf_dir: str):
     """Quantity-weighted exact median of lineitem price
     (analytics.weighted_quantile_cents): histogram bisection on WEIGHT
@@ -3014,6 +3038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": _q_quality_by_lang,
         "median_order_value": _q_median_order_value,
         "weighted_median_price": _q_weighted_median_price,
+        "pps_sample": _q_pps_sample,
         "top_tokens": _q_top_tokens,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
@@ -4306,6 +4331,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_lang": _quality_by_lang_sql(),
         "median_order_value": _MEDIAN_ORDER_SQL,
         "weighted_median_price": _WEIGHTED_MEDIAN_PRICE_SQL,
+        "pps_sample": _PPS_SAMPLE_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
         "ingest_increment_counts": _ingest_increment_sql(),

@@ -1675,6 +1675,107 @@ def grouped_quantile_sketch(
 # ---------------------------------------------------------------- sampling
 
 
+def pps_systematic_sample(ds, id_col: str = "doc_id",
+                          weight_col: str = "n_chars", k: int = 500,
+                          buckets: int | None = None):
+    """Systematic probability-proportional-to-size (PPS) sampling: draw
+    EXACTLY ``k`` rows with inclusion probability proportional to
+    ``weight_col`` -- e.g. sample documents proportional to their length so
+    the sample's token mass mirrors the corpus. Row i (in id order, with
+    global cumulative weight ``cum_i``) is drawn ``n_hits`` times, where
+    ``n_hits = floor(cum_i*k/W) - floor((cum_i - w_i)*k/W)`` -- how many
+    skip boundaries its weight interval spans. Boundaries advance exactly
+    k times as cum runs 0 -> W, so SUM(n_hits) == k exactly (a row heavier
+    than W/k is a certainty unit hit multiple times), zero-weight rows can
+    never be drawn, and the whole draw is integer arithmetic end-to-end --
+    replayable verbatim in ANSI SQL (no RNG, no float ulp risk).
+
+    Scale shape: a distributed prefix sum, the ``_range_offsets``
+    discipline over the id domain -- pass 1 reduces per-id-bin weight sums
+    to exclusive global offsets (KB-sized, broadcast once via ray.put);
+    pass 2 is ONE range exchange where each bin sorts locally by id and
+    applies offset + local cumsum. No global sort, no driver collect of
+    data rows. Returns (id_col, weight_col, n_hits) for the drawn rows.
+    """
+    import ray
+
+    from .relational import derive_buckets, tiny_final_groupby
+
+    if k < 1:
+        raise ValueError("pps_systematic_sample: k must be >= 1")
+
+    def _cols(batch: pa.Table):
+        i = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return i, w
+
+    def mm(batch: pa.Table) -> pa.Table:
+        i, w = _cols(batch)
+        if (w < 0).any():
+            raise ValueError("pps_systematic_sample: negative weight")
+        return pa.table({"lo": [int(i.min())], "hi": [int(i.max())],
+                         "w": [int(w.sum())], "n": [len(i)]})
+
+    st = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    lo, hi = int(st["lo"].min()), int(st["hi"].max())
+    total_w, n = int(st["w"].sum()), int(st["n"].sum())
+    if total_w <= 0:
+        raise ValueError("pps_systematic_sample: zero total weight")
+    if total_w > (2**62) // k:
+        raise ValueError("pps_systematic_sample: k x total weight overflows "
+                         "int64; reduce k or rescale weights")
+    if buckets is None:
+        buckets = derive_buckets(n)
+    width = max(1, (hi - lo + buckets) // buckets)
+
+    def bin_w(batch: pa.Table) -> pa.Table:
+        i, w = _cols(batch)
+        b = (i - lo) // width
+        ws = np.zeros(buckets, np.int64)
+        np.add.at(ws, b, w)
+        nz = np.flatnonzero(ws)
+        return pa.table({"bin": pa.array(nz, pa.int64()),
+                         "wsum": pa.array(ws[nz], pa.int64())})
+
+    hist = tiny_final_groupby(
+        ds.map_batches(bin_w, batch_format="pyarrow"),
+        ["bin"], [("wsum", "sum")], ["bin", "wsum"],
+    ).to_pandas()
+    offsets = np.zeros(buckets, dtype=np.int64)
+    offsets[hist["bin"].to_numpy()] = hist["wsum"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(offsets)[:-1]))
+    handle = ray.put(offsets)
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        i, w = _cols(batch)
+        b = (i - lo) // width
+        return pa.table(
+            {
+                id_col: pa.array(i, pa.int64()),
+                weight_col: pa.array(w, pa.int64()),
+                "__bucket": pa.array(b.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(handle)
+        i = group[id_col].to_numpy(np.int64)
+        w = group[weight_col].to_numpy(np.int64)
+        order = np.argsort(i, kind="stable")
+        i, w = i[order], w[order]
+        cw = offs[int((i[0] - lo) // width)] + np.cumsum(w)
+        hits = (cw * k) // total_w - ((cw - w) * k) // total_w
+        sel = hits > 0
+        return pd.DataFrame({id_col: i[sel], weight_col: w[sel],
+                             "n_hits": hits[sel]})
+
+    return (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
 def _md5_hex8(values) -> list[str]:
     import hashlib
 

@@ -3070,6 +3070,73 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPpsSystematicSample:
+    def test_hand_built_hits_sum_to_k(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # W=100, k=10 -> one boundary per 10 weight units. id 3 (w=55)
+        # spans several boundaries (certainty unit); id 4 (w=0) never drawn.
+        t = pa.table({
+            "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "w": pa.array([5, 20, 55, 0, 20], pa.int64()),
+        })
+        got = (
+            analytics.pps_systematic_sample(
+                rd.from_arrow(t).repartition(3), "id", "w", k=10, buckets=4)
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        assert got["n_hits"].sum() == 10
+        assert 4 not in got["id"].tolist()
+        # heaviest row must carry the most hits
+        assert got.set_index("id")["n_hits"].idxmax() == 3
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+        got = (
+            analytics.pps_systematic_sample(ds, "doc_id", "n_chars", k=137)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                       SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id)
+                       AS cw FROM '{SF}/documents.parquet'),
+            tot AS (SELECT SUM(CAST(n_chars AS BIGINT)) AS w
+                    FROM '{SF}/documents.parquet'),
+            h AS (SELECT doc_id, n_chars, CAST((cw * 137) // w -
+                  ((cw - n_chars) * 137) // w AS BIGINT) AS n_hits FROM c, tot)
+            SELECT doc_id, n_chars, n_hits FROM h WHERE n_hits > 0
+            ORDER BY doc_id
+            """
+        ).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].astype(int).tolist()
+        assert got["n_hits"].tolist() == exp["n_hits"].astype(int).tolist()
+        assert got["n_hits"].sum() == 137
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        a = (analytics.pps_systematic_sample(base.repartition(1), "doc_id",
+                                             "n_chars", k=50, buckets=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (analytics.pps_systematic_sample(base.repartition(17), "doc_id",
+                                             "n_chars", k=50, buckets=64)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.values.tolist() == b.values.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestWeightedQuantile:
     def test_hand_built_heavy_weight_pulls_median(self):
         import ray.data as rd
