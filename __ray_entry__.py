@@ -2236,6 +2236,29 @@ _ORDER_DECILE_STATS_SQL = (
 )
 
 
+def _q_order_value_gini(sf_dir: str):
+    """Revenue concentration: exact Gini coefficient of order totals in
+    ppm (relational.gini_ppm) -- rank formulation over the shared range
+    histogram; integer arithmetic end-to-end, HUGEINT on the SQL side."""
+    import pandas as pd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/orders.parquet", ["o_totalprice"])
+    return pd.DataFrame({"gini_ppm": [relational.gini_ppm(ds, "o_totalprice")]})
+
+
+_ORDER_VALUE_GINI_SQL = (
+    "WITH r AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c, "
+    "ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) "
+    "AS rn FROM orders), "
+    "s AS (SELECT SUM(CAST(rn AS HUGEINT) * c) AS s2, "
+    "SUM(CAST(c AS HUGEINT)) AS s1, CAST(COUNT(*) AS HUGEINT) AS n FROM r) "
+    "SELECT CAST((2*s2 - (n+1)*s1) * 1000000 // (n * s1) AS BIGINT) "
+    "AS gini_ppm FROM s"
+)
+
+
 def _q_approx_users_by_type(sf_dir: str):
     """Grouped HLL: approximate distinct users per event_type
     (sketches.approx_distinct_by_key, p=10) -- one mergeable register
@@ -3145,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": _q_rolling_active_users,
         "pit_value_join": _q_pit_value_join,
         "order_decile_stats": _q_order_decile_stats,
+        "order_value_gini": _q_order_value_gini,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4711,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": _ROLLING_ACTIVE_USERS_SQL,
         "pit_value_join": _PIT_VALUE_JOIN_SQL,
         "order_decile_stats": _ORDER_DECILE_STATS_SQL,
+        "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

@@ -3070,6 +3070,45 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestGiniPpm:
+    def test_hand_built_known_values(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # all equal -> 0; extreme concentration [0,0,0,1] -> G=(n-1)/n=0.75
+        eq = pa.table({"v": pa.array([5.0, 5.0, 5.0, 5.0])})
+        assert relational.gini_ppm(rd.from_arrow(eq).repartition(2), "v",
+                                   buckets=4) == 0
+        conc = pa.table({"v": pa.array([0.0, 0.0, 0.0, 1.0])})
+        assert relational.gini_ppm(rd.from_arrow(conc).repartition(2), "v",
+                                   buckets=4) == 750_000
+
+    def test_matches_duckdb_and_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        base = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+        got = relational.gini_ppm(base, "o_totalprice")
+        exp = duckdb.sql(
+            f"""
+            WITH r AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c,
+                       ROW_NUMBER() OVER (ORDER BY
+                       CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS rn
+                       FROM '{SF}/orders.parquet'),
+            s AS (SELECT SUM(CAST(rn AS HUGEINT) * c) AS s2,
+                  SUM(CAST(c AS HUGEINT)) AS s1,
+                  CAST(COUNT(*) AS HUGEINT) AS n FROM r)
+            SELECT CAST((2*s2 - (n+1)*s1) * 1000000 // (n * s1) AS BIGINT) FROM s
+            """
+        ).fetchone()[0]
+        assert got == int(exp)
+        assert relational.gini_ppm(base.repartition(13), "o_totalprice",
+                                   buckets=7) == got
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestPpsSystematicSample:
     def test_hand_built_hits_sum_to_k(self):
         import ray.data as rd
