@@ -1398,6 +1398,41 @@ def _q_pagerank_top(sf_dir: str):
     return analytics.pagerank_top(ds, iters=4, damping_pct=85, topn=20)
 
 
+def _q_bfs_levels(sf_dir: str):
+    """Min-hop BFS levels from doc 0 over the md5-derived citation graph
+    (analytics.bfs_levels): per round one bucketed frontier x edges join +
+    one groupby-MIN fold (idempotent -- no visited-set broadcast); the
+    oracle unrolls the identical rounds as CTEs."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.bfs_levels(ds, source=0, max_rounds=8)
+
+
+def _bfs_levels_sql(max_rounds: int = 8) -> str:
+    """Unrolled-CTE replay of ``analytics.bfs_levels``: the shared edge
+    derivation, then per round a frontier join + UNION ALL + MIN fold --
+    identical to the engine's groupby-MIN (an exhausted frontier makes
+    later rounds no-ops on both sides)."""
+    parts = [
+        f"WITH {_edges_ctes()}, ",
+        "l0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS level), ",
+    ]
+    for r in range(max_rounds):
+        parts.append(
+            f"c{r + 1} AS (SELECT e.dst AS node, CAST({r + 1} AS BIGINT) AS level "
+            f"FROM edges e JOIN l{r} f ON f.node = e.src AND f.level = {r}), "
+        )
+        parts.append(
+            f"l{r + 1} AS (SELECT node, MIN(level) AS level FROM "
+            f"(SELECT * FROM l{r} UNION ALL SELECT * FROM c{r + 1}) GROUP BY node), "
+        )
+    body = "".join(parts).rstrip().rstrip(",")
+    return f"{body} SELECT node AS doc_id, level FROM l{max_rounds}"
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means (integer arithmetic end-to-end); the oracle
     unrolls the identical quantize -> md5-seed -> assign -> floor-mean loop
@@ -3133,6 +3168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_keepers": _q_semdedup_keepers,
         "pagerank_top": _q_pagerank_top,
+        "bfs_levels": _q_bfs_levels,
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
@@ -4707,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
         "semdedup_keepers": _semdedup_sql(k=8, iters=3, scale=1000, threshold=0.4),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
+        "bfs_levels": _bfs_levels_sql(max_rounds=8),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
         "decayed_user_value": (

@@ -3728,6 +3728,93 @@ def derived_link_edges(ds, n_nodes: int, id_col: str = "doc_id"):
     return ds.map_batches(mkedges, batch_format="pyarrow")
 
 
+def bfs_levels(ds, source: int = 0, max_rounds: int = 8, id_col: str = "doc_id"):
+    """Distributed BFS: minimum hop count from ``source`` to every node it
+    reaches within ``max_rounds``, over the md5-derived citation graph
+    shared with ``pagerank_top`` / ``triangle_count`` -- the reachability /
+    influence-radius primitive. Each round joins the current frontier
+    (rows at level == r) against the edges on src (bucketed hash join:
+    both sides are large at scale, a broadcast frontier would cap out)
+    and folds the candidates in with ONE groupby-MIN -- idempotent, so
+    re-discovered nodes keep their first level and no anti-join or
+    visited-set broadcast is needed. Levels materialize per round
+    (bounded recovery; same justification as pagerank_top). An
+    already-exhausted frontier makes later rounds no-ops, so a fixed
+    ``max_rounds`` unrolls verbatim into SQL CTEs.
+
+    Returns (doc_id, level) for reached nodes, source included at 0.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Min
+
+    from .relational import bucketed_hash_join, derive_buckets
+
+    n_nodes = ds.count()
+    edges = (
+        derived_link_edges(ds, n_nodes, id_col=id_col)
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    buckets = derive_buckets(edges.count(), rows_per_bucket=1_000_000)
+    levels = rd.from_arrow(
+        pa.table({"node": pa.array([int(source)], pa.int64()),
+                  "level": pa.array([0], pa.int64())})
+    )
+    for r in range(max_rounds):
+        def is_frontier(batch: pa.Table, r_=r) -> pa.Table:
+            return batch.filter(pc.equal(batch.column("level"), r_))
+
+        frontier = levels.map_batches(is_frontier, batch_format="pyarrow")
+        if frontier.count() == 0:
+            break
+
+        def cand(batch: pa.Table, r_=r) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("dst").combine_chunks().cast(pa.int64()),
+                    "level": pa.array(np.full(batch.num_rows, r_ + 1), pa.int64()),
+                }
+            )
+
+        def as_src(batch: pa.Table) -> pa.Table:
+            # explicit rebuild, not select+rename Projects: the fused
+            # Project pair mis-plans into a duplicate-column schema here
+            return pa.table({"src": batch.column("node").combine_chunks().cast(pa.int64()),
+                             "level": batch.column("level")})
+
+        joined = bucketed_hash_join(
+            edges,
+            frontier.map_batches(as_src, batch_format="pyarrow"),
+            "src", "src", buckets=buckets,
+        )
+        def norm(batch: pa.Table) -> pa.Table:
+            # normalize block type: the bucketed join emits pandas blocks
+            # (empty ones pass the cand map through unconverted) and the
+            # sort-based aggregate asserts a single block type
+            return pa.table({"node": batch.column("node").combine_chunks().cast(pa.int64()),
+                             "level": batch.column("level").combine_chunks().cast(pa.int64())})
+
+        levels = (
+            levels.union(joined.map_batches(cand, batch_format="pyarrow"))
+            .map_batches(norm, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("level", alias_name="level"))
+            .materialize()
+        )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("node").combine_chunks().cast(pa.int64()),
+                "level": batch.column("level").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return levels.map_batches(out, batch_format="pyarrow")
+
+
 def pagerank_top(
     ds,
     iters: int = 4,

@@ -3070,6 +3070,41 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBfsLevels:
+    def test_matches_recursive_sql_and_monotone(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = (
+            analytics.bfs_levels(ds, source=0, max_rounds=5)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        # replay BFS in plain python over the same md5-derived edges
+        n = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+        adj: dict[int, list[int]] = {}
+        frontier, lvl = {0}, {0: 0}
+        for r in range(5):
+            nxt = set()
+            for u in frontier:
+                if u not in adj:
+                    d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+                    adj[u] = [t for j in range(d)
+                              if (t := md5_u64(f"{u}:link:{j}".encode()) % n) != u]
+                for v in adj[u]:
+                    if v not in lvl:
+                        lvl[v] = r + 1
+                        nxt.add(v)
+            frontier = nxt
+        exp = sorted(lvl.items())
+        assert list(zip(got["doc_id"], got["level"])) == exp
+        assert got["level"].min() == 0 and got["level"].max() <= 5
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestGiniPpm:
     def test_hand_built_known_values(self):
         import ray.data as rd
