@@ -168,7 +168,10 @@ def run_bench() -> dict:
         "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
         "json_field_stats", "audience_overlap", "customers_without_orders",
         "order_count_distribution", "user_active_coverage",
-        "peak_concurrent_sessions",
+        "peak_concurrent_sessions", "conversion_within",
+        "rolling_active_users", "pit_value_join", "order_decile_stats",
+        "weighted_median_price", "pps_sample", "order_value_gini",
+        "bfs_levels",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
