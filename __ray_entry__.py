@@ -2939,6 +2939,43 @@ _BASKET_PAIRS_SQL = (
 )
 
 
+def _q_basket_lift(sf_dir: str):
+    """Market-basket lift in ppm for the top-20 pairs
+    (analytics.basket_lift_topk): the pair stage is basket_pairs_topk;
+    supports probe only the items in the top pairs (broadcast set,
+    distinct collapse, one item-domain exchange); the k-row final
+    arithmetic is integer-exact."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    def factory():
+        return _read_narrow(
+            f"{sf_dir}/lineitem.parquet", ["l_orderkey", "l_partkey"],
+            rows_per_block=100_000,
+        )
+
+    return analytics.basket_lift_topk(factory, min_support=20, topk=20)
+
+
+_BASKET_LIFT_SQL = (
+    "WITH f AS (SELECT l_partkey FROM (SELECT l_partkey, COUNT(*) AS c "
+    "FROM lineitem GROUP BY 1) WHERE c >= 20), "
+    "li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem "
+    "WHERE l_partkey IN (SELECT l_partkey FROM f)), "
+    "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders FROM li a JOIN li b "
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), "
+    "p2 AS (SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT 20), "
+    "s AS (SELECT l_partkey, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS c "
+    "FROM lineitem WHERE l_partkey IN "
+    "(SELECT part_a FROM p2 UNION SELECT part_b FROM p2) GROUP BY 1), "
+    "nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem) "
+    "SELECT part_a, part_b, n_orders, "
+    "CAST((n_orders * nb.n * 1000000) // (sa.c * sb.c) AS BIGINT) AS lift_ppm "
+    "FROM p2 JOIN s sa ON sa.l_partkey = p2.part_a "
+    "JOIN s sb ON sb.l_partkey = p2.part_b, nb"
+)
+
+
 def _q_longest_streak(sf_dir: str):
     """Per-user longest consecutive-active-days streak (gaps-and-islands)
     over the event stream; one activity-domain exchange, vectorized
@@ -3179,6 +3216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_coverage": _q_user_active_coverage,
         "peak_concurrent_sessions": _q_peak_concurrent_sessions,
         "basket_pairs": _q_basket_pairs,
+        "basket_lift": _q_basket_lift,
         "corr_qty_price": _q_corr_qty_price,
         "forward_fill_daily": _q_forward_fill_daily,
         "event_transitions": _q_event_transitions,
@@ -4762,6 +4800,7 @@ def oracle_sql() -> dict[str, str]:
         "user_active_coverage": _USER_ACTIVE_COVERAGE_SQL,
         "peak_concurrent_sessions": _PEAK_CONCURRENT_SQL,
         "basket_pairs": _BASKET_PAIRS_SQL,
+        "basket_lift": _BASKET_LIFT_SQL,
         "corr_qty_price": _CORR_QTY_PRICE_SQL,
         "forward_fill_daily": _FORWARD_FILL_DAILY_SQL,
         "event_transitions": _EVENT_TRANSITIONS_SQL,

@@ -4236,6 +4236,98 @@ def skyline_orders(ds, price_col: str = "o_totalprice", date_col: str = "o_order
 # ------------------------------------------------------- market basket
 
 
+def basket_lift_topk(ds_factory, order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey", min_support: int = 20,
+                     topk: int = 20, buckets: int = 64):
+    """Market-basket LIFT for the top-k co-occurring pairs:
+    ``lift = P(a,b) / (P(a) * P(b))`` in ppm -- above 1e6 means the pair
+    is genuinely associated, not just two individually popular items (raw
+    pair counts, what ``basket_pairs_topk`` ranks, conflate the two).
+    ``lift_ppm = (n_ab * n_baskets * 10^6) // (n_a * n_b)`` -- integer
+    arithmetic end-to-end, replayed verbatim in SQL.
+
+    Scale shape: the pair stage IS basket_pairs_topk (A-Priori pruned,
+    one order-domain + one pair-domain exchange). Supports then touch
+    ONLY the <= 2k items appearing in the top pairs: the item set is
+    broadcast once and probed map-side, distinct (item, order) rows
+    collapse per batch, and ONE item-domain exchange counts baskets per
+    item. The final join + arithmetic runs on k driver rows (bounded,
+    documented collect). ``ds_factory`` is called per pass (the reads are
+    cheap narrow scans; a computed pipeline would re-execute).
+
+    Returns (part_a, part_b, n_orders, lift_ppm) ordered like the pair
+    ranking (n_orders desc, part_a, part_b).
+    """
+    import ray
+
+    from .relational import hash_bucket_column
+
+    pairs = basket_pairs_topk(
+        ds_factory(), order_col, item_col, min_support, topk, buckets
+    ).to_pandas()
+    if pairs.empty:
+        pairs["lift_ppm"] = pd.Series([], dtype=np.int64)
+        return pairs
+
+    items = np.sort(pd.concat([pairs["part_a"], pairs["part_b"]])
+                    .unique().astype(np.int64))
+    items_ref = ray.put(items)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        arr = ray.get(items_ref)
+        i = batch.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = batch.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(arr, i), 0, len(arr) - 1)
+        hit = arr[pos] == i
+        i, o = i[hit], o[hit]
+        # per-batch distinct (item, order) collapse
+        order = np.lexsort((o, i))
+        i, o = i[order], o[order]
+        keep = np.r_[True, (i[1:] != i[:-1]) | (o[1:] != o[:-1])]
+        return pa.table({item_col: pa.array(i[keep], pa.int64()),
+                         order_col: pa.array(o[keep], pa.int64())})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, item_col, buckets)
+
+    def support(group: pd.DataFrame) -> pd.DataFrame:
+        i = group[item_col].to_numpy(np.int64)
+        o = group[order_col].to_numpy(np.int64)
+        order = np.lexsort((o, i))
+        i, o = i[order], o[order]
+        keep = np.r_[True, (i[1:] != i[:-1]) | (o[1:] != o[:-1])]
+        i = i[keep]
+        first = np.r_[True, i[1:] != i[:-1]]
+        idx = np.flatnonzero(first)
+        return pd.DataFrame({item_col: i[first],
+                             "n": np.diff(np.r_[idx, len(i)]).astype(np.int64)})
+
+    sup = (
+        ds_factory().map_batches(probe, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(support, batch_format="pandas")
+        .to_pandas().set_index(item_col)["n"]
+    )
+
+    def uniq_orders(batch: pa.Table) -> pa.Table:
+        o = np.unique(batch.column(order_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        return pa.table({"o": pa.array(o, pa.int64())})
+
+    n_baskets = int(
+        ds_factory().map_batches(uniq_orders, batch_format="pyarrow")
+        .groupby("o").count().count()
+    )
+
+    na = sup.loc[pairs["part_a"].to_numpy()].to_numpy(np.int64)
+    nb = sup.loc[pairs["part_b"].to_numpy()].to_numpy(np.int64)
+    pairs["lift_ppm"] = (
+        pairs["n_orders"].to_numpy(np.int64) * n_baskets * 1_000_000
+    ) // (na * nb)
+    return pairs
+
+
 def basket_pairs_topk(
     ds,
     order_col: str = "l_orderkey",

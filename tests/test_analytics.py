@@ -3070,6 +3070,78 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestBasketLift:
+    def test_hand_built_lift_separates_popular_from_associated(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 8 baskets. items 1,2 co-occur ONLY together (perfect assoc,
+        # support 4 each, pair 4): lift = 4*8/(4*4) = 2.0.
+        # items 3,4 are popular but only partly together (support 5 each,
+        # pair 3: baskets 3,5,6): lift = 3*8/(5*5) = 0.96.
+        baskets = [
+            (1, [1, 2, 3]), (2, [1, 2, 4]), (3, [1, 2, 3, 4]), (4, [1, 2]),
+            (5, [3, 4]), (6, [3, 4]), (7, [3]), (8, [4]),
+        ]
+        rows_o, rows_i = [], []
+        for o, its in baskets:
+            for i in its:
+                rows_o.append(o)
+                rows_i.append(i)
+        t = pa.table({"l_orderkey": pa.array(rows_o, pa.int64()),
+                      "l_partkey": pa.array(rows_i, pa.int64())})
+
+        got = analytics.basket_lift_topk(
+            lambda: rd.from_arrow(t).repartition(3),
+            min_support=1, topk=10, buckets=4)
+        lift = got.set_index(["part_a", "part_b"])["lift_ppm"]
+        assert lift.loc[(1, 2)] == 2_000_000
+        assert lift.loc[(3, 4)] == (3 * 8 * 1_000_000) // (5 * 5)
+        assert lift.loc[(1, 2)] > lift.loc[(3, 4)]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = analytics.basket_lift_topk(
+            lambda: rd.read_parquet(f"{SF}/lineitem.parquet",
+                                    columns=["l_orderkey", "l_partkey"]),
+            min_support=5, topk=15,
+        ).reset_index(drop=True)
+        exp = duckdb.sql(
+            f"""
+            WITH f AS (SELECT l_partkey FROM (SELECT l_partkey, COUNT(*) AS c
+                 FROM '{SF}/lineitem.parquet' GROUP BY 1) WHERE c >= 5),
+            li AS (SELECT DISTINCT l_orderkey, l_partkey
+                   FROM '{SF}/lineitem.parquet'
+                   WHERE l_partkey IN (SELECT l_partkey FROM f)),
+            p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                  COUNT(*) AS n_orders FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                  GROUP BY 1, 2),
+            p2 AS (SELECT * FROM p ORDER BY n_orders DESC, part_a, part_b
+                   LIMIT 15),
+            s AS (SELECT l_partkey, COUNT(DISTINCT l_orderkey) AS c
+                  FROM '{SF}/lineitem.parquet' WHERE l_partkey IN
+                  (SELECT part_a FROM p2 UNION SELECT part_b FROM p2)
+                  GROUP BY 1),
+            nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n
+                   FROM '{SF}/lineitem.parquet')
+            SELECT part_a, part_b, n_orders,
+                   CAST((n_orders * nb.n * 1000000) // (sa.c * sb.c) AS BIGINT)
+                   AS lift_ppm
+            FROM p2 JOIN s sa ON sa.l_partkey = p2.part_a
+            JOIN s sb ON sb.l_partkey = p2.part_b, nb
+            ORDER BY n_orders DESC, part_a, part_b
+            """
+        ).df()
+        assert got["part_a"].tolist() == exp["part_a"].astype(int).tolist()
+        assert got["lift_ppm"].tolist() == exp["lift_ppm"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestBfsLevels:
     def test_matches_recursive_sql_and_monotone(self):
         import ray.data as rd
