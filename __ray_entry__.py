@@ -1516,6 +1516,27 @@ def _q_median_order_value(sf_dir: str):
     return pd.DataFrame({"median_cents": [int(np.floor(v * 100 + 0.5))]})
 
 
+def _q_profile_documents(sf_dir: str):
+    """Table profiling: per-column row/null/EXACT-distinct counts over
+    documents (analytics.profile_table) -- every column shares ONE
+    md5-token-domain exchange instead of a COUNT(DISTINCT) shuffle each."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return analytics.profile_table(
+        ds, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+_PROFILE_DOCUMENTS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM documents"
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
 def _q_pps_sample(sf_dir: str):
     """Systematic PPS sample: exactly 500 documents drawn with probability
     proportional to n_chars (analytics.pps_systematic_sample) -- a
@@ -3134,6 +3155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_order_value": _q_median_order_value,
         "weighted_median_price": _q_weighted_median_price,
         "pps_sample": _q_pps_sample,
+        "profile_documents": _q_profile_documents,
         "top_tokens": _q_top_tokens,
         "language_id": _q_language_id,
         "quality_scores": _q_quality_scores,
@@ -4430,6 +4452,7 @@ def oracle_sql() -> dict[str, str]:
         "median_order_value": _MEDIAN_ORDER_SQL,
         "weighted_median_price": _WEIGHTED_MEDIAN_PRICE_SQL,
         "pps_sample": _PPS_SAMPLE_SQL,
+        "profile_documents": _PROFILE_DOCUMENTS_SQL,
         "top_tokens": _TOP_TOKENS_SQL,
         "training_corpus_counts": _training_corpus_sql(),
         "ingest_increment_counts": _ingest_increment_sql(),

@@ -1675,6 +1675,75 @@ def grouped_quantile_sketch(
 # ---------------------------------------------------------------- sampling
 
 
+def profile_table(ds, columns: list[str], buckets: int = 64):
+    """Data-profiling pass -- per column: row count, null count, EXACT
+    distinct count -- the first thing run against any new table. The
+    naive shape is one COUNT(DISTINCT) shuffle PER column; here ALL
+    columns share ONE token-domain exchange: each batch collapses every
+    column to its distinct non-null values, tokenizes them (full-md5 of
+    the value's string form -- the repo's exact-dedup convention, 128-bit
+    so collision-free in practice), and ships (col, token) pairs; buckets
+    dedup across batches and emit per-column partial distinct counts; a
+    tiny bounded final (one row per column) folds counts and nulls.
+
+    Returns (col, n_rows, n_nulls, n_distinct), one row per column.
+    """
+    import hashlib
+
+    from .relational import hash_bucket_column, tiny_final_groupby
+
+    cols = list(columns)
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n": pa.array([n] * len(cols), pa.int64()),
+                "nulls": pa.array(
+                    [batch.column(c).null_count for c in cols], pa.int64()
+                ),
+            }
+        )
+
+    def token_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_c, out_t = [], []
+        for c in cols:
+            v = batch.column(c).drop_null()
+            uniq = pc.unique(v.combine_chunks())
+            toks = [hashlib.md5(str(x).encode()).hexdigest()
+                    for x in uniq.to_pylist()]
+            out_c.extend([c] * len(toks))
+            out_t.extend(toks)
+        return pa.table({"col": pa.array(out_c, pa.string()),
+                         "tok": pa.array(out_t, pa.string())})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "tok", buckets)
+
+    def bucket_distinct(group: pd.DataFrame) -> pd.DataFrame:
+        d = group.drop_duplicates(["col", "tok"]).groupby("col").size()
+        return pd.DataFrame({"col": d.index.to_numpy(),
+                             "nd": d.to_numpy(np.int64)})
+
+    stats = tiny_final_groupby(
+        ds.map_batches(counts_partial, batch_format="pyarrow"),
+        ["col"], [("n", "sum"), ("nulls", "sum")], ["col", "n_rows", "n_nulls"],
+    ).to_pandas().set_index("col")
+    distinct = (
+        ds.map_batches(token_partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .to_pandas().groupby("col")["nd"].sum()
+    )
+    out = stats.loc[cols].reset_index()
+    out["n_distinct"] = [int(distinct.get(c, 0)) for c in cols]
+    return out
+
+
 def pps_systematic_sample(ds, id_col: str = "doc_id",
                           weight_col: str = "n_chars", k: int = 500,
                           buckets: int | None = None):

@@ -3070,6 +3070,51 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestProfileTable:
+    def test_hand_built_with_nulls_and_dupes(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pa.table({
+            "a": pa.array([1, 1, 2, None, 3], pa.int64()),
+            "b": pa.array(["x", None, None, "x", "y"], pa.string()),
+        })
+        got = (
+            analytics.profile_table(rd.from_arrow(t).repartition(3),
+                                    ["a", "b"], buckets=4)
+            .sort_values("col").reset_index(drop=True)
+        )
+        assert got["col"].tolist() == ["a", "b"]
+        assert got["n_rows"].tolist() == [5, 5]
+        assert got["n_nulls"].tolist() == [1, 2]
+        assert got["n_distinct"].tolist() == [3, 2]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = (
+            analytics.profile_table(
+                rd.read_parquet(f"{SF}/documents.parquet"),
+                ["doc_id", "text", "lang", "source", "n_chars"])
+            .sort_values("col").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS col, COUNT(*) AS n_rows, "
+                f"COUNT(*) - COUNT({c}) AS n_nulls, "
+                f"COUNT(DISTINCT {c}) AS n_distinct "
+                f"FROM '{SF}/documents.parquet'"
+                for c in ["doc_id", "text", "lang", "source", "n_chars"])
+            + " ORDER BY col"
+        ).df()
+        for c in ["n_rows", "n_nulls", "n_distinct"]:
+            assert got[c].tolist() == exp[c].astype(int).tolist(), c
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestBasketLift:
     def test_hand_built_lift_separates_popular_from_associated(self):
         import ray.data as rd
