@@ -2292,6 +2292,29 @@ _ORDER_DECILE_STATS_SQL = (
 )
 
 
+def _q_weekly_revenue_wow(sf_dir: str):
+    """Week-over-week revenue deltas (relational.period_over_period):
+    per-batch period collapse, bounded-domain single-block LAG; integer
+    cents end-to-end, gap weeks skipped like SQL LAG."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/orders.parquet",
+                      ["o_orderdate", "o_totalprice"])
+    return relational.period_over_period(ds, "o_orderdate", "o_totalprice",
+                                         period_days=7)
+
+
+_WEEKLY_REVENUE_WOW_SQL = (
+    "WITH w AS (SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 604800 "
+    "AS period, SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS rev "
+    "FROM orders GROUP BY 1) "
+    "SELECT period, CAST(rev AS BIGINT) AS rev_cents, "
+    "CAST(COALESCE(LAG(rev) OVER (ORDER BY period), 0) AS BIGINT) AS prev_cents, "
+    "CAST(rev - COALESCE(LAG(rev) OVER (ORDER BY period), 0) AS BIGINT) "
+    "AS delta_cents FROM w"
+)
+
+
 def _q_order_value_gini(sf_dir: str):
     """Revenue concentration: exact Gini coefficient of order totals in
     ppm (relational.gini_ppm) -- rank formulation over the shared range
@@ -3265,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pit_value_join": _q_pit_value_join,
         "order_decile_stats": _q_order_decile_stats,
         "order_value_gini": _q_order_value_gini,
+        "weekly_revenue_wow": _q_weekly_revenue_wow,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4835,6 +4859,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_value_join": _PIT_VALUE_JOIN_SQL,
         "order_decile_stats": _ORDER_DECILE_STATS_SQL,
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
+        "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

@@ -1825,6 +1825,52 @@ def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
     )
 
 
+def period_over_period(ds, ts_col: str = "o_orderdate",
+                       val_col: str = "o_totalprice", period_days: int = 7):
+    """Period-over-period report: value summed per period (epoch-aligned
+    ``period_days`` windows) with the previous EXISTING period's total and
+    the delta -- the week-over-week growth table every dashboard opens
+    with. Gap periods are skipped, matching SQL LAG over the aggregated
+    rows (not a calendar join). All integer cents: no ratio, no float.
+
+    Scale shape: per-batch (period, cents-sum) collapse -> the
+    tiny-final-groupby merge (period domain is bounded: ~52 rows/year at
+    ANY corpus size) -> single-block sort + shift for prev/delta.
+
+    Returns (period, rev_cents, prev_cents, delta_cents); the first
+    period's prev is 0 (COALESCE semantics).
+    """
+    period_us = 86_400_000_000 * int(period_days)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column(ts_col).cast(pa.int64()).to_numpy() // period_us
+        c = _cents(batch.column(val_col)).to_numpy()
+        up, inv = np.unique(p, return_inverse=True)
+        s = np.zeros(len(up), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"period": pa.array(up, pa.int64()),
+                         "rev": pa.array(s, pa.int64())})
+
+    def lag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("period", sort=True)["rev"].sum()
+        rev = df.to_numpy(np.int64)
+        prev = np.r_[0, rev[:-1]]
+        return pa.table(
+            {
+                "period": pa.array(df.index.to_numpy(np.int64), pa.int64()),
+                "rev_cents": pa.array(rev, pa.int64()),
+                "prev_cents": pa.array(prev, pa.int64()),
+                "delta_cents": pa.array(rev - prev, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(lag, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def gini_ppm(ds, val_col: str, buckets: int | None = None) -> int:
     """Gini coefficient of a value column in parts-per-million -- the
     inequality / concentration measure (how skewed is revenue across

@@ -3070,6 +3070,55 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestPeriodOverPeriod:
+    def test_hand_built_gap_periods_skip(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        day_us = 86_400_000_000
+        # periods 0, 0, 2 (period 1 empty): LAG skips the gap
+        t = pa.table({
+            "ts": pa.array([0, 3 * day_us, 15 * day_us], pa.int64()),
+            "v": pa.array([1.00, 2.00, 10.00]),
+        })
+        got = (
+            relational.period_over_period(rd.from_arrow(t).repartition(2),
+                                          "ts", "v", period_days=7)
+            .to_pandas().sort_values("period").reset_index(drop=True)
+        )
+        assert got["period"].tolist() == [0, 2]
+        assert got["rev_cents"].tolist() == [300, 1000]
+        assert got["prev_cents"].tolist() == [0, 300]
+        assert got["delta_cents"].tolist() == [300, 700]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+        got = (
+            relational.period_over_period(ds, period_days=7)
+            .to_pandas().sort_values("period").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH w AS (SELECT CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 604800
+                       AS period,
+                       SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS rev
+                       FROM '{SF}/orders.parquet' GROUP BY 1)
+            SELECT period, rev,
+                   COALESCE(LAG(rev) OVER (ORDER BY period), 0) AS prev
+            FROM w ORDER BY period
+            """
+        ).df()
+        assert got["rev_cents"].tolist() == exp["rev"].astype(int).tolist()
+        assert got["prev_cents"].tolist() == exp["prev"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestProfileTable:
     def test_hand_built_with_nulls_and_dupes(self):
         import ray.data as rd
