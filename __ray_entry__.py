@@ -1433,6 +1433,31 @@ def _bfs_levels_sql(max_rounds: int = 8) -> str:
     return f"{body} SELECT node AS doc_id, level FROM l{max_rounds}"
 
 
+def _q_rnn_pairs(sf_dir: str):
+    """Reciprocal nearest neighbors: mutual cosine top-5 pairs over the
+    embeddings table (analytics.rnn_pairs) -- blocked matmul knn against
+    the bounded broadcast, then one pair-domain mutuality exchange."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return analytics.rnn_pairs(ds, k=5)
+
+
+_RNN_PAIRS_SQL = (
+    "WITH knn AS (SELECT a.vec_id AS src, b.vec_id AS nbr "
+    "FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id "
+    "QUALIFY row_number() OVER (PARTITION BY a.vec_id "
+    "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, "
+    "b.vec_id) <= 5) "
+    "SELECT k1.src AS vec_id_a, k1.nbr AS vec_id_b FROM knn k1 "
+    "JOIN knn k2 ON k2.src = k1.nbr AND k2.nbr = k1.src "
+    "WHERE k1.src < k1.nbr"
+)
+
+
 def _q_kmeans_clusters(sf_dir: str):
     """Distributed Lloyd k-means (integer arithmetic end-to-end); the oracle
     unrolls the identical quantize -> md5-seed -> assign -> floor-mean loop
@@ -3251,6 +3276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keepers": _q_semdedup_keepers,
         "pagerank_top": _q_pagerank_top,
         "bfs_levels": _q_bfs_levels,
+        "rnn_pairs": _q_rnn_pairs,
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
@@ -4829,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keepers": _semdedup_sql(k=8, iters=3, scale=1000, threshold=0.4),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
+        "rnn_pairs": _RNN_PAIRS_SQL,
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
         "decayed_user_value": (

@@ -886,6 +886,92 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, id_col: str = "vec_id", emb_c
     )
 
 
+def rnn_pairs(ds, k: int = 5, id_col: str = "vec_id",
+              emb_col: str = "embedding", max_bytes: int = 256 << 20):
+    """Reciprocal nearest neighbors: pairs (a, b) where b is in a's cosine
+    top-k AND a is in b's -- the symmetric filter behind translation-pair
+    mining and near-dup confirmation (a one-way neighbor is often just a
+    hub vector; mutuality is the cheap fix). Tie-break (sim desc, id asc)
+    shared with the SQL replay.
+
+    Scale shape: the reference matrix is the documented bounded driver
+    collect (same contract as the ngram verify broadcast: loud raise past
+    ``max_bytes`` pointing at the cluster-bucketed shape --
+    ``semdedup_keepers``'s per-cluster kernel -- for larger tables); knn
+    is one blocked matmul per batch against the broadcast; the mutual
+    filter is ONE pair-domain exchange (canonical (min, max) key,
+    groupby-count, keep count == 2 -- each direction contributes at most
+    once). Returns (vec_id_a, vec_id_b) with a < b.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    ids_list, vecs = [], []
+    nbytes = 0
+    for t in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_format="pyarrow"):
+        ids_list.append(t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        m = sk.to_matrix(t.column(emb_col))
+        nbytes += m.nbytes
+        if nbytes > max_bytes:
+            raise ValueError(
+                "rnn_pairs: reference matrix exceeds max_bytes; use the "
+                "cluster-bucketed shape (see semdedup_keepers) past this size"
+            )
+        vecs.append(m)
+    ref_ids = np.concatenate(ids_list)
+    if ref_ids.size and int(ref_ids.max()) >= (1 << 31):
+        raise ValueError("rnn_pairs: ids must fit 31 bits for the pair key")
+    ref = sk.normalize(np.concatenate(vecs).astype(np.float64))
+    order = np.argsort(ref_ids, kind="stable")
+    ref_ids, ref = ref_ids[order], ref[order]
+    ids_h, ref_h = ray.put(ref_ids), ray.put(ref)
+
+    def knn(batch: pa.Table) -> pa.Table:
+        rid, R = ray.get(ids_h), ray.get(ref_h)
+        x = sk.normalize(sk.to_matrix(batch.column(emb_col)).astype(np.float64))
+        bids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = x @ R.T
+        pos = np.clip(np.searchsorted(rid, bids), 0, len(rid) - 1)
+        hit = rid[pos] == bids
+        sims[np.arange(len(bids))[hit], pos[hit]] = -np.inf  # exclude self
+        # stable argsort on -sims breaks ties by column index, and R is
+        # sorted by id -- exactly the (sim desc, id asc) SQL tie-break
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :min(k, sims.shape[1])]
+        return pa.table(
+            {
+                "src": pa.array(np.repeat(bids, top.shape[1]), pa.int64()),
+                "nbr": pa.array(rid[top.ravel()], pa.int64()),
+            }
+        )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        n = batch.column("nbr").to_numpy(zero_copy_only=False)
+        key = (np.minimum(s, n) << 32) | np.maximum(s, n)
+        return pa.table({"key": pa.array(key, pa.int64())})
+
+    counted = (
+        ds.map_batches(knn, batch_format="pyarrow", batch_size=1024)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby("key")
+        .count()
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("count()"), 2))
+        key = b.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(key >> 32, pa.int64()),
+                "vec_id_b": pa.array(key & 0xFFFFFFFF, pa.int64()),
+            }
+        )
+
+    return counted.map_batches(decode, batch_format="pyarrow")
+
+
 def ivf_topk(
     ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16, n_probe: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding", sample_size: int = 2048, seed: int = 7,

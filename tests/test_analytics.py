@@ -3070,6 +3070,57 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestRnnPairs:
+    def test_hand_built_mutuality(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 2-D toy: 0 and 1 are each other's NN (mutual); 2's NN is 0 but
+        # 0's NN is 1 -- with k=1 only (0,1) survives.
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.99, 0.14], [0.2, 0.98]],
+                                  pa.list_(pa.float32())),
+        })
+        got = (
+            analytics.rnn_pairs(rd.from_arrow(t).repartition(2), k=1)
+            .to_pandas().sort_values(["vec_id_a", "vec_id_b"])
+        )
+        assert list(zip(got["vec_id_a"], got["vec_id_b"])) == [(0, 1)]
+
+    def test_matches_duckdb_and_symmetry(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        got = (
+            analytics.rnn_pairs(ds, k=4)
+            .to_pandas().sort_values(["vec_id_a", "vec_id_b"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH knn AS (SELECT a.vec_id AS src, b.vec_id AS nbr
+                 FROM '{SF}/embeddings.parquet' a
+                 CROSS JOIN '{SF}/embeddings.parquet' b
+                 WHERE a.vec_id <> b.vec_id
+                 QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_cosine_similarity(a.embedding, b.embedding) DESC,
+                 b.vec_id) <= 4)
+            SELECT k1.src AS a, k1.nbr AS b FROM knn k1
+            JOIN knn k2 ON k2.src = k1.nbr AND k2.nbr = k1.src
+            WHERE k1.src < k1.nbr ORDER BY a, b
+            """
+        ).df()
+        assert got["vec_id_a"].tolist() == exp["a"].astype(int).tolist()
+        assert got["vec_id_b"].tolist() == exp["b"].astype(int).tolist()
+        assert (got["vec_id_a"] < got["vec_id_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestPeriodOverPeriod:
     def test_hand_built_gap_periods_skip(self):
         import ray.data as rd
