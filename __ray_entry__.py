@@ -1433,6 +1433,30 @@ def _bfs_levels_sql(max_rounds: int = 8) -> str:
     return f"{body} SELECT node AS doc_id, level FROM l{max_rounds}"
 
 
+def _q_kmeans_inertia(sf_dir: str):
+    """Per-cluster size + exact integer inertia for the shared Lloyd fit
+    (analytics.kmeans_inertia); the oracle folds the winning distance from
+    the existing assignment CTEs' dF."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return analytics.kmeans_inertia(ds, k=8, iters=3)
+
+
+def _kmeans_inertia_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
+    """Inertia on top of the shared assignment CTEs: the per-vector winning
+    (d, cid) row from dF, folded per cluster."""
+    return _kmeans_assign_ctes(k=k, iters=iters, scale=scale) + (
+        "SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(d) AS BIGINT) AS inertia FROM "
+        "(SELECT vec_id, cid, d, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY d, cid) AS rn FROM dF) WHERE rn = 1 GROUP BY cid"
+    )
+
+
 def _q_rnn_pairs(sf_dir: str):
     """Reciprocal nearest neighbors: mutual cosine top-5 pairs over the
     embeddings table (analytics.rnn_pairs) -- blocked matmul knn against
@@ -3277,6 +3301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top": _q_pagerank_top,
         "bfs_levels": _q_bfs_levels,
         "rnn_pairs": _q_rnn_pairs,
+        "kmeans_inertia": _q_kmeans_inertia,
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
@@ -4856,6 +4881,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
         "rnn_pairs": _RNN_PAIRS_SQL,
+        "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
         "decayed_user_value": (

@@ -3695,6 +3695,53 @@ def kmeans_clusters(
     )
 
 
+def kmeans_inertia(ds, k: int = 8, iters: int = 3, id_col: str = "vec_id",
+                   emb_col: str = "embedding", scale: int = 1000):
+    """Clustering quality audit: per final cluster, size and EXACT integer
+    inertia (sum of squared quantized distances to the assigned centroid)
+    -- the number an elbow plot or a cluster-health monitor reads. Shares
+    ``_kmeans_fit`` (same seeding, same integer rounding, same (d, cid)
+    argmin tie-break) so the SQL replay rides the existing assignment
+    CTEs and just folds the winning distance.
+
+    Plan shape: the quantized projection + fit as kmeans_clusters (map +
+    tiny reduce per round, no shuffle); ONE extra assignment pass emitting
+    <= k partial rows per batch; tiny bounded final. Integer end-to-end.
+
+    Returns (cluster_id, n_vecs, inertia) for non-empty final clusters.
+    """
+    import ray
+
+    from .relational import tiny_final_groupby
+
+    qds = _kmeans_quantize(ds, id_col, emb_col, scale).materialize()
+    C = _kmeans_fit(qds, k=k, iters=iters, id_col=id_col)
+    handle = ray.put(C)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Cm = ray.get(handle)
+        Q = np.stack(batch.column("q").to_pylist()).astype(np.int64)
+        d = ((Q[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d, axis=1)  # first minimum == lowest cid tie-break
+        dmin = d[np.arange(len(Q)), cid]
+        u, inv = np.unique(cid, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, dmin)
+        return pa.table(
+            {
+                "cluster_id": pa.array(u.astype(np.int64), pa.int64()),
+                "n_vecs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "inertia": pa.array(s, pa.int64()),
+            }
+        )
+
+    parts = qds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return tiny_final_groupby(
+        parts, ["cluster_id"], [("n_vecs", "sum"), ("inertia", "sum")],
+        ["cluster_id", "n_vecs", "inertia"],
+    )
+
+
 def _kmeans_quantize(ds, id_col: str, emb_col: str, scale: int):
     """(id, q) integer-quantized projection of an embedding column — the
     float-free input every kmeans stage (and its SQL replay) agrees on."""

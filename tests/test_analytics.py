@@ -3070,6 +3070,39 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestKmeansInertia:
+    def test_consistent_with_kmeans_clusters_and_numpy(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+        from distributed_system___ocr_ray.pipelines.analytics import (
+            _kmeans_fit, _kmeans_quantize)
+
+        base = rd.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+        got = (
+            analytics.kmeans_inertia(base, k=4, iters=2)
+            .to_pandas().sort_values("cluster_id").reset_index(drop=True)
+        )
+        # sizes must agree with the fingerprint query's clustering
+        sizes = (
+            analytics.kmeans_clusters(base, k=4, iters=2)
+            .to_pandas().sort_values("cluster_id").reset_index(drop=True)
+        )
+        assert got["cluster_id"].tolist() == sizes["cluster_id"].tolist()
+        assert got["n_vecs"].tolist() == sizes["n_vecs"].tolist()
+        # numpy reference inertia over the same quantized projection
+        qds = _kmeans_quantize(base, "vec_id", "embedding", 1000)
+        Q = np.stack(qds.to_pandas()["q"].tolist()).astype(np.int64)
+        C = _kmeans_fit(qds.materialize(), k=4, iters=2, id_col="vec_id")
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d, axis=1)
+        ref = {c: int(d[cid == c, c].sum()) for c in np.unique(cid)}
+        assert {int(r.cluster_id): int(r.inertia)
+                for r in got.itertuples()} == ref
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestRnnPairs:
     def test_hand_built_mutuality(self):
         import ray.data as rd
