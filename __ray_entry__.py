@@ -2341,6 +2341,56 @@ _ORDER_DECILE_STATS_SQL = (
 )
 
 
+def _q_spike_days(sf_dir: str):
+    """Daily spend-anomaly flags (relational.spike_days): a day spikes
+    when its total beats 2x the trailing-28-observed-day mean, compared
+    in cross-multiplied integer form -- bounded day domain, single-block
+    prefix-sum window."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/events.parquet", ["ts", "value"])
+    return relational.spike_days(ds, "ts", "value")
+
+
+_SPIKE_DAYS_SQL = (
+    "WITH d AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, "
+    "SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS rev FROM events GROUP BY 1), "
+    "w AS (SELECT day, rev, COALESCE(SUM(rev) OVER (ORDER BY day "
+    "ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING), 0) AS sp, "
+    "COUNT(rev) OVER (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) "
+    "AS np FROM d) "
+    "SELECT day, CAST(rev AS BIGINT) AS rev_cents, "
+    "CAST(CASE WHEN np >= 7 AND rev * np > 2 * sp THEN 1 ELSE 0 END AS BIGINT) "
+    "AS spike FROM w"
+)
+
+
+def _q_fulfillment_latency(sf_dir: str):
+    """Fulfillment SLA: exact p50/p90 of (last ship day - order day) per
+    priority (relational.fulfillment_latency); one orderkey exchange
+    resolves per-order max ship day, the bounded (priority, latency)
+    count table is the quantile's sufficient statistic."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.fulfillment_latency(sf_dir)
+
+
+_FULFILLMENT_LATENCY_SQL = (
+    "WITH per AS (SELECT o.o_orderpriority AS pri, "
+    "MAX(CAST(FLOOR(epoch(l.l_shipdate)) AS BIGINT) // 86400) - "
+    "CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lat "
+    "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate), "
+    "c AS (SELECT pri, lat, COUNT(*) AS n FROM per GROUP BY 1, 2), "
+    "w AS (SELECT pri, lat, SUM(n) OVER (PARTITION BY pri ORDER BY lat) AS cum, "
+    "SUM(n) OVER (PARTITION BY pri) AS tot FROM c) "
+    "SELECT pri AS o_orderpriority, CAST(MAX(tot) AS BIGINT) AS n_orders, "
+    "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN lat END) AS BIGINT) AS p50_days, "
+    "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN lat END) AS BIGINT) AS p90_days "
+    "FROM w GROUP BY pri"
+)
+
+
 def _q_weekly_revenue_wow(sf_dir: str):
     """Week-over-week revenue deltas (relational.period_over_period):
     per-batch period collapse, bounded-domain single-block LAG; integer
@@ -3340,6 +3390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_decile_stats": _q_order_decile_stats,
         "order_value_gini": _q_order_value_gini,
         "weekly_revenue_wow": _q_weekly_revenue_wow,
+        "fulfillment_latency": _q_fulfillment_latency,
+        "spike_days": _q_spike_days,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
@@ -4913,6 +4965,8 @@ def oracle_sql() -> dict[str, str]:
         "order_decile_stats": _ORDER_DECILE_STATS_SQL,
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
+        "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "spike_days": _SPIKE_DAYS_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,
         "bucketed_join_revenue": _BUCKETED_JOIN_REVENUE_SQL,

@@ -1825,6 +1825,113 @@ def global_rank(ds, val_col: str, id_col: str, buckets: int | None = None):
     )
 
 
+def fulfillment_latency(sf_dir: str, buckets: int = 64):
+    """Order-fulfillment SLA report: per order priority, the exact p50 and
+    p90 of (last ship day - order day) in days -- the join-then-quantile
+    every ops dashboard runs. The latency domain is small bounded integers
+    (days), so the exact grouped quantile needs NO bisection or sort: a
+    (priority, latency) count table IS the sufficient statistic.
+
+    Scale shape: both tables project narrow map-side and co-locate with
+    ONE orderkey-domain hash exchange (an order's lineitems land with its
+    order row); the per-bucket kernel resolves each order's MAX ship day
+    vectorized (factorize + maximum.at), subtracts the order day, and
+    emits (priority, latency) COUNT partials -- the second exchange is the
+    tiny bounded count table; the single final block reads quantiles off
+    cumulative counts. Orders with no lineitems drop (inner semantics).
+
+    Returns (o_orderpriority, n_orders, p50_days, p90_days).
+    """
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "day": pa.array(
+                    batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+                    // 86_400_000_000, pa.int64()),
+                "pri": batch.column("o_orderpriority"),
+                "side": pa.array([0] * batch.num_rows, pa.int8()),
+            }
+        )
+        return hash_bucket_column(t, "okey", buckets)
+
+    def tag_items(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "day": pa.array(
+                    batch.column("l_shipdate").cast(pa.int64()).to_numpy()
+                    // 86_400_000_000, pa.int64()),
+                "pri": pa.nulls(batch.num_rows, pa.string()),
+                "side": pa.array([1] * batch.num_rows, pa.int8()),
+            }
+        )
+        return hash_bucket_column(t, "okey", buckets)
+
+    def latency_counts(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["side"].to_numpy(np.int8)
+        ok = group["okey"].to_numpy(np.int64)
+        day = group["day"].to_numpy(np.int64)
+        is_o = side == 0
+        o_key, o_day = ok[is_o], day[is_o]
+        o_pri = group["pri"].to_numpy()[is_o]
+        l_key, l_day = ok[~is_o], day[~is_o]
+        # per-order max ship day, vectorized over all orders in the bucket
+        uo = np.sort(np.unique(o_key))
+        pos = np.searchsorted(uo, l_key)
+        hit = (pos < len(uo)) & (uo[np.clip(pos, 0, len(uo) - 1)] == l_key)
+        mx = np.full(len(uo), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, pos[hit], l_day[hit])
+        opos = np.searchsorted(uo, o_key)
+        lat = mx[opos] - o_day
+        keep = mx[opos] != np.iinfo(np.int64).min  # orders with >= 1 item
+        df = pd.DataFrame({"pri": o_pri[keep], "lat": lat[keep]})
+        c = df.groupby(["pri", "lat"], sort=False).size().rename("n").reset_index()
+        return c
+
+    merged = (
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+        .union(items.map_batches(tag_items, batch_format="pyarrow"))
+        .groupby("__bucket")
+        .map_groups(latency_counts, batch_format="pandas")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import math
+
+        df = batch.to_pandas().groupby(["pri", "lat"], sort=True)["n"].sum().reset_index()
+        out = {"o_orderpriority": [], "n_orders": [], "p50_days": [], "p90_days": []}
+        for pri, g in df.groupby("pri", sort=True):
+            lat = g["lat"].to_numpy(np.int64)
+            cum = g["n"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            out["o_orderpriority"].append(pri)
+            out["n_orders"].append(n)
+            out["p50_days"].append(int(lat[np.searchsorted(cum, math.ceil(0.5 * n))]))
+            out["p90_days"].append(int(lat[np.searchsorted(cum, math.ceil(0.9 * n))]))
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+                "n_orders": pa.array(out["n_orders"], pa.int64()),
+                "p50_days": pa.array(out["p50_days"], pa.int64()),
+                "p90_days": pa.array(out["p90_days"], pa.int64()),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None)
+
+
 def period_over_period(ds, ts_col: str = "o_orderdate",
                        val_col: str = "o_totalprice", period_days: int = 7):
     """Period-over-period report: value summed per period (epoch-aligned
@@ -1868,6 +1975,57 @@ def period_over_period(ds, ts_col: str = "o_orderdate",
         ds.map_batches(partial, batch_format="pyarrow")
         .repartition(1)
         .map_batches(lag, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def spike_days(ds, ts_col: str = "ts", val_col: str = "value",
+               window: int = 28, min_prev: int = 7, mult: int = 2):
+    """Daily anomaly flags: a day is a SPIKE when its total exceeds
+    ``mult`` x the mean of the previous up-to-``window`` observed days
+    (at least ``min_prev`` of them, else no verdict) -- the monitoring
+    alert behind every pipeline-health dashboard. The comparison is the
+    cross-multiplied integer form ``rev * n_prev > mult * sum_prev``: no
+    float mean, no rounding boundary.
+
+    Scale shape: per-batch (day, cents) collapse -> bounded day domain ->
+    single-block vectorized prefix-sum sliding window (ROWS semantics:
+    previous OBSERVED days, matching SQL ROWS BETWEEN ... PRECEDING).
+
+    Returns (day, rev_cents, spike 0/1).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column(ts_col).cast(pa.int64()).to_numpy() // 86_400_000_000
+        c = _cents(batch.column(val_col)).to_numpy()
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.zeros(len(ud), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"day": pa.array(ud, pa.int64()),
+                         "rev": pa.array(s, pa.int64())})
+
+    def flag(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("day", sort=True)["rev"].sum()
+        day = df.index.to_numpy(np.int64)
+        rev = df.to_numpy(np.int64)
+        cum = np.concatenate(([0], np.cumsum(rev)))
+        i = np.arange(len(rev))
+        lo = np.maximum(0, i - window)
+        n_prev = i - lo
+        sum_prev = cum[i] - cum[lo]
+        spike = ((n_prev >= min_prev)
+                 & (rev * n_prev > mult * sum_prev)).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "rev_cents": pa.array(rev, pa.int64()),
+                "spike": pa.array(spike, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(flag, batch_format="pyarrow", batch_size=None)
     )
 
 

@@ -3070,6 +3070,89 @@ class TestConversionWithin:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestFulfillmentLatency:
+    def test_matches_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            relational.fulfillment_latency(SF)
+            .to_pandas().sort_values("o_orderpriority").reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH per AS (SELECT o.o_orderpriority AS pri,
+                 MAX(CAST(FLOOR(epoch(l.l_shipdate)) AS BIGINT) // 86400) -
+                 CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) // 86400 AS lat
+                 FROM '{SF}/orders.parquet' o
+                 JOIN '{SF}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+                 GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate),
+            c AS (SELECT pri, lat, COUNT(*) AS n FROM per GROUP BY 1, 2),
+            w AS (SELECT pri, lat,
+                  SUM(n) OVER (PARTITION BY pri ORDER BY lat) AS cum,
+                  SUM(n) OVER (PARTITION BY pri) AS tot FROM c)
+            SELECT pri, MAX(tot) AS n_orders,
+                   MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN lat END) AS p50,
+                   MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN lat END) AS p90
+            FROM w GROUP BY pri ORDER BY pri
+            """
+        ).df()
+        assert got["o_orderpriority"].tolist() == exp["pri"].tolist()
+        assert got["n_orders"].tolist() == exp["n_orders"].astype(int).tolist()
+        assert got["p50_days"].tolist() == exp["p50"].astype(int).tolist()
+        assert got["p90_days"].tolist() == exp["p90"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSpikeDays:
+    def test_hand_built_spike(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        day_us = 86_400_000_000
+        # 8 quiet days at 1.00, then day 8 at 10.00: spikes (np=8 >= 3,
+        # 1000*8 > 2*800). Day 2 (np=2 < min_prev) never flags.
+        ts, vals = [], []
+        for d in range(8):
+            ts.append(d * day_us)
+            vals.append(1.00)
+        ts.append(8 * day_us)
+        vals.append(10.00)
+        t = pa.table({"ts": pa.array(ts, pa.int64()),
+                      "value": pa.array(vals, pa.float64())})
+        got = (
+            relational.spike_days(rd.from_arrow(t).repartition(3), "ts",
+                                  "value", window=28, min_prev=3, mult=2)
+            .to_pandas().sort_values("day").reset_index(drop=True)
+        )
+        assert got["spike"].tolist() == [0] * 8 + [1]
+
+    def test_matches_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "value"])
+        got = (relational.spike_days(ds).to_pandas()
+               .sort_values("day").reset_index(drop=True))
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+                 SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS rev
+                 FROM '{SF}/events.parquet' GROUP BY 1),
+            w AS (SELECT day, rev, COALESCE(SUM(rev) OVER (ORDER BY day
+                  ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING), 0) AS sp,
+                  COUNT(rev) OVER (ORDER BY day
+                  ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING) AS np FROM d)
+            SELECT day, rev, CASE WHEN np >= 7 AND rev * np > 2 * sp
+                   THEN 1 ELSE 0 END AS spike FROM w ORDER BY day
+            """
+        ).df()
+        assert got["rev_cents"].tolist() == exp["rev"].astype(int).tolist()
+        assert got["spike"].tolist() == exp["spike"].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestKmeansInertia:
     def test_consistent_with_kmeans_clusters_and_numpy(self):
         import ray.data as rd
