@@ -171,7 +171,9 @@ def run_bench() -> dict:
         "peak_concurrent_sessions", "conversion_within",
         "rolling_active_users", "pit_value_join", "order_decile_stats",
         "weighted_median_price", "pps_sample", "order_value_gini",
-        "bfs_levels",
+        "bfs_levels", "basket_lift", "profile_documents",
+        "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
+        "fulfillment_latency", "spike_days",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)
