@@ -1354,6 +1354,43 @@ def _q_triangle_count(sf_dir: str):
     return analytics.triangle_count(ds)
 
 
+def _q_in_degree_histogram(sf_dir: str):
+    """In-degree distribution of the derived citation graph (0-degree row
+    included closed-form); the oracle replays the shared edge CTEs plus a
+    LEFT JOIN COALESCE(0) double GROUP BY."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.in_degree_histogram(ds)
+
+
+def _q_table_checksum(sf_dir: str):
+    """Order-independent uint64 content fingerprint of the documents table
+    (anti-entropy verification); oracle replays the chr(31) serialization +
+    md5-prefix UBIGINT + HUGEINT wrap-sum mod 2^64."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    return analytics.table_checksum(ds, cols)
+
+
+def _q_phrase_doc_counts(sf_dir: str):
+    """Docs per language containing the token bigram 'order fast' (phrase
+    search over the shared '[a-z0-9]+' tokenization); oracle replays via
+    shifted list_zip equality on regexp_extract_all."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return analytics.phrase_doc_counts(ds, "order", "fast")
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3355,6 +3392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
+        "in_degree_histogram": _q_in_degree_histogram,
+        "table_checksum": _q_table_checksum,
+        "phrase_doc_counts": _q_phrase_doc_counts,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -4936,6 +4976,43 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
+        "in_degree_histogram": (
+            # replay of analytics.in_degree_histogram: shared edge CTEs,
+            # multi-edges counted, LEFT JOIN puts never-cited nodes at 0
+            f"WITH {_edges_ctes()}, "
+            "ind AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_degree "
+            "FROM edges GROUP BY dst), "
+            "alln AS (SELECT COALESCE(i.in_degree, 0) AS in_degree "
+            "FROM documents d LEFT JOIN ind i ON i.dst = d.doc_id) "
+            "SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes "
+            "FROM alln GROUP BY in_degree"
+        ),
+        "table_checksum": (
+            # replay of analytics.table_checksum: identical chr(31)-joined
+            # CAST serialization (NULL -> chr(0)), md5-prefix UBIGINT row
+            # hash, commutative wrap-sum mod 2^64 via HUGEINT
+            "WITH s AS (SELECT "
+            "COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || chr(31) || "
+            "COALESCE(text, chr(0)) || chr(31) || "
+            "COALESCE(lang, chr(0)) || chr(31) || "
+            "COALESCE(source, chr(0)) || chr(31) || "
+            "COALESCE(CAST(n_chars AS VARCHAR), chr(0)) AS row_s "
+            "FROM documents), "
+            f"h AS (SELECT {_MD5U64.format(v='row_s')} AS h64 FROM s) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(CAST(SUM(CAST(h64 AS HUGEINT)) % 18446744073709551616 "
+            "AS UBIGINT) AS VARCHAR) AS checksum FROM h"
+        ),
+        "phrase_doc_counts": (
+            # replay of analytics.phrase_doc_counts: same '[a-z0-9]+'
+            # lowered tokenization, shifted-index bigram containment
+            "WITH t AS (SELECT lang, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS toks FROM documents) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM t "
+            "WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)), "
+            "i -> toks[i] = 'order' AND toks[i+1] = 'fast')) > 0 "
+            "GROUP BY lang"
+        ),
         "decayed_user_value": (
             "WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events), "
             "e AS (SELECT user_id, CAST(floor(value*100 + 0.5) AS BIGINT) AS cents, "

@@ -173,7 +173,8 @@ def run_bench() -> dict:
         "weighted_median_price", "pps_sample", "order_value_gini",
         "bfs_levels", "basket_lift", "profile_documents",
         "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
-        "fulfillment_latency", "spike_days",
+        "fulfillment_latency", "spike_days", "in_degree_histogram",
+        "table_checksum", "phrase_doc_counts",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

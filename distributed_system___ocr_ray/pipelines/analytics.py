@@ -4919,3 +4919,195 @@ def typo_pairs(ds, col: str, buckets: int = 64):
         .groupby("__bucket")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def in_degree_histogram(ds, id_col: str = "doc_id"):
+    """In-degree distribution of the md5-derived citation graph (shared
+    with ``pagerank_top`` / ``triangle_count`` / ``bfs_levels`` via
+    ``derived_link_edges``) -- the first structural audit run on any link
+    graph: hub skew shows up here before it breaks a join. Out-degree is
+    1-3 by construction, so IN-degree is the informative side.
+
+    Plan: edges -> per-batch ``value_counts`` on dst (partials, at most
+    distinct-dst rows per batch) -> ONE dst-domain groupby-sum -> per-batch
+    degree ``value_counts`` partials (the md5 target distribution is
+    Binomial(2E/N, 1/N)-thin, so the degree domain is O(log N / log log N)
+    -- bounded, which is what licenses ``tiny_final_groupby``) -> the
+    0-in-degree row is closed-form (N minus cited-node count) and is
+    appended inside the single final block, no extra pass.
+
+    Returns (in_degree, n_nodes), 0-degree row included.
+    Reference analogue: the manager's per-URL result-counter audit
+    (``Manager.java:351-369`` counter hashmaps) generalized to graph form.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import tiny_final_groupby
+
+    n = ds.count()
+    edges = derived_link_edges(ds, n, id_col=id_col).select_columns(["dst"])
+
+    def dst_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("dst").combine_chunks())
+        return pa.table(
+            {
+                "dst": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    per_node = (
+        edges.map_batches(dst_partial, batch_format="pyarrow")
+        .groupby("dst")
+        .aggregate(Sum("c", alias_name="in_degree"))
+    )
+
+    def degree_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("in_degree").combine_chunks())
+        return pa.table(
+            {
+                "in_degree": vc.field("values").cast(pa.int64()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = tiny_final_groupby(
+        per_node.map_batches(degree_partial, batch_format="pyarrow"),
+        ["in_degree"],
+        [("n", "sum")],
+        ["in_degree", "n_nodes"],
+    )
+
+    def add_zero_row(batch: pa.Table) -> pa.Table:
+        cited = pc.sum(batch.column("n_nodes")).as_py() or 0
+        uncited = n - cited
+        if uncited > 0:
+            zero = pa.table(
+                {
+                    "in_degree": pa.array([0], pa.int64()),
+                    "n_nodes": pa.array([uncited], pa.int64()),
+                }
+            )
+            batch = pa.concat_tables([zero, batch])
+        return batch.sort_by("in_degree")
+
+    return hist.map_batches(add_zero_row, batch_format="pyarrow", batch_size=None)
+
+
+def table_checksum(ds, columns: list[str]):
+    """Order-independent 64-bit content fingerprint of a dataset -- the
+    anti-entropy primitive for verifying a copy/migration/replica without
+    moving the data (each side computes locally; equal uint64s == equal
+    content with md5-collision probability). Row hash = md5_u64 of the
+    row's canonical serialization (values CAST to string, joined by the
+    unit separator chr(31), NULL -> chr(0)); the fold is a WRAPPING uint64
+    sum, so it is commutative -- row order, partitioning and block
+    boundaries cannot change the answer.
+
+    Exchange shape: ONE partial row per batch (n_rows + the batch's wrap
+    sum as a decimal string -- uint64 exceeds Arrow's int64, same
+    decimal-string convention as ``gini_ppm``'s rank-product term), then a
+    single-block integer fold. The cheapest possible full-table pass.
+
+    The md5 row loop is the repo's standard C-digest kernel (see
+    ``functions/dedup.md5_u64``); serialization itself is vectorized
+    (``binary_join_element_wise``). SQL replay: identical CAST || chr(31)
+    serialization, md5-prefix UBIGINT, HUGEINT sum mod 2^64.
+
+    Returns one row: (n_rows, checksum) with checksum a decimal string.
+    Reference analogue: the manager's done-counter vs expected-counter
+    equality check before declaring an app complete (``Manager.java:
+    406-460``), strengthened from row COUNT to content equality.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.dedup import md5_u64
+
+    cols = list(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in cols:
+            parts.append(pc.cast(batch.column(c), pa.string()))
+        joined = pc.binary_join_element_wise(
+            *parts, "\x1f", null_handling="replace", null_replacement="\x00"
+        )
+        n = batch.num_rows
+        h = np.fromiter(
+            (md5_u64(s.encode("utf-8")) for s in joined.to_pylist()),
+            dtype=np.uint64,
+            count=n,
+        )
+        wrap = int(h.sum(dtype=np.uint64)) if n else 0
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "s": pa.array([str(wrap)], pa.string()),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        total_n = int(pc.sum(batch.column("n")).as_py() or 0)
+        total = sum(int(x) for x in batch.column("s").to_pylist()) % (1 << 64)
+        return pa.table(
+            {
+                "n_rows": pa.array([total_n], pa.int64()),
+                "checksum": pa.array([str(total)], pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def phrase_doc_counts(ds, w1: str, w2: str, lang_col: str = "lang", text_col: str = "text"):
+    """Documents per language containing the exact token bigram
+    ``w1 w2`` -- phrase search as a corpus-wide scan (the shape behind
+    "how much of the corpus contains this boilerplate sentence"), on the
+    same '[a-z0-9]+' lowered tokenization the token-frequency family
+    shares character-for-character with its RE2 SQL replay
+    (``top_tokens``, ``collocations``).
+
+    Per batch: tokenize, one vectorized shifted-equality scan per doc
+    (numpy, no quadratic work), emit (lang, hit-count) partials; the
+    bounded lang domain licenses ``tiny_final_groupby``. Nothing but the
+    partial rows is exchanged.
+
+    Returns (lang, n_docs) for docs containing the phrase, langs with zero
+    matches omitted (exactly what the GROUP BY replay produces).
+    """
+    import re
+
+    from .relational import tiny_final_groupby
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column(lang_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        counts: dict[str, int] = {}
+        for lang, text in zip(langs, texts):
+            toks = tok_re.findall(text.lower())
+            if len(toks) < 2:
+                continue
+            a = np.asarray(toks, dtype=object)
+            if bool(np.any((a[:-1] == w1) & (a[1:] == w2))):
+                counts[lang] = counts.get(lang, 0) + 1
+        return pa.table(
+            {
+                "lang": pa.array(list(counts), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang"],
+        [("n", "sum")],
+        ["lang", "n_docs"],
+    )

@@ -4377,3 +4377,165 @@ class TestAntiJoinAgg:
         assert anti["n_matching"].tolist() == [1, 1]
         # semi + anti partition the fact table
         assert semi["n_matching"].sum() + anti["n_matching"].sum() == 4
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInDegreeHistogram:
+    def test_vs_python_replay(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = _pdf(analytics.in_degree_histogram(ds)).sort_values("in_degree")
+
+        ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_pylist()
+        n = len(ids)
+        indeg = {int(u): 0 for u in ids}
+        for u in ids:
+            u = int(u)
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % n
+                if t != u:
+                    indeg[t] += 1
+        exp: dict[int, int] = {}
+        for v in indeg.values():
+            exp[v] = exp.get(v, 0) + 1
+        assert dict(zip(got["in_degree"], got["n_nodes"])) == exp
+        # histogram accounts for every node exactly once
+        assert int(got["n_nodes"].sum()) == n
+
+    def test_zero_row_present(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = _pdf(analytics.in_degree_histogram(ds))
+        # ~e^-2 of nodes get no citations at deg ~2: the 0 row must exist
+        assert 0 in set(got["in_degree"])
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTableChecksum:
+    COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def _engine(self, tbl: pa.Table):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        df = _pdf(analytics.table_checksum(rd.from_arrow(tbl), self.COLS))
+        return int(df["n_rows"].iloc[0]), df["checksum"].iloc[0]
+
+    def test_order_and_partition_invariant(self):
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=self.COLS)
+        n1, c1 = self._engine(tbl)
+        # row-permuted copy: same content, different order/blocking
+        perm = np.random.RandomState(7).permutation(tbl.num_rows)
+        n2, c2 = self._engine(tbl.take(pa.array(perm)))
+        assert (n1, c1) == (n2, c2)
+        assert n1 == tbl.num_rows
+
+    def test_detects_single_value_change(self):
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=self.COLS)
+        _, c1 = self._engine(tbl)
+        langs = tbl["lang"].to_pylist()
+        langs[3] = langs[3] + "x"
+        mutated = tbl.set_column(
+            tbl.schema.get_field_index("lang"), "lang", pa.array(langs, pa.string())
+        )
+        _, c2 = self._engine(mutated)
+        assert c1 != c2
+
+    def test_matches_duckdb_fold(self):
+        tbl = pq.read_table(f"{SF}/documents.parquet", columns=self.COLS)
+        _, got = self._engine(tbl)
+        exp = duckdb.sql(
+            f"""
+            WITH s AS (SELECT CAST(doc_id AS VARCHAR) || chr(31) || text ||
+              chr(31) || lang || chr(31) || source || chr(31) ||
+              CAST(n_chars AS VARCHAR) AS row_s
+              FROM '{SF}/documents.parquet'),
+            h AS (SELECT CAST(('0x' || substr(md5(row_s), 1, 16)) AS UBIGINT)
+                  AS h64 FROM s)
+            SELECT CAST(CAST(SUM(CAST(h64 AS HUGEINT)) % 18446744073709551616
+                   AS UBIGINT) AS VARCHAR) AS checksum FROM h
+            """
+        ).df()["checksum"].iloc[0]
+        assert got == exp
+
+    def test_null_serialization(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "a": pa.array([1, None, 3], pa.int64()),
+                "b": pa.array(["x", "y", None], pa.string()),
+            }
+        )
+        df = _pdf(analytics.table_checksum(rd.from_arrow(tbl), ["a", "b"]))
+        exp = duckdb.sql(
+            """
+            WITH s AS (SELECT COALESCE(CAST(a AS VARCHAR), chr(0)) || chr(31)
+              || COALESCE(b, chr(0)) AS row_s FROM tbl),
+            h AS (SELECT CAST(('0x' || substr(md5(row_s), 1, 16)) AS UBIGINT)
+                  AS h64 FROM s)
+            SELECT CAST(CAST(SUM(CAST(h64 AS HUGEINT)) % 18446744073709551616
+                   AS UBIGINT) AS VARCHAR) AS checksum FROM h
+            """
+        ).df()["checksum"].iloc[0]
+        assert df["checksum"].iloc[0] == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPhraseDocCounts:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "lang": pa.array(["en", "en", "de", "de", "fr"], pa.string()),
+                "text": pa.array(
+                    [
+                        "The Order FAST path",  # case-folded hit
+                        "order slow fast order",  # no adjacent pair
+                        "x order fast y order fast",  # two hits, counts once
+                        "order, fast!",  # punctuation splits tokens: hit
+                        "fast order",  # reversed: miss
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        got = _pdf(analytics.phrase_doc_counts(rd.from_arrow(tbl), "order", "fast"))
+        assert dict(zip(got["lang"], got["n_docs"])) == {"en": 1, "de": 2}
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = _pdf(analytics.phrase_doc_counts(ds, "order", "fast"))
+        exp = duckdb.sql(
+            f"""
+            WITH t AS (SELECT lang, regexp_extract_all(lower(text),
+              '[a-z0-9]+') AS toks FROM '{SF}/documents.parquet')
+            SELECT lang, COUNT(*) AS n_docs FROM t
+            WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)),
+              i -> toks[i] = 'order' AND toks[i+1] = 'fast')) > 0
+            GROUP BY lang
+            """
+        ).df()
+        assert dict(zip(got["lang"], got["n_docs"])) == dict(
+            zip(exp["lang"], exp["n_docs"])
+        )
