@@ -775,6 +775,17 @@ def _q_docs_rollup(sf_dir: str):
     )
 
 
+def _q_docs_cube(sf_dir: str):
+    """OLAP CUBE counts over (lang, source): all four grouping sets fold
+    from the finest level inside the single final block — one shuffle,
+    not 2^k scans. Oracle: GROUP BY CUBE + COALESCE."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.cube_counts(
+        _docs(sf_dir, ["lang", "source"]), ["lang", "source"]
+    )
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the best-quality representative per content
     group (max quality_ppm, tie min doc_id) — quality computed map-side,
@@ -3373,6 +3384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "change_feed_counts": _q_change_feed_counts,
         "shipments_within_7d": _q_shipments_within_7d,
         "docs_rollup": _q_docs_rollup,
+        "docs_cube": _q_docs_cube,
         "events_pivot_daily": _q_events_pivot_daily,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
@@ -4887,6 +4899,13 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(source, 'ALL') AS source, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
             "GROUP BY ROLLUP(lang, source)"
+        ),
+        # replays _q_docs_cube: every grouping set with 'ALL' sentinels
+        "docs_cube": (
+            "SELECT COALESCE(lang, 'ALL') AS lang, "
+            "COALESCE(source, 'ALL') AS source, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY CUBE(lang, source)"
         ),
         # replays _q_dedup_keep_best: shared quality CTE, then per-content
         # argmax via the (quality DESC, doc_id ASC) window

@@ -174,7 +174,7 @@ def run_bench() -> dict:
         "bfs_levels", "basket_lift", "profile_documents",
         "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
         "fulfillment_latency", "spike_days", "in_degree_histogram",
-        "table_checksum", "phrase_doc_counts",
+        "table_checksum", "phrase_doc_counts", "docs_cube",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

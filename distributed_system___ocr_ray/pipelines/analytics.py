@@ -3340,6 +3340,50 @@ def rollup_counts(ds, keys: list[str], sentinel: str = "ALL"):
     return fine.map_batches(add_levels, batch_format="pandas", batch_size=None)
 
 
+def cube_counts(ds, keys: list[str], sentinel: str = "ALL"):
+    """OLAP CUBE over bounded-domain keys: counts at EVERY subset of
+    ``keys`` (2^k grouping sets) in ONE pass. Same plan as
+    ``rollup_counts`` -- the finest level shuffles once (per-batch
+    pre-aggregated, key-domain-sized) and every other grouping set is a
+    fold of the finest level inside the single final block; a naive CUBE
+    is 2^k scans or a 2^k-times-inflated exchange, this is neither.
+    Grouped-away columns carry ``sentinel``, matching the
+    ``COALESCE(col, 'ALL') ... GROUP BY CUBE`` SQL replay. Bounded keys
+    only (the final block holds the product domain)."""
+    from itertools import combinations
+
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys).to_pandas()
+        g = df.groupby(keys, sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    fine = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys, [("n", "sum")], [*keys, "n"],
+    )
+
+    def add_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        levels = [batch]
+        for r in range(len(keys) - 1, -1, -1):
+            for kept in combinations(keys, r):
+                lvl = (
+                    batch.groupby(list(kept), sort=False)["n"].sum().reset_index()
+                    if kept
+                    else pd.DataFrame({"n": [batch["n"].sum()]})
+                )
+                for k in keys:
+                    if k not in kept:
+                        lvl[k] = sentinel
+                levels.append(lvl[[*keys, "n"]])
+        out = pd.concat(levels, ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return fine.map_batches(add_sets, batch_format="pandas", batch_size=None)
+
+
 def collocations(
     ds,
     text_col: str = "text",

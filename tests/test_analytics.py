@@ -1838,6 +1838,28 @@ class TestRollupAndKeepBest:
             ("en", "ALL"): 3, ("fr", "ALL"): 1, ("ALL", "ALL"): 4,
         }
 
+    def test_cube_all_grouping_sets(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pa.table(
+            {
+                "lang": ["en", "en", "en", "fr"],
+                "source": ["a", "a", "b", "a"],
+            }
+        )
+        rows = analytics.cube_counts(rd.from_arrow(t), ["lang", "source"]).take_all()
+        got = {(r["lang"], r["source"]): r["n"] for r in rows}
+        # rollup sets PLUS the source-only set rollup cannot produce
+        assert got == {
+            ("en", "a"): 2, ("en", "b"): 1, ("fr", "a"): 1,
+            ("en", "ALL"): 3, ("fr", "ALL"): 1,
+            ("ALL", "a"): 3, ("ALL", "b"): 1,
+            ("ALL", "ALL"): 4,
+        }
+
     def test_keep_best_prefers_quality_then_min_id(self):
         import pyarrow as pa
         import ray.data as rd
