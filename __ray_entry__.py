@@ -223,6 +223,26 @@ def _q_events_daily(sf_dir: str):
     return relational.events_daily(sf_dir)
 
 
+def _q_daily_activity(sf_dir: str):
+    """FULL OUTER join of orders/day vs events/day with zeros where one
+    side is silent — no join operator: both sides emit two-column partials
+    into one shared bounded-day-domain fold. Oracle: FULL OUTER JOIN +
+    COALESCE."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.daily_activity_full_outer(sf_dir)
+
+
+def _q_ols_trend(sf_dir: str):
+    """Exact one-pass distributed OLS slope (order cents over days since
+    1992-01-01, per priority): five integer sufficient statistics per
+    batch, Python-int final fold, sign-split floor division to ppm.
+    Oracle: the same HUGEINT normal-equation arithmetic."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.ols_trend_by_priority(sf_dir)
+
+
 def _q_top_users(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import relational
 
@@ -3312,6 +3332,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "revenue_by_nation": _q_revenue_by_nation,
         "events_daily": _q_events_daily,
+        "daily_activity": _q_daily_activity,
+        "ols_trend": _q_ols_trend,
         "top_users_by_value": _q_top_users,
         "order_lineitem_join": _q_order_lineitem_join,
         "last_order_before_event": _q_last_order_before_event,
@@ -4675,6 +4697,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
             "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents, "
             "COUNT(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        # replays relational.daily_activity_full_outer: two independent
+        # daily aggregates reconciled with FULL OUTER + COALESCE zeros
+        "daily_activity": (
+            "WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1), "
+            "ed AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1) "
+            "SELECT COALESCE(od.day, ed.day) AS day, "
+            "COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders, "
+            "COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events "
+            "FROM od FULL OUTER JOIN ed ON od.day = ed.day"
+        ),
+        # replays relational.ols_trend_by_priority: HUGEINT normal
+        # equations, sign-split so both // operands are non-negative
+        # (truncation == floor on both engines)
+        "ols_trend": (
+            "WITH o AS (SELECT o_orderpriority AS pri, "
+            "CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) "
+            "AS HUGEINT) AS x, "
+            "CAST(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS HUGEINT) AS y "
+            "FROM orders), "
+            "s AS (SELECT pri, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM o GROUP BY pri), "
+            "c AS (SELECT pri, n, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s) "
+            "SELECT pri AS o_orderpriority, CAST(n AS BIGINT) AS n_orders, "
+            "CAST(CASE WHEN num >= 0 THEN (1000000*num) // den "
+            "ELSE -((1000000*(-num)) // den) END AS BIGINT) AS slope_ppm FROM c"
         ),
         "top_users_by_value": (
             "SELECT user_id, CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) "

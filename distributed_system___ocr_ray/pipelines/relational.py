@@ -2621,3 +2621,118 @@ def cooccurrence_counts(ds, id_col: str = "user_id", cat_col: str = "event_type"
         aggs=[("n_ids", "sum")],
         out_names=["type_a", "type_b", "n_ids"],
     )
+
+
+def daily_activity_full_outer(sf_dir: str):
+    """FULL OUTER join of two independent daily aggregates -- the
+    "activity calendar" reconciliation (orders/day vs events/day, zeros
+    where one side is silent). Neither side ships rows to the other: each
+    aggregates to its bounded day domain map-side (per-batch partials
+    carrying BOTH count columns, the absent one as 0), the union of
+    partials is one tiny final block, and the outer-join semantics fall
+    out of the shared groupby -- no join operator, no null handling.
+
+    Returns (day, n_orders, n_events)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def day_partial(col: str, as_orders: bool):
+        def partial(batch: pa.Table) -> pa.Table:
+            day = pc.strftime(
+                pc.floor_temporal(batch.column(col), unit="day"), format="%Y-%m-%d"
+            )
+            t = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+            n = t.column("count_all").cast(pa.int64())
+            zero = pa.array([0] * t.num_rows, pa.int64())
+            return pa.table(
+                {
+                    "day": t.column("day"),
+                    "o": n if as_orders else zero,
+                    "e": zero if as_orders else n,
+                }
+            )
+
+        return partial
+
+    partials = orders.map_batches(
+        day_partial("o_orderdate", True), batch_format="pyarrow"
+    ).union(events.map_batches(day_partial("ts", False), batch_format="pyarrow"))
+    return tiny_final_groupby(
+        partials, ["day"], [("o", "sum"), ("e", "sum")], ["day", "n_orders", "n_events"]
+    )
+
+
+def ols_trend_by_priority(sf_dir: str, epoch: str = "1992-01-01"):
+    """Exact distributed simple linear regression (OLS slope of order
+    value over time, per priority) -- the classic one-pass parallel
+    regression: each batch ships the five sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx) as integer partials, the bounded-key final
+    block folds them with PYTHON ints (arbitrary precision -- the fold is
+    where n*Sxy - Sx*Sy leaves int64 at scale) and emits
+    ``slope_ppm = sign * (1e6*|num|) // den`` -- both operands
+    non-negative so truncating division is floor division in numpy,
+    Python and DuckDB alike, no float anywhere.
+
+    int64 partial safety: x = days since ``epoch`` (< 2^12), y = integer
+    cents (< 2^27 for TPC-H totalprice), so per-batch Sxy < rows * 2^39;
+    the explicit ``batch_size=16384`` caps that at 2^53 -- the guard that
+    makes int64 partials exact no matter how large read blocks are.
+
+    Returns (o_orderpriority, n_orders, slope_ppm); ppm of cents/day.
+    """
+    from datetime import date
+
+    import ray.data as rd
+
+    epoch_days = (date.fromisoformat(epoch) - date(1970, 1, 1)).days
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = (
+            pc.cast(pc.cast(batch.column("o_orderdate"), pa.date32()), pa.int32())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            - epoch_days
+        )
+        y = _cents(batch.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "pri": batch.column("o_orderpriority"),
+                "one": pa.array(np.ones(len(x), np.int64)),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "xy": pa.array(x * y),
+                "xx": pa.array(x * x),
+            }
+        )
+        return t.group_by(["pri"]).aggregate(
+            [("one", "sum"), ("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum")]
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for pri, g in df.groupby("pri", sort=False):
+            # Python-int fold: exact past int64 regardless of group size
+            n = int(g["one_sum"].sum())
+            sx, sy = int(g["x_sum"].sum()), int(g["y_sum"].sum())
+            sxy, sxx = int(g["xy_sum"].sum()), int(g["xx_sum"].sum())
+            num = n * sxy - sx * sy
+            den = n * sxx - sx * sx
+            q = (10**6 * abs(num)) // den
+            rows.append((pri, n, q if num >= 0 else -q))
+        out = pd.DataFrame(rows, columns=["o_orderpriority", "n_orders", "slope_ppm"])
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["slope_ppm"] = out["slope_ppm"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

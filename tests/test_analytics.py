@@ -4561,3 +4561,76 @@ class TestPhraseDocCounts:
         assert dict(zip(got["lang"], got["n_docs"])) == dict(
             zip(exp["lang"], exp["n_docs"])
         )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDailyActivityAndOls:
+    def test_daily_activity_zero_sides(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = _pdf(relational.daily_activity_full_outer(SF))
+        # events span ~150 days inside the orders calendar; every events
+        # day must also carry that day's order count, and order-only days
+        # must appear with n_events == 0
+        assert (got["n_orders"] + got["n_events"] > 0).all()
+        assert (got["n_events"] == 0).any()
+        exp = duckdb.sql(
+            f"""
+            WITH od AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+              COUNT(*) n FROM '{SF}/orders.parquet' GROUP BY 1),
+            ed AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) n
+              FROM '{SF}/events.parquet' GROUP BY 1)
+            SELECT COALESCE(od.day, ed.day) AS day,
+              COALESCE(od.n, 0) AS n_orders, COALESCE(ed.n, 0) AS n_events
+            FROM od FULL OUTER JOIN ed ON od.day = ed.day
+            """
+        ).df()
+        g = got.sort_values("day").reset_index(drop=True)
+        e = exp.sort_values("day").reset_index(drop=True)
+        assert g["day"].tolist() == e["day"].tolist()
+        assert g["n_orders"].tolist() == e["n_orders"].astype(int).tolist()
+        assert g["n_events"].tolist() == e["n_events"].astype(int).tolist()
+
+    def test_ols_known_slope(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # y = 100 cents/day exactly: slope_ppm must be 100_000_000
+        days = ["1992-01-01", "1992-01-02", "1992-01-03", "1992-01-04"]
+        t = pa.table(
+            {
+                "o_orderpriority": ["1-URGENT"] * 4,
+                "o_orderdate": pa.array(
+                    [np.datetime64(d + "T00:00:00", "us") for d in days],
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": [10.0, 11.0, 12.0, 13.0],
+            }
+        )
+        import os
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(t, os.path.join(td, "orders.parquet"))
+            got = _pdf(relational.ols_trend_by_priority(td))
+        assert got["slope_ppm"].tolist() == [100 * 10**6]
+        assert got["n_orders"].tolist() == [4]
+
+    def test_ols_vs_duckdb_regr_slope(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = _pdf(relational.ols_trend_by_priority(SF)).set_index("o_orderpriority")
+        exp = duckdb.sql(
+            f"""
+            SELECT o_orderpriority,
+              regr_slope(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT),
+                datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)))
+                AS slope
+            FROM '{SF}/orders.parquet' GROUP BY 1
+            """
+        ).df().set_index("o_orderpriority")
+        for pri in got.index:
+            # float reference within one ppm-quantum of the exact integer
+            assert abs(got.loc[pri, "slope_ppm"] / 1e6 - exp.loc[pri, "slope"]) < 1e-3
