@@ -2459,6 +2459,16 @@ _FULFILLMENT_LATENCY_SQL = (
 )
 
 
+def _q_key_skew(sf_dir: str):
+    """Join-key skew pre-flight on lineitem.l_suppkey: exact group-size
+    max/p50/p99 off a (size, n_keys) count table — the salting-decision
+    diagnostic. Oracle: double GROUP BY + cumulative-count windows."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = _read_narrow(f"{sf_dir}/lineitem.parquet", ["l_suppkey"])
+    return relational.key_skew_report(ds, "l_suppkey")
+
+
 def _q_weekly_revenue_wow(sf_dir: str):
     """Week-over-week revenue deltas (relational.period_over_period):
     per-batch period collapse, bounded-domain single-block LAG; integer
@@ -3465,6 +3475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_value_gini": _q_order_value_gini,
         "weekly_revenue_wow": _q_weekly_revenue_wow,
         "fulfillment_latency": _q_fulfillment_latency,
+        "key_skew": _q_key_skew,
         "spike_days": _q_spike_days,
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
@@ -5112,6 +5123,23 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        # replays relational.key_skew_report: per-key sizes, size-count
+        # table, smallest-size-with-cum>=ceil(q*n_keys) exact quantiles
+        "key_skew": (
+            "WITH g AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY 1), "
+            "c AS (SELECT n AS sz, CAST(COUNT(*) AS BIGINT) AS k FROM g "
+            "GROUP BY 1), "
+            "w AS (SELECT sz, k, SUM(k) OVER (ORDER BY sz) AS cum, "
+            "SUM(k) OVER () AS tot FROM c) "
+            "SELECT CAST(MAX(tot) AS BIGINT) AS n_keys, "
+            "CAST(SUM(sz * k) AS BIGINT) AS n_rows, "
+            "CAST(MAX(sz) AS BIGINT) AS max_n, "
+            "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN sz END) "
+            "AS BIGINT) AS p50_n, "
+            "CAST(MIN(CASE WHEN cum >= CEIL(0.99 * tot) THEN sz END) "
+            "AS BIGINT) AS p99_n FROM w"
+        ),
         "spike_days": _SPIKE_DAYS_SQL,
         "order_rank_global": _ORDER_RANK_GLOBAL_SQL,
         "new_users_daily": _NEW_USERS_DAILY_SQL,

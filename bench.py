@@ -175,7 +175,7 @@ def run_bench() -> dict:
         "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
         "fulfillment_latency", "spike_days", "in_degree_histogram",
         "table_checksum", "phrase_doc_counts", "docs_cube",
-        "daily_activity", "ols_trend",
+        "daily_activity", "ols_trend", "key_skew",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

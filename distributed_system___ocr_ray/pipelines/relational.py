@@ -2736,3 +2736,81 @@ def ols_trend_by_priority(sf_dir: str, epoch: str = "1992-01-01"):
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def key_skew_report(ds, key_col: str):
+    """Join-key skew pre-flight: the one-row report (n_keys, n_rows,
+    max_n, p50_n, p99_n of per-key group size) you run BEFORE a groupby /
+    join on ``key_col`` to decide whether the key needs salting -- the
+    explicit skew-handling discipline the flagship applies to huge
+    documents, packaged as a reusable diagnostic.
+
+    Scale shape: per-batch ``value_counts`` partials -> ONE key-domain
+    groupby-sum (the only real exchange; payload is (key, count), never
+    rows) -> per-batch (size, n_keys) count partials -- the distinct
+    group-SIZE domain is tiny for any real distribution -- -> single
+    final block reads max and exact quantiles off cumulative counts
+    (same smallest-value-with-cum>=ceil(q*n) convention as
+    ``fulfillment_latency``). No sort, no bisection, no row movement.
+
+    Returns one row: (n_keys, n_rows, max_n, p50_n, p99_n)."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(key_col).combine_chunks())
+        return pa.table(
+            {
+                "key": vc.field("values"),
+                "c": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    sizes = (
+        ds.map_batches(key_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n").combine_chunks())
+        return pa.table(
+            {
+                "sz": vc.field("values").cast(pa.int64()),
+                "k": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    hist = tiny_final_groupby(
+        sizes.map_batches(size_partial, batch_format="pyarrow"),
+        ["sz"], [("k", "sum")], ["sz", "k"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values("sz")
+        sz = df["sz"].to_numpy(np.int64)
+        k = df["k"].to_numpy(np.int64)
+        cum = k.cumsum()
+        n_keys = int(cum[-1])
+        return pa.table(
+            {
+                "n_keys": pa.array([n_keys], pa.int64()),
+                "n_rows": pa.array([int((sz * k).sum())], pa.int64()),
+                "max_n": pa.array([int(sz[-1])], pa.int64()),
+                "p50_n": pa.array(
+                    [int(sz[np.searchsorted(cum, math.ceil(0.5 * n_keys))])],
+                    pa.int64(),
+                ),
+                "p99_n": pa.array(
+                    [int(sz[np.searchsorted(cum, math.ceil(0.99 * n_keys))])],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return hist.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

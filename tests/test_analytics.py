@@ -4634,3 +4634,42 @@ class TestDailyActivityAndOls:
         for pri in got.index:
             # float reference within one ppm-quantum of the exact integer
             assert abs(got.loc[pri, "slope_ppm"] / 1e6 - exp.loc[pri, "slope"]) < 1e-3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKeySkewReport:
+    def test_hand_built_hot_key(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # 99 singleton keys + one 100x hot key: p50=p99=1, max=100
+        keys = list(range(99)) + [999] * 100
+        t = pa.table({"k": pa.array(keys, pa.int64())})
+        got = _pdf(relational.key_skew_report(rd.from_arrow(t), "k"))
+        assert got.iloc[0].to_dict() == {
+            "n_keys": 100, "n_rows": 199, "max_n": 100, "p50_n": 1, "p99_n": 1,
+        }
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_suppkey"])
+        got = _pdf(relational.key_skew_report(ds, "l_suppkey"))
+        exp = duckdb.sql(
+            f"""
+            WITH g AS (SELECT l_suppkey, COUNT(*) AS n
+              FROM '{SF}/lineitem.parquet' GROUP BY 1),
+            c AS (SELECT n AS sz, COUNT(*) AS k FROM g GROUP BY 1),
+            w AS (SELECT sz, k, SUM(k) OVER (ORDER BY sz) AS cum,
+              SUM(k) OVER () AS tot FROM c)
+            SELECT MAX(tot) AS n_keys, SUM(sz*k) AS n_rows, MAX(sz) AS max_n,
+              MIN(CASE WHEN cum >= CEIL(0.5*tot) THEN sz END) AS p50_n,
+              MIN(CASE WHEN cum >= CEIL(0.99*tot) THEN sz END) AS p99_n
+            FROM w
+            """
+        ).df()
+        assert got.iloc[0].astype(int).tolist() == exp.iloc[0].astype(int).tolist()
