@@ -1422,6 +1422,33 @@ def _q_phrase_doc_counts(sf_dir: str):
     return analytics.phrase_doc_counts(ds, "order", "fast")
 
 
+def _q_oov_rate_by_lang(sf_dir: str):
+    """Per-language out-of-vocabulary token rate against the corpus top-512
+    vocabulary (CCNet-style coverage quality filter); oracle rebuilds the
+    identical vocabulary (count DESC, token ASC LIMIT 512) and the integer
+    ppm on the shared '[a-z0-9]+' lowered tokenization."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return analytics.oov_rate_by_lang(ds, vocab_k=512)
+
+
+def _q_dup_shingle_rate(sf_dir: str):
+    """Per-source duplicated-shingle rate (exact-substring-duplication
+    health metric); oracle reuses the shared word-3-shingle CTE body
+    (_SHINGLE_CTES) and counts shingle instances appearing in >= 2 docs."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return analytics.dup_shingle_rate(ds)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3439,6 +3466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "in_degree_histogram": _q_in_degree_histogram,
         "table_checksum": _q_table_checksum,
         "phrase_doc_counts": _q_phrase_doc_counts,
+        "oov_rate_by_lang": _q_oov_rate_by_lang,
+        "dup_shingle_rate": _q_dup_shingle_rate,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -4009,6 +4038,21 @@ _NGRAM_KEEPERS_SQL = (
     "SELECT d.doc_id AS keeper_doc_id FROM documents d "
     "LEFT JOIN cl ON d.doc_id = cl.doc_id "
     "WHERE cl.cluster_id IS NULL OR cl.cluster_id = d.doc_id"
+)
+
+# replay of analytics.dup_shingle_rate over the SAME shared shingle CTE
+# body: sh is (doc_id, s)-distinct, so COUNT(*) per s is the distinct-doc
+# count; the engine's u64-hash grouping is string-equality-identical here
+_DUP_SHINGLE_SQL = (
+    f"WITH {_SHINGLE_CTES}, "
+    "g AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s), "
+    "j AS (SELECT d.source, CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END AS shared "
+    "FROM sh JOIN g USING (s) JOIN documents d USING (doc_id)), "
+    "a AS (SELECT source, COUNT(*) AS n_shingles, SUM(shared) AS n_shared "
+    "FROM j GROUP BY source) "
+    "SELECT source, CAST(n_shingles AS BIGINT) AS n_shingles, "
+    "CAST(n_shared AS BIGINT) AS n_shared, "
+    "CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS shared_ppm FROM a"
 )
 
 _TOP_TOKENS_SQL = (
@@ -5092,6 +5136,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(toks) >= 2 AND len(list_filter(range(1, len(toks)), "
             "i -> toks[i] = 'order' AND toks[i+1] = 'fast')) > 0 "
             "GROUP BY lang"
+        ),
+        "dup_shingle_rate": _DUP_SHINGLE_SQL,
+        "oov_rate_by_lang": (
+            # replay of analytics.oov_rate_by_lang: identical vocabulary
+            # selection (count DESC, token ASC LIMIT 512) and floor-div ppm
+            "WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS tok FROM documents), "
+            "c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok), "
+            "v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT 512), "
+            "s AS (SELECT lang, COUNT(*) AS n_tokens, "
+            "SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov "
+            "FROM t GROUP BY lang) "
+            "SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_oov AS BIGINT) AS n_oov, "
+            "CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm FROM s"
         ),
         "decayed_user_value": (
             "WITH mx AS (SELECT epoch_us(max(ts)) AS m FROM events), "

@@ -175,7 +175,8 @@ def run_bench() -> dict:
         "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
         "fulfillment_latency", "spike_days", "in_degree_histogram",
         "table_checksum", "phrase_doc_counts", "docs_cube",
-        "daily_activity", "ols_trend", "key_skew",
+        "daily_activity", "ols_trend", "key_skew", "oov_rate_by_lang",
+        "dup_shingle_rate",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

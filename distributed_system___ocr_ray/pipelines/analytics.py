@@ -5155,3 +5155,185 @@ def phrase_doc_counts(ds, w1: str, w2: str, lang_col: str = "lang", text_col: st
         [("n", "sum")],
         ["lang", "n_docs"],
     )
+
+
+def oov_rate_by_lang(ds, vocab_k: int = 512, lang_col: str = "lang", text_col: str = "text"):
+    """Vocabulary-coverage quality scoring: per language, what fraction of
+    tokens (ppm) falls OUTSIDE the corpus's top-``vocab_k`` vocabulary --
+    the CCNet-style "does this text look like the reference distribution"
+    filter, with the corpus itself as the reference (a production pipeline
+    would pass a held-out vocabulary; the plan is identical).
+
+    Plan (two passes, both token-domain exchanges -- never text):
+
+    1. **Vocabulary**: per-batch value_counts over the shared '[a-z0-9]+'
+       lowered tokenization -> ``bucketed_grouped_sum`` (the string-key
+       exchange moves (token, count) partials) -> per-block partial top-k
+       -> one tiny merge block. The k-row vocabulary is a bounded,
+       deliberate driver collect (same license as the broadcast join
+       sides) and is closure-broadcast to pass 2 -- at any corpus size the
+       vocabulary is ``vocab_k`` strings.
+    2. **Scoring**: a second pass over the pruned (lang, text) read computes
+       per-batch (lang, n_tokens, n_oov) partials via one vectorized
+       ``isin`` against the broadcast set; the bounded lang domain licenses
+       ``tiny_final_groupby``. Re-reading the source instead of
+       ``materialize()``-ing pass 1's input is the documented
+       storage-over-compute choice (see bm25_topk's scale note).
+
+    The ppm division folds in ONE small final block with Python ints (at
+    10^12 tokens/lang, n_oov * 10^6 overflows int64; the partial sums
+    themselves stay int64-safe far past 100 TB).
+
+    Vocabulary ties at the k-th slot break (count DESC, token ASC) on both
+    sides. Returns (lang, n_tokens, n_oov, oov_ppm); langs whose docs
+    produce zero tokens are absent (exactly what the GROUP BY replay
+    yields). Reference analogue: Worker-side quality gating before costly
+    extraction (SURVEY.md 2.10 quality family)."""
+    import re
+
+    from .relational import bucketed_grouped_sum, tiny_final_groupby
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(vocab_partial, batch_format="pandas"), "token", "n"
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "token"], ascending=[False, True]).head(vocab_k)
+
+    vocab_df = (
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    vocab = frozenset(vocab_df["token"])
+
+    def score_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        s = toks.explode().dropna()
+        if len(s) == 0:
+            return pd.DataFrame({lang_col: [], "n_tokens": [], "n_oov": []}).astype(
+                {lang_col: str, "n_tokens": np.int64, "n_oov": np.int64}
+            )
+        g = pd.DataFrame(
+            {
+                lang_col: batch[lang_col].reindex(s.index).to_numpy(),
+                "oov": (~s.isin(vocab)).to_numpy(np.int64),
+            }
+        )
+        p = g.groupby(lang_col, sort=False)["oov"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                lang_col: p[lang_col],
+                "n_tokens": p["size"].to_numpy(np.int64),
+                "n_oov": p["sum"].to_numpy(np.int64),
+            }
+        )
+
+    folded = tiny_final_groupby(
+        ds.map_batches(score_partial, batch_format="pandas"),
+        [lang_col],
+        [("n_tokens", "sum"), ("n_oov", "sum")],
+        [lang_col, "n_tokens", "n_oov"],
+    )
+
+    def add_ppm(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tokens").to_pylist()
+        no = batch.column("n_oov").to_pylist()
+        ppm = pa.array([int(o) * 1_000_000 // int(t) for o, t in zip(no, nt)], pa.int64())
+        return batch.append_column("oov_ppm", ppm)
+
+    return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)
+
+
+def dup_shingle_rate(
+    ds, source_col: str = "source", text_col: str = "text", buckets: int | None = None
+):
+    """Cross-document duplicated-shingle audit: per source, what fraction
+    (ppm) of per-doc DISTINCT word-3-shingles also appears in at least one
+    OTHER document -- the exact-substring-duplication health metric behind
+    "how much boilerplate does this crawl slice carry" (the measurement
+    that motivates substring-level dedup a la Lee et al.; the pair family
+    finds the offenders, this op sizes the problem per slice).
+
+    Plan (ONE shingle-domain exchange, never text):
+
+    1. ``map_batches``: per doc, ``np.unique(shingle_hashes(text))`` -- the
+       SAME tokenization/shingling/md5-u64 kernel the MinHash and ngram
+       families share with their SQL replays -- emitted as long
+       (h: uint64, source) rows.
+    2. Hash-bucket on h (all rows of one shingle value land in one bucket,
+       so the in-bucket group size IS the global distinct-doc count --
+       per-doc uniqueness makes rows (h, doc)-distinct) -> per-bucket
+       vectorized transform('size') + per-source partials.
+    3. Bounded source domain -> ``tiny_final_groupby`` + Python-int ppm.
+
+    Grouping by the 64-bit shingle hash instead of the string is the pair
+    family's documented trade: collisions mis-merge two shingle strings
+    with probability 2^-64 per pair -- at 100 TB (~4e13 shingles) that is
+    ~ppm-level error on a ppm metric; swap md5_u64 for the full 128-bit
+    digest if exactness matters there. The oracle groups by the string
+    itself, which is equality-identical at test scale.
+
+    Returns (source, n_shingles, n_shared, shared_ppm)."""
+    from ..functions.dedup import shingle_hashes
+    from .relational import derive_buckets, hash_bucket_column, tiny_final_groupby
+
+    if buckets is None:
+        # ~40 shingles/doc: size buckets off the doc count so one bucket's
+        # long rows stay ~2M regardless of corpus scale
+        buckets = derive_buckets(ds.count(), rows_per_bucket=50_000)
+
+    def long_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        memo: dict[str, int] = {}
+        us = [np.unique(shingle_hashes(t or "", 3, memo)) for t in texts]
+        lens = [len(u) for u in us]
+        h = np.concatenate(us) if us else np.empty(0, np.uint64)
+        src = np.repeat(np.asarray(srcs, dtype=object), lens)
+        out = pa.table(
+            {"h": pa.array(h, pa.uint64()), "source": pa.array(src, pa.string())}
+        )
+        return hash_bucket_column(out, "h", buckets)
+
+    def bucket_audit(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)["h"].transform("size")
+        p = pd.DataFrame(
+            {
+                "source": g["source"].to_numpy(),
+                "shared": (nd >= 2).to_numpy().astype(np.int64),
+            }
+        )
+        out = p.groupby("source", sort=False)["shared"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                "source": out["source"],
+                "n_shingles": out["size"].to_numpy(np.int64),
+                "n_shared": out["sum"].to_numpy(np.int64),
+            }
+        )
+
+    folded = tiny_final_groupby(
+        ds.map_batches(long_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_audit, batch_format="pandas"),
+        ["source"],
+        [("n_shingles", "sum"), ("n_shared", "sum")],
+        ["source", "n_shingles", "n_shared"],
+    )
+
+    def add_ppm(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_shingles").to_pylist()
+        nh = batch.column("n_shared").to_pylist()
+        ppm = pa.array([int(s) * 1_000_000 // int(t) for s, t in zip(nh, ns)], pa.int64())
+        return batch.append_column("shared_ppm", ppm)
+
+    return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)

@@ -4673,3 +4673,159 @@ class TestKeySkewReport:
             """
         ).df()
         assert got.iloc[0].astype(int).tolist() == exp.iloc[0].astype(int).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOovRateByLang:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # token counts: the=4, cat=4, dog=2, ran=1; vocab_k=2 keeps
+        # {cat, the} (tie at 4 breaks token ASC, both survive). en: 7
+        # tokens, oov = dog + ran -> 2; de: 4 tokens, oov = dog -> 1.
+        tbl = pa.table(
+            {
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "text": pa.array(
+                    ["The cat the DOG", "the cat ran", "the cat dog, cat"],
+                    pa.string(),
+                ),
+            }
+        )
+        got = _pdf(analytics.oov_rate_by_lang(rd.from_arrow(tbl), vocab_k=2))
+        out = {r.lang: (r.n_tokens, r.n_oov, r.oov_ppm) for r in got.itertuples()}
+        assert out == {
+            "en": (7, 2, 2 * 1_000_000 // 7),
+            "de": (4, 1, 250_000),
+        }
+
+    def test_vocab_tie_break_token_asc(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 'aa' and 'zz' both count 2; vocab_k=1 must keep 'aa' (count DESC,
+        # token ASC), so both 'zz' tokens are OOV
+        tbl = pa.table(
+            {
+                "lang": pa.array(["en", "en"], pa.string()),
+                "text": pa.array(["aa zz", "zz aa"], pa.string()),
+            }
+        )
+        got = _pdf(analytics.oov_rate_by_lang(rd.from_arrow(tbl), vocab_k=1))
+        assert got["n_tokens"].iloc[0] == 4 and got["n_oov"].iloc[0] == 2
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = _pdf(analytics.oov_rate_by_lang(ds, vocab_k=64)).sort_values("lang")
+        exp = duckdb.sql(
+            f"""
+            WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text),
+              '[a-z0-9]+')) AS tok FROM '{SF}/documents.parquet'),
+            c AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok),
+            v AS (SELECT tok FROM c ORDER BY n DESC, tok ASC LIMIT 64),
+            s AS (SELECT lang, COUNT(*) AS n_tokens,
+              SUM(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1 END) AS n_oov
+              FROM t GROUP BY lang)
+            SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_oov AS BIGINT) AS n_oov,
+              CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+            FROM s ORDER BY lang
+            """
+        ).df()
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupShingleRate:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # doc1/doc2 share the 3-shingle 'a b c'; doc3 (other source) is
+        # all-unique; doc4 is a <3-word doc whose fallback shingle 'x y'
+        # appears nowhere else
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": pa.array(["s1", "s1", "s2", "s2"], pa.string()),
+                "text": pa.array(
+                    [
+                        "a b c d",  # shingles: 'a b c', 'b c d'
+                        "a b c",  # shingle: 'a b c' (shared with doc1)
+                        "p q r s",  # 'p q r', 'q r s' (unique)
+                        "x y",  # fallback shingle 'x y' (unique)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        got = _pdf(analytics.dup_shingle_rate(rd.from_arrow(tbl), buckets=4))
+        out = {
+            r.source: (r.n_shingles, r.n_shared, r.shared_ppm) for r in got.itertuples()
+        }
+        assert out == {
+            "s1": (3, 2, 2 * 1_000_000 // 3),
+            "s2": (3, 0, 0),
+        }
+
+    def test_within_doc_repeat_not_shared(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 'a b c a b c a b c' repeats 'a b c' within ONE doc only: per-doc
+        # distinctness means nothing is cross-doc shared
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "source": pa.array(["s1"], pa.string()),
+                "text": pa.array(["a b c a b c a b c"], pa.string()),
+            }
+        )
+        got = _pdf(analytics.dup_shingle_rate(rd.from_arrow(tbl), buckets=2))
+        assert got["n_shared"].iloc[0] == 0
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        got = _pdf(analytics.dup_shingle_rate(ds)).sort_values("source")
+        exp = duckdb.sql(
+            f"""
+            WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w
+              FROM '{SF}/documents.parquet'),
+            base AS (SELECT doc_id, len(w) AS nw, w FROM ws),
+            tok AS (SELECT doc_id, unnest(w) AS tk,
+              unnest(generate_series(1, len(w))) AS i FROM base WHERE nw >= 3),
+            sh3 AS (SELECT DISTINCT doc_id, tk || ' ' || lead(tk, 1) OVER win
+              || ' ' || lead(tk, 2) OVER win AS s FROM tok
+              WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY lead(tk, 2) OVER win IS NOT NULL),
+            shsmall AS (SELECT doc_id, array_to_string(w, ' ') AS s FROM base
+              WHERE nw < 3),
+            sh AS (SELECT * FROM sh3 UNION ALL SELECT * FROM shsmall),
+            g AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s),
+            j AS (SELECT d.source, CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END AS shared
+              FROM sh JOIN g USING (s)
+              JOIN '{SF}/documents.parquet' d USING (doc_id)),
+            a AS (SELECT source, COUNT(*) AS n_shingles, SUM(shared) AS n_shared
+              FROM j GROUP BY source)
+            SELECT source, CAST(n_shingles AS BIGINT) AS n_shingles,
+              CAST(n_shared AS BIGINT) AS n_shared,
+              CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS shared_ppm
+            FROM a ORDER BY source
+            """
+        ).df()
+        assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
