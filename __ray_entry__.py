@@ -1449,6 +1449,20 @@ def _q_dup_shingle_rate(sf_dir: str):
     return analytics.dup_shingle_rate(ds)
 
 
+def _q_session_paths(sf_dir: str):
+    """Per-session event-type trigram counts (path mining one level above
+    event_transitions' bigrams); deterministic (ts, event_id) tie order on
+    both sides makes the counts exact, not order-dependent."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return relational.session_paths(events)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3468,6 +3482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_doc_counts": _q_phrase_doc_counts,
         "oov_rate_by_lang": _q_oov_rate_by_lang,
         "dup_shingle_rate": _q_dup_shingle_rate,
+        "session_paths": _q_session_paths,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5138,6 +5153,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang"
         ),
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
+        "session_paths": (
+            # replay of relational.session_paths: the same 30-min gap break
+            # as session_windows, with the (ts, event_id) tie order the
+            # trigram content requires
+            "WITH d AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > "
+            "INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM d), "
+            "t AS (SELECT event_type AS e1, lead(event_type, 1) OVER w2 AS e2, "
+            "lead(event_type, 2) OVER w2 AS e3 FROM s "
+            "WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)) "
+            "SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths FROM t "
+            "WHERE e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
         "oov_rate_by_lang": (
             # replay of analytics.oov_rate_by_lang: identical vocabulary
             # selection (count DESC, token ASC LIMIT 512) and floor-div ppm

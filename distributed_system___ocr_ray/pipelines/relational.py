@@ -2814,3 +2814,64 @@ def key_skew_report(ds, key_col: str):
     return hist.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def session_paths(
+    events, gap_minutes: int = 30, partitions: int | None = None
+):
+    """Session path mining: counts of every consecutive event-type TRIGRAM
+    inside a session (gap > ``gap_minutes`` starts a new one) -- the
+    behavioral-sequence op behind "what do users do next" funnels, one
+    level up from ``event_transitions``' bigrams.
+
+    Same partition-bucketed discipline as ``session_windows``, with one
+    addition the aggregates there don't need: a DETERMINISTIC total order.
+    Trigram CONTENT depends on tie order (equal ts), so both sides sort by
+    (ts, event_id) -- the unique event_id makes the sequence, and therefore
+    the counts, partition-invariant and exactly SQL-replayable.
+
+    Per partition (ONE user-domain exchange, one vectorized pass): sort by
+    (user_id, ts, event_id), break sessions via the shared diff/cumsum
+    formulation, then the trigram mask is csum[i]==csum[i+2] (csum is
+    nondecreasing, so equality pins rows i..i+2 to one session); shifted
+    slices + one groupby-size yield the partial counts. The event-type
+    domain is bounded, so |types|^3 bounds the partial rows and licenses
+    ``tiny_final_groupby``. Returns (e1, e2, e3, n_paths), every observed
+    trigram -- callers top-k the tiny result if they want a leaderboard."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = derive_buckets(events.count())
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "user_id", partitions)
+
+    def paths_partition(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        if len(uid) < 3:
+            return pd.DataFrame(
+                {"e1": [], "e2": [], "e3": [], "n": []}
+            ).astype({"e1": str, "e2": str, "e3": str, "n": np.int64})
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap_brk = np.concatenate(([False], (ts[1:] - ts[:-1]) > gap))
+        csum = np.cumsum(new_user | gap_brk)
+        mask = csum[2:] == csum[:-2]
+        tri = pd.DataFrame(
+            {"e1": et[:-2][mask], "e2": et[1:-1][mask], "e3": et[2:][mask]}
+        )
+        out = tri.groupby(["e1", "e2", "e3"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return tiny_final_groupby(
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(paths_partition, batch_format="pandas"),
+        ["e1", "e2", "e3"],
+        [("n", "sum")],
+        ["e1", "e2", "e3", "n_paths"],
+    )

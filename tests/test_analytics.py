@@ -4829,3 +4829,65 @@ class TestDupShingleRate:
             """
         ).df()
         assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionPaths:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        def t(m):
+            return np.datetime64(f"2024-01-01T00:{m:02d}:00", "us")
+
+        # user 1: a,b,c,d within one session -> trigrams abc, bcd; then a
+        # 31-min gap starts a session with only 2 events (no trigram).
+        # user 2: equal-ts events ordered by event_id -> trigram abc.
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+                "ts": pa.array(
+                    [t(0), t(1), t(2), t(3), t(35), t(36), t(0), t(0), t(0)],
+                    pa.timestamp("us"),
+                ),
+                "event_id": pa.array([1, 2, 3, 4, 5, 6, 12, 11, 10], pa.int64()),
+                "event_type": pa.array(
+                    ["a", "b", "c", "d", "x", "y", "c", "b", "a"], pa.string()
+                ),
+            }
+        )
+        got = _pdf(relational.session_paths(rd.from_arrow(tbl), partitions=4))
+        out = {(r.e1, r.e2, r.e3): r.n_paths for r in got.itertuples()}
+        assert out == {("a", "b", "c"): 2, ("b", "c", "d"): 1}
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        events = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        got = (
+            _pdf(relational.session_paths(events))
+            .sort_values(["e1", "e2", "e3"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT user_id, ts, event_id, event_type,
+              CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w >
+              INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM '{SF}/events.parquet'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+            t AS (SELECT event_type AS e1, lead(event_type, 1) OVER w2 AS e2,
+              lead(event_type, 2) OVER w2 AS e3 FROM s
+              WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+            SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths FROM t
+            WHERE e3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY e1, e2, e3
+            """
+        ).df()
+        assert got.equals(exp)
