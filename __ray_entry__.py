@@ -1463,6 +1463,21 @@ def _q_session_paths(sf_dir: str):
     return relational.session_paths(events)
 
 
+def _q_minhash_recall_audit(sf_dir: str):
+    """Precision/recall of the MinHash+LSH pair set (est >= 0.6, the
+    registered minhash_pairs query) against the exact word-3-gram Jaccard
+    >= 0.5 ground truth (the registered ngram_jaccard_pairs query) -- the
+    committed evidence for recommending MinHash as the at-scale dedup
+    path. Oracle composes the two already-green CTE replays (they share
+    the shingle CTE body) and the same floor-div ppm."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    exact = analytics.ngram_jaccard_pairs(docs, threshold=0.5)
+    approx = analytics.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.6)
+    return analytics.pair_set_audit(exact, approx)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3483,6 +3498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_by_lang": _q_oov_rate_by_lang,
         "dup_shingle_rate": _q_dup_shingle_rate,
         "session_paths": _q_session_paths,
+        "minhash_recall_audit": _q_minhash_recall_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -4148,6 +4164,26 @@ def _minhash_pairs_sql() -> str:
     return f"WITH {_minhash_ctes()} SELECT doc_a, doc_b, n_match FROM mpairs"
 
 
+def _minhash_recall_audit_sql() -> str:
+    """Replay of analytics.pair_set_audit over the two already-green pair
+    replays: the minhash body defines sh..mpairs; the ngram tail
+    (sz/inter/jac/pairs) reads the SAME sh CTE, so strip its duplicated
+    shingle prefix and compose one WITH."""
+    ngram_tail = _NGRAM_PAIRS_CTES[len(_SHINGLE_CTES) + 2 :]
+    return (
+        f"WITH {_minhash_ctes()}, {ngram_tail}, "
+        "ne AS (SELECT COUNT(*) AS n FROM pairs), "
+        "na AS (SELECT COUNT(*) AS n FROM mpairs), "
+        "nb AS (SELECT COUNT(*) AS n FROM pairs JOIN mpairs USING (doc_a, doc_b)) "
+        "SELECT CAST(ne.n AS BIGINT) AS n_exact, "
+        "CAST(na.n AS BIGINT) AS n_approx, CAST(nb.n AS BIGINT) AS n_both, "
+        "CAST(CASE WHEN ne.n = 0 THEN 1000000 ELSE nb.n * 1000000 // ne.n END "
+        "AS BIGINT) AS recall_ppm, "
+        "CAST(CASE WHEN na.n = 0 THEN 1000000 ELSE nb.n * 1000000 // na.n END "
+        "AS BIGINT) AS precision_ppm FROM ne, na, nb"
+    )
+
+
 def _minhash_clusters_sql() -> str:
     """Connected components (min doc_id per component) over the SQL-replayed
     MinHash pair graph -- same recursive-closure pattern as the ngram
@@ -4735,6 +4771,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _EMBEDDING_NEARDUP_SQL,
         "extract_embed_neardup": _extract_embed_neardup_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
+        "minhash_recall_audit": _minhash_recall_audit_sql(),
         "minhash_dup_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "approx_distinct_users": _approx_distinct_sql(),

@@ -5337,3 +5337,76 @@ def dup_shingle_rate(
         return batch.append_column("shared_ppm", ppm)
 
     return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)
+
+
+def pair_set_audit(exact, approx):
+    """Precision/recall audit of an APPROXIMATE pair set against an EXACT
+    one -- the measurement that justifies (or indicts) running MinHash
+    instead of the exact-recall AllPairs join at scale ("measure, don't
+    guess" applied to the dedup family itself).
+
+    Both inputs are pair datasets carrying (doc_a, doc_b) int64 columns
+    (extra columns dropped). Plan: tag each side with a bit (exact=1,
+    approx=2), union, ONE pair-domain exchange bucketed on doc_a (both
+    rows of a pair share doc_a, so the in-bucket per-pair bit-sum is
+    global), per-bucket partial counts, single tiny fold. Each side emits
+    a pair at most once, so sum==3 identifies intersection rows.
+
+    Returns ONE row: (n_exact, n_approx, n_both, recall_ppm,
+    precision_ppm); a zero denominator reports 1_000_000 (vacuously
+    perfect) -- mirrored by the SQL replay."""
+    from .relational import hash_bucket_column
+
+    def tag(side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            out = pa.table(
+                {
+                    "doc_a": batch.column("doc_a").cast(pa.int64()),
+                    "doc_b": batch.column("doc_b").cast(pa.int64()),
+                    "side": pa.array([side] * batch.num_rows, pa.int64()),
+                }
+            )
+            return hash_bucket_column(out, "doc_a", 32)
+
+        return _fn
+
+    tagged = exact.map_batches(tag(1), batch_format="pyarrow").union(
+        approx.map_batches(tag(2), batch_format="pyarrow")
+    )
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["doc_a", "doc_b"], sort=False)["side"].sum()
+        v = s.to_numpy()
+        return pd.DataFrame(
+            {
+                "n_exact": [int(np.count_nonzero(v & 1))],
+                "n_approx": [int(np.count_nonzero(v & 2))],
+                "n_both": [int(np.count_nonzero(v == 3))],
+            }
+        ).astype(np.int64)
+
+    partials = tagged.groupby("__bucket").map_groups(
+        bucket_counts, batch_format="pandas"
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ne = int(pc.sum(batch.column("n_exact")).as_py() or 0)
+        na = int(pc.sum(batch.column("n_approx")).as_py() or 0)
+        nb = int(pc.sum(batch.column("n_both")).as_py() or 0)
+        recall = nb * 1_000_000 // ne if ne else 1_000_000
+        precision = nb * 1_000_000 // na if na else 1_000_000
+        return pa.table(
+            {
+                "n_exact": pa.array([ne], pa.int64()),
+                "n_approx": pa.array([na], pa.int64()),
+                "n_both": pa.array([nb], pa.int64()),
+                "recall_ppm": pa.array([recall], pa.int64()),
+                "precision_ppm": pa.array([precision], pa.int64()),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        fold, batch_format="pyarrow", batch_size=None
+    )

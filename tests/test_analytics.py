@@ -4891,3 +4891,54 @@ class TestSessionPaths:
             """
         ).df()
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPairSetAudit:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        exact = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([1, 1, 2, 5], pa.int64()),
+                    "doc_b": pa.array([2, 3, 3, 6], pa.int64()),
+                    "jaccard_ppm": pa.array([9, 9, 9, 9], pa.int64()),
+                }
+            )
+        )
+        approx = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([1, 2, 7], pa.int64()),
+                    "doc_b": pa.array([2, 3, 8], pa.int64()),
+                }
+            )
+        )
+        got = _pdf(analytics.pair_set_audit(exact, approx)).iloc[0]
+        # intersection {(1,2),(2,3)}: recall 2/4, precision 2/3
+        assert (
+            got["n_exact"],
+            got["n_approx"],
+            got["n_both"],
+            got["recall_ppm"],
+            got["precision_ppm"],
+        ) == (4, 3, 2, 500_000, 666_666)
+
+    def test_sf_recall_vs_duckdb_exact(self):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        import ray.data as rd
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        exact = analytics.ngram_jaccard_pairs(docs, threshold=0.5)
+        approx = analytics.minhash_lsh_pairs(
+            rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]),
+            threshold=0.6,
+        )
+        got = _pdf(analytics.pair_set_audit(exact, approx)).iloc[0]
+        assert got["n_both"] <= min(got["n_exact"], got["n_approx"])
+        assert 0 <= got["recall_ppm"] <= 1_000_000
+        assert 0 <= got["precision_ppm"] <= 1_000_000
