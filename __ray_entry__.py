@@ -1478,6 +1478,22 @@ def _q_minhash_recall_audit(sf_dir: str):
     return analytics.pair_set_audit(exact, approx)
 
 
+def _q_trimmed_mean_price(sf_dir: str):
+    """Exact 5%-trimmed mean order price per priority (robust center
+    without a global sort -- grouped _range_offsets rank trimming);
+    oracle is the row_number/count window replay on identical cents."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return relational.trimmed_mean_by_group(
+        ds, "o_orderpriority", "o_totalprice", trim_pct=5
+    )
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3499,6 +3515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_shingle_rate": _q_dup_shingle_rate,
         "session_paths": _q_session_paths,
         "minhash_recall_audit": _q_minhash_recall_audit,
+        "trimmed_mean_price": _q_trimmed_mean_price,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5190,6 +5207,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang"
         ),
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
+        "trimmed_mean_price": (
+            # replay of relational.trimmed_mean_by_group: trimming k rows
+            # per side depends only on the value multiset, so any
+            # row_number tie order yields the same sum
+            "WITH o AS (SELECT o_orderpriority, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), "
+            "r AS (SELECT o_orderpriority, cents, row_number() OVER "
+            "(PARTITION BY o_orderpriority ORDER BY cents) AS rn, "
+            "COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM o), "
+            "t AS (SELECT o_orderpriority, cents FROM r "
+            "WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100) "
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_used, "
+            "CAST(SUM(cents) AS BIGINT) AS trimmed_sum_cents, "
+            "CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents "
+            "FROM t GROUP BY o_orderpriority"
+        ),
         "session_paths": (
             # replay of relational.session_paths: the same 30-min gap break
             # as session_windows, with the (ts, event_id) tie order the

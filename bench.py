@@ -176,7 +176,7 @@ def run_bench() -> dict:
         "fulfillment_latency", "spike_days", "in_degree_histogram",
         "table_checksum", "phrase_doc_counts", "docs_cube",
         "daily_activity", "ols_trend", "key_skew", "oov_rate_by_lang",
-        "dup_shingle_rate", "session_paths",
+        "dup_shingle_rate", "session_paths", "trimmed_mean_price",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

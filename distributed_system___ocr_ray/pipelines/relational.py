@@ -2875,3 +2875,158 @@ def session_paths(
         [("n", "sum")],
         ["e1", "e2", "e3", "n_paths"],
     )
+
+
+def trimmed_mean_by_group(
+    ds, group_col: str, val_col: str, trim_pct: int = 5, buckets: int | None = None
+):
+    """Exact per-group trimmed mean (drop the ``trim_pct``% lowest and
+    highest ROWS, mean the rest in integer cents) -- the robust-aggregate
+    dual of ``robust_outliers``: instead of flagging the tails, it reports
+    the center without them.
+
+    Grouped extension of the ``_range_offsets`` discipline (global_rank /
+    global_ntile / gini_ppm): trimming k rows off a sorted multiset only
+    depends on the MULTISET (tied rows have equal value, so WHICH tied row
+    is dropped cannot change the sum) -- so no global sort is needed:
+
+    1. pass 1 (narrow): per-batch (group, min, max, count) partials -> the
+       bounded group domain gives per-group n and the global cents range
+       at the driver;
+    2. pass 2 (narrow): per-batch (group, value-bin, count) partials ->
+       the (groups x bins)-bounded histogram's per-group exclusive prefix
+       sum is each (group, bin)'s starting per-group row rank, broadcast
+       ONCE via ``ray.put``;
+    3. pass 3: ONE bin-range exchange; each bin sorts locally per group,
+       ranks rows rank0 = offset + local position, keeps rows with
+       k < rn <= n - k (k = n * trim_pct // 100, per group), and emits
+       (group, n_used, sum_cents) partials -> ``tiny_final_groupby``.
+
+    Ties share a value hence a bin, so no ordered quantity crosses a
+    partition. ``ds`` is consumed three times: pass a cheap re-executable
+    parquet scan, not a computed pipeline (global_rank's documented rule).
+    Groups whose rows are ALL trimmed (n <= 2k) vanish, exactly like the
+    SQL replay's GROUP BY over an empty keep set.
+
+    Returns (group, n_used, trimmed_sum_cents, trimmed_mean_cents)."""
+    import ray
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col)).to_numpy()
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "c": c})
+        p = df.groupby("g", sort=False)["c"].agg(["min", "max", "size"]).reset_index()
+        return pa.table(
+            {
+                group_col: pa.array(p["g"]),
+                "lo": pa.array(p["min"].to_numpy(np.int64), pa.int64()),
+                "hi": pa.array(p["max"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(p["size"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    mm = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    n_by_g = mm.groupby(group_col)["n"].sum().to_dict()
+    k_by_g = {g: int(n) * trim_pct // 100 for g, n in n_by_g.items()}
+    n_total = int(sum(n_by_g.values()))
+    if buckets is None:
+        buckets = derive_buckets(n_total)
+    width = max(1, (hi - lo + buckets) // buckets)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col)).to_numpy()
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "b": (c - lo) // width})
+        p = df.groupby(["g", "b"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                group_col: pa.array(p["g"]),
+                "bin": pa.array(p["b"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(p["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = hist.groupby([group_col, "bin"])["n"].sum().reset_index()
+    offsets: dict = {}
+    for g, sub in hist.groupby(group_col):
+        per_bin = np.zeros(buckets, dtype=np.int64)
+        per_bin[sub["bin"].to_numpy()] = sub["n"].to_numpy()
+        offsets[g] = np.concatenate(([0], np.cumsum(per_bin)[:-1]))
+    handle = ray.put(offsets)
+
+    def add_bin(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(val_col))
+        b = (c.to_numpy() - lo) // width
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "cents": c,
+                "__bucket": pa.array(b.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def trim_bin(group: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(handle)
+        b = int(group["__bucket"].iloc[0])
+        g = group[group_col].to_numpy()
+        v = group["cents"].to_numpy(np.int64)
+        codes, uniques = pd.factorize(g, sort=True)
+        order = np.lexsort((v, codes))
+        codes, v = codes[order], v[order]
+        starts = np.r_[True, codes[1:] != codes[:-1]]
+        run_start = np.maximum.accumulate(np.where(starts, np.arange(len(v)), -1))
+        pos = np.arange(len(v)) - run_start
+        base = np.array([offs[u][b] for u in uniques], dtype=np.int64)
+        rn = base[codes] + pos + 1
+        nn = np.array([n_by_g[u] for u in uniques], dtype=np.int64)[codes]
+        kk = np.array([k_by_g[u] for u in uniques], dtype=np.int64)[codes]
+        keep = (rn > kk) & (rn <= nn - kk)
+        if not keep.any():
+            return pd.DataFrame({group_col: [], "n_used": [], "sum_cents": []}).astype(
+                {group_col: object, "n_used": np.int64, "sum_cents": np.int64}
+            )
+        kept = pd.DataFrame({group_col: g[order][keep], "c": v[keep]})
+        p = kept.groupby(group_col, sort=False)["c"].agg(["size", "sum"]).reset_index()
+        return pd.DataFrame(
+            {
+                group_col: p[group_col],
+                "n_used": p["size"].to_numpy(np.int64),
+                "sum_cents": p["sum"].to_numpy(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(add_bin, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(trim_bin, batch_format="pandas")
+    )
+
+    # Python-int final fold (ols_trend's discipline): the per-bucket int64
+    # partial sums are safe (rows/bucket x max cents < 2^63 under the
+    # derive_buckets caps), but their TOTAL per group is not at 10^12 rows
+    def final(batch: pa.Table) -> pa.Table:
+        gs = batch.column(group_col).to_pylist()
+        nu = batch.column("n_used").to_pylist()
+        sc = batch.column("sum_cents").to_pylist()
+        agg: dict = {}
+        for g, n, s in zip(gs, nu, sc):
+            a = agg.setdefault(g, [0, 0])
+            a[0] += int(n)
+            a[1] += int(s)
+        keys = sorted(agg)
+        return pa.table(
+            {
+                group_col: pa.array(keys),
+                "n_used": pa.array([agg[g][0] for g in keys], pa.int64()),
+                "trimmed_sum_cents": pa.array([agg[g][1] for g in keys], pa.int64()),
+                "trimmed_mean_cents": pa.array(
+                    [agg[g][1] // agg[g][0] for g in keys], pa.int64()
+                ),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -4942,3 +4942,76 @@ class TestPairSetAudit:
         assert got["n_both"] <= min(got["n_exact"], got["n_approx"])
         assert 0 <= got["recall_ppm"] <= 1_000_000
         assert 0 <= got["precision_ppm"] <= 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrimmedMean:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # group A: values 1..20 dollars, trim 5% -> k=1 -> keep 2..19:
+        # sum 189 dollars = 18900 cents over 18 rows
+        tbl = pa.table(
+            {
+                "g": pa.array(["A"] * 20 + ["B"] * 3, pa.string()),
+                "v": pa.array([float(i) for i in range(1, 21)] + [5.0, 7.0, 9.0]),
+            }
+        )
+        got = _pdf(relational.trimmed_mean_by_group(rd.from_arrow(tbl), "g", "v"))
+        out = {
+            r.g: (r.n_used, r.trimmed_sum_cents, r.trimmed_mean_cents)
+            for r in got.itertuples()
+        }
+        # group B: n=3, k=0 -> nothing trimmed
+        assert out == {"A": (18, 18900, 1050), "B": (3, 2100, 700)}
+
+    def test_all_trimmed_group_vanishes(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # trim_pct=50 -> k = n//2; group C with n=2 keeps rn in (1, 1]:
+        # nothing -> absent, exactly like the SQL replay
+        tbl = pa.table(
+            {
+                "g": pa.array(["C", "C", "D", "D", "D"], pa.string()),
+                "v": pa.array([1.0, 2.0, 1.0, 2.0, 3.0]),
+            }
+        )
+        got = _pdf(
+            relational.trimmed_mean_by_group(rd.from_arrow(tbl), "g", "v", trim_pct=50)
+        )
+        assert list(got["g"]) == ["D"] and got["n_used"].iloc[0] == 1
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        )
+        got = (
+            _pdf(relational.trimmed_mean_by_group(ds, "o_orderpriority", "o_totalprice"))
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH o AS (SELECT o_orderpriority,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM '{SF}/orders.parquet'),
+            r AS (SELECT o_orderpriority, cents, row_number() OVER
+              (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+              COUNT(*) OVER (PARTITION BY o_orderpriority) AS n FROM o),
+            t AS (SELECT o_orderpriority, cents FROM r
+              WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100)
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_used,
+              CAST(SUM(cents) AS BIGINT) AS trimmed_sum_cents,
+              CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+            FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+            """
+        ).df()
+        assert got.equals(exp)
