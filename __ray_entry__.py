@@ -1494,6 +1494,22 @@ def _q_trimmed_mean_price(sf_dir: str):
     )
 
 
+def _q_top_revenue_suppliers(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) with the global-max revenue; oracle is
+    the grouped-sum + scalar-max replay on identical per-row cents."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.top_revenue_suppliers(sf_dir)
+
+
+def _q_big_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape: orders with total lineitem quantity > 150 (cents
+    boundary exact on both sides), price attached via one hash join."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.big_volume_orders(sf_dir)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3516,6 +3532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_paths": _q_session_paths,
         "minhash_recall_audit": _q_minhash_recall_audit,
         "trimmed_mean_price": _q_trimmed_mean_price,
+        "top_revenue_suppliers": _q_top_revenue_suppliers,
+        "big_volume_orders": _q_big_volume_orders,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5207,6 +5225,28 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang"
         ),
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
+        "top_revenue_suppliers": (
+            # replay of relational.top_revenue_suppliers (Q15 shape): same
+            # per-row FLOOR(price*(1-disc)*100+0.5) cents as the join family
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) "
+            "AS rev FROM lineitem GROUP BY l_suppkey), "
+            "m AS (SELECT MAX(rev) AS mx FROM r) "
+            "SELECT s.s_suppkey, s.s_name, CAST(r.rev AS BIGINT) AS revenue_cents "
+            "FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey, m "
+            "WHERE r.rev = m.mx"
+        ),
+        "big_volume_orders": (
+            # replay of relational.big_volume_orders (Q18 shape): the
+            # HAVING boundary compares integer quantity cents exactly
+            "WITH q AS (SELECT l_orderkey, "
+            "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS tq "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o.o_orderkey, CAST(q.tq AS BIGINT) AS total_qty_cents, "
+            "CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents "
+            "FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey "
+            "WHERE q.tq > 15000"
+        ),
         "trimmed_mean_price": (
             # replay of relational.trimmed_mean_by_group: trimming k rows
             # per side depends only on the value multiset, so any

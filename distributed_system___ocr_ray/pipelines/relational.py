@@ -3030,3 +3030,132 @@ def trimmed_mean_by_group(
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+def top_revenue_suppliers(sf_dir: str):
+    """TPC-H Q15 shape (argmax over an aggregate): revenue per supplier,
+    then ONLY the supplier(s) hitting the global maximum -- the
+    self-referential HAVING-MAX no single GROUP BY expresses.
+
+    Plan: map-side revenue partials -> ``bucketed_grouped_sum`` on the
+    suppkey domain (the one exchange; moves (key, cents) partials) ->
+    the per-supplier table is supplier-domain bounded, so it is
+    ``materialize()``-d (two consumers: the global max and the filter;
+    re-deriving it would re-scan lineitem) -> per-block max partials give
+    the global max at the driver (one row per block, bounded) -> map-side
+    equality filter -> supplier names resolved from the broadcast small
+    side (``ray.put`` once, revenue_by_nation's pattern).
+
+    Returns (s_suppkey, s_name, revenue_cents); ties all surface, exactly
+    like the SQL replay."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"l_suppkey": batch.column("l_suppkey"), "rev": pa.array(rev, pa.int64())}
+        )
+        return t.group_by(["l_suppkey"]).aggregate([("rev", "sum")])
+
+    per_supp = bucketed_grouped_sum(
+        lineitem.map_batches(partial, batch_format="pyarrow"), "l_suppkey", "rev_sum"
+    ).materialize()
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"m": pa.array([pc.max(batch.column("rev_sum")).as_py()])})
+
+    mx = int(
+        per_supp.map_batches(block_max, batch_format="pyarrow").to_pandas()["m"].max()
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    names = ray.put(dict(zip(supp.column("s_suppkey").to_pylist(),
+                             supp.column("s_name").to_pylist())))
+
+    def filter_max(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev_sum").to_numpy()
+        keep = rev == mx
+        keys = batch.column("l_suppkey").to_numpy()[keep]
+        nm = ray.get(names)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(keys, pa.int64()),
+                "s_name": pa.array([nm[int(k)] for k in keys], pa.string()),
+                "revenue_cents": pa.array(rev[keep], pa.int64()),
+            }
+        )
+
+    return per_supp.map_batches(filter_max, batch_format="pyarrow")
+
+
+def big_volume_orders(sf_dir: str, min_qty_cents: int = 150_00):
+    """TPC-H Q18 shape (HAVING then join back): orders whose TOTAL lineitem
+    quantity exceeds a threshold, with the order's price attached -- the
+    aggregate-filter-rejoin that trips naive plans into re-scanning.
+
+    Plan: map-side (orderkey, qty_cents) partials -> ``bucketed_grouped_sum``
+    (orderkey-domain exchange) -> map-side threshold filter (the survivor
+    set is tiny by construction) -> ONE bucketed hash join back to the
+    narrow orders projection. Quantities compare in integer cents, so the
+    HAVING boundary is exact on both sides.
+
+    Returns (o_orderkey, total_qty_cents, price_cents)."""
+    import ray.data as rd
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _cents(batch.column("l_quantity"))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "q": q})
+        return t.group_by(["l_orderkey"]).aggregate([("q", "sum")])
+
+    per_order = bucketed_grouped_sum(
+        lineitem.map_batches(partial, batch_format="pyarrow"), "l_orderkey", "q_sum"
+    )
+
+    def over(batch: pa.Table) -> pa.Table:
+        q = batch.column("q_sum").to_numpy()
+        keep = q > min_qty_cents
+        return pa.table(
+            {
+                "l_orderkey": pa.array(batch.column("l_orderkey").to_numpy()[keep], pa.int64()),
+                "total_qty_cents": pa.array(q[keep], pa.int64()),
+            }
+        )
+
+    big = per_order.map_batches(over, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def price_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "price_cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    joined = bucketed_hash_join(
+        big,
+        orders.map_batches(price_cents, batch_format="pyarrow"),
+        "l_orderkey",
+        "o_orderkey",
+        buckets=16,
+    )
+    return joined.select_columns(["o_orderkey", "total_qty_cents", "price_cents"])

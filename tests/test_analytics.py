@@ -5015,3 +5015,48 @@ class TestTrimmedMean:
             """
         ).df()
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ15Q18Shapes:
+    def test_top_revenue_suppliers_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.top_revenue_suppliers(SF))
+            .sort_values("s_suppkey")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH r AS (SELECT l_suppkey,
+              SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+              AS rev FROM '{SF}/lineitem.parquet' GROUP BY l_suppkey),
+            m AS (SELECT MAX(rev) AS mx FROM r)
+            SELECT s.s_suppkey, s.s_name, CAST(r.rev AS BIGINT) AS revenue_cents
+            FROM r JOIN '{SF}/supplier.parquet' s ON s.s_suppkey = r.l_suppkey, m
+            WHERE r.rev = m.mx ORDER BY s.s_suppkey
+            """
+        ).df()
+        assert got.equals(exp) and len(got) >= 1
+
+    def test_big_volume_orders_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.big_volume_orders(SF))
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH q AS (SELECT l_orderkey,
+              SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS tq
+              FROM '{SF}/lineitem.parquet' GROUP BY l_orderkey)
+            SELECT o.o_orderkey, CAST(q.tq AS BIGINT) AS total_qty_cents,
+              CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+            FROM q JOIN '{SF}/orders.parquet' o ON o.o_orderkey = q.l_orderkey
+            WHERE q.tq > 15000 ORDER BY o.o_orderkey
+            """
+        ).df()
+        assert got.equals(exp) and len(got) >= 1
