@@ -1510,6 +1510,17 @@ def _q_big_volume_orders(sf_dir: str):
     return relational.big_volume_orders(sf_dir)
 
 
+def _q_hll_error_audit(sf_dir: str):
+    """HyperLogLog estimate vs exact distinct users with abs error in ppm;
+    oracle composes the register-exact HLL replay with COUNT(DISTINCT)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return analytics.hll_error_audit(events, "user_id")
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3534,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_price": _q_trimmed_mean_price,
         "top_revenue_suppliers": _q_top_revenue_suppliers,
         "big_volume_orders": _q_big_volume_orders,
+        "hll_error_audit": _q_hll_error_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -4810,6 +4822,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "approx_distinct_users": _approx_distinct_sql(),
+        "hll_error_audit": (
+            # composes the register-exact HLL replay with COUNT(DISTINCT);
+            # abs error floor-divides on both sides (both operands >= 0)
+            f"WITH a AS ({_approx_distinct_sql()}), "
+            "e AS (SELECT COUNT(DISTINCT user_id) AS n FROM events) "
+            "SELECT CAST(e.n AS BIGINT) AS exact_distinct, "
+            "CAST(a.approx_distinct_users AS BIGINT) AS approx_distinct, "
+            "CAST(abs(a.approx_distinct_users - e.n) * 1000000 // e.n AS BIGINT) "
+            "AS abs_err_ppm FROM a, e"
+        ),
         "approx_users_by_type": _approx_distinct_by_type_sql(),
         "bm25_topk": _bm25_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",

@@ -5410,3 +5410,46 @@ def pair_set_audit(exact, approx):
     return partials.repartition(1).map_batches(
         fold, batch_format="pyarrow", batch_size=None
     )
+
+
+def hll_error_audit(events, col: str = "user_id"):
+    """Sketch-accuracy audit: the HyperLogLog estimate next to the EXACT
+    distinct count, with the absolute error in ppm -- the committed
+    evidence for trusting (or re-sizing) the sketch at scale, same
+    "measure, don't guess" shape as ``pair_set_audit``.
+
+    The exact side is a value-domain exchange: per-batch ``np.unique``
+    partials (the map-side distinct that shrinks the shuffle to the batch
+    vocabulary), hash-bucketed, per-bucket nunique, tiny driver fold. The
+    approximate side is the existing mergeable-sketch pipeline
+    (``sketches.approx_distinct``). Both sides consume the same read;
+    the driver fold is a handful of ints.
+
+    Returns ONE row (exact_distinct, approx_distinct, abs_err_ppm)."""
+    from ..functions.sketches import approx_distinct
+    from .relational import hash_bucket_column
+
+    est = int(np.floor(approx_distinct(events, col) + 0.5))
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+        return hash_bucket_column(pa.table({col: pa.array(u)}), col, 64)
+
+    def bucket_n(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g[col].nunique())]})
+
+    exact = int(
+        events.map_batches(uniq, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_n, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+    err = abs(est - exact) * 1_000_000 // exact if exact else 0
+    return pd.DataFrame(
+        {
+            "exact_distinct": pd.array([exact], dtype="int64"),
+            "approx_distinct": pd.array([est], dtype="int64"),
+            "abs_err_ppm": pd.array([err], dtype="int64"),
+        }
+    )

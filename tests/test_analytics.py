@@ -5060,3 +5060,31 @@ class TestQ15Q18Shapes:
             """
         ).df()
         assert got.equals(exp) and len(got) >= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHllErrorAudit:
+    def test_vs_duckdb_exact_side(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        events = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+        got = analytics.hll_error_audit(events, "user_id").iloc[0]
+        exact = duckdb.sql(
+            f"SELECT COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+        ).fetchone()[0]
+        assert got["exact_distinct"] == exact
+        # p=12 HLL standard error is ~1.6%; assert a loose 10% band so the
+        # test checks plumbing, not sketch luck
+        assert abs(got["approx_distinct"] - exact) <= max(5, exact * 0.10)
+        assert got["abs_err_ppm"] == abs(got["approx_distinct"] - exact) * 1_000_000 // exact
+
+    def test_hand_built_exact(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table({"user_id": pa.array([1, 1, 2, 3, 3, 3], pa.int64())})
+        got = analytics.hll_error_audit(rd.from_arrow(tbl), "user_id").iloc[0]
+        assert got["exact_distinct"] == 3
