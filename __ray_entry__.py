@@ -1521,6 +1521,17 @@ def _q_hll_error_audit(sf_dir: str):
     return analytics.hll_error_audit(events, "user_id")
 
 
+def _q_bloom_fp_audit(sf_dir: str):
+    """Bloom-prefilter FP audit on the shared novelty split; the oracle
+    replays the ENTIRE filter in SQL: md5(sha256-hex) halves,
+    Kirsch-Mitzenmacher double hashing (h2 forced odd), k=7 probes,
+    m = GREATEST(64, 16 * n_distinct_corpus_keys), all-bits-set test."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    new_ds, corpus_ds = _novelty_split(sf_dir)
+    return analytics.bloom_fp_audit(new_ds, corpus_ds)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3546,6 +3557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_suppliers": _q_top_revenue_suppliers,
         "big_volume_orders": _q_big_volume_orders,
         "hll_error_audit": _q_hll_error_audit,
+        "bloom_fp_audit": _q_bloom_fp_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -4954,6 +4966,42 @@ def oracle_sql() -> dict[str, str]:
         "novel_docs_bloom": (
             "SELECT doc_id, lang FROM documents WHERE doc_id % 5 = 0 "
             "AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 != 0)"
+        ),
+        # full SQL replay of functions/bloom.BloomFilter: one md5 over the
+        # sha256-hex key, h1/h2 = big-endian digest halves (h2 | 1),
+        # Kirsch-Mitzenmacher probes (h1 + i*h2) % m for i in 0..6,
+        # m = GREATEST(64, 16 * n_distinct_corpus_keys); a row is a bloom
+        # hit iff all 7 probe positions are set by some corpus key
+        "bloom_fp_audit": (
+            "WITH newb AS (SELECT doc_id, sha256(text) AS h FROM documents "
+            "WHERE doc_id % 5 = 0), "
+            "corp AS (SELECT DISTINCT sha256(text) AS h FROM documents "
+            "WHERE doc_id % 5 != 0), "
+            "mm AS (SELECT GREATEST(64, 16 * COUNT(*)) AS m FROM corp), "
+            "ch AS (SELECT CAST(('0x' || substr(md5(h), 1, 16)) AS UBIGINT) AS h1, "
+            "(CAST(('0x' || substr(md5(h), 17, 16)) AS UBIGINT) | 1) AS h2 FROM corp), "
+            "bits AS (SELECT DISTINCT CAST((CAST(h1 AS HUGEINT) + g.i * CAST(h2 AS HUGEINT)) "
+            "% (SELECT m FROM mm) AS BIGINT) AS pos "
+            "FROM ch CROSS JOIN generate_series(0, 6) g(i)), "
+            "nh AS (SELECT doc_id, h, CAST(('0x' || substr(md5(h), 1, 16)) AS UBIGINT) AS h1, "
+            "(CAST(('0x' || substr(md5(h), 17, 16)) AS UBIGINT) | 1) AS h2 FROM newb), "
+            "npp AS (SELECT doc_id, h, CAST((CAST(h1 AS HUGEINT) + g.i * CAST(h2 AS HUGEINT)) "
+            "% (SELECT m FROM mm) AS BIGINT) AS pos "
+            "FROM nh CROSS JOIN generate_series(0, 6) g(i)), "
+            "hitrows AS (SELECT doc_id, h, "
+            "SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS kset "
+            "FROM npp LEFT JOIN bits b USING (pos) GROUP BY doc_id, h), "
+            "agg AS (SELECT COUNT(*) AS n_new, "
+            "SUM(CASE WHEN kset = 7 THEN 1 ELSE 0 END) AS n_hits, "
+            "SUM(CASE WHEN h IN (SELECT h FROM corp) THEN 1 ELSE 0 END) AS n_true "
+            "FROM hitrows) "
+            "SELECT CAST(n_new AS BIGINT) AS n_new, "
+            "CAST(n_hits AS BIGINT) AS n_bloom_hits, "
+            "CAST(n_true AS BIGINT) AS n_true_dups, "
+            "CAST(n_hits - n_true AS BIGINT) AS n_false_pos, "
+            "CAST(CASE WHEN n_new - n_true = 0 THEN 0 ELSE "
+            "(n_hits - n_true) * 1000000 // (n_new - n_true) END AS BIGINT) AS fp_ppm "
+            "FROM agg"
         ),
         "dedup_stats": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "

@@ -2738,6 +2738,37 @@ def _distinct_content_hashes(corpus_ds, text_col: str, out_col: str = "corpus_ha
     )
 
 
+def _broadcast_bloom(corpus_hashes, m_bits: int, merge_group: int = 64):
+    """Per-block partial Bloom filters over the distinct corpus hashes ->
+    bitwise-OR tree merge (bounded ``merge_group`` sketches per task, the
+    CMS merge shape) -> ONE ``ray.put`` broadcast. Returns the wrapped
+    ObjectRef (list so map_batches kwargs don't auto-deref). Shared by
+    ``novel_docs_bloom`` and ``bloom_fp_audit``."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+
+    def partial_bloom(batch: pa.Table) -> pa.Table:
+        f = BloomFilter(m_bits).add_many(batch.column("corpus_hash").to_pylist())
+        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+
+    def merge_blooms(batch: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter.from_bytes(batch["bloom"].iloc[0])
+        for b in batch["bloom"].iloc[1:]:
+            f.merge(BloomFilter.from_bytes(b))
+        return pd.DataFrame({"bloom": [f.to_bytes()]})
+
+    blooms = corpus_hashes.map_batches(partial_bloom, batch_format="pyarrow").materialize()
+    while blooms.count() > 1:
+        blooms = (
+            # ceil division keeps the per-task bound at merge_group sketches
+            blooms.repartition((blooms.count() + merge_group - 1) // merge_group)
+            .map_batches(merge_blooms, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    return [ray.put(blooms.take_all()[0]["bloom"])]
+
+
 def novel_docs_bloom(
     new_ds,
     corpus_ds,
@@ -2773,26 +2804,7 @@ def novel_docs_bloom(
     corpus_hashes = _distinct_content_hashes(corpus_ds, text_col)
     n_keys = corpus_hashes.count()
     m_bits = BloomFilter.for_keys(max(n_keys, 1), bits_per_key).m
-
-    def partial_bloom(batch: pa.Table) -> pa.Table:
-        f = BloomFilter(m_bits).add_many(batch.column("corpus_hash").to_pylist())
-        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
-
-    def merge_blooms(batch: pd.DataFrame) -> pd.DataFrame:
-        f = BloomFilter.from_bytes(batch["bloom"].iloc[0])
-        for b in batch["bloom"].iloc[1:]:
-            f.merge(BloomFilter.from_bytes(b))
-        return pd.DataFrame({"bloom": [f.to_bytes()]})
-
-    blooms = corpus_hashes.map_batches(partial_bloom, batch_format="pyarrow").materialize()
-    while blooms.count() > 1:
-        blooms = (
-            # ceil division keeps the per-task bound at merge_group sketches
-            blooms.repartition((blooms.count() + merge_group - 1) // merge_group)
-            .map_batches(merge_blooms, batch_format="pandas", batch_size=None)
-            .materialize()
-        )
-    handle = [ray.put(blooms.take_all()[0]["bloom"])]
+    handle = _broadcast_bloom(corpus_hashes, m_bits, merge_group)
 
     def with_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -5451,5 +5463,104 @@ def hll_error_audit(events, col: str = "user_id"):
             "exact_distinct": pd.array([exact], dtype="int64"),
             "approx_distinct": pd.array([est], dtype="int64"),
             "abs_err_ppm": pd.array([err], dtype="int64"),
+        }
+    )
+
+
+def bloom_fp_audit(
+    new_ds,
+    corpus_ds,
+    text_col: str = "text",
+    *,
+    bits_per_key: int = 16,
+    merge_group: int = 64,
+    join_buckets: int | None = None,
+):
+    """Bloom-prefilter false-positive audit: how many of the new batch's
+    Bloom HITS were actually novel (false positives the exact
+    re-verification join then had to absorb) -- the measurement behind
+    ``novel_docs_bloom``'s claim that FP rate only costs re-verification
+    volume. Third member of the "measure, don't guess" audit family
+    (pair_set_audit, hll_error_audit).
+
+    Same broadcast-bloom build as ``novel_docs_bloom`` (shared
+    ``_broadcast_bloom``); the new batch is tagged once, hit rows
+    re-verify through the bucketed left join, and THREE bounded count
+    partials fold at the driver. fp_ppm is false positives over the
+    non-duplicate rows actually tested (the population that could FP).
+
+    Returns ONE row (n_new, n_bloom_hits, n_true_dups, n_false_pos,
+    fp_ppm)."""
+    import ray
+
+    from ..functions.bloom import BloomFilter
+    from .relational import bucketed_hash_join, derive_buckets
+
+    corpus_hashes = _distinct_content_hashes(corpus_ds, text_col)
+    n_keys = corpus_hashes.count()
+    m_bits = BloomFilter.for_keys(max(n_keys, 1), bits_per_key).m
+    handle = _broadcast_bloom(corpus_hashes, m_bits, merge_group)
+
+    class BloomTag:
+        def __init__(self) -> None:
+            self.bloom = BloomFilter.from_bytes(ray.get(handle[0]))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            h = dk.sha256_hex(batch.column(text_col).to_pylist())
+            hit = self.bloom.contains_many(h)
+            return pa.table(
+                {
+                    "__hash": pa.array(h, pa.string()),
+                    "__hit": pa.array(hit, pa.bool_()),
+                }
+            )
+
+    tagged = new_ds.map_batches(
+        BloomTag, batch_format="pyarrow", concurrency=(1, 8)
+    ).materialize()  # consumed twice: counts + hit re-verification
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "n_hit": pa.array(
+                    [int(pc.sum(batch.column("__hit").cast(pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cnt = tagged.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    n_new, n_hits = int(cnt["n"].sum()), int(cnt["n_hit"].sum())
+
+    def keep_hits(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("__hit")).select(["__hash"])
+
+    hits = tagged.map_batches(keep_hits, batch_format="pyarrow")
+    buckets = join_buckets if join_buckets is not None else derive_buckets(n_keys)
+    joined = bucketed_hash_join(
+        hits, corpus_hashes, "__hash", "corpus_hash", buckets=buckets, how="left"
+    )
+
+    def true_dup_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.sum(pc.invert(pc.is_null(batch.column("corpus_hash"))).cast(pa.int64()))
+        return pa.table({"n": pa.array([int(m.as_py() or 0)], pa.int64())})
+
+    td = joined.map_batches(true_dup_partial, batch_format="pyarrow").to_pandas()
+    n_true = int(td["n"].sum()) if "n" in td.columns else 0  # zero-hit batch: no blocks
+    n_fp = n_hits - n_true
+    tested = n_new - n_true
+    fp_ppm = n_fp * 1_000_000 // tested if tested else 0
+    return pd.DataFrame(
+        {
+            "n_new": pd.array([n_new], dtype="int64"),
+            "n_bloom_hits": pd.array([n_hits], dtype="int64"),
+            "n_true_dups": pd.array([n_true], dtype="int64"),
+            "n_false_pos": pd.array([n_fp], dtype="int64"),
+            "fp_ppm": pd.array([fp_ppm], dtype="int64"),
         }
     )

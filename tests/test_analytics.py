@@ -5088,3 +5088,77 @@ class TestHllErrorAudit:
         tbl = pa.table({"user_id": pa.array([1, 1, 2, 3, 3, 3], pa.int64())})
         got = analytics.hll_error_audit(rd.from_arrow(tbl), "user_id").iloc[0]
         assert got["exact_distinct"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBloomFpAudit:
+    def test_hand_built_identities(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        corpus = rd.from_arrow(
+            pa.table({"text": pa.array([f"doc {i}" for i in range(50)], pa.string())})
+        )
+        # 3 true dups + 2 novel rows
+        new = rd.from_arrow(
+            pa.table(
+                {"text": pa.array(["doc 1", "doc 2", "doc 3", "xx", "yy"], pa.string())}
+            )
+        )
+        got = analytics.bloom_fp_audit(new, corpus).iloc[0]
+        assert got["n_new"] == 5
+        assert got["n_true_dups"] == 3
+        # every true dup must be a bloom hit (no false negatives)
+        assert got["n_bloom_hits"] >= got["n_true_dups"]
+        assert got["n_false_pos"] == got["n_bloom_hits"] - got["n_true_dups"]
+
+    def test_vs_duckdb_replay(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = f"{SF}/documents.parquet"
+
+        def side(want_zero):
+            def fn(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+                mask = (ids % 5 == 0) if want_zero else (ids % 5 != 0)
+                return batch.filter(pa.array(mask))
+
+            return fn
+
+        base = rd.read_parquet(docs, columns=["doc_id", "text"])
+        got = analytics.bloom_fp_audit(
+            base.map_batches(side(True), batch_format="pyarrow"),
+            base.map_batches(side(False), batch_format="pyarrow"),
+        ).iloc[0]
+        exp = duckdb.sql(
+            f"""
+            WITH newb AS (SELECT doc_id, sha256(text) AS h FROM '{docs}'
+              WHERE doc_id % 5 = 0),
+            corp AS (SELECT DISTINCT sha256(text) AS h FROM '{docs}'
+              WHERE doc_id % 5 != 0),
+            mm AS (SELECT GREATEST(64, 16 * COUNT(*)) AS m FROM corp),
+            ch AS (SELECT CAST(('0x' || substr(md5(h), 1, 16)) AS UBIGINT) AS h1,
+              (CAST(('0x' || substr(md5(h), 17, 16)) AS UBIGINT) | 1) AS h2 FROM corp),
+            bits AS (SELECT DISTINCT CAST((CAST(h1 AS HUGEINT) + g.i * CAST(h2 AS HUGEINT))
+              % (SELECT m FROM mm) AS BIGINT) AS pos
+              FROM ch CROSS JOIN generate_series(0, 6) g(i)),
+            nh AS (SELECT doc_id, h, CAST(('0x' || substr(md5(h), 1, 16)) AS UBIGINT) AS h1,
+              (CAST(('0x' || substr(md5(h), 17, 16)) AS UBIGINT) | 1) AS h2 FROM newb),
+            npp AS (SELECT doc_id, h, CAST((CAST(h1 AS HUGEINT) + g.i * CAST(h2 AS HUGEINT))
+              % (SELECT m FROM mm) AS BIGINT) AS pos
+              FROM nh CROSS JOIN generate_series(0, 6) g(i)),
+            hitrows AS (SELECT doc_id, h,
+              SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS kset
+              FROM npp LEFT JOIN bits b USING (pos) GROUP BY doc_id, h)
+            SELECT COUNT(*) AS n_new,
+              SUM(CASE WHEN kset = 7 THEN 1 ELSE 0 END) AS n_hits,
+              SUM(CASE WHEN h IN (SELECT h FROM corp) THEN 1 ELSE 0 END) AS n_true
+            FROM hitrows
+            """
+        ).df().iloc[0]
+        assert got["n_new"] == exp["n_new"]
+        assert got["n_bloom_hits"] == exp["n_hits"]
+        assert got["n_true_dups"] == exp["n_true"]
