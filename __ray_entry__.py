@@ -1532,6 +1532,15 @@ def _q_bloom_fp_audit(sf_dir: str):
     return analytics.bloom_fp_audit(new_ds, corpus_ds)
 
 
+def _q_cms_error_audit(sf_dir: str):
+    """CMS estimate vs exact count for the exact top-20 tokens, with the
+    overestimate in ppm; oracle shares the CMS CTE body counter-for-counter
+    and adds the exact column."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.cms_error_audit(_docs(sf_dir, ["text"]), _docs(sf_dir, ["text"]))
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3558,6 +3567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_volume_orders": _q_big_volume_orders,
         "hll_error_audit": _q_hll_error_audit,
         "bloom_fp_audit": _q_bloom_fp_audit,
+        "cms_error_audit": _q_cms_error_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -3955,22 +3965,41 @@ def _epoch_shuffle_sql(epoch: int) -> str:
     )
 
 
-def _cms_top_tokens_sql(k: int = 20, depth: int = 4, width: int = 8192) -> str:
-    """Replays _q_cms_top_tokens: every CMS bucket counter is
+def _cms_ctes(k: int = 20, depth: int = 4, width: int = 8192) -> str:
+    """Shared CTE body of the CMS replays: every CMS bucket counter is
     COUNT(*) of tokens hashing to (row, md5_u64('cms{r}:'||tok) % width),
     and each candidate's estimate is the MIN over rows of its bucket's
     counter — identical md5-prefix arithmetic to sketches.CountMinSketch."""
     h_tok = _MD5U64.format(v="'cms' || CAST(r AS VARCHAR) || ':' || tk")
     h_cand = _MD5U64.format(v="'cms' || CAST(r2.r AS VARCHAR) || ':' || cand.tk")
     return (
-        "WITH tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tk FROM documents), "
+        "tok AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tk FROM documents), "
         f"cand AS (SELECT tk, COUNT(*) AS n FROM tok GROUP BY tk ORDER BY n DESC, tk LIMIT {k}), "
         f"rows_ AS (SELECT CAST(r AS INTEGER) AS r FROM range({depth}) t(r)), "
         f"sk AS (SELECT r, {h_tok} % {width} AS b, COUNT(*) AS c "
         "FROM tok CROSS JOIN rows_ GROUP BY 1, 2), "
         "est AS (SELECT cand.tk, MIN(sk.c) AS n_cms FROM cand CROSS JOIN rows_ r2 "
-        f"JOIN sk ON sk.r = r2.r AND sk.b = {h_cand} % {width} GROUP BY cand.tk) "
+        f"JOIN sk ON sk.r = r2.r AND sk.b = {h_cand} % {width} GROUP BY cand.tk)"
+    )
+
+
+def _cms_top_tokens_sql(k: int = 20, depth: int = 4, width: int = 8192) -> str:
+    return (
+        f"WITH {_cms_ctes(k, depth, width)} "
         "SELECT cand.tk AS token, CAST(est.n_cms AS BIGINT) AS n_cms "
+        "FROM cand JOIN est ON cand.tk = est.tk"
+    )
+
+
+def _cms_error_audit_sql(k: int = 20, depth: int = 4, width: int = 8192) -> str:
+    """cms_top_tokens' CTE body plus the exact count and the CMS
+    overestimate in ppm (CMS >= truth by construction, so the floor-div
+    is on non-negative ints on both sides)."""
+    return (
+        f"WITH {_cms_ctes(k, depth, width)} "
+        "SELECT cand.tk AS token, CAST(cand.n AS BIGINT) AS n_exact, "
+        "CAST(est.n_cms AS BIGINT) AS n_cms, "
+        "CAST((est.n_cms - cand.n) * 1000000 // cand.n AS BIGINT) AS over_ppm "
         "FROM cand JOIN est ON cand.tk = est.tk"
     )
 
@@ -5052,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
         "budget_select": _budget_select_sql(_BUDGET_TOKENS),
         "mixture_sample": _mixture_sample_sql(_MIX_SHARES, _MIX_TARGET),
         "cms_top_tokens": _cms_top_tokens_sql(20),
+        "cms_error_audit": _cms_error_audit_sql(20),
         "epoch_shuffle": _epoch_shuffle_sql(3),
         "sample_exact_n": _sample_exact_n_sql(60),
         "line_dedup": _line_dedup_sql(8),

@@ -5564,3 +5564,33 @@ def bloom_fp_audit(
             "fp_ppm": pd.array([fp_ppm], dtype="int64"),
         }
     )
+
+
+def cms_error_audit(ds_exact, ds_cms, k: int = 20):
+    """Count-Min-sketch accuracy audit: for the exact top-``k`` tokens,
+    the CMS estimate next to the true count and the overestimate in ppm
+    (CMS never underestimates, so over_ppm >= 0) -- the audit-family
+    measurement that sizes the sketch's collision noise before trusting
+    it on an unbounded vocabulary.
+
+    Both constituents are existing pipelines (``top_tokens`` exact heavy
+    hitters; ``cms_token_counts`` point-queried at that candidate set);
+    each returns k rows, so the final merge is a bounded, deliberate
+    driver join. Two reads of the corpus text by design -- the exact side
+    must see the data before the candidates exist.
+
+    Returns k rows (token, n_exact, n_cms, over_ppm)."""
+    exact = top_tokens(ds_exact, k=k).to_pandas()
+    est = cms_token_counts(ds_cms, candidates=exact["token"].tolist(), k=k).to_pandas()
+    m = exact.merge(est, on="token")
+    over = [
+        (int(c) - int(n)) * 1_000_000 // int(n) for c, n in zip(m["n_cms"], m["n"])
+    ]
+    return pd.DataFrame(
+        {
+            "token": m["token"],
+            "n_exact": m["n"].astype("int64"),
+            "n_cms": m["n_cms"].astype("int64"),
+            "over_ppm": pd.array(over, dtype="int64"),
+        }
+    )

@@ -5162,3 +5162,27 @@ class TestBloomFpAudit:
         assert got["n_new"] == exp["n_new"]
         assert got["n_bloom_hits"] == exp["n_hits"]
         assert got["n_true_dups"] == exp["n_true"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCmsErrorAudit:
+    def test_overestimate_invariant_and_exact_side(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds1 = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        ds2 = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        got = analytics.cms_error_audit(ds1, ds2, k=10)
+        assert len(got) == 10
+        # CMS never underestimates
+        assert (got["n_cms"] >= got["n_exact"]).all()
+        assert (got["over_ppm"] >= 0).all()
+        exp = duckdb.sql(
+            f"""
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS tk
+            FROM '{SF}/documents.parquet'
+            """
+        ).df()["tk"].value_counts()
+        for t, n in zip(got["token"], got["n_exact"]):
+            assert exp[t] == n
