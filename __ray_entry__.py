@@ -1541,6 +1541,37 @@ def _q_cms_error_audit(sf_dir: str):
     return analytics.cms_error_audit(_docs(sf_dir, ["text"]), _docs(sf_dir, ["text"]))
 
 
+def _q_dup_size_histogram(sf_dir: str):
+    """Histogram of exact-duplicate group sizes (corpus-health profile one
+    level finer than dedup_stats), over the corpus with every-7th doc
+    repeated once (the documents table is dup-free by construction, so the
+    planted rows make the size-2 bucket real on both sides); oracle is the
+    two-level GROUP BY over the same UNION ALL."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def every7(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 7 == 0))
+
+    planted = docs.union(docs.map_batches(every7, batch_format="pyarrow"))
+    return analytics.dup_size_histogram(planted)
+
+
+def _q_join_size_audit(sf_dir: str):
+    """CMS inner-product join-size estimate vs the exact orders|><|lineitem
+    cardinality (computed from count products, never the join itself);
+    oracle replays every counter and the min-over-rows inner product."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    return analytics.join_size_audit(orders, lineitem, "o_orderkey", "l_orderkey")
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3568,6 +3599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error_audit": _q_hll_error_audit,
         "bloom_fp_audit": _q_bloom_fp_audit,
         "cms_error_audit": _q_cms_error_audit,
+        "dup_size_histogram": _q_dup_size_histogram,
+        "join_size_audit": _q_join_size_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5036,6 +5069,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct FROM documents"
         ),
+        "dup_size_histogram": (
+            # text equality == the engine's sha256 equality (dedup family's
+            # documented collision odds); same every-7th planted-dup UNION
+            "WITH u AS (SELECT text FROM documents UNION ALL "
+            "SELECT text FROM documents WHERE doc_id % 7 = 0), "
+            "g AS (SELECT text, COUNT(*) AS n FROM u GROUP BY text) "
+            "SELECT CAST(n AS BIGINT) AS group_size, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups FROM g GROUP BY n"
+        ),
         "clean_corpus_keepers": (
             "SELECT MIN(doc_id) AS keeper_doc_id FROM documents "
             "WHERE n_chars >= 100 AND n_chars <= 20000 GROUP BY text"
@@ -5082,6 +5124,29 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": _mixture_sample_sql(_MIX_SHARES, _MIX_TARGET),
         "cms_top_tokens": _cms_top_tokens_sql(20),
         "cms_error_audit": _cms_error_audit_sql(20),
+        "join_size_audit": (
+            # replay of analytics.join_size_audit: exact = sum of per-key
+            # count products (never the join), estimate = min over CMS rows
+            # of the counter inner product (identical md5 bucket hashes)
+            "WITH ca AS (SELECT o_orderkey AS k, COUNT(*) AS c FROM orders GROUP BY 1), "
+            "cb AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1), "
+            "ex AS (SELECT COALESCE(SUM(CAST(ca.c AS HUGEINT) * cb.c), 0) AS n "
+            "FROM ca JOIN cb USING (k)), "
+            "rows_ AS (SELECT CAST(r AS INTEGER) AS r FROM range(4) t(r)), "
+            "ska AS (SELECT r, "
+            + _MD5U64.format(v="'cms' || CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+            + " % 8192 AS b, SUM(c) AS c FROM ca CROSS JOIN rows_ GROUP BY 1, 2), "
+            "skb AS (SELECT r, "
+            + _MD5U64.format(v="'cms' || CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)")
+            + " % 8192 AS b, SUM(c) AS c FROM cb CROSS JOIN rows_ GROUP BY 1, 2), "
+            "ip AS (SELECT a.r, SUM(CAST(a.c AS HUGEINT) * b.c) AS s "
+            "FROM ska a JOIN skb b ON a.r = b.r AND a.b = b.b GROUP BY a.r), "
+            "est AS (SELECT MIN(s) AS e FROM ip) "
+            "SELECT CAST(ex.n AS BIGINT) AS exact_rows, "
+            "CAST(est.e AS BIGINT) AS cms_estimate, "
+            "CAST(CASE WHEN ex.n = 0 THEN 0 ELSE (est.e - ex.n) * 1000000 // ex.n END "
+            "AS BIGINT) AS over_ppm FROM ex, est"
+        ),
         "epoch_shuffle": _epoch_shuffle_sql(3),
         "sample_exact_n": _sample_exact_n_sql(60),
         "line_dedup": _line_dedup_sql(8),

@@ -178,7 +178,8 @@ def run_bench() -> dict:
         "daily_activity", "ols_trend", "key_skew", "oov_rate_by_lang",
         "dup_shingle_rate", "session_paths", "trimmed_mean_price",
         "top_revenue_suppliers", "big_volume_orders", "hll_error_audit",
-        "bloom_fp_audit", "cms_error_audit",
+        "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
+        "join_size_audit",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

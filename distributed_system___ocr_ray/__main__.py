@@ -48,21 +48,30 @@ def cmd_extract(args) -> int:
     _ray_session(args.num_cpus)
     import ray
 
+    from .config import JobConfig
+
+    # CLI args -> the one JobConfig both plans read (M9: the reference's
+    # parsed client args, LocalApplication.java:44-62)
+    cfg = JobConfig(
+        num_partitions=args.partitions,
+        batch_size=args.batch_size,
+        resume=not args.no_resume,
+    )
     try:
         if args.plan == "sharded":
             from .pipelines.sharded import run_extraction_sharded
 
             metrics = run_extraction_sharded(
                 args.input, args.media, args.output,
-                resume=not args.no_resume, batch_size=args.batch_size,
+                resume=cfg.resume, batch_size=cfg.batch_size,
             )
         else:
             from .pipelines.extract import run_extraction
 
             metrics = run_extraction(
                 args.input, args.media, args.output,
-                num_partitions=args.partitions, resume=not args.no_resume,
-                batch_size=args.batch_size,
+                num_partitions=cfg.num_partitions, resume=cfg.resume,
+                batch_size=cfg.batch_size,
             )
         print(json.dumps(metrics))
         return 0

@@ -5594,3 +5594,151 @@ def cms_error_audit(ds_exact, ds_cms, k: int = 20):
             "over_ppm": pd.array(over, dtype="int64"),
         }
     )
+
+
+def dup_size_histogram(ds, text_col: str = "text"):
+    """Duplicate-group-size histogram: how many distinct texts occur once,
+    twice, three times... -- the corpus-health profile that says whether
+    duplication is a long tail of near-singletons (cheap to keep) or a few
+    monster clusters (salting / cap territory), one level finer than
+    ``dedup_stats``' scalar totals.
+
+    Two-level collapse, both exchanges bounded: per-batch sha256
+    value_counts -> ``bucketed_grouped_sum`` over the hash domain (the
+    only unbounded exchange, (hash, count) partials) -> per-block
+    value_counts of the group SIZE -> tiny size-domain final (group sizes
+    are <= the corpus's max multiplicity, a handful of distinct values).
+    Text equality is hash equality modulo the dedup family's documented
+    2^-256 collision odds.
+
+    Returns (group_size, n_groups)."""
+    from .relational import bucketed_grouped_sum, tiny_final_groupby
+
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        h = dk.sha256_hex(batch.column(text_col).to_pylist())
+        vc = pd.Series(h).value_counts()
+        return pa.table(
+            {
+                "h": pa.array(vc.index, pa.string()),
+                "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(hash_counts, batch_format="pyarrow"), "h", "n"
+    )
+
+    def size_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["n"].value_counts()
+        return pd.DataFrame(
+            {
+                "group_size": vc.index.to_numpy(np.int64),
+                "k": vc.to_numpy(np.int64),
+            }
+        )
+
+    return tiny_final_groupby(
+        counts.map_batches(size_partial, batch_format="pandas"),
+        ["group_size"],
+        [("k", "sum")],
+        ["group_size", "n_groups"],
+    )
+
+
+def _cms_over_keys(ds, key: str, depth: int, width: int, merge_group: int = 64):
+    """Per-batch key value_counts -> partial CMS -> the cms_token_counts
+    tree merge (bounded ``merge_group`` sketches per task). Keys stringify
+    as str(int) so the SQL replay's CAST(key AS VARCHAR) hashes
+    identically. Returns the merged driver-side CountMinSketch."""
+    from ..functions.sketches import CountMinSketch
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        vc = pd.Series(keys).value_counts()
+        cms = CountMinSketch(depth, width).add_counts(
+            [str(int(t)) for t in vc.index], vc.to_numpy(np.int64)
+        )
+        return pd.DataFrame({"sketch": [cms.to_bytes()]})
+
+    def merge_block(batch: pd.DataFrame) -> pd.DataFrame:
+        m = CountMinSketch.from_bytes(batch["sketch"].iloc[0])
+        for b in batch["sketch"].iloc[1:]:
+            m.merge(CountMinSketch.from_bytes(b))
+        return pd.DataFrame({"sketch": [m.to_bytes()]})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    while merged.count() > 1:
+        blocks = (merged.count() + merge_group - 1) // merge_group
+        merged = (
+            merged.repartition(blocks)
+            .map_batches(merge_block, batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    return CountMinSketch.from_bytes(merged.take_all()[0]["sketch"])
+
+
+def join_size_audit(
+    left, right, left_key: str, right_key: str, depth: int = 4, width: int = 8192
+):
+    """Join-cardinality estimation audit -- the query-planner primitive:
+    |A |><| B| estimated as the CMS inner product min over rows
+    (Alon-Gibbons-Matias-Szegedy style; always an OVERESTIMATE, collisions
+    only add mass), next to the EXACT count computed WITHOUT materializing
+    the join (per-key count tables, one key-domain exchange, sum of count
+    products). Fifth member of the audit family.
+
+    The sketches are constant 256 KB regardless of key cardinality -- the
+    at-scale path when even the per-key count table is too hot to ship; the
+    audit quantifies what that compression costs. All driver folds are
+    Python-int exact (count products overflow int64 at planetary scale).
+
+    Returns ONE row (exact_rows, cms_estimate, over_ppm >= 0)."""
+    from .relational import hash_bucket_column
+
+    ska = _cms_over_keys(left, left_key, depth, width)
+    skb = _cms_over_keys(right, right_key, depth, width)
+    est = min(
+        sum(int(a) * int(b) for a, b in zip(ska.table[r], skb.table[r]))
+        for r in range(depth)
+    )
+
+    def side_counts(key: str, side: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).to_numpy(zero_copy_only=False)
+            vc = pd.Series(keys).value_counts()
+            t = pa.table(
+                {
+                    "k": pa.array(vc.index.to_numpy(np.int64), pa.int64()),
+                    "n": pa.array(vc.to_numpy(np.int64), pa.int64()),
+                    "side": pa.array([side] * len(vc), pa.int64()),
+                }
+            )
+            return hash_bucket_column(t, "k", 64)
+
+        return _fn
+
+    both = left.map_batches(side_counts(left_key, 0), batch_format="pyarrow").union(
+        right.map_batches(side_counts(right_key, 1), batch_format="pyarrow")
+    )
+
+    def bucket_product(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby(["k", "side"], sort=False)["n"].sum().unstack("side")
+        if 0 not in p.columns or 1 not in p.columns:
+            return pd.DataFrame({"s": pd.array([0], dtype="int64")})
+        prod = (p[0].fillna(0) * p[1].fillna(0)).sum()
+        return pd.DataFrame({"s": pd.array([int(prod)], dtype="int64")})
+
+    exact = int(
+        both.groupby("__bucket")
+        .map_groups(bucket_product, batch_format="pandas")
+        .to_pandas()["s"]
+        .sum()
+    )
+    over = (est - exact) * 1_000_000 // exact if exact else 0
+    return pd.DataFrame(
+        {
+            "exact_rows": pd.array([exact], dtype="int64"),
+            "cms_estimate": pd.array([est], dtype="int64"),
+            "over_ppm": pd.array([over], dtype="int64"),
+        }
+    )

@@ -5186,3 +5186,79 @@ class TestCmsErrorAudit:
         ).df()["tk"].value_counts()
         for t, n in zip(got["token"], got["n_exact"]):
             assert exp[t] == n
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDupSizeHistogram:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {"text": pa.array(["a", "a", "a", "b", "b", "c"], pa.string())}
+        )
+        got = _pdf(analytics.dup_size_histogram(rd.from_arrow(tbl)))
+        out = dict(zip(got["group_size"], got["n_groups"]))
+        assert out == {3: 1, 2: 1, 1: 1}
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        got = (
+            _pdf(analytics.dup_size_histogram(ds))
+            .sort_values("group_size")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH g AS (SELECT text, COUNT(*) AS n
+              FROM '{SF}/documents.parquet' GROUP BY text)
+            SELECT CAST(n AS BIGINT) AS group_size,
+              CAST(COUNT(*) AS BIGINT) AS n_groups FROM g GROUP BY n ORDER BY 1
+            """
+        ).df()
+        assert got.equals(exp)
+        # invariant: sum(group_size * n_groups) == corpus rows
+        assert int((got["group_size"] * got["n_groups"]).sum()) == ds.count()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestJoinSizeAudit:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        left = rd.from_arrow(
+            pa.table({"a": pa.array([1, 1, 2, 3], pa.int64())})
+        )
+        right = rd.from_arrow(
+            pa.table({"b": pa.array([1, 2, 2, 2, 9], pa.int64())})
+        )
+        got = analytics.join_size_audit(left, right, "a", "b").iloc[0]
+        # exact: key 1 -> 2*1, key 2 -> 1*3, key 3/9 unmatched = 5
+        assert got["exact_rows"] == 5
+        # CMS inner product never underestimates
+        assert got["cms_estimate"] >= 5
+        assert got["over_ppm"] >= 0
+
+    def test_vs_duckdb_exact_join(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+        lineitem = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey"])
+        got = analytics.join_size_audit(orders, lineitem, "o_orderkey", "l_orderkey").iloc[0]
+        exp = duckdb.sql(
+            f"""
+            SELECT COUNT(*) FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/lineitem.parquet' l ON o.o_orderkey = l.l_orderkey
+            """
+        ).fetchone()[0]
+        assert got["exact_rows"] == exp
+        assert got["cms_estimate"] >= exp
