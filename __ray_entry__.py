@@ -1572,6 +1572,20 @@ def _q_join_size_audit(sf_dir: str):
     return analytics.join_size_audit(orders, lineitem, "o_orderkey", "l_orderkey")
 
 
+def _q_interarrival_quantiles(sf_dir: str):
+    """Exact p50/p90 whole-second gaps between consecutive same-user
+    events per type; oracle is the LAG + cumulative-count-window replay
+    with the same (ts, event_id) tie order."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    return relational.interarrival_quantiles(events)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3601,6 +3615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_error_audit": _q_cms_error_audit,
         "dup_size_histogram": _q_dup_size_histogram,
         "join_size_audit": _q_join_size_audit,
+        "interarrival_quantiles": _q_interarrival_quantiles,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5488,6 +5503,23 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "interarrival_quantiles": (
+            # replay of relational.interarrival_quantiles: same
+            # (ts, event_id) tie order, whole-second floor-div gaps, and
+            # the fulfillment_latency cumulative-count quantile read
+            "WITH d AS (SELECT event_type, (epoch_us(ts) - lag(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)) "
+            "// 1000000 AS ds FROM events), "
+            "v AS (SELECT event_type, ds FROM d WHERE ds IS NOT NULL), "
+            "c AS (SELECT event_type, ds, COUNT(*) AS n FROM v GROUP BY 1, 2), "
+            "w AS (SELECT event_type, ds, "
+            "SUM(n) OVER (PARTITION BY event_type ORDER BY ds) AS cum, "
+            "SUM(n) OVER (PARTITION BY event_type) AS tot FROM c) "
+            "SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_gaps, "
+            "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN ds END) AS BIGINT) AS p50_sec, "
+            "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN ds END) AS BIGINT) AS p90_sec "
+            "FROM w GROUP BY event_type"
+        ),
         # replays relational.key_skew_report: per-key sizes, size-count
         # table, smallest-size-with-cum>=ceil(q*n_keys) exact quantiles
         "key_skew": (

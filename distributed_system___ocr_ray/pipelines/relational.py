@@ -3159,3 +3159,79 @@ def big_volume_orders(sf_dir: str, min_qty_cents: int = 150_00):
         buckets=16,
     )
     return joined.select_columns(["o_orderkey", "total_qty_cents", "price_cents"])
+
+
+def interarrival_quantiles(events, partitions: int | None = None):
+    """Inter-arrival latency profile: per event type, the exact p50/p90 of
+    the whole-second gap between CONSECUTIVE same-user events of that type
+    -- the behavioral cadence metric (how often does a user click / buy)
+    that feeds session-gap and debounce threshold choices.
+
+    Scale shape: ONE user-domain exchange (session_windows' bucketing);
+    each bucket sorts by (user, type, ts, event_id) -- the unique event_id
+    tie-break makes gap CONTENT deterministic -- and emits
+    (type, gap_seconds) COUNT partials off one vectorized diff; the
+    second exchange is the count table (bounded by observed distinct
+    gaps, not rows -- gaps concentrate on a few cadences in practice;
+    the single final block reads quantiles off cumulative counts, the
+    fulfillment_latency kernel).
+
+    Returns (event_type, n_gaps, p50_sec, p90_sec)."""
+    import math
+
+    import pandas as pd
+
+    if partitions is None:
+        partitions = derive_buckets(events.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "user_id", partitions)
+
+    def gap_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(uid) < 2:
+            return pd.DataFrame({"event_type": [], "gap": [], "n": []}).astype(
+                {"event_type": str, "gap": np.int64, "n": np.int64}
+            )
+        same = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gaps = (us[1:] - us[:-1])[same] // 1_000_000
+        df = pd.DataFrame({"event_type": et[1:][same], "gap": gaps})
+        c = df.groupby(["event_type", "gap"], sort=False).size().rename("n").reset_index()
+        return c
+
+    merged = (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(gap_counts, batch_format="pandas")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import math
+
+        df = batch.to_pandas().groupby(["event_type", "gap"], sort=True)["n"].sum().reset_index()
+        out = {"event_type": [], "n_gaps": [], "p50_sec": [], "p90_sec": []}
+        for et, g in df.groupby("event_type", sort=True):
+            gap = g["gap"].to_numpy(np.int64)
+            cum = g["n"].to_numpy(np.int64).cumsum()
+            n = int(cum[-1])
+            out["event_type"].append(et)
+            out["n_gaps"].append(n)
+            out["p50_sec"].append(int(gap[np.searchsorted(cum, math.ceil(0.5 * n))]))
+            out["p90_sec"].append(int(gap[np.searchsorted(cum, math.ceil(0.9 * n))]))
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n_gaps": pa.array(out["n_gaps"], pa.int64()),
+                "p50_sec": pa.array(out["p50_sec"], pa.int64()),
+                "p90_sec": pa.array(out["p90_sec"], pa.int64()),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

@@ -5262,3 +5262,61 @@ class TestJoinSizeAudit:
         ).fetchone()[0]
         assert got["exact_rows"] == exp
         assert got["cms_estimate"] >= exp
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestInterarrivalQuantiles:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        def t(s):
+            return np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(s, "s")
+
+        # user 1 type a at 0, 10, 40 -> gaps 10, 30; user 2 type a at
+        # 0, 100 -> gap 100; type b: single events only -> absent
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2, 1], pa.int64()),
+                "ts": pa.array([t(0), t(10), t(40), t(0), t(100), t(7)], pa.timestamp("us")),
+                "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "a", "a", "b"], pa.string()),
+            }
+        )
+        got = _pdf(relational.interarrival_quantiles(rd.from_arrow(tbl), partitions=4))
+        assert list(got["event_type"]) == ["a"]
+        r = got.iloc[0]
+        # gaps sorted: 10, 30, 100 -> p50 = 30, p90 = 100
+        assert (r["n_gaps"], r["p50_sec"], r["p90_sec"]) == (3, 30, 100)
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        events = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        got = (
+            _pdf(relational.interarrival_quantiles(events))
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT event_type, (epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+              // 1000000 AS ds FROM '{SF}/events.parquet'),
+            v AS (SELECT event_type, ds FROM d WHERE ds IS NOT NULL),
+            c AS (SELECT event_type, ds, COUNT(*) AS n FROM v GROUP BY 1, 2),
+            w AS (SELECT event_type, ds,
+              SUM(n) OVER (PARTITION BY event_type ORDER BY ds) AS cum,
+              SUM(n) OVER (PARTITION BY event_type) AS tot FROM c)
+            SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n_gaps,
+              CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN ds END) AS BIGINT) AS p50_sec,
+              CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN ds END) AS BIGINT) AS p90_sec
+            FROM w GROUP BY event_type ORDER BY event_type
+            """
+        ).df()
+        assert got.equals(exp)
