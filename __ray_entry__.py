@@ -1586,6 +1586,15 @@ def _q_interarrival_quantiles(sf_dir: str):
     return relational.interarrival_quantiles(events)
 
 
+def _q_rfm_segments(sf_dir: str):
+    """Per-customer RFM quartile scores against exact type-1 boundaries;
+    oracle recomputes the 9 boundaries via row_number = CEIL(q*n) and the
+    same [v > b] scoring."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.rfm_segments(sf_dir)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3616,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_size_histogram": _q_dup_size_histogram,
         "join_size_audit": _q_join_size_audit,
         "interarrival_quantiles": _q_interarrival_quantiles,
+        "rfm_segments": _q_rfm_segments,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5503,6 +5513,47 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "rfm_segments": (
+            # replay of relational.rfm_segments: same day/cents integers,
+            # type-1 boundaries at rank CEIL(q*n), ties take the lower score
+            "WITH o AS (SELECT o_custkey, "
+            "CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), "
+            "pc AS (SELECT o_custkey AS c_custkey, MAX(day) AS last_day, "
+            "CAST(COUNT(*) AS BIGINT) AS f_orders, "
+            "CAST(SUM(cents) AS BIGINT) AS m_cents FROM o GROUP BY 1), "
+            "mx AS (SELECT MAX(last_day) AS m FROM pc), "
+            "p AS (SELECT c_custkey, (SELECT m FROM mx) - last_day AS r_days, "
+            "f_orders, m_cents FROM pc), "
+            "nn AS (SELECT COUNT(*) AS n FROM p), "
+            "rb AS (SELECT r_days AS v, row_number() OVER (ORDER BY r_days) AS rn FROM p), "
+            "fb AS (SELECT f_orders AS v, row_number() OVER (ORDER BY f_orders) AS rn FROM p), "
+            "mb AS (SELECT m_cents AS v, row_number() OVER (ORDER BY m_cents) AS rn FROM p), "
+            "rq AS (SELECT "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.25 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b1, "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.5 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b2, "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.75 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b3 "
+            "FROM rb), "
+            "fq AS (SELECT "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.25 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b1, "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.5 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b2, "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.75 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b3 "
+            "FROM fb), "
+            "mq AS (SELECT "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.25 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b1, "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.5 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b2, "
+            "MAX(CASE WHEN rn = CAST(CEIL(0.75 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b3 "
+            "FROM mb) "
+            "SELECT p.c_custkey, CAST(p.r_days AS BIGINT) AS r_days, "
+            "p.f_orders, p.m_cents, "
+            "CAST(1 + CAST(p.r_days > rq.b1 AS INT) + CAST(p.r_days > rq.b2 AS INT) "
+            "+ CAST(p.r_days > rq.b3 AS INT) AS BIGINT) AS r_score, "
+            "CAST(1 + CAST(p.f_orders > fq.b1 AS INT) + CAST(p.f_orders > fq.b2 AS INT) "
+            "+ CAST(p.f_orders > fq.b3 AS INT) AS BIGINT) AS f_score, "
+            "CAST(1 + CAST(p.m_cents > mq.b1 AS INT) + CAST(p.m_cents > mq.b2 AS INT) "
+            "+ CAST(p.m_cents > mq.b3 AS INT) AS BIGINT) AS m_score "
+            "FROM p, rq, fq, mq"
+        ),
         "interarrival_quantiles": (
             # replay of relational.interarrival_quantiles: same
             # (ts, event_id) tie order, whole-second floor-div gaps, and

@@ -179,7 +179,7 @@ def run_bench() -> dict:
         "dup_shingle_rate", "session_paths", "trimmed_mean_price",
         "top_revenue_suppliers", "big_volume_orders", "hll_error_audit",
         "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
-        "join_size_audit", "interarrival_quantiles",
+        "join_size_audit", "interarrival_quantiles", "rfm_segments",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -3235,3 +3235,111 @@ def interarrival_quantiles(events, partitions: int | None = None):
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def rfm_segments(sf_dir: str, buckets: int = 64):
+    """RFM segmentation -- per customer: Recency (days since their last
+    order, against the corpus max day), Frequency (order count), Monetary
+    (total cents), each scored 1-4 against the EXACT quartile boundaries
+    of the customer population. The classic marketing/feature-store
+    segmentation, done with exact integers end-to-end.
+
+    Scale shape: per-batch (cust, max-day, count, sum) partials -> ONE
+    custkey exchange folds the per-customer table (customer-domain
+    bounded; materialized for its several consumers) -> the 9 quartile
+    boundaries come from ``analytics.exact_quantile``'s histogram
+    bisection (log-round passes, no sort, no big collect) -> one map-side
+    scoring pass against the 9 broadcast scalars.
+
+    Scoring: score = 1 + [v > b25] + [v > b50] + [v > b75] with type-1
+    boundaries (rank CEIL(q*n)); ties at a boundary take the LOWER score
+    on both sides (this is quantile-scoring, not equi-depth NTILE -- tied
+    values never split). Boundary scalars pass through float64 exactly
+    (integer-valued, far under 2^53).
+
+    Returns (c_custkey, r_days, f_orders, m_cents, r_score, f_score,
+    m_score)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // 86_400_000_000
+        cents = _cents(batch.column("o_totalprice")).to_numpy()
+        df = pd.DataFrame(
+            {
+                "c": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+                "day": day,
+                "cents": cents,
+            }
+        )
+        p = df.groupby("c", sort=False).agg(
+            last_day=("day", "max"), f_orders=("day", "size"), m_cents=("cents", "sum")
+        ).reset_index()
+        t = pa.table(
+            {
+                "c_custkey": pa.array(p["c"].to_numpy(np.int64), pa.int64()),
+                "last_day": pa.array(p["last_day"].to_numpy(np.int64), pa.int64()),
+                "f_orders": pa.array(p["f_orders"].to_numpy(np.int64), pa.int64()),
+                "m_cents": pa.array(p["m_cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+        return hash_bucket_column(t, "c_custkey", buckets)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.groupby("c_custkey", sort=False).agg(
+            last_day=("last_day", "max"),
+            f_orders=("f_orders", "sum"),
+            m_cents=("m_cents", "sum"),
+        ).reset_index()
+        return p.astype(np.int64)
+
+    percust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .materialize()
+    )
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"m": pa.array([pc.max(batch.column("last_day")).as_py()])})
+
+    ref_day = int(
+        percust.map_batches(block_max, batch_format="pyarrow").to_pandas()["m"].max()
+    )
+
+    def add_r(batch: pa.Table) -> pa.Table:
+        r = ref_day - batch.column("last_day").to_numpy()
+        return batch.append_column("r_days", pa.array(r, pa.int64())).drop_columns(
+            ["last_day"]
+        )
+
+    feat = percust.map_batches(add_r, batch_format="pyarrow").materialize()
+
+    from .analytics import exact_quantile
+
+    bounds = {
+        col: [int(exact_quantile(feat, col, q)) for q in (0.25, 0.5, 0.75)]
+        for col in ("r_days", "f_orders", "m_cents")
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        out = {name: batch.column(name) for name in batch.schema.names}
+        for col, sname in (
+            ("r_days", "r_score"),
+            ("f_orders", "f_score"),
+            ("m_cents", "m_score"),
+        ):
+            v = batch.column(col).to_numpy()
+            b1, b2, b3 = bounds[col]
+            out[sname] = pa.array(
+                1 + (v > b1).astype(np.int64) + (v > b2) + (v > b3), pa.int64()
+            )
+        return pa.table(out)
+
+    return feat.map_batches(score, batch_format="pyarrow")

@@ -5320,3 +5320,46 @@ class TestInterarrivalQuantiles:
             """
         ).df()
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRfmSegments:
+    def test_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.rfm_segments(SF))
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH o AS (SELECT o_custkey,
+              CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM '{SF}/orders.parquet'),
+            pc AS (SELECT o_custkey AS c_custkey, MAX(day) AS last_day,
+              CAST(COUNT(*) AS BIGINT) AS f_orders,
+              CAST(SUM(cents) AS BIGINT) AS m_cents FROM o GROUP BY 1),
+            mx AS (SELECT MAX(last_day) AS m FROM pc),
+            p AS (SELECT c_custkey, (SELECT m FROM mx) - last_day AS r_days,
+              f_orders, m_cents FROM pc),
+            nn AS (SELECT COUNT(*) AS n FROM p),
+            mb AS (SELECT m_cents AS v, row_number() OVER (ORDER BY m_cents) AS rn FROM p),
+            mq AS (SELECT
+              MAX(CASE WHEN rn = CAST(CEIL(0.25 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b1,
+              MAX(CASE WHEN rn = CAST(CEIL(0.5 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b2,
+              MAX(CASE WHEN rn = CAST(CEIL(0.75 * (SELECT n FROM nn)) AS BIGINT) THEN v END) AS b3
+              FROM mb)
+            SELECT p.c_custkey, CAST(p.r_days AS BIGINT) AS r_days, p.f_orders,
+              p.m_cents,
+              CAST(1 + CAST(p.m_cents > mq.b1 AS INT) + CAST(p.m_cents > mq.b2 AS INT)
+              + CAST(p.m_cents > mq.b3 AS INT) AS BIGINT) AS m_score
+            FROM p, mq ORDER BY p.c_custkey
+            """
+        ).df()
+        assert got[["c_custkey", "r_days", "f_orders", "m_cents", "m_score"]].equals(exp)
+        # quartile scores roughly balance (ties can skew, never empty)
+        for col in ("r_score", "f_score", "m_score"):
+            assert set(got[col].unique()) <= {1, 2, 3, 4}
+            assert got[col].nunique() >= 2
