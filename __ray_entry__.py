@@ -1595,6 +1595,14 @@ def _q_rfm_segments(sf_dir: str):
     return relational.rfm_segments(sf_dir)
 
 
+def _q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix (labeled lang vs heuristic prediction);
+    oracle wraps the char-for-char language_id replay and joins the label."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.langid_confusion(_docs(sf_dir, ["lang", "text"]))
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3626,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_audit": _q_join_size_audit,
         "interarrival_quantiles": _q_interarrival_quantiles,
         "rfm_segments": _q_rfm_segments,
+        "langid_confusion": _q_langid_confusion,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5031,6 +5040,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY price_cents DESC, o.o_orderkey) <= 3"
         ),
         "language_id": _lang_id_sql(),
+        "langid_confusion": (
+            # wraps the char-for-char language_id replay; the label joins in
+            f"WITH pred AS ({_lang_id_sql()}) "
+            "SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+        ),
         "quality_scores": _quality_sql(),
         "fingerprints": _fingerprint_sql(),
         "token_count_by_lang": (

@@ -5742,3 +5742,35 @@ def join_size_audit(
             "over_ppm": pd.array([over], dtype="int64"),
         }
     )
+
+
+def langid_confusion(ds, lang_col: str = "lang", text_col: str = "text"):
+    """Language-ID confusion matrix: labeled language vs the n-gram
+    heuristic's prediction, counted per (lang, pred_lang) cell -- the
+    classifier-quality audit for the quality-filter family (which langs
+    does the cheap heuristic misroute, and where do 'unknown's come from).
+
+    Pure map-side: one vectorized ``textstats.lang_id`` call per batch
+    emits bounded (|langs| x |langs+2|) cell partials; ``tiny_final_groupby``
+    folds them. The prediction kernel is the SAME regex/stopword machinery
+    the ``language_id`` oracle replays char-for-char, so the whole matrix
+    is SQL-checkable.
+
+    Returns (lang, pred_lang, n_docs)."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        pred = ts.lang_id(batch[text_col])
+        df = pd.DataFrame(
+            {"lang": batch[lang_col].to_numpy(), "pred_lang": pred.to_numpy()}
+        )
+        return (
+            df.groupby(["lang", "pred_lang"], sort=False).size().rename("n").reset_index()
+        )
+
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang", "pred_lang"],
+        [("n", "sum")],
+        ["lang", "pred_lang", "n_docs"],
+    )

@@ -5363,3 +5363,40 @@ class TestRfmSegments:
         for col in ("r_score", "f_score", "m_score"):
             assert set(got[col].unique()) <= {1, 2, 3, 4}
             assert got[col].nunique() >= 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLangidConfusion:
+    def test_mass_conservation_and_diagonal(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = _pdf(analytics.langid_confusion(ds))
+        assert int(got["n_docs"].sum()) == ds.count()
+        # the det corpus's text is English-word sentences whatever the lang
+        # LABEL says -- the matrix exposes exactly that (this audit's point)
+        assert set(got["pred_lang"].unique()) <= {"en", "de", "fr", "es", "zh", "unknown"}
+        en_mass = got[got["pred_lang"] == "en"]["n_docs"].sum()
+        assert en_mass > got["n_docs"].sum() // 2
+
+    def test_matches_language_id_query(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        per_doc = _pdf(analytics.language_id(docs))
+        labels = duckdb.sql(
+            f"SELECT doc_id, lang FROM '{SF}/documents.parquet'"
+        ).df()
+        j = per_doc.merge(labels, on="doc_id")
+        exp = (
+            j.groupby(["lang", "pred_lang"]).size().rename("n_docs").reset_index()
+        )
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = _pdf(analytics.langid_confusion(ds))
+        g = got.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+        e = exp.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+        assert g["n_docs"].tolist() == e["n_docs"].tolist()
