@@ -1603,6 +1603,14 @@ def _q_langid_confusion(sf_dir: str):
     return analytics.langid_confusion(_docs(sf_dir, ["lang", "text"]))
 
 
+def _q_supplier_hhi(sf_dir: str):
+    """Supplier revenue HHI concentration in ppm (exact integer square
+    sums past int64 via Python ints / HUGEINT); one suppkey exchange."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.supplier_hhi(sf_dir)
+
+
 def _q_decayed_user_value(sf_dir: str):
     """Recency-weighted per-user value: integer cents halved per elapsed
     week (bit shift) relative to the newest event -- exactly replayed by
@@ -3635,6 +3643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_quantiles": _q_interarrival_quantiles,
         "rfm_segments": _q_rfm_segments,
         "langid_confusion": _q_langid_confusion,
+        "supplier_hhi": _q_supplier_hhi,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5528,6 +5537,19 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "supplier_hhi": (
+            # replay of relational.supplier_hhi: same per-row revenue cents,
+            # HUGEINT square sums, floor-div ppm over total^2
+            "WITH r AS (SELECT l_suppkey, "
+            "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) "
+            "AS rev FROM lineitem GROUP BY l_suppkey), "
+            "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(CAST(rev AS HUGEINT)) AS s, "
+            "SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS s2 FROM r) "
+            "SELECT n AS n_suppliers, CAST(s AS BIGINT) AS total_cents, "
+            "CAST(CASE WHEN s = 0 THEN 0 ELSE s2 * 1000000 // (s * s) END AS BIGINT) "
+            "AS hhi_ppm FROM a"
+        ),
         "rfm_segments": (
             # replay of relational.rfm_segments: same day/cents integers,
             # type-1 boundaries at rank CEIL(q*n), ties take the lower score

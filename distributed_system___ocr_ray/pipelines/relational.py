@@ -3343,3 +3343,63 @@ def rfm_segments(sf_dir: str, buckets: int = 64):
         return pa.table(out)
 
     return feat.map_batches(score, batch_format="pyarrow")
+
+
+def supplier_hhi(sf_dir: str):
+    """Supplier revenue concentration as the Herfindahl-Hirschman index in
+    ppm: HHI = sum_i share_i^2 with share_i = rev_i / total -- the
+    market-concentration dual of ``gini_ppm`` (gini ranks the whole
+    distribution; HHI weights the top). Exact integers end-to-end:
+    hhi_ppm = floor(10^6 * sum(rev_i^2) / total^2), folded in Python ints
+    (rev^2 at 10^13-cent suppliers is ~10^26 -- past int64, fine for
+    Python and for the oracle's HUGEINT).
+
+    Scale shape: per-batch (suppkey, cents) partials -> ONE suppkey-domain
+    exchange (``bucketed_grouped_sum``) -> per-bucket (sum rev, sum rev^2,
+    n) partials as decimal STRINGS (the table_checksum transport trick:
+    rev^2 sums exceed int64, so they ship exact as text) -> tiny driver
+    fold.
+
+    Returns ONE row (n_suppliers, total_cents, hhi_ppm)."""
+    import ray.data as rd
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"l_suppkey": batch.column("l_suppkey"), "rev": pa.array(rev, pa.int64())}
+        )
+        return t.group_by(["l_suppkey"]).aggregate([("rev", "sum")])
+
+    per_supp = bucketed_grouped_sum(
+        lineitem.map_batches(partial, batch_format="pyarrow"), "l_suppkey", "rev_sum"
+    )
+
+    def sq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        revs = [int(v) for v in batch["rev_sum"]]
+        return pd.DataFrame(
+            {
+                "n": pd.array([len(revs)], dtype="int64"),
+                "s": [str(sum(revs))],
+                "s2": [str(sum(v * v for v in revs))],
+            }
+        )
+
+    parts = per_supp.map_batches(sq_partial, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    total = sum(int(x) for x in parts["s"])
+    s2 = sum(int(x) for x in parts["s2"])
+    hhi = s2 * 1_000_000 // (total * total) if total else 0
+    return pd.DataFrame(
+        {
+            "n_suppliers": pd.array([n], dtype="int64"),
+            "total_cents": pd.array([total], dtype="int64"),
+            "hhi_ppm": pd.array([hhi], dtype="int64"),
+        }
+    )

@@ -5400,3 +5400,35 @@ class TestLangidConfusion:
         g = got.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
         e = exp.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
         assert g["n_docs"].tolist() == e["n_docs"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSupplierHhi:
+    def test_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = relational.supplier_hhi(SF).iloc[0]
+        exp = duckdb.sql(
+            f"""
+            WITH r AS (SELECT l_suppkey,
+              SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))
+              AS rev FROM '{SF}/lineitem.parquet' GROUP BY l_suppkey),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(CAST(rev AS HUGEINT)) AS s,
+              SUM(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS s2 FROM r)
+            SELECT n, CAST(s AS BIGINT) AS s,
+              CAST(s2 * 1000000 // (s * s) AS BIGINT) AS hhi FROM a
+            """
+        ).df().iloc[0]
+        assert got["n_suppliers"] == exp["n"]
+        assert got["total_cents"] == exp["s"]
+        assert got["hhi_ppm"] == exp["hhi"]
+        # HHI bounds: 1e6/n (perfectly even) <= hhi <= 1e6 (monopoly)
+        assert 1_000_000 // got["n_suppliers"] <= got["hhi_ppm"] <= 1_000_000
+
+    def test_monopoly_bound(self):
+        # pure-python fold identity on a monopoly-like distribution
+        revs = [100, 0, 0]
+        total = sum(revs)
+        s2 = sum(v * v for v in revs)
+        assert s2 * 1_000_000 // (total * total) == 1_000_000
