@@ -1603,6 +1603,14 @@ def _q_langid_confusion(sf_dir: str):
     return analytics.langid_confusion(_docs(sf_dir, ["lang", "text"]))
 
 
+def _q_revenue_share_by_nation(sf_dir: str):
+    """Nation revenue + ppm share of its region (ratio-to-report window);
+    oracle is SUM OVER (PARTITION BY region) with the same floor-div ppm."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.revenue_share_by_nation(sf_dir)
+
+
 def _q_supplier_hhi(sf_dir: str):
     """Supplier revenue HHI concentration in ppm (exact integer square
     sums past int64 via Python ints / HUGEINT); one suppkey exchange."""
@@ -3644,6 +3652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "langid_confusion": _q_langid_confusion,
         "supplier_hhi": _q_supplier_hhi,
+        "revenue_share_by_nation": _q_revenue_share_by_nation,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5537,6 +5546,19 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "revenue_share_by_nation": (
+            # replay of relational.revenue_share_by_nation: inner-join
+            # semantics, same cents, SUM OVER region + floor-div ppm
+            "WITH j AS (SELECT r.r_name, n.n_name, "
+            "CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey), "
+            "g AS (SELECT r_name, n_name, SUM(cents) AS rev FROM j GROUP BY 1, 2) "
+            "SELECT r_name, n_name, CAST(rev AS BIGINT) AS revenue_cents, "
+            "CAST(rev * 1000000 // SUM(rev) OVER (PARTITION BY r_name) AS BIGINT) "
+            "AS share_ppm FROM g"
+        ),
         "supplier_hhi": (
             # replay of relational.supplier_hhi: same per-row revenue cents,
             # HUGEINT square sums, floor-div ppm over total^2

@@ -180,7 +180,7 @@ def run_bench() -> dict:
         "top_revenue_suppliers", "big_volume_orders", "hll_error_audit",
         "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
         "join_size_audit", "interarrival_quantiles", "rfm_segments",
-        "langid_confusion", "supplier_hhi",
+        "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -3403,3 +3403,74 @@ def supplier_hhi(sf_dir: str):
             "hhi_ppm": pd.array([hhi], dtype="int64"),
         }
     )
+
+
+def revenue_share_by_nation(sf_dir: str):
+    """Ratio-to-report window: each nation's order revenue plus its share
+    (ppm) of its REGION's total -- ``SUM() OVER (PARTITION BY region)`` as
+    a distributed plan. revenue_by_nation's broadcast-probe stage carries
+    the region through (the (custkey -> nation, region) lookup ships ONCE
+    via ray.put), and the window itself folds inside the single tiny final
+    block: the (nation x region) domain is bounded, so the 'window' costs
+    one pandas transform, never an exchange.
+
+    Returns (r_name, n_name, revenue_cents, share_ppm)."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rnames = dict(zip(region.column("r_regionkey").to_pylist(), region.column("r_name").to_pylist()))
+    nnames = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    nregion = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_regionkey").to_pylist()))
+    ck = cust.column("c_custkey").to_numpy()
+    order = np.argsort(ck)
+    cn = cust.column("c_nationkey").to_numpy()[order]
+    lookup = {
+        "keys": ck[order],
+        "nation": np.array([nnames[k] for k in cn], dtype=object),
+        "region": np.array([rnames[nregion[k]] for k in cn], dtype=object),
+    }
+    handle = ray.put(lookup)
+
+    class Probe:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_numpy()
+            pos = np.searchsorted(self.lk["keys"], keys)
+            pos_safe = np.clip(pos, 0, len(self.lk["keys"]) - 1)
+            hit = self.lk["keys"][pos_safe] == keys
+            t = pa.table(
+                {
+                    "r_name": pa.array(self.lk["region"][pos_safe[hit]].tolist(), pa.string()),
+                    "n_name": pa.array(self.lk["nation"][pos_safe[hit]].tolist(), pa.string()),
+                    "rev_cents": _cents(batch.column("o_totalprice").filter(pa.array(hit))),
+                }
+            )
+            return t.group_by(["r_name", "n_name"]).aggregate([("rev_cents", "sum")])
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    folded = tiny_final_groupby(
+        ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 4)),
+        ["r_name", "n_name"],
+        [("rev_cents_sum", "sum")],
+        ["r_name", "n_name", "revenue_cents"],
+    )
+
+    def add_share(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        tot = df.groupby("r_name")["revenue_cents"].transform("sum")
+        share = [
+            int(c) * 1_000_000 // int(t) for c, t in zip(df["revenue_cents"], tot)
+        ]
+        df["share_ppm"] = pd.array(share, dtype="int64")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return folded.map_batches(add_share, batch_format="pyarrow", batch_size=None)

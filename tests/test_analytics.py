@@ -5432,3 +5432,34 @@ class TestSupplierHhi:
         total = sum(revs)
         s2 = sum(v * v for v in revs)
         assert s2 * 1_000_000 // (total * total) == 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRevenueShareByNation:
+    def test_vs_duckdb_and_shares_sum(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.revenue_share_by_nation(SF))
+            .sort_values(["r_name", "n_name"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH j AS (SELECT r.r_name, n.n_name,
+              CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM '{SF}/orders.parquet' o
+              JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+              JOIN '{SF}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+              JOIN '{SF}/region.parquet' r ON n.n_regionkey = r.r_regionkey),
+            g AS (SELECT r_name, n_name, SUM(cents) AS rev FROM j GROUP BY 1, 2)
+            SELECT r_name, n_name, CAST(rev AS BIGINT) AS revenue_cents,
+              CAST(rev * 1000000 // SUM(rev) OVER (PARTITION BY r_name) AS BIGINT)
+              AS share_ppm FROM g ORDER BY r_name, n_name
+            """
+        ).df()
+        assert got.equals(exp)
+        # per region, shares sum to 1e6 minus at most (nations-1) floor loss
+        for r, g in got.groupby("r_name"):
+            s = int(g["share_ppm"].sum())
+            assert 1_000_000 - (len(g) - 1) <= s <= 1_000_000
