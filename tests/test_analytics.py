@@ -5463,3 +5463,70 @@ class TestRevenueShareByNation:
         for r, g in got.groupby("r_name"):
             s = int(g["share_ppm"].sum())
             assert 1_000_000 - (len(g) - 1) <= s <= 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContinuationPartitionInvariance:
+    """The new bucketed operators must be exchange-layout-invariant: a
+    different bucket count is a different physical plan for the same
+    logical result (the house partition-invariance regression)."""
+
+    def test_session_paths_partitions(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        events = rd.read_parquet(
+            f"{SF}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        a = (
+            _pdf(relational.session_paths(events, partitions=3))
+            .sort_values(["e1", "e2", "e3"])
+            .reset_index(drop=True)
+        )
+        b = (
+            _pdf(relational.session_paths(events, partitions=17))
+            .sort_values(["e1", "e2", "e3"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_trimmed_mean_buckets(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ds = rd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        )
+        a = (
+            _pdf(relational.trimmed_mean_by_group(ds, "o_orderpriority", "o_totalprice", buckets=7))
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        b = (
+            _pdf(relational.trimmed_mean_by_group(ds, "o_orderpriority", "o_totalprice", buckets=129))
+            .sort_values("o_orderpriority")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_dup_shingle_rate_buckets(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+        )
+        a = (
+            _pdf(analytics.dup_shingle_rate(ds, buckets=5))
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        b = (
+            _pdf(analytics.dup_shingle_rate(ds, buckets=64))
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
