@@ -1611,6 +1611,14 @@ def _q_revenue_share_by_nation(sf_dir: str):
     return relational.revenue_share_by_nation(sf_dir)
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity risk over the (lang, source) quasi-identifier pair at
+    k=10; oracle is the two-level GROUP BY with FILTER counters."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.k_anonymity_audit(_docs(sf_dir, ["lang", "source"]), ["lang", "source"], k=10)
+
+
 def _q_supplier_hhi(sf_dir: str):
     """Supplier revenue HHI concentration in ppm (exact integer square
     sums past int64 via Python ints / HUGEINT); one suppkey exchange."""
@@ -3653,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": _q_langid_confusion,
         "supplier_hhi": _q_supplier_hhi,
         "revenue_share_by_nation": _q_revenue_share_by_nation,
+        "k_anonymity": _q_k_anonymity,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5546,6 +5555,19 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "k_anonymity": (
+            # replay of analytics.k_anonymity_audit over (lang, source):
+            # grouping by the columns == grouping by the chr(31) key
+            "WITH g AS (SELECT lang, source, COUNT(*) AS n FROM documents "
+            "GROUP BY 1, 2), "
+            "a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(COUNT(*) FILTER (n < 10) AS BIGINT) AS n_small_groups, "
+            "CAST(COALESCE(SUM(n) FILTER (n < 10), 0) AS BIGINT) AS n_rows_at_risk "
+            "FROM g) "
+            "SELECT n_rows, n_groups, n_small_groups, n_rows_at_risk, "
+            "CAST(n_rows_at_risk * 1000000 // n_rows AS BIGINT) AS risk_ppm FROM a"
+        ),
         "revenue_share_by_nation": (
             # replay of relational.revenue_share_by_nation: inner-join
             # semantics, same cents, SUM OVER region + floor-div ppm

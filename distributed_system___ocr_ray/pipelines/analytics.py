@@ -5774,3 +5774,64 @@ def langid_confusion(ds, lang_col: str = "lang", text_col: str = "text"):
         [("n", "sum")],
         ["lang", "pred_lang", "n_docs"],
     )
+
+
+def k_anonymity_audit(ds, qi_cols: list[str], k: int = 10):
+    """k-anonymity audit: how many rows sit in quasi-identifier groups
+    smaller than ``k`` -- the re-identification-risk measurement a
+    governance pass runs before releasing a dataset slice (the
+    DATA-GOVERNANCE complement to ``redact_pii``'s content scrubbing).
+
+    The QI key is the chr(31)-joined serialization of the quasi-identifier
+    columns (table_checksum's convention, NULL as chr(0)); the combo
+    domain is unbounded in general, so the counts fold through
+    ``bucketed_grouped_sum`` (one key-domain exchange of (key, count)
+    partials) and per-block partials reduce to four bounded counters at
+    the driver.
+
+    Returns ONE row (n_rows, n_groups, n_small_groups, n_rows_at_risk,
+    risk_ppm = rows-at-risk per million rows)."""
+    from .relational import bucketed_grouped_sum
+
+    sep, nul = chr(31), chr(0)
+
+    def key_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = [
+            batch[c].map(lambda v: nul if pd.isna(v) else str(v)) for c in qi_cols
+        ]
+        key = parts[0]
+        for p in parts[1:]:
+            key = key + sep + p
+        vc = key.value_counts()
+        return pd.DataFrame({"qi": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(key_counts, batch_format="pandas"), "qi", "n"
+    )
+
+    def risk_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.int64)
+        small = n < k
+        return pd.DataFrame(
+            {
+                "n_rows": pd.array([int(n.sum())], dtype="int64"),
+                "n_groups": pd.array([len(n)], dtype="int64"),
+                "n_small_groups": pd.array([int(small.sum())], dtype="int64"),
+                "n_rows_at_risk": pd.array([int(n[small].sum())], dtype="int64"),
+            }
+        )
+
+    p = counts.map_batches(risk_partial, batch_format="pandas").to_pandas()
+    n_rows = int(p["n_rows"].sum())
+    at_risk = int(p["n_rows_at_risk"].sum())
+    return pd.DataFrame(
+        {
+            "n_rows": pd.array([n_rows], dtype="int64"),
+            "n_groups": pd.array([int(p["n_groups"].sum())], dtype="int64"),
+            "n_small_groups": pd.array([int(p["n_small_groups"].sum())], dtype="int64"),
+            "n_rows_at_risk": pd.array([at_risk], dtype="int64"),
+            "risk_ppm": pd.array(
+                [at_risk * 1_000_000 // n_rows if n_rows else 0], dtype="int64"
+            ),
+        }
+    )

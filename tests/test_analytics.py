@@ -5530,3 +5530,51 @@ class TestContinuationPartitionInvariance:
             .reset_index(drop=True)
         )
         assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKAnonymity:
+    def test_hand_built_with_nulls(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "a": pa.array(["x", "x", "x", "y", None, None], pa.string()),
+                "b": pa.array(["1", "1", "1", "2", "3", "3"], pa.string()),
+            }
+        )
+        got = analytics.k_anonymity_audit(rd.from_arrow(tbl), ["a", "b"], k=3).iloc[0]
+        # groups: (x,1)=3, (y,2)=1, (NULL,3)=2 -> two groups under k=3,
+        # 3 rows at risk; NULLs group together (chr(0) serialization)
+        assert (
+            got["n_rows"],
+            got["n_groups"],
+            got["n_small_groups"],
+            got["n_rows_at_risk"],
+            got["risk_ppm"],
+        ) == (6, 3, 2, 3, 500_000)
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "source"])
+        got = analytics.k_anonymity_audit(ds, ["lang", "source"], k=10).iloc[0]
+        exp = duckdb.sql(
+            f"""
+            WITH g AS (SELECT lang, source, COUNT(*) AS n
+              FROM '{SF}/documents.parquet' GROUP BY 1, 2)
+            SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_groups,
+              CAST(COUNT(*) FILTER (n < 10) AS BIGINT) AS n_small,
+              CAST(COALESCE(SUM(n) FILTER (n < 10), 0) AS BIGINT) AS at_risk
+            FROM g
+            """
+        ).df().iloc[0]
+        assert got["n_rows"] == exp["n_rows"]
+        assert got["n_groups"] == exp["n_groups"]
+        assert got["n_small_groups"] == exp["n_small"]
+        assert got["n_rows_at_risk"] == exp["at_risk"]
