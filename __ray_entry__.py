@@ -1619,6 +1619,14 @@ def _q_k_anonymity(sf_dir: str):
     return analytics.k_anonymity_audit(_docs(sf_dir, ["lang", "source"]), ["lang", "source"], k=10)
 
 
+def _q_top_prices_with_ties(sf_dir: str):
+    """Grouped top-3 WITH TIES (DENSE_RANK semantics) on segment prices;
+    oracle is QUALIFY dense_rank() <= 3 on identical integer cents."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.top_prices_with_ties(sf_dir, k=3)
+
+
 def _q_supplier_hhi(sf_dir: str):
     """Supplier revenue HHI concentration in ppm (exact integer square
     sums past int64 via Python ints / HUGEINT); one suppkey exchange."""
@@ -3662,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": _q_supplier_hhi,
         "revenue_share_by_nation": _q_revenue_share_by_nation,
         "k_anonymity": _q_k_anonymity,
+        "top_prices_with_ties": _q_top_prices_with_ties,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5555,6 +5564,17 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "top_prices_with_ties": (
+            # replay of relational.top_prices_with_ties: DENSE_RANK keeps
+            # every tied order, unlike top_orders_per_segment's row_number
+            "SELECT c.c_mktsegment, o.o_orderkey, "
+            "CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, "
+            "CAST(dense_rank() OVER (PARTITION BY c.c_mktsegment "
+            "ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC) "
+            "AS BIGINT) AS price_rank "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "QUALIFY price_rank <= 3"
+        ),
         "k_anonymity": (
             # replay of analytics.k_anonymity_audit over (lang, source):
             # grouping by the columns == grouping by the chr(31) key

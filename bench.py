@@ -181,7 +181,7 @@ def run_bench() -> dict:
         "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
         "join_size_audit", "interarrival_quantiles", "rfm_segments",
         "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
-        "k_anonymity",
+        "k_anonymity", "top_prices_with_ties",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -3474,3 +3474,122 @@ def revenue_share_by_nation(sf_dir: str):
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return folded.map_batches(add_share, batch_format="pyarrow", batch_size=None)
+
+
+def top_prices_with_ties(sf_dir: str, k: int = 3):
+    """Grouped top-k WITH TIES (the DENSE_RANK <= k window semantics):
+    ALL orders whose price is among the top-``k`` DISTINCT prices of their
+    market segment -- unlike ``top_orders_per_segment``'s row_number cut,
+    a price tie never splits arbitrarily.
+
+    Two passes over the orders read:
+
+    1. boundary mining: per batch, each present segment's top-k DISTINCT
+       prices (np.unique tail) -- the global i-th-highest distinct price
+       is inside the per-batch top-k of any batch containing it (at most
+       i-1 distinct prices exceed it anywhere), so one tiny merge block
+       yields each segment's distinct top-k list exactly;
+    2. a map-side filter against the broadcast per-segment boundary
+       (lowest qualifying price), emitting the dense rank as the match
+       position in the segment's sorted top-k list.
+
+    The segment lookup broadcasts once (top_orders_per_segment's probe);
+    custkeys absent from customer DROP (inner-join semantics). Returns
+    (c_mktsegment, o_orderkey, price_cents, price_rank 1-based)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_mktsegment").to_pylist()))
+    handle = ray.put(seg)
+
+    class SegTag:
+        def __init__(self) -> None:
+            self.seg = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series(
+                        batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                    ).map(self.seg),
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                    "price_cents": _cents(batch.column("o_totalprice")).to_numpy(),
+                }
+            )
+            return df.dropna(subset=["c_mktsegment"])
+
+    def batch_topk_distinct(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for s, g in batch.groupby("c_mktsegment", sort=False):
+            top = np.unique(g["price_cents"].to_numpy(np.int64))[-k:]
+            out.append(pd.DataFrame({"c_mktsegment": s, "price_cents": top}))
+        return pd.concat(out) if out else pd.DataFrame(
+            {"c_mktsegment": [], "price_cents": []}
+        ).astype({"c_mktsegment": str, "price_cents": np.int64})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    tagged = orders.map_batches(SegTag, batch_format="pyarrow", concurrency=(1, 4))
+    tops = (
+        tagged.map_batches(batch_topk_distinct, batch_format="pandas")
+        .repartition(1)
+        .map_batches(batch_topk_distinct, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    # per segment: DESC-sorted distinct top-k list (rank 1 = highest)
+    top_lists = {
+        s: np.sort(g["price_cents"].to_numpy(np.int64))[::-1]
+        for s, g in tops.groupby("c_mktsegment")
+    }
+    lists_handle = ray.put(top_lists)
+
+    class FilterRank:
+        def __init__(self) -> None:
+            self.seg = ray.get(handle)
+            self.tops = ray.get(lists_handle)
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = pd.DataFrame(
+                {
+                    "c_mktsegment": pd.Series(
+                        batch.column("o_custkey").to_numpy(zero_copy_only=False)
+                    ).map(self.seg),
+                    "o_orderkey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                    "price_cents": _cents(batch.column("o_totalprice")).to_numpy(),
+                }
+            )
+            df = df.dropna(subset=["c_mktsegment"])
+            keep, rank = [], []
+            for s, g in df.groupby("c_mktsegment", sort=False):
+                tl = self.tops.get(s)
+                if tl is None or len(tl) == 0:
+                    continue
+                v = g["price_cents"].to_numpy(np.int64)
+                m = v >= tl[-1]
+                # dense rank = position in the DESC distinct list
+                pos = np.searchsorted(-tl, -v[m]) + 1
+                sub = g[m].copy()
+                sub["price_rank"] = pos.astype(np.int64)
+                keep.append(sub)
+            if not keep:
+                return pd.DataFrame(
+                    {
+                        "c_mktsegment": [],
+                        "o_orderkey": [],
+                        "price_cents": [],
+                        "price_rank": [],
+                    }
+                ).astype(
+                    {
+                        "c_mktsegment": str,
+                        "o_orderkey": np.int64,
+                        "price_cents": np.int64,
+                        "price_rank": np.int64,
+                    }
+                )
+            return pd.concat(keep)
+
+    return orders.map_batches(FilterRank, batch_format="pyarrow", concurrency=(1, 4))

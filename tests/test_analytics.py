@@ -5578,3 +5578,61 @@ class TestKAnonymity:
         assert got["n_groups"] == exp["n_groups"]
         assert got["n_small_groups"] == exp["n_small"]
         assert got["n_rows_at_risk"] == exp["at_risk"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTopPricesWithTies:
+    def test_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.top_prices_with_ties(SF, k=3))
+            .sort_values(["c_mktsegment", "o_orderkey"])
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            SELECT c.c_mktsegment, o.o_orderkey,
+              CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+              CAST(dense_rank() OVER (PARTITION BY c.c_mktsegment
+              ORDER BY CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC)
+              AS BIGINT) AS price_rank
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            QUALIFY price_rank <= 3 ORDER BY c_mktsegment, o_orderkey
+            """
+        ).df()
+        assert got.equals(exp)
+
+    def test_tie_kept(self):
+        # at k=1 with a planted tie, BOTH orders must surface (the exact
+        # semantics row_number-based topk cannot express)
+        import ray
+        import tempfile, os
+        import pyarrow.parquet as pq_mod
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        with tempfile.TemporaryDirectory() as d:
+            pq_mod.write_table(
+                pa.table(
+                    {
+                        "c_custkey": pa.array([1, 2], pa.int64()),
+                        "c_mktsegment": pa.array(["S", "S"], pa.string()),
+                    }
+                ),
+                os.path.join(d, "customer.parquet"),
+            )
+            pq_mod.write_table(
+                pa.table(
+                    {
+                        "o_custkey": pa.array([1, 2, 1], pa.int64()),
+                        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                        "o_totalprice": pa.array([9.99, 9.99, 1.0]),
+                    }
+                ),
+                os.path.join(d, "orders.parquet"),
+            )
+            got = _pdf(relational.top_prices_with_ties(d, k=1))
+            assert sorted(got["o_orderkey"]) == [10, 11]
+            assert set(got["price_rank"]) == {1}
