@@ -1627,6 +1627,24 @@ def _q_top_prices_with_ties(sf_dir: str):
     return relational.top_prices_with_ties(sf_dir, k=3)
 
 
+def _q_split_skew_audit(sf_dir: str):
+    """Exact TVD ppm between the train and test splits' n_chars
+    distributions (256-wide buckets); oracle replays the md5 split and the
+    cross-multiplied HUGEINT fold."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.split_skew_audit(_docs(sf_dir, ["doc_id", "n_chars"]))
+
+
+def _q_first_last_order(sf_dir: str):
+    """Per-customer FIRST_VALUE/LAST_VALUE order price under the
+    deterministic (day, orderkey) order, with delta; oracle is the
+    row_number=1 replay both directions."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.first_last_order(sf_dir)
+
+
 def _q_supplier_hhi(sf_dir: str):
     """Supplier revenue HHI concentration in ppm (exact integer square
     sums past int64 via Python ints / HUGEINT); one suppkey exchange."""
@@ -3671,6 +3689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share_by_nation": _q_revenue_share_by_nation,
         "k_anonymity": _q_k_anonymity,
         "top_prices_with_ties": _q_top_prices_with_ties,
+        "first_last_order": _q_first_last_order,
+        "split_skew_audit": _q_split_skew_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5564,6 +5584,40 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "split_skew_audit": (
+            # replay of analytics.split_skew_audit: dataset_split_counts'
+            # md5 split thresholds, 256-wide buckets, cross-multiplied TVD
+            "WITH s AS (SELECT n_chars, CASE WHEN h < '19999999' THEN 'val' "
+            "WHEN h < '33333333' THEN 'test' ELSE 'train' END AS split FROM "
+            "(SELECT n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS h "
+            "FROM documents)), "
+            "c AS (SELECT split, n_chars // 256 AS b, COUNT(*) AS n FROM s "
+            "WHERE split IN ('train', 'test') GROUP BY 1, 2), "
+            "tr AS (SELECT b, n FROM c WHERE split = 'train'), "
+            "te AS (SELECT b, n FROM c WHERE split = 'test'), "
+            "nt AS (SELECT (SELECT COALESCE(SUM(n), 0) FROM tr) AS n0, "
+            "(SELECT COALESCE(SUM(n), 0) FROM te) AS n1), "
+            "u AS (SELECT COALESCE(tr.n, 0) AS a, COALESCE(te.n, 0) AS bb "
+            "FROM tr FULL OUTER JOIN te ON tr.b = te.b) "
+            "SELECT CAST(nt.n0 AS BIGINT) AS n_train, CAST(nt.n1 AS BIGINT) AS n_test, "
+            "CAST(SUM(abs(CAST(a AS HUGEINT) * nt.n1 - CAST(bb AS HUGEINT) * nt.n0)) "
+            "* 1000000 // (2 * CAST(nt.n0 AS HUGEINT) * nt.n1) AS BIGINT) AS tvd_ppm "
+            "FROM u, nt GROUP BY nt.n0, nt.n1"
+        ),
+        "first_last_order": (
+            # replay of relational.first_last_order: the same whole-day /
+            # orderkey total order, first and last via row_number both ways
+            "WITH o AS (SELECT o_custkey, o_orderkey, "
+            "CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), "
+            "f AS (SELECT o_custkey, cents FROM o QUALIFY row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY day, o_orderkey) = 1), "
+            "l AS (SELECT o_custkey, cents FROM o QUALIFY row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY day DESC, o_orderkey DESC) = 1) "
+            "SELECT f.o_custkey AS c_custkey, f.cents AS first_cents, "
+            "l.cents AS last_cents, l.cents - f.cents AS delta_cents "
+            "FROM f JOIN l ON f.o_custkey = l.o_custkey"
+        ),
         "top_prices_with_ties": (
             # replay of relational.top_prices_with_ties: DENSE_RANK keeps
             # every tied order, unlike top_orders_per_segment's row_number

@@ -181,7 +181,8 @@ def run_bench() -> dict:
         "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
         "join_size_audit", "interarrival_quantiles", "rfm_segments",
         "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
-        "k_anonymity", "top_prices_with_ties",
+        "k_anonymity", "top_prices_with_ties", "first_last_order",
+        "split_skew_audit",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -5835,3 +5835,58 @@ def k_anonymity_audit(ds, qi_cols: list[str], k: int = 10):
             ),
         }
     )
+
+
+def split_skew_audit(
+    ds, id_col: str = "doc_id", val_col: str = "n_chars", bucket_width: int = 256
+):
+    """Train/test split-skew audit: the exact total-variation distance (in
+    ppm) between the two splits' value distributions over fixed-width
+    buckets -- the "is my held-out set actually exchangeable" check run
+    before trusting an eval number. Uses the SAME deterministic md5 split
+    as ``train_val_test_split``, so what it audits is the engine's own
+    split operator. TVD of identical distributions is 0; disjoint, 10^6.
+
+    One pass: per-batch (split, bucket) counts -> ``tiny_final_groupby``
+    (the bucket domain is value-range/width bounded) -> exact driver fold
+    with Python ints: tvd_ppm = sum_i |a_i*n1 - b_i*n0| * 10^6
+    // (2*n0*n1) -- the cross-multiplied form never touches a float.
+
+    Returns ONE row (n_train, n_test, tvd_ppm)."""
+    from .relational import tiny_final_groupby
+
+    tagged = train_val_test_split(ds, id_col)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["split"].isin(["train", "test"])]
+        df = pd.DataFrame(
+            {
+                "split": sub["split"].to_numpy(),
+                "b": sub[val_col].to_numpy(np.int64) // bucket_width,
+            }
+        )
+        return df.groupby(["split", "b"], sort=False).size().rename("n").reset_index()
+
+    counts = tiny_final_groupby(
+        tagged.map_batches(partial, batch_format="pandas"),
+        ["split", "b"],
+        [("n", "sum")],
+        ["split", "b", "n"],
+    ).to_pandas()
+    tr = {int(r.b): int(r.n) for r in counts[counts["split"] == "train"].itertuples()}
+    te = {int(r.b): int(r.n) for r in counts[counts["split"] == "test"].itertuples()}
+    n0, n1 = sum(tr.values()), sum(te.values())
+    if n0 == 0 or n1 == 0:
+        tvd = 1_000_000 if (n0 or n1) else 0
+    else:
+        num = sum(
+            abs(tr.get(b, 0) * n1 - te.get(b, 0) * n0) for b in set(tr) | set(te)
+        )
+        tvd = num * 1_000_000 // (2 * n0 * n1)
+    return pd.DataFrame(
+        {
+            "n_train": pd.array([n0], dtype="int64"),
+            "n_test": pd.array([n1], dtype="int64"),
+            "tvd_ppm": pd.array([tvd], dtype="int64"),
+        }
+    )

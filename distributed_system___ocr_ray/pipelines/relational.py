@@ -3593,3 +3593,61 @@ def top_prices_with_ties(sf_dir: str, k: int = 3):
             return pd.concat(keep)
 
     return orders.map_batches(FilterRank, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def first_last_order(sf_dir: str, buckets: int = 64):
+    """FIRST_VALUE / LAST_VALUE window semantics: per customer, the price
+    of their FIRST and LAST order under the deterministic
+    (order day, orderkey) total order, plus the delta -- the
+    first-touch/last-touch comparison behind "did spend grow".
+
+    Associative argmin/argmax shape: each batch emits per customer ONLY
+    its local first- and last-candidate rows (two rows per customer per
+    batch), the custkey exchange co-locates candidates, and the bucket
+    kernel repeats the same reduction -- no sort ever sees more than a
+    bucket, and the exchange carries 2 x |customers-per-batch| rows.
+
+    Returns (c_custkey, first_cents, last_cents, delta_cents)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c_custkey": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+                "day": batch.column("o_orderdate").cast(pa.int64()).to_numpy()
+                // 86_400_000_000,
+                "okey": batch.column("o_orderkey").to_numpy(zero_copy_only=False),
+                "cents": _cents(batch.column("o_totalprice")).to_numpy(),
+            }
+        )
+        g = df.sort_values(["c_custkey", "day", "okey"], kind="mergesort")
+        first = g.groupby("c_custkey", sort=False).head(1)
+        last = g.groupby("c_custkey", sort=False).tail(1)
+        out = pd.concat([first, last])
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return hash_bucket_column(t, "c_custkey", buckets)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["c_custkey", "day", "okey"], kind="mergesort")
+        first = g.groupby("c_custkey", sort=False).head(1)
+        last = g.groupby("c_custkey", sort=False).tail(1)
+        out = pd.DataFrame(
+            {
+                "c_custkey": first["c_custkey"].to_numpy(np.int64),
+                "first_cents": first["cents"].to_numpy(np.int64),
+                "last_cents": last["cents"].to_numpy(np.int64),
+            }
+        )
+        out["delta_cents"] = out["last_cents"] - out["first_cents"]
+        return out
+
+    return (
+        orders.map_batches(candidates, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

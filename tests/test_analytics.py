@@ -5636,3 +5636,57 @@ class TestTopPricesWithTies:
             got = _pdf(relational.top_prices_with_ties(d, k=1))
             assert sorted(got["o_orderkey"]) == [10, 11]
             assert set(got["price_rank"]) == {1}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFirstLastAndSplitSkew:
+    def test_first_last_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.first_last_order(SF))
+            .sort_values("c_custkey")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH o AS (SELECT o_custkey, o_orderkey,
+              CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM '{SF}/orders.parquet'),
+            f AS (SELECT o_custkey, cents FROM o QUALIFY row_number() OVER
+              (PARTITION BY o_custkey ORDER BY day, o_orderkey) = 1),
+            l AS (SELECT o_custkey, cents FROM o QUALIFY row_number() OVER
+              (PARTITION BY o_custkey ORDER BY day DESC, o_orderkey DESC) = 1)
+            SELECT f.o_custkey AS c_custkey, f.cents AS first_cents,
+              l.cents AS last_cents, l.cents - f.cents AS delta_cents
+            FROM f JOIN l ON f.o_custkey = l.o_custkey ORDER BY c_custkey
+            """
+        ).df()
+        assert got.equals(exp)
+
+    def test_split_skew_identical_distributions_zero(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # all rows share one n_chars value -> both splits see one bucket
+        # with all their mass -> TVD must be exactly 0
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(list(range(200)), pa.int64()),
+                "n_chars": pa.array([100] * 200, pa.int64()),
+            }
+        )
+        got = analytics.split_skew_audit(rd.from_arrow(tbl)).iloc[0]
+        assert got["tvd_ppm"] == 0
+        assert got["n_train"] + got["n_test"] <= 200
+
+    def test_split_skew_bounds_on_sf(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+        got = analytics.split_skew_audit(ds).iloc[0]
+        assert 0 <= got["tvd_ppm"] <= 1_000_000
