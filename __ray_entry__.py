@@ -1627,6 +1627,18 @@ def _q_top_prices_with_ties(sf_dir: str):
     return relational.top_prices_with_ties(sf_dir, k=3)
 
 
+def _q_session_durations(sf_dir: str):
+    """Exact p50/p90 session duration seconds + session count (30-min gap,
+    session_windows' break rule); oracle is the session replay + MIN/MAX
+    per session + cumulative-count quantile read."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return relational.session_duration_quantiles(events)
+
+
 def _q_split_skew_audit(sf_dir: str):
     """Exact TVD ppm between the train and test splits' n_chars
     distributions (256-wide buckets); oracle replays the md5 split and the
@@ -3691,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_prices_with_ties": _q_top_prices_with_ties,
         "first_last_order": _q_first_last_order,
         "split_skew_audit": _q_split_skew_audit,
+        "session_durations": _q_session_durations,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5584,6 +5597,26 @@ def oracle_sql() -> dict[str, str]:
         "order_value_gini": _ORDER_VALUE_GINI_SQL,
         "weekly_revenue_wow": _WEEKLY_REVENUE_WOW_SQL,
         "fulfillment_latency": _FULFILLMENT_LATENCY_SQL,
+        "session_durations": (
+            # replay of relational.session_duration_quantiles: the
+            # session_windows break rule, MIN/MAX per session, whole-second
+            # floor-div, cumulative-count quantile read
+            "WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM d), "
+            "per AS (SELECT user_id, sid, "
+            "(epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur "
+            "FROM s GROUP BY 1, 2), "
+            "c AS (SELECT dur, COUNT(*) AS n FROM per GROUP BY 1), "
+            "w2 AS (SELECT dur, SUM(n) OVER (ORDER BY dur) AS cum, "
+            "SUM(n) OVER () AS tot FROM c) "
+            "SELECT CAST(MAX(tot) AS BIGINT) AS n_sessions, "
+            "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
+            "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
+            "FROM w2"
+        ),
         "split_skew_audit": (
             # replay of analytics.split_skew_audit: dataset_split_counts'
             # md5 split thresholds, 256-wide buckets, cross-multiplied TVD

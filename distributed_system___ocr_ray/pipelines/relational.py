@@ -3651,3 +3651,73 @@ def first_last_order(sf_dir: str, buckets: int = 64):
         .groupby("__bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def session_duration_quantiles(events, gap_minutes: int = 30, partitions: int | None = None):
+    """Session-length profile: exact p50/p90 of session DURATION in whole
+    seconds (last event minus first, per session) plus the session count --
+    the engagement metric next to session_windows' per-session aggregates.
+
+    Same one-exchange shape as session_windows (sessions never span
+    user-hash partitions), then the (duration, count) table is the
+    quantiles' sufficient statistic (fulfillment_latency's kernel).
+    Duration is tie-order-free: equal timestamps cannot move a session's
+    min or max. Zero-gap single-event sessions count with duration 0.
+
+    Returns ONE row (n_sessions, p50_sec, p90_sec)."""
+    import math
+
+    if partitions is None:
+        partitions = derive_buckets(events.count())
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "user_id", partitions)
+
+    def dur_counts(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        us = ts.astype("datetime64[us]").astype(np.int64)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        gap_brk = np.concatenate(([False], (ts[1:] - ts[:-1]) > gap))
+        brk = new_user | gap_brk
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:] - 1, len(us) - 1]
+        dur = (us[ends] - us[starts]) // 1_000_000
+        vc = pd.Series(dur).value_counts()
+        return pd.DataFrame(
+            {
+                "dur": vc.index.to_numpy(np.int64),
+                "n": vc.to_numpy(np.int64),
+            }
+        )
+
+    merged = (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dur_counts, batch_format="pandas")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import math
+
+        df = batch.to_pandas().groupby("dur", sort=True)["n"].sum().reset_index()
+        dur = df["dur"].to_numpy(np.int64)
+        cum = df["n"].to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        return pa.table(
+            {
+                "n_sessions": pa.array([n], pa.int64()),
+                "p50_sec": pa.array(
+                    [int(dur[np.searchsorted(cum, math.ceil(0.5 * n))])], pa.int64()
+                ),
+                "p90_sec": pa.array(
+                    [int(dur[np.searchsorted(cum, math.ceil(0.9 * n))])], pa.int64()
+                ),
+            }
+        )
+
+    return merged.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )

@@ -5690,3 +5690,56 @@ class TestFirstLastAndSplitSkew:
         ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
         got = analytics.split_skew_audit(ds).iloc[0]
         assert 0 <= got["tvd_ppm"] <= 1_000_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionDurations:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        def t(m):
+            return np.datetime64(f"2024-01-01T00:{m:02d}:00", "us")
+
+        # user 1: session [0..10] (600 s) then gap -> singleton (0 s);
+        # user 2: singleton (0 s). durations sorted: 0, 0, 600
+        tbl = pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([t(0), t(5), t(10), t(50), t(3)], pa.timestamp("us")),
+            }
+        )
+        got = _pdf(relational.session_duration_quantiles(rd.from_arrow(tbl), partitions=4)).iloc[0]
+        assert (got["n_sessions"], got["p50_sec"], got["p90_sec"]) == (3, 0, 600)
+
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        events = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        got = _pdf(relational.session_duration_quantiles(events)).iloc[0]
+        exp = duckdb.sql(
+            f"""
+            WITH d AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL
+              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM '{SF}/events.parquet'
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid FROM d),
+            per AS (SELECT user_id, sid,
+              (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur
+              FROM s GROUP BY 1, 2),
+            c AS (SELECT dur, COUNT(*) AS n FROM per GROUP BY 1),
+            w2 AS (SELECT dur, SUM(n) OVER (ORDER BY dur) AS cum,
+              SUM(n) OVER () AS tot FROM c)
+            SELECT CAST(MAX(tot) AS BIGINT) AS n_sessions,
+              CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50,
+              CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90
+            FROM w2
+            """
+        ).df().iloc[0]
+        assert got["n_sessions"] == exp["n_sessions"]
+        assert got["p50_sec"] == exp["p50"]
+        assert got["p90_sec"] == exp["p90"]
