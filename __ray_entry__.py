@@ -1639,6 +1639,26 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose revenue exceeds 700 ppm of the GLOBAL
+    total -- the group-vs-global-scalar HAVING; the oracle repeats the
+    cross-multiplied HUGEINT compare and the ppm floor division
+    (relational.revenue_concentrated_parts)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.revenue_concentrated_parts(sf_dir, share_ppm=700)
+
+
+def _q_inactive_high_balance(sf_dir: str):
+    """TPC-H Q22 shape: per nation, customers above the positive-balance
+    average with NO order since 2000-01-01 -- global-scalar threshold +
+    date-filtered anti-join + grouped sum
+    (relational.inactive_high_balance)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.inactive_high_balance(sf_dir, cutoff="2000-01-01")
+
+
 def _q_split_skew_audit(sf_dir: str):
     """Exact TVD ppm between the train and test splits' n_chars
     distributions (256-wide buckets); oracle replays the md5 split and the
@@ -3704,6 +3724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_last_order": _q_first_last_order,
         "split_skew_audit": _q_split_skew_audit,
         "session_durations": _q_session_durations,
+        "important_parts": _q_important_parts,
+        "inactive_high_balance": _q_inactive_high_balance,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5616,6 +5638,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "important_parts": (
+            # replay of relational.revenue_concentrated_parts (Q11 shape):
+            # per-part revenue in the engine's cents convention, the
+            # cross-multiplied HUGEINT share compare, the ppm floor division
+            "WITH r AS (SELECT l_partkey, "
+            "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS rev "
+            "FROM lineitem GROUP BY 1), "
+            "tot AS (SELECT SUM(rev) AS t FROM r) "
+            "SELECT l_partkey, CAST(rev AS BIGINT) AS revenue_cents, "
+            "CAST(CAST(rev AS HUGEINT)*1000000 // t AS BIGINT) AS share_ppm "
+            "FROM r, tot WHERE CAST(rev AS HUGEINT)*1000000 > 700*t"
+        ),
+        "inactive_high_balance": (
+            # replay of relational.inactive_high_balance (Q22 shape):
+            # positive-balance membership on the SAME rounded cents rule,
+            # cross-multiplied average compare, NOT EXISTS since the cutoff
+            "WITH pos AS (SELECT SUM(CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT)) AS s, "
+            "COUNT(*) AS n FROM customer "
+            "WHERE CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT) > 0) "
+            "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs, "
+            "CAST(SUM(CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT)) AS BIGINT) AS total_bal_cents "
+            "FROM customer JOIN nation ON n_nationkey = c_nationkey, pos "
+            "WHERE CAST(FLOOR(c_acctbal*100+0.5) AS HUGEINT) * n > s "
+            "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey "
+            "AND o.o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1"
         ),
         "split_skew_audit": (
             # replay of analytics.split_skew_audit: dataset_split_counts'

@@ -182,7 +182,8 @@ def run_bench() -> dict:
         "join_size_audit", "interarrival_quantiles", "rfm_segments",
         "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
         "k_anonymity", "top_prices_with_ties", "first_last_order",
-        "split_skew_audit", "session_durations",
+        "split_skew_audit", "session_durations", "important_parts",
+        "inactive_high_balance",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

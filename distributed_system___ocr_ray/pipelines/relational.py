@@ -3721,3 +3721,170 @@ def session_duration_quantiles(events, gap_minutes: int = 30, partitions: int | 
     return merged.repartition(1).map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+
+def revenue_concentrated_parts(sf_dir: str, share_ppm: int = 700):
+    """TPC-H Q11 shape (group vs GLOBAL-total filter): parts whose total
+    lineitem revenue exceeds ``share_ppm`` parts-per-million of the whole
+    table's revenue -- the "important stock" screen whose HAVING threshold
+    is itself an aggregate of the same data.
+
+    Plan: map-side revenue partials -> ``bucketed_grouped_sum`` on the
+    partkey domain (the one exchange) -> the per-part table is
+    ``materialize()``-d (two consumers: the global total and the filter)
+    -> per-block sum partials fold to the global total at the driver as a
+    PYTHON int (exact past int64 at any scale) -> the ppm comparison
+    ``rev * 1e6 > share_ppm * total`` is pre-divided into an integer
+    threshold (``rev > (share_ppm*total)//1e6``, provably equivalent for
+    integers) so the map-side filter stays an int64 vector compare.
+
+    Returns (l_partkey, revenue_cents, share_ppm) -- the share recomputed
+    per survivor with Python-int floor division, matching the HUGEINT
+    oracle digit-for-digit."""
+    import ray.data as rd
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {"l_partkey": batch.column("l_partkey"), "rev": pa.array(rev, pa.int64())}
+        )
+        return t.group_by(["l_partkey"]).aggregate([("rev", "sum")])
+
+    per_part = bucketed_grouped_sum(
+        lineitem.map_batches(partial, batch_format="pyarrow"), "l_partkey", "rev_sum"
+    ).materialize()
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        return pa.table({"s": pa.array([int(pc.sum(batch.column("rev_sum")).as_py())])})
+
+    total = int(
+        per_part.map_batches(block_sum, batch_format="pyarrow").to_pandas()["s"].sum()
+    )
+    # rev*1e6 > ppm*total  <=>  rev > (ppm*total)//1e6  (integers: write
+    # ppm*total = q*1e6 + r, both sides reduce to rev >= q+1). Clamp so the
+    # int64 vector compare can't overflow when the threshold exceeds any
+    # representable per-part revenue.
+    threshold = min((share_ppm * total) // 1_000_000, (1 << 63) - 2)
+
+    def over(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev_sum").to_numpy()
+        keep = rev > threshold
+        keys = batch.column("l_partkey").to_numpy()[keep]
+        survivors = rev[keep]
+        share = [(int(r) * 1_000_000) // total for r in survivors]
+        return pa.table(
+            {
+                "l_partkey": pa.array(keys, pa.int64()),
+                "revenue_cents": pa.array(survivors, pa.int64()),
+                "share_ppm": pa.array(share, pa.int64()),
+            }
+        )
+
+    return per_part.map_batches(over, batch_format="pyarrow")
+
+
+def inactive_high_balance(sf_dir: str, cutoff: str = "2000-01-01",
+                          broadcast_cap_bytes: int = 256 << 20):
+    """TPC-H Q22 shape (global-scalar threshold + anti-join + group): per
+    nation, the count and total balance of customers whose account balance
+    beats the average over positive-balance customers AND who placed no
+    order since ``cutoff`` -- the "wealthy but drifting away" screen.
+
+    Plan: one narrow customer pass folds (sum, count) of positive balances
+    to the driver (one row per block); the above-average test is the exact
+    cross-multiplied integer compare ``bal_cents * n_pos > sum_pos`` (no
+    division, no float; positive-balance membership uses cents > 0 -- the
+    SAME rounded rule as the SQL replay). Recent orderers collapse to
+    DISTINCT custkeys map-side and ship ONCE via ray.put (semi_join_agg's
+    capped-broadcast discipline -- loud raise past the cap, where the
+    bucketed anti-join is the shape); the second customer pass filters
+    map-side and emits bounded per-nation (count, sum) partials. Nation
+    names resolve from a broadcast dict in the single final block.
+
+    Returns (n_name, n_custs, total_bal_cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(batch.column("c_acctbal")).to_numpy()
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())]), "n": pa.array([len(pos)])})
+
+    folded = cust.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    sum_pos, n_pos = int(folded["s"].sum()), int(folded["n"].sum())
+
+    cutoff_ts = pa.scalar(pd.Timestamp(cutoff), pa.timestamp("us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def recent_keys(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch.column("o_orderdate"), cutoff_ts))
+        u = np.unique(batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(u, pa.int64())})
+
+    keys = np.unique(
+        orders.map_batches(recent_keys, batch_format="pyarrow").to_pandas()["k"].to_numpy(np.int64)
+    )
+    if keys.nbytes > broadcast_cap_bytes:
+        raise ValueError(
+            f"distinct recent-orderer keys {keys.nbytes >> 20} MB exceed the broadcast "
+            "cap; use a bucketed anti-join (orphan_audit_multi shape) at this scale"
+        )
+    handle = ray.put(keys)
+
+    class Screen:
+        def __init__(self) -> None:
+            self.keys = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cents = _cents(batch.column("c_acctbal")).to_numpy()
+            ck = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            rich = cents * n_pos > sum_pos
+            pos = np.searchsorted(self.keys, ck)
+            pos_safe = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            active = (self.keys[pos_safe] == ck) if len(self.keys) else np.zeros(len(ck), bool)
+            keep = rich & ~active
+            t = pa.table(
+                {
+                    "c_nationkey": batch.column("c_nationkey").filter(pa.array(keep)),
+                    "bal": pa.array(cents[keep], pa.int64()),
+                }
+            )
+            return t.group_by(["c_nationkey"]).aggregate([("bal", "sum"), ("bal", "count")])
+
+    partials = cust.map_batches(Screen, batch_format="pyarrow", concurrency=(1, 8))
+    per_nation = tiny_final_groupby(
+        partials,
+        keys=["c_nationkey"],
+        aggs=[("bal_count", "sum"), ("bal_sum", "sum")],
+        out_names=["c_nationkey", "n_custs", "total_bal_cents"],
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    names = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[int(k)] for k in nk], pa.string()),
+                "n_custs": batch.column("n_custs"),
+                "total_bal_cents": batch.column("total_bal_cents"),
+            }
+        )
+
+    return per_nation.map_batches(attach, batch_format="pyarrow")

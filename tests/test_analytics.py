@@ -5743,3 +5743,63 @@ class TestSessionDurations:
         assert got["n_sessions"] == exp["n_sessions"]
         assert got["p50_sec"] == exp["p50"]
         assert got["p90_sec"] == exp["p90"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ11Q22Shapes:
+    def test_important_parts_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.revenue_concentrated_parts(SF, share_ppm=700))
+            .sort_values("l_partkey")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH r AS (SELECT l_partkey,
+              SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS rev
+              FROM '{SF}/lineitem.parquet' GROUP BY 1),
+            tot AS (SELECT SUM(rev) AS t FROM r)
+            SELECT l_partkey, CAST(rev AS BIGINT) AS revenue_cents,
+              CAST(CAST(rev AS HUGEINT)*1000000 // t AS BIGINT) AS share_ppm
+            FROM r, tot WHERE CAST(rev AS HUGEINT)*1000000 > 700*t ORDER BY 1
+            """
+        ).df()
+        assert len(got) > 0
+        assert got.astype(str).equals(exp.astype(str))
+
+    def test_important_parts_threshold_math(self):
+        # the pre-divided threshold must be EXACTLY equivalent to the
+        # cross-multiplied compare at the boundary: rev*1e6 > ppm*total
+        # <=> rev > (ppm*total)//1e6, checked over adversarial remainders
+        for total in (999_999, 1_000_000, 1_000_001, 123_456_789):
+            for ppm in (1, 700, 999_999):
+                thr = (ppm * total) // 1_000_000
+                for rev in (thr - 1, thr, thr + 1):
+                    assert (rev * 1_000_000 > ppm * total) == (rev > thr)
+
+    def test_inactive_high_balance_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.inactive_high_balance(SF, cutoff="2000-01-01"))
+            .sort_values("n_name")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH pos AS (SELECT SUM(CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT)) AS s,
+              COUNT(*) AS n FROM '{SF}/customer.parquet'
+              WHERE CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT) > 0)
+            SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+              CAST(SUM(CAST(FLOOR(c_acctbal*100+0.5) AS BIGINT)) AS BIGINT) AS total_bal_cents
+            FROM '{SF}/customer.parquet' JOIN '{SF}/nation.parquet' ON n_nationkey = c_nationkey, pos
+            WHERE CAST(FLOOR(c_acctbal*100+0.5) AS HUGEINT) * n > s
+              AND NOT EXISTS (SELECT 1 FROM '{SF}/orders.parquet' o
+                              WHERE o.o_custkey = c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        assert got.astype(str).equals(exp.astype(str))
