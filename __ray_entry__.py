@@ -1639,6 +1639,19 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_interval_overlap_pairs(sf_dir: str):
+    """Per-user count of overlapping activity-interval pairs (half-open
+    max(s) < min(e)) -- the double-booking audit over _activity_intervals,
+    the third sweep-line consumer next to coverage and peak concurrency;
+    counted pair-free via two searchsorted calls per bucket
+    (relational.overlap_pairs)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.overlap_pairs(
+        _activity_intervals(sf_dir), "user_id", "s_us", "e_us"
+    )
+
+
 def _q_important_parts(sf_dir: str):
     """TPC-H Q11 shape: parts whose revenue exceeds 700 ppm of the GLOBAL
     total -- the group-vs-global-scalar HAVING; the oracle repeats the
@@ -3726,6 +3739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_durations": _q_session_durations,
         "important_parts": _q_important_parts,
         "inactive_high_balance": _q_inactive_high_balance,
+        "interval_overlap_pairs": _q_interval_overlap_pairs,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5638,6 +5652,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "interval_overlap_pairs": (
+            # replay of relational.overlap_pairs over _activity_intervals:
+            # same WHERE e > s empty-interval drop, ROW_NUMBER ids dedup the
+            # unordered pair, half-open overlap predicate
+            f"WITH {_ACTIVITY_IV_CTE}, "
+            "ivr AS (SELECT user_id, s, e, ROW_NUMBER() OVER () AS rid "
+            "FROM iv WHERE e > s) "
+            "SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs "
+            "FROM ivr a JOIN ivr b ON a.user_id = b.user_id AND a.rid < b.rid "
+            "AND a.s < b.e AND b.s < a.e GROUP BY 1"
         ),
         "important_parts": (
             # replay of relational.revenue_concentrated_parts (Q11 shape):

@@ -3888,3 +3888,76 @@ def inactive_high_balance(sf_dir: str, cutoff: str = "2000-01-01",
         )
 
     return per_nation.map_batches(attach, batch_format="pyarrow")
+
+
+def overlap_pairs(intervals, key_col: str, s_col: str, e_col: str, buckets: int = 64):
+    """Per-key count of OVERLAPPING interval pairs (half-open [s, e);
+    a pair overlaps iff ``max(s) < min(e)``) -- the double-booking /
+    conflicting-session audit that complements interval_coverage (union
+    length) and peak_concurrency (max simultaneous) over the same
+    intervals.
+
+    Never materializes a pair: within each key,
+    ``overlap(i) = #{s_j < e_i} - #{e_j <= s_i} - 1`` (the subtracted sets
+    nest, self is excluded; exact for non-empty intervals), so the pair
+    count is ``sum(overlap)/2`` off TWO np.searchsorted calls over the
+    (key, time) ordinal composite (conversion_within's kernel; the
+    per-key segment offset localizes the global searchsorted). Empty
+    intervals (e <= s) drop map-side as data -- the SQL replay repeats
+    the same WHERE so the overlap predicate is unambiguous.
+
+    ONE key-domain exchange; per-key outputs are disjoint across buckets
+    so bucket outputs union without a second exchange. Returns
+    (key, n_overlap_pairs) for keys with at least one overlapping pair."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column(s_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column(e_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = e > s
+        return pa.table(
+            {
+                key_col: pa.array(
+                    batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)[keep],
+                    pa.int64(),
+                ),
+                "s": pa.array(s[keep], pa.int64()),
+                "e": pa.array(e[keep], pa.int64()),
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, key_col, buckets)
+
+    def kern(group: pd.DataFrame) -> pd.DataFrame:
+        k = group[key_col].to_numpy(np.int64)
+        s = group["s"].to_numpy(np.int64)
+        e = group["e"].to_numpy(np.int64)
+        uk, inv = np.unique(k, return_inverse=True)
+        lo = s.min()
+        width = (e.max() - lo) + 2
+        if len(uk) and width > (2**62) // len(uk):
+            raise ValueError(
+                "overlap_pairs: key-count x time-span overflows the ordinal "
+                "composite; raise `buckets`"
+            )
+        comp_s = inv.astype(np.int64) * width + (s - lo)
+        comp_e = inv.astype(np.int64) * width + (e - lo)
+        sorted_s = np.sort(comp_s)
+        sorted_e = np.sort(comp_e)
+        counts = np.bincount(inv)
+        seg_start = np.r_[0, np.cumsum(counts)[:-1]]
+        a = np.searchsorted(sorted_s, comp_e, side="left") - seg_start[inv]
+        b = np.searchsorted(sorted_e, comp_s, side="right") - seg_start[inv]
+        ov = a - b - 1  # per-interval overlap degree, >= 0
+        per_key = np.bincount(inv, weights=ov).astype(np.int64) // 2
+        hit = per_key > 0
+        return pd.DataFrame(
+            {key_col: uk[hit], "n_overlap_pairs": per_key[hit]}
+        )
+
+    return (
+        intervals.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kern, batch_format="pandas")
+    )

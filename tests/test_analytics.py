@@ -5803,3 +5803,60 @@ class TestQ11Q22Shapes:
             """
         ).df()
         assert got.astype(str).equals(exp.astype(str))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOverlapPairs:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # key 1: [0,10),[5,8),[10,20): only ([0,10),[5,8)) overlap (touching
+        # at 10 does NOT); key 2: all three of [0,5),[1,6),[2,7) overlap;
+        # key 3: a zero-length [0,0) drops, leaving one interval -> no row
+        tbl = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+                "s": pa.array([0, 5, 10, 0, 1, 2, 0, 0], pa.int64()),
+                "e": pa.array([10, 8, 20, 5, 6, 7, 0, 9], pa.int64()),
+            }
+        )
+        got = (
+            _pdf(relational.overlap_pairs(rd.from_arrow(tbl), "k", "s", "e", buckets=4))
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"k": 1, "n_overlap_pairs": 1},
+            {"k": 2, "n_overlap_pairs": 3},
+        ]
+
+    def test_vs_duckdb_and_bucket_invariance(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.overlap_pairs(em._activity_intervals(SF), "user_id", "s_us", "e_us"))
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH iv0 AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) +
+              (CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 60000) * 10000 AS e
+              FROM '{SF}/events.parquet'),
+            iv AS (SELECT user_id, s, e, ROW_NUMBER() OVER () AS rid FROM iv0 WHERE e > s)
+            SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_pairs
+            FROM iv a JOIN iv b ON a.user_id = b.user_id AND a.rid < b.rid
+              AND a.s < b.e AND b.s < a.e
+            GROUP BY 1 ORDER BY 1
+            """
+        ).df()
+        assert got.astype(str).equals(exp.astype(str))
+        few = (
+            _pdf(relational.overlap_pairs(em._activity_intervals(SF), "user_id", "s_us", "e_us", buckets=3))
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(few)
