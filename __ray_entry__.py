@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: distinct whitespace tokens first seen
+    in the first 25/50/75/100% of the corpus by doc_id, with the doc count
+    at each checkpoint; ONE token-domain min-exchange serves every
+    checkpoint (analytics.vocab_growth)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.vocab_growth(sf_dir)
+
+
 def _q_interval_overlap_pairs(sf_dir: str):
     """Per-user count of overlapping activity-interval pairs (half-open
     max(s) < min(e)) -- the double-booking audit over _activity_intervals,
@@ -3740,6 +3750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts": _q_important_parts,
         "inactive_high_balance": _q_inactive_high_balance,
         "interval_overlap_pairs": _q_interval_overlap_pairs,
+        "vocab_growth": _q_vocab_growth,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5652,6 +5663,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "vocab_growth": (
+            # replay of analytics.vocab_growth: integer-ppm thresholds of
+            # max(doc_id)+1, per-token MIN first doc, counts below each
+            # threshold; token rule shared with _TOP_TOKENS_SQL
+            "WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents), "
+            "cp AS (SELECT unnest([250000,500000,750000,1000000]) AS ppm), "
+            "th AS (SELECT ppm, (ppm * n) // 1000000 AS d FROM cp, mx), "
+            "tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tk "
+            "FROM documents), "
+            "firsts AS (SELECT tk, MIN(doc_id) AS fid FROM tok GROUP BY 1) "
+            "SELECT th.ppm AS frac_ppm, "
+            "CAST((SELECT COUNT(*) FROM documents dd WHERE dd.doc_id < th.d) AS BIGINT) AS n_docs, "
+            "CAST((SELECT COUNT(*) FROM firsts f WHERE f.fid < th.d) AS BIGINT) AS vocab_size "
+            "FROM th"
         ),
         "interval_overlap_pairs": (
             # replay of relational.overlap_pairs over _activity_intervals:

@@ -183,7 +183,7 @@ def run_bench() -> dict:
         "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
         "k_anonymity", "top_prices_with_ties", "first_last_order",
         "split_skew_audit", "session_durations", "important_parts",
-        "inactive_high_balance", "interval_overlap_pairs",
+        "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

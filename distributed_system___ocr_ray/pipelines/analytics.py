@@ -5890,3 +5890,93 @@ def split_skew_audit(
             "tvd_ppm": pd.array([tvd], dtype="int64"),
         }
     )
+
+
+def vocab_growth(sf_dir: str, fracs_ppm: tuple[int, ...] = (250_000, 500_000, 750_000, 1_000_000),
+                 buckets: int = 64):
+    """Heaps-law vocabulary growth curve: distinct whitespace-token count
+    after the first ``frac`` of the corpus (by doc_id order), at each
+    checkpoint fraction -- the "is the vocabulary saturating" audit that
+    sizes tokenizer training data and predicts OOV decay.
+
+    The curve for ALL checkpoints costs ONE token-domain pass: each token
+    collapses to its FIRST doc_id (per-batch groupby-min partials ->
+    bucketed min exchange on the token hash -- the shuffle moves (token,
+    first_id) rows, never text), then each bucket bins its tokens' first
+    ids against the broadcast checkpoint thresholds (one searchsorted) and
+    only |checkpoints|-row count partials reach the tiny final. Checkpoint
+    thresholds are integer ppm of max(doc_id)+1 so the SQL replay shares
+    the arithmetic digit-for-digit.
+
+    Returns (frac_ppm, n_docs, vocab_size) -- n_docs from a narrow
+    doc_id-only scan, vocab_size the distinct tokens first seen below the
+    threshold."""
+    import ray.data as rd
+
+    from .relational import hash_bucket_column, tiny_final_groupby
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def block_max(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"m": pa.array([pc.max(batch.column("doc_id")).as_py()])})
+
+    n = int(ids.map_batches(block_max, batch_format="pyarrow").to_pandas()["m"].max()) + 1
+    thresholds = [(f * n) // 1_000_000 for f in fracs_ppm]
+    th = np.array(thresholds, np.int64)
+
+    def id_counts(batch: pa.Table) -> pa.Table:
+        d = np.sort(batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "frac_ppm": pa.array(list(fracs_ppm), pa.int64()),
+                "c": pa.array(np.searchsorted(d, th, side="left"), pa.int64()),
+            }
+        )
+
+    folded = ids.map_batches(id_counts, batch_format="pyarrow").to_pandas()
+    n_docs = folded.groupby("frac_ppm", sort=True)["c"].sum().to_dict()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def first_seen(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.reset_index(drop=True)
+        ex = batch["text"].fillna("").str.findall(ts._WS_TOKEN).explode().dropna()
+        ids_np = batch["doc_id"].to_numpy(np.int64)[ex.index.to_numpy(np.int64)]
+        df = pd.DataFrame({"token": ex.to_numpy(object), "fid": ids_np})
+        return df.groupby("token", sort=False, as_index=False)["fid"].min()
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "token", buckets)
+
+    def bucket_bins(g: pd.DataFrame) -> pd.DataFrame:
+        fid = np.sort(g.groupby("token", sort=False)["fid"].min().to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "frac_ppm": np.array(fracs_ppm, np.int64),
+                "v": np.searchsorted(fid, th, side="left").astype(np.int64),
+            }
+        )
+
+    partials = (
+        docs.map_batches(first_seen, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_bins, batch_format="pandas")
+    )
+    merged = tiny_final_groupby(
+        partials, keys=["frac_ppm"], aggs=[("v", "sum")], out_names=["frac_ppm", "vocab_size"]
+    )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        fp = batch.column("frac_ppm").to_pylist()
+        return pa.table(
+            {
+                "frac_ppm": pa.array(fp, pa.int64()),
+                "n_docs": pa.array([int(n_docs[f]) for f in fp], pa.int64()),
+                "vocab_size": batch.column("vocab_size").cast(pa.int64()),
+            }
+        )
+
+    return merged.map_batches(attach, batch_format="pyarrow")

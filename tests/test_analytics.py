@@ -5860,3 +5860,48 @@ class TestOverlapPairs:
             .reset_index(drop=True)
         )
         assert got.equals(few)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestVocabGrowth:
+    def test_vs_duckdb(self):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = (
+            _pdf(analytics.vocab_growth(SF))
+            .sort_values("frac_ppm")
+            .reset_index(drop=True)
+        )
+        exp = duckdb.sql(
+            f"""
+            WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM '{SF}/documents.parquet'),
+            cp AS (SELECT unnest([250000,500000,750000,1000000]) AS ppm),
+            th AS (SELECT ppm, (ppm * n) // 1000000 AS d FROM cp, mx),
+            tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tk
+              FROM '{SF}/documents.parquet'),
+            firsts AS (SELECT tk, MIN(doc_id) AS fid FROM tok GROUP BY 1)
+            SELECT th.ppm AS frac_ppm,
+              CAST((SELECT COUNT(*) FROM '{SF}/documents.parquet' dd WHERE dd.doc_id < th.d) AS BIGINT) AS n_docs,
+              CAST((SELECT COUNT(*) FROM firsts f WHERE f.fid < th.d) AS BIGINT) AS vocab_size
+            FROM th ORDER BY 1
+            """
+        ).df()
+        assert got.astype(str).equals(exp.astype(str))
+
+    def test_monotone_and_bucket_invariance(self):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = (
+            _pdf(analytics.vocab_growth(SF, buckets=3))
+            .sort_values("frac_ppm")
+            .reset_index(drop=True)
+        )
+        # curve must be nondecreasing in both docs and vocab
+        assert got["n_docs"].is_monotonic_increasing
+        assert got["vocab_size"].is_monotonic_increasing
+        wide = (
+            _pdf(analytics.vocab_growth(SF, buckets=64))
+            .sort_values("frac_ppm")
+            .reset_index(drop=True)
+        )
+        assert got.equals(wide)
