@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_link_prediction_topk(sf_dir: str):
+    """Top-20 NON-adjacent pairs of the derived citation graph by
+    common-neighbor count (Liben-Nowell/Kleinberg link prediction); wedge
+    self-join on the center vertex, packed-pair count exchange, null-test
+    anti-join vs the edge set (analytics.common_neighbor_pairs)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.common_neighbor_pairs(_docs(sf_dir, ["doc_id"]), k=20)
+
+
 def _q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: distinct whitespace tokens first seen
     in the first 25/50/75/100% of the corpus by doc_id, with the doc count
@@ -3751,6 +3761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_high_balance": _q_inactive_high_balance,
         "interval_overlap_pairs": _q_interval_overlap_pairs,
         "vocab_growth": _q_vocab_growth,
+        "link_prediction_topk": _q_link_prediction_topk,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5663,6 +5674,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "link_prediction_topk": (
+            # replay of analytics.common_neighbor_pairs: shared edge CTEs,
+            # canonical undirected dedup, center-vertex wedge join,
+            # null-test anti-join vs edges, deterministic (n desc, a, b) cut
+            f"WITH {_edges_ctes()}, "
+            "und AS (SELECT DISTINCT LEAST(src,dst) AS a, GREATEST(src,dst) AS b FROM edges), "
+            "dir AS (SELECT a AS w, b AS v FROM und UNION ALL SELECT b, a FROM und), "
+            "wed AS (SELECT e1.v AS a, e2.v AS b FROM dir e1 "
+            "JOIN dir e2 ON e1.w = e2.w AND e1.v < e2.v), "
+            "cn AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common FROM wed GROUP BY 1, 2), "
+            "ne AS (SELECT cn.a, cn.b, cn.n_common FROM cn "
+            "LEFT JOIN und ON und.a = cn.a AND und.b = cn.b WHERE und.a IS NULL) "
+            "SELECT a AS doc_a, b AS doc_b, n_common FROM ne "
+            "ORDER BY n_common DESC, a, b LIMIT 20"
         ),
         "vocab_growth": (
             # replay of analytics.vocab_growth: integer-ppm thresholds of

@@ -5980,3 +5980,129 @@ def vocab_growth(sf_dir: str, fracs_ppm: tuple[int, ...] = (250_000, 500_000, 75
         )
 
     return merged.map_batches(attach, batch_format="pyarrow")
+
+
+def common_neighbor_pairs(ds, k: int = 20, id_col: str = "doc_id"):
+    """Link prediction by common-neighbor count: the top-k NON-adjacent
+    node pairs of the (undirected view of the) derived citation graph,
+    ranked by how many neighbors they share -- the classic
+    missing-link/recommendation score (Liben-Nowell & Kleinberg), and the
+    structural dual of triangle_count (a predicted link is an OPEN wedge).
+
+    Plan: canonical distinct undirected edges (triangle_count's canon) ->
+    both-direction adjacency -> wedge self-join bucketed on the CENTER
+    vertex (per-pair contribution = one shared neighbor) -> per-batch
+    packed-pair count partials -> ``bucketed_grouped_sum`` on the packed
+    int64 key -> LEFT bucketed join against the edge set drops pairs that
+    are already edges (null-test anti-join) -> per-block partial top-k +
+    tiny merge under the deterministic (n desc, a asc, b asc) order. The
+    packed key needs n_nodes^2 < 2^63 (same guard as triangle_count).
+
+    Returns (doc_a, doc_b, n_common), doc_a < doc_b, k rows."""
+    from ray.data.aggregate import Count
+
+    from .relational import bucketed_grouped_sum, bucketed_hash_join, derive_buckets
+
+    n_nodes = ds.count()
+    if n_nodes == 0 or n_nodes * n_nodes >= 2**63:
+        raise ValueError("common_neighbor_pairs: packed pair key would overflow int64")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.int64()),
+                "b": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    und = (
+        derived_link_edges(ds, n_nodes, id_col=id_col)
+        .map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    buckets = derive_buckets(und.count(), rows_per_bucket=1_000_000)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "w": pa.array(np.concatenate([a, b]), pa.int64()),
+                "v": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    adj = und.map_batches(both_dirs, batch_format="pyarrow")
+    wedges = bucketed_hash_join(
+        adj.rename_columns(["w", "v1"]),
+        adj.rename_columns(["w", "v2"]),
+        "w",
+        "w",
+        buckets=buckets,
+    ).filter(expr="v1 < v2")
+
+    def pack_counts(batch: pa.Table) -> pa.Table:
+        v1 = batch.column("v1").to_numpy(zero_copy_only=False)
+        v2 = batch.column("v2").to_numpy(zero_copy_only=False)
+        pk, cnt = np.unique(v1 * n_nodes + v2, return_counts=True)
+        return pa.table(
+            {"pk": pa.array(pk, pa.int64()), "c": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    cn = bucketed_grouped_sum(
+        wedges.map_batches(pack_counts, batch_format="pyarrow"), "pk", "c", buckets=buckets
+    )
+
+    def edge_keys(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pk2": pa.array(a * n_nodes + b, pa.int64()),
+                "is_edge": pa.array(np.ones(len(a), np.int8), pa.int8()),
+            }
+        )
+
+    def drop_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_null(batch.column("is_edge")))
+
+    non_edges = bucketed_hash_join(
+        cn,
+        und.map_batches(edge_keys, batch_format="pyarrow"),
+        "pk",
+        "pk2",
+        buckets=buckets,
+        how="left",
+    ).map_batches(drop_edges, batch_format="pyarrow")
+
+    def unpack_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["pk"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_a": pk // n_nodes,
+                "doc_b": pk % n_nodes,
+                "n_common": batch["c"].to_numpy(np.int64),
+            }
+        )
+        return out.sort_values(
+            ["n_common", "doc_a", "doc_b"], ascending=[False, True, True]
+        ).head(k)
+
+    return (
+        non_edges.map_batches(unpack_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(
+            lambda df: df.sort_values(
+                ["n_common", "doc_a", "doc_b"], ascending=[False, True, True]
+            ).head(k),
+            batch_format="pandas",
+            batch_size=None,
+        )
+    )

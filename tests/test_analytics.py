@@ -5905,3 +5905,53 @@ class TestVocabGrowth:
             .reset_index(drop=True)
         )
         assert got.equals(wide)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCommonNeighborPairs:
+    def test_vs_python_bruteforce(self):
+        import itertools
+
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        n = 120
+        docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+        got = _pdf(analytics.common_neighbor_pairs(docs, k=15)).reset_index(drop=True)
+
+        und = set()
+        for u in range(n):
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % n
+                if t != u:
+                    und.add((min(u, t), max(u, t)))
+        nbrs = {}
+        for a, b in und:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        scores = []
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            if (a, b) in und:
+                continue
+            c = len(nbrs[a] & nbrs[b])
+            if c:
+                scores.append((a, b, c))
+        scores.sort(key=lambda r: (-r[2], r[0], r[1]))
+        exp = pd.DataFrame(scores[:15], columns=["doc_a", "doc_b", "n_common"])
+        assert got.astype(int).values.tolist() == exp.astype(int).values.tolist()
+
+    def test_vs_duckdb(self):
+        import __ray_entry__ as em
+
+        got = em.queries()["link_prediction_topk"](SF)
+        got = _pdf(got).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["link_prediction_topk"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert g.astype(str).equals(e.astype(str))
