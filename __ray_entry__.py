@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_cross_source_dups(sf_dir: str):
+    """MinHash near-dup pair counts per unordered source pair -- the
+    provenance contamination matrix; pairs from the unchanged minhash
+    plan, endpoints resolved by bucketed joins against the narrow
+    (doc_id, source) projection (analytics.cross_source_dup_matrix)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.cross_source_dup_matrix(sf_dir, threshold=0.6)
+
+
 def _q_link_prediction_topk(sf_dir: str):
     """Top-20 NON-adjacent pairs of the derived citation graph by
     common-neighbor count (Liben-Nowell/Kleinberg link prediction); wedge
@@ -3762,6 +3772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_overlap_pairs": _q_interval_overlap_pairs,
         "vocab_growth": _q_vocab_growth,
         "link_prediction_topk": _q_link_prediction_topk,
+        "cross_source_dups": _q_cross_source_dups,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5674,6 +5685,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "cross_source_dups": (
+            # replay of analytics.cross_source_dup_matrix: the green minhash
+            # pair CTEs + two source joins + LEAST/GREATEST unordered fold
+            f"WITH {_minhash_ctes()}, "
+            "dsrc AS (SELECT doc_id, source FROM documents), "
+            "lab AS (SELECT LEAST(sa.source, sb.source) AS source_a, "
+            "GREATEST(sa.source, sb.source) AS source_b FROM mpairs p "
+            "JOIN dsrc sa ON sa.doc_id = p.doc_a "
+            "JOIN dsrc sb ON sb.doc_id = p.doc_b) "
+            "SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+            "FROM lab GROUP BY 1, 2"
         ),
         "link_prediction_topk": (
             # replay of analytics.common_neighbor_pairs: shared edge CTEs,

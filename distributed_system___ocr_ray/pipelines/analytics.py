@@ -6106,3 +6106,73 @@ def common_neighbor_pairs(ds, k: int = 20, id_col: str = "doc_id"):
             batch_size=None,
         )
     )
+
+
+def cross_source_dup_matrix(sf_dir: str, threshold: float = 0.6):
+    """Cross-source near-duplicate contamination matrix: MinHash+LSH pair
+    counts per UNORDERED source pair -- the provenance audit that localizes
+    WHERE duplication comes from (mirror sites, cross-posted feeds) after
+    dup_shingle_rate has sized it and before a dedup pass spends compute.
+
+    Plan: the unchanged minhash_lsh_pairs plan yields the (small) pair
+    set; each endpoint resolves its source via a bucketed hash join
+    against the narrow (doc_id, source) projection -- the doc->source map
+    is corpus-sized, so broadcasting it would cap out at scale while the
+    pair side stays tiny; the (source_a, source_b) domain is bounded, so
+    the final is tiny_final_groupby. Sources order lexicographically
+    within a pair (LEAST/GREATEST, shared with the replay).
+
+    Returns (source_a, source_b, n_pairs); only pairs with >= 1 near-dup."""
+    import ray.data as rd
+
+    from .relational import bucketed_hash_join, tiny_final_groupby
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs, threshold=threshold).drop_columns(["est_jaccard"])
+
+    def src_proj(name_id: str, name_src: str):
+        srcs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        )
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([name_id, name_src])
+
+        return srcs.map_batches(rename, batch_format="pyarrow")
+
+    j1 = bucketed_hash_join(
+        pairs, src_proj("k_a", "src_a"), "doc_a", "k_a", buckets=16
+    ).select_columns(["doc_b", "src_a"])
+
+    # re-type the pandas-merge output to explicit Arrow types: the second
+    # join's schema-driven null padding needs real pa.DataTypes
+    def typed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "src_a": batch.column("src_a").cast(pa.string()),
+            }
+        )
+
+    j2 = bucketed_hash_join(
+        j1.map_batches(typed, batch_format="pyarrow"),
+        src_proj("k_b", "src_b"), "doc_b", "k_b", buckets=16
+    ).select_columns(["src_a", "src_b"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch.column("src_a").to_numpy(zero_copy_only=False).astype(object)
+        b = batch.column("src_b").to_numpy(zero_copy_only=False).astype(object)
+        t = pa.table(
+            {
+                "source_a": pa.array(np.minimum(a, b), pa.string()),
+                "source_b": pa.array(np.maximum(a, b), pa.string()),
+            }
+        )
+        return t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
+
+    return tiny_final_groupby(
+        j2.map_batches(partial, batch_format="pyarrow"),
+        keys=["source_a", "source_b"],
+        aggs=[("count_all", "sum")],
+        out_names=["source_a", "source_b", "n_pairs"],
+    )

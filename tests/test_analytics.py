@@ -5955,3 +5955,27 @@ class TestCommonNeighborPairs:
         g = got.sort_values(list(got.columns)).reset_index(drop=True)
         e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
         assert g.astype(str).equals(e.astype(str))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCrossSourceDups:
+    def test_vs_duckdb(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = _pdf(analytics.cross_source_dup_matrix(SF, threshold=0.6))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["cross_source_dups"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert g.astype(str).equals(e.astype(str))
+
+    def test_mass_conservation(self):
+        # total cross+within pair mass must equal the pair-set size
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        mat = _pdf(analytics.cross_source_dup_matrix(SF, threshold=0.6))
+        n_pairs = len(em.queries()["minhash_pairs"](SF))
+        assert int(mat["n_pairs"].sum()) == n_pairs
