@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_encoding_audit(sf_dir: str):
+    """Per-source encoding hygiene over the planted corpus (U+FFFD /
+    control / non-ASCII plants by doc_id arithmetic, redact_pii's
+    discipline); patterns shared char-for-char with the RE2 replay
+    (analytics.encoding_audit)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.encoding_audit(sf_dir)
+
+
 def _q_cross_source_dups(sf_dir: str):
     """MinHash near-dup pair counts per unordered source pair -- the
     provenance contamination matrix; pairs from the unchanged minhash
@@ -3773,6 +3783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": _q_vocab_growth,
         "link_prediction_topk": _q_link_prediction_topk,
         "cross_source_dups": _q_cross_source_dups,
+        "encoding_audit": _q_encoding_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5016,6 +5027,12 @@ def _semdedup_sql(k: int = 8, iters: int = 3, scale: int = 1000,
 
 
 def oracle_sql() -> dict[str, str]:
+    from distributed_system___ocr_ray.pipelines.analytics import (
+        ENC_CTRL_PATTERN as _ENC_CTRL,
+        ENC_MOJIBAKE_PATTERN as _ENC_MOJI,
+        ENC_NONASCII_PATTERN as _ENC_NONASCII,
+    )
+
     return {
         "extract_interleaved": _interleaved_sql(),
         # the sharded zero-shuffle plan must produce the SAME closed-form
@@ -5685,6 +5702,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "encoding_audit": (
+            # replay of analytics.encoding_audit: identical plants (chr
+            # codepoints match the engine's literal chars) and identical
+            # RE2/Python-re pattern strings
+            "WITH planted AS (SELECT source, "
+            "text || CASE WHEN doc_id % 17 = 3 THEN chr(65533) ELSE '' END "
+            "|| CASE WHEN doc_id % 23 = 5 THEN chr(7) ELSE '' END "
+            "|| CASE WHEN doc_id % 29 = 7 THEN chr(233) ELSE '' END AS t "
+            "FROM documents) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            f"CAST(SUM(CASE WHEN regexp_matches(t, '{_ENC_MOJI}') THEN 1 ELSE 0 END) AS BIGINT) AS n_mojibake, "
+            f"CAST(SUM(CASE WHEN regexp_matches(t, '{_ENC_CTRL}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl, "
+            f"CAST(SUM(CASE WHEN regexp_matches(t, '{_ENC_NONASCII}') THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii "
+            "FROM planted GROUP BY 1"
         ),
         "cross_source_dups": (
             # replay of analytics.cross_source_dup_matrix: the green minhash

@@ -184,7 +184,7 @@ def run_bench() -> dict:
         "k_anonymity", "top_prices_with_ties", "first_last_order",
         "split_skew_audit", "session_durations", "important_parts",
         "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
-        "link_prediction_topk", "cross_source_dups",
+        "link_prediction_topk", "cross_source_dups", "encoding_audit",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -6176,3 +6176,68 @@ def cross_source_dup_matrix(sf_dir: str, threshold: float = 0.6):
         aggs=[("count_all", "sum")],
         out_names=["source_a", "source_b", "n_pairs"],
     )
+
+
+# shared char-for-char with the encoding_audit SQL replay (Python re and
+# DuckDB RE2 read these identically; the mojibake pattern is the literal
+# U+FFFD replacement character)
+ENC_MOJIBAKE_PATTERN = "�"
+ENC_CTRL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+ENC_NONASCII_PATTERN = r"[^\x00-\x7f]"
+
+
+def encoding_audit(sf_dir: str):
+    """Corpus encoding-hygiene report: per source, how many documents
+    contain a U+FFFD replacement character (mojibake -- a decode already
+    went wrong upstream), a C0 control character (binary contamination),
+    or ANY non-ASCII byte (charset surprise in a nominally-ASCII feed) --
+    the triage that decides whether a source needs re-crawling before it
+    poisons tokenizer training.
+
+    The synthetic corpus is clean ASCII, so the audit runs over a PLANTED
+    corpus (redact_pii's discipline): docs with ``doc_id % 17 == 3`` get a
+    U+FFFD appended, ``% 23 == 5`` a BEL control, ``% 29 == 7`` an e-acute
+    -- the same CASE arithmetic the SQL replay applies, so the kernels are
+    exercised and the compare stays exact. Pure map-side (compiled
+    regexes, one str.contains per class), bounded source domain, tiny
+    final.
+
+    Returns (source, n_docs, n_mojibake, n_ctrl, n_nonascii)."""
+    import re
+
+    import ray.data as rd
+
+    from .relational import tiny_final_groupby
+
+    moji = re.compile(ENC_MOJIBAKE_PATTERN)
+    ctrl = re.compile(ENC_CTRL_PATTERN)
+    nonascii = re.compile(ENC_NONASCII_PATTERN)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        t = (
+            batch["text"].fillna("")
+            + pd.Series(np.where(ids % 17 == 3, "�", ""), index=batch.index)
+            + pd.Series(np.where(ids % 23 == 5, "\x07", ""), index=batch.index)
+            + pd.Series(np.where(ids % 29 == 7, "\xe9", ""), index=batch.index)
+        )
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_numpy(object),
+                "n_docs": np.ones(len(ids), np.int64),
+                "n_mojibake": t.str.contains(moji).to_numpy(np.int64),
+                "n_ctrl": t.str.contains(ctrl).to_numpy(np.int64),
+                "n_nonascii": t.str.contains(nonascii).to_numpy(np.int64),
+            }
+        )
+        return df.groupby("source", sort=False, as_index=False).sum()
+
+    return tiny_final_groupby(
+        docs.map_batches(partial, batch_format="pandas"),
+        keys=["source"],
+        aggs=[("n_docs", "sum"), ("n_mojibake", "sum"), ("n_ctrl", "sum"), ("n_nonascii", "sum")],
+        out_names=["source", "n_docs", "n_mojibake", "n_ctrl", "n_nonascii"],
+    )

@@ -5979,3 +5979,30 @@ class TestCrossSourceDups:
         mat = _pdf(analytics.cross_source_dup_matrix(SF, threshold=0.6))
         n_pairs = len(em.queries()["minhash_pairs"](SF))
         assert int(mat["n_pairs"].sum()) == n_pairs
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEncodingAudit:
+    def test_vs_duckdb(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = _pdf(analytics.encoding_audit(SF))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["encoding_audit"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert g.astype(str).equals(e.astype(str))
+        # the plants guarantee at least one hit in each class corpus-wide
+        assert got["n_mojibake"].sum() > 0
+        assert got["n_ctrl"].sum() > 0
+        assert got["n_nonascii"].sum() > 0
+
+    def test_mojibake_is_nonascii(self):
+        # U+FFFD is itself non-ASCII: every mojibake doc counts in both
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = _pdf(analytics.encoding_audit(SF))
+        assert (got["n_nonascii"] >= got["n_mojibake"]).all()
+        assert (got["n_docs"] >= got[["n_mojibake", "n_ctrl", "n_nonascii"]].max(axis=1)).all()
