@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_quality_length_corr(sf_dir: str):
+    """Per-lang signed r^2 ppm between n_chars and quality_ppm -- the
+    "is my quality filter just a length filter" audit; five-sufficient-
+    statistics parallel correlation, Python-int final fold
+    (analytics.quality_length_corr)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.quality_length_corr(_docs(sf_dir, ["lang", "text"]))
+
+
 def _q_encoding_audit(sf_dir: str):
     """Per-source encoding hygiene over the planted corpus (U+FFFD /
     control / non-ASCII plants by doc_id arithmetic, redact_pii's
@@ -3784,6 +3794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction_topk": _q_link_prediction_topk,
         "cross_source_dups": _q_cross_source_dups,
         "encoding_audit": _q_encoding_audit,
+        "quality_length_corr": _q_quality_length_corr,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5702,6 +5713,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "quality_length_corr": (
+            # replay of analytics.quality_length_corr: shared quality CTEs,
+            # HUGEINT sufficient statistics, the engine's exact
+            # sign * cov^2 // max((vx*vy)//1e6, 1) scoring
+            f"WITH {_quality_ctes('lang')}, "
+            f"q AS (SELECT lang, CAST(n_chars AS HUGEINT) AS x, "
+            f"CAST({_QPPM_EXPR} AS HUGEINT) AS y FROM r), "
+            "s AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, "
+            "SUM(y) AS sy, SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy "
+            "FROM q GROUP BY 1), "
+            "c AS (SELECT lang, n, n*sxy - sx*sy AS cov, n*sxx - sx*sx AS vx, "
+            "n*syy - sy*sy AS vy FROM s) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "CAST(CASE WHEN vx = 0 OR vy = 0 THEN 0 ELSE "
+            "(CASE WHEN cov < 0 THEN -1 ELSE 1 END) * "
+            "((cov*cov) // greatest((vx*vy) // 1000000, 1)) END AS BIGINT) "
+            "AS r2_signed_ppm FROM c"
         ),
         "encoding_audit": (
             # replay of analytics.encoding_audit: identical plants (chr

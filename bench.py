@@ -185,6 +185,7 @@ def run_bench() -> dict:
         "split_skew_audit", "session_durations", "important_parts",
         "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
         "link_prediction_topk", "cross_source_dups", "encoding_audit",
+        "quality_length_corr",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

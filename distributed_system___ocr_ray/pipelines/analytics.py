@@ -6241,3 +6241,68 @@ def encoding_audit(sf_dir: str):
         aggs=[("n_docs", "sum"), ("n_mojibake", "sum"), ("n_ctrl", "sum"), ("n_nonascii", "sum")],
         out_names=["source", "n_docs", "n_mojibake", "n_ctrl", "n_nonascii"],
     )
+
+
+def quality_length_corr(ds, lang_col: str = "lang", text_col: str = "text"):
+    """Exact per-language signed r^2 (ppm) between document LENGTH and the
+    quality score -- the "is my quality filter just a length filter"
+    audit: a near-1e6 value says the two signals are redundant and the
+    cheaper one suffices; near-0 says quality carries independent signal.
+
+    The classic five-sufficient-statistics parallel correlation
+    (ols_trend_by_priority's discipline): per-batch per-lang int64
+    partials of (n, Sx, Sy, Sxx, Syy, Sxy) -- batch_size=16384 is the
+    proven int64-partial overflow guard -- then ONE bounded final block
+    folds them with PYTHON ints (exact past int64 at any corpus size) and
+    scores ``sign(cov) * cov^2 // max((varx*vary)//1e6, 1)``: every
+    quantity an integer, division-free until the last floor, replayed
+    digit-for-digit in HUGEINT (which fits through sf1; the engine side
+    has no scale limit).
+
+    Returns (lang, n_docs, r2_signed_ppm)."""
+    from .relational import tiny_final_groupby  # noqa: F401  (shape doc)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        feats = ts.quality_features(batch[text_col])
+        x = feats["n_chars"].to_numpy(np.int64)
+        y = feats["quality_ppm"].to_numpy(np.int64)
+        df = pd.DataFrame(
+            {
+                "lang": batch[lang_col].to_numpy(object),
+                "n": np.ones(len(x), np.int64),
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return df.groupby("lang", sort=False, as_index=False).sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, g in batch.groupby("lang", sort=True):
+            # Python-int fold: partial sums are int64-safe per batch, but
+            # the corpus-wide fold may not be
+            n = sum(int(v) for v in g["n"])
+            sx = sum(int(v) for v in g["sx"])
+            sy = sum(int(v) for v in g["sy"])
+            sxx = sum(int(v) for v in g["sxx"])
+            syy = sum(int(v) for v in g["syy"])
+            sxy = sum(int(v) for v in g["sxy"])
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            if vx == 0 or vy == 0:
+                r2 = 0
+            else:
+                sign = -1 if cov < 0 else 1
+                r2 = sign * ((cov * cov) // max((vx * vy) // 1_000_000, 1))
+            rows.append((lang, n, r2))
+        return pd.DataFrame(rows, columns=["lang", "n_docs", "r2_signed_ppm"])
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )

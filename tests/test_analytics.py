@@ -6006,3 +6006,46 @@ class TestEncodingAudit:
         got = _pdf(analytics.encoding_audit(SF))
         assert (got["n_nonascii"] >= got["n_mojibake"]).all()
         assert (got["n_docs"] >= got[["n_mojibake", "n_ctrl", "n_nonascii"]].max(axis=1)).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityLengthCorr:
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = _pdf(analytics.quality_length_corr(docs))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["quality_length_corr"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert g.astype(str).equals(e.astype(str))
+
+    def test_known_correlations(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # y == x (after the quality pipeline maps length monotonically in
+        # [0, 500]) gives r2 ~ 1e6; constant-length rows give vx == 0 -> 0
+        perfect = pa.table(
+            {
+                "lang": pa.array(["p"] * 50, pa.string()),
+                # lengths 1..50: len_score = n/500, no punct, no stopwords
+                "text": pa.array(["a" * (i + 1) for i in range(50)], pa.string()),
+            }
+        )
+        got = _pdf(analytics.quality_length_corr(rd.from_arrow(perfect))).iloc[0]
+        assert got["r2_signed_ppm"] > 990_000
+        const = pa.table(
+            {
+                "lang": pa.array(["c"] * 10, pa.string()),
+                "text": pa.array(["word"] * 10, pa.string()),
+            }
+        )
+        got2 = _pdf(analytics.quality_length_corr(rd.from_arrow(const))).iloc[0]
+        assert got2["r2_signed_ppm"] == 0
