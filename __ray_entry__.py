@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_shuffle_mix_audit(sf_dir: str):
+    """Adjacent same-source rate of the engine's epoch_shuffle order vs the
+    exact exchangeability expectation -- "is my shuffle actually mixing";
+    range-bucketed adjacency with boundary-row duplication, Python-int ppm
+    folds (analytics.shuffle_mix_audit)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.shuffle_mix_audit(sf_dir, epoch=0)
+
+
 def _q_quality_length_corr(sf_dir: str):
     """Per-lang signed r^2 ppm between n_chars and quality_ppm -- the
     "is my quality filter just a length filter" audit; five-sufficient-
@@ -3795,6 +3805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dups": _q_cross_source_dups,
         "encoding_audit": _q_encoding_audit,
         "quality_length_corr": _q_quality_length_corr,
+        "shuffle_mix_audit": _q_shuffle_mix_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5713,6 +5724,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "shuffle_mix_audit": (
+            # replay of analytics.shuffle_mix_audit: the epoch_shuffle md5
+            # rank, LAG adjacency, exact exchangeability expectation
+            "WITH p AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+            + _MD5U64.format(v="'epoch0:' || CAST(doc_id AS VARCHAR)")
+            + ", doc_id) - 1 AS BIGINT) AS pos FROM documents), "
+            "j AS (SELECT p.pos, d.source FROM p JOIN documents d USING (doc_id)), "
+            "adj AS (SELECT source, LAG(source) OVER (ORDER BY pos) AS prev FROM j), "
+            "obs AS (SELECT CAST(SUM(CASE WHEN source = prev THEN 1 ELSE 0 END) "
+            "AS HUGEINT) AS same FROM adj), "
+            "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents), "
+            "cs AS (SELECT SUM(CAST(c AS HUGEINT) * (CAST(c AS HUGEINT) - 1)) AS num "
+            "FROM (SELECT COUNT(*) AS c FROM documents GROUP BY source)) "
+            "SELECT CAST(n AS BIGINT) AS n_rows, CAST(same AS BIGINT) AS n_adjacent_same, "
+            "CAST(same * 1000000 // (n - 1) AS BIGINT) AS obs_same_ppm, "
+            "CAST(num * 1000000 // (n * (n - 1)) AS BIGINT) AS expected_same_ppm "
+            "FROM obs, nn, cs"
         ),
         "quality_length_corr": (
             # replay of analytics.quality_length_corr: shared quality CTEs,

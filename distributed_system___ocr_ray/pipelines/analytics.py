@@ -6306,3 +6306,104 @@ def quality_length_corr(ds, lang_col: str = "lang", text_col: str = "text"):
     return partials.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None
     )
+
+
+def shuffle_mix_audit(sf_dir: str, epoch: int = 0, window: int = 1 << 18):
+    """Shuffle-quality audit over the engine's OWN epoch_shuffle ("measure,
+    don't guess" applied to the training-order primitive): the ppm of
+    ADJACENT positions sharing a source in the shuffled order, against the
+    exact exchangeability expectation ``sum(c_s*(c_s-1)) / (n*(n-1))`` --
+    a materially higher observed rate means the permutation is leaking
+    source runs into training batches.
+
+    Plan: epoch_shuffle's (doc_id, pos) joins source via ONE bucketed hash
+    join (both sides corpus-sized); adjacency is localized by range-
+    bucketing ``pos // window`` with the single boundary row duplicated
+    into the previous bucket, so every (i, i+1) pair is counted exactly
+    once and each bucket does one vectorized diff -- no global sort, no
+    self-join. Per-source counts and the pair folds are bounded driver
+    scalars; all ppm math is Python-int / HUGEINT floor division.
+
+    Returns ONE row (n_rows, n_adjacent_same, obs_same_ppm,
+    expected_same_ppm)."""
+    import ray.data as rd
+
+    from .relational import bucketed_hash_join
+
+    ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    shuf = epoch_shuffle(ids, epoch=epoch)
+
+    def typed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "pos": batch.column("pos").cast(pa.int64()),
+            }
+        )
+
+    srcs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["k", "source"])
+
+    joined = bucketed_hash_join(
+        shuf.map_batches(typed, batch_format="pyarrow"),
+        srcs.map_batches(rename, batch_format="pyarrow"),
+        "doc_id",
+        "k",
+        buckets=16,
+    ).select_columns(["pos", "source"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        pos = batch.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column("source").to_numpy(zero_copy_only=False).astype(object)
+        b = pos // window
+        dup = (pos % window == 0) & (pos > 0)
+        return pa.table(
+            {
+                "b": pa.array(np.concatenate([b, b[dup] - 1]).astype(np.int32), pa.int32()),
+                "pos": pa.array(np.concatenate([pos, pos[dup]]), pa.int64()),
+                "source": pa.array(np.concatenate([src, src[dup]]), pa.string()),
+            }
+        )
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos")
+        p = g["pos"].to_numpy(np.int64)
+        s = g["source"].to_numpy(object)
+        consec = p[1:] == p[:-1] + 1
+        same = consec & (s[1:] == s[:-1])
+        return pd.DataFrame({"n_pairs": [int(consec.sum())], "n_same": [int(same.sum())]})
+
+    folded = (
+        joined.map_batches(emit, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(pair_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    n_pairs, n_same = int(folded["n_pairs"].sum()), int(folded["n_same"].sum())
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch.column("source")})
+        return t.group_by(["source"]).aggregate([([], "count_all")])
+
+    cs = (
+        srcs.map_batches(src_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source")["count_all"]
+        .sum()
+    )
+    n = int(cs.sum())
+    if n_pairs != n - 1:
+        raise AssertionError(
+            f"shuffle_mix_audit: adjacency coverage broken ({n_pairs} pairs for {n} rows)"
+        )
+    num = sum(int(c) * (int(c) - 1) for c in cs)
+    return pd.DataFrame(
+        {
+            "n_rows": [n],
+            "n_adjacent_same": [n_same],
+            "obs_same_ppm": [(n_same * 1_000_000) // max(n - 1, 1)],
+            "expected_same_ppm": [(num * 1_000_000) // max(n * (n - 1), 1)],
+        }
+    )

@@ -6049,3 +6049,24 @@ class TestQualityLengthCorr:
         )
         got2 = _pdf(analytics.quality_length_corr(rd.from_arrow(const))).iloc[0]
         assert got2["r2_signed_ppm"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShuffleMixAudit:
+    def test_vs_duckdb(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = analytics.shuffle_mix_audit(SF, epoch=0)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["shuffle_mix_audit"]).df()
+        assert got.astype(str).equals(exp.astype(str))
+
+    def test_small_window_invariance(self):
+        # adjacency coverage must survive windows smaller than the corpus
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        full = analytics.shuffle_mix_audit(SF, epoch=1)
+        tiny = analytics.shuffle_mix_audit(SF, epoch=1, window=64)
+        assert full.equals(tiny)
