@@ -1639,6 +1639,25 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_cheapest_supplier(sf_dir: str):
+    """TPC-H Q2 shape: per part of size class 10, the supplier with the
+    MIN observed unit price (ties -> min suppkey); broadcast part filter,
+    map-side prune, one partkey-bucketed argmin exchange
+    (relational.cheapest_supplier_per_part)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.cheapest_supplier_per_part(sf_dir, p_size=10)
+
+
+def _q_lang_source_chi2(sf_dir: str):
+    """Exact-integer chi-squared independence audit between lang and
+    source -- the stratification check; all cells (empty included) folded
+    with Python ints (analytics.categorical_independence_chi2)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.categorical_independence_chi2(sf_dir)
+
+
 def _q_shuffle_mix_audit(sf_dir: str):
     """Adjacent same-source rate of the engine's epoch_shuffle order vs the
     exact exchangeability expectation -- "is my shuffle actually mixing";
@@ -3806,6 +3825,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_audit": _q_encoding_audit,
         "quality_length_corr": _q_quality_length_corr,
         "shuffle_mix_audit": _q_shuffle_mix_audit,
+        "cheapest_supplier": _q_cheapest_supplier,
+        "lang_source_chi2": _q_lang_source_chi2,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5724,6 +5745,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "cheapest_supplier": (
+            # replay of relational.cheapest_supplier_per_part (Q2 shape):
+            # identical float64 unit-price chain, (unit, suppkey) tie order
+            "WITH pf AS (SELECT p_partkey FROM part WHERE p_size = 10), "
+            "u AS (SELECT l_partkey, l_suppkey, "
+            "MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100 + 0.5) AS BIGINT)) AS unit_cents "
+            "FROM lineitem JOIN pf ON p_partkey = l_partkey GROUP BY 1, 2), "
+            "sel AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, unit_cents, "
+            "ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY unit_cents, l_suppkey) AS rn "
+            "FROM u) "
+            "SELECT s.p_partkey, s.s_suppkey, sup.s_name, s.unit_cents "
+            "FROM sel s JOIN supplier sup ON sup.s_suppkey = s.s_suppkey WHERE rn = 1"
+        ),
+        "lang_source_chi2": (
+            # replay of analytics.categorical_independence_chi2: per-cell
+            # floored HUGEINT terms over the FULL cross product
+            "WITH o AS (SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS o "
+            "FROM documents GROUP BY 1, 2), "
+            "l AS (SELECT lang, CAST(COUNT(*) AS HUGEINT) AS r FROM documents GROUP BY 1), "
+            "s AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS c FROM documents GROUP BY 1), "
+            "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM documents), "
+            "cells AS (SELECT l.lang, s.source, l.r, s.c, COALESCE(o.o, 0) AS o "
+            "FROM l CROSS JOIN s LEFT JOIN o ON o.lang = l.lang AND o.source = s.source) "
+            "SELECT CAST(MAX(n) AS BIGINT) AS n_rows, "
+            "CAST((SELECT COUNT(*) FROM l) AS BIGINT) AS n_a, "
+            "CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_b, "
+            "CAST(((SELECT COUNT(*) FROM l) - 1) * ((SELECT COUNT(*) FROM s) - 1) AS BIGINT) AS dof, "
+            "CAST(SUM(((n*o - r*c)*(n*o - r*c) * 1000000) // (n*r*c)) AS BIGINT) AS chi2_ppm "
+            "FROM cells, nn"
         ),
         "shuffle_mix_audit": (
             # replay of analytics.shuffle_mix_audit: the epoch_shuffle md5

@@ -185,7 +185,8 @@ def run_bench() -> dict:
         "split_skew_audit", "session_durations", "important_parts",
         "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
         "link_prediction_topk", "cross_source_dups", "encoding_audit",
-        "quality_length_corr", "shuffle_mix_audit",
+        "quality_length_corr", "shuffle_mix_audit", "cheapest_supplier",
+        "lang_source_chi2",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -6407,3 +6407,57 @@ def shuffle_mix_audit(sf_dir: str, epoch: int = 0, window: int = 1 << 18):
             "expected_same_ppm": [(num * 1_000_000) // max(n * (n - 1), 1)],
         }
     )
+
+
+def categorical_independence_chi2(sf_dir: str, col_a: str = "lang", col_b: str = "source"):
+    """Chi-squared independence audit between two categorical metadata
+    columns ("is language balanced across sources") -- the stratification
+    check run before per-source quotas or mixture weights are trusted.
+    The statistic is the exact-integer scaled form
+    ``sum over ALL cells of ((N*O - R*C)^2 * 1e6) // (N*R*C)`` (empty
+    cells included: their term is ``(R*C*1e6)//N`` -- floored per cell,
+    deterministic, replayed digit-for-digit in HUGEINT; no float, no
+    p-value table).
+
+    ONE bounded (a, b) count exchange (tiny_final_groupby); marginals and
+    the full cross product fold inside the single final block with Python
+    ints. Returns ONE row (n_rows, n_a, n_b, dof, chi2_ppm)."""
+    import ray.data as rd
+
+    from .relational import tiny_final_groupby
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[col_a, col_b])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"a": batch.column(col_a), "b": batch.column(col_b)})
+        return t.group_by(["a", "b"]).aggregate([([], "count_all")])
+
+    cells = tiny_final_groupby(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        keys=["a", "b"],
+        aggs=[("count_all", "sum")],
+        out_names=["a", "b", "o"],
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        obs = {(r["a"], r["b"]): int(r["o"]) for _, r in batch.iterrows()}
+        rows = batch.groupby("a")["o"].sum().to_dict()
+        colsum = batch.groupby("b")["o"].sum().to_dict()
+        n = sum(int(v) for v in rows.values())
+        chi2 = 0
+        for a, r in rows.items():
+            for b, c in colsum.items():
+                o = obs.get((a, b), 0)
+                d = n * o - int(r) * int(c)
+                chi2 += (d * d * 1_000_000) // (n * int(r) * int(c))
+        return pd.DataFrame(
+            {
+                "n_rows": [n],
+                "n_a": [len(rows)],
+                "n_b": [len(colsum)],
+                "dof": [(len(rows) - 1) * (len(colsum) - 1)],
+                "chi2_ppm": [chi2],
+            }
+        )
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pandas", batch_size=None)

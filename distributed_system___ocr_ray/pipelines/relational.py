@@ -3961,3 +3961,91 @@ def overlap_pairs(intervals, key_col: str, s_col: str, e_col: str, buckets: int 
         .groupby("__bucket")
         .map_groups(kern, batch_format="pandas")
     )
+
+
+def cheapest_supplier_per_part(sf_dir: str, p_size: int = 10,
+                               broadcast_cap_bytes: int = 256 << 20):
+    """TPC-H Q2 shape (grouped argmin with join-back): for every part of a
+    given size class, the supplier offering the MINIMUM observed unit
+    price -- the "who do I buy from" screen whose answer is an argmin over
+    an aggregate, not the aggregate itself.
+
+    Plan: the part filter collapses to a sorted key array broadcast ONCE
+    (dimension-side, capped with a loud raise); the lineitem scan filters
+    map-side (98% of rows never reach the exchange at the default size
+    class) and emits per-batch (partkey, suppkey, min unit_cents)
+    partials; ONE partkey-bucketed exchange repeats the (part, supp) min
+    and picks each part's winner vectorized (unit asc, suppkey asc
+    tie-break -- deterministic, shared with the replay); supplier names
+    resolve from a broadcast dict. Unit price is
+    ``floor(price/qty*100+0.5)`` -- identical float64 chain both sides.
+
+    Returns (p_partkey, s_suppkey, s_name, unit_cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"])
+    keep = pc.equal(part.column("p_size"), p_size)
+    pkeys = np.sort(part.filter(keep).column("p_partkey").to_numpy().astype(np.int64))
+    if pkeys.nbytes > broadcast_cap_bytes:
+        raise ValueError("part filter keys exceed the broadcast cap; bucket-join the filter")
+    pk_handle = ray.put(pkeys)
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    class Partial:
+        def __init__(self) -> None:
+            self.pkeys = ray.get(pk_handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.pkeys, lp)
+            pos_safe = np.clip(pos, 0, max(len(self.pkeys) - 1, 0))
+            hit = (self.pkeys[pos_safe] == lp) if len(self.pkeys) else np.zeros(len(lp), bool)
+            b = batch.filter(pa.array(hit))
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+            unit = np.floor(price / qty * 100.0 + 0.5).astype(np.int64)
+            t = pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "l_suppkey": b.column("l_suppkey"),
+                    "unit": pa.array(unit, pa.int64()),
+                }
+            )
+            return t.group_by(["l_partkey", "l_suppkey"]).aggregate([("unit", "min")])
+
+    partials = lineitem.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "l_partkey", 32)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_name").to_pylist()))
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby(["l_partkey", "l_suppkey"], sort=False)["unit_min"]
+            .min()
+            .reset_index()
+            .sort_values(["l_partkey", "unit_min", "l_suppkey"], kind="mergesort")
+            .drop_duplicates("l_partkey", keep="first")
+        )
+        return pd.DataFrame(
+            {
+                "p_partkey": m["l_partkey"].to_numpy(np.int64),
+                "s_suppkey": m["l_suppkey"].to_numpy(np.int64),
+                "s_name": [names[int(s)] for s in m["l_suppkey"]],
+                "unit_cents": m["unit_min"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(winners, batch_format="pandas")
+    )

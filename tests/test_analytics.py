@@ -6070,3 +6070,63 @@ class TestShuffleMixAudit:
         full = analytics.shuffle_mix_audit(SF, epoch=1)
         tiny = analytics.shuffle_mix_audit(SF, epoch=1, window=64)
         assert full.equals(tiny)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQ2AndChi2:
+    def test_cheapest_supplier_vs_duckdb(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = _pdf(relational.cheapest_supplier_per_part(SF, p_size=10))
+        con = duckdb.connect()
+        for t in ["lineitem", "part", "supplier"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        exp = con.execute(em.oracle_sql()["cheapest_supplier"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.astype(str).equals(e.astype(str))
+
+    def test_chi2_vs_duckdb_and_independence_zero(self):
+        import ray.data as rd  # noqa: F401
+
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = _pdf(analytics.categorical_independence_chi2(SF))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["lang_source_chi2"]).df()
+        assert got.astype(str).equals(exp.astype(str))
+        assert int(got["chi2_ppm"].iloc[0]) >= 0
+
+    def test_chi2_perfectly_dependent(self, tmp_path):
+        # b == a gives the maximal statistic ~ n*(k-1)*1e6; b constant -> 0
+        import pyarrow.parquet as pqt
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pa.table(
+            {
+                "lang": pa.array(["x", "y"] * 50, pa.string()),
+                "source": pa.array(["x", "y"] * 50, pa.string()),
+            }
+        )
+        d = tmp_path / "dep"
+        d.mkdir()
+        pqt.write_table(t, str(d / "documents.parquet"))
+        got = _pdf(analytics.categorical_independence_chi2(str(d))).iloc[0]
+        # chi2 for perfect 2x2 dependence = n * 1e6 (per-cell floors exact here)
+        assert got["chi2_ppm"] == 100 * 1_000_000
+        t2 = pa.table(
+            {
+                "lang": pa.array(["x", "y"] * 50, pa.string()),
+                "source": pa.array(["s"] * 100, pa.string()),
+            }
+        )
+        d2 = tmp_path / "const"
+        d2.mkdir()
+        pqt.write_table(t2, str(d2 / "documents.parquet"))
+        got2 = _pdf(analytics.categorical_independence_chi2(str(d2))).iloc[0]
+        assert got2["chi2_ppm"] == 0 and got2["dof"] == 0
