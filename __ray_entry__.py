@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_normalized_dedup(sf_dir: str):
+    """C4-style near-exact dedup profile after lowercase/punct-strip/
+    ws-collapse normalization -- sizes the gap between raw exact dedup and
+    the fuzzy pair family; hash-only shuffle
+    (analytics.normalized_dedup_stats)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.normalized_dedup_stats(_docs(sf_dir, ["text"]))
+
+
 def _q_cheapest_supplier(sf_dir: str):
     """TPC-H Q2 shape: per part of size class 10, the supplier with the
     MIN observed unit price (ties -> min suppkey); broadcast part filter,
@@ -3827,6 +3837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_mix_audit": _q_shuffle_mix_audit,
         "cheapest_supplier": _q_cheapest_supplier,
         "lang_source_chi2": _q_lang_source_chi2,
+        "normalized_dedup": _q_normalized_dedup,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5070,6 +5081,10 @@ def _semdedup_sql(k: int = 8, iters: int = 3, scale: int = 1000,
 
 
 def oracle_sql() -> dict[str, str]:
+    from distributed_system___ocr_ray.functions.textstats import (
+        PUNCT_PATTERN as _TS_PUNCT,
+        WS_PATTERN as _TS_WS,
+    )
     from distributed_system___ocr_ray.pipelines.analytics import (
         ENC_CTRL_PATTERN as _ENC_CTRL,
         ENC_MOJIBAKE_PATTERN as _ENC_MOJI,
@@ -5745,6 +5760,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "normalized_dedup": (
+            # replay of analytics.normalized_dedup_stats: identical
+            # lower -> punct-strip -> ws-collapse -> trim chain (patterns
+            # shared char-for-char) and the md5-u64 hash grouping
+            "WITH nrm AS (SELECT trim(regexp_replace(regexp_replace(lower(text), "
+            f"'{_TS_PUNCT}', '', 'g'), '{_TS_WS}', ' ', 'g')) AS t FROM documents), "
+            f"hh AS (SELECT {_MD5U64.format(v='t')} AS h FROM nrm), "
+            "g AS (SELECT h, COUNT(*) AS c FROM hh GROUP BY 1) "
+            "SELECT CAST(SUM(c) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+            "CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+            "CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups "
+            "FROM g"
         ),
         "cheapest_supplier": (
             # replay of relational.cheapest_supplier_per_part (Q2 shape):

@@ -6461,3 +6461,65 @@ def categorical_independence_chi2(sf_dir: str, col_a: str = "lang", col_b: str =
         )
 
     return cells.repartition(1).map_batches(finalize, batch_format="pandas", batch_size=None)
+
+
+def normalized_dedup_stats(ds, text_col: str = "text"):
+    """C4-style NEAR-exact dedup profile: how much of the corpus collapses
+    once text is normalized (lowercase, ASCII punctuation stripped,
+    whitespace runs collapsed, trimmed) -- catches the reposts that raw
+    exact dedup misses ("Hello, World!" vs "hello world") and sizes the
+    gap between exact and fuzzy dedup before the pair family is spent.
+
+    Same hash-only shuffle as dedup_stats: each batch normalizes (three
+    compiled regex passes, patterns shared char-for-char with the RE2
+    replay), hashes the normal form to md5-u64 and ships (hash, count)
+    partials; per-bucket folds count distincts / dup rows / dup groups;
+    one tiny single-row final. Text never shuffles.
+
+    Returns ONE row (n_docs, n_distinct, n_dup_docs, n_dup_groups)."""
+    import re
+
+    from ..functions.dedup import md5_u64
+    from .relational import bucketed_grouped_sum
+
+    punct = re.compile(ts.PUNCT_PATTERN)
+    ws = re.compile(ts.WS_PATTERN)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (
+            batch[text_col]
+            .fillna("")
+            .str.lower()
+            .str.replace(punct, "", regex=True)
+            .str.replace(ws, " ", regex=True)
+            .str.strip()
+        )
+        h = np.fromiter(
+            (md5_u64(x.encode("utf-8")) for x in t), dtype=np.uint64, count=len(t)
+        ).astype(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pd.DataFrame({"h": u, "c": c.astype(np.int64)})
+
+    groups = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "h", "c"
+    )
+
+    def bucket_fold(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_docs": [int(c.sum())],
+                "n_distinct": [len(c)],
+                "n_dup_docs": [int(c[c >= 2].sum())],
+                "n_dup_groups": [int((c >= 2).sum())],
+            }
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sum().to_frame().T.astype("int64")
+
+    return (
+        groups.map_batches(bucket_fold, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -6130,3 +6130,46 @@ class TestQ2AndChi2:
         pqt.write_table(t2, str(d2 / "documents.parquet"))
         got2 = _pdf(analytics.categorical_independence_chi2(str(d2))).iloc[0]
         assert got2["chi2_ppm"] == 0 and got2["dof"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNormalizedDedup:
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+        got = _pdf(analytics.normalized_dedup_stats(docs))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["normalized_dedup"]).df()
+        assert got.astype(str).equals(exp.astype(str))
+
+    def test_planted_variants_collapse(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "Hello, World!",
+                        "hello world",
+                        "hello   world.",
+                        "HELLO\tWORLD",
+                        "something else entirely",
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+        got = _pdf(analytics.normalized_dedup_stats(rd.from_arrow(t))).iloc[0]
+        assert (
+            got["n_docs"],
+            got["n_distinct"],
+            got["n_dup_docs"],
+            got["n_dup_groups"],
+        ) == (5, 2, 4, 1)
