@@ -1639,6 +1639,19 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_out_of_order_audit(sf_dir: str):
+    """Streaming disorder audit: adjacent event-time inversions in per-user
+    ARRIVAL (event_id) order + worst lateness -- sizes watermark delay
+    before event-time windows are trusted; det stream measures 0 disorder
+    (relational.out_of_order_audit)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"])
+    return relational.out_of_order_audit(ev)
+
+
 def _q_normalized_dedup(sf_dir: str):
     """C4-style near-exact dedup profile after lowercase/punct-strip/
     ws-collapse normalization -- sizes the gap between raw exact dedup and
@@ -3838,6 +3851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier": _q_cheapest_supplier,
         "lang_source_chi2": _q_lang_source_chi2,
         "normalized_dedup": _q_normalized_dedup,
+        "out_of_order_audit": _q_out_of_order_audit,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5760,6 +5774,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "out_of_order_audit": (
+            # replay of relational.out_of_order_audit: LAG in event_id
+            # order per user, strict time regressions only
+            "WITH d AS (SELECT user_id, ts, LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY event_id) AS prev FROM events), "
+            "p AS (SELECT epoch_us(prev) - epoch_us(ts) AS late FROM d "
+            "WHERE prev IS NOT NULL) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions, "
+            "CAST(SUM(CASE WHEN late > 0 THEN 1 ELSE 0 END) * 1000000 // "
+            "GREATEST(COUNT(*), 1) AS BIGINT) AS inv_ppm, "
+            "CAST(COALESCE(MAX(CASE WHEN late > 0 THEN late END), 0) AS BIGINT) AS max_late_us "
+            "FROM p"
         ),
         "normalized_dedup": (
             # replay of analytics.normalized_dedup_stats: identical

@@ -186,7 +186,7 @@ def run_bench() -> dict:
         "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
         "link_prediction_topk", "cross_source_dups", "encoding_audit",
         "quality_length_corr", "shuffle_mix_audit", "cheapest_supplier",
-        "lang_source_chi2", "normalized_dedup",
+        "lang_source_chi2", "normalized_dedup", "out_of_order_audit",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

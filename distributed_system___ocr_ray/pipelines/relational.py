@@ -4049,3 +4049,55 @@ def cheapest_supplier_per_part(sf_dir: str, p_size: int = 10,
         .groupby("__bucket")
         .map_groups(winners, batch_format="pandas")
     )
+
+
+def out_of_order_audit(events, partitions: int | None = None):
+    """Streaming disorder audit: in per-user ARRIVAL order (ascending
+    event_id -- the ingest sequence), how many adjacent event pairs go
+    BACKWARD in event time, and by how much at worst -- the measurement
+    that sizes watermark delay / reorder buffers before any event-time
+    windowing is trusted.
+
+    session_windows' one user-hash exchange; each bucket sorts by
+    (user_id, event_id) and takes one vectorized diff masked at user
+    boundaries; per-bucket (pairs, inversions, max_lateness) partials fold
+    into ONE row. Equal timestamps are IN order (strict regression only).
+
+    Returns ONE row (n_pairs, n_inversions, inv_ppm, max_late_us)."""
+    if partitions is None:
+        partitions = derive_buckets(events.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "user_id", partitions)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = uid[1:] == uid[:-1]
+        late = (us[:-1] - us[1:])[same]  # >0 means time went backward
+        inv = late > 0
+        return pd.DataFrame(
+            {
+                "n_pairs": [int(same.sum())],
+                "n_inv": [int(inv.sum())],
+                "max_late": [int(late[inv].max()) if inv.any() else 0],
+            }
+        )
+
+    folded = (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kern, batch_format="pandas")
+        .to_pandas()
+    )
+    n_pairs = int(folded["n_pairs"].sum())
+    n_inv = int(folded["n_inv"].sum())
+    return pd.DataFrame(
+        {
+            "n_pairs": [n_pairs],
+            "n_inversions": [n_inv],
+            "inv_ppm": [(n_inv * 1_000_000) // max(n_pairs, 1)],
+            "max_late_us": [int(folded["max_late"].max()) if len(folded) else 0],
+        }
+    )

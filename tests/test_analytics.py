@@ -6173,3 +6173,40 @@ class TestNormalizedDedup:
             got["n_dup_docs"],
             got["n_dup_groups"],
         ) == (5, 2, 4, 1)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestOutOfOrderAudit:
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts", "user_id"])
+        got = relational.out_of_order_audit(ev)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        exp = con.execute(em.oracle_sql()["out_of_order_audit"]).df()
+        assert got.astype(str).equals(exp.astype(str))
+
+    def test_planted_inversions(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        def t(sec):
+            return np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(sec, "s")
+
+        # user 1 arrival order (by event_id): times 0, 50, 30, 40 ->
+        # one inversion (50 -> 30, 20 s late); user 2 in order
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array([t(0), t(50), t(30), t(40), t(5), t(9)], pa.timestamp("us")),
+            }
+        )
+        got = relational.out_of_order_audit(rd.from_arrow(tbl), partitions=4).iloc[0]
+        assert (got["n_pairs"], got["n_inversions"], got["max_late_us"]) == (4, 1, 20_000_000)
