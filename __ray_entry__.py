@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20 flavor: suppliers shipping >15% of some part's total
+    quantity, counted per supplier -- both aggregation levels and the
+    cross-multiplied compare fold inside ONE partkey-bucketed exchange
+    (relational.dominant_suppliers)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.dominant_suppliers(sf_dir, threshold_pct=15)
+
+
 def _q_out_of_order_audit(sf_dir: str):
     """Streaming disorder audit: adjacent event-time inversions in per-user
     ARRIVAL (event_id) order + worst lateness -- sizes watermark delay
@@ -3852,6 +3862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_chi2": _q_lang_source_chi2,
         "normalized_dedup": _q_normalized_dedup,
         "out_of_order_audit": _q_out_of_order_audit,
+        "dominant_suppliers": _q_dominant_suppliers,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5774,6 +5785,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "dominant_suppliers": (
+            # replay of relational.dominant_suppliers (Q20 flavor): both
+            # levels + the 100*q > pct*t strict compare
+            "WITH ps AS (SELECT l_partkey, l_suppkey, "
+            "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS q "
+            "FROM lineitem GROUP BY 1, 2), "
+            "tot AS (SELECT l_partkey, SUM(q) AS t FROM ps GROUP BY 1), "
+            "dom AS (SELECT ps.l_suppkey FROM ps JOIN tot USING (l_partkey) "
+            "WHERE 100 * ps.q > 15 * tot.t) "
+            "SELECT d.l_suppkey AS s_suppkey, s.s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dominated_parts "
+            "FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey GROUP BY 1, 2"
         ),
         "out_of_order_audit": (
             # replay of relational.out_of_order_audit: LAG in event_id

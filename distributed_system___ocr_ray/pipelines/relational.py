@@ -4101,3 +4101,74 @@ def out_of_order_audit(events, partitions: int | None = None):
             "max_late_us": [int(folded["max_late"].max()) if len(folded) else 0],
         }
     )
+
+
+def dominant_suppliers(sf_dir: str, threshold_pct: int = 15):
+    """TPC-H Q20 flavor (two-level aggregate with cross-level compare):
+    suppliers shipping MORE than ``threshold_pct`` percent of some part's
+    total quantity -- the supply-chain concentration screen ("who could
+    hold a part hostage"), per supplier counting the parts they dominate.
+
+    Scale shape: ONE partkey-bucketed exchange of per-batch
+    (part, supplier, qty) partials co-locates each part's full history,
+    so BOTH aggregation levels (per-(part,supp) and per-part totals) and
+    the strict cross-multiplied compare ``100*ps > pct*total`` fold
+    vectorized inside the bucket -- no second shuffle, no join between
+    the levels; the bounded supplier-domain final counts dominated parts
+    and resolves names from a broadcast dict.
+
+    Returns (s_suppkey, s_name, n_dominated_parts)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "q": _cents(batch.column("l_quantity")),
+            }
+        )
+        return t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "l_partkey", 32)
+
+    def dominate(g: pd.DataFrame) -> pd.DataFrame:
+        ps = (
+            g.groupby(["l_partkey", "l_suppkey"], sort=False)["q_sum"].sum().reset_index()
+        )
+        tot = ps.groupby("l_partkey")["q_sum"].transform("sum")
+        win = ps[100 * ps["q_sum"] > threshold_pct * tot]
+        vc = win["l_suppkey"].value_counts()
+        return pd.DataFrame(
+            {
+                "s_suppkey": vc.index.to_numpy(np.int64),
+                "n_dominated_parts": vc.to_numpy(np.int64),
+            }
+        )
+
+    partials = (
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(dominate, batch_format="pandas")
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_name").to_pylist()))
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.groupby("s_suppkey", sort=True)["n_dominated_parts"].sum().reset_index()
+        m["s_name"] = [names[int(k)] for k in m["s_suppkey"]]
+        return m[["s_suppkey", "s_name", "n_dominated_parts"]].astype(
+            {"s_suppkey": "int64", "n_dominated_parts": "int64"}
+        )
+
+    return partials.repartition(1).map_batches(
+        finalize, batch_format="pandas", batch_size=None
+    )

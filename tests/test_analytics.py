@@ -6210,3 +6210,27 @@ class TestOutOfOrderAudit:
         )
         got = relational.out_of_order_audit(rd.from_arrow(tbl), partitions=4).iloc[0]
         assert (got["n_pairs"], got["n_inversions"], got["max_late_us"]) == (4, 1, 20_000_000)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDominantSuppliers:
+    def test_vs_duckdb(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = _pdf(relational.dominant_suppliers(SF, threshold_pct=15))
+        con = duckdb.connect()
+        for t in ["lineitem", "supplier"]:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        exp = con.execute(em.oracle_sql()["dominant_suppliers"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.astype(str).equals(e.astype(str))
+
+    def test_threshold_monotone(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        lo = _pdf(relational.dominant_suppliers(SF, threshold_pct=10))
+        hi = _pdf(relational.dominant_suppliers(SF, threshold_pct=30))
+        assert lo["n_dominated_parts"].sum() >= hi["n_dominated_parts"].sum()
