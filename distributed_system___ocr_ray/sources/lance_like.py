@@ -1063,3 +1063,24 @@ def read_evolved(table_dir: str, version: int | None = None, columns=None):
             lambda b: b.select(list(columns)), batch_format="pyarrow"
         )
     return out
+
+
+def rollback(table_dir: str, to_version: int) -> dict:
+    """Iceberg-style ROLLBACK: commit a NEW manifest version whose content
+    (fragments, schema, bucket/evolution metadata) is exactly that of
+    ``to_version`` -- the bad-ingest undo. History is preserved: the
+    rolled-past versions stay readable (time travel) until ``gc``
+    reclaims them, and gc keeps the restored fragments alive because the
+    new head references them (fragments are immutable, so re-listing them
+    IS restoring the table; no data file is touched or copied).
+
+    Raises FileNotFoundError if ``to_version`` was never committed (or
+    was gc'd). Rolling back to the current head is allowed and simply
+    re-commits its content under a new version (an explicit no-op marker
+    in the history). Returns the new manifest dict (with ``rollback_of``
+    recording provenance)."""
+    target = read_manifest(table_dir, to_version)
+    new = dict(target)
+    new["version"] = latest_version(table_dir) + 1
+    new["rollback_of"] = to_version
+    return _commit_manifest(table_dir, new)
