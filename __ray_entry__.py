@@ -1639,6 +1639,16 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_source_vocab_overlap(sf_dir: str):
+    """Exact vocabulary Jaccard between every source pair (shared distinct
+    [a-z0-9]+ tokens) -- the lexical-register similarity matrix;
+    cooccurrence triu kernel over token md5s + hash-disjoint size fold
+    (analytics.source_vocab_overlap)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.source_vocab_overlap(sf_dir)
+
+
 def _q_dominant_suppliers(sf_dir: str):
     """TPC-H Q20 flavor: suppliers shipping >15% of some part's total
     quantity, counted per supplier -- both aggregation levels and the
@@ -3863,6 +3873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": _q_normalized_dedup,
         "out_of_order_audit": _q_out_of_order_audit,
         "dominant_suppliers": _q_dominant_suppliers,
+        "source_vocab_overlap": _q_source_vocab_overlap,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5785,6 +5796,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "source_vocab_overlap": (
+            # replay of analytics.source_vocab_overlap: distinct token-md5
+            # per source, equi-join intersections, exact Jaccard ppm
+            "WITH tokexp AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents), "
+            f"tok AS (SELECT DISTINCT source, {_MD5U64.format(v='tk')} AS h FROM tokexp), "
+            "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+            "inter AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_common FROM tok a "
+            "JOIN tok b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT i.source_a, i.source_b, i.n_common, "
+            "CAST(CAST(i.n_common AS HUGEINT) * 1000000 // "
+            "(sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_ppm "
+            "FROM inter i JOIN sz sa ON sa.source = i.source_a "
+            "JOIN sz sb ON sb.source = i.source_b"
         ),
         "dominant_suppliers": (
             # replay of relational.dominant_suppliers (Q20 flavor): both

@@ -6108,70 +6108,94 @@ def common_neighbor_pairs(ds, k: int = 20, id_col: str = "doc_id"):
     )
 
 
-def cross_source_dup_matrix(sf_dir: str, threshold: float = 0.6):
+def cross_source_dup_matrix(sf_dir: str, threshold: float = 0.6,
+                            broadcast_cap_bytes: int = 256 << 20):
     """Cross-source near-duplicate contamination matrix: MinHash+LSH pair
     counts per UNORDERED source pair -- the provenance audit that localizes
     WHERE duplication comes from (mirror sites, cross-posted feeds) after
     dup_shingle_rate has sized it and before a dedup pass spends compute.
 
-    Plan: the unchanged minhash_lsh_pairs plan yields the (small) pair
-    set; each endpoint resolves its source via a bucketed hash join
-    against the narrow (doc_id, source) projection -- the doc->source map
-    is corpus-sized, so broadcasting it would cap out at scale while the
-    pair side stays tiny; the (source_a, source_b) domain is bounded, so
-    the final is tiny_final_groupby. Sources order lexicographically
-    within a pair (LEAST/GREATEST, shared with the replay).
+    Plan: the unchanged minhash_lsh_pairs plan yields the pair set, which
+    is small by construction (the near-dup rate times the corpus). Its
+    endpoint id set broadcasts ONCE (capped with a loud raise -- past the
+    cap the bucketed-join shape is right, and the previous revision of
+    this function implements it); one map-side pass over the narrow
+    (doc_id, source) projection keeps ONLY endpoint rows (bounded by
+    2x pairs), which fold to a doc->source dict; the pair stream then
+    labels both endpoints dict-side and emits bounded (source_a,
+    source_b) count partials. The corpus-sized source projection is never
+    shuffled -- the round-3 bench showed the two bucketed joins it
+    previously paid cost ~5 s at sf0.1 against a KB-sized pair set.
+    Sources order lexicographically within a pair (LEAST/GREATEST,
+    shared with the replay).
 
     Returns (source_a, source_b, n_pairs); only pairs with >= 1 near-dup."""
+    import ray
     import ray.data as rd
 
-    from .relational import bucketed_hash_join, tiny_final_groupby
+    from .relational import tiny_final_groupby
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    pairs = minhash_lsh_pairs(docs, threshold=threshold).drop_columns(["est_jaccard"])
+    pairs = minhash_lsh_pairs(docs, threshold=threshold).drop_columns(["est_jaccard"]).materialize()
 
-    def src_proj(name_id: str, name_src: str):
-        srcs = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    def endpoint_ids(batch: pa.Table) -> pa.Table:
+        u = np.unique(
+            np.concatenate(
+                [
+                    batch.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64),
+                    batch.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64),
+                ]
+            )
         )
+        return pa.table({"k": pa.array(u, pa.int64())})
 
-        def rename(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns([name_id, name_src])
-
-        return srcs.map_batches(rename, batch_format="pyarrow")
-
-    j1 = bucketed_hash_join(
-        pairs, src_proj("k_a", "src_a"), "doc_a", "k_a", buckets=16
-    ).select_columns(["doc_b", "src_a"])
-
-    # re-type the pandas-merge output to explicit Arrow types: the second
-    # join's schema-driven null padding needs real pa.DataTypes
-    def typed(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_b": batch.column("doc_b").cast(pa.int64()),
-                "src_a": batch.column("src_a").cast(pa.string()),
-            }
+    ids = np.unique(
+        pairs.map_batches(endpoint_ids, batch_format="pyarrow").to_pandas()["k"].to_numpy(np.int64)
+    )
+    if ids.nbytes > broadcast_cap_bytes:
+        raise ValueError(
+            f"near-dup endpoint ids {ids.nbytes >> 20} MB exceed the broadcast cap; "
+            "resolve sources via the bucketed-join shape at this scale"
         )
+    ids_handle = ray.put(ids)
 
-    j2 = bucketed_hash_join(
-        j1.map_batches(typed, batch_format="pyarrow"),
-        src_proj("k_b", "src_b"), "doc_b", "k_b", buckets=16
-    ).select_columns(["src_a", "src_b"])
+    srcs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        a = batch.column("src_a").to_numpy(zero_copy_only=False).astype(object)
-        b = batch.column("src_b").to_numpy(zero_copy_only=False).astype(object)
-        t = pa.table(
-            {
-                "source_a": pa.array(np.minimum(a, b), pa.string()),
-                "source_b": pa.array(np.maximum(a, b), pa.string()),
-            }
-        )
-        return t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
+    class KeepEndpoints:
+        def __init__(self) -> None:
+            self.ids = ray.get(ids_handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.ids, d)
+            pos_safe = np.clip(pos, 0, max(len(self.ids) - 1, 0))
+            hit = (self.ids[pos_safe] == d) if len(self.ids) else np.zeros(len(d), bool)
+            return batch.filter(pa.array(hit))
+
+    kept = srcs.map_batches(KeepEndpoints, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    lookup = ray.put(dict(zip(kept["doc_id"].astype(np.int64), kept["source"].astype(object))))
+
+    class Label:
+        def __init__(self) -> None:
+            self.m = ray.get(lookup)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = np.array(
+                [self.m[int(x)] for x in batch.column("doc_a").to_pylist()], dtype=object
+            )
+            b = np.array(
+                [self.m[int(x)] for x in batch.column("doc_b").to_pylist()], dtype=object
+            )
+            t = pa.table(
+                {
+                    "source_a": pa.array(np.minimum(a, b), pa.string()),
+                    "source_b": pa.array(np.maximum(a, b), pa.string()),
+                }
+            )
+            return t.group_by(["source_a", "source_b"]).aggregate([([], "count_all")])
 
     return tiny_final_groupby(
-        j2.map_batches(partial, batch_format="pyarrow"),
+        pairs.map_batches(Label, batch_format="pyarrow", concurrency=(1, 4)),
         keys=["source_a", "source_b"],
         aggs=[("count_all", "sum")],
         out_names=["source_a", "source_b", "n_pairs"],
@@ -6522,4 +6546,80 @@ def normalized_dedup_stats(ds, text_col: str = "text"):
         groups.map_batches(bucket_fold, batch_format="pandas", batch_size=None)
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
+def source_vocab_overlap(sf_dir: str, buckets: int = 64):
+    """Cross-source LEXICAL similarity matrix: for every source pair, the
+    count of shared distinct ``[a-z0-9]+`` tokens and the exact vocabulary
+    Jaccard in ppm -- the cheap "are these feeds the same register/domain"
+    signal that complements cross_source_dup_matrix (document-level) at
+    the vocabulary level.
+
+    Plan: each batch collapses to DISTINCT (token-md5, source) rows --
+    each distinct token hashed ONCE then gathered (the batch-dedupe md5
+    discipline); the projection is materialized for its two consumers.
+    Intersections reuse cooccurrence_counts' one-exchange size-class triu
+    kernel verbatim (categories = sources, ids = token hashes); per-source
+    vocabulary sizes fold off the same projection through a second
+    hash-disjoint exchange. The final join is sources^2-bounded driver
+    work. Returns (source_a, source_b, n_common, jaccard_ppm)."""
+    import re
+
+    import ray.data as rd
+
+    from ..functions.dedup import md5_u64
+    from .relational import cooccurrence_counts, hash_bucket_column
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "source"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.lower().str.findall(tok_re)
+        ex = toks.reset_index(drop=True).explode().dropna()
+        src = batch["source"].reset_index(drop=True).to_numpy(object)[
+            ex.index.to_numpy(np.int64)
+        ]
+        df = pd.DataFrame({"tok": ex.to_numpy(object), "source": src}).drop_duplicates()
+        uniq, inv = np.unique(df["tok"].to_numpy(object), return_inverse=True)
+        hashes = np.fromiter(
+            (md5_u64(t.encode("utf-8")) for t in uniq), dtype=np.uint64, count=len(uniq)
+        ).astype(np.int64)
+        return pd.DataFrame({"h": hashes[inv], "source": df["source"].to_numpy(object)})
+
+    proj = docs.map_batches(partial, batch_format="pandas").materialize()
+    inter = cooccurrence_counts(proj, id_col="h", cat_col="source", buckets=buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "h", buckets)
+
+    def bucket_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["h", "source"]].drop_duplicates()
+        vc = d["source"].value_counts()
+        return pd.DataFrame({"source": vc.index.to_numpy(object), "n": vc.to_numpy(np.int64)})
+
+    sizes = (
+        proj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_sizes, batch_format="pandas")
+        .to_pandas()
+        .groupby("source")["n"]
+        .sum()
+        .to_dict()
+    )
+
+    pairs = inter.to_pandas()
+    na = pairs["type_a"].map(sizes).astype("int64")
+    nb = pairs["type_b"].map(sizes).astype("int64")
+    common = pairs["n_ids"].astype("int64")
+    return pd.DataFrame(
+        {
+            "source_a": pairs["type_a"],
+            "source_b": pairs["type_b"],
+            "n_common": common,
+            "jaccard_ppm": [
+                (int(c) * 1_000_000) // (int(a) + int(b) - int(c))
+                for c, a, b in zip(common, na, nb)
+            ],
+        }
     )

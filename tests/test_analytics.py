@@ -6234,3 +6234,26 @@ class TestDominantSuppliers:
         lo = _pdf(relational.dominant_suppliers(SF, threshold_pct=10))
         hi = _pdf(relational.dominant_suppliers(SF, threshold_pct=30))
         assert lo["n_dominated_parts"].sum() >= hi["n_dominated_parts"].sum()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSourceVocabOverlap:
+    def test_vs_duckdb(self):
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = analytics.source_vocab_overlap(SF)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+        exp = con.execute(em.oracle_sql()["source_vocab_overlap"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert len(g) > 0
+        assert g.astype(str).equals(e.astype(str))
+
+    def test_jaccard_bounds_and_symmetric_input(self):
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = analytics.source_vocab_overlap(SF)
+        assert ((got["jaccard_ppm"] >= 0) & (got["jaccard_ppm"] <= 1_000_000)).all()
+        assert (got["source_a"] < got["source_b"]).all()
