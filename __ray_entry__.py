@@ -1639,6 +1639,21 @@ def _q_session_durations(sf_dir: str):
     return relational.session_duration_quantiles(events)
 
 
+def _q_trailing_rows_sum(sf_dir: str):
+    """ROWS-frame trailing window: per user, each event's value sum over
+    its last 5 events in (ts, event_id) order -- the row-counted dual of
+    rolling_7d_sum's calendar RANGE frame; shifted-cumsum kernel
+    (relational.trailing_rows_sum)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return relational.trailing_rows_sum(ev, k=5)
+
+
 def _q_source_vocab_overlap(sf_dir: str):
     """Exact vocabulary Jaccard between every source pair (shared distinct
     [a-z0-9]+ tokens) -- the lexical-register similarity matrix;
@@ -3874,6 +3889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_of_order_audit": _q_out_of_order_audit,
         "dominant_suppliers": _q_dominant_suppliers,
         "source_vocab_overlap": _q_source_vocab_overlap,
+        "trailing_rows_sum": _q_trailing_rows_sum,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5796,6 +5812,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(CASE WHEN cum >= CEIL(0.5 * tot) THEN dur END) AS BIGINT) AS p50_sec, "
             "CAST(MIN(CASE WHEN cum >= CEIL(0.9 * tot) THEN dur END) AS BIGINT) AS p90_sec "
             "FROM w2"
+        ),
+        "trailing_rows_sum": (
+            # replay of relational.trailing_rows_sum: ROWS frame, same
+            # (ts, event_id) deterministic order, integer cents
+            "SELECT event_id, user_id, "
+            "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents "
+            "FROM events"
         ),
         "source_vocab_overlap": (
             # replay of analytics.source_vocab_overlap: distinct token-md5

@@ -187,7 +187,7 @@ def run_bench() -> dict:
         "link_prediction_topk", "cross_source_dups", "encoding_audit",
         "quality_length_corr", "shuffle_mix_audit", "cheapest_supplier",
         "lang_source_chi2", "normalized_dedup", "out_of_order_audit",
-        "dominant_suppliers", "source_vocab_overlap",
+        "dominant_suppliers", "source_vocab_overlap", "trailing_rows_sum",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

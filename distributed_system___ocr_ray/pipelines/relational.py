@@ -4172,3 +4172,52 @@ def dominant_suppliers(sf_dir: str, threshold_pct: int = 15):
     return partials.repartition(1).map_batches(
         finalize, batch_format="pandas", batch_size=None
     )
+
+
+def trailing_rows_sum(events, k: int = 5, partitions: int | None = None):
+    """ROWS-frame trailing window (SUM OVER ... ROWS BETWEEN k-1 PRECEDING
+    AND CURRENT ROW): per user, each event's value-cents sum over its last
+    ``k`` events in (ts, event_id) order -- the moving-average primitive
+    whose frame counts ROWS, not a calendar range (the dual of
+    rolling_range_sum, which this deliberately does not reuse: a row frame
+    needs no day collapse and no window padding, just a shifted cumsum).
+
+    ONE user-hash exchange; each bucket sorts once by (user, ts,
+    event_id) -- the unique event_id makes frame CONTENT deterministic --
+    and answers every row with ``cumsum - shift(cumsum, k)`` masked at
+    user boundaries (rows closer than k to their user's start sum what
+    exists). Output is event-domain sized, exact int64 cents.
+
+    Returns (event_id, user_id, trail_cents)."""
+    if partitions is None:
+        partitions = derive_buckets(events.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "user_id", partitions)
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        cents = np.floor(g["value"].to_numpy(np.float64) * 100.0 + 0.5).astype(np.int64)
+        cum = np.cumsum(cents)
+        # per-user row index: position since the user's first row
+        brk = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(brk)
+        seg = np.repeat(starts, np.diff(np.r_[starts, len(uid)]))
+        # frame start (exclusive prefix index): k rows back, clipped to the
+        # user's segment start; rows before index 0 contribute 0
+        lo = np.maximum(np.arange(len(uid)) - k, seg - 1)
+        trail = cum - np.where(lo >= 0, cum[np.maximum(lo, 0)], 0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(np.int64),
+                "user_id": uid,
+                "trail_cents": trail,
+            }
+        )
+
+    return (
+        events.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kern, batch_format="pandas")
+    )

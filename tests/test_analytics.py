@@ -6257,3 +6257,47 @@ class TestSourceVocabOverlap:
         got = analytics.source_vocab_overlap(SF)
         assert ((got["jaccard_ppm"] >= 0) & (got["jaccard_ppm"] <= 1_000_000)).all()
         assert (got["source_a"] < got["source_b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTrailingRowsSum:
+    def test_vs_duckdb(self):
+        import ray.data as rd
+
+        import __ray_entry__ as em
+        from distributed_system___ocr_ray.pipelines import relational
+
+        ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+        got = _pdf(relational.trailing_rows_sum(ev, k=5))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+        exp = con.execute(em.oracle_sql()["trailing_rows_sum"]).df()
+        g = got.sort_values(list(got.columns)).reset_index(drop=True)
+        e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        assert g.astype(str).equals(e.astype(str))
+
+    def test_hand_built_frame_edges(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        def t(sec):
+            return np.datetime64("2024-01-01T00:00:00", "us") + np.timedelta64(sec, "s")
+
+        # user 1 values 1,2,3,4 with k=2: frames 1, 1+2, 2+3, 3+4;
+        # user 2 single row: its own value (frame clipped at segment start)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([t(0), t(1), t(2), t(3), t(0)], pa.timestamp("us")),
+                "value": pa.array([0.01, 0.02, 0.03, 0.04, 0.99], pa.float64()),
+            }
+        )
+        got = (
+            _pdf(relational.trailing_rows_sum(rd.from_arrow(tbl), k=2, partitions=4))
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert got["trail_cents"].tolist() == [1, 3, 5, 7, 99]
