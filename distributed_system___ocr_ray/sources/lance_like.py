@@ -1084,3 +1084,33 @@ def rollback(table_dir: str, to_version: int) -> dict:
     new["version"] = latest_version(table_dir) + 1
     new["rollback_of"] = to_version
     return _commit_manifest(table_dir, new)
+
+
+def clone(src_dir: str, dst_dir: str) -> dict:
+    """Delta-style SHALLOW CLONE: a new table whose first manifest
+    references the source's current fragments IN PLACE -- zero data
+    copied, so cloning a 100 TB table is a metadata write. The clone then
+    evolves independently: appends/compactions/merges write into the
+    clone's own ``data/`` while untouched fragments keep pointing at the
+    source; the clone's ``gc`` only reclaims files under its own data dir,
+    so it can never delete source data. The documented shallow-clone
+    caveat applies in both systems: ``gc`` on the SOURCE can reclaim
+    fragments a clone still references (clones pin by reference, not by
+    refcount) -- clone provenance is recorded so an operator can check.
+
+    Stats/schema/bucket metadata carry over verbatim. Returns the clone's
+    manifest dict."""
+    man = read_manifest(src_dir)
+    os.makedirs(_manifest_dir(dst_dir), exist_ok=True)
+    os.makedirs(os.path.join(dst_dir, "data"), exist_ok=True)
+    src_abs, dst_abs = os.path.abspath(src_dir), os.path.abspath(dst_dir)
+    frags = []
+    for f in man["fragments"]:
+        nf = dict(f)
+        nf["path"] = os.path.relpath(os.path.join(src_abs, f["path"]), dst_abs)
+        frags.append(nf)
+    new = dict(man)
+    new["version"] = latest_version(dst_dir) + 1
+    new["fragments"] = frags
+    new["cloned_from"] = {"table": src_abs, "version": man["version"]}
+    return _commit_manifest(dst_dir, new)

@@ -53,3 +53,51 @@ class TestRollback:
         root, lance_like = self._build(tmp_path)
         with pytest.raises(FileNotFoundError):
             lance_like.rollback(root, 7)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShallowClone:
+    def test_clone_reads_and_evolves_independently(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        src = str(tmp_path / "src")
+        t1 = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        lance_like.write_dataset(rd.from_arrow(t1), src)
+
+        dst = str(tmp_path / "dst")
+        man = lance_like.clone(src, dst)
+        assert man["cloned_from"]["version"] == 1
+        assert sorted(lance_like.read_arrow(dst).column("k").to_pylist()) == [1, 2, 3]
+
+        # append to the CLONE: source unchanged, clone grows
+        lance_like.write_dataset(
+            rd.from_arrow(pa.table({"k": pa.array([9], pa.int64())})), dst, mode="append"
+        )
+        assert sorted(lance_like.read_arrow(dst).column("k").to_pylist()) == [1, 2, 3, 9]
+        assert sorted(lance_like.read_arrow(src).column("k").to_pylist()) == [1, 2, 3]
+
+        # append to the SOURCE after cloning: clone pinned at clone time
+        lance_like.write_dataset(
+            rd.from_arrow(pa.table({"k": pa.array([7], pa.int64())})), src, mode="append"
+        )
+        assert sorted(lance_like.read_arrow(dst).column("k").to_pylist()) == [1, 2, 3, 9]
+
+    def test_clone_gc_never_touches_source(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        src = str(tmp_path / "src")
+        lance_like.write_dataset(rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())})), src)
+        dst = str(tmp_path / "dst")
+        lance_like.clone(src, dst)
+        lance_like.write_dataset(
+            rd.from_arrow(pa.table({"k": pa.array([3], pa.int64())})), dst, mode="append"
+        )
+        res = lance_like.gc(dst, keep_versions=1)
+        # only the clone's own data dir is subject to reclaim; both tables
+        # still read fully
+        assert sorted(lance_like.read_arrow(dst).column("k").to_pylist()) == [1, 2, 3]
+        assert sorted(lance_like.read_arrow(src).column("k").to_pylist()) == [1, 2]
