@@ -3738,6 +3738,35 @@ def _q_semdedup_keepers(sf_dir: str):
     return analytics.semdedup_keepers(ds, k=8, iters=3, threshold=0.4)
 
 
+def _q_forecast_revenue_delta(sf_dir: str):
+    """TPC-H Q6 shape: what-if discount revenue for shipping-year 1996,
+    discount band 5-7%, qty < 24 -- pure filtered global aggregate, 2-int
+    partials, no row ever crosses the exchange
+    (relational.forecast_revenue_delta)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.forecast_revenue_delta(sf_dir)
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: PROMO parts' ppm share of 1996-09 gross revenue --
+    broadcast part bitmap, map-side month filter, ONE ppm row
+    (relational.promo_revenue)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.promo_revenue(sf_dir)
+
+
+def _q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: OR of three (brand, size-range, qty-range)
+    conjunctions evaluated map-side against a broadcast part attribute
+    table -- the disjunctive-join optimizer trap flattened to a scan
+    (relational.disjunctive_revenue)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.disjunctive_revenue(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -3890,6 +3919,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_suppliers": _q_dominant_suppliers,
         "source_vocab_overlap": _q_source_vocab_overlap,
         "trailing_rows_sum": _q_trailing_rows_sum,
+        "forecast_revenue_delta": _q_forecast_revenue_delta,
+        "promo_revenue": _q_promo_revenue,
+        "disjunctive_revenue": _q_disjunctive_revenue,
         "skyline_orders": _q_skyline_orders,
         "mode_event_type": _q_mode_event_type,
         "fk_orphan_audit": _q_fk_orphan_audit,
@@ -5821,6 +5853,43 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents "
             "FROM events"
+        ),
+        "forecast_revenue_delta": (
+            # replay of relational.forecast_revenue_delta (Q6 shape):
+            # integer-percent discount band, identical per-row cents chain
+            "SELECT CAST(COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) "
+            "AS BIGINT)), 0) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND l_quantity < 24"
+        ),
+        "promo_revenue": (
+            # replay of relational.promo_revenue (Q14 shape): same month
+            # window, rev chain and integer-ppm share
+            "WITH m AS (SELECT l_partkey, "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01'), "
+            "j AS (SELECT rev, (p_type = 'PROMO') AS promo FROM m "
+            "JOIN part ON p_partkey = l_partkey) "
+            "SELECT CAST(COALESCE(SUM(CASE WHEN promo THEN rev END), 0) AS BIGINT) AS promo_cents, "
+            "CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS total_cents, "
+            "CAST(COALESCE(SUM(CASE WHEN promo THEN rev END), 0) * 1000000 // "
+            "GREATEST(COALESCE(SUM(rev), 0), 1) AS BIGINT) AS promo_ppm FROM j"
+        ),
+        "disjunctive_revenue": (
+            # replay of relational.disjunctive_revenue (Q19 shape): the
+            # same three OR-ed (brand, size, qty) clauses
+            "WITH j AS (SELECT l_quantity AS q, p_brand AS b, p_size AS s, "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey) "
+            "SELECT CAST(COALESCE(SUM(rev), 0) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows FROM j WHERE "
+            "(b = 'Brand#13' AND s BETWEEN 1 AND 5 AND q BETWEEN 1 AND 11) OR "
+            "(b = 'Brand#20' AND s BETWEEN 1 AND 10 AND q BETWEEN 10 AND 20) OR "
+            "(b = 'Brand#9' AND s BETWEEN 1 AND 15 AND q BETWEEN 20 AND 30)"
         ),
         "source_vocab_overlap": (
             # replay of analytics.source_vocab_overlap: distinct token-md5

@@ -4221,3 +4221,207 @@ def trailing_rows_sum(events, k: int = 5, partitions: int | None = None):
         .groupby("__bucket")
         .map_groups(kern, batch_format="pandas")
     )
+
+
+def forecast_revenue_delta(sf_dir: str, year: int = 1996, disc_lo: int = 5,
+                           disc_hi: int = 7, max_qty: float = 24.0):
+    """TPC-H Q6 shape (what-if revenue filter): total discount revenue that
+    would be recovered by dropping a discount band for one shipping year --
+    a pure filtered global aggregate, the cheapest possible distributed
+    plan: predicate pushdown at the read, one map-side partial per batch,
+    ONE final row. No exchange moves more than a handful of partial rows.
+
+    Discounts are compared in integer percent (``floor(d*100 + 0.5)``) so
+    the band edges are exact, never float-fuzzy; revenue is per-row
+    ``floor(extprice * discount * 100 + 0.5)`` cents (identical chain in
+    the SQL replay).
+
+    Returns ONE row (revenue_cents, n_rows)."""
+    import ray.data as rd
+
+    lo = np.datetime64(f"{year}-01-01")
+    hi = np.datetime64(f"{year + 1}-01-01")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        dpct = np.floor(disc * 100.0 + 0.5).astype(np.int64)
+        keep = (
+            (sd >= lo) & (sd < hi) & (dpct >= disc_lo) & (dpct <= disc_hi) & (qty < max_qty)
+        )
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        rev = np.floor(price * disc[keep] * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "__k": pa.array([0], pa.int64()),
+                "rev": pa.array([int(rev.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    out = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["__k"],
+        [("rev", "sum"), ("n", "sum")],
+        ["__k", "revenue_cents", "n_rows"],
+    )
+    return out.drop_columns(["__k"])
+
+
+def promo_revenue(sf_dir: str, year: int = 1996, month: int = 9,
+                  promo_type: str = "PROMO"):
+    """TPC-H Q14 shape (promotion effect): the share of one month's gross
+    revenue earned by parts of a promotional type. The part dimension
+    collapses to a broadcast membership pair (sorted partkeys + is-promo
+    bitmap, shipped ONCE with ray.put); lineitem is scanned with a
+    map-side month filter and emits per-batch (promo_cents, total_cents)
+    partials -- the exchange moves two ints per block, then ONE final row
+    computes the ppm share in integer arithmetic.
+
+    Returns ONE row (promo_cents, total_cents, promo_ppm)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    lo_m = np.datetime64(f"{year}-{month:02d}", "M")
+    lo, hi = lo_m.astype("datetime64[us]"), (lo_m + 1).astype("datetime64[us]")
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    lookup = {
+        "keys": pk[order],
+        "promo": pc.equal(part.column("p_type"), promo_type).to_numpy(zero_copy_only=False)[order],
+    }
+    handle = ray.put(lookup)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    class Partial:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            b = batch.filter(pa.array((sd >= lo) & (sd < hi)))
+            lp = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = self.lk["keys"]
+            pos = np.searchsorted(keys, lp)
+            pos_safe = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = (keys[pos_safe] == lp) if len(keys) else np.zeros(len(lp), bool)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)[hit]
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)[hit]
+            rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            promo = self.lk["promo"][pos_safe[hit]]
+            return pa.table(
+                {
+                    "__k": pa.array([0], pa.int64()),
+                    "promo": pa.array([int(rev[promo].sum())], pa.int64()),
+                    "total": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+    partials = ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+    out = tiny_final_groupby(
+        partials,
+        ["__k"],
+        [("promo", "sum"), ("total", "sum")],
+        ["__k", "promo_cents", "total_cents"],
+    )
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        p = batch.column("promo_cents").to_numpy()
+        t = batch.column("total_cents").to_numpy()
+        share = (p * 1_000_000) // np.maximum(t, 1)
+        return pa.table(
+            {
+                "promo_cents": batch.column("promo_cents"),
+                "total_cents": batch.column("total_cents"),
+                "promo_ppm": pa.array(share.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return out.map_batches(ppm, batch_format="pyarrow")
+
+
+def disjunctive_revenue(sf_dir: str,
+                        clauses: tuple = (("Brand#13", 1, 5, 1.0, 11.0),
+                                          ("Brand#20", 1, 10, 10.0, 20.0),
+                                          ("Brand#9", 1, 15, 20.0, 30.0))):
+    """TPC-H Q19 shape (disjunctive multi-attribute predicate join): gross
+    revenue from lineitems matching ANY of several (brand, size-range,
+    quantity-range) clauses. The classic optimizer trap -- an OR of
+    conjunctions across two tables -- becomes trivial map-side work here:
+    the part dimension broadcasts ONCE as (sorted partkeys, brand codes,
+    sizes); every lineitem batch evaluates all clauses vectorized and
+    emits a 2-int partial. No exchange carries row data at all.
+
+    ``clauses``: (brand, size_lo, size_hi, qty_lo, qty_hi) tuples, OR-ed.
+
+    Returns ONE row (revenue_cents, n_rows)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    brands = sorted({c[0] for c in clauses})
+    code = {b: i for i, b in enumerate(brands)}
+    bcol = part.column("p_brand").to_pylist()
+    lookup = {
+        "keys": pk[order],
+        # brands outside any clause code to -1: one int compare per clause
+        "brand": np.array([code.get(b, -1) for b in bcol], dtype=np.int64)[order],
+        "size": part.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)[order],
+    }
+    handle = ray.put(lookup)
+    coded_clauses = [(code[b], slo, shi, qlo, qhi) for b, slo, shi, qlo, qhi in clauses]
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    class Partial:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = self.lk["keys"]
+            pos = np.searchsorted(keys, lp)
+            pos_safe = np.clip(pos, 0, max(len(keys) - 1, 0))
+            hit = (keys[pos_safe] == lp) if len(keys) else np.zeros(len(lp), bool)
+            brand = np.where(hit, self.lk["brand"][pos_safe], -2)
+            size = np.where(hit, self.lk["size"][pos_safe], -1)
+            qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(lp), bool)
+            for bc, slo, shi, qlo, qhi in coded_clauses:
+                keep |= (brand == bc) & (size >= slo) & (size <= shi) & (qty >= qlo) & (qty <= qhi)
+            price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            disc = batch.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+            rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "__k": pa.array([0], pa.int64()),
+                    "rev": pa.array([int(rev.sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+    out = tiny_final_groupby(
+        ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8)),
+        ["__k"],
+        [("rev", "sum"), ("n", "sum")],
+        ["__k", "revenue_cents", "n_rows"],
+    )
+    return out.drop_columns(["__k"])
