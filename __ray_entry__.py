@@ -3767,6 +3767,26 @@ def _q_disjunctive_revenue(sf_dir: str):
     return relational.disjunctive_revenue(sf_dir)
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 unshipped-order revenue for the BUILDING
+    segment at the 1997-06-30 cutoff -- broadcast segment filter, map-side
+    combiner on lineitem, one orderkey-bucketed join+topk exchange
+    (relational.shipping_priority)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.shipping_priority(sf_dir)
+
+
+def _q_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by returned revenue in 1996Q4 --
+    orderkey-bucketed fact-fact join with map-side combiners, then a
+    custkey-bucketed fold with per-bucket top-k
+    (relational.returned_items_topk)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.returned_items_topk(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -3920,6 +3940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": _q_source_vocab_overlap,
         "trailing_rows_sum": _q_trailing_rows_sum,
         "forecast_revenue_delta": _q_forecast_revenue_delta,
+        "shipping_priority": _q_shipping_priority,
+        "returned_items": _q_returned_items,
         "promo_revenue": _q_promo_revenue,
         "disjunctive_revenue": _q_disjunctive_revenue,
         "skyline_orders": _q_skyline_orders,
@@ -5853,6 +5875,35 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents "
             "FROM events"
+        ),
+        "shipping_priority": (
+            # replay of relational.shipping_priority (Q3 shape): identical
+            # cents chain and (rev desc, date, orderkey) tie order
+            "WITH rev AS (SELECT l_orderkey, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS r "
+            "FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-30' GROUP BY 1), "
+            "o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders "
+            "JOIN customer ON c_custkey = o_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-30') "
+            "SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, "
+            "CAST(rev.r AS BIGINT) AS revenue_cents "
+            "FROM o JOIN rev ON rev.l_orderkey = o.o_orderkey "
+            "ORDER BY revenue_cents DESC, o.o_orderdate, o.o_orderkey LIMIT 10"
+        ),
+        "returned_items": (
+            # replay of relational.returned_items_topk (Q10 shape): same
+            # quarter window, returnflag filter, (rev desc, custkey) ties
+            "WITH rev AS (SELECT l_orderkey, "
+            "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS r "
+            "FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1), "
+            "o AS (SELECT o_orderkey, o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-10-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01'), "
+            "per AS (SELECT o.o_custkey AS c_custkey, SUM(rev.r) AS r "
+            "FROM o JOIN rev ON rev.l_orderkey = o.o_orderkey GROUP BY 1) "
+            "SELECT p.c_custkey, c.c_name, CAST(p.r AS BIGINT) AS revenue_cents "
+            "FROM per p JOIN customer c ON c.c_custkey = p.c_custkey "
+            "ORDER BY p.r DESC, p.c_custkey LIMIT 20"
         ),
         "forecast_revenue_delta": (
             # replay of relational.forecast_revenue_delta (Q6 shape):

@@ -4425,3 +4425,251 @@ def disjunctive_revenue(sf_dir: str,
         ["__k", "revenue_cents", "n_rows"],
     )
     return out.drop_columns(["__k"])
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1997-06-30", k: int = 10, buckets: int = 32):
+    """TPC-H Q3 shape (unshipped-order revenue screen): the k highest-value
+    orders from one market segment that were placed before a cutoff but
+    still have lineitems shipping after it.
+
+    Plan: the customer segment filter collapses to a broadcast sorted
+    custkey array (dimension side, ray.put once); orders are pruned
+    map-side to (orderkey, orderdate, priority); lineitem batches
+    pre-aggregate revenue per orderkey BEFORE the exchange (the combiner --
+    only (orderkey, partial_rev) rows move); ONE orderkey-bucketed exchange
+    joins the two sides, sums revenue per order, and keeps a per-bucket
+    top-k; the <= k x buckets survivors merge in a single final block.
+    Ties break (revenue desc, orderdate asc, orderkey asc) -- deterministic
+    and shared with the SQL replay.
+
+    Returns (o_orderkey, o_orderdate, o_orderpriority, revenue_cents), the
+    global top k."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    cut = np.datetime64(cutoff).astype("datetime64[us]")
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ck = np.sort(
+        cust.filter(pc.equal(cust.column("c_mktsegment"), segment))
+        .column("c_custkey").to_numpy().astype(np.int64)
+    )
+    ck_handle = ray.put(ck)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    class OrderSide:
+        def __init__(self) -> None:
+            self.ck = ray.get(ck_handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            od = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            oc = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.ck, oc)
+            pos_safe = np.clip(pos, 0, max(len(self.ck) - 1, 0))
+            hit = (self.ck[pos_safe] == oc) if len(self.ck) else np.zeros(len(oc), bool)
+            b = batch.filter(pa.array((od < cut) & hit))
+            t = pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "od_us": pa.array(
+                        b.column("o_orderdate").to_numpy(zero_copy_only=False)
+                        .astype("datetime64[us]").astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "prio": b.column("o_orderpriority"),
+                    "rev": pa.nulls(b.num_rows, pa.int64()),
+                    "__side": pa.array(["o"] * b.num_rows, pa.string()),
+                }
+            )
+            return hash_bucket_column(t, "o_orderkey", buckets)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        b = batch.filter(pa.array(sd > cut))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"o_orderkey": b.column("l_orderkey"), "rev": pa.array(rev, pa.int64())})
+        g = t.group_by(["o_orderkey"]).aggregate([("rev", "sum")])
+        t = pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "od_us": pa.nulls(g.num_rows, pa.int64()),
+                "prio": pa.nulls(g.num_rows, pa.string()),
+                "rev": g.column("rev_sum"),
+                "__side": pa.array(["l"] * g.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = orders.map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4)).union(
+        lineitem.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"]
+        rev = l.groupby("o_orderkey", sort=False)["rev"].sum().reset_index()
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "od_us", "prio"]]
+        m = o.merge(rev, on="o_orderkey", how="inner")
+        m = m.sort_values(
+            ["rev", "od_us", "o_orderkey"], ascending=[False, True, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+                "od_us": m["od_us"].to_numpy(np.int64),
+                "o_orderpriority": m["prio"].astype(str),
+                "revenue_cents": m["rev"].to_numpy(np.int64),
+            }
+        )
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["revenue_cents", "od_us", "o_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(df["o_orderkey"].to_numpy(np.int64), pa.int64()),
+                "o_orderdate": pa.array(
+                    df["od_us"].to_numpy(np.int64).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "o_orderpriority": pa.array(df["o_orderpriority"].tolist(), pa.string()),
+                "revenue_cents": pa.array(df["revenue_cents"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        both.repartition(buckets)
+        .groupby("__bucket")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def returned_items_topk(sf_dir: str, date_lo: str = "1996-10-01",
+                        date_hi: str = "1997-01-01", k: int = 20, buckets: int = 32):
+    """TPC-H Q10 shape (returned-item reporting): the k customers who
+    returned the most revenue in one order quarter -- a two-level join
+    (lineitem |><| orders |><| customer) where the FACT-FACT leg is an
+    orderkey-bucketed exchange and the dimension leg is a broadcast dict
+    applied to only k final rows.
+
+    Lineitem pre-aggregates returned revenue per orderkey map-side (the
+    combiner); orders prune to the quarter map-side; per orderkey-bucket
+    the join emits (custkey, rev) partials, which a SECOND custkey-bucketed
+    exchange folds per customer with a per-bucket top-k; <= k x buckets
+    rows reach the final merge, where customer names resolve from a
+    broadcast dict. Ties break (revenue desc, custkey asc).
+
+    Returns (c_custkey, c_name, revenue_cents), the global top k."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    lo = np.datetime64(date_lo).astype("datetime64[us]")
+    hi = np.datetime64(date_hi).astype("datetime64[us]")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        b = batch.filter(pa.array((od >= lo) & (od < hi)))
+        t = pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "cust": b.column("o_custkey"),
+                "rev": pa.nulls(b.num_rows, pa.int64()),
+                "__side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"o_orderkey": b.column("l_orderkey"), "rev": pa.array(rev, pa.int64())})
+        g = t.group_by(["o_orderkey"]).aggregate([("rev", "sum")])
+        t = pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "cust": pa.nulls(g.num_rows, pa.int64()),
+                "rev": g.column("rev_sum"),
+                "__side": pa.array(["l"] * g.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lineitem.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == "l"]
+        rev = l.groupby("o_orderkey", sort=False)["rev"].sum().reset_index()
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "cust"]]
+        m = o.merge(rev, on="o_orderkey", how="inner")
+        per_cust = m.groupby("cust", sort=False)["rev"].sum().reset_index()
+        out = pd.DataFrame(
+            {
+                "c_custkey": per_cust["cust"].to_numpy(np.int64),
+                "rev": per_cust["rev"].to_numpy(np.int64),
+            }
+        )
+        return out
+
+    joined = (
+        both.repartition(buckets).groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    )
+
+    def add_cust_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "c_custkey", buckets)
+
+    def cust_topk(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("c_custkey", sort=False)["rev"].sum().reset_index()
+        per = per.sort_values(["rev", "c_custkey"], ascending=[False, True], kind="mergesort").head(k)
+        return per
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    names = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
+
+    def final_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["rev", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.table(
+            {
+                "c_custkey": pa.array(df["c_custkey"].to_numpy(np.int64), pa.int64()),
+                "c_name": pa.array([names[int(c)] for c in df["c_custkey"]], pa.string()),
+                "revenue_cents": pa.array(df["rev"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(add_cust_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(cust_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
+    )
