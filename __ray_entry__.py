@@ -3787,6 +3787,26 @@ def _q_returned_items(sf_dir: str):
     return relational.returned_items_topk(sf_dir)
 
 
+def _q_nation_trade_volume(sf_dir: str):
+    """TPC-H Q7 shape: 1996-1997 revenue shipped between NATION_1 and
+    NATION_2 per direction per ship-year -- both nation legs broadcast,
+    map-side combiners, one orderkey-bucketed exchange
+    (relational.nation_trade_volume)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.nation_trade_volume(sf_dir)
+
+
+def _q_market_share(sf_dir: str):
+    """TPC-H Q8 shape: NATION_5 suppliers' ppm share of PROMO-part revenue
+    sold to ASIA customers, per order-year -- three broadcast dimension
+    legs, per-orderkey combiner, one bucketed exchange
+    (relational.market_share)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.market_share(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -3941,6 +3961,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_rows_sum": _q_trailing_rows_sum,
         "forecast_revenue_delta": _q_forecast_revenue_delta,
         "shipping_priority": _q_shipping_priority,
+        "nation_trade_volume": _q_nation_trade_volume,
+        "market_share": _q_market_share,
         "returned_items": _q_returned_items,
         "promo_revenue": _q_promo_revenue,
         "disjunctive_revenue": _q_disjunctive_revenue,
@@ -5875,6 +5897,47 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents "
             "FROM events"
+        ),
+        "nation_trade_volume": (
+            # replay of relational.nation_trade_volume (Q7 shape): same
+            # ship-year window, cents chain, same-nation pairs dropped
+            "WITH s AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name IN ('NATION_1', 'NATION_2')), "
+            "c AS (SELECT c_custkey, n_name AS cust_nation FROM customer "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "WHERE n_name IN ('NATION_1', 'NATION_2')), "
+            "l AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01') "
+            "SELECT s.supp_nation, c.cust_nation, l.l_year, "
+            "CAST(SUM(l.rev) AS BIGINT) AS revenue_cents "
+            "FROM l JOIN s ON s.s_suppkey = l.l_suppkey "
+            "JOIN orders ON o_orderkey = l.l_orderkey "
+            "JOIN c ON c.c_custkey = o_custkey "
+            "WHERE s.supp_nation <> c.cust_nation GROUP BY 1, 2, 3"
+        ),
+        "market_share": (
+            # replay of relational.market_share (Q8 shape): same PROMO /
+            # ASIA / NATION_5 legs and integer-ppm share
+            "WITH l AS (SELECT l_orderkey, "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev, "
+            "CASE WHEN n_name = 'NATION_5' THEN "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) "
+            "ELSE 0 END AS nat "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey), "
+            "o AS (SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey WHERE r_name = 'ASIA') "
+            "SELECT o.y AS o_year, CAST(SUM(l.nat) AS BIGINT) AS nation_cents, "
+            "CAST(SUM(l.rev) AS BIGINT) AS total_cents, "
+            "CAST(SUM(l.nat) * 1000000 // GREATEST(SUM(l.rev), 1) AS BIGINT) AS share_ppm "
+            "FROM l JOIN o ON o.o_orderkey = l.l_orderkey GROUP BY 1"
         ),
         "shipping_priority": (
             # replay of relational.shipping_priority (Q3 shape): identical

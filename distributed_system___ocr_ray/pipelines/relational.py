@@ -4673,3 +4673,326 @@ def returned_items_topk(sf_dir: str, date_lo: str = "1996-10-01",
         .repartition(1)
         .map_batches(final_topk, batch_format="pyarrow", batch_size=None)
     )
+
+
+def _sorted_lookup(keys: np.ndarray, vals: np.ndarray):
+    order = np.argsort(keys)
+    return keys[order], vals[order]
+
+
+def _probe_sorted(keys: np.ndarray, probe: np.ndarray):
+    """Vectorized membership probe against a sorted key array: returns the
+    hit mask and the (clipped) positions -- inner-join semantics, misses
+    never take a neighbor's payload."""
+    pos = np.searchsorted(keys, probe)
+    pos_safe = np.clip(pos, 0, max(len(keys) - 1, 0))
+    hit = (keys[pos_safe] == probe) if len(keys) else np.zeros(len(probe), bool)
+    return hit, pos_safe
+
+
+def nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2", year_lo: int = 1996,
+                        year_hi: int = 1997, buckets: int = 32):
+    """TPC-H Q7 shape (bi-national trade volume): revenue shipped between
+    two nations per direction per year -- supplier nation from the
+    lineitem leg, customer nation from the orders leg, so the nation pair
+    only exists AFTER the fact-fact join.
+
+    Both dimension legs collapse to broadcast sorted arrays filtered to
+    the two nations (ray.put once); lineitem pre-aggregates
+    (orderkey, supp_nation, year) -> rev map-side; ONE orderkey-bucketed
+    exchange joins in the customer nation, drops same-nation pairs, and
+    folds per (supp_nation, cust_nation, year); a tiny final merges the
+    bounded key space (2 directions x years).
+
+    Returns (supp_nation, cust_nation, l_year, revenue_cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = {
+        n: k for k, n in zip(
+            nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()
+        )
+    }
+    pair_keys = np.array([nkeys[nation_a], nkeys[nation_b]], dtype=np.int64)
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sn = supp.column("s_nationkey").to_numpy().astype(np.int64)
+    s_in = np.isin(sn, pair_keys)
+    s_keys, s_code = _sorted_lookup(
+        supp.column("s_suppkey").to_numpy().astype(np.int64)[s_in],
+        (sn[s_in] == pair_keys[1]).astype(np.int8),  # 0 -> nation_a, 1 -> nation_b
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cn = cust.column("c_nationkey").to_numpy().astype(np.int64)
+    c_in = np.isin(cn, pair_keys)
+    c_keys, c_code = _sorted_lookup(
+        cust.column("c_custkey").to_numpy().astype(np.int64)[c_in],
+        (cn[c_in] == pair_keys[1]).astype(np.int8),
+    )
+    handle = ray.put({"s_keys": s_keys, "s_code": s_code, "c_keys": c_keys, "c_code": c_code})
+
+    lo = np.datetime64(f"{year_lo}-01-01").astype("datetime64[us]")
+    hi = np.datetime64(f"{year_hi + 1}-01-01").astype("datetime64[us]")
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    class LineSide:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sd = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            b = batch.filter(pa.array((sd >= lo) & (sd < hi)))
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, pos = _probe_sorted(self.lk["s_keys"], sk)
+            b = b.filter(pa.array(hit))
+            scode = self.lk["s_code"][pos[hit]].astype(np.int64)
+            year = (
+                b.column("l_shipdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            )
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            t = pa.table(
+                {
+                    "o_orderkey": b.column("l_orderkey"),
+                    "scode": pa.array(scode, pa.int64()),
+                    "year": pa.array(year, pa.int64()),
+                    "rev": pa.array(rev, pa.int64()),
+                }
+            )
+            g = t.group_by(["o_orderkey", "scode", "year"]).aggregate([("rev", "sum")])
+            t = pa.table(
+                {
+                    "o_orderkey": g.column("o_orderkey"),
+                    "scode": g.column("scode"),
+                    "year": g.column("year"),
+                    "rev": g.column("rev_sum"),
+                    "ccode": pa.nulls(g.num_rows, pa.int64()),
+                    "__side": pa.array(["l"] * g.num_rows, pa.string()),
+                }
+            )
+            return hash_bucket_column(t, "o_orderkey", buckets)
+
+    class OrderSide:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, pos = _probe_sorted(self.lk["c_keys"], ck)
+            b = batch.filter(pa.array(hit))
+            ccode = self.lk["c_code"][pos[hit]].astype(np.int64)
+            t = pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "scode": pa.nulls(b.num_rows, pa.int64()),
+                    "year": pa.nulls(b.num_rows, pa.int64()),
+                    "rev": pa.nulls(b.num_rows, pa.int64()),
+                    "ccode": pa.array(ccode, pa.int64()),
+                    "__side": pa.array(["o"] * b.num_rows, pa.string()),
+                }
+            )
+            return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = lineitem.map_batches(LineSide, batch_format="pyarrow", concurrency=(1, 8)).union(
+        orders.map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4))
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", ["o_orderkey", "scode", "year", "rev"]]
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "ccode"]]
+        m = l.merge(o, on="o_orderkey", how="inner")
+        m = m[m["scode"] != m["ccode"]]
+        per = m.groupby(["scode", "ccode", "year"], sort=False)["rev"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "scode": per["scode"].to_numpy(np.int64),
+                "ccode": per["ccode"].to_numpy(np.int64),
+                "l_year": per["year"].to_numpy(np.int64),
+                "rev": per["rev"].to_numpy(np.int64),
+            }
+        )
+
+    folded = (
+        both.repartition(buckets).groupby("__bucket").map_groups(fold_bucket, batch_format="pandas")
+    )
+    names = {0: nation_a, 1: nation_b}
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["scode", "ccode", "l_year"]).aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[int(s)] for s in out.column("scode").to_pylist()], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [names[int(c)] for c in out.column("ccode").to_pylist()], pa.string()
+                ),
+                "l_year": out.column("l_year"),
+                "revenue_cents": out.column("rev_sum"),
+            }
+        )
+
+    return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def market_share(sf_dir: str, nation: str = "NATION_5", region: str = "ASIA",
+                 p_type: str = "PROMO", buckets: int = 32):
+    """TPC-H Q8 shape (national market share): per order-year, the ppm
+    share of one nation's suppliers in the revenue of one part type sold
+    to customers of one region.
+
+    Three dimension legs collapse to broadcasts (promo partkeys; suppkey ->
+    is-target-nation; region custkeys via the nation |><| region snowflake
+    resolved driver-side -- 25 rows); lineitem emits per-orderkey
+    (nation_rev, total_rev) combiner partials; the orderkey-bucketed
+    exchange attaches the order year and folds per year; a tiny final
+    computes integer-ppm shares over the bounded year space.
+
+    Returns (o_year, nation_cents, total_cents, share_ppm)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {
+        r: k for k, r in zip(reg.column("r_regionkey").to_pylist(), reg.column("r_name").to_pylist())
+    }[region]
+    region_nations = np.array(
+        [
+            k for k, rk in zip(
+                nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()
+            )
+            if rk == rkey
+        ],
+        dtype=np.int64,
+    )
+    nation_key = {
+        n: k for k, n in zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    }[nation]
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+    pkeys = np.sort(
+        part.filter(pc.equal(part.column("p_type"), p_type))
+        .column("p_partkey").to_numpy().astype(np.int64)
+    )
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_keys, s_is_nat = _sorted_lookup(
+        supp.column("s_suppkey").to_numpy().astype(np.int64),
+        (supp.column("s_nationkey").to_numpy().astype(np.int64) == nation_key).astype(np.int8),
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    c_in = np.isin(cust.column("c_nationkey").to_numpy().astype(np.int64), region_nations)
+    ckeys = np.sort(cust.column("c_custkey").to_numpy().astype(np.int64)[c_in])
+    handle = ray.put({"pkeys": pkeys, "s_keys": s_keys, "s_is_nat": s_is_nat, "ckeys": ckeys})
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    class LineSide:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, _ = _probe_sorted(self.lk["pkeys"], lp)
+            b = batch.filter(pa.array(hit))
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            s_hit, s_pos = _probe_sorted(self.lk["s_keys"], sk)
+            is_nat = np.where(s_hit, self.lk["s_is_nat"][s_pos], 0).astype(bool)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            t = pa.table(
+                {
+                    "o_orderkey": b.column("l_orderkey"),
+                    "nat": pa.array(np.where(is_nat, rev, 0), pa.int64()),
+                    "tot": pa.array(rev, pa.int64()),
+                }
+            )
+            g = t.group_by(["o_orderkey"]).aggregate([("nat", "sum"), ("tot", "sum")])
+            t = pa.table(
+                {
+                    "o_orderkey": g.column("o_orderkey"),
+                    "nat": g.column("nat_sum"),
+                    "tot": g.column("tot_sum"),
+                    "year": pa.nulls(g.num_rows, pa.int64()),
+                    "__side": pa.array(["l"] * g.num_rows, pa.string()),
+                }
+            )
+            return hash_bucket_column(t, "o_orderkey", buckets)
+
+    class OrderSide:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, _ = _probe_sorted(self.lk["ckeys"], ck)
+            b = batch.filter(pa.array(hit))
+            year = (
+                b.column("o_orderdate").to_numpy(zero_copy_only=False)
+                .astype("datetime64[Y]").astype(np.int64) + 1970
+            )
+            t = pa.table(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "nat": pa.nulls(b.num_rows, pa.int64()),
+                    "tot": pa.nulls(b.num_rows, pa.int64()),
+                    "year": pa.array(year, pa.int64()),
+                    "__side": pa.array(["o"] * b.num_rows, pa.string()),
+                }
+            )
+            return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = lineitem.map_batches(LineSide, batch_format="pyarrow", concurrency=(1, 8)).union(
+        orders.map_batches(OrderSide, batch_format="pyarrow", concurrency=(1, 4))
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", ["o_orderkey", "nat", "tot"]]
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "year"]]
+        m = l.merge(o, on="o_orderkey", how="inner")
+        per = m.groupby("year", sort=False)[["nat", "tot"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "o_year": per["year"].to_numpy(np.int64),
+                "nat": per["nat"].to_numpy(np.int64),
+                "tot": per["tot"].to_numpy(np.int64),
+            }
+        )
+
+    folded = (
+        both.repartition(buckets).groupby("__bucket").map_groups(fold_bucket, batch_format="pandas")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["o_year"]).aggregate([("nat", "sum"), ("tot", "sum")])
+        nat_ = out.column("nat_sum").to_numpy()
+        tot = out.column("tot_sum").to_numpy()
+        ppm = (nat_ * 1_000_000) // np.maximum(tot, 1)
+        return pa.table(
+            {
+                "o_year": out.column("o_year"),
+                "nation_cents": pa.array(nat_.astype(np.int64), pa.int64()),
+                "total_cents": pa.array(tot.astype(np.int64), pa.int64()),
+                "share_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
