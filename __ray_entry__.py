@@ -3787,14 +3787,40 @@ def _q_returned_items(sf_dir: str):
     return relational.returned_items_topk(sf_dir)
 
 
+def _pin_schema_if_empty(ds, schema: "pa.Schema"):
+    """Ray Data cannot represent a zero-row Dataset's schema (empty blocks
+    drop it entirely, `to_pandas()` then yields zero COLUMNS); for bounded
+    final results that may legitimately be empty at tiny scales, return the
+    Dataset untouched when non-empty and a typed empty pyarrow Table (a
+    driver-accepted return type) otherwise."""
+    import pyarrow as pa
+
+    df = ds.to_pandas()
+    if len(df):
+        return pa.Table.from_pandas(df, preserve_index=False)
+    return schema.empty_table()
+
+
 def _q_nation_trade_volume(sf_dir: str):
     """TPC-H Q7 shape: 1996-1997 revenue shipped between NATION_1 and
     NATION_2 per direction per ship-year -- both nation legs broadcast,
     map-side combiners, one orderkey-bucketed exchange
     (relational.nation_trade_volume)."""
+    import pyarrow as pa
+
     from distributed_system___ocr_ray.pipelines import relational
 
-    return relational.nation_trade_volume(sf_dir)
+    return _pin_schema_if_empty(
+        relational.nation_trade_volume(sf_dir),
+        pa.schema(
+            [
+                ("supp_nation", pa.string()),
+                ("cust_nation", pa.string()),
+                ("l_year", pa.int64()),
+                ("revenue_cents", pa.int64()),
+            ]
+        ),
+    )
 
 
 def _q_market_share(sf_dir: str):

@@ -4827,6 +4827,9 @@ def nation_trade_volume(sf_dir: str, nation_a: str = "NATION_1",
     )
     names = {0: nation_a, 1: nation_b}
 
+    # NOTE: with zero qualifying rows the pipeline yields ZERO blocks and
+    # Ray Data drops the schema entirely; callers needing a stable empty
+    # schema must pin it driver-side (see __ray_entry__._pin_schema_if_empty)
     def final(batch: pa.Table) -> pa.Table:
         out = batch.group_by(["scode", "ccode", "l_year"]).aggregate([("rev", "sum")])
         return pa.table(
