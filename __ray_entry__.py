@@ -3833,6 +3833,47 @@ def _q_market_share(sf_dir: str):
     return relational.market_share(sf_dir)
 
 
+def _q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue from Brand#13 lineitems below 1/5 of the
+    part's average quantity -- the correlated per-group average as two
+    broadcast-joined scans, zero row shuffle, exact cross-multiplied
+    integer compare (relational.small_qty_revenue)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.small_qty_revenue(sf_dir)
+
+
+def _q_supplier_count_by_part(sf_dir: str):
+    """TPC-H Q16 shape (over the observed lineitem relation): distinct
+    suppliers per (brand, type, size) class, one brand excluded, sizes
+    listed -- batch-distinct combiner then a suppkey-bucketed global
+    dedup (relational.supplier_count_by_part_attrs)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.supplier_count_by_part_attrs(sf_dir)
+
+
+def _q_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (adapted: late = last shipment > 60 days after the
+    order date): per supplier, finished multi-supplier orders where it was
+    the ONLY late one -- max-shipdate combiner, one orderkey-bucketed
+    exchange, vectorized exactly-one-late predicate
+    (relational.waiting_suppliers)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.waiting_suppliers(sf_dir)
+
+
+def _q_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (10% of retail price stands in for supplycost):
+    ECONOMY-part profit per supplier nation per order year -- two
+    broadcast dimension legs, per-orderkey combiner, one bucketed
+    exchange (relational.product_profit)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.product_profit(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -3989,6 +4030,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "nation_trade_volume": _q_nation_trade_volume,
         "market_share": _q_market_share,
+        "small_qty_revenue": _q_small_qty_revenue,
+        "supplier_count_by_part": _q_supplier_count_by_part,
+        "waiting_suppliers": _q_waiting_suppliers,
+        "product_profit": _q_product_profit,
         "returned_items": _q_returned_items,
         "promo_revenue": _q_promo_revenue,
         "disjunctive_revenue": _q_disjunctive_revenue,
@@ -5923,6 +5968,62 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_cents "
             "FROM events"
+        ),
+        "small_qty_revenue": (
+            # replay of relational.small_qty_revenue (Q17 shape): same
+            # qty-cents chain and cross-multiplied 1/5-average compare
+            "WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'), "
+            "q AS (SELECT l_partkey, "
+            "SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT)) AS sum_q, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem JOIN bp ON p_partkey = l_partkey GROUP BY 1) "
+            "SELECT CAST(COALESCE(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)), 0) "
+            "AS BIGINT) AS revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem l JOIN q ON q.l_partkey = l.l_partkey "
+            "WHERE CAST(FLOOR(l.l_quantity*100 + 0.5) AS BIGINT) * 5 * q.n < 1 * q.sum_q"
+        ),
+        "supplier_count_by_part": (
+            # replay of relational.supplier_count_by_part_attrs (Q16 shape
+            # over the observed lineitem relation)
+            "WITH pf AS (SELECT p_partkey, p_brand, p_type, p_size FROM part "
+            "WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 10, 15, 20, 25)) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN pf ON p_partkey = l_partkey GROUP BY 1, 2, 3"
+        ),
+        "waiting_suppliers": (
+            # replay of relational.waiting_suppliers (Q21 shape): same
+            # 60-day lateness in epoch-us and exactly-one-late predicate
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "MAX(epoch_us(l_shipdate)) AS ship_us FROM lineitem GROUP BY 1, 2), "
+            "o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS od_us FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "m AS (SELECT l.l_orderkey, l.l_suppkey, "
+            "(l.ship_us > o.od_us + 5184000000000) AS late "
+            "FROM l JOIN o ON o.o_orderkey = l.l_orderkey), "
+            "st AS (SELECT l_orderkey, COUNT(*) AS n_supp, "
+            "SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late FROM m GROUP BY 1), "
+            "c AS (SELECT m.l_suppkey FROM m JOIN st USING (l_orderkey) "
+            "WHERE m.late AND st.n_supp >= 2 AND st.n_late = 1) "
+            "SELECT c.l_suppkey AS s_suppkey, s.s_name, "
+            "CAST(COUNT(*) AS BIGINT) AS numwait "
+            "FROM c JOIN supplier s ON s.s_suppkey = c.l_suppkey GROUP BY 1, 2"
+        ),
+        "product_profit": (
+            # replay of relational.product_profit (Q9 shape): same integer
+            # profit chain, 10% retail unit cost, order-year key
+            "WITH pf AS (SELECT p_partkey, "
+            "CAST(FLOOR(p_retailprice*100 + 0.5) AS BIGINT) AS retail "
+            "FROM part WHERE p_type = 'ECONOMY'), "
+            "l AS (SELECT l_orderkey, s_nationkey AS nat, "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) "
+            "- (CAST(FLOOR(l_quantity + 0.5) AS BIGINT) * retail * 10) // 100 AS profit "
+            "FROM lineitem JOIN pf ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey) "
+            "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(SUM(profit) AS BIGINT) AS profit_cents "
+            "FROM l JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN nation ON n_nationkey = nat GROUP BY 1, 2"
         ),
         "nation_trade_volume": (
             # replay of relational.nation_trade_volume (Q7 shape): same

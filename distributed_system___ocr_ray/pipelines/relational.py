@@ -4999,3 +4999,447 @@ def market_share(sf_dir: str, nation: str = "NATION_5", region: str = "ASIA",
         )
 
     return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#13", frac_num: int = 1,
+                      frac_den: int = 5, broadcast_cap_bytes: int = 256 << 20):
+    """TPC-H Q17 shape (small-quantity-order revenue): gross revenue from
+    lineitems of one brand whose quantity is below ``frac`` of that part's
+    average quantity -- a correlated per-group average turned into TWO
+    broadcast-joined scans with ZERO row shuffle.
+
+    Pass 1 folds per-part (sum_qty_cents, n) combiner partials for the
+    brand's parts into one small table (1/|brands| of the part dimension;
+    capped with a loud raise); pass 2 re-scans lineitem with the averages
+    broadcast and tests ``qty * den * n < num * sum_qty`` in exact integer
+    arithmetic (no float division on either side -- the SQL replay shares
+    the cross-multiplied compare).
+
+    Returns ONE row (revenue_cents, n_rows)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pkeys = np.sort(
+        part.filter(pc.equal(part.column("p_brand"), brand))
+        .column("p_partkey").to_numpy().astype(np.int64)
+    )
+    pk_handle = ray.put(pkeys)
+
+    cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    class QtyPartial:
+        def __init__(self) -> None:
+            self.pkeys = ray.get(pk_handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, _ = _probe_sorted(self.pkeys, lp)
+            b = batch.filter(pa.array(hit))
+            qty = np.floor(
+                b.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            t = pa.table(
+                {
+                    "pk": b.column("l_partkey"),
+                    "q": pa.array(qty, pa.int64()),
+                    "n": pa.array(np.ones(len(qty), np.int64), pa.int64()),
+                }
+            )
+            return t.group_by(["pk"]).aggregate([("q", "sum"), ("n", "sum")])
+
+    # pass 1: per-part qty sums -- the combiner keeps this to one row per
+    # (part, batch); the driver folds the small result and re-broadcasts
+    partials = lineitem.map_batches(QtyPartial, batch_format="pyarrow", concurrency=(1, 8))
+    folded = tiny_final_groupby(
+        partials, ["pk"], [("q_sum", "sum"), ("n_sum", "sum")], ["pk", "sum_q", "n"]
+    ).to_pandas()
+    avg_keys = folded["pk"].to_numpy(np.int64)
+    order = np.argsort(avg_keys)
+    avgs = {
+        "keys": avg_keys[order],
+        "sum_q": folded["sum_q"].to_numpy(np.int64)[order],
+        "n": folded["n"].to_numpy(np.int64)[order],
+    }
+    if avgs["keys"].nbytes * 3 > broadcast_cap_bytes:
+        raise ValueError("per-part average table exceeds the broadcast cap; bucket-join pass 2")
+    avg_handle = ray.put(avgs)
+
+    class Pass2:
+        def __init__(self) -> None:
+            self.lk = ray.get(avg_handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, pos = _probe_sorted(self.lk["keys"], lp)
+            b = batch.filter(pa.array(hit))
+            qty = np.floor(
+                b.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            sum_q = self.lk["sum_q"][pos[hit]]
+            n = self.lk["n"][pos[hit]]
+            # qty < (num/den) * avg  <=>  qty * den * n < num * sum_q
+            keep = qty * frac_den * n < frac_num * sum_q
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+            rev = np.floor(price * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "__k": pa.array([0], pa.int64()),
+                    "rev": pa.array([int(rev.sum())], pa.int64()),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                }
+            )
+
+    out = tiny_final_groupby(
+        lineitem.map_batches(Pass2, batch_format="pyarrow", concurrency=(1, 8)),
+        ["__k"],
+        [("rev", "sum"), ("n", "sum")],
+        ["__k", "revenue_cents", "n_rows"],
+    )
+    return out.drop_columns(["__k"])
+
+
+def supplier_count_by_part_attrs(sf_dir: str, exclude_brand: str = "Brand#13",
+                                 sizes: tuple = (1, 5, 10, 15, 20, 25),
+                                 buckets: int = 32):
+    """TPC-H Q16 shape (supplier breadth per part class, adapted to the
+    observed lineitem relation in place of partsupp): how many DISTINCT
+    suppliers ship each (brand, type, size) class, excluding one brand and
+    restricted to a size list.
+
+    The part dimension broadcasts as (sorted qualifying partkeys, attr
+    codes); every lineitem batch maps partkey -> attr code and emits
+    batch-distinct (attr, suppkey) pairs (the combiner -- duplicate
+    shipments never leave the scan); ONE suppkey-bucketed exchange makes
+    the pairs globally distinct (a suppkey lives in exactly one bucket)
+    and folds per-attr counts; a tiny final sums the bounded attr space.
+
+    Returns (p_brand, p_type, p_size, supplier_cnt)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+    keep = pc.and_(
+        pc.not_equal(part.column("p_brand"), exclude_brand),
+        pc.is_in(part.column("p_size"), value_set=pa.array(list(sizes), pa.int64())),
+    )
+    part = part.filter(keep)
+    # encode (brand, type, size) combos once; codes ship instead of strings
+    # (separator is \x1f, NOT \x00 -- numpy's fixed-width unicode dtype
+    # silently drops embedded NULs when np.unique casts object -> U)
+    combo = pd.DataFrame(
+        {
+            "brand": part.column("p_brand").to_pylist(),
+            "type": part.column("p_type").to_pylist(),
+            "size": part.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64),
+        }
+    )
+    attrs, codes = np.unique(
+        (combo["brand"] + "\x1f" + combo["type"] + "\x1f" + combo["size"].astype(str)).to_numpy(),
+        return_inverse=True,
+    )
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    lookup = {"keys": pk[order], "code": codes.astype(np.int64)[order]}
+    handle = ray.put(lookup)
+
+    lineitem = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    class Pairs:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, pos = _probe_sorted(self.lk["keys"], lp)
+            code = self.lk["code"][pos[hit]]
+            supp = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)[hit]
+            pairs = np.unique(np.stack([code, supp], axis=1), axis=0)
+            t = pa.table(
+                {
+                    "code": pa.array(pairs[:, 0], pa.int64()),
+                    "supp": pa.array(pairs[:, 1], pa.int64()),
+                }
+            )
+            return hash_bucket_column(t, "supp", buckets)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["code", "supp"]].drop_duplicates()
+        per = d.groupby("code", sort=False).size().reset_index(name="cnt")
+        return pd.DataFrame(
+            {"code": per["code"].to_numpy(np.int64), "cnt": per["cnt"].to_numpy(np.int64)}
+        )
+
+    folded = (
+        lineitem.map_batches(Pairs, batch_format="pyarrow", concurrency=(1, 8))
+        .repartition(buckets)
+        .groupby("__bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["code"]).aggregate([("cnt", "sum")])
+        code = out.column("code").to_numpy()
+        parts = [attrs[int(c)].split("\x1f") for c in code]
+        return pa.table(
+            {
+                "p_brand": pa.array([p[0] for p in parts], pa.string()),
+                "p_type": pa.array([p[1] for p in parts], pa.string()),
+                "p_size": pa.array([int(p[2]) for p in parts], pa.int64()),
+                "supplier_cnt": out.column("cnt_sum"),
+            }
+        )
+
+    return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 60, status: str = "F",
+                      buckets: int = 32):
+    """TPC-H Q21 shape (suppliers who kept orders waiting, adapted to the
+    available columns: "late" means the supplier's LAST shipment left more
+    than ``late_days`` after the order date): per supplier, the number of
+    finished multi-supplier orders where that supplier was the ONLY late
+    one -- the classic EXISTS / NOT-EXISTS double-correlation.
+
+    Lineitem folds per-(orderkey, suppkey) max-shipdate combiner partials
+    map-side; orders prune to the status map-side; ONE orderkey-bucketed
+    exchange re-folds the max, joins the order date, and evaluates the
+    exactly-one-late / at-least-two-suppliers predicate vectorized per
+    order; per-bucket per-supplier counts fold in a tiny final with the
+    supplier names broadcast.
+
+    Returns (s_suppkey, s_name, numwait) for suppliers with numwait >= 1."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_orderdate"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch.column("o_orderstatus"), status))
+        od = (
+            b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "supp": pa.nulls(b.num_rows, pa.int64()),
+                "ship_us": pa.nulls(b.num_rows, pa.int64()),
+                "od_us": pa.array(od, pa.int64()),
+                "__side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "supp": batch.column("l_suppkey"),
+                "ship_us": pa.array(ship, pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderkey", "supp"]).aggregate([("ship_us", "max")])
+        t = pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "supp": g.column("supp"),
+                "ship_us": g.column("ship_us_max"),
+                "od_us": pa.nulls(g.num_rows, pa.int64()),
+                "__side": pa.array(["l"] * g.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lineitem.map_batches(line_side, batch_format="pyarrow")
+    )
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", ["o_orderkey", "supp", "ship_us"]]
+        per = l.groupby(["o_orderkey", "supp"], sort=False)["ship_us"].max().reset_index()
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "od_us"]]
+        m = per.merge(o, on="o_orderkey", how="inner")
+        m["late"] = m["ship_us"] > m["od_us"] + late_us
+        st = m.groupby("o_orderkey", sort=False).agg(
+            n_supp=("supp", "size"), n_late=("late", "sum")
+        )
+        ok = st[(st["n_supp"] >= 2) & (st["n_late"] == 1)].index
+        culprit = m[m["late"] & m["o_orderkey"].isin(ok)]
+        per_supp = culprit.groupby("supp", sort=False).size().reset_index(name="numwait")
+        return pd.DataFrame(
+            {
+                "supp": per_supp["supp"].to_numpy(np.int64),
+                "numwait": per_supp["numwait"].to_numpy(np.int64),
+            }
+        )
+
+    folded = (
+        both.repartition(buckets).groupby("__bucket").map_groups(fold_bucket, batch_format="pandas")
+    )
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    names = dict(zip(supp.column("s_suppkey").to_pylist(), supp.column("s_name").to_pylist()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["supp"]).aggregate([("numwait", "sum")])
+        sk = out.column("supp").to_pylist()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_name": pa.array([names[int(s)] for s in sk], pa.string()),
+                "numwait": out.column("numwait_sum"),
+            }
+        )
+
+    return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def product_profit(sf_dir: str, p_type: str = "ECONOMY", cost_pct: int = 10,
+                   buckets: int = 32):
+    """TPC-H Q9 shape (product-type profit by nation and year, with
+    ``cost_pct`` percent of the part's retail price per unit standing in
+    for the absent partsupp supplycost): profit = discounted revenue minus
+    quantity x unit cost, folded per (supplier nation, order year).
+
+    Part (retail cents for the type's parts) and supplier (nation code)
+    broadcast once; lineitem emits per-(orderkey, nation) integer profit
+    combiner partials; ONE orderkey-bucketed exchange attaches the order
+    year and folds; a tiny final resolves nation names over the bounded
+    (25 x years) key space.
+
+    Returns (n_name, o_year, profit_cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type", "p_retailprice"])
+    part = part.filter(pc.equal(part.column("p_type"), p_type))
+    pk = part.column("p_partkey").to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    retail_cents = np.floor(
+        part.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+    ).astype(np.int64)
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    s_keys, s_nat = _sorted_lookup(
+        supp.column("s_suppkey").to_numpy().astype(np.int64),
+        supp.column("s_nationkey").to_numpy().astype(np.int64),
+    )
+    handle = ray.put(
+        {"pkeys": pk[order], "retail": retail_cents[order], "s_keys": s_keys, "s_nat": s_nat}
+    )
+
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"])
+
+    class LineSide:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lp = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            hit, pos = _probe_sorted(self.lk["pkeys"], lp)
+            b = batch.filter(pa.array(hit))
+            retail = self.lk["retail"][pos[hit]]
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            s_hit, s_pos = _probe_sorted(self.lk["s_keys"], sk)
+            nat = np.where(s_hit, self.lk["s_nat"][s_pos], -1)
+            price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+            qty = np.floor(
+                b.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+            ).astype(np.int64)
+            rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            profit = rev - qty * retail * cost_pct // 100
+            t = pa.table(
+                {
+                    "o_orderkey": b.column("l_orderkey"),
+                    "nat": pa.array(nat, pa.int64()),
+                    "profit": pa.array(profit, pa.int64()),
+                }
+            )
+            g = t.group_by(["o_orderkey", "nat"]).aggregate([("profit", "sum")])
+            t = pa.table(
+                {
+                    "o_orderkey": g.column("o_orderkey"),
+                    "nat": g.column("nat"),
+                    "profit": g.column("profit_sum"),
+                    "year": pa.nulls(g.num_rows, pa.int64()),
+                    "__side": pa.array(["l"] * g.num_rows, pa.string()),
+                }
+            )
+            return hash_bucket_column(t, "o_orderkey", buckets)
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        year = (
+            batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "nat": pa.nulls(batch.num_rows, pa.int64()),
+                "profit": pa.nulls(batch.num_rows, pa.int64()),
+                "year": pa.array(year, pa.int64()),
+                "__side": pa.array(["o"] * batch.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = lineitem.map_batches(LineSide, batch_format="pyarrow", concurrency=(1, 8)).union(
+        orders.map_batches(order_side, batch_format="pyarrow")
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", ["o_orderkey", "nat", "profit"]]
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "year"]]
+        m = l.merge(o, on="o_orderkey", how="inner")
+        per = m.groupby(["nat", "year"], sort=False)["profit"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "nat": per["nat"].to_numpy(np.int64),
+                "o_year": per["year"].to_numpy(np.int64),
+                "profit": per["profit"].to_numpy(np.int64),
+            }
+        )
+
+    folded = (
+        both.repartition(buckets).groupby("__bucket").map_groups(fold_bucket, batch_format="pandas")
+    )
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nnames = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["nat", "o_year"]).aggregate([("profit", "sum")])
+        return pa.table(
+            {
+                "n_name": pa.array(
+                    [nnames[int(n)] for n in out.column("nat").to_pylist()], pa.string()
+                ),
+                "o_year": out.column("o_year"),
+                "profit_cents": out.column("profit_sum"),
+            }
+        )
+
+    return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
