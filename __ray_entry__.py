@@ -3874,6 +3874,37 @@ def _q_product_profit(sf_dir: str):
     return relational.product_profit(sf_dir)
 
 
+def _q_order_priority_check(sf_dir: str):
+    """TPC-H Q4 shape (late = some lineitem shipped > 30 days after the
+    order date): per priority class, orders in 1996Q1 with at least one
+    late lineitem -- EXISTS as a max-shipdate combiner, lossless
+    shipdate>date_lo prune, one orderkey-bucketed exchange
+    (relational.order_priority_check)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.order_priority_check(sf_dir)
+
+
+def _q_line_priority_counts(sf_dir: str):
+    """TPC-H Q12 shape (l_returnflag stands in for the absent ship mode):
+    per flag, 1996-shipped lineitems from high- vs low-priority orders --
+    per-(orderkey, flag) combiner, one-bit order side, one bucketed
+    exchange (relational.line_priority_counts)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.line_priority_counts(sf_dir)
+
+
+def _q_customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape: customers per exact qualifying-order count
+    (priority 5-LOW excluded), zero bin included via the metadata-only
+    customer total -- per-batch custkey combiner, custkey-bucketed fold,
+    per-bucket histogram collapse (relational.customer_order_distribution)."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.customer_order_distribution(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4034,6 +4065,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_count_by_part": _q_supplier_count_by_part,
         "waiting_suppliers": _q_waiting_suppliers,
         "product_profit": _q_product_profit,
+        "order_priority_check": _q_order_priority_check,
+        "line_priority_counts": _q_line_priority_counts,
+        "customer_order_distribution": _q_customer_order_distribution,
         "returned_items": _q_returned_items,
         "promo_revenue": _q_promo_revenue,
         "disjunctive_revenue": _q_disjunctive_revenue,
@@ -6024,6 +6058,41 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(profit) AS BIGINT) AS profit_cents "
             "FROM l JOIN orders ON o_orderkey = l_orderkey "
             "JOIN nation ON n_nationkey = nat GROUP BY 1, 2"
+        ),
+        "order_priority_check": (
+            # replay of relational.order_priority_check (Q4 shape): same
+            # quarter window, 30-day lateness in epoch-us, EXISTS-as-max
+            "WITH o AS (SELECT o_orderkey, o_orderpriority, "
+            "epoch_us(o_orderdate) AS od FROM orders "
+            "WHERE o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1996-04-01'), "
+            "l AS (SELECT l_orderkey, MAX(epoch_us(l_shipdate)) AS mx "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+            "FROM o JOIN l ON l.l_orderkey = o.o_orderkey "
+            "WHERE l.mx > o.od + 2592000000000 GROUP BY 1"
+        ),
+        "line_priority_counts": (
+            # replay of relational.line_priority_counts (Q12 shape): same
+            # ship-year window and high-priority class set
+            "SELECT l_returnflag, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_count, "
+            "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_count "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1997-01-01' GROUP BY 1"
+        ),
+        "customer_order_distribution": (
+            # replay of relational.customer_order_distribution (Q13 shape):
+            # LEFT JOIN zero bin, same priority exclusion
+            "WITH o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count "
+            "FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1) "
+            "SELECT COALESCE(o.c_count, 0) AS c_count, "
+            "CAST(COUNT(*) AS BIGINT) AS custdist "
+            "FROM customer LEFT JOIN o ON o.o_custkey = customer.c_custkey "
+            "GROUP BY 1"
         ),
         "nation_trade_volume": (
             # replay of relational.nation_trade_volume (Q7 shape): same

@@ -188,6 +188,11 @@ def run_bench() -> dict:
         "quality_length_corr", "shuffle_mix_audit", "cheapest_supplier",
         "lang_source_chi2", "normalized_dedup", "out_of_order_audit",
         "dominant_suppliers", "source_vocab_overlap", "trailing_rows_sum",
+        "shipping_priority", "returned_items", "promo_revenue",
+        "disjunctive_revenue", "nation_trade_volume", "market_share",
+        "small_qty_revenue", "supplier_count_by_part", "waiting_suppliers",
+        "product_profit", "order_priority_check", "line_priority_counts",
+        "customer_order_distribution", "forecast_revenue_delta",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

@@ -5443,3 +5443,260 @@ def product_profit(sf_dir: str, p_type: str = "ECONOMY", cost_pct: int = 10,
         )
 
     return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def order_priority_check(sf_dir: str, date_lo: str = "1996-01-01",
+                         date_hi: str = "1996-04-01", late_days: int = 30,
+                         buckets: int = 32):
+    """TPC-H Q4 shape (order-priority checking, adapted: "late" = some
+    lineitem shipped more than ``late_days`` after the order date, since the
+    observed lineitem relation carries no commit/receipt dates): per
+    priority class, how many orders placed in [date_lo, date_hi) have AT
+    LEAST ONE late lineitem.
+
+    The EXISTS turns into a per-orderkey MAX-shipdate combiner (exists a
+    late ship <=> max ship is late), so the lineitem side of the ONE
+    orderkey-bucketed exchange is one row per (order, batch). The lineitem
+    scan prunes to ``l_shipdate > date_lo``: a qualifying ship satisfies
+    ship > orderdate + late_days >= date_lo, so the filter is lossless for
+    the existence test while skipping most of history at 100 TB.
+
+    Returns (o_orderpriority, order_count)."""
+    import ray.data as rd
+
+    lo_us = np.datetime64(date_lo, "us").astype(np.int64)
+    hi_us = np.datetime64(date_hi, "us").astype(np.int64)
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        od = (
+            batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = (od >= lo_us) & (od < hi_us)
+        b = batch.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "prio": b.column("o_orderpriority"),
+                "us": pa.array(od[keep], pa.int64()),
+                "__side": pa.array(["o"] * b.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = ship > lo_us  # lossless prune: see docstring
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey").filter(pa.array(keep)),
+                "us": pa.array(ship[keep], pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderkey"]).aggregate([("us", "max")])
+        t = pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "prio": pa.nulls(g.num_rows, pa.string()),
+                "us": g.column("us_max"),
+                "__side": pa.array(["l"] * g.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lineitem.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "prio", "us"]]
+        l = g.loc[g["__side"] == "l", ["o_orderkey", "us"]]
+        mx = l.groupby("o_orderkey", sort=False)["us"].max()
+        m = o.merge(mx.rename("mx"), left_on="o_orderkey", right_index=True, how="inner")
+        late = m[m["mx"] > m["us"] + late_us]
+        per = late.groupby("prio", sort=False).size().reset_index(name="n")
+        return pd.DataFrame({"prio": per["prio"], "n": per["n"].to_numpy(np.int64)})
+
+    folded = (
+        both.repartition(buckets).groupby("__bucket").map_groups(fold_bucket, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        folded, ["prio"], [("n", "sum")], ["o_orderpriority", "order_count"]
+    )
+
+
+def line_priority_counts(sf_dir: str, year: int = 1996, buckets: int = 32):
+    """TPC-H Q12 shape (shipping-class vs order priority, adapted: the
+    observed lineitem relation has no ship mode, so l_returnflag is the
+    class axis): for lineitems shipped in ``year``, per return flag, how
+    many came from high-priority orders (1-URGENT / 2-HIGH) vs the rest.
+
+    Lineitem emits per-(orderkey, flag) count combiner partials after the
+    year prune; orders carry one (orderkey, is_high) bit; ONE
+    orderkey-bucketed exchange folds (flag, high, low) partials and the
+    bounded-flag final sums them.
+
+    Returns (l_returnflag, high_count, low_count)."""
+    import ray.data as rd
+
+    lo_us = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi_us = np.datetime64(f"{year + 1}-01-01", "us").astype(np.int64)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+
+    def order_side(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority")
+        hi = pc.or_(pc.equal(prio, "1-URGENT"), pc.equal(prio, "2-HIGH"))
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "flag": pa.nulls(batch.num_rows, pa.string()),
+                "n": pa.nulls(batch.num_rows, pa.int64()),
+                "hi": hi.combine_chunks() if isinstance(hi, pa.ChunkedArray) else hi,
+                "__side": pa.array(["o"] * batch.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    def line_side(batch: pa.Table) -> pa.Table:
+        ship = (
+            batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        keep = (ship >= lo_us) & (ship < hi_us)
+        b = batch.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey"),
+                "flag": b.column("l_returnflag"),
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderkey", "flag"]).aggregate([("n", "sum")])
+        t = pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "flag": g.column("flag"),
+                "n": g.column("n_sum"),
+                "hi": pa.nulls(g.num_rows, pa.bool_()),
+                "__side": pa.array(["l"] * g.num_rows, pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "o_orderkey", buckets)
+
+    both = orders.map_batches(order_side, batch_format="pyarrow").union(
+        lineitem.map_batches(line_side, batch_format="pyarrow")
+    )
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", ["o_orderkey", "flag", "n"]]
+        o = g.loc[g["__side"] == "o", ["o_orderkey", "hi"]]
+        m = l.merge(o, on="o_orderkey", how="inner")
+        m["high"] = np.where(m["hi"].to_numpy(bool), m["n"].to_numpy(np.int64), 0)
+        m["low"] = m["n"].to_numpy(np.int64) - m["high"].to_numpy(np.int64)
+        per = m.groupby("flag", sort=False)[["high", "low"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "flag": per["flag"],
+                "high": per["high"].to_numpy(np.int64),
+                "low": per["low"].to_numpy(np.int64),
+            }
+        )
+
+    folded = (
+        both.repartition(buckets).groupby("__bucket").map_groups(fold_bucket, batch_format="pandas")
+    )
+    return tiny_final_groupby(
+        folded,
+        ["flag"],
+        [("high", "sum"), ("low", "sum")],
+        ["l_returnflag", "high_count", "low_count"],
+    )
+
+
+def customer_order_distribution(sf_dir: str, exclude_priority: str = "5-LOW",
+                                buckets: int = 32):
+    """TPC-H Q13 shape (customer order-count distribution, with one
+    priority class excluded standing in for the comment anti-filter): how
+    many customers placed exactly c_count qualifying orders -- INCLUDING
+    the zero bin (customers with no qualifying orders at all).
+
+    Orders emit per-batch per-custkey count partials; ONE custkey-bucketed
+    exchange folds exact per-customer totals and collapses each bucket to
+    its (c_count -> n_customers) histogram, so the final merge is
+    bounded by the max order count, not the customer count. The zero bin
+    is total customers (parquet metadata count -- no scan) minus the
+    histogram mass; qualifying-order custkeys are assumed to be a subset
+    of the customer table (holds for the testdata; the SQL replay's LEFT
+    JOIN encodes the same assumption).
+
+    Returns (c_count, custdist)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    total_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.not_equal(batch.column("o_orderpriority"), exclude_priority))
+        t = pa.table(
+            {
+                "ck": b.column("o_custkey"),
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["ck"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["ck", "n"])
+        return hash_bucket_column(g, "ck", buckets)
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("ck", sort=False)["n"].sum()
+        hist = per.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": hist.index.to_numpy(np.int64),
+                "custdist": hist.to_numpy(np.int64),
+            }
+        )
+
+    folded = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .repartition(buckets)
+        .groupby("__bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["c_count"]).aggregate([("custdist", "sum")])
+        cc = out.column("c_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = out.column("custdist_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        zero = total_customers - int(cd.sum())
+        if zero > 0:  # the SQL replay's LEFT JOIN emits a 0 bin only when occupied
+            cc = np.concatenate([cc, [0]])
+            cd = np.concatenate([cd, [zero]])
+        return pa.table(
+            {"c_count": pa.array(cc, pa.int64()), "custdist": pa.array(cd, pa.int64())}
+        )
+
+    return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
