@@ -1881,9 +1881,10 @@ def _q_pagerank_top(sf_dir: str):
 
 def _q_bfs_levels(sf_dir: str):
     """Min-hop BFS levels from doc 0 over the md5-derived citation graph
-    (analytics.bfs_levels): per round one bucketed frontier x edges join +
-    one groupby-MIN fold (idempotent -- no visited-set broadcast); the
-    oracle unrolls the identical rounds as CTEs."""
+    (analytics.bfs_levels): per round a capped broadcast-frontier map-side
+    probe (edges never re-shuffle; falls back to the bucketed join past
+    the cap) + one bucketed groupby-MIN fold (idempotent -- no visited-set
+    broadcast); the oracle unrolls the identical rounds as CTEs."""
     import ray.data as rd
 
     from distributed_system___ocr_ray.pipelines import analytics

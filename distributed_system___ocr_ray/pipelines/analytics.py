@@ -3986,28 +3986,42 @@ def derived_link_edges(ds, n_nodes: int, id_col: str = "doc_id"):
     return ds.map_batches(mkedges, batch_format="pyarrow")
 
 
-def bfs_levels(ds, source: int = 0, max_rounds: int = 8, id_col: str = "doc_id"):
+def bfs_levels(ds, source: int = 0, max_rounds: int = 8, id_col: str = "doc_id",
+               broadcast_cap_bytes: int = 64 << 20):
     """Distributed BFS: minimum hop count from ``source`` to every node it
     reaches within ``max_rounds``, over the md5-derived citation graph
     shared with ``pagerank_top`` / ``triangle_count`` -- the reachability /
-    influence-radius primitive. Each round joins the current frontier
-    (rows at level == r) against the edges on src (bucketed hash join:
-    both sides are large at scale, a broadcast frontier would cap out)
-    and folds the candidates in with ONE groupby-MIN -- idempotent, so
+    influence-radius primitive.
+
+    Per-round plan, chosen by FRONTIER size (the BFS-specific skew: the
+    frontier starts at one node and only reaches edge scale in the
+    exponential middle rounds):
+
+    - frontier fits ``broadcast_cap_bytes`` (8 bytes/node): ship the sorted
+      frontier ONCE with ray.put and probe it map-side over the
+      materialized edge table -- the edge set (the 100 TB side) never
+      re-shuffles, the round's only exchange is the level fold. The
+      round-3 rewrite: the old always-join plan re-bucketed ALL edges
+      EVERY round, 8 edge shuffles for 8 rounds (measured 24.4 s cold at
+      sf0.01 for 248 reached nodes -- pure exchange constants).
+    - otherwise: the bucketed hash join (both sides large, broadcast
+      would cap out) -- unchanged semantics, automatic crossover.
+
+    Candidates fold in with ONE groupby-MIN per round (idempotent, so
     re-discovered nodes keep their first level and no anti-join or
-    visited-set broadcast is needed. Levels materialize per round
-    (bounded recovery; same justification as pagerank_top). An
-    already-exhausted frontier makes later rounds no-ops, so a fixed
-    ``max_rounds`` unrolls verbatim into SQL CTEs.
+    visited-set broadcast is needed), expressed as the bucketed
+    map_groups fold to skip the sort-aggregate barrier. Levels
+    materialize per round (bounded recovery; same justification as
+    pagerank_top). An already-exhausted frontier makes later rounds
+    no-ops, so a fixed ``max_rounds`` unrolls verbatim into SQL CTEs.
 
     Returns (doc_id, level) for reached nodes, source included at 0.
     """
     import pyarrow.compute as pc
+    import ray
     import ray.data as rd
 
-    from ray.data.aggregate import Min
-
-    from .relational import bucketed_hash_join, derive_buckets
+    from .relational import bucketed_hash_join, derive_buckets, hash_bucket_column
 
     n_nodes = ds.count()
     edges = (
@@ -4019,13 +4033,25 @@ def bfs_levels(ds, source: int = 0, max_rounds: int = 8, id_col: str = "doc_id")
     levels = rd.from_arrow(
         pa.table({"node": pa.array([int(source)], pa.int64()),
                   "level": pa.array([0], pa.int64())})
-    )
+    ).materialize()
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("node", sort=False)["level"].min().reset_index()
+        return pd.DataFrame(
+            {
+                "node": per["node"].to_numpy(np.int64),
+                "level": per["level"].to_numpy(np.int64),
+            }
+        )
+
     for r in range(max_rounds):
         def is_frontier(batch: pa.Table, r_=r) -> pa.Table:
             return batch.filter(pc.equal(batch.column("level"), r_))
 
+        # levels is materialized, so this filter-count is a memory scan
         frontier = levels.map_batches(is_frontier, batch_format="pyarrow")
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
 
         def cand(batch: pa.Table, r_=r) -> pa.Table:
@@ -4036,29 +4062,55 @@ def bfs_levels(ds, source: int = 0, max_rounds: int = 8, id_col: str = "doc_id")
                 }
             )
 
-        def as_src(batch: pa.Table) -> pa.Table:
-            # explicit rebuild, not select+rename Projects: the fused
-            # Project pair mis-plans into a duplicate-column schema here
-            return pa.table({"src": batch.column("node").combine_chunks().cast(pa.int64()),
-                             "level": batch.column("level")})
+        if n_frontier * 8 <= broadcast_cap_bytes:
+            # bounded driver collect: <= cap bytes of int64 node ids
+            fr = np.sort(
+                np.fromiter(
+                    (row["node"] for row in frontier.take_all()), np.int64, n_frontier
+                )
+            )
+            handle = ray.put(fr)
 
-        joined = bucketed_hash_join(
-            edges,
-            frontier.map_batches(as_src, batch_format="pyarrow"),
-            "src", "src", buckets=buckets,
-        )
+            def probe(batch: pa.Table) -> pa.Table:
+                f = ray.get(handle)
+                src_ids = batch.column("src").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(f, src_ids)
+                pos[pos == len(f)] = 0
+                return batch.filter(pa.array(f[pos] == src_ids))
+
+            candidates = edges.map_batches(probe, batch_format="pyarrow").map_batches(
+                cand, batch_format="pyarrow"
+            )
+        else:
+            def as_src(batch: pa.Table) -> pa.Table:
+                # explicit rebuild, not select+rename Projects: the fused
+                # Project pair mis-plans into a duplicate-column schema here
+                return pa.table(
+                    {"src": batch.column("node").combine_chunks().cast(pa.int64()),
+                     "level": batch.column("level")}
+                )
+
+            joined = bucketed_hash_join(
+                edges,
+                frontier.map_batches(as_src, batch_format="pyarrow"),
+                "src", "src", buckets=buckets,
+            )
+            candidates = joined.map_batches(cand, batch_format="pyarrow")
+
         def norm(batch: pa.Table) -> pa.Table:
-            # normalize block type: the bucketed join emits pandas blocks
-            # (empty ones pass the cand map through unconverted) and the
-            # sort-based aggregate asserts a single block type
-            return pa.table({"node": batch.column("node").combine_chunks().cast(pa.int64()),
-                             "level": batch.column("level").combine_chunks().cast(pa.int64())})
+            # normalize block type: join-path blocks arrive as pandas
+            t = pa.table(
+                {"node": batch.column("node").combine_chunks().cast(pa.int64()),
+                 "level": batch.column("level").combine_chunks().cast(pa.int64())}
+            )
+            return hash_bucket_column(t, "node", buckets)
 
         levels = (
-            levels.union(joined.map_batches(cand, batch_format="pyarrow"))
+            levels.union(candidates)
             .map_batches(norm, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("level", alias_name="level"))
+            .repartition(buckets)
+            .groupby("__bucket")
+            .map_groups(fold_min, batch_format="pandas")
             .materialize()
         )
 
