@@ -1449,6 +1449,19 @@ def _q_dup_shingle_rate(sf_dir: str):
     return analytics.dup_shingle_rate(ds)
 
 
+def _q_doc_boilerplate(sf_dir: str):
+    """Per-doc duplicated-shingle ppm (the boilerplate quality column a
+    substring-dedup gate filters on; analytics.doc_boilerplate_score);
+    oracle reuses the shared word-3-shingle CTE body (_SHINGLE_CTES) and
+    resolves dup_shingle_rate's >= 2-doc rule per doc_id."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analytics.doc_boilerplate_score(ds)
+
+
 def _q_session_paths(sf_dir: str):
     """Per-session event-type trigram counts (path mining one level above
     event_transitions' bigrams); deterministic (ts, event_id) tie order on
@@ -4022,6 +4035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_doc_counts": _q_phrase_doc_counts,
         "oov_rate_by_lang": _q_oov_rate_by_lang,
         "dup_shingle_rate": _q_dup_shingle_rate,
+        "doc_boilerplate": _q_doc_boilerplate,
         "session_paths": _q_session_paths,
         "minhash_recall_audit": _q_minhash_recall_audit,
         "trimmed_mean_price": _q_trimmed_mean_price,
@@ -4676,6 +4690,20 @@ _DUP_SHINGLE_SQL = (
     "SELECT source, CAST(n_shingles AS BIGINT) AS n_shingles, "
     "CAST(n_shared AS BIGINT) AS n_shared, "
     "CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS shared_ppm FROM a"
+)
+
+# replay of analytics.doc_boilerplate_score: dup_shingle_rate's >= 2-doc
+# rule over the SAME shared shingle CTE body, grouped per doc_id
+_DOC_BOILERPLATE_SQL = (
+    f"WITH {_SHINGLE_CTES}, "
+    "g AS (SELECT s, COUNT(*) AS nd FROM sh GROUP BY s), "
+    "j AS (SELECT sh.doc_id, CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END AS shared "
+    "FROM sh JOIN g USING (s)), "
+    "a AS (SELECT doc_id, COUNT(*) AS n_shingles, SUM(shared) AS n_shared "
+    "FROM j GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, "
+    "CAST(n_shared AS BIGINT) AS n_shared, "
+    "CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS boilerplate_ppm FROM a"
 )
 
 _TOP_TOKENS_SQL = (
@@ -5877,6 +5905,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY lang"
         ),
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
+        "doc_boilerplate": _DOC_BOILERPLATE_SQL,
         "top_revenue_suppliers": (
             # replay of relational.top_revenue_suppliers (Q15 shape): same
             # per-row FLOOR(price*(1-disc)*100+0.5) cents as the join family

@@ -193,6 +193,7 @@ def run_bench() -> dict:
         "small_qty_revenue", "supplier_count_by_part", "waiting_suppliers",
         "product_profit", "order_priority_check", "line_priority_counts",
         "customer_order_distribution", "forecast_revenue_delta",
+        "doc_boilerplate",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

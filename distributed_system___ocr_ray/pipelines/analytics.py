@@ -5402,6 +5402,98 @@ def dup_shingle_rate(
     return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)
 
 
+def doc_boilerplate_score(
+    ds, id_col: str = "doc_id", text_col: str = "text", buckets: int | None = None
+):
+    """Per-DOCUMENT boilerplate score: the ppm of a doc's DISTINCT
+    word-3-shingles that also appear in at least one OTHER document --
+    ``dup_shingle_rate`` (the per-slice aggregate) resolved down to a
+    per-doc quality COLUMN, the signal a substring-dedup or quality gate
+    filters on (Lee et al.'s "how much of this doc is corpus boilerplate"
+    per row instead of per crawl slice).
+
+    Plan (TWO bounded exchanges, never text):
+
+    1. the SAME tokenize/shingle/md5-u64 kernel as the MinHash/ngram/
+       dup_shingle families, emitted as (h: uint64, doc_id) long rows,
+       hash-bucketed on h -- all rows of one shingle land together, so
+       the in-bucket group size IS the global distinct-doc count;
+    2. per h-bucket, per-doc PARTIAL (n, n_shared) counts -- collapsing
+       each bucket to at most |docs-in-bucket| rows before anything
+       moves again;
+    3. ONE doc_id-bucketed fold sums the partials and computes the exact
+       int64 ppm.
+
+    Same 2^-64-per-pair hash-collision caveat as dup_shingle_rate; the
+    SQL replay groups by the shingle string, equality-identical at test
+    scale.
+
+    Returns (doc_id, n_shingles, n_shared, boilerplate_ppm), one row per
+    doc with at least one shingle (every doc: the kernel emits one
+    whole-text shingle for <3-token docs)."""
+    from ..functions.dedup import shingle_hashes
+    from .relational import derive_buckets, hash_bucket_column
+
+    n_docs = ds.count()
+    if buckets is None:
+        buckets = derive_buckets(n_docs, rows_per_bucket=50_000)
+    doc_buckets = derive_buckets(n_docs, rows_per_bucket=500_000)
+
+    def long_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        memo: dict[str, int] = {}
+        us = [np.unique(shingle_hashes(t or "", 3, memo)) for t in texts]
+        lens = [len(u) for u in us]
+        h = np.concatenate(us) if us else np.empty(0, np.uint64)
+        out = pa.table(
+            {
+                "h": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+            }
+        )
+        return hash_bucket_column(out, "h", buckets)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)["h"].transform("size")
+        p = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shared": (nd >= 2).to_numpy().astype(np.int64),
+            }
+        )
+        out = p.groupby("doc_id", sort=False)["shared"].agg(["size", "sum"]).reset_index()
+        t = pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["size"].to_numpy(np.int64), pa.int64()),
+                "n_shared": pa.array(out["sum"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+        return hash_bucket_column(t, "doc_id", doc_buckets, name="__dbucket").to_pandas()
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False)[["n", "n_shared"]].sum().reset_index()
+        n = out["n"].to_numpy(np.int64)
+        s = out["n_shared"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy(np.int64),
+                "n_shingles": n,
+                "n_shared": s,
+                "boilerplate_ppm": s * 1_000_000 // n,
+            }
+        )
+
+    return (
+        ds.map_batches(long_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(fold_doc, batch_format="pandas")
+    )
+
+
 def pair_set_audit(exact, approx):
     """Precision/recall audit of an APPROXIMATE pair set against an EXACT
     one -- the measurement that justifies (or indicts) running MinHash

@@ -4793,6 +4793,59 @@ class TestDupShingleRate:
         got = _pdf(analytics.dup_shingle_rate(rd.from_arrow(tbl), buckets=2))
         assert got["n_shared"].iloc[0] == 0
 
+    def test_doc_boilerplate_hand_built_and_mass(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # same corpus as test_hand_built, resolved per doc: doc1 has one of
+        # its two shingles shared, doc2's single shingle is shared, docs
+        # 3/4 are clean
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    ["a b c d", "a b c", "p q r s", "x y"], pa.string()
+                ),
+            }
+        )
+        got = (
+            _pdf(analytics.doc_boilerplate_score(rd.from_arrow(tbl), buckets=4))
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [1, 2, 3, 4]
+        assert list(got["n_shingles"]) == [2, 1, 2, 1]
+        assert list(got["n_shared"]) == [1, 1, 0, 0]
+        assert list(got["boilerplate_ppm"]) == [500_000, 1_000_000, 0, 0]
+        # per-doc folds must conserve dup_shingle_rate's aggregate mass
+        agg = _pdf(
+            analytics.dup_shingle_rate(
+                rd.from_arrow(tbl.append_column(
+                    "source", pa.array(["s"] * 4, pa.string()))),
+                buckets=4,
+            )
+        )
+        assert got["n_shingles"].sum() == agg["n_shingles"].sum()
+        assert got["n_shared"].sum() == agg["n_shared"].sum()
+
+    def test_doc_boilerplate_bucket_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        a = (
+            _pdf(analytics.doc_boilerplate_score(ds, buckets=3))
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        b = (
+            _pdf(analytics.doc_boilerplate_score(ds, buckets=17))
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+
     def test_vs_duckdb(self):
         import ray.data as rd
 
