@@ -6354,3 +6354,146 @@ class TestTrailingRowsSum:
             .reset_index(drop=True)
         )
         assert got["trail_cents"].tolist() == [1, 3, 5, 7, 99]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTpchLateFamilyEdges:
+    """Hand-built boundary pins for the Q4/Q13/Q21 shapes (the driver
+    contract blanket-checks them vs DuckDB at sf0.001; these pin the exact
+    edge semantics the oracles could mask if both sides drifted together)."""
+
+    def _write(self, tmp_path, **tables):
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        for name, df in tables.items():
+            _pq.write_table(_pa.Table.from_pandas(_pd.DataFrame(df)), f"{tmp_path}/{name}.parquet")
+        return str(tmp_path)
+
+    def test_order_priority_check_strict_boundary(self, tmp_path):
+        import pandas as pd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        d = pd.Timestamp("1996-02-01")
+        sf = self._write(
+            tmp_path,
+            orders={
+                "o_orderkey": [1, 2, 3, 4],
+                "o_orderdate": [d, d, d, pd.Timestamp("1995-01-01")],
+                "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH", "1-URGENT"],
+            },
+            lineitem={
+                # order 1: ship EXACTLY od+30d -- NOT late (strict >)
+                # order 2: od+30d+1s -- late
+                # order 3: no lineitems at all -- drops (inner semantics)
+                # order 4: out of window, wildly late -- excluded
+                "l_orderkey": [1, 2, 4],
+                "l_shipdate": [
+                    d + pd.Timedelta(days=30),
+                    d + pd.Timedelta(days=30, seconds=1),
+                    pd.Timestamp("1996-06-01"),
+                ],
+            },
+        )
+        got = _pdf(relational.order_priority_check(sf, late_days=30))
+        assert got.to_dict("records") == [
+            {"o_orderpriority": "1-URGENT", "order_count": 1}
+        ]
+
+    def test_customer_order_distribution_zero_bin(self, tmp_path):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # c1: two qualifying orders; c2: one; c3: only an EXCLUDED-priority
+        # order (-> zero bin); c4: no orders at all (-> zero bin)
+        sf = self._write(
+            tmp_path,
+            customer={"c_custkey": [1, 2, 3, 4]},
+            orders={
+                "o_custkey": [1, 1, 2, 3],
+                "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"],
+            },
+        )
+        got = (
+            _pdf(relational.customer_order_distribution(sf))
+            .sort_values("c_count").reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"c_count": 0, "custdist": 2},
+            {"c_count": 1, "custdist": 1},
+            {"c_count": 2, "custdist": 1},
+        ]
+
+    def test_customer_order_distribution_no_zero_row_when_all_active(self, tmp_path):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        sf = self._write(
+            tmp_path,
+            customer={"c_custkey": [1, 2]},
+            orders={
+                "o_custkey": [1, 2, 2],
+                "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"],
+            },
+        )
+        got = _pdf(relational.customer_order_distribution(sf))
+        # the SQL LEFT JOIN emits no 0 bin when every customer qualifies
+        assert 0 not in set(got["c_count"])
+        assert got["custdist"].sum() == 2
+
+    def test_waiting_suppliers_exactly_one_late(self, tmp_path):
+        import pandas as pd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        d = pd.Timestamp("1995-01-01")
+        late = d + pd.Timedelta(days=61)
+        ok = d + pd.Timedelta(days=10)
+        sf = self._write(
+            tmp_path,
+            orders={
+                "o_orderkey": [10, 20, 30, 40],
+                "o_orderstatus": ["F", "F", "F", "O"],
+                "o_orderdate": [d, d, d, d],
+            },
+            lineitem={
+                # order 10: s1 late, s2 on time -> s1 counted
+                # order 20: BOTH late -> nobody (n_late == 2)
+                # order 30: single-supplier late -> nobody (n_supp < 2)
+                # order 40: open status, s1 late -> excluded map-side
+                "l_orderkey": [10, 10, 20, 20, 30, 40],
+                "l_suppkey": [1, 2, 1, 2, 1, 1],
+                "l_shipdate": [late, ok, late, late, late, late],
+            },
+            supplier={"s_suppkey": [1, 2], "s_name": ["S1", "S2"]},
+        )
+        got = _pdf(relational.waiting_suppliers(sf, late_days=60))
+        assert got.to_dict("records") == [
+            {"s_suppkey": 1, "s_name": "S1", "numwait": 1}
+        ]
+
+    def test_waiting_suppliers_max_shipdate_rule(self, tmp_path):
+        import pandas as pd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # s1 ships twice for one order: early AND late -- the adapted rule
+        # says the supplier's LAST shipment decides, so s1 is late
+        d = pd.Timestamp("1995-01-01")
+        sf = self._write(
+            tmp_path,
+            orders={"o_orderkey": [10], "o_orderstatus": ["F"],
+                    "o_orderdate": [d]},
+            lineitem={
+                "l_orderkey": [10, 10, 10],
+                "l_suppkey": [1, 1, 2],
+                "l_shipdate": [d + pd.Timedelta(days=5),
+                               d + pd.Timedelta(days=90),
+                               d + pd.Timedelta(days=6)],
+            },
+            supplier={"s_suppkey": [1, 2], "s_name": ["S1", "S2"]},
+        )
+        got = _pdf(relational.waiting_suppliers(sf, late_days=60))
+        assert got.to_dict("records") == [
+            {"s_suppkey": 1, "s_name": "S1", "numwait": 1}
+        ]
