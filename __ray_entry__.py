@@ -1462,6 +1462,47 @@ def _q_doc_boilerplate(sf_dir: str):
     return analytics.doc_boilerplate_score(ds)
 
 
+def _q_token_diversity_by_lang(sf_dir: str):
+    """Gini-Simpson token diversity per language in exact integer ppm
+    (float-free diversity statistic; analytics.token_simpson_by_lang);
+    oracle replays the floor-div ppm over HUGEINT sum-of-squares on the
+    shared '[a-z0-9]+' lowered tokenization."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return analytics.token_simpson_by_lang(ds)
+
+
+def _q_doc_surprisal_topk(sf_dir: str):
+    """Top-50 docs by integer-bit unigram surprisal (CCNet-style rarity
+    scoring with the corpus as its own LM; analytics.doc_surprisal_topk);
+    per-token bits are floor(log2(N/c)) computed exactly as
+    bit_length(N//c)-1, which the oracle replays via length(bin(N//c))-1
+    -- no float log on either side."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return analytics.doc_surprisal_topk(ds, k=50)
+
+
+def _q_sentence_stats_by_lang(sf_dir: str):
+    """Gopher-style sentence-shape profile per language (mean words per
+    sentence, milli floor-div; analytics.sentence_stats_by_lang); both
+    sides count non-overlapping '[.!?]+' runs and '[a-z0-9]+' words."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return analytics.sentence_stats_by_lang(ds)
+
+
 def _q_session_paths(sf_dir: str):
     """Per-session event-type trigram counts (path mining one level above
     event_transitions' bigrams); deterministic (ts, event_id) tie order on
@@ -4036,6 +4077,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_by_lang": _q_oov_rate_by_lang,
         "dup_shingle_rate": _q_dup_shingle_rate,
         "doc_boilerplate": _q_doc_boilerplate,
+        "token_diversity_by_lang": _q_token_diversity_by_lang,
+        "doc_surprisal_topk": _q_doc_surprisal_topk,
+        "sentence_stats_by_lang": _q_sentence_stats_by_lang,
         "session_paths": _q_session_paths,
         "minhash_recall_audit": _q_minhash_recall_audit,
         "trimmed_mean_price": _q_trimmed_mean_price,
@@ -4704,6 +4748,48 @@ _DOC_BOILERPLATE_SQL = (
     "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, "
     "CAST(n_shared AS BIGINT) AS n_shared, "
     "CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS boilerplate_ppm FROM a"
+)
+
+# replay of analytics.token_simpson_by_lang: exact HUGEINT sum-of-squares
+# over global (lang, token) counts, floor-div ppm
+_TOKEN_DIVERSITY_SQL = (
+    "WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS tok FROM documents), "
+    "c AS (SELECT lang, tok, CAST(COUNT(*) AS HUGEINT) AS n FROM t GROUP BY 1, 2), "
+    "a AS (SELECT lang, SUM(n) AS nt, SUM(n * n) AS ssq, COUNT(*) AS nd "
+    "FROM c GROUP BY lang) "
+    "SELECT lang, CAST(nt AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct, "
+    "CAST(1000000 - (ssq * 1000000) // (nt * nt) AS BIGINT) AS simpson_ppm FROM a"
+)
+
+# replay of analytics.doc_surprisal_topk: per-token whole-bit surprisal
+# floor(log2(N/c)) == length(bin(N//c)) - 1 (floor-div monotonicity), milli
+# mean floor-div, (mean DESC, doc_id ASC) LIMIT 50
+_DOC_SURPRISAL_SQL = (
+    "WITH t AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), "
+    "'[a-z0-9]+')) AS tok FROM documents), "
+    "c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok), "
+    "nn AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM c), "
+    "b AS (SELECT tok, CAST(length(bin((SELECT ntot FROM nn) // n)) - 1 "
+    "AS BIGINT) AS bits FROM c), "
+    "d AS (SELECT t.doc_id, any_value(t.lang) AS lang, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(b.bits) AS BIGINT) AS total_bits "
+    "FROM t JOIN b USING (tok) GROUP BY t.doc_id) "
+    "SELECT doc_id, lang, n_tokens, total_bits, "
+    "CAST(total_bits * 1000 // n_tokens AS BIGINT) AS mean_millibits "
+    "FROM d ORDER BY mean_millibits DESC, doc_id ASC LIMIT 50"
+)
+
+# replay of analytics.sentence_stats_by_lang: non-overlapping '[.!?]+' run
+# counts, shared word tokenization, guarded milli floor-div
+_SENTENCE_STATS_SQL = (
+    "WITH s AS (SELECT lang, len(regexp_extract_all(text, '[.!?]+')) AS ns, "
+    "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw FROM documents) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(ns) AS BIGINT) AS n_sentences, CAST(SUM(nw) AS BIGINT) AS n_words, "
+    "CAST(CASE WHEN SUM(ns) > 0 THEN SUM(nw) * 1000 // SUM(ns) ELSE 0 END "
+    "AS BIGINT) AS mean_words_per_sentence_milli FROM s GROUP BY lang"
 )
 
 _TOP_TOKENS_SQL = (
@@ -5906,6 +5992,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
         "doc_boilerplate": _DOC_BOILERPLATE_SQL,
+        "token_diversity_by_lang": _TOKEN_DIVERSITY_SQL,
+        "doc_surprisal_topk": _DOC_SURPRISAL_SQL,
+        "sentence_stats_by_lang": _SENTENCE_STATS_SQL,
         "top_revenue_suppliers": (
             # replay of relational.top_revenue_suppliers (Q15 shape): same
             # per-row FLOOR(price*(1-disc)*100+0.5) cents as the join family

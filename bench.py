@@ -193,7 +193,8 @@ def run_bench() -> dict:
         "small_qty_revenue", "supplier_count_by_part", "waiting_suppliers",
         "product_profit", "order_priority_check", "line_priority_counts",
         "customer_order_distribution", "forecast_revenue_delta",
-        "doc_boilerplate",
+        "doc_boilerplate", "token_diversity_by_lang", "doc_surprisal_topk",
+        "sentence_stats_by_lang",
     ]:
         def _run(n=name):
             res = qs[n](SF_DIR)

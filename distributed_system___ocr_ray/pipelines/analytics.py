@@ -6766,3 +6766,222 @@ def source_vocab_overlap(sf_dir: str, buckets: int = 64):
             ],
         }
     )
+
+
+def token_simpson_by_lang(ds, lang_col: str = "lang", text_col: str = "text",
+                          buckets: int = 64):
+    """Gini-Simpson token diversity per language: ``1 - sum_t (c_t/N)^2``
+    in exact integer ppm -- the float-free diversity statistic (Shannon
+    entropy needs a log; Simpson does not) used to flag degenerate corpus
+    slices whose token mass collapses onto a few types (boilerplate farms,
+    template spam) before they reach training.
+
+    Plan: per-batch (lang, token) value_counts partials -> ONE bucketed
+    token-domain exchange (hash-bucket on token; partial rows only, never
+    text) -> per bucket the EXACT global (lang, token) counts fold to
+    per-lang (sum c, sum c^2, n_distinct) -- c^2 of a 10^12-count token
+    overflows int64, so the bucket emits sum(c) / sum(c^2) as DECIMAL
+    STRINGS and the single final block folds them with Python ints
+    (exact at any corpus size; buckets x langs rows reach that block).
+
+    Returns (lang, n_tokens, n_distinct, simpson_ppm) where simpson_ppm =
+    1e6 - (sum c^2 * 1e6) // N^2, floor-div -- replayed digit-for-digit
+    by the HUGEINT oracle. Langs producing zero tokens are absent."""
+    import re
+
+    from .relational import hash_bucket_column
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        s = toks.explode().dropna()
+        if len(s) == 0:
+            return pd.DataFrame({lang_col: pd.Series([], dtype=str),
+                                 "token": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            lang_col: batch[lang_col].reindex(s.index).to_numpy(),
+            "token": s.to_numpy(),
+        })
+        p = g.groupby([lang_col, "token"], sort=False).size().reset_index(name="n")
+        p["n"] = p["n"].astype(np.int64)
+        return p
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "token", buckets)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # exact global counts per (lang, token) inside this bucket, then the
+        # per-lang ssq partial as decimal strings (int64-unsafe past ~3e9)
+        c = g.groupby([lang_col, "token"], sort=False)["n"].sum()
+        out = []
+        for lang, sub in c.groupby(level=0, sort=False):
+            vals = [int(v) for v in sub.to_numpy()]
+            out.append((lang, str(sum(vals)), str(sum(v * v for v in vals)),
+                        len(vals)))
+        return pd.DataFrame(out, columns=[lang_col, "n_str", "ssq_str", "nd"])
+
+    folded = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lang, sub in batch.groupby(lang_col, sort=False):
+            n = sum(int(s) for s in sub["n_str"])
+            ssq = sum(int(s) for s in sub["ssq_str"])
+            nd = int(sub["nd"].sum())
+            rows.append((lang, n, nd, 1_000_000 - (ssq * 1_000_000) // (n * n)))
+        return pd.DataFrame(rows, columns=[lang_col, "n_tokens", "n_distinct",
+                                           "simpson_ppm"]).astype(
+            {"n_tokens": np.int64, "n_distinct": np.int64, "simpson_ppm": np.int64})
+
+    return folded.repartition(1).map_batches(finalize, batch_format="pandas",
+                                             batch_size=None)
+
+
+def doc_surprisal_topk(ds, k: int = 50, id_col: str = "doc_id",
+                       lang_col: str = "lang", text_col: str = "text"):
+    """Integer-bit unigram surprisal scoring (the CCNet 'how unlike the
+    reference distribution is this document' quality signal, with the
+    corpus itself as the LM): each token contributes
+    ``floor(log2(N / c(token)))`` WHOLE BITS -- computed exactly as
+    ``bit_length(N // c) - 1`` (floor-div monotonicity makes the two
+    equal for every c <= N), so no float log exists on either side and
+    the DuckDB oracle replays it digit-for-digit via ``length(bin(N//c))-1``.
+    High mean-bits docs are rare-token-dense: misspelling farms, foreign
+    text mislabeled by lang-id, or genuinely novel content -- the review
+    queue near-dup filtering never surfaces.
+
+    Plan: pass 1 builds global token counts (per-batch value_counts ->
+    ``bucketed_grouped_sum`` on the token domain); the (token, bits)
+    table is a deliberate bounded driver collect broadcast via
+    ``ray.put`` as a SORTED numpy pair (searchsorted probe, zero Python
+    dict in the hot path) -- same license as the join broadcasts; past a
+    vocabulary-size cap the honest shape is a bucketed token-domain join
+    of pass-2 partials against the counts (bm25_topk documents the same
+    trade). Pass 2 re-reads the pruned source (storage-over-compute, see
+    bm25 scale note), scores each doc vectorized (explode -> searchsorted
+    -> per-doc sum), keeps a per-batch partial top-k, and ONE tiny final
+    merge resolves (mean_millibits DESC, doc_id ASC) LIMIT k.
+
+    Returns (doc_id, lang, n_tokens, total_bits, mean_millibits) for the
+    k most surprising docs; zero-token docs are excluded (no tokens, no
+    surprisal)."""
+    import re
+
+    import ray
+
+    from .relational import bucketed_grouped_sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(vocab_partial, batch_format="pandas"), "token", "n"
+    ).to_pandas()
+    if len(counts) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema([
+            (id_col, pa.int64()), (lang_col, pa.string()),
+            ("n_tokens", pa.int64()), ("total_bits", pa.int64()),
+            ("mean_millibits", pa.int64())]).empty_table())
+    counts = counts.sort_values("token").reset_index(drop=True)
+    n_total = int(counts["n"].sum())
+    bits = np.array([(n_total // int(c)).bit_length() - 1
+                     for c in counts["n"]], dtype=np.int64)
+    handle = ray.put({"tokens": counts["token"].to_numpy(object), "bits": bits})
+
+    class Score:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+            s = toks.explode().dropna()
+            if len(s) == 0:
+                return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                     lang_col: pd.Series([], dtype=str),
+                                     "n_tokens": pd.Series([], dtype=np.int64),
+                                     "total_bits": pd.Series([], dtype=np.int64),
+                                     "mean_millibits": pd.Series([], dtype=np.int64)})
+            pos = np.searchsorted(self.lk["tokens"], s.to_numpy(object))
+            tb = pd.Series(self.lk["bits"][pos], index=s.index)
+            per_doc = tb.groupby(level=0).agg(["size", "sum"])
+            docs = per_doc.index
+            out = pd.DataFrame({
+                id_col: batch[id_col].reindex(docs).to_numpy(),
+                lang_col: batch[lang_col].reindex(docs).to_numpy(),
+                "n_tokens": per_doc["size"].to_numpy(np.int64),
+                "total_bits": per_doc["sum"].to_numpy(np.int64),
+            })
+            out["mean_millibits"] = (out["total_bits"] * 1000) // out["n_tokens"]
+            return out.sort_values(["mean_millibits", id_col],
+                                   ascending=[False, True]).head(k)
+
+    def final_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["mean_millibits", id_col],
+                                 ascending=[False, True]).head(k).reset_index(drop=True)
+
+    return (
+        ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pandas", batch_size=None)
+    )
+
+
+def sentence_stats_by_lang(ds, lang_col: str = "lang", text_col: str = "text"):
+    """Gopher-style sentence-shape quality profile per language: mean
+    words per sentence (milli, floor-div) plus the raw sums -- the rule
+    family that rejects docs whose 'sentences' are navigation fragments
+    (2-word lines) or unpunctuated walls (300-word 'sentences').
+
+    Sentences are counted as runs of terminal punctuation ``[.!?]+``
+    (non-overlapping regex count, identical to the RE2 replay's
+    regexp_extract_all length); words are the shared '[a-z0-9]+' lowered
+    tokenization. One vectorized ``str.count`` pass per batch, per-lang
+    int partials, tiny bounded final merge -- exchange is a handful of
+    rows per block. Langs with zero sentences report 0 milli (guarded
+    floor-div on both sides).
+
+    Returns (lang, n_docs, n_sentences, n_words,
+    mean_words_per_sentence_milli)."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch[text_col].fillna("")
+        ns = txt.str.count(r"[.!?]+").to_numpy(np.int64)
+        nw = txt.str.lower().str.count(r"[a-z0-9]+").to_numpy(np.int64)
+        g = pd.DataFrame({lang_col: batch[lang_col], "ns": ns, "nw": nw})
+        p = g.groupby(lang_col, sort=False).agg(
+            n_docs=("ns", "size"), n_sentences=("ns", "sum"), n_words=("nw", "sum")
+        ).reset_index()
+        return p.astype({"n_docs": np.int64, "n_sentences": np.int64,
+                         "n_words": np.int64})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [lang_col],
+        [("n_docs", "sum"), ("n_sentences", "sum"), ("n_words", "sum")],
+        [lang_col, "n_docs", "n_sentences", "n_words"],
+    )
+
+    def add_milli(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_sentences").to_pylist()
+        nw = batch.column("n_words").to_pylist()
+        milli = pa.array(
+            [int(w) * 1000 // int(s) if int(s) > 0 else 0 for w, s in zip(nw, ns)],
+            pa.int64(),
+        )
+        return batch.append_column("mean_words_per_sentence_milli", milli)
+
+    return folded.map_batches(add_milli, batch_format="pyarrow", batch_size=None)
