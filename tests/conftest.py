@@ -21,6 +21,11 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # the suite creates thousands of datasets in this one session; Ray's
+    # _StatsActor accumulates per-dataset stats and was observed burning a
+    # full core by mid-suite -- stop feeding it what nobody reads
+    ctx.enable_auto_log_stats = False
+    ctx.verbose_stats_logs = False
     yield
     ray.shutdown()
 

@@ -40,33 +40,41 @@ def con():
     return c
 
 
-@pytest.mark.usefixtures("ray_session")
 def test_all_sql_checked_queries_match_oracle(con):
+    """Full queries()-vs-oracle_sql() sweep, in a SUBPROCESS with its own
+    fresh Ray cluster (tools/check_oracles.py -- the driver's exact
+    compare). Running all 200+ queries inside the shared pytest session
+    was observed to wedge Ray itself: after ~4,500 datasets and hundreds
+    of actor-pool spin-ups in ONE session, an actor-pool stage's first
+    task can hang forever waiting for an actor the GCS never schedules
+    (30 min stuck on an idle box, 2026-08-19). Process isolation keeps
+    the long session out of that regime and converts any recurrence into
+    a LOUD timeout instead of a silent hang; one retry absorbs the rare
+    scheduling race without masking real mismatches (a value mismatch
+    fails BOTH attempts)."""
+    import subprocess
+    import sys
+
+    assert set(_entry().oracle_sql()) <= set(_entry().queries())
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "/root/repo/tools/check_oracles.py", SF],
+            capture_output=True, text=True, timeout=2400,
+            env={**__import__("os").environ, "PYTHONPATH": "/root/repo"},
+        )
+
+    try:
+        r = run()
+    except subprocess.TimeoutExpired:
+        r = run()
+    assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-4000:]
+
+
+def _entry():
     import __ray_entry__ as entry_mod
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    assert set(oracles) <= set(qs), "oracle_sql keys must be a subset of queries"
-    failures = []
-    for name, sql in oracles.items():
-        got = _canon(_to_pandas(qs[name](SF)))
-        exp = _canon(con.sql(sql).df())
-        if list(got.columns) != list(exp.columns):
-            failures.append(f"{name}: columns {list(got.columns)} != {list(exp.columns)}")
-            continue
-        if len(got) != len(exp):
-            failures.append(f"{name}: rows {len(got)} != {len(exp)}")
-            continue
-        for c in got.columns:
-            g, e = got[c], exp[c]
-            if np.issubdtype(g.dtype, np.floating) or np.issubdtype(np.asarray(e).dtype, np.floating):
-                ok = np.allclose(g.astype(float), e.astype(float), rtol=1e-9, atol=1e-9)
-            else:
-                ok = (g.astype(str).tolist() == e.astype(str).tolist())
-            if not ok:
-                failures.append(f"{name}: column {c} values differ")
-                break
-    assert not failures, "\n".join(failures)
+    return entry_mod
 
 
 @pytest.mark.usefixtures("ray_session")
