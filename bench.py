@@ -134,74 +134,7 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline_sec, 2),
         }
 
-    import __ray_entry__ as entry_mod
-
-    qs = entry_mod.queries()
-    # best-of-N per query (default 2): single cold runs on this
-    # cache-reclaiming VM carry +-20-30% noise -- the r01->r02 sweep flagged
-    # phantom regressions on UNCHANGED code (exact_dedup_groups 1.7->3.6 s).
-    # min over N runs is the same steady-state estimator the headline's
-    # untimed warm pass implements.
-    query_runs = int(os.environ.get("GRAFT_QUERY_RUNS", "2"))
-    for name in [
-        "pricing_summary", "revenue_by_nation", "events_daily",
-        "token_count_by_lang", "exact_dedup_groups", "minhash_pairs",
-        "ann_topk", "extract_flat_identity", "order_lineitem_join",
-        "session_windows", "sliding_windows", "embedding_neardup",
-        "ngram_jaccard_pairs", "top_orders_per_segment", "fingerprints",
-        "median_order_value", "quality_by_lang", "bm25_topk",
-        "simhash_pairs", "approx_distinct_users",
-        "contamination_flags", "pack_sequences", "redact_pii",
-        "repetition_stats", "budget_select", "mixture_sample",
-        "cms_top_tokens", "epoch_shuffle", "sample_exact_n",
-        "line_dedup", "novel_docs_bloom", "running_totals",
-        "robust_outliers", "collocations", "pruned_range_read",
-        "shipments_within_7d", "dedup_keep_best",
-        "kmeans_clusters", "pagerank_top", "hybrid_topk",
-        "semdedup_keepers", "skyline_orders", "mode_event_type",
-        "fk_orphan_audit", "longest_streak", "basket_pairs",
-        "forward_fill_daily", "event_transitions", "scd2_history",
-        "order_part_list", "rolling_7d_sum", "order_rank_global",
-        "approx_users_by_type", "new_users_daily", "bucketed_join_revenue",
-        "label_centroids", "incremental_daily_totals",
-        "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
-        "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
-        "json_field_stats", "audience_overlap", "customers_without_orders",
-        "order_count_distribution", "user_active_coverage",
-        "peak_concurrent_sessions", "conversion_within",
-        "rolling_active_users", "pit_value_join", "order_decile_stats",
-        "weighted_median_price", "pps_sample", "order_value_gini",
-        "bfs_levels", "basket_lift", "profile_documents",
-        "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
-        "fulfillment_latency", "spike_days", "in_degree_histogram",
-        "table_checksum", "phrase_doc_counts", "docs_cube",
-        "daily_activity", "ols_trend", "key_skew", "oov_rate_by_lang",
-        "dup_shingle_rate", "session_paths", "trimmed_mean_price",
-        "top_revenue_suppliers", "big_volume_orders", "hll_error_audit",
-        "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
-        "join_size_audit", "interarrival_quantiles", "rfm_segments",
-        "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
-        "k_anonymity", "top_prices_with_ties", "first_last_order",
-        "split_skew_audit", "session_durations", "important_parts",
-        "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
-        "link_prediction_topk", "cross_source_dups", "encoding_audit",
-        "quality_length_corr", "shuffle_mix_audit", "cheapest_supplier",
-        "lang_source_chi2", "normalized_dedup", "out_of_order_audit",
-        "dominant_suppliers", "source_vocab_overlap", "trailing_rows_sum",
-        "shipping_priority", "returned_items", "promo_revenue",
-        "disjunctive_revenue", "nation_trade_volume", "market_share",
-        "small_qty_revenue", "supplier_count_by_part", "waiting_suppliers",
-        "product_profit", "order_priority_check", "line_priority_counts",
-        "customer_order_distribution", "forecast_revenue_delta",
-        "doc_boilerplate", "token_diversity_by_lang", "doc_surprisal_topk",
-        "sentence_stats_by_lang",
-    ]:
-        def _run(n=name):
-            res = qs[n](SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-
-        query_times[name] = min(_timed(_run) for _ in range(query_runs))
+    query_times.update(run_sweep())
 
     return {
         "metric": "extraction_headline_sec",
@@ -213,6 +146,152 @@ def run_bench() -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / headline_sec, 2),
     }
+
+
+# the full query sweep; chunked into fresh-cluster subprocesses by
+# run_sweep (see its docstring for why)
+SWEEP_QUERIES = [
+    "pricing_summary", "revenue_by_nation", "events_daily",
+    "token_count_by_lang", "exact_dedup_groups", "minhash_pairs",
+    "ann_topk", "extract_flat_identity", "order_lineitem_join",
+    "session_windows", "sliding_windows", "embedding_neardup",
+    "ngram_jaccard_pairs", "top_orders_per_segment", "fingerprints",
+    "median_order_value", "quality_by_lang", "bm25_topk",
+    "simhash_pairs", "approx_distinct_users",
+    "contamination_flags", "pack_sequences", "redact_pii",
+    "repetition_stats", "budget_select", "mixture_sample",
+    "cms_top_tokens", "epoch_shuffle", "sample_exact_n",
+    "line_dedup", "novel_docs_bloom", "running_totals",
+    "robust_outliers", "collocations", "pruned_range_read",
+    "shipments_within_7d", "dedup_keep_best",
+    "kmeans_clusters", "pagerank_top", "hybrid_topk",
+    "semdedup_keepers", "skyline_orders", "mode_event_type",
+    "fk_orphan_audit", "longest_streak", "basket_pairs",
+    "forward_fill_daily", "event_transitions", "scd2_history",
+    "order_part_list", "rolling_7d_sum", "order_rank_global",
+    "approx_users_by_type", "new_users_daily", "bucketed_join_revenue",
+    "label_centroids", "incremental_daily_totals",
+    "late_orders_by_priority", "time_travel_counts", "star_join_revenue",
+    "zorder_2d_prune", "evolved_schema_counts", "typo_pairs",
+    "json_field_stats", "audience_overlap", "customers_without_orders",
+    "order_count_distribution", "user_active_coverage",
+    "peak_concurrent_sessions", "conversion_within",
+    "rolling_active_users", "pit_value_join", "order_decile_stats",
+    "weighted_median_price", "pps_sample", "order_value_gini",
+    "bfs_levels", "basket_lift", "profile_documents",
+    "weekly_revenue_wow", "rnn_pairs", "kmeans_inertia",
+    "fulfillment_latency", "spike_days", "in_degree_histogram",
+    "table_checksum", "phrase_doc_counts", "docs_cube",
+    "daily_activity", "ols_trend", "key_skew", "oov_rate_by_lang",
+    "dup_shingle_rate", "session_paths", "trimmed_mean_price",
+    "top_revenue_suppliers", "big_volume_orders", "hll_error_audit",
+    "bloom_fp_audit", "cms_error_audit", "dup_size_histogram",
+    "join_size_audit", "interarrival_quantiles", "rfm_segments",
+    "langid_confusion", "supplier_hhi", "revenue_share_by_nation",
+    "k_anonymity", "top_prices_with_ties", "first_last_order",
+    "split_skew_audit", "session_durations", "important_parts",
+    "inactive_high_balance", "interval_overlap_pairs", "vocab_growth",
+    "link_prediction_topk", "cross_source_dups", "encoding_audit",
+    "quality_length_corr", "shuffle_mix_audit", "cheapest_supplier",
+    "lang_source_chi2", "normalized_dedup", "out_of_order_audit",
+    "dominant_suppliers", "source_vocab_overlap", "trailing_rows_sum",
+    "shipping_priority", "returned_items", "promo_revenue",
+    "disjunctive_revenue", "nation_trade_volume", "market_share",
+    "small_qty_revenue", "supplier_count_by_part", "waiting_suppliers",
+    "product_profit", "order_priority_check", "line_priority_counts",
+    "customer_order_distribution", "forecast_revenue_delta",
+    "doc_boilerplate", "token_diversity_by_lang", "doc_surprisal_topk",
+    "sentence_stats_by_lang",
+]
+
+
+def _sweep_chunk_inproc(names: list[str]) -> dict[str, float]:
+    """Time the given queries in THIS process (child-side of run_sweep).
+
+    Best-of-N per query (default 2): single cold runs on this
+    cache-reclaiming VM carry +-20-30% noise -- the r01->r02 sweep flagged
+    phantom regressions on UNCHANGED code (exact_dedup_groups 1.7->3.6 s).
+    min over N runs is the same steady-state estimator the headline's
+    untimed warm pass implements."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_auto_log_stats = False
+
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    query_runs = int(os.environ.get("GRAFT_QUERY_RUNS", "2"))
+    times: dict[str, float] = {}
+    for name in names:
+        def _run(n=name):
+            res = qs[n](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+
+        times[name] = min(_timed(_run) for _ in range(query_runs))
+    return times
+
+
+def run_sweep() -> dict[str, float]:
+    """Run SWEEP_QUERIES in CHUNKED SUBPROCESSES, each a fresh Ray cluster.
+
+    One long session executing 146 queries x best-of-2 creates thousands of
+    datasets and hundreds of actor-pool spin-ups; that regime was observed
+    (2026-08-19, pytest session) to wedge Ray's actor scheduling outright --
+    a stage's first task hung 30 minutes on an idle box. Chunking bounds the
+    per-session churn, converts any recurrence into a LOUD per-chunk timeout
+    (with one retry), and costs ~8 s of Ray startup per chunk -- noise
+    against the sweep's minutes. Set GRAFT_SWEEP_INPROC=1 to force the old
+    single-session path (used by the chunks themselves)."""
+    import subprocess
+
+    if os.environ.get("GRAFT_SWEEP_INPROC"):
+        return _sweep_chunk_inproc(SWEEP_QUERIES)
+
+    chunk_size = int(os.environ.get("GRAFT_SWEEP_CHUNK", "24"))
+    timeout_s = int(os.environ.get("GRAFT_SWEEP_TIMEOUT", "1800"))
+    times: dict[str, float] = {}
+    for lo in range(0, len(SWEEP_QUERIES), chunk_size):
+        names = SWEEP_QUERIES[lo:lo + chunk_size]
+        env = dict(os.environ, GRAFT_SWEEP_NAMES=",".join(names))
+
+        def one_chunk():
+            return subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sweep-chunk"],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+
+        try:
+            r = one_chunk()
+        except subprocess.TimeoutExpired:
+            r = None
+        if r is None or r.returncode != 0:
+            tail = "" if r is None else (r.stdout[-2000:] + r.stderr[-2000:])
+            print(f"sweep chunk {names[0]}.. retrying ({tail[-300:]!r})",
+                  file=sys.stderr)
+            try:
+                r = one_chunk()
+            except subprocess.TimeoutExpired:
+                r = None
+        if r is None or r.returncode != 0:
+            print(f"sweep chunk {names[0]}.. FAILED twice; skipping its "
+                  f"{len(names)} queries", file=sys.stderr)
+            continue
+        times.update(json.loads(r.stdout.strip().splitlines()[-1]))
+    return times
 
 
 def run_scaling() -> dict:
@@ -266,7 +345,13 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--sweep-chunk" in sys.argv:
+        result = _sweep_chunk_inproc(os.environ["GRAFT_SWEEP_NAMES"].split(","))
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         result = run_bench()
