@@ -93,9 +93,27 @@ def shingle_hashes(text: str, k: int = 3, memo: dict[str, int] | None = None) ->
     return out
 
 
+def minhasher_cached(num_perm: int = 64, seed: int = 7) -> "MinHasher":
+    """Module-level per-process MinHasher cache. Construction is ~2 us, so
+    callers could rebuild per batch -- the cache exists so map_batches
+    stages can be plain TASK functions (no actor pool): after hundreds of
+    actor-pool spin-ups in one long Ray session, a pool's first actor was
+    twice observed (2026-08-19) to never get scheduled, wedging the stage
+    forever; task-based stages are immune to that failure mode and carry no
+    pool spin-up cost."""
+    key = (num_perm, seed)
+    mh = _MINHASHER_CACHE.get(key)
+    if mh is None:
+        mh = _MINHASHER_CACHE[key] = MinHasher(num_perm=num_perm, seed=seed)
+    return mh
+
+
+_MINHASHER_CACHE: dict[tuple[int, int], "MinHasher"] = {}
+
+
 class MinHasher:
     """k-permutation MinHash; permutation params fixed by seed (build once
-    per worker -- actor state or module cache)."""
+    per worker -- actor state or module cache, see minhasher_cached)."""
 
     def __init__(self, num_perm: int = 64, seed: int = 7) -> None:
         rng = np.random.RandomState(seed)

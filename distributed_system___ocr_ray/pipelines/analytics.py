@@ -385,35 +385,36 @@ def minhash_lsh_pairs(
         n_rows = ds.count()
         coarse_buckets = max(128, (n_rows * bands) // 50_000 + 1)
 
-    class Signatures:
-        def __init__(self) -> None:
-            self.mh = dk.MinHasher(num_perm=num_perm, seed=hasher_seed)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_pylist()
-            ids = batch.column(id_col).to_pylist()
-            out_id, out_band, out_bh, out_sig, out_bucket = [], [], [], [], []
-            memo: dict[str, int] = {}  # per-batch distinct-shingle digests
-            for i, t in enumerate(texts):
-                sig = self.mh.signature(t, k=shingle_k, memo=memo)
-                sig_bytes = sig.tobytes()
-                for band, bh in enumerate(self.mh.band_hashes(sig, bands)):
-                    out_id.append(ids[i])
-                    out_band.append(band)
-                    out_bh.append(bh)
-                    out_sig.append(sig_bytes)
-                    # coarse shuffle key: complete (band, band_hash) buckets
-                    # land together, but one group holds many buckets
-                    out_bucket.append((bh * 1315423911 + band) % coarse_buckets)
-            return pa.table(
-                {
-                    id_col: pa.array(out_id),
-                    "band": pa.array(out_band, pa.int32()),
-                    "band_hash": pa.array(out_bh, pa.int64()),
-                    "sig": pa.array(out_sig, pa.binary()),
-                    "bucket": pa.array(out_bucket, pa.int32()),
-                }
-            )
+    def signatures(batch: pa.Table) -> pa.Table:
+        # TASK function, not an actor pool: the hasher is ~2 us to build and
+        # module-cached per worker (dk.minhasher_cached) -- the pool bought
+        # nothing, and its first-actor scheduling was the stage twice
+        # observed wedging in long sessions (see minhasher_cached docstring)
+        mh = dk.minhasher_cached(num_perm=num_perm, seed=hasher_seed)
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        out_id, out_band, out_bh, out_sig, out_bucket = [], [], [], [], []
+        memo: dict[str, int] = {}  # per-batch distinct-shingle digests
+        for i, t in enumerate(texts):
+            sig = mh.signature(t, k=shingle_k, memo=memo)
+            sig_bytes = sig.tobytes()
+            for band, bh in enumerate(mh.band_hashes(sig, bands)):
+                out_id.append(ids[i])
+                out_band.append(band)
+                out_bh.append(bh)
+                out_sig.append(sig_bytes)
+                # coarse shuffle key: complete (band, band_hash) buckets
+                # land together, but one group holds many buckets
+                out_bucket.append((bh * 1315423911 + band) % coarse_buckets)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_bh, pa.int64()),
+                "sig": pa.array(out_sig, pa.binary()),
+                "bucket": pa.array(out_bucket, pa.int32()),
+            }
+        )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         # one group = one coarse bucket holding MANY complete (band,
@@ -454,10 +455,7 @@ def minhash_lsh_pairs(
         )
 
     pairs = (
-        # autoscaling pool: a FIXED pool of size >= cluster CPUs deadlocks the
-        # downstream sort stage (observed: 4 pinned actors on a 4-CPU test
-        # cluster starve the groupby; pool must be able to scale down)
-        ds.map_batches(Signatures, batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(signatures, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
