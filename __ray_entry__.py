@@ -784,6 +784,35 @@ def _q_events_pivot_daily(sf_dir: str):
     )
 
 
+def _q_events_unpivot_daily(sf_dir: str):
+    """Wide-to-long UNPIVOT of the daily event pivot (the reshape dual of
+    events_pivot_daily; analytics.melt): pure map-side repeat/tile after
+    the pivot's single exchange -- melting commutes with partitioning, so
+    no second shuffle exists. Oracle: DuckDB UNPIVOT over the identical
+    pivot subquery with the n_ prefix stripped."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    wide = _q_events_pivot_daily(sf_dir)
+    return analytics.melt(
+        wide, ["day"], [f"n_{t}" for t in _EVENT_TYPES],
+        var_name="event_type", value_name="n", strip_prefix="n_",
+    )
+
+
+def _q_benford_first_digit(sf_dir: str):
+    """Benford first-significant-digit forensics profile of order prices
+    in exact integer cents (analytics.benford_first_digit): vectorized
+    integer floor-division digit extraction, 9-row bounded final,
+    Python-int share ppm. Oracle extracts the digit via
+    substr(CAST(cents AS VARCHAR), 1, 1) -- equal for positive ints."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    return analytics.benford_first_digit(ds)
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -4053,6 +4082,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": _q_docs_rollup,
         "docs_cube": _q_docs_cube,
         "events_pivot_daily": _q_events_pivot_daily,
+        "events_unpivot_daily": _q_events_unpivot_daily,
+        "benford_first_digit": _q_benford_first_digit,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -5850,6 +5881,25 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot_daily": (
             "SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
             "FROM events GROUP BY 1"
+        ),
+        # replays _q_events_unpivot_daily: DuckDB UNPIVOT over the SAME
+        # pivot subquery, n_ prefix stripped back to the event type
+        "events_unpivot_daily": (
+            "WITH p AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day, CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS n_click, CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS n_error, CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase, CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup, CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS n_view "
+            "FROM events GROUP BY 1) "
+            "SELECT day, replace(et, 'n_', '') AS event_type, CAST(n AS BIGINT) AS n "
+            "FROM p UNPIVOT (n FOR et IN (n_click, n_error, n_purchase, n_signup, n_view))"
+        ),
+        # replays _q_benford_first_digit: string-route first digit, exact
+        # integer cents, floor-div ppm shares
+        "benford_first_digit": (
+            "WITH c AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) "
+            "AS cents FROM orders), "
+            "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) "
+            "AS digit FROM c WHERE cents > 0), "
+            "a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit) "
+            "SELECT digit, n, CAST(n * 1000000 // (SELECT SUM(n) FROM a) AS BIGINT) "
+            "AS share_ppm FROM a"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

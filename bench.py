@@ -201,7 +201,7 @@ SWEEP_QUERIES = [
     "product_profit", "order_priority_check", "line_priority_counts",
     "customer_order_distribution", "forecast_revenue_delta",
     "doc_boilerplate", "token_diversity_by_lang", "doc_surprisal_topk",
-    "sentence_stats_by_lang",
+    "sentence_stats_by_lang", "events_unpivot_daily", "benford_first_digit",
 ]
 
 

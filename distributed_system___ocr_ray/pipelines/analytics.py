@@ -6983,3 +6983,73 @@ def sentence_stats_by_lang(ds, lang_col: str = "lang", text_col: str = "text"):
         return batch.append_column("mean_words_per_sentence_milli", milli)
 
     return folded.map_batches(add_milli, batch_format="pyarrow", batch_size=None)
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str], var_name: str = "variable",
+         value_name: str = "value", strip_prefix: str = ""):
+    """Wide-to-long UNPIVOT (the reshape dual of ``pivot_counts``): each
+    input row yields len(value_cols) output rows tagged with the source
+    column name (``strip_prefix`` removed -- 'n_click' -> 'click'). Pure
+    map-side numpy repeat/tile per batch, zero exchange: melting commutes
+    with partitioning, so the long layout lands exactly as distributed as
+    the wide one was. Used to hand a fixed-vocabulary pivot back to
+    long-format consumers without a second shuffle."""
+    names = [c[len(strip_prefix):] if c.startswith(strip_prefix) else c
+             for c in value_cols]
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(value_cols)
+        cols = {}
+        for c in id_cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(np.repeat(v, k))
+        cols[var_name] = pa.array(np.tile(np.asarray(names, object), n),
+                                  pa.string())
+        vals = np.stack(
+            [batch.column(c).to_numpy(zero_copy_only=False) for c in value_cols],
+            axis=1,
+        ).reshape(-1)
+        cols[value_name] = pa.array(vals)
+        return pa.table(cols)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
+def benford_first_digit(ds, value_col: str = "o_totalprice"):
+    """Benford first-significant-digit audit over exact integer cents --
+    the fraud/synthetic-data forensics profile (fabricated numbers rarely
+    follow Benford; the DET corpus's uniform prices measurably don't
+    either, which is exactly what the audit shows). Digit extraction is
+    vectorized integer floor-division (<= 10 halving passes, no string or
+    float); per-batch digit counts fold through the 9-row bounded final,
+    where share_ppm = n * 1e6 // total with Python ints. The oracle
+    replays the digit via substr(CAST(cents AS VARCHAR), 1, 1) -- equal to
+    the division route for every positive integer."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column(value_col).to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        while True:
+            big = cents >= 10
+            if not big.any():
+                break
+            cents = np.where(big, cents // 10, cents)
+        digit, n = np.unique(cents, return_counts=True)
+        return pa.table({"digit": pa.array(digit, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["digit"], [("n", "sum")], ["digit", "n"],
+    )
+
+    def add_share(batch: pa.Table) -> pa.Table:
+        ns = [int(v) for v in batch.column("n").to_pylist()]
+        total = sum(ns)
+        share = pa.array([v * 1_000_000 // total for v in ns], pa.int64())
+        return batch.append_column("share_ppm", share)
+
+    return folded.map_batches(add_share, batch_format="pyarrow", batch_size=None)

@@ -6587,3 +6587,52 @@ class TestCorpusQualityStats:
             {"lang": "en", "n_docs": 1, "n_sentences": 3, "n_words": 6,
              "mean_words_per_sentence_milli": 2000},
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestReshapeAndForensics:
+    def test_melt_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        wide = rd.from_arrow(pa.table({
+            "day": pa.array([1, 2], pa.int64()),
+            "n_click": pa.array([3, 0], pa.int64()),
+            "n_view": pa.array([5, 7], pa.int64()),
+        }))
+        got = (
+            analytics.melt(wide, ["day"], ["n_click", "n_view"],
+                           var_name="event_type", value_name="n",
+                           strip_prefix="n_")
+            .to_pandas()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"day": 1, "event_type": "click", "n": 3},
+            {"day": 1, "event_type": "view", "n": 5},
+            {"day": 2, "event_type": "click", "n": 0},
+            {"day": 2, "event_type": "view", "n": 7},
+        ]
+
+    def test_benford_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # cents: 123, 4567, 89, 12, 999999 -> digits 1,4,8,1,9
+        prices = [1.23, 45.67, 0.89, 0.12, 9999.99]
+        ds = rd.from_arrow(pa.table({"o_totalprice": pa.array(prices, pa.float64())}))
+        got = (
+            analytics.benford_first_digit(ds)
+            .to_pandas()
+            .sort_values("digit")
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"digit": 1, "n": 2, "share_ppm": 400_000},
+            {"digit": 4, "n": 1, "share_ppm": 200_000},
+            {"digit": 8, "n": 1, "share_ppm": 200_000},
+            {"digit": 9, "n": 1, "share_ppm": 200_000},
+        ]
