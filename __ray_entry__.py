@@ -813,6 +813,33 @@ def _q_benford_first_digit(sf_dir: str):
     return analytics.benford_first_digit(ds)
 
 
+def _q_zipf_bits_audit(sf_dir: str):
+    """Zipf rank-frequency shape audit (analytics.zipf_bits_audit): token
+    frequency and its floor(log2) bit-length at power-of-two ranks over
+    the shared '[a-z0-9]+' lowered tokenization; drop_bits per octave is
+    the local Zipf slope, float-log-free on both sides. Oracle replays
+    via row_number() (n DESC, tk ASC) + length(bin(n))-1."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return analytics.zipf_bits_audit(ds, max_rank=4096)
+
+
+def _q_hapax_rate_by_source(sf_dir: str):
+    """Per-source hapax-legomena rate (analytics.hapax_rate_by_source):
+    ppm of each source's vocabulary occurring exactly once within the
+    source -- OCR-noise / template-corpus health audit. Oracle replays
+    the (source, token) count table and the floor-div ppm."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return analytics.hapax_rate_by_source(ds)
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -4084,6 +4111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot_daily": _q_events_pivot_daily,
         "events_unpivot_daily": _q_events_unpivot_daily,
         "benford_first_digit": _q_benford_first_digit,
+        "zipf_bits_audit": _q_zipf_bits_audit,
+        "hapax_rate_by_source": _q_hapax_rate_by_source,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -5900,6 +5929,30 @@ def oracle_sql() -> dict[str, str]:
             "a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit) "
             "SELECT digit, n, CAST(n * 1000000 // (SELECT SUM(n) FROM a) AS BIGINT) "
             "AS share_ppm FROM a"
+        ),
+        # replays _q_zipf_bits_audit: identical ranking (n DESC, tk ASC),
+        # floor(log2) via length(bin(n))-1, octave drop via lag()
+        "zipf_bits_audit": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+            "AS tk FROM documents), "
+            "c AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY tk), "
+            "r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tk ASC) AS rnk FROM c), "
+            "p AS (SELECT rnk, n AS freq, CAST(length(bin(n)) - 1 AS BIGINT) AS freq_bits "
+            "FROM r WHERE rnk IN (1,2,4,8,16,32,64,128,256,512,1024,2048,4096)) "
+            "SELECT CAST(rnk AS BIGINT) AS rank, freq, freq_bits, "
+            "CAST(COALESCE(lag(freq_bits) OVER (ORDER BY rnk) - freq_bits, 0) AS BIGINT) "
+            "AS drop_bits FROM p"
+        ),
+        # replays _q_hapax_rate_by_source: per-source (token, n) counts,
+        # vocab = distinct tokens, hapax = n==1 tokens, floor-div ppm
+        "hapax_rate_by_source": (
+            "WITH tok AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents), "
+            "c AS (SELECT source, tk, COUNT(*) AS n FROM tok GROUP BY source, tk) "
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) "
+            "AS hapax_ppm FROM c GROUP BY source"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

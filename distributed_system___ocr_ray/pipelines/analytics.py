@@ -7053,3 +7053,145 @@ def benford_first_digit(ds, value_col: str = "o_totalprice"):
         return batch.append_column("share_ppm", share)
 
     return folded.map_batches(add_share, batch_format="pyarrow", batch_size=None)
+
+
+def zipf_bits_audit(ds, max_rank: int = 4096, text_col: str = "text"):
+    """Zipf rank-frequency shape audit in pure integers: the token
+    frequency's floor(log2) at power-of-two ranks 1, 2, 4, ..., max_rank.
+    Under Zipf's law freq(r) ~ C / r^s the bit-length drops ~s bits per
+    octave of rank, so ``drop_bits`` IS the local Zipf slope measured with
+    no float log on either side (same bit_length == floor(log2) identity
+    as doc_surprisal_topk, monotonicity proof there). Complements
+    vocab_growth (Heaps: vocabulary GROWTH) and token_diversity_by_lang
+    (Simpson: CONCENTRATION) with the rank-frequency CURVE SHAPE -- the
+    classic natural-language-vs-degenerate-text fingerprint (template spam
+    goes flat, random noise goes steep-then-flat).
+
+    Plan: per-batch value_counts over the shared '[a-z0-9]+' lowered
+    tokenization -> bucketed_grouped_sum (the exchange moves (token, n)
+    partials, never text) -> per-block partial top-max_rank -> ONE tiny
+    merge block ranks and keeps the <= log2(max_rank)+1 power-of-two rows.
+    max_rank caps every block at max_rank rows however large the
+    vocabulary grows -- the same partial-top-k license as top_tokens.
+    Ranks past the vocabulary size are absent (exactly what the oracle's
+    row_number replay yields).
+
+    Returns (rank, freq, freq_bits, drop_bits); drop_bits is 0 at rank 1,
+    else freq_bits(previous octave) - freq_bits(this rank).
+    Reference analogue: SURVEY.md 2.10 corpus-quality family."""
+    import re
+
+    from .relational import bucketed_grouped_sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "token", "n"
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "token"], ascending=[False, True]).head(max_rank)
+
+    def octaves(batch: pd.DataFrame) -> pd.DataFrame:
+        top = batch.sort_values(["n", "token"], ascending=[False, True]).head(max_rank)
+        freqs = top["n"].tolist()
+        ranks, freq, bits, drop = [], [], [], []
+        r, prev = 1, None
+        while r <= len(freqs) and r <= max_rank:
+            f = int(freqs[r - 1])
+            b = f.bit_length() - 1
+            ranks.append(r)
+            freq.append(f)
+            bits.append(b)
+            drop.append(0 if prev is None else prev - b)
+            prev = b
+            r *= 2
+        return pd.DataFrame(
+            {
+                "rank": pd.Series(ranks, dtype="int64"),
+                "freq": pd.Series(freq, dtype="int64"),
+                "freq_bits": pd.Series(bits, dtype="int64"),
+                "drop_bits": pd.Series(drop, dtype="int64"),
+            }
+        )
+
+    return (
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(octaves, batch_format="pandas", batch_size=None)
+    )
+
+
+def hapax_rate_by_source(ds, source_col: str = "source", text_col: str = "text"):
+    """Hapax-legomena audit per provenance source: of the distinct tokens a
+    source contributes, how many occur EXACTLY ONCE within that source
+    (hapax), as ppm of the source's vocabulary. High hapax ppm flags OCR
+    noise / mojibake / random-string pollution (every error mints a fresh
+    token); suspiciously LOW hapax flags template/boilerplate corpora.
+    The classic corpus-linguistics health metric, complementary to
+    vocab_growth (Heaps curve) and encoding_audit (character-class triage).
+
+    Plan: per-batch (source, token) value_counts on a single
+    '\\x1f'-joined composite key -> bucketed_grouped_sum (the exchange
+    moves (key, n) partials, never text; \\x1f cannot appear in either
+    part: sources are identifiers, tokens are [a-z0-9]+) -> per-batch
+    (source, vocab, hapax) partials over the count table ->
+    tiny_final_groupby on the bounded source domain; ppm folds in the
+    final block with Python ints (hapax * 10^6 needs headroom past int64
+    only beyond 9*10^12 distinct tokens/source -- Python ints regardless).
+
+    Returns (source, vocab, hapax, hapax_ppm).
+    Reference analogue: SURVEY.md 2.10 corpus-quality family."""
+    import re
+
+    from .relational import bucketed_grouped_sum, tiny_final_groupby
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[[source_col]].copy()
+        df["tok"] = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        ex = df.explode("tok").dropna(subset=["tok"])
+        key = ex[source_col].astype(str) + "\x1f" + ex["tok"].astype(str)
+        vc = key.value_counts()
+        return pd.DataFrame({"key": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "key", "n"
+    )
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["key"].str.partition("\x1f")[0]
+        g = (
+            pd.DataFrame({"source": src, "one": (batch["n"] == 1).astype("int64")})
+            .groupby("source", sort=False)["one"]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "source": g["source"].astype(str),
+                "vocab": g["count"].astype("int64"),
+                "hapax": g["sum"].astype("int64"),
+            }
+        )
+
+    folded = tiny_final_groupby(
+        counts.map_batches(vocab_partial, batch_format="pandas"),
+        ["source"],
+        [("vocab", "sum"), ("hapax", "sum")],
+        ["source", "vocab", "hapax"],
+    )
+
+    def add_ppm(batch: pa.Table) -> pa.Table:
+        v = [int(x) for x in batch.column("vocab").to_pylist()]
+        h = [int(x) for x in batch.column("hapax").to_pylist()]
+        ppm = pa.array([hh * 1_000_000 // vv for hh, vv in zip(h, v)], pa.int64())
+        return batch.append_column("hapax_ppm", ppm)
+
+    return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)

@@ -6636,3 +6636,64 @@ class TestReshapeAndForensics:
             {"digit": 8, "n": 1, "share_ppm": 200_000},
             {"digit": 9, "n": 1, "share_ppm": 200_000},
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLexicalCurveAudits:
+    def test_zipf_bits_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # token counts: "a" x8, "b" x4, "c" x2, "d" x1 -> ranks 1,2,4
+        text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+        ds = rd.from_arrow(pa.table({"text": pa.array([text], pa.string())}))
+        got = (
+            analytics.zipf_bits_audit(ds, max_rank=4096)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        # rank 1 -> a(8, bits 3); rank 2 -> b(4, bits 2); rank 4 -> d(1, bits 0)
+        assert got.to_dict("records") == [
+            {"rank": 1, "freq": 8, "freq_bits": 3, "drop_bits": 0},
+            {"rank": 2, "freq": 4, "freq_bits": 2, "drop_bits": 1},
+            {"rank": 4, "freq": 1, "freq_bits": 0, "drop_bits": 2},
+        ]
+
+    def test_zipf_ties_break_token_asc(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # all counts equal: rank order must be token-ascending
+        ds = rd.from_arrow(pa.table({"text": pa.array(["z y x w"], pa.string())}))
+        got = (
+            analytics.zipf_bits_audit(ds)
+            .to_pandas()
+            .sort_values("rank")
+            .reset_index(drop=True)
+        )
+        assert got["rank"].tolist() == [1, 2, 4]
+        assert got["freq"].tolist() == [1, 1, 1]
+
+    def test_hapax_rate_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "source": pa.array(["s1", "s1", "s2"], pa.string()),
+            # s1 vocab: {aa(2), bb(1), cc(1)} -> hapax 2/3; s2: {aa(1)} -> 1/1
+            "text": pa.array(["aa bb", "aa cc", "aa"], pa.string()),
+        }))
+        got = (
+            analytics.hapax_rate_by_source(ds)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"source": "s1", "vocab": 3, "hapax": 2, "hapax_ppm": 666_666},
+            {"source": "s2", "vocab": 1, "hapax": 1, "hapax_ppm": 1_000_000},
+        ]
