@@ -840,6 +840,19 @@ def _q_hapax_rate_by_source(sf_dir: str):
     return analytics.hapax_rate_by_source(ds)
 
 
+def _q_source_tv_distance(sf_dir: str):
+    """Pairwise total-variation distance between per-source unigram
+    distributions in integer ppm (analytics.source_tv_distance) -- the
+    shared-generator provenance audit. Oracle replays the floor-div ppm
+    table and the pair grid with two LEFT JOINs + //2."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return analytics.source_tv_distance(ds)
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -4113,6 +4126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digit": _q_benford_first_digit,
         "zipf_bits_audit": _q_zipf_bits_audit,
         "hapax_rate_by_source": _q_hapax_rate_by_source,
+        "source_tv_distance": _q_source_tv_distance,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -5953,6 +5967,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, "
             "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) "
             "AS hapax_ppm FROM c GROUP BY source"
+        ),
+        # replays _q_source_tv_distance: floor-div ppm per (source, token),
+        # pair x token grid with two LEFT JOINs, SUM(ABS(diff)) // 2
+        "source_tv_distance": (
+            "WITH tok AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents), "
+            "c AS (SELECT source, tk, COUNT(*) AS n FROM tok GROUP BY source, tk), "
+            "t AS (SELECT source, SUM(n) AS total FROM c GROUP BY source), "
+            "p AS (SELECT c.source, c.tk, CAST(c.n * 1000000 // t.total AS BIGINT) AS ppm "
+            "FROM c JOIN t USING (source)), "
+            "s AS (SELECT DISTINCT source FROM c), "
+            "d AS (SELECT DISTINCT tk FROM c), "
+            "grid AS (SELECT a.source AS sa, b.source AS sb, d.tk "
+            "FROM s a JOIN s b ON a.source < b.source CROSS JOIN d), "
+            "j AS (SELECT g.sa, g.sb, "
+            "COALESCE(pa.ppm, 0) - COALESCE(pb.ppm, 0) AS diff FROM grid g "
+            "LEFT JOIN p pa ON pa.source = g.sa AND pa.tk = g.tk "
+            "LEFT JOIN p pb ON pb.source = g.sb AND pb.tk = g.tk) "
+            "SELECT sa AS source_a, sb AS source_b, "
+            "CAST(SUM(ABS(diff)) // 2 AS BIGINT) AS tv_ppm FROM j GROUP BY sa, sb"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

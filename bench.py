@@ -202,7 +202,7 @@ SWEEP_QUERIES = [
     "customer_order_distribution", "forecast_revenue_delta",
     "doc_boilerplate", "token_diversity_by_lang", "doc_surprisal_topk",
     "sentence_stats_by_lang", "events_unpivot_daily", "benford_first_digit",
-    "zipf_bits_audit", "hapax_rate_by_source",
+    "zipf_bits_audit", "hapax_rate_by_source", "source_tv_distance",
 ]
 
 

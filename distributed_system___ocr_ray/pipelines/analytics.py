@@ -7195,3 +7195,131 @@ def hapax_rate_by_source(ds, source_col: str = "source", text_col: str = "text")
         return batch.append_column("hapax_ppm", ppm)
 
     return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)
+
+
+def source_tv_distance(ds, source_col: str = "source", text_col: str = "text"):
+    """Pairwise total-variation distance between per-source unigram token
+    distributions, in integer ppm: tv(a, b) = sum_t |p_a(t) - p_b(t)| / 2
+    with p(t) = count * 10^6 // total (floor-div ppm on both sides).
+    Provenance-similarity audit: near-zero tv between two sources flags a
+    SHARED GENERATOR (cross_source_dups finds shared documents; this
+    fires even when no document is shared -- e.g. two scrapes of the same
+    template farm), near-10^6 flags disjoint vocabularies.
+
+    Plan (everything after pass 1 is vocabulary-sized, never corpus-sized):
+
+    1. (source, token, n) counts via the composite-key string-bucket
+       exchange (identical shape to hapax_rate_by_source), materialized
+       once -- two consumers (totals + ppm), the bm25 projection license.
+    2. Per-source token totals: a tiny bounded aggregate, driver-collected
+       (bounded source domain, the broadcast-side license) and
+       closure-broadcast along with the sorted source list.
+    3. ppm per (source, token) row -- guarded kernel: numpy int64 while
+       n * 10^6 provably fits (n < 2^43), Python ints past that (a 31-token
+       template vocabulary at 10^12 docs concentrates ~10^14 counts per
+       token, overflowing the int64 product).
+    4. Token-bucketed exchange; each bucket pivots to a tokens x sources
+       matrix (absent source in a bucket = 0 column via reindex) and folds
+       |ppm_i - ppm_j| over all source pairs vectorized, 4096-token chunks
+       capping the T x S x S broadcast at ~13 MB for 20 sources.
+    5. tiny_final_groupby over the bounded pair domain; // 2 at the final.
+
+    Returns (source_a, source_b, tv_ppm), source_a < source_b.
+    Reference analogue: SURVEY.md 2.10 corpus-quality family."""
+    import re
+
+    from .relational import bucketed_grouped_sum, hash_bucket_column, tiny_final_groupby
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = batch[[source_col]].copy()
+        df["tok"] = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        ex = df.explode("tok").dropna(subset=["tok"])
+        key = ex[source_col].astype(str) + "\x1f" + ex["tok"].astype(str)
+        vc = key.value_counts()
+        return pd.DataFrame({"key": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(count_partial, batch_format="pandas"), "key", "n"
+    ).materialize()
+
+    def total_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        src = batch["key"].str.partition("\x1f")[0]
+        g = pd.DataFrame({"source": src, "n": batch["n"]}).groupby(
+            "source", sort=False
+        )["n"].sum().reset_index()
+        return pd.DataFrame({"source": g["source"].astype(str), "n": g["n"].astype("int64")})
+
+    totals_tbl = tiny_final_groupby(
+        counts.map_batches(total_partial, batch_format="pandas"),
+        ["source"], [("n", "sum")], ["source", "total"],
+    ).to_pandas()  # bounded source domain -- deliberate driver collect
+    totals = dict(zip(totals_tbl["source"], (int(v) for v in totals_tbl["total"])))
+    sources = sorted(totals)
+
+    def to_ppm(batch: pd.DataFrame) -> pd.DataFrame:
+        parts = batch["key"].str.partition("\x1f")
+        src, tok = parts[0], parts[2]
+        n = batch["n"].to_numpy(np.int64)
+        tot = src.map(totals).to_numpy(np.int64)
+        if len(n) and int(n.max()) < (1 << 43):
+            ppm = n * np.int64(1_000_000) // tot
+        else:  # exact past the int64 product range
+            ppm = np.fromiter(
+                (int(a) * 1_000_000 // int(b) for a, b in zip(n, tot)),
+                dtype=np.int64, count=len(n),
+            )
+        return pd.DataFrame({"token": tok.astype(str), "source": src.astype(str),
+                             "ppm": ppm.astype(np.int64)})
+
+    ppm_rows = counts.map_batches(to_ppm, batch_format="pandas")
+
+    n_src = len(sources)
+    iu = np.triu_indices(n_src, k=1)
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        mat = (
+            g.pivot_table(index="token", columns="source", values="ppm",
+                          aggfunc="sum", fill_value=0)
+            .reindex(columns=sources, fill_value=0)
+            .to_numpy(np.int64)
+        )
+        acc = np.zeros((n_src, n_src), np.int64)
+        for lo in range(0, mat.shape[0], 4096):
+            m = mat[lo:lo + 4096]
+            acc += np.abs(m[:, :, None] - m[:, None, :]).sum(axis=0)
+        return pd.DataFrame({
+            "source_a": [sources[i] for i in iu[0]],
+            "source_b": [sources[j] for j in iu[1]],
+            "l1": acc[iu].astype(np.int64),
+        })
+
+    buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "token", buckets)
+
+    partials = (
+        ppm_rows.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: pair_fold(g.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+    folded = tiny_final_groupby(
+        partials, ["source_a", "source_b"], [("l1", "sum")],
+        ["source_a", "source_b", "l1"],
+    )
+
+    def halve(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # integer divide: l1 >= 0, so truncation == floor, matching SQL //2
+        tv = pc.divide(batch.column("l1"), pa.scalar(2, pa.int64()))
+        return pa.table({
+            "source_a": batch.column("source_a"),
+            "source_b": batch.column("source_b"),
+            "tv_ppm": pc.cast(tv, pa.int64()),
+        })
+
+    return folded.map_batches(halve, batch_format="pyarrow", batch_size=None)

@@ -6697,3 +6697,33 @@ class TestLexicalCurveAudits:
             {"source": "s1", "vocab": 3, "hapax": 2, "hapax_ppm": 666_666},
             {"source": "s2", "vocab": 1, "hapax": 1, "hapax_ppm": 1_000_000},
         ]
+
+    def test_source_tv_distance_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "source": pa.array(["s1", "s2"], pa.string()),
+            # s1: a=666666ppm b=333333ppm; s2: a=500000 c=500000
+            # L1 = 166666 + 333333 + 500000 = 999999 -> tv = 499999
+            "text": pa.array(["a a b", "a c"], pa.string()),
+        }))
+        got = analytics.source_tv_distance(ds).to_pandas()
+        assert got.to_dict("records") == [
+            {"source_a": "s1", "source_b": "s2", "tv_ppm": 499_999}
+        ]
+
+    def test_source_tv_identical_sources_zero(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "source": pa.array(["s1", "s2"], pa.string()),
+            "text": pa.array(["x y x", "x y x"], pa.string()),
+        }))
+        got = analytics.source_tv_distance(ds).to_pandas()
+        assert got.to_dict("records") == [
+            {"source_a": "s1", "source_b": "s2", "tv_ppm": 0}
+        ]
