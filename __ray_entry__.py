@@ -853,6 +853,19 @@ def _q_source_tv_distance(sf_dir: str):
     return analytics.source_tv_distance(ds)
 
 
+def _q_token_burstiness(sf_dir: str):
+    """Church-Gale burstiness profile of the top-20 tokens
+    (analytics.token_burstiness): corpus frequency, document frequency,
+    and mean occurrences per containing doc (milli floor-div). Oracle
+    replays cf/df via COUNT(*) / COUNT(DISTINCT doc_id) per token."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return analytics.token_burstiness(ds, k=20)
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -4127,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_bits_audit": _q_zipf_bits_audit,
         "hapax_rate_by_source": _q_hapax_rate_by_source,
         "source_tv_distance": _q_source_tv_distance,
+        "token_burstiness": _q_token_burstiness,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -5987,6 +6001,17 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN p pb ON pb.source = g.sb AND pb.tk = g.tk) "
             "SELECT sa AS source_a, sb AS source_b, "
             "CAST(SUM(ABS(diff)) // 2 AS BIGINT) AS tv_ppm FROM j GROUP BY sa, sb"
+        ),
+        # replays _q_token_burstiness: cf = COUNT(*), df = COUNT(DISTINCT
+        # doc) per token, top-k (cf DESC, tk ASC), milli floor-div
+        "token_burstiness": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents), "
+            "c AS (SELECT tk, CAST(COUNT(*) AS BIGINT) AS cf, "
+            "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY tk), "
+            "top AS (SELECT * FROM c ORDER BY cf DESC, tk ASC LIMIT 20) "
+            "SELECT tk AS token, cf, df, CAST(cf * 1000 // df AS BIGINT) "
+            "AS per_doc_milli FROM top"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

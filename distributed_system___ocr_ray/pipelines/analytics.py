@@ -7323,3 +7323,82 @@ def source_tv_distance(ds, source_col: str = "source", text_col: str = "text"):
         })
 
     return folded.map_batches(halve, batch_format="pyarrow", batch_size=None)
+
+
+def token_burstiness(ds, k: int = 20, text_col: str = "text"):
+    """Church-Gale burstiness profile of the top-k corpus tokens: corpus
+    frequency cf, document frequency df, and per_doc_milli =
+    cf * 1000 // df (mean occurrences per CONTAINING document, milli).
+    Bursty tokens (high per-doc rate) are topical/content words that
+    concentrate where they appear; flat tokens are function words. On a
+    training corpus the profile separates template spam (every token
+    bursty, repeated inside each doc) from natural text -- the
+    within-doc complement of dup_shingle_rate's cross-doc signal.
+
+    Plan: ONE pass emits per-batch (token, cf, df) partials -- cf from a
+    flat explode value_counts, df from the explode deduplicated on
+    (row, token) first (vectorized drop_duplicates, no per-row set
+    loop) -- then one string-bucket exchange sums BOTH partial columns
+    per bucket (inline variant of bucketed_grouped_sum for two sum
+    columns), per-block partial top-k by (cf DESC, token ASC), one tiny
+    merge block adds the milli ratio with Python ints (cf * 1000
+    overflows int64 only past 9*10^15 occurrences; the partial sums
+    stay int64-safe far beyond 100 TB).
+
+    df is exact because each document is one row of ONE batch (documents
+    are never split across batches by map_batches).
+
+    Returns (token, cf, df, per_doc_milli), top-k by (cf DESC, token ASC).
+    Reference analogue: SURVEY.md 2.10 corpus-quality family."""
+    import re
+
+    from .relational import hash_bucket_column
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        ex = toks.explode().dropna()
+        cf = ex.value_counts()
+        per_doc = ex.reset_index().drop_duplicates()
+        df_counts = per_doc[per_doc.columns[1]].value_counts()
+        out = pd.DataFrame({"cf": cf, "df": df_counts.reindex(cf.index)})
+        return pd.DataFrame({
+            "token": out.index.astype(str),
+            "cf": out["cf"].to_numpy(np.int64),
+            "df": out["df"].to_numpy(np.int64),
+        })
+
+    buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "token", buckets)
+
+    def bucket_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", sort=False)[["cf", "df"]].sum().reset_index()
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: bucket_sum(g.drop(columns="__bucket")), batch_format="pandas")
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["cf", "token"], ascending=[False, True]).head(k)
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        top = batch.sort_values(["cf", "token"], ascending=[False, True]).head(k)
+        milli = [int(c) * 1000 // int(d) for c, d in zip(top["cf"], top["df"])]
+        return pd.DataFrame({
+            "token": top["token"].astype(str).to_numpy(),
+            "cf": top["cf"].to_numpy(np.int64),
+            "df": top["df"].to_numpy(np.int64),
+            "per_doc_milli": pd.Series(milli, dtype="int64").to_numpy(),
+        })
+
+    return (
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )

@@ -6727,3 +6727,24 @@ class TestLexicalCurveAudits:
         assert got.to_dict("records") == [
             {"source_a": "s1", "source_b": "s2", "tv_ppm": 0}
         ]
+
+    def test_token_burstiness_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            # "a": cf 4, df 2 -> 2000 milli; "b": cf 2, df 2 -> 1000;
+            # "c": cf 1, df 1 -> 1000
+            "text": pa.array(["a a a b", "a b c"], pa.string()),
+        }))
+        got = (
+            analytics.token_burstiness(ds, k=3)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert got.to_dict("records") == [
+            {"token": "a", "cf": 4, "df": 2, "per_doc_milli": 2000},
+            {"token": "b", "cf": 2, "df": 2, "per_doc_milli": 1000},
+            {"token": "c", "cf": 1, "df": 1, "per_doc_milli": 1000},
+        ]
