@@ -866,6 +866,19 @@ def _q_token_burstiness(sf_dir: str):
     return analytics.token_burstiness(ds, k=20)
 
 
+def _q_graph_reciprocity(sf_dir: str):
+    """Edge reciprocity ppm of the md5-derived citation graph
+    (analytics.graph_reciprocity): distinct directed edges whose reverse
+    is also present. Oracle replays the shared edge CTEs + a self-join
+    EXISTS over the DISTINCT edge set."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.graph_reciprocity(ds)
+
+
 def _q_docs_rollup(sf_dir: str):
     """OLAP ROLLUP counts over (lang, source) in one shuffle: coarser
     levels fold from the finest inside the single final block; rolled
@@ -4141,6 +4154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_rate_by_source": _q_hapax_rate_by_source,
         "source_tv_distance": _q_source_tv_distance,
         "token_burstiness": _q_token_burstiness,
+        "graph_reciprocity": _q_graph_reciprocity,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "last_event_per_user": _q_last_event_per_user,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -6012,6 +6026,19 @@ def oracle_sql() -> dict[str, str]:
             "top AS (SELECT * FROM c ORDER BY cf DESC, tk ASC LIMIT 20) "
             "SELECT tk AS token, cf, df, CAST(cf * 1000 // df AS BIGINT) "
             "AS per_doc_milli FROM top"
+        ),
+        # replays _q_graph_reciprocity: shared edge CTEs, DISTINCT directed
+        # edges, EXISTS probe for the reverse edge, floor-div ppm
+        "graph_reciprocity": (
+            f"WITH {_edges_ctes()}, "
+            "e AS (SELECT DISTINCT src, dst FROM edges), "
+            "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total, "
+            "CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM e x "
+            "WHERE x.src = e.dst AND x.dst = e.src) THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS recip FROM e) "
+            "SELECT total AS directed_edges, recip AS reciprocal_edges, "
+            "CAST(CASE WHEN total = 0 THEN 0 ELSE recip * 1000000 // total END "
+            "AS BIGINT) AS reciprocity_ppm FROM t"
         ),
         # replays _q_docs_rollup: ROLLUP levels with 'ALL' sentinels
         "docs_rollup": (

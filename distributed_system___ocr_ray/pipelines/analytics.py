@@ -7402,3 +7402,71 @@ def token_burstiness(ds, k: int = 20, text_col: str = "text"):
         .repartition(1)
         .map_batches(final, batch_format="pandas", batch_size=None)
     )
+
+
+def graph_reciprocity(ds, id_col: str = "doc_id"):
+    """Edge reciprocity of the md5-derived citation graph (shared with
+    pagerank_top / triangle_count / bfs_levels via derived_link_edges):
+    of the DISTINCT directed edges, what ppm has its reverse edge also
+    present. The standard directed-graph structural audit after the
+    degree histogram -- a crawl graph with near-zero reciprocity is
+    tree/feed-like, high reciprocity is social/forum-like, and a sudden
+    shift flags a changed link extractor.
+
+    Plan (ONE exchange): edges -> map to the unordered pair (u=min,
+    v=max, dir) -> hash-bucket on u (both directions of a pair share u;
+    pairs-per-u is bounded by max degree, so buckets stay flat) -> each
+    bucket drop_duplicates (fuses the DISTINCT with the match) and
+    groups by (u, v): a pair with both dirs present contributes 2
+    reciprocal directed edges -> (total, reciprocal) partials ->
+    tiny_final_groupby + Python-int ppm.
+
+    Returns one row (directed_edges, reciprocal_edges, reciprocity_ppm).
+    Reference analogue: SURVEY.md 2.13 graph family."""
+    from .relational import hash_bucket_column
+
+    n = ds.count()
+    edges = derived_link_edges(ds, n, id_col=id_col)
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        u = np.minimum(src, dst)
+        v = np.maximum(src, dst)
+        return pa.table({
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "dir": pa.array((src < dst).astype(np.int8), pa.int8()),
+        })
+
+    buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "u", buckets)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop(columns="__bucket").drop_duplicates()
+        ndir = d.groupby(["u", "v"], sort=False)["dir"].nunique()
+        total = int(ndir.sum())  # distinct directed edges in this bucket
+        recip = int((ndir == 2).sum()) * 2
+        return pd.DataFrame({"total": pd.Series([total], dtype="int64"),
+                             "recip": pd.Series([recip], dtype="int64")})
+
+    partials = (
+        edges.map_batches(to_pairs, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        total = sum(int(x) for x in batch.column("total").to_pylist())
+        recip = sum(int(x) for x in batch.column("recip").to_pylist())
+        ppm = recip * 1_000_000 // total if total else 0
+        return pa.table({
+            "directed_edges": pa.array([total], pa.int64()),
+            "reciprocal_edges": pa.array([recip], pa.int64()),
+            "reciprocity_ppm": pa.array([ppm], pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)

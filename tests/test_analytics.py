@@ -6748,3 +6748,33 @@ class TestLexicalCurveAudits:
             {"token": "b", "cf": 2, "df": 2, "per_doc_milli": 1000},
             {"token": "c", "cf": 1, "df": 1, "per_doc_milli": 1000},
         ]
+
+    def test_graph_reciprocity_bounds(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(50), pa.int64())}))
+        got = analytics.graph_reciprocity(ds).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert 0 <= row["reciprocal_edges"] <= row["directed_edges"]
+        assert row["reciprocity_ppm"] == (
+            int(row["reciprocal_edges"]) * 1_000_000 // int(row["directed_edges"])
+        )
+
+    def test_graph_reciprocity_matches_brute_force(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        n = 40
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+        edges = set(
+            map(tuple, analytics.derived_link_edges(ds, n)
+                .to_pandas()[["src", "dst"]].values)
+        )
+        recip = sum(1 for (s, d) in edges if (d, s) in edges)
+        got = analytics.graph_reciprocity(ds).to_pandas().iloc[0]
+        assert int(got["directed_edges"]) == len(edges)
+        assert int(got["reciprocal_edges"]) == recip
