@@ -1452,6 +1452,49 @@ def exact_quantile(ds, col: str, q: float = 0.5, bins: int = 4096, pull_limit: i
     if hi == lo:
         return lo  # constant column
     k = max(1, math.ceil(q * n))  # 1-indexed rank among ascending
+    return _quantile_from_stats(ds, col, k, lo, hi, n, bins, pull_limit)
+
+
+def exact_quantiles(ds, col: str, qs, bins: int = 4096, pull_limit: int = 100_000):
+    """Multi-target ``exact_quantile``: identical rank convention and
+    bisection, but ONE shared Min/Max/Count pass and -- when the column
+    fits ``pull_limit`` -- ONE shared bounded collect serving every rank.
+    Motivation (measured): rfm_segments needs 9 boundaries over a
+    customer-bounded table; 9 independent calls cost 18 dataset
+    executions whose ~0.25 s per-execution constant dominates at ANY
+    input size. Past ``pull_limit`` each target runs its own bisection
+    (targets diverge into different buckets after round 1), still
+    sharing the stats pass -- the at-scale passes are the histograms,
+    which were always per-target work. Returns {q: value}."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    qs = list(qs)
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo, hi, n = float(stats[f"min({col})"]), float(stats[f"max({col})"]), int(stats["count()"])
+    if n == 0:
+        raise ValueError("exact_quantiles on empty dataset")
+    if hi == lo:
+        return {q: lo for q in qs}
+    ranks = {q: max(1, math.ceil(q * n)) for q in qs}
+    if n <= pull_limit:
+        vals = np.sort(np.concatenate(
+            [b.column(col).to_numpy(zero_copy_only=False)
+             for b in ds.select_columns([col]).iter_batches(batch_format="pyarrow")]
+            or [np.array([], dtype=np.float64)]
+        ))
+        return {q: float(vals[k - 1]) for q, k in ranks.items()}
+    return {
+        q: _quantile_from_stats(ds, col, k, lo, hi, n, bins, pull_limit)
+        for q, k in ranks.items()
+    }
+
+
+def _quantile_from_stats(ds, col, k, lo, hi, n, bins, pull_limit):
+    """Bisection core shared by exact_quantile / exact_quantiles: narrow
+    to the bucket holding ascending rank ``k``, then read it off the
+    collected (<= pull_limit) remainder."""
     cur = ds
     n_within = n
     while n_within > pull_limit and hi > lo:

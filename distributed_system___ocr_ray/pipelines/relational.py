@@ -3247,7 +3247,7 @@ def rfm_segments(sf_dir: str, buckets: int = 64):
     Scale shape: per-batch (cust, max-day, count, sum) partials -> ONE
     custkey exchange folds the per-customer table (customer-domain
     bounded; materialized for its several consumers) -> the 9 quartile
-    boundaries come from ``analytics.exact_quantile``'s histogram
+    boundaries come from ``analytics.exact_quantiles``'s histogram
     bisection (log-round passes, no sort, no big collect) -> one map-side
     scoring pass against the 9 broadcast scalars.
 
@@ -3321,10 +3321,14 @@ def rfm_segments(sf_dir: str, buckets: int = 64):
 
     feat = percust.map_batches(add_r, batch_format="pyarrow").materialize()
 
-    from .analytics import exact_quantile
+    from .analytics import exact_quantiles
 
+    # one stats pass + one bounded pull per column (vs 2 executions per
+    # boundary): exact_quantiles shares them across the three targets
     bounds = {
-        col: [int(exact_quantile(feat, col, q)) for q in (0.25, 0.5, 0.75)]
+        col: [int(v) for _, v in sorted(
+            exact_quantiles(feat, col, (0.25, 0.5, 0.75)).items()
+        )]
         for col in ("r_days", "f_orders", "m_cents")
     }
 
