@@ -1557,6 +1557,19 @@ def _q_doc_boilerplate(sf_dir: str):
     return analytics.doc_boilerplate_score(ds)
 
 
+def _q_dup_spans(sf_dir: str):
+    """Per-doc duplicated-SPAN token coverage ppm (positional complement of
+    doc_boilerplate: how much of the token stream shared 3-shingles blanket;
+    analytics.dup_spans); oracle replays positions with a QUALIFY window and
+    expands spans via generate_series."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analytics.dup_spans(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4179,6 +4192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate_by_lang": _q_oov_rate_by_lang,
         "dup_shingle_rate": _q_dup_shingle_rate,
         "doc_boilerplate": _q_doc_boilerplate,
+        "dup_spans": _q_dup_spans,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -4850,6 +4864,33 @@ _DOC_BOILERPLATE_SQL = (
     "SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, "
     "CAST(n_shared AS BIGINT) AS n_shared, "
     "CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS boilerplate_ppm FROM a"
+)
+
+# replay of analytics.dup_spans: POSITIONAL word-3-shingles (no DISTINCT --
+# every occurrence keeps its 1-based start i), shingles in >= 2 distinct docs
+# mark their positions, spans [i, i+L) expand via generate_series and the
+# per-doc COUNT(DISTINCT j) IS the interval-union coverage
+_DUP_SPANS_SQL = (
+    "WITH ws AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+    "base AS (SELECT doc_id, len(w) AS nw, w FROM ws), "
+    "tok AS (SELECT doc_id, unnest(w) AS tk, unnest(generate_series(1, len(w))) AS i "
+    "FROM base WHERE nw >= 3), "
+    "shp AS (SELECT doc_id, i, tk || ' ' || lead(tk, 1) OVER win || ' ' || "
+    "lead(tk, 2) OVER win AS s FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
+    "QUALIFY lead(tk, 2) OVER win IS NOT NULL), "
+    "shsm AS (SELECT doc_id, 1 AS i, array_to_string(w, ' ') AS s "
+    "FROM base WHERE nw >= 1 AND nw < 3), "
+    "allp AS (SELECT * FROM shp UNION ALL SELECT * FROM shsm), "
+    "g AS (SELECT s FROM allp GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "dup AS (SELECT DISTINCT a.doc_id, a.i FROM allp a JOIN g USING (s)), "
+    "cov AS (SELECT d.doc_id, unnest(generate_series(d.i, "
+    "d.i + (CASE WHEN b.nw >= 3 THEN 3 ELSE b.nw END) - 1)) AS j "
+    "FROM dup d JOIN base b USING (doc_id)), "
+    "c AS (SELECT doc_id, COUNT(DISTINCT j) AS covered FROM cov GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(b.nw AS BIGINT) AS nw, "
+    "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered, "
+    "CAST(COALESCE(c.covered, 0) * 1000000 // b.nw AS BIGINT) AS dup_span_ppm "
+    "FROM base b LEFT JOIN c USING (doc_id) WHERE b.nw >= 1"
 )
 
 # replay of analytics.token_simpson_by_lang: exact HUGEINT sum-of-squares
@@ -6181,6 +6222,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
         "doc_boilerplate": _DOC_BOILERPLATE_SQL,
+        "dup_spans": _DUP_SPANS_SQL,
         "token_diversity_by_lang": _TOKEN_DIVERSITY_SQL,
         "doc_surprisal_topk": _DOC_SURPRISAL_SQL,
         "sentence_stats_by_lang": _SENTENCE_STATS_SQL,

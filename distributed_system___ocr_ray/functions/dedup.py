@@ -71,6 +71,18 @@ def shingle_hashes(text: str, k: int = 3, memo: dict[str, int] | None = None) ->
     RE2-\\S-equivalent ASCII class (textstats._WS_TOKEN) so the ngram
     Jaccard DuckDB oracle splits words identically on non-ASCII whitespace.
     ``memo``: per-batch distinct-shingle digest cache (md5_u64_hashed)."""
+    return shingle_hashes_nw(text, k, memo)[0]
+
+
+def shingle_hashes_nw(
+    text: str, k: int = 3, memo: dict[str, int] | None = None
+) -> tuple[np.ndarray, int]:
+    """``shingle_hashes`` plus the word count, from the SAME single
+    tokenization pass. Positional span operators (``analytics.dup_spans``)
+    need nw to size the <k-words whole-text shingle's token coverage and to
+    exclude empty documents; re-tokenizing just to count would double the
+    dominant regex cost. Hash values are bit-identical to
+    ``shingle_hashes`` -- this IS its body, now returning (hashes, nw)."""
     from .textstats import _WS_TOKEN
 
     words = _WS_TOKEN.findall(text)
@@ -82,7 +94,7 @@ def shingle_hashes(text: str, k: int = 3, memo: dict[str, int] | None = None) ->
     if memo is None:
         for i, s in enumerate(shingles):
             out[i] = md5_u64(s.encode("utf-8"))
-        return out
+        return out, len(words)
     get = memo.get  # inlined md5_u64_hashed: no per-shingle function call
     for i, s in enumerate(shingles):
         v = get(s)
@@ -90,7 +102,7 @@ def shingle_hashes(text: str, k: int = 3, memo: dict[str, int] | None = None) ->
             v = md5_u64(s.encode("utf-8"))
             memo[s] = v
         out[i] = v
-    return out
+    return out, len(words)
 
 
 def minhasher_cached(num_perm: int = 64, seed: int = 7) -> "MinHasher":

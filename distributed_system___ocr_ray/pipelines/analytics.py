@@ -7513,3 +7513,131 @@ def graph_reciprocity(ds, id_col: str = "doc_id"):
         })
 
     return partials.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", buckets: int | None = None):
+    """Per-DOCUMENT duplicated-SPAN coverage: the ppm of a doc's token
+    POSITIONS covered by at least one word-3-shingle that also appears in
+    another document -- the positional complement of
+    ``doc_boilerplate_score``. Boilerplate counts DISTINCT shared shingles;
+    a substring-dedup gate (Lee et al.'s ExactSubstr) cares how much of the
+    token STREAM those shingles blanket: ten shared shingles tiling one
+    30-token footer score very differently from ten scattered ones.
+
+    Plan (TWO bounded exchanges, never text):
+
+    1. the shared tokenize/shingle/md5-u64 kernel (``shingle_hashes_nw`` --
+       ONE tokenization pass yields both the ordered positional hash array
+       and nw), emitted as (h, doc_id, pos, nw) long rows plus ONE
+       marker row per doc (pos=0, h=md5 of a doc-salted tag: a singleton
+       group that carries nw through so zero-dup docs still fold out),
+       hash-bucketed on h;
+    2. per h-bucket, keep positions whose shingle lands in >= 2 DISTINCT
+       docs (plus markers) -- the only rows that move again;
+    3. ONE doc_id-bucketed fold unions the [pos, pos+L) intervals
+       (L = 3, or nw for the <3-word whole-text shingle) with a sorted
+       min(gap, L) sweep and computes the exact int64 ppm.
+
+    Same 2^-64-per-pair hash-collision caveat as the dup_shingle family
+    (markers included); the SQL replay groups by the shingle string and
+    expands spans with generate_series, equality-identical at test scale.
+
+    Returns (doc_id, nw, covered, dup_span_ppm), one row per doc with at
+    least one token (whitespace-only docs have no positions to cover)."""
+    from ..functions.dedup import md5_u64, shingle_hashes_nw
+    from .relational import derive_buckets, hash_bucket_column
+
+    n_docs = ds.count()
+    if buckets is None:
+        buckets = derive_buckets(n_docs, rows_per_bucket=50_000)
+    doc_buckets = derive_buckets(n_docs, rows_per_bucket=500_000)
+
+    def long_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        memo: dict[str, int] = {}
+        hs, ps, dids, nws = [], [], [], []
+        for did, t in zip(ids, texts):
+            h, nw = shingle_hashes_nw(t or "", 3, memo)
+            if nw == 0:
+                continue
+            n = len(h)
+            hs.append(h)
+            ps.append(np.arange(1, n + 1, dtype=np.int64))
+            hs.append(np.array([md5_u64(b"\x00dup_spans:%d" % did)], np.uint64))
+            ps.append(np.zeros(1, np.int64))
+            dids.append(np.full(n + 1, did, np.int64))
+            nws.append(np.full(n + 1, nw, np.int64))
+        out = pa.table(
+            {
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.empty(0, np.uint64), pa.uint64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(dids) if dids else np.empty(0, np.int64), pa.int64()
+                ),
+                "pos": pa.array(
+                    np.concatenate(ps) if ps else np.empty(0, np.int64), pa.int64()
+                ),
+                "nw": pa.array(
+                    np.concatenate(nws) if nws else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+        return hash_bucket_column(out, "h", buckets)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("h", sort=False)["doc_id"].transform("nunique")
+        keep = (nd.to_numpy(np.int64) >= 2) | (g["pos"].to_numpy(np.int64) == 0)
+        out = g.loc[keep]
+        t = pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
+                "pos": pa.array(out["pos"].to_numpy(np.int64), pa.int64()),
+                "nw": pa.array(out["nw"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+        return hash_bucket_column(t, "doc_id", doc_buckets, name="__dbucket").to_pandas()
+
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        pos_all = g["pos"].to_numpy(np.int64)
+        docs = g.loc[pos_all == 0, ["doc_id", "nw"]].drop_duplicates("doc_id")
+        d = g.loc[pos_all > 0, ["doc_id", "pos", "nw"]]
+        did_out = docs["doc_id"].to_numpy(np.int64)
+        nw_out = docs["nw"].to_numpy(np.int64)
+        covered = np.zeros(len(docs), np.int64)
+        if len(d):
+            d = d.sort_values(["doc_id", "pos"]).drop_duplicates(["doc_id", "pos"])
+            doc = d["doc_id"].to_numpy(np.int64)
+            pos = d["pos"].to_numpy(np.int64)
+            span = np.where(d["nw"].to_numpy(np.int64) >= 3, 3, d["nw"].to_numpy(np.int64))
+            last = np.ones(len(d), bool)
+            last[:-1] = doc[1:] != doc[:-1]
+            gap = np.empty(len(d), np.int64)
+            gap[-1] = 0  # masked: last rows take the full span below
+            gap[:-1] = pos[1:] - pos[:-1]
+            contrib = np.where(last, span, np.minimum(gap, span))
+            cov = (
+                pd.DataFrame({"doc_id": doc, "c": contrib})
+                .groupby("doc_id", sort=False)["c"]
+                .sum()
+            )
+            covered = (
+                docs["doc_id"].map(cov).fillna(0).to_numpy(np.float64).astype(np.int64)
+            )
+        return pd.DataFrame(
+            {
+                "doc_id": did_out,
+                "nw": nw_out,
+                "covered": covered,
+                "dup_span_ppm": covered * 1_000_000 // nw_out,
+            }
+        )
+
+    return (
+        ds.map_batches(long_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .groupby("__dbucket")
+        .map_groups(fold_doc, batch_format="pandas")
+    )

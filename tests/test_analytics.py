@@ -6778,3 +6778,92 @@ class TestLexicalCurveAudits:
         got = analytics.graph_reciprocity(ds).to_pandas().iloc[0]
         assert int(got["directed_edges"]) == len(edges)
         assert int(got["reciprocal_edges"]) == recip
+
+
+class TestDupSpans:
+    def test_hand_built_interval_union(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # doc1/doc2 share overlapping shingles (union, not sum); doc3's
+        # "m m m" repeats WITHIN one doc only (distinct-doc rule keeps it
+        # out) while "x y z" at pos 1 and 8 gives two disjoint spans;
+        # doc5/doc6 share the <3-word whole-text shingle; doc7 is clean
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f g h",
+                        "a b c d",
+                        "x y z m m m m x y z",
+                        "x y z",
+                        "q w",
+                        "q w",
+                        "lonely words here now",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        got = (
+            _pdf(analytics.dup_spans(rd.from_arrow(tbl), buckets=4))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [1, 2, 3, 4, 5, 6, 7]
+        assert list(got["nw"]) == [8, 4, 10, 3, 2, 2, 4]
+        # doc1: [1,3]u[2,4] = 4; doc3: [1,3]u[8,10] = 6
+        assert list(got["covered"]) == [4, 4, 6, 3, 2, 2, 0]
+        assert list(got["dup_span_ppm"]) == [
+            500_000,
+            1_000_000,
+            600_000,
+            1_000_000,
+            1_000_000,
+            1_000_000,
+            0,
+        ]
+
+    def test_whitespace_only_doc_excluded(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["  \t ", "a b", "a b"], pa.string()),
+            }
+        )
+        got = (
+            _pdf(analytics.dup_spans(rd.from_arrow(tbl), buckets=2))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [2, 3]
+        assert list(got["dup_span_ppm"]) == [1_000_000, 1_000_000]
+
+    def test_bucket_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        a = (
+            _pdf(analytics.dup_spans(ds, buckets=3))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            _pdf(analytics.dup_spans(ds, buckets=17))
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(a, b)
+        # spans cover at least every doc with a shared shingle: covered
+        # bounded by nw, and boilerplate-positive docs are span-positive
+        assert (a["covered"] <= a["nw"]).all()
