@@ -1570,6 +1570,22 @@ def _q_dup_spans(sf_dir: str):
     return analytics.dup_spans(ds)
 
 
+def _q_ks_priority_drift(sf_dir: str):
+    """Exact pairwise two-sample Kolmogorov-Smirnov distance between
+    order-priority classes' value distributions in integer ppm
+    (distribution-drift audit; analytics.ks_priority_drift); oracle
+    replays the integer sup-norm |C_a*n_b - C_b*n_a| over the full
+    distinct-cents grid with window cumsums."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return analytics.ks_priority_drift(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4193,6 +4209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_shingle_rate": _q_dup_shingle_rate,
         "doc_boilerplate": _q_doc_boilerplate,
         "dup_spans": _q_dup_spans,
+        "ks_priority_drift": _q_ks_priority_drift,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -4891,6 +4908,29 @@ _DUP_SPANS_SQL = (
     "CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered, "
     "CAST(COALESCE(c.covered, 0) * 1000000 // b.nw AS BIGINT) AS dup_span_ppm "
     "FROM base b LEFT JOIN c USING (doc_id) WHERE b.nw >= 1"
+)
+
+# replay of analytics.ks_priority_drift: the KS sup is attained on the
+# observed distinct-cents grid, so cross-join every group onto the grid,
+# window-cumsum the left-joined counts, and max the integer deviation
+_KS_PRIORITY_SQL = (
+    "WITH v AS (SELECT o_orderpriority AS g, "
+    "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders), "
+    "n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY g), "
+    "d AS (SELECT g, c, COUNT(*) AS cnt FROM v GROUP BY g, c), "
+    "grid AS (SELECT gs.g, vs.c FROM (SELECT DISTINCT g FROM v) gs "
+    "CROSS JOIN (SELECT DISTINCT c FROM v) vs), "
+    "cum AS (SELECT grid.g, grid.c, SUM(COALESCE(d.cnt, 0)) "
+    "OVER (PARTITION BY grid.g ORDER BY grid.c) AS cc "
+    "FROM grid LEFT JOIN d ON grid.g = d.g AND grid.c = d.c), "
+    "pd AS (SELECT a.g AS prio_a, b.g AS prio_b, "
+    "MAX(ABS(a.cc * nb.n - b.cc * na.n)) AS dev "
+    "FROM cum a JOIN cum b ON a.c = b.c AND a.g < b.g "
+    "JOIN n na ON na.g = a.g JOIN n nb ON nb.g = b.g GROUP BY 1, 2) "
+    "SELECT prio_a, prio_b, CAST(na.n AS BIGINT) AS n_a, "
+    "CAST(nb.n AS BIGINT) AS n_b, "
+    "CAST(dev * 1000000 // (na.n * nb.n) AS BIGINT) AS ks_ppm "
+    "FROM pd JOIN n na ON na.g = prio_a JOIN n nb ON nb.g = prio_b"
 )
 
 # replay of analytics.token_simpson_by_lang: exact HUGEINT sum-of-squares
@@ -6223,6 +6263,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_shingle_rate": _DUP_SHINGLE_SQL,
         "doc_boilerplate": _DOC_BOILERPLATE_SQL,
         "dup_spans": _DUP_SPANS_SQL,
+        "ks_priority_drift": _KS_PRIORITY_SQL,
         "token_diversity_by_lang": _TOKEN_DIVERSITY_SQL,
         "doc_surprisal_topk": _DOC_SURPRISAL_SQL,
         "sentence_stats_by_lang": _SENTENCE_STATS_SQL,

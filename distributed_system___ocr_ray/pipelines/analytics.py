@@ -7641,3 +7641,139 @@ def dup_spans(ds, id_col: str = "doc_id", text_col: str = "text", buckets: int |
         .groupby("__dbucket")
         .map_groups(fold_doc, batch_format="pandas")
     )
+
+
+def ks_priority_drift(ds, group_col: str = "o_orderpriority", value_col: str = "o_totalprice"):
+    """Exact pairwise two-sample Kolmogorov-Smirnov distance between the
+    order-value distributions of each priority class -- the
+    distribution-DRIFT audit (did one slice's value distribution shift?)
+    that complements source_tv_distance's categorical TV: KS is the sup-norm
+    gap between EMPIRICAL CDFs of a numeric column, the standard two-sample
+    drift test.
+
+    Exactness without floats: at any value v, ``|F_a(v) - F_b(v)| =
+    |C_a(v)*n_b - C_b(v)*n_a| / (n_a*n_b)`` with integer cumulative counts
+    C; the max over v is attained at an OBSERVED value, so the sup over a
+    continuum reduces to a max over the distinct-cents grid.
+    ``ks_ppm = max_dev * 1e6 // (n_a*n_b)``.
+
+    Distributed ECDF without a global sort: cents are RANGE-bucketed by a
+    fixed width (ordering-preserving, unlike hash buckets), per-bucket
+    (g, c, n) partial counts fold into the compressed distinct-value
+    support, ONE tiny per-(bucket, g) total table comes to the driver to
+    compute each bucket's CARRY-IN (counts below it) which is closure-
+    broadcast back, and each bucket then scans its own sorted slice of the
+    grid independently -- a two-pass distributed prefix sum. The folded
+    support is materialized once (it is the compressed ECDF, orders of
+    magnitude smaller than the input). Products C*n overflow int64 past
+    n ~ 2^31 rows; the per-bucket kernel switches to Python big-int columns
+    there (same guarded pattern as source_tv_distance).
+
+    Returns one row per unordered group pair (prio_a < prio_b):
+    (prio_a, prio_b, n_a, n_b, ks_ppm)."""
+    from .relational import _cents
+
+    width = 1 << 21  # ~$21k per range bucket: parallelism knob, not correctness
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        g = batch.column(group_col).to_pylist()
+        out = (
+            pd.DataFrame({"g": g, "c": c})
+            .groupby(["g", "c"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "rbucket": pa.array(
+                    out["c"].to_numpy(np.int64) // width, pa.int64()
+                ),
+                "g": pa.array(out["g"], pa.string()),
+                "c": pa.array(out["c"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["rbucket", "g", "c"], sort=False)["n"].sum().reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    detail = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+
+    # tiny: (#range-buckets x #groups) rows -> driver computes carry-ins
+    per_bucket = (
+        detail.groupby(["rbucket", "g"])
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "bn"})
+        .sort_values(["g", "rbucket"])
+    )
+    per_bucket["carry"] = per_bucket.groupby("g")["bn"].cumsum() - per_bucket["bn"]
+    carry = {
+        (int(r.rbucket), r.g): int(r.carry) for r in per_bucket.itertuples()
+    }
+    n_tot = {g: int(n) for g, n in per_bucket.groupby("g")["bn"].sum().items()}
+    groups = sorted(n_tot)
+    big = max(n_tot.values(), default=0) >= (1 << 31)
+
+    def bucket_dev(g: pd.DataFrame) -> pd.DataFrame:
+        rb = int(g["rbucket"].iloc[0])
+        piv = (
+            g.pivot_table(index="c", columns="g", values="n", aggfunc="sum", fill_value=0)
+            .reindex(columns=groups, fill_value=0)
+            .sort_index()
+        )
+        cums = {}
+        for gg in groups:
+            col = piv[gg].to_numpy(np.int64).cumsum() + carry.get((rb, gg), 0)
+            cums[gg] = [int(x) for x in col] if big else col
+        rows = []
+        for i, ga in enumerate(groups):
+            for gb in groups[i + 1 :]:
+                if big:
+                    dev = max(
+                        abs(ca * n_tot[gb] - cb * n_tot[ga])
+                        for ca, cb in zip(cums[ga], cums[gb])
+                    )
+                else:
+                    dev = int(
+                        np.abs(cums[ga] * n_tot[gb] - cums[gb] * n_tot[ga]).max()
+                    )
+                rows.append((ga, gb, dev))
+        return pd.DataFrame(rows, columns=["prio_a", "prio_b", "dev"]).astype(
+            {"dev": "int64" if not big else "object"}
+        )
+
+    per_pair = detail.groupby("rbucket").map_groups(bucket_dev, batch_format="pandas")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        best = df.groupby(["prio_a", "prio_b"], sort=True)["dev"].max().reset_index()
+        ka, kb, na_, nb_, ppm = [], [], [], [], []
+        for r in best.itertuples():
+            a, b = n_tot[r.prio_a], n_tot[r.prio_b]
+            ka.append(r.prio_a)
+            kb.append(r.prio_b)
+            na_.append(a)
+            nb_.append(b)
+            ppm.append(int(r.dev) * 1_000_000 // (a * b))
+        return pa.table(
+            {
+                "prio_a": pa.array(ka, pa.string()),
+                "prio_b": pa.array(kb, pa.string()),
+                "n_a": pa.array(na_, pa.int64()),
+                "n_b": pa.array(nb_, pa.int64()),
+                "ks_ppm": pa.array(ppm, pa.int64()),
+            }
+        )
+
+    return per_pair.repartition(1).map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )

@@ -6867,3 +6867,64 @@ class TestDupSpans:
         # spans cover at least every doc with a shared shingle: covered
         # bounded by nw, and boilerplate-positive docs are span-positive
         assert (a["covered"] <= a["nw"]).all()
+
+
+class TestKsPriorityDrift:
+    def test_hand_built_exact_ks(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # A = {1,2,3,4}, B = {3,4,5,6} dollars: ECDFs diverge most at 2.00
+        # (F_A=1/2, F_B=0) -> KS = 1/2; A vs C = {1,2,3,4} identical -> 0
+        tbl = pa.table(
+            {
+                "o_orderpriority": pa.array(
+                    ["A"] * 4 + ["B"] * 4 + ["C"] * 4, pa.string()
+                ),
+                "o_totalprice": pa.array(
+                    [1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0, 1.0, 2.0, 3.0, 4.0],
+                    pa.float64(),
+                ),
+            }
+        )
+        got = (
+            _pdf(analytics.ks_priority_drift(rd.from_arrow(tbl)))
+            .sort_values(["prio_a", "prio_b"])
+            .reset_index(drop=True)
+        )
+        assert list(got["prio_a"]) == ["A", "A", "B"]
+        assert list(got["prio_b"]) == ["B", "C", "C"]
+        assert list(got["n_a"]) == [4, 4, 4]
+        assert list(got["n_b"]) == [4, 4, 4]
+        assert list(got["ks_ppm"]) == [500_000, 0, 500_000]
+
+    def test_matches_brute_force_on_sf(self):
+        import itertools
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        )
+        got = (
+            _pdf(analytics.ks_priority_drift(ds))
+            .set_index(["prio_a", "prio_b"])["ks_ppm"]
+            .to_dict()
+        )
+        import pandas as pd
+
+        df = pd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+        )
+        df["c"] = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+        by_g = {g: np.sort(s["c"].to_numpy()) for g, s in df.groupby("o_orderpriority")}
+        grid = np.unique(df["c"].to_numpy())
+        for ga, gb in itertools.combinations(sorted(by_g), 2):
+            a, b = by_g[ga], by_g[gb]
+            ca = np.searchsorted(a, grid, side="right").astype(object)
+            cb = np.searchsorted(b, grid, side="right").astype(object)
+            dev = int(np.abs(ca * len(b) - cb * len(a)).max())
+            assert got[(ga, gb)] == dev * 1_000_000 // (len(a) * len(b))
