@@ -1586,6 +1586,22 @@ def _q_ks_priority_drift(sf_dir: str):
     return analytics.ks_priority_drift(ds)
 
 
+def _q_sampled_quantile_audit(sf_dir: str):
+    """Decile estimates from the deterministic md5-threshold sample vs the
+    full data's exact deciles, with true rank error in ppm (the quantile
+    member of the sketch-audit family; analytics.sampled_quantile_audit);
+    oracle replays the integer rank convention (p*n+999)//1000 with
+    ROW_NUMBER over both populations."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return analytics.sampled_quantile_audit(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4210,6 +4226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate": _q_doc_boilerplate,
         "dup_spans": _q_dup_spans,
         "ks_priority_drift": _q_ks_priority_drift,
+        "sampled_quantile_audit": _q_sampled_quantile_audit,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -4931,6 +4948,33 @@ _KS_PRIORITY_SQL = (
     "CAST(nb.n AS BIGINT) AS n_b, "
     "CAST(dev * 1000000 // (na.n * nb.n) AS BIGINT) AS ks_ppm "
     "FROM pd JOIN n na ON na.g = prio_a JOIN n nb ON nb.g = prio_b"
+)
+
+# replay of analytics.sampled_quantile_audit: same md5-hex-prefix sample
+# predicate as sample_docs (threshold 0x1fffffff = rate 0.125), the integer
+# rank convention (p*n+999)//1000 via ROW_NUMBER on both populations, and a
+# correlated COUNT(<=) for the estimate's true rank
+_SAMPLED_QUANTILE_SQL = (
+    "WITH v AS (SELECT o_orderkey AS k, "
+    "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders), "
+    "s AS (SELECT c FROM v WHERE substr(md5(CAST(k AS VARCHAR)), 1, 8) < '1fffffff'), "
+    "q AS (SELECT unnest(generate_series(100, 900, 100)) AS q_permille), "
+    "ns AS (SELECT COUNT(*) AS n FROM s), "
+    "nf AS (SELECT COUNT(*) AS n FROM v), "
+    "ss AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM s), "
+    "ff AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM v), "
+    "est AS (SELECT q.q_permille, ss.c AS est_cents FROM q, ns, ss "
+    "WHERE ss.rn = GREATEST(1, (q.q_permille * ns.n + 999) // 1000)), "
+    "exq AS (SELECT q.q_permille, ff.c AS exact_cents FROM q, nf, ff "
+    "WHERE ff.rn = GREATEST(1, (q.q_permille * nf.n + 999) // 1000)), "
+    "r AS (SELECT e.q_permille, e.est_cents, "
+    "(SELECT COUNT(*) FROM v WHERE v.c <= e.est_cents) AS cle FROM est e) "
+    "SELECT r.q_permille, CAST(ns.n AS BIGINT) AS sample_n, "
+    "CAST(r.est_cents AS BIGINT) AS est_cents, "
+    "CAST(x.exact_cents AS BIGINT) AS exact_cents, "
+    "CAST(abs(r.cle * 1000000 // nf.n - r.q_permille * 1000) AS BIGINT) "
+    "AS rank_err_ppm "
+    "FROM r JOIN exq x ON x.q_permille = r.q_permille, ns, nf"
 )
 
 # replay of analytics.token_simpson_by_lang: exact HUGEINT sum-of-squares
@@ -6264,6 +6308,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_boilerplate": _DOC_BOILERPLATE_SQL,
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
+        "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
         "token_diversity_by_lang": _TOKEN_DIVERSITY_SQL,
         "doc_surprisal_topk": _DOC_SURPRISAL_SQL,
         "sentence_stats_by_lang": _SENTENCE_STATS_SQL,

@@ -7777,3 +7777,123 @@ def ks_priority_drift(ds, group_col: str = "o_orderpriority", value_col: str = "
     return per_pair.repartition(1).map_batches(
         finish, batch_format="pyarrow", batch_size=None
     )
+
+
+def exact_quantiles_permille(
+    ds, col: str, permilles, bins: int = 4096, pull_limit: int = 100_000
+):
+    """``exact_quantiles`` with the rank computed in INTEGER arithmetic:
+    k = max(1, ceil(p*n/1000)) as ``(p*n + 999) // 1000``. The float
+    convention (``math.ceil(q*n)``) can ulp-overshoot -- 0.1*3000 is
+    300.00000000000006, whose ceil is 301 -- which makes a permille-grid
+    SQL replay ambiguous; integer permilles remove the hazard on both
+    sides. Returns ({p: value}, n). Same shared-stats-pass / bounded-pull
+    plan as ``exact_quantiles``."""
+    from ray.data.aggregate import Count, Max, Min
+
+    permilles = list(permilles)
+    stats = ds.aggregate(Min(col), Max(col), Count())
+    lo, hi, n = (
+        float(stats[f"min({col})"]),
+        float(stats[f"max({col})"]),
+        int(stats["count()"]),
+    )
+    if n == 0:
+        raise ValueError("exact_quantiles_permille on empty dataset")
+    ranks = {p: max(1, (p * n + 999) // 1000) for p in permilles}
+    if hi == lo:
+        return {p: lo for p in permilles}, n
+    if n <= pull_limit:
+        vals = np.sort(
+            np.concatenate(
+                [
+                    b.column(col).to_numpy(zero_copy_only=False)
+                    for b in ds.select_columns([col]).iter_batches(
+                        batch_format="pyarrow"
+                    )
+                ]
+                or [np.array([], dtype=np.float64)]
+            )
+        )
+        return {p: float(vals[k - 1]) for p, k in ranks.items()}, n
+    return {
+        p: _quantile_from_stats(ds, col, k, lo, hi, n, bins, pull_limit)
+        for p, k in ranks.items()
+    }, n
+
+
+def sampled_quantile_audit(
+    ds,
+    id_col: str = "o_orderkey",
+    value_col: str = "o_totalprice",
+    rate: float = 0.125,
+    permilles=range(100, 1000, 100),
+):
+    """Sample-based quantile-estimation audit: estimate every decile of the
+    order-value distribution from the DETERMINISTIC md5-threshold sample
+    (``deterministic_sample``: reproducible across runs and cluster sizes,
+    SQL-replayable) and measure each estimate's TRUE rank error against the
+    full data -- the quantile member of the "measure, don't guess" sketch
+    audits (hll/bloom/cms): sample quantiles are THE cheap scale path for
+    range partitioning and histogram planning, and this quantifies what the
+    sample rate buys.
+
+    Both quantile passes share ``exact_quantiles_permille``'s histogram
+    bisection (no global sort, only bins*8B vectors to the driver); the
+    true-rank pass is ONE bounded map_batches -- per batch a sort +
+    searchsorted against the 9 estimated boundaries -- folded by
+    ``tiny_final_groupby``. rank_err_ppm = |count(full <= est)*1e6//n -
+    p*1000| is computed in Python ints (the SQL replay's BIGINT is fine to
+    ~1e12 rows).
+
+    Returns 9 rows: (q_permille, sample_n, est_cents, exact_cents,
+    rank_err_ppm)."""
+    from .relational import _cents, tiny_final_groupby
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: batch.column(id_col), "c": _cents(batch.column(value_col))}
+        )
+
+    permilles = list(permilles)
+    full = ds.map_batches(to_cents, batch_format="pyarrow")
+    samp = deterministic_sample(full, id_col=id_col, rate=rate)
+    est, n_s = exact_quantiles_permille(samp, "c", permilles)
+    exact, n = exact_quantiles_permille(full, "c", permilles)
+    bounds = np.array([int(est[p]) for p in permilles], np.int64)  # monotone in p
+
+    def part(batch: pa.Table) -> pa.Table:
+        c = np.sort(batch.column("c").to_numpy(zero_copy_only=False))
+        le = np.searchsorted(c, bounds, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(len(bounds)), pa.int64()),
+                "le": pa.array(le, pa.int64()),
+            }
+        )
+
+    cle = (
+        tiny_final_groupby(
+            full.map_batches(part, batch_format="pyarrow"),
+            ["i"],
+            [("le", "sum")],
+            ["i", "le"],
+        )
+        .to_pandas()
+        .sort_values("i")["le"]
+        .to_numpy(np.int64)
+    )
+    rows = [
+        (
+            p,
+            n_s,
+            int(est[p]),
+            int(exact[p]),
+            abs(int(cle[i]) * 1_000_000 // n - p * 1000),
+        )
+        for i, p in enumerate(permilles)
+    ]
+    return pd.DataFrame(
+        rows,
+        columns=["q_permille", "sample_n", "est_cents", "exact_cents", "rank_err_ppm"],
+    ).astype("int64")

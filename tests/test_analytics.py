@@ -6928,3 +6928,73 @@ class TestKsPriorityDrift:
             cb = np.searchsorted(b, grid, side="right").astype(object)
             dev = int(np.abs(ca * len(b) - cb * len(a)).max())
             assert got[(ga, gb)] == dev * 1_000_000 // (len(a) * len(b))
+
+
+class TestSampledQuantileAudit:
+    def test_permille_ranks_vs_numpy_both_paths(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])
+        import pandas as pd
+
+        vals = np.sort(
+            np.floor(
+                pd.read_parquet(f"{SF}/orders.parquet", columns=["o_totalprice"])[
+                    "o_totalprice"
+                ].to_numpy()
+                * 100
+                + 0.5
+            ).astype(np.int64)
+        )
+        n = len(vals)
+        import pyarrow.compute as pc
+
+        cents = ds.map_batches(
+            lambda b: pa.table(
+                {"c": pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5))}
+            ),
+            batch_format="pyarrow",
+        )
+        want = {p: float(vals[max(1, (p * n + 999) // 1000) - 1]) for p in (100, 500, 900)}
+        got_pull, n1 = analytics.exact_quantiles_permille(cents, "c", [100, 500, 900])
+        # pull_limit=1 forces the histogram-bisection path at any size
+        got_bis, n2 = analytics.exact_quantiles_permille(
+            cents, "c", [100, 500, 900], bins=64, pull_limit=1
+        )
+        assert n1 == n2 == n
+        assert got_pull == want
+        assert got_bis == want
+
+    def test_audit_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # ids chosen so md5(str(id))[:8] < '1fffffff' keeps a KNOWN subset
+        import hashlib
+
+        ids = list(range(1, 2001))
+        kept = [
+            i for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:8] < "1fffffff"
+        ]
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(ids, pa.int64()),
+                # value = id dollars -> cents = id*100; quantiles are exact
+                "o_totalprice": pa.array([float(i) for i in ids], pa.float64()),
+            }
+        )
+        got = analytics.sampled_quantile_audit(rd.from_arrow(tbl)).set_index(
+            "q_permille"
+        )
+        assert (got["sample_n"] == len(kept)).all()
+        n, ks = len(ids), sorted(kept)
+        for p in range(100, 1000, 100):
+            est = ks[max(1, (p * len(ks) + 999) // 1000) - 1] * 100
+            exact = ids[max(1, (p * n + 999) // 1000) - 1] * 100
+            assert got.loc[p, "est_cents"] == est
+            assert got.loc[p, "exact_cents"] == exact
+            cle = sum(1 for i in ids if i * 100 <= est)
+            assert got.loc[p, "rank_err_ppm"] == abs(cle * 1_000_000 // n - p * 1000)
