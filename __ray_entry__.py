@@ -1602,6 +1602,32 @@ def _q_sampled_quantile_audit(sf_dir: str):
     return analytics.sampled_quantile_audit(ds)
 
 
+def _q_compaction_bins(sf_dir: str):
+    """Deterministic cumulative bin-packing of (source, lang) partition
+    sizes into capacity-100 compaction bins (table-maintenance plan;
+    analytics.compaction_bins); oracle replays the exclusive window
+    prefix-sum // capacity."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return analytics.compaction_bins(ds)
+
+
+def _q_shingle_containment(sf_dir: str):
+    """Directional 3-shingle containment between sources in ppm
+    (train/test leakage-direction audit; analytics.shingle_containment);
+    oracle joins the shared shingle CTE body back to source and replays
+    the self-join whose diagonal is the per-source size."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return analytics.shingle_containment(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4227,6 +4253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": _q_dup_spans,
         "ks_priority_drift": _q_ks_priority_drift,
         "sampled_quantile_audit": _q_sampled_quantile_audit,
+        "compaction_bins": _q_compaction_bins,
+        "shingle_containment": _q_shingle_containment,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6309,6 +6337,31 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "shingle_containment": (
+            # replay of analytics.shingle_containment: distinct (source, s)
+            # over the shared shingle CTE; self-join diagonal = |S_a|
+            f"WITH {_SHINGLE_CTES}, "
+            "ss AS (SELECT DISTINCT d.source, sh.s FROM sh "
+            "JOIN documents d USING (doc_id)), "
+            "pr AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "COUNT(*) AS n FROM ss a JOIN ss b ON a.s = b.s GROUP BY 1, 2) "
+            "SELECT p.source_a, p.source_b, CAST(sz.n AS BIGINT) AS n_a, "
+            "CAST(p.n AS BIGINT) AS n_inter, "
+            "CAST(p.n * 1000000 // sz.n AS BIGINT) AS containment_ppm "
+            "FROM pr p JOIN pr sz ON sz.source_a = p.source_a "
+            "AND sz.source_b = p.source_a WHERE p.source_a <> p.source_b"
+        ),
+        "compaction_bins": (
+            # replay of analytics.compaction_bins: exclusive window
+            # prefix-sum over (rows DESC, key) order, floor-div capacity 100
+            "WITH p AS (SELECT source, lang, COUNT(*) AS n_rows "
+            "FROM documents GROUP BY 1, 2), "
+            "w AS (SELECT source, lang, n_rows, "
+            "COALESCE(SUM(n_rows) OVER (ORDER BY n_rows DESC, source, lang "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bf FROM p) "
+            "SELECT source, lang, CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(bf // 100 AS BIGINT) AS bin FROM w"
+        ),
         "token_diversity_by_lang": _TOKEN_DIVERSITY_SQL,
         "doc_surprisal_topk": _DOC_SURPRISAL_SQL,
         "sentence_stats_by_lang": _SENTENCE_STATS_SQL,

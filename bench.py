@@ -204,7 +204,7 @@ SWEEP_QUERIES = [
     "sentence_stats_by_lang", "events_unpivot_daily", "benford_first_digit",
     "zipf_bits_audit", "hapax_rate_by_source", "source_tv_distance",
     "token_burstiness", "graph_reciprocity", "dup_spans", "ks_priority_drift",
-    "sampled_quantile_audit",
+    "sampled_quantile_audit", "compaction_bins", "shingle_containment",
 ]
 
 

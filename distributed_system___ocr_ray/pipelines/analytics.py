@@ -7897,3 +7897,129 @@ def sampled_quantile_audit(
         rows,
         columns=["q_permille", "sample_n", "est_cents", "exact_cents", "rank_err_ppm"],
     ).astype("int64")
+
+
+def compaction_bins(ds, keys=("source", "lang"), capacity: int = 100):
+    """Compaction PLAN over partition sizes: group the corpus's (source,
+    lang) partitions into target-size compaction bins -- the table-
+    maintenance step every partitioned lake needs when small partitions
+    accumulate (the write side of pruned_range_read / zorder_2d_prune's
+    read-side story). Deterministic CUMULATIVE packing: partitions sort by
+    rows DESC then key, and bin = exclusive-prefix-sum // capacity -- a
+    window-function packing (unlike first-fit-decreasing it is
+    SQL-replayable and embarrassingly recomputable, at the cost of bins
+    that can straddle a capacity boundary by one partition).
+
+    The data-scale work is ONE bounded partial-count pass
+    (``tiny_final_groupby``: keys are bounded source x lang); the packing
+    itself runs on the tiny partition-metadata table at the driver -- it is
+    a plan, not data movement.
+
+    Returns one row per partition: (*keys, n_rows, bin)."""
+    from .relational import tiny_final_groupby
+
+    keys = list(keys)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.group_by(keys)
+            .aggregate([([], "count_all")])
+            .rename_columns([*keys, "n"])
+        )
+
+    sizes = tiny_final_groupby(
+        ds.map_batches(partials, batch_format="pyarrow"), keys, [("n", "sum")],
+        [*keys, "n_rows"],
+    ).to_pandas()
+    sizes = sizes.sort_values(
+        ["n_rows", *keys], ascending=[False] + [True] * len(keys)
+    ).reset_index(drop=True)
+    before = sizes["n_rows"].cumsum().shift(fill_value=0).to_numpy(np.int64)
+    sizes["bin"] = before // capacity
+    sizes["n_rows"] = sizes["n_rows"].astype(np.int64)
+    sizes["bin"] = sizes["bin"].astype(np.int64)
+    return sizes
+
+
+def shingle_containment(
+    ds, source_col: str = "source", text_col: str = "text", buckets: int | None = None
+):
+    """DIRECTIONAL content-leakage audit between sources: for every ordered
+    source pair (a, b), the ppm of a's distinct word-3-shingles that also
+    occur in b -- containment |S_a & S_b| / |S_a|, the asymmetric measure
+    train/test decontamination needs (a small eval set fully contained in a
+    big crawl has huge containment but near-zero Jaccard; cross_source_dups
+    sees only whole-doc hits, source_vocab_overlap only unigrams).
+
+    ONE bounded exchange: per-batch distinct (shingle-hash, source) rows
+    (the map-side dedup; sources are bounded so this is at most
+    |batch vocab| x |sources|), h-bucketed so each shingle's source set is
+    co-located, then a per-bucket self-join on h whose (a, a) diagonal rows
+    ARE the per-source distinct-shingle sizes -- sizes and intersections
+    ride the same tiny (sources^2) partial fold. Final ppm in Python ints
+    at the driver. Same 2^-64 hash-collision caveat as the shingle family.
+
+    Returns ordered pairs a != b: (source_a, source_b, n_a, n_inter,
+    containment_ppm)."""
+    from ..functions.dedup import shingle_hashes
+    from .relational import derive_buckets, hash_bucket_column, tiny_final_groupby
+
+    n_docs = ds.count()
+    if buckets is None:
+        buckets = derive_buckets(n_docs, rows_per_bucket=50_000)
+
+    def long_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        memo: dict[str, int] = {}
+        us = [np.unique(shingle_hashes(t or "", 3, memo)) for t in texts]
+        lens = [len(u) for u in us]
+        df = pd.DataFrame(
+            {
+                "h": np.concatenate(us) if us else np.empty(0, np.uint64),
+                "source": np.repeat(np.array(srcs, dtype=object), lens),
+            }
+        ).drop_duplicates()
+        t = pa.table(
+            {
+                "h": pa.array(df["h"].to_numpy(), pa.uint64()),
+                "source": pa.array(df["source"].tolist(), pa.string()),
+            }
+        )
+        return hash_bucket_column(t, "h", buckets)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["h", "source"]].drop_duplicates()
+        m = d.merge(d, on="h")
+        out = (
+            m.groupby(["source_x", "source_y"], sort=False)
+            .size()
+            .reset_index(name="n")
+            .rename(columns={"source_x": "source_a", "source_y": "source_b"})
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    agg = tiny_final_groupby(
+        ds.map_batches(long_rows, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas"),
+        ["source_a", "source_b"],
+        [("n", "sum")],
+        ["source_a", "source_b", "n"],
+    ).to_pandas()
+    size = {
+        r.source_a: int(r.n) for r in agg.itertuples() if r.source_a == r.source_b
+    }
+    rows = [
+        (r.source_a, r.source_b, size[r.source_a], int(r.n),
+         int(r.n) * 1_000_000 // size[r.source_a])
+        for r in agg.itertuples()
+        if r.source_a != r.source_b
+    ]
+    out = pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_a", "n_inter", "containment_ppm"]
+    )
+    for c in ("n_a", "n_inter", "containment_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -6998,3 +6998,95 @@ class TestSampledQuantileAudit:
             assert got.loc[p, "exact_cents"] == exact
             cle = sum(1 for i in ids if i * 100 <= est)
             assert got.loc[p, "rank_err_ppm"] == abs(cle * 1_000_000 // n - p * 1000)
+
+
+class TestCompactionBins:
+    def test_hand_built_packing(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # sizes desc: (s2,de)=5, (s1,en)=3, (s1,fr)=2, (s2,en)=2 ->
+        # exclusive cumsums 0,5,8,10 -> bins 0,1,2,2 at capacity 4
+        rows = (
+            [("s1", "en")] * 3 + [("s1", "fr")] * 2 + [("s2", "en")] * 2 + [("s2", "de")] * 5
+        )
+        tbl = pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "lang": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        got = (
+            analytics.compaction_bins(rd.from_arrow(tbl), capacity=4)
+            .sort_values(["source", "lang"])
+            .reset_index(drop=True)
+        )
+        want = {
+            ("s1", "en"): (3, 1),
+            ("s1", "fr"): (2, 2),
+            ("s2", "de"): (5, 0),
+            ("s2", "en"): (2, 2),
+        }
+        for r in got.itertuples():
+            assert want[(r.source, r.lang)] == (r.n_rows, r.bin)
+
+    def test_mass_conserved_and_bin_sizes(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["source", "lang"])
+        got = analytics.compaction_bins(ds, capacity=100)
+        assert got["n_rows"].sum() == 500
+        # every bin except possibly the last starts under capacity worth
+        # of exclusive prefix -- bin ids are contiguous from 0
+        bins = sorted(got["bin"].unique())
+        assert bins == list(range(len(bins)))
+
+
+class TestShingleContainment:
+    def test_hand_built_directional(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # A's shingles: {a b c, b c d}; B's: {a b c, b c d, c d e, x y z}
+        # (4 distinct) -> A in B = 2/2 = 1e6; B in A = 2/4 = 5e5
+        tbl = pa.table(
+            {
+                "source": pa.array(["A", "A", "B", "B"], pa.string()),
+                "text": pa.array(
+                    ["a b c d", "a b c", "a b c d e", "x y z"], pa.string()
+                ),
+            }
+        )
+        got = (
+            analytics.shingle_containment(rd.from_arrow(tbl), buckets=4)
+            .set_index(["source_a", "source_b"])
+        )
+        assert got.loc[("A", "B"), "n_a"] == 2
+        assert got.loc[("A", "B"), "n_inter"] == 2
+        assert got.loc[("A", "B"), "containment_ppm"] == 1_000_000
+        assert got.loc[("B", "A"), "n_a"] == 4
+        assert got.loc[("B", "A"), "containment_ppm"] == 500_000
+
+    def test_bucket_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["source", "text"])
+        import pandas as pd
+
+        a = (
+            analytics.shingle_containment(ds, buckets=3)
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+        b = (
+            analytics.shingle_containment(ds, buckets=17)
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
