@@ -1628,6 +1628,57 @@ def _q_shingle_containment(sf_dir: str):
     return analytics.shingle_containment(ds)
 
 
+def _q_cusum_changepoints(sf_dir: str):
+    """Page's one-sided CUSUM level-shift detector over daily event value
+    in integer cents (sustained-drift monitor complementing spike_days;
+    analytics.cusum_changepoints); oracle walks the same max(0, s+x-mu-k)
+    recurrence with a recursive CTE."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return analytics.cusum_changepoints(ds)
+
+
+def _q_bigram_surprisal_by_source(sf_dir: str):
+    """Char-bigram conditional surprisal per source in integer millibits
+    (encoding-health distribution audit; analytics.bigram_surprisal_by_source);
+    oracle pairs chars with a lead window over '(?s).' extraction and
+    replays the bit_length identity via length(bin(m//n))-1."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    return analytics.bigram_surprisal_by_source(ds)
+
+
+def _q_key_density_audit(sf_dir: str):
+    """Key-space integrity audit over o_orderkey: exact distinct, range,
+    duplicate rows and density ppm (analytics.key_density_audit)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    return analytics.key_density_audit(ds)
+
+
+def _q_rolling_median_daily(sf_dir: str):
+    """7-row rolling lower median of daily order revenue cents (robust
+    trend line; analytics.rolling_median_daily); oracle is DuckDB's
+    windowed quantile_disc(0.5), rank-identical to (w+1)//2."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return analytics.rolling_median_daily(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4255,6 +4306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_quantile_audit": _q_sampled_quantile_audit,
         "compaction_bins": _q_compaction_bins,
         "shingle_containment": _q_shingle_containment,
+        "cusum_changepoints": _q_cusum_changepoints,
+        "bigram_surprisal_by_source": _q_bigram_surprisal_by_source,
+        "key_density_audit": _q_key_density_audit,
+        "rolling_median_daily": _q_rolling_median_daily,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6337,6 +6392,68 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "key_density_audit": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, "
+            "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, "
+            "CAST(MAX(o_orderkey) AS BIGINT) AS max_key, "
+            "CAST(COUNT(DISTINCT o_orderkey) * 1000000 // "
+            "(MAX(o_orderkey) - MIN(o_orderkey) + 1) AS BIGINT) AS density_ppm, "
+            "CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_rows "
+            "FROM orders"
+        ),
+        "rolling_median_daily": (
+            # replay of analytics.rolling_median_daily: windowed
+            # quantile_disc(0.5) over 7 ROWS = lower median rank (w+1)//2
+            "WITH d AS (SELECT strftime(date_trunc('day', o_orderdate), "
+            "'%Y-%m-%d') AS day, "
+            "SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS v "
+            "FROM orders GROUP BY 1) "
+            "SELECT day, CAST(v AS BIGINT) AS value_cents, "
+            "CAST(quantile_disc(v, 0.5) OVER (ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med7_cents "
+            "FROM d"
+        ),
+        "bigram_surprisal_by_source": (
+            # replay of analytics.bigram_surprisal_by_source: chars via
+            # (?s)-dotall extraction, adjacent pairs via a lead window,
+            # whole-bit surprisal via the length(bin(m//n))-1 identity
+            "WITH ch AS (SELECT doc_id, source, "
+            "unnest(regexp_extract_all(text, '(?s).')) AS c, "
+            "unnest(generate_series(1, length(text))) AS i "
+            "FROM documents WHERE length(text) >= 2), "
+            "g AS (SELECT source, c AS c1, c || lead(c, 1) OVER win AS bg "
+            "FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
+            "QUALIFY lead(c, 1) OVER win IS NOT NULL), "
+            "n12 AS (SELECT source, c1, bg, COUNT(*) AS n FROM g GROUP BY 1, 2, 3), "
+            "n1 AS (SELECT source, c1, SUM(n) AS m FROM n12 GROUP BY 1, 2), "
+            "b AS (SELECT n12.source, n12.n, "
+            "CAST(length(bin(n1.m // n12.n)) - 1 AS BIGINT) AS bits "
+            "FROM n12 JOIN n1 ON n12.source = n1.source AND n12.c1 = n1.c1), "
+            "a AS (SELECT source, SUM(n) AS nb, SUM(n * bits) AS tb "
+            "FROM b GROUP BY source) "
+            "SELECT source, CAST(nb AS BIGINT) AS n_bigrams, "
+            "CAST(tb AS BIGINT) AS total_bits, "
+            "CAST(tb * 1000 // nb AS BIGINT) AS mean_millibits FROM a"
+        ),
+        "cusum_changepoints": (
+            # replay of analytics.cusum_changepoints: recursive CTE walks
+            # s_d = max(0, s + x - mu - mu//20) over ROW_NUMBER'd days
+            "WITH RECURSIVE d AS (SELECT strftime(date_trunc('day', ts), "
+            "'%Y-%m-%d') AS day, SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) "
+            "AS v FROM events GROUP BY 1), "
+            "o AS (SELECT day, v, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d), "
+            "p AS (SELECT SUM(v) // COUNT(*) AS mu FROM d), "
+            "c AS (SELECT o.rn, o.day, o.v, GREATEST(0, o.v - p.mu - p.mu // 20) "
+            "AS s FROM o, p WHERE o.rn = 1 "
+            "UNION ALL SELECT o.rn, o.day, o.v, "
+            "GREATEST(0, c.s + o.v - p.mu - p.mu // 20) "
+            "FROM c JOIN o ON o.rn = c.rn + 1, p) "
+            "SELECT day, CAST(v AS BIGINT) AS value_cents, "
+            "CAST(s AS BIGINT) AS cusum_cents, "
+            "CAST(CASE WHEN s > (SELECT mu FROM p) THEN 1 ELSE 0 END AS BIGINT) "
+            "AS flagged FROM c"
+        ),
         "shingle_containment": (
             # replay of analytics.shingle_containment: distinct (source, s)
             # over the shared shingle CTE; self-join diagonal = |S_a|

@@ -205,6 +205,8 @@ SWEEP_QUERIES = [
     "zipf_bits_audit", "hapax_rate_by_source", "source_tv_distance",
     "token_burstiness", "graph_reciprocity", "dup_spans", "ks_priority_drift",
     "sampled_quantile_audit", "compaction_bins", "shingle_containment",
+    "cusum_changepoints", "bigram_surprisal_by_source", "key_density_audit",
+    "rolling_median_daily",
 ]
 
 

@@ -8023,3 +8023,262 @@ def shingle_containment(
     for c in ("n_a", "n_inter", "containment_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def cusum_changepoints(ds, ts_col: str = "ts", value_col: str = "value"):
+    """One-sided CUSUM level-shift detector over the daily event-value
+    series -- the streaming drift monitor (Page's cumulative sum) that
+    flags WHEN ingest volume shifted upward, complementing spike_days'
+    memoryless single-day z-test with a statistic that accumulates small
+    sustained shifts.
+
+    Integer-deterministic recurrence: with per-day cents x_d, global mean
+    mu = sum(x) // n_days, allowance k = mu // 20 (5%) and threshold
+    h = mu, s_d = max(0, s_{d-1} + x_d - mu - k); a day is flagged while
+    s_d > h. The data-scale work is ONE bounded per-day partial-sum pass
+    (day cardinality is bounded at any sf); the inherently-sequential
+    recurrence then runs over the tiny day series at the driver -- it is
+    monitoring state, not data movement. The SQL replay walks the same
+    recurrence with a recursive CTE over ROW_NUMBER'd days.
+
+    Returns one row per day: (day, value_cents, cusum_cents, flagged)."""
+    import pyarrow.compute as pc
+
+    from .relational import _cents, tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(batch.column(ts_col), unit="day"), format="%Y-%m-%d"
+        )
+        t = pa.table({"day": day, "v": _cents(batch.column(value_col))})
+        return t.group_by(["day"]).aggregate([("v", "sum")])
+
+    daily = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["day"],
+            [("v_sum", "sum")],
+            ["day", "value_cents"],
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = [int(v) for v in daily["value_cents"]]
+    n = len(x)
+    mu = sum(x) // n if n else 0
+    k = mu // 20
+    s, cus, flags = 0, [], []
+    for v in x:
+        s = max(0, s + v - mu - k)
+        cus.append(s)
+        flags.append(1 if s > mu else 0)
+    daily["value_cents"] = daily["value_cents"].astype(np.int64)
+    daily["cusum_cents"] = pd.array(cus, dtype="int64")
+    daily["flagged"] = pd.array(flags, dtype="int64")
+    return daily
+
+
+def bigram_surprisal_by_source(
+    ds, source_col: str = "source", text_col: str = "text", buckets: int = 64
+):
+    """Character-BIGRAM conditional surprisal per source: the mean whole-bit
+    surprisal ``floor(log2(n(c1)/n(c1c2)))`` over every adjacent codepoint
+    pair, i.e. an integer-bit estimate of H(next char | current char) --
+    the encoding-health signal (mojibake, double-encoded UTF-8, binary
+    spills) that jumps when a source's character transitions stop looking
+    like its own language model, complementing encoding_audit's fixed
+    byte-pattern checks with a distributional one. Same
+    ``bit_length(m // n) - 1 == floor(log2(m/n))`` identity as
+    doc_surprisal/zipf_bits: no float log on either side.
+
+    Vectorized kernel: texts decode once to uint32 codepoint arrays
+    (utf-32-le view), per-source concatenation with an out-of-range
+    separator (0x110000) kills cross-doc pairs, bigram key = c1<<32 | c2,
+    per-batch np.unique partials. ONE exchange, bucketed on c1 so each
+    (source, c1) marginal is co-located: the in-bucket fold computes exact
+    pair counts, first-char marginals, whole-bit surprisal over the
+    COMPRESSED (source, bigram) domain (charset^2-bounded, never the
+    stream), and per-source partial sums; a tiny final folds sources.
+
+    Returns (source, n_bigrams, total_bits, mean_millibits); docs shorter
+    than 2 chars contribute nothing."""
+    from .relational import hash_bucket_column, tiny_final_groupby
+
+    SEP = np.uint32(0x110000)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        by_src: dict[str, list] = {}
+        for s, t in zip(srcs, texts):
+            if t and len(t) >= 2:
+                by_src.setdefault(s, []).append(t)
+        out_s, out_k, out_n = [], [], []
+        for s, ts_ in by_src.items():
+            parts = []
+            for t in ts_:
+                parts.append(np.frombuffer(t.encode("utf-32-le"), np.uint32))
+                parts.append(np.array([SEP], np.uint32))
+            big = np.concatenate(parts)
+            a, b = big[:-1], big[1:]
+            mask = (a != SEP) & (b != SEP)
+            key = (a[mask].astype(np.uint64) << np.uint64(32)) | b[mask].astype(
+                np.uint64
+            )
+            u, c = np.unique(key, return_counts=True)
+            out_s.append(np.full(len(u), s, dtype=object))
+            out_k.append(u)
+            out_n.append(c.astype(np.int64))
+        t = pa.table(
+            {
+                "source": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, object),
+                    pa.string(),
+                ),
+                "key": pa.array(
+                    np.concatenate(out_k) if out_k else np.empty(0, np.uint64),
+                    pa.uint64(),
+                ),
+                "n": pa.array(
+                    np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "c1": pa.array(
+                    (np.concatenate(out_k) >> np.uint64(32)).astype(np.int64)
+                    if out_k
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+        return hash_bucket_column(t, "c1", buckets)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.groupby(["source", "key"], sort=False).agg(
+            n=("n", "sum"), c1=("c1", "first")
+        ).reset_index()
+        m = d.groupby(["source", "c1"], sort=False)["n"].transform("sum").to_numpy(
+            np.int64
+        )
+        n = d["n"].to_numpy(np.int64)
+        bits = np.fromiter(
+            (int(q).bit_length() - 1 for q in m // n), np.int64, len(d)
+        )
+        p = pd.DataFrame({"source": d["source"], "n": n, "tb": n * bits})
+        out = p.groupby("source", sort=False)[["n", "tb"]].sum().reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        out["tb"] = out["tb"].astype(np.int64)
+        return out
+
+    agg = tiny_final_groupby(
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas"),
+        ["source"],
+        [("n", "sum"), ("tb", "sum")],
+        ["source", "n_bigrams", "total_bits"],
+    ).to_pandas()
+    agg["n_bigrams"] = agg["n_bigrams"].astype(np.int64)
+    agg["total_bits"] = agg["total_bits"].astype(np.int64)
+    agg["mean_millibits"] = (
+        agg["total_bits"].to_numpy(np.int64) * 1000 // agg["n_bigrams"].to_numpy(np.int64)
+    )
+    return agg
+
+
+def key_density_audit(ds, key_col: str = "o_orderkey"):
+    """Surrogate-KEY-space integrity audit: row count, exact distinct
+    count, key range, duplicate rows and the key-space DENSITY (distinct
+    keys per 1e6 slots of [min, max]) -- the one-row health check that
+    catches duplicate-key ingestion (dup_rows > 0), allocator gaps and
+    sharded ranges that went sparse (density drops), before any
+    uniqueness-assuming join runs. Same exact-distinct plan as
+    hll_error_audit's exact side: per-batch np.unique partials bucketed on
+    the key, per-bucket nunique, plus ONE Min/Max/Count aggregate; the
+    fold is a handful of ints.
+
+    Returns ONE row (n_rows, n_distinct, min_key, max_key, density_ppm,
+    dup_rows)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    from .relational import hash_bucket_column
+
+    stats = ds.aggregate(Min(key_col), Max(key_col), Count())
+    lo, hi, n = (
+        int(stats[f"min({key_col})"]),
+        int(stats[f"max({key_col})"]),
+        int(stats["count()"]),
+    )
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(key_col).to_numpy(zero_copy_only=False))
+        return hash_bucket_column(pa.table({key_col: pa.array(u)}), key_col, 64)
+
+    def bucket_n(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g[key_col].nunique())]})
+
+    nd = int(
+        ds.map_batches(uniq, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_n, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+    span = hi - lo + 1
+    return pd.DataFrame(
+        {
+            "n_rows": pd.array([n], dtype="int64"),
+            "n_distinct": pd.array([nd], dtype="int64"),
+            "min_key": pd.array([lo], dtype="int64"),
+            "max_key": pd.array([hi], dtype="int64"),
+            "density_ppm": pd.array([nd * 1_000_000 // span], dtype="int64"),
+            "dup_rows": pd.array([n - nd], dtype="int64"),
+        }
+    )
+
+
+def rolling_median_daily(ds, ts_col: str = "o_orderdate", value_col: str = "o_totalprice"):
+    """7-row rolling LOWER MEDIAN of the daily revenue series -- the
+    robust trend line (immune to single-day spikes that drag
+    rolling_7d_sum / forecast baselines) a revenue monitor plots. Lower
+    median = sorted rank (w+1)//2, exactly DuckDB's windowed
+    quantile_disc(0.5), so the replay is a window aggregate and no float
+    interpolation exists on either side.
+
+    Daily totals come from ONE bounded per-day partial-sum pass (day
+    cardinality is bounded at any sf); the 7-row sliding median then runs
+    over the tiny ordered day series at the driver (window state, not data
+    movement -- same license as cusum_changepoints).
+
+    Returns one row per day: (day, value_cents, med7_cents)."""
+    import pyarrow.compute as pc
+
+    from .relational import _cents, tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(
+            pc.floor_temporal(batch.column(ts_col), unit="day"), format="%Y-%m-%d"
+        )
+        t = pa.table({"day": day, "v": _cents(batch.column(value_col))})
+        return t.group_by(["day"]).aggregate([("v", "sum")])
+
+    daily = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["day"],
+            [("v_sum", "sum")],
+            ["day", "value_cents"],
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    x = daily["value_cents"].to_numpy(np.int64)
+    med = np.empty(len(x), np.int64)
+    for i in range(len(x)):
+        w = np.sort(x[max(0, i - 6) : i + 1])
+        med[i] = w[(len(w) + 1) // 2 - 1]
+    daily["value_cents"] = daily["value_cents"].astype(np.int64)
+    daily["med7_cents"] = med
+    return daily

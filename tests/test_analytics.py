@@ -7090,3 +7090,136 @@ class TestShingleContainment:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestCusumChangepoints:
+    def test_hand_built_level_shift(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # days 1-3 at 100c, day 4 jumps to 400c: tot=700, mu=175, k=8
+        # s = [0, 0, 0, max(0, 400-183)=217]; 217 > mu -> flagged
+        ts = [datetime.datetime(2024, 1, d, 12, 0) for d in (1, 2, 3, 4)]
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array([1.0, 1.0, 1.0, 4.0], pa.float64()),
+            }
+        )
+        got = analytics.cusum_changepoints(rd.from_arrow(tbl)).reset_index(drop=True)
+        assert list(got["day"]) == [f"2024-01-0{d}" for d in (1, 2, 3, 4)]
+        assert list(got["value_cents"]) == [100, 100, 100, 400]
+        assert list(got["cusum_cents"]) == [0, 0, 0, 217]
+        assert list(got["flagged"]) == [0, 0, 0, 1]
+
+    def test_accumulates_sustained_shift(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # a sustained +60% shift accumulates: days 5-8 at 160c vs 100c
+        # baseline; tot=1040, mu=130, k=6 -> s grows 24, 48, 72, 96
+        ts = [datetime.datetime(2024, 2, d, 0, 0) for d in range(1, 9)]
+        vals = [1.0] * 4 + [1.6] * 4
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+        got = analytics.cusum_changepoints(rd.from_arrow(tbl))
+        assert list(got["cusum_cents"]) == [0, 0, 0, 0, 24, 48, 72, 96]
+        assert list(got["flagged"]) == [0] * 8
+
+
+class TestBigramSurprisal:
+    def test_hand_built_bits(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # source A = "aab": bigrams aa, ab; marginal n(a)=2; each pair
+        # n=1 -> bits = bit_length(2//1)-1 = 1 -> total 2, mean 1000
+        # source B = "zz zz": bigrams zz,'z ',' z',zz -> n(z.)=3: zz has
+        # n=2 -> bits(3//2)=0; 'z ' n=1 -> bits(3)=1; ' z' n=1, n(' ')=1
+        # -> bits(1)=0 -> total_bits=1, n=4, mean=250
+        tbl = pa.table(
+            {
+                "source": pa.array(["A", "B"], pa.string()),
+                "text": pa.array(["aab", "zz zz"], pa.string()),
+            }
+        )
+        got = analytics.bigram_surprisal_by_source(rd.from_arrow(tbl)).set_index(
+            "source"
+        )
+        assert got.loc["A", "n_bigrams"] == 2
+        assert got.loc["A", "total_bits"] == 2
+        assert got.loc["A", "mean_millibits"] == 1000
+        assert got.loc["B", "n_bigrams"] == 4
+        assert got.loc["B", "total_bits"] == 1
+        assert got.loc["B", "mean_millibits"] == 250
+
+    def test_cross_doc_pairs_excluded(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # two docs "ab" + "cd" must NOT form a 'bc' bigram; short/empty
+        # docs contribute nothing
+        tbl = pa.table(
+            {
+                "source": pa.array(["S"] * 4, pa.string()),
+                "text": pa.array(["ab", "cd", "x", ""], pa.string()),
+            }
+        )
+        got = analytics.bigram_surprisal_by_source(rd.from_arrow(tbl))
+        assert list(got["n_bigrams"]) == [2]
+
+
+class TestKeyDensityAudit:
+    def test_hand_built(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # keys 10..19 minus 13, with 12 duplicated: n=10, distinct=9,
+        # span=10 -> density 900000, dup_rows=1
+        keys = [10, 11, 12, 12, 14, 15, 16, 17, 18, 19]
+        tbl = pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+        got = analytics.key_density_audit(rd.from_arrow(tbl))
+        assert got.loc[0, "n_rows"] == 10
+        assert got.loc[0, "n_distinct"] == 9
+        assert got.loc[0, "min_key"] == 10
+        assert got.loc[0, "max_key"] == 19
+        assert got.loc[0, "density_ppm"] == 900_000
+        assert got.loc[0, "dup_rows"] == 1
+
+
+class TestRollingMedianDaily:
+    def test_hand_built_lower_median(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ts = [datetime.datetime(2024, 3, d) for d in range(1, 9)]
+        vals = [8.0, 1.0, 6.0, 3.0, 5.0, 4.0, 7.0, 2.0]
+        tbl = pa.table(
+            {
+                "o_orderdate": pa.array(ts, pa.timestamp("us")),
+                "o_totalprice": pa.array(vals, pa.float64()),
+            }
+        )
+        got = analytics.rolling_median_daily(tbl_ds := rd.from_arrow(tbl))
+        cents = [int(v * 100) for v in vals]
+        want = []
+        for i in range(len(cents)):
+            w = sorted(cents[max(0, i - 6) : i + 1])
+            want.append(w[(len(w) + 1) // 2 - 1])
+        assert list(got["med7_cents"]) == want
