@@ -1679,6 +1679,29 @@ def _q_rolling_median_daily(sf_dir: str):
     return analytics.rolling_median_daily(ds)
 
 
+def _q_doclen_deciles_by_source(sf_dir: str):
+    """Per-source document-length deciles with the integer rank convention
+    (n-1)*k//10 + 1 (analytics.doclen_deciles_by_source)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return analytics.doclen_deciles_by_source(ds)
+
+
+def _q_value_moments_by_type(sf_dir: str):
+    """Exact integer power-sum moments of event value per type (mean,
+    population variance, truncated third central moment;
+    analytics.value_moments_by_type); oracle replays in HUGEINT."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return analytics.value_moments_by_type(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4310,6 +4333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_surprisal_by_source": _q_bigram_surprisal_by_source,
         "key_density_audit": _q_key_density_audit,
         "rolling_median_daily": _q_rolling_median_daily,
+        "doclen_deciles_by_source": _q_doclen_deciles_by_source,
+        "value_moments_by_type": _q_value_moments_by_type,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6392,6 +6417,33 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "doclen_deciles_by_source": (
+            # replay of analytics.doclen_deciles_by_source: ROW_NUMBER per
+            # source, integer rank (n-1)*k//10 + 1 (= quantile_disc)
+            "WITH n AS (SELECT source, COUNT(*) AS n FROM documents "
+            "GROUP BY source), "
+            "r AS (SELECT source, n_chars, ROW_NUMBER() OVER "
+            "(PARTITION BY source ORDER BY n_chars) AS rn FROM documents), "
+            "q AS (SELECT unnest(generate_series(1, 9)) AS decile) "
+            "SELECT r.source, CAST(q.decile AS BIGINT) AS decile, "
+            "CAST(r.n_chars AS BIGINT) AS n_chars "
+            "FROM q CROSS JOIN n JOIN r ON r.source = n.source "
+            "AND r.rn = (n.n - 1) * q.decile // 10 + 1"
+        ),
+        "value_moments_by_type": (
+            # replay of analytics.value_moments_by_type: HUGEINT power sums;
+            # DuckDB // truncates toward zero, engine matches on the signed
+            # third moment
+            "WITH v AS (SELECT event_type, "
+            "CAST(FLOOR(value*100 + 0.5) AS HUGEINT) AS c FROM events), "
+            "a AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS s1, "
+            "SUM(c*c) AS s2, SUM(c*c*c) AS s3 FROM v GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(s1 // n AS BIGINT) AS mean_cents, "
+            "CAST((n*s2 - s1*s1) // (n*n) AS BIGINT) AS var_cents2, "
+            "CAST((n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1) // (n*n*n) AS BIGINT) "
+            "AS m3_cents3 FROM a"
+        ),
         "key_density_audit": (
             "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
             "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct, "

@@ -206,7 +206,7 @@ SWEEP_QUERIES = [
     "token_burstiness", "graph_reciprocity", "dup_spans", "ks_priority_drift",
     "sampled_quantile_audit", "compaction_bins", "shingle_containment",
     "cusum_changepoints", "bigram_surprisal_by_source", "key_density_audit",
-    "rolling_median_daily",
+    "rolling_median_daily", "doclen_deciles_by_source", "value_moments_by_type",
 ]
 
 

@@ -8282,3 +8282,115 @@ def rolling_median_daily(ds, ts_col: str = "o_orderdate", value_col: str = "o_to
     daily["value_cents"] = daily["value_cents"].astype(np.int64)
     daily["med7_cents"] = med
     return daily
+
+
+def doclen_deciles_by_source(ds, source_col: str = "source", len_col: str = "n_chars"):
+    """Per-source document-LENGTH deciles -- the length-distribution
+    profile (truncation, boilerplate padding, extraction bugs all move
+    specific deciles long before they move the mean) that slots between
+    quality_by_lang's means and value_histogram's global bins. Exact
+    discrete deciles, rank = (n-1)*k//10 + 1 in INTEGER arithmetic --
+    DuckDB's quantile_disc convention, no float interpolation.
+
+    The exchange is per-batch (source, len, n) partial counts -- the
+    compressed length distribution, bounded by the length domain, never
+    the rows -- grouped per source (bounded); each source's fold sorts its
+    distinct lengths once and reads all nine ranks off the cumsum.
+
+    Returns (source, decile, n_chars), 9 rows per source."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select([source_col, len_col])
+            .group_by([source_col, len_col])
+            .aggregate([([], "count_all")])
+            .rename_columns([source_col, len_col, "n"])
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            g.groupby(len_col, sort=True)["n"].sum().reset_index()
+        )  # distinct lengths, ascending
+        cum = d["n"].cumsum().to_numpy(np.int64)
+        n = int(cum[-1])
+        ranks = [(n - 1) * k // 10 + 1 for k in range(1, 10)]
+        idx = np.searchsorted(cum, ranks)
+        return pd.DataFrame(
+            {
+                "source": g[source_col].iloc[0],
+                "decile": pd.array(range(1, 10), dtype="int64"),
+                "n_chars": d[len_col].to_numpy(np.int64)[idx],
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(source_col)
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def value_moments_by_type(ds, key_col: str = "event_type", value_col: str = "value"):
+    """Exact integer higher-moment profile of event value per type: raw
+    power sums s1/s2/s3 over cents fold associatively (the map-side
+    combiner shape), and mean, population variance and the third central
+    moment derive from them in EXACT integer arithmetic -- distribution-
+    shape drift (a fee schedule change skews purchase values long before
+    the mean moves) with no float accumulation order-sensitivity anywhere.
+
+    var_cents2 = (n*s2 - s1^2) // n^2;
+    m3_cents3 = (n^2*s3 - 3*n*s1*s2 + 2*s1^3) / n^3 with TRUNCATING
+    division (matching SQL //; Python floor would differ on negative
+    skew). Engine math is unbounded Python int; the HUGEINT SQL replay is
+    exact to ~1e8 rows/type at 5e4-cent values (documented horizon).
+
+    Returns (event_type, n, mean_cents, var_cents2, m3_cents3)."""
+    from .relational import _cents, tiny_final_groupby
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        k = batch.column(key_col).to_pylist()
+        df = pd.DataFrame({"k": k, "c": c})
+        # object dtype: power sums overflow int64 per batch at big values
+        df["c2"] = df["c"].astype(object) * df["c"].astype(object)
+        df["c3"] = df["c2"] * df["c"].astype(object)
+        out = df.groupby("k", sort=False).agg(
+            n=("c", "size"), s1=("c", "sum"), s2=("c2", "sum"), s3=("c3", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "k": pa.array(out["k"], pa.string()),
+                "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+                "s1": pa.array([int(x) for x in out["s1"]], pa.int64()),
+                # s2/s3 ride as decimal128/string-safe: use large_string? keep
+                # exact via string to survive arrow int64 limits
+                "s2": pa.array([str(int(x)) for x in out["s2"]], pa.string()),
+                "s3": pa.array([str(int(x)) for x in out["s3"]], pa.string()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, part in g.groupby("k", sort=False):
+            n = int(part["n"].sum())
+            s1 = int(part["s1"].sum())
+            s2 = sum(int(x) for x in part["s2"])
+            s3 = sum(int(x) for x in part["s3"])
+            mean = s1 // n
+            var = (n * s2 - s1 * s1) // (n * n)
+            num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+            den = n**3
+            m3 = -((-num) // den) if num < 0 else num // den  # truncate like SQL
+            rows.append((k, n, mean, var, m3))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n", "mean_cents", "var_cents2", "m3_cents3"]
+        ).astype({c: "int64" for c in ("n", "mean_cents", "var_cents2", "m3_cents3")})
+
+    # types are bounded: one coalesced final fold (string power sums merge
+    # as Python ints there)
+    partial_ds = ds.map_batches(partials, batch_format="pyarrow")
+    return partial_ds.repartition(1).map_batches(
+        lambda b: pa.Table.from_pandas(fold(b.to_pandas()), preserve_index=False),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

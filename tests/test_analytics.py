@@ -7223,3 +7223,99 @@ class TestRollingMedianDaily:
             w = sorted(cents[max(0, i - 6) : i + 1])
             want.append(w[(len(w) + 1) // 2 - 1])
         assert list(got["med7_cents"]) == want
+
+
+class TestDoclenDeciles:
+    def test_hand_built_ranks(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # source S has lengths 10..100 step 10 (n=10): rank = 9k//10+1
+        lens = list(range(10, 101, 10))
+        tbl = pa.table(
+            {
+                "source": pa.array(["S"] * 10, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        )
+        got = (
+            _pdf(analytics.doclen_deciles_by_source(rd.from_arrow(tbl)))
+            .sort_values("decile")
+            .reset_index(drop=True)
+        )
+        want = [lens[(9 * k) // 10] for k in range(1, 10)]
+        assert list(got["n_chars"]) == want
+
+    def test_matches_numpy_on_sf(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["source", "n_chars"])
+        got = _pdf(analytics.doclen_deciles_by_source(ds))
+        import pandas as pd
+
+        df = pd.read_parquet(f"{SF}/documents.parquet", columns=["source", "n_chars"])
+        for src, grp in df.groupby("source"):
+            v = np.sort(grp["n_chars"].to_numpy())
+            n = len(v)
+            for k in range(1, 10):
+                want = v[(n - 1) * k // 10]
+                row = got[(got.source == src) & (got.decile == k)]
+                assert int(row["n_chars"].iloc[0]) == want
+
+
+class TestValueMoments:
+    def test_hand_built_exact_moments(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # type A: cents [100, 200, 600]; n=3, s1=900, s2=410000, s3=2.25e8
+        # mean=300, var=(3*410000-810000)//9=46666,
+        # m3 num = 9*s3 - 3*3*900*410000 + 2*900^3 = 1ee? compute in test
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["A"] * 3 + ["B"] * 2, pa.string()),
+                "value": pa.array([1.0, 2.0, 6.0, 1.0, 1.0], pa.float64()),
+            }
+        )
+        got = _pdf(analytics.value_moments_by_type(rd.from_arrow(tbl))).set_index(
+            "event_type"
+        )
+        c = [100, 200, 600]
+        n, s1 = 3, sum(c)
+        s2, s3 = sum(x * x for x in c), sum(x**3 for x in c)
+        assert got.loc["A", "n"] == 3
+        assert got.loc["A", "mean_cents"] == s1 // n
+        assert got.loc["A", "var_cents2"] == (n * s2 - s1 * s1) // (n * n)
+        num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        m3 = -((-num) // n**3) if num < 0 else num // n**3
+        assert got.loc["A", "m3_cents3"] == m3
+        # constant type B: zero variance and zero skew
+        assert got.loc["B", "var_cents2"] == 0
+        assert got.loc["B", "m3_cents3"] == 0
+
+    def test_negative_skew_truncates_like_sql(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # left-skewed: [6, 6, 1] dollars -> negative third moment; must
+        # TRUNCATE toward zero (DuckDB //), not floor
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["L"] * 3, pa.string()),
+                "value": pa.array([6.0, 6.0, 1.0], pa.float64()),
+            }
+        )
+        got = _pdf(analytics.value_moments_by_type(rd.from_arrow(tbl)))
+        c = [600, 600, 100]
+        n, s1 = 3, sum(c)
+        s2, s3 = sum(x * x for x in c), sum(x**3 for x in c)
+        num = n * n * s3 - 3 * n * s1 * s2 + 2 * s1**3
+        assert num < 0
+        want = -((-num) // n**3)
+        assert int(got["m3_cents3"].iloc[0]) == want
+        assert want != num // n**3  # floor would disagree
