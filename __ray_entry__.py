@@ -1702,6 +1702,23 @@ def _q_value_moments_by_type(sf_dir: str):
     return analytics.value_moments_by_type(ds)
 
 
+def _q_order_backlog_daily(sf_dir: str):
+    """Daily open-order backlog step function (placed but not fully
+    shipped; analytics.order_backlog_daily); oracle replays the +1/-1
+    delta grid and a window running sum."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    return analytics.order_backlog_daily(orders, lineitem)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4335,6 +4352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_daily": _q_rolling_median_daily,
         "doclen_deciles_by_source": _q_doclen_deciles_by_source,
         "value_moments_by_type": _q_value_moments_by_type,
+        "order_backlog_daily": _q_order_backlog_daily,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6417,6 +6435,22 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "order_backlog_daily": (
+            # replay of analytics.order_backlog_daily: per-order MAX ship,
+            # inner join, +1 on order day / -1 the day after last shipment,
+            # running sum over the change-day grid
+            "WITH ls AS (SELECT l_orderkey AS k, MAX(l_shipdate) AS last_ship "
+            "FROM lineitem GROUP BY 1), "
+            "j AS (SELECT o.o_orderdate AS od, ls.last_ship FROM orders o "
+            "JOIN ls ON ls.k = o.o_orderkey), "
+            "d AS (SELECT strftime(date_trunc('day', od), '%Y-%m-%d') AS day, "
+            "1 AS delta FROM j "
+            "UNION ALL SELECT strftime(date_trunc('day', last_ship) + "
+            "INTERVAL 1 DAY, '%Y-%m-%d'), -1 FROM j), "
+            "g AS (SELECT day, SUM(delta) AS net FROM d GROUP BY day) "
+            "SELECT day, CAST(net AS BIGINT) AS net_delta, "
+            "CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders FROM g"
+        ),
         "doclen_deciles_by_source": (
             # replay of analytics.doclen_deciles_by_source: ROW_NUMBER per
             # source, integer rank (n-1)*k//10 + 1 (= quantile_disc)

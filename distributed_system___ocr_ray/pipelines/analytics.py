@@ -8394,3 +8394,91 @@ def value_moments_by_type(ds, key_col: str = "event_type", value_col: str = "val
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def order_backlog_daily(orders, lineitem, buckets: int | None = None):
+    """Daily open-order BACKLOG: how many orders have been placed but not
+    yet fully shipped as of each change day -- the interval-stabbing
+    operational series (WIP depth) that peak_concurrent_sessions computes
+    for sessions, here derived by JOINING two tables (an order is open
+    from o_orderdate through its LAST l_shipdate, inclusive).
+
+    ONE co-grouped exchange: both sides normalize to (orderkey, ts,
+    is_order) rows -- lineitem pre-maxed per batch (map-side combiner for
+    the per-order last shipment) -- hash-bucketed on the orderkey; each
+    bucket folds its orders against its per-order ship maxima (inner join:
+    lineitem-less orders never open) and emits +1/-1 DELTA partials on the
+    open day and the day AFTER last shipment. Deltas collapse to the
+    bounded day domain (``tiny_final_groupby``); the running sum over the
+    tiny ordered day series is driver-side window state. Output is the
+    step function at its change days (backlog is constant in between).
+
+    Returns (day, net_delta, open_orders) per change day."""
+    from .relational import derive_buckets, hash_bucket_column, tiny_final_groupby
+
+    n = max(orders.count(), lineitem.count())
+    if buckets is None:
+        buckets = derive_buckets(n)
+
+    def norm_orders(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k": batch.column("o_orderkey"),
+                "ts": batch.column("o_orderdate"),
+                "is_order": pa.array(
+                    np.ones(batch.num_rows, np.int8), pa.int8()
+                ),
+            }
+        )
+        return hash_bucket_column(t, "k", buckets)
+
+    def norm_lineitem(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.table(
+                {"k": batch.column("l_orderkey"), "ts": batch.column("l_shipdate")}
+            )
+            .group_by(["k"])
+            .aggregate([("ts", "max")])
+            .rename_columns(["k", "ts"])
+        )
+        t = t.append_column("is_order", pa.array(np.zeros(t.num_rows, np.int8), pa.int8()))
+        return hash_bucket_column(t, "k", buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["is_order"] == 1]
+        li = g[g["is_order"] == 0].groupby("k")["ts"].max()
+        m = o.merge(li.rename("last"), left_on="k", right_index=True)
+        if not len(m):
+            return pd.DataFrame({"day": pd.Series([], dtype=str),
+                                 "delta": pd.Series([], dtype="int64")})
+        open_day = m["ts"].dt.floor("D").dt.strftime("%Y-%m-%d")
+        close_day = (m["last"].dt.floor("D") + pd.Timedelta(days=1)).dt.strftime(
+            "%Y-%m-%d"
+        )
+        d = pd.concat(
+            [
+                pd.DataFrame({"day": open_day, "delta": 1}),
+                pd.DataFrame({"day": close_day, "delta": -1}),
+            ]
+        )
+        out = d.groupby("day", sort=False)["delta"].sum().reset_index()
+        out["delta"] = out["delta"].astype(np.int64)
+        return out
+
+    deltas = (
+        tiny_final_groupby(
+            orders.map_batches(norm_orders, batch_format="pyarrow")
+            .union(lineitem.map_batches(norm_lineitem, batch_format="pyarrow"))
+            .groupby("__bucket")
+            .map_groups(fold, batch_format="pandas"),
+            ["day"],
+            [("delta", "sum")],
+            ["day", "net_delta"],
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    deltas["net_delta"] = deltas["net_delta"].astype(np.int64)
+    deltas["open_orders"] = deltas["net_delta"].cumsum().astype(np.int64)
+    return deltas

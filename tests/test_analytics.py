@@ -7319,3 +7319,72 @@ class TestValueMoments:
         want = -((-num) // n**3)
         assert int(got["m3_cents3"].iloc[0]) == want
         assert want != num // n**3  # floor would disagree
+
+
+class TestOrderBacklogDaily:
+    def test_hand_built_step_function(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # order 1: placed Jan 1, last ship Jan 3 (open Jan 1-3)
+        # order 2: placed Jan 2, last ship Jan 2 (open Jan 2)
+        # order 3: placed Jan 2, NO lineitems -> never opens (inner join)
+        orders = rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_orderdate": pa.array(
+                        [
+                            datetime.datetime(2024, 1, 1),
+                            datetime.datetime(2024, 1, 2),
+                            datetime.datetime(2024, 1, 2),
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        lineitem = rd.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                    "l_shipdate": pa.array(
+                        [
+                            datetime.datetime(2024, 1, 2),
+                            datetime.datetime(2024, 1, 3),
+                            datetime.datetime(2024, 1, 2),
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        got = analytics.order_backlog_daily(orders, lineitem, buckets=4)
+        want = {
+            "2024-01-01": (1, 1),
+            "2024-01-02": (1, 2),
+            "2024-01-03": (-1, 1),
+            "2024-01-04": (-1, 0),
+        }
+        assert len(got) == 4
+        for r in got.itertuples():
+            assert want[r.day] == (r.net_delta, r.open_orders)
+
+    def test_backlog_never_negative_and_closes(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        orders = rd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        lineitem = rd.read_parquet(
+            f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+        )
+        got = analytics.order_backlog_daily(orders, lineitem)
+        assert (got["open_orders"] >= 0).all()
+        assert int(got["open_orders"].iloc[-1]) == 0  # everything ships
+        assert int(got["net_delta"].sum()) == 0
