@@ -7838,61 +7838,140 @@ def sampled_quantile_audit(
     range partitioning and histogram planning, and this quantifies what the
     sample rate buys.
 
-    Both quantile passes share ``exact_quantiles_permille``'s histogram
-    bisection (no global sort, only bins*8B vectors to the driver); the
-    true-rank pass is ONE bounded map_batches -- per batch a sort +
-    searchsorted against the 9 estimated boundaries -- folded by
-    ``tiny_final_groupby``. rank_err_ppm = |count(full <= est)*1e6//n -
-    p*1000| is computed in Python ints (the SQL replay's BIGINT is fine to
-    ~1e12 rows).
+    ONE data pass builds a range-bucketed COMPRESSED distribution
+    (rbucket, cents, n_full, n_sample) -- the per-batch partial groups by
+    distinct cents and tags sample membership, so both populations share
+    the read and the md5 runs once per row. The materialized detail (the
+    compressed ECDF, same license as ks_priority_drift) then serves
+    everything without touching the data again: tiny per-bucket totals
+    come to the driver, every rank (both sides) locates its bucket and
+    residual there, one bounded filter pulls only the needed buckets'
+    rows, and the TRUE rank of each estimate falls out of the same
+    carry + in-bucket cumsum (no separate counting pass).
+    rank_err_ppm = |count(full <= est)*1e6//n - p*1000| in Python ints
+    (the SQL replay's BIGINT is fine to ~1e12 rows). The earlier
+    per-rank histogram-bisection formulation ran ~2 passes per rank;
+    this runs 1 + epsilon total (measured 18.6 s -> 6.3 s at sf0.1/32c;
+    the residue is the per-row md5 of the sample predicate).
 
     Returns 9 rows: (q_permille, sample_n, est_cents, exact_cents,
     rank_err_ppm)."""
-    from .relational import _cents, tiny_final_groupby
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {id_col: batch.column(id_col), "c": _cents(batch.column(value_col))}
-        )
+    from .relational import _cents, hash_bucket_column, tiny_final_groupby
 
     permilles = list(permilles)
-    full = ds.map_batches(to_cents, batch_format="pyarrow")
-    samp = deterministic_sample(full, id_col=id_col, rate=rate)
-    est, n_s = exact_quantiles_permille(samp, "c", permilles)
-    exact, n = exact_quantiles_permille(full, "c", permilles)
-    bounds = np.array([int(est[p]) for p in permilles], np.int64)  # monotone in p
+    threshold = format(int(rate * 0xFFFFFFFF), "08x")
+    width = 1 << 21  # range bucket: ordering-preserving parallelism knob
 
-    def part(batch: pa.Table) -> pa.Table:
-        c = np.sort(batch.column("c").to_numpy(zero_copy_only=False))
-        le = np.searchsorted(c, bounds, side="right").astype(np.int64)
+    def partials(batch: pa.Table) -> pa.Table:
+        c = _cents(batch.column(value_col)).to_numpy(zero_copy_only=False)
+        hx = _md5_hex8(batch.column(id_col).to_pylist())
+        in_samp = np.fromiter((h < threshold for h in hx), bool, len(hx))
+        df = pd.DataFrame({"c": c, "s": in_samp.astype(np.int64)})
+        g = df.groupby("c", sort=False)["s"].agg(["size", "sum"]).reset_index()
         return pa.table(
             {
-                "i": pa.array(np.arange(len(bounds)), pa.int64()),
-                "le": pa.array(le, pa.int64()),
+                "rbucket": pa.array(g["c"].to_numpy(np.int64) // width, pa.int64()),
+                "c": pa.array(g["c"].to_numpy(np.int64), pa.int64()),
+                "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+                "ns": pa.array(g["sum"].to_numpy(np.int64), pa.int64()),
             }
         )
 
-    cle = (
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["rbucket", "c"], sort=False)[["n", "ns"]].sum().reset_index()
+        for col in ("n", "ns"):
+            out[col] = out[col].astype(np.int64)
+        return out
+
+    detail = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("rbucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+    totals = (
         tiny_final_groupby(
-            full.map_batches(part, batch_format="pyarrow"),
-            ["i"],
-            [("le", "sum")],
-            ["i", "le"],
+            detail, ["rbucket"], [("n", "sum"), ("ns", "sum")], ["rbucket", "n", "ns"]
         )
         .to_pandas()
-        .sort_values("i")["le"]
-        .to_numpy(np.int64)
+        .sort_values("rbucket")
+        .reset_index(drop=True)
     )
-    rows = [
-        (
-            p,
-            n_s,
-            int(est[p]),
-            int(exact[p]),
-            abs(int(cle[i]) * 1_000_000 // n - p * 1000),
+    n = int(totals["n"].sum())
+    n_s = int(totals["ns"].sum())
+    if n_s == 0:
+        raise ValueError("sampled_quantile_audit: empty sample")
+    buckets_sorted = totals["rbucket"].to_numpy(np.int64)
+
+    def locate(col: str, total: int):
+        """permille -> (bucket, residual rank, carry-below) for one side."""
+        cum = totals[col].cumsum().to_numpy(np.int64)
+        out = {}
+        for p in permilles:
+            k = max(1, (p * total + 999) // 1000)
+            i = int(np.searchsorted(cum, k))
+            out[p] = (int(buckets_sorted[i]), k - (int(cum[i - 1]) if i else 0),
+                      int(cum[i - 1]) if i else 0)
+        return out
+
+    loc_full = locate("n", n)
+    loc_samp = locate("ns", n_s)
+    needed = {b for b, _, _ in loc_full.values()} | {
+        b for b, _, _ in loc_samp.values()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        rb = batch.column("rbucket").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(rb, list(needed))))
+
+    pulled = (
+        detail.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["rbucket", "c"])
+    )
+    by_bucket = {
+        int(rb): (
+            grp["c"].to_numpy(np.int64),
+            grp["n"].cumsum().to_numpy(np.int64),
+            grp["ns"].cumsum().to_numpy(np.int64),
         )
-        for i, p in enumerate(permilles)
-    ]
+        for rb, grp in pulled.groupby("rbucket")
+    }
+
+    def resolve(loc, col_idx):
+        vals = {}
+        for p, (b, k, _) in loc.items():
+            cvals, cn, cns = by_bucket[b]
+            cum = cn if col_idx == 0 else cns
+            vals[p] = int(cvals[int(np.searchsorted(cum, k))])
+        return vals
+
+    est = resolve(loc_samp, 1)
+    exact = resolve(loc_full, 0)
+    # carry-in per bucket for the FULL side: counts in all lower buckets
+    cum_n = totals["n"].cumsum().to_numpy(np.int64)
+    carry_full = {
+        int(b): int(cum_n[i - 1]) if i else 0 for i, b in enumerate(buckets_sorted)
+    }
+    bucket_index = {int(b): i for i, b in enumerate(buckets_sorted)}
+    rows = []
+    for p in permilles:
+        v = est[p]
+        b = v // width
+        if b in by_bucket:
+            cvals, cn, _ = by_bucket[b]
+            inb = int(cn[np.searchsorted(cvals, v, side="right") - 1]) if np.searchsorted(
+                cvals, v, side="right"
+            ) else 0
+            cle = carry_full.get(b, 0) + inb
+        else:
+            # estimate's bucket was not pulled (cannot happen: est comes
+            # from a pulled bucket) -- carry of the next bucket boundary
+            i = bucket_index.get(b, 0)
+            cle = int(cum_n[i])
+        rows.append(
+            (p, n_s, v, exact[p], abs(cle * 1_000_000 // n - p * 1000))
+        )
     return pd.DataFrame(
         rows,
         columns=["q_permille", "sample_n", "est_cents", "exact_cents", "rank_err_ppm"],
