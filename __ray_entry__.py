@@ -1719,6 +1719,32 @@ def _q_order_backlog_daily(sf_dir: str):
     return analytics.order_backlog_daily(orders, lineitem)
 
 
+def _q_dow_revenue_profile(sf_dir: str):
+    """ISO-weekday revenue seasonality profile with ppm shares
+    (analytics.dow_revenue_profile)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return analytics.dow_revenue_profile(ds)
+
+
+def _q_completeness_audit(sf_dir: str):
+    """Per-column null/empty completeness audit over documents
+    (analytics.completeness_audit)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return analytics.completeness_audit(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4353,6 +4379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_deciles_by_source": _q_doclen_deciles_by_source,
         "value_moments_by_type": _q_value_moments_by_type,
         "order_backlog_daily": _q_order_backlog_daily,
+        "dow_revenue_profile": _q_dow_revenue_profile,
+        "completeness_audit": _q_completeness_audit,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6435,6 +6463,30 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "dow_revenue_profile": (
+            "WITH a AS (SELECT isodow(o_orderdate) AS isodow, "
+            "COUNT(*) AS n_orders, "
+            "SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY 1), "
+            "t AS (SELECT SUM(rev) AS tot FROM a) "
+            "SELECT CAST(isodow AS BIGINT) AS isodow, "
+            "CAST(n_orders AS BIGINT) AS n_orders, "
+            "CAST(rev AS BIGINT) AS revenue_cents, "
+            "CAST(rev * 1000000 // t.tot AS BIGINT) AS share_ppm FROM a, t"
+        ),
+        "completeness_audit": (
+            "WITH a AS ("
+            "SELECT 'text' AS col, COUNT(*) AS nr, "
+            "COUNT(*) - COUNT(text) AS nn, "
+            "COUNT(*) FILTER (text = '') AS ne FROM documents "
+            "UNION ALL SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), "
+            "COUNT(*) FILTER (lang = '') FROM documents "
+            "UNION ALL SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), "
+            "COUNT(*) FILTER (source = '') FROM documents) "
+            "SELECT col AS \"column\", CAST(nr AS BIGINT) AS n_rows, "
+            "CAST(nn AS BIGINT) AS n_null, CAST(ne AS BIGINT) AS n_empty, "
+            "CAST((nn + ne) * 1000000 // nr AS BIGINT) AS missing_ppm FROM a"
+        ),
         "order_backlog_daily": (
             # replay of analytics.order_backlog_daily: per-order MAX ship,
             # inner join, +1 on order day / -1 the day after last shipment,

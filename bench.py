@@ -207,7 +207,7 @@ SWEEP_QUERIES = [
     "sampled_quantile_audit", "compaction_bins", "shingle_containment",
     "cusum_changepoints", "bigram_surprisal_by_source", "key_density_audit",
     "rolling_median_daily", "doclen_deciles_by_source", "value_moments_by_type",
-    "order_backlog_daily",
+    "order_backlog_daily", "dow_revenue_profile", "completeness_audit",
 ]
 
 

@@ -8561,3 +8561,98 @@ def order_backlog_daily(orders, lineitem, buckets: int | None = None):
     deltas["net_delta"] = deltas["net_delta"].astype(np.int64)
     deltas["open_orders"] = deltas["net_delta"].cumsum().astype(np.int64)
     return deltas
+
+
+def dow_revenue_profile(ds, ts_col: str = "o_orderdate", value_col: str = "o_totalprice"):
+    """Day-of-week revenue seasonality: ISO weekday (1=Mon..7=Sun) order
+    counts, revenue cents and each weekday's revenue SHARE in ppm -- the
+    weekly seasonal fingerprint that weekly_revenue_wow's week-over-week
+    deltas and spike_days' daily z-tests both ride on top of (a batch
+    pipeline that loads Mondays twice shows up here first). ONE bounded
+    7-key partial pass; shares floor-divide against the global total at
+    the driver.
+
+    Returns 7 rows: (isodow, n_orders, revenue_cents, share_ppm)."""
+    import pyarrow.compute as pc
+
+    from .relational import _cents, tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # pyarrow day_of_week: Monday=0 -> ISO by +1
+        dow = pc.add(pc.day_of_week(batch.column(ts_col)), 1)
+        t = pa.table({"isodow": dow, "v": _cents(batch.column(value_col))})
+        return t.group_by(["isodow"]).aggregate([("v", "sum"), ("v", "count")])
+
+    out = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["isodow"],
+            [("v_sum", "sum"), ("v_count", "sum")],
+            ["isodow", "revenue_cents", "n_orders"],
+        )
+        .to_pandas()
+        .sort_values("isodow")
+        .reset_index(drop=True)
+    )
+    total = int(out["revenue_cents"].sum())
+    out["isodow"] = out["isodow"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["share_ppm"] = np.array(
+        [int(v) * 1_000_000 // total for v in out["revenue_cents"]], np.int64
+    )
+    return out[["isodow", "n_orders", "revenue_cents", "share_ppm"]]
+
+
+def completeness_audit(ds, string_cols=("text", "lang", "source"), id_col: str = "doc_id"):
+    """Per-column COMPLETENESS audit over the documents table: null count,
+    empty-string count and combined missing ppm for each string column --
+    the first data-quality gate any ingest runs (an extractor that starts
+    emitting empty text moves this before it moves any content statistic).
+    ONE pass of per-batch per-column partial counts (bounded: one row per
+    column per batch) folded tiny.
+
+    Returns one row per audited column: (column, n_rows, n_null, n_empty,
+    missing_ppm)."""
+    from .relational import tiny_final_groupby
+
+    cols = list(string_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, nn, ne, nr = [], [], [], []
+        for c in cols:
+            col = batch.column(c)
+            names.append(c)
+            nr.append(batch.num_rows)
+            nulls = col.null_count
+            nn.append(int(nulls))
+            v = col.to_pandas()
+            ne.append(int((v == "").sum()))
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(nr, pa.int64()),
+                "n_null": pa.array(nn, pa.int64()),
+                "n_empty": pa.array(ne, pa.int64()),
+            }
+        )
+
+    out = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["column"],
+            [("n_rows", "sum"), ("n_null", "sum"), ("n_empty", "sum")],
+            ["column", "n_rows", "n_null", "n_empty"],
+        )
+        .to_pandas()
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows", "n_null", "n_empty"):
+        out[c] = out[c].astype(np.int64)
+    out["missing_ppm"] = (
+        (out["n_null"] + out["n_empty"]).to_numpy(np.int64)
+        * 1_000_000
+        // out["n_rows"].to_numpy(np.int64)
+    )
+    return out

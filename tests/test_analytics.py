@@ -7388,3 +7388,55 @@ class TestOrderBacklogDaily:
         assert (got["open_orders"] >= 0).all()
         assert int(got["open_orders"].iloc[-1]) == 0  # everything ships
         assert int(got["net_delta"].sum()) == 0
+
+
+class TestDowRevenueProfile:
+    def test_hand_built_iso_weekdays(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 2024-08-19 is a Monday; 3 orders Mon/Mon/Sun
+        tbl = pa.table(
+            {
+                "o_orderdate": pa.array(
+                    [
+                        datetime.datetime(2024, 8, 19),
+                        datetime.datetime(2024, 8, 26),
+                        datetime.datetime(2024, 8, 25),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "o_totalprice": pa.array([1.0, 2.0, 1.0], pa.float64()),
+            }
+        )
+        got = analytics.dow_revenue_profile(rd.from_arrow(tbl)).set_index("isodow")
+        assert got.loc[1, "n_orders"] == 2
+        assert got.loc[1, "revenue_cents"] == 300
+        assert got.loc[1, "share_ppm"] == 750_000
+        assert got.loc[7, "share_ppm"] == 250_000
+
+
+class TestCompletenessAudit:
+    def test_hand_built_null_and_empty(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["x", "", None, "y"], pa.string()),
+                "lang": pa.array(["en", "en", "en", None], pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+            }
+        )
+        got = analytics.completeness_audit(rd.from_arrow(tbl)).set_index("column")
+        assert got.loc["text", "n_null"] == 1
+        assert got.loc["text", "n_empty"] == 1
+        assert got.loc["text", "missing_ppm"] == 500_000
+        assert got.loc["lang", "n_null"] == 1
+        assert got.loc["lang", "missing_ppm"] == 250_000
+        assert got.loc["source", "missing_ppm"] == 0
