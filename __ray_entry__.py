@@ -1745,6 +1745,15 @@ def _q_completeness_audit(sf_dir: str):
     return analytics.completeness_audit(ds)
 
 
+def _q_first_event_after_order(sf_dir: str):
+    """Forward as-of join: first event strictly after each order, gap in
+    days (relational.first_event_after_order); oracle is the MIN-over-join
+    formulation, tie-identical because only ts-derived fields are output."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.first_event_after_order(sf_dir)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4381,6 +4390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_backlog_daily": _q_order_backlog_daily,
         "dow_revenue_profile": _q_dow_revenue_profile,
         "completeness_audit": _q_completeness_audit,
+        "first_event_after_order": _q_first_event_after_order,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6463,6 +6473,18 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "first_event_after_order": (
+            # replay of relational.first_event_after_order: forward as-of =
+            # MIN(e.ts) over the strictly-after join, day-derived outputs
+            "WITH j AS (SELECT o.o_orderkey AS k, o.o_orderdate AS od, "
+            "MIN(e.ts) AS nts FROM orders o JOIN events e "
+            "ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate "
+            "GROUP BY 1, 2) "
+            "SELECT k AS o_orderkey, "
+            "strftime(date_trunc('day', nts), '%Y-%m-%d') AS next_event_day, "
+            "CAST(date_diff('day', date_trunc('day', od), "
+            "date_trunc('day', nts)) AS BIGINT) AS gap_days FROM j"
+        ),
         "dow_revenue_profile": (
             "WITH a AS (SELECT isodow(o_orderdate) AS isodow, "
             "COUNT(*) AS n_orders, "

@@ -334,11 +334,15 @@ def bucketed_hash_join(
 
 
 def asof_join(
-    left, right, key: str, right_key: str, left_ts: str, right_ts: str, *, buckets: int = 16
+    left, right, key: str, right_key: str, left_ts: str, right_ts: str, *,
+    buckets: int = 16, direction: str = "backward", allow_exact: bool = True,
 ):
-    """As-of join (most recent ``right_ts`` <= ``left_ts`` per key): bucket
-    both sides by key hash, sort within bucket, ``pd.merge_asof`` per bucket
-    (ray_guide as-of pattern). Inner semantics: unmatched left rows drop.
+    """As-of join: per key, the most recent ``right_ts`` <= ``left_ts``
+    (``direction='backward'``, the default) or the FIRST ``right_ts`` >=
+    ``left_ts`` (``'forward'``; with ``allow_exact=False`` strictly >/<).
+    Bucket both sides by key hash, sort within bucket, ``pd.merge_asof``
+    per bucket (ray_guide as-of pattern). Inner semantics: unmatched left
+    rows drop.
     """
     import pandas as pd
 
@@ -380,7 +384,7 @@ def asof_join(
             return out
         out = pd.merge_asof(
             lg, rg, left_on=left_ts, right_on=right_ts, left_by=key, right_by=right_key,
-            direction="backward", allow_exact_matches=True,
+            direction=direction, allow_exact_matches=allow_exact,
         )
         return out.dropna(subset=[right_ts])  # inner semantics
 
@@ -5704,3 +5708,41 @@ def customer_order_distribution(sf_dir: str, exclude_priority: str = "5-LOW",
         )
 
     return folded.repartition(1).map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def first_event_after_order(sf_dir: str):
+    """FORWARD as-of join: for each order, the customer's FIRST event
+    STRICTLY after the order timestamp and the gap in days -- the
+    time-to-next-touch operational join (did the purchase trigger
+    activity?), the mirror of ``last_order_before_event``'s backward
+    lookup. Same bucketed merge_asof plan, ``direction='forward'`` with
+    exact matches excluded; inner semantics (orders whose customer never
+    acts again drop).
+
+    Returns (o_orderkey, next_event_day, gap_days)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    buckets = derive_buckets(max(orders.count(), events.count()))
+    joined = asof_join(
+        orders, events, key="o_custkey", right_key="user_id",
+        left_ts="o_orderdate", right_ts="ts", buckets=buckets,
+        direction="forward", allow_exact=False,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // 86_400_000_000
+        nd = batch.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
+        day = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"), format="%Y-%m-%d")
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "next_event_day": day,
+                "gap_days": pa.array((nd - od).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")

@@ -7440,3 +7440,70 @@ class TestCompletenessAudit:
         assert got.loc["lang", "n_null"] == 1
         assert got.loc["lang", "missing_ppm"] == 250_000
         assert got.loc["source", "missing_ppm"] == 0
+
+
+class TestFirstEventAfterOrder:
+    def test_matches_pandas_brute_force(self):
+        from distributed_system___ocr_ray.pipelines import relational
+
+        got = (
+            _pdf(relational.first_event_after_order(SF))
+            .sort_values("o_orderkey")
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        orders = pd.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+        )
+        events = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+        m = orders.merge(events, left_on="o_custkey", right_on="user_id")
+        m = m[m["ts"] > m["o_orderdate"]]
+        nxt = m.groupby("o_orderkey").agg(
+            od=("o_orderdate", "first"), nts=("ts", "min")
+        )
+        assert len(got) == len(nxt)
+        want_day = nxt["nts"].dt.strftime("%Y-%m-%d")
+        want_gap = (
+            nxt["nts"].dt.floor("D") - nxt["od"].dt.floor("D")
+        ).dt.days.astype(np.int64)
+        g = got.set_index("o_orderkey")
+        for k in nxt.index:
+            assert g.loc[k, "next_event_day"] == want_day.loc[k]
+            assert g.loc[k, "gap_days"] == want_gap.loc[k]
+
+    def test_strictly_after_excludes_exact(self):
+        import datetime
+
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines.relational import asof_join
+
+        orders = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1], pa.int64()),
+                    "ots": pa.array([datetime.datetime(2024, 1, 1)], pa.timestamp("us")),
+                }
+            )
+        )
+        events = rd.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([1, 1], pa.int64()),
+                    "ts": pa.array(
+                        [datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 5)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        )
+        out = _pdf(
+            asof_join(
+                orders, events, key="k", right_key="u", left_ts="ots", right_ts="ts",
+                buckets=2, direction="forward", allow_exact=False,
+            )
+        )
+        assert len(out) == 1
+        assert out["ts"].iloc[0] == pd.Timestamp(2024, 1, 5)
