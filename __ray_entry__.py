@@ -1754,6 +1754,20 @@ def _q_first_event_after_order(sf_dir: str):
     return relational.first_event_after_order(sf_dir)
 
 
+def _q_doc_bigram_surprisal_topk(sf_dir: str):
+    """Token-bigram LM surprisal top-k (rare TRANSITIONS: word salad that
+    passes the unigram screen; analytics.doc_bigram_surprisal_topk);
+    oracle pairs tokens with a lead window and replays the bit identity."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return analytics.doc_bigram_surprisal_topk(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4391,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_revenue_profile": _q_dow_revenue_profile,
         "completeness_audit": _q_completeness_audit,
         "first_event_after_order": _q_first_event_after_order,
+        "doc_bigram_surprisal_topk": _q_doc_bigram_surprisal_topk,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6473,6 +6488,30 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "doc_bigram_surprisal_topk": (
+            # replay of analytics.doc_bigram_surprisal_topk: token pairs
+            # via lead window over the shared [a-z0-9]+ tokenization,
+            # whole-bit surprisal via length(bin(N//c))-1
+            "WITH t AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok, "
+            "unnest(generate_series(1, len(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')))) AS i FROM documents), "
+            "pairs AS (SELECT doc_id, lang, tok || ' ' || "
+            "lead(tok, 1) OVER win AS bg FROM t "
+            "WINDOW win AS (PARTITION BY doc_id ORDER BY i) "
+            "QUALIFY lead(tok, 1) OVER win IS NOT NULL), "
+            "c AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY bg), "
+            "nn AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM c), "
+            "b AS (SELECT bg, CAST(length(bin((SELECT ntot FROM nn) // n)) - 1 "
+            "AS BIGINT) AS bits FROM c), "
+            "d AS (SELECT p.doc_id, any_value(p.lang) AS lang, "
+            "CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "CAST(SUM(b.bits) AS BIGINT) AS total_bits "
+            "FROM pairs p JOIN b USING (bg) GROUP BY p.doc_id) "
+            "SELECT doc_id, lang, n_bigrams, total_bits, "
+            "CAST(total_bits * 1000 // n_bigrams AS BIGINT) AS mean_millibits "
+            "FROM d ORDER BY mean_millibits DESC, doc_id ASC LIMIT 50"
+        ),
         "first_event_after_order": (
             # replay of relational.first_event_after_order: forward as-of =
             # MIN(e.ts) over the strictly-after join, day-derived outputs

@@ -8656,3 +8656,97 @@ def completeness_audit(ds, string_cols=("text", "lang", "source"), id_col: str =
         // out["n_rows"].to_numpy(np.int64)
     )
     return out
+
+
+def doc_bigram_surprisal_topk(ds, k: int = 50, id_col: str = "doc_id",
+                              lang_col: str = "lang", text_col: str = "text"):
+    """Token-BIGRAM surprisal scoring: ``doc_surprisal_topk`` with the
+    corpus bigram distribution as the LM -- each adjacent token pair
+    contributes ``floor(log2(N_bigrams / c(pair)))`` whole bits (the same
+    ``bit_length(N // c) - 1`` identity, no float log on either side).
+    Unigram surprisal flags rare WORDS; this flags rare TRANSITIONS --
+    word-salad spam, shuffled scrapes and wrong-language runs score high
+    here while passing the unigram screen because every word is common.
+
+    Same two-pass plan as doc_surprisal_topk: pass 1 folds per-batch
+    bigram counts through the string-bucket exchange; the (bigram, bits)
+    table broadcasts once via ray.put as sorted numpy pairs (searchsorted
+    probe); pass 2 re-reads, scores vectorized (explode -> within-doc
+    shift pairs -> searchsorted -> per-doc sums), keeps per-batch partial
+    top-k, one tiny final merge on (mean_millibits DESC, doc_id ASC).
+    Docs with fewer than 2 tokens have no bigrams and drop.
+
+    Returns (doc_id, lang, n_bigrams, total_bits, mean_millibits) for the
+    k most transition-surprising docs."""
+    import re
+
+    import ray
+
+    from .relational import bucketed_grouped_sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def _bigrams(batch: pd.DataFrame) -> pd.Series:
+        s = (
+            batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        )
+        if len(s) == 0:
+            return s
+        nxt = s.groupby(level=0).shift(-1)
+        return (s + " " + nxt).dropna()
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = _bigrams(batch).value_counts()
+        return pd.DataFrame({"bg": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(vocab_partial, batch_format="pandas"), "bg", "n"
+    ).to_pandas()
+    if len(counts) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.schema([
+            (id_col, pa.int64()), (lang_col, pa.string()),
+            ("n_bigrams", pa.int64()), ("total_bits", pa.int64()),
+            ("mean_millibits", pa.int64())]).empty_table())
+    counts = counts.sort_values("bg").reset_index(drop=True)
+    n_total = int(counts["n"].sum())
+    bits = np.array([(n_total // int(c)).bit_length() - 1
+                     for c in counts["n"]], dtype=np.int64)
+    handle = ray.put({"bgs": counts["bg"].to_numpy(object), "bits": bits})
+
+    class Score:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            s = _bigrams(batch)
+            if len(s) == 0:
+                return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                     lang_col: pd.Series([], dtype=str),
+                                     "n_bigrams": pd.Series([], dtype=np.int64),
+                                     "total_bits": pd.Series([], dtype=np.int64),
+                                     "mean_millibits": pd.Series([], dtype=np.int64)})
+            pos = np.searchsorted(self.lk["bgs"], s.to_numpy(object))
+            tb = pd.Series(self.lk["bits"][pos], index=s.index)
+            per_doc = tb.groupby(level=0).agg(["size", "sum"])
+            docs = per_doc.index
+            out = pd.DataFrame({
+                id_col: batch[id_col].reindex(docs).to_numpy(),
+                lang_col: batch[lang_col].reindex(docs).to_numpy(),
+                "n_bigrams": per_doc["size"].to_numpy(np.int64),
+                "total_bits": per_doc["sum"].to_numpy(np.int64),
+            })
+            out["mean_millibits"] = (out["total_bits"] * 1000) // out["n_bigrams"]
+            return out.sort_values(["mean_millibits", id_col],
+                                   ascending=[False, True]).head(k)
+
+    def final_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["mean_millibits", id_col],
+                                 ascending=[False, True]).head(k).reset_index(drop=True)
+
+    return (
+        ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+        .repartition(1)
+        .map_batches(final_topk, batch_format="pandas", batch_size=None)
+    )

@@ -7507,3 +7507,43 @@ class TestFirstEventAfterOrder:
         )
         assert len(out) == 1
         assert out["ts"].iloc[0] == pd.Timestamp(2024, 1, 5)
+
+
+class TestDocBigramSurprisal:
+    def test_word_salad_outranks_template(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # docs 1-4 repeat the same sentence (common transitions); doc 5
+        # uses THE SAME WORDS in a scrambled order (identical unigram
+        # profile, rare transitions) and must rank first on bigram bits
+        common = "the quick brown fox jumps over the lazy dog"
+        salad = "dog the over quick lazy fox the jumps brown"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "text": pa.array([common] * 4 + [salad], pa.string()),
+            }
+        )
+        got = _pdf(analytics.doc_bigram_surprisal_topk(rd.from_arrow(tbl), k=5))
+        assert int(got["doc_id"].iloc[0]) == 5
+        assert int(got["mean_millibits"].iloc[0]) > int(got["mean_millibits"].iloc[1])
+        # 8 bigrams per doc, none crossing docs
+        assert (got["n_bigrams"] == 8).all()
+
+    def test_short_docs_drop(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "text": pa.array(["single", "two words"], pa.string()),
+            }
+        )
+        got = _pdf(analytics.doc_bigram_surprisal_topk(rd.from_arrow(tbl), k=5))
+        assert list(got["doc_id"]) == [2]
