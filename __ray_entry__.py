@@ -1768,6 +1768,58 @@ def _q_doc_bigram_surprisal_topk(sf_dir: str):
     return analytics.doc_bigram_surprisal_topk(ds)
 
 
+def _q_negative_samples(sf_dir: str):
+    """Deterministic md5 negative sampling with anti-join against the true
+    (customer, part) interactions (analytics.negative_samples)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    n_parts = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"]).count()
+    return analytics.negative_samples(orders, lineitem, customer, n_parts)
+
+
+def _q_span_corruption_plan(sf_dir: str):
+    """T5-style deterministic span-corruption plan over the token stream
+    (analytics.span_corruption_plan); md5-arithmetic starts replay in SQL."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return analytics.span_corruption_plan(ds)
+
+
+def _q_two_hop_reach(sf_dir: str):
+    """2-hop in-neighborhood size for the top-20 most-cited nodes of the
+    shared md5 citation graph (analytics.two_hop_reach); oracle composes
+    the shared edge CTE with a double join + COUNT DISTINCT."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    docs = _docs(sf_dir, ["doc_id"])
+    return analytics.two_hop_reach(docs)
+
+
+def _q_revenue_time_rollup(sf_dir: str):
+    """Calendar ROLLUP (year / quarter / month) of order revenue with -1
+    for aggregated-out levels (analytics.revenue_time_rollup)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return analytics.revenue_time_rollup(ds)
+
+
 def _q_token_diversity_by_lang(sf_dir: str):
     """Gini-Simpson token diversity per language in exact integer ppm
     (float-free diversity statistic; analytics.token_simpson_by_lang);
@@ -4406,6 +4458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completeness_audit": _q_completeness_audit,
         "first_event_after_order": _q_first_event_after_order,
         "doc_bigram_surprisal_topk": _q_doc_bigram_surprisal_topk,
+        "negative_samples": _q_negative_samples,
+        "span_corruption_plan": _q_span_corruption_plan,
+        "two_hop_reach": _q_two_hop_reach,
+        "revenue_time_rollup": _q_revenue_time_rollup,
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
@@ -6488,6 +6544,65 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _DUP_SPANS_SQL,
         "ks_priority_drift": _KS_PRIORITY_SQL,
         "sampled_quantile_audit": _SAMPLED_QUANTILE_SQL,
+        "revenue_time_rollup": (
+            # replay of analytics.revenue_time_rollup: GROUPING SETS with
+            # GROUPING() mapped to the engine's -1 sentinel and level tag
+            "WITH v AS (SELECT year(o_orderdate) AS y, "
+            "quarter(o_orderdate) AS q, month(o_orderdate) AS m, "
+            "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS c FROM orders) "
+            "SELECT CASE WHEN GROUPING(m) = 0 THEN 'month' "
+            "WHEN GROUPING(q) = 0 THEN 'quarter' ELSE 'year' END AS level, "
+            "CAST(y AS BIGINT) AS y, "
+            "CAST(CASE WHEN GROUPING(q) = 0 THEN q ELSE -1 END AS BIGINT) AS q, "
+            "CAST(CASE WHEN GROUPING(m) = 0 THEN m ELSE -1 END AS BIGINT) AS m, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+            "CAST(SUM(c) AS BIGINT) AS revenue_cents "
+            "FROM v GROUP BY GROUPING SETS ((y), (y, q), (y, q, m))"
+        ),
+        "two_hop_reach": (
+            # replay of analytics.two_hop_reach over the shared edge CTE:
+            # distinct edges, top-20 by (in_deg DESC, dst), double join +
+            # COUNT DISTINCT, COALESCE 0 for citer-less citers
+            f"WITH {_edges_ctes()}, "
+            "de AS (SELECT DISTINCT src, dst FROM edges), "
+            "ind AS (SELECT dst, COUNT(*) AS in_deg FROM de GROUP BY dst), "
+            "seeds AS (SELECT dst AS seed, in_deg FROM ind "
+            "ORDER BY in_deg DESC, dst LIMIT 20), "
+            "r2 AS (SELECT s.seed, COUNT(DISTINCT e2.src) AS reach2 "
+            "FROM seeds s JOIN de e1 ON e1.dst = s.seed "
+            "JOIN de e2 ON e2.dst = e1.src GROUP BY s.seed) "
+            "SELECT s.seed, CAST(s.in_deg AS BIGINT) AS in_deg, "
+            "CAST(COALESCE(r2.reach2, 0) AS BIGINT) AS reach2 "
+            "FROM seeds s LEFT JOIN r2 USING (seed)"
+        ),
+        "negative_samples": (
+            # replay of analytics.negative_samples: md5-u64 big-endian
+            # prefix % n_parts candidates, NOT EXISTS anti-join
+            "WITH np AS (SELECT COUNT(*) AS n FROM part), "
+            "inter AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey), "
+            "cand AS (SELECT c_custkey AS c, "
+            "unnest(generate_series(1, 8)) AS j FROM customer), "
+            "cp AS (SELECT c, j, CAST(('0x' || substr(md5(CAST(c AS VARCHAR) "
+            "|| ':' || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % "
+            "(SELECT n FROM np) AS BIGINT) AS p FROM cand) "
+            "SELECT c AS custkey, CAST(j AS BIGINT) AS neg_idx, p AS partkey "
+            "FROM cp WHERE NOT EXISTS (SELECT 1 FROM inter "
+            "WHERE inter.c = cp.c AND inter.p = cp.p)"
+        ),
+        "span_corruption_plan": (
+            # replay of analytics.span_corruption_plan: nw = \S+ count,
+            # nw//20 spans of 3, md5-u64 start % (nw-2) + 1
+            "WITH d AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS nw FROM documents), "
+            "s AS (SELECT doc_id, nw, "
+            "unnest(generate_series(1, nw // 20)) AS i FROM d "
+            "WHERE nw // 20 >= 1 AND nw >= 3) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS span_idx, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(i AS VARCHAR)), 1, 16))::UBIGINT % (nw - 2) AS BIGINT) + 1 "
+            "AS start_tok, CAST(3 AS BIGINT) AS span_len FROM s"
+        ),
         "doc_bigram_surprisal_topk": (
             # replay of analytics.doc_bigram_surprisal_topk: token pairs
             # via lead window over the shared [a-z0-9]+ tokenization,

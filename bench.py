@@ -208,7 +208,8 @@ SWEEP_QUERIES = [
     "cusum_changepoints", "bigram_surprisal_by_source", "key_density_audit",
     "rolling_median_daily", "doclen_deciles_by_source", "value_moments_by_type",
     "order_backlog_daily", "dow_revenue_profile", "completeness_audit",
-    "first_event_after_order", "doc_bigram_surprisal_topk",
+    "first_event_after_order", "doc_bigram_surprisal_topk", "negative_samples",
+    "span_corruption_plan", "two_hop_reach", "revenue_time_rollup",
 ]
 
 

@@ -8750,3 +8750,305 @@ def doc_bigram_surprisal_topk(ds, k: int = 50, id_col: str = "doc_id",
         .repartition(1)
         .map_batches(final_topk, batch_format="pandas", batch_size=None)
     )
+
+
+def negative_samples(orders, lineitem, customer, n_parts: int, k: int = 8,
+                     buckets: int | None = None):
+    """Deterministic NEGATIVE sampling for contrastive / link-prediction
+    training: for every customer, k candidate partkeys drawn by md5
+    arithmetic (``md5_u64(f"{cust}:{j}") % n_parts`` -- reproducible
+    across runs and cluster sizes, SQL-replayable like every RNG-ish
+    thing here), with candidates that the customer actually purchased
+    removed by an ANTI-join against the true interaction set. The
+    training-data counterpart of link_prediction_topk: that ranks likely
+    edges, this manufactures the non-edges a ranking model trains
+    against.
+
+    ONE exchange: the interaction side (orders |><| lineitem via the
+    bucketed hash join, projected to distinct (cust, part) per batch) and
+    the candidate side (generated straight off the customer table, no
+    shuffle) are both bucketed on cust; each bucket folds with a vectorized
+    merge-indicator anti-join. Collisions between a customer's own
+    candidates are kept as distinct (neg_idx) rows on both sides.
+
+    Returns (custkey, neg_idx, partkey) for surviving negatives."""
+    from ..functions.dedup import md5_u64
+    from .relational import bucketed_hash_join, derive_buckets, hash_bucket_column
+
+    if buckets is None:
+        buckets = derive_buckets(max(orders.count(), lineitem.count()))
+    joined = bucketed_hash_join(
+        orders, lineitem, "o_orderkey", "l_orderkey", buckets=buckets
+    )
+
+    def inter_rows(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "c": batch.column("o_custkey").to_numpy(zero_copy_only=False),
+                "p": batch.column("l_partkey").to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        t = pa.table(
+            {
+                "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+                "p": pa.array(df["p"].to_numpy(np.int64), pa.int64()),
+                "j": pa.array(np.zeros(len(df), np.int64), pa.int64()),
+                "is_cand": pa.array(np.zeros(len(df), np.int8), pa.int8()),
+            }
+        )
+        return hash_bucket_column(t, "c", buckets)
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        cs = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        c_rep = np.repeat(cs, k)
+        j_rep = np.tile(np.arange(1, k + 1, dtype=np.int64), len(cs))
+        p = np.fromiter(
+            (
+                md5_u64(b"%d:%d" % (c, j)) % n_parts
+                for c, j in zip(c_rep, j_rep)
+            ),
+            np.int64,
+            len(c_rep),
+        )
+        t = pa.table(
+            {
+                "c": pa.array(c_rep, pa.int64()),
+                "p": pa.array(p, pa.int64()),
+                "j": pa.array(j_rep, pa.int64()),
+                "is_cand": pa.array(np.ones(len(c_rep), np.int8), pa.int8()),
+            }
+        )
+        return hash_bucket_column(t, "c", buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cand = g[g["is_cand"] == 1]
+        inter = g[g["is_cand"] == 0][["c", "p"]].drop_duplicates()
+        m = cand.merge(inter, on=["c", "p"], how="left", indicator=True)
+        keep = m[m["_merge"] == "left_only"]
+        return pd.DataFrame(
+            {
+                "custkey": keep["c"].to_numpy(np.int64),
+                "neg_idx": keep["j"].to_numpy(np.int64),
+                "partkey": keep["p"].to_numpy(np.int64),
+            }
+        )
+
+    inter_ds = joined.map_batches(inter_rows, batch_format="pyarrow")
+    cand_ds = customer.map_batches(cand_rows, batch_format="pyarrow")
+    return inter_ds.union(cand_ds).groupby("__bucket").map_groups(
+        fold, batch_format="pandas"
+    )
+
+
+def span_corruption_plan(ds, id_col: str = "doc_id", text_col: str = "text",
+                         span_len: int = 3, tokens_per_span: int = 20):
+    """T5-style span-corruption PLAN: for each doc, a deterministic list
+    of mask spans over its whitespace-token stream -- n_spans = nw //
+    tokens_per_span spans of ``span_len`` tokens (~15% corruption at the
+    defaults), each start drawn by md5 arithmetic
+    (``md5_u64(f"{doc_id}:{i}") % (nw - span_len + 1) + 1``, 1-based).
+    The plan is data: a downstream packer joins it against the text to
+    materialize masked inputs/targets, and because it is md5-derived the
+    SAME spans regenerate on any cluster shape (resume-safe augmentation,
+    the property random.Random can never give). Overlapping spans are
+    permitted (T5 merges them at materialization).
+
+    Embarrassingly parallel: ONE map_batches, no exchange; docs shorter
+    than ``tokens_per_span`` tokens contribute no spans.
+
+    Returns (doc_id, span_idx, start_tok, span_len)."""
+    from ..functions.dedup import md5_u64
+    from ..functions.textstats import _WS_TOKEN
+
+    def plan(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column(text_col).to_pylist()
+        out_d, out_i, out_s = [], [], []
+        for did, t in zip(ids, texts):
+            nw = len(_WS_TOKEN.findall(t or ""))
+            n_spans = nw // tokens_per_span
+            if n_spans <= 0 or nw < span_len:
+                continue
+            mod = nw - span_len + 1
+            for i in range(1, n_spans + 1):
+                out_d.append(did)
+                out_i.append(i)
+                out_s.append(md5_u64(b"%d:%d" % (did, i)) % mod + 1)
+        n = len(out_d)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "span_idx": pa.array(out_i, pa.int64()),
+                "start_tok": pa.array(out_s, pa.int64()),
+                "span_len": pa.array(np.full(n, span_len, np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(plan, batch_format="pyarrow")
+
+
+def two_hop_reach(ds, topn: int = 20, id_col: str = "doc_id"):
+    """2-hop IN-neighborhood size for the most-cited nodes of the shared
+    md5 citation graph: for each of the ``topn`` highest in-degree nodes,
+    how many DISTINCT nodes sit two citation hops upstream (who cites the
+    citers) -- the influence-funnel audit one step past
+    in_degree_histogram (out-degree is capped at 3 by construction, so
+    the interesting reach is inbound). Ties at the top-n boundary break
+    on (in_deg DESC, node ASC) on both sides.
+
+    Plan: ONE dst-bucketed exchange dedupes the edge multiset and fixes
+    exact in-degrees in the same fold (dst co-located) -- the distinct-
+    edge table materializes once and serves both hops; seeds come from
+    per-batch partial top-n (total order makes the union a superset);
+    the seeds' in-neighbor lists are a bounded driver collect broadcast
+    back as a closure map (u -> seeds it feeds), so hop 2 is ONE map-side
+    pass over the distinct edges -- no second join shuffle. Seeds whose
+    citers have no citers report reach2 = 0.
+
+    Returns (seed, in_deg, reach2), topn rows."""
+    from .relational import derive_buckets, hash_bucket_column
+
+    n = ds.count()
+    edges = derived_link_edges(ds, n, id_col=id_col)
+    buckets = derive_buckets(2 * n)
+
+    def bucketed(batch: pa.Table) -> pa.Table:
+        t = (
+            pa.table({"src": batch.column("src"), "dst": batch.column("dst")})
+            .group_by(["src", "dst"])
+            .aggregate([])
+        )
+        return hash_bucket_column(t, "dst", buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["src", "dst"]].drop_duplicates()
+        ind = d.groupby("dst", sort=False)["src"].transform("size")
+        return pd.DataFrame(
+            {
+                "src": d["src"].to_numpy(np.int64),
+                "dst": d["dst"].to_numpy(np.int64),
+                "in_deg": ind.to_numpy(np.int64),
+            }
+        )
+
+    detail = (
+        edges.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()
+    )
+
+    def partial_top(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.select(["dst", "in_deg"])
+            .to_pandas()
+            .drop_duplicates()
+            .sort_values(["in_deg", "dst"], ascending=[False, True])
+            .head(topn)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    seeds = (
+        detail.map_batches(partial_top, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(partial_top, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    seed_set = set(int(x) for x in seeds["dst"])
+
+    def n1_rows(batch: pa.Table) -> pa.Table:
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(dst, list(seed_set))))
+
+    n1 = detail.map_batches(n1_rows, batch_format="pyarrow").to_pandas()
+    u2seeds: dict[int, list[int]] = {}
+    for r in n1.itertuples():
+        u2seeds.setdefault(int(r.src), []).append(int(r.dst))
+
+    def hop2(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        out_s, out_w = [], []
+        for w, u in zip(src, dst):
+            for s in u2seeds.get(int(u), ()):
+                out_s.append(s)
+                out_w.append(int(w))
+        df = pd.DataFrame({"seed": out_s, "w": out_w}).drop_duplicates()
+        return pa.table(
+            {
+                "seed": pa.array(df["seed"].to_numpy(np.int64), pa.int64()),
+                "w": pa.array(df["w"].to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    def count_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("seed", sort=False)["w"].nunique().reset_index(name="reach2")
+        out["reach2"] = out["reach2"].astype(np.int64)
+        return out
+
+    r2 = (
+        detail.map_batches(hop2, batch_format="pyarrow")
+        .groupby("seed")
+        .map_groups(count_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = seeds.rename(columns={"dst": "seed"}).merge(r2, on="seed", how="left")
+    out["reach2"] = out["reach2"].fillna(0).astype(np.int64)
+    out["in_deg"] = out["in_deg"].astype(np.int64)
+    out["seed"] = out["seed"].astype(np.int64)
+    return out[["seed", "in_deg", "reach2"]]
+
+
+def revenue_time_rollup(ds, ts_col: str = "o_orderdate", value_col: str = "o_totalprice"):
+    """Time-hierarchy ROLLUP of revenue: one output row per (year),
+    (year, quarter) and (year, quarter, month) group -- the calendar
+    drill-down docs_rollup/docs_cube provide for categorical dimensions,
+    on the time axis. Aggregated-out levels report -1 (not NULL: the
+    driver's value-hash compare stringifies, and -1 is unambiguous in a
+    month/quarter domain).
+
+    ONE bounded exchange at MONTH granularity (the finest level; the
+    month domain is bounded at any sf) -- quarters and years then fold
+    from the month partials at the driver with Python-int sums, zero
+    extra passes (the classic rollup-from-finest-partial identity).
+
+    Returns (level, y, q, m, n_orders, revenue_cents); level in
+    {'year', 'quarter', 'month'}."""
+    import pyarrow.compute as pc
+
+    from .relational import _cents, tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col)
+        t = pa.table(
+            {
+                "y": pc.year(ts),
+                "m": pc.month(ts),
+                "v": _cents(batch.column(value_col)),
+            }
+        )
+        return t.group_by(["y", "m"]).aggregate([("v", "sum"), ("v", "count")])
+
+    months = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["y", "m"],
+            [("v_sum", "sum"), ("v_count", "sum")],
+            ["y", "m", "revenue_cents", "n_orders"],
+        )
+        .to_pandas()
+        .sort_values(["y", "m"])
+        .reset_index(drop=True)
+    )
+    months["q"] = (months["m"].to_numpy(np.int64) - 1) // 3 + 1
+    rows = []
+    for r in months.itertuples():
+        rows.append(("month", int(r.y), int(r.q), int(r.m), int(r.n_orders), int(r.revenue_cents)))
+    for (y, q), g in months.groupby(["y", "q"]):
+        rows.append(("quarter", int(y), int(q), -1, int(g["n_orders"].sum()), int(g["revenue_cents"].sum())))
+    for y, g in months.groupby("y"):
+        rows.append(("year", int(y), -1, -1, int(g["n_orders"].sum()), int(g["revenue_cents"].sum())))
+    out = pd.DataFrame(rows, columns=["level", "y", "q", "m", "n_orders", "revenue_cents"])
+    for c in ("y", "q", "m", "n_orders", "revenue_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -7547,3 +7547,156 @@ class TestDocBigramSurprisal:
         )
         got = _pdf(analytics.doc_bigram_surprisal_topk(rd.from_arrow(tbl), k=5))
         assert list(got["doc_id"]) == [2]
+
+
+class TestNegativeSamples:
+    def test_hand_built_anti_join(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        orders = rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10, 11], pa.int64()),
+                    "o_custkey": pa.array([1, 2], pa.int64()),
+                }
+            )
+        )
+        lineitem = rd.from_arrow(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10, 10, 11], pa.int64()),
+                    "l_partkey": pa.array([0, 3, 1], pa.int64()),
+                }
+            )
+        )
+        customer = rd.from_arrow(
+            pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())})
+        )
+        n_parts = 5
+        got = (
+            _pdf(analytics.negative_samples(orders, lineitem, customer, n_parts, k=4))
+            .sort_values(["custkey", "neg_idx"])
+            .reset_index(drop=True)
+        )
+        inter = {(1, 0), (1, 3), (2, 1)}
+        want = []
+        for c in (1, 2, 3):
+            for j in range(1, 5):
+                p = (
+                    int.from_bytes(
+                        hashlib.md5(f"{c}:{j}".encode()).digest()[:8], "big"
+                    )
+                    % n_parts
+                )
+                if (c, p) not in inter:
+                    want.append((c, j, p))
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+class TestSpanCorruptionPlan:
+    def test_hand_built_bounds_and_determinism(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        text = " ".join(f"w{i}" for i in range(45))  # nw=45 -> 2 spans
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "text": pa.array([text, "too short"], pa.string()),
+            }
+        )
+        got = (
+            _pdf(analytics.span_corruption_plan(rd.from_arrow(tbl)))
+            .sort_values(["doc_id", "span_idx"])
+            .reset_index(drop=True)
+        )
+        assert list(got["doc_id"]) == [7, 7]
+        for i, r in enumerate(got.itertuples(), start=1):
+            h = int.from_bytes(
+                hashlib.md5(f"7:{i}".encode()).digest()[:8], "big"
+            )
+            assert r.start_tok == h % (45 - 2) + 1
+            assert 1 <= r.start_tok <= 43
+            assert r.span_len == 3
+
+
+class TestTwoHopReach:
+    def test_matches_brute_force(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+
+        n = 120
+        tbl = pa.table({"doc_id": pa.array(range(n), pa.int64())})
+        got = (
+            analytics.two_hop_reach(rd.from_arrow(tbl), topn=10)
+            .sort_values("seed")
+            .reset_index(drop=True)
+        )
+        # brute-force replay of derived_link_edges
+        de = set()
+        for u in range(n):
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % n
+                if t != u:
+                    de.add((u, t))
+        from collections import Counter, defaultdict
+
+        ind = Counter(t for _, t in de)
+        order = sorted(ind.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        preds = defaultdict(set)
+        for s, t in de:
+            preds[t].add(s)
+        assert len(got) == 10
+        for seed, deg in order:
+            row = got[got.seed == seed]
+            assert int(row["in_deg"].iloc[0]) == deg
+            want = set()
+            for u in preds[seed]:
+                want |= preds[u]
+            assert int(row["reach2"].iloc[0]) == len(want)
+
+
+class TestRevenueTimeRollup:
+    def test_hand_built_levels(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ts = [
+            datetime.datetime(2023, 1, 15),
+            datetime.datetime(2023, 2, 15),
+            datetime.datetime(2023, 7, 1),
+            datetime.datetime(2024, 1, 1),
+        ]
+        tbl = pa.table(
+            {
+                "o_orderdate": pa.array(ts, pa.timestamp("us")),
+                "o_totalprice": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+            }
+        )
+        got = analytics.revenue_time_rollup(rd.from_arrow(tbl))
+        g = got.set_index(["level", "y", "q", "m"])
+        assert g.loc[("month", 2023, 1, 1), "revenue_cents"] == 100
+        assert g.loc[("quarter", 2023, 1, -1), "revenue_cents"] == 300
+        assert g.loc[("quarter", 2023, 3, -1), "revenue_cents"] == 400
+        assert g.loc[("year", 2023, -1, -1), "revenue_cents"] == 700
+        assert g.loc[("year", 2024, -1, -1), "n_orders"] == 1
+        # level row counts: 4 months, 3 quarters, 2 years
+        assert got.groupby("level").size().to_dict() == {
+            "month": 4, "quarter": 3, "year": 2,
+        }
+        # mass conservation across levels
+        lv = got.groupby("level")["revenue_cents"].sum()
+        assert lv["month"] == lv["quarter"] == lv["year"] == 1500
