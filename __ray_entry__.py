@@ -4318,6 +4318,40 @@ def _q_customer_order_distribution(sf_dir: str):
     return relational.customer_order_distribution(sf_dir)
 
 
+def _q_bpe_merge_candidates(sf_dir: str):
+    """BPE round-1 merge statistics: corpus-wide adjacent-char-pair counts
+    within [a-z0-9]+ tokens of the lowered text, weighted by occurrence,
+    top-50 by (n DESC, pair ASC) (analytics.bpe_merge_candidates). Oracle
+    replays tokenize -> word-freq -> unnest(range) char pairs -> sum."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.bpe_merge_candidates(_docs(sf_dir, ["text"]))
+
+
+def _q_dp_geometric_counts(sf_dir: str):
+    """Differentially-private per-lang doc counts under the two-sided
+    geometric mechanism (eps = ln 2), noise derandomized from
+    md5('dp1:'||lang) leading-ones draws (analytics.dp_geometric_counts);
+    oracle replays the mechanism with 16 monotone threshold indicators."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.dp_geometric_counts(_docs(sf_dir, ["lang"]))
+
+
+def _q_dow_adjusted_spikes(sf_dir: str):
+    """Seasonality-adjusted revenue anomalies: day revenue minus its
+    day-of-week floor-mean, flagged where |resid| > 3*MAD (lower-median)
+    (analytics.dow_adjusted_spikes); all-integer so the replay is exact."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    return analytics.dow_adjusted_spikes(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4556,6 +4590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
+        "bpe_merge_candidates": _q_bpe_merge_candidates,
+        "dp_geometric_counts": _q_dp_geometric_counts,
+        "dow_adjusted_spikes": _q_dow_adjusted_spikes,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -5888,6 +5925,66 @@ def _semdedup_sql(k: int = 8, iters: int = 3, scale: int = 1000,
         f"AND list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}) "
         "ORDER BY vec_id"
     )
+
+
+_BPE_MERGE_SQL = (
+    # replay of analytics.bpe_merge_candidates: [a-z0-9]+ tokens of the
+    # lowered text -> word frequencies -> adjacent char pairs via
+    # unnest(range) -> weighted sum -> top-50 (n DESC, pair ASC)
+    "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+    "FROM documents), "
+    "wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w), "
+    "ex AS (SELECT w, f, unnest(range(1, length(w))) AS g FROM wf), "
+    "pc AS (SELECT substr(w, CAST(g AS INT), 2) AS pair, SUM(f) AS n "
+    "FROM ex GROUP BY 1) "
+    "SELECT pair, CAST(n AS BIGINT) AS n FROM pc ORDER BY n DESC, pair LIMIT 50"
+)
+
+
+def _leading_ones16(u: str) -> str:
+    """SQL for the leading-ones count of a 16-bit integer expression: a
+    sum of 16 monotone threshold indicators (>= j leading ones iff
+    u >= 2^16 - 2^(16-j)) -- mirrors analytics._md5_leading_ones16."""
+    terms = " + ".join(
+        f"(CASE WHEN {u} >= {65536 - (1 << (16 - j))} THEN 1 ELSE 0 END)"
+        for j in range(1, 17)
+    )
+    return f"({terms})"
+
+
+def _dp_geometric_sql() -> str:
+    u1 = "CAST(('0x' || substr(md5('dp1:' || lang), 1, 4)) AS INTEGER)"
+    u2 = "CAST(('0x' || substr(md5('dp1:' || lang), 5, 4)) AS INTEGER)"
+    return (
+        # replay of analytics.dp_geometric_counts: noise = G1 - G2, each a
+        # geometric(1/2) draw as the leading-ones count of 16 md5 bits
+        "WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY lang), "
+        f"h AS (SELECT lang, n, {u1} AS u1, {u2} AS u2 FROM c) "
+        f"SELECT lang, n, CAST({_leading_ones16('u1')} - {_leading_ones16('u2')} "
+        "AS BIGINT) AS noise, "
+        f"CAST(n + {_leading_ones16('u1')} - {_leading_ones16('u2')} AS BIGINT) "
+        "AS dp_count FROM h ORDER BY lang"
+    )
+
+
+_DOW_ADJUSTED_SPIKES_SQL = (
+    # replay of analytics.dow_adjusted_spikes: day cents -> dow floor-mean
+    # (all-positive: // truncation == floor) -> residuals -> lower-median
+    # MAD (quantile_disc 0.5) -> |resid| > 3*MAD, day ASC. pyarrow
+    # day_of_week is Monday=0 -> isodow - 1.
+    "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS rev "
+    "FROM orders GROUP BY 1), "
+    "p AS (SELECT isodow(day) - 1 AS dow, SUM(rev) // COUNT(*) AS dm "
+    "FROM d GROUP BY 1), "
+    "r AS (SELECT d.day, p.dow, d.rev, d.rev - p.dm AS resid "
+    "FROM d JOIN p ON isodow(d.day) - 1 = p.dow), "
+    "m AS (SELECT quantile_disc(abs(resid), 0.5) AS mad FROM r) "
+    "SELECT strftime(r.day, '%Y-%m-%d') AS day, CAST(r.dow AS BIGINT) AS dow, "
+    "r.rev AS revenue_cents, CAST(r.resid AS BIGINT) AS resid_cents "
+    "FROM r, m WHERE abs(r.resid) > 3 * m.mad ORDER BY r.day"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7514,4 +7611,7 @@ def oracle_sql() -> dict[str, str]:
         "audience_overlap": _AUDIENCE_OVERLAP_SQL,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_SQL,
         "order_count_distribution": _ORDER_COUNT_DISTRIBUTION_SQL,
+        "bpe_merge_candidates": _BPE_MERGE_SQL,
+        "dp_geometric_counts": _dp_geometric_sql(),
+        "dow_adjusted_spikes": _DOW_ADJUSTED_SPIKES_SQL,
     }

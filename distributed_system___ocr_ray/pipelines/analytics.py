@@ -9052,3 +9052,171 @@ def revenue_time_rollup(ds, ts_col: str = "o_orderdate", value_col: str = "o_tot
     for c in ("y", "q", "m", "n_orders", "revenue_cents"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def bpe_merge_candidates(ds, text_col: str = "text", k: int = 50):
+    """BPE vocabulary-induction kernel (round 1 of byte-pair encoding):
+    corpus-wide counts of adjacent character pairs WITHIN word tokens,
+    weighted by occurrence — exactly the statistic BPE training computes
+    before each merge (the full trainer iterates this kernel after
+    rewriting the chosen pair; one round is the distributed-counting
+    core). Tokens are ``[a-z0-9]+`` runs of the lowercased text, shared
+    char-for-char with the ``top_tokens`` family's oracle.
+
+    Plan (100 TB shape): per batch, ONE value_counts dedupes tokens
+    (Zipfian vocab: distinct << total), then pairs are generated
+    VECTORIZED per character position over the distinct-token table
+    (≤ max_word_len pandas slice ops per batch, never a per-token Python
+    loop) and weighted by token frequency. The shuffle moves (pair, n)
+    partials — pair domain ≤ 36² — never text. Top-k by (n DESC, pair
+    ASC) via per-block partial top-k + one tiny merge."""
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re).explode().dropna()
+        if not len(toks):
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
+            )
+        vc = toks.value_counts()
+        words = vc.index.to_series().reset_index(drop=True)
+        freq = pd.Series(vc.to_numpy(np.int64))
+        maxlen = int(words.str.len().max())
+        parts = []
+        for i in range(maxlen - 1):
+            pair = words.str.slice(i, i + 2)
+            m = pair.str.len() == 2
+            if m.any():
+                parts.append(pd.DataFrame({"pair": pair[m], "n": freq[m]}))
+        if not parts:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=str), "n": pd.Series([], dtype=np.int64)}
+            )
+        out = pd.concat(parts, ignore_index=True)
+        g = out.groupby("pair", sort=False)["n"].sum().reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    from .relational import bucketed_grouped_sum
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "pair", "n", buckets=16
+    )
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "pair"], ascending=[False, True]).head(k)
+
+    return (
+        counts.map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+    )
+
+
+def _md5_leading_ones16(payload: str) -> tuple[int, int]:
+    """Two iid geometric(1/2) draws from one md5: the leading-ones count
+    of hex digits [0:4) and [4:8) as 16-bit integers (each capped at 16).
+    P(G = g) = 2^-(g+1); exactly replayable in SQL as a sum of 16
+    monotone threshold indicators (u16 has ≥ j leading ones iff
+    u16 ≥ 2^16 − 2^(16−j))."""
+    import hashlib as _hl
+
+    h = _hl.md5(payload.encode()).hexdigest()
+
+    def ones(u16: int) -> int:
+        g = 0
+        while g < 16 and (u16 >> (15 - g)) & 1:
+            g += 1
+        return g
+
+    return ones(int(h[0:4], 16)), ones(int(h[4:8], 16))
+
+
+def dp_geometric_counts(ds, group_col: str = "lang", seed: str = "dp1"):
+    """Differentially-private grouped counts via the (two-sided) geometric
+    mechanism: noise K = G1 − G2 with G1, G2 iid geometric(p=1/2) — the
+    discrete Laplace with ε = ln 2 for count queries (sensitivity 1;
+    Ghosh–Roughgarden–Sundararajan's universally-optimal mechanism). The
+    draws are DERANDOMIZED from md5(seed:group) so the release is
+    reproducible and the DuckDB oracle replays it bit-exactly (a real
+    deployment would use fresh randomness and publish only ``dp_count``;
+    ``n``/``noise`` are emitted here so the gate verifies the mechanism).
+
+    Plan: per-batch Arrow partial counts (bounded group domain) → one tiny
+    final merge; the noise is applied on the key-domain-sized result —
+    nothing about the mechanism touches the wide data path."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table({group_col: batch.column(group_col)})
+            .group_by([group_col])
+            .aggregate([([], "count_all")])
+        )
+
+    tiny = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col],
+        [("count_all", "sum")],
+        [group_col, "n"],
+    ).to_pandas()
+    g1g2 = [_md5_leading_ones16(f"{seed}:{g}") for g in tiny[group_col]]
+    noise = np.array([a - b for a, b in g1g2], dtype=np.int64)
+    tiny["n"] = tiny["n"].astype(np.int64)
+    tiny["noise"] = noise
+    tiny["dp_count"] = tiny["n"] + noise
+    return tiny.sort_values(group_col).reset_index(drop=True)
+
+
+def dow_adjusted_spikes(ds, ts_col: str = "o_orderdate", value_col: str = "o_totalprice"):
+    """Seasonality-adjusted anomaly days: daily revenue minus its
+    day-of-week mean (integer floor-division cents), flagged where
+    |residual| > 3 × MAD(residuals) (MAD = lower-median of absolute
+    residuals) — the deseasonalize-then-robust-threshold monitor that
+    ``spike_days`` (raw z-score) misses when weekly seasonality dominates.
+
+    Plan: per-batch (day, cents) Arrow partials → tiny final merge (day
+    domain is bounded by the calendar, ~2.4k keys for TPC-H) → the dow
+    profile, residuals and MAD run on that key-domain-sized table. Output:
+    flagged days only, (day, dow, revenue_cents, resid_cents), day ASC."""
+    import pyarrow.compute as pc
+
+    from .relational import _cents, tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.cast(batch.column(ts_col), pa.date32()),
+                "v": _cents(batch.column(value_col)),
+            }
+        )
+        return t.group_by(["day"]).aggregate([("v", "sum")])
+
+    days = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["day"],
+            [("v_sum", "sum")],
+            ["day", "revenue_cents"],
+        )
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    day_arr = pa.array(pd.to_datetime(days["day"]).dt.date, pa.date32())
+    days["dow"] = pc.day_of_week(day_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    rev = days["revenue_cents"].to_numpy(np.int64)
+    prof = days.groupby("dow")["revenue_cents"].agg(["sum", "count"])
+    dow_mean = (prof["sum"] // prof["count"]).astype(np.int64)  # all-positive: // == floor
+    resid = rev - dow_mean.reindex(days["dow"]).to_numpy(np.int64)
+    ab = np.sort(np.abs(resid))
+    mad = int(ab[(len(ab) + 1) // 2 - 1]) if len(ab) else 0
+    days["resid_cents"] = resid
+    out = days[np.abs(resid) > 3 * mad][["day", "dow", "revenue_cents", "resid_cents"]]
+    out = out.sort_values("day").reset_index(drop=True)
+    out["day"] = pd.to_datetime(out["day"]).dt.strftime("%Y-%m-%d")
+    for c in ("dow", "revenue_cents", "resid_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out

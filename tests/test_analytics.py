@@ -7700,3 +7700,104 @@ class TestRevenueTimeRollup:
         # mass conservation across levels
         lv = got.groupby("level")["revenue_cents"].sum()
         assert lv["month"] == lv["quarter"] == lv["year"] == 1500
+
+
+class TestBpeMergeCandidates:
+    def test_hand_corpus(self):
+        import ray.data as rd
+        from collections import Counter
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = ["aba ab Cab", "abba! x7y", ""]
+        tbl = pa.table({"text": pa.array(texts, pa.string())})
+        got = analytics.bpe_merge_candidates(rd.from_arrow(tbl), k=100).take_all()
+        got = {(r["pair"]): r["n"] for r in got}
+        # brute-force: [a-z0-9]+ tokens of lowered text, adjacent char pairs
+        import re
+
+        exp = Counter()
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                for i in range(len(w) - 1):
+                    exp[w[i : i + 2]] += 1
+        assert got == dict(exp)
+
+    def test_topk_order_and_ties(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table({"text": pa.array(["zz aa zz", "aa bb"], pa.string())})
+        out = analytics.bpe_merge_candidates(rd.from_arrow(tbl), k=2).take_all()
+        # counts: zz=2, aa=2, bb=1 -> top-2 by (n DESC, pair ASC) = aa, zz
+        assert [(r["pair"], r["n"]) for r in out] == [("aa", 2), ("zz", 2)]
+
+
+class TestDpGeometricCounts:
+    def test_noise_matches_md5_draws(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+        from distributed_system___ocr_ray.pipelines.analytics import (
+            _md5_leading_ones16,
+        )
+
+        tbl = pa.table({"lang": pa.array(["en"] * 7 + ["de"] * 3, pa.string())})
+        out = analytics.dp_geometric_counts(rd.from_arrow(tbl))
+        assert list(out["lang"]) == ["de", "en"]
+        assert list(out["n"]) == [3, 7]
+        for _, r in out.iterrows():
+            g1, g2 = _md5_leading_ones16(f"dp1:{r['lang']}")
+            assert r["noise"] == g1 - g2
+            assert r["dp_count"] == r["n"] + g1 - g2
+
+    def test_leading_ones_kernel(self):
+        from distributed_system___ocr_ray.pipelines.analytics import (
+            _md5_leading_ones16,
+        )
+        import hashlib
+
+        # independent bit-string reimplementation
+        for s in ["dp1:en", "dp1:fr", "x", "q:9"]:
+            h = hashlib.md5(s.encode()).hexdigest()
+            want = []
+            for lo, hi in [(0, 4), (4, 8)]:
+                bits = bin(int(h[lo:hi], 16))[2:].zfill(16)
+                n = len(bits) - len(bits.lstrip("1"))
+                want.append(n)
+            assert _md5_leading_ones16(s) == tuple(want)
+
+
+class TestDowAdjustedSpikes:
+    def test_hand_built_spike(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 4 Mondays at 100.00, one Monday at 1000.00 -> spike; Tuesdays flat
+        days, vals = [], []
+        base = datetime.datetime(2024, 1, 1)  # a Monday
+        for wk in range(5):
+            days.append(base + datetime.timedelta(weeks=wk))
+            vals.append(100.0 if wk < 4 else 1000.0)
+            days.append(base + datetime.timedelta(weeks=wk, days=1))
+            vals.append(50.0)
+        tbl = pa.table(
+            {
+                "o_orderdate": pa.array(days, pa.timestamp("us")),
+                "o_totalprice": pa.array(vals, pa.float64()),
+            }
+        )
+        out = analytics.dow_adjusted_spikes(rd.from_arrow(tbl))
+        # monday mean = (4*10000 + 100000)//5 = 28000 cents; residuals
+        # -18000 x4, +72000 x1; tuesday resid 0 x5 -> MAD (lower median
+        # of sorted |resid|, rank (10+1)//2=5) = 0 -> every nonzero
+        # residual day is flagged (all 5 Mondays)
+        assert len(out) == 5
+        assert list(out["dow"].unique()) == [0]
+        spike = out[out["resid_cents"] > 0]
+        assert len(spike) == 1 and spike.iloc[0]["day"] == "2024-01-29"
+        assert spike.iloc[0]["resid_cents"] == 72000
