@@ -4352,6 +4352,26 @@ def _q_dow_adjusted_spikes(sf_dir: str):
     return analytics.dow_adjusted_spikes(ds)
 
 
+def _q_boundary_overlap_pairs(sf_dir: str):
+    """Crawl-stitch candidate pairs: A's last-2-token window == B's
+    first-2-token window, boilerplate-boundary skew cap 40 per side
+    (analytics.boundary_overlap_pairs); oracle replays list_slice windows,
+    the cap CTE and the self-pair exclusion on the window STRINGS (the
+    engine joins on their md5-u64, collision-free at 64 bits)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.boundary_overlap_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_attribution_last_touch(sf_dir: str):
+    """Last-touch attribution: each purchase event's value credited to the
+    user's immediately preceding event_type, '(none)' for first touches
+    (relational.attribution_last_touch); oracle replays the LAG window."""
+    from distributed_system___ocr_ray.pipelines import relational
+
+    return relational.attribution_last_touch(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4593,6 +4613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_candidates": _q_bpe_merge_candidates,
         "dp_geometric_counts": _q_dp_geometric_counts,
         "dow_adjusted_spikes": _q_dow_adjusted_spikes,
+        "boundary_overlap_pairs": _q_boundary_overlap_pairs,
+        "attribution_last_touch": _q_attribution_last_touch,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -5984,6 +6006,37 @@ _DOW_ADJUSTED_SPIKES_SQL = (
     "SELECT strftime(r.day, '%Y-%m-%d') AS day, CAST(r.dow AS BIGINT) AS dow, "
     "r.rev AS revenue_cents, CAST(r.resid AS BIGINT) AS resid_cents "
     "FROM r, m WHERE abs(r.resid) > 3 * m.mad ORDER BY r.day"
+)
+
+
+_BOUNDARY_OVERLAP_SQL = (
+    # replay of analytics.boundary_overlap_pairs (k=2, cap=40): [a-z0-9]+
+    # token windows, cap CTE drops boilerplate boundaries (> cap docs on
+    # either side), join tail(a) = head(b), a <> b
+    "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr "
+    "FROM documents), "
+    "w AS (SELECT doc_id, array_to_string(list_slice(arr, 1, 2), ' ') AS head, "
+    "array_to_string(list_slice(arr, len(arr)-1, len(arr)), ' ') AS tail "
+    "FROM t WHERE len(arr) >= 2), "
+    "bad AS (SELECT head AS s FROM w GROUP BY 1 HAVING COUNT(*) > 40 "
+    "UNION SELECT tail AS s FROM w GROUP BY 1 HAVING COUNT(*) > 40) "
+    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM w a JOIN w b ON a.tail = b.head AND a.doc_id <> b.doc_id "
+    "WHERE a.tail NOT IN (SELECT s FROM bad)"
+)
+
+
+_ATTRIBUTION_LAST_TOUCH_SQL = (
+    # replay of relational.attribution_last_touch: LAG over (user, ts, id)
+    # names the prior touch; purchases fold value-cents per channel
+    "WITH s AS (SELECT event_type, "
+    "CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS c, "
+    "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+    "FROM events) "
+    "SELECT COALESCE(prev, '(none)') AS channel, "
+    "CAST(COUNT(*) AS BIGINT) AS n_conversions, "
+    "CAST(SUM(c) AS BIGINT) AS value_cents "
+    "FROM s WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
 )
 
 
@@ -7614,4 +7667,6 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merge_candidates": _BPE_MERGE_SQL,
         "dp_geometric_counts": _dp_geometric_sql(),
         "dow_adjusted_spikes": _DOW_ADJUSTED_SPIKES_SQL,
+        "boundary_overlap_pairs": _BOUNDARY_OVERLAP_SQL,
+        "attribution_last_touch": _ATTRIBUTION_LAST_TOUCH_SQL,
     }

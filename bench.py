@@ -211,6 +211,7 @@ SWEEP_QUERIES = [
     "first_event_after_order", "doc_bigram_surprisal_topk", "negative_samples",
     "span_corruption_plan", "two_hop_reach", "revenue_time_rollup",
     "bpe_merge_candidates", "dp_geometric_counts", "dow_adjusted_spikes",
+    "boundary_overlap_pairs", "attribution_last_touch",
 ]
 
 

@@ -9220,3 +9220,89 @@ def dow_adjusted_spikes(ds, ts_col: str = "o_orderdate", value_col: str = "o_tot
     for c in ("dow", "revenue_cents", "resid_cents"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def boundary_overlap_pairs(
+    ds, text_col: str = "text", id_col: str = "doc_id", k: int = 2, cap: int = 40
+):
+    """Crawl-stitch candidates: ordered pairs (A, B) where A's LAST k
+    word tokens equal B's FIRST k word tokens — the boundary-overlap
+    signature of one page split across consecutive crawl records (or a
+    chunker that re-emitted its overlap), which whole-doc dedup and
+    shingle containment both miss because the shared region is tiny.
+    Tokens are ``[a-z0-9]+`` runs of the lowercased text; docs with
+    fewer than k tokens are skipped.
+
+    Plan (100 TB shape): one pass emits TWO long rows per doc
+    ((md5-u64(window), doc_id, side) — never text, distinct window
+    strings hashed once per batch via factorize), h-hash-bucketed
+    exchange, and a vectorized per-bucket heads×tails merge. Skew cap:
+    a window string with more than ``cap`` docs on EITHER side is a
+    boilerplate boundary (navigation chrome), emits nothing, and is
+    replayed verbatim by the oracle's cap CTE — the same guard as the
+    minhash/simhash pair families. Output (doc_a, doc_b), unordered
+    (the driver compare sorts; a global sort here would be a pointless
+    all-to-all on the wide path)."""
+    import re as _re
+
+    from ..functions.dedup import md5_u64
+    from .relational import derive_buckets, hash_bucket_column
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def windows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+        m = (toks.str.len() >= k).to_numpy()
+        ids = batch[id_col].to_numpy()[m].astype(np.int64)
+        if not len(ids):
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype=np.int64),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "side": pd.Series([], dtype=str),
+                }
+            )
+        tk = toks[m]
+        head = tk.str[:k].str.join(" ")
+        tail = tk.str[-k:].str.join(" ")
+
+        def hcol(series: pd.Series) -> np.ndarray:
+            codes, uniq = pd.factorize(series.to_numpy())
+            hv = np.array(
+                [md5_u64(("bnd:" + u).encode()) for u in uniq], dtype=np.uint64
+            )
+            return hv[codes].view(np.int64)
+
+        return pd.DataFrame(
+            {
+                "h": np.concatenate([hcol(head), hcol(tail)]),
+                "doc_id": np.concatenate([ids, ids]),
+                "side": np.array(["h"] * len(ids) + ["t"] * len(ids)),
+            }
+        )
+
+    long = ds.map_batches(windows, batch_format="pandas")
+    buckets = derive_buckets(ds.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "h", buckets)
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        # per-window-side counts -> cap filter, then ONE vectorized merge
+        cnt = g.groupby(["h", "side"]).size().unstack(fill_value=0)
+        for c in ("h", "t"):
+            if c not in cnt.columns:
+                cnt[c] = 0
+        ok = cnt[(cnt["h"] <= cap) & (cnt["t"] <= cap)].index
+        g = g[g["h"].isin(ok)]
+        heads = g[g["side"] == "h"][["h", "doc_id"]].rename(columns={"doc_id": "doc_b"})
+        tails = g[g["side"] == "t"][["h", "doc_id"]].rename(columns={"doc_id": "doc_a"})
+        out = tails.merge(heads, on="h")
+        out = out[out["doc_a"] != out["doc_b"]][["doc_a", "doc_b"]]
+        return out.astype({"doc_a": "int64", "doc_b": "int64"})
+
+    return (
+        long.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_join, batch_format="pandas")
+    )

@@ -336,6 +336,7 @@ def bucketed_hash_join(
 def asof_join(
     left, right, key: str, right_key: str, left_ts: str, right_ts: str, *,
     buckets: int = 16, direction: str = "backward", allow_exact: bool = True,
+    right_sort_extra: list | None = None,
 ):
     """As-of join: per key, the most recent ``right_ts`` <= ``left_ts``
     (``direction='backward'``, the default) or the FIRST ``right_ts`` >=
@@ -343,6 +344,12 @@ def asof_join(
     Bucket both sides by key hash, sort within bucket, ``pd.merge_asof``
     per bucket (ray_guide as-of pattern). Inner semantics: unmatched left
     rows drop.
+
+    ``right_sort_extra``: extra right-side ASC sort keys after
+    ``right_ts``. ``merge_asof`` resolves equal-timestamp right rows to
+    the LAST in sort order, so the extra keys make that choice
+    DETERMINISTIC: the row with the greatest extra-key tuple wins
+    (input order is shuffle-dependent without this).
     """
     import pandas as pd
 
@@ -374,7 +381,7 @@ def asof_join(
         ).to_pandas().sort_values(left_ts)
         rg = group.filter(pc.equal(group.column("__side"), "r")).select(
             [n for n, _ in r_types]
-        ).to_pandas().sort_values(right_ts)
+        ).to_pandas().sort_values([right_ts, *(right_sort_extra or [])])
         if lg.empty or rg.empty:
             # typed empty (object-dtype empties trip Ray's size estimation)
             out = lg.iloc[0:0].copy()
@@ -5746,3 +5753,76 @@ def first_event_after_order(sf_dir: str):
         )
 
     return joined.map_batches(project, batch_format="pyarrow")
+
+
+def attribution_last_touch(sf_dir: str, conversion_type: str = "purchase",
+                           buckets: int = 64):
+    """Last-touch attribution: each CONVERSION event (``event_type ==
+    'purchase'``) is credited to the event_type of the same user's
+    immediately preceding event in (ts, event_id) order — '(none)' when
+    the conversion is the user's first touch. The marketing-analytics
+    staple ("which touch gets the credit?"), value-weighted: the
+    conversion's own ``value`` (exact cents) accrues to the credited
+    channel. (The orders table cannot play the conversion role here:
+    TPC-H order dates 1992-98 all PRECEDE the events' time range, so an
+    order's strictly-prior event never exists — measured, not assumed.)
+
+    Scale shape: LAG needs per-user order, so the narrow (user, ts, id,
+    type, cents) projection takes ONE user-bucketed exchange (the
+    event_transitions plan); each bucket runs one vectorized
+    sort + shifted-compare pass and folds to a bounded (channel) partial,
+    so the second exchange is channel-vocabulary-sized. Output
+    (channel, n_conversions, value_cents), channel ASC."""
+    import ray.data as rd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id", "value"],
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "c": _cents(batch.column("value")),
+            }
+        )
+        return hash_bucket_column(t, "user_id", buckets)
+
+    def attribute(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        prev = np.empty(len(g), dtype=object)
+        prev[0:1] = "(none)"
+        if len(g) > 1:
+            same = u[1:] == u[:-1]
+            prev[1:] = np.where(same, t[:-1], "(none)")
+        conv = t == conversion_type
+        out = pd.DataFrame(
+            {"channel": prev[conv], "c": g["c"].to_numpy(np.int64)[conv]}
+        )
+        agg = out.groupby("channel", sort=False).agg(
+            n_conversions=("c", "size"), value_cents=("c", "sum")
+        ).reset_index()
+        return agg.astype({"n_conversions": "int64", "value_cents": "int64"})
+
+    out = (
+        tiny_final_groupby(
+            events.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(attribute, batch_format="pandas"),
+            ["channel"],
+            [("n_conversions", "sum"), ("value_cents", "sum")],
+            ["channel", "n_conversions", "value_cents"],
+        )
+        .to_pandas()
+        .sort_values("channel")
+        .reset_index(drop=True)
+    )
+    for c in ("n_conversions", "value_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out

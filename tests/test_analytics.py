@@ -7801,3 +7801,63 @@ class TestDowAdjustedSpikes:
         spike = out[out["resid_cents"] > 0]
         assert len(spike) == 1 and spike.iloc[0]["day"] == "2024-01-29"
         assert spike.iloc[0]["resid_cents"] == 72000
+
+
+class TestBoundaryOverlapPairs:
+    def test_hand_built_stitch(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            "alpha beta gamma delta",   # tail: "gamma delta"
+            "gamma delta epsilon zeta", # head: "gamma delta" -> (0, 1)
+            "unrelated words here now",
+            "zeta omega alpha beta",    # head "zeta omega"; tail "alpha beta"
+        ]
+        # doc3 tail "alpha beta" == doc0 head -> (3, 0)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in analytics.boundary_overlap_pairs(rd.from_arrow(tbl)).take_all()
+        )
+        assert got == [(0, 1), (3, 0)]
+
+    def test_cap_drops_boilerplate_boundary(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 5 docs ending "the end", 1 doc starting "the end": cap=3 drops
+        # the hot window on the tail side entirely
+        texts = [f"doc {i} body the end" for i in range(5)] + ["the end coda x"]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = analytics.boundary_overlap_pairs(rd.from_arrow(tbl), cap=3).take_all()
+        assert got == []
+        kept = analytics.boundary_overlap_pairs(rd.from_arrow(tbl), cap=5).take_all()
+        assert sorted((r["doc_a"], r["doc_b"]) for r in kept) == [
+            (i, 5) for i in range(5)
+        ]
+
+    def test_short_docs_skipped(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["one", "one"], pa.string()),
+            }
+        )
+        assert analytics.boundary_overlap_pairs(rd.from_arrow(tbl)).take_all() == []
