@@ -4372,6 +4372,29 @@ def _q_attribution_last_touch(sf_dir: str):
     return relational.attribution_last_touch(sf_dir)
 
 
+def _q_l_diversity_audit(sf_dir: str):
+    """l-diversity audit over (event_type, day) cells: events, distinct
+    users, at_risk flag where n_users < 5 (analytics.l_diversity_audit);
+    oracle is the direct COUNT DISTINCT replay."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
+    )
+    return analytics.l_diversity_audit(ds)
+
+
+def _q_padding_waste_by_bucket(sf_dir: str):
+    """Length-bucketed batching padding audit: power-of-two token buckets,
+    exact ppm of padded slots per bucket (analytics.padding_waste_by_bucket);
+    oracle replays the bucket ladder as a CASE chain (no log2 floats)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.padding_waste_by_bucket(_docs(sf_dir, ["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4615,6 +4638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_adjusted_spikes": _q_dow_adjusted_spikes,
         "boundary_overlap_pairs": _q_boundary_overlap_pairs,
         "attribution_last_touch": _q_attribution_last_touch,
+        "l_diversity_audit": _q_l_diversity_audit,
+        "padding_waste_by_bucket": _q_padding_waste_by_bucket,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6037,6 +6062,37 @@ _ATTRIBUTION_LAST_TOUCH_SQL = (
     "CAST(COUNT(*) AS BIGINT) AS n_conversions, "
     "CAST(SUM(c) AS BIGINT) AS value_cents "
     "FROM s WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+)
+
+
+_L_DIVERSITY_SQL = (
+    # replay of analytics.l_diversity_audit: (event_type, day) cells,
+    # COUNT DISTINCT users, at_risk flag below l=5
+    "WITH c AS (SELECT event_type, "
+    "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM events GROUP BY 1, 2) "
+    "SELECT event_type, day, n_events, n_users, "
+    "CAST(CASE WHEN n_users < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk "
+    "FROM c ORDER BY event_type, day"
+)
+
+
+_PADDING_WASTE_SQL = (
+    # replay of analytics.padding_waste_by_bucket: RE2 \\S token count,
+    # power-of-two CASE ladder (16..8192, long docs clamp into the top),
+    # GREATEST-0 bucket waste, truncating ppm over all-positive ints
+    "WITH n AS (SELECT len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+')) AS nt "
+    "FROM documents), "
+    "b AS (SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024 WHEN nt <= 2048 THEN 2048 WHEN nt <= 4096 THEN 4096 ELSE 8192 END AS bucket, nt FROM n), "
+    "g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(nt) AS BIGINT) AS sum_tokens FROM b GROUP BY 1) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, sum_tokens, "
+    "CAST(GREATEST(bucket*n_docs - sum_tokens, 0) AS BIGINT) AS waste_tokens, "
+    "CAST(GREATEST(bucket*n_docs - sum_tokens, 0) * 1000000 "
+    "// GREATEST(bucket*n_docs, 1) AS BIGINT) AS waste_ppm "
+    "FROM g ORDER BY bucket"
 )
 
 
@@ -7669,4 +7725,6 @@ def oracle_sql() -> dict[str, str]:
         "dow_adjusted_spikes": _DOW_ADJUSTED_SPIKES_SQL,
         "boundary_overlap_pairs": _BOUNDARY_OVERLAP_SQL,
         "attribution_last_touch": _ATTRIBUTION_LAST_TOUCH_SQL,
+        "l_diversity_audit": _L_DIVERSITY_SQL,
+        "padding_waste_by_bucket": _PADDING_WASTE_SQL,
     }

@@ -212,6 +212,7 @@ SWEEP_QUERIES = [
     "span_corruption_plan", "two_hop_reach", "revenue_time_rollup",
     "bpe_merge_candidates", "dp_geometric_counts", "dow_adjusted_spikes",
     "boundary_overlap_pairs", "attribution_last_touch",
+    "l_diversity_audit", "padding_waste_by_bucket",
 ]
 
 

@@ -9306,3 +9306,121 @@ def boundary_overlap_pairs(
         .groupby("__bucket")
         .map_groups(bucket_join, batch_format="pandas")
     )
+
+
+def l_diversity_audit(
+    ds,
+    qi_cols: tuple = ("event_type",),
+    ts_col: str = "ts",
+    sensitive: str = "user_id",
+    l: int = 5,
+):
+    """l-diversity audit: for each quasi-identifier cell (here
+    (event_type, day)), how many DISTINCT sensitive values (users) it
+    contains — the release-safety check k-anonymity misses: a cell can
+    be large (k-safe) yet point at a handful of people. Cells with
+    ``n_users < l`` are flagged ``at_risk``; ALL cells are emitted so
+    the audit is non-vacuous on safe data.
+
+    Plan: per batch, group to (cell, user, n) partials (the only
+    dedup-safe projection), then ONE exchange bucketed on the chr(31)
+    cell‖user key — every (cell, user) pair lands wholly in one bucket,
+    so per-bucket nunique/sum partials ADD across buckets — and a tiny
+    final fold over the bounded cell domain. Output
+    (event_type, day, n_events, n_users, at_risk), cell ASC."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_bucket_column, tiny_final_groupby
+
+    SEP = chr(31)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                **{c: batch[c] for c in qi_cols},
+                "day": batch[ts_col].dt.strftime("%Y-%m-%d"),
+                "u": batch[sensitive],
+            }
+        )
+        g = df.groupby([*qi_cols, "day", "u"], sort=False).size().rename("n").reset_index()
+        g["__key"] = (
+            g[list(qi_cols)].astype(str).agg(SEP.join, axis=1)
+            + SEP + g["day"] + SEP + g["u"].astype(str)
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "__key", 32)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = g.groupby([*qi_cols, "day", "u"], sort=False)["n"].sum().reset_index()
+        cell = pairs.groupby([*qi_cols, "day"], sort=False).agg(
+            n_events=("n", "sum"), n_users=("u", "size")
+        ).reset_index()
+        return cell.astype({"n_events": "int64", "n_users": "int64"})
+
+    cells = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas"),
+        [*qi_cols, "day"],
+        [("n_events", "sum"), ("n_users", "sum")],
+        [*qi_cols, "day", "n_events", "n_users"],
+    ).to_pandas()
+    cells["at_risk"] = (cells["n_users"] < l).astype(np.int64)
+    out = cells.sort_values([*qi_cols, "day"]).reset_index(drop=True)
+    for c in ("n_events", "n_users", "at_risk"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_PAD_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+
+
+def padding_waste_by_bucket(ds, text_col: str = "text"):
+    """Length-bucketed batching audit: assign each doc to the smallest
+    power-of-two token bucket ≥ its whitespace-token count (min 16, the
+    _PAD_BUCKETS ladder) and measure the padding a bucket-batched
+    trainer would burn — the number that justifies sequence PACKING
+    (``pack_sequences``) over naive length-bucketing. ``waste_ppm`` is
+    exact integer ppm of padded slots per bucket.
+
+    Plan: one pass of per-batch (bucket, n_docs, sum_tokens) partials
+    (np.searchsorted on the bounded ladder — no log2 floats to drift
+    from the oracle's CASE chain), tiny final fold over ≤10 buckets.
+    Docs longer than the top bucket clamp into it (waste floors at 0;
+    documented, replayed by the oracle)."""
+    from ..functions import textstats as ts
+    from .relational import tiny_final_groupby
+
+    ladder = np.array(_PAD_BUCKETS, dtype=np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[text_col].fillna("").str.count(ts._WS_TOKEN).to_numpy(np.int64)
+        idx = np.minimum(np.searchsorted(ladder, n, side="left"), len(ladder) - 1)
+        df = pd.DataFrame({"bucket": ladder[idx], "n": n})
+        g = df.groupby("bucket", sort=False).agg(
+            n_docs=("n", "size"), sum_tokens=("n", "sum")
+        ).reset_index()
+        return g.astype({"bucket": "int64", "n_docs": "int64", "sum_tokens": "int64"})
+
+    out = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["bucket"],
+            [("n_docs", "sum"), ("sum_tokens", "sum")],
+            ["bucket", "n_docs", "sum_tokens"],
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    cap = out["bucket"].to_numpy(np.int64) * out["n_docs"].to_numpy(np.int64)
+    waste = np.maximum(cap - out["sum_tokens"].to_numpy(np.int64), 0)
+    out["waste_tokens"] = waste
+    out["waste_ppm"] = waste * 1_000_000 // np.maximum(cap, 1)
+    for c in ("bucket", "n_docs", "sum_tokens", "waste_tokens", "waste_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -7861,3 +7861,88 @@ class TestBoundaryOverlapPairs:
             }
         )
         assert analytics.boundary_overlap_pairs(rd.from_arrow(tbl)).take_all() == []
+
+
+class TestLDiversityAudit:
+    def test_hand_built_cells(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        t0 = datetime.datetime(2024, 3, 1)
+        # cell (click, day0): users 1,1,2 -> n_events 3, n_users 2, at_risk
+        # cell (view, day0): users 1..6 -> n_users 6, safe at l=5
+        rows = [("click", t0, 1), ("click", t0, 1), ("click", t0, 2)] + [
+            ("view", t0, u) for u in range(1, 7)
+        ]
+        tbl = pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        out = analytics.l_diversity_audit(rd.from_arrow(tbl))
+        got = {
+            (r["event_type"], r["day"]): (r["n_events"], r["n_users"], r["at_risk"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            ("click", "2024-03-01"): (3, 2, 1),
+            ("view", "2024-03-01"): (6, 6, 0),
+        }
+
+    def test_cross_batch_user_dedup(self):
+        import datetime
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # the same (cell, user) appearing in MANY blocks must count once
+        t0 = datetime.datetime(2024, 3, 1)
+        tbl = pa.table(
+            {
+                "event_type": pa.array(["buy"] * 64, pa.string()),
+                "ts": pa.array([t0] * 64, pa.timestamp("us")),
+                "user_id": pa.array([7] * 64, pa.int64()),
+            }
+        )
+        out = analytics.l_diversity_audit(rd.from_arrow(tbl).repartition(8))
+        assert len(out) == 1
+        assert out.iloc[0]["n_events"] == 64 and out.iloc[0]["n_users"] == 1
+
+
+class TestPaddingWasteByBucket:
+    def test_hand_built_buckets(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            " ".join(["w"] * 10),   # bucket 16, waste 6
+            " ".join(["w"] * 16),   # bucket 16, waste 0
+            " ".join(["w"] * 17),   # bucket 32, waste 15
+        ]
+        tbl = pa.table({"text": pa.array(texts, pa.string())})
+        out = analytics.padding_waste_by_bucket(rd.from_arrow(tbl))
+        got = {
+            r["bucket"]: (r["n_docs"], r["sum_tokens"], r["waste_tokens"], r["waste_ppm"])
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            16: (2, 26, 6, 6 * 1_000_000 // 32),
+            32: (1, 17, 15, 15 * 1_000_000 // 32),
+        }
+
+    def test_clamp_above_top_bucket(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table({"text": pa.array([" ".join(["w"] * 9000)], pa.string())})
+        out = analytics.padding_waste_by_bucket(rd.from_arrow(tbl))
+        assert list(out["bucket"]) == [8192]
+        assert out.iloc[0]["waste_tokens"] == 0  # GREATEST floor, not negative
