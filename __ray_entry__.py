@@ -4395,6 +4395,36 @@ def _q_padding_waste_by_bucket(sf_dir: str):
     return analytics.padding_waste_by_bucket(_docs(sf_dir, ["text"]))
 
 
+def _q_order_total_reconciliation(sf_dir: str):
+    """Header-vs-detail reconciliation: o_totalprice against the order's
+    summed lineitem extendedprice*(1-disc)*(1+tax) cents, per-status
+    (analytics.order_total_reconciliation); oracle is the LEFT JOIN +
+    FILTER replay on the same float chain."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    lineitem = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return analytics.order_total_reconciliation(orders, lineitem)
+
+
+def _q_vocab_pruning_plan(sf_dir: str):
+    """Tokenizer min-count pruning table: surviving types and OOV
+    occurrence ppm per threshold, folded from the vocabulary's frequency
+    histogram (analytics.vocab_pruning_plan); oracle replays via a
+    threshold CROSS JOIN over the word-frequency CTE."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.vocab_pruning_plan(_docs(sf_dir, ["text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4640,6 +4670,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_last_touch": _q_attribution_last_touch,
         "l_diversity_audit": _q_l_diversity_audit,
         "padding_waste_by_bucket": _q_padding_waste_by_bucket,
+        "order_total_reconciliation": _q_order_total_reconciliation,
+        "vocab_pruning_plan": _q_vocab_pruning_plan,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6093,6 +6125,46 @@ _PADDING_WASTE_SQL = (
     "CAST(GREATEST(bucket*n_docs - sum_tokens, 0) * 1000000 "
     "// GREATEST(bucket*n_docs, 1) AS BIGINT) AS waste_ppm "
     "FROM g ORDER BY bucket"
+)
+
+
+_ORDER_RECON_SQL = (
+    # replay of analytics.order_total_reconciliation: detail sums via the
+    # proven left-assoc float chain, LEFT JOIN (detail-less orders diff
+    # against 0), per-status exact/abs-diff fold
+    "WITH ls AS (SELECT l_orderkey, "
+    "SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS lc "
+    "FROM lineitem GROUP BY 1), "
+    "o AS (SELECT o_orderkey, o_orderstatus, "
+    "CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS oc FROM orders), "
+    "d AS (SELECT o.o_orderstatus, o.oc - COALESCE(ls.lc, 0) AS diff "
+    "FROM o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey) "
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(COUNT(*) FILTER (diff = 0) AS BIGINT) AS n_exact, "
+    "CAST(SUM(ABS(diff)) AS BIGINT) AS sum_abs_diff_cents, "
+    "CAST(MAX(ABS(diff)) AS BIGINT) AS max_abs_diff_cents "
+    "FROM d GROUP BY 1 ORDER BY 1"
+)
+
+
+_VOCAB_PRUNING_SQL = (
+    # replay of analytics.vocab_pruning_plan: word-frequency CTE x the
+    # threshold list, FILTER folds, truncating ppm on all-positive ints
+    "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+    "FROM documents), "
+    "wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w), "
+    "tot AS (SELECT CAST(SUM(f) AS BIGINT) AS t_occ, "
+    "CAST(COUNT(*) AS BIGINT) AS t_types FROM wf), "
+    "th AS (SELECT unnest([1, 2, 5, 10, 100]) AS min_count) "
+    "SELECT CAST(th.min_count AS BIGINT) AS min_count, "
+    "CAST(COUNT(*) FILTER (wf.f >= th.min_count) AS BIGINT) AS kept_types, "
+    "CAST(tot.t_types - COUNT(*) FILTER (wf.f >= th.min_count) AS BIGINT) AS oov_types, "
+    "CAST(COALESCE(SUM(wf.f) FILTER (wf.f >= th.min_count), 0) AS BIGINT) "
+    "AS kept_occurrences, "
+    "CAST((tot.t_occ - COALESCE(SUM(wf.f) FILTER (wf.f >= th.min_count), 0)) "
+    "* 1000000 // GREATEST(tot.t_occ, 1) AS BIGINT) AS oov_ppm "
+    "FROM th CROSS JOIN wf CROSS JOIN tot "
+    "GROUP BY th.min_count, tot.t_occ, tot.t_types ORDER BY min_count"
 )
 
 
@@ -7727,4 +7799,6 @@ def oracle_sql() -> dict[str, str]:
         "attribution_last_touch": _ATTRIBUTION_LAST_TOUCH_SQL,
         "l_diversity_audit": _L_DIVERSITY_SQL,
         "padding_waste_by_bucket": _PADDING_WASTE_SQL,
+        "order_total_reconciliation": _ORDER_RECON_SQL,
+        "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
     }

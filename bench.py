@@ -213,6 +213,7 @@ SWEEP_QUERIES = [
     "bpe_merge_candidates", "dp_geometric_counts", "dow_adjusted_spikes",
     "boundary_overlap_pairs", "attribution_last_touch",
     "l_diversity_audit", "padding_waste_by_bucket",
+    "order_total_reconciliation", "vocab_pruning_plan",
 ]
 
 

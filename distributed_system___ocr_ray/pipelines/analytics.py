@@ -9424,3 +9424,169 @@ def padding_waste_by_bucket(ds, text_col: str = "text"):
     for c in ("bucket", "n_docs", "sum_tokens", "waste_tokens", "waste_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def order_total_reconciliation(orders, lineitem, buckets: int | None = None):
+    """Cross-table reconciliation audit: does each order's header total
+    equal the sum of its line items' ``extendedprice × (1−discount) ×
+    (1+tax)``? The ingest-consistency gate every warehouse runs between
+    a header table and its detail table. Per-status summary:
+    (o_orderstatus, n_orders, n_exact, sum_abs_diff_cents,
+    max_abs_diff_cents) — a bounded output whatever the mismatch rate.
+
+    Plan (100 TB shape): line items collapse to per-batch (orderkey,
+    cents) partials BEFORE the exchange (map-side combine), both sides
+    union into ONE orderkey-bucketed shuffle of 3-int rows, each bucket
+    folds its orders (header cents − detail cents, LEFT-join semantics:
+    detail-less orders diff against 0, orphan details drop) into a
+    bounded per-status partial, and a tiny final merge finishes. The
+    cents kernel is the proven float chain (left-assoc IEEE products,
+    then floor) the revenue family already replays exactly in SQL."""
+    from .relational import derive_buckets, hash_bucket_column, tiny_final_groupby
+
+    if buckets is None:
+        buckets = derive_buckets(max(orders.count(), lineitem.count()))
+
+    def norm_orders(batch: pa.Table) -> pa.Table:
+        oc = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "k": batch.column("o_orderkey"),
+                "status": batch.column("o_orderstatus"),
+                "oc": pa.array(oc, pa.int64()),
+                "lc": pa.array(np.zeros(len(oc), np.int64), pa.int64()),
+            }
+        )
+        return hash_bucket_column(t, "k", buckets)
+
+    def norm_lineitem(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        dis = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        tax = batch.column("l_tax").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1 - dis) * (1 + tax) * 100.0 + 0.5).astype(np.int64)
+        part = (
+            pa.table({"k": batch.column("l_orderkey"), "lc": pa.array(cents, pa.int64())})
+            .group_by(["k"])
+            .aggregate([("lc", "sum")])
+        )
+        n = part.num_rows
+        t = pa.table(
+            {
+                "k": part.column("k"),
+                "status": pa.array([""] * n, pa.string()),
+                "oc": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "lc": part.column("lc_sum"),
+            }
+        )
+        return hash_bucket_column(t, "k", buckets)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("k", sort=False).agg(
+            status=("status", "max"), oc=("oc", "sum"), lc=("lc", "sum")
+        )
+        per = per[per["status"] != ""]  # orphan details: no header row
+        diff = per["oc"].to_numpy(np.int64) - per["lc"].to_numpy(np.int64)
+        per = per.assign(ad=np.abs(diff), ex=(diff == 0).astype(np.int64))
+        out = per.groupby("status", sort=False).agg(
+            n_orders=("ad", "size"),
+            n_exact=("ex", "sum"),
+            sum_abs_diff_cents=("ad", "sum"),
+            max_abs_diff_cents=("ad", "max"),
+        ).reset_index().rename(columns={"status": "o_orderstatus"})
+        return out.astype(
+            {c: "int64" for c in ("n_orders", "n_exact", "sum_abs_diff_cents", "max_abs_diff_cents")}
+        )
+
+    o_long = orders.map_batches(norm_orders, batch_format="pyarrow")
+    l_long = lineitem.map_batches(norm_lineitem, batch_format="pyarrow")
+    partials = o_long.union(l_long).groupby("__bucket").map_groups(
+        bucket_fold, batch_format="pandas"
+    )
+    out = (
+        tiny_final_groupby(
+            partials,
+            ["o_orderstatus"],
+            [
+                ("n_orders", "sum"),
+                ("n_exact", "sum"),
+                ("sum_abs_diff_cents", "sum"),
+                ("max_abs_diff_cents", "max"),
+            ],
+            ["o_orderstatus", "n_orders", "n_exact", "sum_abs_diff_cents", "max_abs_diff_cents"],
+        )
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    for c in ("n_orders", "n_exact", "sum_abs_diff_cents", "max_abs_diff_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def vocab_pruning_plan(ds, text_col: str = "text", thresholds=(1, 2, 5, 10, 100)):
+    """Tokenizer min-count pruning plan: for each candidate ``min_count``
+    threshold, how many vocabulary types survive and what fraction of
+    token OCCURRENCES falls out-of-vocabulary — the table a tokenizer /
+    embedding trainer reads to pick its cutoff. Tokens are ``[a-z0-9]+``
+    runs of the lowercased text (the bpe_merge_candidates tokenization).
+
+    Plan (100 TB shape): one token-count exchange ((token, n) partials,
+    Zipf-deduped per batch), then the UNBOUNDED vocabulary collapses to
+    its FREQUENCY HISTOGRAM (distinct count values ≪ distinct tokens —
+    a second, tiny exchange), and every threshold folds from that
+    histogram at the driver. Output per threshold:
+    (min_count, kept_types, oov_types, kept_occurrences, oov_ppm)."""
+    import re as _re
+
+    from .relational import bucketed_grouped_sum, tiny_final_groupby
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "token", "n"
+    )
+
+    def fhist(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("n", sort=False).size().rename("n_types").reset_index()
+        g = g.rename(columns={"n": "f"})
+        return g.astype({"f": "int64", "n_types": "int64"})
+
+    hist = tiny_final_groupby(
+        counts.map_batches(fhist, batch_format="pandas"),
+        ["f"],
+        [("n_types", "sum")],
+        ["f", "n_types"],
+    ).to_pandas()
+    f = hist["f"].to_numpy(np.int64)
+    nt = hist["n_types"].to_numpy(np.int64)
+    total_occ = int((f * nt).sum())
+    total_types = int(nt.sum())
+    rows = []
+    for t in thresholds:
+        keep = f >= t
+        kept_types = int(nt[keep].sum())
+        kept_occ = int((f[keep] * nt[keep]).sum())
+        oov = total_occ - kept_occ
+        rows.append(
+            (
+                int(t),
+                kept_types,
+                total_types - kept_types,
+                kept_occ,
+                oov * 1_000_000 // max(total_occ, 1),
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["min_count", "kept_types", "oov_types", "kept_occurrences", "oov_ppm"],
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -7946,3 +7946,101 @@ class TestPaddingWasteByBucket:
         out = analytics.padding_waste_by_bucket(rd.from_arrow(tbl))
         assert list(out["bucket"]) == [8192]
         assert out.iloc[0]["waste_tokens"] == 0  # GREATEST floor, not negative
+
+
+class TestOrderTotalReconciliation:
+    def test_hand_built_mismatch(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderstatus": pa.array(["F", "F", "O"], pa.string()),
+                # order 1: matches its lines exactly; order 2: off by 5.00;
+                # order 3: NO lines at all -> diff = full header total
+                "o_totalprice": pa.array([30.0, 20.0, 7.5], pa.float64()),
+            }
+        )
+        lineitem = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 15.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            }
+        )
+        out = analytics.order_total_reconciliation(
+            rd.from_arrow(orders), rd.from_arrow(lineitem), buckets=4
+        )
+        got = {
+            r["o_orderstatus"]: (
+                r["n_orders"], r["n_exact"], r["sum_abs_diff_cents"], r["max_abs_diff_cents"]
+            )
+            for _, r in out.iterrows()
+        }
+        assert got == {"F": (2, 1, 500, 500), "O": (1, 0, 750, 750)}
+
+    def test_orphan_lineitems_dropped(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1], pa.int64()),
+                "o_orderstatus": pa.array(["O"], pa.string()),
+                "o_totalprice": pa.array([10.0], pa.float64()),
+            }
+        )
+        lineitem = pa.table(
+            {
+                "l_orderkey": pa.array([1, 99], pa.int64()),
+                "l_extendedprice": pa.array([10.0, 5.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.0], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0], pa.float64()),
+            }
+        )
+        out = analytics.order_total_reconciliation(
+            rd.from_arrow(orders), rd.from_arrow(lineitem), buckets=4
+        )
+        assert len(out) == 1
+        assert out.iloc[0]["n_orders"] == 1 and out.iloc[0]["n_exact"] == 1
+
+
+class TestVocabPruningPlan:
+    def test_hand_built_histogram_fold(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # freqs: aa=4, bb=2, cc=1, dd=1 -> total 8 occ, 4 types
+        tbl = pa.table(
+            {"text": pa.array(["aa aa bb cc", "aa aa bb dd"], pa.string())}
+        )
+        out = analytics.vocab_pruning_plan(rd.from_arrow(tbl), thresholds=(1, 2, 3))
+        got = {
+            r["min_count"]: (
+                r["kept_types"], r["oov_types"], r["kept_occurrences"], r["oov_ppm"]
+            )
+            for _, r in out.iterrows()
+        }
+        assert got == {
+            1: (4, 0, 8, 0),
+            2: (2, 2, 6, 2 * 1_000_000 // 8),
+            3: (1, 3, 4, 4 * 1_000_000 // 8),
+        }
+
+    def test_cross_block_counts_merge(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # the same token spread over many blocks must count as ONE type
+        tbl = pa.table({"text": pa.array(["tok"] * 32, pa.string())})
+        out = analytics.vocab_pruning_plan(
+            rd.from_arrow(tbl).repartition(8), thresholds=(1, 33)
+        )
+        got = {r["min_count"]: (r["kept_types"], r["kept_occurrences"]) for _, r in out.iterrows()}
+        assert got == {1: (1, 32), 33: (0, 0)}
