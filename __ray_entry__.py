@@ -4425,6 +4425,17 @@ def _q_vocab_pruning_plan(sf_dir: str):
     return analytics.vocab_pruning_plan(_docs(sf_dir, ["text"]))
 
 
+def _q_winnow_fingerprint_pairs(sf_dir: str):
+    """Winnowing (MOSS) copy-detection pairs: window-minimum 20-gram
+    fingerprints, pairs sharing >= 5 prints with the shared count
+    (analytics.winnow_fingerprint_pairs); the packed (hash, reversed-pos)
+    int64 makes the rightmost-tie rule a plain window MIN the oracle
+    replays verbatim."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.winnow_fingerprint_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4672,6 +4683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste_by_bucket": _q_padding_waste_by_bucket,
         "order_total_reconciliation": _q_order_total_reconciliation,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
+        "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6166,6 +6178,33 @@ _VOCAB_PRUNING_SQL = (
     "FROM th CROSS JOIN wf CROSS JOIN tot "
     "GROUP BY th.min_count, tot.t_occ, tot.t_types ORDER BY min_count"
 )
+
+
+def _winnow_sql(k: int = 20, w: int = 8, cap: int = 40, min_shared: int = 5) -> str:
+    h = _MD5U64.format(v="'win:' || gram")
+    return (
+        # replay of analytics.winnow_fingerprint_pairs: k-grams of the
+        # lowered text, packed (43-bit md5 >> 21, reversed clamped pos)
+        # winnowing keys, trailing-w window MIN (prefix windows included),
+        # distinct fingerprints, hot-print cap, pair counts
+        "WITH t AS (SELECT doc_id, lower(text) AS s FROM documents), "
+        f"g0 AS (SELECT doc_id, unnest(range(1, greatest(length(s) - {k - 2}, 1))) "
+        "AS pos, s FROM t), "
+        "g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
+        f"substr(s, CAST(pos AS INT), {k}) AS gram FROM g0), "
+        f"kk AS (SELECT doc_id, pos, CAST(({h} >> 21) AS BIGINT) * 1048576 "
+        "+ (1048575 - LEAST(pos - 1, 1048575)) AS key FROM g), "
+        "sel AS (SELECT DISTINCT doc_id, MIN(key) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN {w - 1} PRECEDING "
+        "AND CURRENT ROW) AS sk FROM kk), "
+        "f AS (SELECT DISTINCT doc_id, sk // 1048576 AS hh FROM sel), "
+        f"hot AS (SELECT hh FROM f GROUP BY hh HAVING COUNT(*) > {cap}), "
+        "fp AS (SELECT * FROM f WHERE hh NOT IN (SELECT hh FROM hot)), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM fp a JOIN fp b ON a.hh = b.hh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        f"SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= {min_shared}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7801,4 +7840,5 @@ def oracle_sql() -> dict[str, str]:
         "padding_waste_by_bucket": _PADDING_WASTE_SQL,
         "order_total_reconciliation": _ORDER_RECON_SQL,
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
+        "winnow_fingerprint_pairs": _winnow_sql(),
     }

@@ -9590,3 +9590,129 @@ def vocab_pruning_plan(ds, text_col: str = "text", thresholds=(1, 2, 5, 10, 100)
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def winnow_fingerprint_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 8,
+    cap: int = 40,
+    min_shared: int = 5,
+):
+    """Winnowing copy detection (Schleimer-Wilkerson-Aiken, the MOSS
+    algorithm): each doc is reduced to the set of window-minimum k-gram
+    hashes — winnowing GUARANTEES any shared substring of length
+    ≥ k+w−1 yields at least one shared fingerprint — and pairs sharing
+    ≥ ``min_shared`` fingerprints are reported with their shared count.
+    The positional robust complement of MinHash (which estimates
+    whole-doc similarity, not contained copies).
+
+    Determinism: the winnowing key packs (43-bit md5 gram hash, 20-bit
+    reversed position) into one int64, so the window MIN itself encodes
+    the rightmost-tie rule and both sides replay it with a single
+    ``MIN() OVER (ROWS w−1 PRECEDING)`` — no argmin logic. Prefix
+    windows (< w grams in) are included by both sides; docs shorter
+    than k grams emit nothing; positions clamp at 2^20−1 (1 MB docs).
+
+    Plan (100 TB shape): stage 1 is embarrassingly parallel (per batch:
+    ONE factorize dedupes grams before hashing — Zipf again — then
+    vectorized sliding-window minima per doc); the exchange moves only
+    distinct (fingerprint, doc_id) int rows; hot fingerprints past
+    ``cap`` docs are boilerplate and drop (cap CTE in the oracle);
+    per-fingerprint-bucket pair partials fold through ONE pair-keyed
+    groupby sum. Output (doc_a, doc_b, n_shared), doc_a < doc_b."""
+    import hashlib as _hl
+
+    from .relational import derive_buckets, hash_bucket_column
+
+    POSBITS = 20
+    POSMAX = (1 << POSBITS) - 1
+
+    def prints(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].fillna("").str.lower().tolist()
+        doc_grams: list[list[str]] = []
+        all_grams: list[str] = []
+        for s in texts:
+            n = len(s) - k + 1
+            g = [s[i : i + k] for i in range(n)] if n >= 1 else []
+            doc_grams.append(g)
+            all_grams.extend(g)
+        if not all_grams:
+            return pd.DataFrame(
+                {"hh": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
+            )
+        codes, uniq = pd.factorize(np.array(all_grams, dtype=object))
+        hv = np.array(
+            [
+                int.from_bytes(_hl.md5(("win:" + u).encode()).digest()[:8], "big") >> 21
+                for u in uniq
+            ],
+            dtype=np.int64,
+        )
+        hcodes = hv[codes]
+        out_hh, out_doc = [], []
+        off = 0
+        big = np.iinfo(np.int64).max
+        for d, g in zip(ids, doc_grams):
+            n = len(g)
+            if n == 0:
+                continue
+            h = hcodes[off : off + n]
+            off += n
+            pos = np.minimum(np.arange(n, dtype=np.int64), POSMAX)
+            key = (h << POSBITS) | (POSMAX - pos)
+            ww = min(w, n)
+            padded = np.concatenate([np.full(ww - 1, big, np.int64), key])
+            sel = np.unique(
+                np.lib.stride_tricks.sliding_window_view(padded, ww).min(axis=1)
+            )
+            hh = np.unique(sel >> POSBITS)
+            out_hh.append(hh)
+            out_doc.append(np.full(len(hh), d, np.int64))
+        if not out_hh:
+            return pd.DataFrame(
+                {"hh": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
+            )
+        return pd.DataFrame(
+            {"hh": np.concatenate(out_hh), "doc_id": np.concatenate(out_doc)}
+        )
+
+    buckets = derive_buckets(ds.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "hh", buckets)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby("hh", sort=False)["doc_id"].transform("size")
+        g = g[sz <= cap]
+        m = g.merge(g, on="hh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        out = (
+            m.groupby(["doc_id_a", "doc_id_b"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+            .rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+        )
+        return out.astype({"doc_a": "int64", "doc_b": "int64", "n": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        ds.map_batches(prints, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater_equal(batch.column("n_shared"), min_shared))
+
+    return pairs.map_batches(keep, batch_format="pyarrow")

@@ -8044,3 +8044,71 @@ class TestVocabPruningPlan:
         )
         got = {r["min_count"]: (r["kept_types"], r["kept_occurrences"]) for _, r in out.iterrows()}
         assert got == {1: (1, 32), 33: (0, 0)}
+
+
+class TestWinnowFingerprintPairs:
+    def test_planted_copy_detected(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        base = "".join(rng.choice(list(alpha), 400))
+        shared = "".join(rng.choice(list(alpha), 200))
+        texts = [
+            base[:200] + shared,            # doc 0: shares 200 chars with 1
+            shared + base[200:],            # doc 1
+            "".join(rng.choice(list(alpha), 400)),  # doc 2: unrelated
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = analytics.winnow_fingerprint_pairs(rd.from_arrow(tbl)).take_all()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+        assert (0, 1) in pairs
+        assert not any(2 in p for p in pairs)
+
+    def test_guarantee_shared_substring(self):
+        # winnowing guarantee: a shared substring of length >= k + w - 1
+        # (27 here) yields at least one shared fingerprint
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        shared = "the quick brown fox jumps!"  # 26 chars < 27: may miss
+        shared2 = "the quick brown fox jumps twice"  # 31 chars: guaranteed
+        texts = [
+            "AAAA" * 30 + shared2,
+            shared2 + "BBBB" * 30,
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        got = analytics.winnow_fingerprint_pairs(
+            rd.from_arrow(tbl), min_shared=1
+        ).take_all()
+        assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+
+    def test_short_docs_emit_nothing(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["short text", "short text"], pa.string()),
+            }
+        )
+        assert (
+            analytics.winnow_fingerprint_pairs(rd.from_arrow(tbl)).take_all() == []
+        )
