@@ -4436,6 +4436,25 @@ def _q_winnow_fingerprint_pairs(sf_dir: str):
     return analytics.winnow_fingerprint_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_cdc_chunk_dedup(sf_dir: str):
+    """Content-defined chunking dedup audit: rolling-hash (W=16, mod
+    2^31-1, boundary mask 64) chunk boundaries, corpus-wide chunk-store
+    savings (analytics.cdc_chunk_dedup); oracle replays the 16-term
+    polynomial hash expression and DISTINCTs the chunk strings."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.cdc_chunk_dedup(_docs(sf_dir, ["text"]))
+
+
+def _q_gdpr_erasure_plan(sf_dir: str):
+    """Erasure sizing per table for a derived ~2% deletion cohort
+    (analytics.gdpr_erasure_plan); oracle filters each table with the
+    same md5 predicate and counts rows + distinct subjects."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.gdpr_erasure_plan(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4684,6 +4703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_reconciliation": _q_order_total_reconciliation,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "gdpr_erasure_plan": _q_gdpr_erasure_plan,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6204,6 +6225,54 @@ def _winnow_sql(k: int = 20, w: int = 8, cap: int = 40, min_shared: int = 5) -> 
         "CAST(COUNT(*) AS BIGINT) AS n_shared "
         "FROM fp a JOIN fp b ON a.hh = b.hh AND a.doc_id < b.doc_id GROUP BY 1, 2) "
         f"SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= {min_shared}"
+    )
+
+
+_CDC_CHUNK_SQL = (
+    # replay of analytics.cdc_chunk_dedup: 16-term polynomial rolling
+    # hash mod 2^31-1 over codepoints (int64-safe, generated term list),
+    # boundaries where hv % 64 == 0 at window ends plus end-of-doc,
+    # LAG reconstructs chunks, DISTINCT on chunk strings (engine: md5-u64)
+    "WITH t AS (SELECT doc_id, text AS s FROM documents), "
+    "p AS (SELECT doc_id, s, unnest(range(1, greatest(length(s) - 14, 1))) "
+    "AS pos FROM t), "
+    "h AS (SELECT doc_id, s, CAST(pos AS BIGINT) AS pos, "
+    "(CAST(ascii(substr(s, CAST(pos + 0 AS INT), 1)) AS BIGINT) * 1079017218 + CAST(ascii(substr(s, CAST(pos + 1 AS INT), 1)) AS BIGINT) * 330081243 + CAST(ascii(substr(s, CAST(pos + 2 AS INT), 1)) AS BIGINT) * 1346595130 + CAST(ascii(substr(s, CAST(pos + 3 AS INT), 1)) AS BIGINT) * 1150007217 + CAST(ascii(substr(s, CAST(pos + 4 AS INT), 1)) AS BIGINT) * 1090750511 + CAST(ascii(substr(s, CAST(pos + 5 AS INT), 1)) AS BIGINT) * 1775709275 + CAST(ascii(substr(s, CAST(pos + 6 AS INT), 1)) AS BIGINT) * 483199522 + CAST(ascii(substr(s, CAST(pos + 7 AS INT), 1)) AS BIGINT) * 1213495441 + CAST(ascii(substr(s, CAST(pos + 8 AS INT), 1)) AS BIGINT) * 623063367 + CAST(ascii(substr(s, CAST(pos + 9 AS INT), 1)) AS BIGINT) * 336663071 + CAST(ascii(substr(s, CAST(pos + 10 AS INT), 1)) AS BIGINT) * 168429323 + CAST(ascii(substr(s, CAST(pos + 11 AS INT), 1)) AS BIGINT) * 67503107 + CAST(ascii(substr(s, CAST(pos + 12 AS INT), 1)) AS BIGINT) * 16974593 + CAST(ascii(substr(s, CAST(pos + 13 AS INT), 1)) AS BIGINT) * 66049 + CAST(ascii(substr(s, CAST(pos + 14 AS INT), 1)) AS BIGINT) * 257 + CAST(ascii(substr(s, CAST(pos + 15 AS INT), 1)) AS BIGINT) * 1) % 2147483647 AS hv FROM p), "
+    "b AS (SELECT doc_id, s, pos + 15 AS cut FROM h WHERE hv % 64 = 0 "
+    "UNION SELECT doc_id, s, length(s) AS cut FROM t WHERE length(s) > 0), "
+    "c AS (SELECT doc_id, cut, COALESCE(LAG(cut) OVER "
+    "(PARTITION BY doc_id ORDER BY cut), 0) AS prev "
+    "FROM (SELECT DISTINCT doc_id, cut FROM b)), "
+    "ch AS (SELECT t.doc_id, substr(t.s, CAST(c.prev + 1 AS INT), "
+    "CAST(c.cut - c.prev AS INT)) AS chunk "
+    "FROM c JOIN t ON t.doc_id = c.doc_id WHERE c.cut > c.prev), "
+    "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks, "
+    "CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_distinct_chunks, "
+    "CAST(SUM(length(chunk)) AS BIGINT) AS total_chars FROM ch), "
+    "st AS (SELECT CAST(SUM(length(chunk)) AS BIGINT) AS stored_chars "
+    "FROM (SELECT DISTINCT chunk FROM ch)) "
+    "SELECT agg.n_chunks, agg.n_distinct_chunks, agg.total_chars, st.stored_chars, "
+    "CAST((agg.total_chars - st.stored_chars) * 1000000 "
+    "// GREATEST(agg.total_chars, 1) AS BIGINT) AS saving_ppm FROM agg, st"
+)
+
+
+def _gdpr_sql(mod: int = 50) -> str:
+    def one(tbl: str, col: str) -> str:
+        h = _MD5U64.format(v=f"'gdpr:' || CAST({col} AS VARCHAR)")
+        return (
+            f"SELECT '{tbl}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows_to_erase, "
+            f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_users_to_erase "
+            f"FROM {tbl} WHERE {h} % {mod} = 0"
+        )
+
+    # replay of analytics.gdpr_erasure_plan: the same md5 cohort
+    # predicate per table, rows + distinct subjects
+    return (
+        one("customer", "c_custkey")
+        + " UNION ALL " + one("orders", "o_custkey")
+        + " UNION ALL " + one("events", "user_id")
+        + " ORDER BY tbl"
     )
 
 
@@ -7841,4 +7910,6 @@ def oracle_sql() -> dict[str, str]:
         "order_total_reconciliation": _ORDER_RECON_SQL,
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
+        "cdc_chunk_dedup": _CDC_CHUNK_SQL,
+        "gdpr_erasure_plan": _gdpr_sql(),
     }

@@ -214,7 +214,7 @@ SWEEP_QUERIES = [
     "boundary_overlap_pairs", "attribution_last_touch",
     "l_diversity_audit", "padding_waste_by_bucket",
     "order_total_reconciliation", "vocab_pruning_plan",
-    "winnow_fingerprint_pairs",
+    "winnow_fingerprint_pairs", "cdc_chunk_dedup", "gdpr_erasure_plan",
 ]
 
 

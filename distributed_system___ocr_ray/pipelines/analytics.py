@@ -9716,3 +9716,220 @@ def winnow_fingerprint_pairs(
         return batch.filter(_pc.greater_equal(batch.column("n_shared"), min_shared))
 
     return pairs.map_batches(keep, batch_format="pyarrow")
+
+
+_CDC_B, _CDC_M, _CDC_W, _CDC_MASK = 257, 2147483647, 16, 63
+_CDC_POW = np.array(
+    [pow(_CDC_B, _CDC_W - 1 - j, _CDC_M) for j in range(_CDC_W)], dtype=np.int64
+)
+
+
+def cdc_chunk_dedup(ds, text_col: str = "text"):
+    """Content-defined chunking dedup audit (the rsync/LBFS/casync
+    storage primitive): split every document at positions where a
+    W=16-char polynomial rolling hash ≡ 0 (mod 64), then measure how
+    much a chunk store would save — duplicated chunks (shared
+    boilerplate, partial copies) are stored ONCE even when whole-doc
+    and shingle dedup both miss them. Boundaries are content-defined,
+    so an insertion only reshapes its own chunk, not every later one
+    (the property fixed-size blocks lack).
+
+    Exactness: the hash is 16 integer products mod 2^31−1 over unicode
+    codepoints — term ≤ 2^51, sum ≤ 2^55, int64-safe — replayed
+    term-for-term by the oracle's generated SQL expression; chunk
+    identity downstream is md5-u64 ('cdc:'‖chunk, collision-free at 64
+    bits vs the oracle's DISTINCT on the chunk string). No min/max
+    chunk bounds (production CDC adds them; the replayable semantics
+    don't change). Lengths are CHARACTERS on both sides.
+
+    Plan (100 TB shape): stage 1 is embarrassingly parallel and emits
+    per-batch pre-grouped (chunk-hash, chars, n) partials — never chunk
+    text; ONE hash-bucketed exchange makes distinct-fold partials add;
+    a 4-counter tiny merge finishes. Output one row:
+    (n_chunks, n_distinct_chunks, total_chars, stored_chars,
+    saving_ppm)."""
+    import hashlib as _hl
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .relational import derive_buckets, hash_bucket_column
+
+    W, M, MASK = _CDC_W, _CDC_M, _CDC_MASK
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        hs, ls = [], []
+        for s in batch[text_col].fillna(""):
+            L = len(s)
+            if L == 0:
+                continue
+            if L >= W:
+                cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+                hw = (sliding_window_view(cp, W) @ _CDC_POW) % M
+                ends = np.flatnonzero(hw % (MASK + 1) == 0) + W  # 1-based ends
+                cuts = np.unique(np.append(ends, L))
+            else:
+                cuts = np.array([L], dtype=np.int64)
+            prev = 0
+            for cut in cuts:
+                c = int(cut)
+                chunk = s[prev:c]
+                hs.append(
+                    int.from_bytes(
+                        _hl.md5(("cdc:" + chunk).encode()).digest()[:8], "big"
+                    )
+                    >> 1
+                )
+                ls.append(c - prev)
+                prev = c
+        if not hs:
+            return pd.DataFrame(
+                {
+                    "h": pd.Series([], dtype=np.int64),
+                    "chars": pd.Series([], dtype=np.int64),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        df = pd.DataFrame(
+            {"h": np.array(hs, np.int64), "chars": np.array(ls, np.int64)}
+        )
+        g = df.groupby(["h", "chars"], sort=False).size().rename("n").reset_index()
+        return g.astype({"h": "int64", "chars": "int64", "n": "int64"})
+
+    buckets = derive_buckets(ds.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "h", buckets)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("h", sort=False).agg(n=("n", "sum"), chars=("chars", "first"))
+        return pd.DataFrame(
+            {
+                "n_chunks": [int(per["n"].sum())],
+                "n_distinct_chunks": [len(per)],
+                "total_chars": [int((per["n"] * per["chars"]).sum())],
+                "stored_chars": [int(per["chars"].sum())],
+            }
+        ).astype("int64")
+
+    tot = (
+        ds.map_batches(chunks, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    total = int(tot["total_chars"])
+    stored = int(tot["stored_chars"])
+    out = pd.DataFrame(
+        {
+            "n_chunks": [int(tot["n_chunks"])],
+            "n_distinct_chunks": [int(tot["n_distinct_chunks"])],
+            "total_chars": [total],
+            "stored_chars": [stored],
+            "saving_ppm": [(total - stored) * 1_000_000 // max(total, 1)],
+        }
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def gdpr_erasure_plan(sf_dir: str, mod: int = 50):
+    """Right-to-be-forgotten erasure plan: given a deletion cohort of
+    customers (here derived deterministically — custkeys whose
+    md5-u64('gdpr:'‖key) ≡ 0 mod ``mod``, ~2% — standing in for the
+    externally-supplied request list), count the rows each table must
+    erase and how many distinct subjects they touch: the sizing pass a
+    compliance pipeline runs before executing deletes. A real external
+    list would broadcast via ``ray.put`` and filter with ``isin`` (the
+    ``novel_docs`` pattern); the derived predicate keeps the plan fully
+    map-side AND bit-exactly oracle-checkable.
+
+    Plan: each table's scan filters map-side (the md5 is computed once
+    per DISTINCT key per batch — keys repeat in fact tables), folds to
+    per-batch (table, user, n) partials, and ONE table‖user-bucketed
+    exchange makes the distinct-subject counts add (the
+    ``l_diversity_audit`` fold). Output
+    (tbl, n_rows_to_erase, n_users_to_erase), tbl ASC."""
+    import ray.data as rd
+
+    from ..functions.dedup import md5_u64
+    from .relational import hash_bucket_column, tiny_final_groupby
+
+    SEP = chr(31)
+    specs = [
+        ("customer", "c_custkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]
+
+    def make_partial(tbl: str, col: str):
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            u = batch[col].to_numpy(np.int64)
+            codes, uniq = pd.factorize(u)
+            hit = np.array(
+                [md5_u64(f"gdpr:{v}".encode()) % mod == 0 for v in uniq], dtype=bool
+            )
+            keep = hit[codes]
+            if not keep.any():
+                return pd.DataFrame(
+                    {
+                        "tbl": pd.Series([], dtype=str),
+                        "u": pd.Series([], dtype=np.int64),
+                        "n": pd.Series([], dtype=np.int64),
+                    }
+                )
+            g = (
+                pd.Series(u[keep]).value_counts().rename("n").reset_index()
+                .rename(columns={"index": "u"})
+            )
+            g.columns = ["u", "n"]
+            g.insert(0, "tbl", tbl)
+            return g.astype({"u": "int64", "n": "int64"})
+
+        return partial
+
+    longs = []
+    for tbl, col in specs:
+        ds = rd.read_parquet(f"{sf_dir}/{tbl}.parquet", columns=[col])
+        longs.append(ds.map_batches(make_partial(tbl, col), batch_format="pandas"))
+    long = longs[0].union(*longs[1:])
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__key"] = batch["tbl"] + SEP + batch["u"].astype(str)
+        return batch
+
+    def key_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "__key", 32)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["tbl", "u"], sort=False)["n"].sum().reset_index()
+        out = per.groupby("tbl", sort=False).agg(
+            n_rows_to_erase=("n", "sum"), n_users_to_erase=("u", "size")
+        ).reset_index()
+        return out.astype({"n_rows_to_erase": "int64", "n_users_to_erase": "int64"})
+
+    out = (
+        tiny_final_groupby(
+            long.map_batches(add_bucket, batch_format="pandas")
+            .map_batches(key_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(bucket_fold, batch_format="pandas"),
+            ["tbl"],
+            [("n_rows_to_erase", "sum"), ("n_users_to_erase", "sum")],
+            ["tbl", "n_rows_to_erase", "n_users_to_erase"],
+        )
+        .to_pandas()
+        .set_index("tbl")
+        # a table whose cohort slice is empty still reports a 0 row (the
+        # oracle's COUNT over an empty filter does; so must the engine)
+        .reindex([t for t, _ in specs], fill_value=0)
+        .reset_index()
+        .sort_values("tbl")
+        .reset_index(drop=True)
+    )
+    for c in ("n_rows_to_erase", "n_users_to_erase"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -8112,3 +8112,97 @@ class TestWinnowFingerprintPairs:
         assert (
             analytics.winnow_fingerprint_pairs(rd.from_arrow(tbl)).take_all() == []
         )
+
+
+class TestCdcChunkDedup:
+    def test_shared_chunk_saves(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        shared = "".join(rng.choice(list(alpha), 300))
+        a = "".join(rng.choice(list(alpha), 150)) + shared
+        b = shared + "".join(rng.choice(list(alpha), 150))
+        tbl = pa.table({"text": pa.array([a, b], pa.string())})
+        out = analytics.cdc_chunk_dedup(rd.from_arrow(tbl))
+        r = out.iloc[0]
+        # a 300-char shared region must yield at least one duplicated chunk
+        assert r["n_distinct_chunks"] < r["n_chunks"]
+        assert r["stored_chars"] < r["total_chars"]
+        assert r["saving_ppm"] > 0
+        assert r["total_chars"] == len(a) + len(b)
+
+    def test_matches_reference_chunker(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+        from distributed_system___ocr_ray.pipelines.analytics import (
+            _CDC_B, _CDC_M, _CDC_W, _CDC_MASK,
+        )
+
+        texts = ["the quick brown fox " * 20, "pack my box " * 30, "tiny"]
+
+        def ref_chunks(s):
+            W, M, MASK = _CDC_W, _CDC_M, _CDC_MASK
+            cuts = set()
+            for i in range(len(s) - W + 1):
+                h = 0
+                for j, ch in enumerate(s[i : i + W]):
+                    h += ord(ch) * pow(_CDC_B, W - 1 - j, M)
+                if (h % M) % (MASK + 1) == 0:
+                    cuts.add(i + W)
+            cuts.add(len(s))
+            prev, out = 0, []
+            for c in sorted(cuts):
+                if c > prev:
+                    out.append(s[prev:c])
+                    prev = c
+            return out
+
+        all_chunks = [c for t in texts for c in ref_chunks(t)]
+        tbl = pa.table({"text": pa.array(texts, pa.string())})
+        out = analytics.cdc_chunk_dedup(rd.from_arrow(tbl)).iloc[0]
+        assert out["n_chunks"] == len(all_chunks)
+        assert out["n_distinct_chunks"] == len(set(all_chunks))
+        assert out["total_chars"] == sum(len(c) for c in all_chunks)
+        assert out["stored_chars"] == sum(len(c) for c in set(all_chunks))
+
+
+class TestGdprErasurePlan:
+    def test_predicate_and_zero_rows(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        custs = list(range(1, 401))
+        hit = [c for c in custs if md5_u64(f"gdpr:{c}".encode()) % 50 == 0]
+        assert hit, "need at least one cohort member for the test"
+        pq.write_table(
+            pa.table({"c_custkey": pa.array(custs, pa.int64())}),
+            tmp_path / "customer.parquet",
+        )
+        # orders: 3 rows for the first cohort member, 2 for a non-member
+        ok = [hit[0]] * 3 + [custs[0] if custs[0] not in hit else custs[1]] * 2
+        pq.write_table(
+            pa.table({"o_custkey": pa.array(ok, pa.int64())}),
+            tmp_path / "orders.parquet",
+        )
+        # events: all users OUTSIDE the cohort -> zero row must appear
+        nohit = [c for c in custs if c not in hit][:5]
+        pq.write_table(
+            pa.table({"user_id": pa.array(nohit, pa.int64())}),
+            tmp_path / "events.parquet",
+        )
+        out = analytics.gdpr_erasure_plan(str(tmp_path))
+        got = {
+            r["tbl"]: (r["n_rows_to_erase"], r["n_users_to_erase"])
+            for _, r in out.iterrows()
+        }
+        assert got["customer"] == (len(hit), len(hit))
+        assert got["orders"] == (3, 1)
+        assert got["events"] == (0, 0)
