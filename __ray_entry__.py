@@ -4455,6 +4455,15 @@ def _q_gdpr_erasure_plan(sf_dir: str):
     return analytics.gdpr_erasure_plan(sf_dir)
 
 
+def _q_max_coverage_select(sf_dir: str):
+    """Greedy max-coverage selection of 5 docs by uncovered word-bigram
+    gain (analytics.max_coverage_select); oracle unrolls the k rounds as
+    chained CTEs (argmax with (g DESC, doc_id) LIMIT 1 per round)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.max_coverage_select(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4705,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "gdpr_erasure_plan": _q_gdpr_erasure_plan,
+        "max_coverage_select": _q_max_coverage_select,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6274,6 +6284,44 @@ def _gdpr_sql(mod: int = 50) -> str:
         + " UNION ALL " + one("events", "user_id")
         + " ORDER BY tbl"
     )
+
+
+def _max_coverage_sql(k: int = 5) -> str:
+    # replay of analytics.max_coverage_select: distinct (doc, bigram)
+    # table, k unrolled greedy rounds -- each picks argmax uncovered
+    # count (g DESC, doc_id LIMIT 1) and folds its bigrams into c{r}
+    parts = [
+        "WITH toks AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents), "
+        "ex AS (SELECT doc_id, arr, unnest(range(1, len(arr))) AS i FROM toks), "
+        "dt AS (SELECT DISTINCT doc_id, arr[CAST(i AS INT)] || ' ' || "
+        "arr[CAST(i AS INT) + 1] AS w FROM ex)"
+    ]
+    for r in range(1, k + 1):
+        if r == 1:
+            parts.append("w1 AS (SELECT doc_id, COUNT(*) AS g FROM dt GROUP BY doc_id)")
+        else:
+            parts.append(
+                f"w{r} AS (SELECT doc_id, COUNT(*) AS g FROM dt "
+                f"WHERE w NOT IN (SELECT w FROM c{r - 1}) GROUP BY doc_id)"
+            )
+        parts.append(f"p{r} AS (SELECT doc_id, g FROM w{r} ORDER BY g DESC, doc_id LIMIT 1)")
+        if r == 1:
+            parts.append(
+                "c1 AS (SELECT DISTINCT w FROM dt "
+                "WHERE doc_id IN (SELECT doc_id FROM p1))"
+            )
+        else:
+            parts.append(
+                f"c{r} AS (SELECT w FROM c{r - 1} UNION SELECT w FROM dt "
+                f"WHERE doc_id IN (SELECT doc_id FROM p{r}))"
+            )
+    rounds = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, doc_id, CAST(g AS BIGINT) AS gain, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered_total FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return ", ".join(parts) + " " + rounds + " ORDER BY round"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7912,4 +7960,5 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_pairs": _winnow_sql(),
         "cdc_chunk_dedup": _CDC_CHUNK_SQL,
         "gdpr_erasure_plan": _gdpr_sql(),
+        "max_coverage_select": _max_coverage_sql(),
     }

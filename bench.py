@@ -215,6 +215,7 @@ SWEEP_QUERIES = [
     "l_diversity_audit", "padding_waste_by_bucket",
     "order_total_reconciliation", "vocab_pruning_plan",
     "winnow_fingerprint_pairs", "cdc_chunk_dedup", "gdpr_erasure_plan",
+    "max_coverage_select",
 ]
 
 

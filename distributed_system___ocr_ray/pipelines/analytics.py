@@ -9933,3 +9933,98 @@ def gdpr_erasure_plan(sf_dir: str, mod: int = 50):
     for c in ("n_rows_to_erase", "n_users_to_erase"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def max_coverage_select(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id"):
+    """Greedy max-coverage corpus selection (submodular curation, the
+    lazy-greedy baseline of facility-location data selection): pick k
+    documents one at a time, each maximizing the number of NOT-YET-
+    COVERED word bigrams it contributes (ties → smallest doc_id; a
+    round with no positive gain stops the selection). The marginal-gain
+    objective is what separates this from ``budget_select`` (modular
+    score-sort): each round's scores depend on everything already
+    chosen. Bigrams, not unigrams, so coverage does not saturate on a
+    small vocabulary.
+
+    Plan (100 TB shape): k rounds; each round broadcasts the covered
+    set ONCE (``ray.put``) and runs ONE corpus pass — per batch the
+    bigram table is built by the vectorized shifted-compare pairing
+    (event_transitions' kernel), uncovered gains come from one
+    isin + drop_duplicates + groupby, and only the block WINNER'S row
+    (id, gain, its new bigrams) leaves the task — driver state is k
+    rounds × blocks winner rows, never the corpus. Returns
+    (round, doc_id, gain, covered_total)."""
+    import ray
+
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    SEP = chr(31)
+    covered: set = set()
+    out_rows = []
+    for rnd in range(1, k + 1):
+        handle = [ray.put(frozenset(covered))]
+
+        class Gain:
+            def __init__(self) -> None:
+                self.cov = ray.get(handle[0])
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                empty = pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "gain": pd.Series([], dtype=np.int64),
+                        "newtoks": pd.Series([], dtype=str),
+                    }
+                )
+                toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+                docs = batch[id_col].to_numpy(np.int64)
+                ex = toks.reset_index(drop=True).explode().dropna()
+                if not len(ex):
+                    return empty
+                idx = ex.index.to_numpy(np.int64)
+                t = ex.to_numpy()
+                if len(t) < 2:
+                    return empty
+                same = idx[1:] == idx[:-1]
+                if not same.any():
+                    return empty
+                big = pd.Series(t[:-1][same]).str.cat(
+                    pd.Series(t[1:][same]), sep=" "
+                )
+                d = docs[idx[:-1][same]]
+                df = pd.DataFrame({"d": d, "w": big.to_numpy()})
+                df = df[~df["w"].isin(self.cov)].drop_duplicates()
+                if not len(df):
+                    return empty
+                gains = df.groupby("d", sort=False).size()
+                gains = gains.sort_index()  # tie -> smallest doc_id
+                win = int(gains.idxmax())  # idxmax takes FIRST max = min id
+                new = df[df["d"] == win]["w"].tolist()
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([win], dtype=np.int64),
+                        "gain": pd.Series([len(new)], dtype=np.int64),
+                        "newtoks": pd.Series([SEP.join(new)], dtype=str),
+                    }
+                )
+
+        blocks = ds.map_batches(Gain, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+        # an all-empty round yields a schema-less empty frame: selection done
+        if blocks.empty or "gain" not in blocks.columns:
+            break
+        blocks = blocks[blocks["gain"] > 0]
+        if not len(blocks):
+            break
+        blocks = blocks.sort_values(["gain", "doc_id"], ascending=[False, True])
+        winner = blocks.iloc[0]
+        covered |= set(winner["newtoks"].split(SEP))
+        out_rows.append(
+            (rnd, int(winner["doc_id"]), int(winner["gain"]), len(covered))
+        )
+    out = pd.DataFrame(
+        out_rows, columns=["round", "doc_id", "gain", "covered_total"]
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -8206,3 +8206,41 @@ class TestGdprErasurePlan:
         assert got["customer"] == (len(hit), len(hit))
         assert got["orders"] == (3, 1)
         assert got["events"] == (0, 0)
+
+
+class TestMaxCoverageSelect:
+    def test_hand_built_greedy(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            "a b c d e f",        # 5 bigrams -> round-1 winner
+            "a b c d",            # subset of doc 0: gain 0 after round 1
+            "x y z w",            # 3 fresh bigrams
+            "e f g",              # 1 fresh bigram (e f covered by doc 0)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = analytics.max_coverage_select(rd.from_arrow(tbl), k=4)
+        got = [tuple(r) for r in out.itertuples(index=False)]
+        # greedy: doc0 (5), doc2 (3, cum 8), doc3 (1: 'f g', cum 9), stop
+        assert got == [(1, 0, 5, 5), (2, 2, 3, 8), (3, 3, 1, 9)]
+
+    def test_tie_breaks_to_smallest_id(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([5, 9], pa.int64()),
+                "text": pa.array(["p q r", "s t u"], pa.string()),
+            }
+        )
+        out = analytics.max_coverage_select(rd.from_arrow(tbl), k=1)
+        assert list(out["doc_id"]) == [5]
