@@ -4464,6 +4464,47 @@ def _q_max_coverage_select(sf_dir: str):
     return analytics.max_coverage_select(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_blocklist_screen(sf_dir: str):
+    """Lexicon content screen: per (category, lang) docs-with-hits and
+    total whole-token hits over the default category lists
+    (analytics.blocklist_screen); oracle replays each category with the
+    proven tokenize + list_contains construction."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.blocklist_screen(_docs(sf_dir, ["text", "lang"]))
+
+
+def _q_boundary_stitch_chains(sf_dir: str):
+    """Chain-size histogram of boundary-overlap connected components
+    (analytics.boundary_stitch_chains: pairs -> dedup_clusters pointer
+    jumping -> histogram); oracle closes the shared boundary edge CTE
+    recursively."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.boundary_stitch_chains(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_pseudonym_collision_audit(sf_dir: str):
+    """Birthday-bound collision audit of a 16-bit pseudonym space over
+    event subjects (analytics.pseudonym_collision_audit); oracle is the
+    direct COUNT DISTINCT replay of ids and md5-mod pseudonyms."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return analytics.pseudonym_collision_audit(ds)
+
+
+def _q_code_switch_rate_by_source(sf_dir: str):
+    """Mixed-language doc rate per source: >= 2 languages with >= 2
+    whole-token stopword hits (analytics.code_switch_rate_by_source);
+    oracle replays the per-language stopword membership counts."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.code_switch_rate_by_source(_docs(sf_dir, ["text", "source"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4715,6 +4756,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "gdpr_erasure_plan": _q_gdpr_erasure_plan,
         "max_coverage_select": _q_max_coverage_select,
+        "blocklist_screen": _q_blocklist_screen,
+        "boundary_stitch_chains": _q_boundary_stitch_chains,
+        "pseudonym_collision_audit": _q_pseudonym_collision_audit,
+        "code_switch_rate_by_source": _q_code_switch_rate_by_source,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6109,20 +6154,41 @@ _DOW_ADJUSTED_SPIKES_SQL = (
 )
 
 
-_BOUNDARY_OVERLAP_SQL = (
-    # replay of analytics.boundary_overlap_pairs (k=2, cap=40): [a-z0-9]+
-    # token windows, cap CTE drops boilerplate boundaries (> cap docs on
-    # either side), join tail(a) = head(b), a <> b
-    "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr "
+# shared CTE body for the boundary-overlap pair family (k=2, cap=40):
+# [a-z0-9]+ token windows, cap CTE drops boilerplate boundaries (> cap
+# docs on either side), join tail(a) = head(b), a <> b
+_BOUNDARY_CTES = (
+    "bt AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr "
     "FROM documents), "
-    "w AS (SELECT doc_id, array_to_string(list_slice(arr, 1, 2), ' ') AS head, "
+    "bw AS (SELECT doc_id, array_to_string(list_slice(arr, 1, 2), ' ') AS head, "
     "array_to_string(list_slice(arr, len(arr)-1, len(arr)), ' ') AS tail "
-    "FROM t WHERE len(arr) >= 2), "
-    "bad AS (SELECT head AS s FROM w GROUP BY 1 HAVING COUNT(*) > 40 "
-    "UNION SELECT tail AS s FROM w GROUP BY 1 HAVING COUNT(*) > 40) "
-    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM w a JOIN w b ON a.tail = b.head AND a.doc_id <> b.doc_id "
-    "WHERE a.tail NOT IN (SELECT s FROM bad)"
+    "FROM bt WHERE len(arr) >= 2), "
+    "bbad AS (SELECT head AS s FROM bw GROUP BY 1 HAVING COUNT(*) > 40 "
+    "UNION SELECT tail AS s FROM bw GROUP BY 1 HAVING COUNT(*) > 40), "
+    "bpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bw a JOIN bw b ON a.tail = b.head AND a.doc_id <> b.doc_id "
+    "WHERE a.tail NOT IN (SELECT s FROM bbad))"
+)
+
+_BOUNDARY_OVERLAP_SQL = (
+    # replay of analytics.boundary_overlap_pairs over the shared CTE body
+    f"WITH {_BOUNDARY_CTES} SELECT doc_a, doc_b FROM bpairs"
+)
+
+_BOUNDARY_CHAINS_SQL = (
+    # replay of analytics.boundary_stitch_chains: symmetric closure over
+    # the boundary edges (recursive reach, the ngram-CC construction),
+    # min-id components, chain-size histogram
+    f"WITH RECURSIVE {_BOUNDARY_CTES}, "
+    "bedges AS (SELECT doc_a AS a, doc_b AS b FROM bpairs "
+    "UNION SELECT doc_b, doc_a FROM bpairs), "
+    "breach AS (SELECT a, b FROM bedges "
+    "UNION SELECT r.a, e.b FROM breach r JOIN bedges e ON r.b = e.a), "
+    "bcl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+    "FROM breach GROUP BY a), "
+    "bsz AS (SELECT cluster_id, COUNT(*) AS n FROM bcl GROUP BY 1) "
+    "SELECT CAST(n AS BIGINT) AS chain_size, CAST(COUNT(*) AS BIGINT) AS n_chains "
+    "FROM bsz GROUP BY n ORDER BY chain_size"
 )
 
 
@@ -6322,6 +6388,63 @@ def _max_coverage_sql(k: int = 5) -> str:
         for r in range(1, k + 1)
     )
     return ", ".join(parts) + " " + rounds + " ORDER BY round"
+
+
+def _blocklist_sql() -> str:
+    from distributed_system___ocr_ray.pipelines.analytics import SCREEN_CATEGORIES
+
+    # replay of analytics.blocklist_screen: per category, whole-token
+    # hits via tokenize + list_contains (the stopword-kernel parity
+    # construction), zero cells preserved by grouping over ALL docs
+    parts = []
+    for cat, words in SCREEN_CATEGORIES.items():
+        lst = ", ".join(f"'{w}'" for w in sorted(words))
+        hits = (
+            "len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+            f"x -> list_contains([{lst}], x)))"
+        )
+        parts.append(
+            f"SELECT '{cat}' AS category, lang, "
+            "CAST(COUNT(*) FILTER (h > 0) AS BIGINT) AS n_docs, "
+            "CAST(SUM(h) AS BIGINT) AS n_hits "
+            f"FROM (SELECT lang, {hits} AS h FROM documents) GROUP BY lang"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY category, lang"
+
+
+def _pseudonym_sql(space_bits: int = 16) -> str:
+    h = _MD5U64.format(v="'pseud:' || CAST(user_id AS VARCHAR)")
+    mod = 1 << space_bits
+    return (
+        # replay of analytics.pseudonym_collision_audit over events
+        f"WITH s AS (SELECT DISTINCT user_id, CAST({h} % {mod} AS BIGINT) AS p "
+        "FROM events), "
+        "a AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(COUNT(DISTINCT p) AS BIGINT) AS n_pseudonyms FROM s) "
+        "SELECT n_users, n_pseudonyms, n_users - n_pseudonyms AS n_collisions, "
+        "CAST((n_users - n_pseudonyms) * 1000000 // GREATEST(n_users, 1) AS BIGINT) "
+        "AS collision_ppm FROM a"
+    )
+
+
+def _code_switch_sql(min_hits: int = 2) -> str:
+    from distributed_system___ocr_ray.functions.textstats import LANG_ORDER, STOPWORDS
+
+    # replay of analytics.code_switch_rate_by_source over the proven
+    # per-language stopword membership construction
+    flags = " + ".join(
+        f"(CASE WHEN {_sql_stop_hits(STOPWORDS[lang])} >= {min_hits} "
+        "THEN 1 ELSE 0 END)"
+        for lang in LANG_ORDER
+    )
+    return (
+        f"WITH d AS (SELECT source, CASE WHEN ({flags}) >= 2 THEN 1 ELSE 0 END AS f "
+        "FROM documents) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(f) AS BIGINT) AS n_code_switch, "
+        "CAST(SUM(f) * 1000000 // GREATEST(COUNT(*), 1) AS BIGINT) "
+        "AS code_switch_ppm FROM d GROUP BY source ORDER BY source"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7961,4 +8084,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunk_dedup": _CDC_CHUNK_SQL,
         "gdpr_erasure_plan": _gdpr_sql(),
         "max_coverage_select": _max_coverage_sql(),
+        "blocklist_screen": _blocklist_sql(),
+        "boundary_stitch_chains": _BOUNDARY_CHAINS_SQL,
+        "pseudonym_collision_audit": _pseudonym_sql(),
+        "code_switch_rate_by_source": _code_switch_sql(),
     }

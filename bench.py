@@ -215,7 +215,8 @@ SWEEP_QUERIES = [
     "l_diversity_audit", "padding_waste_by_bucket",
     "order_total_reconciliation", "vocab_pruning_plan",
     "winnow_fingerprint_pairs", "cdc_chunk_dedup", "gdpr_erasure_plan",
-    "max_coverage_select",
+    "max_coverage_select", "blocklist_screen", "boundary_stitch_chains",
+    "pseudonym_collision_audit", "code_switch_rate_by_source",
 ]
 
 

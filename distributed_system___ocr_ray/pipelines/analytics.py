@@ -10028,3 +10028,222 @@ def max_coverage_select(ds, k: int = 5, text_col: str = "text", id_col: str = "d
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# content-safety screening categories: term lists are opaque inputs in a
+# real deployment (brand-safety / toxicity lexicons); these defaults are
+# drawn from the synthetic corpus vocabulary so the screen is non-vacuous
+# on the test tables
+SCREEN_CATEGORIES: dict[str, tuple] = {
+    "speed": ("fast", "slow"),
+    "structure": ("table", "row", "line"),
+    "ops": ("scan", "merge", "join"),
+}
+
+
+def blocklist_screen(ds, categories: dict | None = None, text_col: str = "text",
+                     lang_col: str = "lang"):
+    """Content-safety blocklist screen: per (category, lang), how many
+    docs contain ≥1 whole-token hit from the category's term list and
+    the total hit count — the lexicon pre-filter (brand-safety /
+    toxicity / spam lists) that runs before any model-based screen.
+    Whole-token semantics via ``textstats._stop_regex`` (lookaround-
+    pinned maximal [a-z]+ runs — ONE vectorized ``str.count`` per
+    category), the construction already proven char-for-char equal to
+    the oracle's tokenize + list_contains replay on the stopword
+    kernels. Zero cells are kept: a lang with no hits still reports.
+
+    Plan: per batch, |categories| str.counts + one bounded
+    (category, lang) partial; tiny final merge. Purely map-side —
+    nothing about the screen touches a shuffle."""
+    from ..functions import textstats as ts
+    from .relational import tiny_final_groupby
+
+    cats = categories or SCREEN_CATEGORIES
+    regs = {c: ts._stop_regex(set(words)) for c, words in cats.items()}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        lang = batch[lang_col]
+        outs = []
+        for c, rx in regs.items():
+            hits = low.str.count(rx).astype(np.int64)
+            g = pd.DataFrame({"lang": lang, "h": hits}).groupby("lang", sort=False).agg(
+                n_docs=("h", lambda s: int((s > 0).sum())), n_hits=("h", "sum")
+            ).reset_index()
+            g.insert(0, "category", c)
+            outs.append(g)
+        out = pd.concat(outs, ignore_index=True)
+        return out.astype({"n_docs": "int64", "n_hits": "int64"})
+
+    out = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["category", "lang"],
+            [("n_docs", "sum"), ("n_hits", "sum")],
+            ["category", "lang", "n_docs", "n_hits"],
+        )
+        .to_pandas()
+        .sort_values(["category", "lang"])
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_hits"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def boundary_stitch_chains(ds, **kwargs):
+    """Crawl-stitch CHAINS: connected components over the
+    ``boundary_overlap_pairs`` edge set (A's tail == B's head), reported
+    as a chain-size histogram (chain_size, n_chains) — a page split into
+    N consecutive crawl records shows up as one chain of N docs, the
+    signal a reassembly pass sizes itself by. Pure composition:
+    boundary pairs → ``dedup_clusters`` pointer-jumping components
+    (O(log diameter) rounds, Dataset ops only) → bounded histogram."""
+    from .relational import tiny_final_groupby
+
+    pairs = boundary_overlap_pairs(ds, **kwargs)
+    cl = dedup_clusters(pairs)
+
+    def sizes(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("cluster_id", sort=False).size().rename("n").reset_index()
+        return g.astype({"cluster_id": "int64", "n": "int64"})
+
+    # cluster ids are co-located by dedup_clusters' final fold keyed on
+    # doc -- re-bucket on cluster_id so each chain counts once
+    from .relational import hash_bucket_column
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "cluster_id", 16)
+
+    def bucket_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("cluster_id", sort=False)["n"].sum()
+        h = per.value_counts().rename("n_chains").reset_index()
+        h.columns = ["chain_size", "n_chains"]
+        return h.astype({"chain_size": "int64", "n_chains": "int64"})
+
+    out = (
+        tiny_final_groupby(
+            cl.map_batches(sizes, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(bucket_sizes, batch_format="pandas"),
+            ["chain_size"],
+            [("n_chains", "sum")],
+            ["chain_size", "n_chains"],
+        )
+        .to_pandas()
+        .sort_values("chain_size")
+        .reset_index(drop=True)
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def pseudonym_collision_audit(ds, id_col: str = "user_id", space_bits: int = 16):
+    """Pseudonymization collision audit: hash every subject id into a
+    ``2^space_bits`` pseudonym space (md5-u64 mod) and count how many
+    DISTINCT subjects collide — the birthday-bound check a privacy
+    engineer runs before releasing a pseudonymized join key (a collision
+    silently MERGES two people's histories). ``space_bits=16`` is
+    deliberately small so the audit exercises its collision path on test
+    data; a production key uses 64+ bits and this same audit proves it.
+
+    Plan: per batch, ids dedupe then hash once per distinct id; the
+    exchange buckets distinct (id, pseudonym) pairs BY PSEUDONYM (an
+    id always lands with its pseudonym, a pseudonym never splits, so
+    per-bucket distinct counts of BOTH columns add); 3-counter fold.
+    Output one row: (n_users, n_pseudonyms, n_collisions,
+    collision_ppm)."""
+    from ..functions.dedup import md5_u64
+    from .relational import hash_bucket_column
+
+    mod = 1 << space_bits
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        u = pd.unique(batch[id_col].to_numpy(np.int64))
+        p = np.array([md5_u64(f"pseud:{v}".encode()) % mod for v in u], dtype=np.int64)
+        return pd.DataFrame({"u": u, "p": p})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "p", 32)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.drop_duplicates(["u", "p"])
+        return pd.DataFrame(
+            {
+                "n_users": [int(per["u"].nunique())],
+                "n_pseudonyms": [int(per["p"].nunique())],
+            }
+        ).astype("int64")
+
+    tot = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    nu, npse = int(tot["n_users"]), int(tot["n_pseudonyms"])
+    out = pd.DataFrame(
+        {
+            "n_users": [nu],
+            "n_pseudonyms": [npse],
+            "n_collisions": [nu - npse],
+            "collision_ppm": [(nu - npse) * 1_000_000 // max(nu, 1)],
+        }
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def code_switch_rate_by_source(ds, text_col: str = "text", source_col: str = "source",
+                               min_hits: int = 2):
+    """Code-switching screen: per source, how many docs show stopword
+    evidence of TWO OR MORE languages (≥ ``min_hits`` whole-token
+    stopword hits in each) — mixed-language pages are a classic crawl
+    artifact that poisons per-language training splits, and the per-doc
+    langid argmax (``language_id``) cannot see them by construction.
+    Uses the same per-language stopword kernels (lookaround-pinned
+    counts == tokenize+membership) the langid family already replays
+    exactly in SQL.
+
+    Plan: 4 vectorized str.counts per batch, bounded (source) partial,
+    tiny final merge. Output (source, n_docs, n_code_switch,
+    code_switch_ppm), source ASC."""
+    from ..functions import textstats as ts
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        langs_hit = np.zeros(len(low), dtype=np.int64)
+        for lang in ts.LANG_ORDER:
+            hits = low.str.count(ts._LANG_STOP_RE[lang]).to_numpy(np.int64)
+            langs_hit += (hits >= min_hits).astype(np.int64)
+        flag = (langs_hit >= 2).astype(np.int64)
+        g = pd.DataFrame({"source": batch[source_col], "f": flag}).groupby(
+            "source", sort=False
+        ).agg(n_docs=("f", "size"), n_code_switch=("f", "sum")).reset_index()
+        return g.astype({"n_docs": "int64", "n_code_switch": "int64"})
+
+    out = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source"],
+            [("n_docs", "sum"), ("n_code_switch", "sum")],
+            ["source", "n_docs", "n_code_switch"],
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["code_switch_ppm"] = (
+        out["n_code_switch"].to_numpy(np.int64) * 1_000_000
+        // np.maximum(out["n_docs"].to_numpy(np.int64), 1)
+    )
+    for c in ("n_docs", "n_code_switch", "code_switch_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out

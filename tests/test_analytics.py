@@ -8244,3 +8244,102 @@ class TestMaxCoverageSelect:
         )
         out = analytics.max_coverage_select(rd.from_arrow(tbl), k=1)
         assert list(out["doc_id"]) == [5]
+
+
+class TestBlocklistScreen:
+    def test_hand_built_categories(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "the fast table is fast",   # speed 2 hits
+                        "slow breakfast",           # 1 hit: 'breakfast' is NOT 'fast'
+                        "nothing here",
+                    ],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+            }
+        )
+        out = analytics.blocklist_screen(
+            rd.from_arrow(tbl), categories={"speed": ("fast", "slow")}
+        )
+        got = {
+            (r["category"], r["lang"]): (r["n_docs"], r["n_hits"])
+            for _, r in out.iterrows()
+        }
+        # whole-token: 'contrast' must NOT count; zero cell (de) kept
+        assert got == {("speed", "en"): (2, 3), ("speed", "de"): (0, 0)}
+
+
+class TestBoundaryStitchChains:
+    def test_three_doc_chain(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            "alpha beta gamma delta",       # -> doc1 (tail 'gamma delta')
+            "gamma delta epsilon zeta",     # -> doc2 (tail 'epsilon zeta')
+            "epsilon zeta omega psi",       # chain of 3
+            "lonely words with no overlap", # singleton: not in any chain
+            "pair one start tail mark",     # -> doc5 ('tail mark')
+            "tail mark pair two finish",    # chain of 2
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = analytics.boundary_stitch_chains(rd.from_arrow(tbl))
+        got = {r["chain_size"]: r["n_chains"] for _, r in out.iterrows()}
+        assert got == {2: 1, 3: 1}
+
+
+class TestPseudonymCollisionAudit:
+    def test_tiny_space_forces_collisions(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        users = list(range(1, 60))
+        tbl = pa.table({"user_id": pa.array(users * 3, pa.int64())})  # dups too
+        out = analytics.pseudonym_collision_audit(
+            rd.from_arrow(tbl), space_bits=4
+        ).iloc[0]
+        ps = {md5_u64(f"pseud:{u}".encode()) % 16 for u in users}
+        assert out["n_users"] == 59
+        assert out["n_pseudonyms"] == len(ps)
+        assert out["n_collisions"] == 59 - len(ps) > 0
+        assert out["collision_ppm"] == (59 - len(ps)) * 1_000_000 // 59
+
+
+class TestCodeSwitchRateBySource:
+    def test_mixed_language_flagged(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            "the cat and the dog is in it",        # en only
+            "the cat and der hund ist nicht mit",  # en + de -> flagged
+            "la vie est pour les autres",          # fr only
+        ]
+        tbl = pa.table(
+            {
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s1", "s1", "s2"], pa.string()),
+            }
+        )
+        out = analytics.code_switch_rate_by_source(rd.from_arrow(tbl))
+        got = {
+            r["source"]: (r["n_docs"], r["n_code_switch"], r["code_switch_ppm"])
+            for _, r in out.iterrows()
+        }
+        assert got == {"s1": (2, 1, 500000), "s2": (1, 0, 0)}
