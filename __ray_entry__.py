@@ -6278,18 +6278,25 @@ _VOCAB_PRUNING_SQL = (
 
 
 def _winnow_sql(k: int = 20, w: int = 8, cap: int = 40, min_shared: int = 5) -> str:
-    h = _MD5U64.format(v="'win:' || gram")
+    from distributed_system___ocr_ray.pipelines.analytics import _CDC_B, _CDC_M
+
+    terms = " + ".join(
+        f"CAST(ascii(substr(s, CAST(pos + {j} AS INT), 1)) AS BIGINT) "
+        f"* {pow(_CDC_B, k - 1 - j, _CDC_M)}"
+        for j in range(k)
+    )
     return (
         # replay of analytics.winnow_fingerprint_pairs: k-grams of the
-        # lowered text, packed (43-bit md5 >> 21, reversed clamped pos)
-        # winnowing keys, trailing-w window MIN (prefix windows included),
-        # distinct fingerprints, hot-print cap, pair counts
+        # lowered text hashed by the cdc polynomial (generated term list,
+        # int64-safe), packed (31-bit hash, reversed clamped pos) winnowing
+        # keys, trailing-w window MIN (prefix windows included), distinct
+        # fingerprints, hot-print cap, pair counts
         "WITH t AS (SELECT doc_id, lower(text) AS s FROM documents), "
         f"g0 AS (SELECT doc_id, unnest(range(1, greatest(length(s) - {k - 2}, 1))) "
         "AS pos, s FROM t), "
         "g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos, "
-        f"substr(s, CAST(pos AS INT), {k}) AS gram FROM g0), "
-        f"kk AS (SELECT doc_id, pos, CAST(({h} >> 21) AS BIGINT) * 1048576 "
+        f"({terms}) % {_CDC_M} AS hv FROM g0), "
+        "kk AS (SELECT doc_id, pos, CAST(hv AS BIGINT) * 1048576 "
         "+ (1048575 - LEAST(pos - 1, 1048575)) AS key FROM g), "
         "sel AS (SELECT DISTINCT doc_id, MIN(key) OVER "
         f"(PARTITION BY doc_id ORDER BY pos ROWS BETWEEN {w - 1} PRECEDING "

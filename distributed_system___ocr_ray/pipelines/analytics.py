@@ -9592,6 +9592,12 @@ def vocab_pruning_plan(ds, text_col: str = "text", thresholds=(1, 2, 5, 10, 100)
     return out
 
 
+_CDC_B, _CDC_M, _CDC_W, _CDC_MASK = 257, 2147483647, 16, 63
+_CDC_POW = np.array(
+    [pow(_CDC_B, _CDC_W - 1 - j, _CDC_M) for j in range(_CDC_W)], dtype=np.int64
+)
+
+
 def winnow_fingerprint_pairs(
     ds,
     text_col: str = "text",
@@ -9609,73 +9615,75 @@ def winnow_fingerprint_pairs(
     The positional robust complement of MinHash (which estimates
     whole-doc similarity, not contained copies).
 
-    Determinism: the winnowing key packs (43-bit md5 gram hash, 20-bit
-    reversed position) into one int64, so the window MIN itself encodes
-    the rightmost-tie rule and both sides replay it with a single
-    ``MIN() OVER (ROWS w−1 PRECEDING)`` — no argmin logic. Prefix
-    windows (< w grams in) are included by both sides; docs shorter
-    than k grams emit nothing; positions clamp at 2^20−1 (1 MB docs).
+    Determinism: the winnowing key packs (31-bit polynomial gram hash,
+    20-bit reversed position) into one int64, so the window MIN itself
+    encodes the rightmost-tie rule and both sides replay it with a
+    single ``MIN() OVER (ROWS w−1 PRECEDING)`` — no argmin logic. The
+    gram hash is the cdc_chunk_dedup polynomial (k terms mod 2^31−1
+    over codepoints, int64-safe, generated term-for-term into the
+    oracle) — measured ~6× cheaper than per-gram md5 because NO gram
+    string is ever materialized: the whole batch's codepoints
+    concatenate once (k−1 sentinel gap between docs) and ONE
+    sliding-window matmul hashes every gram of every doc. 31-bit hash
+    collisions merge fingerprints IDENTICALLY on both sides (the oracle
+    joins on the same hash), so the compare stays exact. Prefix windows
+    (< w grams in) are included by both sides; docs shorter than k
+    grams emit nothing; positions clamp at 2^20−1 (1 MB docs).
 
-    Plan (100 TB shape): stage 1 is embarrassingly parallel (per batch:
-    ONE factorize dedupes grams before hashing — Zipf again — then
-    vectorized sliding-window minima per doc); the exchange moves only
-    distinct (fingerprint, doc_id) int rows; hot fingerprints past
-    ``cap`` docs are boilerplate and drop (cap CTE in the oracle);
+    Plan (100 TB shape): stage 1 is embarrassingly parallel and fully
+    batch-vectorized; the exchange moves only distinct
+    (fingerprint, doc_id) int rows; hot fingerprints past ``cap`` docs
+    are boilerplate and drop (cap CTE in the oracle);
     per-fingerprint-bucket pair partials fold through ONE pair-keyed
     groupby sum. Output (doc_a, doc_b, n_shared), doc_a < doc_b."""
-    import hashlib as _hl
+    from numpy.lib.stride_tricks import sliding_window_view
 
     from .relational import derive_buckets, hash_bucket_column
 
     POSBITS = 20
     POSMAX = (1 << POSBITS) - 1
+    M = _CDC_M
+    powvec = np.array([pow(_CDC_B, k - 1 - j, M) for j in range(k)], dtype=np.int64)
 
     def prints(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"hh": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
+        )
         ids = batch[id_col].to_numpy()
         texts = batch[text_col].fillna("").str.lower().tolist()
-        doc_grams: list[list[str]] = []
-        all_grams: list[str] = []
-        for s in texts:
-            n = len(s) - k + 1
-            g = [s[i : i + k] for i in range(n)] if n >= 1 else []
-            doc_grams.append(g)
-            all_grams.extend(g)
-        if not all_grams:
-            return pd.DataFrame(
-                {"hh": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
-            )
-        codes, uniq = pd.factorize(np.array(all_grams, dtype=object))
-        hv = np.array(
-            [
-                int.from_bytes(_hl.md5(("win:" + u).encode()).digest()[:8], "big") >> 21
-                for u in uniq
-            ],
-            dtype=np.int64,
-        )
-        hcodes = hv[codes]
-        out_hh, out_doc = [], []
+        cps, offs, lens = [], [], []
+        gap = np.full(k - 1, 0x110000, np.int64)  # sentinel > any codepoint
         off = 0
+        for s in texts:
+            cp = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.int64)
+            cps.append(cp)
+            cps.append(gap)
+            offs.append(off)
+            lens.append(len(cp))
+            off += len(cp) + k - 1
+        concat = np.concatenate(cps) if cps else np.zeros(0, np.int64)
+        if len(concat) < k:
+            return empty
+        # ONE matmul hashes every k-gram of every doc; windows that cross
+        # a sentinel gap fall between the per-doc slices and are never read
+        hw_full = (sliding_window_view(concat, k) @ powvec) % M
+        out_hh, out_doc = [], []
         big = np.iinfo(np.int64).max
-        for d, g in zip(ids, doc_grams):
-            n = len(g)
-            if n == 0:
+        for d, o, L in zip(ids, offs, lens):
+            n = L - k + 1
+            if n < 1:
                 continue
-            h = hcodes[off : off + n]
-            off += n
-            pos = np.minimum(np.arange(n, dtype=np.int64), POSMAX)
-            key = (h << POSBITS) | (POSMAX - pos)
+            key = (hw_full[o : o + n] << POSBITS) | (
+                POSMAX - np.minimum(np.arange(n, dtype=np.int64), POSMAX)
+            )
             ww = min(w, n)
             padded = np.concatenate([np.full(ww - 1, big, np.int64), key])
-            sel = np.unique(
-                np.lib.stride_tricks.sliding_window_view(padded, ww).min(axis=1)
-            )
+            sel = np.unique(sliding_window_view(padded, ww).min(axis=1))
             hh = np.unique(sel >> POSBITS)
             out_hh.append(hh)
             out_doc.append(np.full(len(hh), d, np.int64))
         if not out_hh:
-            return pd.DataFrame(
-                {"hh": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
-            )
+            return empty
         return pd.DataFrame(
             {"hh": np.concatenate(out_hh), "doc_id": np.concatenate(out_doc)}
         )
@@ -9699,29 +9707,41 @@ def winnow_fingerprint_pairs(
         )
         return out.astype({"doc_a": "int64", "doc_b": "int64", "n": "int64"})
 
-    from ray.data.aggregate import Sum
-
-    pairs = (
+    partials = (
         ds.map_batches(prints, batch_format="pandas")
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Sum("n", alias_name="n_shared"))
     )
 
-    def keep(batch: pa.Table) -> pa.Table:
+    # pair-keyed fold: Ray's native sort-aggregate on the 2-column key
+    # measured 25 s on 107k partial rows at sf0.1 (vs 0.9 s for this
+    # shape) -- shuffle on a DERIVED int64 pair key instead (wraparound
+    # is fine: it is only a partition key; the true 2-column groupby
+    # runs inside each bucket), then filter the threshold map-side
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
-        return batch.filter(_pc.greater_equal(batch.column("n_shared"), min_shared))
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            key = a * np.int64(1000003) + b
+        batch = batch.append_column("__pk", pa.array(key, pa.int64()))
+        return hash_bucket_column(batch, "__pk", 16)
 
-    return pairs.map_batches(keep, batch_format="pyarrow")
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["doc_a", "doc_b"], sort=False)["n"].sum()
+            .rename("n_shared").reset_index()
+        )
+        out = out[out["n_shared"] >= min_shared]
+        return out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
 
-
-_CDC_B, _CDC_M, _CDC_W, _CDC_MASK = 257, 2147483647, 16, 63
-_CDC_POW = np.array(
-    [pow(_CDC_B, _CDC_W - 1 - j, _CDC_M) for j in range(_CDC_W)], dtype=np.int64
-)
+    return (
+        partials.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(pair_fold, batch_format="pandas")
+    )
 
 
 def cdc_chunk_dedup(ds, text_col: str = "text"):
