@@ -9964,72 +9964,121 @@ def max_coverage_select(ds, k: int = 5, text_col: str = "text", id_col: str = "d
     objective is what separates this from ``budget_select`` (modular
     score-sort): each round's scores depend on everything already
     chosen. Bigrams, not unigrams, so coverage does not saturate on a
-    small vocabulary.
+    small vocabulary. The covered set broadcasts as a SORTED int64
+    array (zero-copy from the object store; searchsorted membership),
+    not a Python set.
 
-    Plan (100 TB shape): k rounds; each round broadcasts the covered
-    set ONCE (``ray.put``) and runs ONE corpus pass — per batch the
-    bigram table is built by the vectorized shifted-compare pairing
-    (event_transitions' kernel), uncovered gains come from one
-    isin + drop_duplicates + groupby, and only the block WINNER'S row
-    (id, gain, its new bigrams) leaves the task — driver state is k
-    rounds × blocks winner rows, never the corpus. Returns
-    (round, doc_id, gain, covered_total)."""
+    Plan (100 TB shape): the corpus is tokenized ONCE into a
+    materialized COMPACT projection — distinct (doc_id, bigram-md5-u64)
+    int rows, built by the vectorized shifted-compare pairing with
+    per-batch factorize-dedup before hashing — and every greedy round
+    runs over that int table, not the text (the bm25 two-consumer
+    materialize pattern; measured 12.8 s → ~4 s at sf0.1). Each round
+    broadcasts the covered hash set once (``ray.put``) and only the
+    block WINNER'S row (id, gain, its new hashes) leaves a task —
+    driver state is k rounds × blocks winner rows, never the corpus.
+    64-bit bigram hashing is collision-free at corpus scale vs the
+    oracle's DISTINCT on the bigram strings (the boundary_overlap_pairs
+    equivalence). Returns (round, doc_id, gain, covered_total)."""
+    import hashlib as _hl
+
     import ray
 
     import re as _re
 
     word_re = _re.compile(r"[a-z0-9]+")
-    SEP = chr(31)
+
+    def bigrams(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "h": pd.Series([], dtype=np.int64)}
+        )
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+        docs = batch[id_col].to_numpy(np.int64)
+        ex = toks.reset_index(drop=True).explode().dropna()
+        if len(ex) < 2:
+            return empty
+        idx = ex.index.to_numpy(np.int64)
+        t = ex.to_numpy()
+        same = idx[1:] == idx[:-1]
+        if not same.any():
+            return empty
+        big = pd.Series(t[:-1][same]).str.cat(pd.Series(t[1:][same]), sep=" ")
+        codes, uniq = pd.factorize(big.to_numpy())
+        hv = np.array(
+            [
+                int.from_bytes(_hl.md5(("mc:" + u).encode()).digest()[:8], "big")
+                for u in uniq
+            ],
+            dtype=np.uint64,
+        ).view(np.int64)
+        out = pd.DataFrame(
+            {"doc_id": docs[idx[:-1][same]], "h": hv[codes]}
+        ).drop_duplicates()
+        return out.astype({"doc_id": "int64", "h": "int64"})
+
+    # one doc-bucketed exchange pins every doc's rows into ONE block
+    # (Ray's dynamic block splitting could otherwise split a doc across
+    # blocks and silently undercount a per-block winner); rounds then
+    # map per-block with batch_size=None
+    from .relational import derive_buckets, hash_bucket_column
+
+    buckets = derive_buckets(ds.count())
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "doc_id", buckets)
+
+    compact = (
+        ds.map_batches(bigrams, batch_format="pandas")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(lambda g: g, batch_format="pandas")
+        .materialize()
+    )
+
     covered: set = set()
     out_rows = []
     for rnd in range(1, k + 1):
-        handle = [ray.put(frozenset(covered))]
+        # task pool, not actor pool: a fresh actor pool per round pays
+        # ~1 s spin-up x k rounds; a closure over the ray.put handle is
+        # a local object-store get per task (blocks are few at
+        # batch_size=None)
+        cov_ref = ray.put(np.array(sorted(covered), dtype=np.int64))
 
-        class Gain:
-            def __init__(self) -> None:
-                self.cov = ray.get(handle[0])
+        def gain_fn(batch: pd.DataFrame, _ref=cov_ref) -> pd.DataFrame:
+            cov = ray.get(_ref)
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "gain": pd.Series([], dtype=np.int64),
+                    "newtoks": pd.Series([], dtype=object),
+                }
+            )
+            h = batch["h"].to_numpy(np.int64)
+            # sorted-array membership: zero-copy from the object store,
+            # no per-round set deserialization
+            if len(cov):
+                pos = np.searchsorted(cov, h)
+                pos[pos == len(cov)] = len(cov) - 1
+                mask = cov[pos] != h
+            else:
+                mask = np.ones(len(h), dtype=bool)
+            df = batch[mask]
+            if not len(df):
+                return empty
+            gains = df.groupby("doc_id", sort=False).size().sort_index()
+            win = int(gains.idxmax())  # first max after sort = min id
+            new = df[df["doc_id"] == win]["h"].tolist()
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([win], dtype=np.int64),
+                    "gain": pd.Series([len(new)], dtype=np.int64),
+                    "newtoks": pd.Series([new], dtype=object),
+                }
+            )
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                empty = pd.DataFrame(
-                    {
-                        "doc_id": pd.Series([], dtype=np.int64),
-                        "gain": pd.Series([], dtype=np.int64),
-                        "newtoks": pd.Series([], dtype=str),
-                    }
-                )
-                toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
-                docs = batch[id_col].to_numpy(np.int64)
-                ex = toks.reset_index(drop=True).explode().dropna()
-                if not len(ex):
-                    return empty
-                idx = ex.index.to_numpy(np.int64)
-                t = ex.to_numpy()
-                if len(t) < 2:
-                    return empty
-                same = idx[1:] == idx[:-1]
-                if not same.any():
-                    return empty
-                big = pd.Series(t[:-1][same]).str.cat(
-                    pd.Series(t[1:][same]), sep=" "
-                )
-                d = docs[idx[:-1][same]]
-                df = pd.DataFrame({"d": d, "w": big.to_numpy()})
-                df = df[~df["w"].isin(self.cov)].drop_duplicates()
-                if not len(df):
-                    return empty
-                gains = df.groupby("d", sort=False).size()
-                gains = gains.sort_index()  # tie -> smallest doc_id
-                win = int(gains.idxmax())  # idxmax takes FIRST max = min id
-                new = df[df["d"] == win]["w"].tolist()
-                return pd.DataFrame(
-                    {
-                        "doc_id": pd.Series([win], dtype=np.int64),
-                        "gain": pd.Series([len(new)], dtype=np.int64),
-                        "newtoks": pd.Series([SEP.join(new)], dtype=str),
-                    }
-                )
-
-        blocks = ds.map_batches(Gain, batch_format="pandas", concurrency=(1, 8)).to_pandas()
+        blocks = compact.map_batches(
+            gain_fn, batch_format="pandas", batch_size=None
+        ).to_pandas()
         # an all-empty round yields a schema-less empty frame: selection done
         if blocks.empty or "gain" not in blocks.columns:
             break
@@ -10038,7 +10087,7 @@ def max_coverage_select(ds, k: int = 5, text_col: str = "text", id_col: str = "d
             break
         blocks = blocks.sort_values(["gain", "doc_id"], ascending=[False, True])
         winner = blocks.iloc[0]
-        covered |= set(winner["newtoks"].split(SEP))
+        covered |= set(winner["newtoks"])
         out_rows.append(
             (rnd, int(winner["doc_id"]), int(winner["gain"]), len(covered))
         )
