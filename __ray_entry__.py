@@ -4505,6 +4505,16 @@ def _q_code_switch_rate_by_source(sf_dir: str):
     return analytics.code_switch_rate_by_source(_docs(sf_dir, ["text", "source"]))
 
 
+def _q_token_budget_waterfill(sf_dir: str):
+    """Water-filling token allocation: per-source supply capped at the
+    max level whose allocation fits 2/5 of the corpus
+    (analytics.token_budget_waterfill); oracle replays the prefix-sum
+    closed form with one window cumsum."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.token_budget_waterfill(_docs(sf_dir, ["text", "source"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4760,6 +4770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_stitch_chains": _q_boundary_stitch_chains,
         "pseudonym_collision_audit": _q_pseudonym_collision_audit,
         "code_switch_rate_by_source": _q_code_switch_rate_by_source,
+        "token_budget_waterfill": _q_token_budget_waterfill,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6454,6 +6465,29 @@ def _code_switch_sql(min_hits: int = 2) -> str:
     )
 
 
+_WATERFILL_SQL = (
+    # replay of analytics.token_budget_waterfill: supply-ascending window
+    # cumsum, per-row level candidate (B - s_{i-1}) // (n-i+1), valid
+    # where cand >= previous supply (a_0 = 0), L = MAX(valid), allot =
+    # LEAST(a, L). B = total * 2 // 5, all integer.
+    "WITH s AS (SELECT source, "
+    "CAST(SUM(len(regexp_extract_all(text, '[^ \\t\\n\\f\\r]+'))) AS BIGINT) AS a "
+    "FROM documents GROUP BY source), "
+    "t AS (SELECT CAST(SUM(a) AS BIGINT) AS total, COUNT(*) AS n FROM s), "
+    "b AS (SELECT total * 2 // 5 AS B, n FROM t), "
+    "o AS (SELECT source, a, ROW_NUMBER() OVER (ORDER BY a, source) AS i, "
+    "SUM(a) OVER (ORDER BY a, source ROWS UNBOUNDED PRECEDING) AS s_i, "
+    "COALESCE(LAG(a) OVER (ORDER BY a, source), 0) AS prev FROM s), "
+    "cand AS (SELECT (b.B - (o.s_i - o.a)) // (b.n - o.i + 1) AS c, o.prev "
+    "FROM o, b), "
+    "lvl AS (SELECT MAX(c) AS L FROM cand WHERE c >= prev) "
+    "SELECT s.source, s.a AS available_tokens, "
+    "CAST(LEAST(s.a, lvl.L) AS BIGINT) AS allotted_tokens, "
+    "CAST(CASE WHEN s.a > lvl.L THEN 1 ELSE 0 END AS BIGINT) AS capped "
+    "FROM s, lvl ORDER BY s.source"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8095,4 +8129,5 @@ def oracle_sql() -> dict[str, str]:
         "boundary_stitch_chains": _BOUNDARY_CHAINS_SQL,
         "pseudonym_collision_audit": _pseudonym_sql(),
         "code_switch_rate_by_source": _code_switch_sql(),
+        "token_budget_waterfill": _WATERFILL_SQL,
     }

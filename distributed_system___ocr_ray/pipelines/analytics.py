@@ -10316,3 +10316,62 @@ def code_switch_rate_by_source(ds, text_col: str = "text", source_col: str = "so
     for c in ("n_docs", "n_code_switch", "code_switch_ppm"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def token_budget_waterfill(ds, text_col: str = "text", source_col: str = "source",
+                           budget_num: int = 2, budget_den: int = 5):
+    """Mixture balancing by water-filling: given per-source token
+    supplies and a global token budget (here ``2/5`` of the corpus,
+    integer floor), find the LEVEL cap L — the largest integer with
+    Σ min(supply_i, L) ≤ budget — and allot each source
+    min(supply_i, L). Small sources keep everything, big sources cap at
+    the common level: the standard head-room-equalizing allocation a
+    training-mixture planner runs before sampling (uniform-ish mixture
+    without starving small sources).
+
+    Exactness: L comes from the closed form over the supply-ascending
+    prefix sums (candidate (B − s_{i−1}) // (n−i+1) per row, max over
+    valid rows — provably the maximal non-overshooting level), all
+    integer, replayed by the oracle with one window cumsum. One bounded
+    (source) token-count pass; the waterfill itself runs on the
+    key-domain-sized table. Output (source, available_tokens,
+    allotted_tokens, capped), source ASC."""
+    from ..functions import textstats as ts
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch[text_col].fillna("").str.count(ts._WS_TOKEN).astype(np.int64)
+        g = pd.DataFrame({"source": batch[source_col], "n": n}).groupby(
+            "source", sort=False
+        )["n"].sum().rename("available_tokens").reset_index()
+        return g.astype({"available_tokens": "int64"})
+
+    src = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["source"],
+            [("available_tokens", "sum")],
+            ["source", "available_tokens"],
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    a = src["available_tokens"].to_numpy(np.int64)
+    total = int(a.sum())
+    B = total * budget_num // budget_den
+    order = np.argsort(a, kind="stable")
+    asc = a[order]
+    n = len(asc)
+    prefix = np.concatenate([[0], np.cumsum(asc)])
+    L = 0
+    for i in range(1, n + 1):  # key-domain-sized: ≤ |sources| iterations
+        cand = (B - int(prefix[i - 1])) // (n - i + 1)
+        prev = int(asc[i - 2]) if i >= 2 else 0
+        if cand >= prev:
+            L = max(L, cand)
+    allot = np.minimum(a, L)
+    src["allotted_tokens"] = allot.astype(np.int64)
+    src["capped"] = (a > L).astype(np.int64)
+    src["available_tokens"] = src["available_tokens"].astype(np.int64)
+    return src

@@ -8343,3 +8343,45 @@ class TestCodeSwitchRateBySource:
             for _, r in out.iterrows()
         }
         assert got == {"s1": (2, 1, 500000), "s2": (1, 0, 0)}
+
+
+class TestTokenBudgetWaterfill:
+    def test_hand_built_levels(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # supplies: s1=2, s2=10, s3=20 -> total 32, B = 32*2//5 = 12
+        # L: i=1: 12//3=4 >= 0 ok; i=2: (12-2)//2=5 >= 2 ok; i=3:
+        # (12-12)//1=0 < 10 invalid -> L=5; allot = 2,5,5 (sum 12 = B)
+        texts = (["w w"] * 1) + ["w w w w w w w w w w"] + ["w " * 19 + "w"]
+        srcs = ["s1", "s2", "s3"]
+        tbl = pa.table(
+            {
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        out = analytics.token_budget_waterfill(rd.from_arrow(tbl))
+        got = {
+            r["source"]: (r["available_tokens"], r["allotted_tokens"], r["capped"])
+            for _, r in out.iterrows()
+        }
+        assert got == {"s1": (2, 2, 0), "s2": (10, 5, 1), "s3": (20, 5, 1)}
+
+    def test_budget_covers_everything(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "text": pa.array(["a b", "c d e"], pa.string()),
+                "source": pa.array(["x", "y"], pa.string()),
+            }
+        )
+        out = analytics.token_budget_waterfill(
+            rd.from_arrow(tbl), budget_num=1, budget_den=1
+        )
+        assert list(out["allotted_tokens"]) == list(out["available_tokens"])
+        assert list(out["capped"]) == [0, 0]
