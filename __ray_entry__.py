@@ -4515,6 +4515,15 @@ def _q_token_budget_waterfill(sf_dir: str):
     return analytics.token_budget_waterfill(_docs(sf_dir, ["text", "source"]))
 
 
+def _q_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walk corpus over the shared md5
+    citation graph (analytics.random_walks); oracle unrolls the hops as
+    step CTEs over the sorted-adjacency list table."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.random_walks(_docs(sf_dir, ["doc_id"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4771,6 +4780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pseudonym_collision_audit": _q_pseudonym_collision_audit,
         "code_switch_rate_by_source": _q_code_switch_rate_by_source,
         "token_budget_waterfill": _q_token_budget_waterfill,
+        "random_walks": _q_random_walks,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6488,6 +6498,42 @@ _WATERFILL_SQL = (
 )
 
 
+def _random_walks_sql(n_seeds: int = 16, walks_per_seed: int = 4,
+                      walk_len: int = 3) -> str:
+    seed_h = _MD5U64.format(v="'rwseed:' || CAST(doc_id AS VARCHAR)")
+    # replay of analytics.random_walks over the shared edge CTEs:
+    # sorted-adjacency lists, md5-arithmetic hop picks, walks end at
+    # sink nodes via the step JOIN
+    parts = [
+        f"{_edges_ctes()}, "
+        "de AS (SELECT DISTINCT src, dst FROM edges), "
+        "adj AS (SELECT src, list(dst ORDER BY dst) AS arr FROM de GROUP BY src), "
+        f"sh AS (SELECT doc_id AS v, {seed_h} AS h FROM documents), "
+        f"seeds AS (SELECT v FROM sh ORDER BY h, v LIMIT {n_seeds}), "
+        "s0 AS (SELECT v AS seed, CAST(unnest(range("
+        f"{walks_per_seed})) AS BIGINT) AS w, v FROM seeds)"
+    ]
+    for t in range(walk_len):
+        hop_h = _MD5U64.format(
+            v="'walk:' || CAST(s.seed AS VARCHAR) || ':' || CAST(s.w AS VARCHAR) "
+            f"|| ':{t}:' || CAST(s.v AS VARCHAR)"
+        )
+        parts.append(
+            f"s{t + 1} AS (SELECT s.seed, s.w, "
+            f"adj.arr[CAST(1 + {hop_h} % len(adj.arr) AS INT)] AS v "
+            f"FROM s{t} s JOIN adj ON adj.src = s.v)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT seed, w AS walk_id, CAST({t} AS BIGINT) AS step, v AS node FROM s{t}"
+        for t in range(walk_len + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        + "SELECT seed, walk_id, step, CAST(node AS BIGINT) AS node FROM ("
+        + union + ") ORDER BY seed, walk_id, step"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8130,4 +8176,5 @@ def oracle_sql() -> dict[str, str]:
         "pseudonym_collision_audit": _pseudonym_sql(),
         "code_switch_rate_by_source": _code_switch_sql(),
         "token_budget_waterfill": _WATERFILL_SQL,
+        "random_walks": _random_walks_sql(),
     }

@@ -10375,3 +10375,98 @@ def token_budget_waterfill(ds, text_col: str = "text", source_col: str = "source
     src["capped"] = (a > L).astype(np.int64)
     src["available_tokens"] = src["available_tokens"].astype(np.int64)
     return src
+
+
+def random_walks(ds, n_seeds: int = 16, walks_per_seed: int = 4, walk_len: int = 3,
+                 id_col: str = "doc_id"):
+    """Deterministic random-walk corpus over the shared md5 citation
+    graph — the DeepWalk/node2vec training-data generator: from each
+    seed, ``walks_per_seed`` walks of up to ``walk_len`` hops, the next
+    hop drawn from the current node's SORTED distinct out-neighbors by
+    md5 arithmetic (``md5('walk:{seed}:{w}:{t}:{v}') % out_degree``) —
+    the same walk regenerates on any cluster shape, Ray or SQL. Seeds
+    are the ``n_seeds`` smallest ``md5('rwseed:'‖id)`` nodes (a
+    deterministic pseudo-random sample). A walk that reaches a node
+    with no out-edges simply ends (the oracle's step JOIN drops it the
+    same way).
+
+    Plan (100 TB shape): edges derive once and MATERIALIZE as a compact
+    distinct (src, dst) int table (per-doc emission means per-batch
+    dedup IS global dedup); each hop broadcasts the ≤ seeds×walks
+    frontier node set and filters the edge table map-side — the
+    adjacency rows reaching the driver are bounded by frontier×max_deg,
+    never the graph. Output (seed, walk_id, step, node) including
+    step 0."""
+    from ..functions.dedup import md5_u64
+
+    n = ds.count()
+    edges = derived_link_edges(ds, n)
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    compact = edges.map_batches(dedupe, batch_format="pyarrow").materialize()
+
+    # seeds: n_seeds smallest md5('rwseed:'||id) -- per-block partial
+    # top-k + tiny merge (the top_tokens plan)
+    def seed_partial(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep UNSIGNED: an int64 view flips the sort order of large
+        # hashes vs the oracle's UBIGINT ORDER BY
+        h = np.array(
+            [md5_u64(f"rwseed:{int(u)}".encode()) for u in ids], dtype=np.uint64
+        )
+        df = pd.DataFrame({"h": h, "v": ids}).sort_values(["h", "v"]).head(n_seeds)
+        return df
+
+    seeds = (
+        ds.map_batches(seed_partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda b: b.sort_values(["h", "v"]).head(n_seeds),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()["v"]
+        .to_numpy(np.int64)
+    )
+
+    rows = [(int(s), w, 0, int(s)) for s in seeds for w in range(walks_per_seed)]
+    frontier = list(rows)  # (seed, w, t, v) still walking
+    import ray
+
+    for t in range(walk_len):
+        need = np.array(sorted({v for *_, v in frontier}), dtype=np.int64)
+        if not len(need):
+            break
+        ref = ray.put(need)
+
+        def pick(batch: pa.Table, _ref=ref) -> pa.Table:
+            want = ray.get(_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(want, src)
+            pos[pos == len(want)] = len(want) - 1
+            return batch.filter(pa.array(want[pos] == src))
+
+        adj_rows = compact.map_batches(pick, batch_format="pyarrow").to_pandas()
+        adj = {
+            int(s): g["dst"].sort_values().to_numpy(np.int64)
+            for s, g in adj_rows.groupby("src")
+        }
+        nxt = []
+        for seed, w, _, v in frontier:
+            nbrs = adj.get(v)
+            if nbrs is None or not len(nbrs):
+                continue
+            idx = md5_u64(f"walk:{seed}:{w}:{t}:{v}".encode()) % len(nbrs)
+            nv = int(nbrs[idx])
+            nxt.append((seed, w, t + 1, nv))
+        rows.extend(nxt)
+        frontier = nxt
+
+    out = pd.DataFrame(rows, columns=["seed", "walk_id", "step", "node"])
+    out = out.sort_values(["seed", "walk_id", "step"]).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

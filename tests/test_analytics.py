@@ -8385,3 +8385,38 @@ class TestTokenBudgetWaterfill:
         )
         assert list(out["allotted_tokens"]) == list(out["available_tokens"])
         assert list(out["capped"]) == [0, 0]
+
+
+class TestRandomWalks:
+    def test_structure_and_determinism(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table({"doc_id": pa.array(range(60), pa.int64())})
+        out1 = analytics.random_walks(rd.from_arrow(tbl), n_seeds=4, walks_per_seed=2)
+        out2 = analytics.random_walks(
+            rd.from_arrow(tbl).repartition(7), n_seeds=4, walks_per_seed=2
+        )
+        # identical walks regardless of partitioning
+        assert out1.equals(out2)
+        # step-0 rows are exactly the (seed, walk) grid at the seed node
+        s0 = out1[out1["step"] == 0]
+        assert len(s0) == 8
+        assert (s0["seed"] == s0["node"]).all()
+        # every step-t+1 node is an out-neighbor of the step-t node
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+
+        n = 60
+        adj = {}
+        for u in range(n):
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            ts = sorted({md5_u64(f"{u}:link:{j}".encode()) % n for j in range(d)} - {u})
+            adj[u] = ts
+        for (seed, w), g in out1.groupby(["seed", "walk_id"]):
+            g = g.sort_values("step")
+            nodes = g["node"].tolist()
+            for t in range(len(nodes) - 1):
+                nbrs = adj[nodes[t]]
+                idx = md5_u64(f"walk:{seed}:{w}:{t}:{nodes[t]}".encode()) % len(nbrs)
+                assert nodes[t + 1] == nbrs[idx]
