@@ -792,13 +792,19 @@ def ngram_jaccard_pairs(
         cb = ((blk * np.int64(1315423911)) % np.int64(coarse)).astype(np.int32)
         return batch.append_column("__cbk", pa.array(cb, pa.int32()))
 
+    from .relational import grouped_pair_fold
+
     cands = (
-        prefix.map_batches(add_block_bucket, batch_format="pyarrow")
-        .groupby("__cbk")
-        .map_groups(bucket_cands, batch_format="pyarrow")
-        # a pair can share many prefix blocks: dedupe to one row per pair
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
+        grouped_pair_fold(
+            prefix.map_batches(add_block_bucket, batch_format="pyarrow")
+            .groupby("__cbk")
+            .map_groups(bucket_cands, batch_format="pyarrow"),
+            # a pair can share many prefix blocks: dedupe to one row per
+            # pair -- the derived-pair-key fold, NOT Ray's 2-col sort
+            # aggregate (see grouped_pair_fold's measurement)
+            ["doc_a", "doc_b"],
+            {"_n": ("doc_a", "size")},
+        )
         .drop_columns(["_n"])
     )
     sets_a = sets.map_batches(
@@ -860,7 +866,9 @@ def ngram_jaccard_pairs(
         ["b_id"]
     )
     pairs = with_ab.map_batches(verify, batch_format="pyarrow")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard_ppm", alias_name="jaccard_ppm"))
+    return grouped_pair_fold(
+        pairs, ["doc_a", "doc_b"], {"jaccard_ppm": ("jaccard_ppm", "max")}
+    )
 
 
 # --------------------------------------------------------------- similarity
@@ -9715,33 +9723,19 @@ def winnow_fingerprint_pairs(
     )
 
     # pair-keyed fold: Ray's native sort-aggregate on the 2-column key
-    # measured 25 s on 107k partial rows at sf0.1 (vs 0.9 s for this
-    # shape) -- shuffle on a DERIVED int64 pair key instead (wraparound
-    # is fine: it is only a partition key; the true 2-column groupby
-    # runs inside each bucket), then filter the threshold map-side
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
+    # measured 25 s on 107k partial rows at sf0.1 (vs 0.9 s for the
+    # derived-key fold, now shared as relational.grouped_pair_fold)
+    from .relational import grouped_pair_fold
 
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            key = a * np.int64(1000003) + b
-        batch = batch.append_column("__pk", pa.array(key, pa.int64()))
-        return hash_bucket_column(batch, "__pk", 16)
+    folded = grouped_pair_fold(
+        partials, ["doc_a", "doc_b"], {"n_shared": ("n", "sum")}
+    )
 
-    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby(["doc_a", "doc_b"], sort=False)["n"].sum()
-            .rename("n_shared").reset_index()
-        )
-        out = out[out["n_shared"] >= min_shared]
+    def keep(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[g["n_shared"] >= min_shared]
         return out.astype({"doc_a": "int64", "doc_b": "int64", "n_shared": "int64"})
 
-    return (
-        partials.map_batches(add_pair_bucket, batch_format="pyarrow")
-        .groupby("__bucket")
-        .map_groups(pair_fold, batch_format="pandas")
-    )
+    return folded.map_batches(keep, batch_format="pandas")
 
 
 def cdc_chunk_dedup(ds, text_col: str = "text"):

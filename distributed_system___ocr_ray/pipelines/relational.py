@@ -5826,3 +5826,42 @@ def attribution_last_touch(sf_dir: str, conversion_type: str = "purchase",
     for c in ("n_conversions", "value_cents"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def grouped_pair_fold(ds, key_cols, agg: dict, buckets: int = 16):
+    """Grouped aggregate on a MULTI-column integer key (pair tables)
+    via a derived int64 partition key + per-bucket pandas groupby.
+    Ray's native ``groupby(["a","b"]).aggregate(...)`` sort aggregate
+    measured 25 s on 107k partial rows (winnow_fingerprint_pairs,
+    BASELINE.md round-3 eighth continuation) where this fold takes
+    under a second; the derived key (wraparound multiply-add) is ONLY a
+    partition key — the true multi-column groupby runs inside each
+    bucket, so collisions cost nothing.
+
+    ``agg``: {out_name: (value_col, fn)} with pandas agg fns
+    ('sum'/'min'/'max'/'size'/...). Key columns must be integral."""
+    import pandas as pd
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        arrs = [
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            for c in key_cols
+        ]
+        with np.errstate(over="ignore"):
+            key = arrs[0].copy()
+            for a in arrs[1:]:
+                key = key * np.int64(1000003) + a
+        batch = batch.append_column("__pk", pa.array(key, pa.int64()))
+        return hash_bucket_column(batch, "__pk", buckets)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(list(key_cols), sort=False).agg(
+            **{name: (col, fn) for name, (col, fn) in agg.items()}
+        ).reset_index()
+        return out
+
+    return (
+        ds.map_batches(add_pk, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
