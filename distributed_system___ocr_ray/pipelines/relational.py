@@ -5832,11 +5832,18 @@ def grouped_pair_fold(ds, key_cols, agg: dict, buckets: int = 16):
     """Grouped aggregate on a MULTI-column integer key (pair tables)
     via a derived int64 partition key + per-bucket pandas groupby.
     Ray's native ``groupby(["a","b"]).aggregate(...)`` sort aggregate
-    measured 25 s on 107k partial rows (winnow_fingerprint_pairs,
-    BASELINE.md round-3 eighth continuation) where this fold takes
-    under a second; the derived key (wraparound multiply-add) is ONLY a
-    partition key — the true multi-column groupby runs inside each
-    bucket, so collisions cost nothing.
+    measured 25 s on 107k PANDAS-block partial rows
+    (winnow_fingerprint_pairs, BASELINE.md round-3 eighth continuation)
+    where this fold takes under a second. Adjudication boundary,
+    measured both ways: the pathology is the native sort aggregate over
+    pandas-format blocks (the output format of ``map_groups(...,
+    batch_format="pandas")`` pair stages); over ARROW blocks the native
+    aggregate is FASTER than this fold (triangle_count/link_prediction
+    edge dedupe: 3.2/4.3 s native vs 5.5/7.0 s folded on identical
+    inputs) — keep native aggregates on Arrow-block pair tables. The
+    derived key (wraparound multiply-add) is ONLY ever a partition
+    key — the true multi-column groupby runs inside each bucket, so
+    collisions cost nothing.
 
     ``agg``: {out_name: (value_col, fn)} with pandas agg fns
     ('sum'/'min'/'max'/'size'/...). Key columns must be integral."""
