@@ -5832,18 +5832,19 @@ def grouped_pair_fold(ds, key_cols, agg: dict, buckets: int = 16):
     """Grouped aggregate on a MULTI-column integer key (pair tables)
     via a derived int64 partition key + per-bucket pandas groupby.
     Ray's native ``groupby(["a","b"]).aggregate(...)`` sort aggregate
-    measured 25 s on 107k PANDAS-block partial rows
-    (winnow_fingerprint_pairs, BASELINE.md round-3 eighth continuation)
-    where this fold takes under a second. Adjudication boundary,
-    measured both ways: the pathology is the native sort aggregate over
-    pandas-format blocks (the output format of ``map_groups(...,
-    batch_format="pandas")`` pair stages); over ARROW blocks the native
-    aggregate is FASTER than this fold (triangle_count/link_prediction
-    edge dedupe: 3.2/4.3 s native vs 5.5/7.0 s folded on identical
-    inputs) — keep native aggregates on Arrow-block pair tables. The
-    derived key (wraparound multiply-add) is ONLY ever a partition
-    key — the true multi-column groupby runs inside each bucket, so
-    collisions cost nothing.
+    measured 25 s on 107k partial rows (winnow_fingerprint_pairs) where
+    this fold takes under a second, and the same swap took
+    ngram_jaccard_pairs 17.2 → 7.8 s — both are pair partials emitted
+    by a ``map_groups`` stage. The swap is NOT universally right:
+    on triangle_count / link_prediction's edge dedupe (a low-block-count
+    ``map_batches`` Arrow table) the native aggregate measured FASTER
+    (3.2/4.3 s native vs 5.5/7.0 s folded on identical inputs), so those
+    keep the native path. Rule of thumb from the four measurements:
+    fold pair partials that come out of a grouped/bucketed stage;
+    leave plain map-stage pair tables on the native aggregate — and
+    measure, the boundary is empirical. The derived key (wraparound
+    multiply-add) is ONLY ever a partition key — the true multi-column
+    groupby runs inside each bucket, so collisions cost nothing.
 
     ``agg``: {out_name: (value_col, fn)} with pandas agg fns
     ('sum'/'min'/'max'/'size'/...). Key columns must be integral."""
