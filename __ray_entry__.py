@@ -4524,6 +4524,15 @@ def _q_random_walks(sf_dir: str):
     return analytics.random_walks(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context concordance: first 20 occurrences per query
+    term with a +-3-token snippet (analytics.kwic_snippets); oracle
+    replays positions + list_slice + QUALIFY row_number."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.kwic_snippets(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4781,6 +4790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "code_switch_rate_by_source": _q_code_switch_rate_by_source,
         "token_budget_waterfill": _q_token_budget_waterfill,
         "random_walks": _q_random_walks,
+        "kwic_snippets": _q_kwic_snippets,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6534,6 +6544,24 @@ def _random_walks_sql(n_seeds: int = 16, walks_per_seed: int = 4,
     )
 
 
+def _kwic_sql(terms=("merge", "vector", "stream"), window: int = 3, k: int = 20) -> str:
+    lst = ", ".join(f"'{t}'" for t in terms)
+    return (
+        # replay of analytics.kwic_snippets: 1-based token positions,
+        # +-window list_slice snippet, first k per term by (doc_id, pos)
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+        "AS arr FROM documents), "
+        "e AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i FROM t), "
+        "h AS (SELECT arr[CAST(i AS INT)] AS term, doc_id, CAST(i AS BIGINT) AS pos, "
+        f"array_to_string(list_slice(arr, greatest(CAST(i AS INT) - {window}, 1), "
+        f"least(CAST(i AS INT) + {window}, len(arr))), ' ') AS snippet "
+        f"FROM e WHERE arr[CAST(i AS INT)] IN ({lst})) "
+        "SELECT term, doc_id, pos, snippet FROM h "
+        f"QUALIFY row_number() OVER (PARTITION BY term ORDER BY doc_id, pos) <= {k} "
+        "ORDER BY term, doc_id, pos"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8177,4 +8205,5 @@ def oracle_sql() -> dict[str, str]:
         "code_switch_rate_by_source": _code_switch_sql(),
         "token_budget_waterfill": _WATERFILL_SQL,
         "random_walks": _random_walks_sql(),
+        "kwic_snippets": _kwic_sql(),
     }

@@ -217,7 +217,7 @@ SWEEP_QUERIES = [
     "winnow_fingerprint_pairs", "cdc_chunk_dedup", "gdpr_erasure_plan",
     "max_coverage_select", "blocklist_screen", "boundary_stitch_chains",
     "pseudonym_collision_audit", "code_switch_rate_by_source",
-    "token_budget_waterfill", "random_walks",
+    "token_budget_waterfill", "random_walks", "kwic_snippets",
 ]
 
 

@@ -10464,3 +10464,85 @@ def random_walks(ds, n_seeds: int = 16, walks_per_seed: int = 4, walk_len: int =
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def kwic_snippets(ds, terms=("merge", "vector", "stream"), window: int = 3,
+                  k: int = 20, text_col: str = "text", id_col: str = "doc_id"):
+    """Keyword-in-context concordance: for each query term, the first
+    ``k`` occurrences corpus-wide (ordered by doc_id, then token
+    position) with a ±``window``-token snippet — the human-inspection
+    surface every corpus-curation decision loops through ("show me how
+    this term is actually used before I block/keep it"). Tokens are the
+    shared ``[a-z0-9]+`` lowered runs; positions are 1-based.
+
+    Plan: per batch, ONE explode + isin finds hits; the batch keeps
+    only its k smallest (doc_id, pos) per term BEFORE building snippets
+    (bounded snippet work however hot the term), then the per-block
+    partials merge in one tiny final top-k (the top_tokens plan).
+    Output (term, doc_id, pos, snippet), term/doc/pos ASC."""
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+    tset = set(terms)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "term": pd.Series([], dtype=str),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "pos": pd.Series([], dtype=np.int64),
+                "snippet": pd.Series([], dtype=str),
+            }
+        )
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re)
+        docs = batch[id_col].to_numpy(np.int64)
+        ex = toks.reset_index(drop=True).explode().dropna()
+        if not len(ex):
+            return empty
+        idx = ex.index.to_numpy(np.int64)
+        t = ex.to_numpy()
+        m = pd.Series(t).isin(tset).to_numpy()
+        if not m.any():
+            return empty
+        pos = (
+            pd.Series(np.ones(len(idx), np.int64)).groupby(idx).cumsum().to_numpy()
+        )
+        hits = pd.DataFrame(
+            {"term": t[m], "doc_id": docs[idx[m]], "pos": pos[m], "row": idx[m]}
+        )
+        hits = (
+            hits.sort_values(["term", "doc_id", "pos"])
+            .groupby("term", sort=False)
+            .head(k)
+        )
+        snips = []
+        tok_lists = toks.reset_index(drop=True)
+        for r in hits.itertuples():  # ≤ k×|terms| rows per batch by construction
+            arr = tok_lists.iloc[r.row]
+            lo = max(r.pos - 1 - window, 0)
+            hi = min(r.pos + window, len(arr))
+            snips.append(" ".join(arr[lo:hi]))
+        hits = hits.drop(columns=["row"])
+        hits["snippet"] = snips
+        return hits.astype({"doc_id": "int64", "pos": "int64"})
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty or "term" not in batch.columns:
+            return batch
+        return (
+            batch.sort_values(["term", "doc_id", "pos"])
+            .groupby("term", sort=False)
+            .head(k)
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values(["term", "doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "pos"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -8420,3 +8420,47 @@ class TestRandomWalks:
                 nbrs = adj[nodes[t]]
                 idx = md5_u64(f"walk:{seed}:{w}:{t}:{nodes[t]}".encode()) % len(nbrs)
                 assert nodes[t + 1] == nbrs[idx]
+
+
+class TestKwicSnippets:
+    def test_hand_built_snippets(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [
+            "a b c target d e f",
+            "target x y",
+            "no hit here",
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = analytics.kwic_snippets(
+            rd.from_arrow(tbl), terms=("target",), window=2, k=5
+        )
+        got = [(r["term"], r["doc_id"], r["pos"], r["snippet"]) for _, r in out.iterrows()]
+        assert got == [
+            ("target", 10, 4, "b c target d e"),
+            ("target", 11, 1, "target x y"),
+        ]
+
+    def test_k_limit_and_order(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(["hit one two"] * 30, pa.string()),
+            }
+        )
+        out = analytics.kwic_snippets(
+            rd.from_arrow(tbl).repartition(6), terms=("hit",), k=7
+        )
+        assert len(out) == 7
+        assert list(out["doc_id"]) == list(range(7))  # smallest doc_ids win
