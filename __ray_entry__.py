@@ -4533,6 +4533,16 @@ def _q_kwic_snippets(sf_dir: str):
     return analytics.kwic_snippets(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_leakage_free_split_audit(sf_dir: str):
+    """Near-dup-aware vs naive train/val split policies measured on the
+    same corpus: straddling multi-doc near-dup clusters per policy
+    (analytics.leakage_free_split_audit); oracle composes the green
+    MinHash recursive-CC replay with md5 split predicates."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.leakage_free_split_audit(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4791,6 +4801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_waterfill": _q_token_budget_waterfill,
         "random_walks": _q_random_walks,
         "kwic_snippets": _q_kwic_snippets,
+        "leakage_free_split_audit": _q_leakage_free_split_audit,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6562,6 +6573,38 @@ def _kwic_sql(terms=("merge", "vector", "stream"), window: int = 3, k: int = 20)
     )
 
 
+def _leakage_split_sql(train_pct: int = 8) -> str:
+    hd = _MD5U64.format(v="'lsplit:' || CAST(doc_id AS VARCHAR)")
+    hc = _MD5U64.format(v="'lsplit:' || CAST(c AS VARCHAR)")
+    # replay of analytics.leakage_free_split_audit over the green
+    # MinHash recursive-closure body: per-doc cluster (singleton = own
+    # id), md5 split predicates, per-cluster straddle flags
+    return (
+        f"WITH RECURSIVE {_minhash_ctes()}, "
+        "ledges AS (SELECT doc_a AS a, doc_b AS b FROM mpairs "
+        "UNION SELECT doc_b, doc_a FROM mpairs), "
+        "lreach AS (SELECT a, b FROM ledges "
+        "UNION SELECT r.a, e.b FROM lreach r JOIN ledges e ON r.b = e.a), "
+        "lcl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+        "FROM lreach GROUP BY a), "
+        "d AS (SELECT dd.doc_id, COALESCE(lcl.cluster_id, dd.doc_id) AS c "
+        "FROM documents dd LEFT JOIN lcl ON dd.doc_id = lcl.doc_id), "
+        f"s AS (SELECT c, CASE WHEN {hd} % 10 < {train_pct} THEN 1 ELSE 0 END AS nt, "
+        f"CASE WHEN {hc} % 10 < {train_pct} THEN 1 ELSE 0 END AS ct FROM d), "
+        "pc AS (SELECT c, COUNT(*) AS n, SUM(nt) AS nt, SUM(ct) AS ct "
+        "FROM s GROUP BY c), "
+        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nd, "
+        "CAST(SUM(nt) AS BIGINT) AS naive_tr, CAST(SUM(ct) AS BIGINT) AS clus_tr, "
+        "CAST(COUNT(*) FILTER (n > 1 AND nt > 0 AND nt < n) AS BIGINT) AS nstr, "
+        "CAST(COUNT(*) FILTER (n > 1 AND ct > 0 AND ct < n) AS BIGINT) AS cstr "
+        "FROM pc) "
+        "SELECT 'by_cluster' AS method, clus_tr AS n_train, nd - clus_tr AS n_val, "
+        "cstr AS straddling_clusters FROM tot "
+        "UNION ALL SELECT 'by_doc', naive_tr, nd - naive_tr, nstr FROM tot "
+        "ORDER BY method"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8206,4 +8249,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_waterfill": _WATERFILL_SQL,
         "random_walks": _random_walks_sql(),
         "kwic_snippets": _kwic_sql(),
+        "leakage_free_split_audit": _leakage_split_sql(),
     }

