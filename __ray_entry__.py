@@ -4543,6 +4543,24 @@ def _q_leakage_free_split_audit(sf_dir: str):
     return analytics.leakage_free_split_audit(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_jsonl_source_daily(sf_dir: str):
+    """JSONL ingest roundtrip: events exported once as JSONL shards
+    (ints + day strings, precision-lossless by construction), re-read
+    via ray.data.read_json, aggregated (analytics.text_source_daily);
+    oracle aggregates the original parquet."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.text_source_daily(sf_dir, fmt="json")
+
+
+def _q_csv_source_daily(sf_dir: str):
+    """CSV ingest roundtrip via ray.data.read_csv — same contract as the
+    JSONL variant (analytics.text_source_daily)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.text_source_daily(sf_dir, fmt="csv")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4802,6 +4820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "kwic_snippets": _q_kwic_snippets,
         "leakage_free_split_audit": _q_leakage_free_split_audit,
+        "jsonl_source_daily": _q_jsonl_source_daily,
+        "csv_source_daily": _q_csv_source_daily,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6605,6 +6625,17 @@ def _leakage_split_sql(train_pct: int = 8) -> str:
     )
 
 
+_TEXT_SOURCE_DAILY_SQL = (
+    # replay of analytics.text_source_daily: the export is a pure
+    # projection (cents + day strings), so the oracle aggregates the
+    # original parquet directly
+    "SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8250,4 +8281,6 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(),
         "kwic_snippets": _kwic_sql(),
         "leakage_free_split_audit": _leakage_split_sql(),
+        "jsonl_source_daily": _TEXT_SOURCE_DAILY_SQL,
+        "csv_source_daily": _TEXT_SOURCE_DAILY_SQL,
     }

@@ -218,7 +218,7 @@ SWEEP_QUERIES = [
     "max_coverage_select", "blocklist_screen", "boundary_stitch_chains",
     "pseudonym_collision_audit", "code_switch_rate_by_source",
     "token_budget_waterfill", "random_walks", "kwic_snippets",
-    "leakage_free_split_audit",
+    "leakage_free_split_audit", "jsonl_source_daily", "csv_source_daily",
 ]
 
 

@@ -10636,3 +10636,101 @@ def leakage_free_split_audit(ds, threshold: float = 0.6, train_pct: int = 8):
     for c in ("n_train", "n_val", "straddling_clusters"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def _roundtrip_export(sf_dir: str, fmt: str):
+    """Derive a (event_type, day, value_cents) export of the events table
+    in ``fmt`` ('json' = JSONL shards, 'csv') under a content-keyed /tmp
+    dir, written ONCE per (sf_dir, format) and reused — floats convert
+    to integer cents and timestamps to day strings BEFORE serialization,
+    so the text roundtrip is bit-exact by construction (JSON/CSV float
+    printing would not be)."""
+    import hashlib as _hl
+    import os
+
+    import ray.data as rd
+
+    key = _hl.md5(f"{os.path.abspath(sf_dir)}".encode()).hexdigest()[:12]
+    out_dir = f"/tmp/graft_roundtrip/{fmt}_{key}"
+    if not os.path.isdir(out_dir) or not os.listdir(out_dir):
+        os.makedirs(out_dir, exist_ok=True)
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+        def project(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "day": pc.strftime(batch.column("ts"), format="%Y-%m-%d"),
+                    "value_cents": pa.array(
+                        np.floor(
+                            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+                            + 0.5
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        proj = ds.map_batches(project, batch_format="pyarrow")
+        if fmt == "json":
+            proj.write_json(out_dir)
+        else:
+            proj.write_csv(out_dir)
+    return out_dir
+
+
+def text_source_daily(sf_dir: str, fmt: str = "json"):
+    """Text-format ingest roundtrip: the events table exported once as
+    JSONL or CSV shards (the two formats web-scale pipelines actually
+    receive), re-ingested with ``ray.data.read_json`` / ``read_csv``,
+    and aggregated per (event_type, day) — proving the whole engine
+    path (schema, partials, bounded fold) is source-format-agnostic.
+    Exactness: the export writes integer cents and day STRINGS, so the
+    text roundtrip cannot lose precision; the oracle aggregates the
+    original parquet directly.
+
+    Returns (event_type, day, n_events, value_cents)."""
+    import ray.data as rd
+
+    from .relational import tiny_final_groupby
+
+    path = _roundtrip_export(sf_dir, fmt)
+    ds = rd.read_json(path) if fmt == "json" else rd.read_csv(path)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        day = batch.column("day")
+        # CSV type inference re-parses the day strings as dates/timestamps;
+        # normalize back to the exported string form so both formats (and
+        # the oracle) agree
+        if pa.types.is_timestamp(day.type) or pa.types.is_date(day.type):
+            day = pc.strftime(pc.cast(day, pa.timestamp("us")), format="%Y-%m-%d")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": day,
+                "value_cents": pc.cast(batch.column("value_cents"), pa.int64()),
+            }
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("value_cents", "sum"), ([], "count_all")]
+        )
+
+    out = (
+        tiny_final_groupby(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "day"],
+            [("value_cents_sum", "sum"), ("count_all", "sum")],
+            ["event_type", "day", "value_cents", "n_events"],
+        )
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    out = out[["event_type", "day", "n_events", "value_cents"]]
+    for c in ("n_events", "value_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out
