@@ -4561,6 +4561,18 @@ def _q_csv_source_daily(sf_dir: str):
     return analytics.text_source_daily(sf_dir, fmt="csv")
 
 
+def _q_matryoshka_recall_audit(sf_dir: str):
+    """Truncated-dims (first 16) vs full-width cosine top-10 overlap per
+    query (analytics.matryoshka_recall_audit); oracle runs both rankings
+    with list_slice + list_cosine_similarity and counts the overlap."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.matryoshka_recall_audit(ds, _query_matrix(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4822,6 +4834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_free_split_audit": _q_leakage_free_split_audit,
         "jsonl_source_daily": _q_jsonl_source_daily,
         "csv_source_daily": _q_csv_source_daily,
+        "matryoshka_recall_audit": _q_matryoshka_recall_audit,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6636,6 +6649,27 @@ _TEXT_SOURCE_DAILY_SQL = (
 )
 
 
+def _matryoshka_sql(trunc_dim: int = 16, k: int = 10) -> str:
+    return (
+        # replay of analytics.matryoshka_recall_audit: both rankings via
+        # list_cosine_similarity (full and list_slice prefix), overlap
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        "ORDER BY vec_id LIMIT 3), "
+        "full_r AS (SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= {k}), "
+        "tr AS (SELECT q.query_id, e.vec_id FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY list_cosine_similarity(list_slice(q.qe, 1, {trunc_dim}), "
+        f"list_slice(e.embedding, 1, {trunc_dim})) DESC, e.vec_id) <= {k}), "
+        "ov AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap "
+        "FROM full_r f JOIN tr USING (query_id, vec_id) GROUP BY f.query_id) "
+        "SELECT q.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap, "
+        f"CAST(COALESCE(ov.n_overlap, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm "
+        "FROM q LEFT JOIN ov USING (query_id) ORDER BY q.query_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8283,4 +8317,5 @@ def oracle_sql() -> dict[str, str]:
         "leakage_free_split_audit": _leakage_split_sql(),
         "jsonl_source_daily": _TEXT_SOURCE_DAILY_SQL,
         "csv_source_daily": _TEXT_SOURCE_DAILY_SQL,
+        "matryoshka_recall_audit": _matryoshka_sql(),
     }

@@ -10734,3 +10734,45 @@ def text_source_daily(sf_dir: str, fmt: str = "json"):
     for c in ("n_events", "value_cents"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def matryoshka_recall_audit(ds, queries: np.ndarray, trunc_dim: int = 16, k: int = 10,
+                            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Matryoshka-truncation retrieval audit: cosine top-k over only the
+    FIRST ``trunc_dim`` embedding dimensions vs the full-width top-k —
+    the measurement behind MRL-style "coarse dims first" serving (run
+    retrieval on a prefix, verify the recall cost before committing to
+    the cheaper index). Both rankings use the shared brute-force kernel
+    (``ann_topk``: broadcast query matrix, per-batch partial top-k);
+    the truncated side slices dims in-stage, never re-materializing the
+    table. Output per query: (query_id, n_overlap, recall_ppm), k-exact
+    on both sides, query_id ASC."""
+
+    def slice_dims(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                emb_col: pc.list_slice(batch.column(emb_col), 0, trunc_dim),
+            }
+        )
+
+    full = ann_topk(ds, queries, k=k, id_col=id_col, emb_col=emb_col).to_pandas()
+    trunc = ann_topk(
+        ds.map_batches(slice_dims, batch_format="pyarrow"),
+        np.asarray(queries, dtype=np.float64)[:, :trunc_dim],
+        k=k,
+        id_col=id_col,
+        emb_col=emb_col,
+    ).to_pandas()
+    fset = full.groupby("query_id")[id_col].apply(set)
+    tset = trunc.groupby("query_id")[id_col].apply(set)
+    rows = []
+    for q in sorted(fset.index):
+        ov = len(fset[q] & tset.get(q, set()))
+        rows.append((int(q), ov, ov * 1_000_000 // k))
+    out = pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

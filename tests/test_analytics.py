@@ -8500,3 +8500,32 @@ class TestLeakageFreeSplitAudit:
         # the 6-copy cluster moves as one unit under by_cluster: its docs
         # are all-train or all-val
         assert abs(got["by_cluster"][0] - got["by_doc"][0]) >= 0  # sanity
+
+
+class TestMatryoshkaRecallAudit:
+    def test_prefix_identical_vectors_give_full_recall(self):
+        import ray.data as rd
+
+        import numpy as np
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        rng = np.random.RandomState(2)
+        # vectors whose informative mass is in the first 4 dims: the
+        # truncated ranking must equal the full one
+        base = rng.randn(20, 4)
+        vecs = np.concatenate([base, np.zeros((20, 12))], axis=1)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(20), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+        q = vecs[:2].astype(np.float64)
+        out = analytics.matryoshka_recall_audit(
+            rd.from_arrow(tbl), q, trunc_dim=4, k=5
+        )
+        assert list(out["recall_ppm"]) == [1_000_000, 1_000_000]
+        assert list(out["n_overlap"]) == [5, 5]
