@@ -4573,6 +4573,18 @@ def _q_matryoshka_recall_audit(sf_dir: str):
     return analytics.matryoshka_recall_audit(ds, _query_matrix(sf_dir))
 
 
+def _q_mmr_diverse_topk(sf_dir: str):
+    """MMR diversity re-ranking of each query's cosine top-50 pool
+    (analytics.mmr_diverse_topk); oracle unrolls the greedy steps with
+    GREATEST-penalty scoring over list_cosine_similarity."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.mmr_diverse_topk(ds, _query_matrix(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4835,6 +4847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_source_daily": _q_jsonl_source_daily,
         "csv_source_daily": _q_csv_source_daily,
         "matryoshka_recall_audit": _q_matryoshka_recall_audit,
+        "mmr_diverse_topk": _q_mmr_diverse_topk,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6670,6 +6683,47 @@ def _matryoshka_sql(trunc_dim: int = 16, k: int = 10) -> str:
     )
 
 
+def _mmr_sql(k: int = 5, pool: int = 50, lam: float = 0.7) -> str:
+    # replay of analytics.mmr_diverse_topk: top-pool candidates with
+    # embeddings, k unrolled greedy steps, penalty = GREATEST cosine to
+    # the already-selected set, ties to smallest vec_id
+    parts = [
+        "q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+        "ORDER BY vec_id LIMIT 3), "
+        "pool AS (SELECT q.query_id, e.vec_id, e.embedding AS emb, "
+        "list_cosine_similarity(q.qe, e.embedding) AS cq "
+        "FROM q CROSS JOIN embeddings e "
+        "QUALIFY row_number() OVER (PARTITION BY q.query_id "
+        f"ORDER BY cq DESC, e.vec_id) <= {pool})"
+    ]
+    for r in range(1, k + 1):
+        joins = " ".join(
+            f"JOIN s{i} ON s{i}.query_id = p.query_id AND s{i}.vec_id <> p.vec_id"
+            for i in range(1, r)
+        )
+        if r == 1:
+            score = f"{lam} * p.cq"
+        else:
+            pens = ", ".join(
+                f"list_cosine_similarity(p.emb, s{i}.emb)" for i in range(1, r)
+            )
+            pen = pens if r == 2 else f"GREATEST({pens})"
+            score = f"{lam} * p.cq - {1 - lam} * ({pen})"
+        parts.append(
+            f"s{r} AS (SELECT p.query_id, p.vec_id, p.emb FROM pool p {joins} "
+            "QUALIFY row_number() OVER (PARTITION BY p.query_id "
+            f"ORDER BY {score} DESC, p.vec_id) = 1)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT query_id, CAST({r} AS BIGINT) AS rank, vec_id FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts) + " SELECT * FROM (" + union
+        + ") ORDER BY query_id, rank"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8318,4 +8372,5 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source_daily": _TEXT_SOURCE_DAILY_SQL,
         "csv_source_daily": _TEXT_SOURCE_DAILY_SQL,
         "matryoshka_recall_audit": _matryoshka_sql(),
+        "mmr_diverse_topk": _mmr_sql(),
     }

@@ -219,7 +219,7 @@ SWEEP_QUERIES = [
     "pseudonym_collision_audit", "code_switch_rate_by_source",
     "token_budget_waterfill", "random_walks", "kwic_snippets",
     "leakage_free_split_audit", "jsonl_source_daily", "csv_source_daily",
-    "matryoshka_recall_audit",
+    "matryoshka_recall_audit", "mmr_diverse_topk",
 ]
 
 

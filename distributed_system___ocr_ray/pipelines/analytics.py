@@ -10776,3 +10776,88 @@ def matryoshka_recall_audit(ds, queries: np.ndarray, trunc_dim: int = 16, k: int
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def mmr_diverse_topk(ds, queries: np.ndarray, k: int = 5, pool: int = 50,
+                     lam: float = 0.7, id_col: str = "vec_id",
+                     emb_col: str = "embedding", max_bytes: int = 256 << 20):
+    """Maximal Marginal Relevance re-ranking: from each query's cosine
+    top-``pool`` candidates, greedily pick k results maximizing
+    ``lam·sim(q,d) − (1−lam)·max_{s∈selected} sim(d,s)`` — the classic
+    diversity re-ranker (Carbonell & Goldstein '98) that stops a result
+    list from being five near-copies of the same document. Ties break
+    to the smallest id; step 1's penalty term is empty, so it reduces
+    to the plain top-1. ``lam`` must NOT be 0.5 when queries are corpus
+    members: the first selection is then the query vector itself, so
+    every step-2 score collapses to ``0.5·(c − c) ≡ 0`` and the ranking
+    degenerates to ulp noise (measured; 0.7 keeps scores separated by
+    the data, not the rounding).
+
+    Plan: candidate generation IS ``ann_topk`` (broadcast matmul,
+    per-batch partial top-k); the pool's vectors come back through one
+    broadcast-ids map-side filter (bounded by queries × pool rows, loud
+    raise past ``max_bytes``); the greedy loop runs on that
+    pool-sized table. Both sides order by the SAME float64 expression
+    (IEEE-deterministic given the shared cosine kernel contract the ann
+    family already relies on). Output (query_id, rank, vec_id)."""
+    import ray
+
+    from ..functions import similarity as sk
+
+    cand = ann_topk(ds, queries, k=pool, id_col=id_col, emb_col=emb_col).to_pandas()
+    ids = np.unique(cand[id_col].to_numpy(np.int64))
+    if ids.nbytes > max_bytes:
+        raise ValueError(
+            "mmr pool id set exceeds the broadcast cap; shard the greedy "
+            "loop per query at this scale"
+        )
+    handle = [ray.put(ids)]
+
+    class KeepPool:
+        def __init__(self) -> None:
+            self.ids = ray.get(handle[0])
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.is_in(batch.column(id_col), pa.array(self.ids, pa.int64()))
+            )
+
+    pool_rows = (
+        ds.map_batches(KeepPool, batch_format="pyarrow", concurrency=(1, 8))
+        .to_pandas()
+    )
+    vecs = sk.normalize(
+        np.stack(pool_rows[emb_col].to_numpy()).astype(np.float64)
+    )
+    vid = pool_rows[id_col].to_numpy(np.int64)
+    vmap = {int(v): i for i, v in enumerate(vid)}
+
+    out = []
+    for q, g in cand.groupby("query_id"):
+        g = g.sort_values([id_col]).reset_index(drop=True)
+        pool_ids = g[id_col].to_numpy(np.int64)
+        cq = g["sim"].to_numpy(np.float64)
+        pv = vecs[[vmap[int(v)] for v in pool_ids]]
+        selected: list[int] = []
+        sel_vecs: list[np.ndarray] = []
+        remaining = np.ones(len(pool_ids), dtype=bool)
+        for rank in range(1, min(k, len(pool_ids)) + 1):
+            if sel_vecs:
+                pen = np.max(np.stack([pv @ sv for sv in sel_vecs]), axis=0)
+                score = lam * cq - (1 - lam) * pen
+            else:
+                score = lam * cq
+            score = np.where(remaining, score, -np.inf)
+            # argmax with smallest-id tie-break: ids are sorted ascending,
+            # argmax returns the first (= smallest id) among equal scores
+            j = int(np.argmax(score))
+            out.append((int(q), rank, int(pool_ids[j])))
+            selected.append(j)
+            sel_vecs.append(pv[j])
+            remaining[j] = False
+    res = pd.DataFrame(out, columns=["query_id", "rank", "vec_id"])
+    for c in res.columns:
+        res[c] = res[c].astype(np.int64)
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)

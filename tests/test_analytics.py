@@ -8529,3 +8529,41 @@ class TestMatryoshkaRecallAudit:
         )
         assert list(out["recall_ppm"]) == [1_000_000, 1_000_000]
         assert list(out["n_overlap"]) == [5, 5]
+
+
+class TestMmrDiverseTopk:
+    def test_diversity_beats_redundancy(self):
+        import ray.data as rd
+
+        import numpy as np
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # cluster A: 3 near-copies (cq = 0.8, mutual sim ~1.0); vec 10:
+        # slightly less relevant (cq = 0.75) but near-orthogonal to A
+        # outside the query direction. At lam = 0.7: second copy scores
+        # 0.7*0.8 - 0.3*1.0 = 0.26; vec 10 scores 0.7*0.75 - 0.3*0.6 =
+        # 0.345 -> MMR must slot vec 10 in at rank 2.
+        q = np.array([1.0, 0.0, 0.0, 0.0])
+        a = np.array([0.8, 0.6, 0.0, 0.0])
+        rows = {
+            0: a,
+            1: a + np.array([0.0, 0.001, 0.0, 0.0]),
+            2: a + np.array([0.0, 0.002, 0.0, 0.0]),
+            10: np.array([0.75, 0.0, 0.6614, 0.0]),
+        }
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(rows), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in rows.values()],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        out = analytics.mmr_diverse_topk(
+            rd.from_arrow(tbl), q.reshape(1, -1), k=3, pool=4
+        )
+        picked = list(out["vec_id"])
+        assert picked[0] in (0, 1, 2)      # most relevant first
+        assert 10 in picked[:3]            # diversity pulls in the orthogonal doc
