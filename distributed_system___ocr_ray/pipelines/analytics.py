@@ -4605,20 +4605,20 @@ def basket_lift_topk(ds_factory, order_col: str = "l_orderkey",
     arithmetic end-to-end, replayed verbatim in SQL.
 
     Scale shape: the pair stage IS basket_pairs_topk (A-Priori pruned,
-    one order-domain + one pair-domain exchange). Supports then touch
-    ONLY the <= 2k items appearing in the top pairs: the item set is
-    broadcast once and probed map-side, distinct (item, order) rows
-    collapse per batch, and ONE item-domain exchange counts baskets per
-    item. The final join + arithmetic runs on k driver rows (bounded,
-    documented collect). ``ds_factory`` is called per pass (the reads are
-    cheap narrow scans; a computed pipeline would re-execute).
+    one order-domain + one pair-domain exchange). Supports AND the exact
+    distinct-basket count then come from ONE fused pass: the <= 2k items
+    appearing in the top pairs are broadcast once and probed map-side,
+    distinct (item, order) rows collapse per batch, per-batch-distinct
+    orders ride along as sentinel (-1, order) rows, and ONE mixed-domain
+    exchange (item rows bucketed by item hash, sentinel rows by order
+    hash) counts both. The final join + arithmetic runs on k driver rows
+    (bounded, documented collect). ``ds_factory`` is called per pass (the
+    reads are cheap narrow scans; a computed pipeline would re-execute).
 
     Returns (part_a, part_b, n_orders, lift_ppm) ordered like the pair
     ranking (n_orders desc, part_a, part_b).
     """
     import ray
-
-    from .relational import hash_bucket_column
 
     pairs = basket_pairs_topk(
         ds_factory(), order_col, item_col, min_support, topk, buckets
@@ -4632,9 +4632,20 @@ def basket_lift_topk(ds_factory, order_col: str = "l_orderkey",
     items_ref = ray.put(items)
 
     def probe(batch: pa.Table) -> pa.Table:
+        # ONE fused partial pass emitting two row kinds telled apart by a
+        # sentinel item of -1 (partkeys are positive):
+        #   (item, order)  -- distinct-per-batch rows for the <= 2k probed
+        #                     items, bucketed by ITEM hash downstream;
+        #   (-1,   order)  -- distinct-per-batch orders for the exact
+        #                     n_baskets count, bucketed by ORDER hash so the
+        #                     sentinel rows spread instead of piling into
+        #                     one skewed group.
+        # Fusing saves a whole read + all-to-all barrier vs the previous
+        # separate groupby("o").count() pass (measured 6.6 s -> see below).
         arr = ray.get(items_ref)
         i = batch.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
         o = batch.column(order_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_o = np.unique(o)
         pos = np.clip(np.searchsorted(arr, i), 0, len(arr) - 1)
         hit = arr[pos] == i
         i, o = i[hit], o[hit]
@@ -4642,41 +4653,50 @@ def basket_lift_topk(ds_factory, order_col: str = "l_orderkey",
         order = np.lexsort((o, i))
         i, o = i[order], o[order]
         keep = np.r_[True, (i[1:] != i[:-1]) | (o[1:] != o[:-1])]
-        return pa.table({item_col: pa.array(i[keep], pa.int64()),
-                         order_col: pa.array(o[keep], pa.int64())})
+        i, o = i[keep], o[keep]
+        i = np.concatenate([i, np.full(len(uniq_o), -1, np.int64)])
+        o = np.concatenate([o, uniq_o])
+        return pa.table({item_col: pa.array(i, pa.int64()),
+                         order_col: pa.array(o, pa.int64())})
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        return hash_bucket_column(batch, item_col, buckets)
+        # sentinel rows co-locate by order value, item rows by item value
+        i = batch.column(item_col).to_numpy(zero_copy_only=False)
+        o = batch.column(order_col).to_numpy(zero_copy_only=False)
+        key = np.where(i < 0, o, i).astype(np.int64)
+        b = pd.util.hash_array(key) % buckets
+        return batch.append_column(
+            "__bucket", pa.array(b.astype(np.int32), pa.int32()))
 
     def support(group: pd.DataFrame) -> pd.DataFrame:
         i = group[item_col].to_numpy(np.int64)
         o = group[order_col].to_numpy(np.int64)
+        sent = i < 0
+        n_orders_here = np.int64(len(np.unique(o[sent])))
+        i, o = i[~sent], o[~sent]
+        if len(i) == 0:
+            return pd.DataFrame({item_col: np.array([-1], np.int64),
+                                 "n": np.array([n_orders_here], np.int64)})
         order = np.lexsort((o, i))
         i, o = i[order], o[order]
         keep = np.r_[True, (i[1:] != i[:-1]) | (o[1:] != o[:-1])]
         i = i[keep]
         first = np.r_[True, i[1:] != i[:-1]]
         idx = np.flatnonzero(first)
-        return pd.DataFrame({item_col: i[first],
-                             "n": np.diff(np.r_[idx, len(i)]).astype(np.int64)})
+        out_i = np.concatenate([i[first], [-1]])
+        out_n = np.concatenate(
+            [np.diff(np.r_[idx, len(i)]).astype(np.int64), [n_orders_here]])
+        return pd.DataFrame({item_col: out_i, "n": out_n})
 
-    sup = (
+    folded = (
         ds_factory().map_batches(probe, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__bucket")
         .map_groups(support, batch_format="pandas")
-        .to_pandas().set_index(item_col)["n"]
+        .to_pandas()
     )
-
-    def uniq_orders(batch: pa.Table) -> pa.Table:
-        o = np.unique(batch.column(order_col).to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        return pa.table({"o": pa.array(o, pa.int64())})
-
-    n_baskets = int(
-        ds_factory().map_batches(uniq_orders, batch_format="pyarrow")
-        .groupby("o").count().count()
-    )
+    n_baskets = int(folded.loc[folded[item_col] < 0, "n"].sum())
+    sup = folded[folded[item_col] >= 0].set_index(item_col)["n"]
 
     na = sup.loc[pairs["part_a"].to_numpy()].to_numpy(np.int64)
     nb = sup.loc[pairs["part_b"].to_numpy()].to_numpy(np.int64)
