@@ -4585,6 +4585,22 @@ def _q_mmr_diverse_topk(sf_dir: str):
     return analytics.mmr_diverse_topk(ds, _query_matrix(sf_dir))
 
 
+def _q_bootstrap_ci_mean(sf_dir: str):
+    """Poisson-bootstrap 95% CI for mean order value in integer cents x100
+    (analytics.bootstrap_ci_mean -- Chamandy et al.'s hash-seeded Poisson
+    weights, the bootstrap that parallelizes); oracle replays the md5 ->
+    64 affine draws -> CDF-ladder weights -> per-resample floor-divided
+    means -> percentile rank pick, all on shared integer literals."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return analytics.bootstrap_ci_mean(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
@@ -4848,6 +4864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_source_daily": _q_csv_source_daily,
         "matryoshka_recall_audit": _q_matryoshka_recall_audit,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
+        "bootstrap_ci_mean": _q_bootstrap_ci_mean,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6724,6 +6741,46 @@ def _mmr_sql(k: int = 5, pool: int = 50, lam: float = 0.7) -> str:
     )
 
 
+def _bootstrap_ci_sql(n_resamples: int = 64, seed: int = 7,
+                      lo_pct: int = 25, hi_pct: int = 975) -> str:
+    """Replay of analytics.bootstrap_ci_mean: the SAME (a_b, b_b) affine
+    literals and Poisson(1) integer CDF ladder (both from
+    analytics.bootstrap_constants -- one source of truth), u =
+    ((pa*h + pb) % 2^64) % Mersenne61 via HUGEINT, weight = CASE rung,
+    per-resample mean = floor((SUM(w*cents)*100) / SUM(w)) with zero-weight
+    resamples dropped on both sides, percentile pick by ROW_NUMBER at the
+    engine's integer rank formulas."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    a, b, thr = analytics.bootstrap_constants(n_resamples, seed)
+    perms = ", ".join(
+        f"({i}, {int(x)}, {int(y)})" for i, (x, y) in enumerate(zip(a, b))
+    )
+    ladder = "CASE " + " ".join(
+        f"WHEN u < {int(t)} THEN {k}" for k, t in enumerate(thr)
+    ) + f" ELSE {len(thr)} END"
+    h = _MD5U64.format(v="CAST(o_orderkey AS VARCHAR)")
+    return (
+        f"WITH base AS (SELECT {h} AS h, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders), "
+        f"perm(b, pa, pb) AS (VALUES {perms}), "
+        "u AS (SELECT p.b, ((CAST(p.pa AS HUGEINT) * base.h + p.pb) "
+        "% 18446744073709551616) % 2305843009213693951 AS u, base.cents "
+        "FROM base CROSS JOIN perm p), "
+        f"w AS (SELECT b, {ladder} AS w, cents FROM u), "
+        "mn AS (SELECT b, CAST((SUM(w * cents) * 100) // SUM(w) AS BIGINT) "
+        "AS mean FROM w GROUP BY b HAVING SUM(w) > 0), "
+        "r AS (SELECT mean, ROW_NUMBER() OVER (ORDER BY mean) AS rn, "
+        "COUNT(*) OVER () AS m FROM mn), "
+        "pt AS (SELECT CAST((SUM(cents) * 100) // COUNT(*) AS BIGINT) "
+        "AS mean_c100 FROM base) "
+        "SELECT pt.mean_c100, "
+        f"(SELECT mean FROM r WHERE rn = ({lo_pct} * m) // 1000 + 1) AS ci_lo_c100, "
+        f"(SELECT mean FROM r WHERE rn = ({hi_pct} * m + 999) // 1000) AS ci_hi_c100, "
+        "(SELECT CAST(MAX(m) AS BIGINT) FROM r) AS n_resamples FROM pt"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from distributed_system___ocr_ray.functions.textstats import (
         PUNCT_PATTERN as _TS_PUNCT,
@@ -8373,4 +8430,5 @@ def oracle_sql() -> dict[str, str]:
         "csv_source_daily": _TEXT_SOURCE_DAILY_SQL,
         "matryoshka_recall_audit": _matryoshka_sql(),
         "mmr_diverse_topk": _mmr_sql(),
+        "bootstrap_ci_mean": _bootstrap_ci_sql(),
     }

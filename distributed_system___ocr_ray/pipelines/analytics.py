@@ -10881,3 +10881,108 @@ def mmr_diverse_topk(ds, queries: np.ndarray, k: int = 5, pool: int = 50,
     for c in res.columns:
         res[c] = res[c].astype(np.int64)
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# Poisson(1) CDF ladder for the bootstrap weight map, quantized onto the
+# Mersenne-61 hash range as integer thresholds so the engine (searchsorted)
+# and the DuckDB replay (CASE ladder on the same literals) compare the SAME
+# integers -- no float comparison anywhere. Weights cap at 8: P(X>8|lam=1)
+# ~= 1.1e-6, and BOTH sides clamp identically so the cap is semantics, not
+# error.
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+)
+
+
+def bootstrap_constants(n_resamples: int = 64, seed: int = 7):
+    """Per-resample affine constants (a_b, b_b) on the Mersenne-61 field and
+    the Poisson(1) integer threshold ladder. Derived from md5 so the SQL
+    replay can embed the SAME literals (``__ray_entry__`` calls this very
+    function when building the oracle): resample b's uniform draw for row
+    key h is ``((a_b * h + b_b) mod 2^64) mod (2^61-1)`` -- one md5 per ROW
+    fans out to B resamples by arithmetic, the exact trick the MinHash
+    permutation family proved oracle-exact (analytics.minhash_lsh_pairs)."""
+    from ..functions import dedup as dk
+
+    M = dk._MERSENNE
+    a = np.array(
+        [max(1, dk.md5_u64(f"bootA{seed}:{i}".encode()) % M)
+         for i in range(n_resamples)], dtype=np.uint64)
+    b = np.array(
+        [dk.md5_u64(f"bootB{seed}:{i}".encode()) % M
+         for i in range(n_resamples)], dtype=np.uint64)
+    thresholds = np.array([int(c * M) for c in _POISSON1_CDF], dtype=np.uint64)
+    return a, b, thresholds
+
+
+def bootstrap_ci_mean(ds, value_col: str = "o_totalprice",
+                      key_col: str = "o_orderkey", n_resamples: int = 64,
+                      seed: int = 7, lo_pct: int = 25, hi_pct: int = 975):
+    """Poisson-bootstrap confidence interval for the mean -- the bootstrap
+    that actually runs at 100 TB. Classic resampling needs global
+    coordination (each resample draws n rows WITH replacement); the Poisson
+    bootstrap (Chamandy et al. 2012, "Estimating Uncertainty for Massive
+    Data Streams", Google) replaces the multinomial with independent
+    per-(row, resample) Poisson(1) weights, so every row computes its B
+    weights LOCALLY from a hash and the whole procedure is one
+    embarrassingly-parallel pass + a B-row fold. Here the Poisson draw is
+    deterministic: u = affine(md5(key)) on Mersenne-61, weight = rung of u
+    in the integer-quantized Poisson(1) CDF ladder -- bit-replayable in SQL.
+
+    Output (single row, integer cents x100 for exactness):
+    mean_c100 (point estimate over all rows), ci_lo_c100 / ci_hi_c100
+    (percentile bootstrap bounds at lo_pct/hi_pct permille over the B
+    resample means, floor-divided), n_resamples (surviving resamples --
+    a resample with total weight 0 is dropped identically on both sides).
+
+    Scale shape: one narrow scan; per batch a (B x n) uint64 matrix of
+    weights folds to 2B int64 partials (sum_w, sum_wx) plus one b=-1 row
+    carrying the plain sum/count, so the exchange moves B+1 rows per block
+    regardless of input size; the final fold is a tiny_final_groupby over
+    B+1 bounded keys; the percentile pick runs on B driver floats' worth of
+    integers. No shuffle of data rows, ever."""
+    from ..functions import dedup as dk
+    from .relational import _cents, tiny_final_groupby
+
+    M = np.uint64(dk._MERSENNE)
+    a, b, thr = bootstrap_constants(n_resamples, seed)
+    bidx = np.arange(-1, n_resamples, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(batch.column(value_col)).to_numpy()
+        h = np.array([dk.md5_u64(str(i).encode()) for i in ids], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            u = (a[:, None] * h[None, :] + b[:, None]) % M
+        w = np.searchsorted(thr, u.ravel(), side="right").reshape(
+            n_resamples, -1).astype(np.int64)
+        sw = np.concatenate([[len(ids)], w.sum(axis=1)])
+        swx = np.concatenate([[int(cents.sum())], (w * cents[None, :]).sum(axis=1)])
+        return pa.table({
+            "b": pa.array(bidx, pa.int64()),
+            "sw": pa.array(sw, pa.int64()),
+            "swx": pa.array(swx, pa.int64()),
+        })
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        keys=["b"], aggs=[("sw", "sum"), ("swx", "sum")],
+        out_names=["b", "sw", "swx"],
+    ).to_pandas()
+
+    point = folded[folded["b"] < 0].iloc[0]
+    mean_c100 = int(point["swx"]) * 100 // int(point["sw"])
+    rs = folded[(folded["b"] >= 0) & (folded["sw"] > 0)]
+    means = np.sort((rs["swx"].to_numpy(np.int64) * 100)
+                    // rs["sw"].to_numpy(np.int64))
+    m = len(means)
+    lo = int(means[(lo_pct * m) // 1000])
+    hi = int(means[(hi_pct * m + 999) // 1000 - 1])
+    return pd.DataFrame({
+        "mean_c100": pd.Series([mean_c100], dtype=np.int64),
+        "ci_lo_c100": pd.Series([lo], dtype=np.int64),
+        "ci_hi_c100": pd.Series([hi], dtype=np.int64),
+        "n_resamples": pd.Series([m], dtype=np.int64),
+    })

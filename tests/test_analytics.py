@@ -8567,3 +8567,60 @@ class TestMmrDiverseTopk:
         picked = list(out["vec_id"])
         assert picked[0] in (0, 1, 2)      # most relevant first
         assert 10 in picked[:3]            # diversity pulls in the orthogonal doc
+
+
+class TestBootstrapCIMean:
+    def test_hand_checked_weights_and_interval(self):
+        import hashlib
+
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ids = list(range(1, 501))
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(ids, pa.int64()),
+                "o_totalprice": pa.array([float(i) for i in ids], pa.float64()),
+            }
+        )
+        got = analytics.bootstrap_ci_mean(rd.from_arrow(tbl))
+        assert list(got.columns) == [
+            "mean_c100", "ci_lo_c100", "ci_hi_c100", "n_resamples",
+        ]
+        # point estimate: mean of 1..500 dollars = 250.50 -> cents*100
+        assert int(got["mean_c100"].iloc[0]) == sum(ids) * 100 * 100 // len(ids)
+        # replay one resample by hand (b=0) with the published constants
+        a, b, thr = analytics.bootstrap_constants()
+        M = (1 << 61) - 1
+        sw = swx = 0
+        for i in ids:
+            h = int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+            u = ((int(a[0]) * h + int(b[0])) % (1 << 64)) % M
+            w = sum(1 for t in thr if int(t) <= u)
+            sw += w
+            swx += w * i * 100
+        mean0 = swx * 100 // sw
+        # 64 resamples survive (every total weight positive at n=500)
+        assert int(got["n_resamples"].iloc[0]) == 64
+        lo = int(got["ci_lo_c100"].iloc[0])
+        hi = int(got["ci_hi_c100"].iloc[0])
+        assert lo <= mean0 <= hi or not (lo <= int(got["mean_c100"].iloc[0]) <= hi)
+        # interval is ordered and brackets the point estimate at n=500
+        assert lo <= int(got["mean_c100"].iloc[0]) <= hi
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ids = list(range(1, 301))
+        tbl = pa.table(
+            {
+                "o_orderkey": pa.array(ids, pa.int64()),
+                "o_totalprice": pa.array([float(1 + (i % 7)) for i in ids], pa.float64()),
+            }
+        )
+        one = analytics.bootstrap_ci_mean(rd.from_arrow(tbl))
+        many = analytics.bootstrap_ci_mean(rd.from_arrow(tbl).repartition(13))
+        assert one.equals(many)
