@@ -4585,6 +4585,20 @@ def _q_mmr_diverse_topk(sf_dir: str):
     return analytics.mmr_diverse_topk(ds, _query_matrix(sf_dir))
 
 
+def _q_embedding_covariance_topk(sf_dir: str):
+    """Top-20 |covariance| embedding dimension pairs from one Gram-matrix
+    partial pass (analytics.embedding_covariance_topk -- the PCA/whitening
+    preprocessing primitive); oracle quantizes to the same integer
+    milli-units, self-joins the unnested (row, dim, value) triples, and
+    replays cov_num = n*S_ab - s_a*s_b exactly."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return analytics.embedding_covariance_topk(ds)
+
+
 def _q_bootstrap_ci_mean(sf_dir: str):
     """Poisson-bootstrap 95% CI for mean order value in integer cents x100
     (analytics.bootstrap_ci_mean -- Chamandy et al.'s hash-seeded Poisson
@@ -4865,6 +4879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matryoshka_recall_audit": _q_matryoshka_recall_audit,
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "bootstrap_ci_mean": _q_bootstrap_ci_mean,
+        "embedding_covariance_topk": _q_embedding_covariance_topk,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8431,4 +8446,27 @@ def oracle_sql() -> dict[str, str]:
         "matryoshka_recall_audit": _matryoshka_sql(),
         "mmr_diverse_topk": _mmr_sql(),
         "bootstrap_ci_mean": _bootstrap_ci_sql(),
+        "embedding_covariance_topk": (
+            # replay of analytics.embedding_covariance_topk: identical
+            # milli-unit quantization (floor(x*1000+0.5) -- the
+            # quantize_embeddings convention), 1-based dim indexing via
+            # q[i], exact integer cov_num = n*S_ab - s_a*s_b in HUGEINT
+            "WITH e AS (SELECT vec_id, list_transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "dims AS (SELECT unnest(generate_series(1, len(q))) AS i, vec_id, q "
+            "FROM e), "
+            "u AS (SELECT vec_id, i, q[i] AS x FROM dims), "
+            "n AS (SELECT COUNT(*) AS n FROM e), "
+            "s AS (SELECT i, SUM(x) AS s FROM u GROUP BY i), "
+            "g AS (SELECT a.i AS dim_a, b.i AS dim_b, SUM(a.x * b.x) AS sab "
+            "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i < b.i "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(g.dim_a AS BIGINT) AS dim_a, "
+            "CAST(g.dim_b AS BIGINT) AS dim_b, "
+            "CAST(n.n * g.sab - sa.s * sb.s AS BIGINT) AS cov_num "
+            "FROM g, n JOIN s sa ON sa.i = g.dim_a JOIN s sb ON sb.i = g.dim_b "
+            "ORDER BY abs(n.n * g.sab - sa.s * sb.s) DESC, g.dim_a, g.dim_b "
+            "LIMIT 20"
+        ),
     }

@@ -10986,3 +10986,62 @@ def bootstrap_ci_mean(ds, value_col: str = "o_totalprice",
         "ci_hi_c100": pd.Series([hi], dtype=np.int64),
         "n_resamples": pd.Series([m], dtype=np.int64),
     })
+
+
+def embedding_covariance_topk(ds, vec_col: str = "embedding", topk: int = 20,
+                              quant: int = 1000):
+    """Top-k most-covarying embedding dimension pairs -- the distributed
+    linear-algebra primitive behind whitening / PCA preprocessing: ONE pass
+    accumulates the Gram matrix X^T X, the column sums and the count as
+    map-side partials, and the driver finishes the (d x d) centering
+    arithmetic on d^2 integers. At 100 TB this is the only shape that works:
+    the data never shuffles, each block contributes a (d(d-1)/2 + d + 1)-row
+    partial regardless of block size, and the fold is a bounded-key
+    tiny_final_groupby.
+
+    Exactness: elements quantize to integer milli-units (floor(x*1000+0.5),
+    the quantize_embeddings convention -- banker's rounding differs between
+    numpy and SQL, floor(x+0.5) does not), so Gram sums are exact integers
+    and the covariance NUMERATOR cov_num = n*S_ab - s_a*s_b is exact
+    (covariance itself = cov_num / n^2 in milli^2 -- left rational on
+    purpose; the driver arithmetic runs on Python ints so n*S cannot
+    overflow before the final int64 check).
+
+    Returns (dim_a, dim_b, cov_num): 1-based dims (matching SQL list
+    indexing), a < b, ranked by |cov_num| desc then (dim_a, dim_b)."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(n, d)
+        Q = np.floor(V * quant + 0.5).astype(np.int64)
+        S = Q.T @ Q
+        s = Q.sum(axis=0)
+        iu, ju = np.triu_indices(d, k=1)
+        keys = np.concatenate([iu * d + ju, d * d + np.arange(d), [-1]])
+        vals = np.concatenate([S[iu, ju], s, [n]])
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["k"], aggs=[("v", "sum")], out_names=["k", "v"],
+    ).to_pandas()
+    kv = dict(zip(folded["k"].astype(int), folded["v"].astype(int)))
+    n = kv[-1]
+    # max key is d*d + (d-1); floor(sqrt(d^2 + d)) == d for every d >= 1
+    d = int((max(k for k in kv if 0 <= k) + 1) ** 0.5)
+    rows = []
+    for a in range(d):
+        for b in range(a + 1, d):
+            cov = n * kv[a * d + b] - kv[d * d + a] * kv[d * d + b]
+            rows.append((a + 1, b + 1, cov))
+    rows.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+    out = pd.DataFrame(rows[:topk], columns=["dim_a", "dim_b", "cov_num"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -8624,3 +8624,40 @@ class TestBootstrapCIMean:
         one = analytics.bootstrap_ci_mean(rd.from_arrow(tbl))
         many = analytics.bootstrap_ci_mean(rd.from_arrow(tbl).repartition(13))
         assert one.equals(many)
+
+
+class TestEmbeddingCovariance:
+    def test_hand_built_2d(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # three 3-dim vectors in whole milli-units; covariance by hand
+        vecs = [[1.0, 2.0, 0.0], [2.0, 4.0, 0.0], [3.0, 6.0, 0.0]]
+        tbl = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32()))})
+        got = analytics.embedding_covariance_topk(rd.from_arrow(tbl), topk=3)
+        q = [[1000, 2000, 0], [2000, 4000, 0], [3000, 6000, 0]]
+        n = 3
+        import itertools
+
+        want = []
+        for a, b in itertools.combinations(range(3), 2):
+            sab = sum(r[a] * r[b] for r in q)
+            sa = sum(r[a] for r in q)
+            sb = sum(r[b] for r in q)
+            want.append((a + 1, b + 1, n * sab - sa * sb))
+        want.sort(key=lambda r: (-abs(r[2]), r[0], r[1]))
+        assert list(map(tuple, got.itertuples(index=False))) == want
+        # dims 1,2 are perfectly correlated -> their cov_num tops the list
+        assert (got.iloc[0]["dim_a"], got.iloc[0]["dim_b"]) == (1, 2)
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        rng = [[((i * 7 + j * 3) % 11) / 10.0 for j in range(8)] for i in range(200)]
+        tbl = pa.table({"embedding": pa.array(rng, pa.list_(pa.float32()))})
+        one = analytics.embedding_covariance_topk(rd.from_arrow(tbl))
+        many = analytics.embedding_covariance_topk(rd.from_arrow(tbl).repartition(9))
+        assert one.equals(many)
