@@ -4599,6 +4599,20 @@ def _q_embedding_covariance_topk(sf_dir: str):
     return analytics.embedding_covariance_topk(ds)
 
 
+def _q_t_closeness_audit(sf_dir: str):
+    """t-closeness per event_type cell: integer-ppm EMD between the cell's
+    and the global $10-binned value distribution (analytics.
+    t_closeness_audit, completing the k-anonymity / l-diversity /
+    t-closeness release ladder); oracle replays the zero-filled bin grid,
+    the cumulative cross products and the exact floor-divided ppm."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return analytics.t_closeness_audit(ds)
+
+
 def _q_bootstrap_ci_mean(sf_dir: str):
     """Poisson-bootstrap 95% CI for mean order value in integer cents x100
     (analytics.bootstrap_ci_mean -- Chamandy et al.'s hash-seeded Poisson
@@ -4880,6 +4894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_diverse_topk": _q_mmr_diverse_topk,
         "bootstrap_ci_mean": _q_bootstrap_ci_mean,
         "embedding_covariance_topk": _q_embedding_covariance_topk,
+        "t_closeness_audit": _q_t_closeness_audit,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8468,5 +8483,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM g, n JOIN s sa ON sa.i = g.dim_a JOIN s sb ON sb.i = g.dim_b "
             "ORDER BY abs(n.n * g.sab - sa.s * sb.s) DESC, g.dim_a, g.dim_b "
             "LIMIT 20"
+        ),
+        "t_closeness_audit": (
+            # replay of analytics.t_closeness_audit: same clamped $10 bins
+            # (LEAST(GREATEST(cents,0)//1000, 9)), zero-filled grid so
+            # cumulative sums cross empty bins identically, exact integer
+            # cross-product EMD floor-divided to ppm
+            "WITH c AS (SELECT event_type AS qi, "
+            "LEAST(GREATEST(CAST(ROUND(value * 100) AS BIGINT), 0) // 1000, 9) "
+            "AS bin FROM events), "
+            "grid AS (SELECT q.qi, b.bin FROM (SELECT DISTINCT qi FROM c) q, "
+            "(SELECT unnest(generate_series(0, 9)) AS bin) b), "
+            "cnt AS (SELECT qi, bin, COUNT(*) AS n FROM c GROUP BY 1, 2), "
+            "filled AS (SELECT g.qi, g.bin, COALESCE(cnt.n, 0) AS n FROM grid g "
+            "LEFT JOIN cnt ON cnt.qi = g.qi AND cnt.bin = g.bin), "
+            "cum AS (SELECT qi, bin, SUM(n) OVER (PARTITION BY qi ORDER BY bin) "
+            "AS cc FROM filled), "
+            "gcum AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cg FROM "
+            "(SELECT bin, SUM(n) AS n FROM filled GROUP BY bin)), "
+            "tot AS (SELECT COUNT(*) AS N FROM c), "
+            "nc AS (SELECT qi, COUNT(*) AS n FROM c GROUP BY qi), "
+            "emd AS (SELECT cum.qi, CAST(nc.n AS BIGINT) AS n_events, "
+            "CAST((1000000 * SUM(ABS(cum.cc * tot.N - gcum.cg * nc.n))) "
+            "// (nc.n * tot.N * 9) AS BIGINT) AS t_ppm "
+            "FROM cum JOIN gcum ON gcum.bin = cum.bin "
+            "JOIN nc ON nc.qi = cum.qi CROSS JOIN tot "
+            "WHERE cum.bin < 9 GROUP BY cum.qi, nc.n, tot.N) "
+            "SELECT qi, n_events, t_ppm, "
+            "CAST(CASE WHEN t_ppm > 150000 THEN 1 ELSE 0 END AS BIGINT) "
+            "AS at_risk FROM emd"
         ),
     }

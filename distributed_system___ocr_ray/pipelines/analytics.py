@@ -11045,3 +11045,67 @@ def embedding_covariance_topk(ds, vec_col: str = "embedding", topk: int = 20,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def t_closeness_audit(ds, qi_col: str = "event_type", value_col: str = "value",
+                      bin_cents: int = 10_00, n_bins: int = 10,
+                      threshold_ppm: int = 150_000):
+    """t-closeness audit -- the third rung of the release-safety ladder
+    (k_anonymity_audit: cells big enough; l_diversity_audit: enough distinct
+    people; HERE: the sensitive DISTRIBUTION inside a cell must not diverge
+    from the global one, or the cell leaks by inference even when k- and
+    l-safe). Distance is the Earth Mover's Distance over an ORDERED
+    sensitive domain (Li, Li & Venkatasubramanian, ICDE'07): value binned
+    into ``n_bins`` fixed ``bin_cents``-wide rungs (clamped at the top --
+    fixed literals, data-independent, so both sides bin identically),
+    EMD = sum_j |CumP_cell(j) - CumP_global(j)| / (n_bins - 1) over the
+    first n_bins-1 cumulative points.
+
+    Exactness: with n_c = cell rows and N = total rows, the ppm distance is
+    ``t_ppm = (1e6 * sum_j |cum_c(j)*N - cum_g(j)*n_c|) //
+    (n_c * N * (n_bins-1))`` -- every term an integer; the driver arithmetic
+    runs on Python ints (the cross products reach ~1e18 at single-digit-TB
+    row counts, past int64 when multiplied by 1e6).
+
+    Scale shape: per batch a (qi, bin, n) count partial; ONE bounded fold
+    (|qi| x n_bins keys) via tiny_final_groupby; the EMD arithmetic runs on
+    that bounded driver table. No row-domain shuffle.
+
+    Returns (qi, n_events, t_ppm, at_risk) ordered by qi."""
+    from .relational import _cents, tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qi = batch.column(qi_col).to_pandas()
+        cents = np.maximum(_cents(batch.column(value_col)).to_numpy(), 0)
+        bins = np.minimum(cents // bin_cents, n_bins - 1).astype(np.int64)
+        g = (pd.DataFrame({"qi": qi, "bin": bins})
+             .groupby(["qi", "bin"], sort=False).size().rename("n").reset_index())
+        return pa.Table.from_pandas(
+            g.astype({"bin": np.int64, "n": np.int64}), preserve_index=False)
+
+    counts = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["qi", "bin"], aggs=[("n", "sum")], out_names=["qi", "bin", "n"],
+    ).to_pandas()
+
+    glob = np.zeros(n_bins, dtype=object)
+    for _, r in counts.iterrows():
+        glob[int(r["bin"])] += int(r["n"])
+    cum_g = np.cumsum(glob)
+    N = int(cum_g[-1])
+
+    rows = []
+    for qi, g in counts.groupby("qi"):
+        cell = np.zeros(n_bins, dtype=object)
+        for _, r in g.iterrows():
+            cell[int(r["bin"])] += int(r["n"])
+        cum_c = np.cumsum(cell)
+        n_c = int(cum_c[-1])
+        tot = sum(abs(int(cum_c[j]) * N - int(cum_g[j]) * n_c)
+                  for j in range(n_bins - 1))
+        t_ppm = (1_000_000 * tot) // (n_c * N * (n_bins - 1))
+        rows.append((qi, n_c, int(t_ppm), int(t_ppm > threshold_ppm)))
+    out = pd.DataFrame(rows, columns=["qi", "n_events", "t_ppm", "at_risk"])
+    for c in ("n_events", "t_ppm", "at_risk"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("qi").reset_index(drop=True)

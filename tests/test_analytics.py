@@ -8661,3 +8661,37 @@ class TestEmbeddingCovariance:
         one = analytics.embedding_covariance_topk(rd.from_arrow(tbl))
         many = analytics.embedding_covariance_topk(rd.from_arrow(tbl).repartition(9))
         assert one.equals(many)
+
+
+class TestTCloseness:
+    def test_hand_built_emd(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # cell A: all mass in bin 0 ($5); cell B: all in bin 9 ($95);
+        # global: half/half -> each cell's EMD is 0.5 over 9 steps x 9
+        # nonzero cumulative diffs
+        vals = [5.0] * 10 + [95.0] * 10
+        qi = ["A"] * 10 + ["B"] * 10
+        tbl = pa.table({"event_type": pa.array(qi), "value": pa.array(vals)})
+        got = analytics.t_closeness_audit(rd.from_arrow(tbl)).set_index("qi")
+        # cum_A = 10 at every bin 0..8; cum_g = 10 at bins 0..8; N=20, n_c=10
+        # |10*20 - 10*10| = 100 per bin x 9 bins = 900
+        # t_ppm = 1e6*900 // (10*20*9) = 500_000
+        assert int(got.loc["A", "t_ppm"]) == 500_000
+        assert int(got.loc["B", "t_ppm"]) == 500_000
+        assert (got["at_risk"] == 1).all()
+        assert (got["n_events"] == 10).all()
+
+    def test_identical_distribution_is_zero(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        vals = [5.0, 15.0, 25.0] * 4
+        qi = (["A"] * 3 + ["B"] * 3) * 2
+        tbl = pa.table({"event_type": pa.array(qi), "value": pa.array(vals)})
+        got = analytics.t_closeness_audit(rd.from_arrow(tbl))
+        assert (got["t_ppm"] == 0).all()
+        assert (got["at_risk"] == 0).all()
