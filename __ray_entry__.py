@@ -4599,6 +4599,21 @@ def _q_embedding_covariance_topk(sf_dir: str):
     return analytics.embedding_covariance_topk(ds)
 
 
+def _q_pq_recall_audit(sf_dir: str):
+    """Product-quantization ADC recall@10 vs exact integer L2 per query
+    (analytics.pq_recall_audit: md5-elected seeds, one Lloyd step,
+    floor-div integer codebook -- the FAISS-style compression audit
+    beside ivf_topk's pruning audit); oracle replays seed election,
+    assignment, centroids, encoding, the ADC lookup sum and both top-10
+    rankings step for step (_pq_sql)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.pq_recall_audit(ds, _query_matrix(sf_dir))
+
+
 def _q_t_closeness_audit(sf_dir: str):
     """t-closeness per event_type cell: integer-ppm EMD between the cell's
     and the global $10-binned value distribution (analytics.
@@ -4895,6 +4910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_mean": _q_bootstrap_ci_mean,
         "embedding_covariance_topk": _q_embedding_covariance_topk,
         "t_closeness_audit": _q_t_closeness_audit,
+        "pq_recall_audit": _q_pq_recall_audit,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6771,6 +6787,68 @@ def _mmr_sql(k: int = 5, pool: int = 50, lam: float = 0.7) -> str:
     )
 
 
+def _pq_sql(n_sub: int = 8, n_codes: int = 16, k: int = 10,
+            quant: int = 1000, dim: int = 64) -> str:
+    """Replay of analytics.pq_recall_audit, step for step: milli-int
+    quantization, md5-elected seeds (ORDER BY h, vec_id LIMIT n_codes),
+    one assignment step with (d, c) tie order, floor-div integer
+    centroids with empty clusters keeping their seed, encode, the ADC
+    sum over per-subspace lookup distances, exact integer L2, both
+    top-k at (dist, vec_id) order, overlap in ppm."""
+    h = _MD5U64.format(v="'pqseed:' || CAST(vec_id AS VARCHAR)")
+    dsub = dim // n_sub
+    return (
+        "WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT)) AS qv "
+        "FROM embeddings), "
+        f"dims AS (SELECT unnest(generate_series(1, {dim})) AS i), "
+        f"u AS (SELECT vec_id, i, qv[i] AS x, (i - 1) // {dsub} AS s "
+        "FROM q0, dims), "
+        f"hsh AS (SELECT vec_id, qv, {h} AS hv FROM q0), "
+        "seeds AS (SELECT vec_id, qv, "
+        "ROW_NUMBER() OVER (ORDER BY hv, vec_id) - 1 AS c FROM hsh "
+        f"QUALIFY ROW_NUMBER() OVER (ORDER BY hv, vec_id) <= {n_codes}), "
+        f"su AS (SELECT c, i, qv[i] AS x, (i - 1) // {dsub} AS s "
+        "FROM seeds, dims), "
+        "ad AS (SELECT u.vec_id, u.s, su.c, "
+        "SUM((u.x - su.x) * (u.x - su.x)) AS d "
+        "FROM u JOIN su ON su.i = u.i GROUP BY 1, 2, 3), "
+        "asg AS (SELECT vec_id, s, c FROM ad "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) = 1), "
+        "csum AS (SELECT a.s, a.c, u.i, SUM(u.x) AS sx, COUNT(*) AS n "
+        "FROM asg a JOIN u ON u.vec_id = a.vec_id AND u.s = a.s "
+        "GROUP BY 1, 2, 3), "
+        "cent AS (SELECT su.s, su.c, su.i, "
+        "COALESCE(cs.sx // cs.n, su.x) AS cx FROM su "
+        "LEFT JOIN csum cs ON cs.s = su.s AND cs.c = su.c AND cs.i = su.i), "
+        "ed2 AS (SELECT u.vec_id, u.s, ct.c, "
+        "SUM((u.x - ct.cx) * (u.x - ct.cx)) AS d "
+        "FROM u JOIN cent ct ON ct.i = u.i GROUP BY 1, 2, 3), "
+        "code AS (SELECT vec_id, s, c FROM ed2 "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, c) = 1), "
+        "qry AS (SELECT vec_id AS query_id, qv FROM q0 ORDER BY vec_id LIMIT 3), "
+        f"qu AS (SELECT query_id, i, qv[i] AS x, (i - 1) // {dsub} AS s "
+        "FROM qry, dims), "
+        "lut AS (SELECT qu.query_id, qu.s, ct.c, "
+        "SUM((qu.x - ct.cx) * (qu.x - ct.cx)) AS d "
+        "FROM qu JOIN cent ct ON ct.i = qu.i GROUP BY 1, 2, 3), "
+        "appx AS (SELECT l.query_id, cd.vec_id, SUM(l.d) AS adist "
+        "FROM code cd JOIN lut l ON l.s = cd.s AND l.c = cd.c GROUP BY 1, 2), "
+        "atop AS (SELECT query_id, vec_id FROM appx "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) <= {k}), "
+        "exd AS (SELECT qu.query_id, u.vec_id, "
+        "SUM((qu.x - u.x) * (qu.x - u.x)) AS edist "
+        "FROM qu JOIN u ON u.i = qu.i GROUP BY 1, 2), "
+        "etop AS (SELECT query_id, vec_id FROM exd "
+        f"QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY edist, vec_id) <= {k}), "
+        "ov AS (SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap "
+        "FROM atop a JOIN etop USING (query_id, vec_id) GROUP BY 1) "
+        "SELECT qry.query_id, COALESCE(ov.n_overlap, 0) AS n_overlap, "
+        f"CAST(COALESCE(ov.n_overlap, 0) * 1000000 // {k} AS BIGINT) AS recall_ppm "
+        "FROM qry LEFT JOIN ov USING (query_id) ORDER BY qry.query_id"
+    )
+
+
 def _bootstrap_ci_sql(n_resamples: int = 64, seed: int = 7,
                       lo_pct: int = 25, hi_pct: int = 975) -> str:
     """Replay of analytics.bootstrap_ci_mean: the SAME (a_b, b_b) affine
@@ -8513,4 +8591,5 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN t_ppm > 150000 THEN 1 ELSE 0 END AS BIGINT) "
             "AS at_risk FROM emd"
         ),
+        "pq_recall_audit": _pq_sql(),
     }

@@ -11109,3 +11109,164 @@ def t_closeness_audit(ds, qi_col: str = "event_type", value_col: str = "value",
     for c in ("n_events", "t_ppm", "at_risk"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("qi").reset_index(drop=True)
+
+
+def pq_recall_audit(ds, queries: "np.ndarray", n_sub: int = 8,
+                    n_codes: int = 16, k: int = 10, quant: int = 1000,
+                    id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Product-quantization recall audit -- the other half of the FAISS
+    ANN family (ivf_topk prunes WHICH vectors to score; PQ compresses HOW
+    each is scored: d dims -> n_sub one-byte codes, distances via a
+    per-query lookup table). Audits the compression the way
+    matryoshka_recall_audit audits truncation: recall@k of ADC-ranked
+    top-k vs exact top-k per query.
+
+    Deterministic, integer, SQL-replayable training: embeddings quantize
+    to milli ints; the ``n_codes`` codewords per subspace start from the
+    vectors with the smallest md5('pqseed:'||id) (the sample_n trick --
+    a hash-random but replayable draw), take ONE Lloyd assignment step
+    (squared-L2 on ints, ties to the lower seed rank), and the trained
+    codebook is the floor-div integer mean of each cluster (empty cluster
+    keeps its seed). Encoding, the ADC lookup table and exact distances
+    are then all exact integer arithmetic -- the DuckDB oracle replays
+    every step.
+
+    Scale shape: three passes, none shuffling the row domain. (A) seed
+    election: per-batch partial top-``n_codes`` by hash, driver merge
+    (bounded). (B) assignment statistics: per batch a (sub, code, dim)
+    sum/count partial -- <= n_sub*n_codes*(d/n_sub + 1) rows per block
+    regardless of size -- folded by tiny_final_groupby. (C) encode + ADC
+    + exact in ONE pass against the broadcast codebook: per batch builds
+    the (q, sub, code) lookup table once, gathers code columns, and emits
+    only per-batch top-k partials for both rankings; the driver merges
+    k x 2 x |queries| x blocks bounded rows.
+
+    Returns (query_id, n_overlap, recall_ppm) ordered by query_id."""
+    import ray
+
+    from ..functions import dedup as dk
+    from .relational import tiny_final_groupby
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, d)
+
+    # ---- pass A: md5-elected seed vectors (bounded partial top-n merge)
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _mat(batch.column(emb_col))
+        h = np.array([dk.md5_u64(f"pqseed:{i}".encode()) for i in ids], np.uint64)
+        top = np.lexsort((ids, h))[:n_codes]
+        return pa.table({
+            "h": pa.array(h[top], pa.uint64()),
+            id_col: pa.array(ids[top], pa.int64()),
+            "qv": pa.array(list(Q[top]), pa.list_(pa.int64())),
+        })
+
+    sp = ds.map_batches(seed_partial, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((sp[id_col].to_numpy(np.int64),
+                        sp["h"].to_numpy(np.uint64)))[:n_codes]
+    seeds = np.stack(sp["qv"].iloc[order].to_numpy())  # (n_codes, d) int64
+    d = seeds.shape[1]
+    dsub = d // n_sub
+    seeds_h = ray.put(seeds)
+
+    def _assign(Q: np.ndarray, book: np.ndarray) -> np.ndarray:
+        # (n, n_sub) code indices; argmin takes the FIRST minimum -> ties
+        # resolve to the lower code rank on both sides
+        codes = np.empty((len(Q), n_sub), dtype=np.int64)
+        for s in range(n_sub):
+            qs = Q[:, s * dsub:(s + 1) * dsub]
+            bs = book[:, s * dsub:(s + 1) * dsub]
+            dist = ((qs[:, None, :] - bs[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(dist, axis=1)
+        return codes
+
+    # ---- pass B: one Lloyd step's sum/count statistics
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        book = ray.get(seeds_h)
+        codes = _assign(Q, book)
+        keys, vals = [], []
+        for s in range(n_sub):
+            qs = Q[:, s * dsub:(s + 1) * dsub]
+            for c in range(n_codes):
+                sel = qs[codes[:, s] == c]
+                if not len(sel):
+                    continue
+                base = (s * n_codes + c) * dsub
+                keys.extend(range(base, base + dsub))
+                vals.extend(sel.sum(axis=0).tolist())
+                keys.append(n_sub * n_codes * dsub + s * n_codes + c)
+                vals.append(len(sel))
+        return pa.table({"k": pa.array(np.asarray(keys, np.int64)),
+                         "v": pa.array(np.asarray(vals, np.int64))})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(stats_partial, batch_format="pyarrow"),
+        keys=["k"], aggs=[("v", "sum")], out_names=["k", "v"],
+    ).to_pandas()
+    kv = dict(zip(folded["k"].astype(int), folded["v"].astype(int)))
+    book = seeds.copy()
+    for s in range(n_sub):
+        for c in range(n_codes):
+            n = kv.get(n_sub * n_codes * dsub + s * n_codes + c, 0)
+            if n <= 0:
+                continue  # empty cluster keeps its seed subvector
+            base = (s * n_codes + c) * dsub
+            for j in range(dsub):
+                book[c, s * dsub + j] = kv[base + j] // n
+    book_h = ray.put(book)
+
+    qq = np.floor(np.asarray(queries, np.float64) * quant + 0.5).astype(np.int64)
+    qq_h = ray.put(qq)
+
+    # ---- pass C: encode, ADC + exact distances, per-batch top-k partials
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _mat(batch.column(emb_col))
+        book = ray.get(book_h)
+        qmat = ray.get(qq_h)
+        codes = _assign(Q, book)
+        nq = len(qmat)
+        lut = np.empty((nq, n_sub, n_codes), dtype=np.int64)
+        for s in range(n_sub):
+            qs = qmat[:, s * dsub:(s + 1) * dsub]
+            bs = book[:, s * dsub:(s + 1) * dsub]
+            lut[:, s, :] = ((qs[:, None, :] - bs[None, :, :]) ** 2).sum(axis=2)
+        out_q, out_id, out_d, out_kind = [], [], [], []
+        for qi in range(nq):
+            ad = lut[qi, np.arange(n_sub)[None, :], codes].sum(axis=1)
+            ed = ((Q - qmat[qi][None, :]) ** 2).sum(axis=1)
+            for kind, dist in ((0, ad), (1, ed)):
+                top = np.lexsort((ids, dist))[:k]
+                out_q.extend([qi] * len(top))
+                out_id.extend(ids[top].tolist())
+                out_d.extend(dist[top].tolist())
+                out_kind.extend([kind] * len(top))
+        return pa.table({
+            "query_id": pa.array(np.asarray(out_q, np.int64)),
+            id_col: pa.array(np.asarray(out_id, np.int64)),
+            "dist": pa.array(np.asarray(out_d, np.int64)),
+            "kind": pa.array(np.asarray(out_kind, np.int64)),
+        })
+
+    part = ds.map_batches(topk_partial, batch_format="pyarrow",
+                          batch_size=4096).to_pandas()
+    rows = []
+    qids = None
+    for qi, g in part.groupby("query_id"):
+        tops = {}
+        for kind, gg in g.groupby("kind"):
+            o = np.lexsort((gg[id_col].to_numpy(np.int64),
+                            gg["dist"].to_numpy(np.int64)))[:k]
+            tops[kind] = set(gg[id_col].to_numpy(np.int64)[o].tolist())
+        n_ov = len(tops.get(0, set()) & tops.get(1, set()))
+        rows.append((int(qi), n_ov, n_ov * 1_000_000 // k))
+    out = pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("query_id").reset_index(drop=True)

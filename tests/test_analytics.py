@@ -8695,3 +8695,41 @@ class TestTCloseness:
         got = analytics.t_closeness_audit(rd.from_arrow(tbl))
         assert (got["t_ppm"] == 0).all()
         assert (got["at_risk"] == 0).all()
+
+
+class TestPQRecallAudit:
+    def test_self_query_and_bounds(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # deterministic synthetic vectors, 16 dims -> 4 subspaces of 4
+        vecs = [[(((i * 13 + j * 5) % 17) - 8) / 8.0 for j in range(16)]
+                for i in range(120)]
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(120)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+        q = np.asarray(vecs[:3], np.float64)
+        got = analytics.pq_recall_audit(
+            rd.from_arrow(tbl), q, n_sub=4, n_codes=8, k=5)
+        assert list(got["query_id"]) == [0, 1, 2]
+        assert ((got["n_overlap"] >= 0) & (got["n_overlap"] <= 5)).all()
+        assert (got["recall_ppm"] == got["n_overlap"] * 1_000_000 // 5).all()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        vecs = [[(((i * 7 + j * 11) % 23) - 11) / 11.0 for j in range(16)]
+                for i in range(90)]
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(90)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+        q = np.asarray(vecs[:2], np.float64)
+        one = analytics.pq_recall_audit(rd.from_arrow(tbl), q, n_sub=4, n_codes=8)
+        many = analytics.pq_recall_audit(
+            rd.from_arrow(tbl).repartition(7), q, n_sub=4, n_codes=8)
+        assert one.equals(many)
