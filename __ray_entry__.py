@@ -4599,6 +4599,30 @@ def _q_embedding_covariance_topk(sf_dir: str):
     return analytics.embedding_covariance_topk(ds)
 
 
+def _q_quality_dup_calibration(sf_dir: str):
+    """Exact-dup participation rate per fixed quality-ppm bin
+    (analytics.quality_dup_calibration -- is the quality score a dedup
+    proxy?); oracle composes the green quality CTEs with the md5-prefix
+    text-group key and the same clamped bin + floor-div ppm."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.quality_dup_calibration(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_lang_temperature_plan(sf_dir: str):
+    """alpha=0.5 temperature-sampling plan per language: sqrt weights,
+    target share and resample factor in exact floor-divided ppm
+    (analytics.lang_temperature_plan -- the mC4/XLM-R low-resource
+    rebalance); oracle replays FLOOR(SQRT(n)) and the integer share
+    arithmetic."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return analytics.lang_temperature_plan(ds)
+
+
 def _q_pq_recall_audit(sf_dir: str):
     """Product-quantization ADC recall@10 vs exact integer L2 per query
     (analytics.pq_recall_audit: md5-elected seeds, one Lloyd step,
@@ -4911,6 +4935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance_topk": _q_embedding_covariance_topk,
         "t_closeness_audit": _q_t_closeness_audit,
         "pq_recall_audit": _q_pq_recall_audit,
+        "lang_temperature_plan": _q_lang_temperature_plan,
+        "quality_dup_calibration": _q_quality_dup_calibration,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8592,4 +8618,34 @@ def oracle_sql() -> dict[str, str]:
             "AS at_risk FROM emd"
         ),
         "pq_recall_audit": _pq_sql(),
+        "quality_dup_calibration": (
+            # replay of analytics.quality_dup_calibration: quality CTEs +
+            # the same 64-bit md5-prefix text group key (so a 2^-64
+            # collision would merge the SAME groups on both sides), clamped
+            # 100k-ppm bins, floor-div rate
+            f"WITH {_quality_ctes('text')}, "
+            f"qd AS (SELECT doc_id, LEAST({_QPPM_EXPR} // 100000, 9) AS qbin, "
+            f"{_MD5U64.format(v='text')} AS h FROM r), "
+            "g AS (SELECT h, COUNT(*) AS n FROM qd GROUP BY h), "
+            "j AS (SELECT qd.qbin, CASE WHEN g.n >= 2 THEN 1 ELSE 0 END "
+            "AS dup FROM qd JOIN g USING (h)) "
+            "SELECT qbin, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(dup) AS BIGINT) AS n_dup_docs, "
+            "CAST(SUM(dup) * 1000000 // COUNT(*) AS BIGINT) AS dup_rate_ppm "
+            "FROM j GROUP BY qbin"
+        ),
+        "lang_temperature_plan": (
+            # replay of analytics.lang_temperature_plan: FLOOR(SQRT(n))
+            # (ieee-correctly-rounded on both sides) and floor-div ppm
+            "WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents "
+            "GROUP BY lang), "
+            "w AS (SELECT lang, n_docs, "
+            "CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight "
+            "FROM c), "
+            "t AS (SELECT SUM(weight) AS sum_w, SUM(n_docs) AS N FROM w) "
+            "SELECT w.lang, w.n_docs, w.weight, "
+            "CAST(w.weight * 1000000 // t.sum_w AS BIGINT) AS target_share_ppm, "
+            "CAST(w.weight * t.N * 1000000 // (t.sum_w * w.n_docs) AS BIGINT) "
+            "AS resample_factor_ppm FROM w, t ORDER BY w.lang"
+        ),
     }

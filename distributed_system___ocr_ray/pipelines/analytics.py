@@ -11270,3 +11270,108 @@ def pq_recall_audit(ds, queries: "np.ndarray", n_sub: int = 8,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("query_id").reset_index(drop=True)
+
+
+def lang_temperature_plan(ds, lang_col: str = "lang", alpha_sqrt: bool = True):
+    """Multilingual temperature-sampling plan: reweight language shares to
+    p_l ~ (n_l)^0.5 -- the alpha=0.5 exponent mC4 / XLM-R use to keep
+    low-resource languages from vanishing while not letting them dominate.
+    Emits, per language: raw count, the integer weight, the target share
+    in ppm, and the resample factor in ppm (>1e6 = upsample, <1e6 =
+    downsample) a sampler would apply to realize the plan at the same
+    corpus size.
+
+    Exactness: weight = floor(ieee_sqrt(n)) -- float64 sqrt of an int64 is
+    correctly rounded in BOTH numpy and DuckDB, so floor agrees bit-for-bit
+    (documented convention; an integer isqrt differs from it only within
+    1 ulp of perfect squares ABOVE 2^52 rows per language). Shares and
+    factors are floor-divided integers: share_ppm = w*1e6 // sum_w,
+    factor_ppm = w*N*1e6 // (sum_w*n) -- the driver runs Python ints so the
+    triple product cannot overflow.
+
+    Scale shape: a per-batch value_counts partial + one bounded-key fold
+    (|langs| keys); all plan arithmetic on the driver's bounded table."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(lang_col).to_pandas().value_counts()
+        return pa.table({
+            lang_col: pa.array(c.index.astype(str)),
+            "n": pa.array(c.to_numpy(np.int64)),
+        })
+
+    counts = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=[lang_col], aggs=[("n", "sum")], out_names=[lang_col, "n_docs"],
+    ).to_pandas()
+
+    n = counts["n_docs"].to_numpy(np.int64)
+    w = np.floor(np.sqrt(n.astype(np.float64))).astype(object)
+    N = int(n.sum())
+    sum_w = int(sum(w))
+    counts["weight"] = [int(x) for x in w]
+    counts["target_share_ppm"] = [int(x) * 1_000_000 // sum_w for x in w]
+    counts["resample_factor_ppm"] = [
+        int(x) * N * 1_000_000 // (sum_w * int(nn)) for x, nn in zip(w, n)
+    ]
+    for c in ("n_docs", "weight", "target_share_ppm", "resample_factor_ppm"):
+        counts[c] = counts[c].astype(np.int64)
+    return counts.sort_values(lang_col).reset_index(drop=True)
+
+
+def quality_dup_calibration(ds, id_col: str = "doc_id",
+                            text_col: str = "text", bin_ppm: int = 100_000,
+                            n_bins: int = 10):
+    """Does the quality score actually predict duplication? Per fixed
+    quality bin (``bin_ppm``-wide rungs of quality_ppm, top-clamped), the
+    fraction of documents participating in EXACT duplication (text-hash
+    group size >= 2) -- the calibration curve a filtering policy should
+    consult before trusting 'low quality' as a dedup proxy (and vice
+    versa). Composes two green kernels: textstats quality features and the
+    md5-prefix exact-dup key.
+
+    Scale shape: stage 1 maps docs to compact (h, qbin) pairs (text never
+    leaves the batch); ONE hash-domain exchange buckets by h so each text
+    group lands whole; per-bucket fold emits <= 2*n_bins partial counts;
+    tiny bounded final. Returns (qbin, n_docs, n_dup_docs, dup_rate_ppm)
+    for observed bins, qbin ASC."""
+    from ..functions import dedup as dk
+    from ..functions import textstats as ts
+    from .relational import hash_bucket_column, tiny_final_groupby
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        f = ts.quality_features(batch[text_col])
+        q = np.minimum(f["quality_ppm"].to_numpy(np.int64) // bin_ppm,
+                       n_bins - 1)
+        memo: dict = {}
+        h = np.array([dk.md5_u64_hashed(t, memo) for t in batch[text_col]],
+                     dtype=np.uint64)
+        return pd.DataFrame({"h": h, "qbin": q.astype(np.int64)})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, "h", 32)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("h")["qbin"].transform("size")
+        out = pd.DataFrame({"qbin": g["qbin"],
+                            "dup": (sizes >= 2).astype(np.int64)})
+        agg = out.groupby("qbin", as_index=False).agg(
+            n_docs=("dup", "size"), n_dup_docs=("dup", "sum"))
+        return agg.astype({"qbin": np.int64, "n_docs": np.int64,
+                           "n_dup_docs": np.int64})
+
+    cal = tiny_final_groupby(
+        ds.map_batches(pairs, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas"),
+        keys=["qbin"], aggs=[("n_docs", "sum"), ("n_dup_docs", "sum")],
+        out_names=["qbin", "n_docs", "n_dup_docs"],
+    ).to_pandas()
+    cal["dup_rate_ppm"] = (
+        cal["n_dup_docs"].to_numpy(np.int64) * 1_000_000
+        // cal["n_docs"].to_numpy(np.int64)
+    )
+    for c in cal.columns:
+        cal[c] = cal[c].astype(np.int64)
+    return cal.sort_values("qbin").reset_index(drop=True)

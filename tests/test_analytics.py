@@ -8733,3 +8733,42 @@ class TestPQRecallAudit:
         many = analytics.pq_recall_audit(
             rd.from_arrow(tbl).repartition(7), q, n_sub=4, n_codes=8)
         assert one.equals(many)
+
+
+class TestLangTemperaturePlan:
+    def test_sqrt_weights_hand_checked(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl = pa.table({"lang": pa.array(["en"] * 100 + ["fr"] * 25 + ["de"] * 4)})
+        got = analytics.lang_temperature_plan(rd.from_arrow(tbl)).set_index("lang")
+        assert got.loc["en", "weight"] == 10
+        assert got.loc["fr", "weight"] == 5
+        assert got.loc["de", "weight"] == 2
+        sum_w, N = 17, 129
+        assert got.loc["en", "target_share_ppm"] == 10 * 1_000_000 // sum_w
+        assert got.loc["de", "resample_factor_ppm"] == 2 * N * 1_000_000 // (sum_w * 4)
+        # sqrt temperature upsamples the tail, downsamples the head
+        assert got.loc["de", "resample_factor_ppm"] > 1_000_000
+        assert got.loc["en", "resample_factor_ppm"] < 1_000_000
+
+
+class TestQualityDupCalibration:
+    def test_dup_participation(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = ["the quick brown fox jumps over the lazy dog again today",
+                 "the quick brown fox jumps over the lazy dog again today",
+                 "an entirely different and unique sentence with its own words"]
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts),
+        })
+        got = analytics.quality_dup_calibration(rd.from_arrow(tbl))
+        assert int(got["n_docs"].sum()) == 3
+        assert int(got["n_dup_docs"].sum()) == 2
+        assert (got["dup_rate_ppm"]
+                == got["n_dup_docs"] * 1_000_000 // got["n_docs"]).all()
