@@ -4599,6 +4599,20 @@ def _q_embedding_covariance_topk(sf_dir: str):
     return analytics.embedding_covariance_topk(ds)
 
 
+def _q_watermark_late_counts(sf_dir: str):
+    """Global-watermark allowed-lateness audit per event-time hour
+    (relational.watermark_late_counts: arrival order = event_id, watermark
+    = running max event time - 300 s, strict drop test); oracle is the
+    window-function replay MAX(us) OVER (ORDER BY event_id ... 1
+    PRECEDING)."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import relational
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return relational.watermark_late_counts(ds)
+
+
 def _q_quality_dup_calibration(sf_dir: str):
     """Exact-dup participation rate per fixed quality-ppm bin
     (analytics.quality_dup_calibration -- is the quality score a dedup
@@ -4937,6 +4951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_recall_audit": _q_pq_recall_audit,
         "lang_temperature_plan": _q_lang_temperature_plan,
         "quality_dup_calibration": _q_quality_dup_calibration,
+        "watermark_late_counts": _q_watermark_late_counts,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8618,6 +8633,21 @@ def oracle_sql() -> dict[str, str]:
             "AS at_risk FROM emd"
         ),
         "pq_recall_audit": _pq_sql(),
+        "watermark_late_counts": (
+            # replay of relational.watermark_late_counts: exclusive running
+            # max over arrival (event_id) order, strict 300s lateness, hour
+            # buckets of EVENT time
+            "WITH e AS (SELECT event_id, ts, epoch_us(ts) AS us FROM events), "
+            "p AS (SELECT ts, us, MAX(us) OVER (ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM e), "
+            "l AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hour, "
+            "CASE WHEN pmax IS NOT NULL AND pmax - us > 300000000 "
+            "THEN 1 ELSE 0 END AS late FROM p) "
+            "SELECT hour, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(late) AS BIGINT) AS n_late, "
+            "CAST(SUM(late) * 1000000 // COUNT(*) AS BIGINT) AS late_ppm "
+            "FROM l GROUP BY hour"
+        ),
         "quality_dup_calibration": (
             # replay of analytics.quality_dup_calibration: quality CTEs +
             # the same 64-bit md5-prefix text group key (so a 2^-64

@@ -5873,3 +5873,93 @@ def grouped_pair_fold(ds, key_cols, agg: dict, buckets: int = 16):
         .groupby("__bucket")
         .map_groups(fold, batch_format="pandas")
     )
+
+
+def watermark_late_counts(events, delay_us: int = 300_000_000,
+                          partitions: int = 32):
+    """Watermark / allowed-lateness audit: replaying the stream in ARRIVAL
+    order (ascending event_id), the watermark after each event is the
+    running MAX event time minus ``delay_us``; an arriving event whose
+    event time is already below the watermark -- strictly
+    ``prefix_max - ts > delay_us`` -- would be dropped (or side-output) by
+    any event-time window with that allowed lateness. Counts per tumbling
+    HOUR of event time: how many events, how many late -- the number that
+    tells you what lateness budget a streaming deployment of these windows
+    actually needs (out_of_order_audit measures per-user disorder; this is
+    the GLOBAL single-watermark semantics engines like Flink/Beam apply).
+
+    Scale shape: the global prefix max distributes by block-carry --
+    ONE map-side pass takes per-(arrival-range, batch) time maxima (no
+    exchange; a bounded partial per batch), the driver folds them into an
+    exclusive carry-in per range (bounded), and ONE range-bucketed
+    exchange lets each group finish its prefix max locally from its
+    carry. Per-group output is (hour, n, n_late) partials into a bounded
+    tiny fold. Arrival ranges are value ranges of event_id (contiguous,
+    ordered), so the carry composition is exact, not heuristic.
+
+    Returns (hour, n_events, n_late, late_ppm) ordered by hour."""
+    import ray
+
+    span_src = events.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([pc.min(b.column("event_id")).as_py()], pa.int64()),
+            "hi": pa.array([pc.max(b.column("event_id")).as_py()], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi = int(span_src["lo"].min()), int(span_src["hi"].max())
+    span = max(1, (hi - lo + partitions) // partitions)
+
+    def rng(ids: np.ndarray) -> np.ndarray:
+        return (ids - lo) // span
+
+    # pass 1 (map-side, no exchange): per-(range, batch) event-time maxima
+    def range_max(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        r = rng(ids)
+        df = pd.DataFrame({"r": r, "us": us}).groupby("r", as_index=False)["us"].max()
+        return pa.Table.from_pandas(df.astype(np.int64), preserve_index=False)
+
+    rmax = events.map_batches(range_max, batch_format="pyarrow").to_pandas()
+    rmax = rmax.groupby("r")["us"].max().sort_index()
+    carry: dict[int, int] = {}
+    run = None
+    for r in range(partitions + 1):
+        carry[r] = run if run is not None else -(1 << 62)
+        if r in rmax.index:
+            run = max(run, int(rmax[r])) if run is not None else int(rmax[r])
+    carry_h = ray.put(carry)
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array(rng(ids).astype(np.int32), pa.int32()))
+
+    def kern(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        c = ray.get(carry_h)[int(g["__bucket"].iloc[0])]
+        pmax = np.maximum.accumulate(np.concatenate(([c], us[:-1])))
+        late = (pmax - us) > delay_us
+        hours = g["ts"].dt.strftime("%Y-%m-%d %H")
+        out = pd.DataFrame({"hour": hours.values, "late": late.astype(np.int64)})
+        agg = out.groupby("hour", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"))
+        return agg.astype({"n_events": np.int64, "n_late": np.int64})
+
+    folded = tiny_final_groupby(
+        events.map_batches(add_range, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(kern, batch_format="pandas"),
+        keys=["hour"], aggs=[("n_events", "sum"), ("n_late", "sum")],
+        out_names=["hour", "n_events", "n_late"],
+    ).to_pandas()
+    folded["late_ppm"] = (
+        folded["n_late"].to_numpy(np.int64) * 1_000_000
+        // folded["n_events"].to_numpy(np.int64)
+    )
+    for c in ("n_events", "n_late", "late_ppm"):
+        folded[c] = folded[c].astype(np.int64)
+    return folded.sort_values("hour").reset_index(drop=True)

@@ -8772,3 +8772,46 @@ class TestQualityDupCalibration:
         assert int(got["n_dup_docs"].sum()) == 2
         assert (got["dup_rate_ppm"]
                 == got["n_dup_docs"] * 1_000_000 // got["n_docs"]).all()
+
+
+class TestWatermarkLateCounts:
+    def test_hand_built_stream(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        # arrival order 1..5; event times (minutes): 0, 60, 2, 50, 59
+        # watermark delay 300s=5min: event 3 (t=2min, prefix max 60min)
+        # is 58min late -> dropped; event 4 (50min, max 60) 10min late ->
+        # dropped; event 5 (59min, max 60) 1min late -> kept
+        ts = pd.to_datetime([
+            "2026-01-01 00:00:00", "2026-01-01 01:00:00",
+            "2026-01-01 00:02:00", "2026-01-01 00:50:00",
+            "2026-01-01 00:59:00"])
+        tbl = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        })
+        got = relational.watermark_late_counts(rd.from_arrow(tbl)).set_index("hour")
+        assert int(got.loc["2026-01-01 00", "n_events"]) == 4
+        assert int(got.loc["2026-01-01 00", "n_late"]) == 2
+        assert int(got.loc["2026-01-01 01", "n_late"]) == 0
+        assert int(got.loc["2026-01-01 00", "late_ppm"]) == 500_000
+
+    def test_partition_invariance(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import relational
+
+        n = 500
+        ts = pd.to_datetime("2026-01-01") + pd.to_timedelta(
+            [(i * 37) % 360 for i in range(n)], unit="m")
+        tbl = pa.table({
+            "event_id": pa.array(list(range(n)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        })
+        one = relational.watermark_late_counts(rd.from_arrow(tbl))
+        many = relational.watermark_late_counts(rd.from_arrow(tbl).repartition(11))
+        assert one.equals(many)
