@@ -4599,6 +4599,19 @@ def _q_embedding_covariance_topk(sf_dir: str):
     return analytics.embedding_covariance_topk(ds)
 
 
+def _q_embedding_outliers_topk(sf_dir: str):
+    """Top-20 vectors farthest (exact integer L2) from their own label's
+    floor-div integer centroid (analytics.embedding_outliers_topk -- the
+    mislabel screen); oracle replays quantization, centroid floor
+    division and the (dist DESC, vec_id) rank."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.embedding_outliers_topk(ds)
+
+
 def _q_watermark_late_counts(sf_dir: str):
     """Global-watermark allowed-lateness audit per event-time hour
     (relational.watermark_late_counts: arrival order = event_id, watermark
@@ -4640,7 +4653,7 @@ def _q_lang_temperature_plan(sf_dir: str):
 def _q_pq_recall_audit(sf_dir: str):
     """Product-quantization ADC recall@10 vs exact integer L2 per query
     (analytics.pq_recall_audit: md5-elected seeds, one Lloyd step,
-    floor-div integer codebook -- the FAISS-style compression audit
+    truncating-div integer codebook -- the FAISS-style compression audit
     beside ivf_topk's pruning audit); oracle replays seed election,
     assignment, centroids, encoding, the ADC lookup sum and both top-10
     rankings step for step (_pq_sql)."""
@@ -4952,6 +4965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_temperature_plan": _q_lang_temperature_plan,
         "quality_dup_calibration": _q_quality_dup_calibration,
         "watermark_late_counts": _q_watermark_late_counts,
+        "embedding_outliers_topk": _q_embedding_outliers_topk,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6832,7 +6846,7 @@ def _pq_sql(n_sub: int = 8, n_codes: int = 16, k: int = 10,
             quant: int = 1000, dim: int = 64) -> str:
     """Replay of analytics.pq_recall_audit, step for step: milli-int
     quantization, md5-elected seeds (ORDER BY h, vec_id LIMIT n_codes),
-    one assignment step with (d, c) tie order, floor-div integer
+    one assignment step with (d, c) tie order, truncating-div integer
     centroids with empty clusters keeping their seed, encode, the ADC
     sum over per-subspace lookup distances, exact integer L2, both
     top-k at (dist, vec_id) order, overlap in ppm."""
@@ -8633,6 +8647,24 @@ def oracle_sql() -> dict[str, str]:
             "AS at_risk FROM emd"
         ),
         "pq_recall_audit": _pq_sql(),
+        "embedding_outliers_topk": (
+            # replay of analytics.embedding_outliers_topk: milli-int
+            # quantization, floor-div per-label centroids, exact integer
+            # squared L2, (dist DESC, vec_id) total order
+            "WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+            "u AS (SELECT vec_id, label, i, q[i] AS x FROM e, dims), "
+            "c AS (SELECT label, i, SUM(x) // COUNT(*) AS cx FROM u "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT u.vec_id, u.label, "
+            "SUM((u.x - c.cx) * (u.x - c.cx)) AS dist FROM u "
+            "JOIN c ON c.label = u.label AND c.i = u.i GROUP BY 1, 2) "
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            "CAST(label AS BIGINT) AS label, CAST(dist AS BIGINT) AS dist "
+            "FROM d ORDER BY dist DESC, vec_id LIMIT 20"
+        ),
         "watermark_late_counts": (
             # replay of relational.watermark_late_counts: exclusive running
             # max over arrival (event_id) order, strict 300s lateness, hour

@@ -11126,8 +11126,8 @@ def pq_recall_audit(ds, queries: "np.ndarray", n_sub: int = 8,
     vectors with the smallest md5('pqseed:'||id) (the sample_n trick --
     a hash-random but replayable draw), take ONE Lloyd assignment step
     (squared-L2 on ints, ties to the lower seed rank), and the trained
-    codebook is the floor-div integer mean of each cluster (empty cluster
-    keeps its seed). Encoding, the ADC lookup table and exact distances
+    codebook is the truncating-div integer mean of each cluster (matches
+    SQL's //; empty cluster keeps its seed). Encoding, the ADC lookup table and exact distances
     are then all exact integer arithmetic -- the DuckDB oracle replays
     every step.
 
@@ -11218,7 +11218,9 @@ def pq_recall_audit(ds, queries: "np.ndarray", n_sub: int = 8,
                 continue  # empty cluster keeps its seed subvector
             base = (s * n_codes + c) * dsub
             for j in range(dsub):
-                book[c, s * dsub + j] = kv[base + j] // n
+                v = kv[base + j]
+                # TRUNCATING division (matches SQL //; sums can be negative)
+                book[c, s * dsub + j] = -((-v) // n) if v < 0 else v // n
     book_h = ray.put(book)
 
     qq = np.floor(np.asarray(queries, np.float64) * quant + 0.5).astype(np.int64)
@@ -11375,3 +11377,88 @@ def quality_dup_calibration(ds, id_col: str = "doc_id",
     for c in cal.columns:
         cal[c] = cal[c].astype(np.int64)
     return cal.sort_values("qbin").reset_index(drop=True)
+
+
+def embedding_outliers_topk(ds, topk: int = 20, quant: int = 1000,
+                            id_col: str = "vec_id", emb_col: str = "embedding",
+                            label_col: str = "label"):
+    """Label-conditioned embedding outliers: the top-k vectors FARTHEST
+    (squared integer L2) from their own label's centroid -- the mislabeled
+    /contaminated-cluster screen run before trusting labels for semdedup
+    or classifier training. Centroid = truncating-div integer mean per dim
+    of milli-quantized vectors (exact; truncation matches SQL's // on
+    negative sums); distances are exact ints.
+
+    Scale shape: pass 1 accumulates per-label (sum-per-dim, count)
+    partials (labels x d bounded rows per block, no row shuffle), driver
+    folds the bounded table into centroids and broadcasts them; pass 2
+    scores map-side and keeps per-batch partial top-k, merged on the
+    driver ((dist DESC, vec_id) total order). Returns
+    (vec_id, label, dist) int64, rank order."""
+    import ray
+
+    from .relational import tiny_final_groupby
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, d)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = np.unique(lab)
+        d = Q.shape[1]
+        out_l, out_j, out_v = [], [], []
+        for L in labs:
+            sel = Q[lab == L]
+            out_l.extend([int(L)] * (d + 1))
+            out_j.extend(range(d))
+            out_j.append(-1)  # count row
+            out_v.extend(sel.sum(axis=0).tolist())
+            out_v.append(len(sel))
+        return pa.table({label_col: pa.array(np.asarray(out_l, np.int64)),
+                         "j": pa.array(np.asarray(out_j, np.int64)),
+                         "v": pa.array(np.asarray(out_v, np.int64))})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        keys=[label_col, "j"], aggs=[("v", "sum")],
+        out_names=[label_col, "j", "v"],
+    ).to_pandas()
+    counts = folded[folded["j"] < 0].set_index(label_col)["v"]
+    cents = {}
+    for L, g in folded[folded["j"] >= 0].groupby(label_col):
+        g = g.sort_values("j")
+        v = g["v"].to_numpy(np.int64)
+        n = int(counts.loc[L])
+        # TRUNCATING division (matches SQL //; sums can be negative)
+        cents[int(L)] = np.where(v < 0, -((-v) // n), v // n).astype(np.int64)
+    labs_sorted = sorted(cents)
+    cent_mat = np.stack([cents[L] for L in labs_sorted])
+    lab_index = {L: i for i, L in enumerate(labs_sorted)}
+    cents_h = ray.put((cent_mat, lab_index))
+
+    def score(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cent_mat, lab_index = ray.get(cents_h)
+        rows = np.array([lab_index[int(x)] for x in lab], np.int64)
+        dist = ((Q - cent_mat[rows]) ** 2).sum(axis=1)
+        top = np.lexsort((ids, -dist))[:topk]
+        return pa.table({
+            id_col: pa.array(ids[top], pa.int64()),
+            label_col: pa.array(lab[top], pa.int64()),
+            "dist": pa.array(dist[top], pa.int64()),
+        })
+
+    part = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    o = np.lexsort((part[id_col].to_numpy(np.int64),
+                    -part["dist"].to_numpy(np.int64)))[:topk]
+    out = part.iloc[o].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

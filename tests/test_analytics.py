@@ -8815,3 +8815,44 @@ class TestWatermarkLateCounts:
         one = relational.watermark_late_counts(rd.from_arrow(tbl))
         many = relational.watermark_late_counts(rd.from_arrow(tbl).repartition(11))
         assert one.equals(many)
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 30 near-identical vectors per label + one far outlier in label 0
+        vecs, labels = [], []
+        for L in range(2):
+            for i in range(30):
+                vecs.append([float(L)] * 8)
+                labels.append(L)
+        vecs.append([9.0] * 8)
+        labels.append(0)
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        got = analytics.embedding_outliers_topk(rd.from_arrow(tbl), topk=3)
+        assert int(got.iloc[0]["vec_id"]) == len(vecs) - 1
+        assert int(got.iloc[0]["label"]) == 0
+        assert int(got.iloc[0]["dist"]) > int(got.iloc[1]["dist"])
+
+    def test_partition_invariance_with_negatives(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        vecs = [[(((i * 11 + j * 3) % 13) - 6) / 5.0 for j in range(8)]
+                for i in range(150)]
+        tbl = pa.table({
+            "vec_id": pa.array(list(range(150)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(150)], pa.int32()),
+        })
+        one = analytics.embedding_outliers_topk(rd.from_arrow(tbl))
+        many = analytics.embedding_outliers_topk(rd.from_arrow(tbl).repartition(8))
+        assert one.equals(many)
