@@ -4612,6 +4612,21 @@ def _q_embedding_outliers_topk(sf_dir: str):
     return analytics.embedding_outliers_topk(ds)
 
 
+def _q_centroid_separation_audit(sf_dir: str):
+    """Per-label within-cluster mean squared distance vs nearest-other-
+    centroid distance (analytics.centroid_separation_audit -- the
+    Davies-Bouldin-style separability screen); oracle replays quantization,
+    truncating-div centroids, exact integer SSDs and the (dist, label)
+    nearest tie-break."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    return analytics.centroid_separation_audit(ds)
+
+
 def _q_watermark_late_counts(sf_dir: str):
     """Global-watermark allowed-lateness audit per event-time hour
     (relational.watermark_late_counts: arrival order = event_id, watermark
@@ -4966,6 +4981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_dup_calibration": _q_quality_dup_calibration,
         "watermark_late_counts": _q_watermark_late_counts,
         "embedding_outliers_topk": _q_embedding_outliers_topk,
+        "centroid_separation_audit": _q_centroid_separation_audit,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8664,6 +8680,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
             "CAST(label AS BIGINT) AS label, CAST(dist AS BIGINT) AS dist "
             "FROM d ORDER BY dist DESC, vec_id LIMIT 20"
+        ),
+        "centroid_separation_audit": (
+            # replay of analytics.centroid_separation_audit: milli-int
+            # quantization, truncating-div centroids, exact integer within-
+            # SSD and centroid pair distances, (dist, label) nearest
+            # tie-break, floor-div ratio ppm
+            "WITH e AS (SELECT label, list_transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+            "u AS (SELECT label, i, q[i] AS x FROM e, dims), "
+            "c AS (SELECT label, i, SUM(x) // COUNT(*) AS cx FROM u "
+            "GROUP BY 1, 2), "
+            "cnt AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY 1), "
+            "w AS (SELECT u.label, SUM((u.x - c.cx) * (u.x - c.cx)) AS ssd "
+            "FROM u JOIN c ON c.label = u.label AND c.i = u.i GROUP BY 1), "
+            "pd AS (SELECT a.label AS la, b.label AS lb, "
+            "SUM((a.cx - b.cx) * (a.cx - b.cx)) AS dist FROM c a "
+            "JOIN c b ON a.i = b.i AND a.label <> b.label GROUP BY 1, 2), "
+            "nn AS (SELECT la, lb, dist, ROW_NUMBER() OVER "
+            "(PARTITION BY la ORDER BY dist, lb) AS rn FROM pd) "
+            "SELECT CAST(w.label AS BIGINT) AS label, "
+            "CAST(cnt.n_vecs AS BIGINT) AS n_vecs, "
+            "CAST(w.ssd // cnt.n_vecs AS BIGINT) AS within_msd, "
+            "CAST(nn.lb AS BIGINT) AS nn_label, "
+            "CAST(nn.dist AS BIGINT) AS nn_dist, "
+            "CAST(nn.dist * 1000000 // GREATEST(w.ssd // cnt.n_vecs, 1) "
+            "AS BIGINT) AS separation_ppm "
+            "FROM w JOIN cnt ON cnt.label = w.label "
+            "JOIN nn ON nn.la = w.label AND nn.rn = 1 ORDER BY w.label"
         ),
         "watermark_late_counts": (
             # replay of relational.watermark_late_counts: exclusive running

@@ -11462,3 +11462,109 @@ def embedding_outliers_topk(ds, topk: int = 20, quant: int = 1000,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def centroid_separation_audit(ds, quant: int = 1000, emb_col: str = "embedding",
+                              label_col: str = "label"):
+    """Per-label cluster-separation audit -- the companion screen to
+    embedding_outliers_topk: before trusting labels for semdedup / stratified
+    training, check each label's WITHIN dispersion (mean squared integer L2
+    to its own centroid) against the squared distance to its NEAREST other
+    centroid. A separation ratio near or below 1 means the label blends into
+    a neighbor (Davies-Bouldin-style signal, kept integer-exact instead of
+    ratio-of-floats).
+
+    Exactness: vectors milli-quantized (floor(x*1000+0.5)), centroids are
+    truncating-div integer means (matches SQL //; sums can be negative),
+    within-SSD and centroid distances are exact int64 sums;
+    within_msd = ssd // n and separation_ppm = nn_dist * 1e6 //
+    GREATEST(within_msd, 1) are floor divisions of non-negative ints.
+
+    Scale shape: pass 1 = per-label (sum-per-dim, count) partials (bounded
+    labels x (d+1) rows per block, no row shuffle) folded by
+    tiny_final_groupby; the (L x L) centroid geometry is driver arithmetic
+    on a bounded table; pass 2 = map-side within-SSD partials against the
+    ray.put-broadcast centroid matrix, folded the same way. Two streaming
+    passes, zero row-domain shuffles -- the only shape that holds at 100 TB.
+
+    Returns (label, n_vecs, within_msd, nn_label, nn_dist, separation_ppm)
+    int64, ordered by label. nn tie-break: (dist, label) ascending."""
+    import ray
+
+    from .relational import tiny_final_groupby
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, d)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_l, out_j, out_v = [], [], []
+        for L in np.unique(lab):
+            sel = Q[lab == L]
+            d = Q.shape[1]
+            out_l.extend([int(L)] * (d + 1))
+            out_j.extend(range(d))
+            out_j.append(-1)
+            out_v.extend(sel.sum(axis=0).tolist())
+            out_v.append(len(sel))
+        return pa.table({label_col: pa.array(np.asarray(out_l, np.int64)),
+                         "j": pa.array(np.asarray(out_j, np.int64)),
+                         "v": pa.array(np.asarray(out_v, np.int64))})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        keys=[label_col, "j"], aggs=[("v", "sum")],
+        out_names=[label_col, "j", "v"],
+    ).to_pandas()
+    counts = folded[folded["j"] < 0].set_index(label_col)["v"]
+    cents = {}
+    for L, g in folded[folded["j"] >= 0].groupby(label_col):
+        v = g.sort_values("j")["v"].to_numpy(np.int64)
+        n = int(counts.loc[L])
+        cents[int(L)] = np.where(v < 0, -((-v) // n), v // n).astype(np.int64)
+    labs = sorted(cents)
+    cent_mat = np.stack([cents[L] for L in labs])
+    lab_index = {L: i for i, L in enumerate(labs)}
+    cents_h = ray.put((cent_mat, lab_index))
+
+    def ssd(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cm, idx = ray.get(cents_h)
+        rows = np.array([idx[int(x)] for x in lab], np.int64)
+        dist = ((Q - cm[rows]) ** 2).sum(axis=1)
+        out_l = np.unique(lab)
+        out_s = np.array([int(dist[lab == L].sum()) for L in out_l], np.int64)
+        return pa.table({label_col: pa.array(out_l),
+                         "s": pa.array(out_s, pa.int64())})
+
+    ssd_tbl = tiny_final_groupby(
+        ds.map_batches(ssd, batch_format="pyarrow"),
+        keys=[label_col], aggs=[("s", "sum")], out_names=[label_col, "s"],
+    ).to_pandas().set_index(label_col)["s"]
+
+    rows = []
+    for L in labs:
+        i = lab_index[L]
+        # nearest other centroid, tie-break (dist, label) ascending
+        nn_label, nn_dist = None, None
+        for M in labs:
+            if M == L:
+                continue
+            dd = int(((cent_mat[i] - cent_mat[lab_index[M]]) ** 2).sum())
+            if nn_dist is None or (dd, M) < (nn_dist, nn_label):
+                nn_label, nn_dist = M, dd
+        n = int(counts.loc[L])
+        within = int(ssd_tbl.loc[L]) // n
+        sep = nn_dist * 1_000_000 // max(within, 1)
+        rows.append((L, n, within, nn_label, nn_dist, sep))
+    out = pd.DataFrame(rows, columns=["label", "n_vecs", "within_msd",
+                                      "nn_label", "nn_dist", "separation_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

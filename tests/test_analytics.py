@@ -8856,3 +8856,45 @@ class TestEmbeddingOutliers:
         one = analytics.embedding_outliers_topk(rd.from_arrow(tbl))
         many = analytics.embedding_outliers_topk(rd.from_arrow(tbl).repartition(8))
         assert one.equals(many)
+
+
+class TestCentroidSeparation:
+    def test_planted_geometry(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # label 0 tight at origin, label 1 tight at 10*ones, label 2 tight
+        # at 20*ones: nn of 0 is 1, nn of 2 is 1, and separation >> 1e6
+        vecs, labels = [], []
+        for L, base in ((0, 0.0), (1, 10.0), (2, 20.0)):
+            for i in range(20):
+                vecs.append([base + (i % 3) * 0.001] * 4)
+                labels.append(L)
+        tbl = pa.table({
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        got = analytics.centroid_separation_audit(rd.from_arrow(tbl))
+        assert got["label"].tolist() == [0, 1, 2]
+        assert got["n_vecs"].tolist() == [20, 20, 20]
+        assert got["nn_label"].tolist() == [1, 0, 1]
+        # centroid gap 10*1000 milli per dim x 4 dims = 4e8 squared
+        assert all(d > 3.9e8 for d in got["nn_dist"])
+        assert all(s > 1_000_000 for s in got["separation_ppm"])
+
+    def test_partition_invariance_with_negatives(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        vecs = [[(((i * 11 + j * 3) % 13) - 6) / 5.0 for j in range(8)]
+                for i in range(150)]
+        tbl = pa.table({
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(150)], pa.int32()),
+        })
+        one = analytics.centroid_separation_audit(rd.from_arrow(tbl))
+        many = analytics.centroid_separation_audit(
+            rd.from_arrow(tbl).repartition(8))
+        assert one.equals(many)
