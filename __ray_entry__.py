@@ -1861,6 +1861,19 @@ def _q_sentence_stats_by_lang(sf_dir: str):
     return analytics.sentence_stats_by_lang(ds)
 
 
+def _q_readability_by_lang(sf_dir: str):
+    """Flesch-Kincaid grade per language in integer milli
+    (analytics.readability_by_lang); both sides count '[.!?]+' sentences,
+    '[a-z0-9]+' words and '[aeiouy]+' vowel-group syllables on the lowered
+    text, with per-term floor division as the published convention."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return analytics.readability_by_lang(ds)
+
+
 def _q_session_paths(sf_dir: str):
     """Per-session event-type trigram counts (path mining one level above
     event_transitions' bigrams); deterministic (ts, event_id) tie order on
@@ -4857,6 +4870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_diversity_by_lang": _q_token_diversity_by_lang,
         "doc_surprisal_topk": _q_doc_surprisal_topk,
         "sentence_stats_by_lang": _q_sentence_stats_by_lang,
+        "readability_by_lang": _q_readability_by_lang,
         "session_paths": _q_session_paths,
         "minhash_recall_audit": _q_minhash_recall_audit,
         "trimmed_mean_price": _q_trimmed_mean_price,
@@ -7866,6 +7880,25 @@ def oracle_sql() -> dict[str, str]:
         "token_diversity_by_lang": _TOKEN_DIVERSITY_SQL,
         "doc_surprisal_topk": _DOC_SURPRISAL_SQL,
         "sentence_stats_by_lang": _SENTENCE_STATS_SQL,
+        "readability_by_lang": (
+            # replay of analytics.readability_by_lang: shared regex counts
+            # on lower(text), per-term floor-div FK milli grade
+            "WITH s AS (SELECT lang, "
+            "len(regexp_extract_all(lower(text), '[.!?]+')) AS ns, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nw, "
+            "len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy "
+            "FROM documents), "
+            "a AS (SELECT lang, COUNT(*) AS n_docs, SUM(nw) AS n_words, "
+            "SUM(ns) AS n_sentences, SUM(sy) AS n_syllables FROM s "
+            "GROUP BY lang) "
+            "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(n_words AS BIGINT) AS n_words, "
+            "CAST(n_sentences AS BIGINT) AS n_sentences, "
+            "CAST(n_syllables AS BIGINT) AS n_syllables, "
+            "CAST(390 * n_words // GREATEST(n_sentences, 1) "
+            "+ 11800 * n_syllables // GREATEST(n_words, 1) - 15590 "
+            "AS BIGINT) AS fk_grade_milli FROM a"
+        ),
         "top_revenue_suppliers": (
             # replay of relational.top_revenue_suppliers (Q15 shape): same
             # per-row FLOOR(price*(1-disc)*100+0.5) cents as the join family

@@ -11568,3 +11568,61 @@ def centroid_separation_audit(ds, quant: int = 1000, emb_col: str = "embedding",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def readability_by_lang(ds, lang_col: str = "lang", text_col: str = "text"):
+    """Flesch-Kincaid readability grade per language, integer-exact -- the
+    classic curriculum-level screen run beside the Gopher sentence-shape
+    rules when stratifying a corpus by difficulty (educational-value
+    filtering's cheap heuristic ancestor). Adds the syllable dimension
+    sentence_stats_by_lang lacks: syllables are approximated as vowel
+    GROUPS ``[aeiouy]+`` over the lowered text (the standard regex proxy;
+    identical non-overlapping count in pandas and RE2), words are the
+    shared ``[a-z0-9]+`` lowered tokenization, sentences the shared
+    ``[.!?]+`` runs.
+
+    FK grade = 0.39*(W/S) + 11.8*(Syl/W) - 15.59, reported in milli as
+    ``390*W // GREATEST(S,1) + 11800*Syl // GREATEST(W,1) - 15590`` --
+    per-term floor division of non-negative ints, so both sides agree
+    exactly (the per-term floors ARE the published convention here, not an
+    approximation of a float pipeline).
+
+    Scale shape: one vectorized str.count pass per batch, per-lang int
+    partials, tiny bounded final merge -- a handful of rows per block,
+    no row-domain shuffle. Returns (lang, n_docs, n_words, n_sentences,
+    n_syllables, fk_grade_milli) ordered by the driver compare."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        low = batch[text_col].fillna("").str.lower()
+        ns = low.str.count(r"[.!?]+").to_numpy(np.int64)
+        nw = low.str.count(r"[a-z0-9]+").to_numpy(np.int64)
+        sy = low.str.count(r"[aeiouy]+").to_numpy(np.int64)
+        g = pd.DataFrame({lang_col: batch[lang_col], "ns": ns, "nw": nw, "sy": sy})
+        p = g.groupby(lang_col, sort=False).agg(
+            n_docs=("ns", "size"), n_words=("nw", "sum"),
+            n_sentences=("ns", "sum"), n_syllables=("sy", "sum"),
+        ).reset_index()
+        return p.astype({"n_docs": np.int64, "n_words": np.int64,
+                         "n_sentences": np.int64, "n_syllables": np.int64})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [lang_col],
+        [("n_docs", "sum"), ("n_words", "sum"), ("n_sentences", "sum"),
+         ("n_syllables", "sum")],
+        [lang_col, "n_docs", "n_words", "n_sentences", "n_syllables"],
+    )
+
+    def add_grade(batch: pa.Table) -> pa.Table:
+        w = batch.column("n_words").to_pylist()
+        s = batch.column("n_sentences").to_pylist()
+        sy = batch.column("n_syllables").to_pylist()
+        grade = pa.array(
+            [390 * int(W) // max(int(S), 1) + 11800 * int(Y) // max(int(W), 1)
+             - 15590 for W, S, Y in zip(w, s, sy)],
+            pa.int64(),
+        )
+        return batch.append_column("fk_grade_milli", grade)
+
+    return folded.map_batches(add_grade, batch_format="pyarrow", batch_size=None)

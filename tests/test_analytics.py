@@ -8898,3 +8898,44 @@ class TestCentroidSeparation:
         many = analytics.centroid_separation_audit(
             rd.from_arrow(tbl).repartition(8))
         assert one.equals(many)
+
+
+class TestReadability:
+    def test_hand_computed_grade(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # "the cat sat." -> 3 words, 1 sentence, 2 vowel groups ("e","a"
+        # in cat... actually: the(1) cat(1) sat(1) = 3 groups)
+        tbl = pa.table({
+            "lang": pa.array(["en", "en"]),
+            "text": pa.array(["The cat sat.", "A big dog ran! It hid."]),
+        })
+        got = analytics.readability_by_lang(rd.from_arrow(tbl)).to_pandas()
+        assert got["n_docs"].tolist() == [2]
+        # doc1: 3 words / 1 sentence / 3 vowel groups
+        # doc2: 6 words / 2 sentences / 6 vowel groups ("a","i","o","a","i","i")
+        W, S, Y = 9, 3, 9
+        assert got["n_words"].tolist() == [W]
+        assert got["n_sentences"].tolist() == [S]
+        assert got["n_syllables"].tolist() == [Y]
+        expect = 390 * W // S + 11800 * Y // W - 15590
+        assert got["fk_grade_milli"].tolist() == [expect]
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        texts = [f"Sentence number {i} is here. It has words!" for i in range(90)]
+        tbl = pa.table({
+            "lang": pa.array([("en", "fr", "de")[i % 3] for i in range(90)]),
+            "text": pa.array(texts),
+        })
+        one = analytics.readability_by_lang(rd.from_arrow(tbl)).to_pandas()
+        many = analytics.readability_by_lang(
+            rd.from_arrow(tbl).repartition(7)).to_pandas()
+        key = ["lang"]
+        assert one.sort_values(key).reset_index(drop=True).equals(
+            many.sort_values(key).reset_index(drop=True))
