@@ -4640,6 +4640,20 @@ def _q_centroid_separation_audit(sf_dir: str):
     return analytics.centroid_separation_audit(ds)
 
 
+def _q_nearest_centroid_confusion(sf_dir: str):
+    """Nearest-centroid confusion matrix over the embeddings table
+    (analytics.nearest_centroid_confusion -- the label-noise estimator);
+    oracle replays quantization, truncating-div centroids, exact integer
+    distances and the (dist, label) argmin tie-break."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    return analytics.nearest_centroid_confusion(ds)
+
+
 def _q_watermark_late_counts(sf_dir: str):
     """Global-watermark allowed-lateness audit per event-time hour
     (relational.watermark_late_counts: arrival order = event_id, watermark
@@ -4996,6 +5010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_late_counts": _q_watermark_late_counts,
         "embedding_outliers_topk": _q_embedding_outliers_topk,
         "centroid_separation_audit": _q_centroid_separation_audit,
+        "nearest_centroid_confusion": _q_nearest_centroid_confusion,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8743,6 +8758,34 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS separation_ppm "
             "FROM w JOIN cnt ON cnt.label = w.label "
             "JOIN nn ON nn.la = w.label AND nn.rn = 1 ORDER BY w.label"
+        ),
+        "nearest_centroid_confusion": (
+            # replay of analytics.nearest_centroid_confusion: milli-int
+            # quantization, truncating-div centroids, exact integer squared
+            # L2 to EVERY centroid, (dist, label) argmin tie-break, floor-div
+            # per-true-label share ppm
+            "WITH e AS (SELECT ROW_NUMBER() OVER () AS rid, label, "
+            "list_transform(embedding, x -> "
+            "CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q "
+            "FROM embeddings), "
+            "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+            "u AS (SELECT rid, label, i, q[i] AS x FROM e, dims), "
+            "c AS (SELECT label, i, SUM(x) // COUNT(*) AS cx FROM u "
+            "GROUP BY 1, 2), "
+            "cnt AS (SELECT label, COUNT(*) AS n_total FROM e GROUP BY 1), "
+            "d AS (SELECT u.rid, u.label, c.label AS cl, "
+            "SUM((u.x - c.cx) * (u.x - c.cx)) AS dist FROM u "
+            "JOIN c ON c.i = u.i GROUP BY 1, 2, 3), "
+            "p AS (SELECT rid, label, cl, ROW_NUMBER() OVER "
+            "(PARTITION BY rid ORDER BY dist, cl) AS rn FROM d), "
+            "m AS (SELECT label, cl AS pred_label, COUNT(*) AS n_vecs "
+            "FROM p WHERE rn = 1 GROUP BY 1, 2) "
+            "SELECT CAST(m.label AS BIGINT) AS label, "
+            "CAST(m.pred_label AS BIGINT) AS pred_label, "
+            "CAST(m.n_vecs AS BIGINT) AS n_vecs, "
+            "CAST(m.n_vecs * 1000000 // cnt.n_total AS BIGINT) AS share_ppm "
+            "FROM m JOIN cnt ON cnt.label = m.label "
+            "ORDER BY m.label, m.pred_label"
         ),
         "watermark_late_counts": (
             # replay of relational.watermark_late_counts: exclusive running

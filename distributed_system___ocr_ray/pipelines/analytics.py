@@ -11626,3 +11626,98 @@ def readability_by_lang(ds, lang_col: str = "lang", text_col: str = "text"):
         return batch.append_column("fk_grade_milli", grade)
 
     return folded.map_batches(add_grade, batch_format="pyarrow", batch_size=None)
+
+
+def nearest_centroid_confusion(ds, quant: int = 1000,
+                               emb_col: str = "embedding",
+                               label_col: str = "label"):
+    """Nearest-centroid confusion matrix -- the label-noise estimator that
+    closes the embedding-audit family (outliers: which vectors are wrong;
+    separation: which labels blend; HERE: where do they blend TO): every
+    vector is classified to its nearest label centroid (exact integer
+    squared L2, ties to the smallest label) and the (true, predicted)
+    confusion counts come back with per-true-label shares in floor-div ppm.
+
+    Exactness: milli-quantized vectors, truncating-div integer centroids
+    (matches SQL //), integer distance matrix Q^2 + C^2 - 2QC^T (values
+    bounded ~1e10 at d=64 milli-scale, far inside int64), (dist, label)
+    argmin tie-break = ascending-label argmin over the sorted centroid
+    matrix.
+
+    Scale shape: pass 1 = the bounded per-label (sum-per-dim, count) fold;
+    pass 2 = map-side (L x L)-bounded confusion partials against the
+    ray.put-broadcast centroid matrix, folded by tiny_final_groupby. No
+    row-domain shuffle. Returns (label, pred_label, n_vecs, share_ppm)
+    ordered by (label, pred_label)."""
+    import ray
+
+    from .relational import tiny_final_groupby
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, d)
+
+    def sums(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_l, out_j, out_v = [], [], []
+        for L in np.unique(lab):
+            sel = Q[lab == L]
+            d = Q.shape[1]
+            out_l.extend([int(L)] * (d + 1))
+            out_j.extend(range(d))
+            out_j.append(-1)
+            out_v.extend(sel.sum(axis=0).tolist())
+            out_v.append(len(sel))
+        return pa.table({label_col: pa.array(np.asarray(out_l, np.int64)),
+                         "j": pa.array(np.asarray(out_j, np.int64)),
+                         "v": pa.array(np.asarray(out_v, np.int64))})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(sums, batch_format="pyarrow"),
+        keys=[label_col, "j"], aggs=[("v", "sum")],
+        out_names=[label_col, "j", "v"],
+    ).to_pandas()
+    counts = folded[folded["j"] < 0].set_index(label_col)["v"]
+    cents = {}
+    for L, g in folded[folded["j"] >= 0].groupby(label_col):
+        v = g.sort_values("j")["v"].to_numpy(np.int64)
+        n = int(counts.loc[L])
+        cents[int(L)] = np.where(v < 0, -((-v) // n), v // n).astype(np.int64)
+    labs = np.array(sorted(cents), np.int64)
+    cent_mat = np.stack([cents[int(L)] for L in labs])
+    cents_h = ray.put((cent_mat, labs))
+
+    def confuse(batch: pa.Table) -> pa.Table:
+        Q = _mat(batch.column(emb_col))
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cm, labs_v = ray.get(cents_h)
+        # exact integer distance matrix; argmin ties -> first = smallest label
+        D = ((Q * Q).sum(axis=1)[:, None] + (cm * cm).sum(axis=1)[None, :]
+             - 2 * (Q @ cm.T))
+        pred = labs_v[np.argmin(D, axis=1)]
+        key = lab * (labs_v.max() + 1) + pred
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            label_col: pa.array(uk // (labs_v.max() + 1), pa.int64()),
+            "pred_label": pa.array(uk % (labs_v.max() + 1), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    conf = tiny_final_groupby(
+        ds.map_batches(confuse, batch_format="pyarrow"),
+        keys=[label_col, "pred_label"], aggs=[("n", "sum")],
+        out_names=[label_col, "pred_label", "n"],
+    ).to_pandas().sort_values([label_col, "pred_label"]).reset_index(drop=True)
+    totals = counts.astype(int)
+    conf["share_ppm"] = [
+        int(n) * 1_000_000 // int(totals.loc[L])
+        for L, n in zip(conf[label_col], conf["n"])
+    ]
+    out = conf.rename(columns={"n": "n_vecs"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

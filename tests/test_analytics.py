@@ -8939,3 +8939,48 @@ class TestReadability:
         key = ["lang"]
         assert one.sort_values(key).reset_index(drop=True).equals(
             many.sort_values(key).reset_index(drop=True))
+
+
+class TestNearestCentroidConfusion:
+    def test_planted_confusion(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # label 0 tight at origin, label 1 tight at 10*ones -- except 5 of
+        # label 0's vectors actually sit at 10*ones (mislabeled)
+        vecs, labels = [], []
+        for i in range(20):
+            vecs.append([0.0] * 4 if i < 15 else [10.0] * 4)
+            labels.append(0)
+        for i in range(20):
+            vecs.append([10.0] * 4)
+            labels.append(1)
+        tbl = pa.table({
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        got = analytics.nearest_centroid_confusion(rd.from_arrow(tbl))
+        m = {(int(r["label"]), int(r["pred_label"])): int(r["n_vecs"])
+             for _, r in got.iterrows()}
+        assert m[(0, 0)] == 15 and m[(0, 1)] == 5 and m[(1, 1)] == 20
+        s = {(int(r["label"]), int(r["pred_label"])): int(r["share_ppm"])
+             for _, r in got.iterrows()}
+        assert s[(0, 1)] == 5 * 1_000_000 // 20
+        assert s[(1, 1)] == 1_000_000
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        vecs = [[(((i * 11 + j * 3) % 13) - 6) / 5.0 for j in range(8)]
+                for i in range(150)]
+        tbl = pa.table({
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([i % 3 for i in range(150)], pa.int32()),
+        })
+        one = analytics.nearest_centroid_confusion(rd.from_arrow(tbl))
+        many = analytics.nearest_centroid_confusion(
+            rd.from_arrow(tbl).repartition(8))
+        assert one.equals(many)
