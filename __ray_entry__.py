@@ -120,6 +120,16 @@ def _q_extract_status_counts(sf_dir: str):
     return extracted.groupby("status").aggregate(Count(alias_name="n_spans"))
 
 
+def _q_doc_completeness_by_lang(sf_dir: str):
+    """Per-language fully-extracted-document share over the REAL flagship
+    pipeline (compose.doc_completeness_by_lang); the oracle independently
+    recomputes every span's status from doc_id + md5 arithmetic, so this
+    end-to-end checks the engine's error routing per corpus slice."""
+    from distributed_system___ocr_ray.pipelines import compose
+
+    return compose.doc_completeness_by_lang(sf_dir)
+
+
 def _q_media_ref_counts(sf_dir: str):
     """Per-media_ref multiplicity over the exploded interleaved corpus -- the
     engine analogue of the reference's urlCounters (Manager.java:50,216);
@@ -4744,6 +4754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flat_identity": _q_extract_flat_identity,
         "span_kind_counts": _q_span_kind_counts,
         "extract_status_counts": _q_extract_status_counts,
+        "doc_completeness_by_lang": _q_doc_completeness_by_lang,
         "media_ref_counts": _q_media_ref_counts,
         "render_html": _q_render_html,
         "extract_sharded": _q_extract_sharded,
@@ -5484,6 +5495,46 @@ def _status_counts_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
         f"WHEN {bad_pdf(f'(doc_id*11) % {n_pdf}')} THEN 'parse_error' ELSE 'ok' END "
         "FROM documents WHERE doc_id % 2 = 0) "
         "SELECT status, COUNT(*) AS n_spans FROM spans GROUP BY status"
+    )
+
+
+def _doc_completeness_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """Per-language completeness over the interleaved wrap: independently
+    recomputes each span's ok/error status from doc_id + md5 arithmetic
+    (same expressions as _status_counts_sql, doc_id carried), folds to a
+    per-doc bad count, joins lang, floor-div ppm."""
+    from distributed_system___ocr_ray.sources import wrap
+
+    n_img, n_pdf = wrap.DEFAULT_N_IMG, wrap.DEFAULT_N_PDF
+    th = int(corrupt_frac * 2**64)
+
+    def bad_img(idx_expr: str) -> str:
+        tag = f"'{seed}:img:' || ({idx_expr}) || ':c'"
+        return f"{_MD5U64.format(v=tag)} < {th}"
+
+    def bad_pdf(idx_expr: str) -> str:
+        tag = f"'{seed}:pdf:' || ({idx_expr}) || ':c'"
+        return f"{_MD5U64.format(v=tag)} < {th}"
+
+    return (
+        "WITH spans AS ("
+        "SELECT doc_id, 0 AS bad FROM documents "
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN 1 "
+        f"WHEN {bad_img(f'(doc_id*7) % {n_img}')} THEN 1 ELSE 0 END "
+        "FROM documents "
+        "UNION ALL SELECT doc_id, CASE WHEN (doc_id+1) % 20 = 0 THEN 1 "
+        f"WHEN {bad_img(f'(doc_id*7+3) % {n_img}')} THEN 1 ELSE 0 END "
+        "FROM documents WHERE doc_id % 2 = 1 "
+        "UNION ALL SELECT doc_id, CASE WHEN doc_id % 40 = 10 THEN 1 "
+        f"WHEN {bad_pdf(f'(doc_id*11) % {n_pdf}')} THEN 1 ELSE 0 END "
+        "FROM documents WHERE doc_id % 2 = 0), "
+        "pd AS (SELECT doc_id, SUM(bad) AS n_bad FROM spans GROUP BY 1) "
+        "SELECT d.lang AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN p.n_bad = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_complete, "
+        "CAST(SUM(CASE WHEN p.n_bad = 0 THEN 1 ELSE 0 END) * 1000000 "
+        "// COUNT(*) AS BIGINT) AS complete_ppm "
+        "FROM pd p JOIN documents d USING (doc_id) GROUP BY d.lang"
     )
 
 
@@ -7027,6 +7078,7 @@ def oracle_sql() -> dict[str, str]:
             ") GROUP BY media_ref"
         ),
         "extract_status_counts": _status_counts_sql(),
+        "doc_completeness_by_lang": _doc_completeness_sql(),
         "media_metadata": _media_metadata_sql(),
         "render_html": _render_html_sql(),
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,

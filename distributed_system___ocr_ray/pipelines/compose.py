@@ -374,3 +374,79 @@ def changed_rows(
         .groupby("__bucket")
         .map_groups(classify, batch_format="pandas")
     )
+
+
+def doc_completeness_by_lang(sf_dir: str, *, num_partitions: int = 32,
+                             buckets: int = 32):
+    """Per-language extraction completeness over the interleaved flagship:
+    a document is COMPLETE when every one of its spans extracted ok (no
+    download/ocr/parse errors) -- the acceptance metric an extraction fleet
+    reports per corpus slice before a training run ingests it (the
+    reference's per-app summary file aggregates the same ok/error split,
+    Manager.java:250-293; here it lands per language).
+
+    Runs the REAL pipeline (wrap -> explode -> actor-pool extraction), not
+    the closed form -- the oracle independently recomputes span statuses
+    from doc_id/md5 arithmetic, so this query end-to-end checks the engine's
+    error routing. Scale shape: span statuses collapse to compact
+    (doc_id, n_bad) partials per batch, ONE hash-bucketed exchange folds
+    them per doc, one bucketed hash join attaches lang (both sides large =>
+    no broadcast), and the per-lang fold is bounded. Text payloads never
+    enter an exchange.
+
+    Returns (lang, n_docs, n_complete, complete_ppm) with floor-div ppm."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..sources import wrap
+    from . import extract as extract_mod
+    from .relational import (bucketed_grouped_sum, bucketed_hash_join,
+                             tiny_final_groupby)
+
+    docs_ds, store = wrap.interleaved_from_documents(sf_dir)
+    ext = extract_mod.extracted_dataset(docs_ds, store,
+                                        num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bad = pc.cast(pc.not_equal(batch.column("status"), "ok"), pa.int64())
+        t = pa.table({"doc_id": batch.column("doc_id"), "n_bad": bad})
+        g = t.group_by("doc_id").aggregate([("n_bad", "sum")])
+        return g.rename_columns(["doc_id", "n_bad"])
+
+    perdoc = bucketed_grouped_sum(
+        ext.map_batches(partial, batch_format="pyarrow"),
+        "doc_id", "n_bad", buckets=buckets)
+
+    def key_docs(batch: pa.Table) -> pa.Table:
+        ids = [f"doc-{i:010d}" for i in batch.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "lang": batch.column("lang")})
+
+    langs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(key_docs, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(perdoc, langs, "doc_id", "doc_id",
+                                buckets=buckets)
+
+    def lang_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        comp = (batch["n_bad"] == 0).astype("int64")
+        g = pd.DataFrame({"lang": batch["lang"], "c": comp})
+        p = g.groupby("lang", sort=False).agg(
+            n_docs=("c", "size"), n_complete=("c", "sum")).reset_index()
+        return p.astype({"n_docs": np.int64, "n_complete": np.int64})
+
+    folded = tiny_final_groupby(
+        joined.map_batches(lang_partial, batch_format="pandas"),
+        ["lang"], [("n_docs", "sum"), ("n_complete", "sum")],
+        ["lang", "n_docs", "n_complete"])
+
+    def add_ppm(batch: pa.Table) -> pa.Table:
+        nd = batch.column("n_docs").to_pylist()
+        ncp = batch.column("n_complete").to_pylist()
+        ppm = pa.array([int(c) * 1_000_000 // int(n) for c, n in zip(ncp, nd)],
+                       pa.int64())
+        return batch.append_column("complete_ppm", ppm)
+
+    return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)

@@ -264,3 +264,20 @@ class TestAttributionLastTouch:
             for _, r in out.iterrows()
         }
         assert got == {"(none)": (1, 500), "view": (1, 1000), "click": (1, 2000)}
+
+
+class TestDocCompleteness:
+    def test_invariants_and_known_incomplete(self):
+        from distributed_system___ocr_ray.pipelines import compose
+
+        out = compose.doc_completeness_by_lang(
+            "/root/testdata/sf0.001").to_pandas()
+        # every sf0.001 doc lands in exactly one lang row
+        assert int(out["n_docs"].sum()) == 500
+        assert (out["n_complete"] <= out["n_docs"]).all()
+        # broken refs exist by construction (doc_id % 20 == 0 download
+        # errors), so completeness is strictly below 100% overall
+        assert int(out["n_complete"].sum()) < 500
+        for _, r in out.iterrows():
+            assert int(r["complete_ppm"]) == (
+                int(r["n_complete"]) * 1_000_000 // int(r["n_docs"]))
