@@ -120,6 +120,16 @@ def _q_extract_status_counts(sf_dir: str):
     return extracted.groupby("status").aggregate(Count(alias_name="n_spans"))
 
 
+def _q_span_profile_by_kind(sf_dir: str):
+    """Extracted-output length profile per span kind over the REAL flagship
+    pipeline (compose.span_profile_by_kind); the oracle aggregates the same
+    closed-form allspans table as extract_interleaved, so routing AND
+    output text lengths are end-to-end checked."""
+    from distributed_system___ocr_ray.pipelines import compose
+
+    return compose.span_profile_by_kind(sf_dir)
+
+
 def _q_doc_completeness_by_lang(sf_dir: str):
     """Per-language fully-extracted-document share over the REAL flagship
     pipeline (compose.doc_completeness_by_lang); the oracle independently
@@ -4755,6 +4765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_kind_counts": _q_span_kind_counts,
         "extract_status_counts": _q_extract_status_counts,
         "doc_completeness_by_lang": _q_doc_completeness_by_lang,
+        "span_profile_by_kind": _q_span_profile_by_kind,
         "media_ref_counts": _q_media_ref_counts,
         "render_html": _q_render_html,
         "extract_sharded": _q_extract_sharded,
@@ -7079,6 +7090,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_status_counts": _status_counts_sql(),
         "doc_completeness_by_lang": _doc_completeness_sql(),
+        "span_profile_by_kind": (
+            # aggregate over the same closed-form allspans replay that backs
+            # extract_interleaved: per-kind span counts + character totals
+            f"WITH {_interleaved_ctes()} "
+            "SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+            "CAST(SUM(length(out)) AS BIGINT) AS total_chars, "
+            "CAST(SUM(length(out)) * 1000 // COUNT(*) AS BIGINT) "
+            "AS mean_chars_milli FROM allspans GROUP BY kind"
+        ),
         "media_metadata": _media_metadata_sql(),
         "render_html": _render_html_sql(),
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,

@@ -450,3 +450,48 @@ def doc_completeness_by_lang(sf_dir: str, *, num_partitions: int = 32,
         return batch.append_column("complete_ppm", ppm)
 
     return folded.map_batches(add_ppm, batch_format="pyarrow", batch_size=None)
+
+
+def span_profile_by_kind(sf_dir: str, *, num_partitions: int = 32):
+    """Extracted-output shape profile per span kind over the REAL flagship
+    pipeline: span counts and total/mean extracted-text lengths for text vs
+    image(OCR) vs pdf(layout) spans -- the capacity-planning table an
+    extraction fleet reads to size downstream tokenization (how many chars
+    each route actually yields per span). Complements extract_interleaved's
+    exact span-table hash with an aggregate that also rides the closed-form
+    ``allspans`` oracle, so both the routing AND the output text lengths are
+    end-to-end checked.
+
+    Scale shape: one vectorized utf8_length pass per batch collapses to
+    (kind, n, chars) partials -- three rows per block -- and a bounded fold;
+    mean is floor-div milli. Returns (kind, n_spans, total_chars,
+    mean_chars_milli) ordered by the driver compare."""
+    import pyarrow.compute as pc
+
+    from ..sources import wrap
+    from . import extract as extract_mod
+    from .relational import tiny_final_groupby
+
+    docs_ds, store = wrap.interleaved_from_documents(sf_dir)
+    ext = extract_mod.extracted_dataset(docs_ds, store,
+                                        num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = pc.cast(pc.utf8_length(batch.column("out_text")), pa.int64())
+        t = pa.table({"kind": batch.column("kind"), "chars": chars})
+        g = t.group_by("kind").aggregate([("chars", "count"), ("chars", "sum")])
+        return g.rename_columns(["kind", "n_spans", "total_chars"])
+
+    folded = tiny_final_groupby(
+        ext.map_batches(partial, batch_format="pyarrow"),
+        ["kind"], [("n_spans", "sum"), ("total_chars", "sum")],
+        ["kind", "n_spans", "total_chars"])
+
+    def add_mean(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_spans").to_pylist()
+        ch = batch.column("total_chars").to_pylist()
+        mean = pa.array([int(c) * 1000 // int(k) for c, k in zip(ch, n)],
+                        pa.int64())
+        return batch.append_column("mean_chars_milli", mean)
+
+    return folded.map_batches(add_mean, batch_format="pyarrow", batch_size=None)

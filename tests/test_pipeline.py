@@ -281,3 +281,21 @@ class TestDocCompleteness:
         for _, r in out.iterrows():
             assert int(r["complete_ppm"]) == (
                 int(r["n_complete"]) * 1_000_000 // int(r["n_docs"]))
+
+
+class TestSpanProfile:
+    def test_kinds_and_mean_math(self):
+        from distributed_system___ocr_ray.pipelines import compose
+
+        out = compose.span_profile_by_kind(
+            "/root/testdata/sf0.001").to_pandas()
+        kinds = set(out["kind"])
+        assert kinds == {"text", "image", "pdf"}
+        # every doc has exactly one text span; image spans = 1 + (i % 2)
+        n = out.set_index("kind")["n_spans"]
+        assert int(n.loc["text"]) == 500
+        assert int(n.loc["image"]) == 500 + 250  # 250 odd doc_ids get 2
+        assert int(n.loc["pdf"]) == 250  # even doc_ids only
+        for _, r in out.iterrows():
+            assert int(r["mean_chars_milli"]) == (
+                int(r["total_chars"]) * 1000 // int(r["n_spans"]))
