@@ -120,6 +120,17 @@ def _q_extract_status_counts(sf_dir: str):
     return extracted.groupby("status").aggregate(Count(alias_name="n_spans"))
 
 
+def _q_retry_plan(sf_dir: str):
+    """Failed-span retry work-list (compose.retry_plan): every not-ok
+    (status, media_ref) with its span count; the oracle independently
+    recomputes the failure set from doc_id + md5 arithmetic (broken-ref
+    sentinels and corruption rolls), so the redelivery surface is
+    end-to-end checked."""
+    from distributed_system___ocr_ray.pipelines import compose
+
+    return compose.retry_plan(sf_dir)
+
+
 def _q_span_profile_by_kind(sf_dir: str):
     """Extracted-output length profile per span kind over the REAL flagship
     pipeline (compose.span_profile_by_kind); the oracle aggregates the same
@@ -4766,6 +4777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_status_counts": _q_extract_status_counts,
         "doc_completeness_by_lang": _q_doc_completeness_by_lang,
         "span_profile_by_kind": _q_span_profile_by_kind,
+        "retry_plan": _q_retry_plan,
         "media_ref_counts": _q_media_ref_counts,
         "render_html": _q_render_html,
         "extract_sharded": _q_extract_sharded,
@@ -5546,6 +5558,54 @@ def _doc_completeness_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
         "CAST(SUM(CASE WHEN p.n_bad = 0 THEN 1 ELSE 0 END) * 1000000 "
         "// COUNT(*) AS BIGINT) AS complete_ppm "
         "FROM pd p JOIN documents d USING (doc_id) GROUP BY d.lang"
+    )
+
+
+def _retry_plan_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """Retry work-list: independently recomputes every FAILED span's
+    (status, media_ref) from doc_id + md5 arithmetic -- broken refs get the
+    per-doc missing-sentinel, corrupt media the ocr/parse error -- and
+    counts spans per pair (same failure expressions as _status_counts_sql,
+    refs carried)."""
+    from distributed_system___ocr_ray.sources import wrap
+
+    n_img, n_pdf = wrap.DEFAULT_N_IMG, wrap.DEFAULT_N_PDF
+    th = int(corrupt_frac * 2**64)
+
+    def bad_img(idx_expr: str) -> str:
+        tag = f"'{seed}:img:' || ({idx_expr}) || ':c'"
+        return f"{_MD5U64.format(v=tag)} < {th}"
+
+    def bad_pdf(idx_expr: str) -> str:
+        tag = f"'{seed}:pdf:' || ({idx_expr}) || ':c'"
+        return f"{_MD5U64.format(v=tag)} < {th}"
+
+    return (
+        "WITH fails AS ("
+        "SELECT CASE WHEN doc_id % 20 = 0 THEN 'download_error' "
+        "ELSE 'ocr_error' END AS status, "
+        "CASE WHEN doc_id % 20 = 0 THEN "
+        "printf('mem://img/missing-%06d', doc_id) "
+        f"ELSE printf('mem://img/%06d', (doc_id*7) % {n_img}) END AS media_ref "
+        f"FROM documents WHERE doc_id % 20 = 0 OR {bad_img(f'(doc_id*7) % {n_img}')} "
+        "UNION ALL "
+        "SELECT CASE WHEN (doc_id+1) % 20 = 0 THEN 'download_error' "
+        "ELSE 'ocr_error' END, "
+        "CASE WHEN (doc_id+1) % 20 = 0 THEN "
+        "printf('mem://img/missing-%06d', doc_id) "
+        f"ELSE printf('mem://img/%06d', (doc_id*7+3) % {n_img}) END "
+        "FROM documents WHERE doc_id % 2 = 1 "
+        f"AND ((doc_id+1) % 20 = 0 OR {bad_img(f'(doc_id*7+3) % {n_img}')}) "
+        "UNION ALL "
+        "SELECT CASE WHEN doc_id % 40 = 10 THEN 'download_error' "
+        "ELSE 'parse_error' END, "
+        "CASE WHEN doc_id % 40 = 10 THEN "
+        "printf('mem://pdf/missing-%06d', doc_id) "
+        f"ELSE printf('mem://pdf/%06d', (doc_id*11) % {n_pdf}) END "
+        "FROM documents WHERE doc_id % 2 = 0 "
+        f"AND (doc_id % 40 = 10 OR {bad_pdf(f'(doc_id*11) % {n_pdf}')})) "
+        "SELECT status, media_ref, CAST(COUNT(*) AS BIGINT) AS n_spans "
+        "FROM fails GROUP BY status, media_ref"
     )
 
 
@@ -7090,6 +7150,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "extract_status_counts": _status_counts_sql(),
         "doc_completeness_by_lang": _doc_completeness_sql(),
+        "retry_plan": _retry_plan_sql(),
         "span_profile_by_kind": (
             # aggregate over the same closed-form allspans replay that backs
             # extract_interleaved: per-kind span counts + character totals

@@ -495,3 +495,49 @@ def span_profile_by_kind(sf_dir: str, *, num_partitions: int = 32):
         return batch.append_column("mean_chars_milli", mean)
 
     return folded.map_batches(add_mean, batch_format="pyarrow", batch_size=None)
+
+
+def retry_plan(sf_dir: str, *, num_partitions: int = 32, buckets: int = 32):
+    """Failed-span retry work-list over the REAL flagship pipeline: every
+    (status, media_ref) that did not extract ok, with its span count -- the
+    table a fleet feeds back into redelivery (the reference's SQS
+    visibility-timeout requeue, Manager.java redelivery path; here the
+    work-list is data, consumed by a targeted re-run with skip_parts or an
+    input filter instead of a message broker).
+
+    Scale shape: the not-ok filter runs map-side (error rate bounds the
+    surviving rows), per-batch (status, media_ref) count partials collapse
+    each block to its distinct failures, and ONE hash-bucketed exchange on
+    media_ref folds them (bucket key media_ref: statuses per ref are
+    near-unique, and the composite fold inside each bucket is exact either
+    way). Returns (status, media_ref, n_spans).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..sources import wrap
+    from . import extract as extract_mod
+    from .relational import hash_bucket_column
+
+    docs_ds, store = wrap.interleaved_from_documents(sf_dir)
+    ext = extract_mod.extracted_dataset(docs_ds, store,
+                                        num_partitions=num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bad = batch.filter(pc.not_equal(batch.column("status"), "ok"))
+        t = bad.select(["status", "media_ref"])
+        g = t.group_by(["status", "media_ref"]).aggregate([([], "count_all")])
+        return g.rename_columns(["status", "media_ref", "n_spans"])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["status", "media_ref"], sort=False)["n_spans"]
+               .sum().reset_index())
+        return out.astype({"n_spans": np.int64})
+
+    return (
+        ext.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda b: hash_bucket_column(b, "media_ref", buckets),
+                     batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

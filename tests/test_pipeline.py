@@ -299,3 +299,20 @@ class TestSpanProfile:
         for _, r in out.iterrows():
             assert int(r["mean_chars_milli"]) == (
                 int(r["total_chars"]) * 1000 // int(r["n_spans"]))
+
+
+class TestRetryPlan:
+    def test_statuses_and_counts(self):
+        from distributed_system___ocr_ray.pipelines import compose
+
+        out = compose.retry_plan("/root/testdata/sf0.001").to_pandas()
+        assert set(out["status"]) <= {"download_error", "ocr_error",
+                                      "parse_error"}
+        assert (out["n_spans"] >= 1).all()
+        # every 20th doc's first image ref is broken by construction:
+        # 25 download_error missing-img sentinels from the k=0 spans alone
+        miss = out[out["media_ref"].str.startswith("mem://img/missing-")]
+        assert (miss["status"] == "download_error").all()
+        assert len(miss) >= 25
+        # sentinels are per-doc, so each appears exactly once
+        assert (miss["n_spans"] == 1).all()
