@@ -220,6 +220,9 @@ SWEEP_QUERIES = [
     "token_budget_waterfill", "random_walks", "kwic_snippets",
     "leakage_free_split_audit", "jsonl_source_daily", "csv_source_daily",
     "matryoshka_recall_audit", "mmr_diverse_topk",
+    "centroid_separation_audit", "readability_by_lang",
+    "nearest_centroid_confusion", "doc_completeness_by_lang",
+    "span_profile_by_kind", "retry_plan",
 ]
 
 
