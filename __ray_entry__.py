@@ -2205,8 +2205,9 @@ def _q_encoding_audit(sf_dir: str):
 def _q_cross_source_dups(sf_dir: str):
     """MinHash near-dup pair counts per unordered source pair -- the
     provenance contamination matrix; pairs from the unchanged minhash
-    plan, endpoints resolved by bucketed joins against the narrow
-    (doc_id, source) projection (analytics.cross_source_dup_matrix)."""
+    plan, endpoint sources resolved by a capped broadcast of the (small
+    by construction) endpoint id set over the narrow (doc_id, source)
+    projection (analytics.cross_source_dup_matrix)."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.cross_source_dup_matrix(sf_dir, threshold=0.6)
