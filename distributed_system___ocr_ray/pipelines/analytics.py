@@ -11698,12 +11698,16 @@ def nearest_centroid_confusion(ds, quant: int = 1000,
         # exact integer distance matrix; argmin ties -> first = smallest label
         D = ((Q * Q).sum(axis=1)[:, None] + (cm * cm).sum(axis=1)[None, :]
              - 2 * (Q @ cm.T))
-        pred = labs_v[np.argmin(D, axis=1)]
-        key = lab * (labs_v.max() + 1) + pred
+        # pack (true, pred) as INDEX pairs into the sorted label vector --
+        # negative-label-safe (raw-value packing would corrupt under
+        # floor-mod); the true label always indexes: pass 1 saw every label
+        li = np.searchsorted(labs_v, lab)
+        pi = np.argmin(D, axis=1)
+        key = li * len(labs_v) + pi
         uk, cnt = np.unique(key, return_counts=True)
         return pa.table({
-            label_col: pa.array(uk // (labs_v.max() + 1), pa.int64()),
-            "pred_label": pa.array(uk % (labs_v.max() + 1), pa.int64()),
+            label_col: pa.array(labs_v[uk // len(labs_v)], pa.int64()),
+            "pred_label": pa.array(labs_v[uk % len(labs_v)], pa.int64()),
             "n": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 

@@ -8984,3 +8984,21 @@ class TestNearestCentroidConfusion:
         many = analytics.nearest_centroid_confusion(
             rd.from_arrow(tbl).repartition(8))
         assert one.equals(many)
+
+
+    def test_negative_labels(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # two tight clusters under labels -5 and 3: confusion is diagonal
+        vecs = [[0.0] * 4] * 10 + [[10.0] * 4] * 10
+        labels = [-5] * 10 + [3] * 10
+        tbl = pa.table({
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        got = analytics.nearest_centroid_confusion(rd.from_arrow(tbl))
+        m = {(int(r["label"]), int(r["pred_label"])): int(r["n_vecs"])
+             for _, r in got.iterrows()}
+        assert m == {(-5, -5): 10, (3, 3): 10}
