@@ -4672,6 +4672,16 @@ def _q_centroid_separation_audit(sf_dir: str):
     return analytics.centroid_separation_audit(ds)
 
 
+def _q_source_centroid_geometry(sf_dir: str):
+    """Per-source embedding-centroid pairwise geometry (exact integer dot
+    products + squared norms; analytics.source_centroid_geometry -- the
+    domain-shift audit across corpus slices). Cosine left rational: the
+    three integers determine it exactly on both sides."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.source_centroid_geometry(sf_dir)
+
+
 def _q_nearest_centroid_confusion(sf_dir: str):
     """Nearest-centroid confusion matrix over the embeddings table
     (analytics.nearest_centroid_confusion -- the label-noise estimator);
@@ -5046,6 +5056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_outliers_topk": _q_embedding_outliers_topk,
         "centroid_separation_audit": _q_centroid_separation_audit,
         "nearest_centroid_confusion": _q_nearest_centroid_confusion,
+        "source_centroid_geometry": _q_source_centroid_geometry,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -8892,6 +8903,30 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS separation_ppm "
             "FROM w JOIN cnt ON cnt.label = w.label "
             "JOIN nn ON nn.la = w.label AND nn.rn = 1 ORDER BY w.label"
+        ),
+        "source_centroid_geometry": (
+            # replay of analytics.source_centroid_geometry: vec_id=doc_id
+            # join, milli-int quantization, truncating-div per-source
+            # centroids, exact integer pairwise dot products + squared norms
+            "WITH e AS (SELECT d.source AS source, list_transform("
+            "m.embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) "
+            "AS BIGINT)) AS q FROM embeddings m "
+            "JOIN documents d ON d.doc_id = m.vec_id), "
+            "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+            "u AS (SELECT source, i, q[i] AS x FROM e, dims), "
+            "c AS (SELECT source, i, SUM(x) // COUNT(*) AS cx FROM u "
+            "GROUP BY 1, 2), "
+            "n AS (SELECT source, SUM(cx * cx) AS nsq FROM c GROUP BY 1), "
+            "p AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "SUM(a.cx * b.cx) AS dot_num FROM c a "
+            "JOIN c b ON a.i = b.i AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT p.source_a, p.source_b, "
+            "CAST(p.dot_num AS BIGINT) AS dot_num, "
+            "CAST(na.nsq AS BIGINT) AS normsq_a, "
+            "CAST(nb.nsq AS BIGINT) AS normsq_b "
+            "FROM p JOIN n na ON na.source = p.source_a "
+            "JOIN n nb ON nb.source = p.source_b "
+            "ORDER BY p.source_a, p.source_b"
         ),
         "nearest_centroid_confusion": (
             # replay of analytics.nearest_centroid_confusion: milli-int

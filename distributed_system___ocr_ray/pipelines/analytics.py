@@ -11725,3 +11725,82 @@ def nearest_centroid_confusion(ds, quant: int = 1000,
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def source_centroid_geometry(sf_dir: str, quant: int = 1000, buckets: int = 32):
+    """Per-source embedding-centroid geometry -- the domain-shift audit
+    across corpus slices: for every unordered source pair, the EXACT
+    integer dot product of the two truncating-div centroids plus both
+    squared norms. Cosine is left rational on purpose (dot / sqrt(na*nb)
+    floats differently across engines; the three integers determine it
+    exactly and the driver compare stays string-exact), matching the
+    embedding_covariance_topk convention of shipping exact numerators.
+
+    Scale shape: embeddings join their doc's source through ONE bucketed
+    hash join (both sides corpus-sized -- no broadcast), per-source
+    (sum-per-dim, count) partials are bounded (sources x (d+1) rows per
+    block), and the pairwise geometry is driver arithmetic on Python ints
+    over the bounded centroid table. Returns (source_a, source_b,
+    dot_num, normsq_a, normsq_b), source_a < source_b lexicographic."""
+    import ray.data as rd
+
+    from .relational import bucketed_hash_join, tiny_final_groupby
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    joined = bucketed_hash_join(emb, docs, "vec_id", "doc_id",
+                                buckets=buckets)
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, d)
+
+    def sums(df) -> pa.Table:
+        batch = pa.Table.from_pandas(df, preserve_index=False)
+        Q = _mat(batch.column("embedding"))
+        src = batch.column("source").to_pandas().to_numpy()
+        out_s, out_j, out_v = [], [], []
+        for S in pd.unique(src):
+            sel = Q[src == S]
+            d = Q.shape[1]
+            out_s.extend([str(S)] * (d + 1))
+            out_j.extend(range(d))
+            out_j.append(-1)
+            out_v.extend(sel.sum(axis=0).tolist())
+            out_v.append(len(sel))
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "j": pa.array(np.asarray(out_j, np.int64)),
+                         "v": pa.array(np.asarray(out_v, np.int64))})
+
+    folded = tiny_final_groupby(
+        joined.map_batches(sums, batch_format="pandas"),
+        keys=["source", "j"], aggs=[("v", "sum")],
+        out_names=["source", "j", "v"],
+    ).to_pandas()
+    counts = folded[folded["j"] < 0].set_index("source")["v"]
+    cents = {}
+    for S, g in folded[folded["j"] >= 0].groupby("source"):
+        v = g.sort_values("j")["v"].to_numpy(np.int64)
+        n = int(counts.loc[S])
+        cents[str(S)] = [int(x) for x in
+                         np.where(v < 0, -((-v) // n), v // n)]
+    srcs = sorted(cents)
+    rows = []
+    for i, a in enumerate(srcs):
+        ca = cents[a]
+        for b in srcs[i + 1:]:
+            cb = cents[b]
+            dot = sum(x * y for x, y in zip(ca, cb))
+            na = sum(x * x for x in ca)
+            nb = sum(x * x for x in cb)
+            rows.append((a, b, dot, na, nb))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "dot_num",
+                                      "normsq_a", "normsq_b"])
+    for c in ("dot_num", "normsq_a", "normsq_b"):
+        out[c] = out[c].astype(np.int64)
+    return out

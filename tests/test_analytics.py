@@ -9002,3 +9002,29 @@ class TestNearestCentroidConfusion:
         m = {(int(r["label"]), int(r["pred_label"])): int(r["n_vecs"])
              for _, r in got.iterrows()}
         assert m == {(-5, -5): 10, (3, 3): 10}
+
+
+class TestSourceCentroidGeometry:
+    def test_identity_and_symmetry_invariants(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # two sources with hand-built centroids: A at ones, B at 2*ones
+        vecs = [[1.0] * 4] * 10 + [[2.0] * 4] * 10
+        pq.write_table(pa.table({
+            "vec_id": pa.array(list(range(20)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }), tmp_path / "embeddings.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "source": pa.array(["A"] * 10 + ["B"] * 10),
+        }), tmp_path / "documents.parquet")
+        out = analytics.source_centroid_geometry(str(tmp_path))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["source_a"], r["source_b"]) == ("A", "B")
+        # centroids (1000,)*4 and (2000,)*4 in milli
+        assert int(r["dot_num"]) == 4 * 1000 * 2000
+        assert int(r["normsq_a"]) == 4 * 1000 * 1000
+        assert int(r["normsq_b"]) == 4 * 2000 * 2000
