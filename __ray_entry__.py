@@ -4682,6 +4682,21 @@ def _q_source_centroid_geometry(sf_dir: str):
     return analytics.source_centroid_geometry(sf_dir)
 
 
+def _q_kcenter_coreset(sf_dir: str):
+    """Gonzalez farthest-first k-center coreset over the embeddings table
+    (analytics.kcenter_coreset -- geometry-aware seed/coreset selection);
+    oracle replays the milli quantization, the min-id seed, and every
+    round's exact-integer argmax with the (distsq DESC, vec_id) tie-break
+    as an unrolled CTE chain."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return analytics.kcenter_coreset(ds, k=8)
+
+
 def _q_nearest_centroid_confusion(sf_dir: str):
     """Nearest-centroid confusion matrix over the embeddings table
     (analytics.nearest_centroid_confusion -- the label-noise estimator);
@@ -5057,6 +5072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_separation_audit": _q_centroid_separation_audit,
         "nearest_centroid_confusion": _q_nearest_centroid_confusion,
         "source_centroid_geometry": _q_source_centroid_geometry,
+        "kcenter_coreset": _q_kcenter_coreset,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6050,6 +6066,57 @@ def _bm25_sql(queries: list[str] | None = None, k: int | None = None,
         "SELECT query_id, doc_id, score_ppm FROM sc "
         f"QUALIFY row_number() OVER (PARTITION BY query_id "
         f"ORDER BY score_ppm DESC, doc_id) <= {k}"
+    )
+
+
+def _kcenter_sql(k: int = 8, quant: int = 1000) -> str:
+    """Replay of analytics.kcenter_coreset: the same milli quantization
+    (FLOOR(x*quant+0.5)), min-id seed, and k-1 unrolled Gonzalez rounds --
+    each round's running-min distance d{r} = LEAST(d{r-1}, distsq to the
+    round-r center) and its argmax with the exact (d DESC, vec_id)
+    tie-break, selected ids excluded like the engine's in-stage mask.
+    SUMs stay HUGEINT mid-query; the projection CASTs to BIGINT.
+    Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    d{r} -> c{r} -> d{r+1} recurrence would otherwise expand into an
+    exponentially nested plan (observed: the k=8 chain never finished)."""
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT)) AS v "
+        "FROM embeddings), "
+        "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+        "u AS MATERIALIZED (SELECT vec_id, i, v[i] AS x FROM q, dims "
+        "WHERE v[i] IS NOT NULL), "
+        "c1 AS MATERIALIZED (SELECT MIN(vec_id) AS id FROM q), "
+        "d1 AS MATERIALIZED (SELECT u.vec_id, "
+        "SUM((u.x - c.x) * (u.x - c.x)) AS d FROM u "
+        "JOIN u c ON c.i = u.i AND c.vec_id = (SELECT id FROM c1) GROUP BY 1)"
+    ]
+    for r in range(2, k + 1):
+        sel = ", ".join(f"(SELECT id FROM c{j})" for j in range(1, r))
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id AS id, d FROM d{r - 1} "
+            f"WHERE vec_id NOT IN ({sel}) ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        if r < k:
+            parts.append(
+                f"d{r} AS MATERIALIZED (SELECT p.vec_id, LEAST(p.d, n.d) AS d "
+                f"FROM d{r - 1} p "
+                "JOIN (SELECT u.vec_id, SUM((u.x - c.x) * (u.x - c.x)) AS d FROM u "
+                f"JOIN u c ON c.i = u.i AND c.vec_id = (SELECT id FROM c{r}) "
+                "GROUP BY 1) n ON n.vec_id = p.vec_id)"
+            )
+    rows = [
+        "SELECT CAST(1 AS BIGINT) AS sel_order, (SELECT id FROM c1) AS vec_id, "
+        "CAST(0 AS BIGINT) AS distsq"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT), (SELECT id FROM c{r}), "
+        f"CAST((SELECT d FROM c{r}) AS BIGINT)"
+        for r in range(2, k + 1)
+    ]
+    return (
+        ", ".join(parts)
+        + " SELECT * FROM (" + " UNION ALL ".join(rows) + ") "
+        "WHERE vec_id IS NOT NULL ORDER BY sel_order"
     )
 
 
@@ -8928,6 +8995,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN n nb ON nb.source = p.source_b "
             "ORDER BY p.source_a, p.source_b"
         ),
+        "kcenter_coreset": _kcenter_sql(k=8),
         "nearest_centroid_confusion": (
             # replay of analytics.nearest_centroid_confusion: milli-int
             # quantization, truncating-div centroids, exact integer squared

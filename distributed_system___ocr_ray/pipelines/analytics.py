@@ -11804,3 +11804,104 @@ def source_centroid_geometry(sf_dir: str, quant: int = 1000, buckets: int = 32):
     for c in ("dot_num", "normsq_a", "normsq_b"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def kcenter_coreset(ds, k: int = 8, quant: int = 1000,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Gonzalez farthest-first-traversal k-center coreset over the
+    embedding table -- the classic 2-approximation to the k-center
+    objective (Gonzalez 1985) and the standard geometry-aware seed set
+    for coreset selection / k-means++ style initialization over a
+    training corpus: pick the min-id point, then k-1 times pick the point
+    FARTHEST (exact integer squared L2 on the shared milli-quantization)
+    from every center chosen so far; ties break to the smallest id so
+    the traversal is a pure function of the table.
+
+    Scale shape: the narrow (id, quantized-vector) projection
+    materializes ONCE (the k-pass working set -- columnar int64 blocks in
+    the object store, spillable; the corpus text never loads); each of
+    the k-1 rounds is ONE streaming map over it (distance to the <= k
+    broadcast centers, a few KB shipped per round) emitting a SINGLE
+    (max_d, argmax_id) partial row per block, folded on the driver over
+    #blocks rows. Total work k^2*N*d multiply-adds -- recomputing the
+    running min each round keeps rounds stateless (no per-round dataset
+    rewrite, no lineage growth), the right trade for small k; past
+    k ~ 50 persist the running-min column instead (one rewrite per
+    round). Selected ids are excluded in-stage so duplicate points
+    (d = 0 everywhere) cannot re-select a center when N < k rounds
+    remain; rounds stop early when no candidate rows remain.
+
+    Returns (sel_order 1..k, vec_id, distsq): distsq is the point's
+    exact min squared distance to all PRIOR centers at selection time
+    (0 for the seed) -- the nonincreasing Gonzalez radius profile, a
+    direct read of how much geometric coverage each extra center buys.
+    Reference analogue: SURVEY.md 2.10 embedding family."""
+
+    def _quant(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, d)
+
+    def project(batch: pa.Table) -> pa.Table:
+        Q = _quant(batch.column(vec_col))
+        return pa.table(
+            {
+                "vec_id": batch.column(id_col).cast(pa.int64()),
+                "q": pa.array(list(Q), pa.list_(pa.int64())),
+            }
+        )
+
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+    seed = int(proj.min("vec_id"))
+    centers: list[tuple[int, np.ndarray | None]] = [(seed, None)]
+    rows = [(1, seed, 0)]
+
+    def _rows(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        return col.flatten().to_numpy(zero_copy_only=False).astype(np.int64).reshape(n, d)
+
+    for r in range(2, k + 1):
+        # center vectors must be known BEFORE the distance pass: resolve
+        # the newest one via one targeted predicate-pushdown pull (k small,
+        # a few KB total -- the broadcast side of every round's map)
+        for j, (cid, cv) in enumerate(centers):
+            if cv is None:
+                t = proj.filter(expr=f"vec_id == {cid}").take(1)
+                centers[j] = (cid, np.asarray(t[0]["q"], np.int64))
+        ids_sel = np.array(sorted(c[0] for c in centers), np.int64)
+        cmat = np.stack([c[1] for c in centers])
+
+        def far_partial(batch: pa.Table, _sel=ids_sel, _cm=cmat) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            Q = _rows(batch.column("q"))
+            keep = ~np.isin(ids, _sel)
+            ids, Q = ids[keep], Q[keep]
+            if not len(ids):
+                return pa.table({"d": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64())})
+            dmin = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+            for cv in _cm:
+                diff = Q - cv[None, :]
+                np.minimum(dmin, np.einsum("ij,ij->i", diff, diff), out=dmin)
+            best = int(dmin.max())
+            cand = ids[dmin == best]
+            return pa.table({"d": pa.array([best], pa.int64()),
+                             "vec_id": pa.array([int(cand.min())], pa.int64())})
+
+        parts = proj.map_batches(far_partial, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        best_d = int(parts["d"].max())
+        best_id = int(parts.loc[parts["d"] == best_d, "vec_id"].min())
+        centers.append((best_id, None))
+        rows.append((r, best_id, best_d))
+
+    out = pd.DataFrame(rows, columns=["sel_order", "vec_id", "distsq"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+

@@ -9028,3 +9028,41 @@ class TestSourceCentroidGeometry:
         assert int(r["dot_num"]) == 4 * 1000 * 2000
         assert int(r["normsq_a"]) == 4 * 1000 * 1000
         assert int(r["normsq_b"]) == 4 * 2000 * 2000
+
+
+class TestKcenterCoreset:
+    def test_farthest_first_hand_trace(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 1-D-ish points on a line: seed is min id, then the two farthest
+        # (Gonzalez hand trace; id 5 beats id 4 on distance, id 3 last)
+        vecs = [[0.0, 0.0], [0.001, 0.0], [10.0, 0.0], [25.0, 0.0],
+                [25.0, 0.001]]
+        t = pa.table({
+            "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        })
+        got = analytics.kcenter_coreset(rd.from_arrow(t), k=3)
+        rows = [(int(r["sel_order"]), int(r["vec_id"]), int(r["distsq"]))
+                for _, r in got.iterrows()]
+        assert rows == [
+            (1, 1, 0),
+            (2, 5, 25000 * 25000 + 1),
+            (3, 3, 10000 * 10000),
+        ]
+
+    def test_stops_early_and_never_reselects(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 2 points, k=5: exactly 2 rows come back, radii nonincreasing
+        t = pa.table({
+            "vec_id": pa.array([7, 9], pa.int64()),
+            "embedding": pa.array([[1.0], [4.0]], pa.list_(pa.float32())),
+        })
+        got = analytics.kcenter_coreset(rd.from_arrow(t), k=5)
+        assert got["vec_id"].tolist() == [7, 9]
+        assert got["distsq"].tolist() == [0, 3000 * 3000]
