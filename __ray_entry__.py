@@ -4697,6 +4697,21 @@ def _q_kcenter_coreset(sf_dir: str):
     return analytics.kcenter_coreset(ds, k=8)
 
 
+def _q_pca_top_component(sf_dir: str):
+    """Top principal component of the embedding cloud by fixed-round
+    power iteration on the exact integer covariance numerator
+    (analytics.pca_top_component -- the anisotropy/rank-collapse audit);
+    oracle replays the one-pass moment fold and all 12 rounds of
+    sign-split truncating rescale as unrolled MATERIALIZED CTEs."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    return analytics.pca_top_component(ds)
+
+
 def _q_nearest_centroid_confusion(sf_dir: str):
     """Nearest-centroid confusion matrix over the embeddings table
     (analytics.nearest_centroid_confusion -- the label-noise estimator);
@@ -5073,6 +5088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid_confusion": _q_nearest_centroid_confusion,
         "source_centroid_geometry": _q_source_centroid_geometry,
         "kcenter_coreset": _q_kcenter_coreset,
+        "pca_top_component": _q_pca_top_component,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6117,6 +6133,63 @@ def _kcenter_sql(k: int = 8, quant: int = 1000) -> str:
         ", ".join(parts)
         + " SELECT * FROM (" + " UNION ALL ".join(rows) + ") "
         "WHERE vec_id IS NOT NULL ORDER BY sel_order"
+    )
+
+
+def _pca_sql(iters: int = 12, quant: int = 1000, scale: int = 1_000_000) -> str:
+    """Replay of analytics.pca_top_component: the same one-pass moment
+    fold (n, per-dim sums, full second-moment grid -> the n^2-scaled
+    integer covariance), then ``iters`` unrolled power-iteration rounds --
+    w = C v in HUGEINT, rescale by sign-split truncating division exactly
+    as the engine spells it, max|w| = 0 keeps v. Rayleigh quotient
+    lambda_micro = (v'Cv * 1e6) // (v'v * n^2), nonneg both sides (C is
+    PSD) so plain floor-div. All chained CTEs MATERIALIZED (same
+    exponential-inlining hazard as _kcenter_sql)."""
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * {quant} + 0.5) AS BIGINT)) AS v, "
+        "row_number() OVER () AS rid FROM embeddings), "
+        "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+        "u AS MATERIALIZED (SELECT rid, i, v[i] AS x FROM q, dims "
+        "WHERE v[i] IS NOT NULL), "
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM q), "
+        "st AS MATERIALIZED (SELECT i, SUM(CAST(x AS HUGEINT)) AS s FROM u "
+        "GROUP BY 1), "
+        "g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
+        "SUM(CAST(a.x AS HUGEINT) * b.x) AS sij FROM u a "
+        "JOIN u b ON a.rid = b.rid GROUP BY 1, 2), "
+        "c AS MATERIALIZED (SELECT g.i, g.j, "
+        "(SELECT n FROM nn) * g.sij - sa.s * sb.s AS cv FROM g "
+        "JOIN st sa ON sa.i = g.i JOIN st sb ON sb.i = g.j), "
+        "v0 AS MATERIALIZED (SELECT i, CAST(CASE WHEN i = "
+        f"(SELECT MIN(i) FROM st) THEN {scale} ELSE 0 END AS HUGEINT) AS v "
+        "FROM st)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"w{t} AS MATERIALIZED (SELECT c.i, SUM(c.cv * v.v) AS w "
+            f"FROM c JOIN v{t - 1} v ON v.i = c.j GROUP BY 1)"
+        )
+        parts.append(f"m{t} AS MATERIALIZED (SELECT MAX(ABS(w)) AS m FROM w{t})")
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT p.i, "
+            f"CASE WHEN (SELECT m FROM m{t}) = 0 THEN p.v "
+            f"WHEN w.w >= 0 THEN (w.w * {scale}) // (SELECT m FROM m{t}) "
+            f"ELSE -(((-w.w) * {scale}) // (SELECT m FROM m{t})) END AS v "
+            f"FROM v{t - 1} p JOIN w{t} w ON w.i = p.i)"
+        )
+    last = f"v{iters}"
+    parts.append(
+        "ray AS MATERIALIZED (SELECT SUM(va.v * c.cv * vb.v) AS r FROM c "
+        f"JOIN {last} va ON va.i = c.i JOIN {last} vb ON vb.i = c.j)"
+    )
+    parts.append(f"vv AS MATERIALIZED (SELECT SUM(v * v) AS q2 FROM {last})")
+    return (
+        ", ".join(parts)
+        + " SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled, "
+        "CAST(((SELECT r FROM ray) * 1000000) // ((SELECT q2 FROM vv) * "
+        "(SELECT n FROM nn) * (SELECT n FROM nn)) AS BIGINT) AS lambda_micro "
+        f"FROM {last} ORDER BY dim"
     )
 
 
@@ -8996,6 +9069,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p.source_a, p.source_b"
         ),
         "kcenter_coreset": _kcenter_sql(k=8),
+        "pca_top_component": _pca_sql(),
         "nearest_centroid_confusion": (
             # replay of analytics.nearest_centroid_confusion: milli-int
             # quantization, truncating-div centroids, exact integer squared

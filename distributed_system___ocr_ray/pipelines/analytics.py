@@ -11905,3 +11905,87 @@ def kcenter_coreset(ds, k: int = 8, quant: int = 1000,
         out[c] = out[c].astype(np.int64)
     return out
 
+
+
+def pca_top_component(ds, iters: int = 12, quant: int = 1000,
+                      scale: int = 1_000_000, vec_col: str = "embedding"):
+    """Top principal component of the embedding cloud by power iteration
+    on the EXACT integer covariance numerator -- the one-pass distributed
+    PCA head used to audit anisotropy / dominant-direction collapse in an
+    embedding table before ANN indexing (a cloud that is secretly rank-1
+    breaks IVF and LSH recall) and to whiten-or-not decisions.
+
+    Exactness: the corpus pass folds the same (triu second moments,
+    per-dim sums, n) partials as embedding_covariance_topk, here WITH the
+    diagonal; C[a,b] = n*S[a,b] - s[a]*s[b] is the n^2-scaled covariance,
+    PSD and integer. Power iteration runs a FIXED ``iters`` rounds of
+    w = C v; v' = trunc(w * scale / max|w|) -- truncation toward zero
+    spelled sign-split (floor-div on magnitudes) so the SQL replay is
+    character-identical; max|w| = 0 keeps v (stationary zero edge). All
+    driver arithmetic on Python ints (C reaches ~1e18 at 1e6 rows --
+    HUGEINT territory the SQL mirrors); only the FINAL projection narrows
+    to int64. No convergence test on purpose: a fixed iteration count is
+    the determinism contract, and 12 rounds of exact arithmetic resolve
+    any spectral gap the audit cares about.
+
+    Scale shape: ONE streaming pass over the vectors (d*(d+1)/2 + d + 1
+    int partials per block, folded by tiny_final_groupby); the d x d
+    iteration is driver-side on a bounded matrix. Rayleigh quotient
+    reported as lambda_micro = trunc(v'Cv * 1e6 / (v'v * n^2)) -- the top
+    eigenvalue of the covariance in micro-milli^2 units, int64-safe at
+    any n because the n^2 scaling cancels.
+
+    Returns (dim 1-based, v_scaled in [-scale, scale], lambda_micro
+    repeated) ordered by dim. Reference analogue: SURVEY.md 2.10
+    embedding family."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(n, d)
+        Q = np.floor(V * quant + 0.5).astype(np.int64)
+        S = Q.T @ Q
+        s = Q.sum(axis=0)
+        iu, ju = np.triu_indices(d, k=0)
+        keys = np.concatenate([iu * d + ju, d * d + np.arange(d), [-1]])
+        vals = np.concatenate([S[iu, ju], s, [n]])
+        return pa.table({"k": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["k"], aggs=[("v", "sum")], out_names=["k", "v"],
+    ).to_pandas()
+    kv = {int(k): int(v) for k, v in zip(folded["k"], folded["v"])}
+    n = kv[-1]
+    d = int((max(k for k in kv if 0 <= k) + 1) ** 0.5)
+    s = [kv[d * d + a] for a in range(d)]
+    C = [[0] * d for _ in range(d)]
+    for a in range(d):
+        for b in range(a, d):
+            cv = n * kv[a * d + b] - s[a] * s[b]
+            C[a][b] = C[b][a] = cv
+
+    def tdiv(num: int, den: int) -> int:
+        return -((-num) // den) if num < 0 else num // den
+
+    v = [scale] + [0] * (d - 1)
+    for _ in range(iters):
+        w = [sum(C[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [tdiv(x * scale, m) for x in w]
+    vcv = sum(v[i] * C[i][j] * v[j] for i in range(d) for j in range(d))
+    vv = sum(x * x for x in v)
+    lam = (vcv * 1_000_000) // (vv * n * n) if vv else 0
+    out = pd.DataFrame({
+        "dim": np.arange(1, d + 1, dtype=np.int64),
+        "v_scaled": np.array(v, dtype=np.int64),
+        "lambda_micro": np.full(d, lam, dtype=np.int64),
+    })
+    return out

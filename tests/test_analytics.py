@@ -9066,3 +9066,31 @@ class TestKcenterCoreset:
         got = analytics.kcenter_coreset(rd.from_arrow(t), k=5)
         assert got["vec_id"].tolist() == [7, 9]
         assert got["distsq"].tolist() == [0, 3000 * 3000]
+
+
+class TestPcaTopComponent:
+    def test_rank_one_cloud_recovers_direction(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # points t*(3,4): covariance is rank-1 along (3,4); the iteration's
+        # exact fixed point is max-normalized (750000, 1000000)
+        vecs = [[3.0 * t, 4.0 * t] for t in (1.0, 2.0, 3.0, 4.0)]
+        t = pa.table({"embedding": pa.array(vecs, pa.list_(pa.float32()))})
+        got = analytics.pca_top_component(rd.from_arrow(t))
+        assert got["dim"].tolist() == [1, 2]
+        assert got["v_scaled"].tolist() == [750000, 1000000]
+        assert int(got["lambda_micro"].iloc[0]) > 0
+
+    def test_single_dim_lambda_is_variance_micro(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # [0, 2]: n^2-scaled covariance 4e6; lambda_micro = 1e12 exactly
+        t = pa.table({"embedding": pa.array([[0.0], [2.0]],
+                                            pa.list_(pa.float32()))})
+        got = analytics.pca_top_component(rd.from_arrow(t))
+        assert got["v_scaled"].tolist() == [1000000]
+        assert got["lambda_micro"].tolist() == [10 ** 12]
