@@ -4712,6 +4712,19 @@ def _q_pca_top_component(sf_dir: str):
     return analytics.pca_top_component(ds)
 
 
+def _q_rendezvous_routing_balance(sf_dir: str):
+    """Highest-random-weight (rendezvous) doc->worker routing balance
+    over 16 workers (analytics.rendezvous_routing_balance -- the elastic
+    affinity router audit); oracle replays the md5 score grid and the
+    (score DESC, worker) argmax with QUALIFY row_number."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.rendezvous_routing_balance(ds, n_workers=16)
+
+
 def _q_nearest_centroid_confusion(sf_dir: str):
     """Nearest-centroid confusion matrix over the embeddings table
     (analytics.nearest_centroid_confusion -- the label-noise estimator);
@@ -5089,6 +5102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_centroid_geometry": _q_source_centroid_geometry,
         "kcenter_coreset": _q_kcenter_coreset,
         "pca_top_component": _q_pca_top_component,
+        "rendezvous_routing_balance": _q_rendezvous_routing_balance,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -9070,6 +9084,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_coreset": _kcenter_sql(k=8),
         "pca_top_component": _pca_sql(),
+        "rendezvous_routing_balance": (
+            # replay of analytics.rendezvous_routing_balance: the same
+            # 'hrw:<id>:<worker>' md5-u64 score grid, argmax by (score
+            # DESC, worker), trunc-div ppm share of the total
+            "WITH wk AS (SELECT 'w' || lpad(CAST(i AS VARCHAR), 2, '0') AS "
+            "worker FROM (SELECT unnest(generate_series(0, 15)) AS i)), "
+            "a AS (SELECT doc_id, worker, CAST(('0x' || substr(md5('hrw:' "
+            "|| CAST(doc_id AS VARCHAR) || ':' || worker), 1, 16)) AS "
+            "UBIGINT) AS h FROM documents, wk), "
+            "asn AS (SELECT doc_id, worker FROM a QUALIFY row_number() "
+            "OVER (PARTITION BY doc_id ORDER BY h DESC, worker) = 1), "
+            "cnt AS (SELECT worker, COUNT(*) AS n_docs FROM asn GROUP BY 1) "
+            "SELECT worker, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST((n_docs * 1000000) // (SELECT SUM(n_docs) FROM cnt) "
+            "AS BIGINT) AS share_ppm FROM cnt ORDER BY worker"
+        ),
         "nearest_centroid_confusion": (
             # replay of analytics.nearest_centroid_confusion: milli-int
             # quantization, truncating-div centroids, exact integer squared

@@ -11989,3 +11989,60 @@ def pca_top_component(ds, iters: int = 12, quant: int = 1000,
         "lambda_micro": np.full(d, lam, dtype=np.int64),
     })
     return out
+
+
+def rendezvous_routing_balance(ds, n_workers: int = 16,
+                               id_col: str = "doc_id"):
+    """Rendezvous (highest-random-weight) routing balance audit: assign
+    every document to the worker whose md5 score md5_u64('hrw:' || id ||
+    ':' || worker) is highest (Thaler & Ravishankar 1996) and report the
+    per-worker load. HRW is the affinity router for stateful actor pools
+    (a doc must hit the SAME decode-memo / model-cache actor every run,
+    across jobs and resubmits): unlike ``hash(id) % W``, growing the pool
+    W -> W+1 remaps only ~1/(W+1) of the keys, so warm per-actor state
+    survives a resize -- the property this audit certifies before wiring
+    a router into the flagship's kind->extractor pools, alongside the
+    uniformity read (share_ppm should sit near 1e6/W for every worker).
+
+    Scale shape: map-side only -- each batch computes W md5 scores per id
+    (hashlib C digests; the per-id loop is the documented md5-parity
+    price, same adjudication as the fingerprint kernel) and folds to AT
+    MOST W count partials per block; ONE tiny W-row fold, ppm arithmetic
+    on the driver. Nothing corpus-sized ever exchanges.
+
+    Returns (worker, n_docs, share_ppm) for workers that received >= 1
+    doc, ordered by worker name. Reference analogue: the manager's
+    static queue->worker wiring (SURVEY.md 2.4) made elastic."""
+    from ..functions.dedup import md5_u64
+    from .relational import tiny_final_groupby
+
+    names = [f"w{i:02d}" for i in range(n_workers)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.zeros(len(names), np.int64)
+        for d in ids:
+            best_w, best_h = 0, -1
+            for j, w in enumerate(names):
+                h = md5_u64(b"hrw:%d:%s" % (d, w.encode()))
+                # ties (2^-64) break to the smallest worker name: strict >
+                if h > best_h:
+                    best_w, best_h = j, h
+            counts[best_w] += 1
+        keep = counts > 0
+        return pa.table({
+            "worker": pa.array(np.array(names, object)[keep], pa.string()),
+            "n": pa.array(counts[keep], pa.int64()),
+        })
+
+    folded = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=["worker"], aggs=[("n", "sum")], out_names=["worker", "n_docs"],
+    ).to_pandas().sort_values("worker").reset_index(drop=True)
+    total = int(folded["n_docs"].sum())
+    folded["share_ppm"] = [
+        int(n) * 1_000_000 // total for n in folded["n_docs"]
+    ]
+    for c in ("n_docs", "share_ppm"):
+        folded[c] = folded[c].astype(np.int64)
+    return folded

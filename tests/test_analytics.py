@@ -9094,3 +9094,39 @@ class TestPcaTopComponent:
         got = analytics.pca_top_component(rd.from_arrow(t))
         assert got["v_scaled"].tolist() == [1000000]
         assert got["lambda_micro"].tolist() == [10 ** 12]
+
+
+class TestRendezvousRoutingBalance:
+    @staticmethod
+    def _assign(ids, n_workers):
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+
+        names = [f"w{i:02d}" for i in range(n_workers)]
+        return {
+            d: max(names, key=lambda w: (md5_u64(b"hrw:%d:%s" % (d, w.encode())), -ord(w[-1])))
+            for d in ids
+        }
+
+    def test_counts_match_reference_assignment(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ids = list(range(200))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        got = analytics.rendezvous_routing_balance(rd.from_arrow(t), n_workers=4)
+        exp = {}
+        for w in self._assign(ids, 4).values():
+            exp[w] = exp.get(w, 0) + 1
+        assert dict(zip(got["worker"], got["n_docs"])) == exp
+        assert int(got["n_docs"].sum()) == 200
+
+    def test_growing_pool_moves_only_to_new_worker(self):
+        # the HRW property the router exists for: W -> W+1 remaps a key
+        # only when the NEW worker wins it
+        ids = list(range(300))
+        a4 = self._assign(ids, 4)
+        a5 = self._assign(ids, 5)
+        moved = {d for d in ids if a4[d] != a5[d]}
+        assert moved, "some keys should move"
+        assert all(a5[d] == "w04" for d in moved)
