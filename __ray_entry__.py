@@ -4725,6 +4725,17 @@ def _q_rendezvous_routing_balance(sf_dir: str):
     return analytics.rendezvous_routing_balance(ds, n_workers=16)
 
 
+def _q_dsir_importance_weights(sf_dir: str):
+    """DSIR-style hashed-unigram importance weights, target slice
+    lang='en' (analytics.dsir_importance_weights -- the data-selection
+    scorer); oracle replays the md5 bucket grid, the bits-resolution
+    per-bucket log-ratio via length(bin(n+1))-1, and the sign-split
+    truncating milli mean."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.dsir_importance_weights(sf_dir)
+
+
 def _q_nearest_centroid_confusion(sf_dir: str):
     """Nearest-centroid confusion matrix over the embeddings table
     (analytics.nearest_centroid_confusion -- the label-noise estimator);
@@ -5103,6 +5114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": _q_kcenter_coreset,
         "pca_top_component": _q_pca_top_component,
         "rendezvous_routing_balance": _q_rendezvous_routing_balance,
+        "dsir_importance_weights": _q_dsir_importance_weights,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -9084,6 +9096,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_coreset": _kcenter_sql(k=8),
         "pca_top_component": _pca_sql(),
+        "dsir_importance_weights": (
+            # replay of analytics.dsir_importance_weights: shared
+            # tokenization, 'dsir:<tok>' md5-u64 % 1024 buckets, wb =
+            # bits(nt+1) - bits(nr+1) via length(bin())-1, sign-split
+            # truncating milli mean per doc
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk "
+            "FROM documents), "
+            "bk AS (SELECT doc_id, lang, CAST(CAST(('0x' || "
+            "substr(md5('dsir:' || tk), 1, 16)) AS UBIGINT) % 1024 "
+            "AS BIGINT) AS b FROM tok), "
+            "cnt AS (SELECT b, COUNT(*) AS nr, "
+            "COUNT(*) FILTER (WHERE lang = 'en') AS nt FROM bk GROUP BY 1), "
+            "w AS (SELECT b, (length(bin(nt + 1)) - 1) - "
+            "(length(bin(nr + 1)) - 1) AS wb FROM cnt), "
+            "s AS (SELECT doc_id, SUM(wb) AS num, COUNT(*) AS ntok "
+            "FROM bk JOIN w USING (b) GROUP BY 1) "
+            "SELECT doc_id, CAST(ntok AS BIGINT) AS n_tok, "
+            "CAST(CASE WHEN num >= 0 THEN (num * 1000) // ntok "
+            "ELSE -(((-num) * 1000) // ntok) END AS BIGINT) AS score_milli "
+            "FROM s ORDER BY doc_id"
+        ),
         "rendezvous_routing_balance": (
             # replay of analytics.rendezvous_routing_balance: the same
             # 'hrw:<id>:<worker>' md5-u64 score grid, argmax by (score

@@ -12046,3 +12046,112 @@ def rendezvous_routing_balance(ds, n_workers: int = 16,
     for c in ("n_docs", "share_ppm"):
         folded[c] = folded[c].astype(np.int64)
     return folded
+
+
+def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
+                            n_buckets: int = 1024):
+    """DSIR-style importance weights over hashed unigram features (Xie et
+    al. 2023, Data Selection via Importance Resampling): score every
+    document by how much its token distribution looks like the TARGET
+    slice (lang = target_lang) versus the raw corpus, then sample/keep by
+    score downstream. The per-bucket log-likelihood ratio is computed at
+    the repo's float-free bits resolution -- wb[b] = floor(log2(nt[b]+1))
+    - floor(log2(nr[b]+1)) via the bit_length identity (monotonicity
+    proof at doc_surprisal_topk) -- and the per-doc score is the
+    length-normalized mean in milli-bits, sign-split truncating division
+    so the SQL replay is character-identical. True DSIR uses float logs;
+    at selection time only the ORDERING matters, and bits resolution
+    orders identically wherever bucket counts differ by >= 2x.
+
+    Scale shape: pass 1 folds (bucket, n_raw, n_target) count partials --
+    at most n_buckets rows per block, ONE tiny fold; the n_buckets-int
+    weight table broadcasts via ray.put; pass 2 re-tokenizes and scores
+    map-side (two corpus text passes are inherent: the weights must exist
+    before scoring -- DSIR itself is two-pass). Token hashing memoizes
+    per batch (Zipfian vocab, same as the pair family). Nothing
+    corpus-sized exchanges; output streams.
+
+    Returns a Dataset of (doc_id, n_tok, score_milli), docs with >= 1
+    token. Reference analogue: SURVEY.md 2.10 corpus-quality family."""
+    import re
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from ..functions.dedup import md5_u64_hashed
+    from .relational import tiny_final_groupby
+
+    word = re.compile(r"[a-z0-9]+")
+
+    def _buckets(texts, memo):
+        out = []
+        for t in texts:
+            toks = word.findall((t or "").lower())
+            out.append(np.array(
+                [md5_u64_hashed("dsir:" + tk, memo) % n_buckets
+                 for tk in toks], np.int64))
+        return out
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "text"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+        bks = _buckets(batch.column("text").to_pylist(), memo)
+        is_t = pc.equal(batch.column("lang"), target_lang).to_numpy(
+            zero_copy_only=False)
+        nr = np.zeros(n_buckets, np.int64)
+        nt = np.zeros(n_buckets, np.int64)
+        for bk, t in zip(bks, is_t):
+            np.add.at(nr, bk, 1)
+            if t:
+                np.add.at(nt, bk, 1)
+        keep = nr > 0
+        idx = np.nonzero(keep)[0].astype(np.int64)
+        return pa.table({"b": pa.array(idx, pa.int64()),
+                         "nr": pa.array(nr[keep], pa.int64()),
+                         "nt": pa.array(nt[keep], pa.int64())})
+
+    folded = tiny_final_groupby(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        keys=["b"], aggs=[("nr", "sum"), ("nt", "sum")],
+        out_names=["b", "nr", "nt"],
+    ).to_pandas()
+    wb = np.zeros(n_buckets, np.int64)
+    for b, nr, nt in zip(folded["b"], folded["nr"], folded["nt"]):
+        wb[int(b)] = ((int(nt) + 1).bit_length() - 1) - (
+            (int(nr) + 1).bit_length() - 1)
+    wb_handle = ray.put(wb)
+
+    scored_in = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"])
+
+    class Score:
+        def __init__(self) -> None:
+            self.wb = ray.get(wb_handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            memo: dict[str, int] = {}
+            bks = _buckets(batch.column("text").to_pylist(), memo)
+            ids = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            out_id, out_n, out_s = [], [], []
+            for did, bk in zip(ids, bks):
+                if not len(bk):
+                    continue
+                num = int(self.wb[bk].sum())
+                ntok = len(bk)
+                milli = (num * 1000) // ntok if num >= 0 else -(
+                    (-num * 1000) // ntok)
+                out_id.append(did)
+                out_n.append(ntok)
+                out_s.append(milli)
+            return pa.table({
+                "doc_id": pa.array(np.asarray(out_id, np.int64)),
+                "n_tok": pa.array(np.asarray(out_n, np.int64)),
+                "score_milli": pa.array(np.asarray(out_s, np.int64)),
+            })
+
+    return scored_in.map_batches(Score, batch_format="pyarrow",
+                                 concurrency=(1, 8))

@@ -9130,3 +9130,29 @@ class TestRendezvousRoutingBalance:
         moved = {d for d in ids if a4[d] != a5[d]}
         assert moved, "some keys should move"
         assert all(a5[d] == "w04" for d in moved)
+
+
+class TestDsirImportanceWeights:
+    def test_target_like_docs_score_higher(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd  # noqa: F401 - ray session fixture side
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # target slice speaks 'alpha beta'; raw background speaks 'gamma
+        # delta'; a fresh doc in each vocabulary must rank accordingly
+        docs = (["alpha beta alpha beta"] * 8 + ["gamma delta gamma"] * 8
+                + ["alpha beta", "gamma delta"])
+        langs = ["en"] * 8 + ["de"] * 8 + ["fr", "fr"]
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(18)), pa.int64()),
+            "lang": pa.array(langs),
+            "text": pa.array(docs),
+        }), tmp_path / "documents.parquet")
+        out = analytics.dsir_importance_weights(str(tmp_path)).to_pandas()
+        out = out.set_index("doc_id")
+        assert len(out) == 18
+        # the target-vocabulary probe outscores the background probe
+        assert int(out.loc[16, "score_milli"]) > int(out.loc[17, "score_milli"])
+        # length normalization: pure-target docs share one score
+        assert out.loc[0, "score_milli"] == out.loc[16, "score_milli"]
