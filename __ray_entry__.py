@@ -4725,6 +4725,16 @@ def _q_rendezvous_routing_balance(sf_dir: str):
     return analytics.rendezvous_routing_balance(ds, n_workers=16)
 
 
+def _q_lpa_communities(sf_dir: str):
+    """Synchronous label-propagation communities with self-vote and
+    smallest-label tie-break over the md5-derived citation graph, 4 fixed
+    rounds (analytics.lpa_communities); oracle replays the undirected
+    edge symmetrization and every voting round as MATERIALIZED CTEs."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.lpa_communities(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_dsir_importance_weights(sf_dir: str):
     """DSIR-style hashed-unigram importance weights, target slice
     lang='en' (analytics.dsir_importance_weights -- the data-selection
@@ -5115,6 +5125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top_component": _q_pca_top_component,
         "rendezvous_routing_balance": _q_rendezvous_routing_balance,
         "dsir_importance_weights": _q_dsir_importance_weights,
+        "lpa_communities": _q_lpa_communities,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6535,6 +6546,40 @@ def _edges_ctes() -> str:
     )
 
 
+def _lpa_sql(rounds: int = 4) -> str:
+    """Replay of ``analytics.lpa_communities``: distinct undirected edges
+    from the shared citation-graph CTEs, then ``rounds`` synchronous
+    voting rounds -- self-vote unioned with neighbor labels, modal vote
+    with QUALIFY (n DESC, lab) = 1. Chained CTEs MATERIALIZED (same
+    exponential-inlining hazard as _kcenter_sql)."""
+    parts = [
+        f"WITH {_edges_ctes()}, "
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges), "
+        "sym AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "l0 AS MATERIALIZED (SELECT doc_id AS node, "
+        "CAST(doc_id AS BIGINT) AS lab FROM documents)"
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"v{t} AS MATERIALIZED (SELECT s.node, l.lab FROM sym s "
+            f"JOIN l{t - 1} l ON l.node = s.nbr "
+            f"UNION ALL SELECT node, lab FROM l{t - 1})"
+        )
+        parts.append(
+            f"l{t} AS MATERIALIZED (SELECT node, lab FROM "
+            f"(SELECT node, lab, COUNT(*) AS n FROM v{t} GROUP BY 1, 2) "
+            "QUALIFY row_number() OVER (PARTITION BY node "
+            "ORDER BY n DESC, lab) = 1)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node AS doc_id, lab AS community FROM l{rounds} "
+        "ORDER BY doc_id"
+    )
+
+
 def _triangle_sql() -> str:
     """Replay of ``analytics.triangle_count``: canonical a<b distinct edges,
     wedge at the smallest vertex, closing-edge probe."""
@@ -7912,6 +7957,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
+        "lpa_communities": _lpa_sql(rounds=4),
         "in_degree_histogram": (
             # replay of analytics.in_degree_histogram: shared edge CTEs,
             # multi-edges counted, LEFT JOIN puts never-cited nodes at 0

@@ -12155,3 +12155,86 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en",
 
     return scored_in.map_batches(Score, batch_format="pyarrow",
                                  concurrency=(1, 8))
+
+
+def lpa_communities(ds, rounds: int = 4, id_col: str = "doc_id", edges=None):
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the md5-derived citation graph -- the community detector next to
+    the connectivity family (connected components find WHO TOUCHES WHOM;
+    LPA finds DENSER-THAN-CUT blocks, the mirror-site / topic-cluster
+    structure a dedup or mixture plan acts on). Deterministic variant:
+    every node votes its own label PLUS each undirected neighbor's label;
+    the new label is the modal vote with ties to the SMALLEST label --
+    the self-vote both damps the classic sync-LPA bipartite oscillation
+    and keeps isolated nodes labeled with no extra join. A FIXED
+    ``rounds`` count (no convergence probe) is the determinism contract,
+    same as pagerank_top.
+
+    Plan shape: distinct undirected edges symmetrize once and
+    materialize (~2N rows); each round is ONE bucketed hash join
+    (edges x labels on the neighbor end -- both sides corpus-sized, no
+    broadcast) and ONE mode_by_key exchange (moves the (node, label)
+    vote domain, never raw rows); labels materialize per round (bounded
+    recovery + O(1) schema probes, the measured pagerank justification).
+
+    Returns a Dataset of (doc_id, community), one row per node.
+    ``edges`` overrides the derived graph with an explicit (src, dst)
+    Dataset (pytest hand graphs)."""
+    from .relational import bucketed_hash_join, derive_buckets, mode_by_key
+
+    if edges is None:
+        edges = derived_link_edges(ds, ds.count(), id_col=id_col)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"node": pa.array(np.concatenate([lo, hi])),
+                         "nbr": pa.array(np.concatenate([hi, lo]))})
+
+    from ray.data.aggregate import Count
+
+    sym = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["node", "nbr"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["node", "nbr"])
+        .materialize()
+    )
+    buckets = derive_buckets(sym.count(), rows_per_bucket=1_000_000)
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).combine_chunks().cast(pa.int64())
+        return pa.table({"node": ids, "lab": ids})
+
+    labels = ds.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def project_votes(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "lab"])
+
+    def project_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch.column("node").combine_chunks().cast(pa.int64()),
+            "lab": batch.column("mode_value").combine_chunks().cast(pa.int64()),
+        })
+
+    for _ in range(rounds):
+        nbr_lab = bucketed_hash_join(
+            sym, labels.rename_columns(["nbr", "lab"]), "nbr", "nbr",
+            buckets=buckets,
+        )
+        votes = nbr_lab.map_batches(
+            project_votes, batch_format="pyarrow").union(labels)
+        labels = (
+            mode_by_key(votes, "node", "lab")
+            .map_batches(project_labels, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("node"),
+            "community": batch.column("lab"),
+        })
+
+    return labels.map_batches(final, batch_format="pyarrow")

@@ -9156,3 +9156,40 @@ class TestDsirImportanceWeights:
         assert int(out.loc[16, "score_milli"]) > int(out.loc[17, "score_milli"])
         # length normalization: pure-target docs share one score
         assert out.loc[0, "score_milli"] == out.loc[16, "score_milli"]
+
+
+class TestLpaCommunities:
+    def test_two_triangles_with_bridge(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # triangles {0,1,2} and {3,4,5} joined by bridge 2-3: sync LPA
+        # with self-vote and min-label ties converges to labels 0 and 3
+        nodes = pa.table({"doc_id": pa.array(list(range(6)), pa.int64())})
+        e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        edges = pa.table({
+            "src": pa.array([a for a, _ in e], pa.int64()),
+            "dst": pa.array([b for _, b in e], pa.int64()),
+        })
+        got = (
+            analytics.lpa_communities(rd.from_arrow(nodes), rounds=4,
+                                      edges=rd.from_arrow(edges))
+            .to_pandas().sort_values("doc_id")
+        )
+        assert got["community"].tolist() == [0, 0, 0, 3, 3, 3]
+
+    def test_isolated_node_keeps_own_label(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        nodes = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64())})
+        edges = pa.table({"src": pa.array([0], pa.int64()),
+                          "dst": pa.array([1], pa.int64())})
+        got = (
+            analytics.lpa_communities(rd.from_arrow(nodes), rounds=3,
+                                      edges=rd.from_arrow(edges))
+            .to_pandas().sort_values("doc_id")
+        )
+        assert got["community"].tolist() == [0, 0, 2]
