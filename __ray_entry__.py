@@ -4735,6 +4735,17 @@ def _q_lpa_communities(sf_dir: str):
     return analytics.lpa_communities(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Newman degree assortativity of the md5-derived citation graph
+    (analytics.degree_assortativity): exact-integer endpoint-degree
+    Pearson over the symmetrized undirected edge list, shipped as
+    sign-split truncating r_ppm; oracle replays edges, degrees and the
+    HUGEINT moment arithmetic."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.degree_assortativity(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_dsir_importance_weights(sf_dir: str):
     """DSIR-style hashed-unigram importance weights, target slice
     lang='en' (analytics.dsir_importance_weights -- the data-selection
@@ -5126,6 +5137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_routing_balance": _q_rendezvous_routing_balance,
         "dsir_importance_weights": _q_dsir_importance_weights,
         "lpa_communities": _q_lpa_communities,
+        "degree_assortativity": _q_degree_assortativity,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -7958,6 +7970,28 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
         "lpa_communities": _lpa_sql(rounds=4),
+        "degree_assortativity": (
+            # replay of analytics.degree_assortativity: distinct undirected
+            # edges, symmetrized votes, degree join both ends, HUGEINT
+            # moments, sign-split truncating ppm
+            f"WITH {_edges_ctes()}, "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM edges), "
+            "sym AS (SELECT a AS node, b AS nbr FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "dg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY 1), "
+            "ed AS (SELECT dx.deg AS x, dy.deg AS y FROM sym s "
+            "JOIN dg dx ON dx.node = s.node JOIN dg dy ON dy.node = s.nbr), "
+            "mo AS (SELECT COUNT(*) AS m, SUM(CAST(x AS HUGEINT)) AS sx, "
+            "SUM(CAST(x AS HUGEINT) * x) AS sxx, "
+            "SUM(CAST(x AS HUGEINT) * y) AS sxy FROM ed), "
+            "nd AS (SELECT m, m * sxy - sx * sx AS num, "
+            "m * sxx - sx * sx AS den FROM mo) "
+            "SELECT CAST(m AS BIGINT) AS m_votes, "
+            "CAST(CASE WHEN den = 0 THEN 0 WHEN num >= 0 THEN "
+            "(num * 1000000) // den ELSE -(((-num) * 1000000) // den) END "
+            "AS BIGINT) AS r_ppm FROM nd"
+        ),
         "in_degree_histogram": (
             # replay of analytics.in_degree_histogram: shared edge CTEs,
             # multi-edges counted, LEFT JOIN puts never-cited nodes at 0

@@ -12238,3 +12238,101 @@ def lpa_communities(ds, rounds: int = 4, id_col: str = "doc_id", edges=None):
         })
 
     return labels.map_batches(final, batch_format="pyarrow")
+
+
+def degree_assortativity(ds, id_col: str = "doc_id", edges=None):
+    """Degree assortativity of the md5-derived citation graph (Newman
+    2002): the Pearson correlation of endpoint degrees over the
+    undirected edge list -- positive means hubs link hubs (social-graph
+    shape), negative means hubs link leaves (web/citation shape). The
+    single number that says whether hot-key skew in a graph pipeline
+    CONCENTRATES (assortative cores make pointer-jumping and LPA rounds
+    skew-bound) or SPREADS.
+
+    Exactness: with x, y the endpoint degrees over the SYMMETRIZED edge
+    list (every undirected edge votes twice, so sum x = sum y and the
+    two marginal variances coincide), r = num / den with
+    ``num = M * Sxy - Sx * Sx`` and ``den = M * Sxx - Sx * Sx`` -- exact
+    Python-int driver arithmetic. num and den grow ~M^2 (past int64 near
+    1e8 edges), so the SHIPPED value is r_ppm = sign-split-trunc(num *
+    1e6 / den) -- exact integer both sides, bounded in [-1e6, 1e6] at
+    any graph size.
+
+    Plan shape: distinct undirected edges symmetrize once; degree =
+    ONE grouped count over the symmetrized list; TWO bucketed hash
+    joins attach x and y (both sides edge-domain -- no broadcast);
+    per-block (count, Sx, Sxx, Sxy) partials fold to ONE tiny row.
+
+    Returns one row (m_votes, r_ppm); degree-regular graphs have a zero
+    variance term (r undefined) and ship r_ppm = 0."""
+    from ray.data.aggregate import Count
+
+    from .relational import bucketed_hash_join, derive_buckets, tiny_final_groupby
+
+    if edges is None:
+        edges = derived_link_edges(ds, ds.count(), id_col=id_col)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"node": pa.array(np.concatenate([lo, hi])),
+                         "nbr": pa.array(np.concatenate([hi, lo]))})
+
+    sym = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["node", "nbr"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["node", "nbr"])
+        .materialize()
+    )
+    buckets = derive_buckets(sym.count(), rows_per_bucket=1_000_000)
+    deg = sym.groupby("node").aggregate(Count(alias_name="deg")).materialize()
+
+    with_x = bucketed_hash_join(sym, deg, "node", "node", buckets=buckets)
+
+    def flip(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nbr": batch.column("nbr"),
+            "node": batch.column("node"),
+            "x": batch.column("deg").combine_chunks().cast(pa.int64()),
+        })
+
+    both = bucketed_hash_join(
+        with_x.map_batches(flip, batch_format="pyarrow"),
+        deg.rename_columns(["nbr", "deg"]), "nbr", "nbr", buckets=buckets,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    f = tiny_final_groupby(
+        both.map_batches(moments, batch_format="pyarrow"),
+        keys=["k"],
+        aggs=[("m", "sum"), ("sx", "sum"), ("sxx", "sum"), ("sxy", "sum")],
+        out_names=["k", "m", "sx", "sxx", "sxy"],
+    ).to_pandas()
+    m = int(f["m"].iloc[0]) if len(f) else 0
+    sx = int(f["sx"].iloc[0]) if len(f) else 0
+    sxx = int(f["sxx"].iloc[0]) if len(f) else 0
+    sxy = int(f["sxy"].iloc[0]) if len(f) else 0
+    num = m * sxy - sx * sx
+    den = m * sxx - sx * sx
+    if den == 0:
+        r_ppm = 0
+    elif num >= 0:
+        r_ppm = (num * 1_000_000) // den
+    else:
+        r_ppm = -(((-num) * 1_000_000) // den)
+    return pd.DataFrame({
+        "m_votes": pd.Series([m], dtype="int64"),
+        "r_ppm": pd.Series([r_ppm], dtype="int64"),
+    })

@@ -9193,3 +9193,36 @@ class TestLpaCommunities:
             .to_pandas().sort_values("doc_id")
         )
         assert got["community"].tolist() == [0, 0, 2]
+
+
+class TestDegreeAssortativity:
+    def test_star_graph_is_disassortative(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # star K1,3: every edge joins deg-3 hub to deg-1 leaf -> r = -1
+        nodes = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64())})
+        edges = pa.table({
+            "src": pa.array([0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+        })
+        got = analytics.degree_assortativity(
+            rd.from_arrow(nodes), edges=rd.from_arrow(edges))
+        assert int(got["m_votes"].iloc[0]) == 6
+        assert int(got["r_ppm"].iloc[0]) == -1_000_000
+
+    def test_regular_graph_ships_zero(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # triangle: all degrees equal -> zero variance -> r_ppm = 0
+        nodes = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64())})
+        edges = pa.table({
+            "src": pa.array([0, 1, 2], pa.int64()),
+            "dst": pa.array([1, 2, 0], pa.int64()),
+        })
+        got = analytics.degree_assortativity(
+            rd.from_arrow(nodes), edges=rd.from_arrow(edges))
+        assert int(got["r_ppm"].iloc[0]) == 0
