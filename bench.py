@@ -223,6 +223,8 @@ SWEEP_QUERIES = [
     "centroid_separation_audit", "readability_by_lang",
     "nearest_centroid_confusion", "doc_completeness_by_lang",
     "span_profile_by_kind", "retry_plan",
+    "kcenter_coreset", "pca_top_component", "rendezvous_routing_balance",
+    "dsir_importance_weights", "lpa_communities", "degree_assortativity",
 ]
 
 
