@@ -4735,6 +4735,16 @@ def _q_lpa_communities(sf_dir: str):
     return analytics.lpa_communities(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_hits_scores(sf_dir: str):
+    """HITS hubs/authorities over the md5-derived citation graph, 3
+    fixed rounds of exact integer max-renormalized mutual recursion
+    (analytics.hits_scores); oracle unrolls every half-step as
+    MATERIALIZED CTEs and replays the (auth DESC, id) top-20."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.hits_scores(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_degree_assortativity(sf_dir: str):
     """Newman degree assortativity of the md5-derived citation graph
     (analytics.degree_assortativity): exact-integer endpoint-degree
@@ -5138,6 +5148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": _q_dsir_importance_weights,
         "lpa_communities": _q_lpa_communities,
         "degree_assortativity": _q_degree_assortativity,
+        "hits_scores": _q_hits_scores,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6592,6 +6603,46 @@ def _lpa_sql(rounds: int = 4) -> str:
     )
 
 
+def _hits_sql(rounds: int = 3, topn: int = 20, scale: int = 1_000_000) -> str:
+    """Replay of ``analytics.hits_scores``: the shared edge CTEs, then
+    ``rounds`` unrolled half-step pairs -- authority = grouped HUGEINT sum
+    of hub over in-edges then ``(s * scale) // MAX(s)``, hub likewise over
+    out-edges -- and the (auth DESC, id) top-n with hub attached by LEFT
+    JOIN (absent hub = 0). All chained CTEs MATERIALIZED."""
+    parts = [
+        f"WITH {_edges_ctes()}, "
+        "e AS MATERIALIZED (SELECT src, dst FROM edges), "
+        "h0 AS MATERIALIZED (SELECT doc_id AS node, "
+        f"CAST({scale} AS BIGINT) AS v FROM documents)"
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS node, SUM(h.v) AS s "
+            f"FROM e JOIN h{t - 1} h ON h.node = e.src GROUP BY 1)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT node, (s * {scale}) // "
+            f"(SELECT MAX(s) FROM ar{t}) AS v FROM ar{t})"
+        )
+        parts.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS node, SUM(a.v) AS s "
+            f"FROM e JOIN a{t} a ON a.node = e.dst GROUP BY 1)"
+        )
+        parts.append(
+            f"h{t} AS MATERIALIZED (SELECT node, (s * {scale}) // "
+            f"(SELECT MAX(s) FROM hr{t}) AS v FROM hr{t})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT CAST(t.node AS BIGINT) AS doc_id, "
+        "CAST(t.v AS BIGINT) AS auth_scaled, "
+        "CAST(COALESCE(hh.v, 0) AS BIGINT) AS hub_scaled "
+        f"FROM (SELECT node, v FROM a{rounds} ORDER BY v DESC, node "
+        f"LIMIT {topn}) t LEFT JOIN h{rounds} hh ON hh.node = t.node "
+        "ORDER BY t.v DESC, t.node"
+    )
+
+
 def _triangle_sql() -> str:
     """Replay of ``analytics.triangle_count``: canonical a<b distinct edges,
     wedge at the smallest vertex, closing-edge probe."""
@@ -7970,6 +8021,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
         "lpa_communities": _lpa_sql(rounds=4),
+        "hits_scores": _hits_sql(rounds=3),
         "degree_assortativity": (
             # replay of analytics.degree_assortativity: distinct undirected
             # edges, symmetrized votes, degree join both ends, HUGEINT

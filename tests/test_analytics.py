@@ -9226,3 +9226,27 @@ class TestDegreeAssortativity:
         got = analytics.degree_assortativity(
             rd.from_arrow(nodes), edges=rd.from_arrow(edges))
         assert int(got["r_ppm"].iloc[0]) == 0
+
+
+class TestHitsScores:
+    def test_bipartite_hub_authority_split(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # hubs {0,1} each point at authorities {2,3}; 3 gets an extra
+        # in-link from 4 so it outranks 2; hubs have zero authority
+        nodes = pa.table({"doc_id": pa.array([0, 1, 2, 3, 4], pa.int64())})
+        e = [(0, 2), (0, 3), (1, 2), (1, 3), (4, 3)]
+        edges = pa.table({
+            "src": pa.array([a for a, _ in e], pa.int64()),
+            "dst": pa.array([b for _, b in e], pa.int64()),
+        })
+        got = analytics.hits_scores(rd.from_arrow(nodes), rounds=3, topn=3,
+                                    edges=rd.from_arrow(edges))
+        assert got["doc_id"].tolist()[:2] == [3, 2]
+        assert int(got["auth_scaled"].iloc[0]) == 1_000_000
+        # authorities point at nothing: their hub score is 0
+        assert int(got["hub_scaled"].iloc[0]) == 0
+        # the extra in-link strictly separates the two authorities
+        assert got["auth_scaled"].tolist()[0] > got["auth_scaled"].tolist()[1]
