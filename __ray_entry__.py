@@ -4735,6 +4735,16 @@ def _q_lpa_communities(sf_dir: str):
     return analytics.lpa_communities(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_langid_kappa(sf_dir: str):
+    """Cohen's kappa between labeled lang and the n-gram heuristic
+    (analytics.langid_kappa -- the chance-corrected routing-trust
+    scalar); oracle wraps the char-for-char language_id replay and the
+    HUGEINT marginal arithmetic."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.langid_kappa(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+
 def _q_hits_scores(sf_dir: str):
     """HITS hubs/authorities over the md5-derived citation graph, 3
     fixed rounds of exact integer max-renormalized mutual recursion
@@ -5149,6 +5159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_communities,
         "degree_assortativity": _q_degree_assortativity,
         "hits_scores": _q_hits_scores,
+        "langid_kappa": _q_langid_kappa,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -7586,6 +7597,31 @@ def oracle_sql() -> dict[str, str]:
             f"WITH pred AS ({_lang_id_sql()}) "
             "SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+        ),
+        "langid_kappa": (
+            # replay of analytics.langid_kappa: the shared language_id
+            # replay -> confusion cells -> Cohen's kappa on HUGEINT
+            # marginals, sign-split truncating ppm
+            f"WITH pred AS ({_lang_id_sql()}), "
+            "cm AS (SELECT d.lang, p.pred_lang, COUNT(*) AS n FROM pred p "
+            "JOIN documents d USING (doc_id) GROUP BY 1, 2), "
+            "tot AS (SELECT SUM(CAST(n AS HUGEINT)) AS nn FROM cm), "
+            "ag AS (SELECT COALESCE(SUM(CAST(n AS HUGEINT)), 0) AS a "
+            "FROM cm WHERE lang = pred_lang), "
+            "rm AS (SELECT lang, SUM(CAST(n AS HUGEINT)) AS r FROM cm "
+            "GROUP BY 1), "
+            "cg AS (SELECT pred_lang, SUM(CAST(n AS HUGEINT)) AS c FROM cm "
+            "GROUP BY 1), "
+            "pe AS (SELECT COALESCE(SUM(rm.r * cg.c), 0) AS e FROM rm "
+            "JOIN cg ON cg.pred_lang = rm.lang), "
+            "nd AS (SELECT (SELECT nn FROM tot) * (SELECT a FROM ag) - "
+            "(SELECT e FROM pe) AS num, (SELECT nn FROM tot) * "
+            "(SELECT nn FROM tot) - (SELECT e FROM pe) AS den) "
+            "SELECT CAST((SELECT nn FROM tot) AS BIGINT) AS n_docs, "
+            "CAST((SELECT a FROM ag) AS BIGINT) AS agree, "
+            "CAST(CASE WHEN den = 0 THEN 0 WHEN num >= 0 THEN "
+            "(num * 1000000) // den ELSE -(((-num) * 1000000) // den) END "
+            "AS BIGINT) AS kappa_ppm FROM nd"
         ),
         "quality_scores": _quality_sql(),
         "fingerprints": _fingerprint_sql(),

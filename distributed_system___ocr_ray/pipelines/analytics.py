@@ -12447,3 +12447,44 @@ def hits_scores(ds, rounds: int = 3, topn: int = 20, scale: int = 1_000_000,
                                 top["node"]], np.int64),
     })
     return out.reset_index(drop=True)
+
+
+def langid_kappa(ds, lang_col: str = "lang", text_col: str = "text"):
+    """Cohen's kappa between the labeled language and the n-gram
+    heuristic's prediction (Cohen 1960) -- the chance-corrected
+    agreement scalar that turns langid_confusion's matrix into ONE
+    routing-trust number (raw accuracy flatters any classifier on a
+    skewed language mix; kappa subtracts the agreement a
+    marginal-matching random router would get).
+
+    Exactness: from the bounded confusion table, with N rows, A the
+    diagonal sum and E = sum over labels of row-marginal *
+    column-marginal, kappa = (N*A - E) / (N*N - E); computed on driver
+    Python ints and shipped as sign-split-truncating kappa_ppm (N*N
+    passes int64 near 3e9 docs; ppm is bounded). Degenerate N*N == E
+    (single-label world) ships 0.
+
+    Scale shape: inherits langid_confusion's map-side cell partials and
+    ONE tiny fold; everything after is driver arithmetic on the
+    |langs|^2-bounded table.
+
+    Returns one row (n_docs, agree, kappa_ppm)."""
+    cm = langid_confusion(ds, lang_col=lang_col, text_col=text_col).to_pandas()
+    n = int(cm["n_docs"].sum())
+    agree = int(cm.loc[cm["lang"] == cm["pred_lang"], "n_docs"].sum())
+    r = cm.groupby("lang")["n_docs"].sum()
+    c = cm.groupby("pred_lang")["n_docs"].sum()
+    e = sum(int(r[k]) * int(c[k]) for k in r.index if k in c.index)
+    num = n * agree - e
+    den = n * n - e
+    if den == 0:
+        kappa_ppm = 0
+    elif num >= 0:
+        kappa_ppm = (num * 1_000_000) // den
+    else:
+        kappa_ppm = -(((-num) * 1_000_000) // den)
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "agree": pd.Series([agree], dtype="int64"),
+        "kappa_ppm": pd.Series([kappa_ppm], dtype="int64"),
+    })

@@ -9250,3 +9250,40 @@ class TestHitsScores:
         assert int(got["hub_scaled"].iloc[0]) == 0
         # the extra in-link strictly separates the two authorities
         assert got["auth_scaled"].tolist()[0] > got["auth_scaled"].tolist()[1]
+
+
+class TestLangidKappa:
+    def test_hand_confusion_arithmetic(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 8 docs, labels en/de; real heuristic is right on 6 (one doc per
+        # label carries the other language's stopwords)
+        en_txt = "the cat and the dog of it"
+        de_txt = "der hund und die katze ist"
+        t = pa.table({
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "lang": pa.array(["en"] * 4 + ["de"] * 4),
+            "text": pa.array([en_txt, en_txt, en_txt, de_txt,
+                              de_txt, de_txt, de_txt, en_txt]),
+        })
+        got = analytics.langid_kappa(rd.from_arrow(t))
+        # N=8 A=6 E=4*4+4*4=32 -> kappa=(48-32)/(64-32)=0.5
+        assert int(got["n_docs"].iloc[0]) == 8
+        assert int(got["agree"].iloc[0]) == 6
+        assert int(got["kappa_ppm"].iloc[0]) == 500_000
+
+    def test_single_label_world_ships_zero(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # every label and prediction identical: den == 0 -> ships 0
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "lang": pa.array(["en", "en"]),
+            "text": pa.array(["the cat and the dog"] * 2),
+        })
+        got = analytics.langid_kappa(rd.from_arrow(t))
+        assert int(got["kappa_ppm"].iloc[0]) == 0
