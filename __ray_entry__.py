@@ -4735,6 +4735,19 @@ def _q_lpa_communities(sf_dir: str):
     return analytics.lpa_communities(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_kmv_distinct_audit(sf_dir: str):
+    """KMV bottom-k distinct-count audit over events.user_id
+    (analytics.kmv_distinct_audit -- the order-statistics sketch next to
+    the HLL/Bloom/CMS accuracy audits); oracle replays the 'kmv:' md5-u64
+    bottom-256 and the (k-1)*2^64 // m_k HUGEINT estimator."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return analytics.kmv_distinct_audit(ev)
+
+
 def _q_langid_kappa(sf_dir: str):
     """Cohen's kappa between labeled lang and the n-gram heuristic
     (analytics.langid_kappa -- the chance-corrected routing-trust
@@ -5160,6 +5173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
+        "kmv_distinct_audit": _q_kmv_distinct_audit,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -7597,6 +7611,26 @@ def oracle_sql() -> dict[str, str]:
             f"WITH pred AS ({_lang_id_sql()}) "
             "SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
             "FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2"
+        ),
+        "kmv_distinct_audit": (
+            # replay of analytics.kmv_distinct_audit: 'kmv:' md5-u64 over
+            # DISTINCT user ids, bottom-256, (k-1)*2^64 // m_k in HUGEINT;
+            # under-filled sketch ships its own size exactly
+            "WITH h AS (SELECT DISTINCT CAST(('0x' || substr(md5('kmv:' || "
+            "CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv "
+            "FROM events), "
+            "n AS (SELECT COUNT(*) AS exact FROM h), "
+            "bk AS (SELECT hv FROM h ORDER BY hv LIMIT 256), "
+            "kth AS (SELECT MAX(hv) AS mk, COUNT(*) AS nk FROM bk), "
+            "est AS (SELECT CASE WHEN (SELECT nk FROM kth) < 256 THEN "
+            "CAST((SELECT nk FROM kth) AS HUGEINT) ELSE "
+            "(255 * CAST(18446744073709551616 AS HUGEINT)) // "
+            "CAST((SELECT mk FROM kth) AS HUGEINT) END AS e) "
+            "SELECT CAST((SELECT exact FROM n) AS BIGINT) AS exact_distinct, "
+            "CAST((SELECT e FROM est) AS BIGINT) AS kmv_distinct, "
+            "CAST(CASE WHEN (SELECT exact FROM n) = 0 THEN 0 ELSE "
+            "abs((SELECT e FROM est) - (SELECT exact FROM n)) * 1000000 // "
+            "(SELECT exact FROM n) END AS BIGINT) AS abs_err_ppm"
         ),
         "langid_kappa": (
             # replay of analytics.langid_kappa: the shared language_id

@@ -12488,3 +12488,65 @@ def langid_kappa(ds, lang_col: str = "lang", text_col: str = "text"):
         "agree": pd.Series([agree], dtype="int64"),
         "kappa_ppm": pd.Series([kappa_ppm], dtype="int64"),
     })
+
+
+def kmv_distinct_audit(events, col: str = "user_id", k: int = 256):
+    """KMV (k-minimum-values) distinct-count audit (Bar-Yossef et al.
+    2002): the bottom-k sketch estimate next to the EXACT distinct count
+    with the absolute error in ppm -- completing the sketch-accuracy
+    family (hll_error_audit: registers; bloom_fp_audit: membership;
+    cms_error_audit: frequency; HERE: order statistics). KMV is the
+    sketch of choice when the same bottom-k set must ALSO serve set
+    operations (union = merge-and-trim, intersection via Jaccard of the
+    combined bottom-k) -- one artifact, three answers, which HLL cannot
+    do.
+
+    Estimator: with m_k the k-th smallest md5-u64 over DISTINCT keys,
+    estimate = (k-1) * 2^64 // m_k (driver Python ints; the SQL replay
+    uses HUGEINT); fewer than k distinct values seen -> the bottom set
+    IS the population and its size ships exactly. Same 2^-64
+    hash-collision caveat as the pair family.
+
+    Scale shape: per-batch unique -> hash -> k-smallest partials (k rows
+    per block max), ONE driver merge of k x blocks rows; the exact side
+    is the same value-domain exchange hll_error_audit uses. Returns ONE
+    row (exact_distinct, kmv_distinct, abs_err_ppm)."""
+    from ..functions.dedup import md5_u64
+    from .relational import hash_bucket_column
+
+    def bottom_partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+        hs = np.array([md5_u64(b"kmv:%s" % str(v).encode()) for v in u],
+                      np.uint64)
+        hs = np.sort(hs)[:k]
+        return pa.table({"hv": pa.array(hs, pa.uint64())})
+
+    bot = np.unique(
+        events.map_batches(bottom_partial, batch_format="pyarrow")
+        .to_pandas()["hv"].to_numpy(np.uint64)
+    )[:k]
+    if len(bot) < k:
+        est = len(bot)
+    else:
+        est = ((k - 1) * (1 << 64)) // int(bot[-1])
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+        return hash_bucket_column(pa.table({col: pa.array(u)}), col, 64)
+
+    def bucket_n(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g[col].nunique())]})
+
+    exact = int(
+        events.map_batches(uniq, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(bucket_n, batch_format="pandas")
+        .to_pandas()["n"]
+        .sum()
+    )
+    err = abs(int(est) - exact) * 1_000_000 // exact if exact else 0
+    return pd.DataFrame({
+        "exact_distinct": pd.array([exact], dtype="int64"),
+        "kmv_distinct": pd.array([int(est)], dtype="int64"),
+        "abs_err_ppm": pd.array([err], dtype="int64"),
+    })

@@ -9287,3 +9287,30 @@ class TestLangidKappa:
         })
         got = analytics.langid_kappa(rd.from_arrow(t))
         assert int(got["kappa_ppm"].iloc[0]) == 0
+
+
+class TestKmvDistinctAudit:
+    def test_underfilled_sketch_is_exact(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 40 distinct values < k=256: the bottom set IS the population
+        t = pa.table({"user_id": pa.array(list(range(40)) * 3, pa.int64())})
+        got = analytics.kmv_distinct_audit(rd.from_arrow(t))
+        assert int(got["exact_distinct"].iloc[0]) == 40
+        assert int(got["kmv_distinct"].iloc[0]) == 40
+        assert int(got["abs_err_ppm"].iloc[0]) == 0
+
+    def test_filled_sketch_estimates_within_bound(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 5000 distinct >> k=256: estimator error ~1/sqrt(k) ~ 6%;
+        # assert a generous 25% envelope (deterministic input, one value)
+        t = pa.table({"user_id": pa.array(list(range(5000)), pa.int64())})
+        got = analytics.kmv_distinct_audit(rd.from_arrow(t), k=256)
+        est = int(got["kmv_distinct"].iloc[0])
+        assert int(got["exact_distinct"].iloc[0]) == 5000
+        assert 3750 <= est <= 6250
