@@ -4735,6 +4735,16 @@ def _q_lpa_communities(sf_dir: str):
     return analytics.lpa_communities(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_kcore_nodes(sf_dir: str):
+    """4-round 2-core peel of the md5-derived citation graph
+    (analytics.kcore_nodes -- the dense-region prefilter); oracle
+    replays every peel round as MATERIALIZED CTEs (surviving-subgraph
+    degree, threshold filter)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.kcore_nodes(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_kmv_distinct_audit(sf_dir: str):
     """KMV bottom-k distinct-count audit over events.user_id
     (analytics.kmv_distinct_audit -- the order-statistics sketch next to
@@ -5174,6 +5184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "kmv_distinct_audit": _q_kmv_distinct_audit,
+        "kcore_nodes": _q_kcore_nodes,
         # multimodal
         "media_metadata": _q_media_metadata,
     }
@@ -6624,6 +6635,34 @@ def _lpa_sql(rounds: int = 4) -> str:
     return (
         ", ".join(parts)
         + f" SELECT node AS doc_id, lab AS community FROM l{rounds} "
+        "ORDER BY doc_id"
+    )
+
+
+def _kcore_sql(k: int = 2, rounds: int = 4) -> str:
+    """Replay of ``analytics.kcore_nodes``: distinct undirected edges,
+    then ``rounds`` unrolled peel iterations -- surviving-subgraph degree
+    via a double semi-join, threshold >= k. Chained CTEs MATERIALIZED."""
+    parts = [
+        f"WITH {_edges_ctes()}, "
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges), "
+        "sym AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und "
+        "UNION ALL SELECT b, a FROM und), "
+        "s0 AS MATERIALIZED (SELECT doc_id AS node FROM documents)"
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"d{t} AS MATERIALIZED (SELECT e.node, COUNT(*) AS dg FROM sym e "
+            f"JOIN s{t - 1} x ON x.node = e.node "
+            f"JOIN s{t - 1} y ON y.node = e.nbr GROUP BY 1)"
+        )
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE dg >= {k})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT CAST(node AS BIGINT) AS doc_id FROM s{rounds} "
         "ORDER BY doc_id"
     )
 
@@ -8092,6 +8131,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": _triangle_sql(),
         "lpa_communities": _lpa_sql(rounds=4),
         "hits_scores": _hits_sql(rounds=3),
+        "kcore_nodes": _kcore_sql(k=2, rounds=4),
         "degree_assortativity": (
             # replay of analytics.degree_assortativity: distinct undirected
             # edges, symmetrized votes, degree join both ends, HUGEINT

@@ -12550,3 +12550,122 @@ def kmv_distinct_audit(events, col: str = "user_id", k: int = 256):
         "kmv_distinct": pd.array([int(est)], dtype="int64"),
         "abs_err_ppm": pd.array([err], dtype="int64"),
     })
+
+
+def kcore_nodes(ds, k: int = 2, rounds: int = 4, id_col: str = "doc_id",
+                edges=None, broadcast_cap_ids: int = 8_000_000):
+    """k-core peeling over the md5-derived citation graph (Seidman 1983):
+    iteratively drop nodes whose degree within the SURVIVING subgraph is
+    below k -- the densest-region extractor that pagerank/LPA rank but
+    never delimit, and the standard prefilter before any expensive
+    per-subgraph pass (a node outside the 2-core can sit on no cycle and
+    no triangle). A FIXED ``rounds`` count is the determinism contract:
+    round t ships the t-th peel iterate, a monotone-decreasing superset
+    of the true k-core that EQUALS it once a round removes nothing
+    (sparse random graphs converge in a handful of peels; the monotone
+    chain makes the fixed cut exact on both sides by construction).
+
+    Plan shape (incremental peel -- the first revision re-semi-joined the
+    FULL survivor set onto both edge ends every round, 2 corpus-sized
+    joins x rounds, measured 25.5 s at sf0.1): the live edge set
+    materializes once and only SHRINKS; each round is ONE grouped degree
+    count over live edges plus ONE map-side filter that drops edges
+    touching that round's REMOVED set -- which is exactly the newly
+    peeled nodes, broadcast via ray.put under ``broadcast_cap_ids``
+    (adaptive-broadcast convention; a loud raise past the cap documents
+    the bucketed anti-join fallback shape). Rounds stop early at a
+    fixpoint (nothing removed) or an empty core -- both sides of the
+    oracle agree by monotonicity.
+
+    Returns a Dataset of (doc_id,) -- the nodes surviving ``rounds``
+    peels, i.e. the k-core upper iterate."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    if edges is None:
+        edges = derived_link_edges(ds, ds.count(), id_col=id_col)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table({"node": pa.array(np.concatenate([lo, hi])),
+                         "nbr": pa.array(np.concatenate([hi, lo]))})
+
+    live = (
+        edges.map_batches(undirect, batch_format="pyarrow")
+        .groupby(["node", "nbr"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["node", "nbr"])
+        .materialize()
+    )
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    for _ in range(rounds):
+        deg = live.groupby("node").aggregate(Count(alias_name="dg"))
+
+        def below_k(batch: pa.Table, _k=k) -> pa.Table:
+            # only the PEELED rows travel to the driver (bounded by the
+            # round's peel size, never the node domain)
+            if "node" not in batch.column_names:
+                return pa.table({"node": pa.array([], pa.int64())})
+            d = batch.column("dg").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"node": batch.column("node").combine_chunks()
+                 .cast(pa.int64()).filter(pa.array(d < _k))})
+
+        rem_df = deg.map_batches(below_k, batch_format="pyarrow").to_pandas()
+        rem = (rem_df["node"].to_numpy(np.int64)
+               if "node" in rem_df.columns else np.empty(0, np.int64))
+        if not len(rem):
+            break  # fixpoint: the iterate IS the k-core
+        if len(rem) > broadcast_cap_ids:
+            raise ValueError(
+                f"peeled set {len(rem)} ids exceeds the broadcast cap; "
+                "drop the edges via the bucketed anti-join shape at this "
+                "scale (semi-join live edges against the survivor set)")
+        rem_handle = ray.put(np.sort(rem))
+
+        class DropTouched:
+            def __init__(self) -> None:
+                self.rem = ray.get(rem_handle)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if "node" not in batch.column_names:  # schema-less empty
+                    return pa.table({"node": pa.array([], pa.int64()),
+                                     "nbr": pa.array([], pa.int64())})
+                a = batch.column("node").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                b = batch.column("nbr").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos_a = np.searchsorted(self.rem, a)
+                pos_b = np.searchsorted(self.rem, b)
+                na = np.clip(pos_a, 0, max(len(self.rem) - 1, 0))
+                nb = np.clip(pos_b, 0, max(len(self.rem) - 1, 0))
+                hit = (self.rem[na] == a) | (self.rem[nb] == b)
+                return batch.filter(pa.array(~hit))
+
+        live = live.map_batches(
+            DropTouched, batch_format="pyarrow", concurrency=(1, 8)
+        ).materialize()
+        if live.count() == 0:
+            return rd.from_arrow(empty)
+
+    # surviving iterate = nodes at degree >= k in the final live set (at a
+    # fixpoint every live node qualifies, so the recompute is identical);
+    # stays a Dataset -- the node domain never lands on the driver
+    final_deg = live.groupby("node").aggregate(Count(alias_name="dg"))
+
+    def at_least_k(batch: pa.Table, _k=k) -> pa.Table:
+        if "node" not in batch.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        d = batch.column("dg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": batch.column("node").combine_chunks()
+             .cast(pa.int64()).filter(pa.array(d >= _k))})
+
+    return final_deg.map_batches(at_least_k, batch_format="pyarrow")
+
+

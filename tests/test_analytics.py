@@ -9314,3 +9314,38 @@ class TestKmvDistinctAudit:
         est = int(got["kmv_distinct"].iloc[0])
         assert int(got["exact_distinct"].iloc[0]) == 5000
         assert 3750 <= est <= 6250
+
+
+class TestKcoreNodes:
+    def test_pendant_chain_peels_to_triangle(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # triangle {0,1,2} with pendant chain 2-3-4: peel 1 drops 4,
+        # peel 2 drops 3; the 2-core is exactly the triangle
+        nodes = pa.table({"doc_id": pa.array(list(range(5)), pa.int64())})
+        e = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+        edges = pa.table({
+            "src": pa.array([a for a, _ in e], pa.int64()),
+            "dst": pa.array([b for _, b in e], pa.int64()),
+        })
+        got = (analytics.kcore_nodes(rd.from_arrow(nodes), k=2, rounds=4,
+                                     edges=rd.from_arrow(edges))
+               .to_pandas().sort_values("doc_id"))
+        assert got["doc_id"].tolist() == [0, 1, 2]
+
+    def test_tree_has_empty_two_core(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # a path graph is a tree: the 2-core is empty
+        nodes = pa.table({"doc_id": pa.array(list(range(4)), pa.int64())})
+        edges = pa.table({
+            "src": pa.array([0, 1, 2], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+        })
+        got = analytics.kcore_nodes(rd.from_arrow(nodes), k=2, rounds=4,
+                                    edges=rd.from_arrow(edges)).to_pandas()
+        assert len(got) == 0
