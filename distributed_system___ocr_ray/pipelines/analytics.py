@@ -10175,17 +10175,56 @@ def blocklist_screen(ds, categories: dict | None = None, text_col: str = "text",
     return out
 
 
-def boundary_stitch_chains(ds, **kwargs):
+def boundary_stitch_chains(ds, collect_cap_rows: int = 2_000_000, **kwargs):
     """Crawl-stitch CHAINS: connected components over the
     ``boundary_overlap_pairs`` edge set (A's tail == B's head), reported
     as a chain-size histogram (chain_size, n_chains) — a page split into
     N consecutive crawl records shows up as one chain of N docs, the
-    signal a reassembly pass sizes itself by. Pure composition:
-    boundary pairs → ``dedup_clusters`` pointer-jumping components
-    (O(log diameter) rounds, Dataset ops only) → bounded histogram."""
+    signal a reassembly pass sizes itself by.
+
+    Plan: boundary pairs → components → bounded histogram. The edge set
+    is split-rate-bounded (a few pairs per split page, 0.83 s to produce
+    at sf0.1), but its chains are PATHS — diameter grows with split
+    depth, and ``dedup_clusters`` pointer jumping paid O(log diameter)
+    join rounds (measured 42 s at sf0.1 against the sub-second edge
+    pass). Under ``collect_cap_rows`` the pairs therefore collect to the
+    driver for a path-compressed union-find (the adaptive
+    small-side convention: bounded, deliberate, loud); past the cap the
+    distributed pointer-jumping path runs unchanged. Identical
+    histograms either way — component sizes are representation-free."""
     from .relational import tiny_final_groupby
 
-    pairs = boundary_overlap_pairs(ds, **kwargs)
+    pairs = boundary_overlap_pairs(ds, **kwargs).materialize()
+    if pairs.count() <= collect_cap_rows:
+        df = pairs.to_pandas()
+        if not len(df):
+            return pd.DataFrame({"chain_size": pd.Series([], dtype="int64"),
+                                 "n_chains": pd.Series([], dtype="int64")})
+        a = df["doc_a"].to_numpy(np.int64)
+        b = df["doc_b"].to_numpy(np.int64)
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        par = np.arange(len(ids), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while par[root] != root:
+                root = par[root]
+            while par[x] != root:  # path compression
+                par[x], x = root, par[x]
+            return root
+
+        ai, bi = inv[: len(a)], inv[len(a):]
+        for x, y in zip(ai, bi):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                par[max(rx, ry)] = min(rx, ry)
+        roots = np.array([find(int(i)) for i in range(len(ids))], np.int64)
+        sizes = pd.Series(roots).value_counts()
+        h = sizes.value_counts().sort_index()
+        return pd.DataFrame({
+            "chain_size": h.index.to_numpy(np.int64),
+            "n_chains": h.to_numpy(np.int64),
+        })
     cl = dedup_clusters(pairs)
 
     def sizes(batch: pd.DataFrame) -> pd.DataFrame:

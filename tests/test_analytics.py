@@ -9349,3 +9349,29 @@ class TestKcoreNodes:
         got = analytics.kcore_nodes(rd.from_arrow(nodes), k=2, rounds=4,
                                     edges=rd.from_arrow(edges)).to_pandas()
         assert len(got) == 0
+
+
+class TestBoundaryStitchPaths:
+    def test_driver_and_distributed_paths_agree(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # three records of one split page (A tail == B head == C head...)
+        # plus an unrelated doc: one chain of 3
+        docs = [
+            "alpha bravo charlie delta echo",
+            "delta echo foxtrot golf hotel",
+            "golf hotel india juliet kilo",
+            "zulu yankee xray whiskey victor",
+        ]
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(docs),
+        })
+        fast = analytics.boundary_stitch_chains(rd.from_arrow(t))
+        slow = analytics.boundary_stitch_chains(rd.from_arrow(t),
+                                                collect_cap_rows=0)
+        assert fast.values.tolist() == [[3, 1]]
+        assert slow.values.tolist() == fast.values.tolist()
