@@ -1016,7 +1016,7 @@ def ivf_topk(
 
 def dedup_clusters(
     pairs, *, id_a: str = "doc_a", id_b: str = "doc_b", max_iters: int = 50,
-    buckets: int | None = None,
+    buckets: int | None = None, collect_cap_edges: int = 4_000_000,
 ):
     """Connected components over a near-duplicate pair graph via iterative
     min-label propagation with pointer jumping: each round a node's label
@@ -1024,9 +1024,12 @@ def dedup_clusters(
     The label-of-label hop halves path lengths each round, so convergence is
     O(log diameter), not O(diameter). The loop runs to a FIXED POINT (zero
     label changes); ``max_iters`` is a safety valve that raises rather than
-    silently returning split components. All steps are Dataset ops -- edges
-    and labels shuffle by node id; only the scalar change-count per round
-    reaches the driver.
+    silently returning split components. Under ``collect_cap_edges`` the
+    edge list instead collects to the driver for a path-compressed
+    union-find with identical min-id labels (see the inline note: path
+    diameters made the join rounds pay 42 s against sub-second edge sets);
+    past the cap all steps are Dataset ops -- edges and labels shuffle by
+    node id; only the scalar change-count per round reaches the driver.
 
     Returns (doc_id, cluster_id) with cluster_id = min doc id in the
     component.
@@ -1058,6 +1061,42 @@ def dedup_clusters(
         import ray.data as rd
 
         return rd.from_arrow(_EMPTY.empty_table())
+    if n_edges <= collect_cap_edges:
+        # near-dup edge sets are dup-rate-bounded, but their DIAMETER is
+        # not: crawl-stitch paths made the O(log diameter) join rounds
+        # below cost 42 s against a sub-second edge pass. Under the cap
+        # the edges collect to the driver for a path-compressed
+        # union-find with min-root union -- VALUE-identical labels
+        # (cluster_id = min member id, roots can only move toward the
+        # minimum) -- the adaptive small-side convention: bounded,
+        # deliberate, loud. Past the cap the pointer-jumping path below
+        # runs unchanged.
+        import ray.data as rd
+
+        df = edges.to_pandas()
+        a = df["node"].to_numpy(np.int64)
+        b = df["nbr"].to_numpy(np.int64)
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        par = np.arange(len(ids), dtype=np.int64)
+
+        def find(x: int) -> int:
+            root = x
+            while par[root] != root:
+                root = par[root]
+            while par[x] != root:  # path compression
+                par[x], x = root, par[x]
+            return root
+
+        ai, bi = inv[: len(a)], inv[len(a):]
+        for x, y in zip(ai, bi):
+            rx, ry = find(int(x)), find(int(y))
+            if rx != ry:
+                par[max(rx, ry)] = min(rx, ry)
+        roots = np.array([find(int(i)) for i in range(len(ids))], np.int64)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster_id": pa.array(ids[roots], pa.int64()),
+        }))
     if buckets is None:
         # size the join fan-out so one bucket's edges stay ~100k rows
         buckets = max(4, min(512, n_edges // 100_000 + 4))

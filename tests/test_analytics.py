@@ -9375,3 +9375,25 @@ class TestBoundaryStitchPaths:
                                                 collect_cap_rows=0)
         assert fast.values.tolist() == [[3, 1]]
         assert slow.values.tolist() == fast.values.tolist()
+
+
+class TestDedupClustersPaths:
+    def test_driver_and_pointer_jumping_paths_agree(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # a 5-chain, a triangle, and a 2-cycle: min-id labels either path
+        e = [(10, 11), (11, 12), (12, 13), (13, 14),
+             (20, 21), (21, 22), (20, 22), (30, 31)]
+        pairs = pa.table({
+            "doc_a": pa.array([a for a, _ in e], pa.int64()),
+            "doc_b": pa.array([b for _, b in e], pa.int64()),
+        })
+        fast = (analytics.dedup_clusters(rd.from_arrow(pairs))
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        slow = (analytics.dedup_clusters(rd.from_arrow(pairs),
+                                         collect_cap_edges=0)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert fast["cluster_id"].tolist() == [10] * 5 + [20] * 3 + [30] * 2
+        assert slow.values.tolist() == fast.values.tolist()
