@@ -3877,6 +3877,18 @@ _TYPO_PAIRS_SQL = (
 )
 
 
+def _q_entity_dedupe_keepers(sf_dir: str):
+    """Entity canonicalization over customer names: FastSS edit-1 pairs
+    -> connected components -> canonical map for the whole vocabulary
+    (analytics.entity_dedupe_keepers); oracle composes the shared
+    levenshtein pair CTE with a recursive min-label closure and a
+    LEFT JOIN back onto the distinct vocabulary."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _read_narrow(f"{sf_dir}/customer.parquet", ["c_name"])
+    return analytics.entity_dedupe_keepers(ds, "c_name")
+
+
 def _q_json_field_stats(sf_dir: str):
     """Semi-structured extraction: integer field k pulled from the JSON
     props column with one compiled vectorized regex per batch
@@ -5120,6 +5132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_2d_prune": _q_zorder_2d_prune,
         "evolved_schema_counts": _q_evolved_schema_counts,
         "typo_pairs": _q_typo_pairs,
+        "entity_dedupe_keepers": _q_entity_dedupe_keepers,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -9181,6 +9194,23 @@ def oracle_sql() -> dict[str, str]:
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
+        "entity_dedupe_keepers": (
+            # replay of analytics.entity_dedupe_keepers: the shared
+            # levenshtein-1 pair CTE, symmetric recursive min-label
+            # closure, LEFT JOIN back onto the distinct vocabulary
+            "WITH RECURSIVE v AS (SELECT DISTINCT c_name AS tk "
+            "FROM customer), "
+            "e AS (SELECT a.tk AS ta, b.tk AS tb FROM v a JOIN v b "
+            "ON a.tk < b.tk AND levenshtein(a.tk, b.tk) = 1), "
+            "sym AS (SELECT ta AS x, tb AS y FROM e "
+            "UNION SELECT tb, ta FROM e), "
+            "reach AS (SELECT x, y FROM sym UNION "
+            "SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y), "
+            "canon AS (SELECT x, LEAST(x, MIN(y)) AS root FROM reach "
+            "GROUP BY x) "
+            "SELECT v.tk AS name, COALESCE(c.root, v.tk) AS canonical "
+            "FROM v LEFT JOIN canon c ON c.x = v.tk ORDER BY name"
+        ),
         "json_field_stats": _JSON_FIELD_STATS_SQL,
         "audience_overlap": _AUDIENCE_OVERLAP_SQL,
         "customers_without_orders": _CUSTOMERS_WITHOUT_ORDERS_SQL,

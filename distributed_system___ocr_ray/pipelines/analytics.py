@@ -1074,8 +1074,8 @@ def dedup_clusters(
         import ray.data as rd
 
         df = edges.to_pandas()
-        a = df["node"].to_numpy(np.int64)
-        b = df["nbr"].to_numpy(np.int64)
+        a = df["node"].to_numpy()  # type-preserving: int64 OR string ids
+        b = df["nbr"].to_numpy()
         ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
         par = np.arange(len(ids), dtype=np.int64)
 
@@ -1093,9 +1093,11 @@ def dedup_clusters(
             if rx != ry:
                 par[max(rx, ry)] = min(rx, ry)
         roots = np.array([find(int(i)) for i in range(len(ids))], np.int64)
+        # type-preserving: int ids stay int64, string ids (entity names)
+        # stay string; np.unique sorts ascending so min root index == min id
         return rd.from_arrow(pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "cluster_id": pa.array(ids[roots], pa.int64()),
+            "doc_id": pa.array(ids),
+            "cluster_id": pa.array(ids[roots]),
         }))
     if buckets is None:
         # size the join fan-out so one bucket's edges stay ~100k rows
@@ -12747,3 +12749,61 @@ def kcore_nodes(ds, k: int = 2, rounds: int = 4, id_col: str = "doc_id",
     return final_deg.map_batches(at_least_k, batch_format="pyarrow")
 
 
+
+
+def entity_dedupe_keepers(ds, col: str, broadcast_cap_rows: int = 2_000_000,
+                          buckets: int = 64):
+    """End-to-end entity canonicalization: FastSS edit-distance-1 pairs
+    (``typo_pairs``) -> connected components (``dedup_clusters``) -> a
+    canonical-name map for the WHOLE vocabulary -- the classic record-
+    linkage resolve step (a typo'd customer name and its true form merge
+    under the lexicographically smallest member; untouched names map to
+    themselves). This is the fuzzy mirror of exact_dedup's keep-first:
+    exact dedup collapses identical strings, THIS collapses a
+    Levenshtein-1 neighborhood, and the two compose (run this first,
+    then exact machinery downstream sees clean keys).
+
+    Scale shape: the pair and component machinery is the existing exact
+    FastSS + union-find path; the component table is PAIR-bounded (only
+    names in some pair), broadcast via ray.put under
+    ``broadcast_cap_rows`` (loud raise past it -- the bucketed-join
+    shape is the fallback documented at cross_source_dup_matrix); the
+    vocabulary distinct is one value-domain exchange and the canonical
+    gather is map-side. Returns (name, canonical), one row per DISTINCT
+    name, canonical <= name lexicographically."""
+    import ray
+
+    from .relational import hash_bucket_column
+
+    pairs = typo_pairs(ds, col, buckets=buckets)
+    cl = dedup_clusters(pairs, id_a="tok_a", id_b="tok_b").to_pandas()
+    if len(cl) > broadcast_cap_rows:
+        raise ValueError(
+            f"component table {len(cl)} rows exceeds the broadcast cap; "
+            "attach canonicals via the bucketed-join shape at this scale")
+    canon_handle = ray.put(dict(zip(cl["doc_id"].astype(str),
+                                    cl["cluster_id"].astype(str))))
+
+    def distinct_vals(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+        return pa.table({col: pa.array(u.tolist(), pa.string())})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return hash_bucket_column(batch, col, buckets)
+
+    def canon_group(g: pd.DataFrame) -> pd.DataFrame:
+        # ray.get on a broadcast handle is a shared-memory lookup per
+        # group, not a copy per row
+        m = ray.get(canon_handle)
+        names = np.unique(g[col].to_numpy(object))
+        return pd.DataFrame({
+            "name": names,
+            "canonical": [m.get(str(n), str(n)) for n in names],
+        })
+
+    return (
+        ds.map_batches(distinct_vals, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(canon_group, batch_format="pandas")
+    )

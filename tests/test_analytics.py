@@ -9397,3 +9397,20 @@ class TestDedupClustersPaths:
                 .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert fast["cluster_id"].tolist() == [10] * 5 + [20] * 3 + [30] * 2
         assert slow.values.tolist() == fast.values.tolist()
+
+
+class TestEntityDedupeKeepers:
+    def test_typo_neighborhood_canonicalizes(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # "smith"/"smyth"/"smiths" form one edit-1 neighborhood chain;
+        # "jones" stands alone; canonical = lexicographic min member
+        names = ["smith", "smyth", "smiths", "jones", "smith"]
+        t = pa.table({"c_name": pa.array(names)})
+        got = (analytics.entity_dedupe_keepers(rd.from_arrow(t), "c_name")
+               .to_pandas().sort_values("name").reset_index(drop=True))
+        m = dict(zip(got["name"], got["canonical"]))
+        assert m == {"jones": "jones", "smith": "smith",
+                     "smiths": "smith", "smyth": "smith"}
