@@ -3877,6 +3877,16 @@ _TYPO_PAIRS_SQL = (
 )
 
 
+def _q_hive_partition_prune_daily(sf_dir: str):
+    """Day-range aggregate over a hive day=partitioned copy of events,
+    read through PathPartitionFilter so non-matching partition dirs
+    never open (analytics.hive_partition_prune_daily); oracle is the
+    plain WHERE-range aggregate with the shared day/cents conventions."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.hive_partition_prune_daily(sf_dir)
+
+
 def _q_entity_dedupe_keepers(sf_dir: str):
     """Entity canonicalization over customer names: FastSS edit-1 pairs
     -> connected components -> canonical map for the whole vocabulary
@@ -5133,6 +5143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evolved_schema_counts": _q_evolved_schema_counts,
         "typo_pairs": _q_typo_pairs,
         "entity_dedupe_keepers": _q_entity_dedupe_keepers,
+        "hive_partition_prune_daily": _q_hive_partition_prune_daily,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -9194,6 +9205,18 @@ def oracle_sql() -> dict[str, str]:
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
+        "hive_partition_prune_daily": (
+            # replay of analytics.hive_partition_prune_daily: the same day
+            # derivation, cents quantization, and [lo, hi) day range the
+            # partition filter prunes to
+            "WITH x AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') "
+            "AS day, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c "
+            "FROM events) "
+            "SELECT day, CAST(SUM(c) AS BIGINT) AS value_cents, "
+            "COUNT(*) AS n_events FROM x "
+            "WHERE day >= '2024-01-10' AND day < '2024-01-20' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "entity_dedupe_keepers": (
             # replay of analytics.entity_dedupe_keepers: the shared
             # levenshtein-1 pair CTE, symmetric recursive min-label

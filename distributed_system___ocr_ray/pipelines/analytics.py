@@ -12807,3 +12807,77 @@ def entity_dedupe_keepers(ds, col: str, broadcast_cap_rows: int = 2_000_000,
         .groupby("__bucket")
         .map_groups(canon_group, batch_format="pandas")
     )
+
+
+def hive_partition_prune_daily(sf_dir: str, lo_day: str = "2024-01-10",
+                               hi_day: str = "2024-01-20",
+                               cache_root: str = "/tmp/graft_hive"):
+    """Hive-style partition pruning, end to end: the events table is laid
+    out ONCE as a day=YYYY-MM-DD partitioned parquet dataset (the
+    standard warehouse layout), then a day-range query reads it back
+    through a ``PathPartitionFilter`` so non-matching partition
+    DIRECTORIES never open -- pruning at the file listing, the layout
+    complement of ``pruned_range_read`` (row-group zone maps) and
+    ``zorder_2d_prune`` (multi-dim clustering): three rungs of the same
+    skip-the-bytes ladder. At 100 TB the partitioned layout is what
+    turns a 30-day scan into a 10-day scan BEFORE any reader task
+    launches.
+
+    The partitioned copy is content-addressed per sf_dir under /tmp and
+    written through a tmp-dir + atomic rename (concurrent callers race
+    benignly; losers reuse the winner's directory). Day derivation,
+    cents quantization and the aggregate are shared character-for-
+    character with events_daily's replay.
+
+    Returns (day, n_events, value_cents) for lo_day <= day < hi_day,
+    via a bounded per-day fold."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.datasource.partitioning import Partitioning, PathPartitionFilter
+
+    from .relational import _cents, tiny_final_groupby
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(cache_root, tag, "events_by_day")
+    if not os.path.isdir(out):
+        src = rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["ts", "value"])
+
+        def add_day(batch: pa.Table) -> pa.Table:
+            day = pc.strftime(pc.floor_temporal(batch.column("ts"),
+                                                unit="day"), format="%Y-%m-%d")
+            return pa.table({"day": day,
+                             "value_cents": _cents(batch.column("value"))})
+
+        tmp = f"{out}.tmp.{os.getpid()}"
+        src.map_batches(add_day, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["day"])
+        try:
+            os.rename(tmp, out)
+        except OSError:  # another process won the race: reuse theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    part_filter = PathPartitionFilter.of(
+        lambda kv: lo_day <= kv["day"] < hi_day)
+    ds = rd.read_parquet(out, partition_filter=part_filter,
+                         partitioning=Partitioning("hive"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": batch.column("day").combine_chunks().cast(pa.string()),
+            "value_cents": batch.column("value_cents").combine_chunks()
+            .cast(pa.int64()),
+        })
+        return t.group_by(["day"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")])
+
+    return tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["day"],
+        [("value_cents_sum", "sum"), ("value_cents_count", "sum")],
+        ["day", "value_cents", "n_events"],
+    )

@@ -9414,3 +9414,33 @@ class TestEntityDedupeKeepers:
         m = dict(zip(got["name"], got["canonical"]))
         assert m == {"jones": "jones", "smith": "smith",
                      "smiths": "smith", "smyth": "smith"}
+
+
+class TestHivePartitionPrune:
+    def test_prunes_directories_and_matches_plain_scan(self, tmp_path):
+        import datetime
+        import os
+
+        import ray.data as rd  # noqa: F401
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 4 days of events, two in range; driver must see exactly those
+        ts = pa.array([
+            datetime.datetime(2024, 1, 9, 12), datetime.datetime(2024, 1, 10, 1),
+            datetime.datetime(2024, 1, 19, 23), datetime.datetime(2024, 1, 20),
+        ], pa.timestamp("us"))
+        pq.write_table(pa.table({
+            "ts": ts,
+            "value": pa.array([1.0, 2.5, 3.0, 4.0]),
+        }), tmp_path / "events.parquet")
+        out = analytics.hive_partition_prune_daily(
+            str(tmp_path), cache_root=str(tmp_path / "hive"))
+        got = out.to_pandas().sort_values("day").reset_index(drop=True)
+        assert got["day"].tolist() == ["2024-01-10", "2024-01-19"]
+        assert got["value_cents"].tolist() == [250, 300]
+        assert got["n_events"].tolist() == [1, 1]
+        # the layout really is one directory per day
+        root = tmp_path / "hive" / tmp_path.name / "events_by_day"
+        days = sorted(d for d in os.listdir(root) if d.startswith("day="))
+        assert len(days) == 4
