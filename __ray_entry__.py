@@ -3877,6 +3877,17 @@ _TYPO_PAIRS_SQL = (
 )
 
 
+def _q_bloom_pruned_join_revenue(sf_dir: str):
+    """Bloom semi-join pruned orders x lineitem revenue
+    (analytics.bloom_pruned_join_revenue): the urgent-order build side
+    folds into one mergeable Bloom, probe rows test map-side, and only
+    survivors enter the exact join exchange -- false positives cost
+    bytes, never correctness. Oracle is the plain join aggregate."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.bloom_pruned_join_revenue(sf_dir)
+
+
 def _q_hive_partition_prune_daily(sf_dir: str):
     """Day-range aggregate over a hive day=partitioned copy of events,
     read through PathPartitionFilter so non-matching partition dirs
@@ -5144,6 +5155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_pairs": _q_typo_pairs,
         "entity_dedupe_keepers": _q_entity_dedupe_keepers,
         "hive_partition_prune_daily": _q_hive_partition_prune_daily,
+        "bloom_pruned_join_revenue": _q_bloom_pruned_join_revenue,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -9205,6 +9217,17 @@ def oracle_sql() -> dict[str, str]:
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
+        "bloom_pruned_join_revenue": (
+            # replay of analytics.bloom_pruned_join_revenue: the Bloom
+            # prefilter is traffic-only (the exact join removes its false
+            # positives), so the oracle is the PLAIN join aggregate with
+            # the shared cents chain
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "WHERE o.o_orderpriority = '1-URGENT'"
+        ),
         "hive_partition_prune_daily": (
             # replay of analytics.hive_partition_prune_daily: the same day
             # derivation, cents quantization, and [lo, hi) day range the

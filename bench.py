@@ -225,7 +225,7 @@ SWEEP_QUERIES = [
     "span_profile_by_kind", "retry_plan",
     "kcenter_coreset", "pca_top_component", "rendezvous_routing_balance",
     "dsir_importance_weights", "lpa_communities", "degree_assortativity",
-    "hits_scores", "langid_kappa", "kmv_distinct_audit", "kcore_nodes", "entity_dedupe_keepers", "hive_partition_prune_daily",
+    "hits_scores", "langid_kappa", "kmv_distinct_audit", "kcore_nodes", "entity_dedupe_keepers", "hive_partition_prune_daily", "bloom_pruned_join_revenue",
 ]
 
 

@@ -9444,3 +9444,35 @@ class TestHivePartitionPrune:
         root = tmp_path / "hive" / tmp_path.name / "events_by_day"
         days = sorted(d for d in os.listdir(root) if d.startswith("day="))
         assert len(days) == 4
+
+
+class TestBloomPrunedJoin:
+    def test_pruning_accounting_and_exactness(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray  # noqa: F401
+        import ray.data as rd  # noqa: F401
+
+        from distributed_system___ocr_ray.functions.bloom import BloomFilter
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 3 urgent orders of 10; lineitems reference every order
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(list(range(10)), pa.int64()),
+            "o_orderpriority": pa.array(
+                ["1-URGENT" if i < 3 else "3-MEDIUM" for i in range(10)]),
+        }), tmp_path / "orders.parquet")
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([i % 10 for i in range(40)], pa.int64()),
+            "l_extendedprice": pa.array([100.0] * 40),
+            "l_discount": pa.array([0.25] * 40),
+        }), tmp_path / "lineitem.parquet")
+        got = analytics.bloom_pruned_join_revenue(str(tmp_path))
+        # 3 urgent orders x 4 lineitems each, 100 * 0.75 = 75.00 a line
+        assert int(got["n_lineitems"].iloc[0]) == 12
+        assert int(got["revenue_cents"].iloc[0]) == 12 * 7500
+        # the filter really prunes: at 16 bits/key the 7 non-urgent keys
+        # must not all pass (FP rate ~0.05%)
+        bloom = BloomFilter.for_keys(3)
+        bloom.add_many([str(i) for i in range(3)])
+        hits = bloom.contains_many([str(i) for i in range(10)])
+        assert hits[:3].all() and hits[3:].sum() == 0
