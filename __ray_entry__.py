@@ -3877,6 +3877,18 @@ _TYPO_PAIRS_SQL = (
 )
 
 
+def _q_encoding_advisor(sf_dir: str):
+    """Dictionary-encoding advisor over documents (lang: 5-distinct win,
+    source: 20-distinct win, text: near-unique lose)
+    (analytics.encoding_advisor); oracle shares the exact byte formula
+    via length(bin()) index-width arithmetic."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.encoding_advisor(
+        _docs(sf_dir, ["lang", "source", "text"]),
+        ["lang", "source", "text"])
+
+
 def _q_bloom_pruned_join_revenue(sf_dir: str):
     """Bloom semi-join pruned orders x lineitem revenue
     (analytics.bloom_pruned_join_revenue): the urgent-order build side
@@ -5156,6 +5168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_dedupe_keepers": _q_entity_dedupe_keepers,
         "hive_partition_prune_daily": _q_hive_partition_prune_daily,
         "bloom_pruned_join_revenue": _q_bloom_pruned_join_revenue,
+        "encoding_advisor": _q_encoding_advisor,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -9217,6 +9230,28 @@ def oracle_sql() -> dict[str, str]:
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
+        "encoding_advisor": (
+            # replay of analytics.encoding_advisor: exact byte arithmetic,
+            # index width = bytes to index the dictionary via length(bin())
+            "WITH "
+            + " UNION ALL ".join(
+                "SELECT '{c}' AS col, COUNT(*) AS n_rows, "
+                "COUNT(DISTINCT {c}) AS n_distinct, "
+                "SUM(length({c})) AS plain, "
+                "(SELECT SUM(length(v)) FROM "
+                "(SELECT DISTINCT {c} AS v FROM documents)) AS dlen "
+                "FROM documents".format(c=c)
+                for c in ("lang", "source", "text")
+            ).join(["s AS (", ") "])
+            + "SELECT col AS \"column\", CAST(n_rows AS BIGINT) AS n_rows, "
+            "CAST(n_distinct AS BIGINT) AS n_distinct, "
+            "CAST(plain AS BIGINT) AS plain_bytes, "
+            "CAST(dlen + n_rows * GREATEST(1, (length(bin(GREATEST("
+            "n_distinct - 1, 1))) + 7) // 8) AS BIGINT) AS dict_bytes, "
+            "CAST(CASE WHEN dlen + n_rows * GREATEST(1, (length(bin("
+            "GREATEST(n_distinct - 1, 1))) + 7) // 8) < plain THEN 1 "
+            "ELSE 0 END AS BIGINT) AS dict_wins FROM s ORDER BY col"
+        ),
         "bloom_pruned_join_revenue": (
             # replay of analytics.bloom_pruned_join_revenue: the Bloom
             # prefilter is traffic-only (the exact join removes its false

@@ -9476,3 +9476,25 @@ class TestBloomPrunedJoin:
         bloom.add_many([str(i) for i in range(3)])
         hits = bloom.contains_many([str(i) for i in range(10)])
         assert hits[:3].all() and hits[3:].sum() == 0
+
+
+class TestEncodingAdvisor:
+    def test_exact_byte_arithmetic_and_verdicts(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # cat: 2 distinct 1-char values over 8 rows -> dict wins
+        # uid: 8 unique 8-char values -> dict loses (dictionary overhead)
+        t = pa.table({
+            "cat": pa.array(["a", "b"] * 4),
+            "uid": pa.array([f"uid{i:05d}" for i in range(8)]),
+        })
+        got = analytics.encoding_advisor(rd.from_arrow(t), ["cat", "uid"])
+        g = got.set_index("column")
+        assert int(g.loc["cat", "plain_bytes"]) == 8
+        assert int(g.loc["cat", "dict_bytes"]) == 2 + 8 * 1
+        assert int(g.loc["cat", "dict_wins"]) == 0  # 10 > 8: overhead
+        assert int(g.loc["uid", "plain_bytes"]) == 64
+        assert int(g.loc["uid", "dict_bytes"]) == 64 + 8 * 1
+        assert int(g.loc["uid", "dict_wins"]) == 0
