@@ -4823,6 +4823,17 @@ def _q_hits_scores(sf_dir: str):
     return analytics.hits_scores(_docs(sf_dir, ["doc_id"]))
 
 
+def _q_local_clustering_topk(sf_dir: str):
+    """Top-20 nodes by local clustering coefficient over the md5-derived
+    citation graph (analytics.local_clustering_topk -- per-node
+    refinement of triangle_count); oracle replays the apex-carrying
+    wedge probe, the 3-way triangle credit, and the exact truncating
+    ppm with the (lcc DESC, doc_id) rank."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.local_clustering_topk(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_degree_assortativity(sf_dir: str):
     """Newman degree assortativity of the md5-derived citation graph
     (analytics.degree_assortativity): exact-integer endpoint-degree
@@ -5230,6 +5241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": _q_dsir_importance_weights,
         "lpa_communities": _q_lpa_communities,
         "degree_assortativity": _q_degree_assortativity,
+        "local_clustering_topk": _q_local_clustering_topk,
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "kmv_distinct_audit": _q_kmv_distinct_audit,
@@ -8181,6 +8193,33 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": _lpa_sql(rounds=4),
         "hits_scores": _hits_sql(rounds=3),
         "kcore_nodes": _kcore_sql(k=2, rounds=4),
+        "local_clustering_topk": (
+            # replay of analytics.local_clustering_topk: distinct
+            # undirected edges, apex-carrying wedge probe, 3-way triangle
+            # credit, degree over the symmetrized list, exact truncating
+            # ppm, (lcc DESC, doc_id) top-20
+            f"WITH {_edges_ctes()}, "
+            "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+            "GREATEST(src, dst) AS b FROM edges), "
+            "wed AS (SELECT e1.a AS a, e1.b AS b1, e2.b AS b2 FROM und e1 "
+            "JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b), "
+            "tri AS (SELECT w.a, w.b1, w.b2 FROM wed w "
+            "JOIN und u ON u.a = w.b1 AND u.b = w.b2), "
+            "tv AS (SELECT a AS v FROM tri UNION ALL SELECT b1 FROM tri "
+            "UNION ALL SELECT b2 FROM tri), "
+            "tc AS (SELECT v, COUNT(*) AS n_tri FROM tv GROUP BY 1), "
+            "sym AS (SELECT a AS node, b AS nbr FROM und "
+            "UNION ALL SELECT b, a FROM und), "
+            "dg AS (SELECT node, COUNT(*) AS deg FROM sym GROUP BY 1), "
+            "x AS (SELECT dg.node AS doc_id, dg.deg, "
+            "COALESCE(tc.n_tri, 0) AS n_tri FROM dg "
+            "LEFT JOIN tc ON tc.v = dg.node WHERE dg.deg >= 2) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(deg AS BIGINT) AS deg, CAST(n_tri AS BIGINT) AS n_tri, "
+            "CAST((2 * n_tri * 1000000) // (deg * (deg - 1)) AS BIGINT) "
+            "AS lcc_ppm FROM x "
+            "QUALIFY row_number() OVER (ORDER BY lcc_ppm DESC, doc_id) <= 20"
+        ),
         "degree_assortativity": (
             # replay of analytics.degree_assortativity: distinct undirected
             # edges, symmetrized votes, degree join both ends, HUGEINT

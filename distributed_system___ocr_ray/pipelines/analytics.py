@@ -13062,3 +13062,142 @@ def encoding_advisor(ds, columns, id_type_bytes: int | None = None,
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def local_clustering_topk(ds, topn: int = 20, id_col: str = "doc_id",
+                          edges=None):
+    """Per-node local clustering coefficient, top-n (Watts & Strogatz
+    1998): lcc(v) = triangles through v / (deg(v) choose 2) -- the
+    per-node refinement of triangle_count's global scalar, the standard
+    ego-density screen (a crawl hub with high degree and near-zero lcc
+    is a directory page; high lcc marks tight cliques -- mirror rings,
+    template families). Shipped as exact truncating ppm.
+
+    Plan: the same wedge-probe machinery as triangle_count but the wedge
+    APEX survives the closing-key pack, so each closed wedge credits all
+    THREE vertices (3 rows into one grouped count -- a triangle-domain
+    exchange, tiny); degree is one grouped count over the symmetrized
+    distinct edges; ONE bucketed left join attaches triangle counts to
+    degrees; per-block partial top-n then a single tiny merge. Same
+    n_nodes^2 < 2^63 packed-key bound as triangle_count.
+
+    Returns (doc_id, deg, n_tri, lcc_ppm) top-n by (lcc_ppm DESC,
+    doc_id), nodes with deg >= 2 only. ``edges`` overrides the derived
+    graph (pytest hand graphs, the graph-family convention)."""
+    from ray.data.aggregate import Count
+
+    from .relational import bucketed_hash_join, derive_buckets
+
+    n_nodes = ds.count()
+    if n_nodes == 0 or n_nodes * n_nodes >= 2**63:
+        raise ValueError("packed closing key needs n_nodes^2 < 2^63")
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    if edges is None:
+        edges = derived_link_edges(ds, n_nodes, id_col=id_col)
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .drop_columns(["_m"])
+        .materialize()
+    )
+    buckets = derive_buckets(und.count(), rows_per_bucket=1_000_000)
+
+    wedges = bucketed_hash_join(
+        und.rename_columns(["a", "b1"]), und.rename_columns(["a", "b2"]),
+        "a", "a", buckets=buckets,
+    ).filter(expr="b1 < b2")
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        b1 = batch.column("b1").to_numpy(zero_copy_only=False)
+        b2 = batch.column("b2").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "apex": batch.column("a").combine_chunks().cast(pa.int64()),
+            "k": pa.array(b1 * n_nodes + b2, pa.int64()),
+        })
+
+    def key_ab(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"k2": pa.array(a * n_nodes + b, pa.int64())})
+
+    closed = bucketed_hash_join(
+        wedges.map_batches(wedge_key, batch_format="pyarrow"),
+        und.map_batches(key_ab, batch_format="pyarrow"),
+        "k", "k2", buckets=buckets,
+    )
+
+    def credit(batch: pa.Table) -> pa.Table:
+        apex = batch.column("apex").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = batch.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(
+            np.concatenate([apex, k // n_nodes, k % n_nodes]), pa.int64())})
+
+    tri = (
+        closed.map_batches(credit, batch_format="pyarrow")
+        .groupby("v").aggregate(Count(alias_name="n_tri"))
+        .materialize()
+    )
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    deg = (
+        und.map_batches(undirect, batch_format="pyarrow")
+        .groupby("node").aggregate(Count(alias_name="deg"))
+    )
+    def tri_as_node(batch: pa.Table) -> pa.Table:
+        # explicit projection, not rename_columns: the grouped count can
+        # emit pandas blocks that a rename Project chokes on (and empty
+        # blocks that lose schema -- same hazard as kcore_nodes)
+        if "v" not in batch.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64())})
+        return pa.table({
+            "node": batch.column("v").combine_chunks().cast(pa.int64()),
+            "n_tri": batch.column("n_tri").combine_chunks().cast(pa.int64()),
+        })
+
+    both = bucketed_hash_join(
+        deg, tri.map_batches(tri_as_node, batch_format="pyarrow"),
+        "node", "node", buckets=buckets, how="left")
+
+    def score(batch: pa.Table, _n=topn) -> pa.Table:
+        df = batch.to_pandas()
+        if "node" not in df.columns or not len(df):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "n_tri": pa.array([], pa.int64()),
+                             "lcc_ppm": pa.array([], pa.int64())})
+        df = df[df["deg"].to_numpy(np.int64) >= 2]
+        deg_v = df["deg"].to_numpy(np.int64)
+        nt = df["n_tri"].fillna(0).to_numpy(np.int64)
+        lcc = (2 * nt * 1_000_000) // (deg_v * (deg_v - 1))
+        out = pd.DataFrame({"doc_id": df["node"].to_numpy(np.int64),
+                            "deg": deg_v, "n_tri": nt, "lcc_ppm": lcc})
+        out = out.sort_values(["lcc_ppm", "doc_id"],
+                              ascending=[False, True]).head(_n)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge_top(batch: pa.Table, _n=topn) -> pa.Table:
+        df = batch.to_pandas().sort_values(["lcc_ppm", "doc_id"],
+                                           ascending=[False, True]).head(_n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    top = (
+        both.map_batches(score, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge_top, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in top.columns:
+        top[c] = top[c].astype(np.int64)
+    return top.reset_index(drop=True)

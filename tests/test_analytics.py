@@ -9498,3 +9498,29 @@ class TestEncodingAdvisor:
         assert int(g.loc["uid", "plain_bytes"]) == 64
         assert int(g.loc["uid", "dict_bytes"]) == 64 + 8 * 1
         assert int(g.loc["uid", "dict_wins"]) == 0
+
+
+class TestLocalClusteringTopk:
+    def test_hand_graph_coefficients(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # K4 on {0,1,2,3}: every node deg 3, 3 triangles each, lcc = 1.
+        # Node 4 pends off 0: deg(0) grows to 4 with still 3 triangles.
+        nodes = pa.table({"doc_id": pa.array(list(range(5)), pa.int64())})
+        e = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4)]
+        edges_tbl = pa.table({
+            "src": pa.array([a for a, _ in e], pa.int64()),
+            "dst": pa.array([b for _, b in e], pa.int64()),
+        })
+        got = analytics.local_clustering_topk(
+            rd.from_arrow(nodes), topn=5, edges=rd.from_arrow(edges_tbl))
+        g = got.set_index("doc_id")
+        assert int(g.loc[1, "lcc_ppm"]) == 1_000_000
+        assert int(g.loc[1, "n_tri"]) == 3
+        # node 0: 3 triangles over C(4,2)=6 wedge slots -> 500000 ppm
+        assert int(g.loc[0, "deg"]) == 4
+        assert int(g.loc[0, "lcc_ppm"]) == 500_000
+        # node 4 (deg 1) is excluded
+        assert 4 not in g.index
