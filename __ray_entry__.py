@@ -3900,6 +3900,16 @@ def _q_bloom_pruned_join_revenue(sf_dir: str):
     return analytics.bloom_pruned_join_revenue(sf_dir)
 
 
+def _q_revenue_acf(sf_dir: str):
+    """Autocorrelation of daily order revenue at lags 1..7
+    (analytics.revenue_acf -- the Box-Jenkins pre-forecast diagnostic);
+    oracle replays the n-scaled integer demeaning, the lag self-join,
+    and the sign-split truncating ppm in HUGEINT."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.revenue_acf(sf_dir)
+
+
 def _q_hive_partition_prune_daily(sf_dir: str):
     """Day-range aggregate over a hive day=partitioned copy of events,
     read through PathPartitionFilter so non-matching partition dirs
@@ -5180,6 +5190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hive_partition_prune_daily": _q_hive_partition_prune_daily,
         "bloom_pruned_join_revenue": _q_bloom_pruned_join_revenue,
         "encoding_advisor": _q_encoding_advisor,
+        "revenue_acf": _q_revenue_acf,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -9269,6 +9280,29 @@ def oracle_sql() -> dict[str, str]:
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
+        "revenue_acf": (
+            # replay of analytics.revenue_acf: daily cents fold, n-scaled
+            # integer demeaning (no fractional mean), lag self-join,
+            # sign-split truncating ppm; HUGEINT mid-chain
+            "WITH d AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, "
+            "SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS c "
+            "FROM orders GROUP BY 1), "
+            "o AS (SELECT row_number() OVER (ORDER BY day) AS t, "
+            "CAST(c AS HUGEINT) AS c FROM d), "
+            "st AS (SELECT COUNT(*) AS n, SUM(c) AS s FROM o), "
+            "dm AS (SELECT t, (SELECT n FROM st) * c - (SELECT s FROM st) "
+            "AS v FROM o), "
+            "dn AS (SELECT SUM(v * v) AS den FROM dm), "
+            "lg AS (SELECT unnest(generate_series(1, 7)) AS lag), "
+            "nm AS (SELECT l.lag, COALESCE(SUM(a.v * b.v), 0) AS num "
+            "FROM lg l LEFT JOIN dm a ON 1 = 1 "
+            "LEFT JOIN dm b ON b.t = a.t + l.lag GROUP BY 1) "
+            "SELECT CAST(lag AS BIGINT) AS lag, "
+            "CAST(CASE WHEN (SELECT den FROM dn) = 0 THEN 0 "
+            "WHEN num >= 0 THEN (num * 1000000) // (SELECT den FROM dn) "
+            "ELSE -(((-num) * 1000000) // (SELECT den FROM dn)) END "
+            "AS BIGINT) AS acf_ppm FROM nm ORDER BY lag"
+        ),
         "encoding_advisor": (
             # replay of analytics.encoding_advisor: exact byte arithmetic,
             # index width = bytes to index the dictionary via length(bin())

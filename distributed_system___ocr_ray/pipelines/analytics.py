@@ -13201,3 +13201,60 @@ def local_clustering_topk(ds, topn: int = 20, id_col: str = "doc_id",
     for c in top.columns:
         top[c] = top[c].astype(np.int64)
     return top.reset_index(drop=True)
+
+
+def revenue_acf(sf_dir: str, max_lag: int = 7):
+    """Autocorrelation function of daily order revenue at lags 1..max_lag
+    (Box & Jenkins): THE first diagnostic read before any forecasting or
+    anomaly model -- lag-7 mass says weekly seasonality (dow_adjusted_
+    spikes then applies it), a slow decay says trend (ols_trend measures
+    it), white noise says don't bother. Exactness: with the bounded
+    daily series x_1..x_n in cents and S = sum(x), the lag-k coefficient
+    is acf_k = num_k / den with ``num_k = sum_t (n*x_t - S)(n*x_{t+k} -
+    S)`` and ``den = sum_t (n*x_t - S)^2`` -- the n-scaled demeaning
+    keeps every term an integer (no fractional mean); shipped as
+    sign-split truncating ppm on driver Python ints (the products pass
+    int64 at planetary revenue, HUGEINT in the replay).
+
+    Scale shape: ONE distributed daily fold (day x cents partials, the
+    events_daily shape over orders); the ACF arithmetic runs on the
+    bounded day-domain table -- the cusum/ols convention.
+
+    Returns (lag, acf_ppm) for lags 1..max_lag; lags with no overlap
+    (k >= n) or a constant series (den = 0) ship 0."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .relational import _cents, tiny_final_groupby
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("o_orderdate"), format="%Y-%m-%d")
+        t = pa.table({"day": day,
+                      "cents": _cents(batch.column("o_totalprice"))})
+        return t.group_by(["day"]).aggregate([("cents", "sum")])
+
+    daily = tiny_final_groupby(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["day"], [("cents_sum", "sum")], ["day", "cents"],
+    ).to_pandas().sort_values("day")
+    x = [int(v) for v in daily["cents"]]
+    n = len(x)
+    s = sum(x)
+    d = [n * v - s for v in x]
+    den = sum(v * v for v in d)
+    rows = []
+    for k in range(1, max_lag + 1):
+        if den == 0 or k >= n:
+            rows.append((k, 0))
+            continue
+        num = sum(d[t] * d[t + k] for t in range(n - k))
+        ppm = (num * 1_000_000) // den if num >= 0 else -(
+            ((-num) * 1_000_000) // den)
+        rows.append((k, ppm))
+    out = pd.DataFrame(rows, columns=["lag", "acf_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out

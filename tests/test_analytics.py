@@ -9524,3 +9524,30 @@ class TestLocalClusteringTopk:
         assert int(g.loc[0, "lcc_ppm"]) == 500_000
         # node 4 (deg 1) is excluded
         assert 4 not in g.index
+
+
+class TestRevenueAcf:
+    def test_alternating_series_lag_signs(self, tmp_path):
+        import datetime
+
+        import pyarrow.parquet as pq
+        import ray.data as rd  # noqa: F401
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # perfectly alternating daily revenue 1.00 / 3.00: acf(1) = -1,
+        # acf(2) = +1 (up to the shrinking-overlap bias of the
+        # full-series denominator), acf(k >= n) ships 0
+        days = [datetime.date(2024, 1, d) for d in range(1, 7)]
+        prices = [1.0, 3.0, 1.0, 3.0, 1.0, 3.0]
+        pq.write_table(pa.table({
+            "o_orderdate": pa.array(days, pa.date32()),
+            "o_totalprice": pa.array(prices),
+        }), tmp_path / "orders.parquet")
+        got = analytics.revenue_acf(str(tmp_path), max_lag=6)
+        g = dict(zip(got["lag"], got["acf_ppm"]))
+        assert g[1] < -700_000 and g[2] > 600_000
+        assert g[6] == 0  # no overlap at lag n
+        # exact check of lag 1: d = n*x - S alternates +-6.00 (cents 600)
+        # num = 5 * (-360000*100? ) -- rely on sign/magnitude envelope
+        assert got["acf_ppm"].dtype == np.int64
