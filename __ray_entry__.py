@@ -3900,6 +3900,17 @@ def _q_bloom_pruned_join_revenue(sf_dir: str):
     return analytics.bloom_pruned_join_revenue(sf_dir)
 
 
+def _q_event_type_stationary(sf_dir: str):
+    """Stationary distribution of the per-user event-type Markov chain
+    by fixed-round integer power iteration (analytics.
+    event_type_stationary); oracle replays the LAG transition counts
+    and every round's per-source truncating division + renormalization
+    as MATERIALIZED CTEs."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.event_type_stationary(sf_dir)
+
+
 def _q_revenue_acf(sf_dir: str):
     """Autocorrelation of daily order revenue at lags 1..7
     (analytics.revenue_acf -- the Box-Jenkins pre-forecast diagnostic);
@@ -5191,6 +5202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_pruned_join_revenue": _q_bloom_pruned_join_revenue,
         "encoding_advisor": _q_encoding_advisor,
         "revenue_acf": _q_revenue_acf,
+        "event_type_stationary": _q_event_type_stationary,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -6301,6 +6313,46 @@ def _kcenter_sql(k: int = 8, quant: int = 1000) -> str:
         ", ".join(parts)
         + " SELECT * FROM (" + " UNION ALL ".join(rows) + ") "
         "WHERE vec_id IS NOT NULL ORDER BY sel_order"
+    )
+
+
+def _stationary_sql(iters: int = 12, scale: int = 1_000_000) -> str:
+    """Replay of analytics.event_type_stationary: the shared LAG
+    transition counts, then ``iters`` unrolled rounds -- per-source-term
+    truncating division by the row sum, truncating renormalization to
+    ``scale`` (all mass non-negative, no sign split needed); a vanished
+    total NULLs the division and COALESCE yields the engine's all-zero.
+    Chained CTEs MATERIALIZED."""
+    parts = [
+        "WITH tr AS MATERIALIZED (SELECT prev AS prev_type, event_type AS "
+        "next_type, CAST(COUNT(*) AS HUGEINT) AS n FROM (SELECT event_type, "
+        "LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev FROM events) WHERE prev IS NOT NULL GROUP BY 1, 2), "
+        "ty AS MATERIALIZED (SELECT DISTINCT t FROM (SELECT prev_type AS t "
+        "FROM tr UNION SELECT next_type FROM tr)), "
+        "kk AS (SELECT COUNT(*) AS k FROM ty), "
+        "rs AS MATERIALIZED (SELECT prev_type, SUM(n) AS rsum FROM tr "
+        "GROUP BY 1), "
+        f"p0 AS MATERIALIZED (SELECT t, CAST({scale} // "
+        "(SELECT k FROM kk) AS HUGEINT) AS v FROM ty)"
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT tr.next_type AS t, "
+            "SUM((p.v * tr.n) // rs.rsum) AS raw FROM tr "
+            f"JOIN p{t - 1} p ON p.t = tr.prev_type "
+            "JOIN rs ON rs.prev_type = tr.prev_type GROUP BY 1)"
+        )
+        parts.append(f"tt{t} AS (SELECT SUM(raw) AS tot FROM r{t})")
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT ty.t, COALESCE((r.raw * {scale}) "
+            f"// (SELECT tot FROM tt{t}), 0) AS v FROM ty "
+            f"LEFT JOIN r{t} r ON r.t = ty.t)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT t AS event_type, CAST(v AS BIGINT) AS pi_scaled "
+        f"FROM p{iters} ORDER BY t"
     )
 
 
@@ -9280,6 +9332,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_2d_prune": _ZORDER_2D_PRUNE_SQL,
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
+        "event_type_stationary": _stationary_sql(),
         "revenue_acf": (
             # replay of analytics.revenue_acf: daily cents fold, n-scaled
             # integer demeaning (no fractional mean), lag self-join,

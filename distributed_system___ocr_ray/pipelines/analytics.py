@@ -13258,3 +13258,55 @@ def revenue_acf(sf_dir: str, max_lag: int = 7):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def event_type_stationary(sf_dir: str, iters: int = 12,
+                          scale: int = 1_000_000):
+    """Stationary distribution of the per-user event-type Markov chain:
+    where the clickstream SETTLES if users keep behaving like the
+    observed transition counts -- the long-run behavior profile that
+    complements event_transitions (one-step counts) and session_paths
+    (observed trajectories). pi is iterated a FIXED ``iters`` rounds of
+    pi' = pi P in pure integers: per-source-term truncating division by
+    the row sum, then a truncating renormalization to ``scale`` -- both
+    spelled sign-free (all mass non-negative) so the SQL replay is
+    character-identical; the fixed round count is the determinism
+    contract shared with pagerank/HITS/PCA. Types whose row sum is zero
+    (never a predecessor) pass no mass; unreachable types decay to 0.
+
+    Scale shape: the transition fold is the existing event_transitions
+    machinery (LAG pairs -> bounded (prev, next, n) table, one
+    exchange); the k x k iteration runs on driver Python ints over the
+    bounded type domain. Returns (event_type, pi_scaled) for every type
+    appearing as a transition SOURCE or TARGET, ordered by type."""
+    import ray.data as rd
+
+    from .relational import event_transitions
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "event_id"])
+    tr = event_transitions(ev).to_pandas()
+    types = sorted(set(tr["prev_type"]) | set(tr["next_type"]))
+    idx = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    C = [[0] * k for _ in range(k)]
+    for p, nx, n in zip(tr["prev_type"], tr["next_type"], tr["n"]):
+        C[idx[p]][idx[nx]] = int(n)
+    rowsum = [sum(r) for r in C]
+    pi = [scale // k] * k
+    for _ in range(iters):
+        raw = [0] * k
+        for i in range(k):
+            if rowsum[i] == 0:
+                continue
+            for j in range(k):
+                if C[i][j]:
+                    raw[j] += (pi[i] * C[i][j]) // rowsum[i]
+        tot = sum(raw)
+        if tot == 0:  # mass vanished (no live transition): all-zero, as
+            pi = [0] * k  # the replay's NULL-division COALESCE yields
+            break
+        pi = [(v * scale) // tot for v in raw]
+    out = pd.DataFrame({"event_type": types,
+                        "pi_scaled": np.array(pi, np.int64)})
+    return out

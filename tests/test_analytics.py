@@ -9551,3 +9551,31 @@ class TestRevenueAcf:
         # exact check of lag 1: d = n*x - S alternates +-6.00 (cents 600)
         # num = 5 * (-360000*100? ) -- rely on sign/magnitude envelope
         assert got["acf_ppm"].dtype == np.int64
+
+
+class TestEventTypeStationary:
+    def test_two_state_chain_converges_to_known_pi(self, tmp_path):
+        import datetime
+
+        import pyarrow.parquet as pq
+        import ray.data as rd  # noqa: F401
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # one user's stream A A B A A B ...: transitions A->A, A->B, B->A
+        # with counts giving P(A->A)=1/2, P(A->B)=1/2, P(B->A)=1 ->
+        # stationary pi = (2/3, 1/3)
+        seq = ["A", "A", "B"] * 20
+        base = datetime.datetime(2024, 1, 1)
+        pq.write_table(pa.table({
+            "event_id": pa.array(list(range(len(seq))), pa.int64()),
+            "ts": pa.array([base + datetime.timedelta(minutes=i)
+                            for i in range(len(seq))], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(seq), pa.int64()),
+            "event_type": pa.array(seq),
+        }), tmp_path / "events.parquet")
+        got = analytics.event_type_stationary(str(tmp_path))
+        g = dict(zip(got["event_type"], got["pi_scaled"]))
+        assert abs(int(g["A"]) - 666_666) <= 2_000
+        assert abs(int(g["B"]) - 333_333) <= 2_000
+        assert int(g["A"]) + int(g["B"]) <= 1_000_000
