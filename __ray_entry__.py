@@ -3900,6 +3900,16 @@ def _q_bloom_pruned_join_revenue(sf_dir: str):
     return analytics.bloom_pruned_join_revenue(sf_dir)
 
 
+def _q_lpa_modularity(sf_dir: str):
+    """Newman modularity of the LPA partition over the md5-derived
+    citation graph (analytics.lpa_modularity); oracle reuses the shared
+    LPA voting chain and replays the per-community degree-mass /
+    within-edge fold and the exact 4m-scaled quotient."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.lpa_modularity(_docs(sf_dir, ["doc_id"]))
+
+
 def _q_event_type_stationary(sf_dir: str):
     """Stationary distribution of the per-user event-type Markov chain
     by fixed-round integer power iteration (analytics.
@@ -5203,6 +5213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encoding_advisor": _q_encoding_advisor,
         "revenue_acf": _q_revenue_acf,
         "event_type_stationary": _q_event_type_stationary,
+        "lpa_modularity": _q_lpa_modularity,
         "json_field_stats": _q_json_field_stats,
         "audience_overlap": _q_audience_overlap,
         "customers_without_orders": _q_customers_without_orders,
@@ -6729,12 +6740,13 @@ def _edges_ctes() -> str:
     )
 
 
-def _lpa_sql(rounds: int = 4) -> str:
-    """Replay of ``analytics.lpa_communities``: distinct undirected edges
-    from the shared citation-graph CTEs, then ``rounds`` synchronous
-    voting rounds -- self-vote unioned with neighbor labels, modal vote
-    with QUALIFY (n DESC, lab) = 1. Chained CTEs MATERIALIZED (same
-    exponential-inlining hazard as _kcenter_sql)."""
+def _lpa_cte_parts(rounds: int = 4) -> list:
+    """Shared CTE chain for the LPA replays (communities + modularity):
+    distinct undirected edges from the citation-graph CTEs, then
+    ``rounds`` synchronous voting rounds -- self-vote unioned with
+    neighbor labels, modal vote with QUALIFY (n DESC, lab) = 1. Chained
+    CTEs MATERIALIZED (same exponential-inlining hazard as
+    _kcenter_sql)."""
     parts = [
         f"WITH {_edges_ctes()}, "
         "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
@@ -6756,10 +6768,50 @@ def _lpa_sql(rounds: int = 4) -> str:
             "QUALIFY row_number() OVER (PARTITION BY node "
             "ORDER BY n DESC, lab) = 1)"
         )
+    return parts
+
+
+def _lpa_sql(rounds: int = 4) -> str:
+    """Replay of ``analytics.lpa_communities`` (chain: _lpa_cte_parts)."""
     return (
-        ", ".join(parts)
+        ", ".join(_lpa_cte_parts(rounds))
         + f" SELECT node AS doc_id, lab AS community FROM l{rounds} "
         "ORDER BY doc_id"
+    )
+
+
+def _lpa_modularity_sql(rounds: int = 4) -> str:
+    """Replay of ``analytics.lpa_modularity``: the shared LPA chain, both
+    endpoint communities joined onto the distinct undirected edges, the
+    per-community (degree mass, within-edges) fold, and
+    Q = sum(4*m*e_c - d_c^2) / (4*m^2) in HUGEINT with the sign-split
+    truncating ppm."""
+    parts = _lpa_cte_parts(rounds)
+    parts.append(
+        f"la AS MATERIALIZED (SELECT fa.lab AS ca, fb.lab AS cb FROM und u "
+        f"JOIN l{rounds} fa ON fa.node = u.a "
+        f"JOIN l{rounds} fb ON fb.node = u.b)"
+    )
+    parts.append("mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM la)")
+    parts.append(
+        "pc AS MATERIALIZED (SELECT c, SUM(deg) AS d_c, SUM(w) AS e_c FROM "
+        "(SELECT ca AS c, 1 AS deg, CASE WHEN ca = cb THEN 1 ELSE 0 END AS w "
+        "FROM la UNION ALL SELECT cb, 1, 0 FROM la) GROUP BY 1)"
+    )
+    parts.append(
+        "ag AS (SELECT SUM(4 * (SELECT m FROM mm) * CAST(e_c AS HUGEINT) - "
+        "CAST(d_c AS HUGEINT) * d_c) AS num, COUNT(*) AS nc FROM pc)"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m_edges, "
+        "CAST((SELECT nc FROM ag) AS BIGINT) AS n_communities, "
+        "CAST(CASE WHEN (SELECT m FROM mm) = 0 THEN 0 "
+        "WHEN (SELECT num FROM ag) >= 0 THEN ((SELECT num FROM ag) * 1000000) "
+        "// (4 * (SELECT m FROM mm) * (SELECT m FROM mm)) "
+        "ELSE -((-(SELECT num FROM ag) * 1000000) "
+        "// (4 * (SELECT m FROM mm) * (SELECT m FROM mm))) END AS BIGINT) "
+        "AS modularity_ppm"
     )
 
 
@@ -9333,6 +9385,7 @@ def oracle_sql() -> dict[str, str]:
         "evolved_schema_counts": _EVOLVED_SCHEMA_COUNTS_SQL,
         "typo_pairs": _TYPO_PAIRS_SQL,
         "event_type_stationary": _stationary_sql(),
+        "lpa_modularity": _lpa_modularity_sql(rounds=4),
         "revenue_acf": (
             # replay of analytics.revenue_acf: daily cents fold, n-scaled
             # integer demeaning (no fractional mean), lag self-join,

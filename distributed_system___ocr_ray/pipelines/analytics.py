@@ -13310,3 +13310,102 @@ def event_type_stationary(sf_dir: str, iters: int = 12,
     out = pd.DataFrame({"event_type": types,
                         "pi_scaled": np.array(pi, np.int64)})
     return out
+
+
+def lpa_modularity(ds, rounds: int = 4, id_col: str = "doc_id", edges=None):
+    """Newman modularity of the LPA partition (Newman & Girvan 2004):
+    Q = sum_c [ e_c/m - (d_c/2m)^2 ] -- the standard goodness score for
+    a community assignment, here grading lpa_communities' own output
+    (positive and large: real block structure worth exploiting for
+    locality; near zero: the partition is noise and a dedup/mixture plan
+    should not trust it). Exactness: with m undirected edges, e_c =
+    within-community edges and d_c = community degree mass,
+    ``Q = sum_c (4*m*e_c - d_c^2) / (4*m^2)`` -- every term an integer;
+    the global numerator folds distributively over the community domain
+    and ships as sign-split truncating ppm (driver Python ints; the
+    replay uses HUGEINT).
+
+    Scale shape: labels come from the same fixed-round LPA; TWO
+    bucketed hash joins attach both endpoints' communities to the
+    distinct undirected edge list (corpus-sized sides, no broadcast);
+    within-community edge counts and degree mass fold per community,
+    then ONE bounded global sum. Returns one row (m_edges,
+    n_communities, modularity_ppm)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import bucketed_hash_join, derive_buckets, tiny_final_groupby
+
+    if edges is None:
+        edges = derived_link_edges(ds, ds.count(), id_col=id_col)
+    edges = edges.materialize()
+    labels = lpa_communities(ds, rounds=rounds, id_col=id_col,
+                             edges=edges).materialize()
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_m"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    m = und.count()
+    buckets = derive_buckets(max(m, 1), rows_per_bucket=1_000_000)
+
+    def lab_as(name):
+        def project(batch: pa.Table, _n=name) -> pa.Table:
+            if "doc_id" not in batch.column_names:
+                return pa.table({_n: pa.array([], pa.int64()),
+                                 f"c_{_n}": pa.array([], pa.int64())})
+            return pa.table({
+                _n: batch.column("doc_id").combine_chunks().cast(pa.int64()),
+                f"c_{_n}": batch.column("community").combine_chunks()
+                .cast(pa.int64()),
+            })
+        return project
+
+    e1 = bucketed_hash_join(
+        und, labels.map_batches(lab_as("a"), batch_format="pyarrow"),
+        "a", "a", buckets=buckets)
+    e2 = bucketed_hash_join(
+        e1, labels.map_batches(lab_as("b"), batch_format="pyarrow"),
+        "b", "b", buckets=buckets)
+
+    def within_partial(batch: pa.Table) -> pa.Table:
+        ca = batch.column("c_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = batch.column("c_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # every edge contributes degree mass to BOTH endpoint communities;
+        # within-community edges count once under their shared label
+        comm = np.concatenate([ca, cb])
+        t = pa.table({"c": pa.array(comm, pa.int64()),
+                      "deg": pa.array(np.ones(len(comm), np.int64)),
+                      "within": pa.array(
+                          np.concatenate([(ca == cb).astype(np.int64),
+                                          np.zeros(len(cb), np.int64)]))})
+        return t.group_by(["c"]).aggregate([("deg", "sum"), ("within", "sum")])
+
+    per_c = tiny_final_groupby(
+        e2.map_batches(within_partial, batch_format="pyarrow"),
+        keys=["c"], aggs=[("deg_sum", "sum"), ("within_sum", "sum")],
+        out_names=["c", "d_c", "e_c"],
+    ).to_pandas()
+    n_comm = len(per_c)
+    num = sum(4 * m * int(e) - int(d) * int(d)
+              for e, d in zip(per_c["e_c"], per_c["d_c"]))
+    den = 4 * m * m
+    if den == 0:
+        ppm = 0
+    elif num >= 0:
+        ppm = (num * 1_000_000) // den
+    else:
+        ppm = -(((-num) * 1_000_000) // den)
+    return pd.DataFrame({
+        "m_edges": pd.Series([m], dtype="int64"),
+        "n_communities": pd.Series([n_comm], dtype="int64"),
+        "modularity_ppm": pd.Series([ppm], dtype="int64"),
+    })

@@ -9579,3 +9579,25 @@ class TestEventTypeStationary:
         assert abs(int(g["A"]) - 666_666) <= 2_000
         assert abs(int(g["B"]) - 333_333) <= 2_000
         assert int(g["A"]) + int(g["B"]) <= 1_000_000
+
+
+class TestLpaModularity:
+    def test_two_cliques_score_high(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # two triangles joined by one bridge: LPA finds the two cliques;
+        # hand arithmetic: m=7, communities d_c=(7,7), e_c=(3,3) ->
+        # Q = (4*7*6 - 2*49) / (4*49) = 70/196 -> 357142 ppm
+        nodes = pa.table({"doc_id": pa.array(list(range(6)), pa.int64())})
+        e = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+        edges = pa.table({
+            "src": pa.array([a for a, _ in e], pa.int64()),
+            "dst": pa.array([b for _, b in e], pa.int64()),
+        })
+        got = analytics.lpa_modularity(rd.from_arrow(nodes),
+                                       edges=rd.from_arrow(edges))
+        assert int(got["m_edges"].iloc[0]) == 7
+        assert int(got["n_communities"].iloc[0]) == 2
+        assert int(got["modularity_ppm"].iloc[0]) == 357_142
