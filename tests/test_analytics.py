@@ -4159,9 +4159,13 @@ class TestZOrder:
                 "value": batch.column("value"),
             })
 
+        # 64-row fragments -> ~16 z-squares over the 1000-row table: coarse
+        # 256-row fragments made the pruning geometry razor-thin (sort
+        # block boundaries shift under load; observed 5 fragments whose
+        # minmax boxes all overlapped a quarter band -> flake)
         res = lance_like.write_zordered(
             base.map_batches(derive, batch_format="pyarrow"),
-            root, "user_id", "day", rows_per_fragment=256,
+            root, "user_id", "day", rows_per_fragment=64,
         )
         (ulo, uhi) = res["bounds"]["user_id"]
         (dlo, dhi) = res["bounds"]["day"]
