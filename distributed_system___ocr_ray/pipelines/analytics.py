@@ -12948,8 +12948,13 @@ def bloom_pruned_join_revenue(sf_dir: str, priority: str = "1-URGENT",
             self.bloom = BloomFilter.from_bytes(ray.get(bloom_handle))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ok = self.bloom.contains_many(
-                [str(x) for x in batch.column("l_orderkey").to_pylist()])
+            k = batch.column("l_orderkey").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            # ~4 lineitems share an order: digest each DISTINCT key once
+            # and gather (the md5-memoization convention of the pair
+            # family) -- same probes, same oracle, 4x fewer digests
+            uk, inv = np.unique(k, return_inverse=True)
+            ok = self.bloom.contains_many([str(x) for x in uk])[inv]
             kept = batch.filter(pa.array(ok))
             price = kept.column("l_extendedprice").to_numpy(zero_copy_only=False)
             disc = kept.column("l_discount").to_numpy(zero_copy_only=False)
