@@ -220,3 +220,73 @@ class TestPercentRankKernel:
         n = df.groupby("key")["col"].transform("size").astype(np.int64)
         exp = (rk * 1_000_000) // np.maximum(n - 1, 1)
         assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+class TestSqlParityPrimitives:
+    """The three primitives every exact oracle rests on, pinned against
+    DuckDB ITSELF (not against a re-implementation): md5-u64 prefix,
+    sign-split truncating division, and the bit_length log identity --
+    plus the cents quantization. A drift in any of these would silently
+    break dozens of replays at once."""
+
+    @given(st.lists(st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40), min_size=1, max_size=20))
+    @settings(max_examples=50, deadline=None)
+    def test_md5_u64_matches_duckdb(self, keys):
+        import duckdb
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+
+        con = duckdb.connect()
+        for k in keys:
+            got = md5_u64(k.encode("utf-8"))
+            exp = con.execute(
+                "SELECT CAST(('0x' || substr(md5(?), 1, 16)) AS UBIGINT)",
+                [k]).fetchone()[0]
+            assert got == int(exp)
+
+    @given(st.lists(st.tuples(
+        st.integers(min_value=-10**17, max_value=10**17),
+        st.integers(min_value=1, max_value=10**12)),
+        min_size=1, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_sign_split_trunc_div_matches_duckdb(self, pairs):
+        import duckdb
+
+        con = duckdb.connect()
+        for num, den in pairs:
+            py = -((-num) // den) if num < 0 else num // den
+            sql = con.execute(
+                "SELECT CASE WHEN ? >= 0 THEN CAST(? AS BIGINT) // ? "
+                "ELSE -((-CAST(? AS BIGINT)) // ?) END",
+                [num, num, den, num, den]).fetchone()[0]
+            assert py == int(sql), (num, den)
+
+    @given(st.lists(st.integers(min_value=1, max_value=2**62),
+                    min_size=1, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_bit_length_identity_matches_duckdb(self, xs):
+        import duckdb
+
+        con = duckdb.connect()
+        for x in xs:
+            py = x.bit_length() - 1
+            sql = con.execute(
+                "SELECT length(bin(CAST(? AS BIGINT))) - 1", [x]).fetchone()[0]
+            assert py == int(sql), x
+
+    @given(st.lists(st.floats(min_value=0, max_value=1e9,
+                              allow_nan=False, allow_infinity=False),
+                    min_size=1, max_size=30))
+    @settings(max_examples=50, deadline=None)
+    def test_cents_quantization_matches_duckdb(self, vals):
+        import duckdb
+
+        con = duckdb.connect()
+        for v in vals:
+            py = int(np.floor(v * 100 + 0.5))
+            sql = con.execute(
+                "SELECT CAST(FLOOR(CAST(? AS DOUBLE) * 100 + 0.5) AS BIGINT)",
+                [v]).fetchone()[0]
+            assert py == int(sql), v
