@@ -2336,6 +2336,15 @@ def _q_pagerank_top(sf_dir: str):
     return analytics.pagerank_top(ds, iters=4, damping_pct=85, topn=20)
 
 
+def _q_ppr_top(sf_dir: str):
+    """Personalized PageRank with the teleport landing on the lang='en'
+    slice (analytics.ppr_top -- topic-sensitive authority); oracle is
+    the pagerank replay with a per-node CASE teleport, unrolled CTEs."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.ppr_top(sf_dir)
+
+
 def _q_bfs_levels(sf_dir: str):
     """Min-hop BFS levels from doc 0 over the md5-derived citation graph
     (analytics.bfs_levels): per round a capped broadcast-frontier map-side
@@ -5099,6 +5108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_keepers": _q_semdedup_keepers,
         "pagerank_top": _q_pagerank_top,
+        "ppr_top": _q_ppr_top,
         "bfs_levels": _q_bfs_levels,
         "rnn_pairs": _q_rnn_pairs,
         "kmeans_inertia": _q_kmeans_inertia,
@@ -6923,6 +6933,40 @@ def _pagerank_sql(iters: int = 4, damping_pct: int = 85, topn: int = 20) -> str:
     )
 
 
+def _ppr_sql(iters: int = 4, damping_pct: int = 85, topn: int = 20,
+             topic_lang: str = "en") -> str:
+    """Replay of ``analytics.ppr_top``: the pagerank recurrence with the
+    teleport concentrated on the topic slice -- r0 and the per-node base
+    are CASE-gated on lang, mass S // nT; all quantities non-negative
+    ints so ``//`` parity holds throughout."""
+    s = 1_000_000_000_000
+    parts = [
+        f"WITH {_edges_ctes()}, ",
+        f"tt AS (SELECT COUNT(*) AS nt FROM documents WHERE lang = '{topic_lang}'), ",
+        f"cc AS (SELECT nt, {s} // nt AS r0, "
+        f"((100 - {damping_pct}) * ({s} // nt)) // 100 AS bt FROM tt), ",
+        f"bt AS (SELECT doc_id AS node, CASE WHEN lang = '{topic_lang}' "
+        "THEN (SELECT bt FROM cc) ELSE 0 END AS base FROM documents), ",
+        f"r0 AS (SELECT doc_id AS node, CAST(CASE WHEN lang = '{topic_lang}' "
+        "THEN (SELECT r0 FROM cc) ELSE 0 END AS BIGINT) AS rank "
+        "FROM documents), ",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"r{t + 1} AS (SELECT b.node, CAST(b.base + "
+            f"({damping_pct} * COALESCE(i.inc, 0)) // 100 AS BIGINT) AS rank "
+            "FROM bt b LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r.rank // e.deg) AS inc "
+            f"FROM edges e JOIN r{t} r ON r.node = e.src GROUP BY e.dst"
+            ") i ON i.node = b.node), "
+        )
+    body = "".join(parts).rstrip().rstrip(",")
+    return (
+        f"{body} SELECT node AS doc_id, rank AS rank_scaled FROM r{iters} "
+        f"ORDER BY rank DESC, node LIMIT {topn}"
+    )
+
+
 def _kmeans_assign_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     """Unrolled-CTE replay of the shared Lloyd fit (``analytics._kmeans_fit``
     + final assignment): long-form integer-quantized vectors, md5-key
@@ -8300,6 +8344,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
         "semdedup_keepers": _semdedup_sql(k=8, iters=3, scale=1000, threshold=0.4),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
+        "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
         "rnn_pairs": _RNN_PAIRS_SQL,
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),

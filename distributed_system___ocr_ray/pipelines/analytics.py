@@ -13414,3 +13414,112 @@ def lpa_modularity(ds, rounds: int = 4, id_col: str = "doc_id", edges=None):
         "n_communities": pd.Series([n_comm], dtype="int64"),
         "modularity_ppm": pd.Series([ppm], dtype="int64"),
     })
+
+
+def ppr_top(sf_dir: str, topic_lang: str = "en", iters: int = 4,
+            damping_pct: int = 85, topn: int = 20,
+            scale_total: int = 1_000_000_000_000):
+    """Personalized PageRank (Haveliwala 2002, topic-sensitive): the
+    teleport lands on the TOPIC SET (docs with lang = topic_lang), not
+    uniformly -- ranking authority AS SEEN FROM one corpus slice (which
+    hubs matter to the English sub-corpus), the recommendation/locality
+    primitive the global pagerank_top cannot express. Same integer
+    recurrence and fixed-round determinism contract: r0_v = S // nT on
+    topic nodes else 0; r'(v) = base_v + (damping * inc(v)) // 100 with
+    base_v = ((100 - damping) * (S // nT)) // 100 on topic nodes else 0;
+    all quantities non-negative ints so the replay is character-exact.
+
+    Scale shape: pagerank_top's plan with ONE twist -- the per-node
+    teleport rides the SAME zero-contribution union rows the uniform
+    version already ships (rows (node, c=0, b=base_v); shares carry
+    b=0; the one grouped exchange folds Sum(c) AND Max(b) together), so
+    personalization costs no extra join, no broadcast, no second
+    exchange per round. Returns the topn (doc_id, rank_scaled), rank
+    descending, id ascending on ties; an empty topic slice raises."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Max, Sum
+
+    from .relational import bucketed_hash_join, derive_buckets
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    n_nodes = docs.count()
+    import pyarrow.compute as pc
+
+    def topic_mask(batch: pa.Table) -> pa.Table:
+        is_t = pc.equal(batch.column("lang"), topic_lang)
+        return pa.table({
+            "node": batch.column("doc_id").combine_chunks().cast(pa.int64()),
+            "is_t": is_t.combine_chunks().cast(pa.int8())
+            if isinstance(is_t, pa.ChunkedArray) else is_t.cast(pa.int8()),
+        })
+
+    nodes = docs.map_batches(topic_mask, batch_format="pyarrow").materialize()
+    n_topic = int(nodes.sum("is_t") or 0)
+    if n_topic == 0:
+        raise ValueError(f"empty topic slice lang={topic_lang!r}")
+    r0 = scale_total // n_topic
+    base_t = ((100 - damping_pct) * r0) // 100
+
+    edges = derived_link_edges(
+        docs.select_columns(["doc_id"]), n_nodes).materialize()
+    buckets = derive_buckets(edges.count(), rows_per_bucket=1_000_000)
+
+    def init_ranks(batch: pa.Table, _r0=r0) -> pa.Table:
+        m = batch.column("is_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": batch.column("node"),
+                         "rank": pa.array(m * _r0, pa.int64())})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+
+    def zero_base(batch: pa.Table, _b=base_t) -> pa.Table:
+        m = batch.column("is_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "dst": batch.column("node"),
+            "c": pa.array(np.zeros(len(m), np.int64)),
+            "b": pa.array(m * _b, pa.int64()),
+        })
+
+    zeros = nodes.map_batches(zero_base, batch_format="pyarrow").materialize()
+
+    def share(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        d = batch.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table({"dst": batch.column("dst"),
+                         "c": pa.array(r // d, pa.int64()),
+                         "b": pa.array(np.zeros(len(d), np.int64))})
+
+    def apply(batch: pa.Table, _d=damping_pct) -> pa.Table:
+        iv = batch.column("inc").to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = batch.column("base").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "node": batch.column("dst").combine_chunks().cast(pa.int64()),
+            "rank": pa.array(bv + (_d * iv) // 100, pa.int64()),
+        })
+
+    for _ in range(iters):
+        joined = bucketed_hash_join(
+            edges, ranks.rename_columns(["src", "rank"]), "src", "src",
+            buckets=buckets)
+        ranks = (
+            joined.map_batches(share, batch_format="pyarrow")
+            .union(zeros)
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="inc"), Max("b", alias_name="base"))
+            .map_batches(apply, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def _top(batch: pa.Table, node_col: str, rank_col: str) -> pa.Table:
+        r = batch.column(rank_col).to_numpy(zero_copy_only=False)
+        node = batch.column(node_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((node, -r))[:topn]
+        return pa.table({"doc_id": pa.array(node[order], pa.int64()),
+                         "rank_scaled": pa.array(r[order], pa.int64())})
+
+    partials = ranks.map_batches(
+        lambda b: _top(b, "node", "rank"), batch_format="pyarrow")
+    return partials.repartition(1).map_batches(
+        lambda b: _top(b, "doc_id", "rank_scaled"), batch_format="pyarrow",
+        batch_size=None)

@@ -9605,3 +9605,29 @@ class TestLpaModularity:
         assert int(got["m_edges"].iloc[0]) == 7
         assert int(got["n_communities"].iloc[0]) == 2
         assert int(got["modularity_ppm"].iloc[0]) == 357_142
+
+
+class TestPprTop:
+    def test_structure_and_topic_sensitivity(self, tmp_path):
+        import pyarrow.parquet as pq
+        import pytest
+        import ray.data as rd  # noqa: F401
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array(list(range(120)), pa.int64()),
+            "lang": pa.array(["en" if i % 3 == 0 else "de"
+                              for i in range(120)]),
+        }), tmp_path / "documents.parquet")
+        en = analytics.ppr_top(str(tmp_path), topic_lang="en").to_pandas()
+        de = analytics.ppr_top(str(tmp_path), topic_lang="de").to_pandas()
+        for out in (en, de):
+            assert len(out) == 20
+            r = out["rank_scaled"].tolist()
+            assert r == sorted(r, reverse=True)
+            assert min(r) >= 0
+        # different teleport sets rank differently (topic sensitivity)
+        assert en["doc_id"].tolist() != de["doc_id"].tolist()
+        with pytest.raises(ValueError):
+            analytics.ppr_top(str(tmp_path), topic_lang="fr")
