@@ -141,6 +141,48 @@ def cmd_render(args) -> int:
         ray.shutdown()
 
 
+def cmd_query(args) -> int:
+    """Run any registry query by name and write its result as parquet --
+    the ad-hoc analysis surface over the same 290-entry registry the
+    driver contract exposes (``__ray_entry__.queries()``); ``--list``
+    enumerates names. The registry module lives at the repo root, so it
+    is imported from this file's grandparent when not already on the
+    path (running ``python -m`` from anywhere)."""
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.list:
+        for name in sorted(qs):
+            print(name)
+        return 0
+    if not args.name or args.name not in qs:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    import ray
+
+    owns_session = not ray.is_initialized()  # don't kill a host session
+    _ray_session(args.num_cpus)
+    res = qs[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if hasattr(res, "to_pandas"):
+        res = res.to_pandas()
+    tbl = (pa.Table.from_pandas(res, preserve_index=False)
+           if isinstance(res, pd.DataFrame) else res)
+    pq.write_table(tbl, args.out)
+    print(f"{args.name}: {tbl.num_rows} rows -> {args.out}")
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="distributed_system___ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -183,6 +225,14 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--html", required=True)
     r.add_argument("--num-cpus", type=int, default=None)
     r.set_defaults(fn=cmd_render)
+
+    q = sub.add_parser("query", help="run a registry query by name -> parquet")
+    q.add_argument("--name", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--out", default="/tmp/query_out.parquet")
+    q.add_argument("--list", action="store_true", help="list query names")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
     return args.fn(args)

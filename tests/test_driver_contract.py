@@ -146,3 +146,23 @@ def test_pair_oracle_models_group_cap():
     assert canon_pairs(mh, "n_match") == canon_pairs(mh_sql, "n_match")
     mdup = mh[(mh.doc_a < n_dup) & (mh.doc_b < n_dup)]
     assert len(mdup) == n_dup - 1 and (mdup.doc_a == 0).all()
+
+
+class TestQueryCli:
+    def test_query_subcommand_roundtrip(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray.__main__ import main
+
+        out = str(tmp_path / "ps.parquet")
+        rc = main(["query", "--name", "pricing_summary",
+                   "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+        assert rc == 0
+        t = pq.read_table(out)
+        assert t.num_rows == 6
+        assert "sum_qty_cents" in t.column_names
+
+    def test_query_subcommand_rejects_unknown(self, capsys):
+        from distributed_system___ocr_ray.__main__ import main
+
+        assert main(["query", "--name", "no_such_query"]) == 2
