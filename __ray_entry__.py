@@ -4767,6 +4767,16 @@ def _q_source_centroid_geometry(sf_dir: str):
     return analytics.source_centroid_geometry(sf_dir)
 
 
+def _q_bitext_mining_topk(sf_dir: str):
+    """Margin-based bitext mining en->de over the embeddings table
+    (analytics.bitext_mining_topk, the CCMatrix/LASER recipe with the
+    all-integer absolute margin); oracle replays the cross-slice dot
+    grid, the (dot DESC, id) top-2 and the (margin DESC, src) top-20."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.bitext_mining_topk(sf_dir)
+
+
 def _q_kcenter_coreset(sf_dir: str):
     """Gonzalez farthest-first k-center coreset over the embeddings table
     (analytics.kcenter_coreset -- geometry-aware seed/coreset selection);
@@ -5280,6 +5290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid_confusion": _q_nearest_centroid_confusion,
         "source_centroid_geometry": _q_source_centroid_geometry,
         "kcenter_coreset": _q_kcenter_coreset,
+        "bitext_mining_topk": _q_bitext_mining_topk,
         "pca_top_component": _q_pca_top_component,
         "rendezvous_routing_balance": _q_rendezvous_routing_balance,
         "dsir_importance_weights": _q_dsir_importance_weights,
@@ -9670,6 +9681,34 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN n na ON na.source = p.source_a "
             "JOIN n nb ON nb.source = p.source_b "
             "ORDER BY p.source_a, p.source_b"
+        ),
+        "bitext_mining_topk": (
+            # replay of analytics.bitext_mining_topk: milli quantization,
+            # cross-slice integer dot grid, (dot DESC, id) top-2, absolute
+            # margin, (margin DESC, src_id) top-20
+            "WITH e AS (SELECT m.vec_id AS id, d.lang AS lang, "
+            "list_transform(m.embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) "
+            "* 1000 + 0.5) AS BIGINT)) AS v FROM embeddings m "
+            "JOIN documents d ON d.doc_id = m.vec_id), "
+            "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+            "u AS (SELECT id, lang, i, v[i] AS x FROM e, dims "
+            "WHERE v[i] IS NOT NULL), "
+            "dots AS (SELECT a.id AS src_id, b.id AS tgt_id, "
+            "SUM(a.x * b.x) AS dot FROM u a JOIN u b ON a.i = b.i "
+            "AND a.lang = 'en' AND b.lang = 'de' GROUP BY 1, 2), "
+            "rk AS (SELECT src_id, tgt_id, dot, row_number() OVER "
+            "(PARTITION BY src_id ORDER BY dot DESC, tgt_id) AS rn "
+            "FROM dots), "
+            "pr AS (SELECT r1.src_id, r1.tgt_id, r1.dot AS dot_num, "
+            "r1.dot - COALESCE(r2.dot, r1.dot) AS margin_num FROM rk r1 "
+            "LEFT JOIN rk r2 ON r2.src_id = r1.src_id AND r2.rn = 2 "
+            "WHERE r1.rn = 1) "
+            "SELECT CAST(src_id AS BIGINT) AS src_id, "
+            "CAST(tgt_id AS BIGINT) AS tgt_id, "
+            "CAST(dot_num AS BIGINT) AS dot_num, "
+            "CAST(margin_num AS BIGINT) AS margin_num FROM pr "
+            "QUALIFY row_number() OVER (ORDER BY margin_num DESC, src_id) "
+            "<= 20"
         ),
         "kcenter_coreset": _kcenter_sql(k=8),
         "pca_top_component": _pca_sql(),

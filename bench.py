@@ -224,7 +224,7 @@ SWEEP_QUERIES = [
     "nearest_centroid_confusion", "doc_completeness_by_lang",
     "span_profile_by_kind", "retry_plan",
     "kcenter_coreset", "pca_top_component", "rendezvous_routing_balance",
-    "dsir_importance_weights", "lpa_communities", "degree_assortativity",
+    "dsir_importance_weights", "lpa_communities", "degree_assortativity", "bitext_mining_topk",
     "hits_scores", "langid_kappa", "kmv_distinct_audit", "kcore_nodes", "entity_dedupe_keepers", "hive_partition_prune_daily", "bloom_pruned_join_revenue",
     "encoding_advisor", "local_clustering_topk", "revenue_acf", "event_type_stationary", "lpa_modularity", "ppr_top",
 ]

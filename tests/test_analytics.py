@@ -9631,3 +9631,39 @@ class TestPprTop:
         assert en["doc_id"].tolist() != de["doc_id"].tolist()
         with pytest.raises(ValueError):
             analytics.ppr_top(str(tmp_path), topic_lang="fr")
+
+
+class TestBitextMining:
+    def test_margin_separates_true_pairs_from_hubs(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd  # noqa: F401
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # en vec 0 has a clear de translation (1) and a far de (2);
+        # en vec 3 sits exactly between two de vecs -> margin 0
+        vecs = {
+            0: [1.0, 0.0], 1: [0.9, 0.1], 2: [-1.0, 0.0],
+            3: [0.0, 1.0], 4: [0.5, 1.0], 5: [-0.5, 1.0],
+        }
+        langs = {0: "en", 1: "de", 2: "de", 3: "en", 4: "de", 5: "de"}
+        ids = sorted(vecs)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([vecs[i] for i in ids],
+                                  pa.list_(pa.float32())),
+        }), tmp_path / "embeddings.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array([langs[i] for i in ids]),
+        }), tmp_path / "documents.parquet")
+        got = analytics.bitext_mining_topk(str(tmp_path))
+        g = got.set_index("src_id")
+        assert int(g.loc[0, "tgt_id"]) == 1
+        # milli: dot(0,1)=900*1000... = 900000... margin vs best other
+        assert int(g.loc[0, "margin_num"]) > 0
+        # vec 3 dots: (4)->1e6, (5)->1e6 tie -> min id wins, margin 0
+        assert int(g.loc[3, "tgt_id"]) == 4
+        assert int(g.loc[3, "margin_num"]) == 0
+        # ranking: the clear pair outranks the ambiguous one
+        assert got["src_id"].tolist()[0] == 0
