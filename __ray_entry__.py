@@ -2336,6 +2336,20 @@ def _q_pagerank_top(sf_dir: str):
     return analytics.pagerank_top(ds, iters=4, damping_pct=85, topn=20)
 
 
+def _q_nb_source_classifier(sf_dir: str):
+    """Classifier-based domain filtering stand-in: multinomial Naive
+    Bayes over source labels, trained on the md5-split 80% train slice
+    and scored on the rest, all in whole bits (bit_length floor-log2
+    identity) so the oracle replays train counts, smoothing, priors,
+    argmin and tie-breaks digit-for-digit (analytics.nb_source_classifier
+    -- the fastText-style quality/domain scorer of CCNet/fineweb
+    pipelines, self-contained on the corpus's own labels)."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "source", "text"])
+    return analytics.nb_source_classifier(ds)
+
+
 def _q_ppr_top(sf_dir: str):
     """Personalized PageRank with the teleport landing on the lang='en'
     slice (analytics.ppr_top -- topic-sensitive authority); oracle is
@@ -5299,6 +5313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_clustering_topk": _q_local_clustering_topk,
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
+        "nb_source_classifier": _q_nb_source_classifier,
         "kmv_distinct_audit": _q_kmv_distinct_audit,
         "kcore_nodes": _q_kcore_nodes,
         # multimodal
@@ -6721,6 +6736,46 @@ _ANN_TOPK_SQL = (
     "QUALIFY row_number() OVER (PARTITION BY q.query_id "
     "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
 )
+
+
+def _nb_source_classifier_sql(train_mod: int = 10, train_lt: int = 8) -> str:
+    """Replay of ``analytics.nb_source_classifier``: the md5-prefix
+    train/test split, (source, token) train counts under the shared
+    ``[a-z0-9]+`` lowered tokenizer, add-one-smoothed whole-bit token
+    costs via ``length(bin((N_s + V) // (c + 1))) - 1``, whole-bit
+    priors, argmin prediction with the (score, source) tie-break, and
+    the (actual, predicted) confusion fold. Candidate labels are
+    sources with >= 1 train token (ns), matching the engine."""
+    split = _MD5U64.format(v="CAST(doc_id AS VARCHAR) || ':nbsplit'")
+    return (
+        "WITH tr AS (SELECT doc_id, source, lower(text) AS txt FROM documents "
+        f"WHERE {split} % {train_mod} < {train_lt}), "
+        "te AS (SELECT doc_id, source, lower(text) AS txt FROM documents "
+        f"WHERE {split} % {train_mod} >= {train_lt}), "
+        "trtok AS (SELECT source, unnest(regexp_extract_all(txt, '[a-z0-9]+')) "
+        "AS token FROM tr), "
+        "ct AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM trtok GROUP BY 1, 2), "
+        "ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nt FROM trtok GROUP BY 1), "
+        "vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM trtok), "
+        "prior AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM tr GROUP BY 1), "
+        "ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tr), "
+        "tetok AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt FROM "
+        "(SELECT doc_id, unnest(regexp_extract_all(txt, '[a-z0-9]+')) AS token "
+        "FROM te) GROUP BY 1, 2), "
+        "sc AS (SELECT t.doc_id, s.source, SUM(t.cnt * "
+        "(length(bin((s.nt + (SELECT v FROM vocab)) // (COALESCE(c.c, 0) + 1))) - 1)) "
+        "AS tokbits FROM tetok t CROSS JOIN ns s "
+        "LEFT JOIN ct c ON c.source = s.source AND c.token = t.token GROUP BY 1, 2), "
+        "fl AS (SELECT sc.doc_id, sc.source, sc.tokbits + "
+        "(length(bin((SELECT n FROM ndt) // p.nd)) - 1) AS score "
+        "FROM sc JOIN prior p ON p.source = sc.source), "
+        "pred AS (SELECT doc_id, source AS predicted FROM fl "
+        "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score, source) = 1) "
+        "SELECT te.source AS actual, p.predicted AS predicted, "
+        "CAST(COUNT(*) AS BIGINT) AS n_docs "
+        "FROM pred p JOIN te ON te.doc_id = p.doc_id GROUP BY 1, 2 ORDER BY 1, 2"
+    )
 
 
 def _hybrid_sql(k: int = 10, rrf_k: int = 60) -> str:
@@ -8356,6 +8411,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_keepers": _semdedup_sql(k=8, iters=3, scale=1000, threshold=0.4),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
+        "nb_source_classifier": _nb_source_classifier_sql(),
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
         "rnn_pairs": _RNN_PAIRS_SQL,
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),

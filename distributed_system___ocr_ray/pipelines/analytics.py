@@ -13648,3 +13648,150 @@ def bitext_mining_topk(sf_dir: str, src_lang: str = "en",
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def nb_source_classifier(ds, id_col: str = "doc_id", label_col: str = "source",
+                         text_col: str = "text", train_mod: int = 10,
+                         train_lt: int = 8):
+    """Multinomial Naive Bayes domain classifier in WHOLE BITS -- the
+    classifier-based quality/domain filter every curation stack runs
+    (fastText-style scorer in CCNet/fineweb; here trained on the corpus's
+    own ``source`` labels so the op is self-contained). All arithmetic is
+    integer so the DuckDB oracle replays it digit-for-digit:
+
+    - split: ``md5_u64(f"{doc_id}:nbsplit") % train_mod < train_lt`` is
+      train (default 80%), the rest is scored -- the proven md5-prefix
+      split primitive (``deterministic_sample``).
+    - token cost under label s: ``bit_length((N_s + V) // (c_ts + 1)) - 1``
+      whole bits -- add-one-smoothed multinomial likelihood via the
+      ``bit_length(m//n)-1 == floor(log2(m/n))`` identity (same primitive
+      as ``doc_surprisal_topk``; hypothesis-pinned vs DuckDB). N_s = train
+      tokens in s, V = distinct train tokens, c_ts = count of t in s.
+      Unseen test tokens cost ``bit_length(N_s + V) - 1`` (c=0).
+    - prior cost: ``bit_length(n_train_docs // n_docs_s) - 1``.
+    - predict = argmin(total cost); ties break to the lexicographically
+      smallest label. Zero-token test docs are excluded on both sides.
+
+    Plan: pass 1 tokenizes train docs per batch (compiled ``[a-z0-9]+`` on
+    lowered text, shared char-for-char with the oracle regexp) and
+    pre-aggregates (label, token) counts; ``bucketed_grouped_sum`` on the
+    fused key merges them. The model (labels x vocab bit matrix) is a
+    deliberate bounded driver collect broadcast via ``ray.put`` -- same
+    license as the idf broadcast in ``bm25_topk``; past a vocab cap the
+    honest shape is the bucketed token-domain join bm25 documents. Pass 2
+    scores each test batch fully vectorized (explode -> searchsorted ->
+    per-doc matrix gather-sum + per-label unseen constant) and emits
+    per-batch (actual, predicted) partial counts; one tiny bounded final
+    merge (labels^2 keys) resolves the confusion matrix.
+
+    Returns (actual, predicted, n_docs) sorted; n_docs int64."""
+    import re
+
+    import ray
+
+    from .relational import bucketed_grouped_sum, tiny_final_groupby
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    SEP = "\x1f"
+
+    def is_train(ids) -> np.ndarray:
+        return np.array(
+            [dk.md5_u64(f"{i}:nbsplit".encode()) % train_mod < train_lt
+             for i in ids], dtype=bool)
+
+    def train_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = is_train(batch[id_col].tolist())
+        sub = batch.loc[m, [label_col, text_col]]
+        toks = sub[text_col].fillna("").str.lower().str.findall(tok_re)
+        lab = sub[label_col].astype(str)
+        s = toks.explode().dropna()
+        if len(s) == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        key = lab.loc[s.index].to_numpy(object) + SEP + s.to_numpy(object)
+        vc = pd.Series(key).value_counts()
+        # one extra row per train DOC carries the prior count out of the
+        # same pass: key = label + SEP (empty token is impossible: the
+        # tokenizer never yields '')
+        pr = lab.value_counts()
+        return pd.DataFrame({
+            "key": np.concatenate([vc.index.to_numpy(object),
+                                   (pr.index + SEP).to_numpy(object)]),
+            "n": np.concatenate([vc.to_numpy(np.int64), pr.to_numpy(np.int64)]),
+        })
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(train_partial, batch_format="pandas"), "key", "n"
+    ).to_pandas()
+    if len(counts) == 0:
+        return pd.DataFrame({"actual": pd.Series([], dtype=str),
+                             "predicted": pd.Series([], dtype=str),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    split = counts["key"].str.split(SEP, n=1, expand=True)
+    counts["label"], counts["token"] = split[0], split[1]
+    prior = counts[counts["token"] == ""]
+    tokc = counts[counts["token"] != ""]
+    labels = np.sort(tokc["label"].unique())  # candidates = labels with >=1 train token
+    vocab = np.sort(tokc["token"].unique())
+    V = len(vocab)
+    if V == 0 or len(labels) == 0:
+        return pd.DataFrame({"actual": pd.Series([], dtype=str),
+                             "predicted": pd.Series([], dtype=str),
+                             "n_docs": pd.Series([], dtype=np.int64)})
+    n_train_docs = int(prior["n"].sum())
+    nd_by_label = prior.set_index("label")["n"]
+    # bits[v, l] = cost of vocab token v under label l; unseen[l] = c=0 cost
+    C = np.zeros((V, len(labels)), dtype=np.int64)
+    li = {l: j for j, l in enumerate(labels)}
+    vi = np.searchsorted(vocab, tokc["token"].to_numpy(object))
+    C[vi, [li[l] for l in tokc["label"]]] = tokc["n"].to_numpy(np.int64)
+    N_s = C.sum(axis=0)
+    bits = np.empty_like(C)
+    unseen = np.empty(len(labels), dtype=np.int64)
+    pbits = np.empty(len(labels), dtype=np.int64)
+    for j in range(len(labels)):
+        tot = int(N_s[j]) + V
+        bits[:, j] = [(tot // (int(c) + 1)).bit_length() - 1 for c in C[:, j]]
+        unseen[j] = tot.bit_length() - 1
+        pbits[j] = (n_train_docs // int(nd_by_label[labels[j]])).bit_length() - 1
+    handle = ray.put({"vocab": vocab, "bits": bits, "unseen": unseen,
+                      "pbits": pbits, "labels": labels})
+
+    class Score:
+        def __init__(self) -> None:
+            self.m = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = self.m
+            test = batch.loc[~is_train(batch[id_col].tolist()),
+                             [label_col, text_col]]
+            toks = test[text_col].fillna("").str.lower().str.findall(tok_re)
+            s = toks.explode().dropna()
+            schema = pa.schema([("actual", pa.string()),
+                                ("predicted", pa.string()),
+                                ("n_docs", pa.int64())])
+            if len(s) == 0:
+                return schema.empty_table()
+            pos = np.searchsorted(m["vocab"], s.to_numpy(object))
+            pos_c = np.clip(pos, 0, len(m["vocab"]) - 1)
+            seen = m["vocab"][pos_c] == s.to_numpy(object)
+            # per-token cost rows: seen -> model row; unseen -> unseen const
+            cost = np.where(seen[:, None], m["bits"][pos_c], m["unseen"][None, :])
+            df = pd.DataFrame(cost, index=s.index)
+            per_doc = df.groupby(level=0).sum()  # rows = docs with >=1 token
+            score = per_doc.to_numpy(np.int64) + m["pbits"][None, :]
+            pred = m["labels"][np.argmin(score, axis=1)]  # labels sorted: argmin = smallest on tie
+            out = pd.DataFrame({
+                "actual": test.loc[per_doc.index, label_col].astype(str).to_numpy(object),
+                "predicted": pred,
+            })
+            g = out.value_counts().reset_index(name="n_docs")
+            return pa.table({"actual": pa.array(g["actual"], pa.string()),
+                             "predicted": pa.array(g["predicted"], pa.string()),
+                             "n_docs": pa.array(g["n_docs"].astype(np.int64))})
+
+    partials = ds.map_batches(Score, batch_format="pandas", concurrency=(1, 8))
+    out = tiny_final_groupby(partials, ["actual", "predicted"],
+                             [("n_docs", "sum")],
+                             ["actual", "predicted", "n_docs"]).to_pandas()
+    return out.sort_values(["actual", "predicted"]).reset_index(drop=True)

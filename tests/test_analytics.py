@@ -9667,3 +9667,84 @@ class TestBitextMining:
         assert int(g.loc[3, "margin_num"]) == 0
         # ranking: the clear pair outranks the ambiguous one
         assert got["src_id"].tolist()[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNbSourceClassifier:
+    def test_separable_micro_vs_pure_python(self, tmp_path):
+        """Two perfectly separable sources; expected confusion computed by
+        an independent pure-Python NB (same whole-bit formulas, no shared
+        pipeline code beyond the md5 split kernel)."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        n = 40
+        ids = list(range(n))
+        src = ["a" if i % 2 == 0 else "b" for i in ids]
+        txt = ["xx xx zq" if s == "a" else "yy yy zq" for s in src]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(src),
+            "text": pa.array(txt),
+        }))
+        got = analytics.nb_source_classifier(ds)
+
+        # independent replay
+        train = [i for i in ids if md5_u64(f"{i}:nbsplit".encode()) % 10 < 8]
+        test = [i for i in ids if i not in train]
+        assert test, "deterministic split produced an empty test slice"
+        from collections import Counter, defaultdict
+        ct: dict[str, Counter] = defaultdict(Counter)
+        nd = Counter()
+        for i in train:
+            nd[src[i]] += 1
+            ct[src[i]].update(txt[i].split())
+        vocab = sorted({t for c in ct.values() for t in c})
+        V = len(vocab)
+        labels = sorted(ct)
+        conf = Counter()
+        for i in test:
+            toks = txt[i].split()
+            best = None
+            for s in labels:
+                ns = sum(ct[s].values())
+                cost = sum(((ns + V) // (ct[s].get(t, 0) + 1)).bit_length() - 1
+                           for t in toks)
+                cost += (len(train) // nd[s]).bit_length() - 1
+                if best is None or (cost, s) < best:
+                    best = (cost, s)
+            conf[(src[i], best[1])] += 1
+        exp = (
+            pa.table({
+                "actual": pa.array([k[0] for k in sorted(conf)]),
+                "predicted": pa.array([k[1] for k in sorted(conf)]),
+                "n_docs": pa.array([conf[k] for k in sorted(conf)], pa.int64()),
+            }).to_pandas()
+        )
+        assert got.reset_index(drop=True).equals(exp)
+        # separable corpus: every prediction is correct
+        assert all(got["actual"] == got["predicted"])
+
+    def test_vs_duckdb_replay_sf0001(self):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry_mod
+
+        from distributed_system___ocr_ray.pipelines import analytics
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "source", "text"])
+        got = analytics.nb_source_classifier(ds).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        exp = con.execute(
+            entry_mod._nb_source_classifier_sql()).df()
+        exp["n_docs"] = exp["n_docs"].astype(np.int64)
+        assert got.equals(exp.reset_index(drop=True))
