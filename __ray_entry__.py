@@ -2336,6 +2336,19 @@ def _q_pagerank_top(sf_dir: str):
     return analytics.pagerank_top(ds, iters=4, damping_pct=85, topn=20)
 
 
+def _q_ccnet_bucket_counts(sf_dir: str):
+    """CCNet head/middle/tail split per language: exact integer mean-
+    millibit unigram surprisal per doc, per-lang tertile order-statistic
+    thresholds, bucket counts (analytics.ccnet_bucket_counts -- Wenzek
+    et al. 2020 with the corpus unigram LM standing in for KenLM);
+    oracle replays bits, scores, row_number tertiles and the bucket CASE
+    digit-for-digit."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    return analytics.ccnet_bucket_counts(ds)
+
+
 def _q_nb_source_classifier(sf_dir: str):
     """Classifier-based domain filtering stand-in: multinomial Naive
     Bayes over source labels, trained on the md5-split 80% train slice
@@ -5314,6 +5327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "ccnet_bucket_counts": _q_ccnet_bucket_counts,
         "kmv_distinct_audit": _q_kmv_distinct_audit,
         "kcore_nodes": _q_kcore_nodes,
         # multimodal
@@ -6735,6 +6749,39 @@ _ANN_TOPK_SQL = (
     "SELECT q.query_id AS query_id, e.vec_id AS vec_id FROM q CROSS JOIN embeddings e "
     "QUALIFY row_number() OVER (PARTITION BY q.query_id "
     "ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id) <= 10"
+)
+
+
+_CCNET_BUCKET_SQL = (
+    # replay of analytics.ccnet_bucket_counts: shared tokenizer, per-token
+    # whole bits via the bit_length identity, mean-millibit floor-div
+    # score, per-lang ceil(n/3)/ceil(2n/3) order-statistic thresholds via
+    # row_number, bucket CASE, zero-count buckets kept by the base frame
+    "WITH tok AS (SELECT doc_id, lang, "
+    "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+    "FROM documents), "
+    "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1), "
+    "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok), "
+    "d AS (SELECT t.doc_id, t.lang, "
+    "SUM(length(bin((SELECT n FROM nt) // c.c)) - 1) AS total_bits, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens "
+    "FROM tok t JOIN c ON c.token = t.token GROUP BY 1, 2), "
+    "s AS (SELECT doc_id, lang, total_bits * 1000 // n_tokens AS score FROM d), "
+    "r AS (SELECT lang, score, "
+    "row_number() OVER (PARTITION BY lang ORDER BY score) AS rn, "
+    "COUNT(*) OVER (PARTITION BY lang) AS n FROM s), "
+    "th AS (SELECT lang, "
+    "MAX(CASE WHEN rn = (n + 2) // 3 THEN score END) AS t1, "
+    "MAX(CASE WHEN rn = (2 * n + 2) // 3 THEN score END) AS t2 "
+    "FROM r GROUP BY lang), "
+    "b AS (SELECT s.lang, CASE WHEN s.score <= th.t1 THEN 'head' "
+    "WHEN s.score <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket "
+    "FROM s JOIN th ON th.lang = s.lang), "
+    "base AS (SELECT lang, unnest(['head', 'middle', 'tail']) AS bucket FROM th) "
+    "SELECT base.lang, base.bucket, "
+    "CAST(COALESCE(COUNT(b.lang), 0) AS BIGINT) AS n_docs "
+    "FROM base LEFT JOIN b ON b.lang = base.lang AND b.bucket = base.bucket "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
 )
 
 
@@ -8412,6 +8459,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "nb_source_classifier": _nb_source_classifier_sql(),
+        "ccnet_bucket_counts": _CCNET_BUCKET_SQL,
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
         "rnn_pairs": _RNN_PAIRS_SQL,
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),

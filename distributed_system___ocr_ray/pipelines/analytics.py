@@ -13795,3 +13795,103 @@ def nb_source_classifier(ds, id_col: str = "doc_id", label_col: str = "source",
                              [("n_docs", "sum")],
                              ["actual", "predicted", "n_docs"]).to_pandas()
     return out.sort_values(["actual", "predicted"]).reset_index(drop=True)
+
+
+def ccnet_bucket_counts(ds, id_col: str = "doc_id", lang_col: str = "lang",
+                        text_col: str = "text"):
+    """CCNet-style head/middle/tail bucketing per language: score every
+    document by mean whole-bit unigram surprisal (``doc_surprisal_topk``'s
+    exact integer kernel -- ``mean_millibits = total_bits * 1000 //
+    n_tokens`` with per-token ``bit_length(N // c) - 1`` bits against the
+    corpus's own unigram LM), then split each language at its exact
+    tertile order statistics: ``t1`` = k1-th smallest score (k1 =
+    ceil(n/3)), ``t2`` = k2-th (k2 = ceil(2n/3)); head = score <= t1
+    (least surprising = most in-distribution), middle = (t1, t2], tail =
+    > t2. This is the CCNet data split (Wenzek et al. 2020) with the
+    corpus unigram model standing in for the external KenLM; zero-token
+    docs are excluded (no tokens, no perplexity).
+
+    Plan: pass 1 builds global token counts (per-batch value_counts ->
+    ``bucketed_grouped_sum``); the (token, bits) table broadcasts sorted
+    via ``ray.put`` (same bounded license as ``doc_surprisal_topk``).
+    Pass 2 scores each batch vectorized and pre-aggregates a (lang,
+    score) HISTOGRAM -- the score domain is bounded (millibits of a
+    <=~30-bit-per-token code), so tertile thresholds AND bucket counts
+    both resolve from the merged histogram on the driver without a
+    second corpus pass or any per-doc shuffle.
+
+    Returns (lang, bucket, n_docs) sorted, bucket in head/middle/tail."""
+    import re
+
+    import ray
+
+    from .relational import bucketed_grouped_sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    SEP = "\x1f"
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(vocab_partial, batch_format="pandas"), "token", "n"
+    ).to_pandas()
+    empty = pd.DataFrame({"lang": pd.Series([], dtype=str),
+                          "bucket": pd.Series([], dtype=str),
+                          "n_docs": pd.Series([], dtype=np.int64)})
+    if len(counts) == 0:
+        return empty
+    counts = counts.sort_values("token").reset_index(drop=True)
+    n_total = int(counts["n"].sum())
+    bits = np.array([(n_total // int(c)).bit_length() - 1
+                     for c in counts["n"]], dtype=np.int64)
+    handle = ray.put({"tokens": counts["token"].to_numpy(object), "bits": bits})
+
+    class Hist:
+        def __init__(self) -> None:
+            self.lk = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+            s = toks.explode().dropna()
+            if len(s) == 0:
+                return pd.DataFrame({"key": pd.Series([], dtype=str),
+                                     "n": pd.Series([], dtype=np.int64)})
+            pos = np.searchsorted(self.lk["tokens"], s.to_numpy(object))
+            tb = pd.Series(self.lk["bits"][pos], index=s.index)
+            per_doc = tb.groupby(level=0).agg(["size", "sum"])
+            score = (per_doc["sum"].to_numpy(np.int64) * 1000) // \
+                per_doc["size"].to_numpy(np.int64)
+            key = batch[lang_col].reindex(per_doc.index).astype(str).to_numpy(object) \
+                + SEP + score.astype(str).astype(object)
+            vc = pd.Series(key).value_counts()
+            return pd.DataFrame({"key": vc.index.to_numpy(object),
+                                 "n": vc.to_numpy(np.int64)})
+
+    hist = bucketed_grouped_sum(
+        ds.map_batches(Hist, batch_format="pandas", concurrency=(1, 8)), "key", "n"
+    ).to_pandas()
+    if len(hist) == 0:
+        return empty
+    split = hist["key"].str.split(SEP, n=1, expand=True)
+    hist["lang"] = split[0]
+    hist["score"] = split[1].astype(np.int64)
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy(np.int64)
+        sc = g["score"].to_numpy(np.int64)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        t1 = int(sc[np.searchsorted(cum, k1)])
+        t2 = int(sc[np.searchsorted(cum, k2)])
+        head = int(g.loc[g["score"] <= t1, "n"].sum())
+        middle = int(g.loc[(g["score"] > t1) & (g["score"] <= t2), "n"].sum())
+        tail = n - head - middle
+        rows += [(lang, "head", head), (lang, "middle", middle),
+                 (lang, "tail", tail)]
+    out = pd.DataFrame(rows, columns=["lang", "bucket", "n_docs"])
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "bucket"]).reset_index(drop=True)

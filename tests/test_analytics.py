@@ -9748,3 +9748,62 @@ class TestNbSourceClassifier:
             entry_mod._nb_source_classifier_sql()).df()
         exp["n_docs"] = exp["n_docs"].astype(np.int64)
         assert got.equals(exp.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCcnetBucketCounts:
+    def test_hand_tertiles(self):
+        """9 docs, one lang, scores forced distinct by token rarity;
+        tertile thresholds split 3/3/3 by construction."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # doc i repeats a doc-unique token i times plus common filler so
+        # mean bits strictly decreases with more common tokens; exact
+        # per-doc scores are replayed below in pure python
+        texts = [" ".join([f"u{i}"] + ["common"] * i) for i in range(9)]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(9)), pa.int64()),
+            "lang": pa.array(["en"] * 9),
+            "text": pa.array(texts),
+        }))
+        got = analytics.ccnet_bucket_counts(ds)
+        # pure-python replay
+        toks = [t.split() for t in texts]
+        from collections import Counter
+        c = Counter(t for d in toks for t in d)
+        N = sum(c.values())
+        scores = sorted(
+            (sum((N // c[t]).bit_length() - 1 for t in d) * 1000) // len(d)
+            for d in toks)
+        n = len(scores)
+        t1 = scores[(n + 2) // 3 - 1]
+        t2 = scores[(2 * n + 2) // 3 - 1]
+        head = sum(s <= t1 for s in scores)
+        mid = sum(t1 < s <= t2 for s in scores)
+        exp = {"head": head, "middle": mid, "tail": n - head - mid}
+        assert dict(zip(got["bucket"], got["n_docs"])) == exp
+        assert list(got["lang"].unique()) == ["en"]
+        assert int(got["n_docs"].sum()) == 9
+
+    def test_vs_duckdb_replay_sf0001(self):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry_mod
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "lang", "text"])
+        got = analytics.ccnet_bucket_counts(ds)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        exp = con.execute(entry_mod._CCNET_BUCKET_SQL).df()
+        exp["n_docs"] = exp["n_docs"].astype(np.int64)
+        assert got.equals(exp.reset_index(drop=True))
