@@ -2349,6 +2349,17 @@ def _q_ccnet_bucket_counts(sf_dir: str):
     return analytics.ccnet_bucket_counts(ds)
 
 
+def _q_soft_dedup_weights(sf_dir: str):
+    """Soft dedup: per-doc training weight 10^6 // exact-content cluster
+    size (analytics.soft_dedup_weights -- reweight instead of drop); the
+    oracle joins per-text counts back onto documents with the same
+    floor-div ppm."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return analytics.soft_dedup_weights(ds)
+
+
 def _q_nb_source_classifier(sf_dir: str):
     """Classifier-based domain filtering stand-in: multinomial Naive
     Bayes over source labels, trained on the md5-split 80% train slice
@@ -5327,6 +5338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "soft_dedup_weights": _q_soft_dedup_weights,
         "ccnet_bucket_counts": _q_ccnet_bucket_counts,
         "kmv_distinct_audit": _q_kmv_distinct_audit,
         "kcore_nodes": _q_kcore_nodes,
@@ -8459,6 +8471,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "nb_source_classifier": _nb_source_classifier_sql(),
+        "soft_dedup_weights": (
+            "WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY text) "
+            "SELECT d.doc_id, c.n AS cluster_size, CAST(1000000 // c.n AS BIGINT) AS weight_ppm "
+            "FROM documents d JOIN c ON c.text = d.text ORDER BY d.doc_id"
+        ),
         "ccnet_bucket_counts": _CCNET_BUCKET_SQL,
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
         "rnn_pairs": _RNN_PAIRS_SQL,

@@ -9807,3 +9807,45 @@ class TestCcnetBucketCounts:
         exp = con.execute(entry_mod._CCNET_BUCKET_SQL).df()
         exp["n_docs"] = exp["n_docs"].astype(np.int64)
         assert got.equals(exp.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSoftDedupWeights:
+    def test_planted_clusters_hand_weights(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # 3 copies of A, 2 of B, 1 of C -> weights 333333 / 500000 / 1000000
+        txt = ["A", "A", "A", "B", "B", "C"]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(txt),
+        }))
+        got = analytics.soft_dedup_weights(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert got["cluster_size"].tolist() == [3, 3, 3, 2, 2, 1]
+        assert got["weight_ppm"].tolist() == [333333] * 3 + [500000] * 2 + [1000000]
+        # cluster contribution never exceeds one doc's worth
+        assert (got["cluster_size"] * got["weight_ppm"] <= 1_000_000).all()
+
+    def test_vs_duckdb_sf0001(self):
+        import duckdb
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = analytics.soft_dedup_weights(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        exp = duckdb.sql(f"""
+            WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM read_parquet('{SF}/documents.parquet') GROUP BY text)
+            SELECT d.doc_id, c.n AS cluster_size,
+                   CAST(1000000 // c.n AS BIGINT) AS weight_ppm
+            FROM read_parquet('{SF}/documents.parquet') d
+            JOIN c ON c.text = d.text ORDER BY d.doc_id
+        """).df()
+        for c in ("doc_id", "cluster_size", "weight_ppm"):
+            exp[c] = exp[c].astype(np.int64)
+        assert got.equals(exp)
