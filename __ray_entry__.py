@@ -4996,6 +4996,20 @@ def _q_lang_temperature_plan(sf_dir: str):
     return analytics.lang_temperature_plan(ds)
 
 
+def _q_binary_hamming_topk(sf_dir: str):
+    """Binary (sign-bit) quantization recall audit: Hamming top-10 vs
+    exact integer-L2 top-10 per query (analytics.binary_hamming_topk --
+    the 1-bit rung of the compression ladder beside pq/matryoshka);
+    oracle replays sign bits, per-dim mismatch counts, milli-int L2 and
+    both (dist, vec_id) rankings."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.binary_hamming_topk(ds, _query_matrix(sf_dir))
+
+
 def _q_pq_recall_audit(sf_dir: str):
     """Product-quantization ADC recall@10 vs exact integer L2 per query
     (analytics.pq_recall_audit: md5-elected seeds, one Lloyd step,
@@ -5338,6 +5352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "binary_hamming_topk": _q_binary_hamming_topk,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "ccnet_bucket_counts": _q_ccnet_bucket_counts,
         "kmv_distinct_audit": _q_kmv_distinct_audit,
@@ -7704,6 +7719,34 @@ def _mmr_sql(k: int = 5, pool: int = 50, lam: float = 0.7) -> str:
     )
 
 
+_BINARY_HAMMING_SQL = (
+    # replay of analytics.binary_hamming_topk: sign bits on RAW floats,
+    # per-dim mismatch Hamming, milli-int exact L2 (pq convention,
+    # unit-norm inputs so L2 order is cosine order), both rankings at
+    # (dist, vec_id), overlap in ppm
+    "WITH q0 AS (SELECT vec_id, embedding AS e, list_transform(embedding, "
+    "x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv "
+    "FROM embeddings), "
+    "qry AS (SELECT vec_id AS query_id, e AS qe, qv AS qm FROM q0 "
+    "ORDER BY vec_id LIMIT 3), "
+    "dims AS (SELECT unnest(generate_series(1, 64)) AS i), "
+    "ham AS (SELECT qry.query_id, q0.vec_id, "
+    "SUM(CASE WHEN (qry.qe[i] > 0) <> (q0.e[i] > 0) THEN 1 ELSE 0 END) AS h "
+    "FROM qry, q0, dims GROUP BY 1, 2), "
+    "bink AS (SELECT query_id, vec_id FROM ham "
+    "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY h, vec_id) <= 10), "
+    "l2 AS (SELECT qry.query_id, q0.vec_id, "
+    "SUM((qry.qm[i] - q0.qv[i]) * (qry.qm[i] - q0.qv[i])) AS d "
+    "FROM qry, q0, dims GROUP BY 1, 2), "
+    "exk AS (SELECT query_id, vec_id FROM l2 "
+    "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) <= 10) "
+    "SELECT b.query_id, CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap, "
+    "CAST(COUNT(e.vec_id) * 1000000 // 10 AS BIGINT) AS recall_ppm "
+    "FROM bink b LEFT JOIN exk e ON e.query_id = b.query_id "
+    "AND e.vec_id = b.vec_id GROUP BY 1 ORDER BY 1"
+)
+
+
 def _pq_sql(n_sub: int = 8, n_codes: int = 16, k: int = 10,
             quant: int = 1000, dim: int = 64) -> str:
     """Replay of analytics.pq_recall_audit, step for step: milli-int
@@ -8471,6 +8514,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "nb_source_classifier": _nb_source_classifier_sql(),
+        "binary_hamming_topk": _BINARY_HAMMING_SQL,
         "soft_dedup_weights": (
             "WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY text) "
             "SELECT d.doc_id, c.n AS cluster_size, CAST(1000000 // c.n AS BIGINT) AS weight_ppm "

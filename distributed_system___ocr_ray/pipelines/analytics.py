@@ -13942,3 +13942,85 @@ def soft_dedup_weights(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("bucket")
         .map_groups(weigh, batch_format="pandas")
     )
+
+
+def binary_hamming_topk(ds, queries: "np.ndarray", k: int = 10,
+                        quant: int = 1000, id_col: str = "vec_id",
+                        emb_col: str = "embedding"):
+    """Binary (1-bit) quantization recall audit -- the third rung of the
+    vector-compression ladder beside ``pq_recall_audit`` (8x) and
+    ``matryoshka_recall_audit`` (truncation): each embedding collapses to
+    its 64 SIGN BITS (bit i set iff x_i > 0 on the raw floats), candidates
+    rank by Hamming distance to the query's sign pattern, and recall@k is
+    measured against the exact ranking (integer squared L2 on milli-quantized
+    vectors -- the pq convention; inputs are unit-norm so L2 order IS
+    cosine order). Ties break to the smaller vec_id in both rankings.
+
+    One streaming pass: the query block (sign pattern + milli vector)
+    broadcasts via ``ray.put``; each batch computes all-query Hamming
+    counts and exact integer L2 fully vectorized and emits only per-batch
+    top-k partials for BOTH rankings; the driver-side final merges
+    ``2 * k * |queries| * n_blocks`` bounded rows. No shuffle touches the
+    vector domain.
+
+    Returns (query_id, n_overlap, recall_ppm) ordered by query_id."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    qb = q > 0  # (nq, d) sign pattern
+    qm = np.floor(q * quant + 0.5).astype(np.int64)
+    handle = ray.put((qb, qm))
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        d = len(col[0]) if n else 0
+        return col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.float64).reshape(n, d)
+
+    class Partial:
+        def __init__(self) -> None:
+            self.qb, self.qm = ray.get(handle)
+
+        def __call__(self, batch: pa.Table, _k=k) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            if not len(ids):
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64()),
+                                 "which": pa.array([], pa.string())})
+            E = _mat(batch.column(emb_col))
+            B = E > 0
+            M = np.floor(E * quant + 0.5).astype(np.int64)
+            frames = []
+            for j in range(len(self.qb)):
+                ham = (B != self.qb[j][None, :]).sum(axis=1).astype(np.int64)
+                diff = M - self.qm[j][None, :]
+                l2 = (diff * diff).sum(axis=1)
+                for which, dist in (("bin", ham), ("exact", l2)):
+                    order = np.lexsort((ids, dist))[:_k]
+                    frames.append(pd.DataFrame({
+                        "query_id": np.full(len(order), j, np.int64),
+                        "vec_id": ids[order], "dist": dist[order],
+                        "which": which}))
+            return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    def final(batch: pa.Table, _k=k) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for qid, g in df.groupby("query_id"):
+            tops = {}
+            for which, gg in g.groupby("which"):
+                gg = gg.sort_values(["dist", "vec_id"]).head(_k)
+                tops[which] = set(gg["vec_id"])
+            n_overlap = len(tops.get("bin", set()) & tops.get("exact", set()))
+            rows.append((int(qid), n_overlap, n_overlap * 1_000_000 // _k))
+        out = pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall_ppm"])
+        return pa.Table.from_pandas(
+            out.sort_values("query_id").astype(np.int64), preserve_index=False)
+
+    return (
+        ds.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 8))
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -9849,3 +9849,55 @@ class TestSoftDedupWeights:
         for c in ("doc_id", "cluster_size", "weight_ppm"):
             exp[c] = exp[c].astype(np.int64)
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBinaryHammingTopk:
+    def test_orthant_planted_recall(self):
+        """Vectors planted in two orthants: sign bits separate them
+        perfectly, so binary recall@k is 100% for a same-orthant query."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        rng = np.random.RandomState(5)
+        d = 64
+        # 10 vectors near +1 orthant, 30 near mixed random orthants
+        plus = np.abs(rng.randn(10, d)) + 0.5
+        noise = rng.randn(30, d) * 2
+        E = np.vstack([plus, noise])
+        E = E / np.linalg.norm(E, axis=1, keepdims=True)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(list(range(40)), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in E],
+                                  pa.list_(pa.float32())),
+        }))
+        q = E[:1]  # first planted vector queries its own cluster
+        got = analytics.binary_hamming_topk(ds, q, k=10).to_pandas()
+        assert len(got) == 1
+        # all-positive query: binary + exact top-10 are both inside the
+        # planted orthant -> perfect agreement
+        assert int(got["recall_ppm"].iloc[0]) == 1_000_000
+        assert int(got["n_overlap"].iloc[0]) == 10
+
+    def test_vs_duckdb_sf0001(self):
+        import sys
+
+        import duckdb
+        import ray.data as rd
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry_mod
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = analytics.binary_hamming_topk(
+            ds, entry_mod._query_matrix(SF)).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{SF}/embeddings.parquet')")
+        exp = con.execute(entry_mod._BINARY_HAMMING_SQL).df()
+        for c in exp.columns:
+            exp[c] = exp[c].astype(np.int64)
+        assert got.reset_index(drop=True).equals(exp)
