@@ -3659,6 +3659,49 @@ _LATE_ORDERS_BY_PRIORITY_SQL = (
 )
 
 
+def _q_mor_delete_counts(sf_dir: str):
+    """Merge-on-read delete end-to-end (the CDC-writer flavor beside
+    _q_cow_delete_counts's copy-on-write): stream documents into a
+    Lance-style table, EQUALITY-delete the shared doc_id range as a
+    small delete file -- the guard asserts every fragment carried by
+    reference (zero rewrites) and a positive deleted-key count -- then
+    aggregate surviving rows per lang THROUGH the delete-applying
+    reader (sources/lance_like.delete_where_mor + read_dataset's
+    anti-filter stage). The oracle is the complement WHERE clause over
+    the source table, shared with the COW twin."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.sources import lance_like
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    lo, hi = _range_bounds(sf_dir)
+    tdir = tempfile.mkdtemp(prefix="graft_mor_") + "/docs"
+    try:
+        lance_like.write_dataset(
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+            tdir,
+            rows_per_fragment=max(50, n // 10),
+        )
+        before = len(lance_like.read_manifest(tdir)["fragments"])
+        man = lance_like.delete_where_mor(
+            tdir, [("doc_id", ">=", lo), ("doc_id", "<", hi)], key_col="doc_id"
+        )
+        if not (man["keys_deleted"] > 0 and man["fragments_carried"] == before
+                and man["fragments_scanned"] < before):
+            raise AssertionError(
+                f"merge-on-read delete shape wrong: {man['keys_deleted']} keys, "
+                f"{man['fragments_carried']}/{before} carried, "
+                f"{man['fragments_scanned']} scanned"
+            )
+        return _lang_agg(lance_like.read_dataset(tdir)).to_pandas()
+    finally:
+        shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
+
+
 def _q_time_travel_counts(sf_dir: str):
     """Snapshot-isolation read (time travel): write odd-event rows as
     table version 1, append the evens as version 2, then aggregate AT
@@ -5352,6 +5395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "mor_delete_counts": _q_mor_delete_counts,
         "binary_hamming_topk": _q_binary_hamming_topk,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "ccnet_bucket_counts": _q_ccnet_bucket_counts,
@@ -8453,6 +8497,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         # replays _q_cow_delete_counts: the complement of the deleted range
         "cow_delete_counts": (
+            f"WITH {_RANGE_CTE} "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents, b WHERE doc_id < b.lo OR doc_id >= b.hi GROUP BY lang"
+        ),
+        "mor_delete_counts": (
+            # same complement as the COW twin: MOR changes the WRITE
+            # amplification, not the visible rows
             f"WITH {_RANGE_CTE} "
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "

@@ -354,15 +354,47 @@ def read_dataset(
         return rd.from_items([])  # truly nothing ever written: schema-less
 
     cols = read_parquet_kwargs.get("columns")
+    # merge-on-read: load this version's equality-delete key sets (small
+    # by contract) and apply them as a vectorized anti-filter stage; a
+    # projection that excludes a delete key column is widened for the
+    # read and narrowed again after the filter.
+    try:
+        dels = _delete_key_sets(table_dir, read_manifest(table_dir, version))
+    except FileNotFoundError:
+        dels = []
+    if dels and cols:
+        widened = list(cols) + [c for c, _ in dels if c not in cols]
+        read_parquet_kwargs = {**read_parquet_kwargs, "columns": widened}
+
+    def apply_deletes(ds):
+        if not dels:
+            return ds
+        import ray
+
+        handles = [(col, ray.put(pa.array(sorted(keys)))) for col, keys in dels]
+        drop = [c for c, _ in dels if cols and c not in cols]
+
+        def anti(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            for col, h in handles:
+                mask = pc.is_in(batch.column(col), value_set=ray.get(h))
+                batch = batch.filter(pc.invert(mask))
+            return batch.drop_columns(drop) if drop else batch
+
+        return ds.map_batches(anti, batch_format="pyarrow")
+
     if not predicates:
         paths = fragment_paths(table_dir, version)
         if not paths:
             return empty(cols)
-        return rd.read_parquet(paths, **read_parquet_kwargs)
+        return apply_deletes(rd.read_parquet(paths, **read_parquet_kwargs))
     paths, _total = pruned_fragment_paths(table_dir, predicates, version)
     if not paths:
         return empty(cols)
-    return rd.read_parquet(paths, filter=_predicates_expr(predicates), **read_parquet_kwargs)
+    return apply_deletes(
+        rd.read_parquet(paths, filter=_predicates_expr(predicates), **read_parquet_kwargs)
+    )
 
 
 def manifest_over_files(paths: list[str], table_dir: str) -> dict:
@@ -468,6 +500,11 @@ def compact(
     for i, (op, frags) in enumerate(plan):
         fragments.append(merged[i] if op == "merge" else frags[0])
     manifest = {"version": version, "fragments": fragments, "compacted_from": man["version"]}
+    if man.get("delete_files"):
+        # merge-on-read deletes stay logical across compaction: merged
+        # fragments may still contain deleted rows (zone maps stay
+        # conservative); readers keep applying the carried delete files
+        manifest["delete_files"] = list(man["delete_files"])
     return _commit_manifest(table_dir, manifest)
 
 
@@ -517,6 +554,12 @@ def delete_where(
     import pyarrow.compute as pc
 
     man = read_manifest(table_dir)
+    if man.get("delete_files"):
+        raise NotImplementedError(
+            "copy-on-write delete over a table with merge-on-read delete "
+            "files would resurrect logically-deleted rows; materialize "
+            "them first (read_arrow + rewrite) or keep using delete_where_mor"
+        )
     version = man["version"] + 1
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     new_frags: list[dict] = []
@@ -558,6 +601,90 @@ def delete_where(
     return _commit_manifest(table_dir, manifest)
 
 
+def delete_where_mor(table_dir: str, predicates: list[tuple], key_col: str) -> dict:
+    """Merge-on-read EQUALITY delete (Iceberg-v2 equality-delete-file
+    semantics) -- the other half of the delete ladder beside
+    ``delete_where``'s copy-on-write: commit a new manifest version that
+    carries EVERY data fragment by reference and adds one small DELETE
+    FILE holding the ``key_col`` values of the rows the ANDed ``(col, op,
+    value)`` predicates match; readers apply it as an anti-join. Write
+    cost is O(matching rows' keys) -- bytes of keys, not bytes of data --
+    which is why CDC/streaming writers pick this flavor; the price moves
+    to every subsequent read until a rewrite materializes it.
+
+    Zone maps still bound the scan that COLLECTS the keys (prove-no-match
+    fragments are never opened). Delete files COMPOUND: the new manifest
+    carries the prior version's ``delete_files`` list plus the new file.
+    All copies of a duplicated key die (equality semantics). ``gc()``
+    never touches ``deletes/`` (delete files are tiny; reclaim arrives
+    with materialization). ``compact()`` carries delete files forward
+    unchanged; ``delete_where``/``merge_upsert`` refuse MOR tables loudly
+    rather than resurrect rows.
+
+    Returns the new manifest plus ``rows_deleted`` (matched rows, BEFORE
+    key dedup), ``keys_deleted`` (distinct keys written),
+    ``fragments_carried`` (always every fragment) and
+    ``fragments_scanned`` (zone-map survivors that were opened)."""
+    import pyarrow.compute as pc
+
+    man = read_manifest(table_dir)
+    version = man["version"] + 1
+    os.makedirs(os.path.join(table_dir, "deletes"), exist_ok=True)
+    keys: list = []
+    rows_deleted = 0
+    scanned = 0
+    for frag in man["fragments"]:
+        if not _fragment_may_match(frag, predicates):
+            continue
+        p = frag["path"]
+        full = p if os.path.isabs(p) else os.path.join(table_dir, p)
+        tbl = pq.read_table(full, columns=None)
+        scanned += 1
+        mask = _predicate_mask(tbl, predicates)
+        n_match = pc.sum(mask).as_py() or 0
+        if n_match == 0:
+            continue
+        rows_deleted += n_match
+        keys.append(tbl.column(key_col).filter(mask))
+    delete_files = list(man.get("delete_files") or [])
+    keys_deleted = 0
+    if keys:
+        kt = pa.table({key_col: pa.concat_arrays(
+            [c for chunk in keys for c in
+             (chunk.chunks if isinstance(chunk, pa.ChunkedArray) else [chunk])]
+        )})
+        kt = pa.table({key_col: pc.unique(kt.column(key_col))})
+        keys_deleted = kt.num_rows
+        rel = f"deletes/delete-{version}.parquet"
+        pq.write_table(kt, os.path.join(table_dir, rel))
+        delete_files.append({"path": rel, "key_col": key_col, "rows": keys_deleted})
+    manifest = {
+        "version": version,
+        "fragments": list(man["fragments"]),
+        "delete_files": delete_files,
+        "mor_deleted_from": man["version"],
+        "rows_deleted": rows_deleted,
+        "keys_deleted": keys_deleted,
+        "fragments_carried": len(man["fragments"]),
+        "fragments_scanned": scanned,
+    }
+    return _commit_manifest(table_dir, manifest)
+
+
+def _delete_key_sets(table_dir: str, man: dict) -> list[tuple[str, set]]:
+    """Load a manifest's equality-delete files as (key_col, key set)
+    pairs, merged per key column. Delete files are small by contract
+    (CDC-delta-sized); the driver-side load is the bounded collect the
+    MOR read path is built around."""
+    merged: dict[str, set] = {}
+    for df in man.get("delete_files") or []:
+        full = os.path.join(table_dir, df["path"])
+        col = df["key_col"]
+        vals = pq.read_table(full).column(col).to_pylist()
+        merged.setdefault(col, set()).update(vals)
+    return list(merged.items())
+
+
 def merge_upsert(
     table_dir: str, updates: pa.Table, key: str, row_group_size: int | None = None
 ) -> dict:
@@ -590,6 +717,11 @@ def merge_upsert(
     import pyarrow.compute as pc
 
     man = read_manifest(table_dir)
+    if man.get("delete_files"):
+        raise NotImplementedError(
+            "merge_upsert over a merge-on-read table would resurrect "
+            "logically-deleted rows; materialize the delete files first"
+        )
     version = man["version"] + 1
     _check_append_schema(table_dir, man["version"], updates.schema)
     kcol = updates.column(key)
@@ -708,9 +840,18 @@ def verify(table_dir: str, version: int | None = None, check_stats: bool = True)
 
 
 def read_arrow(table_dir: str, version: int | None = None) -> pa.Table:
-    """Driver-side read of a small Lance-style table into one Arrow table."""
-    paths = fragment_paths(table_dir, version)
-    return pa.concat_tables([pq.read_table(p) for p in paths])
+    """Driver-side read of a small Lance-style table into one Arrow table.
+    Equality-delete files (``delete_where_mor``) are applied as an
+    anti-join before returning -- the merge-on-read contract."""
+    import pyarrow.compute as pc
+
+    man = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, frag["path"]) for frag in man["fragments"]]
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+    for col, keys in _delete_key_sets(table_dir, man):
+        mask = pc.is_in(tbl.column(col), value_set=pa.array(sorted(keys)))
+        tbl = tbl.filter(pc.invert(mask))
+    return tbl
 
 
 def gc(table_dir: str, keep_versions: int = 2) -> dict:

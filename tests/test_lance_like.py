@@ -101,3 +101,74 @@ class TestShallowClone:
         # still read fully
         assert sorted(lance_like.read_arrow(dst).column("k").to_pylist()) == [1, 2, 3]
         assert sorted(lance_like.read_arrow(src).column("k").to_pylist()) == [1, 2]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMergeOnReadDelete:
+    def _build(self, tmp_path, rows_per_fragment=3):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like
+
+        root = str(tmp_path / "tbl")
+        t = pa.table({"k": pa.array(list(range(9)), pa.int64()),
+                      "v": pa.array([f"v{i}" for i in range(9)], pa.string())})
+        lance_like.write_dataset(rd.from_arrow(t), root,
+                                 rows_per_fragment=rows_per_fragment)
+        return root, lance_like
+
+    def test_delete_file_not_rewrite(self, tmp_path):
+        root, ll = self._build(tmp_path)
+        before = ll.read_manifest(root)
+        man = ll.delete_where_mor(root, [("k", ">=", 3), ("k", "<", 6)], "k")
+        # every fragment carried by reference; only the middle one scanned
+        assert man["fragments_carried"] == len(before["fragments"]) == 3
+        assert man["fragments_scanned"] == 1
+        assert man["rows_deleted"] == 3 and man["keys_deleted"] == 3
+        assert [f["path"] for f in man["fragments"]] == \
+            [f["path"] for f in before["fragments"]]
+        # reader applies the delete; pinned old version does not
+        assert sorted(ll.read_arrow(root).column("k").to_pylist()) == \
+            [0, 1, 2, 6, 7, 8]
+        assert len(ll.read_arrow(root, version=1)) == 9
+        got = ll.read_dataset(root).to_pandas()
+        assert sorted(got["k"].tolist()) == [0, 1, 2, 6, 7, 8]
+
+    def test_deletes_compound_and_projection_widens(self, tmp_path):
+        root, ll = self._build(tmp_path)
+        ll.delete_where_mor(root, [("k", "==", 0)], "k")
+        man = ll.delete_where_mor(root, [("k", "==", 7)], "k")
+        assert len(man["delete_files"]) == 2
+        # projection WITHOUT the key column still applies the delete
+        got = ll.read_dataset(root, columns=["v"]).to_pandas()
+        assert sorted(got["v"].tolist()) == \
+            [f"v{i}" for i in (1, 2, 3, 4, 5, 6, 8)]
+        assert list(got.columns) == ["v"]
+
+    def test_compact_carries_deletes_cow_refuses(self, tmp_path):
+        root, ll = self._build(tmp_path)
+        ll.delete_where_mor(root, [("k", "<", 2)], "k")
+        man = ll.compact(root, target_rows_per_fragment=100)
+        assert man.get("delete_files"), "compact must carry delete files"
+        assert sorted(ll.read_arrow(root).column("k").to_pylist()) == \
+            list(range(2, 9))
+        with pytest.raises(NotImplementedError):
+            ll.delete_where(root, [("k", "==", 5)])
+        with pytest.raises(NotImplementedError):
+            ll.merge_upsert(root, pa.table({"k": pa.array([5], pa.int64()),
+                                            "v": pa.array(["x"])}), "k")
+
+    def test_duplicate_keys_all_die(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "dup")
+        t = pa.table({"k": pa.array([1, 1, 2, 2, 3], pa.int64()),
+                      "v": pa.array(list("abcde"), pa.string())})
+        ll.write_dataset(rd.from_arrow(t), root, rows_per_fragment=2)
+        man = ll.delete_where_mor(root, [("v", "==", "a")], "k")
+        # equality semantics: key 1 dies everywhere, both copies
+        assert man["rows_deleted"] == 1 and man["keys_deleted"] == 1
+        assert sorted(ll.read_arrow(root).column("v").to_pylist()) == \
+            ["c", "d", "e"]
