@@ -2360,6 +2360,18 @@ def _q_soft_dedup_weights(sf_dir: str):
     return analytics.soft_dedup_weights(ds)
 
 
+def _q_filter_impact_audit(sf_dir: str):
+    """Disparate-impact audit of the composed pipeline's quality gate:
+    per-lang pass rates at the 400k-ppm threshold, impact ratio vs the
+    best-passing lang, four-fifths-rule flag (analytics.
+    filter_impact_audit); oracle shares the quality CTEs char-for-char
+    and replays the floor-div ratio ladder."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    return analytics.filter_impact_audit(ds)
+
+
 def _q_nb_source_classifier(sf_dir: str):
     """Classifier-based domain filtering stand-in: multinomial Naive
     Bayes over source labels, trained on the md5-split 80% train slice
@@ -5395,6 +5407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "filter_impact_audit": _q_filter_impact_audit,
         "mor_delete_counts": _q_mor_delete_counts,
         "binary_hamming_topk": _q_binary_hamming_topk,
         "soft_dedup_weights": _q_soft_dedup_weights,
@@ -6854,6 +6867,34 @@ _CCNET_BUCKET_SQL = (
     "FROM base LEFT JOIN b ON b.lang = base.lang AND b.bucket = base.bucket "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+def _filter_impact_sql(threshold_ppm: int = 400_000,
+                       four_fifths_ppm: int = 800_000) -> str:
+    """Replay of ``analytics.filter_impact_audit``: the shared quality
+    CTEs, the >= threshold gate, per-lang floor-div pass rates, the
+    max-rate impact ratio and the four-fifths flag (uniform-rejection
+    degenerate case pinned to ratio 1e6 / flag 0 on both sides)."""
+    return (
+        f"WITH {_quality_ctes('lang')}, "
+        f"q AS (SELECT lang, {_QPPM_EXPR} AS qp FROM r), "
+        "g AS (SELECT lang, COUNT(*) AS n_docs, "
+        f"SUM(CASE WHEN qp >= {threshold_ppm} THEN 1 ELSE 0 END) AS n_pass "
+        "FROM q GROUP BY 1), "
+        "g2 AS (SELECT lang, n_docs, n_pass, "
+        "n_pass * 1000000 // n_docs AS pass_rate_ppm FROM g), "
+        "m AS (SELECT MAX(pass_rate_ppm) AS mr FROM g2) "
+        "SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, "
+        "CAST(n_pass AS BIGINT) AS n_pass, "
+        "CAST(pass_rate_ppm AS BIGINT) AS pass_rate_ppm, "
+        "CAST(CASE WHEN (SELECT mr FROM m) = 0 THEN 1000000 "
+        "ELSE pass_rate_ppm * 1000000 // (SELECT mr FROM m) END AS BIGINT) "
+        "AS impact_ratio_ppm, "
+        "CAST(CASE WHEN (SELECT mr FROM m) = 0 THEN 0 "
+        f"WHEN pass_rate_ppm * 1000000 // (SELECT mr FROM m) < {four_fifths_ppm} "
+        "THEN 1 ELSE 0 END AS BIGINT) AS flag_disparate "
+        "FROM g2 ORDER BY lang"
+    )
 
 
 def _nb_source_classifier_sql(train_mod: int = 10, train_lt: int = 8) -> str:
@@ -8566,6 +8607,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "nb_source_classifier": _nb_source_classifier_sql(),
+        "filter_impact_audit": _filter_impact_sql(),
         "binary_hamming_topk": _BINARY_HAMMING_SQL,
         "soft_dedup_weights": (
             "WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY text) "

@@ -14024,3 +14024,56 @@ def binary_hamming_topk(ds, queries: "np.ndarray", k: int = 10,
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def filter_impact_audit(ds, lang_col: str = "lang", text_col: str = "text",
+                        threshold_ppm: int = 400_000,
+                        four_fifths_ppm: int = 800_000):
+    """Disparate-impact audit of the quality gate: when the training-
+    corpus filter (``quality_ppm >= threshold``, the composed-pipeline
+    gate) drops documents, does it drop some LANGUAGES much harder than
+    others? Reports per-lang pass rates and each lang's impact ratio
+    against the best-passing lang, flagged by the four-fifths rule
+    (ratio < 80% = the filter disproportionately excludes that slice --
+    the curation-governance check a multilingual corpus runs before
+    shipping a filtered mix).
+
+    Integer-exact: pass_rate_ppm = n_pass * 10^6 // n_docs;
+    impact_ratio_ppm = rate * 10^6 // max_rate (1e6 with flag 0 when
+    every lang fails everything -- no disparity in uniform rejection).
+
+    Map-side quality scoring (``textstats.quality_features``, the
+    SQL-pinned kernel) -> per-lang (n_docs, n_pass) partials -> tiny
+    bounded final -> driver ratio arithmetic on a handful of rows.
+
+    Returns (lang, n_docs, n_pass, pass_rate_ppm, impact_ratio_ppm,
+    flag_disparate) sorted by lang."""
+    from .relational import tiny_final_groupby
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qp = ts.quality_features(batch[text_col])["quality_ppm"].to_numpy(np.int64)
+        g = pd.DataFrame({lang_col: batch[lang_col],
+                          "n_docs": np.ones(len(qp), np.int64),
+                          "n_pass": (qp >= threshold_ppm).astype(np.int64)})
+        return g.groupby(lang_col, as_index=False).sum()
+
+    agg = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        [lang_col], [("n_docs", "sum"), ("n_pass", "sum")],
+        [lang_col, "n_docs", "n_pass"],
+    ).to_pandas()
+    if len(agg) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64 if c != lang_col else str)
+                             for c in (lang_col, "n_docs", "n_pass", "pass_rate_ppm",
+                                       "impact_ratio_ppm", "flag_disparate")})
+    agg["pass_rate_ppm"] = (agg["n_pass"] * 1_000_000) // agg["n_docs"]
+    mr = int(agg["pass_rate_ppm"].max())
+    if mr == 0:
+        agg["impact_ratio_ppm"] = np.int64(1_000_000)
+        agg["flag_disparate"] = np.int64(0)
+    else:
+        agg["impact_ratio_ppm"] = (agg["pass_rate_ppm"] * 1_000_000) // mr
+        agg["flag_disparate"] = (agg["impact_ratio_ppm"] < four_fifths_ppm).astype(np.int64)
+    for c in ("n_docs", "n_pass", "pass_rate_ppm", "impact_ratio_ppm", "flag_disparate"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values(lang_col).reset_index(drop=True)

@@ -9901,3 +9901,69 @@ class TestBinaryHammingTopk:
         for c in exp.columns:
             exp[c] = exp[c].astype(np.int64)
         assert got.reset_index(drop=True).equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFilterImpactAudit:
+    def test_hand_built_disparity(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions import textstats as ts_mod
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # lang 'hi' docs pass, lang 'lo' docs fail: threshold between the
+        # two measured scores -> impact ratio 0 for 'lo', flag raised
+        good = "the and for with that this " * 30   # long, stopword-rich
+        bad = "zz"                                   # short, no stopwords
+        q_good = int(ts_mod.quality_features(
+            __import__("pandas").Series([good]))["quality_ppm"].iloc[0])
+        q_bad = int(ts_mod.quality_features(
+            __import__("pandas").Series([bad]))["quality_ppm"].iloc[0])
+        assert q_bad < q_good
+        thr = (q_bad + q_good) // 2
+        ds = rd.from_arrow(pa.table({
+            "lang": pa.array(["hi"] * 4 + ["lo"] * 4),
+            "text": pa.array([good] * 4 + [bad] * 4),
+        }))
+        got = analytics.filter_impact_audit(ds, threshold_ppm=thr)
+        r = got.set_index("lang")
+        assert r.loc["hi", "pass_rate_ppm"] == 1_000_000
+        assert r.loc["hi", "impact_ratio_ppm"] == 1_000_000
+        assert int(r.loc["hi", "flag_disparate"]) == 0
+        assert r.loc["lo", "pass_rate_ppm"] == 0
+        assert int(r.loc["lo", "flag_disparate"]) == 1
+
+    def test_uniform_rejection_no_disparity(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "lang": pa.array(["a", "b"] * 3),
+            "text": pa.array(["zz"] * 6),
+        }))
+        got = analytics.filter_impact_audit(ds, threshold_ppm=999_999)
+        assert (got["pass_rate_ppm"] == 0).all()
+        assert (got["impact_ratio_ppm"] == 1_000_000).all()
+        assert (got["flag_disparate"] == 0).all()
+
+    def test_vs_duckdb_sf0001(self):
+        import sys
+
+        import duckdb
+        import ray.data as rd
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry_mod
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["lang", "text"])
+        got = analytics.filter_impact_audit(ds)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        exp = con.execute(entry_mod._filter_impact_sql()).df()
+        for c in exp.columns[1:]:
+            exp[c] = exp[c].astype(np.int64)
+        assert got.equals(exp.reset_index(drop=True))
