@@ -30,13 +30,21 @@ import pyarrow.parquet as pq
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency commit failure: another writer committed the
+    same manifest version first (Iceberg's commit contract -- writers
+    prepare against a snapshot and an exclusive version-file create
+    decides the race; the loser re-reads the new latest and re-runs its
+    op, its prepared-but-unreferenced fragment files reclaimed by gc)."""
+
+
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_manifest")
 
 
 def _commit_manifest(table_dir: str, manifest: dict) -> dict:
     """Atomic manifest commit: write to a dot-tmp then os.replace, so a
-    reader never observes a torn v{N}.json. The single place the commit
+    reader never observes a torn v{N}.json, then an EXCLUSIVE link into place so concurrent writers race loudly (CommitConflict) instead of silently clobbering each other. The single place the commit
     protocol lives (write_table/write_dataset/manifest_over_files/compact
     all funnel here — review finding, round 3: four verbatim copies meant
     a protocol change, e.g. adding an fsync, had to land in four places)."""
@@ -44,7 +52,19 @@ def _commit_manifest(table_dir: str, manifest: dict) -> dict:
     tmp = os.path.join(_manifest_dir(table_dir), f".v{version}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.replace(tmp, os.path.join(_manifest_dir(table_dir), f"v{version}.json"))
+    final = os.path.join(_manifest_dir(table_dir), f"v{version}.json")
+    try:
+        # exclusive create (os.link fails on an existing target): the
+        # atomic arbiter of concurrent writers -- os.replace would let the
+        # SECOND committer silently clobber the first's version
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        raise CommitConflict(
+            f"manifest v{version} already committed in {table_dir}; "
+            "re-read the latest version and re-run the operation"
+        ) from None
+    os.unlink(tmp)
     return manifest
 
 

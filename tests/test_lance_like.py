@@ -172,3 +172,39 @@ class TestMergeOnReadDelete:
         assert man["rows_deleted"] == 1 and man["keys_deleted"] == 1
         assert sorted(ll.read_arrow(root).column("v").to_pylist()) == \
             ["c", "d", "e"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCommitConflict:
+    def test_second_writer_loses_loudly(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "tbl")
+        t = pa.table({"k": pa.array([1, 2], pa.int64())})
+        ll.write_dataset(rd.from_arrow(t), root)
+        # two writers prepare an append against the SAME snapshot: the
+        # first commit wins, the second must raise, not clobber
+        man = ll.read_manifest(root)
+        stale = dict(man, version=man["version"] + 1,
+                     fragments=list(man["fragments"]))
+        ll.write_dataset(rd.from_arrow(t), root, mode="append")  # winner
+        with pytest.raises(ll.CommitConflict):
+            ll._commit_manifest(root, stale)
+        # winner's commit is intact: both fragments readable
+        assert len(ll.read_arrow(root)) == 4
+
+    def test_retry_against_new_latest_succeeds(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "tbl")
+        t = pa.table({"k": pa.array([1], pa.int64())})
+        ll.write_dataset(rd.from_arrow(t), root)
+        ll.write_dataset(rd.from_arrow(t), root, mode="append")
+        # the documented loser recovery: re-run the op (re-reads latest)
+        man = ll.write_dataset(rd.from_arrow(t), root, mode="append")
+        assert man["version"] == 3
+        assert len(ll.read_arrow(root)) == 3
