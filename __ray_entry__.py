@@ -2372,6 +2372,18 @@ def _q_filter_impact_audit(sf_dir: str):
     return analytics.filter_impact_audit(ds)
 
 
+def _q_texttiling_boundaries(sf_dir: str):
+    """TextTiling topic-shift audit: fixed 20-token blocks, integer
+    squared-cosine gap scores in ppm, boundaries below 250k
+    (analytics.texttiling_boundaries -- Hearst 1997 integerized, purely
+    map-side); oracle replays block ids, token-count dots, norms and
+    the floor-div cos^2 with the same no-gap/1e6 degenerate pins."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return analytics.texttiling_boundaries(ds)
+
+
 def _q_nb_source_classifier(sf_dir: str):
     """Classifier-based domain filtering stand-in: multinomial Naive
     Bayes over source labels, trained on the md5-split 80% train slice
@@ -5407,6 +5419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "texttiling_boundaries": _q_texttiling_boundaries,
         "filter_impact_audit": _q_filter_impact_audit,
         "mor_delete_counts": _q_mor_delete_counts,
         "binary_hamming_topk": _q_binary_hamming_topk,
@@ -6895,6 +6908,42 @@ def _filter_impact_sql(threshold_ppm: int = 400_000,
         "THEN 1 ELSE 0 END AS BIGINT) AS flag_disparate "
         "FROM g2 ORDER BY lang"
     )
+
+
+_TEXTTILING_SQL = (
+    # replay of analytics.texttiling_boundaries: shared tokenizer,
+    # position -> 20-token block fold, adjacent-block integer dot/norms,
+    # squared-cosine ppm (squaring removes the sqrt), < 250k boundary
+    # rule, one-block docs pinned to (0 gaps, 0 boundaries, 1e6)
+    "WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') "
+    "AS ts FROM documents), "
+    "d1 AS (SELECT doc_id, ts FROM d0 WHERE len(ts) > 0), "
+    "mx AS (SELECT MAX(len(ts)) AS m FROM d1), "
+    "dims AS (SELECT unnest(generate_series(1, (SELECT m FROM mx))) AS i), "
+    "tok AS (SELECT doc_id, ts[i] AS token, (i - 1) // 20 AS block "
+    "FROM d1, dims WHERE i <= len(ts)), "
+    "cnt AS (SELECT doc_id, block, token, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM tok GROUP BY 1, 2, 3), "
+    "norms AS (SELECT doc_id, block, SUM(c * c) AS norm FROM cnt GROUP BY 1, 2), "
+    "nb AS (SELECT doc_id, MAX(block) + 1 AS n_blocks FROM norms GROUP BY 1), "
+    "dots AS (SELECT a.doc_id, a.block, SUM(a.c * b.c) AS dot FROM cnt a "
+    "JOIN cnt b ON b.doc_id = a.doc_id AND b.block = a.block + 1 "
+    "AND b.token = a.token GROUP BY 1, 2), "
+    "gaps AS (SELECT n1.doc_id, n1.block, COALESCE(d.dot, 0) AS dot, "
+    "n1.norm AS na, n2.norm AS nbm FROM norms n1 "
+    "JOIN norms n2 ON n2.doc_id = n1.doc_id AND n2.block = n1.block + 1 "
+    "LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.block = n1.block), "
+    "sc AS (SELECT doc_id, dot * dot * 1000000 // (na * nbm) AS cos2 FROM gaps), "
+    "per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+    "CAST(MIN(cos2) AS BIGINT) AS min_c, "
+    "CAST(SUM(CASE WHEN cos2 < 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_b "
+    "FROM sc GROUP BY 1) "
+    "SELECT nb.doc_id, CAST(nb.n_blocks AS BIGINT) AS n_blocks, "
+    "CAST(COALESCE(per.n_gaps, 0) AS BIGINT) AS n_gaps, "
+    "CAST(COALESCE(per.n_b, 0) AS BIGINT) AS n_boundaries, "
+    "CAST(COALESCE(per.min_c, 1000000) AS BIGINT) AS min_cos2_ppm "
+    "FROM nb LEFT JOIN per ON per.doc_id = nb.doc_id ORDER BY 1"
+)
 
 
 def _nb_source_classifier_sql(train_mod: int = 10, train_lt: int = 8) -> str:
@@ -8607,6 +8656,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "nb_source_classifier": _nb_source_classifier_sql(),
+        "texttiling_boundaries": _TEXTTILING_SQL,
         "filter_impact_audit": _filter_impact_sql(),
         "binary_hamming_topk": _BINARY_HAMMING_SQL,
         "soft_dedup_weights": (

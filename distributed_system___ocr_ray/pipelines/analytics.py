@@ -14077,3 +14077,82 @@ def filter_impact_audit(ds, lang_col: str = "lang", text_col: str = "text",
     for c in ("n_docs", "n_pass", "pass_rate_ppm", "impact_ratio_ppm", "flag_disparate"):
         agg[c] = agg[c].astype(np.int64)
     return agg.sort_values(lang_col).reset_index(drop=True)
+
+
+def texttiling_boundaries(ds, id_col: str = "doc_id", text_col: str = "text",
+                          block_tokens: int = 20,
+                          boundary_cos2_ppm: int = 250_000):
+    """TextTiling topic-shift audit (Hearst 1997, integerized): split each
+    document into consecutive ``block_tokens``-token blocks, score every
+    adjacent-block gap by SQUARED cosine over token counts in exact ppm
+    (``dot^2 * 10^6 // (|a|^2 * |b|^2)`` -- squaring removes the sqrt, so
+    no float exists on either side), and call a gap a topic boundary when
+    its score falls below ``boundary_cos2_ppm``. Docs whose text drifts
+    topic-to-topic segment high; single-topic docs score near 10^6
+    everywhere. The per-doc boundary count is the long-document splitting
+    signal a chunking stage (``chunk_documents``) can consume.
+
+    Purely map-side -- per batch: explode tokens with positions (pandas
+    cumcount), fold (doc, block, token) counts, self-merge block b with
+    b+1 on (doc, token) for the dot products, compose norms -- all
+    C-level frames, no Python per-row loop, NO shuffle at any width.
+    Zero-token docs are excluded; a one-block doc reports 0 gaps, 0
+    boundaries and min_cos2_ppm = 10^6 (nothing to split).
+
+    Returns (doc_id, n_blocks, n_gaps, n_boundaries, min_cos2_ppm)."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re)
+        ids = batch[id_col].to_numpy(np.int64)
+        s = toks.explode().dropna()
+        schema = pa.schema([(id_col, pa.int64()), ("n_blocks", pa.int64()),
+                            ("n_gaps", pa.int64()), ("n_boundaries", pa.int64()),
+                            ("min_cos2_ppm", pa.int64())])
+        if len(s) == 0:
+            return schema.empty_table()
+        f = pd.DataFrame({"row": s.index, "token": s.to_numpy(object)})
+        f["pos"] = f.groupby("row").cumcount()
+        f["block"] = f["pos"] // block_tokens
+        cnt = (f.groupby(["row", "block", "token"], sort=False)
+               .size().rename("c").reset_index())
+        norms = (cnt.assign(c2=cnt["c"] * cnt["c"])
+                 .groupby(["row", "block"], sort=False)["c2"].sum()
+                 .rename("norm").reset_index())
+        nb = norms.groupby("row", sort=False)["block"].max().add(1).rename("n_blocks")
+        # dot of block b with b+1: shift the block id and inner-merge
+        nxt = cnt.assign(block=cnt["block"] - 1)
+        dots = cnt.merge(nxt, on=["row", "block", "token"], suffixes=("_a", "_b"))
+        gap_dot = (dots.assign(d=dots["c_a"] * dots["c_b"])
+                   .groupby(["row", "block"], sort=False)["d"].sum()
+                   .rename("dot").reset_index())
+        # every adjacent pair is a gap, even with zero shared tokens
+        gaps = norms[norms["block"] < norms.merge(
+            nb, left_on="row", right_index=True)["n_blocks"] - 1][["row", "block"]]
+        gaps = gaps.merge(norms, on=["row", "block"]).rename(columns={"norm": "na"})
+        nxt_norm = norms.assign(block=norms["block"] - 1).rename(columns={"norm": "nb_"})
+        gaps = gaps.merge(nxt_norm, on=["row", "block"])
+        gaps = gaps.merge(gap_dot, on=["row", "block"], how="left")
+        dot = gaps["dot"].fillna(0).to_numpy(np.int64)
+        cos2 = (dot * dot * 1_000_000) // (
+            gaps["na"].to_numpy(np.int64) * gaps["nb_"].to_numpy(np.int64))
+        gaps = gaps.assign(cos2=cos2)
+        per = gaps.groupby("row", sort=False)["cos2"].agg(
+            n_gaps="size", min_cos2="min",
+            n_boundaries=lambda v: int((v < boundary_cos2_ppm).sum()))
+        out = nb.to_frame().join(per, how="left")
+        out["n_gaps"] = out["n_gaps"].fillna(0).astype(np.int64)
+        out["n_boundaries"] = out["n_boundaries"].fillna(0).astype(np.int64)
+        out["min_cos2"] = out["min_cos2"].fillna(1_000_000).astype(np.int64)
+        out = out.reset_index()
+        return pa.table({
+            id_col: pa.array(ids[out["row"].to_numpy()], pa.int64()),
+            "n_blocks": pa.array(out["n_blocks"].to_numpy(np.int64)),
+            "n_gaps": pa.array(out["n_gaps"].to_numpy(np.int64)),
+            "n_boundaries": pa.array(out["n_boundaries"].to_numpy(np.int64)),
+            "min_cos2_ppm": pa.array(out["min_cos2"].to_numpy(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

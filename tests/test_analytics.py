@@ -9967,3 +9967,64 @@ class TestFilterImpactAudit:
         for c in exp.columns[1:]:
             exp[c] = exp[c].astype(np.int64)
         assert got.equals(exp.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestTexttilingBoundaries:
+    def test_hand_built_topic_shift(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # doc 0: two 20-token blocks with DISJOINT vocab -> cos2 = 0,
+        # one boundary. doc 1: identical blocks -> cos2 = 1e6, none.
+        # doc 2: single short block -> no gaps, min pinned to 1e6.
+        a = " ".join(["aa"] * 20 + ["bb"] * 20)
+        b = " ".join(["cc"] * 40)
+        c = "dd dd"
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([a, b, c]),
+        }))
+        got = analytics.texttiling_boundaries(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert got.loc[0].tolist() == [0, 2, 1, 1, 0]
+        assert got.loc[1].tolist() == [1, 2, 1, 0, 1_000_000]
+        assert got.loc[2].tolist() == [2, 1, 0, 0, 1_000_000]
+
+    def test_half_overlap_exact_cos2(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # blocks [aa x10, bb x10] and [bb x10, cc x10]: dot = 100,
+        # norms 200 each -> cos2 = 10000*1e6 // 40000 = 250000, NOT a
+        # boundary at the strict < 250000 rule
+        t = " ".join(["aa"] * 10 + ["bb"] * 20 + ["cc"] * 10)
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([7], pa.int64()), "text": pa.array([t])}))
+        got = analytics.texttiling_boundaries(ds).to_pandas()
+        assert int(got["min_cos2_ppm"].iloc[0]) == 250_000
+        assert int(got["n_boundaries"].iloc[0]) == 0
+
+    def test_vs_duckdb_sf0001(self):
+        import sys
+
+        import duckdb
+        import ray.data as rd
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry_mod
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        got = analytics.texttiling_boundaries(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        exp = con.execute(entry_mod._TEXTTILING_SQL).df()
+        for c in exp.columns:
+            exp[c] = exp[c].astype(np.int64)
+        assert got.equals(exp)
