@@ -509,6 +509,19 @@ def _q_minhash_dup_clusters(sf_dir: str):
     return _pairs_df(out, {"doc_id": "int64", "cluster_id": "int64"})
 
 
+def _q_simhash_dup_clusters(sf_dir: str):
+    """Near-dup clusters over the SIMHASH pair graph (completing the
+    cluster matrix beside minhash_dup_clusters and ngram_dup_clusters:
+    same connected-components engine, third edge generator); oracle
+    wraps the full simhash pair replay as a CTE and applies the shared
+    recursive-closure pattern."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    pairs = analytics.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+    out = analytics.dedup_clusters(pairs)
+    return _pairs_df(out, {"doc_id": "int64", "cluster_id": "int64"})
+
+
 def _q_clean_corpus_keepers(sf_dir: str):
     """Composed cleaning pipeline: length filter -> exact dedup keep-first.
     SQL-checkable end-to-end."""
@@ -5176,6 +5189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "extract_embed_neardup": _q_extract_embed_neardup,
         "minhash_dup_clusters": _q_minhash_dup_clusters,
+        "simhash_dup_clusters": _q_simhash_dup_clusters,
         "clean_corpus_keepers": _q_clean_corpus_keepers,
         "sample_docs": _q_sample_docs,
         "stratified_sample": _q_stratified_sample,
@@ -6308,6 +6322,22 @@ def _minhash_recall_audit_sql() -> str:
         "AS BIGINT) AS recall_ppm, "
         "CAST(CASE WHEN na.n = 0 THEN 1000000 ELSE nb.n * 1000000 // na.n END "
         "AS BIGINT) AS precision_ppm FROM ne, na, nb"
+    )
+
+
+def _simhash_clusters_sql() -> str:
+    """Connected components over the SQL-replayed SimHash pair graph --
+    the same recursive-closure pattern as the minhash/ngram cluster
+    oracles, with the whole pair replay nested as a CTE."""
+    return (
+        f"WITH RECURSIVE sp AS ({_simhash_pairs_sql()}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM sp "
+        "UNION SELECT doc_b, doc_a FROM sp), "
+        "reach AS (SELECT a, b FROM edges "
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+        "cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY a) "
+        "SELECT doc_id, cluster_id FROM cl"
     )
 
 
@@ -8055,6 +8085,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "minhash_recall_audit": _minhash_recall_audit_sql(),
         "minhash_dup_clusters": _minhash_clusters_sql(),
+        "simhash_dup_clusters": _simhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "approx_distinct_users": _approx_distinct_sql(),
         "hll_error_audit": (

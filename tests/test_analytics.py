@@ -10028,3 +10028,26 @@ class TestTexttilingBoundaries:
         for c in exp.columns:
             exp[c] = exp[c].astype(np.int64)
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSimhashDupClusters:
+    def test_planted_near_dups_cluster_together(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "cat sleeps on the warm mat near the door frame today")
+        near = base.replace("today", "tonight")
+        other = ("completely different words about databases indexes "
+                 "shuffles partitions and columnar storage engines here")
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, near, other]),
+        }))
+        pairs = analytics.simhash_pairs(ds, max_hamming=3)
+        out = analytics.dedup_clusters(pairs).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got.get(1) == 1 and got.get(2) == 1
+        assert 3 not in got  # no edges -> not in the pair graph
