@@ -2420,6 +2420,23 @@ def _q_ppr_top(sf_dir: str):
     return analytics.ppr_top(sf_dir)
 
 
+def _q_anf_effective_diameter(sf_dir: str):
+    """HyperANF neighbourhood function / effective diameter of the
+    citation graph: per-node HLL ball sketches, register-max propagation
+    per hop, N(h) and the 90% knee (analytics.anf_effective_diameter --
+    Palmer et al. ANF / Boldi et al. HyperANF, the all-pairs-distances-
+    in-linear-passes trick); oracle derives the SAME registers from
+    first principles (recursive min-hop reachability + grouped HLL with
+    the pinned estimator ladder), so the equality proves the
+    propagation."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return analytics.anf_effective_diameter(ds)
+
+
 def _q_bfs_levels(sf_dir: str):
     """Min-hop BFS levels from doc 0 over the md5-derived citation graph
     (analytics.bfs_levels): per round a capped broadcast-frontier map-side
@@ -5253,6 +5270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top": _q_pagerank_top,
         "ppr_top": _q_ppr_top,
         "bfs_levels": _q_bfs_levels,
+        "anf_effective_diameter": _q_anf_effective_diameter,
         "rnn_pairs": _q_rnn_pairs,
         "kmeans_inertia": _q_kmeans_inertia,
         "hybrid_topk": _q_hybrid_topk,
@@ -6338,6 +6356,62 @@ def _simhash_clusters_sql() -> str:
         "cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
         "FROM reach GROUP BY a) "
         "SELECT doc_id, cluster_id FROM cl"
+    )
+
+
+def _anf_sql(p: int = 6, max_h: int = 6) -> str:
+    """First-principles replay of ``analytics.anf_effective_diameter``:
+    exact min-hop reachability (recursive UNION on (v, u, h), capped at
+    max_h) -> per-(node, h) HLL registers over the EXACT ball members ->
+    the pinned estimator ladder (exact HUGEINT register sum, alpha bias,
+    linear-counting branch, FLOOR(x+0.5)) -> N(h), frac, 90% knee.
+    Register-wise MAX over members equals the engine's per-hop max
+    propagation -- that identity is what the equality certifies."""
+    m = 1 << p
+    hh = _MD5U64.format(v="CAST(u AS VARCHAR)")
+    deg_h = _MD5U64.format(v="CAST(doc_id AS VARCHAR) || ':deg'")
+    lnk_h = _MD5U64.format(v="CAST(src AS VARCHAR) || ':link:' || CAST(j AS VARCHAR)")
+    alpha = repr(0.7213 / (1 + 1.079 / m))
+    return (
+        "WITH RECURSIVE "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        f"degs AS (SELECT doc_id AS src, CAST(1 + {deg_h} % 3 AS BIGINT) AS deg "
+        "FROM documents), "
+        "lnk AS (SELECT src, deg, unnest(range(deg)) AS j FROM degs), "
+        f"edges AS (SELECT src, dst FROM (SELECT src, CAST({lnk_h} % nn.n AS BIGINT) "
+        "AS dst FROM lnk, nn) WHERE dst <> src), "
+        "reach AS (SELECT doc_id AS v, doc_id AS u, 0 AS h FROM documents "
+        "UNION SELECT r.v, e.dst AS u, r.h + 1 AS h FROM reach r "
+        f"JOIN edges e ON e.src = r.u WHERE r.h < {max_h}), "
+        "md AS (SELECT v, u, MIN(h) AS minh FROM reach GROUP BY 1, 2), "
+        f"urank AS (SELECT u, CAST(h >> {64 - p} AS BIGINT) AS idx, "
+        "64 - length(bin(CAST((CAST(h AS HUGEINT) % "
+        f"CAST({1 << (64 - p)} AS HUGEINT)) * {1 << p} + {(1 << p) - 1} "
+        "AS UBIGINT))) + 1 AS rank "
+        f"FROM (SELECT DISTINCT u, {hh} AS h FROM (SELECT u FROM md))), "
+        "mh AS (SELECT md.v, md.u, g.h FROM md "
+        f"CROSS JOIN generate_series(0, {max_h}) g(h) WHERE md.minh <= g.h), "
+        "reg AS (SELECT mh.v, mh.h, ur.idx, MAX(ur.rank) AS r FROM mh "
+        "JOIN urank ur ON ur.u = mh.u GROUP BY 1, 2, 3), "
+        "agg AS (SELECT v, h, SUM(CAST(power(2.0, CAST(64 - r AS DOUBLE)) "
+        "AS HUGEINT)) AS pnum, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM reg GROUP BY 1, 2), "
+        f"e AS (SELECT v, h, CAST({alpha} AS DOUBLE) * {m} * {m} "
+        "* 18446744073709551616.0 / CAST(pnum + "
+        f"(CAST({m} AS HUGEINT) - cnt) * CAST(18446744073709551616.0 AS HUGEINT) "
+        f"AS DOUBLE) AS est0, {m} - cnt AS zeros FROM agg), "
+        f"pe AS (SELECT v, h, CAST(FLOOR((CASE WHEN est0 <= {m} * 2.5 "
+        f"AND zeros > 0 THEN {m} * ln(CAST({m} AS DOUBLE) / zeros) "
+        "ELSE est0 END) + 0.5) AS BIGINT) AS pairs FROM e), "
+        "nh AS (SELECT h, CAST(SUM(pairs) AS BIGINT) AS pairs_est FROM pe "
+        "GROUP BY h), "
+        f"fin AS (SELECT pairs_est AS f FROM nh WHERE h = {max_h}), "
+        "fr AS (SELECT h, pairs_est, pairs_est * 1000000 // "
+        "(SELECT f FROM fin) AS frac_ppm FROM nh), "
+        "d90 AS (SELECT MIN(h) AS d FROM fr WHERE frac_ppm >= 900000) "
+        "SELECT h, pairs_est, frac_ppm, "
+        "CAST(CASE WHEN h = (SELECT d FROM d90) THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_effective_diameter FROM fr ORDER BY h"
     )
 
 
@@ -8697,6 +8771,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ccnet_bucket_counts": _CCNET_BUCKET_SQL,
         "bfs_levels": _bfs_levels_sql(max_rounds=8),
+        "anf_effective_diameter": _anf_sql(),
         "rnn_pairs": _RNN_PAIRS_SQL,
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),

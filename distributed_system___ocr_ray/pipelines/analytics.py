@@ -14156,3 +14156,183 @@ def texttiling_boundaries(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def anf_effective_diameter(ds, id_col: str = "doc_id", max_h: int = 6,
+                           p: int = 6, buckets: int | None = None,
+                           force_distributed: bool = False):
+    """Approximate Neighbourhood Function / effective diameter of the
+    md5-derived citation graph (Palmer et al. ANF, Boldi et al. HyperANF):
+    every node carries a tiny HLL sketch (m = 2^p registers) of its
+    OUT-reachable ball; each round every node folds its successors'
+    sketches into its own (register-wise max -- HLL union is exact), so
+    after h rounds sketch_v estimates |ball(v, h)|. N(h) = sum of the
+    per-node estimates is the neighbourhood function; the effective
+    diameter is the first h where N(h) >= 90% of N(max_h). The classic
+    trick: all-pairs distances in O(h) linear passes carrying n * m
+    bytes of state -- never a per-pair row.
+
+    Determinism contract: fixed ``max_h`` rounds (the iterative-family
+    convention); the per-node estimator is the exact HyperLogLog float
+    ladder the approx_distinct family pinned against DuckDB (alpha
+    bias term, exact HUGEINT register sum, linear-counting branch,
+    FLOOR(x+0.5)). The oracle derives the SAME registers from first
+    principles -- exact min-hop reachability + grouped HLL -- so the
+    propagation itself is what the equality proves.
+
+    Scale shape: sketch state is (v, idx, rank) rows, <= n * m and
+    typically far fewer (a ball smaller than m fills few registers);
+    per round ONE bucketed hash join ships successor registers and ONE
+    bucketed grouped max folds them. Per-round estimates are a
+    per-node grouped computation folded inside the same buckets; only
+    (round, partial sum) scalars reach the driver.
+
+    Returns (h, pairs_est, frac_ppm, is_effective_diameter), h=0..max_h."""
+    import ray.data as rd
+
+    from ..functions.dedup import md5_u64
+    from .relational import bucketed_hash_join, derive_buckets
+
+    n_nodes = ds.count()
+    if n_nodes == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("h", "pairs_est", "frac_ppm",
+                                       "is_effective_diameter")})
+    B = int(buckets or derive_buckets(n_nodes * (1 << p), rows_per_bucket=2_000_000))
+    m = 1 << p
+    # materialize once: the per-round join would otherwise re-derive the
+    # edge list from the id column every iteration
+    edges = derived_link_edges(ds, n_nodes, id_col=id_col).drop_columns(
+        ["deg"]).materialize()
+
+    def init_sketch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.empty(len(ids), np.int64)
+        rank = np.empty(len(ids), np.int64)
+        for i, u in enumerate(ids):
+            h = md5_u64(str(int(u)).encode())
+            idx[i] = h >> (64 - p)
+            rest = ((h << p) | ((1 << p) - 1)) & ((1 << 64) - 1)
+            rank[i] = 64 - rest.bit_length() + 1
+        return pa.table({"v": pa.array(ids), "idx": pa.array(idx),
+                         "rank": pa.array(rank)})
+
+    def grouped_max(sk):
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "bucket", pa.array((v % B).astype(np.int32)))
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            out = (g.groupby(["v", "idx"], as_index=False)["rank"].max())
+            return out.astype({"v": np.int64, "idx": np.int64, "rank": np.int64})
+
+        return (sk.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("bucket").map_groups(fold, batch_format="pandas"))
+
+    def estimate_sum(sk) -> int:
+        """Sum of per-node rounded HLL estimates (exact integer register
+        sums, the pinned float ladder). NO shuffle: ``sk`` comes out of
+        ``grouped_max``, whose map_groups blocks hold complete per-node
+        register sets, so a batch_size=None map over those blocks sees
+        every node whole and only per-block partial sums reach the
+        driver."""
+        alpha = 0.7213 / (1 + 1.079 / m)
+
+        def est_fold(g: pd.DataFrame) -> pd.DataFrame:
+            # exact integer numerators: object-dtype Python ints survive
+            # the 2^64 terms that uint64 cannot
+            val = pd.Series([1 << (64 - int(r)) for r in g["rank"]],
+                            index=g.index, dtype=object)
+            gg = pd.DataFrame({"v": g["v"], "val": val})
+            per = gg.groupby("v")["val"].agg(["sum", "count"])
+            total = 0
+            for num, cnt in zip(per["sum"], per["count"]):
+                zeros = m - int(cnt)
+                numerator = int(num) + (zeros << 64)
+                est = alpha * m * m * 18446744073709551616.0 / float(numerator)
+                if est <= 2.5 * m and zeros > 0:
+                    est = m * np.log(m / zeros)
+                total += int(np.floor(est + 0.5))
+            return pd.DataFrame({"part": pd.Series([total], dtype=np.int64)})
+
+        parts = sk.map_batches(est_fold, batch_format="pandas",
+                               batch_size=None).to_pandas()
+        return int(parts["part"].sum())
+
+    # ---- capped driver fast path (the dedup_clusters pattern): the
+    # sketch matrix is n * m BYTES -- tiny relative to the graph -- so
+    # under the cap the whole register state lives in one numpy array on
+    # the driver and each round is ONE vectorized maximum-scatter over
+    # the collected edge list: zero shuffles, zero barriers. Past the
+    # cap (> ~4M nodes at m=64) the bucketed distributed path below
+    # runs -- same registers, same estimates.
+    if n_nodes * m <= (256 << 20) and not force_distributed:
+        E = edges.to_pandas()  # bounded by the same cap license
+        esrc = E["src"].to_numpy(np.int64)
+        edst = E["dst"].to_numpy(np.int64)
+        ids = np.sort(
+            ds.select_columns([id_col]).to_pandas()[id_col].to_numpy(np.int64))
+        R = np.zeros((n_nodes, m), dtype=np.uint8)
+        for u in ids:
+            h = md5_u64(str(int(u)).encode())
+            rest = ((h << p) | ((1 << p) - 1)) & ((1 << 64) - 1)
+            r = 64 - rest.bit_length() + 1
+            i = h >> (64 - p)
+            R[u, i] = max(R[u, i], r)
+
+        alpha = 0.7213 / (1 + 1.079 / m)
+
+        def est_total(R: np.ndarray) -> int:
+            total = 0
+            for row in R:
+                zeros = int(np.count_nonzero(row == 0))
+                num = (zeros << 64) + sum(
+                    1 << (64 - int(r)) for r in row[row > 0])
+                est = alpha * m * m * 18446744073709551616.0 / float(num)
+                if est <= 2.5 * m and zeros > 0:
+                    est = m * np.log(m / zeros)
+                total += int(np.floor(est + 0.5))
+            return total
+
+        sums = [est_total(R)]
+        for _ in range(max_h):
+            R2 = R.copy()
+            np.maximum.at(R2, esrc, R[edst])
+            R = R2
+            sums.append(est_total(R))
+        final = sums[-1] or 1
+        frac = [s * 1_000_000 // final for s in sums]
+        d90 = next((h for h, f in enumerate(frac) if f >= 900_000), max_h)
+        return pd.DataFrame({
+            "h": pd.Series(range(max_h + 1), dtype=np.int64),
+            "pairs_est": pd.Series(sums, dtype=np.int64),
+            "frac_ppm": pd.Series(frac, dtype=np.int64),
+            "is_effective_diameter": pd.Series(
+                [1 if h == d90 else 0 for h in range(max_h + 1)],
+                dtype=np.int64),
+        })
+
+    sk = grouped_max(ds.map_batches(init_sketch, batch_format="pyarrow")).materialize()
+    sums = [estimate_sum(sk)]
+    for _ in range(max_h):
+        msgs = bucketed_hash_join(edges, sk, "dst", "v", buckets=B)
+
+        def project(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": batch["src"].to_numpy(np.int64),
+                                 "idx": batch["idx"].to_numpy(np.int64),
+                                 "rank": batch["rank"].to_numpy(np.int64)})
+
+        moved = msgs.map_batches(project, batch_format="pandas")
+        sk = grouped_max(moved.union(sk)).materialize()
+        sums.append(estimate_sum(sk))
+    final = sums[-1] or 1
+    frac = [s * 1_000_000 // final for s in sums]
+    d90 = next((h for h, f in enumerate(frac) if f >= 900_000), max_h)
+    return pd.DataFrame({
+        "h": pd.Series(range(max_h + 1), dtype=np.int64),
+        "pairs_est": pd.Series(sums, dtype=np.int64),
+        "frac_ppm": pd.Series(frac, dtype=np.int64),
+        "is_effective_diameter": pd.Series(
+            [1 if h == d90 else 0 for h in range(max_h + 1)], dtype=np.int64),
+    })

@@ -10051,3 +10051,86 @@ class TestSimhashDupClusters:
         got = dict(zip(out["doc_id"], out["cluster_id"]))
         assert got.get(1) == 1 and got.get(2) == 1
         assert 3 not in got  # no edges -> not in the pair graph
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnfEffectiveDiameter:
+    def test_directed_cycle_exact_growth(self, tmp_path):
+        """Independent pure-python replay (hashlib + math only): true
+        min-hop balls of the derived graph, HLL-estimated with the same
+        register/estimator ladder -- checks propagation end to end."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        n = 12
+        pq.write_table(pa.table({"doc_id": pa.array(list(range(n)), pa.int64())}),
+                       tmp_path / "documents.parquet")
+        ds = rd.read_parquet(str(tmp_path / "documents.parquet"),
+                             columns=["doc_id"])
+        got = analytics.anf_effective_diameter(ds, max_h=4)
+        # independent truth: rebuild the derived edges, BFS every node
+        edges: dict[int, set] = {u: set() for u in range(n)}
+        for u in range(n):
+            d = 1 + md5_u64(f"{u}:deg".encode()) % 3
+            for j in range(d):
+                t = md5_u64(f"{u}:link:{j}".encode()) % n
+                if t != u:
+                    edges[u].add(t)
+        import hashlib
+        import math
+
+        def hll_est(members):
+            # independent pure-python HLL (hashlib + math only)
+            m = 64
+            regs = [0] * m
+            for u in members:
+                h = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big")
+                idx = h >> 58
+                rest = ((h << 6) | 63) & ((1 << 64) - 1)
+                regs[idx] = max(regs[idx], 64 - rest.bit_length() + 1)
+            alpha = 0.7213 / (1 + 1.079 / m)
+            num = sum(1 << (64 - r) for r in regs)
+            est = alpha * m * m * 2.0 ** 64 / float(num)
+            zeros = regs.count(0)
+            if est <= 2.5 * m and zeros:
+                est = m * math.log(m / zeros)
+            return int(math.floor(est + 0.5))
+
+        exp = []
+        balls = {u: {u} for u in range(n)}
+        exp.append(sum(hll_est(b) for b in balls.values()))
+        for _ in range(4):
+            balls = {u: balls[u] | set().union(*(balls[t] for t in edges[u]))
+                     if edges[u] else set(balls[u]) for u in range(n)}
+            exp.append(sum(hll_est(b) for b in balls.values()))
+        assert got["pairs_est"].tolist() == exp
+        assert int(got["pairs_est"].iloc[0]) == n  # 12 singleton balls, no
+        # collision inside a 1-element sketch: h=0 is exact
+        assert got["is_effective_diameter"].sum() == 1
+
+    def test_monotone_and_flagged_knee(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        got = analytics.anf_effective_diameter(ds, max_h=3)
+        v = got["pairs_est"].tolist()
+        assert v == sorted(v)  # balls only grow
+        assert int(got["frac_ppm"].iloc[-1]) == 1_000_000
+        assert got.loc[got["is_effective_diameter"] == 1, "frac_ppm"].iloc[0] >= 0
+
+    def test_fast_and_distributed_paths_agree(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        fast = analytics.anf_effective_diameter(ds, max_h=3)
+        slow = analytics.anf_effective_diameter(ds, max_h=3,
+                                                force_distributed=True)
+        assert fast.equals(slow)
