@@ -2397,6 +2397,19 @@ def _q_texttiling_boundaries(sf_dir: str):
     return analytics.texttiling_boundaries(ds)
 
 
+def _q_quality_neardup_auc(sf_dir: str):
+    """Exact Mann-Whitney ROC-AUC of the cheap quality score as a
+    near-duplicate predictor, positives = members of an exact-Jaccard
+    >= 0.5 pair (analytics.quality_neardup_auc -- the threshold-free
+    companion of quality_dup_calibration); oracle composes the green
+    ngram-pair CTEs, the shared quality CTEs and the histogram
+    cumulative 2U walk with the tie convention."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return analytics.quality_neardup_auc(ds)
+
+
 def _q_nb_source_classifier(sf_dir: str):
     """Classifier-based domain filtering stand-in: multinomial Naive
     Bayes over source labels, trained on the md5-split 80% train slice
@@ -5451,6 +5464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "langid_kappa": _q_langid_kappa,
         "nb_source_classifier": _q_nb_source_classifier,
+        "quality_neardup_auc": _q_quality_neardup_auc,
         "texttiling_boundaries": _q_texttiling_boundaries,
         "filter_impact_audit": _q_filter_impact_audit,
         "mor_delete_counts": _q_mor_delete_counts,
@@ -7048,6 +7062,29 @@ _TEXTTILING_SQL = (
     "CAST(COALESCE(per.min_c, 1000000) AS BIGINT) AS min_cos2_ppm "
     "FROM nb LEFT JOIN per ON per.doc_id = nb.doc_id ORDER BY 1"
 )
+
+
+def _quality_neardup_auc_sql() -> str:
+    """Replay of ``analytics.quality_neardup_auc``: ngram pair CTEs ->
+    positive id set, quality CTEs -> per-doc score, (score, label)
+    histogram, cumulative-negatives 2U fold, floor-div ppm with the
+    single-class 500000 pin."""
+    return (
+        f"WITH {_NGRAM_PAIRS_CTES}, "
+        "posids AS (SELECT doc_a AS i FROM pairs UNION SELECT doc_b FROM pairs), "
+        f"{_quality_ctes()}, "
+        f"lab AS (SELECT {_QPPM_EXPR} AS s, "
+        "CASE WHEN r.doc_id IN (SELECT i FROM posids) THEN 1 ELSE 0 END AS pos "
+        "FROM r), "
+        "h AS (SELECT s, SUM(pos) AS np, SUM(1 - pos) AS nn FROM lab GROUP BY s), "
+        "w AS (SELECT s, np, nn, COALESCE(SUM(nn) OVER (ORDER BY s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt FROM h), "
+        "t AS (SELECT SUM(np) AS tp, SUM(nn) AS tn, "
+        "SUM(np * (2 * cumlt + nn)) AS u2 FROM w) "
+        "SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg, "
+        "CAST(CASE WHEN tp = 0 OR tn = 0 THEN 500000 "
+        "ELSE u2 * 1000000 // (2 * tp * tn) END AS BIGINT) AS auc_ppm FROM t"
+    )
 
 
 def _nb_source_classifier_sql(train_mod: int = 10, train_lt: int = 8) -> str:
@@ -8761,6 +8798,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
         "ppr_top": _ppr_sql(iters=4, damping_pct=85, topn=20),
         "nb_source_classifier": _nb_source_classifier_sql(),
+        "quality_neardup_auc": _quality_neardup_auc_sql(),
         "texttiling_boundaries": _TEXTTILING_SQL,
         "filter_impact_audit": _filter_impact_sql(),
         "binary_hamming_topk": _BINARY_HAMMING_SQL,

@@ -14336,3 +14336,77 @@ def anf_effective_diameter(ds, id_col: str = "doc_id", max_h: int = 6,
         "is_effective_diameter": pd.Series(
             [1 if h == d90 else 0 for h in range(max_h + 1)], dtype=np.int64),
     })
+
+
+def quality_neardup_auc(ds, pairs=None, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5):
+    """Exact ROC-AUC of the cheap quality score as a NEAR-DUPLICATE
+    predictor: does low ``quality_ppm`` flag the documents the expensive
+    exact-Jaccard pair family will catch? The threshold-free companion
+    of ``quality_dup_calibration`` -- one number that says whether the
+    cheap gate can pre-screen for the costly one. Positives = members of
+    at least one word-3-gram Jaccard >= ``threshold`` pair
+    (``ngram_jaccard_pairs``, the exact-recall ground truth).
+
+    AUC is the exact Mann-Whitney statistic with the tie convention,
+    computed from the score HISTOGRAM (scores are bounded ppm ints, so
+    no global sort): 2U = sum_s n_pos(s) * (2 * cum_neg_below(s) +
+    n_neg(s)); auc_ppm = 2U * 10^6 // (2 * P * N); a single-class
+    corpus pins to 500000 (uninformative) on both sides.
+
+    Plan: the pair table is pair-bounded -- its distinct ids collect and
+    broadcast via ``ray.put`` (same license as the near-dup keepers'
+    anti-join set); ONE text pass scores each batch and folds (score,
+    label) partials; ``bucketed_grouped_sum`` on the fused int key
+    ``score * 2 + label`` merges them; the bounded histogram drives the
+    exact cumulative arithmetic on the driver.
+
+    Returns one row: (n_pos, n_neg, auc_ppm)."""
+    import ray
+
+    from .relational import bucketed_grouped_sum
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(ds, id_col=id_col, text_col=text_col,
+                                    threshold=threshold)
+    pdf = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    pos = set()
+    if len(pdf):
+        pos.update(int(v) for v in pdf["doc_a"])
+        pos.update(int(v) for v in pdf["doc_b"])
+    handle = ray.put(np.array(sorted(pos), dtype=np.int64))
+
+    class HistPartial:
+        def __init__(self) -> None:
+            self.pos = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            qp = ts.quality_features(batch[text_col])["quality_ppm"].to_numpy(np.int64)
+            ids = batch[id_col].to_numpy(np.int64)
+            lab = np.isin(ids, self.pos).astype(np.int64)
+            key = qp * 2 + lab
+            vc = pd.Series(key).value_counts()
+            return pd.DataFrame({"key": vc.index.to_numpy(np.int64),
+                                 "n": vc.to_numpy(np.int64)})
+
+    hist = bucketed_grouped_sum(
+        ds.map_batches(HistPartial, batch_format="pandas", concurrency=(1, 8)),
+        "key", "n",
+    ).to_pandas()
+    if len(hist) == 0:
+        return pd.DataFrame({"n_pos": pd.Series([0], dtype=np.int64),
+                             "n_neg": pd.Series([0], dtype=np.int64),
+                             "auc_ppm": pd.Series([500_000], dtype=np.int64)})
+    hist["s"] = hist["key"] // 2
+    hist["pos"] = hist["key"] % 2
+    piv = hist.pivot_table(index="s", columns="pos", values="n",
+                           aggfunc="sum", fill_value=0).sort_index()
+    np_col = piv[1].to_numpy(np.int64) if 1 in piv.columns else np.zeros(len(piv), np.int64)
+    nn_col = piv[0].to_numpy(np.int64) if 0 in piv.columns else np.zeros(len(piv), np.int64)
+    tp, tn = int(np_col.sum()), int(nn_col.sum())
+    cumlt = np.concatenate([[0], np.cumsum(nn_col)[:-1]])
+    u2 = int(np.sum(np_col * (2 * cumlt + nn_col)))
+    auc = 500_000 if tp == 0 or tn == 0 else u2 * 1_000_000 // (2 * tp * tn)
+    return pd.DataFrame({"n_pos": pd.Series([tp], dtype=np.int64),
+                         "n_neg": pd.Series([tn], dtype=np.int64),
+                         "auc_ppm": pd.Series([auc], dtype=np.int64)})

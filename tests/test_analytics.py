@@ -10134,3 +10134,53 @@ class TestAnfEffectiveDiameter:
         slow = analytics.anf_effective_diameter(ds, max_h=3,
                                                 force_distributed=True)
         assert fast.equals(slow)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQualityNeardupAuc:
+    def test_hand_auc_with_ties(self):
+        """Planted pairs + hand scores: AUC computed independently with
+        the average-rank tie convention."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # scores (quality_ppm is monotone in n_chars here): make 2 docs
+        # that pair (identical long text) and 3 singles of varying length
+        dup = "the and for with that this " * 10
+        texts = [dup, dup, "zz", "one two three four five six " * 5,
+                 "seven eight nine ten eleven twelve " * 20]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array(texts),
+        }))
+        got = analytics.quality_neardup_auc(ds, threshold=0.5)
+        assert int(got["n_pos"].iloc[0]) == 2
+        assert int(got["n_neg"].iloc[0]) == 3
+        # independent AUC: rank-sum with average ranks over exact scores
+        from distributed_system___ocr_ray.functions import textstats as tsm
+        import pandas as pd_
+
+        s = tsm.quality_features(pd_.Series(texts))["quality_ppm"].tolist()
+        lab = [1, 1, 0, 0, 0]
+        import itertools
+        u2 = 0
+        for (si, li), (sj, lj) in itertools.product(zip(s, lab), repeat=2):
+            if li == 1 and lj == 0:
+                u2 += 2 if si > sj else (1 if si == sj else 0)
+        exp = u2 * 1_000_000 // (2 * 2 * 3)
+        assert int(got["auc_ppm"].iloc[0]) == exp
+
+    def test_no_pairs_pins_uninformative(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["completely unrelated alpha words here",
+                              "different beta tokens entirely now"]),
+        }))
+        got = analytics.quality_neardup_auc(ds)
+        assert int(got["n_pos"].iloc[0]) == 0
+        assert int(got["auc_ppm"].iloc[0]) == 500_000
