@@ -2581,6 +2581,19 @@ _BM25_QUERIES = ["hash join table", "window agg stream", "fast merge sort scan"]
 _BM25_K = 10
 
 
+def _q_bm25_prf_topk(sf_dir: str):
+    """Pseudo-relevance-feedback retrieval: round-1 BM25 top-3 feedback
+    docs, whole-bit-idf-weighted expansion terms (top-3 new terms per
+    query), round-2 BM25 over the expanded set
+    (analytics.bm25_prf_topk -- Rocchio-lite two-stage search); the
+    oracle replays BOTH rounds and the expansion rule relationally over
+    a dynamic (query_id, term) table."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    out = analytics.bm25_prf_topk(_docs(sf_dir, ["doc_id", "text"]), _BM25_QUERIES)
+    return _pairs_df(out, {"query_id": "int64", "doc_id": "int64", "score_ppm": "int64"})
+
+
 def _q_bm25_topk(sf_dir: str):
     """BM25 top-k docs per query (broadcast query set, one corpus pass,
     integer-ppm scores -- see analytics.bm25_topk). The DuckDB oracle
@@ -5417,6 +5430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rank_global": _q_order_rank_global,
         "quantize_embeddings": _q_quantize_embeddings,
         "bm25_topk": _q_bm25_topk,
+        "bm25_prf_topk": _q_bm25_prf_topk,
         "bpe_merge_candidates": _q_bpe_merge_candidates,
         "dp_geometric_counts": _q_dp_geometric_counts,
         "dow_adjusted_spikes": _q_dow_adjusted_spikes,
@@ -6483,6 +6497,77 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
         f"WHERE c.n <= {_SIMHASH_CAP} OR a.doc_id = c.rep) "
         "SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming "
         f"FROM scand WHERE bit_count(xor(sha, shb)) <= {max_hamming}"
+    )
+
+
+def _bm25_prf_sql(queries: list[str] | None = None, k: int | None = None,
+                  fb_docs: int = 3, fb_terms: int = 3,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """Replay of ``analytics.bm25_prf_topk``: the _bm25_sql scoring body
+    factored over a PLUGGABLE (query_id, term) source, run once with the
+    literal round-1 terms, once with the expansion-augmented q2 CTE;
+    expansion = per-query top-``fb_terms`` candidates by occurrences x
+    ``length(bin(N // df)) - 1`` whole-bit idf, (wgt DESC, term) ties,
+    candidates = feedback-doc tokens minus that query's own terms."""
+    import re
+
+    queries = _BM25_QUERIES if queries is None else queries
+    k = _BM25_K if k is None else k
+    qt = sorted({(qi, w) for qi, q in enumerate(queries)
+                 for w in re.findall(r"[a-z0-9]+", q.lower())})
+    qvals = ", ".join(f"({qi}, '{w}')" for qi, w in qt)
+    k1p1, omb = repr(k1 + 1.0), repr(1.0 - b)
+    k1r, br = repr(k1), repr(b)
+    ts_expr = (
+        f"(idf * (tf * CAST({k1p1} AS DOUBLE))) / "
+        f"(tf + CAST({k1r} AS DOUBLE) * (CAST({omb} AS DOUBLE) "
+        f"+ CAST({br} AS DOUBLE) * (dl / avgdl)))"
+    )
+
+    def bm25_round(qsrc: str, suffix: str, kk: int) -> str:
+        return (
+            f"tf{suffix} AS (SELECT q.query_id, q.term, t.doc_id, "
+            f"CAST(COUNT(*) AS DOUBLE) AS tf FROM tok t JOIN {qsrc} q ON t.tk = q.term "
+            "GROUP BY q.query_id, q.term, t.doc_id), "
+            f"df{suffix} AS (SELECT tk AS term, COUNT(DISTINCT doc_id) AS df FROM tok "
+            f"WHERE tk IN (SELECT term FROM {qsrc}) GROUP BY tk), "
+            f"idf{suffix} AS (SELECT term, ln(1.0 + (CAST((SELECT n FROM g) - df "
+            f"AS DOUBLE) + 0.5) / (df + 0.5)) AS idf FROM df{suffix}), "
+            f"ts{suffix} AS (SELECT tf.query_id, tf.doc_id, "
+            f"CAST(FLOOR({ts_expr} * 1000000.0 + 0.5) AS BIGINT) AS ppm "
+            f"FROM tf{suffix} tf JOIN idf{suffix} idf ON idf.term = tf.term "
+            "JOIN d ON d.doc_id = tf.doc_id CROSS JOIN g), "
+            f"sc{suffix} AS (SELECT query_id, doc_id, CAST(SUM(ppm) AS BIGINT) "
+            f"AS score_ppm FROM ts{suffix} GROUP BY query_id, doc_id), "
+            f"top{suffix} AS (SELECT query_id, doc_id, score_ppm FROM sc{suffix} "
+            f"QUALIFY row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY score_ppm DESC, doc_id) <= {kk})"
+        )
+
+    return (
+        "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w "
+        "FROM documents), "
+        "d AS (SELECT doc_id, len(w) AS dl FROM w), "
+        "g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl "
+        "FROM d), "
+        "tok AS (SELECT doc_id, unnest(w) AS tk FROM w), "
+        f"q1(query_id, term) AS (VALUES {qvals}), "
+        + bm25_round("q1", "1", fb_docs) + ", "
+        "cand AS (SELECT r.query_id, t.tk AS term, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM top1 r JOIN tok t ON t.doc_id = r.doc_id "
+        "LEFT JOIN q1 qq ON qq.query_id = r.query_id AND qq.term = t.tk "
+        "WHERE qq.term IS NULL GROUP BY 1, 2), "
+        "dfall AS (SELECT tk AS term, COUNT(DISTINCT doc_id) AS df FROM tok "
+        "WHERE tk IN (SELECT term FROM cand) GROUP BY 1), "
+        "wt AS (SELECT c.query_id, c.term, "
+        "c.c * (length(bin((SELECT n FROM g) // da.df)) - 1) AS wgt "
+        "FROM cand c JOIN dfall da ON da.term = c.term), "
+        "exp AS (SELECT query_id, term FROM wt "
+        "QUALIFY row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY wgt DESC, term) <= {fb_terms}), "
+        "q2 AS (SELECT query_id, term FROM q1 UNION SELECT query_id, term FROM exp), "
+        + bm25_round("q2", "2", k)
+        + " SELECT query_id, doc_id, score_ppm FROM top2"
     )
 
 
@@ -8211,6 +8296,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "approx_users_by_type": _approx_distinct_by_type_sql(),
         "bm25_topk": _bm25_sql(),
+        "bm25_prf_topk": _bm25_prf_sql(),
         "docs_by_lang": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
         "doc_stats_by_source": (
             "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -14410,3 +14410,84 @@ def quality_neardup_auc(ds, pairs=None, id_col: str = "doc_id",
     return pd.DataFrame({"n_pos": pd.Series([tp], dtype=np.int64),
                          "n_neg": pd.Series([tn], dtype=np.int64),
                          "auc_ppm": pd.Series([auc], dtype=np.int64)})
+
+
+def bm25_prf_topk(ds, queries: list[str], k: int = 10, fb_docs: int = 3,
+                  fb_terms: int = 3, k1: float = 1.2, b: float = 0.75,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Pseudo-relevance feedback retrieval (Rocchio-lite two-stage BM25):
+    round 1 retrieves each query's top ``fb_docs`` documents; the
+    ``fb_terms`` strongest NEW terms of those feedback docs -- weight =
+    occurrences-in-feedback x whole-bit idf ``bit_length(N // df) - 1``
+    (the pinned integer-log primitive), ties to the lexicographically
+    smaller term -- expand the query; round 2 re-runs BM25 with the
+    expanded term set. The classic recall lever when queries undershoot
+    corpus vocabulary (Rocchio 1971 / Robertson-Walker PRF), expressed
+    as two ``bm25_topk`` invocations plus one bounded candidate pass.
+
+    Scale shape: four corpus text passes total (round-1 BM25, the
+    feedback-doc fetch, candidate-term df, round-2 BM25) -- PRF is
+    inherently multi-pass; every intermediate besides the passes is
+    pair-bounded (fb_docs x |queries| texts on the driver, candidate
+    vocab df partials per block). Term selection is integer-exact so
+    the DuckDB oracle replays both rounds and the expansion rule.
+
+    Returns (query_id, doc_id, score_ppm) top-k per query, round-2
+    scores, (score DESC, doc_id ASC) ties."""
+    import re
+
+    word = re.compile(r"[a-z0-9]+")
+    r1 = bm25_topk(ds, queries, k=fb_docs, k1=k1, b=b,
+                   id_col=id_col, text_col=text_col).to_pandas()
+    fb_ids = sorted({int(v) for v in r1[id_col]}) if len(r1) else []
+    if not fb_ids:
+        return bm25_topk(ds, queries, k=k, k1=k1, b=b,
+                         id_col=id_col, text_col=text_col)
+
+    fb_set = set(fb_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_in(batch.column(id_col),
+                        value_set=pa.array(fb_ids, pa.int64()))
+        return batch.filter(mask).select([id_col, text_col])
+
+    fb = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    fb_text = dict(zip(fb[id_col].astype(np.int64), fb[text_col]))
+
+    # per-query candidate counts over that query's feedback docs,
+    # excluding the query's own terms
+    orig_terms = [set(word.findall(q.lower())) for q in queries]
+    from collections import Counter
+    cand: list[Counter] = [Counter() for _ in queries]
+    for _, row in r1.iterrows():
+        qi = int(row["query_id"])
+        toks = word.findall(str(fb_text[int(row[id_col])]).lower())
+        cand[qi].update(t for t in toks if t not in orig_terms[qi])
+    all_cand = sorted({t for c in cand for t in c})
+    if not all_cand:
+        return bm25_topk(ds, queries, k=k, k1=k1, b=b,
+                         id_col=id_col, text_col=text_col)
+
+    # one pass: corpus df for the candidate terms + doc count
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word)
+        rows = {"__n__": len(batch)}
+        sets = toks.map(set)
+        for t in all_cand:
+            rows[t] = int(sets.map(lambda s, _t=t: _t in s).sum())
+        return pd.DataFrame([rows])
+
+    agg = ds.map_batches(df_partial, batch_format="pandas").to_pandas().sum()
+    n_docs = int(agg["__n__"])
+    expansions: list[list[str]] = []
+    for qi in range(len(queries)):
+        wgt = sorted(
+            ((-c * ((n_docs // int(agg[t])).bit_length() - 1), t)
+             for t, c in cand[qi].items()),
+        )[:fb_terms]
+        expansions.append([t for _, t in wgt])
+    expanded = [q + " " + " ".join(e) if e else q
+                for q, e in zip(queries, expansions)]
+    return bm25_topk(ds, expanded, k=k, k1=k1, b=b,
+                     id_col=id_col, text_col=text_col)

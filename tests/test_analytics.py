@@ -10184,3 +10184,72 @@ class TestQualityNeardupAuc:
         got = analytics.quality_neardup_auc(ds)
         assert int(got["n_pos"].iloc[0]) == 0
         assert int(got["auc_ppm"].iloc[0]) == 500_000
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBm25PrfTopk:
+    def test_expansion_recalls_synonym_doc(self):
+        """A doc sharing NO query term but sharing expansion vocabulary
+        with the feedback docs becomes retrievable only through PRF."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        docs = [
+            "hash join table grace partitioning buckets",   # matches query
+            "hash join table grace spill buckets",          # matches query
+            "grace partitioning spill buckets algorithm",   # synonym doc: 0 query terms
+            "flowers rain garden sunshine",
+            "violin cello piano trumpet",
+            "mountain river forest valley",
+            "copper iron nickel zinc",
+            "monday tuesday wednesday thursday",
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(docs),
+        }))
+        base = analytics.bm25_topk(ds, ["hash join table"], k=4).to_pandas()
+        prf = analytics.bm25_prf_topk(ds, ["hash join table"], k=4,
+                                      fb_docs=2, fb_terms=3).to_pandas()
+        assert 2 not in set(base["doc_id"])   # invisible to plain BM25
+        assert 2 in set(prf["doc_id"])        # recalled via expansion
+        assert set(prf["doc_id"]) == {0, 1, 2}  # noise stays out
+
+    def test_no_feedback_degenerates_to_plain_bm25(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta"]),
+        }))
+        prf = analytics.bm25_prf_topk(ds, ["zzz qqq"], k=2).to_pandas()
+        base = analytics.bm25_topk(ds, ["zzz qqq"], k=2).to_pandas()
+        assert prf.equals(base)
+
+    def test_vs_duckdb_sf0001(self):
+        import sys
+
+        import duckdb
+
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry_mod
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        got = analytics.bm25_prf_topk(
+            entry_mod._docs(SF, ["doc_id", "text"]),
+            entry_mod._BM25_QUERIES).to_pandas().sort_values(
+            ["query_id", "doc_id"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{SF}/documents.parquet')")
+        exp = con.execute(entry_mod._bm25_prf_sql() +
+                          " ORDER BY query_id, doc_id").df()
+        for c in exp.columns:
+            exp[c] = exp[c].astype(np.int64)
+        for c in got.columns:
+            got[c] = got[c].astype(np.int64)
+        assert got.equals(exp)
