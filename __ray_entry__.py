@@ -3782,6 +3782,54 @@ def _q_mor_delete_counts(sf_dir: str):
         shutil.rmtree(os.path.dirname(tdir), ignore_errors=True)
 
 
+def _q_wap_publish_counts(sf_dir: str):
+    """Write-Audit-Publish end-to-end: stage the in-range slice of
+    documents as its own table, AUDIT it (verify fsck + exact row-count
+    contract computed independently), publish into a fresh target as a
+    metadata-only snapshot (sources/lance_like.wap_publish), then
+    aggregate the TARGET per lang -- plus an in-query negative check
+    that a tampered staging fails its audit and leaves the target
+    untouched. Oracle is the range-filter aggregate over the source."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from distributed_system___ocr_ray.sources import lance_like
+
+    lo, hi = _range_bounds(sf_dir)
+    root = tempfile.mkdtemp(prefix="graft_wap_")
+    stage, target = root + "/stage", root + "/target"
+    try:
+        ds = lance_like.write_dataset(  # noqa: F841 -- manifest unused
+            _docs(sf_dir, ["doc_id", "lang", "n_chars"]).filter(
+                expr=f"doc_id >= {lo} and doc_id < {hi}"),
+            stage,
+        )
+        import duckdb
+
+        expected = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet') "
+            f"WHERE doc_id >= {lo} AND doc_id < {hi}"
+        ).fetchone()[0]
+        man = lance_like.wap_publish(stage, target, expected_rows=expected)
+        if man["audited_rows"] != expected:
+            raise AssertionError("audit accounting mismatch")
+        # negative path: a wrong contract must fail and not touch the target
+        v_before = lance_like.latest_version(target)
+        try:
+            lance_like.wap_publish(stage, target, expected_rows=expected + 1)
+            raise AssertionError("audit should have failed")
+        except lance_like.WapAuditError:
+            pass
+        if lance_like.latest_version(target) != v_before:
+            raise AssertionError("failed audit must not publish")
+        return _lang_agg(lance_like.read_dataset(target)).to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_time_travel_counts(sf_dir: str):
     """Snapshot-isolation read (time travel): write odd-event rows as
     table version 1, append the evens as version 2, then aggregate AT
@@ -5482,6 +5530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "texttiling_boundaries": _q_texttiling_boundaries,
         "filter_impact_audit": _q_filter_impact_audit,
         "mor_delete_counts": _q_mor_delete_counts,
+        "wap_publish_counts": _q_wap_publish_counts,
         "binary_hamming_topk": _q_binary_hamming_topk,
         "soft_dedup_weights": _q_soft_dedup_weights,
         "ccnet_bucket_counts": _q_ccnet_bucket_counts,
@@ -8827,6 +8876,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents, b WHERE doc_id < b.lo OR doc_id >= b.hi GROUP BY lang"
+        ),
+        "wap_publish_counts": (
+            # the audited-and-published snapshot is exactly the in-range
+            # slice: WAP changes WHO can observe the rows, not the rows
+            f"WITH {_RANGE_CTE} "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents, b WHERE doc_id >= b.lo AND doc_id < b.hi GROUP BY lang"
         ),
         # replays _q_merge_upsert_counts: MERGE == target-minus-matched
         # UNION ALL updated UNION ALL inserted, then the lang aggregate

@@ -528,6 +528,60 @@ def compact(
     return _commit_manifest(table_dir, manifest)
 
 
+class WapAuditError(RuntimeError):
+    """Write-Audit-Publish audit failure: the staged table did not pass
+    its checks; the target was NOT touched."""
+
+
+def wap_publish(staging_dir: str, target_dir: str,
+                expected_rows: int | None = None,
+                check_stats: bool = True) -> dict:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern): a writer
+    STAGES a candidate table in its own directory, the AUDIT runs against
+    the staging manifest -- ``verify()`` fsck (fragments exist, footer row
+    counts match, zone maps honest) plus an optional exact row-count
+    contract -- and only a clean audit PUBLISHES: the target gains a new
+    manifest version referencing the staged fragments IN PLACE
+    (metadata-only, the shallow-clone mechanics), becoming the target's
+    current snapshot. A failed audit raises ``WapAuditError`` and the
+    target is untouched -- consumers reading the target can never observe
+    unaudited data, which is the entire point of the pattern.
+
+    Returns the published manifest plus ``audited_rows``."""
+    man = read_manifest(staging_dir)
+    audit = verify(staging_dir, check_stats=check_stats)
+    errors = list(audit["errors"])
+    if expected_rows is not None and audit["rows"] != expected_rows:
+        errors.append(
+            f"row-count contract: expected {expected_rows}, staged {audit['rows']}"
+        )
+    if errors:
+        raise WapAuditError("; ".join(errors))
+    os.makedirs(_manifest_dir(target_dir), exist_ok=True)
+    os.makedirs(os.path.join(target_dir, "data"), exist_ok=True)
+    stage_abs, tgt_abs = os.path.abspath(staging_dir), os.path.abspath(target_dir)
+    frags = []
+    for f in man["fragments"]:
+        nf = dict(f)
+        p = f["path"]
+        full = p if os.path.isabs(p) else os.path.join(stage_abs, p)
+        nf["path"] = os.path.relpath(full, tgt_abs)
+        frags.append(nf)
+    new = {
+        "version": latest_version(target_dir) + 1,
+        "fragments": frags,
+        "published_from": {"staging": stage_abs, "version": man["version"]},
+        "audited_rows": audit["rows"],
+    }
+    if man.get("delete_files"):
+        new["delete_files"] = [
+            dict(df, path=os.path.relpath(
+                os.path.join(stage_abs, df["path"]), tgt_abs))
+            for df in man["delete_files"]
+        ]
+    return _commit_manifest(target_dir, new)
+
+
 def _predicate_mask(tbl: pa.Table, predicates: list[tuple]) -> pa.Array:
     """Row mask of rows MATCHING all predicates (same ops/semantics as
     ``_fragment_may_match``, evaluated exactly)."""

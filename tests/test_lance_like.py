@@ -208,3 +208,39 @@ class TestCommitConflict:
         man = ll.write_dataset(rd.from_arrow(t), root, mode="append")
         assert man["version"] == 3
         assert len(ll.read_arrow(root)) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWapPublish:
+    def test_publish_then_tampered_audit_fails(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        stage = str(tmp_path / "stage")
+        target = str(tmp_path / "target")
+        t = pa.table({"k": pa.array(list(range(6)), pa.int64())})
+        ll.write_dataset(rd.from_arrow(t), stage, rows_per_fragment=3)
+        man = ll.wap_publish(stage, target, expected_rows=6)
+        assert man["audited_rows"] == 6
+        assert sorted(ll.read_arrow(target).column("k").to_pylist()) == \
+            list(range(6))
+        # tamper a staged fragment: the next publish's audit must fail
+        # and the target must keep serving the last good snapshot
+        frag = ll.fragment_paths(stage)[0]
+        tampered = pq.read_table(frag).slice(0, 2)
+        pq.write_table(tampered, frag)
+        v = ll.latest_version(target)
+        with pytest.raises(ll.WapAuditError):
+            ll.wap_publish(stage, target, expected_rows=6)
+        assert ll.latest_version(target) == v
+        # (shallow publish references staged files in place, so the
+        # clone-caveat applies: mutating staged fragments after publish
+        # corrupts the published snapshot too -- WAP guards the commit
+        # boundary, immutability of fragments is the storage contract)
+        # row-count contract alone also gates
+        stage2 = str(tmp_path / "stage2")
+        ll.write_dataset(rd.from_arrow(t), stage2)
+        with pytest.raises(ll.WapAuditError):
+            ll.wap_publish(stage2, target, expected_rows=7)
