@@ -46,12 +46,22 @@ from ..state.checkpoint import CheckpointManifest, clean_tmp, durable_replace, t
 class ShardWorker:
     """Actor: processes whole fragments; extractor state built once."""
 
-    def __init__(self, media_handle, out_dir: str, batch_size: int = 1024) -> None:
+    def __init__(self, media_handle, out_dir: str, batch_size: int = 1024,
+                 deletes_handle=None) -> None:
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.extract = ExtractDispatch(media_handle)
         self.manifest = CheckpointManifest(out_dir)
         self.batch_size = batch_size
+        # merge-on-read equality deletes: (col, sorted key array) pairs
+        # fetched once per actor; applied to every fragment read so the
+        # zero-shuffle plan honors the same logical table as read_dataset
+        if deletes_handle is not None:
+            import ray
+
+            self.deletes = ray.get(deletes_handle)
+        else:
+            self.deletes = []
 
     MAX_BATCH_BYTES = 32 * 1024 * 1024  # size-capped batch splitting: a batch
     # of fat spans (e.g. one 5 MB text payload x 1024 rows) must not blow the
@@ -106,6 +116,12 @@ class ShardWorker:
                 continue
             t0 = time.monotonic()
             docs = pq.read_table(path, columns=["doc_id", "spans"])
+            if self.deletes:
+                import pyarrow.compute as pc
+
+                for col, keys in self.deletes:
+                    mask = pc.is_in(docs.column(col), value_set=keys)
+                    docs = docs.filter(pc.invert(mask))
             out, meta = self._process_table(docs)
             dest = self.manifest.partition_path(part)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -163,13 +179,24 @@ def run_extraction_sharded(
     # and the per-fragment identity check below distinguishes an append
     # (same file -> pruned) from an overwrite rewrite that reuses fragment
     # indices (new file -> reprocessed, not skipped-as-done)
+    job = {
+        "format": 2,
+        "plan": "sharded",
+        "input_table": os.path.abspath(docs_dir),
+        "media": media_fingerprint(media),
+    }
+    # merge-on-read deletes are part of the JOB IDENTITY: partitions
+    # committed under an older delete set would contain rows deleted
+    # since, so a changed/compounded delete list refuses resume loudly
+    # (delete files are append-only -- the key is present only when the
+    # table has them, keeping plain-table identities unchanged)
+    dels = lance_like._delete_key_sets(docs_dir, man)
+    if man.get("delete_files"):
+        job["deletes"] = [
+            (df["path"], df["key_col"], df["rows"]) for df in man["delete_files"]
+        ]
     manifest.check_job(
-        {
-            "format": 2,
-            "plan": "sharded",
-            "input_table": os.path.abspath(docs_dir),
-            "media": media_fingerprint(media),
-        },
+        job,
         enforce=resume,
         compat={"media": media_compatible},
     )
@@ -211,6 +238,10 @@ def run_extraction_sharded(
                 "media_handle": _media_handle(media),
                 "out_dir": out_dir,
                 "batch_size": batch_size,
+                "deletes_handle": (
+                    ray.put([(c, pa.array(sorted(k))) for c, k in dels])
+                    if dels else None
+                ),
             },
             batch_format="pyarrow",
             batch_size=None,  # whole work-item block per call

@@ -198,3 +198,42 @@ class TestResumeIdentity:
 
         with pytest.raises(ValueError, match="batch_size"):
             ShardWorker(_media_handle(small_corpus[1]), "/tmp/x", batch_size=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShardedMorDeletes:
+    def test_deleted_docs_excluded_and_resume_refuses_new_deletes(self, tmp_path):
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+        from distributed_system___ocr_ray.state.checkpoint import (
+            CheckpointManifest,
+        )
+
+        docs_dir = str(tmp_path / "documents")
+        corpus.write_corpus(str(tmp_path), n_docs=40, rows_per_fragment=10)
+        store = lance_like.read_arrow(str(tmp_path / "media_store"))
+        # merge-on-read delete of a doc range BEFORE extraction
+        # (doc_id is a zero-padded string: lexicographic range == numeric)
+        lance_like.delete_where_mor(
+            docs_dir, [("doc_id", ">=", "doc-00000010"),
+                       ("doc_id", "<", "doc-00000020")], "doc_id")
+        out = str(tmp_path / "out")
+        run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        got = CheckpointManifest(out)
+        import pyarrow.parquet as pq
+        import glob
+        ids = set()
+        for f in glob.glob(out + "/part=*/data.parquet"):
+            ids.update(pq.read_table(f, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+        assert ids == {f"doc-{i:08d}" for i in range(40)
+                       if not (10 <= i < 20)}
+        # a NEW delete changes the job identity: resume must refuse
+        lance_like.delete_where_mor(
+            docs_dir, [("doc_id", "==", "doc-00000000")], "doc_id")
+        with pytest.raises(Exception) as ei:
+            run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        assert "mismatch" in str(ei.value).lower() or "deletes" in str(ei.value)
