@@ -2486,6 +2486,22 @@ def _bfs_levels_sql(max_rounds: int = 8) -> str:
     return f"{body} SELECT node AS doc_id, level FROM l{max_rounds}"
 
 
+def _q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced diversity sample: shared integer Lloyd fit, then
+    a deterministic md5-roll quota of 8 from every cluster
+    (analytics.cluster_balanced_sample -- coverage-first sampling, the
+    opposite lever of density-proportional stratified_sample); oracle =
+    the shared assignment CTEs + per-cluster QUALIFY over the same
+    md5 roll."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = analytics.cluster_balanced_sample(ds)
+    return _pairs_df(out, {"cluster_id": "int64", "vec_id": "int64"})
+
+
 def _q_kmeans_inertia(sf_dir: str):
     """Per-cluster size + exact integer inertia for the shared Lloyd fit
     (analytics.kmeans_inertia); the oracle folds the winning distance from
@@ -5347,6 +5363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anf_effective_diameter": _q_anf_effective_diameter,
         "rnn_pairs": _q_rnn_pairs,
         "kmeans_inertia": _q_kmeans_inertia,
+        "cluster_balanced_sample": _q_cluster_balanced_sample,
         "hybrid_topk": _q_hybrid_topk,
         "decayed_user_value": _q_decayed_user_value,
         "triangle_count": _q_triangle_count,
@@ -7559,6 +7576,20 @@ def _kmeans_assign_ctes(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     return "".join(parts)
 
 
+def _cluster_balanced_sample_sql(k: int = 8, iters: int = 3,
+                                per_cluster: int = 8,
+                                scale: int = 1000) -> str:
+    """Replay of ``analytics.cluster_balanced_sample``: the shared Lloyd
+    assignment CTEs ending at aF, then a per-cluster QUALIFY over the
+    sampling family's md5-prefix roll with (roll, vec_id) ties."""
+    roll = "('0x' || substr(md5('cbs:' || CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT"
+    return _kmeans_assign_ctes(k=k, iters=iters, scale=scale) + (
+        "SELECT cid AS cluster_id, vec_id FROM aF "
+        f"QUALIFY row_number() OVER (PARTITION BY cid ORDER BY {roll}, vec_id) "
+        f"<= {per_cluster} ORDER BY cluster_id, vec_id"
+    )
+
+
 def _kmeans_sql(k: int = 8, iters: int = 3, scale: int = 1000) -> str:
     """Cluster fingerprint on top of the shared assignment CTEs."""
     return _kmeans_assign_ctes(k=k, iters=iters, scale=scale) + (
@@ -8955,6 +8986,7 @@ def oracle_sql() -> dict[str, str]:
         "anf_effective_diameter": _anf_sql(),
         "rnn_pairs": _RNN_PAIRS_SQL,
         "kmeans_inertia": _kmeans_inertia_sql(k=8, iters=3),
+        "cluster_balanced_sample": _cluster_balanced_sample_sql(),
         "hybrid_topk": _hybrid_sql(k=10, rrf_k=60),
         "triangle_count": _triangle_sql(),
         "lpa_communities": _lpa_sql(rounds=4),

@@ -14491,3 +14491,63 @@ def bm25_prf_topk(ds, queries: list[str], k: int = 10, fb_docs: int = 3,
                 for q, e in zip(queries, expansions)]
     return bm25_topk(ds, expanded, k=k, k1=k1, b=b,
                      id_col=id_col, text_col=text_col)
+
+
+def cluster_balanced_sample(ds, k: int = 8, iters: int = 3,
+                            per_cluster: int = 8, id_col: str = "vec_id",
+                            emb_col: str = "embedding", scale: int = 1000):
+    """Cluster-balanced (diversity) sampling: fit the shared integer
+    Lloyd k-means, then draw a deterministic md5-roll quota from EVERY
+    cluster -- the curation recipe that keeps a small sample covering
+    embedding space instead of mirroring its density (the
+    cluster-then-sample step of SemDeDup-era diversity selection; the
+    opposite lever of density-proportional ``stratified_sample``).
+    Selection inside a cluster is the sampling family's md5-prefix roll
+    ``md5_u64(f"cbs:{id}")`` with (roll, id) ties -- hash-random but
+    exactly SQL-replayable.
+
+    Plan: the quantized projection and Lloyd fit are the existing
+    kmeans machinery (map + tiny reduce per round, no shuffle); one
+    final pass assigns each batch and keeps a per-batch top-quota per
+    cluster; the bounded ``k x quota x n_blocks`` partial merges in one
+    tiny task. Returns (cluster_id, vec_id) sorted."""
+    import ray
+
+    from ..functions.dedup import md5_u64
+
+    qds = _kmeans_quantize(ds, id_col, emb_col, scale).materialize()
+    C = _kmeans_fit(qds, k=k, iters=iters, id_col=id_col)
+    handle = [ray.put(C)]
+
+    def partial(batch: pa.Table, _q=per_cluster) -> pa.Table:
+        import ray as _ray
+
+        Cm = _ray.get(handle[0])
+        c2 = (Cm * Cm).sum(axis=1)
+        Q = np.stack(batch.column("q").to_pylist()).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ Cm.T) + c2[None, :]
+        lab = np.argmin(d, axis=1).astype(np.int64)
+        roll = np.array([md5_u64(f"cbs:{int(i)}".encode()) for i in ids],
+                        dtype=np.uint64)
+        df = pd.DataFrame({"cluster_id": lab, id_col: ids, "roll": roll})
+        out = (df.sort_values(["cluster_id", "roll", id_col])
+               .groupby("cluster_id", sort=False).head(_q))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(batch: pa.Table, _q=per_cluster) -> pa.Table:
+        df = batch.to_pandas()
+        out = (df.sort_values(["cluster_id", "roll", id_col])
+               .groupby("cluster_id", sort=False).head(_q)
+               .drop(columns=["roll"])
+               .sort_values(["cluster_id", id_col]))
+        return pa.table({
+            "cluster_id": pa.array(out["cluster_id"].to_numpy(np.int64)),
+            id_col: pa.array(out[id_col].to_numpy(np.int64)),
+        })
+
+    return (
+        qds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )

@@ -10253,3 +10253,36 @@ class TestBm25PrfTopk:
         for c in got.columns:
             got[c] = got[c].astype(np.int64)
         assert got.equals(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestClusterBalancedSample:
+    def test_quota_and_coverage(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        got = analytics.cluster_balanced_sample(ds, per_cluster=8).to_pandas()
+        per = got.groupby("cluster_id").size()
+        assert (per <= 8).all()
+        # the balanced draw covers every non-empty cluster
+        clusters = analytics.kmeans_clusters(ds).to_pandas()
+        assert set(per.index) == set(clusters["cluster_id"])
+        # quota met wherever the cluster is big enough
+        sizes = dict(zip(clusters["cluster_id"], clusters["n_vecs"]))
+        for cid, n in per.items():
+            assert n == min(8, sizes[cid])
+        assert got["vec_id"].is_unique
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds1 = rd.read_parquet(f"{SF}/embeddings.parquet")
+        ds2 = rd.read_parquet(f"{SF}/embeddings.parquet",
+                              override_num_blocks=7)
+        a = analytics.cluster_balanced_sample(ds1).to_pandas()
+        b = analytics.cluster_balanced_sample(ds2).to_pandas()
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
