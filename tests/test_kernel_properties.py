@@ -290,3 +290,33 @@ class TestSqlParityPrimitives:
                 "SELECT CAST(FLOOR(CAST(? AS DOUBLE) * 100 + 0.5) AS BIGINT)",
                 [v]).fetchone()[0]
             assert py == int(sql), v
+
+
+class TestAucHistogramProperty:
+    @given(st.lists(st.tuples(st.integers(0, 50), st.booleans()),
+                    min_size=1, max_size=120))
+    @settings(max_examples=150, deadline=None)
+    def test_histogram_2u_equals_pairwise(self, rows):
+        """The histogram 2U formula (quality_neardup_auc's core) equals
+        the O(n^2) Mann-Whitney pairwise count with the tie convention."""
+        scores = np.array([s for s, _ in rows], dtype=np.int64)
+        labels = np.array([1 if l else 0 for _, l in rows], dtype=np.int64)
+        # brute force: for each (pos, neg) pair: 2 if pos>neg, 1 if tie
+        u2_brute = 0
+        for si, li in zip(scores, labels):
+            if li != 1:
+                continue
+            for sj, lj in zip(scores, labels):
+                if lj != 0:
+                    continue
+                u2_brute += 2 if si > sj else (1 if si == sj else 0)
+        # histogram walk (the engine's formula)
+        import pandas as pd_
+        h = pd_.DataFrame({"s": scores, "pos": labels})
+        g = h.groupby("s").agg(np_=("pos", "sum"), nn=("pos", lambda v: (1 - v).sum()))
+        g = g.sort_index()
+        npc = g["np_"].to_numpy(np.int64)
+        nnc = g["nn"].to_numpy(np.int64)
+        cumlt = np.concatenate([[0], np.cumsum(nnc)[:-1]])
+        u2_hist = int(np.sum(npc * (2 * cumlt + nnc)))
+        assert u2_hist == u2_brute

@@ -244,3 +244,24 @@ class TestWapPublish:
         ll.write_dataset(rd.from_arrow(t), stage2)
         with pytest.raises(ll.WapAuditError):
             ll.wap_publish(stage2, target, expected_rows=7)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMorRobustness:
+    def test_orphan_delete_file_is_inert(self, tmp_path):
+        """A crash between delete-file write and manifest commit leaves an
+        orphan in deletes/ -- unreferenced, it must not affect reads."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "tbl")
+        t = pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+        ll.write_dataset(rd.from_arrow(t), root)
+        import os
+        os.makedirs(root + "/deletes", exist_ok=True)
+        pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}),
+                       root + "/deletes/delete-99.parquet")  # orphan
+        assert sorted(ll.read_arrow(root).column("k").to_pylist()) == [1, 2, 3]
+        assert sorted(ll.read_dataset(root).to_pandas()["k"]) == [1, 2, 3]
