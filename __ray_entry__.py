@@ -4780,6 +4780,19 @@ def _q_vocab_pruning_plan(sf_dir: str):
     return analytics.vocab_pruning_plan(_docs(sf_dir, ["text"]))
 
 
+def _q_winnow_dup_clusters(sf_dir: str):
+    """Copy-detection clusters over the winnowing (MOSS) pair graph --
+    fourth edge generator for the cluster matrix beside
+    minhash/ngram/simhash; same connected-components engine, oracle
+    wraps the full winnow pair replay as a CTE with the shared
+    recursive-closure pattern."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    pairs = analytics.winnow_fingerprint_pairs(_docs(sf_dir, ["doc_id", "text"]))
+    out = analytics.dedup_clusters(pairs)
+    return _pairs_df(out, {"doc_id": "int64", "cluster_id": "int64"})
+
+
 def _q_winnow_fingerprint_pairs(sf_dir: str):
     """Winnowing (MOSS) copy-detection pairs: window-minimum 20-gram
     fingerprints, pairs sharing >= 5 prints with the shared count
@@ -5506,6 +5519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_reconciliation": _q_order_total_reconciliation,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
+        "winnow_dup_clusters": _q_winnow_dup_clusters,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "gdpr_erasure_plan": _q_gdpr_erasure_plan,
         "max_coverage_select": _q_max_coverage_select,
@@ -7798,6 +7812,21 @@ _VOCAB_PRUNING_SQL = (
     "FROM th CROSS JOIN wf CROSS JOIN tot "
     "GROUP BY th.min_count, tot.t_occ, tot.t_types ORDER BY min_count"
 )
+
+
+def _winnow_clusters_sql() -> str:
+    """Connected components over the SQL-replayed winnow pair graph --
+    the shared recursive-closure pattern, pair replay nested as a CTE."""
+    return (
+        f"WITH RECURSIVE wp AS ({_winnow_sql()}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM wp "
+        "UNION SELECT doc_b, doc_a FROM wp), "
+        "reach AS (SELECT a, b FROM edges "
+        "UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+        "cl AS (SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY a) "
+        "SELECT doc_id, cluster_id FROM cl"
+    )
 
 
 def _winnow_sql(k: int = 20, w: int = 8, cap: int = 40, min_shared: int = 5) -> str:
@@ -10169,6 +10198,7 @@ def oracle_sql() -> dict[str, str]:
         "order_total_reconciliation": _ORDER_RECON_SQL,
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
+        "winnow_dup_clusters": _winnow_clusters_sql(),
         "cdc_chunk_dedup": _CDC_CHUNK_SQL,
         "gdpr_erasure_plan": _gdpr_sql(),
         "max_coverage_select": _max_coverage_sql(),

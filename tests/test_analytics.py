@@ -10286,3 +10286,27 @@ class TestClusterBalancedSample:
         a = analytics.cluster_balanced_sample(ds1).to_pandas()
         b = analytics.cluster_balanced_sample(ds2).to_pandas()
         assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestWinnowDupClusters:
+    def test_shared_passage_clusters(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        passage = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                   "lam mu nu xi omicron pi rho sigma tau upsilon phi chi "
+                   "psi omega one two three four five six")
+        a = passage + " seven eight nine ten"
+        b = "intro words first " + passage
+        c = " ".join(f"w{i}" for i in range(40))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([a, b, c]),
+        }))
+        pairs = analytics.winnow_fingerprint_pairs(ds)
+        out = analytics.dedup_clusters(pairs).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got.get(1) == 1 and got.get(2) == 1
+        assert 3 not in got
