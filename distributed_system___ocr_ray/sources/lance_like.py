@@ -30,6 +30,13 @@ import pyarrow.parquet as pq
 _MANIFEST_RE = re.compile(r"^v(\d+)\.json$")
 
 
+class ConstraintViolation(ValueError):
+    """A CHECK constraint rejected rows at write time (Delta-style table
+    constraints): the write aborts BEFORE any manifest commit, so readers
+    never observe violating rows; fragments already laid down by the
+    failed write are unreferenced and reclaimed by gc()."""
+
+
 class CommitConflict(RuntimeError):
     """Optimistic-concurrency commit failure: another writer committed the
     same manifest version first (Iceberg's commit contract -- writers
@@ -190,17 +197,35 @@ def _check_append_schema(table_dir: str, prior_version: int, new_schema) -> None
 
 def write_table(
     table: pa.Table, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite",
-    row_group_size: int | None = None,
+    row_group_size: int | None = None, constraints: list[tuple] | None = None,
 ) -> dict:
     """Write ``table`` as a new version of a Lance-style table.
 
     ``mode='overwrite'`` starts a fresh fragment list; ``mode='append'``
     extends the previous version's list. Fragment files are immutable
     (never rewritten); the manifest commit is an atomic rename.
+    ``constraints``: CHECK predicates enforced before anything is written
+    (and recorded in the manifest; appends inherit the table's contract
+    when the argument is omitted -- same semantics as ``write_dataset``).
     """
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     version = latest_version(table_dir) + 1
+    if constraints is None and mode == "append" and version > 1:
+        constraints = [
+            tuple(c) for c in read_manifest(table_dir, version - 1).get(
+                "constraints", [])
+        ] or None
+    if constraints and table.num_rows:
+        import pyarrow.compute as pc
+
+        ok = _predicate_mask(table, constraints)
+        bad = table.num_rows - (pc.sum(ok).as_py() or 0)
+        if bad:
+            first = table.filter(pc.invert(ok)).slice(0, 1).to_pylist()[0]
+            raise ConstraintViolation(
+                f"{bad} row(s) violate CHECK {constraints}; first: {first}"
+            )
     fragments = []
     if mode == "append" and version > 1:
         _check_append_schema(table_dir, version - 1, table.schema)
@@ -217,6 +242,8 @@ def write_table(
             {"path": rel, "rows": chunk.num_rows, "stats": _fragment_stats(chunk)}
         )
     manifest = {"version": version, "fragments": fragments}
+    if constraints:
+        manifest["constraints"] = [list(c) for c in constraints]
     if mode == "append" and version > 1:
         prior_man = read_manifest(table_dir, version - 1)
         if "evolution" in prior_man:  # ADD COLUMN survives appends
@@ -226,7 +253,7 @@ def write_table(
 
 def write_dataset(
     ds, table_dir: str, rows_per_fragment: int = 100_000, mode: str = "overwrite",
-    row_group_size: int | None = None,
+    row_group_size: int | None = None, constraints: list[tuple] | None = None,
 ) -> dict:
     """Streaming writer: materialization-free ``Dataset`` -> Lance-style table.
 
@@ -255,9 +282,27 @@ def write_dataset(
             sch = None
         sch = sch.base_schema if hasattr(sch, "base_schema") else sch
         _check_append_schema(table_dir, version - 1, sch)
+    # CHECK constraints (Delta-style): the caller's list, or -- on append --
+    # the table's recorded contract, so a writer cannot sneak violating rows
+    # into a constrained table by simply omitting the argument
+    if constraints is None and mode == "append" and version > 1:
+        constraints = [
+            tuple(c) for c in read_manifest(table_dir, version - 1).get(
+                "constraints", [])
+        ] or None
     rg = row_group_size or min(rows_per_fragment, 512)
 
     def write_fragment(batch: pa.Table) -> pa.Table:
+        if constraints and batch.num_rows:
+            import pyarrow.compute as pc
+
+            ok = _predicate_mask(batch, constraints)
+            bad = batch.num_rows - (pc.sum(ok).as_py() or 0)
+            if bad:
+                first = batch.filter(pc.invert(ok)).slice(0, 1).to_pylist()[0]
+                raise ConstraintViolation(
+                    f"{bad} row(s) violate CHECK {constraints}; first: {first}"
+                )
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -292,6 +337,8 @@ def write_dataset(
         key=lambda f: f["path"],
     )
     manifest = {"version": version, "fragments": fragments}
+    if constraints:
+        manifest["constraints"] = [list(c) for c in constraints]
     if mode == "append" and version > 1:
         prior_man = read_manifest(table_dir, version - 1)
         if "evolution" in prior_man:  # ADD COLUMN survives appends

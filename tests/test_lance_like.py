@@ -265,3 +265,54 @@ class TestMorRobustness:
                        root + "/deletes/delete-99.parquet")  # orphan
         assert sorted(ll.read_arrow(root).column("k").to_pylist()) == [1, 2, 3]
         assert sorted(ll.read_dataset(root).to_pandas()["k"]) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheckConstraints:
+    def test_violation_aborts_before_commit(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "tbl")
+        bad = pa.table({"k": pa.array([1, 0, 3], pa.int64())})
+        with pytest.raises(Exception) as ei:
+            ll.write_dataset(rd.from_arrow(bad), root,
+                             constraints=[("k", ">", 0)])
+        assert "violate CHECK" in str(ei.value)
+        assert ll.latest_version(root) == 0  # nothing committed
+
+    def test_append_inherits_table_contract(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "tbl")
+        good = pa.table({"k": pa.array([1, 2], pa.int64())})
+        man = ll.write_dataset(rd.from_arrow(good), root,
+                               constraints=[("k", ">", 0)])
+        assert man["constraints"] == [["k", ">", 0]]
+        # append WITHOUT passing constraints: the recorded contract applies
+        with pytest.raises(Exception) as ei:
+            ll.write_dataset(rd.from_arrow(
+                pa.table({"k": pa.array([0], pa.int64())})), root,
+                mode="append")
+        assert "violate CHECK" in str(ei.value)
+        assert ll.latest_version(root) == 1
+        # a clean append passes and carries the contract forward
+        man2 = ll.write_dataset(rd.from_arrow(
+            pa.table({"k": pa.array([5], pa.int64())})), root, mode="append")
+        assert man2["constraints"] == [["k", ">", 0]]
+        assert sorted(ll.read_arrow(root).column("k").to_pylist()) == [1, 2, 5]
+
+    def test_write_table_enforces_too(self, tmp_path):
+        from distributed_system___ocr_ray.sources import lance_like as ll
+
+        root = str(tmp_path / "tbl2")
+        with pytest.raises(ll.ConstraintViolation):
+            ll.write_table(pa.table({"k": pa.array([-1], pa.int64())}), root,
+                           constraints=[("k", ">=", 0)])
+        assert ll.latest_version(root) == 0
+        man = ll.write_table(pa.table({"k": pa.array([0, 7], pa.int64())}),
+                             root, constraints=[("k", ">=", 0)])
+        assert man["constraints"] == [["k", ">=", 0]]
