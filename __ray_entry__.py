@@ -4780,6 +4780,17 @@ def _q_vocab_pruning_plan(sf_dir: str):
     return analytics.vocab_pruning_plan(_docs(sf_dir, ["text"]))
 
 
+def _q_dedup_family_agreement(sf_dir: str):
+    """Pairwise Jaccard agreement between the four near-dup pair
+    generators over the same corpus (analytics.dedup_family_agreement
+    -- the which-signal-to-trust meta-audit); oracle composes all four
+    already-green pair replays (minhash+ngram share the shingle CTE
+    body; simhash and winnow nest whole) and the set arithmetic."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.dedup_family_agreement(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_winnow_dup_clusters(sf_dir: str):
     """Copy-detection clusters over the winnowing (MOSS) pair graph --
     fourth edge generator for the cluster matrix beside
@@ -5520,6 +5531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
+        "dedup_family_agreement": _q_dedup_family_agreement,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "gdpr_erasure_plan": _q_gdpr_erasure_plan,
         "max_coverage_select": _q_max_coverage_select,
@@ -7812,6 +7824,42 @@ _VOCAB_PRUNING_SQL = (
     "FROM th CROSS JOIN wf CROSS JOIN tot "
     "GROUP BY th.min_count, tot.t_occ, tot.t_types ORDER BY min_count"
 )
+
+
+def _dedup_family_agreement_sql() -> str:
+    """Replay of ``analytics.dedup_family_agreement``: the minhash body
+    + deduplicated-shingle-prefix ngram tail (the recall-audit
+    composition), simhash and winnow pair replays nested whole, then six
+    UNION ALL rows of set arithmetic with the empty-union 1e6 pin."""
+    ngram_tail = _NGRAM_PAIRS_CTES[len(_SHINGLE_CTES) + 2 :]
+    combos = [("minhash", "fm"), ("ngram", "fn_"),
+              ("simhash", "fs"), ("winnow", "fw")]
+    rows = []
+    for i, (na, ta) in enumerate(combos):
+        for nb, tb in combos[i + 1:]:
+            rows.append(
+                f"SELECT '{na}' AS family_a, '{nb}' AS family_b, "
+                f"(SELECT COUNT(*) FROM {ta}) AS n_a, "
+                f"(SELECT COUNT(*) FROM {tb}) AS n_b, "
+                f"(SELECT COUNT(*) FROM {ta} JOIN {tb} USING (doc_a, doc_b)) "
+                "AS n_common, 0 AS jaccard_ppm"
+            )
+    body = " UNION ALL ".join(rows)
+    return (
+        f"WITH {_minhash_ctes()}, {ngram_tail}, "
+        f"sp AS ({_simhash_pairs_sql()}), "
+        f"wp AS ({_winnow_sql()}), "
+        "fm AS (SELECT doc_a, doc_b FROM mpairs), "
+        "fn_ AS (SELECT doc_a, doc_b FROM pairs), "
+        "fs AS (SELECT doc_a, doc_b FROM sp), "
+        "fw AS (SELECT doc_a, doc_b FROM wp), "
+        f"fam6 AS ({body}) "
+        "SELECT family_a, family_b, CAST(n_a AS BIGINT) AS n_a, "
+        "CAST(n_b AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common, "
+        "CAST(CASE WHEN n_a + n_b - n_common = 0 THEN 1000000 "
+        "ELSE n_common * 1000000 // (n_a + n_b - n_common) END AS BIGINT) "
+        "AS jaccard_ppm FROM fam6 ORDER BY family_a, family_b"
+    )
 
 
 def _winnow_clusters_sql() -> str:
@@ -10199,6 +10247,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
         "winnow_dup_clusters": _winnow_clusters_sql(),
+        "dedup_family_agreement": _dedup_family_agreement_sql(),
         "cdc_chunk_dedup": _CDC_CHUNK_SQL,
         "gdpr_erasure_plan": _gdpr_sql(),
         "max_coverage_select": _max_coverage_sql(),

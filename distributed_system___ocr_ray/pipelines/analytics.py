@@ -14551,3 +14551,51 @@ def cluster_balanced_sample(ds, k: int = 8, iters: int = 3,
         .repartition(1)
         .map_batches(final, batch_format="pyarrow", batch_size=None)
     )
+
+
+def dedup_family_agreement(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Meta-audit of the near-dup PAIR FAMILIES: pairwise Jaccard
+    agreement between the four edge generators (MinHash-LSH est>=0.6,
+    exact 3-gram Jaccard>=0.5, SimHash hamming<=3, winnowing shared>=5)
+    over the same corpus -- the one-table answer to "which dedup signal
+    do we trust, and where do they disagree". High minhash/ngram overlap
+    with low simhash overlap says the corpus's near-dups are
+    shingle-level (reorderings), not bag-of-words-level, and vice versa.
+
+    Each family's pair table is pair-bounded by construction, so the
+    comparison runs on collected pair sets (the bounded-driver license
+    the audits share; the distributed per-combo shape is
+    ``pair_set_audit``). Degenerate empty unions pin jaccard to 10^6
+    (vacuous agreement) on both sides.
+
+    Returns 6 rows: (family_a, family_b, n_a, n_b, n_common,
+    jaccard_ppm), families lexicographic."""
+    fams = {
+        "minhash": minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
+                                     threshold=0.6),
+        "ngram": ngram_jaccard_pairs(ds, id_col=id_col, text_col=text_col,
+                                     threshold=0.5),
+        "simhash": simhash_pairs(ds, id_col=id_col, text_col=text_col,
+                                 max_hamming=3),
+        "winnow": winnow_fingerprint_pairs(ds, text_col=text_col,
+                                           id_col=id_col),
+    }
+    sets = {}
+    for name, out in fams.items():
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        sets[name] = (set(zip(df["doc_a"].astype(np.int64),
+                              df["doc_b"].astype(np.int64)))
+                      if len(df) else set())
+    names = sorted(sets)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            common = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            jac = 1_000_000 if union == 0 else common * 1_000_000 // union
+            rows.append((a, b, len(sets[a]), len(sets[b]), common, jac))
+    out = pd.DataFrame(rows, columns=["family_a", "family_b", "n_a", "n_b",
+                                      "n_common", "jaccard_ppm"])
+    for c in out.columns[2:]:
+        out[c] = out[c].astype(np.int64)
+    return out

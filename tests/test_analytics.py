@@ -10310,3 +10310,40 @@ class TestWinnowDupClusters:
         got = dict(zip(out["doc_id"], out["cluster_id"]))
         assert got.get(1) == 1 and got.get(2) == 1
         assert 3 not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDedupFamilyAgreement:
+    def test_planted_dup_all_families_agree(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        words = [f"tok{i}" for i in range(120)]
+        base = " ".join(words)
+        near = " ".join(words + ["extra"])
+        other = " ".join(f"q{i}" for i in range(120))
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, near, other]),
+        }))
+        got = analytics.dedup_family_agreement(ds)
+        assert len(got) == 6
+        assert list(got.columns) == ["family_a", "family_b", "n_a", "n_b",
+                                     "n_common", "jaccard_ppm"]
+        # the planted near-identical pair is found by every family, so
+        # every combo agrees perfectly (or is vacuously empty-vs-empty)
+        assert (got["jaccard_ppm"] == 1_000_000).all()
+        assert (got["n_common"] >= 1).all()
+
+    def test_sf0001_structure(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = analytics.dedup_family_agreement(ds)
+        assert len(got) == 6
+        assert (got["n_common"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+        assert got["jaccard_ppm"].between(0, 1_000_000).all()
