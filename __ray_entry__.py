@@ -4791,6 +4791,17 @@ def _q_dedup_family_agreement(sf_dir: str):
     return analytics.dedup_family_agreement(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_ams_f2_audit(sf_dir: str):
+    """AMS second-moment sketch audit: 17 md5-signed linear estimators,
+    median of squares vs exact F2 of the token counts
+    (analytics.ams_f2_audit -- completing the sketch-accuracy ladder
+    beside HLL/CMS/KMV/Bloom); oracle replays signs, sums, the median
+    row pick and the floor-div error ppm."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.ams_f2_audit(_docs(sf_dir, ["text"]))
+
+
 def _q_winnow_dup_clusters(sf_dir: str):
     """Copy-detection clusters over the winnowing (MOSS) pair graph --
     fourth edge generator for the cluster matrix beside
@@ -5531,6 +5542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
+        "ams_f2_audit": _q_ams_f2_audit,
         "dedup_family_agreement": _q_dedup_family_agreement,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "gdpr_erasure_plan": _q_gdpr_erasure_plan,
@@ -7859,6 +7871,31 @@ def _dedup_family_agreement_sql() -> str:
         "CAST(CASE WHEN n_a + n_b - n_common = 0 THEN 1000000 "
         "ELSE n_common * 1000000 // (n_a + n_b - n_common) END AS BIGINT) "
         "AS jaccard_ppm FROM fam6 ORDER BY family_a, family_b"
+    )
+
+
+def _ams_f2_sql(k_est: int = 17) -> str:
+    """Replay of ``analytics.ams_f2_audit``: shared tokenizer, grouped
+    counts, md5-parity signs per (estimator, token), per-estimator sums,
+    ordered squares with the single-row median pick (odd k), exact F2
+    and floor-div err ppm."""
+    h = _MD5U64.format(v="'ams:' || CAST(j AS VARCHAR) || ':' || token")
+    return (
+        "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS token FROM documents), "
+        "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+        "ex AS (SELECT CAST(SUM(n * n) AS BIGINT) AS f2 FROM c), "
+        f"seeds AS (SELECT unnest(generate_series(0, {k_est - 1})) AS j), "
+        f"sj AS (SELECT s.j, SUM(CASE WHEN {h} % 2 = 1 THEN c.n ELSE -c.n END) "
+        "AS sv FROM c CROSS JOIN seeds s GROUP BY s.j), "
+        "sq AS (SELECT sv * sv AS s2 FROM sj), "
+        "med AS (SELECT s2 FROM sq QUALIFY row_number() OVER (ORDER BY s2) "
+        f"= {k_est // 2 + 1}) "
+        "SELECT CAST(ex.f2 AS BIGINT) AS f2_exact, "
+        "CAST(med.s2 AS BIGINT) AS f2_est, "
+        "CAST(CASE WHEN ex.f2 = 0 THEN 0 ELSE "
+        "CAST(abs(med.s2 - ex.f2) AS HUGEINT) * 1000000 // ex.f2 END "
+        "AS BIGINT) AS err_ppm FROM ex, med"
     )
 
 
@@ -10247,6 +10284,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
         "winnow_dup_clusters": _winnow_clusters_sql(),
+        "ams_f2_audit": _ams_f2_sql(),
         "dedup_family_agreement": _dedup_family_agreement_sql(),
         "cdc_chunk_dedup": _CDC_CHUNK_SQL,
         "gdpr_erasure_plan": _gdpr_sql(),

@@ -14599,3 +14599,60 @@ def dedup_family_agreement(ds, id_col: str = "doc_id", text_col: str = "text"):
     for c in out.columns[2:]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def ams_f2_audit(ds, text_col: str = "text", k_est: int = 17):
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment audit over the
+    token stream: F2 = sum of squared token counts (the collision mass /
+    self-join size of the vocabulary -- what sizes a token-keyed join or
+    detects skew) estimated by ``k_est`` linear sketches vs the exact
+    value. Estimator j keeps ONE integer S_j = sum over occurrences of
+    sign_j(token), with the four-wise-style sign drawn from the md5
+    prefix (``md5_u64(f"ams:{j}:{t}") % 2``); E[S_j^2] = F2 and the
+    MEDIAN of the k odd estimators is the robust estimate -- integers
+    end to end, so the oracle replays every sign, sum and the median
+    pick. Completes the sketch-accuracy ladder beside the HLL (F0), CMS
+    (point counts), KMV and Bloom audits.
+
+    Scale shape: S_j is LINEAR in the stream, so the sketch side is one
+    pass with k partial ints per block and no vocabulary state -- the
+    exact baseline is what costs a grouped exchange. Here both derive
+    from the same bounded (token, count) fold the exact side must build
+    anyway (the audit pays the baseline by definition); the sketch-only
+    deployment shape is the per-batch partial sum.
+
+    Returns one row: (f2_exact, f2_est, err_ppm)."""
+    import re
+
+    from .relational import bucketed_grouped_sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+    if k_est % 2 == 0:
+        raise ValueError("k_est must be odd: the median pick is a single row")
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(vocab_partial, batch_format="pandas"), "token", "n"
+    ).to_pandas()
+    if len(counts) == 0:
+        return pd.DataFrame({"f2_exact": pd.Series([0], dtype=np.int64),
+                             "f2_est": pd.Series([0], dtype=np.int64),
+                             "err_ppm": pd.Series([0], dtype=np.int64)})
+    c = counts["n"].to_numpy(np.int64)
+    f2_exact = int(np.sum(c * c))
+    s2 = []
+    for j in range(k_est):
+        signs = np.array(
+            [1 if dk.md5_u64(f"ams:{j}:{t}".encode()) % 2 == 1 else -1
+             for t in counts["token"]], dtype=np.int64)
+        sj = int(np.sum(signs * c))
+        s2.append(sj * sj)
+    f2_est = sorted(s2)[k_est // 2]
+    err = abs(f2_est - f2_exact) * 1_000_000 // f2_exact if f2_exact else 0
+    return pd.DataFrame({"f2_exact": pd.Series([f2_exact], dtype=np.int64),
+                         "f2_est": pd.Series([f2_est], dtype=np.int64),
+                         "err_ppm": pd.Series([err], dtype=np.int64)})

@@ -10347,3 +10347,40 @@ class TestDedupFamilyAgreement:
         assert len(got) == 6
         assert (got["n_common"] <= got[["n_a", "n_b"]].min(axis=1)).all()
         assert got["jaccard_ppm"].between(0, 1_000_000).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAmsF2Audit:
+    def test_hand_arithmetic_and_error_envelope(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.functions.dedup import md5_u64
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # counts: aa x3, bb x2, cc x1 -> F2 = 9 + 4 + 1 = 14
+        ds = rd.from_arrow(pa.table({
+            "text": pa.array(["aa aa bb", "aa bb cc"]),
+        }))
+        got = analytics.ams_f2_audit(ds)
+        assert int(got["f2_exact"].iloc[0]) == 14
+        # independent replay of estimator 0..16 with hashlib-backed signs
+        c = {"aa": 3, "bb": 2, "cc": 1}
+        s2 = sorted(
+            sum((1 if md5_u64(f"ams:{j}:{t}".encode()) % 2 == 1 else -1) * n
+                for t, n in c.items()) ** 2
+            for j in range(17))
+        assert int(got["f2_est"].iloc[0]) == s2[8]
+        assert int(got["err_ppm"].iloc[0]) == \
+            abs(s2[8] - 14) * 1_000_000 // 14
+
+    def test_single_token_stream_is_exact(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # one distinct token: every estimator is (+-n)^2 = n^2 = F2 exactly
+        ds = rd.from_arrow(pa.table({"text": pa.array(["zz zz zz zz"])}))
+        got = analytics.ams_f2_audit(ds)
+        assert int(got["f2_exact"].iloc[0]) == 16
+        assert int(got["f2_est"].iloc[0]) == 16
+        assert int(got["err_ppm"].iloc[0]) == 0
