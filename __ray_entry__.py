@@ -4791,6 +4791,17 @@ def _q_dedup_family_agreement(sf_dir: str):
     return analytics.dedup_family_agreement(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_unigram_power_sample_plan(sf_dir: str):
+    """Word2vec negative-sampling distribution: token weights ~ n^(3/4)
+    via the nested floor-sqrt identity, vocabulary-wide floor-div shares,
+    top-30 by (weight DESC, token) (analytics.unigram_power_sample_plan
+    -- the token-level analog of lang_temperature_plan); oracle replays
+    counts, both sqrt floors, the share division and the ranked cut."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.unigram_power_sample_plan(_docs(sf_dir, ["text"]))
+
+
 def _q_ams_f2_audit(sf_dir: str):
     """AMS second-moment sketch audit: 17 md5-signed linear estimators,
     median of squares vs exact F2 of the token counts
@@ -5543,6 +5554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
         "ams_f2_audit": _q_ams_f2_audit,
+        "unigram_power_sample_plan": _q_unigram_power_sample_plan,
         "dedup_family_agreement": _q_dedup_family_agreement,
         "cdc_chunk_dedup": _q_cdc_chunk_dedup,
         "gdpr_erasure_plan": _q_gdpr_erasure_plan,
@@ -7872,6 +7884,23 @@ def _dedup_family_agreement_sql() -> str:
         "ELSE n_common * 1000000 // (n_a + n_b - n_common) END AS BIGINT) "
         "AS jaccard_ppm FROM fam6 ORDER BY family_a, family_b"
     )
+
+
+_UNIGRAM_POWER_SQL = (
+    # replay of analytics.unigram_power_sample_plan: shared tokenizer,
+    # grouped counts, w = FLOOR(SQRT(n * FLOOR(SQRT(n)))) (ieee-correctly-
+    # rounded on both sides), whole-vocab share ppm, top-30 ranked cut
+    "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) "
+    "AS token FROM documents), "
+    "c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1), "
+    "w AS (SELECT token, n, CAST(FLOOR(SQRT(n * FLOOR(SQRT(CAST(n AS DOUBLE))))) "
+    "AS BIGINT) AS weight FROM c), "
+    "t AS (SELECT SUM(weight) AS sw FROM w) "
+    "SELECT token, n, weight, "
+    "CAST(weight * 1000000 // (SELECT sw FROM t) AS BIGINT) AS target_share_ppm "
+    "FROM w QUALIFY row_number() OVER (ORDER BY weight DESC, token) <= 30 "
+    "ORDER BY weight DESC, token"
+)
 
 
 def _ams_f2_sql(k_est: int = 17) -> str:
@@ -10285,6 +10314,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint_pairs": _winnow_sql(),
         "winnow_dup_clusters": _winnow_clusters_sql(),
         "ams_f2_audit": _ams_f2_sql(),
+        "unigram_power_sample_plan": _UNIGRAM_POWER_SQL,
         "dedup_family_agreement": _dedup_family_agreement_sql(),
         "cdc_chunk_dedup": _CDC_CHUNK_SQL,
         "gdpr_erasure_plan": _gdpr_sql(),

@@ -14656,3 +14656,52 @@ def ams_f2_audit(ds, text_col: str = "text", k_est: int = 17):
     return pd.DataFrame({"f2_exact": pd.Series([f2_exact], dtype=np.int64),
                          "f2_est": pd.Series([f2_est], dtype=np.int64),
                          "err_ppm": pd.Series([err], dtype=np.int64)})
+
+
+def unigram_power_sample_plan(ds, text_col: str = "text", topn: int = 30):
+    """Word2vec-style negative-sampling distribution plan: token weights
+    ~ count^(3/4) -- the popularity-smoothed unigram distribution
+    (Mikolov et al. 2013) that keeps stopwords from dominating negative
+    draws while still preferring frequent tokens. The token-level analog
+    of ``lang_temperature_plan``'s alpha=0.5 language reweighting.
+
+    Exactness: c^(3/4) = sqrt(c * sqrt(c)) computed as
+    ``floor(ieee_sqrt(c * floor(ieee_sqrt(c))))`` -- float64 sqrt of an
+    int64 is correctly rounded in BOTH numpy and DuckDB (the documented
+    lang_temperature convention), so both floors agree bit-for-bit;
+    shares are floor-divided ppm over the WHOLE vocabulary's weight sum.
+
+    Plan: per-batch token value_counts partials -> one
+    ``bucketed_grouped_sum`` exchange on the token domain -> driver
+    arithmetic on the bounded count table. Returns the ``topn`` tokens
+    by (weight DESC, token ASC): (token, n, weight, target_share_ppm)."""
+    import math
+    import re
+
+    from .relational import bucketed_grouped_sum
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(tok_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "token", "n"
+    ).to_pandas()
+    if len(counts) == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64),
+                             "weight": pd.Series([], dtype=np.int64),
+                             "target_share_ppm": pd.Series([], dtype=np.int64)})
+    w = [int(math.floor(math.sqrt(int(n) * int(math.floor(math.sqrt(int(n)))))))
+         for n in counts["n"]]
+    counts = counts.assign(weight=pd.Series(w, index=counts.index, dtype=np.int64))
+    sum_w = int(counts["weight"].sum())
+    counts["target_share_ppm"] = (
+        (counts["weight"].astype(object) * 1_000_000) // sum_w).astype(np.int64)
+    out = counts.sort_values(["weight", "token"],
+                             ascending=[False, True]).head(topn)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)[["token", "n", "weight", "target_share_ppm"]]

@@ -10384,3 +10384,26 @@ class TestAmsF2Audit:
         assert int(got["f2_exact"].iloc[0]) == 16
         assert int(got["f2_est"].iloc[0]) == 16
         assert int(got["err_ppm"].iloc[0]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnigramPowerSamplePlan:
+    def test_hand_weights(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # counts: aa x16 -> w = floor(sqrt(16*4)) = 8; bb x4 -> floor(
+        # sqrt(4*2)) = 2; cc x1 -> 1. shares over sum 11.
+        ds = rd.from_arrow(pa.table({
+            "text": pa.array(["aa " * 16 + "bb " * 4 + "cc"]),
+        }))
+        got = analytics.unigram_power_sample_plan(ds)
+        r = got.set_index("token")
+        assert r.loc["aa", "weight"] == 8
+        assert r.loc["bb", "weight"] == 2
+        assert r.loc["cc", "weight"] == 1
+        assert r.loc["aa", "target_share_ppm"] == 8 * 1_000_000 // 11
+        # smoothing: aa is 16x cc by count but only 8x by weight
+        assert r.loc["aa", "n"] == 16 * r.loc["cc", "n"]
+        assert r.loc["aa", "weight"] == 8 * r.loc["cc", "weight"]
