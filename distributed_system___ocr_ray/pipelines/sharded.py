@@ -115,13 +115,20 @@ class ShardWorker:
                 wall.append(0.0)
                 continue
             t0 = time.monotonic()
-            docs = pq.read_table(path, columns=["doc_id", "spans"])
+            # widen the projection to delete key columns (a delete may be
+            # keyed on any column -- tables support ADD COLUMN evolution),
+            # then drop the extras after filtering so the plan stays narrow
+            cols = ["doc_id", "spans"]
+            extra = [c for c, _ in self.deletes if c not in cols]
+            docs = pq.read_table(path, columns=cols + extra)
             if self.deletes:
                 import pyarrow.compute as pc
 
                 for col, keys in self.deletes:
                     mask = pc.is_in(docs.column(col), value_set=keys)
                     docs = docs.filter(pc.invert(mask))
+            if extra:
+                docs = docs.select(cols)
             out, meta = self._process_table(docs)
             dest = self.manifest.partition_path(part)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -192,8 +199,12 @@ def run_extraction_sharded(
     # table has them, keeping plain-table identities unchanged)
     dels = lance_like._delete_key_sets(docs_dir, man)
     if man.get("delete_files"):
+        # JSON-stable LISTS, not tuples: check_job compares against the
+        # JSON-round-tripped committed value, and ('p',..) != ['p',..] in
+        # Python -- tuples here would spuriously refuse EVERY resume over a
+        # MOR table even with an unchanged delete set (ADVICE r3, high)
         job["deletes"] = [
-            (df["path"], df["key_col"], df["rows"]) for df in man["delete_files"]
+            [df["path"], df["key_col"], df["rows"]] for df in man["delete_files"]
         ]
     manifest.check_job(
         job,

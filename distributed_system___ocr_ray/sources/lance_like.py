@@ -219,7 +219,11 @@ def write_table(
     if constraints and table.num_rows:
         import pyarrow.compute as pc
 
-        ok = _predicate_mask(table, constraints)
+        # null-safe: a NULL in a constrained column VIOLATES (stricter than
+        # SQL CHECK, documented) -- fill_null(False) makes the count and the
+        # sample row agree; a raw invert(ok) drops null-mask rows and
+        # IndexErrors when every violator is null-valued (ADVICE r3)
+        ok = pc.fill_null(_predicate_mask(table, constraints), False)
         bad = table.num_rows - (pc.sum(ok).as_py() or 0)
         if bad:
             first = table.filter(pc.invert(ok)).slice(0, 1).to_pylist()[0]
@@ -296,7 +300,8 @@ def write_dataset(
         if constraints and batch.num_rows:
             import pyarrow.compute as pc
 
-            ok = _predicate_mask(batch, constraints)
+            # null-safe, same contract as write_table: NULL violates
+            ok = pc.fill_null(_predicate_mask(batch, constraints), False)
             bad = batch.num_rows - (pc.sum(ok).as_py() or 0)
             if bad:
                 first = batch.filter(pc.invert(ok)).slice(0, 1).to_pylist()[0]
@@ -594,9 +599,18 @@ def wap_publish(staging_dir: str, target_dir: str,
     target is untouched -- consumers reading the target can never observe
     unaudited data, which is the entire point of the pattern.
 
+    The audit is PINNED to the staging manifest version resolved here --
+    a concurrent commit to the staging table between read and audit can
+    therefore never publish a manifest that was not the one audited.
+    ``expected_rows`` is a PHYSICAL row contract (parquet footer rows of
+    the staged fragments); equality-delete files carried to the target
+    are metadata and do not reduce this count -- audit logical rows via
+    ``read_arrow(staging_dir).num_rows`` upstream if MOR deletes must be
+    part of the contract.
+
     Returns the published manifest plus ``audited_rows``."""
     man = read_manifest(staging_dir)
-    audit = verify(staging_dir, check_stats=check_stats)
+    audit = verify(staging_dir, version=man["version"], check_stats=check_stats)
     errors = list(audit["errors"])
     if expected_rows is not None and audit["rows"] != expected_rows:
         errors.append(
@@ -759,7 +773,13 @@ def delete_where_mor(table_dir: str, predicates: list[tuple], key_col: str) -> d
             continue
         p = frag["path"]
         full = p if os.path.isabs(p) else os.path.join(table_dir, p)
-        tbl = pq.read_table(full, columns=None)
+        # project to predicate columns + key_col only: the key-collection
+        # scan must cost O(keys + predicate bytes), never O(bytes of data)
+        # -- reading full multi-MB payload columns here would undercut the
+        # whole O(keys)-write-cost pitch of the MOR flavor (ADVICE r3)
+        tbl = pq.read_table(
+            full, columns=sorted({key_col, *(c for c, _, _ in predicates)})
+        )
         scanned += 1
         mask = _predicate_mask(tbl, predicates)
         n_match = pc.sum(mask).as_py() or 0

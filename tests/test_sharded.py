@@ -4,6 +4,7 @@ the oracle AND with the shuffle-based path, plus resume semantics."""
 import os
 import shutil
 
+import pyarrow as pa
 import pytest
 
 from distributed_system___ocr_ray import corpus, oracle
@@ -237,3 +238,59 @@ class TestShardedMorDeletes:
         with pytest.raises(Exception) as ei:
             run_extraction_sharded(docs_dir, store, out, concurrency=2)
         assert "mismatch" in str(ei.value).lower() or "deletes" in str(ei.value)
+
+    def test_resume_succeeds_with_unchanged_delete_set(self, tmp_path):
+        """Identity bug (ADVICE r3, high): job["deletes"] built as tuples
+        compared against the JSON-round-tripped committed lists, so a
+        resume over a MOR table spuriously refused even with an UNCHANGED
+        delete set. A crashed 100TB run must be able to resume."""
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus.write_corpus(str(tmp_path), n_docs=20, rows_per_fragment=5)
+        docs_dir = str(tmp_path / "documents")
+        store = lance_like.read_arrow(str(tmp_path / "media_store"))
+        lance_like.delete_where_mor(
+            docs_dir, [("doc_id", "<", "doc-00000004")], "doc_id")
+        out = str(tmp_path / "out")
+        run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        # unchanged delete set: resume is a clean no-op, never a refusal
+        m = run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        assert m["partitions_run"] == 0
+        assert m["partitions_skipped_prior"] == m["partitions_total"] > 0
+
+    def test_delete_keyed_on_non_projected_column(self, tmp_path):
+        """A MOR delete keyed on a column OUTSIDE the worker's narrow
+        (doc_id, spans) projection must still apply: the read widens to
+        the delete key columns, then drops them (ADVICE r3, low)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus.write_corpus(str(tmp_path), n_docs=12, rows_per_fragment=4)
+        docs = lance_like.read_arrow(str(tmp_path / "documents"))
+        src = pa.array(
+            ["keep" if i % 3 else "drop" for i in range(docs.num_rows)])
+        docs = docs.append_column("src", src)
+        docs_dir = str(tmp_path / "documents_src")
+        lance_like.write_table(docs, docs_dir, rows_per_fragment=4)
+        lance_like.delete_where_mor(docs_dir, [("src", "==", "drop")], "src")
+        store = lance_like.read_arrow(str(tmp_path / "media_store"))
+        out = str(tmp_path / "out_src")
+        run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        ids = set()
+        for f in glob.glob(out + "/part=*/data.parquet"):
+            ids.update(pq.read_table(f, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+        expect = {d for d, s in zip(docs.column("doc_id").to_pylist(),
+                                    src.to_pylist()) if s == "keep"}
+        assert ids == expect
