@@ -133,7 +133,12 @@ def ingest_increment(
     filt = new_ds.map_batches(hygiene, batch_format="pandas").materialize()
     after_hygiene = filt.count()
 
-    deduped = analytics.exact_dedup(filt).materialize()
+    # semifilter, not full-row exact_dedup: within-increment duplicate
+    # clusters are skewed by nature (boilerplate), and exact_dedup's groupby
+    # would shuffle the whole text column on that key; the semifilter moves
+    # only (hash, id) pairs and filters rows map-side. Its two passes over
+    # the input are free here -- ``filt`` is already materialized above.
+    deduped = analytics.exact_dedup_semifilter(filt).materialize()
     after_dedup = deduped.count()
 
     has_corpus = lance_like.latest_version(corpus_dir) > 0
