@@ -110,6 +110,7 @@ def _q_span_kind_counts(sf_dir: str):
 
 
 def _q_extract_status_counts(sf_dir: str):
+    """Flagship extraction per-status span counts (ok / download-error / decode-error sentinels)."""
     from ray.data.aggregate import Count
 
     from distributed_system___ocr_ray.pipelines import extract as pipeline
@@ -219,36 +220,42 @@ def _q_extract_sharded(sf_dir: str):
 
 
 def _q_docs_by_lang(sf_dir: str):
+    """Grouped document count per language (partial-aggregate then tiny final groupby)."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.docs_by_lang(sf_dir)
 
 
 def _q_doc_stats_by_source(sf_dir: str):
+    """Per-source document count and length moments."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.doc_stats_by_source(sf_dir)
 
 
 def _q_filter_project(sf_dir: str):
+    """Predicate filter + column projection over documents (read-pruned)."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.filter_project_documents(sf_dir)
 
 
 def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary: grouped sums/averages over lineitem with date filter."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.pricing_summary(sf_dir)
 
 
 def _q_revenue_by_nation(sf_dir: str):
+    """Multi-way dimension join to per-nation revenue rollup."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.revenue_by_nation(sf_dir)
 
 
 def _q_events_daily(sf_dir: str):
+    """Events per day: date-truncate then grouped count."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.events_daily(sf_dir)
@@ -275,30 +282,35 @@ def _q_ols_trend(sf_dir: str):
 
 
 def _q_top_users(sf_dir: str):
+    """Global top users by summed event value (partial top-k merge)."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.top_users_by_value(sf_dir, k=10)
 
 
 def _q_order_lineitem_join(sf_dir: str):
+    """Orders-lineitem equi-join with per-order revenue aggregation."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.order_lineitem_join_stats(sf_dir)
 
 
 def _q_last_order_before_event(sf_dir: str):
+    """As-of (point-in-time) join: latest order at or before each event."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.last_order_before_event(sf_dir)
 
 
 def _q_session_windows(sf_dir: str):
+    """Sessionization: gap-based windows per user with per-session stats."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.session_windows(sf_dir)
 
 
 def _q_sliding_windows(sf_dir: str):
+    """Fixed-size sliding event windows per user."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.sliding_windows(sf_dir)
@@ -323,12 +335,14 @@ def _q_approx_distinct_users(sf_dir: str):
 
 
 def _q_top_orders_per_segment(sf_dir: str):
+    """Top-N orders per market segment (grouped partial top-k)."""
     from distributed_system___ocr_ray.pipelines import relational
 
     return relational.top_orders_per_segment(sf_dir)
 
 
 def _q_token_count_by_lang(sf_dir: str):
+    """Whitespace/regex token counts aggregated per language."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     ds = _docs(sf_dir, ["lang", "text"])
@@ -336,6 +350,7 @@ def _q_token_count_by_lang(sf_dir: str):
 
 
 def _q_exact_dedup_groups(sf_dir: str):
+    """Exact duplicate groups: (keeper id, copy count) per distinct content; hash-only shuffle."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.exact_dedup_groups(_docs(sf_dir, ["doc_id", "text"]))
@@ -393,6 +408,7 @@ def _q_novel_docs(sf_dir: str):
 
 
 def _q_dedup_stats(sf_dir: str):
+    """Global dedup scalars: total docs, distinct contents, duplicate rows."""
     from ray.data.aggregate import Count, Sum
 
     from distributed_system___ocr_ray.pipelines import analytics
@@ -467,6 +483,7 @@ def _q_ngram_dup_clusters(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Embedding cosine near-duplicate pairs above threshold (bucketed block matmul)."""
     import ray.data as rd
 
     from distributed_system___ocr_ray.pipelines import analytics
@@ -545,6 +562,7 @@ def _q_sample_docs(sf_dir: str):
 
 
 def _q_dataset_split_counts(sf_dir: str):
+    """Deterministic md5 train/val/test split assignment with per-split counts."""
     from ray.data.aggregate import Count
 
     from distributed_system___ocr_ray.pipelines import analytics
@@ -1485,6 +1503,7 @@ def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
 
 
 def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k ANN: per-batch numpy matmul against the broadcast query matrix."""
     import ray.data as rd
 
     from distributed_system___ocr_ray.pipelines import analytics
@@ -1495,6 +1514,7 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ivf_topk(sf_dir: str):
+    """IVF approximate top-k: coarse k-means routing, probe nearest cells only."""
     import ray.data as rd
 
     from distributed_system___ocr_ray.pipelines import analytics
@@ -2565,18 +2585,21 @@ def _q_kmeans_clusters(sf_dir: str):
 
 
 def _q_language_id(sf_dir: str):
+    """N-gram-heuristic language identification per document."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.language_id(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_quality_scores(sf_dir: str):
+    """Per-doc quality scoring: length, punctuation, stopword-ratio features (ppm integers)."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.quality_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
 def _q_fingerprints(sf_dir: str):
+    """Per-doc rolling-hash document fingerprint."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.fingerprints(_docs(sf_dir, ["doc_id", "text"]))
@@ -2629,6 +2652,7 @@ def _q_top_tokens(sf_dir: str):
 
 
 def _q_quality_by_lang(sf_dir: str):
+    """Mean quality score per language from map-side quality features."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.quality_by_lang(_docs(sf_dir, ["lang", "text"]))
