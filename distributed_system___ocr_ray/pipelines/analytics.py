@@ -14563,13 +14563,18 @@ def dedup_family_agreement(ds, id_col: str = "doc_id", text_col: str = "text"):
     shingle-level (reorderings), not bag-of-words-level, and vice versa.
 
     Each family's pair table is pair-bounded by construction, so the
-    comparison runs on collected pair sets (the bounded-driver license
-    the audits share; the distributed per-combo shape is
-    ``pair_set_audit``). Degenerate empty unions pin jaccard to 10^6
-    (vacuous agreement) on both sides.
+    comparison runs on collected pair sets -- and that bound is now
+    ASSERTED at collect time (``collect_bounded``: a family whose skew
+    caps fail raises :class:`relational.CollectCapExceeded` naming the
+    distributed per-combo alternative, ``pair_set_audit``, instead of
+    silently pulling an unbounded pair domain onto the driver).
+    Degenerate empty unions pin jaccard to 10^6 (vacuous agreement) on
+    both sides.
 
     Returns 6 rows: (family_a, family_b, n_a, n_b, n_common,
     jaccard_ppm), families lexicographic."""
+    from .relational import collect_bounded
+
     fams = {
         "minhash": minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col,
                                      threshold=0.6),
@@ -14582,7 +14587,9 @@ def dedup_family_agreement(ds, id_col: str = "doc_id", text_col: str = "text"):
     }
     sets = {}
     for name, out in fams.items():
-        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        df = collect_bounded(
+            out, what=f"dedup_family_agreement[{name}] pair set",
+            alternative="pair_set_audit (distributed per-combo compare)")
         sets[name] = (set(zip(df["doc_a"].astype(np.int64),
                               df["doc_b"].astype(np.int64)))
                       if len(df) else set())
