@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -183,6 +184,35 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_ingest_daemon(args) -> int:
+    """Long-lived corpus-growth service: tail a drop directory of parquet
+    increments through ``ingest_increment`` with a durable per-file ledger
+    -- the reference manager's continuously-running poll/dispatch/record
+    loop (Manager.java:111-167) as a Ray Data daemon. SIGKILL-safe: see
+    ``pipelines/daemon.py``."""
+    _ray_session(args.num_cpus)
+    import ray
+
+    from .pipelines import daemon
+
+    kw = {}
+    if args.no_hygiene:
+        kw.update(min_quality_ppm=0, max_top_token_ppm=1_000_000)
+    summary = daemon.run_forever(
+        args.drop_dir,
+        args.corpus,
+        args.state or os.path.join(args.drop_dir, "state.json"),
+        metrics_path=args.metrics,
+        poll_sec=args.poll_sec,
+        idle_exit=args.idle_exit,
+        max_files=args.max_files,
+        **kw,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="distributed_system___ocr_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -233,6 +263,24 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--list", action="store_true", help="list query names")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    d = sub.add_parser(
+        "ingest-daemon",
+        help="tail a drop directory of parquet increments into a corpus "
+             "table (durable ledger, SIGKILL-safe, watermark + retry)")
+    d.add_argument("--drop-dir", required=True)
+    d.add_argument("--corpus", required=True, help="Lance-style corpus table dir")
+    d.add_argument("--state", default=None,
+                   help="ledger path (default: DROP_DIR/state.json)")
+    d.add_argument("--metrics", default=None, help="metrics JSONL path")
+    d.add_argument("--poll-sec", type=float, default=5.0)
+    d.add_argument("--idle-exit", type=int, default=None,
+                   help="exit after N consecutive empty polls (drain mode)")
+    d.add_argument("--max-files", type=int, default=None)
+    d.add_argument("--no-hygiene", action="store_true",
+                   help="disable quality/repetition filters (pure dedup ingest)")
+    d.add_argument("--num-cpus", type=int, default=None)
+    d.set_defaults(fn=cmd_ingest_daemon)
 
     args = p.parse_args(argv)
     return args.fn(args)
