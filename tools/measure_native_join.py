@@ -108,6 +108,25 @@ def main() -> int:
     out["grouped_sum"] = {"bucketed_s": t_bs, "native_s": t_ns,
                           "groups": len(a)}
 
+    # 2b. grouped sum, HIGH-cardinality int key (bucketed_grouped_sum's
+    # actual design point: 150k distinct orderkeys) ----------------------
+    def li():
+        return rd.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_orderkey", "l_quantity"])
+
+    def run_bucketed_hc():
+        return bucketed_grouped_sum(li(), "l_orderkey", "l_quantity").count()
+
+    def run_native_hc():
+        return (li().groupby("l_orderkey")
+                .aggregate(Sum("l_quantity", alias_name="l_quantity")).count())
+
+    t_bh, n_bh = _timed(run_bucketed_hc, args.runs)
+    t_nh, n_nh = _timed(run_native_hc, args.runs)
+    assert n_bh == n_nh
+    out["grouped_sum_highcard"] = {"bucketed_s": t_bh, "native_s": t_nh,
+                                   "groups": n_bh}
+
     # 3. tiny-domain grouped count ---------------------------------------
     def run_partial_tiny():
         import pyarrow as pa
