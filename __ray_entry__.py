@@ -4803,6 +4803,16 @@ def _q_order_total_reconciliation(sf_dir: str):
     return analytics.order_total_reconciliation(orders, lineitem)
 
 
+def _q_chao1_vocab_estimate(sf_dir: str):
+    """Chao1 unseen-vocabulary estimate + Good-Turing coverage from the
+    singleton/doubleton counts (analytics.chao1_vocab_estimate); oracle
+    replays the word-frequency CTE and the integer-exact bias-corrected
+    Chao1 / coverage arithmetic."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.chao1_vocab_estimate(_docs(sf_dir, ["text"]))
+
+
 def _q_vocab_pruning_plan(sf_dir: str):
     """Tokenizer min-count pruning table: surviving types and OOV
     occurrence ppm per threshold, folded from the vocabulary's frequency
@@ -5583,6 +5593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_audit": _q_l_diversity_audit,
         "padding_waste_by_bucket": _q_padding_waste_by_bucket,
         "order_total_reconciliation": _q_order_total_reconciliation,
+        "chao1_vocab_estimate": _q_chao1_vocab_estimate,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
@@ -7859,6 +7870,24 @@ _ORDER_RECON_SQL = (
     "CAST(SUM(ABS(diff)) AS BIGINT) AS sum_abs_diff_cents, "
     "CAST(MAX(ABS(diff)) AS BIGINT) AS max_abs_diff_cents "
     "FROM d GROUP BY 1 ORDER BY 1"
+)
+
+
+_CHAO1_SQL = (
+    # replay of analytics.chao1_vocab_estimate: word-frequency CTE ->
+    # singleton/doubleton folds, bias-corrected Chao1 and Good-Turing
+    # coverage in pure BIGINT floor arithmetic
+    "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+    "FROM documents), "
+    "wf AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS v_obs, "
+    "CAST(COUNT(*) FILTER (f = 1) AS BIGINT) AS f1, "
+    "CAST(COUNT(*) FILTER (f = 2) AS BIGINT) AS f2, "
+    "CAST(COUNT(*) + (COUNT(*) FILTER (f = 1)) * (COUNT(*) FILTER (f = 1) - 1) "
+    "// (2 * (COUNT(*) FILTER (f = 2) + 1)) AS BIGINT) AS v_chao1, "
+    "CAST((COALESCE(SUM(f), 0) - COUNT(*) FILTER (f = 1)) * 1000000 "
+    "// GREATEST(COALESCE(SUM(f), 0), 1) AS BIGINT) AS coverage_ppm "
+    "FROM wf"
 )
 
 
@@ -10343,6 +10372,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity_audit": _L_DIVERSITY_SQL,
         "padding_waste_by_bucket": _PADDING_WASTE_SQL,
         "order_total_reconciliation": _ORDER_RECON_SQL,
+        "chao1_vocab_estimate": _CHAO1_SQL,
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
         "winnow_dup_clusters": _winnow_clusters_sql(),

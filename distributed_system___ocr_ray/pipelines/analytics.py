@@ -9616,6 +9616,64 @@ def order_total_reconciliation(orders, lineitem, buckets: int | None = None):
     return out
 
 
+def chao1_vocab_estimate(ds, text_col: str = "text"):
+    """Chao1 unseen-vocabulary estimate + Good-Turing sample coverage:
+    from the vocabulary's singleton/doubleton counts, how many types the
+    corpus has NOT yet shown -- the how-much-more-vocabulary-is-out-there
+    number a crawl-sizing decision reads (Chao 1984 species richness;
+    Good 1953 coverage). Bias-corrected integer-exact form:
+
+        v_chao1      = V + f1*(f1-1) // (2*(f2+1))
+        coverage_ppm = (N - f1) * 10^6 // N      (N = token occurrences)
+
+    Tokens are the ``[a-z0-9]+`` runs of the lowercased text (the
+    vocab_pruning_plan tokenization; same word-frequency CTE in the
+    oracle). Plan (100 TB shape): ONE (token, n) count exchange, then the
+    unbounded vocabulary collapses to four per-block scalar partials
+    (types, f1, f2, occurrences) -- the driver fold is 4 ints per block,
+    vocabulary-size-independent (the ams_f2_audit discipline).
+
+    Returns one row: (v_obs, f1, f2, v_chao1, coverage_ppm)."""
+    import re as _re
+
+    from .relational import bucketed_grouped_sum
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(word_re).explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "n": vc.to_numpy(np.int64)})
+
+    counts = bucketed_grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "token", "n"
+    )
+
+    def scalar_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "v": pd.Series([len(n)], dtype=np.int64),
+            "f1": pd.Series([int((n == 1).sum())], dtype=np.int64),
+            "f2": pd.Series([int((n == 2).sum())], dtype=np.int64),
+            "occ": pd.Series([int(n.sum())], dtype=np.int64),
+        })
+
+    p = counts.map_batches(scalar_partials, batch_format="pandas").to_pandas()
+    if len(p) == 0:
+        v = f1 = f2 = occ = 0
+    else:
+        v, f1, f2, occ = (int(p[c].sum()) for c in ("v", "f1", "f2", "occ"))
+    v_chao1 = v + f1 * (f1 - 1) // (2 * (f2 + 1))
+    coverage_ppm = (occ - f1) * 1_000_000 // max(occ, 1)
+    return pd.DataFrame({
+        "v_obs": pd.Series([v], dtype=np.int64),
+        "f1": pd.Series([f1], dtype=np.int64),
+        "f2": pd.Series([f2], dtype=np.int64),
+        "v_chao1": pd.Series([v_chao1], dtype=np.int64),
+        "coverage_ppm": pd.Series([coverage_ppm], dtype=np.int64),
+    })
+
+
 def vocab_pruning_plan(ds, text_col: str = "text", thresholds=(1, 2, 5, 10, 100)):
     """Tokenizer min-count pruning plan: for each candidate ``min_count``
     threshold, how many vocabulary types survive and what fraction of

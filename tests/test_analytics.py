@@ -10407,3 +10407,32 @@ class TestUnigramPowerSamplePlan:
         # smoothing: aa is 16x cc by count but only 8x by weight
         assert r.loc["aa", "n"] == 16 * r.loc["cc", "n"]
         assert r.loc["aa", "weight"] == 8 * r.loc["cc", "weight"]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestChao1:
+    def test_hand_arithmetic(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # tokens: a x5, b x1, c x1, d x2, e x2, f x3
+        texts = ["a a b", "a a d", "a c d e", "e f f f"]
+        out = analytics.chao1_vocab_estimate(
+            rd.from_items([{"text": t} for t in texts]))
+        row = out.iloc[0]
+        # counts: a=5 b=1 c=1 d=2 e=2 f=3 -> V=6, f1=2, f2=2, N=14
+        assert row["v_obs"] == 6 and row["f1"] == 2 and row["f2"] == 2
+        assert row["v_chao1"] == 6 + 2 * 1 // (2 * 3)  # == 6
+        assert row["coverage_ppm"] == (14 - 2) * 10**6 // 14
+
+    def test_all_singletons(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        out = analytics.chao1_vocab_estimate(
+            rd.from_items([{"text": "q w e r t y"}]))
+        row = out.iloc[0]
+        # V=6, f1=6, f2=0 -> chao1 = 6 + 6*5//2 = 21; coverage 0
+        assert row["v_chao1"] == 21 and row["coverage_ppm"] == 0
