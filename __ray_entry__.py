@@ -4536,7 +4536,13 @@ def _q_semdedup_keepers(sf_dir: str):
     from distributed_system___ocr_ray.pipelines import analytics
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return analytics.semdedup_keepers(ds, k=8, iters=3, threshold=0.4)
+    # k is THE SemDeDup scale knob (k ~ N / target_cluster_size): derive it
+    # so clusters stay inside the per-worker n^2 budget at any corpus size
+    # (the 100x sweep fired the max_cluster guard at fixed k=8). At the
+    # oracle scales (<=20k vectors) this still resolves to k=8, so the
+    # unrolled SQL replay is unchanged.
+    k = max(8, ds.count() // 2500)
+    return analytics.semdedup_keepers(ds, k=k, iters=3, threshold=0.4)
 
 
 def _q_forecast_revenue_delta(sf_dir: str):
