@@ -198,6 +198,8 @@ def cmd_ingest_daemon(args) -> int:
     kw = {}
     if args.no_hygiene:
         kw.update(min_quality_ppm=0, max_top_token_ppm=1_000_000)
+    if args.near_dup_threshold is not None:
+        kw.update(near_dup_threshold=args.near_dup_threshold)
     summary = daemon.run_forever(
         args.drop_dir,
         args.corpus,
@@ -279,6 +281,9 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-files", type=int, default=None)
     d.add_argument("--no-hygiene", action="store_true",
                    help="disable quality/repetition filters (pure dedup ingest)")
+    d.add_argument("--near-dup-threshold", type=float, default=None,
+                   help="also drop docs near-duplicating the committed "
+                        "corpus at MinHash-estimated Jaccard >= T")
     d.add_argument("--num-cpus", type=int, default=None)
     d.set_defaults(fn=cmd_ingest_daemon)
 

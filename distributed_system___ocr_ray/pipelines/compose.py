@@ -87,6 +87,7 @@ def ingest_increment(
     max_top_token_ppm: int = 600_000,
     rows_per_fragment: int = 100_000,
     compact_over_fragments: int | None = 64,
+    near_dup_threshold: float | None = None,
 ):
     """The daily-batch corpus-growth composition: hygiene-filter a fresh
     crawl, drop within-batch duplicates, drop docs the committed corpus
@@ -106,8 +107,14 @@ def ingest_increment(
       hashes (novel_docs), the append writes only new fragments, and
       compaction rewrites only runs of small fragments.
 
+    ``near_dup_threshold``: when set, a FUZZY second gate
+    (``novel_docs_minhash``) also drops docs that near-duplicate a
+    committed doc at estimated Jaccard >= threshold -- the
+    boilerplate-reflowed re-crawls exact hashing misses.
+
     Returns a stats dict: rows_in / after_hygiene / after_dedup /
-    after_novelty / corpus_version / corpus_rows / compacted.
+    after_novelty / after_near_novelty (None unless enabled) /
+    corpus_version / corpus_rows / compacted.
     """
     import pandas as pd
 
@@ -149,6 +156,19 @@ def ingest_increment(
         survivors = deduped
     after_novelty = survivors.count()
 
+    # optional FUZZY gate: also drop docs that NEAR-duplicate a committed
+    # doc (MinHash-LSH est J >= threshold) -- the boilerplate-reflowed
+    # re-crawls exact hashing misses. Runs after the exact gate so the
+    # minhash union only carries genuinely-new-bytes docs.
+    after_near_novelty = None
+    if near_dup_threshold is not None and has_corpus and after_novelty:
+        corpus_full = lance_like.read_dataset(
+            corpus_dir, columns=["doc_id", "text"])
+        survivors = analytics.novel_docs_minhash(
+            survivors, corpus_full, threshold=near_dup_threshold
+        ).materialize()
+        after_near_novelty = survivors.count()
+
     manifest = lance_like.write_dataset(
         survivors, corpus_dir, rows_per_fragment=rows_per_fragment, mode="append"
     )
@@ -162,6 +182,7 @@ def ingest_increment(
         "after_hygiene": after_hygiene,
         "after_dedup": after_dedup,
         "after_novelty": after_novelty,
+        "after_near_novelty": after_near_novelty,
         "corpus_version": manifest["version"],
         "corpus_rows": sum(f["rows"] for f in manifest["fragments"]),
         "compacted": compacted,

@@ -184,3 +184,38 @@ class TestDaemonSigkill:
         assert set(texts) == all_texts
         st = json.load(open(state))
         assert len(st["done"]) == n_files
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNearDupIngest:
+    def test_near_dup_gate_drops_reflowed_recrawl(self, tmp_path):
+        """Fuzzy second gate: a lightly-edited re-crawl of a committed doc
+        (exact hash differs, shingle Jaccard high) is dropped; a genuinely
+        new doc survives."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus_dir = str(tmp_path / "corpus")
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        day1 = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                         "text": [base, "completely different words entirely "
+                                        "unrelated content here now"]})
+        compose.ingest_increment(rd.from_arrow(day1), corpus_dir,
+                                 min_quality_ppm=0, max_top_token_ppm=10**6)
+        # day2: a reflowed near-dup of doc 1 (one token appended) + a new doc
+        day2 = pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                         "text": [base + " extra",
+                                  "fresh novel sentence with its own words "
+                                  "nothing shared with prior documents"]})
+        stats = compose.ingest_increment(
+            rd.from_arrow(day2), corpus_dir,
+            min_quality_ppm=0, max_top_token_ppm=10**6,
+            near_dup_threshold=0.6)
+        assert stats["after_novelty"] == 2       # exact gate passes both
+        assert stats["after_near_novelty"] == 1  # fuzzy gate drops the reflow
+        got = lance_like.read_arrow(corpus_dir)
+        ids = set(got.column("doc_id").to_pylist())
+        assert ids == {1, 2, 11}
