@@ -107,14 +107,22 @@ def _coprime_stride(m: int, r: int) -> int:
     return a
 
 
-def _scale_documents(tbl: pa.Table, s: int) -> pa.Table:
+def _scale_documents(tbl: pa.Table, s: int, min_stratum: int = 30) -> pa.Table:
     import pandas as pd
 
     df = tbl.to_pandas()
+    # adaptive stratification: (lang, source) preserves per-source token
+    # counts exactly, but a TINY stratum (few docs -> few chunks) lets the
+    # stride permutation land a doc's chunks mostly back on itself,
+    # minting near-dup replicas -- exactly what the scheme must avoid.
+    # Below min_stratum docs per stratum, widen to lang-only strata
+    # (per-LANG token counts stay exact; per-source approximate).
+    sizes = df.groupby(["lang", "source"]).size()
+    strata = ["lang", "source"] if sizes.min() >= min_stratum else ["lang"]
     reps = [tbl]
     for r in range(1, s):
         new_texts = np.empty(len(df), dtype=object)
-        for (_, _), idx in df.groupby(["lang", "source"]).groups.items():
+        for _, idx in df.groupby(strata).groups.items():
             idx = np.asarray(idx)
             pool: list[list[str]] = []
             counts: list[int] = []
