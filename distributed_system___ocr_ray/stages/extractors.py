@@ -41,7 +41,7 @@ from .. import (
     STATUS_OK,
     STATUS_PARSE_ERROR,
 )
-from ..functions import glyph, minipdf
+from ..functions import glyph, minipdf, pdftext
 from ..functions.html_strip import strip_boilerplate
 
 # columns that flow out of extraction (input `text` is dropped -- it can be
@@ -186,6 +186,20 @@ class _Extractors:
         payload = self.media.get(ref)
         if payload is None:
             res = (SENTINEL_PDF_DOWNLOAD, STATUS_DOWNLOAD_ERROR)
+        elif payload[:5] == pdftext.MAGIC:
+            # REAL PDF payloads: the vendored ISO-32000 text extractor
+            # (FlateDecode + text operators + geometric reading order) --
+            # same errors-as-data contract as the MPDF1 branch. An empty
+            # extraction from a %PDF payload means no parseable text-
+            # bearing stream (garbled structure / unsupported filters):
+            # that is a parse failure for an extraction pipeline, not an
+            # empty document.
+            try:
+                text = pdftext.extract_text(payload)
+                res = ((text, STATUS_OK) if text
+                       else (SENTINEL_PDF_PARSE, STATUS_PARSE_ERROR))
+            except Exception:
+                res = (SENTINEL_PDF_PARSE, STATUS_PARSE_ERROR)
         else:
             try:
                 res = (minipdf.reading_order_text(payload), STATUS_OK)

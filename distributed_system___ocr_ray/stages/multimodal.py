@@ -23,7 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions import glyph, minipdf, png
+from ..functions import glyph, minipdf, pdftext, png
 
 # import-gated real-decode upgrade: when Pillow is installed (not in this
 # container), the real paths below activate with NO code changes -- the
@@ -75,6 +75,13 @@ class MediaMetadata:
                     nblocks.append(None)
                     continue
                 except png.PngError:
+                    pass
+            if p[:5] == pdftext.MAGIC:  # real PDF: vendored page counter
+                try:
+                    kind.append("pdf"); width.append(None); height.append(None)
+                    nblocks.append(pdftext.page_count(p))
+                    continue
+                except pdftext.PdfTextError:
                     pass
             if p[:4] == b"RIFF" and p[8:12] == b"WAVE":  # stdlib wave
                 try:

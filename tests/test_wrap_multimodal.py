@@ -266,3 +266,93 @@ class TestMultimodalRealDecode:
             pa.table({"media_ref": ["w"], "payload": [buf.getvalue()]}))
         row = out.to_pylist()[0]
         assert row["media_kind"] == "wav" and row["n_blocks"] == 123
+
+    def test_metadata_real_pdf(self):
+        from distributed_system___ocr_ray.functions import pdftext
+        from distributed_system___ocr_ray.stages.multimodal import MediaMetadata
+
+        pdf = pdftext.make_pdf([[(72, 700, "hi")], [(72, 700, "there")]])
+        out = MediaMetadata()(pa.table({"media_ref": ["d"], "payload": [pdf]}))
+        row = out.to_pylist()[0]
+        assert row["media_kind"] == "pdf" and row["n_blocks"] == 2
+
+
+class TestPdfText:
+    """Vendored ISO-32000-subset text extractor (functions/pdftext.py)."""
+
+    def test_roundtrip_geometric_reading_order(self):
+        from distributed_system___ocr_ray.functions import pdftext
+
+        pages = [
+            [(72, 700, "Title line"), (72, 650, "Second paragraph"),
+             (300, 700, "right header")],
+            [(72, 680, "Page two content")],
+        ]
+        for compress in (True, False):
+            pdf = pdftext.make_pdf(pages, compress=compress)
+            assert pdftext.extract_text(pdf) == (
+                "Title line right header\nSecond paragraph\nPage two content")
+        # stream order is NOT reading order: bottom emitted first
+        scrambled = pdftext.make_pdf([[(72, 100, "bottom"), (72, 700, "top")]])
+        assert pdftext.extract_text(scrambled) == "top\nbottom"
+
+    def test_operators_and_strings(self):
+        from distributed_system___ocr_ray.functions import pdftext
+
+        content = (b"BT /F1 12 Tf 72 700 Td [(Hel) (lo)] TJ "
+                   b"0 -20 Td (world) Tj ET")
+        raw = (b"%PDF-1.4\n1 0 obj\n<< >>\nstream\n" + content
+               + b"\nendstream\nendobj\n")
+        assert pdftext.extract_text(raw) == "Hello\nworld"
+        c2 = b"BT 10 10 Td <48656C6C6F> Tj (\\101\\102) ' ET"
+        raw2 = (b"%PDF-1.4\n1 0 obj\n<<>>\nstream\n" + c2
+                + b"\nendstream\nendobj\n")
+        t2 = pdftext.extract_text(raw2)
+        assert "Hello" in t2 and "AB" in t2
+        # escapes / nested parens survive the writer roundtrip
+        tricky = "parens (nested) and \\ backslash"
+        assert tricky in pdftext.extract_text(
+            pdftext.make_pdf([[(10, 10, tricky)]]))
+
+    def test_errors(self):
+        import pytest as _pytest
+
+        from distributed_system___ocr_ray.functions import pdftext
+
+        with _pytest.raises(pdftext.PdfTextError):
+            pdftext.extract_text(b"not a pdf")
+        # unsupported filter: stream skipped, no crash
+        raw = (b"%PDF-1.4\n1 0 obj\n<< /Filter /DCTDecode >>\nstream\n"
+               b"\xff\xd8\xff\nendstream\nendobj\n")
+        assert pdftext.extract_text(raw) == ""
+
+
+class TestRealPdfExtraction:
+    def test_dispatch_extracts_real_pdf_payload(self):
+        """End-to-end through ExtractDispatch: a real-PDF media payload
+        extracts via the vendored ISO-32000 branch, a corrupt one becomes
+        the parse-error sentinel (errors-as-data)."""
+        import ray
+
+        from distributed_system___ocr_ray.functions import pdftext
+        from distributed_system___ocr_ray.stages.extractors import (
+            SENTINEL_PDF_PARSE,
+            ExtractDispatch,
+        )
+
+        good = pdftext.make_pdf(
+            [[(72, 700, "real pdf body"), (72, 650, "second line")]])
+        bad = b"%PDF-1.4\ngarbage stream content endstream"
+        media = {"mem://pdf/real": good, "mem://pdf/corrupt": bad}
+        batch = pa.table({
+            "doc_id": ["d1", "d1"],
+            "part": pa.array([0, 0], pa.int32()),
+            "kind": ["pdf", "pdf"],
+            "text": ["", ""],
+            "media_ref": ["mem://pdf/real", "mem://pdf/corrupt"],
+            "offset": pa.array([1, 2], pa.int32()),
+        })
+        out = ExtractDispatch([ray.put(media)])(batch).to_pylist()
+        assert out[0]["out_text"] == "real pdf body\nsecond line"
+        assert out[0]["status"] == "ok"
+        assert out[1]["out_text"] == SENTINEL_PDF_PARSE
