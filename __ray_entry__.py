@@ -4819,6 +4819,43 @@ def _q_chao1_vocab_estimate(sf_dir: str):
     return analytics.chao1_vocab_estimate(_docs(sf_dir, ["text"]))
 
 
+def _q_real_pdf_roundtrip(sf_dir: str):
+    """End-to-end exercise of the REAL PDF codec on every English doc:
+    write each text through functions/pdftext.make_pdf as two runs
+    emitted in REVERSED stream order (second half at a lower y first),
+    FlateDecode-compressed, then extract with the vendored ISO-32000
+    parser -- geometric reading-order reconstruction must reassemble the
+    original word order for every doc. Identity oracle: the roundtrip is
+    exact on the single-space ASCII en corpus, so the SQL twin is a plain
+    projection. Actor-pool map_batches; only (doc_id, text_out) rows move."""
+    import ray.data as rd
+
+    class PdfRoundtrip:
+        def __init__(self):
+            from distributed_system___ocr_ray.functions import pdftext
+
+            self.pdftext = pdftext
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pt = self.pdftext
+            outs = []
+            for text in batch.column("text").to_pylist():
+                words = text.split()
+                k = len(words) // 2
+                first, second = " ".join(words[:k]), " ".join(words[k:])
+                pdf = pt.make_pdf(
+                    [[(72.0, 650.0, second), (72.0, 700.0, first)]])
+                outs.append(pt.extract_text(pdf).replace("\n", " "))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text_out": pa.array(outs, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    ds = ds.filter(expr="lang == 'en'").drop_columns(["lang"])
+    return ds.map_batches(PdfRoundtrip, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 8))
+
+
 def _q_vocab_pruning_plan(sf_dir: str):
     """Tokenizer min-count pruning table: surviving types and OOV
     occurrence ppm per threshold, folded from the vocabulary's frequency
@@ -5600,6 +5637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste_by_bucket": _q_padding_waste_by_bucket,
         "order_total_reconciliation": _q_order_total_reconciliation,
         "chao1_vocab_estimate": _q_chao1_vocab_estimate,
+        "real_pdf_roundtrip": _q_real_pdf_roundtrip,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
@@ -10379,6 +10417,7 @@ def oracle_sql() -> dict[str, str]:
         "padding_waste_by_bucket": _PADDING_WASTE_SQL,
         "order_total_reconciliation": _ORDER_RECON_SQL,
         "chao1_vocab_estimate": _CHAO1_SQL,
+        "real_pdf_roundtrip": ("SELECT doc_id, text AS text_out FROM documents WHERE lang = 'en'"),
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
         "winnow_dup_clusters": _winnow_clusters_sql(),
