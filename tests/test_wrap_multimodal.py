@@ -356,3 +356,49 @@ class TestRealPdfExtraction:
         assert out[0]["out_text"] == "real pdf body\nsecond line"
         assert out[0]["status"] == "ok"
         assert out[1]["out_text"] == SENTINEL_PDF_PARSE
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRealPdfFlagship:
+    def test_sharded_extraction_over_real_pdf_store(self, tmp_path):
+        """The REAL format through the REAL pipeline: a corpus whose pdf
+        spans reference genuine %PDF payloads runs the full checkpointed
+        sharded plan; extracted span text must equal the codec's
+        reading-order text per document."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray.functions import pdftext
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+
+        pdfs = {}
+        for i in range(6):
+            ref = f"mem://pdf/real-{i}"
+            pdfs[ref] = pdftext.make_pdf(
+                [[(72, 700, f"doc {i} headline"),
+                  (72, 650, f"doc {i} body line")]])
+        docs = pa.table({
+            "doc_id": [f"doc-{i:08d}" for i in range(6)],
+            "spans": [[{"kind": "pdf", "text": "",
+                        "media_ref": f"mem://pdf/real-{i}", "offset": 1}]
+                      for i in range(6)],
+        }, schema=corpus.DOC_SCHEMA)
+        docs_dir = str(tmp_path / "docs")
+        lance_like.write_table(docs, docs_dir, rows_per_fragment=2)
+        media = pa.table({
+            "media_ref": list(pdfs), "kind": ["pdf"] * 6,
+            "payload": list(pdfs.values()), "truth": [""] * 6,
+        })
+        out = str(tmp_path / "out")
+        m = run_extraction_sharded(docs_dir, media, out, concurrency=2)
+        assert m["status_counts"] == {"ok": 6}
+        got = {}
+        for f in glob.glob(out + "/part=*/data.parquet"):
+            for row in pq.read_table(f).to_pylist():
+                got[row["doc_id"]] = row["spans"][0]["text"]
+        for i in range(6):
+            assert got[f"doc-{i:08d}"] == f"doc {i} headline\ndoc {i} body line"
