@@ -4856,6 +4856,65 @@ def _q_real_pdf_roundtrip(sf_dir: str):
                           batch_size=256, concurrency=(1, 8))
 
 
+def _q_corpus_datacard(sf_dir: str):
+    """One-row corpus data card: the summary a curation pipeline publishes
+    with a release -- doc/lang/source counts, exact-dup rows, total chars
+    and tokens, mean quality. ONE pass over (text, lang, source): every
+    field folds from per-block scalar partials except the dup count, whose
+    hash-only exchange is the exact_dedup_groups plan; no row-domain
+    shuffle anywhere. SQL twin composes the same folds."""
+    import pandas as pd
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.functions import dedup as dk
+    from distributed_system___ocr_ray.functions import textstats as ts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang", "source"])
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        q = ts.quality_features(batch["text"])["quality_ppm"].to_numpy(np.int64)
+        toks = batch["text"].fillna("").str.count(r"[a-z0-9]+").to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_docs": pd.Series([len(batch)], dtype=np.int64),
+            "langs": [",".join(sorted(set(batch["lang"])))],
+            "sources": [",".join(sorted(set(batch["source"])))],
+            "total_chars": pd.Series([int(batch["text"].str.len().sum())], dtype=np.int64),
+            "total_tokens": pd.Series([int(toks.sum())], dtype=np.int64),
+            "quality_sum": pd.Series([int(q.sum())], dtype=np.int64),
+        })
+
+    p = ds.map_batches(partials, batch_format="pandas").to_pandas()
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": pa.array(dk.sha256_hex(batch.column("text").to_pylist()))})
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="c")).count()
+    )
+    n_docs = int(p["n_docs"].sum())
+    langs = set()
+    sources = set()
+    for ls in p["langs"]:
+        langs.update(x for x in ls.split(",") if x)
+    for ss in p["sources"]:
+        sources.update(x for x in ss.split(",") if x)
+    return pd.DataFrame({
+        "n_docs": pd.Series([n_docs], dtype=np.int64),
+        "n_langs": pd.Series([len(langs)], dtype=np.int64),
+        "n_sources": pd.Series([len(sources)], dtype=np.int64),
+        "dup_rows": pd.Series([n_docs - int(distinct)], dtype=np.int64),
+        "total_chars": pd.Series([int(p["total_chars"].sum())], dtype=np.int64),
+        "total_tokens": pd.Series([int(p["total_tokens"].sum())], dtype=np.int64),
+        "mean_quality_ppm": pd.Series(
+            [int(p["quality_sum"].sum()) // max(n_docs, 1)], dtype=np.int64),
+    })
+
+
 def _q_vocab_pruning_plan(sf_dir: str):
     """Tokenizer min-count pruning table: surviving types and OOV
     occurrence ppm per threshold, folded from the vocabulary's frequency
@@ -5638,6 +5697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_reconciliation": _q_order_total_reconciliation,
         "chao1_vocab_estimate": _q_chao1_vocab_estimate,
         "real_pdf_roundtrip": _q_real_pdf_roundtrip,
+        "corpus_datacard": _q_corpus_datacard,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
@@ -5755,6 +5815,27 @@ def _quality_ctes(extra: str = "") -> str:
         "CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio, "
         "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio, "
         "least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS len_score FROM f)"
+    )
+
+
+def _corpus_datacard_sql() -> str:
+    """Replays _q_corpus_datacard: the quality CTEs (shared with the
+    per-doc oracle), raw-text token runs, distinct-text dup count, floored
+    mean quality."""
+    return (
+        f"WITH {_quality_ctes('text, lang, source')}, "
+        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) "
+        "AS total_tokens, "
+        f"CAST(SUM({_QPPM_EXPR}) AS BIGINT) AS qsum FROM r), "
+        "d AS (SELECT CAST(COUNT(DISTINCT text) AS BIGINT) AS nd FROM documents) "
+        "SELECT n_docs, n_langs, n_sources, n_docs - d.nd AS dup_rows, "
+        "total_chars, total_tokens, "
+        "CAST(qsum // GREATEST(n_docs, 1) AS BIGINT) AS mean_quality_ppm "
+        "FROM agg, d"
     )
 
 
@@ -10417,6 +10498,7 @@ def oracle_sql() -> dict[str, str]:
         "padding_waste_by_bucket": _PADDING_WASTE_SQL,
         "order_total_reconciliation": _ORDER_RECON_SQL,
         "chao1_vocab_estimate": _CHAO1_SQL,
+        "corpus_datacard": _corpus_datacard_sql(),
         "real_pdf_roundtrip": ("SELECT doc_id, text AS text_out FROM documents WHERE lang = 'en'"),
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
