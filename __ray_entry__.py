@@ -4879,7 +4879,7 @@ def _q_corpus_datacard(sf_dir: str):
             "n_docs": pd.Series([len(batch)], dtype=np.int64),
             "langs": [",".join(sorted(set(batch["lang"])))],
             "sources": [",".join(sorted(set(batch["source"])))],
-            "total_chars": pd.Series([int(batch["text"].str.len().sum())], dtype=np.int64),
+            "total_chars": pd.Series([int(batch["text"].fillna("").str.len().sum())], dtype=np.int64),
             "total_tokens": pd.Series([int(toks.sum())], dtype=np.int64),
             "quality_sum": pd.Series([int(q.sum())], dtype=np.int64),
         })

@@ -70,7 +70,11 @@ def _save_state(path: str, state: dict) -> None:
 
 
 def pending_files(drop_dir: str, state: dict) -> list[str]:
-    """Unprocessed, unquarantined ``*.parquet`` drops in name order."""
+    """Unprocessed, unquarantined ``*.parquet`` drops in name order.
+
+    The ledger is keyed by FILE NAME: drop files are immutable by contract
+    (writers produce fresh names, e.g. date-stamped) -- replacing a
+    processed file's bytes under the same name will NOT re-ingest it."""
     names = sorted(
         n for n in os.listdir(drop_dir)
         if n.endswith(".parquet")
