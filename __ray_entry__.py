@@ -4856,6 +4856,16 @@ def _q_real_pdf_roundtrip(sf_dir: str):
                           batch_size=256, concurrency=(1, 8))
 
 
+def _q_gopher_quality_flags(sf_dir: str):
+    """Gopher-rule quality flags per doc (word-count window, mean word
+    length, symbol ratio, stopword floor, composite keep) --
+    analytics.gopher_quality_flags; oracle replays every count with the
+    shared stopword list."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.gopher_quality_flags(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_corpus_datacard(sf_dir: str):
     """One-row corpus data card: the summary a curation pipeline publishes
     with a release -- doc/lang/source counts, exact-dup rows, total chars
@@ -5698,6 +5708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chao1_vocab_estimate": _q_chao1_vocab_estimate,
         "real_pdf_roundtrip": _q_real_pdf_roundtrip,
         "corpus_datacard": _q_corpus_datacard,
+        "gopher_quality_flags": _q_gopher_quality_flags,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
@@ -5815,6 +5826,32 @@ def _quality_ctes(extra: str = "") -> str:
         "CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) AS punct_ratio, "
         "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio, "
         "least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS len_score FROM f)"
+    )
+
+
+def _gopher_flags_sql() -> str:
+    """Replays analytics.gopher_quality_flags: same counts, same
+    fixed-point mean word length, same stopword list."""
+    from distributed_system___ocr_ray.functions.textstats import STOPWORDS
+
+    all_stop = set().union(*STOPWORDS.values())
+    return (
+        "WITH f AS (SELECT doc_id, "
+        "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+        "length(regexp_replace(text, '\\s+', '', 'g')) AS wchars, "
+        "len(regexp_extract_all(text, '#')) + "
+        "len(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym, "
+        f"{_sql_stop_hits(all_stop)} AS stop_hits FROM documents), "
+        "r AS (SELECT doc_id, n_words, wchars * 100 // GREATEST(n_words, 1) "
+        "AS mwl100, n_sym, stop_hits FROM f) "
+        "SELECT doc_id, "
+        "CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS f_word_count, "
+        "CAST(mwl100 BETWEEN 300 AND 1000 AS BIGINT) AS f_mean_word_len, "
+        "CAST(10 * n_sym <= n_words AS BIGINT) AS f_symbol_ratio, "
+        "CAST(stop_hits >= 2 AS BIGINT) AS f_stopwords, "
+        "CAST((n_words BETWEEN 50 AND 100000) AND (mwl100 BETWEEN 300 AND 1000) "
+        "AND 10 * n_sym <= n_words AND stop_hits >= 2 AS BIGINT) AS keep "
+        "FROM r"
     )
 
 
@@ -10499,6 +10536,7 @@ def oracle_sql() -> dict[str, str]:
         "order_total_reconciliation": _ORDER_RECON_SQL,
         "chao1_vocab_estimate": _CHAO1_SQL,
         "corpus_datacard": _corpus_datacard_sql(),
+        "gopher_quality_flags": _gopher_flags_sql(),
         "real_pdf_roundtrip": ("SELECT doc_id, text AS text_out FROM documents WHERE lang = 'en'"),
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),

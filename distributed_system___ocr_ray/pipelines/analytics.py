@@ -9616,6 +9616,47 @@ def order_total_reconciliation(orders, lineitem, buckets: int | None = None):
     return out
 
 
+def gopher_quality_flags(ds, id_col: str = "doc_id", text_col: str = "text",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mwl_x100: int = 300, max_mwl_x100: int = 1000,
+                         min_stop_hits: int = 2):
+    """Gopher-style quality-rule flags (Rae et al. 2021, Table A1 subset):
+    per doc, integer 0/1 flags for the word-count window, the mean-word-
+    length window (3-10 chars, x100 fixed point), the symbol-to-word
+    ratio (# and ellipsis runs; <= 0.1 as 10*symbols <= words) and the
+    >= 2-stopwords rule, plus their AND as ``keep`` -- the composite gate
+    the Gopher/MassiveText cleaning pipeline applies before dedup. All
+    map-side integer arithmetic (ppm-free: pure counts and fixed-point),
+    no exchange; the oracle replays each count with the shared stopword
+    list (textstats.STOPWORDS, same set the quality/langid oracles use).
+
+    Returns (doc_id, f_word_count, f_mean_word_len, f_symbol_ratio,
+    f_stopwords, keep)."""
+    from ..functions import textstats as ts
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        n_words = s.str.count(r"\S+").to_numpy(np.int64)
+        wchars = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
+        mwl100 = wchars * 100 // np.maximum(n_words, 1)
+        n_sym = (s.str.count("#") + s.str.count(r"\.\.\.")).to_numpy(np.int64)
+        stop_hits = s.str.lower().str.count(ts._ALL_STOP_RE).to_numpy(np.int64)
+        f_wc = ((n_words >= min_words) & (n_words <= max_words)).astype(np.int64)
+        f_mwl = ((mwl100 >= min_mwl_x100) & (mwl100 <= max_mwl_x100)).astype(np.int64)
+        f_sym = (10 * n_sym <= n_words).astype(np.int64)
+        f_stop = (stop_hits >= min_stop_hits).astype(np.int64)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(np.int64),
+            "f_word_count": f_wc,
+            "f_mean_word_len": f_mwl,
+            "f_symbol_ratio": f_sym,
+            "f_stopwords": f_stop,
+            "keep": f_wc & f_mwl & f_sym & f_stop,
+        })
+
+    return ds.map_batches(flags, batch_format="pandas")
+
+
 def chao1_vocab_estimate(ds, text_col: str = "text"):
     """Chao1 unseen-vocabulary estimate + Good-Turing sample coverage:
     from the vocabulary's singleton/doubleton counts, how many types the

@@ -10436,3 +10436,28 @@ class TestChao1:
         row = out.iloc[0]
         # V=6, f1=6, f2=0 -> chao1 = 6 + 6*5//2 = 21; coverage 0
         assert row["v_chao1"] == 21 and row["coverage_ppm"] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherFlags:
+    def test_hand_arithmetic(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        long_good = " ".join(["the"] * 5 + ["word"] * 55)  # 60 words, mwl fine
+        short = "tiny the and doc"                          # 4 words: fails count
+        symbolic = " ".join(["the", "and"] + ["#"] * 20 + ["pad"] * 50)
+        ds = rd.from_items([
+            {"doc_id": 1, "text": long_good},
+            {"doc_id": 2, "text": short},
+            {"doc_id": 3, "text": symbolic},
+        ])
+        out = (analytics.gopher_quality_flags(ds).to_pandas()
+               .set_index("doc_id").sort_index())
+        assert out.loc[1, "keep"] == 1
+        assert out.loc[2, "f_word_count"] == 0 and out.loc[2, "keep"] == 0
+        # 20 '#' among 72 words: 200 > 72 -> symbol flag fails
+        assert out.loc[3, "f_symbol_ratio"] == 0 and out.loc[3, "keep"] == 0
+        # mean word length: 60 words of lens (3*5 + 4*55)=235 chars -> 391 ok
+        assert out.loc[1, "f_mean_word_len"] == 1
