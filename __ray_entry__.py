@@ -4856,6 +4856,15 @@ def _q_real_pdf_roundtrip(sf_dir: str):
                           batch_size=256, concurrency=(1, 8))
 
 
+def _q_mattr_by_lang(sf_dir: str):
+    """MATTR moving-average type-token ratio per language, window 25
+    (analytics.mattr_by_lang); oracle replays every window's distinct
+    count via generate_series + list_slice + list_distinct."""
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.mattr_by_lang(_docs(sf_dir, ["text", "lang"]))
+
+
 def _q_gopher_quality_flags(sf_dir: str):
     """Gopher-rule quality flags per doc (word-count window, mean word
     length, symbol ratio, stopword floor, composite keep) --
@@ -5709,6 +5718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "real_pdf_roundtrip": _q_real_pdf_roundtrip,
         "corpus_datacard": _q_corpus_datacard,
         "gopher_quality_flags": _q_gopher_quality_flags,
+        "mattr_by_lang": _q_mattr_by_lang,
         "vocab_pruning_plan": _q_vocab_pruning_plan,
         "winnow_fingerprint_pairs": _q_winnow_fingerprint_pairs,
         "winnow_dup_clusters": _q_winnow_dup_clusters,
@@ -5827,6 +5837,25 @@ def _quality_ctes(extra: str = "") -> str:
         "CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0.0 END AS stop_ratio, "
         "least(greatest(CAST(n_chars AS DOUBLE) / 500.0, 0.0), 1.0) AS len_score FROM f)"
     )
+
+
+_MATTR_SQL = (
+    # replay of analytics.mattr_by_lang (W=25): per-doc windows via
+    # generate_series unnest, list_slice distinct counts, integer ppm
+    "WITH toks AS (SELECT doc_id, lang, "
+    "regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents), "
+    "base AS (SELECT doc_id, lang, t, len(t) AS n FROM toks WHERE len(t) > 0), "
+    "small AS (SELECT lang, len(list_distinct(t)) * 1000000 // n AS ppm "
+    "FROM base WHERE n < 25), "
+    "win AS (SELECT doc_id, lang, t, n, "
+    "unnest(generate_series(1, n - 24)) AS i FROM base WHERE n >= 25), "
+    "big AS (SELECT lang, SUM(len(list_distinct(list_slice(t, i, i + 24)))) "
+    "* 1000000 // (25 * (n - 24)) AS ppm FROM win GROUP BY doc_id, lang, n), "
+    "allp AS (SELECT * FROM small UNION ALL SELECT * FROM big) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS mean_mattr_ppm "
+    "FROM allp GROUP BY lang ORDER BY lang"
+)
 
 
 def _gopher_flags_sql() -> str:
@@ -10537,6 +10566,7 @@ def oracle_sql() -> dict[str, str]:
         "chao1_vocab_estimate": _CHAO1_SQL,
         "corpus_datacard": _corpus_datacard_sql(),
         "gopher_quality_flags": _gopher_flags_sql(),
+        "mattr_by_lang": _MATTR_SQL,
         "real_pdf_roundtrip": ("SELECT doc_id, text AS text_out FROM documents WHERE lang = 'en'"),
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),

@@ -9616,6 +9616,76 @@ def order_total_reconciliation(orders, lineitem, buckets: int | None = None):
     return out
 
 
+def mattr_by_lang(ds, text_col: str = "text", lang_col: str = "lang",
+                  window: int = 25):
+    """MATTR lexical diversity per language (Covington & McFall 2010):
+    moving-average type-token ratio over a fixed token window -- the
+    length-robust replacement for raw TTR (which collapses as docs grow).
+    Per doc: mean over all n-W+1 windows of distinct(window)/W (docs
+    shorter than W use their single full window); integerized as
+    S * 10^6 // (W * n_windows) so the SQL replay is exact. Zero-token
+    docs are excluded from both count and mean.
+
+    Scale shape: the sliding distinct count is ONE amortized-O(n) pass
+    per doc map-side (add/remove dict counts); only (lang, ppm-sum,
+    doc-count) partials reach the tiny final exchange.
+
+    Returns (lang, n_docs, mean_mattr_ppm)."""
+    import re as _re
+
+    from .relational import tiny_final_groupby
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def doc_mattr_ppm(toks: list) -> int | None:
+        n = len(toks)
+        if n == 0:
+            return None
+        if n < window:
+            return len(set(toks)) * 1_000_000 // n
+        counts: dict = {}
+        distinct = 0
+        s_sum = 0
+        for i, t in enumerate(toks):
+            c = counts.get(t, 0)
+            if c == 0:
+                distinct += 1
+            counts[t] = c + 1
+            if i >= window:
+                old = toks[i - window]
+                counts[old] -= 1
+                if counts[old] == 0:
+                    distinct -= 1
+            if i >= window - 1:
+                s_sum += distinct
+        return s_sum * 1_000_000 // (window * (n - window + 1))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[str, list] = {}
+        for lang, text in zip(batch[lang_col], batch[text_col].fillna("")):
+            ppm = doc_mattr_ppm(word_re.findall(text.lower()))
+            if ppm is None:
+                continue
+            rows.setdefault(lang, []).append(ppm)
+        return pd.DataFrame({
+            "lang": list(rows),
+            "n": pd.Series([len(v) for v in rows.values()], dtype=np.int64),
+            "ppm_sum": pd.Series([sum(v) for v in rows.values()], dtype=np.int64),
+        })
+
+    agg = tiny_final_groupby(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["lang"], [("n", "sum"), ("ppm_sum", "sum")],
+        ["lang", "n_docs", "ppm_sum"],
+    ).to_pandas()
+    agg["mean_mattr_ppm"] = (
+        agg["ppm_sum"].astype(np.int64) // agg["n_docs"].clip(lower=1)
+    ).astype(np.int64)
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    return agg[["lang", "n_docs", "mean_mattr_ppm"]].sort_values(
+        "lang").reset_index(drop=True)
+
+
 def gopher_quality_flags(ds, id_col: str = "doc_id", text_col: str = "text",
                          min_words: int = 50, max_words: int = 100_000,
                          min_mwl_x100: int = 300, max_mwl_x100: int = 1000,

@@ -10461,3 +10461,24 @@ class TestGopherFlags:
         assert out.loc[3, "f_symbol_ratio"] == 0 and out.loc[3, "keep"] == 0
         # mean word length: 60 words of lens (3*5 + 4*55)=235 chars -> 391 ok
         assert out.loc[1, "f_mean_word_len"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMattr:
+    def test_hand_arithmetic_small_and_windowed(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        # doc A: 4 tokens, 3 distinct -> single window: 3e6 // 4 = 750000
+        # doc B: 30 tokens of 'a b' repeated -> every 25-window has 2
+        #        distinct -> sum = 2 * 6 windows; ppm = 12e6 // (25*6) = 80000
+        ds = rd.from_items([
+            {"lang": "en", "text": "a b a c"},
+            {"lang": "en", "text": " ".join(["a b"] * 15)},
+            {"lang": "zz", "text": ""},  # zero tokens: excluded entirely
+        ])
+        out = analytics.mattr_by_lang(ds).set_index("lang")
+        assert "zz" not in out.index
+        assert out.loc["en", "n_docs"] == 2
+        assert out.loc["en", "mean_mattr_ppm"] == (750000 + 80000) // 2
