@@ -200,6 +200,8 @@ def cmd_ingest_daemon(args) -> int:
         kw.update(min_quality_ppm=0, max_top_token_ppm=1_000_000)
     if args.near_dup_threshold is not None:
         kw.update(near_dup_threshold=args.near_dup_threshold)
+    if args.gopher:
+        kw.update(gopher=True)
     summary = daemon.run_forever(
         args.drop_dir,
         args.corpus,
@@ -281,6 +283,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--max-files", type=int, default=None)
     d.add_argument("--no-hygiene", action="store_true",
                    help="disable quality/repetition filters (pure dedup ingest)")
+    d.add_argument("--gopher", action="store_true",
+                   help="also apply the Gopher composite quality gate")
     d.add_argument("--near-dup-threshold", type=float, default=None,
                    help="also drop docs near-duplicating the committed "
                         "corpus at MinHash-estimated Jaccard >= T")

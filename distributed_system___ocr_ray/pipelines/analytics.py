@@ -9702,29 +9702,42 @@ def gopher_quality_flags(ds, id_col: str = "doc_id", text_col: str = "text",
 
     Returns (doc_id, f_word_count, f_mean_word_len, f_symbol_ratio,
     f_stopwords, keep)."""
-    from ..functions import textstats as ts
 
     def flags(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].fillna("")
-        n_words = s.str.count(r"\S+").to_numpy(np.int64)
-        wchars = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
-        mwl100 = wchars * 100 // np.maximum(n_words, 1)
-        n_sym = (s.str.count("#") + s.str.count(r"\.\.\.")).to_numpy(np.int64)
-        stop_hits = s.str.lower().str.count(ts._ALL_STOP_RE).to_numpy(np.int64)
-        f_wc = ((n_words >= min_words) & (n_words <= max_words)).astype(np.int64)
-        f_mwl = ((mwl100 >= min_mwl_x100) & (mwl100 <= max_mwl_x100)).astype(np.int64)
-        f_sym = (10 * n_sym <= n_words).astype(np.int64)
-        f_stop = (stop_hits >= min_stop_hits).astype(np.int64)
-        return pd.DataFrame({
-            id_col: batch[id_col].to_numpy(np.int64),
-            "f_word_count": f_wc,
-            "f_mean_word_len": f_mwl,
-            "f_symbol_ratio": f_sym,
-            "f_stopwords": f_stop,
-            "keep": f_wc & f_mwl & f_sym & f_stop,
-        })
+        f = gopher_flag_arrays(
+            batch[text_col], min_words=min_words, max_words=max_words,
+            min_mwl_x100=min_mwl_x100, max_mwl_x100=max_mwl_x100,
+            min_stop_hits=min_stop_hits)
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(np.int64), **f})
 
     return ds.map_batches(flags, batch_format="pandas")
+
+
+def gopher_flag_arrays(texts: pd.Series, *, min_words: int = 50,
+                       max_words: int = 100_000, min_mwl_x100: int = 300,
+                       max_mwl_x100: int = 1000, min_stop_hits: int = 2):
+    """Vectorized Gopher-rule flag arrays for a text Series -- the shared
+    kernel behind ``gopher_quality_flags`` and the ingest daemon's
+    ``gopher=True`` hygiene mode (one implementation, no drift)."""
+    from ..functions import textstats as ts
+
+    s = texts.fillna("")
+    n_words = s.str.count(r"\S+").to_numpy(np.int64)
+    wchars = s.str.replace(r"\s+", "", regex=True).str.len().to_numpy(np.int64)
+    mwl100 = wchars * 100 // np.maximum(n_words, 1)
+    n_sym = (s.str.count("#") + s.str.count(r"\.\.\.")).to_numpy(np.int64)
+    stop_hits = s.str.lower().str.count(ts._ALL_STOP_RE).to_numpy(np.int64)
+    f_wc = ((n_words >= min_words) & (n_words <= max_words)).astype(np.int64)
+    f_mwl = ((mwl100 >= min_mwl_x100) & (mwl100 <= max_mwl_x100)).astype(np.int64)
+    f_sym = (10 * n_sym <= n_words).astype(np.int64)
+    f_stop = (stop_hits >= min_stop_hits).astype(np.int64)
+    return {
+        "f_word_count": f_wc,
+        "f_mean_word_len": f_mwl,
+        "f_symbol_ratio": f_sym,
+        "f_stopwords": f_stop,
+        "keep": f_wc & f_mwl & f_sym & f_stop,
+    }
 
 
 def chao1_vocab_estimate(ds, text_col: str = "text"):

@@ -88,6 +88,7 @@ def ingest_increment(
     rows_per_fragment: int = 100_000,
     compact_over_fragments: int | None = 64,
     near_dup_threshold: float | None = None,
+    gopher: bool = False,
 ):
     """The daily-batch corpus-growth composition: hygiene-filter a fresh
     crawl, drop within-batch duplicates, drop docs the committed corpus
@@ -106,6 +107,9 @@ def ingest_increment(
     - the CORPUS side is never materialized: novelty reduces it to distinct
       hashes (novel_docs), the append writes only new fragments, and
       compaction rewrites only runs of small fragments.
+
+    ``gopher``: additionally apply the Gopher composite quality gate
+    (``gopher_quality_flags``' keep) inside the hygiene stage.
 
     ``near_dup_threshold``: when set, a FUZZY second gate
     (``novel_docs_minhash``) also drops docs that near-duplicate a
@@ -135,6 +139,9 @@ def ingest_increment(
         keep = (q >= min_quality_ppm) & (
             rep["top_token_ppm"].to_numpy() <= max_top_token_ppm
         )
+        if gopher:  # the MassiveText composite gate, same kernel as the
+            # registry query (analytics.gopher_flag_arrays -- no drift)
+            keep &= analytics.gopher_flag_arrays(batch["text"])["keep"].astype(bool)
         return batch[keep]
 
     filt = new_ds.map_batches(hygiene, batch_format="pandas").materialize()

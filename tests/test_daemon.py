@@ -219,3 +219,22 @@ class TestNearDupIngest:
         got = lance_like.read_arrow(corpus_dir)
         ids = set(got.column("doc_id").to_pylist())
         assert ids == {1, 2, 11}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGopherIngest:
+    def test_gopher_gate_in_hygiene(self, tmp_path):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose
+
+        corpus_dir = str(tmp_path / "corpus")
+        long_good = " ".join(["the"] * 5 + [f"word{i}" for i in range(55)])
+        short = "the and tiny"
+        tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "text": [long_good, short]})
+        stats = compose.ingest_increment(
+            rd.from_arrow(tbl), corpus_dir,
+            min_quality_ppm=0, max_top_token_ppm=10**6, gopher=True)
+        # gopher word-count window (>=50) drops the short doc
+        assert stats["rows_in"] == 2 and stats["after_hygiene"] == 1
