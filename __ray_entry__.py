@@ -4875,6 +4875,46 @@ def _q_gopher_quality_flags(sf_dir: str):
     return analytics.gopher_quality_flags(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_real_png_roundtrip(sf_dir: str):
+    """End-to-end exercise of the vendored PNG codec on every English
+    doc: the text's byte prefix (truncated to a whole number of 32-wide
+    rows) becomes a grayscale PNG via png.encode, decodes back through
+    the full filter/CRC path, and the recovered bytes are re-read as
+    text. Identity oracle: substr(text, 1, floor(len/32)*32). Docs
+    shorter than one row fall back to a 1-wide column image so nothing
+    is skipped."""
+    import ray.data as rd
+
+    class PngRoundtrip:
+        WIDTH = 32
+
+        def __init__(self):
+            from distributed_system___ocr_ray.functions import png
+
+            self.png = png
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            outs = []
+            for text in batch.column("text").to_pylist():
+                data = text.encode("ascii")
+                w = self.WIDTH if len(data) >= self.WIDTH else max(len(data), 1)
+                k = (len(data) // w) * w
+                img = np.frombuffer(data[:k], dtype=np.uint8).reshape(-1, w)
+                if img.size == 0:
+                    outs.append("")
+                    continue
+                back = self.png.decode(self.png.encode(img))
+                outs.append(back.reshape(-1).tobytes().decode("ascii"))
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "text_out": pa.array(outs, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    ds = ds.filter(expr="lang == 'en'").drop_columns(["lang"])
+    return ds.map_batches(PngRoundtrip, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 8))
+
+
 def _q_corpus_datacard(sf_dir: str):
     """One-row corpus data card: the summary a curation pipeline publishes
     with a release -- doc/lang/source counts, exact-dup rows, total chars
@@ -5716,6 +5756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_total_reconciliation": _q_order_total_reconciliation,
         "chao1_vocab_estimate": _q_chao1_vocab_estimate,
         "real_pdf_roundtrip": _q_real_pdf_roundtrip,
+        "real_png_roundtrip": _q_real_png_roundtrip,
         "corpus_datacard": _q_corpus_datacard,
         "gopher_quality_flags": _q_gopher_quality_flags,
         "mattr_by_lang": _q_mattr_by_lang,
@@ -10567,6 +10608,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": _corpus_datacard_sql(),
         "gopher_quality_flags": _gopher_flags_sql(),
         "mattr_by_lang": _MATTR_SQL,
+        "real_png_roundtrip": ("SELECT doc_id, CASE WHEN length(text) >= 32 THEN substr(text, 1, (length(text) // 32) * 32) ELSE text END AS text_out FROM documents WHERE lang = 'en'"),
         "real_pdf_roundtrip": ("SELECT doc_id, text AS text_out FROM documents WHERE lang = 'en'"),
         "vocab_pruning_plan": _VOCAB_PRUNING_SQL,
         "winnow_fingerprint_pairs": _winnow_sql(),
