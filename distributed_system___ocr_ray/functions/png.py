@@ -62,7 +62,19 @@ def _chunks(data: bytes):
 
 
 def decode(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array of shape (h, w) gray or (h, w, c) color."""
+    """PNG bytes -> uint8 array of shape (h, w) gray or (h, w, c) color.
+
+    Raises PngError for ANY malformed payload -- struct/zlib failures on
+    truncated or corrupt-but-CRC-valid streams are normalized to PngError
+    so stage handlers' errors-as-data contract holds (ADVICE r4, medium).
+    """
+    try:
+        return _decode(data)
+    except (struct.error, zlib.error) as exc:
+        raise PngError(f"malformed PNG payload: {exc}") from exc
+
+
+def _decode(data: bytes) -> np.ndarray:
     if data[:8] != SIGNATURE:
         raise PngError("bad PNG signature")
     width = height = None
@@ -147,8 +159,19 @@ def encode(img: np.ndarray) -> bytes:
 
 
 def dims(data: bytes) -> tuple[int, int]:
-    """(height, width) from IHDR without decompressing pixel data."""
+    """(height, width) from IHDR without decompressing pixel data.
+
+    Truncation between the IHDR tag and byte 24 surfaces as PngError, not
+    struct.error (errors-as-data for untrusted media payloads).
+    """
     if data[:8] != SIGNATURE or data[12:16] != b"IHDR":
         raise PngError("bad PNG signature/IHDR")
-    w, h = struct.unpack(">II", data[16:24])
+    # spec: IHDR body is exactly 13 bytes; a shorter declared length would
+    # make the unpack below read CRC bytes as dimensions (garbage w/h).
+    if data[8:12] != struct.pack(">I", 13):
+        raise PngError("bad IHDR length")
+    try:
+        w, h = struct.unpack(">II", data[16:24])
+    except struct.error as exc:
+        raise PngError(f"truncated IHDR: {exc}") from exc
     return h, w

@@ -89,8 +89,15 @@ def _late_counts(tbl, watermark_us, allowed_lateness_us: int):
         return None, 0
     import pyarrow.compute as pc
 
+    import pyarrow as pa
+
     ts = tbl.column("ts")
-    us = pc.cast(ts, "int64")  # timestamp[us] -> microseconds
+    # normalize units BEFORE the int64 cast: a timestamp[ns] drop (common
+    # pandas/parquet writer default) would otherwise yield nanoseconds and
+    # put allowed_lateness_us and the persisted watermark off by 1000x.
+    if pa.types.is_timestamp(ts.type):
+        ts = pc.cast(ts, pa.timestamp("us"))
+    us = pc.cast(ts, "int64")  # microseconds
     file_max = pc.max(us).as_py()
     if file_max is None:
         return None, 0
@@ -128,11 +135,17 @@ def run_once(
         try:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(full)
-            file_max_us, n_late = _late_counts(
-                tbl, state.get("watermark_us"), allowed_lateness_us)
+            # bounded driver: only the ts column lands on the driver (for
+            # watermark/late counts); the increment itself streams through
+            # rd.read_parquet, never materializing the drop file here.
+            if "ts" in pq.read_schema(full).names:
+                file_max_us, n_late = _late_counts(
+                    pq.read_table(full, columns=["ts"]),
+                    state.get("watermark_us"), allowed_lateness_us)
+            else:
+                file_max_us, n_late = None, 0
             stats = compose.ingest_increment(
-                rd.from_arrow(tbl), corpus_dir, **increment_kwargs)
+                rd.read_parquet(full), corpus_dir, **increment_kwargs)
         except Exception as exc:  # noqa: BLE001 -- whole-increment retry
             state["attempts"][name] = attempts + 1
             if attempts + 1 > max_retries:
@@ -144,10 +157,15 @@ def run_once(
             continue
         row = dict(stats, file=name, n_late=n_late,
                    watermark_us=state.get("watermark_us"))
+        # rows actually written: the near-dup gate (when enabled) filters
+        # AFTER exact novelty, so after_near_novelty is authoritative.
+        appended = stats.get("after_near_novelty")
+        if appended is None:
+            appended = stats["after_novelty"]
         state["done"][name] = {
             "corpus_version": stats["corpus_version"],
             "rows_in": stats["rows_in"],
-            "appended": stats["after_novelty"],
+            "appended": appended,
             "ts": time.time(),
         }
         state["attempts"].pop(name, None)

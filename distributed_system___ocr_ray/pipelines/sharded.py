@@ -47,7 +47,7 @@ class ShardWorker:
     """Actor: processes whole fragments; extractor state built once."""
 
     def __init__(self, media_handle, out_dir: str, batch_size: int = 1024,
-                 deletes_handle=None) -> None:
+                 deletes_handle=None, evolution=None) -> None:
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.extract = ExtractDispatch(media_handle)
@@ -62,6 +62,9 @@ class ShardWorker:
             self.deletes = ray.get(deletes_handle)
         else:
             self.deletes = []
+        # evolved-column defaults: fragments older than an ADD COLUMN lack
+        # the column physically; deletes keyed on it match the default
+        self.evo_defaults = {e["add"]: e["default"] for e in (evolution or [])}
 
     MAX_BATCH_BYTES = 32 * 1024 * 1024  # size-capped batch splitting: a batch
     # of fat spans (e.g. one 5 MB text payload x 1024 rows) must not blow the
@@ -120,11 +123,32 @@ class ShardWorker:
             # then drop the extras after filtering so the plan stays narrow
             cols = ["doc_id", "spans"]
             extra = [c for c, _ in self.deletes if c not in cols]
+            # metadata-only ADD COLUMN evolution: an old fragment may lack a
+            # delete-key column physically. Intersect the widened projection
+            # with the fragment's footer schema; absent evolved columns are
+            # matched against their recorded default instead (every row of
+            # such a fragment carries the default by definition).
+            if extra:
+                physical = set(pq.read_schema(path).names)
+                absent = [c for c in extra if c not in physical]
+                extra = [c for c in extra if c in physical]
+                for c in absent:
+                    if c not in self.evo_defaults:
+                        raise ValueError(
+                            f"delete keyed on column {c!r} absent from "
+                            f"fragment {frag!r} with no evolution default"
+                        )
+            else:
+                absent = []
             docs = pq.read_table(path, columns=cols + extra)
             if self.deletes:
                 import pyarrow.compute as pc
 
                 for col, keys in self.deletes:
+                    if col in absent:
+                        if self.evo_defaults[col] in set(keys.to_pylist()):
+                            docs = docs.slice(0, 0)  # default is deleted
+                        continue
                     mask = pc.is_in(docs.column(col), value_set=keys)
                     docs = docs.filter(pc.invert(mask))
             if extra:
@@ -253,6 +277,7 @@ def run_extraction_sharded(
                     ray.put([(c, pa.array(sorted(k))) for c, k in dels])
                     if dels else None
                 ),
+                "evolution": man.get("evolution", []),
             },
             batch_format="pyarrow",
             batch_size=None,  # whole work-item block per call

@@ -777,9 +777,24 @@ def delete_where_mor(table_dir: str, predicates: list[tuple], key_col: str) -> d
         # scan must cost O(keys + predicate bytes), never O(bytes of data)
         # -- reading full multi-MB payload columns here would undercut the
         # whole O(keys)-write-cost pitch of the MOR flavor (ADVICE r3)
-        tbl = pq.read_table(
-            full, columns=sorted({key_col, *(c for c, _, _ in predicates)})
-        )
+        want = sorted({key_col, *(c for c, _, _ in predicates)})
+        # metadata-only ADD COLUMN evolution: fragments older than the
+        # evolution lack the column physically -- every row carries the
+        # recorded default, so substitute a constant column (ADVICE r4)
+        physical = set(pq.read_schema(full).names)
+        missing = [c for c in want if c not in physical]
+        evo = {e["add"]: e for e in man.get("evolution", [])}
+        for c in missing:
+            if c not in evo:
+                raise KeyError(
+                    f"column {c!r} absent from fragment {p!r} and not an "
+                    f"evolved column of {table_dir}"
+                )
+        tbl = pq.read_table(full, columns=[c for c in want if c in physical])
+        for c in missing:
+            e = evo[c]
+            tbl = tbl.append_column(c, pa.array(
+                [e["default"]] * tbl.num_rows, _EVO_TYPES[e["type"]]))
         scanned += 1
         mask = _predicate_mask(tbl, predicates)
         n_match = pc.sum(mask).as_py() or 0
@@ -809,6 +824,11 @@ def delete_where_mor(table_dir: str, predicates: list[tuple], key_col: str) -> d
         "fragments_carried": len(man["fragments"]),
         "fragments_scanned": scanned,
     }
+    # a MOR delete carries every fragment by reference, so ADD COLUMN
+    # evolution metadata must ride along -- dropping it would break both
+    # read_evolved and deletes keyed on evolved columns (ADVICE r4)
+    if "evolution" in man:
+        manifest["evolution"] = man["evolution"]
     return _commit_manifest(table_dir, manifest)
 
 

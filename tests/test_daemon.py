@@ -131,6 +131,54 @@ class TestDaemon:
         st = json.load(open(state))
         assert st["watermark_us"] == base + 9 * 10**6
 
+    def test_watermark_handles_ns_timestamps(self, tmp_path):
+        """A timestamp[ns] drop (pandas writer default) must persist the
+        same microsecond watermark as a timestamp[us] one (ADVICE r4)."""
+        from distributed_system___ocr_ray.pipelines import daemon
+
+        drop = tmp_path / "drop"; drop.mkdir()
+        corpus_dir = str(tmp_path / "corpus")
+        state = str(tmp_path / "state.json")
+        base = 1_700_000_000_000_000  # us
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([f"alpha beta gamma tok{i} end" for i in range(3)]),
+            "ts": pa.array([(base + i * 10**6) * 1000 for i in range(3)],
+                           pa.timestamp("ns")),
+        }), os.path.join(str(drop), "ns.parquet"))
+        daemon.run_once(str(drop), corpus_dir, state,
+                        min_quality_ppm=0, max_top_token_ppm=10**6)
+        st = json.load(open(state))
+        assert st["watermark_us"] == base + 2 * 10**6  # us, not ns
+
+    def test_ledger_appended_uses_near_novelty(self, tmp_path):
+        """With the fuzzy gate on, the ledger's appended count must be the
+        rows actually written (after_near_novelty), not after_novelty."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import compose, daemon
+
+        drop = tmp_path / "drop"; drop.mkdir()
+        corpus_dir = str(tmp_path / "corpus")
+        state = str(tmp_path / "state.json")
+        base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lam mu nu xi omicron pi rho sigma tau upsilon")
+        compose.ingest_increment(
+            rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                    "text": [base]})),
+            corpus_dir, min_quality_ppm=0, max_top_token_ppm=10**6)
+        # drop: a reflowed near-dup (passes exact gate, fails fuzzy) + 1 new
+        _drop_file(str(drop), "d.parquet", [10, 11],
+                   [base + " extra", "fresh novel sentence with its own "
+                                     "words nothing shared at all"])
+        rows = daemon.run_once(str(drop), corpus_dir, state,
+                               min_quality_ppm=0, max_top_token_ppm=10**6,
+                               near_dup_threshold=0.6)
+        assert rows[0]["after_novelty"] == 2
+        assert rows[0]["after_near_novelty"] == 1
+        st = json.load(open(state))
+        assert st["done"]["d.parquet"]["appended"] == 1
+
 
 class TestDaemonSigkill:
     def test_sigkill_mid_run_resumes_exactly_once(self, tmp_path):

@@ -294,3 +294,78 @@ class TestShardedMorDeletes:
         expect = {d for d, s in zip(docs.column("doc_id").to_pylist(),
                                     src.to_pylist()) if s == "keep"}
         assert ids == expect
+
+    def test_delete_keyed_on_evolved_column(self, tmp_path):
+        """A MOR delete keyed on a METADATA-ONLY evolved column: old
+        fragments physically lack the column (ADD COLUMN evolution), so
+        the worker's widened projection must not raise -- absent columns
+        match the evolution default instead (ADVICE r4, sharded.py)."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus.write_corpus(str(tmp_path), n_docs=12, rows_per_fragment=4)
+        docs = lance_like.read_arrow(str(tmp_path / "documents"))
+        docs_dir = str(tmp_path / "documents_evo")
+        # v1: fragments WITHOUT src; evolve src with default "keep";
+        # append new fragments WITH src (2 marked "drop")
+        old = docs.slice(0, 8)
+        new = docs.slice(8, 4)
+        lance_like.write_table(old, docs_dir, rows_per_fragment=4)
+        lance_like.evolve_add_column(docs_dir, "src", "string", "keep")
+        new = new.append_column("src", pa.array(
+            ["drop", "keep", "drop", "keep"]))
+        lance_like.write_table(new, docs_dir, rows_per_fragment=4,
+                               mode="append")
+        # the delete scan itself must survive old fragments lacking src
+        lance_like.delete_where_mor(docs_dir, [("src", "==", "drop")], "src")
+        store = lance_like.read_arrow(str(tmp_path / "media_store"))
+        out = str(tmp_path / "out_evo")
+        run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        ids = set()
+        for f in glob.glob(out + "/part=*/data.parquet"):
+            ids.update(pq.read_table(f, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+        all_ids = docs.column("doc_id").to_pylist()
+        dropped = {all_ids[8], all_ids[10]}
+        # old fragments: default "keep" != "drop" -> all retained;
+        # new fragment: the two "drop" rows excluded
+        assert ids == set(all_ids) - dropped
+
+    def test_delete_of_evolution_default_empties_old_fragments(self, tmp_path):
+        """When the deleted key IS the evolution default, every row of the
+        pre-evolution fragments matches and must be excluded."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus.write_corpus(str(tmp_path), n_docs=12, rows_per_fragment=4)
+        docs = lance_like.read_arrow(str(tmp_path / "documents"))
+        docs_dir = str(tmp_path / "documents_evo2")
+        lance_like.write_table(docs.slice(0, 8), docs_dir, rows_per_fragment=4)
+        lance_like.evolve_add_column(docs_dir, "src", "string", "legacy")
+        new = docs.slice(8, 4).append_column(
+            "src", pa.array(["fresh"] * 4))
+        lance_like.write_table(new, docs_dir, rows_per_fragment=4,
+                               mode="append")
+        lance_like.delete_where_mor(docs_dir, [("src", "==", "legacy")], "src")
+        store = lance_like.read_arrow(str(tmp_path / "media_store"))
+        out = str(tmp_path / "out_evo2")
+        run_extraction_sharded(docs_dir, store, out, concurrency=2)
+        ids = set()
+        for f in glob.glob(out + "/part=*/data.parquet"):
+            ids.update(pq.read_table(f, columns=["doc_id"])
+                       .column("doc_id").to_pylist())
+        assert ids == set(docs.column("doc_id").to_pylist()[8:])

@@ -180,6 +180,55 @@ class TestPngCodec:
         with pytest.raises(png.PngError):
             png.decode(bytes(bad))
 
+    def _crc_valid_corrupt_variants(self):
+        """Payloads that previously escaped PngError as struct/zlib errors
+        (ADVICE r4 medium): truncated-before-byte-24 IHDR, short IHDR body
+        with a VALID CRC, and a CRC-valid but zlib-corrupt IDAT stream."""
+        import struct
+        import zlib
+
+        from distributed_system___ocr_ray.functions import png
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        truncated = png.SIGNATURE + struct.pack(">I", 13) + b"IHDR" + b"\x00\x01"
+        short_ihdr = (png.SIGNATURE + chunk(b"IHDR", b"\x00\x00\x00\x04")
+                      + chunk(b"IEND", b""))
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+        bad_idat = (png.SIGNATURE + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", b"\x78\x9cNOTZLIBDATA")
+                    + chunk(b"IEND", b""))
+        return [truncated, short_ihdr, bad_idat]
+
+    def test_struct_zlib_failures_are_pngerror(self):
+        from distributed_system___ocr_ray.functions import png
+
+        for payload in self._crc_valid_corrupt_variants():
+            with pytest.raises(png.PngError):
+                png.decode(payload)
+        with pytest.raises(png.PngError):
+            png.dims(self._crc_valid_corrupt_variants()[0])
+
+    def test_stages_survive_crc_valid_corrupt_png(self):
+        """MediaMetadata / ImageResize / FrameSampler fall through on such
+        payloads instead of crashing the batch (errors-as-data contract)."""
+        from distributed_system___ocr_ray.stages.multimodal import (
+            FrameSampler, ImageResize, MediaMetadata)
+
+        variants = self._crc_valid_corrupt_variants()
+        refs = [f"m{i}" for i in range(len(variants))]
+        batch = pa.table({"media_ref": refs, "payload": variants})
+        meta = MediaMetadata()(batch)
+        # header-only dims may still report kind="png" for a CRC-valid IHDR;
+        # the contract under test is that NO variant crashes the batch.
+        assert len(meta) == len(variants)
+        resized = ImageResize(fake=True)(batch)
+        assert all(p.as_py().startswith(b"FAKE0") for p in resized.column("payload"))
+        frames = FrameSampler(n_frames=2, fake=True)(batch)
+        assert all(f.as_py().startswith(b"FRAME0") for f in frames.column("frame"))
+
 
 class TestMultimodalRealDecode:
     """The resize / frame-sample stages execute REAL pixel/PCM branches
