@@ -2419,11 +2419,12 @@ def _q_texttiling_boundaries(sf_dir: str):
 
 def _q_quality_neardup_auc(sf_dir: str):
     """Exact Mann-Whitney ROC-AUC of the cheap quality score as a
-    near-duplicate predictor, positives = members of an exact-Jaccard
+    near-duplicate predictor, positives = members of a MinHash est
     >= 0.5 pair (analytics.quality_neardup_auc -- the threshold-free
-    companion of quality_dup_calibration); oracle composes the green
-    ngram-pair CTEs, the shared quality CTEs and the histogram
-    cumulative 2U walk with the tie convention."""
+    companion of quality_dup_calibration; MinHash is the default ground
+    truth since VERDICT r4 #1, exact ngram is an opt-in audit); oracle
+    composes the green minhash-pair CTEs, the shared quality CTEs and
+    the histogram cumulative 2U walk with the tie convention."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -4985,11 +4986,12 @@ def _q_vocab_pruning_plan(sf_dir: str):
 
 
 def _q_dedup_family_agreement(sf_dir: str):
-    """Pairwise Jaccard agreement between the four near-dup pair
-    generators over the same corpus (analytics.dedup_family_agreement
-    -- the which-signal-to-trust meta-audit); oracle composes all four
-    already-green pair replays (minhash+ngram share the shingle CTE
-    body; simhash and winnow nest whole) and the set arithmetic."""
+    """Pairwise Jaccard agreement between the three SUB-LINEAR near-dup
+    pair generators (minhash, simhash, winnow) over the same corpus
+    (analytics.dedup_family_agreement -- the which-signal-to-trust
+    meta-audit; exact ngram demoted to an opt-in audit, VERDICT r4 #1);
+    oracle composes the three already-green pair replays and the set
+    arithmetic."""
     from distributed_system___ocr_ray.pipelines import analytics
 
     return analytics.dedup_family_agreement(_docs(sf_dir, ["doc_id", "text"]))
@@ -7542,13 +7544,14 @@ _TEXTTILING_SQL = (
 
 
 def _quality_neardup_auc_sql() -> str:
-    """Replay of ``analytics.quality_neardup_auc``: ngram pair CTEs ->
-    positive id set, quality CTEs -> per-doc score, (score, label)
-    histogram, cumulative-negatives 2U fold, floor-div ppm with the
-    single-class 500000 pin."""
+    """Replay of ``analytics.quality_neardup_auc``: MinHash pair CTEs
+    (the default sub-linear ground truth, est >= 0.5) -> positive id
+    set, quality CTEs -> per-doc score, (score, label) histogram,
+    cumulative-negatives 2U fold, floor-div ppm with the single-class
+    500000 pin."""
     return (
-        f"WITH {_NGRAM_PAIRS_CTES}, "
-        "posids AS (SELECT doc_a AS i FROM pairs UNION SELECT doc_b FROM pairs), "
+        f"WITH {_minhash_ctes(threshold=0.5)}, "
+        "posids AS (SELECT doc_a AS i FROM mpairs UNION SELECT doc_b FROM mpairs), "
         f"{_quality_ctes()}, "
         f"lab AS (SELECT {_QPPM_EXPR} AS s, "
         "CASE WHEN r.doc_id IN (SELECT i FROM posids) THEN 1 ELSE 0 END AS pos "
@@ -8145,13 +8148,12 @@ _VOCAB_PRUNING_SQL = (
 
 
 def _dedup_family_agreement_sql() -> str:
-    """Replay of ``analytics.dedup_family_agreement``: the minhash body
-    + deduplicated-shingle-prefix ngram tail (the recall-audit
-    composition), simhash and winnow pair replays nested whole, then six
-    UNION ALL rows of set arithmetic with the empty-union 1e6 pin."""
-    ngram_tail = _NGRAM_PAIRS_CTES[len(_SHINGLE_CTES) + 2 :]
-    combos = [("minhash", "fm"), ("ngram", "fn_"),
-              ("simhash", "fs"), ("winnow", "fw")]
+    """Replay of ``analytics.dedup_family_agreement``: the minhash body,
+    simhash and winnow pair replays nested whole (the default family set
+    is the three sub-linear generators -- exact ngram is an opt-in audit
+    since VERDICT r4 #1), then three UNION ALL rows of set arithmetic
+    with the empty-union 1e6 pin."""
+    combos = [("minhash", "fm"), ("simhash", "fs"), ("winnow", "fw")]
     rows = []
     for i, (na, ta) in enumerate(combos):
         for nb, tb in combos[i + 1:]:
@@ -8164,11 +8166,10 @@ def _dedup_family_agreement_sql() -> str:
             )
     body = " UNION ALL ".join(rows)
     return (
-        f"WITH {_minhash_ctes()}, {ngram_tail}, "
+        f"WITH {_minhash_ctes()}, "
         f"sp AS ({_simhash_pairs_sql()}), "
         f"wp AS ({_winnow_sql()}), "
         "fm AS (SELECT doc_a, doc_b FROM mpairs), "
-        "fn_ AS (SELECT doc_a, doc_b FROM pairs), "
         "fs AS (SELECT doc_a, doc_b FROM sp), "
         "fw AS (SELECT doc_a, doc_b FROM wp), "
         f"fam6 AS ({body}) "

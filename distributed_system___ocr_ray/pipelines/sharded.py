@@ -47,10 +47,12 @@ class ShardWorker:
     """Actor: processes whole fragments; extractor state built once."""
 
     def __init__(self, media_handle, out_dir: str, batch_size: int = 1024,
-                 deletes_handle=None, evolution=None) -> None:
+                 deletes_handle=None, evolution=None, fetcher=None,
+                 ocr_backend="auto") -> None:
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-        self.extract = ExtractDispatch(media_handle)
+        self.extract = ExtractDispatch(media_handle, fetcher=fetcher,
+                                       ocr_backend=ocr_backend)
         self.manifest = CheckpointManifest(out_dir)
         self.batch_size = batch_size
         # merge-on-read equality deletes: (col, sorted key array) pairs
@@ -188,11 +190,14 @@ def run_extraction_sharded(
     resume: bool = True,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 1024,
+    fetcher=None,
+    ocr_backend="auto",
 ) -> dict:
     """Checkpointed shard-local extraction over a Lance-style table."""
     import ray
     import ray.data as rd
 
+    from ..stages.extractors import _hook_identity
     from .extract import _media_handle, media_compatible, media_fingerprint
 
     manifest = CheckpointManifest(out_dir)
@@ -211,10 +216,13 @@ def run_extraction_sharded(
     # (same file -> pruned) from an overwrite rewrite that reuses fragment
     # indices (new file -> reprocessed, not skipped-as-done)
     job = {
-        "format": 2,
+        # format 3: adds the hooks identity key (older checkpoints refuse
+        # loudly at resume rather than mix engines silently)
+        "format": 3,
         "plan": "sharded",
         "input_table": os.path.abspath(docs_dir),
         "media": media_fingerprint(media),
+        "hooks": _hook_identity(fetcher, ocr_backend),
     }
     # merge-on-read deletes are part of the JOB IDENTITY: partitions
     # committed under an older delete set would contain rows deleted
@@ -278,6 +286,8 @@ def run_extraction_sharded(
                     if dels else None
                 ),
                 "evolution": man.get("evolution", []),
+                "fetcher": fetcher,
+                "ocr_backend": ocr_backend,
             },
             batch_format="pyarrow",
             batch_size=None,  # whole work-item block per call

@@ -10328,13 +10328,21 @@ class TestDedupFamilyAgreement:
             "text": pa.array([base, near, other]),
         }))
         got = analytics.dedup_family_agreement(ds)
-        assert len(got) == 6
+        # default family set is the three sub-linear generators (exact
+        # ngram demoted to opt-in, VERDICT r4 #1) -> 3 combo rows
+        assert len(got) == 3
         assert list(got.columns) == ["family_a", "family_b", "n_a", "n_b",
                                      "n_common", "jaccard_ppm"]
+        assert "ngram" not in set(got["family_a"]) | set(got["family_b"])
         # the planted near-identical pair is found by every family, so
         # every combo agrees perfectly (or is vacuously empty-vs-empty)
         assert (got["jaccard_ppm"] == 1_000_000).all()
         assert (got["n_common"] >= 1).all()
+        # opt-in exact audit restores the 4-family (6-row) comparison
+        got6 = analytics.dedup_family_agreement(ds, include_ngram=True)
+        assert len(got6) == 6
+        assert "ngram" in set(got6["family_a"]) | set(got6["family_b"])
+        assert (got6["jaccard_ppm"] == 1_000_000).all()
 
     def test_sf0001_structure(self):
         import ray.data as rd
@@ -10344,9 +10352,27 @@ class TestDedupFamilyAgreement:
         ds = rd.read_parquet(f"{SF}/documents.parquet",
                              columns=["doc_id", "text"])
         got = analytics.dedup_family_agreement(ds)
-        assert len(got) == 6
+        assert len(got) == 3
         assert (got["n_common"] <= got[["n_a", "n_b"]].min(axis=1)).all()
         assert got["jaccard_ppm"].between(0, 1_000_000).all()
+
+    def test_ngram_scale_guard_raises(self):
+        """The exact AllPairs generator refuses corpora past its cap,
+        naming the MinHash substitution (the collect_bounded loud-raise
+        convention applied to compute scale)."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta", "alpha beta gamma"]),
+        }))
+        with pytest.raises(analytics.ExactPairScaleExceeded) as ei:
+            analytics.ngram_jaccard_pairs(ds, max_corpus_docs=1)
+        assert "minhash_lsh_pairs" in str(ei.value)
+        # None opts out of the guard entirely
+        analytics.ngram_jaccard_pairs(ds, max_corpus_docs=None)
 
 
 @pytest.mark.usefixtures("ray_session")
