@@ -46,6 +46,23 @@ def cmd_gen_corpus(args) -> int:
 
 
 def cmd_extract(args) -> int:
+    if getattr(args, "dry_run", False):
+        # plan-only validation (ray job submit packaging): no Ray session,
+        # no output-directory mutation -- reads manifests, prunes committed
+        # partitions, prints the plan it WOULD execute
+        if args.plan != "sharded":
+            print("--dry-run supports --plan sharded (the flagship)",
+                  file=sys.stderr)
+            return 2
+        from .pipelines.sharded import run_extraction_sharded
+
+        plan = run_extraction_sharded(
+            args.input, args.media, args.output,
+            resume=not args.no_resume, batch_size=args.batch_size,
+            dry_run=True,
+        )
+        print(json.dumps(plan))
+        return 0
     _ray_session(args.num_cpus)
     import ray
 
@@ -237,6 +254,10 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--batch-size", type=int, default=1024)
     e.add_argument("--no-resume", action="store_true")
     e.add_argument("--num-cpus", type=int, default=None)
+    e.add_argument("--dry-run", action="store_true",
+                   help="validate inputs and print the execution plan "
+                        "(pending/skipped partitions, media fingerprint, "
+                        "hooks) without starting Ray or writing anything")
     e.set_defaults(fn=cmd_extract)
 
     s = sub.add_parser("status", help="summarize a checkpointed output's manifest")

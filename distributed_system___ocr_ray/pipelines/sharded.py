@@ -192,8 +192,15 @@ def run_extraction_sharded(
     batch_size: int = 1024,
     fetcher=None,
     ocr_backend="auto",
+    dry_run: bool = False,
 ) -> dict:
-    """Checkpointed shard-local extraction over a Lance-style table."""
+    """Checkpointed shard-local extraction over a Lance-style table.
+
+    ``dry_run=True`` performs the full plan build -- manifest reads, media
+    fingerprint, MOR delete-set load, committed-partition pruning, hook
+    identity -- and returns the plan summary WITHOUT executing anything or
+    mutating the output directory (no job entry persisted, no stale-index
+    retirement): the validation surface for ``ray job submit`` packaging."""
     import ray
     import ray.data as rd
 
@@ -238,12 +245,13 @@ def run_extraction_sharded(
         job["deletes"] = [
             [df["path"], df["key_col"], df["rows"]] for df in man["delete_files"]
         ]
-    manifest.check_job(
-        job,
-        enforce=resume,
-        compat={"media": media_compatible},
-    )
-    clean_tmp(out_dir)  # stale writer temp files from a crashed prior run
+    if not dry_run:
+        manifest.check_job(
+            job,
+            enforce=resume,
+            compat={"media": media_compatible},
+        )
+        clean_tmp(out_dir)  # stale writer temp files from a crashed prior run
     # ONE manifest scan at setup: retire stale indices (an overwrite rewrite
     # that SHRANK the table leaves committed indices beyond the new fragment
     # list -- the published output must never mix old-version partitions
@@ -251,7 +259,8 @@ def run_extraction_sharded(
     committed = manifest.committed() if resume else {}
     n_frags = len(man["fragments"])
     for stale in [i for i in committed if i >= n_frags]:
-        manifest.retire(stale)
+        if not dry_run:
+            manifest.retire(stale)
         del committed[stale]
     items = [
         {"part": i, "path": os.path.join(docs_dir, frag["path"]), "frag": frag["path"]}
@@ -264,6 +273,20 @@ def run_extraction_sharded(
     # skipped = fragments actually pruned (a committed entry that failed the
     # fragment-identity check is RE-RUN, not skipped)
     n_skipped = len(man["fragments"]) - len(items)
+    if dry_run:
+        return {
+            "dry_run": True,
+            "plan": "sharded",
+            "input_table": job["input_table"],
+            "table_version": man["version"],
+            "fragments_total": n_frags,
+            "rows_total": sum(int(f.get("rows", 0)) for f in man["fragments"]),
+            "partitions_pending": len(items),
+            "partitions_skipped_prior": n_skipped,
+            "deletes": len(job.get("deletes", [])),
+            "media": job["media"],
+            "hooks": job["hooks"],
+        }
     if items:
         if concurrency is None:
             concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
