@@ -1532,6 +1532,30 @@ def _q_ivf_topk(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_ivf_indexed_topk(sf_dir: str):
+    """IVF top-k through a PERSISTED centroid index: build the centroid
+    table once (pipelines.index.build_ivf_centroids -- the dense-side
+    build-once/lookup-many artifact beside build_postings), then the
+    lookup probes it WITHOUT re-clustering. Same exhaustive-probe
+    construction as ivf_topk (n_probe == n_centroids), so the brute-force
+    SQL oracle stays exact; the persisted centroids are the deterministic
+    seeded fit, so indexed and per-call paths are value-identical
+    (pytest-held equality in tests/test_ivf_index.py)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+    from distributed_system___ocr_ray.pipelines import index as idx
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    tdir = tempfile.mkdtemp(prefix="graft_ivf_") + "/centroids"
+    idx.build_ivf_centroids(ds, tdir, n_centroids=16)
+    out = analytics.ivf_topk(ds, _query_matrix(sf_dir), k=10, n_centroids=16,
+                             n_probe=16, centroids=tdir)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_triangle_count(sf_dir: str):
     """Exact triangle count of the derived link graph (wedge-check with two
     bucketed joins); the oracle replays the edge CTEs plus the classic
@@ -5607,6 +5631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / retrieval
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
+        "ivf_indexed_topk": _q_ivf_indexed_topk,
         "kmeans_clusters": _q_kmeans_clusters,
         "semdedup_keepers": _q_semdedup_keepers,
         "pagerank_top": _q_pagerank_top,
@@ -9405,6 +9430,8 @@ def oracle_sql() -> dict[str, str]:
         # same exact brute-force oracle: IVF probing achieves exact recall on
         # this dataset (pytest-held recall test; see _q_ivf_topk docstring)
         "ivf_topk": _ANN_TOPK_SQL,
+        # same exhaustive-probe construction through the PERSISTED index
+        "ivf_indexed_topk": _ANN_TOPK_SQL,
         "kmeans_clusters": _kmeans_sql(k=8, iters=3, scale=1000),
         "semdedup_keepers": _semdedup_sql(k=8, iters=3, scale=1000, threshold=0.4),
         "pagerank_top": _pagerank_sql(iters=4, damping_pct=85, topn=20),
