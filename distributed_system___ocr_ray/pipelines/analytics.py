@@ -14736,13 +14736,22 @@ def bm25_prf_topk(ds, queries: list[str], k: int = 10, fb_docs: int = 3,
         return bm25_topk(ds, queries, k=k, k1=k1, b=b,
                          id_col=id_col, text_col=text_col)
 
-    # one pass: corpus df for the candidate terms + doc count
+    # one pass: corpus df for the candidate terms + doc count. ONE
+    # O(tokens) intersection pass per doc instead of an O(n_cand) stack of
+    # Series.map membership scans (the per-row site VERDICT r4 flagged;
+    # measured 1.4-1.7x at 31-1000 candidates, BASELINE.md r5)
+    cand_set = frozenset(all_cand)
+
     def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+
         toks = batch[text_col].fillna("").str.lower().str.findall(word)
+        c: Counter = Counter()
+        for s in toks:
+            c.update(cand_set.intersection(s))
         rows = {"__n__": len(batch)}
-        sets = toks.map(set)
         for t in all_cand:
-            rows[t] = int(sets.map(lambda s, _t=t: _t in s).sum())
+            rows[t] = int(c.get(t, 0))
         return pd.DataFrame([rows])
 
     agg = ds.map_batches(df_partial, batch_format="pandas").to_pandas().sum()
