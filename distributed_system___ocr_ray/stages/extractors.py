@@ -130,6 +130,42 @@ def default_ocr_backend():
     return ocr  # pragma: no cover
 
 
+def http_fetcher(base_url: str | None = None, timeout_sec: float = 10.0,
+                 max_bytes: int = 64 << 20):
+    """REAL HTTP media fetcher (stdlib urllib -- no extra deps): returns a
+    ``ref -> bytes|None`` callable for ``fetcher=`` hooks, completing the
+    reference's Worker.downloadImage contract (Worker.java:156-172) for
+    URL-addressed corpora. ``base_url`` prefixes non-absolute refs;
+    absolute http(s) refs fetch as-is; any error (connect, timeout,
+    non-2xx, oversize) returns None so the stage emits the verbatim
+    download sentinel -- the fetcher itself never raises into a batch.
+
+    ``max_bytes`` caps the response read (a hostile/looping server must
+    not balloon a worker); responses over the cap are treated as misses.
+    The sandbox has no external network; the pytest drives this against
+    an in-process localhost server, which is exactly the code path a real
+    deployment exercises."""
+    from urllib.parse import urljoin
+    from urllib.request import urlopen
+
+    def fetch(ref: str):
+        url = ref
+        if not (ref.startswith("http://") or ref.startswith("https://")):
+            if base_url is None:
+                return None
+            url = urljoin(base_url.rstrip("/") + "/", ref)
+        try:
+            with urlopen(url, timeout=timeout_sec) as resp:
+                data = resp.read(max_bytes + 1)
+                if len(data) > max_bytes:
+                    return None
+                return data
+        except Exception:
+            return None
+
+    return fetch
+
+
 def _hook_identity(fetcher, ocr_backend) -> list[str]:
     """Stable names for the two pluggable hooks, for checkpoint job
     identity: a resumed run under a DIFFERENT fetcher / OCR backend would

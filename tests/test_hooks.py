@@ -144,6 +144,73 @@ class TestMediaFetcher:
         assert out.column("status").to_pylist() == [STATUS_DOWNLOAD_ERROR]
 
 
+class TestHttpFetcher:
+    """The stdlib urllib fetcher against an IN-PROCESS localhost server --
+    the same code path a URL-addressed deployment runs, no external
+    network needed."""
+
+    @pytest.fixture()
+    def server(self):
+        import http.server
+        import threading
+
+        from distributed_system___ocr_ray.functions import glyph
+
+        payload = glyph.GlyphFont().render("served over http")
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                if self.path == "/img/ok.bin":
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                elif self.path == "/img/huge.bin":
+                    body = b"x" * 2048
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def log_message(self, *a):  # silence
+                pass
+
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}", payload
+        srv.shutdown()
+
+    def test_fetch_resolve_404_and_size_cap(self, server):
+        from distributed_system___ocr_ray.stages.extractors import http_fetcher
+
+        base, payload = server
+        fetch = http_fetcher(base_url=base, max_bytes=1024)
+        assert fetch("img/ok.bin") == payload          # relative ref
+        assert fetch(f"{base}/img/ok.bin") == payload  # absolute ref
+        assert fetch("img/gone.bin") is None           # 404 -> miss
+        assert fetch("img/huge.bin") is None           # oversize -> miss
+        assert http_fetcher()( "img/ok.bin") is None   # no base, relative
+
+    def test_extraction_stage_through_http(self, server):
+        """End-to-end: a store MISS resolves over HTTP and decodes; a 404
+        stays the verbatim download sentinel."""
+        from distributed_system___ocr_ray.stages.extractors import (
+            ExtractDispatch, http_fetcher,
+        )
+
+        base, _payload = server
+        stage = ExtractDispatch({}, fetcher=http_fetcher(base_url=base))
+        out = stage(_img_batch(["img/ok.bin", "img/gone.bin"]))
+        assert out.column("out_text").to_pylist() == [
+            "served over http", SENTINEL_IMAGE_DOWNLOAD]
+        assert out.column("status").to_pylist() == [
+            STATUS_OK, STATUS_DOWNLOAD_ERROR]
+
+
 def _noop_fetcher():
     """A no-op fetcher built as a CLOSURE: cloudpickle ships closures by
     value, so Ray actors receive it without importing the test module
