@@ -3136,6 +3136,36 @@ def _q_media_metadata(sf_dir: str):
     return out.map_batches(canon, batch_format="pyarrow")
 
 
+def _q_media_dedup_groups(sf_dir: str):
+    """Exact media dedup over the flagship payload store plus a CDN-mirror
+    replica of every 3rd payload (same bytes under a second ref scheme --
+    the standard web-corpus shape: re-hosted logos/figures). Engine hashes
+    payloads map-side and ships only digest+ref (analytics.
+    media_dedup_groups); the oracle replays payload CONTENT symbolically
+    from the md5-deterministic store construction and groups on it."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray import corpus
+    from distributed_system___ocr_ray.sources import wrap
+
+    store = corpus.build_media_store(
+        n_img=wrap.DEFAULT_N_IMG, n_pdf=wrap.DEFAULT_N_PDF, seed=42)
+    refs = store.column("media_ref").to_pylist()
+    payloads = store.column("payload").to_pylist()
+    m_refs, m_payloads = [], []
+    for r, p in zip(refs, payloads):
+        if int(r[-6:]) % 3 == 0:
+            m_refs.append("mirror://" + r[len("mem://"):])
+            m_payloads.append(p)
+    full = pa.table({
+        "media_ref": pa.array(refs + m_refs, pa.string()),
+        "payload": pa.array(payloads + m_payloads, pa.binary()),
+    })
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    return analytics.media_dedup_groups(rd.from_arrow(full))
+
+
 def _q_skyline_orders(sf_dir: str):
     """Pareto frontier of orders on (price higher-better, date later-better).
     Engine: per-batch local skyline (vectorized price-desc sweep) then one
@@ -5842,6 +5872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore_nodes,
         # multimodal
         "media_metadata": _q_media_metadata,
+        "media_dedup_groups": _q_media_dedup_groups,
     }
 
 
@@ -7462,6 +7493,60 @@ def _media_metadata_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
     )
 
 
+def _media_dedup_sql(seed: int = 42, corrupt_frac: float = 0.02) -> str:
+    """Replay of ``analytics.media_dedup_groups`` over the mirrored store:
+    payload CONTENT is replayed symbolically (payloads are md5-arithmetic
+    functions of their tag: GLY1 <-> truth sentence + corrupt flag, MPDF1
+    <-> exact sorted-keys JSON body + corrupt flag -- both corruptions are
+    deterministic, so content-key equality <-> payload-byte equality on
+    this fixture), every i%3==0 payload gains a mirror:// ref, and groups
+    fold to (min ref, ref count)."""
+    from distributed_system___ocr_ray.sources import wrap as _wrap
+
+    n_img, n_pdf = _wrap.DEFAULT_N_IMG, _wrap.DEFAULT_N_PDF
+    th = int(corrupt_frac * 2**64)
+    img_tag = f"'{seed}:img:' || g.i"
+    img_c_tag = img_tag + " || ':c'"
+    pdfj_tag = f"'{seed}:pdf:' || g.i || ':' || gj.j"
+    pdfj_s_tag = pdfj_tag + " || ':s'"
+    pdf_nb_tag = f"'{seed}:pdf:' || g.i || ':nb'"
+    pdf_c_tag = f"'{seed}:pdf:' || p.i || ':c'"
+    return (
+        "WITH imgs AS ("
+        f"SELECT g.i AS i, {_sent_sql(img_tag)} AS content, "
+        f"{_MD5U64.format(v=img_c_tag)} < {th} AS corrupt "
+        f"FROM generate_series(0, {n_img - 1}) g(i)), "
+        "imgk AS (SELECT i, 'img:' || content || "
+        "CASE WHEN corrupt THEN ':C' ELSE '' END AS key FROM imgs), "
+        "imgr AS ("
+        "SELECT printf('mem://img/%06d', i) AS ref, key FROM imgk "
+        "UNION ALL "
+        "SELECT printf('mirror://img/%06d', i), key FROM imgk WHERE i % 3 = 0), "
+        "pdfb AS ("
+        "SELECT g.i AS i, gj.j AS j, "
+        f"CAST(([10,30,230,250,450])[CAST({_MD5U64.format(v=pdfj_tag)} % 5 AS INT) + 1] AS INT) AS x, "
+        f"CAST(40 * gj.j + CAST(({_MD5U64.format(v=pdfj_tag)} // 5) % 21 AS INT) AS INT) AS y, "
+        f"{_sent_sql(pdfj_s_tag)} AS s "
+        f"FROM generate_series(0, {n_pdf - 1}) g(i) "
+        "CROSS JOIN generate_series(0, 3) gj(j) "
+        f"WHERE gj.j <= CAST({_MD5U64.format(v=pdf_nb_tag)} % 4 AS INT)), "
+        "pdfj AS ("
+        "SELECT i, '{\"blocks\": [' || "
+        "string_agg('{\"text\": \"' || s || '\", \"x\": ' || x || ', \"y\": ' || y || '}', "
+        "', ' ORDER BY j) || ']}' AS body FROM pdfb GROUP BY i), "
+        "pdfk AS (SELECT p.i AS i, 'pdf:' || p.body || "
+        f"CASE WHEN {_MD5U64.format(v=pdf_c_tag)} < {th} THEN ':C' ELSE '' END "
+        "AS key FROM pdfj p), "
+        "pdfr AS ("
+        "SELECT printf('mem://pdf/%06d', i) AS ref, key FROM pdfk "
+        "UNION ALL "
+        "SELECT printf('mirror://pdf/%06d', i), key FROM pdfk WHERE i % 3 = 0), "
+        "allr AS (SELECT * FROM imgr UNION ALL SELECT * FROM pdfr) "
+        "SELECT MIN(ref) AS keeper_ref, CAST(COUNT(*) AS BIGINT) AS n_refs "
+        "FROM allr GROUP BY key ORDER BY keeper_ref"
+    )
+
+
 _ANN_TOPK_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
     "ORDER BY vec_id LIMIT 3) "
@@ -8802,6 +8887,7 @@ def oracle_sql() -> dict[str, str]:
             "AS mean_chars_milli FROM allspans GROUP BY kind"
         ),
         "media_metadata": _media_metadata_sql(),
+        "media_dedup_groups": _media_dedup_sql(),
         "render_html": _render_html_sql(),
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "ngram_dup_clusters": _NGRAM_CLUSTERS_SQL,

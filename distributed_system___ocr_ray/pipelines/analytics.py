@@ -137,6 +137,38 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     return out.select_columns(["keeper_doc_id", "n_copies"])
 
 
+def media_dedup_groups(store_ds, ref_col: str = "media_ref",
+                       payload_col: str = "payload"):
+    """Exact MEDIA dedup groups: (keeper ref, ref count) per distinct
+    payload -- the image/PDF-side twin of ``exact_dedup_groups``, the
+    standard first pass over a web corpus's media store (CDN mirrors,
+    re-hosted logos/figures resolve to one stored copy).
+
+    Scale shape: payloads hash MAP-SIDE (md5 at C speed); only the
+    32-char digest + ref cross the shuffle -- a multi-MB image never
+    moves. Group domain = distinct payloads (bounded by store size).
+
+    Returns (keeper_ref, n_refs): keeper = lexicographically smallest
+    ref of each content group."""
+    import hashlib
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = [hashlib.md5(p or b"").hexdigest()
+                  for p in batch.column(payload_col).to_pylist()]
+        return pa.table({"payload_hash": pa.array(hashes),
+                         ref_col: batch.column(ref_col)})
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        store_ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("payload_hash")
+        .aggregate(Min(ref_col, alias_name="keeper_ref"),
+                   Count(alias_name="n_refs"))
+    )
+    return out.select_columns(["keeper_ref", "n_refs"])
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep exactly one row (min id) per distinct content; returns full rows.
     hash-partition + per-group first (groupby moves full rows here -- use

@@ -110,6 +110,32 @@ class TestDedup:
         assert got["keeper_doc_id"].tolist() == exp["keeper_doc_id"].tolist()
         assert got["n_copies"].tolist() == exp["n_copies"].tolist()
 
+    def test_media_dedup_groups_mirrors(self):
+        """Exact payload dedup: a CDN-mirror replica set resolves to one
+        keeper per content group with the mirror counted; distinct
+        payloads stay singletons; the binary never crosses the shuffle
+        (digest + ref only)."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        store = corpus.build_media_store(n_img=30, n_pdf=15, seed=42)
+        refs = store.column("media_ref").to_pylist()
+        payloads = store.column("payload").to_pylist()
+        mirror_refs = ["mirror://" + r[len("mem://"):] for r in refs[:10]]
+        full = pa.table({
+            "media_ref": pa.array(refs + mirror_refs),
+            "payload": pa.array(payloads + payloads[:10], pa.binary()),
+        })
+        got = _pdf(analytics.media_dedup_groups(rd.from_arrow(full)))
+        assert len(got) == 45  # one group per distinct payload
+        by_keeper = dict(zip(got["keeper_ref"], got["n_refs"]))
+        for r in refs[:10]:
+            assert by_keeper[r] == 2  # mem:// sorts before mirror://
+        for r in refs[10:]:
+            assert by_keeper[r] == 1
+
     def test_exact_dedup_rows(self):
         import ray.data as rd
 
