@@ -5503,6 +5503,21 @@ def _q_binary_hamming_topk(sf_dir: str):
     return analytics.binary_hamming_topk(ds, _query_matrix(sf_dir))
 
 
+def _q_sq8_recall_audit(sf_dir: str):
+    """Scalar-quantization (SQ8, FAISS-style per-dim 8-bit grid) recall
+    audit: code-space L2 top-k vs exact milli-int L2 top-k, recall@10 per
+    query -- completes the ANN-compression ladder beside PQ / binary /
+    Matryoshka. Integer end-to-end (milli-int grid, non-negative floor
+    division), so the oracle replays the grid fit, encoding, both
+    rankings and the overlap exactly."""
+    import ray.data as rd
+
+    from distributed_system___ocr_ray.pipelines import analytics
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return analytics.sq8_recall_audit(ds, _query_matrix(sf_dir), k=10)
+
+
 def _q_pq_recall_audit(sf_dir: str):
     """Product-quantization ADC recall@10 vs exact integer L2 per query
     (analytics.pq_recall_audit: md5-elected seeds, one Lloyd step,
@@ -5842,6 +5857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance_topk": _q_embedding_covariance_topk,
         "t_closeness_audit": _q_t_closeness_audit,
         "pq_recall_audit": _q_pq_recall_audit,
+        "sq8_recall_audit": _q_sq8_recall_audit,
         "lang_temperature_plan": _q_lang_temperature_plan,
         "quality_dup_calibration": _q_quality_dup_calibration,
         "watermark_late_counts": _q_watermark_late_counts,
@@ -8735,6 +8751,44 @@ _BINARY_HAMMING_SQL = (
 )
 
 
+def _sq8_sql(k: int = 10, quant: int = 1000, levels: int = 255) -> str:
+    """Replay of ``analytics.sq8_recall_audit``: milli-int embeddings,
+    per-dim (min, span) grid, non-negative integer floor-division codes,
+    squared-L2 rankings in BOTH spaces with (dist, vec_id) ties, and the
+    top-k overlap fold. Queries are the first 3 vectors by vec_id."""
+    return (
+        "WITH mi AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(FLOOR(x * {quant} + 0.5) AS BIGINT)) AS v FROM embeddings), "
+        "ex AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x "
+        "FROM mi), "
+        "dims AS (SELECT d, MIN(x) AS mn, GREATEST(MAX(x) - MIN(x), 1) AS span "
+        "FROM ex GROUP BY d), "
+        "code AS (SELECT e.vec_id, e.d, e.x, "
+        f"(e.x - m.mn) * {levels} // m.span AS c "
+        "FROM ex e JOIN dims m USING (d)), "
+        "q AS (SELECT vec_id AS qid, "
+        "CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS query_id "
+        "FROM embeddings ORDER BY vec_id LIMIT 3), "
+        "dsq AS (SELECT q.query_id, a.vec_id, "
+        "SUM((a.c - b.c) * (a.c - b.c)) AS dist "
+        "FROM code a CROSS JOIN q "
+        "JOIN code b ON b.vec_id = q.qid AND b.d = a.d GROUP BY 1, 2), "
+        "dex AS (SELECT q.query_id, a.vec_id, "
+        "SUM((a.x - b.x) * (a.x - b.x)) AS dist "
+        "FROM code a CROSS JOIN q "
+        "JOIN code b ON b.vec_id = q.qid AND b.d = a.d GROUP BY 1, 2), "
+        "tsq AS (SELECT query_id, vec_id FROM dsq "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {k}), "
+        "tex AS (SELECT query_id, vec_id FROM dex "
+        f"QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) <= {k}) "
+        "SELECT t.query_id AS query_id, "
+        "CAST(COUNT(x.vec_id) AS BIGINT) AS n_overlap, "
+        f"CAST(COUNT(x.vec_id) * 1000000 // {k} AS BIGINT) AS recall_ppm "
+        "FROM tsq t LEFT JOIN tex x USING (query_id, vec_id) "
+        "GROUP BY 1 ORDER BY 1"
+    )
+
+
 def _pq_sql(n_sub: int = 8, n_codes: int = 16, k: int = 10,
             quant: int = 1000, dim: int = 64) -> str:
     """Replay of analytics.pq_recall_audit, step for step: milli-int
@@ -10799,6 +10853,7 @@ def oracle_sql() -> dict[str, str]:
             "AS at_risk FROM emd"
         ),
         "pq_recall_audit": _pq_sql(),
+        "sq8_recall_audit": _sq8_sql(),
         "embedding_outliers_topk": (
             # replay of analytics.embedding_outliers_topk: milli-int
             # quantization, floor-div per-label centroids, exact integer

@@ -11475,6 +11475,97 @@ def t_closeness_audit(ds, qi_col: str = "event_type", value_col: str = "value",
     return out.sort_values("qi").reset_index(drop=True)
 
 
+def sq8_recall_audit(ds, queries: "np.ndarray", k: int = 10,
+                     quant: int = 1000, levels: int = 255,
+                     id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Scalar-quantization (SQ8) recall audit -- the remaining rung of the
+    ANN-compression ladder (PQ codes / binary sign bits / Matryoshka
+    truncation / THIS: per-dimension 8-bit linear quantization, FAISS
+    ``SQ8``). recall@k of code-space L2 ranking vs exact L2 ranking.
+
+    Integer-exact, SQL-replayable: embeddings quantize to milli ints
+    (floor(x*1000+0.5), the house convention); per-dim (min, max) over
+    those ints define the grid; code = (v - mn) * levels // max(mx - mn,
+    1) -- non-negative integer floor division, identical in numpy and
+    DuckDB. Both rankings are squared-L2 sums of int64 differences, ties
+    to the smaller id.
+
+    Scale shape: pass A folds per-batch per-dim (min, max) partials (2d
+    ints per block regardless of rows); pass B quantizes per batch
+    against the broadcast grid + query codes and emits per-batch top-k
+    partials for BOTH rankings -- the driver merges k x 2 x |queries| x
+    blocks bounded rows; no row-domain shuffle anywhere.
+
+    Returns (query_id, n_overlap, recall_ppm) ordered by query_id."""
+    import ray
+
+    def _mat(col) -> np.ndarray:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(col)
+        V = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.floor(V * quant + 0.5).astype(np.int64).reshape(n, -1)
+
+    Qm = np.floor(np.asarray(queries, np.float64) * quant + 0.5).astype(np.int64)
+
+    # ---- pass A: per-dim (min, max) partials, bounded driver fold
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        V = _mat(batch.column(emb_col))
+        return pa.table({
+            "mn": pa.array([V.min(axis=0).tolist()], pa.list_(pa.int64())),
+            "mx": pa.array([V.max(axis=0).tolist()], pa.list_(pa.int64())),
+        })
+
+    mm = ds.map_batches(minmax_partial, batch_format="pyarrow").to_pandas()
+    mn = np.min(np.stack(mm["mn"].to_numpy()), axis=0)
+    mx = np.max(np.stack(mm["mx"].to_numpy()), axis=0)
+    span = np.maximum(mx - mn, 1)
+    qcodes = np.clip((Qm - mn), 0, None) * levels // span
+    qcodes = np.minimum(qcodes, levels)  # queries may exceed corpus max
+    grid = ray.put((mn, span, qcodes, Qm))
+
+    # ---- pass B: encode + both rankings, per-batch top-k partials
+    class TopKPartial:
+        def __init__(self) -> None:
+            self.mn, self.span, self.qcodes, self.qm = ray.get(grid)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            V = _mat(batch.column(emb_col))
+            codes = (V - self.mn) * levels // self.span
+            out_q, out_id, out_kind, out_d = [], [], [], []
+            for qi in range(len(self.qm)):
+                for kind, a, b in (("sq", codes, self.qcodes[qi]),
+                                   ("exact", V, self.qm[qi])):
+                    dist = ((a - b) ** 2).sum(axis=1)
+                    order = np.lexsort((ids, dist))[:k]
+                    out_q.extend([qi] * len(order))
+                    out_id.extend(ids[order].tolist())
+                    out_kind.extend([kind] * len(order))
+                    out_d.extend(dist[order].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, pa.int64()),
+                "kind": pa.array(out_kind, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+            })
+
+    parts = ds.map_batches(TopKPartial, batch_format="pyarrow",
+                           concurrency=(1, 4)).to_pandas()
+    rows = []
+    for qi in range(len(Qm)):
+        sel = parts[parts["query_id"] == qi]
+        tops = {}
+        for kind in ("sq", "exact"):
+            g = sel[sel["kind"] == kind].sort_values(["dist", id_col])
+            tops[kind] = set(g[id_col].head(k).astype(np.int64))
+        n_overlap = len(tops["sq"] & tops["exact"])
+        rows.append((qi, n_overlap, n_overlap * 1_000_000 // k))
+    out = pd.DataFrame(rows, columns=["query_id", "n_overlap", "recall_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def pq_recall_audit(ds, queries: "np.ndarray", n_sub: int = 8,
                     n_codes: int = 16, k: int = 10, quant: int = 1000,
                     id_col: str = "vec_id", emb_col: str = "embedding"):

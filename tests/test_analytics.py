@@ -8765,6 +8765,59 @@ class TestPQRecallAudit:
         assert one.equals(many)
 
 
+@pytest.mark.usefixtures("ray_session")
+class TestSq8RecallAudit:
+    def _tbl(self, n=120, d=16, mod=17):
+        vecs = [[(((i * 13 + j * 5) % mod) - mod // 2) / float(mod // 2)
+                 for j in range(d)] for i in range(n)]
+        return pa.table({
+            "vec_id": pa.array(list(range(n)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }), vecs
+
+    def test_self_query_and_bounds(self):
+        """A SELF-query's nearest neighbor (itself: distance 0 in both
+        code and exact space) is always recalled, so overlap >= 1; ppm
+        arithmetic is the house floor-div."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl, vecs = self._tbl()
+        q = np.asarray(vecs[:3], np.float64)
+        got = analytics.sq8_recall_audit(rd.from_arrow(tbl), q, k=5)
+        assert list(got["query_id"]) == [0, 1, 2]
+        assert ((got["n_overlap"] >= 1) & (got["n_overlap"] <= 5)).all()
+        assert (got["recall_ppm"] == got["n_overlap"] * 1_000_000 // 5).all()
+
+    def test_partition_invariance(self):
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl, vecs = self._tbl(n=90, mod=23)
+        q = np.asarray(vecs[:2], np.float64)
+        one = analytics.sq8_recall_audit(rd.from_arrow(tbl), q, k=5)
+        many = analytics.sq8_recall_audit(
+            rd.from_arrow(tbl).repartition(7), q, k=5)
+        assert one.equals(many)
+
+    def test_coarse_grid_degrades_recall(self):
+        """At levels=1 codes collapse to {0, 1} per dim: code-space
+        ranking loses most ordering information, so recall cannot exceed
+        the fine-grid recall -- the audit detects quantization damage."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        tbl, vecs = self._tbl()
+        q = np.asarray(vecs[10:11], np.float64)
+        fine = analytics.sq8_recall_audit(rd.from_arrow(tbl), q, k=5)
+        coarse = analytics.sq8_recall_audit(rd.from_arrow(tbl), q, k=5,
+                                            levels=1)
+        assert int(coarse["n_overlap"].iloc[0]) <= int(fine["n_overlap"].iloc[0])
+
+
 class TestLangTemperaturePlan:
     def test_sqrt_weights_hand_checked(self):
         import ray.data as rd
