@@ -144,6 +144,31 @@ def cmd_publish(args) -> int:
     return 0
 
 
+def cmd_invalidate(args) -> int:
+    """Selectively invalidate committed partitions so the NEXT (resumed)
+    run reprocesses only them -- the operational tool for 'an extractor
+    bug affected fragments 17 and 23; re-extract those, keep the other
+    199,998 committed partitions'. Prints what was retired; pair with
+    ``extract --dry-run`` to see the resulting pending set before paying
+    for cluster time."""
+    from .state.checkpoint import CheckpointManifest
+
+    man = CheckpointManifest(args.output)
+    committed = man.committed()
+    parts = sorted({int(p) for p in args.parts.split(",") if p.strip() != ""})
+    missing = [p for p in parts if p not in committed]
+    if missing and not args.force:
+        print(f"partitions not committed: {missing} (use --force to ignore)",
+              file=sys.stderr)
+        return 2
+    retired = [p for p in parts if p in committed]
+    for p in retired:
+        man.retire(p)
+    print(json.dumps({"retired": retired, "still_committed":
+                      len(committed) - len(retired)}))
+    return 0
+
+
 def cmd_render(args) -> int:
     _ray_session(args.num_cpus)
     import ray
@@ -274,6 +299,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="after publishing, keep only the newest N manifest "
                           "versions and reclaim fragments only they reference")
     pub.set_defaults(fn=cmd_publish)
+
+    inv = sub.add_parser(
+        "invalidate",
+        help="retire selected committed partitions; the next resumed run "
+             "reprocesses ONLY them")
+    inv.add_argument("--output", required=True)
+    inv.add_argument("--parts", required=True,
+                     help="comma-separated partition ids, e.g. 17,23")
+    inv.add_argument("--force", action="store_true",
+                     help="ignore ids that are not committed")
+    inv.set_defaults(fn=cmd_invalidate)
 
     r = sub.add_parser("render", help="render committed output to one HTML file")
     r.add_argument("--input", required=True, help="extraction output dir")

@@ -88,6 +88,53 @@ class TestDryRun:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestInvalidate:
+    def test_invalidate_then_resume_reprocesses_only_those(self, tmp_path, capsys):
+        """The selective-reprocess loop: run -> invalidate 1 of 3
+        partitions -> dry-run shows exactly it pending -> resume
+        reprocesses it alone and the output is whole again."""
+        import json as _json
+
+        from distributed_system___ocr_ray import corpus
+        from distributed_system___ocr_ray.__main__ import main
+        from distributed_system___ocr_ray.pipelines.sharded import (
+            run_extraction_sharded,
+        )
+        from distributed_system___ocr_ray.sources import lance_like
+
+        corpus.write_corpus(str(tmp_path), n_docs=12, rows_per_fragment=4)
+        docs = str(tmp_path / "documents")
+        store = lance_like.read_arrow(str(tmp_path / "media_store"))
+        out = str(tmp_path / "out")
+        run_extraction_sharded(docs, store, out, concurrency=2)
+
+        rc = main(["invalidate", "--output", out, "--parts", "1"])
+        assert rc == 0
+        rep = _json.loads(capsys.readouterr().out.strip())
+        assert rep == {"retired": [1], "still_committed": 2}
+
+        plan = run_extraction_sharded(docs, store, out, dry_run=True)
+        assert plan["partitions_pending"] == 1
+        m = run_extraction_sharded(docs, store, out, concurrency=2)
+        assert m["partitions_run"] == 1
+        assert m["partitions_skipped_prior"] == 2
+        assert m["docs_out"] == 12
+
+    def test_invalidate_unknown_part_refuses_without_force(self, tmp_path, capsys):
+        from distributed_system___ocr_ray.__main__ import main
+        from distributed_system___ocr_ray.state.checkpoint import (
+            CheckpointManifest,
+        )
+
+        out = str(tmp_path / "out")
+        CheckpointManifest(out).ensure()
+        assert main(["invalidate", "--output", out, "--parts", "5"]) == 2
+        capsys.readouterr()
+        assert main(["invalidate", "--output", out, "--parts", "5",
+                     "--force"]) == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestDryRunAfterRealRun:
     def test_resume_plan_shows_zero_pending(self, tmp_path):
         """After a completed run, the dry-run resume plan prunes every
