@@ -320,3 +320,45 @@ class TestAucHistogramProperty:
         cumlt = np.concatenate([[0], np.cumsum(nnc)[:-1]])
         u2_hist = int(np.sum(npc * (2 * cumlt + nnc)))
         assert u2_hist == u2_brute
+
+
+class TestPngRoundtripProperty:
+    @given(
+        st.integers(1, 12), st.integers(1, 12),
+        st.sampled_from([1, 3, 4]), st.integers(0, 2**32 - 1),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_encode_decode_identity(self, h, w, ch, seed):
+        """The vendored PNG codec is the identity on ANY 8-bit image
+        (gray/RGB/RGBA, arbitrary small shapes, arbitrary content) --
+        hypothesis-hardened beyond the three fixed-shape roundtrips."""
+        from distributed_system___ocr_ray.functions import png
+
+        rng = np.random.RandomState(seed % 2**31)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        back = png.decode(png.encode(img))
+        assert back.shape == img.shape and (back == img).all()
+        assert png.dims(png.encode(img)) == (h, w)
+
+
+class TestSq8GridParity:
+    @given(st.lists(st.tuples(st.integers(-10**6, 10**6),
+                              st.integers(-10**6, 10**6),
+                              st.integers(1, 10**6)),
+                    min_size=1, max_size=60))
+    @settings(max_examples=100, deadline=None)
+    def test_floor_div_code_matches_duckdb(self, rows):
+        """sq8_recall_audit's load-bearing arithmetic assumption: the
+        non-negative integer floor division (v - mn) * 255 // span is
+        IDENTICAL in numpy int64 and DuckDB BIGINT for any v >= mn."""
+        import duckdb
+
+        con = duckdb.connect()
+        for v, mn, span in rows:
+            v, mn = max(v, mn), min(v, mn)  # enforce v >= mn
+            py = int((np.int64(v) - np.int64(mn)) * np.int64(255) // np.int64(span))
+            sql = con.execute(
+                "SELECT (CAST(? AS BIGINT) - CAST(? AS BIGINT)) * 255 "
+                "// CAST(? AS BIGINT)", [v, mn, span]).fetchone()[0]
+            assert py == int(sql), (v, mn, span)
