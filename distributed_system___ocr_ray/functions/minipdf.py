@@ -39,11 +39,19 @@ def decode_blocks(payload: bytes) -> list[dict]:
     try:
         doc = json.loads(payload[len(MAGIC) :].decode("utf-8"))
         blocks = doc["blocks"]
-    except (ValueError, KeyError, UnicodeDecodeError) as exc:
+    # TypeError: valid JSON whose top level is not an object (doc["blocks"]
+    # on a list/int) -- must surface as PdfParseError, not crash the batch
+    # (the PNG struct/zlib normalization's sibling, ADVICE r4 class)
+    except (ValueError, KeyError, UnicodeDecodeError, TypeError) as exc:
         raise PdfParseError(f"malformed body: {exc}") from exc
+    if not isinstance(blocks, list):
+        raise PdfParseError("blocks is not a list")
     for b in blocks:
-        if not isinstance(b.get("text"), str):
+        if not isinstance(b, dict) or not isinstance(b.get("text"), str):
             raise PdfParseError("block missing text")
+        for coord in ("x", "y"):
+            if not isinstance(b.get(coord, 0), (int, float)):
+                raise PdfParseError(f"non-numeric {coord}")
     return blocks
 
 

@@ -52,6 +52,28 @@ class TestMiniPdf:
         with pytest.raises(minipdf.PdfParseError):
             minipdf.reading_order_text(b"not a pdf")
 
+    def test_valid_json_wrong_shape_is_parse_error(self):
+        """Valid JSON that is not the block schema must surface as
+        PdfParseError (not TypeError/AttributeError crashing a batch --
+        the PNG struct/zlib normalization's sibling, ADVICE r4 class)."""
+        for body in (b"[1, 2]", b'"str"', b"7",
+                     b'{"blocks": 3}', b'{"blocks": [1]}',
+                     b'{"blocks": [{"text": 5}]}',
+                     b'{"blocks": [{"text": "t", "x": "abc"}]}'):
+            with pytest.raises(minipdf.PdfParseError):
+                minipdf.reading_order_text(minipdf.MAGIC + body)
+
+    def test_wrong_shape_payloads_survive_media_metadata(self):
+        from distributed_system___ocr_ray.stages.multimodal import MediaMetadata
+        import pyarrow as pa
+
+        payloads = [minipdf.MAGIC + b"[1, 2]",
+                    minipdf.MAGIC + b'{"blocks": [{"text": "t", "x": "z"}]}']
+        batch = pa.table({"media_ref": ["a", "b"],
+                          "payload": pa.array(payloads, pa.binary())})
+        out = MediaMetadata()(batch)
+        assert out.column("media_kind").to_pylist() == ["unknown", "unknown"]
+
 
 class TestHtmlStrip:
     def test_plain_text_identity(self):
