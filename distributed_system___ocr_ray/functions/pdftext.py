@@ -147,6 +147,20 @@ def _text(b: bytes) -> str:
 
 
 def extract_blocks(data: bytes) -> list[dict]:
+    """See ``_extract_blocks``; ANY failure inside the tokenizer or the
+    operator interpreter on untrusted bytes (e.g. a name token reaching
+    Td's arithmetic as a positioning operand -> TypeError) is normalized
+    to PdfTextError so stage handlers' errors-as-data contract holds
+    (the PNG struct/zlib normalization's sibling, ADVICE r4 class)."""
+    try:
+        return _extract_blocks(data)
+    except PdfTextError:
+        raise
+    except Exception as exc:
+        raise PdfTextError(f"malformed content stream: {exc}") from exc
+
+
+def _extract_blocks(data: bytes) -> list[dict]:
     """PDF bytes -> positioned text runs: [{x, y, text}] in STREAM order.
 
     Interprets BT/ET text objects with Td/TD/T*/Tm positioning; each

@@ -63,6 +63,19 @@ class TestMiniPdf:
             with pytest.raises(minipdf.PdfParseError):
                 minipdf.reading_order_text(minipdf.MAGIC + body)
 
+    def test_pdftext_operand_type_confusion_is_pdftexterror(self):
+        """A %PDF content stream whose positioning operator receives a
+        NAME token (not a number) must raise PdfTextError, not TypeError
+        -- the normalization that keeps a hostile PDF from crashing an
+        extraction batch."""
+        from distributed_system___ocr_ray.functions import pdftext
+
+        content = b"BT /A 1 Td (hi) Tj ET"
+        data = (pdftext.MAGIC + b"\n1 0 obj << /Length 9 >>\nstream\n"
+                + content + b"\nendstream\n")
+        with pytest.raises(pdftext.PdfTextError):
+            pdftext.extract_text(data)
+
     def test_wrong_shape_payloads_survive_media_metadata(self):
         from distributed_system___ocr_ray.stages.multimodal import MediaMetadata
         import pyarrow as pa
