@@ -362,3 +362,58 @@ class TestSq8GridParity:
                 "SELECT (CAST(? AS BIGINT) - CAST(? AS BIGINT)) * 255 "
                 "// CAST(? AS BIGINT)", [v, mn, span]).fetchone()[0]
             assert py == int(sql), (v, mn, span)
+
+
+class TestMediaStageFuzz:
+    """Catch-all for the ADVICE-r4 bug class: NO payload bytes -- however
+    malformed, with any magic prefix forcing the deep parse paths -- may
+    escape a media stage as a raised batch. (Three escapes were found and
+    fixed individually: PNG struct/zlib, mini-PDF shape confusion, pdftext
+    operand confusion; this property guards the whole surface.)"""
+
+    _magics = st.sampled_from([
+        b"", b"\x89PNG\r\n\x1a\n", b"GLY1", b"MPDF1", b"%PDF-",
+        b"RIFF\x00\x00\x00\x00WAVE",
+    ])
+
+    @given(_magics, st.binary(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_no_exception_escapes_the_stages(self, magic, tail):
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.stages.multimodal import (
+            FrameSampler, ImageResize, MediaMetadata,
+        )
+
+        payload = magic + tail
+        batch = pa.table({"media_ref": ["f"],
+                          "payload": pa.array([payload], pa.binary())})
+        meta = MediaMetadata()(batch)
+        assert meta.num_rows == 1
+        ImageResize(fake=True)(batch)
+        FrameSampler(n_frames=2, fake=True)(batch)
+
+    @given(_magics, st.binary(max_size=400))
+    @settings(max_examples=200, deadline=None)
+    def test_extractors_emit_sentinels_not_raises(self, magic, tail):
+        """The fused dispatch on image/pdf spans over the same payloads:
+        one row out per row in, status in the documented set."""
+        import pyarrow as pa
+
+        from distributed_system___ocr_ray.stages.extractors import (
+            ExtractDispatch,
+        )
+
+        payload = magic + tail
+        batch = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "part": pa.array([0, 0], pa.int32()),
+            "kind": pa.array(["image", "pdf"]),
+            "text": pa.array(["", ""]),
+            "media_ref": pa.array(["m", "m"]),
+            "offset": pa.array([0, 1], pa.int32()),
+        })
+        out = ExtractDispatch({"m": payload})(batch)
+        assert out.num_rows == 2
+        assert set(out.column("status").to_pylist()) <= {
+            "ok", "ocr_error", "parse_error", "download_error"}
