@@ -244,7 +244,9 @@ class _Extractors:
         return payload
 
     def text(self, text: str) -> tuple[str, str]:
-        return strip_boilerplate(text), STATUS_OK
+        # null text coalesces to empty (a user table may carry NULL span
+        # text; SQL-engine semantics, never a raised batch)
+        return strip_boilerplate(text or ""), STATUS_OK
 
     def _memo_put(self, ref: str, res: tuple[str, str]) -> tuple[str, str]:
         cost = len(res[0]) + len(ref) + 64
@@ -354,7 +356,7 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
     """Stateless text-branch transform (SURVEY.md T3): pure function of the
     bytes, runs as Ray tasks -- no actor state needed."""
     texts = batch.column("text").to_pylist()
-    out = [strip_boilerplate(t) for t in texts]
+    out = [strip_boilerplate(t or "") for t in texts]
     cols = {name: batch.column(name) for name in batch.column_names if name != "text"}
     cols["out_text"] = pa.array(out, pa.string())
     cols["status"] = pa.array([STATUS_OK] * len(out), pa.string())

@@ -144,6 +144,27 @@ class TestMediaFetcher:
         assert out.column("status").to_pylist() == [STATUS_DOWNLOAD_ERROR]
 
 
+class TestNullTextSpan:
+    def test_null_text_coalesces_to_empty_ok(self):
+        """A NULL text span (legal in a user table) must extract as empty
+        text with ok status on BOTH text paths, never a raised batch."""
+        from distributed_system___ocr_ray.stages.extractors import (
+            ExtractDispatch, extract_text_batch,
+        )
+
+        batch = pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "part": pa.array([0], pa.int32()),
+            "kind": pa.array(["text"]),
+            "text": pa.array([None], pa.string()),
+            "media_ref": pa.array([""]),
+            "offset": pa.array([0], pa.int32()),
+        })
+        for out in (ExtractDispatch({})(batch), extract_text_batch(batch)):
+            assert out.column("out_text").to_pylist() == [""]
+            assert out.column("status").to_pylist() == [STATUS_OK]
+
+
 class TestHttpFetcher:
     """The stdlib urllib fetcher against an IN-PROCESS localhost server --
     the same code path a URL-addressed deployment runs, no external
