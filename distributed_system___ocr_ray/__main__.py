@@ -50,17 +50,22 @@ def cmd_extract(args) -> int:
         # plan-only validation (ray job submit packaging): no Ray session,
         # no output-directory mutation -- reads manifests, prunes committed
         # partitions, prints the plan it WOULD execute
-        if args.plan != "sharded":
-            print("--dry-run supports --plan sharded (the flagship)",
-                  file=sys.stderr)
-            return 2
-        from .pipelines.sharded import run_extraction_sharded
+        if args.plan == "sharded":
+            from .pipelines.sharded import run_extraction_sharded
 
-        plan = run_extraction_sharded(
-            args.input, args.media, args.output,
-            resume=not args.no_resume, batch_size=args.batch_size,
-            dry_run=True,
-        )
+            plan = run_extraction_sharded(
+                args.input, args.media, args.output,
+                resume=not args.no_resume, batch_size=args.batch_size,
+                dry_run=True,
+            )
+        else:
+            from .pipelines.extract import run_extraction
+
+            plan = run_extraction(
+                args.input, args.media, args.output,
+                num_partitions=args.partitions, resume=not args.no_resume,
+                batch_size=args.batch_size, dry_run=True,
+            )
         print(json.dumps(plan))
         return 0
     _ray_session(args.num_cpus)

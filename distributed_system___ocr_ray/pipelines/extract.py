@@ -238,11 +238,16 @@ def run_extraction(
     coalesce_blocks: int | None = 64,
     fetcher=None,
     ocr_backend="auto",
+    dry_run: bool = False,
 ) -> dict:
     """Checkpointed run: extract -> reassemble -> atomic per-partition commit.
 
     Returns the lineage summary. On resume, committed partitions are pruned
     at the explode stage, before any extraction compute is spent on them.
+    ``dry_run=True`` builds and returns the plan summary (job identity,
+    committed vs pending partition counts) without a Ray session or any
+    output-directory mutation -- the shuffle-plan twin of
+    ``run_extraction_sharded(dry_run=True)``.
     """
     from ..stages.extractors import _hook_identity
     from ..state.checkpoint import CheckpointManifest, CommittingReassembler
@@ -252,6 +257,18 @@ def run_extraction(
         from ..corpus import media_dict
 
         media = media_dict(media)
+    if dry_run:
+        committed = sorted(manifest.committed()) if resume else []
+        return {
+            "dry_run": True,
+            "plan": "shuffle",
+            "num_partitions": int(num_partitions),
+            "docs": docs_fingerprint(docs),
+            "media": media_fingerprint(media),
+            "hooks": _hook_identity(fetcher, ocr_backend),
+            "partitions_pending": int(num_partitions) - len(committed),
+            "partitions_skipped_prior": len(committed),
+        }
     # refuse to resume under different partitioning/plan (committed part ids
     # were assigned by hash%P -- pruning by a different P drops documents),
     # a different media store (silent mixed-extraction output otherwise),

@@ -78,13 +78,25 @@ class TestDryRun:
         # nothing written: neither checkpoint dir nor job entry exist
         assert not os.path.exists(out)
 
-    def test_dry_run_rejects_shuffle_plan(self, corpus_dirs, capsys):
+    def test_dry_run_shuffle_plan(self, corpus_dirs, capsys):
+        """The shuffle plan dry-runs too: hash%P identity + committed
+        pruning, no Ray session."""
+        import ray
+
         from distributed_system___ocr_ray.__main__ import main
 
         docs, media, out = corpus_dirs
+        was_init = ray.is_initialized()
         rc = main(["extract", "--input", docs, "--media", media,
-                   "--output", out, "--dry-run", "--plan", "shuffle"])
-        assert rc == 2
+                   "--output", out, "--dry-run", "--plan", "shuffle",
+                   "--partitions", "8"])
+        assert rc == 0
+        assert ray.is_initialized() == was_init
+        plan = json.loads(capsys.readouterr().out.strip())
+        assert plan["plan"] == "shuffle" and plan["num_partitions"] == 8
+        assert plan["partitions_pending"] == 8
+        assert plan["partitions_skipped_prior"] == 0
+        assert not os.path.exists(out)
 
 
 @pytest.mark.usefixtures("ray_session")
