@@ -77,6 +77,29 @@ def _q_extract_interleaved(sf_dir: str):
     return out.map_batches(encode, batch_format="pyarrow")
 
 
+def _q_extract_salted(sf_dir: str):
+    """Flagship extraction through the SALTED two-level reassembly
+    (stages/reassemble.reassemble_salted -- the skew path for
+    pathological span-count documents, north rule "salted keys"): byte-
+    identical output contract vs the plain reassembly, so the SAME exact
+    interleaved SQL oracle certifies it (previously pytest-equality only;
+    the skew drill's full-scale numbers live in SKEW_DRILL.json)."""
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+    from distributed_system___ocr_ray.stages.reassemble import reassemble_salted
+
+    ds, store = wrap.interleaved_from_documents(sf_dir)
+    out = reassemble_salted(
+        pipeline.extracted_dataset(ds, store, num_partitions=32), num_salts=4)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        return _encode_spans_column(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        )
+
+    return out.map_batches(encode, batch_format="pyarrow")
+
+
 def _q_extract_flat_identity(sf_dir: str):
     """Full explode->extract->reassemble over flat-wrapped docs; on plain text
     extraction is the identity, so DuckDB can check the whole round trip."""
@@ -5567,6 +5590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # extraction engine (flagship + SQL-checkable shadows)
         "extract_interleaved": _q_extract_interleaved,
+        "extract_salted": _q_extract_salted,
         "extract_flat_identity": _q_extract_flat_identity,
         "span_kind_counts": _q_span_kind_counts,
         "extract_status_counts": _q_extract_status_counts,
@@ -8904,6 +8928,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_interleaved": _interleaved_sql(),
+        # byte-identical output contract: the salted skew path answers to
+        # the SAME exact oracle as the plain reassembly
+        "extract_salted": _interleaved_sql(),
         # the sharded zero-shuffle plan must produce the SAME closed-form
         # span table as the shuffle plan
         "extract_sharded": _interleaved_sql(),
