@@ -417,3 +417,30 @@ class TestMediaStageFuzz:
         assert out.num_rows == 2
         assert set(out.column("status").to_pylist()) <= {
             "ok", "ocr_error", "parse_error", "download_error"}
+
+
+class TestHtmlStripFuzz:
+    @given(_texts)
+    @settings(max_examples=300, deadline=None)
+    def test_never_raises_returns_str(self, text):
+        """strip_boilerplate is total on arbitrary text (tag soup,
+        unterminated tags, control chars): always a str, never a raise --
+        the text-path side of the media-stage fuzz guarantee."""
+        from distributed_system___ocr_ray.functions.html_strip import (
+            strip_boilerplate,
+        )
+
+        out = strip_boilerplate(text)
+        assert isinstance(out, str)
+
+    @given(st.lists(st.sampled_from(
+        ["<div>", "</div>", "<a href='x'>", "</a>", "<p>", "</p>",
+         "<script>", "</script>", "word", "text block here", " ", "\n"]),
+        max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_tag_soup_never_raises(self, parts):
+        from distributed_system___ocr_ray.functions.html_strip import (
+            strip_boilerplate,
+        )
+
+        assert isinstance(strip_boilerplate("".join(parts)), str)
