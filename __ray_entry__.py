@@ -3159,6 +3159,23 @@ def _q_media_metadata(sf_dir: str):
     return out.map_batches(canon, batch_format="pyarrow")
 
 
+def _q_dangling_ref_audit(sf_dir: str):
+    """Pre-run media-ref integrity audit over the interleaved corpus: a
+    broadcast anti-join of every image/pdf span ref against the store's
+    ref set, per-kind totals + distinct counts (analytics.
+    dangling_ref_audit). The wrap's ~5% broken-ref plan is doc_id
+    arithmetic, so the oracle replays exactly which refs dangle from
+    documents.parquet alone."""
+    from distributed_system___ocr_ray.pipelines import analytics
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, store = wrap.interleaved_from_documents(sf_dir)
+    exploded = pipeline.exploded_dataset(ds, num_partitions=32)
+    return analytics.dangling_ref_audit(
+        exploded, store.column("media_ref").to_pylist())
+
+
 def _q_media_dedup_groups(sf_dir: str):
     """Exact media dedup over the flagship payload store plus a CDN-mirror
     replica of every 3rd payload (same bytes under a second ref scheme --
@@ -5913,6 +5930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal
         "media_metadata": _q_media_metadata,
         "media_dedup_groups": _q_media_dedup_groups,
+        "dangling_ref_audit": _q_dangling_ref_audit,
     }
 
 
@@ -8969,6 +8987,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_metadata": _media_metadata_sql(),
         "media_dedup_groups": _media_dedup_sql(),
+        "dangling_ref_audit": (
+            # replay of the wrap's ref plan (sources/wrap.py:76-93): image
+            # span k=0 for every doc + k=1 for odd docs, broken iff
+            # (i+k)%20==0; pdf span for even docs, broken iff i%40==10;
+            # non-broken refs always resolve (modulo the full store range)
+            "WITH img AS ("
+            "SELECT doc_id AS i, 0 AS k FROM documents "
+            "UNION ALL SELECT doc_id, 1 FROM documents WHERE doc_id % 2 = 1), "
+            "imgr AS (SELECT CASE WHEN (i + k) % 20 = 0 "
+            "THEN printf('mem://img/missing-%06d', i) "
+            "ELSE printf('mem://img/%06d', (i * 7 + k * 3) % 500) END AS ref, "
+            "(i + k) % 20 = 0 AS dangling, 'image' AS kind FROM img), "
+            "pdfr AS (SELECT CASE WHEN doc_id % 40 = 10 "
+            "THEN printf('mem://pdf/missing-%06d', doc_id) "
+            "ELSE printf('mem://pdf/%06d', (doc_id * 11) % 250) END AS ref, "
+            "doc_id % 40 = 10 AS dangling, 'pdf' AS kind FROM documents "
+            "WHERE doc_id % 2 = 0), "
+            "allr AS (SELECT * FROM imgr UNION ALL SELECT * FROM pdfr) "
+            "SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_refs, "
+            "CAST(COUNT(DISTINCT ref) AS BIGINT) AS n_distinct_refs, "
+            "CAST(SUM(CASE WHEN dangling THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dangling, "
+            "CAST(COUNT(DISTINCT CASE WHEN dangling THEN ref END) AS BIGINT) "
+            "AS n_dangling_distinct "
+            "FROM allr GROUP BY kind ORDER BY kind"
+        ),
         "render_html": _render_html_sql(),
         "ngram_jaccard_pairs": _NGRAM_PAIRS_SQL,
         "ngram_dup_clusters": _NGRAM_CLUSTERS_SQL,

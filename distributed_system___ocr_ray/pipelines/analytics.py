@@ -169,6 +169,77 @@ def media_dedup_groups(store_ds, ref_col: str = "media_ref",
     return out.select_columns(["keeper_ref", "n_refs"])
 
 
+def dangling_ref_audit(exploded_ds, store_refs):
+    """Pre-run media-ref integrity audit: which span references will MISS
+    the media store (and become download-error sentinels) before any
+    extraction compute is spent -- the reference's urlCounters bookkeeping
+    (Manager.java:50,216) turned into a data-quality gate.
+
+    ``store_refs``: iterable/set of resolvable refs (or an ObjectRef to
+    one). The store's REF SET is the broadcast small side (refs only --
+    bytes per entry, never payloads); span refs test membership map-side,
+    then ONE grouped exchange on (kind, media_ref, dangling) dedups the
+    ref domain and a tiny per-kind final folds 2-3 rows.
+
+    Returns per media kind: (kind, n_refs, n_distinct_refs, n_dangling,
+    n_dangling_distinct), kind ascending."""
+    import ray
+
+    from .relational import tiny_final_groupby
+
+    handle = store_refs if isinstance(store_refs, ray.ObjectRef) else ray.put(
+        frozenset(store_refs))
+
+    class Flag:
+        def __init__(self) -> None:
+            self.refs = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.equal(batch.column("kind"), "text"))
+            kinds = batch.column("kind").filter(mask)
+            refs = batch.column("media_ref").filter(mask)
+            dang = [r not in self.refs for r in refs.to_pylist()]
+            return pa.table({
+                "kind": kinds, "media_ref": refs,
+                "dangling": pa.array(dang, pa.bool_()),
+                "n": pa.array([1] * len(dang), pa.int64()),
+            })
+
+    from ray.data.aggregate import Sum
+
+    per_ref = (
+        exploded_ds.map_batches(Flag, batch_format="pyarrow",
+                                concurrency=(1, 4))
+        .groupby(["kind", "media_ref", "dangling"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_kind_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("kind", as_index=False).apply(
+            lambda d: pd.Series({
+                "n_refs": d["n"].sum(),
+                "n_distinct_refs": len(d),
+                "n_dangling": d.loc[d["dangling"], "n"].sum(),
+                "n_dangling_distinct": int(d["dangling"].sum()),
+            }), include_groups=False)
+        return g
+
+    out = tiny_final_groupby(
+        per_ref.map_batches(per_kind_partial, batch_format="pandas"),
+        ["kind"],
+        [("n_refs", "sum"), ("n_distinct_refs", "sum"),
+         ("n_dangling", "sum"), ("n_dangling_distinct", "sum")],
+        ["kind", "n_refs", "n_distinct_refs", "n_dangling",
+         "n_dangling_distinct"],
+    )
+    df = out.to_pandas().sort_values("kind").reset_index(drop=True)
+    for c in df.columns[1:]:
+        df[c] = df[c].astype(np.int64)
+    return df
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep exactly one row (min id) per distinct content; returns full rows.
     hash-partition + per-group first (groupby moves full rows here -- use

@@ -110,6 +110,26 @@ class TestDedup:
         assert got["keeper_doc_id"].tolist() == exp["keeper_doc_id"].tolist()
         assert got["n_copies"].tolist() == exp["n_copies"].tolist()
 
+    def test_dangling_ref_audit_hand_fixture(self):
+        """2 image refs resolvable, 1 image ref dangling (twice), 1 pdf
+        dangling; text spans ignored; distinct vs total counted right."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        rows = [
+            ("text", ""), ("image", "a"), ("image", "b"),
+            ("image", "GONE"), ("image", "GONE"), ("pdf", "NOPE"),
+        ]
+        ds = rd.from_arrow(pa.table({
+            "kind": pa.array([k for k, _ in rows]),
+            "media_ref": pa.array([r for _, r in rows]),
+        }))
+        got = analytics.dangling_ref_audit(ds, {"a", "b", "p1"})
+        got = got.set_index("kind")
+        assert got.loc["image"].tolist() == [4, 3, 2, 1]
+        assert got.loc["pdf"].tolist() == [1, 1, 1, 1]
+
     def test_media_dedup_groups_mirrors(self):
         """Exact payload dedup: a CDN-mirror replica set resolves to one
         keeper per content group with the mirror counted; distinct
