@@ -3176,6 +3176,20 @@ def _q_dangling_ref_audit(sf_dir: str):
         exploded, store.column("media_ref").to_pylist())
 
 
+def _q_orphan_media_audit(sf_dir: str):
+    """Inverse integrity audit: store payloads never referenced by any
+    span (GC candidates before a store rewrite). Oracle replays the
+    wrap's non-broken ref arithmetic as a distinct-index set per kind and
+    subtracts from the full store ranges."""
+    from distributed_system___ocr_ray.pipelines import analytics
+    from distributed_system___ocr_ray.pipelines import extract as pipeline
+    from distributed_system___ocr_ray.sources import wrap
+
+    ds, store = wrap.interleaved_from_documents(sf_dir)
+    exploded = pipeline.exploded_dataset(ds, num_partitions=32)
+    return analytics.orphan_media_audit(exploded, store)
+
+
 def _q_media_dedup_groups(sf_dir: str):
     """Exact media dedup over the flagship payload store plus a CDN-mirror
     replica of every 3rd payload (same bytes under a second ref scheme --
@@ -5931,6 +5945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": _q_media_metadata,
         "media_dedup_groups": _q_media_dedup_groups,
         "dangling_ref_audit": _q_dangling_ref_audit,
+        "orphan_media_audit": _q_orphan_media_audit,
     }
 
 
@@ -8987,6 +9002,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_metadata": _media_metadata_sql(),
         "media_dedup_groups": _media_dedup_sql(),
+        "orphan_media_audit": (
+            # non-broken referenced indices per kind (wrap.py:76-93), as
+            # DISTINCT sets; orphans = full store range minus them. The
+            # store's kind labels are 'image'/'pdf' (corpus.MEDIA_SCHEMA).
+            "WITH refimg AS ("
+            "SELECT DISTINCT (doc_id * 7) % 500 AS s FROM documents "
+            "WHERE doc_id % 20 <> 0 "
+            "UNION "
+            "SELECT DISTINCT (doc_id * 7 + 3) % 500 FROM documents "
+            "WHERE doc_id % 2 = 1 AND (doc_id + 1) % 20 <> 0), "
+            "refpdf AS ("
+            "SELECT DISTINCT (doc_id * 11) % 250 AS s FROM documents "
+            "WHERE doc_id % 2 = 0 AND doc_id % 40 <> 10) "
+            "SELECT 'image' AS kind, CAST(500 AS BIGINT) AS n_store, "
+            "CAST((SELECT COUNT(*) FROM refimg) AS BIGINT) AS n_referenced, "
+            "CAST(500 - (SELECT COUNT(*) FROM refimg) AS BIGINT) AS n_orphans "
+            "UNION ALL "
+            "SELECT 'pdf', CAST(250 AS BIGINT), "
+            "CAST((SELECT COUNT(*) FROM refpdf) AS BIGINT), "
+            "CAST(250 - (SELECT COUNT(*) FROM refpdf) AS BIGINT) "
+            "ORDER BY kind"
+        ),
         "dangling_ref_audit": (
             # replay of the wrap's ref plan (sources/wrap.py:76-93): image
             # span k=0 for every doc + k=1 for odd docs, broken iff

@@ -228,7 +228,7 @@ SWEEP_QUERIES = [
     "hits_scores", "langid_kappa", "kmv_distinct_audit", "kcore_nodes", "entity_dedupe_keepers", "hive_partition_prune_daily", "bloom_pruned_join_revenue",
     "encoding_advisor", "local_clustering_topk", "revenue_acf", "event_type_stationary", "lpa_modularity", "ppr_top",
     "nb_source_classifier", "ccnet_bucket_counts", "soft_dedup_weights", "binary_hamming_topk", "mor_delete_counts", "filter_impact_audit", "texttiling_boundaries", "simhash_dup_clusters", "anf_effective_diameter", "quality_neardup_auc", "bm25_prf_topk", "wap_publish_counts", "cluster_balanced_sample", "winnow_dup_clusters", "dedup_family_agreement", "ams_f2_audit", "unigram_power_sample_plan", "chao1_vocab_estimate", "real_pdf_roundtrip", "corpus_datacard", "gopher_quality_flags", "mattr_by_lang", "real_png_roundtrip",
-    "ivf_indexed_topk", "media_dedup_groups", "sq8_recall_audit", "extract_salted", "dangling_ref_audit",
+    "ivf_indexed_topk", "media_dedup_groups", "sq8_recall_audit", "extract_salted", "dangling_ref_audit", "orphan_media_audit",
 ]
 
 

@@ -240,6 +240,66 @@ def dangling_ref_audit(exploded_ds, store_refs):
     return df
 
 
+def orphan_media_audit(exploded_ds, store_ds,
+                       ref_col: str = "media_ref", kind_col: str = "kind"):
+    """Inverse of ``dangling_ref_audit``: store payloads NO span ever
+    references -- the GC-candidate list of a media store (re-crawls and
+    upstream filters strand payloads; this sizes the reclaim before a
+    rewrite).
+
+    Scale shape: everything is bounded by the STORE's ref domain. Span
+    refs are first semi-filtered map-side against the broadcast store ref
+    set (so the referenced-distinct exchange is <= store size even when
+    the corpus references 10^12 spans), dedupped in one grouped exchange,
+    collected under the bounded-driver convention, and the store then
+    streams once flagging membership.
+
+    Returns per store kind: (kind, n_store, n_referenced, n_orphans)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .relational import collect_bounded, tiny_final_groupby
+
+    if not isinstance(store_ds, pa.Table):
+        raise TypeError("store_ds must be the media store Arrow table "
+                        "(the bounded broadcast side)")
+    store_refs = frozenset(store_ds.column(ref_col).to_pylist())
+    handle = ray.put(store_refs)
+
+    class InStore:
+        def __init__(self) -> None:
+            self.refs = ray.get(handle)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            refs = [r for r in batch.column(ref_col).to_pylist()
+                    if r in self.refs]
+            return pa.table({ref_col: pa.array(refs, pa.string())})
+
+    referenced = (
+        exploded_ds.map_batches(InStore, batch_format="pyarrow",
+                                concurrency=(1, 4))
+        .groupby(ref_col)
+        .aggregate(Count(alias_name="n"))
+    )
+    ref_set = set(collect_bounded(
+        referenced, what="orphan_media_audit referenced-ref set",
+        alternative="grouped anti-join keyed on media_ref")[ref_col])
+
+    kinds = store_ds.column(kind_col).to_pylist()
+    refs = store_ds.column(ref_col).to_pylist()
+    rows: dict[str, list[int]] = {}
+    for k, r in zip(kinds, refs):
+        agg = rows.setdefault(k, [0, 0])
+        agg[0] += 1
+        agg[1] += r in ref_set
+    out = pd.DataFrame(
+        [(k, n, nr, n - nr) for k, (n, nr) in sorted(rows.items())],
+        columns=["kind", "n_store", "n_referenced", "n_orphans"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     """Keep exactly one row (min id) per distinct content; returns full rows.
     hash-partition + per-group first (groupby moves full rows here -- use

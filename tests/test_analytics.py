@@ -130,6 +130,26 @@ class TestDedup:
         assert got.loc["image"].tolist() == [4, 3, 2, 1]
         assert got.loc["pdf"].tolist() == [1, 1, 1, 1]
 
+    def test_orphan_media_audit_hand_fixture(self):
+        """Store of 3 images + 1 pdf; spans reference 2 images (one
+        twice) and nothing else -> 1 image orphan, 1 pdf orphan;
+        out-of-store span refs never count as referenced."""
+        import ray.data as rd
+
+        from distributed_system___ocr_ray.pipelines import analytics
+
+        store = pa.table({
+            "media_ref": pa.array(["i1", "i2", "i3", "p1"]),
+            "kind": pa.array(["image", "image", "image", "pdf"]),
+        })
+        spans = rd.from_arrow(pa.table({
+            "kind": pa.array(["image", "image", "image", "text"]),
+            "media_ref": pa.array(["i1", "i1", "i2", ""]),
+        }))
+        got = analytics.orphan_media_audit(spans, store).set_index("kind")
+        assert got.loc["image"].tolist() == [3, 2, 1]
+        assert got.loc["pdf"].tolist() == [1, 0, 1]
+
     def test_media_dedup_groups_mirrors(self):
         """Exact payload dedup: a CDN-mirror replica set resolves to one
         keeper per content group with the mirror counted; distinct
